@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, NumericType}
+
+/** Composable relational operators covering SURVEY.md §2.2–§2.4, §2.6, §2.7.
+  *
+  * Everything here is a thin declarative composition over the DataFrame API so
+  * Catalyst retains full freedom (predicate pushdown, column pruning, join
+  * strategy selection, AQE). Nothing materializes on the driver.
+  */
+object Relational {
+
+  /** Exact-sum cast: aggregating doubles through DECIMAL(38,6) makes the sum
+    * independent of partitioning / merge order (decimal addition is exact),
+    * which both stabilizes results across cluster sizes and matches any
+    * single-threaded oracle bit-for-bit after the final cast back to double.
+    * At 100 TB this also means a re-run on a different cluster layout produces
+    * the identical answer — a property plain double sums do not have.
+    */
+  val ExactDec: DecimalType = DecimalType(38, 6)
+  def exactSum(c: Column): Column = sum(c.cast(ExactDec)).cast("double")
+  def exactAvg(c: Column): Column =
+    sum(c.cast(ExactDec)).cast("double") / count(c)
+
+  /** P3 — projection of numeric columns only (reference: select_dtypes,
+    * integrate/main.py:115). */
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** P8 — drop columns that are entirely null (reference:
+    * dropna(axis=1, how="all"), dashboard/app.py:381). One stats pass, then a
+    * driver-side projection decision — the data never leaves executors. */
+  def dropAllNullCols(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toSeq: _*).head()
+    val keep = df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+    df.select(keep.map(col).toSeq: _*)
+  }
+
+  /** P11 — required-column assertion (reference: analysis_part/main.py:138-141). */
+  def requireColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** A2 — distinct non-null values of one key (reference:
+    * df["symbol"].dropna().unique(), integrate/main.py:79). */
+  def distinctKey(df: DataFrame, c: String): DataFrame =
+    df.select(c).na.drop().distinct()
+
+  /** A6 — latest row per group as a single hash aggregate (max_by on an
+    * orderable struct), avoiding the sort a row_number() window would need.
+    * Reference: idxmax + loc, dashboard/app.py:173-174. */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column], payload: Seq[String]): DataFrame = {
+    val packed = df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(ord: _*)).as("_latest"))
+    packed.select(keys.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** O2 — global top-k; Spark plans this as TakeOrderedAndProject (per-partition
+    * top-k, then a k-row merge on the driver — no global sort even at 100 TB). */
+  def topK(df: DataFrame, k: Int, ord: Column*): DataFrame =
+    df.orderBy(ord: _*).limit(k)
+
+  /** O4 — bounded enumeration per key (reference: 50-tweet cap,
+    * twitter/main.py:15-17). */
+  def limitPerGroup(df: DataFrame, n: Int, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+  }
+
+  /** U1 — n-ary union by name, tolerating per-frame missing columns
+    * (reference: pd.concat, integrate/main.py:130-131). */
+  def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators covering SURVEY.md §2.5 (W1–W8) and A3/A4/A9.
+  *
+  * All operators are window/agg compositions keyed on the series id, so the
+  * only shuffle is the hash exchange on the key — per-key work then runs
+  * sort-locally inside each partition. A per-symbol driver loop (what the
+  * reference does, integrate/main.py:95-128) is deliberately absent: the key
+  * IS the partition.
+  */
+object TimeSeriesOps {
+
+  private def w(keys: Seq[String], ord: Seq[Column]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+
+  /** W1 — 1-step percentage change over event time
+    * (reference: pct_change, integrate/main.py:120). */
+  def pctChange(df: DataFrame, value: String, keys: Seq[String], ord: Seq[Column], out: String): DataFrame = {
+    val prev = lag(col(value), 1).over(w(keys, ord))
+    df.withColumn(out, (col(value) - prev) / prev)
+  }
+
+  /** W2 — next-step lead (reference: shift(-1) label, integrate/main.py:121). */
+  def leadNext(df: DataFrame, value: String, keys: Seq[String], ord: Seq[Column], out: String): DataFrame =
+    df.withColumn(out, lead(col(value), 1).over(w(keys, ord)))
+
+  /** W3 — lag-feature fan-out 1..n (reference: analysis_part/main.py:83-85).
+    * All lags share one window spec → Catalyst plans a single sort + one
+    * Window exec reading n frames; no repeated shuffles. */
+  def lagFeatures(df: DataFrame, value: String, n: Int, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val win = w(keys, ord)
+    (1 to n).foldLeft(df)((d, i) => d.withColumn(s"${value}_lag$i", lag(col(value), i).over(win)))
+  }
+
+  /** A3 (helper) — collapse to one row per (keys, time-bucket) keeping the
+    * positionally-last value, made deterministic via max_by on (ts, tie)
+    * (reference pivot aggfunc="last", integrate/main.py:71). */
+  def bucketLast(df: DataFrame, keys: Seq[String], ts: String, unit: String,
+                 value: String, tie: Seq[String]): DataFrame = {
+    val ordKey = struct((col(ts) +: tie.map(col)): _*)
+    df.groupBy((keys.map(col) :+ date_trunc(unit, col(ts)).as("bucket")): _*)
+      .agg(max_by(col(value), ordKey).as(value))
+  }
+
+  /** W4 + F9 — resample to a fixed step and forward-fill: generate the full
+    * per-key grid (sequence + explode — a generator, not a driver loop), left
+    * join observations, then last(ignoreNulls) over an unbounded-preceding
+    * frame (reference: resample("1H").ffill(), integrate/main.py:72).
+    * One shuffle on keys; grid generation is embarrassingly parallel. */
+  def gapFillFFill(df: DataFrame, keys: Seq[String], bucket: String,
+                   step: String, value: String, out: String): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(bucket)).as("_lo"), max(col(bucket)).as("_hi"))
+    val grid = bounds.select(
+      keys.map(col) :+ explode(sequence(col("_lo"), col("_hi"), expr(step))).as(bucket): _*)
+    val ffillW = w(keys, Seq(col(bucket))).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(df, keys :+ bucket, "left")
+      .select((keys.map(col) :+ col(bucket) :+
+        last(col(value), ignoreNulls = true).over(ffillW).as(out)): _*)
+  }
+
+  /** W5 / A4 — group-mean imputation keeping row alignment (window, not
+    * groupBy — reference: transform(mean) fillna, integrate/main.py:114-117).
+    * The mean uses an exact decimal sum (see Relational.exactSum) so imputed
+    * values are identical regardless of partition merge order. */
+  def groupMeanImpute(df: DataFrame, value: String, groupExpr: Column, out: String): DataFrame = {
+    val gw = Window.partitionBy(groupExpr)
+    val mean = sum(col(value).cast(Relational.ExactDec)).over(gw).cast("double") /
+      count(col(value)).over(gw)
+    df.withColumn(out, coalesce(col(value), mean))
+  }
+
+  /** W6 — chronological train/test split tag (reference: int(len*0.8) iloc
+    * slicing, analysis_part/main.py:91-93). floor() keeps pandas truncation
+    * semantics. */
+  def chronoSplitTag(df: DataFrame, keys: Seq[String], ord: Seq[Column],
+                     frac: Double, out: String): DataFrame = {
+    val rn = row_number().over(w(keys, ord))
+    val n  = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+    df.withColumn(out, rn <= floor(n * frac))
+  }
+
+  /** W8 — previous-day value per key with latest-value fallback (reference:
+    * dashboard/app.py:17-30). Two hash aggregates + a broadcastable join of
+    * per-key scalars; no full-table window. */
+  def prevDayValue(df: DataFrame, keys: Seq[String], ts: String, value: String,
+                   tie: Seq[String], out: String): DataFrame = {
+    val ordKey = struct((col(ts) +: tie.map(col)): _*)
+    val latest = df.groupBy(keys.map(col): _*).agg(
+      max(to_date(col(ts))).as("_latest_date"),
+      max_by(col(value), ordKey).as("_last_v"))
+    val prev = df.join(latest, keys)
+      .filter(to_date(col(ts)) === date_sub(col("_latest_date"), 1))
+      .groupBy(keys.map(col): _*).agg(max_by(col(value), ordKey).as("_prev_v"))
+    latest.join(prev, keys, "left")
+      .select(keys.map(col) :+ coalesce(col("_prev_v"), col("_last_v")).as(out): _*)
+  }
+
+  /** A9 — fixed-bin histogram with probability-density normalization
+    * (reference: px.histogram nbins=60 histnorm="probability density",
+    * dashboard/app.py:333-336). min/max are a 1-row agg broadcast via cross
+    * join; bucketing is a pure per-row expression (codegen'd). */
+  def histogramDensity(df: DataFrame, value: String, bins: Int): DataFrame = {
+    val stats = df.agg(min(col(value)).as("_lo"), max(col(value)).as("_hi"),
+      count(col(value)).as("_n"))
+    val bucket = least(greatest(
+      floor((col(value) - col("_lo")) / (col("_hi") - col("_lo")) * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.crossJoin(stats)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) / (first(col("_n")) * ((first(col("_hi")) - first(col("_lo"))) / bins)))
+          .as("density"))
+  }
+}
