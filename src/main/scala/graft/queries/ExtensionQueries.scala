@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import graft.sim.Similarity
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension operators (builder prompt: dedup,
+  * similarity search, text analysis, multimodal plumbing), oracle-checked
+  * over `documents` / `embeddings`.
+  *
+  * Hash-bearing results (minhash/simhash/fingerprints) use the md5-derived
+  * 60-bit `TextOps.h64`, reproducible in DuckDB — so even hash-based
+  * operators get full value-level oracle checks, not just row counts.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NPlanes = 8
+  private val Dim     = 64
+
+  val queries: Map[String, Q] = Map(
+    // ── exact dedup: digest → canonical id + multiplicity
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── token counting (whitespace + BPE-ish regex)
+    "q25_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d), "text")
+        .select("doc_id", "ws_tokens", "bpe_tokens", "avg_token_len")),
+
+    // ── quality scoring (punct/stopword/upper ratios + logistic composite)
+    "q26_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d), "text")
+        .select("doc_id", "punct_ratio", "stop_ratio", "upper_ratio", "quality_score")),
+
+    // ── language-ID heuristic (stopword vote)
+    "q27_lang_id" -> ((s, d) =>
+      TextOps.languageId(Tables.documents(s, d), "text", "lang_pred")
+        .select("doc_id", "lang_pred")),
+
+    // ── MinHash signatures + LSH band keys
+    "q28_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── LSH candidate pairs with Jaccard estimate
+    "q29_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(
+        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"), "doc_id")),
+
+    // ── 32-bit SimHash
+    "q30_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── exact 2-gram Jaccard within source scope
+    "q31_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source", 2, 0.05)),
+
+    // ── winnowing fingerprint
+    "q32_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "n_grams", "fingerprint")),
+
+    // ── brute-force cosine top-5 (exact ANN baseline)
+    "q33_knn_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ── LSH bucket assignment (sign random projection)
+    "q34_lsh_buckets" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
+        .withColumn("bucket", Similarity.lshBucket("v", Similarity.hyperplanes(NPlanes, Dim)))
+        .select("vec_id", "bucket")),
+
+    // ── ANN top-3 within LSH bucket
+    "q35_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3, NPlanes, Dim)
+    }),
+
+    // ── per-label centroids, long form (exact decimal sums over rounded dims)
+    "q36_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double"), 6).as("xr"))
+        .groupBy("label", "dim")
+        .agg((sum(col("xr").cast(graft.ops.Relational.ExactDec)).cast("double") /
+          count(lit(1))).as("centroid"), count(lit(1)).as("n"))),
+
+    // ── multimodal plumbing: opaque binary column + typed metadata
+    "q37_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("bin")).cast("long").as("n_bytes"),
+          (octet_length(col("bin")) % 640).cast("long").as("width"),
+          ((octet_length(col("bin")) * 7) % 480 + 1).cast("long").as("height"),
+          lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))))
+
+  // ───────────────────────── DuckDB oracle SQL ─────────────────────────
+
+  private def h64d(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+  private val toksCte =
+    raw"toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)"
+  private def shingleExpr(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len(w) >= $n THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> $parts) ELSE [] END"
+  }
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
+
+  private val mhCols = (0 until Dedup.NumHashes).map(i =>
+    s"list_min(list_transform(sh, x -> ${h64d(s"'$i:' || x")})) AS mh$i").mkString(", ")
+  private val bandCols = (0 until Dedup.NumBands).map { b =>
+    val cs = (4 * b until 4 * b + 4).map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+    s"md5($cs) AS band$b"
+  }.mkString(", ")
+  private val sigCte =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM toks),
+       |mh AS (SELECT doc_id, $mhCols FROM sh),
+       |sig AS (SELECT doc_id, mh.* EXCLUDE (doc_id), $bandCols FROM mh)""".stripMargin
+
+  private val simhashBits = (0 until 32).map(j =>
+    s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $j) & 1)) >= n THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val planes = Similarity.hyperplanes(NPlanes, Dim)
+  private val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+    s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+  private val qBucketExpr = planes.zipWithIndex.map { case (p, j) =>
+    s"(CASE WHEN ${Similarity.planeDotSql("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+  private val cosSql =
+    "round(list_sum(list_transform(generate_series(1,64), i -> qv[i]*v[i])) / " +
+      "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q25_token_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(w)::BIGINT AS ws_tokens,
+         | len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))::BIGINT AS bpe_tokens,
+         | round(length(array_to_string(w, ''))::DOUBLE / len(w), 6) AS avg_token_len
+         |FROM toks JOIN documents USING (doc_id)""".stripMargin,
+    "q26_quality" ->
+      s"""WITH $toksCte,
+         |raw AS (SELECT doc_id,
+         |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) AS pr,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))})))::DOUBLE / len(w) AS sr,
+         |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text) AS ur,
+         |  len(w) AS n
+         |FROM toks JOIN documents USING (doc_id))
+         |SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio,
+         | round(ur, 6) AS upper_ratio,
+         | round(1.0 / (1.0 + exp(-(sr*3.0 + ln(n::DOUBLE)*0.1 - pr*5.0))), 6) AS quality_score
+         |FROM raw""".stripMargin,
+    "q27_lang_id" ->
+      s"""WITH $toksCte,
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))}))) AS en,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("es"))}))) AS es,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("fr"))}))) AS fr
+         |FROM toks)
+         |SELECT doc_id, CASE WHEN en + es + fr = 0 THEN 'und'
+         |  WHEN en >= es AND en >= fr THEN 'en' WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM sc""".stripMargin,
+    "q28_minhash_sig" -> s"WITH $sigCte SELECT * FROM sig",
+    "q29_minhash_pairs" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
+      val matches = (0 until Dedup.NumHashes).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigCte,
+         |bands AS ($bandUnion),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
+         |FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
+    },
+    "q30_simhash" ->
+      s"""WITH $toksCte,
+         |hs AS (SELECT doc_id, list_transform(w, t -> ${h64d("t")}) AS hs, len(w) AS n FROM toks)
+         |SELECT doc_id, $simhashBits AS simhash FROM hs""".stripMargin,
+    "q31_ngram_jaccard" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS g FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(n_i::DOUBLE / (na.n_g + nb.n_g - n_i), 6) AS jaccard
+         |FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE round(n_i::DOUBLE / (na.n_g + nb.n_g - n_i), 6) >= 0.05""".stripMargin,
+    "q32_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  list_transform(generate_series(1, greatest(length(text)-4, 1)),
+         |    i -> ${h64d("substr(text, i, 5)")}) AS g FROM documents),
+         |m AS (SELECT doc_id, len(g)::BIGINT AS n_grams,
+         |  list_sort(list_distinct(list_transform(generate_series(1, greatest(len(g)-3, 1)),
+         |    j -> list_min(g[j:j+3])))) AS mins FROM g)
+         |SELECT doc_id, n_grams, md5(array_to_string(mins, ',')) AS fingerprint FROM m""".stripMargin,
+    "q33_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim FROM e, q WHERE vec_id != q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+    "q34_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
+    "q35_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, $qBucketExpr AS q_bucket
+         |      FROM (SELECT vec_id, v AS qv, v FROM e WHERE vec_id < 10)),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |      FROM c JOIN q ON bucket = q_bucket AND vec_id != q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
+    "q36_centroids" ->
+      """SELECT label, i AS dim,
+        | CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |   / count(*) AS centroid,
+        | count(*) AS n
+        |FROM embeddings, generate_series(1, 64) g(i)
+        |GROUP BY label, i""".stripMargin,
+    "q37_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text))::BIGINT AS n_bytes,
+        | (octet_length(encode(text)) % 640)::BIGINT AS width,
+        | ((octet_length(encode(text)) * 7) % 480 + 1)::BIGINT AS height,
+        | lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents""".stripMargin)
+}

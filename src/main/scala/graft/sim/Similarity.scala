@@ -1,0 +1,91 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Two tiers, mirroring how ANN systems scale:
+  *  - brute-force cosine top-k: exact baseline; broadcast the (small) query
+  *    set against the corpus — one pass, no shuffle of the corpus, ranking
+  *    via per-query top-k windows.
+  *  - LSH (random hyperplane / sign-random-projection, Charikar STOC'02):
+  *    deterministic ±1 hyperplanes hash each vector to a bucket; search only
+  *    within the query's bucket. At 100 TB the bucket join replaces the
+  *    cross product, trading recall for a ~2^planes fan-in reduction; an
+  *    IVF upgrade would swap the hash for learned centroids.
+  *
+  * All dot products run in fixed element order on doubles, so scores are
+  * reproducible; ranking keys round to 6 decimals with id tie-breaks so
+  * ordering is engine-portable.
+  */
+object Similarity {
+
+  /** Embedding column as ARRAY<DOUBLE> (floats widen exactly). */
+  def asDouble(emb: String): Column = expr(s"transform($emb, x -> cast(x AS DOUBLE))")
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order. */
+  def cosine(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / " +
+      s"(sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x)) * " +
+      s"sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))")
+
+  /** Brute-force exact top-k neighbours for each query vector.
+    * queries is expected to be small (broadcast); corpus streams past it. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Deterministic ±1 hyperplanes (seedless closed form so any engine can
+    * regenerate them — see lshOracleDotSql). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until nPlanes).map(j => (0 until dim).map(d =>
+      if (((j * 131 + d * 37) % 7) % 2 == 0) 1 else -1))
+
+  /** Signed-sum expression for one hyperplane (fixed left-to-right order). */
+  private def planeDot(v: String, plane: Seq[Int]): String =
+    plane.zipWithIndex.map { case (s, d) =>
+      val e = s"element_at($v, ${d + 1})"
+      if (s > 0) s"($e)" else s"(-$e)"
+    }.mkString(" + ")
+
+  /** SQL text of the same signed sum for the DuckDB oracle (1-based list
+    * indexing there too). */
+  def planeDotSql(v: String, plane: Seq[Int]): String =
+    plane.zipWithIndex.map { case (s, d) =>
+      val e = s"$v[${d + 1}]"
+      if (s > 0) s"($e)" else s"(-$e)"
+    }.mkString(" + ")
+
+  /** LSH bucket id: bit j = sign(v · plane_j). */
+  def lshBucket(v: String, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(expr(s"${planeDot(v, p)} >= 0D"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: exact cosine ranking, but only within the query's
+    * bucket (candidates shrink ~2^planes-fold; recall < 1 by design). */
+  def annLsh(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+             k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+      .withColumn("bucket", lshBucket("v", planes))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+      .withColumn("q_bucket", lshBucket("qv", planes))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine("qv", "v"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+}

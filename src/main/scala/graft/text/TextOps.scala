@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd scalar/array expressions — per-row,
+  * shuffle-free, embarrassingly parallel — so throughput scales linearly with
+  * executors at 100 TB. No UDFs: `transform`/`filter`/`aggregate` higher-order
+  * functions keep evaluation inside Tungsten.
+  *
+  * Cross-engine determinism: the 60-bit hash `h64` is the first 15 hex chars
+  * of md5 (exactly reproducible in any engine with md5), so hash-derived
+  * results (minhash, simhash, fingerprints) are portable and stable.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash from md5 (portable across engines). */
+  def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def h64Sql(e: String): String =
+    s"CAST(conv(substring(md5($e),1,15),16,10) AS BIGINT)"
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles over a token array column (1-based element_at,
+    * mirroring SQL list indexing). Empty when fewer than n tokens. */
+  def wordShingles(toks: String, n: Int): Column = {
+    val parts = (0 until n).map(k => s"element_at($toks, i + $k)").mkString(", ' ', ")
+    expr(s"CASE WHEN size($toks) >= $n THEN " +
+      s"transform(sequence(1, size($toks) - ${n - 1}), i -> concat($parts)) " +
+      s"ELSE array() END")
+  }
+
+  /** Token statistics: whitespace token count, BPE-ish regex token count
+    * (letters runs | single digits | single symbols), mean token length. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenStats(df: DataFrame, text: String): DataFrame =
+    df.withColumn("_w", tokens(col(text)))
+      .withColumn("ws_tokens", size(col("_w")).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(text), lit(BpeishPattern), lit(0))).cast("long"))
+      .withColumn("avg_token_len",
+        round(length(concat_ws("", col("_w"))).cast("double") / col("ws_tokens"), 6))
+      .drop("_w")
+
+  /** Small per-language stopword lists for the language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "les"))
+
+  private def stopCount(toks: String, words: Seq[String]): Column =
+    expr(s"size(filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))")
+
+  /** Language-ID heuristic: stopword-vote argmax with deterministic
+    * tie-breaking (en > es > fr), 'und' when no stopwords hit. */
+  def languageId(df: DataFrame, text: String, out: String): DataFrame = {
+    val d = df.withColumn("_w", tokens(col(text)))
+      .withColumn("_en", stopCount("_w", Stopwords("en")))
+      .withColumn("_es", stopCount("_w", Stopwords("es")))
+      .withColumn("_fr", stopCount("_w", Stopwords("fr")))
+    d.withColumn(out,
+        when(col("_en") + col("_es") + col("_fr") === 0, "und")
+          .when(col("_en") >= col("_es") && col("_en") >= col("_fr"), "en")
+          .when(col("_es") >= col("_fr"), "es")
+          .otherwise("fr"))
+      .drop("_w", "_en", "_es", "_fr")
+  }
+
+  /** Quality signals: punctuation ratio, stopword ratio, uppercase ratio,
+    * length-aware logistic composite score (rounded — exp/ln are libm-
+    * dependent in the last ulp). */
+  def qualityScore(df: DataFrame, text: String): DataFrame = {
+    val len = length(col(text)).cast("double")
+    val d = df.withColumn("_w", tokens(col(text)))
+      .withColumn("punct_ratio",
+        (len - length(regexp_replace(col(text), "[.,!?;:]", ""))) / len)
+      .withColumn("stop_ratio",
+        stopCount("_w", Stopwords("en")).cast("double") / size(col("_w")))
+      .withColumn("upper_ratio",
+        length(regexp_replace(col(text), "[^A-Z]", "")).cast("double") / len)
+    d.withColumn("quality_score",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("stop_ratio") * 3.0 +
+          log(size(col("_w")).cast("double")) * 0.1 - col("punct_ratio") * 5.0))), 6))
+      .withColumn("punct_ratio", round(col("punct_ratio"), 6))
+      .withColumn("stop_ratio", round(col("stop_ratio"), 6))
+      .withColumn("upper_ratio", round(col("upper_ratio"), 6))
+      .drop("_w")
+  }
+
+  /** Winnowing-style document fingerprint: char 5-gram rolling hashes,
+    * min per 4-window, distinct-sorted mins → md5 fingerprint.
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03 — the standard near-dup fingerprint.) */
+  def fingerprint(df: DataFrame, text: String): DataFrame =
+    df.withColumn("_g",
+        expr(s"transform(sequence(1, greatest(length($text) - 4, 1)), i -> " +
+          h64Sql(s"substring($text, i, 5)") + ")"))
+      .withColumn("_mins",
+        expr("array_sort(array_distinct(transform(sequence(1, greatest(size(_g) - 3, 1)), " +
+          "j -> array_min(slice(_g, j, 4)))))"))
+      .withColumn("n_grams", size(col("_g")).cast("long"))
+      .withColumn("fingerprint",
+        md5(expr("concat_ws(',', transform(_mins, x -> cast(x AS STRING)))")))
+      .drop("_g", "_mins")
+}
