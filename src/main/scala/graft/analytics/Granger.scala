@@ -1,0 +1,133 @@
+package graft.analytics
+
+import org.apache.commons.math3.distribution.FDistribution
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C1 — Granger causality (reference: analysis_part/main.py:58-78, which
+  * calls statsmodels `grangercausalitytests` and reads the `ssr_ftest`
+  * p-value per lag 1..maxLag).
+  *
+  * Semantics reproduced exactly:
+  *  - per (symbol, predictor): take rows where target and predictor are both
+  *    present (pandas dropna on the pair), ordered by time; lags are
+  *    POSITIONAL over that sequence (statsmodels lags the array, not the
+  *    clock).
+  *  - for each lag L: restricted OLS y ~ [1, y_lag1..L]; unrestricted adds
+  *    [x_lag1..L]; F = ((rss_r − rss_u)/L) / (rss_u/(n − 2L − 1)); p-value
+  *    from the F(L, n−2L−1) CDF (commons-math3), rounded to 5
+  *    (analysis_part/main.py:68).
+  *
+  * Scale design: the data never reaches the driver. One window pass builds
+  * positional lags; one hash aggregate per (symbol) accumulates the Gram
+  * moments Σ z_i·z_j (fixed-width state, map-side combined). Only those
+  * O(k²) sums are collected; the tiny OLS solves and F-CDF run on the
+  * driver. This is the Aggregator-style design SURVEY.md §7.3 calls for —
+  * expressed with built-in aggregates, so it stays in whole-stage codegen.
+  */
+object Granger {
+
+  /** p-values for target ~ one predictor, all symbols, lags 1..maxLag.
+    * Output: (symbol, predictor, lag, p_value, f_stat, n_obs). */
+  def test(df: DataFrame, symbol: String, ts: String, target: String,
+           predictor: String, maxLag: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // positional sequence after pairwise dropna (statsmodels semantics)
+    val base = df.select(col(symbol).as("sym"), col(ts).as("t"),
+        col(target).cast("double").as("y"), col(predictor).cast("double").as("x"))
+      .na.drop(Seq("y", "x"))
+    val w = Window.partitionBy("sym").orderBy("t")
+    val lagged = (1 to maxLag).foldLeft(base) { (d, i) =>
+      d.withColumn(s"yl$i", lag(col("y"), i).over(w))
+        .withColumn(s"xl$i", lag(col("x"), i).over(w))
+    }
+
+    // Gram moments per lag order L over rows valid at that order
+    def vars(l: Int): Seq[(String, Column)] =
+      ("y" -> col("y")) +: ("one" -> lit(1.0)) +:
+        ((1 to l).map(i => s"yl$i" -> col(s"yl$i")) ++
+          (1 to l).map(i => s"xl$i" -> col(s"xl$i")))
+    val aggs: Seq[Column] = (1 to maxLag).flatMap { l =>
+      val valid = col(s"yl$l").isNotNull && col(s"xl$l").isNotNull
+      val vs = vars(l)
+      count(when(valid, 1)).as(s"n_$l") +:
+        (for (i <- vs.indices; j <- vs.indices if j >= i) yield {
+          val (ni, ci) = vs(i); val (nj, cj) = vs(j)
+          sum(when(valid, ci * cj)).as(s"g_${l}_${ni}_$nj")
+        })
+    }
+    val grams = lagged.groupBy(col("sym")).agg(aggs.head, aggs.tail: _*).collect()
+
+    val results = grams.flatMap { row =>
+      val sym = row.getString(0)
+      (1 to maxLag).flatMap { l =>
+        val n = row.getLong(row.fieldIndex(s"n_$l"))
+        val names = vars(l).map(_._1)
+        def g(a: String, b: String): Double = {
+          val idx = row.fieldIndex(
+            if (names.indexOf(a) <= names.indexOf(b)) s"g_${l}_${a}_$b" else s"g_${l}_${b}_$a")
+          if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+        }
+        val kU = 2 * l + 1
+        if (n < kU + 1) Seq((sym, predictor, l, Double.NaN, Double.NaN, n)) // too few obs
+        else {
+          val restricted = names.drop(1).take(l + 1)            // one + ylags
+          val unrestricted = names.drop(1)                      // + xlags
+          val rssR = rss(restricted, g)
+          val rssU = rss(unrestricted, g)
+          val f = ((rssR - rssU) / l) / (rssU / (n - kU))
+          val p =
+            if (f.isNaN || f < 0) Double.NaN
+            else 1.0 - new FDistribution(l.toDouble, (n - kU).toDouble).cumulativeProbability(f)
+          Seq((sym, predictor, l,
+            BigDecimal(p).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble, f, n))
+        }
+      }
+    }
+    results.toSeq.toDF("symbol", "predictor", "lag", "p_value", "f_stat", "n_obs")
+  }
+
+  /** All predictors (reference sweeps every numeric column,
+    * analysis_part/main.py:159-161). */
+  def sweep(df: DataFrame, symbol: String, ts: String, target: String,
+            predictors: Seq[String], maxLag: Int = 5): DataFrame =
+    predictors.map(p => test(df, symbol, ts, target, p, maxLag))
+      .reduce(_.unionByName(_))
+
+  /** rss of y ~ X from Gram moments: y'y − β'X'y with β from the normal
+    * equations (Gaussian elimination with partial pivoting; k ≤ 11). */
+  private def rss(xs: Seq[String], g: (String, String) => Double): Double = {
+    val k = xs.length
+    val a = Array.tabulate(k, k)((i, j) => g(xs(i), xs(j)))
+    val b = Array.tabulate(k)(i => g(xs(i), "y"))
+    val beta = solve(a, b)
+    val xty = Array.tabulate(k)(i => g(xs(i), "y"))
+    g("y", "y") - beta.zip(xty).map { case (x, y) => x * y }.sum
+  }
+
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (col <- 0 until k) {
+      val piv = (col until k).maxBy(r => math.abs(a(r)(col)))
+      val tmpA = a(col); a(col) = a(piv); a(piv) = tmpA
+      val tmpB = b(col); b(col) = b(piv); b(piv) = tmpB
+      val d = a(col)(col)
+      for (r <- col + 1 until k if d != 0.0) {
+        val f = a(r)(col) / d
+        for (c <- col until k) a(r)(c) -= f * a(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val x = new Array[Double](k)
+    for (r <- k - 1 to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until k) s -= a(r)(c) * x(c)
+      x(r) = if (a(r)(r) == 0.0) 0.0 else s / a(r)(r)
+    }
+    x
+  }
+}

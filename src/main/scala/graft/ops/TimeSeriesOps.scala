@@ -63,6 +63,24 @@ object TimeSeriesOps {
         last(col(value), ignoreNulls = true).over(ffillW).as(out)): _*)
   }
 
+  /** Multi-column variant of gapFillFFill: one generated grid, one window,
+    * all value columns forward-filled in the same pass. With empty `keys`
+    * the grid/ffill window is global — only appropriate for small frames
+    * (e.g. a 3-indicator macro panel), since a global window is a single
+    * partition. */
+  def gapFillFFillMulti(df: DataFrame, keys: Seq[String], bucket: String,
+                        step: String, values: Seq[String]): DataFrame = {
+    val bounds = if (keys.isEmpty) df.agg(min(col(bucket)).as("_lo"), max(col(bucket)).as("_hi"))
+      else df.groupBy(keys.map(col): _*).agg(min(col(bucket)).as("_lo"), max(col(bucket)).as("_hi"))
+    val grid = bounds.select(
+      keys.map(col) :+ explode(sequence(col("_lo"), col("_hi"), expr(step))).as(bucket): _*)
+    val ffillW = Window.partitionBy(keys.map(col): _*).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(df, keys :+ bucket, "left")
+      .select(keys.map(col) ++ (col(bucket) +:
+        values.map(v => last(col(v), ignoreNulls = true).over(ffillW).as(v))): _*)
+  }
+
   /** W5 / A4 — group-mean imputation keeping row alignment (window, not
     * groupBy — reference: transform(mean) fillna, integrate/main.py:114-117).
     * The mean uses an exact decimal sum (see Relational.exactSum) so imputed

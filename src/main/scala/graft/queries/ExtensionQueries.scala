@@ -115,7 +115,8 @@ object ExtensionQueries {
   private val mhCols = (0 until Dedup.NumHashes).map(i =>
     s"list_min(list_transform(sh, x -> ${h64d(s"'$i:' || x")})) AS mh$i").mkString(", ")
   private val bandCols = (0 until Dedup.NumBands).map { b =>
-    val cs = (4 * b until 4 * b + 4).map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+    val cs = (Dedup.RowsPerBand * b until Dedup.RowsPerBand * (b + 1))
+      .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
     s"md5($cs) AS band$b"
   }.mkString(", ")
   private val sigCte =

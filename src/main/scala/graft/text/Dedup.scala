@@ -18,8 +18,11 @@ object Dedup {
 
   import TextOps.{h64, h64Sql}
 
-  val NumHashes = 16
-  val NumBands  = 4 // 4 rows per band
+  val NumHashes   = 16
+  val NumBands    = 8 // 2 rows per band: high recall for near-dups (J≈0.8 →
+  // per-band hit J², any-band ≈ 1-(1-J²)^8 ≈ 0.999); est_jaccard filters the
+  // extra low-similarity candidates downstream
+  val RowsPerBand: Int = NumHashes / NumBands
 
   /** Exact dedup groups: digest of normalized text → canonical (min) id +
     * multiplicity. Downstream `keep` = semi-join on (digest, canonical_id). */
@@ -37,7 +40,8 @@ object Dedup {
         expr(s"array_min(transform(sh, x -> ${h64Sql(s"concat('$i:', x)")}))"))
     }
     val withBands = (0 until NumBands).foldLeft(withMh) { (d, b) =>
-      val cols = (4 * b until 4 * b + 4).map(i => s"cast(mh$i AS STRING)").mkString(", ',', ")
+      val cols = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(i => s"cast(mh$i AS STRING)").mkString(", ',', ")
       d.withColumn(s"band$b", md5(expr(s"concat($cols)")))
     }
     withBands.drop("w", "sh")

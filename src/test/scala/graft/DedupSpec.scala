@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on planted duplicates: exact groups collapse, MinHash/LSH
+  * surfaces near-dups, SimHash hamming distance is small for near-dups,
+  * Jaccard quantifies overlap. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire " +
+      "and the birds sing in the tall green trees above the quiet garden path"
+  private val nearDup = base.replace("quiet", "silent") // one word differs
+  private val unrelated =
+    "completely different content about databases query engines shuffle partitions " +
+      "aggregation pipelines and distributed execution frameworks running on clusters"
+
+  private lazy val docs = Seq(
+    (1L, base, "s"), (2L, base, "s"),        // exact dup pair
+    (3L, nearDup, "s"), (4L, unrelated, "s"),
+    (5L, "tiny doc", "s"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup collapses identical texts to the min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dupGroup = g.find(_.getLong(2) == 2).get
+    assert(dupGroup.getLong(1) == 1L) // canonical = min(doc_id)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(sig.columns.count(_.startsWith("mh")) == 16)
+    val pairs = Dedup.minhashCandidates(sig, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical docs → all 16 hashes equal
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup caught
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 6)
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
+  }
+
+  test("scoped n-gram jaccard ranks near-dup far above unrelated") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", "source", 2, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.8)
+    assert(j.getOrElse((1L, 4L), 0.0) < 0.05)
+  }
+
+  test("winnowing fingerprint: equal for dups, different for near-dups") {
+    val fp = TextOps.fingerprint(docs, "text").select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.analytics.Granger
+import org.apache.spark.sql.functions._
+
+/** C1 validation: F statistics golden-checked against a NumPy OLS
+  * implementation of the same ssr_ftest formula (SURVEY.md §7.4 #5), plus
+  * behavioral discrimination on causal vs independent series. */
+class GrangerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic series mirrored in the golden generator:
+  //   x_t = round(sin(0.7 t)·10 + (t mod 5), 6)
+  //   y_t = round(0.8·x_{t-1} + 0.1·y_{t-1} + ((37 t mod 11) − 5)·0.05, 6)
+  private val n = 80
+  private val xs = (0 until n).map(t =>
+    BigDecimal(math.sin(t * 0.7) * 10 + (t % 5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  private val ys = {
+    val a = Array.fill(n)(0.0)
+    for (t <- 1 until n)
+      a(t) = BigDecimal(0.8 * xs(t - 1) + 0.1 * a(t - 1) + ((t * 37) % 11 - 5) * 0.05)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    a.toSeq
+  }
+  private lazy val df = (0 until n).map(t => ("S", t, ys(t), xs(t)))
+    .toDF("symbol", "t", "y", "x")
+
+  test("F statistics match the NumPy golden values") {
+    val res = Granger.test(df, "symbol", "t", "y", "x", maxLag = 3)
+      .orderBy("lag").collect()
+    val golden = Map(1 -> 54437.3226, 2 -> 6807.0853, 3 -> 3621.5289)
+    res.foreach { r =>
+      val lag = r.getInt(2); val f = r.getDouble(4)
+      assert(math.abs(f - golden(lag)) / golden(lag) < 1e-4,
+        s"lag $lag: f=$f golden=${golden(lag)}")
+      assert(r.getDouble(3) <= 1e-5) // overwhelming causality → p ~ 0
+      assert(r.getLong(5) == n - lag)
+    }
+  }
+
+  test("independent white noise is not flagged as causal") {
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 200).map(t => ("S", t, rnd.nextGaussian(), rnd.nextGaussian()))
+      .toDF("symbol", "t", "y", "x")
+    val ps = Granger.test(noise, "symbol", "t", "y", "x", maxLag = 3)
+      .select("p_value").collect().map(_.getDouble(0))
+    assert(ps.forall(_ > 0.01), s"independent series flagged causal: ${ps.mkString(",")}")
+  }
+
+  test("sweep runs per predictor and rounds p to 5 decimals") {
+    val res = Granger.sweep(df.withColumn("z", col("x") * 2), "symbol", "t", "y",
+      Seq("x", "z"), maxLag = 2)
+    assert(res.count() == 4)
+    val ps = res.select("p_value").collect().map(_.getDouble(0))
+    assert(ps.forall(p => (BigDecimal(p) * 100000).isWhole))
+  }
+}

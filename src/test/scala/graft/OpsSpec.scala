@@ -1,0 +1,95 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.multimodal.Multimodal
+import graft.ops.{Relational, TimeSeriesOps}
+import org.apache.spark.sql.functions._
+
+/** Unit cases for pandas-exact semantics the oracle can't isolate
+  * (SURVEY.md §5.2) + ingest/multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillFFill: fills interior gaps, leading nulls stay null") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2025-08-01 $h%02d:00:00")
+    val df = Seq(("A", t(1), Some(10.0)), ("A", t(4), Some(40.0)),
+      ("B", t(2), None: Option[Double]), ("B", t(3), Some(3.0)))
+      .toDF("k", "hour", "v")
+    val out = TimeSeriesOps.gapFillFFill(df, Seq("k"), "hour", "interval 1 hour", "v", "vf")
+      .orderBy("k", "hour").collect()
+    val a = out.filter(_.getString(0) == "A").map(r => Option(r.get(2)))
+    assert(a.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0)))
+    val b = out.filter(_.getString(0) == "B").map(r => Option(r.get(2)))
+    assert(b.toSeq == Seq(None, Some(3.0))) // no observation before first row
+  }
+
+  test("stddev ddof=1 (pandas .std) via stddev_samp") {
+    val got = Seq(1.0, 2.0, 3.0).toDF("x").agg(stddev_samp(col("x"))).head().getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("dropAllNullCols keeps partially-null, drops fully-null") {
+    val df = Seq((1, Some(1.0), None: Option[Double]), (2, None, None))
+      .toDF("id", "partial", "allnull")
+    assert(Relational.dropAllNullCols(df).columns.toSeq == Seq("id", "partial"))
+  }
+
+  test("requireColumns raises on missing (analysis_part guard)") {
+    val df = Seq(1).toDF("a")
+    Relational.requireColumns(df, Seq("a"))
+    intercept[IllegalArgumentException] {
+      Relational.requireColumns(df, Seq("a", "zz"))
+    }
+  }
+
+  test("latestPerGroup is a single aggregate equal to the window formulation") {
+    val df = Seq(("A", 1, 10.0), ("A", 3, 30.0), ("A", 2, 20.0), ("B", 1, 1.0))
+      .toDF("k", "o", "v")
+    val got = Relational.latestPerGroup(df, Seq("k"), Seq(col("o")), Seq("o", "v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("A", 3, 30.0), ("B", 1, 1.0)))
+  }
+
+  test("ingest: json landing, latest-per-key, tweet packing cap") {
+    val raw = Seq(
+      ("AAPL", """{"c": 101.5, "h": 102.0, "l": 99.0, "o": 100.0, "pc": 100.5, "d": 1.0, "dp": 0.99, "t": 1722470400}""",
+        java.sql.Timestamp.valueOf("2025-08-01 00:00:00")),
+      ("MSFT", "not json at all", java.sql.Timestamp.valueOf("2025-08-01 00:00:00")))
+      .toDF("symbol", "body", "timestamp")
+    val landed = Ingest.landQuotes(raw).collect()
+    assert(landed.find(_.getString(0) == "AAPL").get.getStruct(1).getDouble(0) == 101.5)
+    // PERMISSIVE from_json: malformed body → struct of all-null fields
+    val msft = landed.find(_.getString(0) == "MSFT").get
+    assert(msft.isNullAt(1) || (0 until 8).forall(msft.getStruct(1).isNullAt))
+
+    val hist = Seq(("AAPL", 1, 1.0), ("AAPL", 3, 3.0), ("AAPL", 2, 2.0))
+      .toDF("symbol", "ts", "Close")
+    val last = Ingest.latestPerKey(hist, "symbol", "ts").collect()
+    assert(last.length == 1 && last(0).getDouble(2) == 3.0)
+
+    val flat = (1 to 60).map(i => ("AAPL", f"2025-08-01T00:$i%02d:00", s"tweet $i", s"u$i",
+      java.sql.Timestamp.valueOf("2025-08-01 01:00:00")))
+      .toDF("symbol", "date", "content", "username", "timestamp")
+    val packed = Ingest.packTweets(flat, cap = 50).collect()
+    assert(packed(0).getSeq[Any](1).size == 50) // bounded enumeration
+    val exploded = Ingest.explodeTweets(Ingest.packTweets(flat, 50))
+    assert(exploded.count() == 50 &&
+      exploded.columns.toSet == Set("symbol", "ingest_ts", "content", "username", "tweet_ts"))
+  }
+
+  test("multimodal: pack → decode stub → frame sample plumbing") {
+    val docs = Seq((1L, "hello world this is binary content"),
+      (2L, "another asset payload with more bytes in it")).toDF("doc_id", "text")
+    val assets = Multimodal.packAssets(docs, "doc_id", "text")
+    assert(assets.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.decodeBatch(assets).collect()
+    assert(feats.forall(_.getSeq[Float](2).size == 8))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeBatch(assets).collect()
+    assert(feats.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+    val frames = Multimodal.frameSample(assets, chunk = 8, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+  }
+}
