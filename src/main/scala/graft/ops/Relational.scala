@@ -56,9 +56,12 @@ object Relational {
   def distinctKey(df: DataFrame, c: String): DataFrame =
     df.select(c).na.drop().distinct()
 
-  /** A6 — latest row per group as a single hash aggregate (max_by on an
-    * orderable struct), avoiding the sort a row_number() window would need.
-    * Reference: idxmax + loc, dashboard/app.py:173-174. */
+  /** A6 — latest row per group as a single aggregate (max_by on an
+    * orderable struct). Note: a struct payload is var-width, so Spark plans
+    * SortAggregate rather than HashAggregate — still one pass with partial
+    * aggregation before the shuffle (measured equal to per-column max_by,
+    * which hits the same fallback for string payloads). Reference:
+    * idxmax + loc, dashboard/app.py:173-174. */
   def latestPerGroup(df: DataFrame, keys: Seq[String], ord: Seq[Column], payload: Seq[String]): DataFrame = {
     val packed = df.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), struct(ord: _*)).as("_latest"))

@@ -77,6 +77,27 @@ class OpsSpec extends SparkSpec {
       exploded.columns.toSet == Set("symbol", "ingest_ts", "content", "username", "tweet_ts"))
   }
 
+  test("S3/S4: headered CSV round-trip with timestamp parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq(("AAPL", "2025-08-01 10:00:00", 101.5), ("MSFT", "not a ts", 99.0))
+      .toDF("symbol", "ts", "c")
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").csv(dir)
+      .withColumn("ts", to_timestamp(col("ts")))   // F4: coerce → NULL
+      .withColumn("c", col("c").cast("double"))
+    val rows = back.orderBy("symbol").collect()
+    assert(rows(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2025-08-01 10:00:00"))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 99.0)
+  }
+
+  test("S5: conditional write skips empty frames") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cond").toString
+    val nonEmpty = Seq(1).toDF("a")
+    assert(graft.pipeline.Preprocess.writeIfNonEmpty(nonEmpty, s"$base/a"))
+    assert(!graft.pipeline.Preprocess.writeIfNonEmpty(nonEmpty.filter(col("a") > 99), s"$base/b"))
+    assert(new java.io.File(s"$base/a").exists() && !new java.io.File(s"$base/b").exists())
+  }
+
   test("multimodal: pack → decode stub → frame sample plumbing") {
     val docs = Seq((1L, "hello world this is binary content"),
       (2L, "another asset payload with more bytes in it")).toDF("doc_id", "text")
