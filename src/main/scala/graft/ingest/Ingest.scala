@@ -49,5 +49,5 @@ object Ingest {
     docs.select(col("symbol"), col("timestamp").as("ingest_ts"),
         explode(col("tweets")).as("t"))
       .select(col("symbol"), col("ingest_ts"), col("t.content").as("content"),
-        col("t.username").as("username"), to_timestamp(col("t.date")).as("tweet_ts"))
+        col("t.username").as("username"), try_to_timestamp(col("t.date")).as("tweet_ts"))
 }

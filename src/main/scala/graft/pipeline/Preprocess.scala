@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Preprocess {
 
-  /** Parse a string timestamp column with coerce semantics (F4). */
+  /** Parse a string timestamp column with coerce semantics (F4):
+    * pandas `errors="coerce"` → NULL on parse failure. Under Spark 4's
+    * default ANSI mode plain to_timestamp THROWS on malformed input, so
+    * coerce semantics require try_to_timestamp. */
   def coerceTimestamp(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, to_timestamp(col(c)))
+    df.withColumn(c, try_to_timestamp(col(c)))
 
   /** Flatten the nested `data` struct into top-level columns (F16; the
     * reference relies on this implicitly — integrate/main.py:61,79 reads

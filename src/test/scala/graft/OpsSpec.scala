@@ -83,7 +83,7 @@ class OpsSpec extends SparkSpec {
       .toDF("symbol", "ts", "c")
     df.write.option("header", "true").csv(dir)
     val back = spark.read.option("header", "true").csv(dir)
-      .withColumn("ts", to_timestamp(col("ts")))   // F4: coerce → NULL
+      .withColumn("ts", try_to_timestamp(col("ts")))   // F4: coerce → NULL (ANSI-safe)
       .withColumn("c", col("c").cast("double"))
     val rows = back.orderBy("symbol").collect()
     assert(rows(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2025-08-01 10:00:00"))
