@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd cosine similarity over two ARRAY<DOUBLE> columns.
+  *
+  * This is the one place the engine drops below the DataFrame API (builder
+  * prompt preference order: compose built-ins → custom Expression): the
+  * higher-order-function formulation `aggregate(zip_with(a,b,*),0,+) / …`
+  * materializes an intermediate array and evaluates three lambda chains per
+  * row — measurable overhead in the ANN hot loop where the expression runs
+  * |corpus|×|queries| times. The custom expression is a single fused loop
+  * inside whole-stage codegen: no allocation, no virtual calls.
+  *
+  * Accumulation order (element 0..n-1, separate dot/norm accumulators) is
+  * identical to the HOF version, so results are bit-for-bit unchanged.
+  * Null arrays → null (nullSafeEval); elements are assumed non-null
+  * (embedding vectors).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are ARRAY<DOUBLE> by construction at the call sites
+  // (Similarity.asDouble); ExpectsInputTypes is private[sql] in Spark 4
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Register `graft_cosine(a, b)` in the session's function registry so it
+    * is usable from `expr(...)` and `spark.sql(...)`. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+}

@@ -25,11 +25,20 @@ object Similarity {
   /** Embedding column as ARRAY<DOUBLE> (floats widen exactly). */
   def asDouble(emb: String): Column = expr(s"transform($emb, x -> cast(x AS DOUBLE))")
 
-  /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order. */
+  /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order.
+    * Built-in HOF composition — reference implementation; `cosineNative`
+    * (graft.expressions.CosineSimilarity) computes the identical value in a
+    * single fused codegen loop and is what the search operators use. */
   def cosine(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / " +
       s"(sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x)) * " +
       s"sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))")
+
+  /** Native codegen'd cosine (same accumulation order → same doubles). */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession, a: String, b: String): Column = {
+    graft.expressions.CosineSimilarity.register(spark)
+    expr(s"graft_cosine($a, $b)")
+  }
 
   /** Brute-force exact top-k neighbours for each query vector.
     * queries is expected to be small (broadcast); corpus streams past it. */
@@ -39,7 +48,7 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(cosine("qv", "v"), 6))
+      .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
@@ -83,7 +92,7 @@ object Similarity {
       .withColumn("q_bucket", lshBucket("qv", planes))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     c.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(cosine("qv", "v"), 6))
+      .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
