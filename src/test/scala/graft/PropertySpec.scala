@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.TimeSeriesOps
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.4): dedup idempotence, ffill
+  * completeness, pivot/melt round-trip, imputation mean preservation.
+  * (Raw scalacheck generators with fixed seeds — the scalatestplus bridge
+  * isn't in the offline dependency set.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](gen: Gen[T], n: Int = 10)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator failed at seed ${42 + i}")))
+    }
+
+  private val rowsGen = Gen.listOfN(40, for {
+    k <- Gen.oneOf("A", "B", "C")
+    h <- Gen.choose(0, 12)
+    v <- Gen.option(Gen.choose(-100.0, 100.0))
+  } yield (k, h, v))
+
+  test("dedup is idempotent") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "h", "v")
+      val once = df.dropDuplicates()
+      assert(once.dropDuplicates().count() == once.count())
+      assert(Dedup.exactGroups(df.select(concat_ws(",", col("k"), col("h")).as("text"),
+          monotonically_increasing_id().as("id")), "id", "text")
+        .agg(sum("n_dups")).head().getLong(0) == df.count())
+    }
+  }
+
+  test("ffill leaves no nulls after the first observation per key") {
+    forAll(rowsGen) { rows =>
+      val df = rows.map { case (k, h, v) =>
+        (k, java.sql.Timestamp.valueOf(f"2025-08-01 $h%02d:00:00"), v)
+      }.toDF("k", "hour", "v").dropDuplicates("k", "hour")
+      val out = TimeSeriesOps.gapFillFFill(df, Seq("k"), "hour", "interval 1 hour", "v", "vf")
+      // for each key: once a non-null has appeared (ordered by hour), vf
+      // must be non-null from then on
+      val bad = out.withColumn("seen",
+          count(col("vf")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("hour")
+            .rowsBetween(Long.MinValue, 0)))
+        .filter(col("seen") > 0 && col("vf").isNull)
+      assert(bad.count() == 0)
+    }
+  }
+
+  test("pivot(last) / melt round-trip preserves cell values") {
+    forAll(rowsGen) { rows =>
+      val df = rows.collect { case (k, h, Some(v)) => (k, h, v) }
+        .toDF("k", "h", "v").dropDuplicates("k", "h")
+      val wide = df.groupBy("h").pivot("k", Seq("A", "B", "C")).agg(first("v"))
+      val long = wide.melt(Array(col("h")), Array(col("A"), col("B"), col("C")), "k", "v")
+        .filter(col("v").isNotNull)
+      val a = df.orderBy("k", "h").collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      val b = long.orderBy("k", "h").collect().map(r => (r.getString(1), r.getInt(0), r.getDouble(2)))
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("group-mean imputation preserves the group mean") {
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "h", "v")
+      val imp = TimeSeriesOps.groupMeanImpute(df, "v", col("k"), "v_imp")
+      val before = df.groupBy("k").agg(avg("v").as("m"))
+      val after = imp.groupBy("k").agg(avg("v_imp").as("m2"))
+      before.join(after, "k").collect().foreach { r =>
+        (Option(r.get(1)), Option(r.get(2))) match {
+          case (Some(m), Some(m2)) =>
+            // the deterministic mean rounds inputs at DECIMAL(18,6), so the
+            // preserved mean is exact only up to 1e-6 per contributing value
+            assert(math.abs(m.asInstanceOf[Double] - m2.asInstanceOf[Double]) < 1e-5)
+          case (None, None) => // all-null group stays all-null (pandas parity)
+          case other => fail(s"mean mismatch: $other")
+        }
+      }
+    }
+  }
+}

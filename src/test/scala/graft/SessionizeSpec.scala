@@ -1,0 +1,42 @@
+package graft
+
+import graft.streaming.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** flatMapGroupsWithState sessionization: sessions split on the inactivity
+  * gap and close as the watermark advances (SURVEY.md §5.5 streaming tests). */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2025-08-01 00:00:00").getTime + s * 1000L)
+
+  test("sessions split on gap and close via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(input.toDS(), gapMs = 30000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // session 1: events at 0s,10s; gap >30s; session 2: 60s,65s
+    input.addData(
+      Sessionize.Event("u1", t(0), 1.0), Sessionize.Event("u1", t(10), 2.0),
+      Sessionize.Event("u1", t(60), 3.0), Sessionize.Event("u1", t(65), 4.0))
+    q.processAllAvailable()
+    // advance watermark far past session 2's end + gap
+    input.addData(Sessionize.Event("u2", t(300), 9.0))
+    q.processAllAvailable()
+    input.addData(Sessionize.Event("u2", t(600), 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions").as[Sessionize.Session].collect()
+      .filter(_.key == "u1").sortBy(_.start.getTime)
+    assert(got.length == 2)
+    assert(got(0).n_events == 2 && got(0).sum_value == 3.0 &&
+      got(0).start == t(0) && got(0).end == t(10))
+    assert(got(1).n_events == 2 && got(1).sum_value == 7.0 &&
+      got(1).start == t(60) && got(1).end == t(65))
+  }
+}
