@@ -118,6 +118,47 @@ object TimeSeriesOps {
       .select(keys.map(col) :+ coalesce(col("_prev_v"), col("_last_v")).as(out): _*)
   }
 
+  /** As-of join (J5 made explicit): for every left row, the latest right row
+    * with right.ts ≤ left.ts within the same keys. Implemented as the
+    * union-and-carry composition: tag both sides, union, one window pass
+    * carrying the last right value forward, keep left rows. ONE shuffle on
+    * (keys) and one per-key sort — same cost shape as a sort-merge join, no
+    * custom physical operator needed (preference (a) of the builder's
+    * custom-op ladder). `payload` names right-side columns to carry.
+    * Right rows at exactly left.ts sort BEFORE left rows (tag order), so a
+    * same-timestamp right row IS visible to the left row (ASOF <= match). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+               payload: Seq[String]): DataFrame = {
+    val lTag = left.withColumn("_src", lit(1))
+    val rTag = right.withColumn("_src", lit(0))
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_src") === 1).drop("_src")
+      .select(left.columns.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Batch session windows (gaps-and-islands): rows within `gap` of the
+    * previous row share a session; emits per-session aggregates. The
+    * streaming analog is streaming.Sessionize (flatMapGroupsWithState). */
+  def sessionAgg(df: DataFrame, keys: Seq[String], ts: String, value: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val flagged = df.withColumn("_new",
+      when(col(ts).cast("long") - lag(col(ts), 1).over(w).cast("long") > gapSeconds, 1)
+        .otherwise(lit(0)))
+    val withId = flagged.withColumn("_sid",
+      sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withId.groupBy((keys.map(col) :+ col("_sid").as("session_id")): _*)
+      .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast(Relational.ExactDec)).cast("double").as("sum_value"))
+  }
+
   /** A9 — fixed-bin histogram with probability-density normalization
     * (reference: px.histogram nbins=60 histnorm="probability density",
     * dashboard/app.py:333-336). min/max are a 1-row agg broadcast via cross

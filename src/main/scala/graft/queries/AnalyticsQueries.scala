@@ -36,6 +36,24 @@ object AnalyticsQueries {
       Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 60)),
 
+    // ── J5 explicit: as-of join — each purchase sees the latest prior view
+    "q44_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val r = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_value"),
+          col("ts").as("view_ts"))
+      graft.ops.TimeSeriesOps.asofJoin(l, r, Seq("user_id"), "ts",
+        Seq("view_value", "view_ts"))
+    }),
+
+    // ── batch session windows (gaps-and-islands; streaming analog:
+    //    streaming.Sessionize)
+    "q45_session_window" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.sessionAgg(
+        Tables.events(s, d), Seq("user_id"), "ts", "value", 1800L)),
+
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -67,5 +85,32 @@ object AnalyticsQueries {
         |   row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
         | FROM events) WHERE rn = 1""".stripMargin,
     "q41_count_guard" ->
-      "SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= 60")
+      "SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= 60",
+    "q44_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, value AS view_value, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, ts, event_id, value, CAST(NULL AS DOUBLE) AS view_value,
+        |    CAST(NULL AS TIMESTAMP) AS view_ts, 1 AS src FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, NULL, view_value, view_ts, 0 FROM r),
+        |c AS (SELECT user_id, ts, event_id, value,
+        |  last_value(view_value IGNORE NULLS) OVER w AS view_value,
+        |  last_value(view_ts IGNORE NULLS) OVER w AS view_ts, src
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts, event_id, value, view_value, view_ts FROM c WHERE src = 1""".stripMargin,
+    "q45_session_window" ->
+      """WITH f AS (SELECT user_id, ts, value,
+        |  CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+        |    THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |wi AS (SELECT user_id, ts, value,
+        |  CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM wi GROUP BY 1, 2""".stripMargin)
 }
