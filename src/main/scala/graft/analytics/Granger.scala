@@ -91,11 +91,20 @@ object Granger {
   }
 
   /** All predictors (reference sweeps every numeric column,
-    * analysis_part/main.py:159-161). */
+    * analysis_part/main.py:159-161). The projected base is persisted so the
+    * per-predictor passes (each needs its own pairwise-dropna sequence, so
+    * they can't share one window) re-read cached columns instead of
+    * re-scanning the source — at 100 TB the scan would otherwise dominate
+    * ×|predictors|. */
   def sweep(df: DataFrame, symbol: String, ts: String, target: String,
-            predictors: Seq[String], maxLag: Int = 5): DataFrame =
-    predictors.map(p => test(df, symbol, ts, target, p, maxLag))
+            predictors: Seq[String], maxLag: Int = 5): DataFrame = {
+    val base = df.select((Seq(symbol, ts, target) ++ predictors).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // safe to unpersist here: test() materializes its Gram sums eagerly
+    try predictors.map(p => test(base, symbol, ts, target, p, maxLag))
       .reduce(_.unionByName(_))
+    finally base.unpersist(blocking = false)
+  }
 
   /** rss of y ~ X from Gram moments: y'y − β'X'y with β from the normal
     * equations (Gaussian elimination with partial pivoting; k ≤ 11). */

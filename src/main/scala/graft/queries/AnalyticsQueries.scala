@@ -54,6 +54,15 @@ object AnalyticsQueries {
       graft.ops.TimeSeriesOps.sessionAgg(
         Tables.events(s, d), Seq("user_id"), "ts", "value", 1800L)),
 
+    // ── SQL surface: the same engine through spark.sql over temp views
+    //    (TPC-H Q3 shape; exact decimal revenue, fully tie-broken order)
+    "q46_sql_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(TpchQ3Sql)
+    }),
+
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -73,7 +82,23 @@ object AnalyticsQueries {
         nLags = 6, horizon = 12, maxIter = 10).forecast
     }))
 
+  /** Runs verbatim in both Spark SQL and DuckDB. */
+  private val TpchQ3Sql =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q46_sql_tpch_q3" -> TpchQ3Sql,
     "q38_droplist_projection" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_returnflag, l_linestatus, l_shipdate FROM lineitem""".stripMargin,
