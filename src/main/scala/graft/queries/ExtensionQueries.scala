@@ -91,6 +91,18 @@ object ExtensionQueries {
         .agg((sum(col("xr").cast(graft.ops.Relational.ExactDec)).cast("double") /
           count(lit(1))).as("centroid"), count(lit(1)).as("n"))),
 
+    // ── embedding-cosine near-dup pairs (LSH candidates, exact filter)
+    "q47_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.25, NPlanes, Dim)),
+
+    // ── IVF-style ANN: centroid routing + in-cell exact rerank
+    "q48_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvf(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "label", 3)
+    }),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     "q37_binary_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -136,9 +148,10 @@ object ExtensionQueries {
   private val qBucketExpr = planes.zipWithIndex.map { case (p, j) =>
     s"(CASE WHEN ${Similarity.planeDotSql("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
-  private val cosSql =
-    "round(list_sum(list_transform(generate_series(1,64), i -> qv[i]*v[i])) / " +
-      "(sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))), 6)"
+  private def cosSqlAB(a: String, b: String) =
+    s"round(list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+  private val cosSql = cosSqlAB("qv", "v")
 
   val oracle: Map[String, String] = Map(
     "q24_dedup_exact" ->
@@ -226,6 +239,27 @@ object ExtensionQueries {
          |s AS (SELECT q_id, vec_id, $cosSql AS sim
          |      FROM c JOIN q ON bucket = q_bucket AND vec_id != q_id)
          |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
+    "q47_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS vid, v, $bucketExpr AS bucket FROM e)
+         |SELECT a.vid AS id_a, b.vid AS id_b, ${cosSqlAB("a.v", "b.v")} AS sim
+         |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vid < b.vid
+         |WHERE ${cosSqlAB("a.v", "b.v")} >= 0.25""".stripMargin,
+    "q48_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn = 1),
+         |s AS (SELECT q_id, r.cid, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id)
+         |SELECT q_id, cid, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
     "q36_centroids" ->

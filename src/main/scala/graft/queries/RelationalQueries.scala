@@ -85,11 +85,12 @@ object RelationalQueries {
           Seq(col("ts"), col("event_id")), "value_next")
         .select("user_id", "event_id", "value", "value_next")),
 
-    // ── W3: lag-feature fan-out (single window exec, 6 frames)
+    // ── W3: lag-feature fan-out 1..24 (reference analysis_part/main.py:83-85;
+    //    single window exec, 24 frames)
     "q09_lag_features" -> ((s, d) =>
-      T.lagFeatures(Tables.events(s, d), "value", 6, Seq("user_id"),
+      T.lagFeatures(Tables.events(s, d), "value", 24, Seq("user_id"),
           Seq(col("ts"), col("event_id")))
-        .select((Seq("user_id", "event_id", "value") ++ (1 to 6).map(i => s"value_lag$i")).map(col): _*)),
+        .select((Seq("user_id", "event_id", "value") ++ (1 to 24).map(i => s"value_lag$i")).map(col): _*)),
 
     // ── A3+W4+F9: hourly resample + forward fill over generated grid
     "q10_resample_ffill" -> ((s, d) => {
@@ -202,7 +203,7 @@ object RelationalQueries {
   private val CorrScales = Map("l_quantity" -> 1e4, "l_extendedprice" -> 4.0,
     "l_discount" -> 1e6, "l_tax" -> 1e6)
 
-  private val lagSelect = (1 to 6).map(i =>
+  private val lagSelect = (1 to 24).map(i =>
     s"lag(value, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag$i").mkString(", ")
 
   val oracle: Map[String, String] = Map(

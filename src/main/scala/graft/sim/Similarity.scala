@@ -81,6 +81,62 @@ object Similarity {
       when(expr(s"${planeDot(v, p)} >= 0D"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: LSH bucket candidates (no O(n²)
+    * cross product), exact cosine filter ≥ threshold. The all-pairs work
+    * happens only inside buckets — at corpus scale the bucket join is the
+    * only shuffle, same shape as MinHash band dedup. */
+  def cosineNearDupPairs(corpus: DataFrame, id: String, emb: String,
+                         minSim: Double, nPlanes: Int, dim: Int): DataFrame = {
+    graft.expressions.CosineSimilarity.register(corpus.sparkSession)
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col(id).as("vid"), asDouble(emb).as("v"))
+      .withColumn("bucket", lshBucket("v", planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(expr("graft_cosine(a.v, b.v)"), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** IVF-style ANN: coarse quantizer (cluster centroids) routes each query
+    * to its nearest cell; exact rerank runs only over that cell's posting
+    * list. Here the cells are the corpus's `label` partitions and centroids
+    * are exact quantized means — a production build would learn cells with
+    * seeded KMeans (same query path, learned quantizer). Probing 1 cell ≈
+    * |corpus|/|cells| candidates per query. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+             cell: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    // exact, engine-portable centroids (quantized like q36_centroids)
+    val centroids = corpus
+      .select(col(cell).as("cid"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    // route each query to its nearest centroid (deterministic: rounded sim,
+    // cid tiebreak), then exact-rank within that cell only
+    val routed = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("q_id", "qv", "cid")
+    val c = corpus.select(col(id).as("vec_id"), col(cell).as("cid"), asDouble(emb).as("v"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(routed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "cid", "vec_id", "sim", "rank")
+  }
+
   /** ANN via LSH buckets: exact cosine ranking, but only within the query's
     * bucket (candidates shrink ~2^planes-fold; recall < 1 by design). */
   def annLsh(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
