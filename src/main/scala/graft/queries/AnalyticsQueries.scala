@@ -63,6 +63,23 @@ object AnalyticsQueries {
       s.sql(TpchQ3Sql)
     }),
 
+    // ── hierarchical totals: ROLLUP (beyond the reference's surface)
+    "q49_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
+
+    // ── time-RANGE window: 2-hour rolling mean per user (exact decimal)
+    "q50_rolling_mean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-7200L, 0L)
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        (sum(col("value").cast(R.ExactDec)).over(w).cast("double") /
+          count(col("value")).over(w)).as("rolling_mean_2h"))
+    }),
+
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -111,6 +128,16 @@ object AnalyticsQueries {
         | FROM events) WHERE rn = 1""".stripMargin,
     "q41_count_guard" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= 60",
+    "q49_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q50_rolling_mean" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w
+        |   AS rolling_mean_2h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+        |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q44_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, ts, value AS view_value, ts AS view_ts FROM events WHERE event_type = 'view'),
