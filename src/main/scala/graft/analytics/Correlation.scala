@@ -62,13 +62,35 @@ object Correlation {
       val (n, sx, sy, sxy, sxx, syy) =
         (col(s"n_${x}_$y").cast("double"), col(s"sx_${x}_$y"), col(s"sy_${x}_$y"),
           col(s"sxy_${x}_$y"), col(s"sxx_${x}_$y"), col(s"syy_${x}_$y"))
-      val corr = (n * sxy - sx * sy) /
-        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      // zero-variance column (or no overlapping obs) → NaN, matching
+      // pandas df.corr(); also keeps ANSI mode from throwing DIVIDE_BY_ZERO
+      val denom = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val corr = when(denom > 0, (n * sxy - sx * sy) / denom)
+        .otherwise(lit(Double.NaN))
       val fwd = struct(lit(x).as("col_x"), lit(y).as("col_y"), corr.as("corr"))
       if (x == y) Seq(fwd)
       else Seq(fwd, struct(lit(y).as("col_x"), lit(x).as("col_y"), corr.as("corr")))
     }
     g.select(explode(array(rows: _*)).as("r")).select(col("r.col_x"), col("r.col_y"), col("r.corr"))
+  }
+
+  /** Choose safe integer-izing multipliers from the data: one column-stats
+    * pass (max|x|), then m = 10^floor(log10(zMax / max|x|)) so quantized
+    * values stay ≤ zMax (default 5e5 → pairwise products ≤ 2.5e11, safe for
+    * ~3e7 rows per group; pass a smaller zMax for larger groups). Under ANSI
+    * mode an undersized multiplier fails loudly (long overflow) instead of
+    * silently wrapping — prefer that to a wrong correlation. */
+  def autoQuant(df: DataFrame, cols: Seq[String], zMax: Double = 5e5): Map[String, Double] = {
+    val maxes = df.agg(
+      max(abs(col(cols.head).cast("double"))).as(cols.head),
+      cols.tail.map(c => max(abs(col(c).cast("double"))).as(c)): _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val m = Option(maxes.get(i)).map(_.asInstanceOf[Double])
+        .filter(v => v > 0 && !v.isNaN && !v.isInfinite)
+        .map(v => math.pow(10, math.floor(math.log10(zMax / v))))
+        .getOrElse(1.0)
+      c -> m
+    }.toMap
   }
 
   /** DuckDB oracle SQL computing the identical exact-decimal formula, for the
@@ -91,10 +113,13 @@ object Correlation {
         s(s"$y*$y", s"syy_${x}_$y"))
     }.mkString(", ")
     val arms = pairs.flatMap { case (x, y) =>
-      def corr =
-        s"(CAST(n_${x}_$y AS DOUBLE)*sxy_${x}_$y - sx_${x}_$y*sy_${x}_$y) / " +
-          s"sqrt((CAST(n_${x}_$y AS DOUBLE)*sxx_${x}_$y - sx_${x}_$y*sx_${x}_$y)" +
+      def denom =
+        s"sqrt((CAST(n_${x}_$y AS DOUBLE)*sxx_${x}_$y - sx_${x}_$y*sx_${x}_$y)" +
           s"*(CAST(n_${x}_$y AS DOUBLE)*syy_${x}_$y - sy_${x}_$y*sy_${x}_$y))"
+      def corr =
+        s"CASE WHEN $denom > 0 THEN " +
+          s"(CAST(n_${x}_$y AS DOUBLE)*sxy_${x}_$y - sx_${x}_$y*sy_${x}_$y) / $denom " +
+          s"ELSE CAST('nan' AS DOUBLE) END"
       val fwd = s"SELECT '$x' AS col_x, '$y' AS col_y, $corr AS corr FROM g"
       if (x == y) Seq(fwd)
       else Seq(fwd, s"SELECT '$y' AS col_x, '$x' AS col_y, $corr AS corr FROM g")

@@ -82,8 +82,11 @@ object Granger {
           val p =
             if (f.isNaN || f < 0) Double.NaN
             else 1.0 - new FDistribution(l.toDouble, (n - kU).toDouble).cumulativeProbability(f)
-          Seq((sym, predictor, l,
-            BigDecimal(p).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble, f, n))
+          // round(5) per the reference; NaN p (degenerate/constant predictor
+          // → singular OLS) passes through un-rounded
+          val p5 = if (p.isNaN) p
+            else BigDecimal(p).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Seq((sym, predictor, l, p5, f, n))
         }
       }
     }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.analytics.{Correlation, Forecast, Granger}
+import graft.ops.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stage 3 — the analytics entry point (reference: run_analysis,
+  * analysis_part/main.py:129-173): per symbol, a correlation matrix, a
+  * Granger sweep over every numeric predictor, and a lag-feature forecast
+  * with model artifact. Failures are captured per (symbol, stage) and
+  * reported, not thrown — the reference's log-and-continue contract
+  * (analysis_part/main.py:70-77,171-173).
+  *
+  * Distribution shape: correlation and Granger are fully distributed
+  * aggregations over the whole panel (one pass each — the reference's
+  * per-company Python loop exists only for the GBT fits, whose training data
+  * per symbol is small by construction; those run as sequential Spark ML
+  * fits on filtered frames).
+  */
+object Analysis {
+
+  final case class Report(correlation: DataFrame, causality: DataFrame,
+                          forecasts: DataFrame, errors: Seq[(String, String, String)])
+
+  /** Numeric predictor columns for the Granger sweep (reference drops ids,
+    * targets, and yahoo OHLC duplicates, analysis_part/main.py:52,87). */
+  def predictorCols(integrated: DataFrame, target: String): Seq[String] =
+    Relational.numericCols(integrated)
+      .filterNot(Seq(target, "t", "ret_1h", "ret_1h_next").contains)
+
+  def run(integrated: DataFrame, target: String = "c",
+          maxLag: Int = 5, nLags: Int = 24, horizon: Int = 168,
+          maxIter: Int = 300, outDir: Option[String] = None): Report = {
+    val spark = integrated.sparkSession
+    import spark.implicits._
+    Relational.requireColumns(integrated, Seq("symbol", "hour", target)) // P11
+    val errors = Seq.newBuilder[(String, String, String)]
+
+    // A8/C6 — per-symbol correlation matrices in one long-form frame
+    val numeric = (target +: predictorCols(integrated, target)).distinct
+    val symbols = Relational.distinctKey(integrated, "symbol")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val quant = Correlation.autoQuant(integrated, numeric)
+    val correlation = symbols.map { sym =>
+      Correlation.matrix(integrated.filter(col("symbol") === sym), numeric, quant)
+        .withColumn("symbol", lit(sym))
+    }.reduce(_.unionByName(_))
+
+    // C1 — Granger sweep (distributed Gram moments, all symbols at once)
+    val causality =
+      try Granger.sweep(integrated, "symbol", "hour", target,
+        predictorCols(integrated, target), maxLag)
+      catch {
+        case e: Exception =>
+          errors += (("*", "granger", e.getMessage))
+          Seq.empty[(String, String, Int, Double, Double, Long)]
+            .toDF("symbol", "predictor", "lag", "p_value", "f_stat", "n_obs")
+      }
+
+    // C2-C4 — per-symbol GBT forecasts (small per-symbol frames)
+    val forecasts = symbols.flatMap { sym =>
+      try {
+        val series = integrated.filter(col("symbol") === sym)
+          .select(col("hour"), col(target))
+        val r = Forecast.forecastSymbol(series, "hour", target, nLags, horizon, maxIter)
+        outDir.foreach(dir => Forecast.save(r.model, s"$dir/models/$sym"))
+        Some(r.forecast.withColumn("symbol", lit(sym)))
+      } catch {
+        case e: Exception =>
+          errors += ((sym, "forecast", e.getMessage)) // log-and-continue
+          None
+      }
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(Int, Double, Double, String)]
+        .toDF("step", s"forecast_$target", "rmse", "symbol"))
+
+    outDir.foreach { dir =>
+      correlation.write.mode("overwrite").parquet(s"$dir/correlation")
+      causality.write.mode("overwrite").parquet(s"$dir/causality")
+      forecasts.write.mode("overwrite").parquet(s"$dir/forecasts")
+    }
+    Report(correlation, causality, forecasts, errors.result())
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.pipeline.{Analysis, Integrate, Preprocess}
+import org.apache.spark.sql.functions._
+
+/** §3.2 entry point over the seed-42 fixtures: correlation + causality +
+  * forecast artifacts, with log-and-continue error capture. */
+class AnalysisSpec extends SparkSpec {
+  private val cutoff = java.sql.Timestamp.valueOf("2025-08-01 12:00:00")
+
+  private lazy val integrated = Integrate.integrate(
+    Preprocess.clean(Fixtures.quotes(spark)), Fixtures.yahoo(spark),
+    Fixtures.fred(spark), Fixtures.trends(spark), cutoff).cache()
+
+  test("run produces per-symbol correlation, causality, and forecasts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_analysis").toString
+    val report = Analysis.run(integrated, maxLag = 2, nLags = 6, horizon = 8,
+      maxIter = 5, outDir = Some(dir))
+
+    // correlation: square matrix per symbol, diagonal exactly 1
+    val nNumeric = (Seq("c") ++ Analysis.predictorCols(integrated, "c")).distinct.size
+    assert(report.correlation.filter(col("symbol") === "AAPL").count() == nNumeric.toLong * nNumeric)
+    // diagonal is 1.0, except zero-variance columns (constant d/dp/Dividends/
+    // Stock Splits in the fixtures) where pandas df.corr() also yields NaN
+    assert(report.correlation.filter(col("col_x") === col("col_y") &&
+      !(col("corr") === 1.0 || isnan(col("corr")))).count() == 0)
+    assert(report.correlation.filter(col("col_x") === col("col_y") && col("corr") === 1.0)
+      .count() > 0)
+
+    // causality: 4 symbols × predictors × 2 lags, p in [0,1] (or NaN for
+    // degenerate predictors)
+    val nPred = Analysis.predictorCols(integrated, "c").size
+    assert(report.causality.count() == 4L * nPred * 2)
+    // finite p in [0,1]; degenerate (constant) predictors yield NaN, which
+    // Spark orders above all values — exclude explicitly
+    assert(report.causality.filter(!isnan(col("p_value")) &&
+      (col("p_value") < 0 || col("p_value") > 1)).count() == 0)
+    assert(report.causality.filter(!isnan(col("p_value"))).count() > 0)
+
+    // forecasts: horizon rows per symbol, artifacts + parquet sinks written
+    assert(report.forecasts.groupBy("symbol").count()
+      .filter(col("count") =!= 8).count() == 0)
+    assert(new java.io.File(s"$dir/models/AAPL").exists())
+    assert(spark.read.parquet(s"$dir/correlation").count() == report.correlation.count())
+    assert(report.errors.isEmpty, report.errors.mkString("; "))
+  }
+
+  test("log-and-continue: a degenerate symbol doesn't sink the run") {
+    import spark.implicits._
+    // one symbol with too few rows for 6 lags → its forecast fails; others survive
+    val tiny = integrated.filter(col("symbol") =!= "AAPL")
+      .unionByName(integrated.filter(col("symbol") === "AAPL").limit(3))
+    val report = Analysis.run(tiny, maxLag = 2, nLags = 6, horizon = 4, maxIter = 3)
+    assert(report.errors.exists { case (sym, stage, _) => sym == "AAPL" && stage == "forecast" })
+    assert(report.forecasts.select("symbol").distinct().count() == 3)
+  }
+}
