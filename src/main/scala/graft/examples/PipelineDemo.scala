@@ -46,6 +46,14 @@ object PipelineDemo {
     println(f"[demo] AAPL forecast rmse=${fc.rmse}%.4f, first steps:")
     fc.forecast.orderBy("step").show(5, truncate = false)
 
+    // §3.2 entry point: the whole analytics stage with artifact sinks
+    val outDir = java.nio.file.Files.createTempDirectory("graft_demo_analysis").toString
+    val report = graft.pipeline.Analysis.run(integrated, maxLag = 2, nLags = 12,
+      horizon = 24, maxIter = 30, outDir = Some(outDir))
+    println(s"[demo] analysis: corr=${report.correlation.count()} rows, " +
+      s"causality=${report.causality.count()} rows, " +
+      s"forecasts=${report.forecasts.count()} rows, errors=${report.errors.size} → $outDir")
+
     spark.stop()
   }
 }

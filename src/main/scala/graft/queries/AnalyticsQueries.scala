@@ -80,6 +80,15 @@ object AnalyticsQueries {
           count(col("value")).over(w)).as("rolling_mean_2h"))
     }),
 
+    // ── exact quantiles (linear interpolation; the 100 TB path would use
+    //    approx_percentile — exact needs a per-group sort)
+    "q51_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))),
+
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -131,6 +140,13 @@ object AnalyticsQueries {
     "q49_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | quantile_cont(l_extendedprice, 0.9) AS price_p90
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q50_rolling_mean" ->
       """SELECT user_id, event_id,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / count(value) OVER w
