@@ -41,6 +41,17 @@ class ScaleSpec extends SparkSpec {
     assert(top.head.getString(0) == "HOT" && top.head.getDouble(2) > 0.85)
   }
 
+  test("partitionBy sink enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    skewed.write.partitionBy("k").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("k") === "HOT")
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // the symbol predicate lands in PartitionFilters, not a post-scan Filter
+    assert(scan.contains("PartitionFilters: [isnotnull(k"), scan)
+    assert(pruned.count() == 9000)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a temp dir set at session build (static conf)
     spark.sql("DROP TABLE IF EXISTS b_orders")
