@@ -74,6 +74,43 @@ object Correlation {
     g.select(explode(array(rows: _*)).as("r")).select(col("r.col_x"), col("r.col_y"), col("r.corr"))
   }
 
+  /** Per-group correlation matrices in ONE pass: identical Gram aggregation
+    * keyed by `groupCol` — the whole panel is scanned once for ALL groups
+    * (vs. a per-group loop re-running the input plan |groups| times).
+    * Output: (groupCol, col_x, col_y, corr). */
+  def matrixByGroup(df: DataFrame, groupCol: String, cols: Seq[String],
+                    quant: Map[String, Double] = Map.empty): DataFrame = {
+    val prep = df.select(col(groupCol) +: cols.map { x =>
+      floor(col(x) * lit(quant.getOrElse(x, 1e4)) + lit(0.5)).cast("long").as(x)
+    }: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if j >= i) yield (cols(i), cols(j))
+    val aggs: Seq[Column] = pairs.flatMap { case (x, y) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(c: Column, name: String) =
+        sum(when(both, c).otherwise(lit(null))).cast("double").as(name)
+      Seq(
+        count(when(both, lit(1))).as(s"n_${x}_$y"),
+        s(col(x), s"sx_${x}_$y"), s(col(y), s"sy_${x}_$y"),
+        s(col(x) * col(y), s"sxy_${x}_$y"),
+        s(col(x) * col(x), s"sxx_${x}_$y"),
+        s(col(y) * col(y), s"syy_${x}_$y"))
+    }
+    val g = prep.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] = pairs.flatMap { case (x, y) =>
+      val (n, sx, sy, sxy, sxx, syy) =
+        (col(s"n_${x}_$y").cast("double"), col(s"sx_${x}_$y"), col(s"sy_${x}_$y"),
+          col(s"sxy_${x}_$y"), col(s"sxx_${x}_$y"), col(s"syy_${x}_$y"))
+      val denom = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val corr = when(denom > 0, (n * sxy - sx * sy) / denom)
+        .otherwise(lit(Double.NaN))
+      val fwd = struct(lit(x).as("col_x"), lit(y).as("col_y"), corr.as("corr"))
+      if (x == y) Seq(fwd)
+      else Seq(fwd, struct(lit(y).as("col_x"), lit(x).as("col_y"), corr.as("corr")))
+    }
+    g.select(col(groupCol), explode(array(rows: _*)).as("r"))
+      .select(col(groupCol), col("r.col_x"), col("r.col_y"), col("r.corr"))
+  }
+
   /** Choose safe integer-izing multipliers from the data: one column-stats
     * pass (max|x|), then m = 10^floor(log10(zMax / max|x|)) so quantized
     * values stay ≤ zMax (default 5e5 → pairwise products ≤ 2.5e11, safe for

@@ -56,6 +56,7 @@ object Forecast {
     val rmse = model.transform(test)
       .select(sqrt(avg(pow(col(target) - col("prediction"), 2))).as("rmse"))
       .head().getDouble(0)
+    train.unpersist(blocking = false) // release the per-symbol training cache
 
     // C3 — recursive multi-step forecast: driver loop on the local model
     val lastRows = designed.orderBy(col(ts).desc).limit(1)

@@ -22,12 +22,17 @@ object Ingest {
       col("timestamp"))
 
   /** Latest-row-per-key pick at the source (S9/S10/S11: history.iloc[-1],
-    * series.iloc[-1]): ORDER BY ts DESC LIMIT 1 per key as one aggregate. */
+    * series.iloc[-1]): ORDER BY ts DESC LIMIT 1 per key as one aggregate.
+    * The ordering key is (ts, payload...) so ts ties resolve to a
+    * deterministic row (the repo's determinism contract for order-dependent
+    * picks) — re-delivered snapshots with identical timestamps can't flip
+    * results between runs or partitionings. */
   def latestPerKey(df: DataFrame, key: String, ts: String): DataFrame = {
     val payload = df.columns.filterNot(c => c == key || c == ts)
+    val ordered = ts +: payload.toSeq
     df.groupBy(col(key))
-      .agg(max_by(struct((ts +: payload.toSeq).map(col): _*), col(ts)).as("_r"))
-      .select(col(key) +: (ts +: payload.toSeq).map(c => col(s"_r.$c").as(c)): _*)
+      .agg(max_by(struct(ordered.map(col): _*), struct(ordered.map(col): _*)).as("_r"))
+      .select(col(key) +: ordered.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   /** Tweet packing (S12): bounded per-key enumeration (≤ `cap`) then array

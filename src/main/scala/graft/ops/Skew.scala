@@ -36,6 +36,11 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
+    // replication is only sound when unmatched RIGHT rows don't surface:
+    // under right/full outer joins every unmatched right row would appear
+    // `salt` times (once per replica)
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val l = left.withColumn("_salt",
       pmod(pmod(spark_partition_id() + monotonically_increasing_id(), lit(1000003)), lit(salt)))
     val r = right.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))

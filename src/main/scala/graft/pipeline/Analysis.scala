@@ -36,16 +36,26 @@ object Analysis {
     import spark.implicits._
     Relational.requireColumns(integrated, Seq("symbol", "hour", target)) // P11
     val errors = Seq.newBuilder[(String, String, String)]
+    // every stage reads the panel: persist once, release at the end
+    val panel = integrated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runStages(panel, target, maxLag, nLags, horizon, maxIter, outDir, errors)
+    finally panel.unpersist(blocking = false)
+  }
 
-    // A8/C6 — per-symbol correlation matrices in one long-form frame
+  private def runStages(integrated: DataFrame, target: String, maxLag: Int,
+                        nLags: Int, horizon: Int, maxIter: Int,
+                        outDir: Option[String],
+                        errors: scala.collection.mutable.Builder[(String, String, String), Seq[(String, String, String)]]): Report = {
+    val spark = integrated.sparkSession
+    import spark.implicits._
+
+    // A8/C6 — per-symbol correlation matrices: ONE grouped Gram pass for
+    // all symbols (no per-symbol re-execution of the input plan)
     val numeric = (target +: predictorCols(integrated, target)).distinct
     val symbols = Relational.distinctKey(integrated, "symbol")
       .collect().map(_.getString(0)).sorted.toSeq
     val quant = Correlation.autoQuant(integrated, numeric)
-    val correlation = symbols.map { sym =>
-      Correlation.matrix(integrated.filter(col("symbol") === sym), numeric, quant)
-        .withColumn("symbol", lit(sym))
-    }.reduce(_.unionByName(_))
+    val correlation = Correlation.matrixByGroup(integrated, "symbol", numeric, quant)
 
     // C1 — Granger sweep (distributed Gram moments, all symbols at once)
     val causality =

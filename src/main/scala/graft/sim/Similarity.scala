@@ -89,9 +89,11 @@ object Similarity {
                          minSim: Double, nPlanes: Int, dim: Int): DataFrame = {
     graft.expressions.CosineSimilarity.register(corpus.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
+    // not persisted here: the self-join recomputes the cheap bucket
+    // projection once per side, and a method-local persist could never be
+    // released by the caller; persist `corpus` externally for repeated use
     val c = corpus.select(col(id).as("vid"), asDouble(emb).as("v"))
       .withColumn("bucket", lshBucket("v", planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),

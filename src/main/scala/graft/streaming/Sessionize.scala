@@ -42,11 +42,19 @@ object Sessionize {
         batch.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
-            case Some(s) => // gap exceeded within the batch → close, start new
+            // within the session's gap-extended interval (a late event
+            // within the watermark may precede the current start — it
+            // extends the session BACKWARD, not just forward)
+            case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                s.n + 1, s.sum + e.value))
+            case Some(s) if t > s.end + gapMs => // gap exceeded → close, start new
               closed += emit(s)
               cur = Some(SessionState(t, t, 1, e.value))
+            case Some(_) => // late event older than start-gap: its own
+              // already-closed session (its end+gap has passed)
+              closed += Session(key, new java.sql.Timestamp(t),
+                new java.sql.Timestamp(t), 1, e.value)
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }

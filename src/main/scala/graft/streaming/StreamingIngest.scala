@@ -48,13 +48,20 @@ object StreamingIngest {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow())
 
-  /** Overwrite-per-batch sink (the reference overwrites cleaned blobs each
-    * run, preprocess_function/main.py:51-52): foreachBatch + dynamic
-    * overwrite keeps that contract under streaming. */
+  /** Idempotent per-batch restatement sink: each micro-batch overwrites only
+    * its own `batch=<id>` partition, so a retried batch restates itself
+    * (exactly-once-ish) and earlier batches are preserved — readers see the
+    * union. NOTE this is NOT the reference's full-snapshot overwrite
+    * (preprocess_function/main.py:51-52 rewrites the complete cleaned
+    * dataset every run): a foreachBatch sink only ever holds the increment,
+    * so whole-dataset overwrite belongs to the batch recompute path
+    * (`Preprocess.writeIfNonEmpty`), not the stream — a naive
+    * `mode("overwrite").parquet(path)` here would silently drop every
+    * batch but the last. */
   def overwriteEachBatch(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())

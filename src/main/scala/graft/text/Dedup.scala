@@ -31,7 +31,7 @@ object Dedup {
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signatures over word 3-gram shingles + LSH band keys.
-    * Output: id, mh0..mh15, band0..band3. */
+    * Output: id, mh0..mh15, band0..band{NumBands-1}. */
   def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id), TextOps.tokens(col(text)).as("w"))
       .withColumn("sh", TextOps.wordShingles("w", 3))
