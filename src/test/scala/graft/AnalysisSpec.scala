@@ -45,6 +45,19 @@ class AnalysisSpec extends SparkSpec {
     assert(report.errors.isEmpty, report.errors.mkString("; "))
   }
 
+  test("an empty panel yields an empty report, not a crash") {
+    val empty = integrated.filter(col("symbol") === "NOPE")
+    val report = Analysis.run(empty, maxLag = 2, nLags = 4, horizon = 2, maxIter = 2)
+    assert(report.correlation.count() == 0)
+    assert(report.causality.count() == 0)
+    assert(report.forecasts.count() == 0)
+  }
+
+  test("serve: previous-day macro lookup returns one row with a value") {
+    val pm = graft.pipeline.Serve.prevDayMacro(integrated, "UNRATE").collect()
+    assert(pm.length == 1 && !pm(0).isNullAt(pm(0).fieldIndex("prev_UNRATE")))
+  }
+
   test("log-and-continue: a degenerate symbol doesn't sink the run") {
     import spark.implicits._
     // one symbol with too few rows for 6 lags → its forecast fails; others survive

@@ -39,4 +39,30 @@ class SessionizeSpec extends SparkSpec {
     assert(got(1).n_events == 2 && got(1).sum_value == 7.0 &&
       got(1).start == t(60) && got(1).end == t(65))
   }
+
+  test("a late event within the gap extends the session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(input.toDS(), gapMs = 30000L)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(Sessionize.Event("u1", t(30), 1.0))
+    q.processAllAvailable()
+    // late event 5s BEFORE the session start (inside the 10s watermark, so
+    // it reaches the operator) → merges and moves the session start back
+    input.addData(Sessionize.Event("u1", t(25), 2.0))
+    q.processAllAvailable()
+    input.addData(Sessionize.Event("u2", t(500), 9.0)) // advance watermark
+    q.processAllAvailable()
+    input.addData(Sessionize.Event("u2", t(900), 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_late").as[Sessionize.Session].collect()
+      .filter(_.key == "u1")
+    assert(got.length == 1)
+    assert(got(0).start == t(25) && got(0).end == t(30) &&
+      got(0).n_events == 2 && got(0).sum_value == 3.0)
+  }
 }
