@@ -158,6 +158,9 @@ object RelationalQueries {
         lower(col("event_type")).contains("c").as("has_c"),
         split(col("event_type"), "[aeiou]").getItem(0).as("first_tok"),
         upper(col("event_type")).rlike("^[A-Z]{1,5}$").as("is_short_code"),
+        // F18 — value relabel via literal map with identity fallback
+        coalesce(element_at(typedLit(Map("click" -> "Click", "view" -> "View")),
+          col("event_type")), col("event_type")).as("relabeled"),
         col("value").cast("double").as("v_f"))),
 
     // ── J4: fuzzy containment theta-join (broadcast nested loop on a
@@ -309,6 +312,8 @@ object RelationalQueries {
         | contains(lower(event_type), 'c') AS has_c,
         | regexp_split_to_array(event_type, '[aeiou]')[1] AS first_tok,
         | regexp_full_match(upper(event_type), '[A-Z]{1,5}') AS is_short_code,
+        | coalesce((MAP {'click': 'Click', 'view': 'View'}[event_type])[1],
+        |     event_type) AS relabeled,
         | CAST(value AS DOUBLE) AS v_f
         |FROM events""".stripMargin,
     "q19_fuzzy_join" ->
