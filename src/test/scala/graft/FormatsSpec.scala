@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format parity: the engine standardizes on parquet but reads
+  * and writes CSV (reference's format), JSON lines (REST landing format),
+  * and ORC identically — same rows through every format. */
+class FormatsSpec extends SparkSpec {
+
+  test("parquet / csv / json / orc round-trips agree") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(500)
+
+    // CSV's default timestampFormat is millisecond-precision; our events
+    // carry micros — pin a micros format for lossless text round-trip
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    src.write.parquet(s"$base/p")
+    src.write.option("header", "true").option("timestampFormat", tsFmt).csv(s"$base/c")
+    src.write.option("timestampFormat", tsFmt).json(s"$base/j")
+    src.write.orc(s"$base/o")
+
+    val p = spark.read.parquet(s"$base/p")
+    val c = spark.read.option("header", "true").option("timestampFormat", tsFmt)
+      .schema(src.schema).csv(s"$base/c")
+    val j = spark.read.option("timestampFormat", tsFmt).schema(src.schema).json(s"$base/j")
+    val o = spark.read.orc(s"$base/o")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expect = canon(p)
+    assert(expect.length == 500)
+    assert(canon(c).sameElements(expect), "csv mismatch")
+    assert(canon(j).sameElements(expect), "json mismatch")
+    assert(canon(o).sameElements(expect), "orc mismatch")
+  }
+
+  test("malformed JSON rows land as nulls under the declared schema (coerce)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"event_id": 1, "value": 5.0}
+        |not json at all
+        |{"event_id": 2, "value": "not-a-number"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val df = spark.read.schema(schema).json(dir)
+    assert(df.count() == 3)
+    assert(df.filter(col("event_id") === 1 && col("value") === 5.0).count() == 1)
+    // PERMISSIVE default: unparseable rows/fields → null
+    assert(df.filter(col("event_id").isNull).count() >= 1)
+  }
+}

@@ -97,6 +97,12 @@ class PipelineSpec extends SparkSpec {
       integrated.filter(col("symbol") === "AAPL" && col("ret_1h").isNotNull).count())
   }
 
+  test("integrate plans broadcast the macro dim and avoid cartesian joins") {
+    val plan = integrated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "fred dim should broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian join in the pipeline")
+  }
+
   test("per-symbol partitioned sink prunes by symbol directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_int").toString
     Integrate.writePartitioned(integrated, dir)
