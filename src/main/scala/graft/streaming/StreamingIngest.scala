@@ -48,6 +48,24 @@ object StreamingIngest {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow())
 
+  /** Stream-stream inner equi-join with event-time bounds: rows join when
+    * their event times are within `tolerance` of each other. Both sides are
+    * watermarked so the join state is bounded (Spark retains each side only
+    * until the other side's watermark passes the tolerance window) — the
+    * streaming form of the integrate stage's hourly alignment, with state
+    * O(rate × tolerance) instead of O(history). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       lTs: String, rTs: String, delay: String,
+                       tolerance: String): DataFrame = {
+    require(lTs != rTs, "left/right event-time columns must have distinct names")
+    val l = left.withWatermark(lTs, delay)
+    val r = right.withColumnRenamed(key, s"_r_$key").withWatermark(rTs, delay)
+    l.join(r, org.apache.spark.sql.functions.expr(
+        s"$key = _r_$key AND $rTs BETWEEN $lTs - INTERVAL $tolerance " +
+          s"AND $lTs + INTERVAL $tolerance"))
+      .drop(s"_r_$key")
+  }
+
   /** Idempotent per-batch restatement sink: each micro-batch overwrites only
     * its own `batch=<id>` partition, so a retried batch restates itself
     * (exactly-once-ish) and earlier batches are preserved — readers see the

@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("stream-stream join within event-time tolerance equals batch range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    def t(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-08-01 00:00:00").getTime + m * 60000L)
+    val quotes = Seq(("AAPL", t(10), 100.0), ("AAPL", t(120), 101.0), ("MSFT", t(15), 50.0))
+      .toDF("symbol", "q_ts", "price")
+    val scores = Seq(("AAPL", t(20), 7.0), ("AAPL", t(300), 9.0), ("TSLA", t(10), 1.0))
+      .toDF("symbol", "s_ts", "score")
+    quotes.write.parquet(s"$dir/q"); scores.write.parquet(s"$dir/s")
+
+    val joined = StreamingIngest.streamStreamJoin(
+      StreamingIngest.readDocs(spark, quotes.schema, s"$dir/q"),
+      StreamingIngest.readDocs(spark, scores.schema, s"$dir/s"),
+      "symbol", "q_ts", "s_ts", "10 minutes", "30 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssj")
+      .select("symbol", "q_ts", "price", "s_ts", "score")
+      .orderBy("symbol", "q_ts", "s_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getTimestamp(3), r.getDouble(4)))
+    // batch equivalent
+    val want = quotes.join(scores.withColumnRenamed("symbol", "s_symbol"),
+        expr("symbol = s_symbol AND s_ts BETWEEN q_ts - INTERVAL 30 MINUTES AND q_ts + INTERVAL 30 MINUTES"))
+      .select("symbol", "q_ts", "price", "s_ts", "score")
+      .orderBy("symbol", "q_ts", "s_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getTimestamp(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.sameElements(want)) // only (AAPL t10 ↔ t20) matches
+  }
+
   test("hourly windowed aggregate emits per-key last values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val in = s"$dir/in"
