@@ -9,12 +9,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /** Native codegen'd cosine similarity over two ARRAY<DOUBLE> columns.
   *
   * This is the one place the engine drops below the DataFrame API (builder
-  * prompt preference order: compose built-ins → custom Expression): the
-  * higher-order-function formulation `aggregate(zip_with(a,b,*),0,+) / …`
-  * materializes an intermediate array and evaluates three lambda chains per
-  * row — measurable overhead in the ANN hot loop where the expression runs
-  * |corpus|×|queries| times. The custom expression is a single fused loop
-  * inside whole-stage codegen: no allocation, no virtual calls.
+  * prompt preference order: compose built-ins → custom Expression). The HOF
+  * formulation `aggregate(zip_with(a,b,*),0,+) / …` materializes an
+  * intermediate array and evaluates three lambda chains per row; the custom
+  * expression is a single fused loop that participates in whole-stage
+  * codegen (the HOF projection does not — see ExpressionSpec's plan check).
+  * Measured honestly: at dim 64 both are memory-bound and within ~10%
+  * (10M cosines: 0.38 s native vs 0.42 s HOF on local[32]); the fused
+  * form's headroom grows with dimension, removes the per-row allocation,
+  * and is SQL-registerable (`graft_cosine`) where the HOF chain is unwieldy.
   *
   * Accumulation order (element 0..n-1, separate dot/norm accumulators) is
   * identical to the HOF version, so results are bit-for-bit unchanged.
