@@ -27,6 +27,17 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle SQL): confirm output exists and is non-empty
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        qdir = f"{out_dir}/{name}"
+        if name in oracle or not os.path.isdir(qdir):
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows" + ("" if n > 0 else "  (EMPTY!)"))
+        except Exception as e:
+            print(f"ROWS-ONLY {name}: unreadable: {e}")
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).fetchdf()
