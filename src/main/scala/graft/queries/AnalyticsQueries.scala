@@ -89,6 +89,17 @@ object AnalyticsQueries {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         expr("percentile(l_extendedprice, 0.9)").as("price_p90"))),
 
+    // ── sketch aggregates for the 100 TB path (rows-only: HLL/KLL internals
+    //    aren't reproducible in the oracle engine): approximate distinct
+    //    users and median per event type, with exact counterparts alongside
+    //    so the approximation error is inspectable
+    "q52_approx_stats" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median"),
+        expr("percentile(value, 0.5)").as("exact_median"))),
+
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
