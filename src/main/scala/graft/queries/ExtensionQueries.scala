@@ -103,6 +103,18 @@ object ExtensionQueries {
         "label", 3)
     }),
 
+    // ── canonical text normalization (dedup-prep per-row transform)
+    "q53_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.normalize(col("text")).as("norm_text"),
+        md5(TextOps.normalize(col("text"))).as("norm_hash"))),
+
+    // ── vocabulary stats: top-50 tokens by document frequency
+    "q54_term_freq" -> ((s, d) =>
+      graft.ops.Relational.topK(
+        TextOps.termStats(Tables.documents(s, d), "doc_id", "text"),
+        50, col("doc_freq").desc, col("term_freq").desc, col("token").asc)),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     "q37_binary_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -241,6 +253,19 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+    "q53_normalize" ->
+      raw"""SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        |FROM documents""".stripMargin,
+    "q54_term_freq" ->
+      raw"""WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS token FROM n),
+        |per AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq FROM per GROUP BY 1
+        |ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 50""".stripMargin,
     "q47_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT vec_id AS vid, v, $bucketExpr AS bucket FROM e)

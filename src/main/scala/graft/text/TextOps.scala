@@ -92,6 +92,24 @@ object TextOps {
       .drop("_w")
   }
 
+  /** Canonical text normalization for dedup/training-data prep: lowercase,
+    * strip control characters, collapse whitespace runs, trim. Pure per-row
+    * regex work (codegen'd, shuffle-free). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** Corpus vocabulary statistics: per token, document frequency (docs
+    * containing it) and total term frequency. The classic vocab-building
+    * pass: explode distinct tokens per doc → one hash aggregate. At corpus
+    * scale the shuffle carries (token, count) partials after map-side
+    * combine — bytes ∝ vocabulary, not corpus. */
+  def termStats(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), tokens(normalize(col(text))).as("_w"))
+      .select(col(id), explode(col("_w")).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("_tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("_tf")).as("term_freq"))
+
   /** Winnowing-style document fingerprint: char 5-gram rolling hashes,
     * min per 4-window, distinct-sorted mins → md5 fingerprint.
     * (Schleimer et al., "Winnowing: Local Algorithms for Document
