@@ -139,6 +139,76 @@ object Similarity {
       .select("q_id", "cid", "vec_id", "sim", "rank")
   }
 
+  /** Production-form IVF: learn the coarse quantizer with seeded KMeans
+    * (deterministic for a fixed seed + partitioning of the training sample)
+    * and search the `nProbe` nearest cells per query. Not oracle-checkable
+    * (learned centroids aren't reproducible in another engine) — covered by
+    * recall specs instead. Returns (assignments with `cell`, annSearch fn).
+    */
+  def ivfLearned(corpus: DataFrame, id: String, emb: String, nCells: Int,
+                 seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val spark = corpus.sparkSession
+    val toVec = org.apache.spark.ml.functions.array_to_vector(asDouble(emb))
+    val base = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"),
+      toVec.as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(base)
+    val assigned = model.transform(base).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    import spark.implicits._
+    (assigned, centroids.toDF("cell", "cv"))
+  }
+
+  /** ANN over a learned IVF index: route each query to its `nProbe` nearest
+    * centroids, exact-rerank only those cells' posting lists. */
+  def annIvfLearned(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                    id: String, emb: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val routed = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", expr("graft_cosine(qv, cv)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(routed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  /** Multi-probe LSH: search the query's bucket plus all buckets at Hamming
+    * distance 1 (flip each plane bit) — recall rises steeply for the cost of
+    * (planes+1)× candidate fan-in, still ≪ brute force. */
+  def annLshMultiProbe(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+                       k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+      .withColumn("bucket", lshBucket("v", planes))
+    val masks = 0L +: (0 until nPlanes).map(j => 1L << j)
+    val maskArr = masks.map(m => s"CAST($m AS BIGINT)").mkString("array(", ",", ")")
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+      .withColumn("q_bucket", lshBucket("qv", planes))
+      .withColumn("probe_bucket",
+        explode(expr(s"transform($maskArr, m -> q_bucket ^ m)")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(q), col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** ANN via LSH buckets: exact cosine ranking, but only within the query's
     * bucket (candidates shrink ~2^planes-fold; recall < 1 by design). */
   def annLsh(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
