@@ -69,6 +69,13 @@ object AnalyticsQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))),
 
+    // ── full cross-dimensional totals: CUBE
+    "q55_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          R.exactSum(col("value")).as("sum_value"))),
+
     // ── time-RANGE window: 2-hour rolling mean per user (exact decimal)
     "q50_rolling_mean" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -151,6 +158,10 @@ object AnalyticsQueries {
     "q49_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q55_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS p25,
