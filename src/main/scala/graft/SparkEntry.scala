@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.BreadthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.BreadthQueries.oracle
 }

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Relational => R}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-breadth queries beyond the reference's own surface (SURVEY.md
+  * §2.4/§2.7 "absent" list): grouping sets, unpivot, interval/range join,
+  * full ranking-function battery, INTERSECT/EXCEPT, full outer join,
+  * FILTER-style conditional aggregation, ordered string aggregation,
+  * explicit window frames, exact median / mode, correlated scalar subquery,
+  * and mixed DISTINCT aggregates (Expand-based plan).
+  *
+  * A user of the reference never writes these, but an engine claiming the
+  * same *capabilities* on 100 TB needs them; each is oracle-checked against
+  * DuckDB and uses exact decimal/integer aggregation where double sums
+  * would be order-dependent across engines.
+  */
+object BreadthQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ── GROUPING SETS ((type, hr), (type), ()) — finer than rollup/cube
+    //    (q49/q55); gid computed from grouping() bits so the encoding is
+    //    engine-agnostic.
+    "q56_grouping_sets" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("hr", hour(col("ts")))
+      e.groupingSets(
+          Seq(Seq(col("event_type"), col("hr")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("hr"))
+        .agg(
+          (grouping(col("event_type")) * 2 + grouping(col("hr"))).as("gid"),
+          count(lit(1)).as("n"),
+          R.exactSum(col("value")).as("sum_v"))
+        .select("event_type", "hr", "gid", "n", "sum_v")
+    }),
+
+    // ── UNPIVOT / melt: wide lineitem measures → long (metric, val)
+    "q57_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")),
+
+    // ── interval/range join: per error event, activity by the same user in
+    //    the following hour. Equi-key on user_id keeps it a hash/SMJ join
+    //    (the range is a residual predicate) — no cross product at scale.
+    "q58_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+      err.join(e,
+          col("u") === col("user_id") &&
+            col("ts") > col("err_ts") &&
+            col("ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("err_id"))
+        .agg(count(col("event_id")).as("n_after"),
+          R.exactSum(col("value")).as("sum_after"))
+    }),
+
+    // ── ranking battery: rank / dense_rank / ntile / percent_rank /
+    //    cume_dist (reference uses only row_number — SURVEY §2.5 note)
+    "q59_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+    }),
+
+    // ── INTERSECT / EXCEPT (set ops absent from reference, §2.7)
+    "q60_intersect_except" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def users(t: String) = e.filter(col("event_type") === t).select("user_id").distinct()
+      users("click").intersect(users("purchase")).withColumn("segment", lit("click_and_buy"))
+        .unionByName(
+          users("click").except(users("purchase")).withColumn("segment", lit("click_only")))
+    }),
+
+    // ── FULL OUTER join of two per-user aggregates
+    "q61_full_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click").groupBy(col("user_id").as("cu"))
+        .agg(count(lit(1)).as("n_clicks"))
+      val buys = e.filter(col("event_type") === "purchase").groupBy(col("user_id").as("bu"))
+        .agg(count(lit(1)).as("n_buys"))
+      clicks.join(buys, col("cu") === col("bu"), "full_outer")
+        .select(coalesce(col("cu"), col("bu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+    }),
+
+    // ── conditional aggregation (FILTER-clause semantics via count_if /
+    //    null-skipping when()): one pass, no self-joins
+    "q62_conditional_agg" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(
+          count_if(col("event_type") === "click").as("n_click"),
+          count_if(col("event_type") === "error").as("n_error"),
+          R.exactSum(when(col("event_type") === "purchase", col("value"))).as("purchase_v"),
+          R.exactAvg(when(col("event_type") === "view", col("value"))).as("avg_view_v"))),
+
+    // ── ordered string aggregation (deterministic: sorted distinct set)
+    "q63_string_agg" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))),
+
+    // ── explicit window frames: running first, whole-partition last/nth,
+    //    sliding 3-row min/max (frame specs beyond the reference's defaults)
+    "q64_window_frames" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val slide = ord.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        first(col("value")).over(run).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 3).over(full).as("third_v"),
+        min(col("value")).over(slide).as("min3"),
+        max(col("value")).over(slide).as("max3"))
+    }),
+
+    // ── exact median (interpolated) + deterministic mode of a discretized
+    //    key (smallest value wins ties)
+    "q65_median_mode" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("k", col("user_id") % 50)
+      val counts = e.groupBy(col("event_type"), col("k")).agg(count(lit(1)).as("n"))
+      val mode = counts.withColumn("rn",
+          row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("n").desc, col("k"))))
+        .filter(col("rn") === 1).select(col("event_type"), col("k").as("mode_k"))
+      val median = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("median_v"))
+      median.join(mode, Seq("event_type"))
+    }),
+
+    // ── correlated scalar subquery: orders 50% above their customer's
+    //    exact mean (SQL surface; Catalyst rewrites to an aggregate+join)
+    "q66_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // ── mixed DISTINCT + plain aggregates in one pass (Expand-based plan)
+    "q67_distinct_agg" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"),
+          R.exactSum(col("value")).as("sum_v"))))
+
+  val oracle: Map[String, String] = Map(
+    "q56_grouping_sets" ->
+      """SELECT event_type, hr, 2*grouping(event_type) + grouping(hr) AS gid,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+        |GROUP BY GROUPING SETS ((event_type, hr), (event_type), ())""".stripMargin,
+    "q57_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "q58_range_join" ->
+      """SELECT err.err_id, count(e.event_id) AS n_after,
+        | CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_after
+        |FROM (SELECT user_id AS u, ts AS err_ts, event_id AS err_id
+        |      FROM events WHERE event_type = 'error') err
+        |LEFT JOIN events e ON err.u = e.user_id
+        |  AND e.ts > err.err_ts AND e.ts <= err.err_ts + INTERVAL 1 HOUR
+        |GROUP BY err.err_id""".stripMargin,
+    "q59_ranking" ->
+      """SELECT user_id, event_id,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS prnk,
+        | cume_dist() OVER w AS cd
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+    "q60_intersect_except" ->
+      """SELECT user_id, 'click_and_buy' AS segment FROM (
+        | SELECT user_id FROM events WHERE event_type='click'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type='purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' FROM (
+        | SELECT user_id FROM events WHERE event_type='click'
+        | EXCEPT
+        | SELECT user_id FROM events WHERE event_type='purchase')""".stripMargin,
+    "q61_full_outer" ->
+      """SELECT coalesce(cu, bu) AS user_id,
+        | coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
+        |FROM (SELECT user_id AS cu, count(*) AS n_clicks FROM events
+        |      WHERE event_type='click' GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT user_id AS bu, count(*) AS n_buys FROM events
+        |      WHERE event_type='purchase' GROUP BY 1) b ON cu = bu""".stripMargin,
+    "q62_conditional_agg" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type='click') AS n_click,
+        | count(*) FILTER (WHERE event_type='error') AS n_error,
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase_v,
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) FILTER (WHERE event_type='view') AS DOUBLE)
+        |   / count(value) FILTER (WHERE event_type='view') AS avg_view_v
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q63_string_agg" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q64_window_frames" ->
+      """SELECT user_id, event_id,
+        | first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        | last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        | nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v,
+        | min(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3,
+        | max(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q65_median_mode" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS median_v FROM events GROUP BY 1),
+        |counts AS (
+        |  SELECT event_type, user_id % 50 AS k, count(*) AS n FROM events GROUP BY 1, 2),
+        |mode AS (
+        |  SELECT event_type, k AS mode_k FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, k) AS rn
+        |    FROM counts) WHERE rn = 1)
+        |SELECT med.event_type, med.median_v, mode.mode_k
+        |FROM med JOIN mode ON med.event_type = mode.event_type""".stripMargin,
+    "q66_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q67_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type""".stripMargin)
+}
