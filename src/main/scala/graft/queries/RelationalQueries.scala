@@ -147,10 +147,12 @@ object RelationalQueries {
         date_sub(to_date(col("ts")), 1).as("day_before"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
-        // rounded: JVM vs libm log10 differ in the last ulp
-        round(-log10(greatest(abs(col("value")), lit(1e-10))), 6).as("neg_log"),
+        // rounded: JVM vs libm log10 differ in the last ulp. `+ 0.0`
+        // canonicalizes signed zero (DuckDB round keeps -0.0, Spark's
+        // BigDecimal path yields +0.0; IEEE: -0.0 + 0.0 = +0.0).
+        (round(-log10(greatest(abs(col("value")), lit(1e-10))), 6) + lit(0.0)).as("neg_log"),
         sqrt(abs(col("value"))).as("sq"),
-        round(col("value"), 2).as("v_round"),
+        (round(col("value"), 2) + lit(0.0)).as("v_round"),
         when(col("value") >= 0, "up").otherwise("down").as("direction"),
         (col("event_id") % 24).as("mod24"),
         floor(col("event_id") / 24).cast("long").as("div24"),
@@ -302,9 +304,9 @@ object RelationalQueries {
         | CAST(ts AS DATE) - 1 AS day_before,
         | strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        | round(-log10(greatest(abs(value), 1e-10)), 6) AS neg_log,
+        | round(-log10(greatest(abs(value), 1e-10)), 6) + 0.0 AS neg_log,
         | sqrt(abs(value)) AS sq,
-        | round(value, 2) AS v_round,
+        | round(value, 2) + 0.0 AS v_round,
         | CASE WHEN value >= 0 THEN 'up' ELSE 'down' END AS direction,
         | event_id % 24 AS mod24,
         | CAST(floor(event_id / 24) AS BIGINT) AS div24,
