@@ -53,9 +53,10 @@ object ExtensionQueries {
     "q30_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
-    // ── exact 2-gram Jaccard within source scope
+    // ── exact 2-gram Jaccard within source scope (hot-shingle df cap 100)
     "q31_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source", 2, 0.05)),
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source", 2, 0.05,
+        maxDf = Dedup.DefaultMaxDf)),
 
     // ── winnowing fingerprint
     "q32_fingerprint" -> ((s, d) =>
@@ -136,8 +137,12 @@ object ExtensionQueries {
   }
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
 
-  private val mhCols = (0 until Dedup.NumHashes).map(i =>
-    s"list_min(list_transform(sh, x -> ${h64d(s"'$i:' || x")})) AS mh$i").mkString(", ")
+  // one base hash per shingle + 16 affine permutations mod 2^31-1, generated
+  // from the same Dedup.Perms constants the Spark side uses
+  private val mhCols = (0 until Dedup.NumHashes).map { i =>
+    val (a, b) = Dedup.Perms(i)
+    s"list_min(list_transform(bh, h -> ($a * h + $b) % ${Dedup.MinhashP})) AS mh$i"
+  }.mkString(", ")
   private val bandCols = (0 until Dedup.NumBands).map { b =>
     val cs = (Dedup.RowsPerBand * b until Dedup.RowsPerBand * (b + 1))
       .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
@@ -146,7 +151,8 @@ object ExtensionQueries {
   private val sigCte =
     s"""$toksCte,
        |sh AS (SELECT doc_id, ${shingleExpr(3)} AS sh FROM toks),
-       |mh AS (SELECT doc_id, $mhCols FROM sh),
+       |bhc AS (SELECT doc_id, list_transform(sh, x -> ${h64d("x")} % ${Dedup.MinhashP}) AS bh FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM bhc),
        |sig AS (SELECT doc_id, mh.* EXCLUDE (doc_id), $bandCols FROM mh)""".stripMargin
 
   private val simhashBits = (0 until 32).map(j =>
@@ -205,8 +211,11 @@ object ExtensionQueries {
         s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH $sigCte,
          |bands AS ($bandUnion),
+         |bsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2),
+         |ok AS (SELECT bands.* FROM bands JOIN bsz USING (band_idx, band_key)
+         |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
          |FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
@@ -219,8 +228,11 @@ object ExtensionQueries {
       s"""WITH $toksCte,
          |g AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS g FROM toks),
          |sizes AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+         |dfreq AS (SELECT source, g, count(*) AS ndoc FROM g GROUP BY 1, 2),
+         |k AS (SELECT g.* FROM g JOIN dfreq USING (source, g)
+         |  WHERE ndoc BETWEEN 2 AND ${Dedup.DefaultMaxDf}),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_i
-         |  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+         |  FROM k a JOIN k b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, round(n_i::DOUBLE / (na.n_g + nb.n_g - n_i), 6) AS jaccard
          |FROM inter JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id

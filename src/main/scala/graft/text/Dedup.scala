@@ -8,21 +8,56 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: exact dedup is one hash aggregate on a digest (map-side
   * combine, no text shuffled). MinHash/LSH turns all-pairs O(n²) similarity
-  * into a band-bucket equi-join: signature computation is per-row scalar work;
-  * only (doc_id, band_key) pairs shuffle — at 100 TB the shuffled bytes are
-  * ~1% of the corpus. SimHash is per-row; its pair search would bucket on
-  * signature bands the same way. Exact Jaccard is reserved for candidate
-  * pairs (or bounded scopes), never the full cross product.
+  * into a band-bucket equi-join: signature computation is per-row scalar work
+  * (ONE md5 per shingle, then cheap affine permutations); only
+  * (doc_id, band_key, signature) rows shuffle — at 100 TB the shuffled bytes
+  * are ~1% of the corpus. Hot-key safety: every pair-producing join caps its
+  * key fan-out (band-bucket size cap, shingle document-frequency cap) because
+  * one degenerate key (boilerplate docs, a stopword shingle) is otherwise
+  * quadratic no matter how good the plan shape is. The caps are parameters,
+  * mirrored in the DuckDB oracles, and the dropped keys are reportable via
+  * `minhashOverflow` / `ngramHotShingles` — no silent truncation.
   */
 object Dedup {
 
-  import TextOps.{h64, h64Sql}
+  import TextOps.h64Sql
 
   val NumHashes   = 16
   val NumBands    = 8 // 2 rows per band: high recall for near-dups (J≈0.8 →
   // per-band hit J², any-band ≈ 1-(1-J²)^8 ≈ 0.999); est_jaccard filters the
   // extra low-similarity candidates downstream
   val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Mersenne prime 2^31−1: the minhash permutation modulus. Keeping hashes
+    * below 2^31 means every `a·h + b` stays under 2^62, so the affine
+    * permutations run in plain 64-bit integer arithmetic — exactly
+    * reproducible in any engine (no 128-bit / decimal widening needed).
+    * 31-bit minhash space is ample: collision odds within one document's
+    * shingle set (~10⁴) are ~10⁻⁵ per permutation. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic affine-permutation constants (aᵢ ∈ [1,P), bᵢ ∈ [0,P)) from
+    * a fixed-seed SplitMix-style integer sequence. The classic one-hash
+    * scheme (Broder '97): instead of k independent expensive hashes per
+    * shingle, compute ONE base hash and k cheap universal-family permutations
+    * `(aᵢ·h + bᵢ) mod P`. The DuckDB oracle SQL is generated from these same
+    * values, so both engines agree by construction. */
+  val Perms: IndexedSeq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 3 }
+    (0 until NumHashes).map(_ => (next() % (MinhashP - 1) + 1, next() % MinhashP))
+  }
+
+  /** Default hot-bucket cap for the LSH band join: a band bucket larger than
+    * this (identical boilerplate across >1000 docs) would contribute
+    * >500k pairs on its own; such groups are better served by exact dedup.
+    * Dropped buckets are listed by `minhashOverflow`. */
+  val DefaultMaxBucket = 1000
+
+  /** Default shingle document-frequency cap for exact n-gram Jaccard: a
+    * shingle shared by >100 docs in a scope carries no discriminating signal
+    * (it's corpus boilerplate) but costs O(df²) join fan-out. */
+  val DefaultMaxDf = 100
 
   /** Exact dedup groups: digest of normalized text → canonical (min) id +
     * multiplicity. Downstream `keep` = semi-join on (digest, canonical_id). */
@@ -31,55 +66,99 @@ object Dedup {
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signatures over word 3-gram shingles + LSH band keys.
-    * Output: id, mh0..mh15, band0..band{NumBands-1}. */
+    * Output: id, mh0..mh15, band0..band{NumBands-1}.
+    *
+    * One md5 per shingle (the irreducible text-hash cost), then 16 affine
+    * permutations in 64-bit integer arithmetic — vs 16 md5s per shingle in
+    * the naive per-permutation form (16× less hashing, same LSH quality). */
   def minhashSignatures(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id), TextOps.tokens(col(text)).as("w"))
       .withColumn("sh", TextOps.wordShingles("w", 3))
+      .withColumn("bh", expr(s"transform(sh, x -> ${h64Sql("x")} % ${MinhashP}L)"))
     val withMh = (0 until NumHashes).foldLeft(toks) { (d, i) =>
+      val (a, b) = Perms(i)
       d.withColumn(s"mh$i",
-        expr(s"array_min(transform(sh, x -> ${h64Sql(s"concat('$i:', x)")}))"))
+        expr(s"array_min(transform(bh, h -> (${a}L * h + ${b}L) % ${MinhashP}L))"))
     }
     val withBands = (0 until NumBands).foldLeft(withMh) { (d, b) =>
       val cols = (RowsPerBand * b until RowsPerBand * (b + 1))
         .map(i => s"cast(mh$i AS STRING)").mkString(", ',', ")
       d.withColumn(s"band$b", md5(expr(s"concat($cols)")))
     }
-    withBands.drop("w", "sh")
+    withBands.drop("w", "sh", "bh")
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket, with the MinHash
-    * Jaccard estimate (matching hashes / 16). The band equi-join is the only
-    * shuffle; signatures travel, not documents.
+  /** One row per (doc, band): id, mh (16-element signature array), band_idx,
+    * band_key. The signature travels WITH the band row so candidate scoring
+    * needs no join back to the signature table. */
+  private def bandRows(sig: DataFrame, id: String): DataFrame =
+    sig.select(col(id),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mh"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+
+  /** LSH candidate pairs: docs sharing any band bucket (bucket ≤ maxBucket),
+    * with the MinHash Jaccard estimate (matching hashes / 16).
     *
-    * The signature frame is consumed three times (band explode + two sides
-    * of the match-count join), so it is persisted here — recomputing it
-    * would re-hash the corpus per consumer (measured 10× slowdown). At
-    * 100 TB the signature table is ~1% of corpus size and is exactly what
-    * you'd materialize. Caller may `.unpersist()` the input afterwards. */
-  def minhashCandidates(sig: DataFrame, id: String): DataFrame = {
-    val s = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = s.select(col(id), posexplode(
-      array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
-    val pairs = bands.as("a").join(bands.as("b"),
+    * Shape, in shuffle order: (1) bucket sizes via groupBy (map-side combine,
+    * bytes ∝ #buckets); (2) band rows ⋈ sizes to drop hot buckets — groupBy+
+    * join rather than a count window because WindowExec would buffer the hot
+    * bucket it exists to drop; (3) in-bucket self-join — signatures ride
+    * along, so the old "join the signature table twice" (two extra shuffles
+    * of sig) is gone; match counts come from one zip_with over the two
+    * 16-long arrays. Dropped buckets: `minhashOverflow` (same cap value).
+    *
+    * The band frame is persisted: it feeds the size aggregate and both join
+    * sides, and recomputing it re-hashes the corpus per consumer. At 100 TB
+    * it is ~1% of corpus bytes — exactly the index you'd materialize.
+    * Caller may `.unpersist()` the input afterwards. */
+  def minhashCandidates(sig: DataFrame, id: String,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bands = bandRows(sig, id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = bands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val ok = bands.join(sizes.filter(col("bucket_n") <= maxBucket),
+      Seq("band_idx", "band_key"))
+    val matches = expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+    ok.as("a").join(ok.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
-      .distinct()
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(s.as("sa"), col("id_a") === col(s"sa.$id"))
-      .join(s.as("sb"), col("id_b") === col(s"sb.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
   }
 
-  /** 32-bit SimHash over word unigram hashes: bit j set when the majority of
-    * token hashes have bit j set (Charikar, STOC'02; used by crawlers for
-    * near-dup web pages). Pure per-row expression work. */
+  /** Band buckets the candidate join drops at `maxBucket`: (band_idx,
+    * band_key, bucket_n). Emit/log this alongside minhashCandidates — the
+    * members of a mega-bucket are near-identical boilerplate and should be
+    * routed to exact dedup, not silently ignored. */
+  def minhashOverflow(sig: DataFrame, id: String,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandRows(sig, id)
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket && col("band_key").isNotNull)
+
+  /** 32-bit SimHash over word unigram hashes: bit j set when at least half
+    * the token hashes have bit j set (Charikar, STOC'02). One md5 per token,
+    * then a single fused native loop (graft.expressions.SimHash) — the HOF
+    * reference formulation `simhashHof` computes the identical value with 32
+    * interpreted aggregate passes and exists as the cross-check. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    graft.expressions.SimHash.register(df.sparkSession)
+    df.select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("hs", expr(s"transform(w, t -> ${h64Sql("t")})"))
+      .select(col(id), expr("graft_simhash(hs)").as("simhash"))
+  }
+
+  /** Reference HOF formulation of simhash (one aggregate per bit) — kept for
+    * the DedupSpec equivalence check against the native expression; do not
+    * use in hot paths. */
+  def simhashHof(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id), TextOps.tokens(col(text)).as("w"))
       .withColumn("hs", expr(s"transform(w, t -> ${h64Sql("t")})"))
       .withColumn("n", size(col("w")))
@@ -92,16 +171,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs within a scope column (e.g.
     * same source/bucket): explode distinct shingles, self-join per scope,
-    * |A∩B| / |A∪B|. The scope bound keeps the join linear-ish; full-corpus
-    * use should feed LSH candidates instead. */
+    * |A∩B| / |A∪B| with exact per-doc set sizes.
+    *
+    * Hot-shingle safety: shingles with document frequency above `maxDf`
+    * inside a scope are dropped BEFORE the self-join — a shingle in df docs
+    * fans out O(df²) pairs, and high-df shingles ("of the") carry no
+    * discriminating signal (standard near-dup practice; mirrored in the
+    * oracle). df=1 shingles are also dropped — they cannot form a pair, so
+    * this is pure pruning. Union sizes |A|,|B| are computed on the FULL
+    * shingle sets, so the Jaccard denominator is exact; only the
+    * intersection count can undercount, by at most the dropped-shingle
+    * overlap. `ngramHotShingles` lists what was dropped. Full-corpus use
+    * should feed LSH candidates instead of a scope column. */
   def ngramJaccard(df: DataFrame, id: String, text: String, scope: String,
-                   n: Int, minJaccard: Double): DataFrame = {
-    val grams = df
-      .select(col(id), col(scope), TextOps.tokens(col(text)).as("w"))
-      .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
-      .select(col(id), col(scope), col("g"))
+                   n: Int, minJaccard: Double,
+                   maxDf: Int = DefaultMaxDf): DataFrame = {
+    val grams = ngrams(df, id, text, scope, n)
     val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("n_g"))
-    val inter = grams.as("a").join(grams.as("b"),
+    val dfreq = grams.groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
+    val keep = grams.join(dfreq.filter(col("ndoc").between(2, maxDf)), Seq(scope, "g"))
+    val inter = keep.as("a").join(keep.as("b"),
         col("a.g") === col("b.g") && col(s"a.$scope") === col(s"b.$scope") &&
           col(s"a.$id") < col(s"b.$id"))
       .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
@@ -114,4 +203,17 @@ object Dedup {
           (col("na.n_g") + col("nb.n_g") - col("n_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Shingles the Jaccard join drops at `maxDf`: (scope, g, ndoc). */
+  def ngramHotShingles(df: DataFrame, id: String, text: String, scope: String,
+                       n: Int, maxDf: Int = DefaultMaxDf): DataFrame =
+    ngrams(df, id, text, scope, n)
+      .groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
+      .filter(col("ndoc") > maxDf)
+
+  private def ngrams(df: DataFrame, id: String, text: String, scope: String,
+                     n: Int): DataFrame =
+    df.select(col(id), col(scope), TextOps.tokens(col(text)).as("w"))
+      .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
+      .select(col(id), col(scope), col("g"))
 }

@@ -57,6 +57,43 @@ class DedupSpec extends SparkSpec {
     assert(j.getOrElse((1L, 4L), 0.0) < 0.05)
   }
 
+  test("native simhash equals the 32-pass HOF reference formulation") {
+    val native = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.simhashHof(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+  }
+
+  test("hot band buckets are capped and reported, not silently joined") {
+    val boiler = (1L to 20L).map(i => (i, base, "s")).toDF("doc_id", "text", "source")
+    val sig = Dedup.minhashSignatures(boiler, "doc_id", "text")
+    // all 20 docs identical → every band bucket has 20 members
+    assert(Dedup.minhashCandidates(sig, "doc_id", maxBucket = 10).count() == 0)
+    val over = Dedup.minhashOverflow(sig, "doc_id", maxBucket = 10).collect()
+    assert(over.length == Dedup.NumBands)
+    assert(over.forall(_.getLong(2) == 20L))
+    // default cap keeps them: all C(20,2) pairs at est_jaccard 1.0
+    val pairs = Dedup.minhashCandidates(sig, "doc_id").collect()
+    assert(pairs.length == 190 && pairs.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("shingles above maxDf are dropped from the jaccard join and reported") {
+    val boiler = (1L to 12L).map(i =>
+      (i, s"common pair here unique$i token$i word$i", "s"))
+      .toDF("doc_id", "text", "source")
+    // "common pair"/"pair here" have df=12; every other 2-gram df=1
+    val hot = Dedup.ngramHotShingles(boiler, "doc_id", "text", "source", 2, maxDf = 11)
+      .collect()
+    assert(hot.map(_.getString(1)).toSet == Set("common pair", "pair here"))
+    assert(Dedup.ngramJaccard(boiler, "doc_id", "text", "source", 2, 0.0, maxDf = 11)
+      .count() == 0)
+    // raising the cap re-admits them: 5 shingles/doc, 2 shared → J = 2/8
+    val j = Dedup.ngramJaccard(boiler, "doc_id", "text", "source", 2, 0.0, maxDf = 12)
+      .collect()
+    assert(j.length == 66 && j.forall(_.getDouble(2) == 0.25))
+  }
+
   test("winnowing fingerprint: equal for dups, different for near-dups") {
     val fp = TextOps.fingerprint(docs, "text").select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
