@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.BreadthQueries.queries
+      graft.queries.BreadthQueries.queries ++
+      graft.queries.ServeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.BreadthQueries.oracle
+      graft.queries.BreadthQueries.oracle ++
+      graft.queries.ServeQueries.oracle
 }

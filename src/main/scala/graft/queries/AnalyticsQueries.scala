@@ -107,14 +107,18 @@ object AnalyticsQueries {
         expr("approx_percentile(value, 0.5)").as("approx_median"),
         expr("percentile(value, 0.5)").as("exact_median"))),
 
-    // ── C1: Granger causality sweep (rows-only; OLS F-test per lag)
+    // ── C1: Granger causality sweep (rows-only; OLS F-test per lag) — the
+    //    reference's full shape: every numeric predictor × lags 1..5
+    //    (analysis_part/main.py:58-78,159-161)
     "q42_granger" -> ((s, d) => {
       val e = Tables.events(s, d)
         .filter(col("user_id") < 20)
         .select(col("user_id").cast("string").as("sym"), col("ts"),
           col("value"),
-          get_json_object(col("props"), "$.k").cast("double").as("k"))
-      Granger.test(e, "sym", "ts", "value", "k", maxLag = 2)
+          get_json_object(col("props"), "$.k").cast("double").as("k"),
+          hour(col("ts")).cast("double").as("hod"),
+          dayofweek(col("ts")).cast("double").as("dow"))
+      Granger.sweep(e, "sym", "ts", "value", Seq("k", "hod", "dow"), maxLag = 5)
         .select("symbol", "predictor", "lag", "p_value", "n_obs")
     }),
 

@@ -26,9 +26,10 @@ class GrangerSpec extends SparkSpec {
     .toDF("symbol", "t", "y", "x")
 
   test("F statistics match the NumPy golden values") {
-    val res = Granger.test(df, "symbol", "t", "y", "x", maxLag = 3)
+    val res = Granger.test(df, "symbol", "t", "y", "x", maxLag = 5)
       .orderBy("lag").collect()
-    val golden = Map(1 -> 54437.3226, 2 -> 6807.0853, 3 -> 3621.5289)
+    val golden = Map(1 -> 54437.3226, 2 -> 6807.0853, 3 -> 3621.5289,
+      4 -> 2444.1914, 5 -> 2043.9146)
     res.foreach { r =>
       val lag = r.getInt(2); val f = r.getDouble(4)
       assert(math.abs(f - golden(lag)) / golden(lag) < 1e-4,
