@@ -31,6 +31,10 @@ case class LshBucket(child: Expression, planes: Seq[Seq[Int]])
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 
+  // don't dump the full ±1 matrix into plan strings
+  override def toString: String =
+    s"graft_lsh_bucket($child, ${planes.length}x${planes.headOption.map(_.length).getOrElse(0)})"
+
   @transient private lazy val mat: Array[Array[Double]] =
     planes.map(_.map(_.toDouble).toArray).toArray
 

@@ -69,11 +69,13 @@ object ExtensionQueries {
       Similarity.knnBrute(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
-    // ── LSH bucket assignment (sign random projection)
+    // ── LSH bucket assignment (sign random projection; native fused loop,
+    //    bit-identical to the composed form the oracle mirrors)
     "q34_lsh_buckets" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
-        .withColumn("bucket", Similarity.lshBucket("v", Similarity.hyperplanes(NPlanes, Dim)))
+        .withColumn("bucket",
+          Similarity.lshBucketNative(s, "v", Similarity.hyperplanes(NPlanes, Dim)))
         .select("vec_id", "bucket")),
 
     // ── ANN top-3 within LSH bucket

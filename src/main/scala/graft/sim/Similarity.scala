@@ -75,11 +75,25 @@ object Similarity {
       if (s > 0) s"($e)" else s"(-$e)"
     }.mkString(" + ")
 
-  /** LSH bucket id: bit j = sign(v · plane_j). */
+  /** LSH bucket id: bit j = sign(v · plane_j). Composed (textual-sum) form —
+    * reference implementation and the shape the DuckDB oracle mirrors; the
+    * expression tree grows as planes×dim, so beyond ~dim 100 use
+    * `lshBucketNative` (bit-identical, constant-size bytecode). */
   def lshBucket(v: String, planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(expr(s"${planeDot(v, p)} >= 0D"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Native fused-loop LSH bucket (graft.expressions.LshBucket): same bits
+    * as `lshBucket` for any plane matrix, but codegen size is independent of
+    * dimension — at dim 768 the composed form exceeds janino method limits
+    * and silently drops out of whole-stage codegen (ExpressionSpec pins
+    * both properties). */
+  def lshBucketNative(spark: org.apache.spark.sql.SparkSession, v: String,
+                      planes: Seq[Seq[Int]]): Column = {
+    val name = graft.expressions.LshBucket.register(spark, planes)
+    expr(s"$name($v)")
+  }
 
   /** Embedding-cosine near-duplicate pairs: LSH bucket candidates (no O(n²)
     * cross product), exact cosine filter ≥ threshold. The all-pairs work
@@ -93,7 +107,7 @@ object Similarity {
     // projection once per side, and a method-local persist could never be
     // released by the caller; persist `corpus` externally for repeated use
     val c = corpus.select(col(id).as("vid"), asDouble(emb).as("v"))
-      .withColumn("bucket", lshBucket("v", planes))
+      .withColumn("bucket", lshBucketNative(corpus.sparkSession, "v", planes))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
@@ -194,11 +208,11 @@ object Similarity {
     graft.expressions.CosineSimilarity.register(spark)
     val planes = hyperplanes(nPlanes, dim)
     val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
-      .withColumn("bucket", lshBucket("v", planes))
+      .withColumn("bucket", lshBucketNative(spark, "v", planes))
     val masks = 0L +: (0 until nPlanes).map(j => 1L << j)
     val maskArr = masks.map(m => s"CAST($m AS BIGINT)").mkString("array(", ",", ")")
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-      .withColumn("q_bucket", lshBucket("qv", planes))
+      .withColumn("q_bucket", lshBucketNative(spark, "qv", planes))
       .withColumn("probe_bucket",
         explode(expr(s"transform($maskArr, m -> q_bucket ^ m)")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
@@ -214,10 +228,11 @@ object Similarity {
   def annLsh(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
              k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    val spark = corpus.sparkSession
     val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
-      .withColumn("bucket", lshBucket("v", planes))
+      .withColumn("bucket", lshBucketNative(spark, "v", planes))
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-      .withColumn("q_bucket", lshBucket("qv", planes))
+      .withColumn("q_bucket", lshBucketNative(spark, "qv", planes))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     c.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
