@@ -143,14 +143,17 @@ object BreadthQueries {
     }),
 
     // ── correlated scalar subquery: orders 50% above their customer's
-    //    exact mean (SQL surface; Catalyst rewrites to an aggregate+join)
+    //    exact mean (SQL surface; Catalyst rewrites to an aggregate+join).
+    //    Per-invocation unique view name: a session-global name would race
+    //    when two invocations with different data dirs interleave.
     "q66_corr_subquery" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      val v = s"orders_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables.orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
-          |WHERE o_totalprice > 1.5 * (
-          |  SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+        s"""SELECT o_orderkey, o_custkey, o_totalprice FROM $v o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |  FROM $v o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
     // ── mixed DISTINCT + plain aggregates in one pass (Expand-based plan)

@@ -28,6 +28,19 @@ class BreadthSpec extends SparkSpec {
     val long = q("q57_unpivot")
     assert(long.count() == 3 * base.count())
     assert(long.select("metric").distinct().count() == 3)
+    // pivot back and compare to the base (the synthetic lineitem has
+    // duplicate (orderkey, linenumber) keys with differing measures, so the
+    // round-trip equality is on the deterministic per-key max of each
+    // metric, applied identically on both sides)
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val wide = long.groupBy("l_orderkey", "l_linenumber")
+      .pivot("metric", metrics).agg(max(col("val")))
+      .select(("l_orderkey" +: "l_linenumber" +: metrics).map(col): _*)
+    val orig = base.groupBy("l_orderkey", "l_linenumber")
+      .agg(metrics.map(m => max(col(m)).as(m)).head,
+        metrics.map(m => max(col(m)).as(m)).tail: _*)
+      .select(("l_orderkey" +: "l_linenumber" +: metrics).map(col): _*)
+    assert(wide.exceptAll(orig).isEmpty && orig.exceptAll(wide).isEmpty)
   }
 
   test("q58 range join keeps every error event exactly once") {
@@ -89,8 +102,12 @@ class BreadthSpec extends SparkSpec {
 
   test("q66 correlated subquery ≡ explicit aggregate-join rewrite") {
     val o = Tables.orders(spark, sf)
+    // same expression as the query's subquery — avg(DECIMAL(38,6)) cast
+    // double — so the rewrite is bit-identical even on boundary values
+    // (exactAvg's sum-then-divide can differ in the last ulp)
     val avgs = o.groupBy(col("o_custkey").as("k"))
-      .agg(graft.ops.Relational.exactAvg(col("o_totalprice")).as("m"))
+      .agg(avg(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double").as("m"))
     val expected = o.join(avgs, col("o_custkey") === col("k"))
       .filter(col("o_totalprice") > lit(1.5) * col("m")).count()
     assert(q("q66_corr_subquery").count() == expected)

@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("overwriteEachBatch restates its own partition; earlier batches survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_owb").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val chk = s"$dir/chk"
+    def t(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-08-01 00:00:00").getTime + m * 60000L)
+
+    // run 1: three rows land → batch 0
+    Seq(("AAPL", t(0), 1.0), ("MSFT", t(1), 2.0), ("TSLA", t(2), 3.0))
+      .toDF("symbol", "ts", "v").write.parquet(in)
+    val q1 = StreamingIngest.overwriteEachBatch(
+      StreamingIngest.readDocs(spark, schema, in), out, chk).start()
+    q1.awaitTermination()
+
+    // run 2 (same checkpoint): two NEW rows land → batch 1 only
+    Seq(("AAPL", t(10), 4.0), ("MSFT", t(11), 5.0))
+      .toDF("symbol", "ts", "v").write.mode("append").parquet(in)
+    val q2 = StreamingIngest.overwriteEachBatch(
+      StreamingIngest.readDocs(spark, schema, in), out, chk).start()
+    q2.awaitTermination()
+
+    // batch isolation: each partition holds exactly its own increment
+    assert(spark.read.parquet(s"$out/batch=0").count() == 3)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 2)
+    // readers see the union across batch partitions — nothing was dropped
+    val all = spark.read.parquet(out)
+    assert(all.count() == 5)
+    assert(all.agg(sum("v")).head().getDouble(0) == 15.0)
+  }
+
   test("stream-stream join within event-time tolerance equals batch range join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     def t(m: Int) = new java.sql.Timestamp(
