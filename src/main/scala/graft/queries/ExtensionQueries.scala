@@ -148,7 +148,7 @@ object ExtensionQueries {
   private val bandCols = (0 until Dedup.NumBands).map { b =>
     val cs = (Dedup.RowsPerBand * b until Dedup.RowsPerBand * (b + 1))
       .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
-    s"md5($cs) AS band$b"
+    s"${h64d(cs)} AS band$b"
   }.mkString(", ")
   private val sigCte =
     s"""$toksCte,
@@ -228,7 +228,8 @@ object ExtensionQueries {
          |SELECT doc_id, $simhashBits AS simhash FROM hs""".stripMargin,
     "q31_ngram_jaccard" ->
       s"""WITH $toksCte,
-         |g AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS g FROM toks),
+         |gs AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS gstr FROM toks),
+         |g AS (SELECT doc_id, source, ${h64d("gstr")} AS g FROM gs),
          |sizes AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
          |dfreq AS (SELECT source, g, count(*) AS ndoc FROM g GROUP BY 1, 2),
          |k AS (SELECT g.* FROM g JOIN dfreq USING (source, g)

@@ -80,10 +80,12 @@ object Dedup {
       d.withColumn(s"mh$i",
         expr(s"array_min(transform(bh, h -> (${a}L * h + ${b}L) % ${MinhashP}L))"))
     }
+    // band key = h64 of the band's hash tuple: an 8-byte join key instead of
+    // a 32-char md5 hex string — 4× narrower shuffle rows in the band join
     val withBands = (0 until NumBands).foldLeft(withMh) { (d, b) =>
       val cols = (RowsPerBand * b until RowsPerBand * (b + 1))
         .map(i => s"cast(mh$i AS STRING)").mkString(", ',', ")
-      d.withColumn(s"band$b", md5(expr(s"concat($cols)")))
+      d.withColumn(s"band$b", expr(TextOps.h64Sql(s"concat($cols)")))
     }
     withBands.drop("w", "sh", "bh")
   }
@@ -204,16 +206,22 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Shingles the Jaccard join drops at `maxDf`: (scope, g, ndoc). */
+  /** Shingles the Jaccard join drops at `maxDf`: (scope, g, ndoc). Human-
+    * facing report, so g stays the readable string (the join path hashes). */
   def ngramHotShingles(df: DataFrame, id: String, text: String, scope: String,
                        n: Int, maxDf: Int = DefaultMaxDf): DataFrame =
-    ngrams(df, id, text, scope, n)
+    df.select(col(id), col(scope), TextOps.tokens(col(text)).as("w"))
+      .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
       .groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
       .filter(col("ndoc") > maxDf)
 
+  /** Distinct shingles per doc, hashed to 60-bit longs: the join/groupBy key
+    * is 8 bytes instead of an n-word string (shuffle bytes ∝ key width; the
+    * distinct-THEN-hash order keeps per-doc set sizes exact regardless of
+    * hash collisions, and both engines hash identically so results agree). */
   private def ngrams(df: DataFrame, id: String, text: String, scope: String,
                      n: Int): DataFrame =
     df.select(col(id), col(scope), TextOps.tokens(col(text)).as("w"))
       .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
-      .select(col(id), col(scope), col("g"))
+      .select(col(id), col(scope), expr(TextOps.h64Sql("g")).as("g"))
 }
