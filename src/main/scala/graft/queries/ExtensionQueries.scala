@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.sim.Similarity
-import graft.text.{Dedup, TextOps}
+import graft.text.{Dedup, Mix, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,52 @@ object ExtensionQueries {
         TextOps.termStats(Tables.documents(s, d), "doc_id", "text"),
         50, col("doc_freq").desc, col("term_freq").desc, col("token").asc)),
 
+    // ── dedup clusters: connected components over LSH candidates (est ≥ 0.5)
+    "q75_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.dedupClusters(docs, pairs, "doc_id")
+    }),
+
+    // ── deterministic stratified sample + train/val/test split assignment
+    "q76_sample_split" -> ((s, d) =>
+      Mix.splitAssign(
+        Mix.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 0.25, "src1" -> 0.25), 0.75),
+        "doc_id")
+        .select("doc_id", "source", "split")),
+
+    // ── repetition quality signals (dup-token/2-gram fractions, top token)
+    "q77_repetition" -> ((s, d) =>
+      TextOps.repetition(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── PII detect + redact over deterministically planted emails/phones
+    "q78_pii_scrub" -> ((s, d) =>
+      TextOps.piiScrub(
+        Tables.documents(s, d).withColumn("aug",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))),
+        "doc_id", "aug")),
+
+    // ── per-source token budget cap in deterministic hash order (800 binds
+    //    at every SF: sources exceed it even at sf0.01)
+    "q79_token_budget" -> ((s, d) =>
+      Mix.tokenBudget(Tables.documents(s, d), "doc_id", "source", "text", 800L)
+        .select("doc_id", "source", "ws_tokens", "cum_tokens")),
+
+    // ── incremental dedup: new batch (doc_id%5=4) against the corpus index;
+    //    corpus×corpus pairs are NOT re-derived
+    "q80_incremental_dedup" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      Dedup.incrementalCandidates(
+        sig.filter(col("doc_id") % 5 =!= 4),
+        sig.filter(col("doc_id") % 5 === 4), "doc_id")
+    }),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     "q37_binary_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -156,6 +202,25 @@ object ExtensionQueries {
        |bhc AS (SELECT doc_id, list_transform(sh, x -> ${h64d("x")} % ${Dedup.MinhashP}) AS bh FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM bhc),
        |sig AS (SELECT doc_id, mh.* EXCLUDE (doc_id), $bandCols FROM mh)""".stripMargin
+
+  /** LSH candidate pairs with MinHash Jaccard estimate, shared by q29 and the
+    * q75 connected-components oracle (identical semantics to
+    * `Dedup.minhashCandidates` at the default bucket cap). */
+  private val candCte: String = {
+    val bandUnion = (0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
+    val matches = (0 until Dedup.NumHashes).map(i =>
+      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""bands AS ($bandUnion),
+       |bsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2),
+       |ok AS (SELECT bands.* FROM bands JOIN bsz USING (band_idx, band_key)
+       |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
+       |cpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |cand AS (SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
+       |  FROM cpairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)""".stripMargin
+  }
 
   private val simhashBits = (0 until 32).map(j =>
     s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $j) & 1)) >= n THEN ${1L << j} ELSE 0 END)")
@@ -206,22 +271,21 @@ object ExtensionQueries {
          |  WHEN en >= es AND en >= fr THEN 'en' WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
          |FROM sc""".stripMargin,
     "q28_minhash_sig" -> s"WITH $sigCte SELECT * FROM sig",
-    "q29_minhash_pairs" -> {
-      val bandUnion = (0 until Dedup.NumBands).map(b =>
-        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
-      val matches = (0 until Dedup.NumHashes).map(i =>
-        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $sigCte,
-         |bands AS ($bandUnion),
-         |bsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2),
-         |ok AS (SELECT bands.* FROM bands JOIN bsz USING (band_idx, band_key)
-         |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM ok a JOIN ok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
-         |FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
-    },
+    "q29_minhash_pairs" ->
+      s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
+    "q75_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigCte,
+         |$candCte,
+         |edges AS (SELECT id_a AS v, id_b AS u FROM cand WHERE est_jaccard >= 0.5
+         |  UNION ALL SELECT id_b, id_a FROM cand WHERE est_jaccard >= 0.5),
+         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u),
+         |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(doc_id = cluster_id AS INT) AS keep
+         |FROM cl""".stripMargin,
     "q30_simhash" ->
       s"""WITH $toksCte,
          |hs AS (SELECT doc_id, list_transform(w, t -> ${h64d("t")}) AS hs, len(w) AS n FROM toks)
@@ -309,6 +373,71 @@ object ExtensionQueries {
         | count(*) AS n
         |FROM embeddings, generate_series(1, 64) g(i)
         |GROUP BY label, i""".stripMargin,
+    "q80_incremental_dedup" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
+      val matches = (0 until Dedup.NumHashes).map(i =>
+        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigCte,
+         |ib AS (SELECT doc_id, doc_id % 5 = 4 AS is_new, band_idx, band_key
+         |  FROM ($bandUnion) u),
+         |ibsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM ib GROUP BY 1, 2),
+         |iok AS (SELECT ib.* FROM ib JOIN ibsz USING (band_idx, band_key)
+         |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
+         |ip AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         |    greatest(a.doc_id, b.doc_id) AS id_b
+         |  FROM iok a JOIN iok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND b.is_new AND a.doc_id != b.doc_id
+         |    AND (NOT a.is_new OR a.doc_id < b.doc_id))
+         |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
+         |FROM ip JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
+    },
+    "q76_sample_split" ->
+      s"""WITH smp AS (SELECT doc_id, source FROM documents
+         |  WHERE ${h64d("'smp:' || doc_id")} % 1000 <
+         |    CASE WHEN source IN ('src0', 'src1') THEN 0.25 ELSE 0.75 END * 1000),
+         |h AS (SELECT doc_id, source, ${h64d("'split:' || doc_id")} % 100 AS h FROM smp)
+         |SELECT doc_id, source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+    "q77_repetition" ->
+      s"""WITH $toksCte,
+         |g2 AS (SELECT doc_id, ${shingleExpr(2)} AS g FROM toks),
+         |base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |  round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_token_ratio,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+         |    ELSE 0.0 END AS dup_2gram_ratio
+         |  FROM toks JOIN g2 USING (doc_id)),
+         |tf AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+         |per AS (SELECT doc_id, tok, count(*) AS cnt FROM tf GROUP BY 1, 2),
+         |top AS (SELECT doc_id, tok AS top_token, cnt FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, tok DESC) AS rn FROM per) WHERE rn = 1)
+         |SELECT doc_id, n_tokens, dup_token_ratio, dup_2gram_ratio, top_token,
+         |  round(cnt::DOUBLE / n_tokens, 6) AS top_token_ratio
+         |FROM base JOIN top USING (doc_id)""".stripMargin,
+    "q78_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or call 555-' ||
+         |  lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         |  lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '${TextOps.EmailPattern}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(aug, '${TextOps.PhonePattern}'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(regexp_replace(aug, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS scrubbed_hash
+         |FROM a""".stripMargin,
+    "q79_token_budget" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+         |  ${h64d("'ord:' || doc_id")} AS h FROM documents),
+         |c AS (SELECT doc_id, source, ws_tokens,
+         |  sum(ws_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+         |SELECT doc_id, source, ws_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 800""".stripMargin,
     "q37_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,

@@ -134,6 +134,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental LSH candidates: near-dup pairs between a NEW batch and an
+    * existing corpus, plus pairs within the new batch — but never
+    * corpus × corpus pairs, which were found when the corpus was built. This
+    * is the daily-refresh path at scale: the corpus side is the materialized
+    * signature index (store `minhashSignatures` output partitioned/bucketed
+    * by band key and read it back), so each refresh costs O(|new batch| +
+    * touched buckets), not a re-pair of the full corpus.
+    *
+    * Pair shape: one side of the join is restricted to new-batch band rows;
+    * corpus×new pairs emit in either orientation (normalized via
+    * least/greatest), new×new pairs dedup on id order. The bucket cap counts
+    * BOTH sides — a new doc landing in an already-hot corpus bucket must not
+    * re-trigger the quadratic fan-out the cap exists to stop. */
+  def incrementalCandidates(corpusSig: DataFrame, newSig: DataFrame, id: String,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val all = bandRows(corpusSig, id).withColumn("is_new", lit(false))
+      .union(bandRows(newSig, id).withColumn("is_new", lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = all.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val ok = all.join(sizes.filter(col("bucket_n") <= maxBucket),
+      Seq("band_idx", "band_key"))
+    val matches = expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+    ok.as("a").join(ok.filter(col("is_new")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$id") =!= col(s"b.$id") &&
+          (!col("a.is_new") || col(s"a.$id") < col(s"b.$id")))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
+        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Band buckets the candidate join drops at `maxBucket`: (band_idx,
     * band_key, bucket_n). Emit/log this alongside minhashCandidates — the
     * members of a mega-bucket are near-identical boilerplate and should be
@@ -214,6 +250,54 @@ object Dedup {
       .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
       .groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
       .filter(col("ndoc") > maxDf)
+
+  /** Dedup clusters: connected components over candidate near-dup pairs.
+    * Every doc is labeled with the minimum doc id reachable through the
+    * pair graph (`cluster_id`), plus the cluster size and a `keep` flag
+    * (1 on the canonical min-id member) — the final step of a dedup
+    * pipeline: pairs → clusters → keep one representative per cluster.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * adopts the minimum label among itself and its neighbors; converged when
+    * no label changes (checked with a driver-side scalar count — the data
+    * never leaves the cluster). Rounds = eccentricity of the min vertex
+    * within its component; LSH components are unions of band-bucket cliques,
+    * so chains are short and convergence is a handful of rounds. Per round
+    * the shuffle carries (vertex, label) pairs — 16 bytes per doc — plus the
+    * edge list; `localCheckpoint` truncates the growing plan lineage each
+    * round (swap for reliable `checkpoint` on a real cluster where executor
+    * loss must be recoverable). For adversarial path-shaped graphs the
+    * alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
+    * O(log²) rounds with the same per-round shape.
+    *
+    * `docs` supplies the vertex universe, so docs with no near-dup pair come
+    * out as singleton clusters (keep = 1). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, id: String,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("v"), col(idB).as("u"))
+      .union(pairs.select(col(idB).as("v"), col(idA).as("u")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(id).as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy("v").agg(min("ulbl").as("nmin"))
+      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("nlbl") =!= col("lbl")).count()
+      labels = next.select(col("v"), col("nlbl").as("lbl"))
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as(id), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("v") === col("lbl")).cast("int").as("keep"))
+  }
 
   /** Distinct shingles per doc, hashed to 60-bit longs: the join/groupBy key
     * is 8 bytes instead of an n-word string (shuffle bytes ∝ key width; the

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data mixing operators: deterministic sampling, split assignment,
+  * and per-source token budgets — the "data recipe" stage that sits between
+  * dedup/quality filtering and tokenization in a large-scale pipeline.
+  *
+  * Everything keys off the salted portable hash `TextOps.h64(salt:id)`, not
+  * `rand()`: results are reproducible across runs, partitionings, and
+  * engines (the DuckDB oracles compute the identical hashes), and adding new
+  * rows never reshuffles previous decisions — the property that makes
+  * incremental corpus refreshes safe. Sampling and splits are pure per-row
+  * filters (no shuffle, linear at 100 TB); the budget cap is one window sum
+  * per stratum.
+  */
+object Mix {
+
+  private def saltedHash(salt: String, id: String, mod: Int): Column =
+    TextOps.h64(concat(lit(salt), col(id).cast("string"))) % mod
+
+  /** Deterministic stratified sampling: keep a row when
+    * `h64('smp:'||id) mod 1000 < rate(stratum)·1000`. Per-stratum rates with
+    * a default — the standard way to rebalance source mixes (upweight rare
+    * domains, downsample boilerplate-heavy ones) without a shuffle. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratum) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(saltedHash("smp:", id, 1000) < rate * 1000)
+  }
+
+  /** Deterministic train/val/test assignment by id hash: stable under
+    * re-runs and corpus growth (a doc's split never changes when other docs
+    * arrive — unlike `randomSplit`). */
+  def splitAssign(df: DataFrame, id: String, trainPct: Int = 80,
+                  valPct: Int = 10): DataFrame = {
+    val h = saltedHash("split:", id, 100)
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum token budget: order docs by salted hash (a deterministic
+    * "random" order), keep docs while the running token total fits `budget`.
+    * This is domain capping — bounding any one source's contribution to the
+    * training mix. One window sum per stratum; the per-partition state is a
+    * single running counter, so it scales to arbitrarily large strata. */
+  def tokenBudget(df: DataFrame, id: String, stratum: String, text: String,
+                  budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(TextOps.h64(concat(lit("ord:"), col(id).cast("string"))), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long"))
+      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -110,6 +110,52 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"), sum(col("_tf")).as("term_freq"))
 
+  /** Repetition signals (the Gopher/C4-style quality filters for generated or
+    * boilerplate text): duplicate-token fraction, duplicate-2-gram fraction,
+    * and the most frequent token with its share of the doc. The ratios are
+    * per-row array work (shuffle-free); the top token is one (id, token)
+    * hash aggregate with map-side combine — shuffle bytes ∝ distinct tokens
+    * per doc, not corpus size. Deterministic tie-break: highest count, then
+    * lexicographically greatest token (struct-max ordering). */
+  def repetition(df: DataFrame, id: String, text: String): DataFrame = {
+    val perRow = df.select(col(id), tokens(col(text)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("dup_token_ratio",
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / col("n_tokens"), 6))
+      .withColumn("g", wordShingles("w", 2))
+      .withColumn("dup_2gram_ratio",
+        round(when(size(col("g")) > 0,
+          lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+          .otherwise(lit(0.0)), 6))
+      .drop("w", "g")
+    val top = df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id)).agg(max(struct(col("cnt"), col("tok"))).as("top"))
+      .select(col(id), col("top.tok").as("top_token"), col("top.cnt").as("top_cnt"))
+    perRow.join(top, id)
+      .select(col(id), col("n_tokens"), col("dup_token_ratio"), col("dup_2gram_ratio"),
+        col("top_token"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_token_ratio"))
+  }
+
+  /** PII patterns for scrubbing: plain ASCII email and NNN-NNN-NNNN phone.
+    * Both are RE2-compatible (no backrefs/lookaround) so the DuckDB oracle
+    * runs the identical patterns. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction: per-row counts of email/phone matches and the
+    * md5 of the scrubbed text (emails → `<EMAIL>`, phones → `<PHONE>`).
+    * Pure per-row regex work — codegen'd, shuffle-free, linear at any scale;
+    * emitting the hash rather than the scrubbed body keeps the verify dump
+    * narrow (the real pipeline would write the scrubbed column itself). */
+  def piiScrub(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      size(regexp_extract_all(col(text), lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(text), lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col(text), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>")).as("scrubbed_hash"))
+
   /** Winnowing-style document fingerprint: char 5-gram rolling hashes,
     * min per 4-window, distinct-sorted mins → md5 fingerprint.
     * (Schleimer et al., "Winnowing: Local Algorithms for Document

@@ -94,6 +94,43 @@ class DedupSpec extends SparkSpec {
     assert(j.length == 66 && j.forall(_.getDouble(2) == 0.25))
   }
 
+  test("dedup clusters: pair chain collapses to one component, singletons keep") {
+    val verts = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"))
+      .toDF("doc_id", "text")
+    // chain 1-2, 2-3: the min label needs two propagation rounds to reach 3
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val cl = Dedup.dedupClusters(verts, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(cl(1L) == ((1L, 3L, 1)))
+    assert(cl(2L) == ((1L, 3L, 0)))
+    assert(cl(3L) == ((1L, 3L, 0)))
+    assert(cl(4L) == ((4L, 1L, 1)))
+    assert(cl(5L) == ((5L, 1L, 1)))
+  }
+
+  test("dedup clusters end-to-end: LSH pairs cluster exact+near dups together") {
+    val pairs = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    val cl = Dedup.dedupClusters(docs, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L) // dups + near-dup
+    assert(cl(4L) == 4L && cl(5L) == 5L)                 // unrelated stay apart
+  }
+
+  test("incremental candidates: new batch vs corpus, no corpus×corpus pairs") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val inc = Dedup.incrementalCandidates(
+      sig.filter(col("doc_id") <= 2), sig.filter(col("doc_id") >= 3), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!inc.contains((1L, 2L))) // the corpus pair is NOT re-derived
+    assert(inc.contains((1L, 3L)) && inc.contains((2L, 3L))) // corpus×new found
+    // exactly the full candidate set minus corpus-internal pairs
+    val full = Dedup.minhashCandidates(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full.filterNot { case (a, b) => a <= 2 && b <= 2 })
+  }
+
   test("winnowing fingerprint: equal for dups, different for near-dups") {
     val fp = TextOps.fingerprint(docs, "text").select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
