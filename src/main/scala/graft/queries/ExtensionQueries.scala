@@ -164,6 +164,15 @@ object ExtensionQueries {
         sig.filter(col("doc_id") % 5 === 4), "doc_id")
     }),
 
+    // ── int8 embedding quantization (codes hashed; saturation + L1 checked)
+    "q81_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("mx"),
+          md5(expr("concat_ws(',', transform(codes, c -> cast(c AS STRING)))"))
+            .as("codes_hash"),
+          expr("CAST(size(filter(codes, c -> abs(c) = 127)) AS BIGINT)").as("n_sat"),
+          expr("CAST(aggregate(codes, 0L, (a, c) -> a + abs(c)) AS BIGINT)").as("l1"))),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     "q37_binary_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -438,6 +447,18 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
          |SELECT doc_id, source, ws_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 800""".stripMargin,
+    "q81_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx,
+        |  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS INT)) END AS codes
+        |  FROM m)
+        |SELECT vec_id, mx, md5(array_to_string(codes, ',')) AS codes_hash,
+        |  len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_sat,
+        |  list_sum(list_transform(codes, c -> abs(c)))::BIGINT AS l1
+        |FROM q""".stripMargin,
     "q37_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,

@@ -38,4 +38,20 @@ class AnnSpec extends SparkSpec {
     val diff = assigned.select("vec_id", "cell").except(assigned2.select("vec_id", "cell"))
     assert(diff.count() == 0)
   }
+
+  test("int8 quantization: bounded dequant error, cosine preserved") {
+    val qz = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .join(e.select(col("vec_id"), Similarity.asDouble("embedding").as("v")), "vec_id")
+      .withColumn("dq", expr("transform(codes, c -> c * mx / 127.0)"))
+    // |x - dequant(x)| ≤ mx/254 (half a quantization step), codes in [-127,127]
+    val bad = qz.filter(expr(
+      "exists(zip_with(v, dq, (x, y) -> abs(x - y) > mx / 254.0 + 1e-12), b -> b)") ||
+      expr("exists(codes, c -> abs(c) > 127)"))
+    assert(bad.count() == 0)
+    // cosine between original and dequantized stays near 1 for every vector
+    val minCos = qz
+      .withColumn("cos", Similarity.cosineNative(spark, "v", "dq"))
+      .agg(min("cos")).head().getDouble(0)
+    assert(minCos > 0.995, s"dequantized cosine degraded: $minCos")
+  }
 }
