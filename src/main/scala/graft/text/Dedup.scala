@@ -99,39 +99,50 @@ object Dedup {
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_key")))
 
+  /** Drop band rows whose bucket exceeds `maxBucket`: sizes via groupBy
+    * (map-side combine, bytes ∝ #buckets) + join — NOT a count window,
+    * which would buffer the very bucket the cap exists to drop. */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.join(
+      bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket),
+      Seq("band_idx", "band_key"))
+
+  /** (id_a, id_b, mh_a, mh_b) → distinct (id_a, id_b, est_jaccard): match
+    * count from one zip_with over the two 16-long signature arrays. */
+  private def estimatePairs(joined: DataFrame): DataFrame =
+    joined.select(col("id_a"), col("id_b"),
+      (expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+        .cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+
   /** LSH candidate pairs: docs sharing any band bucket (bucket ≤ maxBucket),
     * with the MinHash Jaccard estimate (matching hashes / 16).
     *
-    * Shape, in shuffle order: (1) bucket sizes via groupBy (map-side combine,
-    * bytes ∝ #buckets); (2) band rows ⋈ sizes to drop hot buckets — groupBy+
-    * join rather than a count window because WindowExec would buffer the hot
-    * bucket it exists to drop; (3) in-bucket self-join — signatures ride
-    * along, so the old "join the signature table twice" (two extra shuffles
-    * of sig) is gone; match counts come from one zip_with over the two
-    * 16-long arrays. Dropped buckets: `minhashOverflow` (same cap value).
+    * Shape, in shuffle order: bucket sizes, hot-bucket cap (`capBuckets`),
+    * in-bucket self-join — signatures ride along, so the old "join the
+    * signature table twice" (two extra shuffles of sig) is gone. Dropped
+    * buckets: `minhashOverflow` (same cap value).
     *
     * The band frame is persisted: it feeds the size aggregate and both join
     * sides, and recomputing it re-hashes the corpus per consumer. At 100 TB
-    * it is ~1% of corpus bytes — exactly the index you'd materialize.
-    * Caller may `.unpersist()` the input afterwards. */
+    * it is ~1% of corpus bytes — exactly the index you'd materialize. The
+    * cache entry is freed by Spark's ContextCleaner once the result plan is
+    * dropped (MEMORY_AND_DISK also evicts LRU under pressure); long-lived
+    * sessions doing many dedup passes should materialize the band index to
+    * a table instead. */
   def minhashCandidates(sig: DataFrame, id: String,
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = bandRows(sig, id)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = bands.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("bucket_n"))
-    val ok = bands.join(sizes.filter(col("bucket_n") <= maxBucket),
-      Seq("band_idx", "band_key"))
-    val matches = expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
-    ok.as("a").join(ok.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
-      .select(col("id_a"), col("id_b"),
-        (matches.cast("double") / NumHashes).as("est_jaccard"))
-      .distinct()
+    val ok = capBuckets(bands, maxBucket)
+    estimatePairs(
+      ok.as("a").join(ok.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col(s"a.$id") < col(s"b.$id"))
+        .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+          col("a.mh").as("mh_a"), col("b.mh").as("mh_b")))
   }
 
   /** Incremental LSH candidates: near-dup pairs between a NEW batch and an
@@ -146,28 +157,24 @@ object Dedup {
     * corpus×new pairs emit in either orientation (normalized via
     * least/greatest), new×new pairs dedup on id order. The bucket cap counts
     * BOTH sides — a new doc landing in an already-hot corpus bucket must not
-    * re-trigger the quadratic fan-out the cap exists to stop. */
+    * re-trigger the quadratic fan-out the cap exists to stop. Cache
+    * lifecycle: as in `minhashCandidates` (ContextCleaner + LRU eviction;
+    * materialize the index for long refresh loops). */
   def incrementalCandidates(corpusSig: DataFrame, newSig: DataFrame, id: String,
                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val all = bandRows(corpusSig, id).withColumn("is_new", lit(false))
       .union(bandRows(newSig, id).withColumn("is_new", lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = all.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("bucket_n"))
-    val ok = all.join(sizes.filter(col("bucket_n") <= maxBucket),
-      Seq("band_idx", "band_key"))
-    val matches = expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
-    ok.as("a").join(ok.filter(col("is_new")).as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$id") =!= col(s"b.$id") &&
-          (!col("a.is_new") || col(s"a.$id") < col(s"b.$id")))
-      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
-        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"),
-        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
-      .select(col("id_a"), col("id_b"),
-        (matches.cast("double") / NumHashes).as("est_jaccard"))
-      .distinct()
+    val ok = capBuckets(all, maxBucket)
+    estimatePairs(
+      ok.as("a").join(ok.filter(col("is_new")).as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col(s"a.$id") =!= col(s"b.$id") &&
+            (!col("a.is_new") || col(s"a.$id") < col(s"b.$id")))
+        .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
+          greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"),
+          col("a.mh").as("mh_a"), col("b.mh").as("mh_b")))
   }
 
   /** Band buckets the candidate join drops at `maxBucket`: (band_idx,
@@ -264,33 +271,52 @@ object Dedup {
     * within its component; LSH components are unions of band-bucket cliques,
     * so chains are short and convergence is a handful of rounds. Per round
     * the shuffle carries (vertex, label) pairs — 16 bytes per doc — plus the
-    * edge list; `localCheckpoint` truncates the growing plan lineage each
-    * round (swap for reliable `checkpoint` on a real cluster where executor
+    * edge list. Each round's label set is persisted eagerly and the previous
+    * round's is explicitly unpersisted, so at most two label copies are live;
+    * each round reads the previous round's in-memory relation, so lineage
+    * stays shallow (use reliable `checkpoint` on a cluster where executor
     * loss must be recoverable). For adversarial path-shaped graphs the
     * alternating large-star/small-star formulation (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
     * O(log²) rounds with the same per-round shape.
     *
     * `docs` supplies the vertex universe, so docs with no near-dup pair come
-    * out as singleton clusters (keep = 1). */
+    * out as singleton clusters (keep = 1).
+    *
+    * `maxRounds` bounds the driver loop: a path-shaped component needs one
+    * round per hop, so a pathological 10⁵-hop chain would otherwise spin
+    * 10⁵ shuffle rounds. Non-convergence throws (silently stopping would
+    * return WRONG cluster ids) — components deeper than the cap need the
+    * large-star/small-star formulation, not a bigger cap. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, id: String,
-                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+                    idA: String = "id_a", idB: String = "id_b",
+                    maxRounds: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("v"), col(idB).as("u"))
       .union(pairs.select(col(idB).as("v"), col(idA).as("u")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(id).as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var cached = docs.select(col(id).as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"dedupClusters: not converged after $maxRounds rounds — a component " +
+            "deeper than the cap exists; use large-star/small-star for such graphs")
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
         .groupBy("v").agg(min("ulbl").as("nmin"))
       val next = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
-        .localCheckpoint(true)
-      changed = next.filter(col("nlbl") =!= col("lbl")).count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("nlbl") =!= col("lbl")).count() // materializes next
+      cached.unpersist() // next is live; cap label-set copies at two
+      cached = next
       labels = next.select(col("v"), col("nlbl").as("lbl"))
+      rounds += 1
     }
     edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))

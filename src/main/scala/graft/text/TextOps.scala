@@ -112,13 +112,27 @@ object TextOps {
 
   /** Repetition signals (the Gopher/C4-style quality filters for generated or
     * boilerplate text): duplicate-token fraction, duplicate-2-gram fraction,
-    * and the most frequent token with its share of the doc. The ratios are
-    * per-row array work (shuffle-free); the top token is one (id, token)
-    * hash aggregate with map-side combine — shuffle bytes ∝ distinct tokens
-    * per doc, not corpus size. Deterministic tie-break: highest count, then
-    * lexicographically greatest token (struct-max ordering). */
+    * and the most frequent token with its share of the doc. Fully per-row —
+    * ONE corpus scan, zero shuffle: the top token comes from a longest-run
+    * scan over the sorted token array (run length = occurrence count), not
+    * an explode + re-join. Deterministic tie-break: highest count, then
+    * lexicographically greatest token (`>=` on an ascending-sorted array
+    * leaves the greatest token of the maximal runs in place). */
   def repetition(df: DataFrame, id: String, text: String): DataFrame = {
-    val perRow = df.select(col(id), tokens(col(text)).as("w"))
+    val topRun =
+      """aggregate(
+        |  array_sort(w),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+        |               'best', 0L, 'btok', CAST(NULL AS STRING)),
+        |  (s, t) -> named_struct(
+        |    'prev', t,
+        |    'run',  IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L),
+        |    'best', IF(IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L) >= s.best,
+        |               IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L), s.best),
+        |    'btok', IF(IF(s.prev IS NOT NULL AND t = s.prev, s.run + 1L, 1L) >= s.best,
+        |               t, s.btok)),
+        |  s -> named_struct('cnt', s.best, 'tok', s.btok))""".stripMargin
+    df.select(col(id), tokens(col(text)).as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("dup_token_ratio",
         round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / col("n_tokens"), 6))
@@ -127,15 +141,10 @@ object TextOps {
         round(when(size(col("g")) > 0,
           lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
           .otherwise(lit(0.0)), 6))
-      .drop("w", "g")
-    val top = df.select(col(id), explode(tokens(col(text))).as("tok"))
-      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col(id)).agg(max(struct(col("cnt"), col("tok"))).as("top"))
-      .select(col(id), col("top.tok").as("top_token"), col("top.cnt").as("top_cnt"))
-    perRow.join(top, id)
+      .withColumn("top", expr(topRun))
       .select(col(id), col("n_tokens"), col("dup_token_ratio"), col("dup_2gram_ratio"),
-        col("top_token"),
-        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_token_ratio"))
+        col("top.tok").as("top_token"),
+        round(col("top.cnt").cast("double") / col("n_tokens"), 6).as("top_token_ratio"))
   }
 
   /** PII patterns for scrubbing: plain ASCII email and NNN-NNN-NNNN phone.

@@ -106,6 +106,11 @@ class DedupSpec extends SparkSpec {
     assert(cl(3L) == ((1L, 3L, 0)))
     assert(cl(4L) == ((4L, 1L, 1)))
     assert(cl(5L) == ((5L, 1L, 1)))
+    // the round cap refuses to return unconverged (wrong) labels: the chain
+    // needs 2 propagation rounds + 1 to observe convergence
+    intercept[IllegalStateException] {
+      Dedup.dedupClusters(verts, pairs, "doc_id", maxRounds = 1).collect()
+    }
   }
 
   test("dedup clusters end-to-end: LSH pairs cluster exact+near dups together") {

@@ -13,9 +13,23 @@ import duckdb
 
 def main(a_dir, b_dir):
     con = duckdb.connect()
-    names = sorted(n for n in os.listdir(a_dir) if os.path.isdir(f"{a_dir}/{n}"))
+    a_names = {n for n in os.listdir(a_dir) if os.path.isdir(f"{a_dir}/{n}")}
+    b_names = {n for n in os.listdir(b_dir) if os.path.isdir(f"{b_dir}/{n}")}
     n_pass = n_fail = 0
-    for name in names:
+    # a query that crashed in BOTH runs leaves no dir in either dump (Verify
+    # swallows per-query errors) — flag catalog entries with no output too
+    with open(os.path.join(os.path.dirname(__file__), "..", "README.md")) as f:
+        import re
+        m = re.search(r"catalog \((\d+) queries\)", f.read())
+    expected = int(m.group(1)) if m else None
+    if expected is not None and len(a_names | b_names) < expected:
+        print(f"FAIL: only {len(a_names | b_names)} query dirs present, "
+              f"catalog says {expected} — some queries produced no output")
+        n_fail += 1
+    for name in sorted(a_names ^ b_names):
+        print(f"FAIL {name}: present in only one dump")
+        n_fail += 1
+    for name in sorted(a_names & b_names):
         try:
             a = con.execute(f"SELECT * FROM read_parquet('{a_dir}/{name}/*.parquet')").fetchdf()
             b = con.execute(f"SELECT * FROM read_parquet('{b_dir}/{name}/*.parquet')").fetchdf()
