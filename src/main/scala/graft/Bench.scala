@@ -5,11 +5,20 @@ import scala.collection.immutable.ListMap
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * Methodology: fixed session config (shuffle partitions = cores, AQE on,
-  * UTC), one untimed warmup of the IO/codegen/shuffle paths, then each query
-  * executed twice with the minimum reported — min-of-2 suppresses one-off
-  * JIT/GC/page-cache noise while never under-reporting steady-state cost.
-  * Timed region = full plan build + execution (`count()` action), including
-  * the parquet scan.
+  * UTC), one untimed warmup of the IO/codegen/shuffle paths, then two full
+  * *interleaved* passes over the query set with the minimum reported per
+  * query. Interleaving (pass 1 over all queries, then pass 2) means a
+  * minutes-long burst of external contention pollutes at most one of the two
+  * samples of any query, so min-of-2 recovers the true cost; back-to-back
+  * repeats would let one burst poison both. Timed region = full plan build +
+  * execution (`count()` action), including the parquet scan.
+  *
+  * Self-diagnosis fields beyond the driver contract:
+  *   - `errors`: query -> exception class+message for any failed run. A
+  *     failing query is NEVER silently reported as a fast time.
+  *   - `spread`: query -> max/min ratio of the two passes, only for queries
+  *     where the ratio exceeds 3x. A polluted run shows large spreads here
+  *     (e.g. round 2's phantom 10-16x regressions), a clean run shows `{}`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,21 +37,33 @@ object Bench {
       spark.range(1000).select(sum(col("id").cast("decimal(18,6)"))).count()
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val results: ListMap[String, Double] = ListMap(
-      SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        val t = math.min(once(name), once(name))
-        name -> t
-      }: _*)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n)).toMap
+    val results: ListMap[String, Double] =
+      ListMap(names.map(n => n -> math.min(pass1(n), pass2(n))): _*)
+    val spread: ListMap[String, Double] = ListMap(names.flatMap { n =>
+      val (lo, hi) = (math.min(pass1(n), pass2(n)), math.max(pass1(n), pass2(n)))
+      val r = if (lo > 0) hi / lo else 1.0
+      if (r > 3.0) Some(n -> math.round(r * 100) / 100.0) else None
+    }: _*)
+    def numMap(m: ListMap[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,7 +49,11 @@ object Forecast {
     val gbt = new GBTRegressor()
       .setLabelCol(target).setFeaturesCol("features")
       .setMaxIter(maxIter).setStepSize(0.05).setMaxDepth(6)
-      .setSubsamplingRate(0.8).setSeed(seed)
+      .setSubsamplingRate(0.8)
+      // mirror of the reference's colsample_bytree=0.8
+      // (analysis_part/main.py:102); Spark's nearest knob subsamples the
+      // 0.8 fraction per tree NODE rather than per tree
+      .setFeatureSubsetStrategy("0.8").setSeed(seed)
     val model = gbt.fit(train)
 
     // C4 — RMSE on the chronological holdout

@@ -120,25 +120,36 @@ object Granger {
     g("y", "y") - beta.zip(xty).map { case (x, y) => x * y }.sum
   }
 
+  /** Rank-aware elimination: a pivot below `tol` (relative to the largest
+    * Gram entry) marks a linearly dependent column — its coefficient is
+    * pinned to 0 instead of dividing by rounding noise, matching the
+    * pinv-backed OLS the reference's statsmodels uses. Without this, a
+    * constant predictor (singular normal equations) yields a garbage β and a
+    * fabricated F statistic; with it, rss_unrestricted = rss_restricted and
+    * F ≈ 0 → p ≈ 1 / NaN, the honest "no information" answer. */
   private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val k = b0.length
     val a = a0.map(_.clone()); val b = b0.clone()
+    val scale = a0.iterator.flatten.map(math.abs).foldLeft(1e-300)(math.max)
+    val tol = scale * 1e-10
     for (col <- 0 until k) {
       val piv = (col until k).maxBy(r => math.abs(a(r)(col)))
       val tmpA = a(col); a(col) = a(piv); a(piv) = tmpA
       val tmpB = b(col); b(col) = b(piv); b(piv) = tmpB
       val d = a(col)(col)
-      for (r <- col + 1 until k if d != 0.0) {
-        val f = a(r)(col) / d
-        for (c <- col until k) a(r)(c) -= f * a(col)(c)
-        b(r) -= f * b(col)
-      }
+      if (math.abs(d) > tol) {
+        for (r <- col + 1 until k) {
+          val f = a(r)(col) / d
+          for (c <- col until k) a(r)(c) -= f * a(col)(c)
+          b(r) -= f * b(col)
+        }
+      } else a(col)(col) = 0.0 // dependent column: β pinned to 0 below
     }
     val x = new Array[Double](k)
     for (r <- k - 1 to 0 by -1) {
       var s = b(r)
       for (c <- r + 1 until k) s -= a(r)(c) * x(c)
-      x(r) = if (a(r)(r) == 0.0) 0.0 else s / a(r)(r)
+      x(r) = if (math.abs(a(r)(r)) <= tol) 0.0 else s / a(r)(r)
     }
     x
   }

@@ -36,6 +36,18 @@ object AnalyticsQueries {
       Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 60)),
 
+    // ── P8: drop all-null columns (dropna(axis=1, how="all"),
+    //    dashboard/app.py:381). Fixture plants two genuinely all-null
+    //    columns (double + string) and one sparse column; the operator must
+    //    drop exactly the dead ones — the oracle's column list is the proof.
+    "q82_drop_allnull_cols" -> ((s, d) =>
+      R.dropAllNullCols(
+        Tables.nation(s, d)
+          .withColumn("dead_d", lit(null).cast("double"))
+          .withColumn("dead_s", lit(null).cast("string"))
+          .withColumn("sparse",
+            when(col("n_nationkey") % 5 === 0, col("n_regionkey"))))),
+
     // ── J5 explicit: as-of join — each purchase sees the latest prior view
     "q44_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -159,6 +171,10 @@ object AnalyticsQueries {
         | FROM events) WHERE rn = 1""".stripMargin,
     "q41_count_guard" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) >= 60",
+    "q82_drop_allnull_cols" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey END AS sparse
+        |FROM nation""".stripMargin,
     "q49_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

@@ -443,8 +443,8 @@ object ExtensionQueries {
          |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
          |  ${h64d("'ord:' || doc_id")} AS h FROM documents),
          |c AS (SELECT doc_id, source, ws_tokens,
-         |  sum(ws_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+         |  CAST(sum(ws_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, source, ws_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 800""".stripMargin,
     "q81_quantize_int8" ->

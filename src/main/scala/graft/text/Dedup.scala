@@ -161,9 +161,15 @@ object Dedup {
     * lifecycle: as in `minhashCandidates` (ContextCleaner + LRU eviction;
     * materialize the index for long refresh loops). */
   def incrementalCandidates(corpusSig: DataFrame, newSig: DataFrame, id: String,
-                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val all = bandRows(corpusSig, id).withColumn("is_new", lit(false))
-      .union(bandRows(newSig, id).withColumn("is_new", lit(true)))
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalFromBands(bandRows(corpusSig, id), bandRows(newSig, id), id, maxBucket)
+
+  /** Core of the incremental path, over pre-computed band rows — shared by
+    * the recompute-both-sides form above and the stored-index form below. */
+  private def incrementalFromBands(corpusBands: DataFrame, newBands: DataFrame,
+                                   id: String, maxBucket: Int): DataFrame = {
+    val all = corpusBands.withColumn("is_new", lit(false))
+      .union(newBands.withColumn("is_new", lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = capBuckets(all, maxBucket)
     estimatePairs(
@@ -175,6 +181,71 @@ object Dedup {
         .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
           greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"),
           col("a.mh").as("mh_a"), col("b.mh").as("mh_b")))
+  }
+
+  /** A materialized LSH signature index: `bands` is one row per (doc, band)
+    * — id, mh (full 16-hash signature), band_idx, band_key, bucket — stored
+    * as parquet hash-partitioned on `bucket = pmod(band_key, nBuckets)`.
+    * `nBuckets` is recorded alongside the data so reader and writer cannot
+    * disagree (a mismatched modulus would silently prune the WRONG buckets). */
+  final case class SignatureIndex(bands: DataFrame, nBuckets: Int)
+
+  /** Default partition count for the stored signature index: enough that a
+    * daily batch prunes most of the corpus scan, few enough that the
+    * partition directories stay coarse (at 100 TB corpus ≈ 1 TB index ≈ 4 GB
+    * per bucket directory — healthy parquet file sizes). */
+  val DefaultIndexBuckets = 256
+
+  /** Materialize the LSH band index for `sig` (= `minhashSignatures` output)
+    * at `path`: band rows partitioned by `bucket`, plus a 1-row `meta`
+    * parquet pinning (nBuckets, NumHashes, NumBands). This is the stored
+    * side of the daily-refresh dedup loop — write once when the corpus is
+    * built, then each refresh joins only the buckets the new batch touches
+    * (see `incrementalCandidatesIndexed`) instead of re-hashing the corpus. */
+  def writeSignatureIndex(sig: DataFrame, id: String, path: String,
+                          nBuckets: Int = DefaultIndexBuckets): Unit = {
+    val spark = sig.sparkSession
+    // null band keys (docs too short to produce a single shingle) can never
+    // satisfy the band equi-join, so they'd be dead weight in the index
+    bandRows(sig, id).filter(col("band_key").isNotNull)
+      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    import spark.implicits._
+    Seq((nBuckets, NumHashes, NumBands)).toDF("n_buckets", "num_hashes", "num_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored signature index; refuses an index written under different
+    * MinHash geometry (band keys would be incomparable garbage). */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): SignatureIndex = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("n_buckets", "num_hashes", "num_bands").head()
+    require(meta.getInt(1) == NumHashes && meta.getInt(2) == NumBands,
+      s"signature index at $path was written with ${meta.getInt(1)} hashes / " +
+        s"${meta.getInt(2)} bands; this build uses $NumHashes / $NumBands")
+    SignatureIndex(spark.read.parquet(s"$path/bands"), meta.getInt(0))
+  }
+
+  /** `incrementalCandidates` against a STORED corpus index: identical pairs,
+    * but the corpus side is a partition-pruned parquet scan of only the
+    * buckets the new batch lands in — the corpus text is never re-read and
+    * untouched buckets are never even opened. The touched-bucket list is
+    * collected to the driver, but it is bounded by `nBuckets` ints (not by
+    * batch or corpus size), so this stays O(hundreds of bytes) at any scale. */
+  def incrementalCandidatesIndexed(index: SignatureIndex, newSig: DataFrame,
+                                   id: String,
+                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val newBands = bandRows(newSig, id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = newBands
+      .filter(col("band_key").isNotNull)
+      .select(pmod(col("band_key"), lit(index.nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusBands = index.bands
+      .filter(col("bucket").isin(touched: _*))
+      .drop("bucket")
+    incrementalFromBands(corpusBands, newBands, id, maxBucket)
   }
 
   /** Band buckets the candidate join drops at `maxBucket`: (band_idx,
@@ -271,54 +342,150 @@ object Dedup {
     * within its component; LSH components are unions of band-bucket cliques,
     * so chains are short and convergence is a handful of rounds. Per round
     * the shuffle carries (vertex, label) pairs — 16 bytes per doc — plus the
-    * edge list. Each round's label set is persisted eagerly and the previous
-    * round's is explicitly unpersisted, so at most two label copies are live;
-    * each round reads the previous round's in-memory relation, so lineage
-    * stays shallow (use reliable `checkpoint` on a cluster where executor
-    * loss must be recoverable). For adversarial path-shaped graphs the
-    * alternating large-star/small-star formulation (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) converges in
-    * O(log²) rounds with the same per-round shape.
+    * edge list. Each round's label set is materialized with an eager
+    * `localCheckpoint`, which TRUNCATES the logical plan: a round references
+    * the previous label set twice (the neighbor-min join and the update
+    * join), so without truncation the plan tree doubles per round and
+    * Catalyst analysis time — not the data — becomes the bottleneck within a
+    * few dozen rounds. Old checkpoint blocks are freed by the
+    * ContextCleaner as each round's frame goes unreachable. On a cluster
+    * where executor loss must be survivable, swap for reliable `checkpoint`.
+    * For adversarial path-shaped graphs the alternating
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) converges in O(log²)
+    * rounds with the same per-round shape — see `starClusters`.
     *
     * `docs` supplies the vertex universe, so docs with no near-dup pair come
     * out as singleton clusters (keep = 1).
     *
     * `maxRounds` bounds the driver loop: a path-shaped component needs one
     * round per hop, so a pathological 10⁵-hop chain would otherwise spin
-    * 10⁵ shuffle rounds. Non-convergence throws (silently stopping would
-    * return WRONG cluster ids) — components deeper than the cap need the
-    * large-star/small-star formulation, not a bigger cap. */
+    * 10⁵ shuffle rounds. On hitting the cap the computation falls back to
+    * `starClusters` (alternating large-star/small-star, O(log² n) rounds on
+    * any graph shape) rather than throwing or — worse — silently returning
+    * the not-yet-converged WRONG labels. Set `fallbackToStar = false` to get
+    * the old throwing behavior (e.g. when a deep component indicates corrupt
+    * pair input rather than a legitimately chain-shaped corpus). */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, id: String,
                     idA: String = "id_a", idB: String = "id_b",
-                    maxRounds: Int = 100): DataFrame = {
+                    maxRounds: Int = 100,
+                    fallbackToStar: Boolean = true): DataFrame = {
     val edges = pairs.select(col(idA).as("v"), col(idB).as("u"))
       .union(pairs.select(col(idB).as("v"), col(idA).as("u")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cached = docs.select(col(id).as("v")).distinct()
+    var labels = docs.select(col(id).as("v")).distinct()
       .withColumn("lbl", col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      if (rounds >= maxRounds)
+      if (rounds >= maxRounds) {
+        edges.unpersist()
+        if (fallbackToStar)
+          return starClusters(docs, pairs, id, idA, idB)
         throw new IllegalStateException(
           s"dedupClusters: not converged after $maxRounds rounds — a component " +
-            "deeper than the cap exists; use large-star/small-star for such graphs")
+            "deeper than the cap exists; use starClusters for such graphs")
+      }
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
         .groupBy("v").agg(min("ulbl").as("nmin"))
       val next = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("nlbl") =!= col("lbl")).count() // materializes next
-      cached.unpersist() // next is live; cap label-set copies at two
-      cached = next
+        .localCheckpoint(true) // materialize + truncate lineage
+      changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("v"), col("nlbl").as("lbl"))
       rounds += 1
     }
     edges.unpersist()
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as(id), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("v") === col("lbl")).cast("int").as("keep"))
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Same output contract as `dedupClusters` — cluster_id = min
+    * reachable doc id, cluster_size, keep — but converges in O(log² n)
+    * rounds on ANY graph shape, where min-label propagation needs one round
+    * per hop (a crawl-chain component 10⁴ docs deep = 10⁴ shuffle rounds).
+    *
+    * Large-star: each vertex u connects its strictly-larger neighbors to
+    * m = min(Γ(u) ∪ {u}). Small-star: each vertex u connects its
+    * smaller neighbors and itself to m = min(Γ≤(u)). Both are one
+    * groupBy + one join over the edge set; edges only ever move toward
+    * component minima, and the fixpoint is a star forest centered on each
+    * component's minimum vertex. Per-round shuffle ∝ current edge set
+    * (2 longs/edge) — same scale shape as one label-propagation round.
+    *
+    * Convergence is detected by an order-insensitive fingerprint of the
+    * canonical edge set — (count, Σ xxhash64(lo, hi)) — repeating; one
+    * cheap aggregate per round, nothing collected but two longs. The paper's
+    * potential argument rules out oscillation, so fingerprint-repeat means
+    * fixpoint.
+    *
+    * Each round's edge set is materialized with an eager `localCheckpoint`,
+    * which TRUNCATES the logical plan: one round references the previous
+    * edge set ~5 times (symmetrize ×2, the min-join, the star join), so
+    * without truncation the plan tree grows ~5× per round and Catalyst
+    * analysis — not the data — becomes the bottleneck by round ~10. On a
+    * cluster where executor loss must be survivable, swap for reliable
+    * `checkpoint` (same call shape, writes to the checkpoint dir). */
+  def starClusters(docs: DataFrame, pairs: DataFrame, id: String,
+                   idA: String = "id_a", idB: String = "id_b",
+                   maxRounds: Int = 100): DataFrame = {
+    // the hash sum aggregates through decimal(38,0): exact, order-insensitive,
+    // and immune to the long overflow ANSI mode would throw on (the sum of n
+    // 63-bit hashes needs ~log10(n)+19 digits — 38 covers any edge count)
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    }
+    var edges = pairs
+      .select(least(col(idA), col(idB)).as("lo"), greatest(col(idA), col(idB)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
+    var rounds = 0
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"starClusters: not converged after $maxRounds rounds (edge count ${fp._1})")
+      // large-star: attach each vertex's larger neighbors to its closed-
+      // neighborhood minimum m; emitted edges (m, v) keep lo < hi since m ≤ u < v
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mn = sym.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val ls = sym.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+      // small-star: orient hi→lo (so every neighbor v of u here has v < u),
+      // attach v's and u itself to m = min of u's smaller neighbors (m ≤ v < u)
+      val or = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mn2 = or.groupBy("u").agg(min("v").as("m"))
+      val ss = or.join(mn2, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(mn2.select(col("m").as("lo"), col("u").as("hi")))
+        .filter(col("lo") =!= col("hi")).distinct()
+        .localCheckpoint(true) // materialize + truncate lineage
+      val nfp = fingerprint(ss)
+      edges = ss
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    // fixpoint edge set is a star forest (lo = component min, hi = member);
+    // the groupBy-min is belt and braces, not a requirement
+    val member = edges.groupBy(col("hi").as("v")).agg(min("lo").as("lbl"))
+    val labels = docs.select(col(id).as("v")).distinct()
+      .join(member, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("lbl"), col("v")).as("lbl"))
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("v").as(id), col("lbl").as("cluster_id"), col("cluster_size"),

@@ -106,11 +106,70 @@ class DedupSpec extends SparkSpec {
     assert(cl(3L) == ((1L, 3L, 0)))
     assert(cl(4L) == ((4L, 1L, 1)))
     assert(cl(5L) == ((5L, 1L, 1)))
-    // the round cap refuses to return unconverged (wrong) labels: the chain
-    // needs 2 propagation rounds + 1 to observe convergence
+    // the round cap never returns unconverged (wrong) labels: the chain
+    // needs 2 propagation rounds + 1 to observe convergence, so maxRounds=1
+    // either falls back to large-star/small-star (default) or throws
+    val viaFallback = Dedup.dedupClusters(verts, pairs, "doc_id", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
     intercept[IllegalStateException] {
-      Dedup.dedupClusters(verts, pairs, "doc_id", maxRounds = 1).collect()
+      Dedup.dedupClusters(verts, pairs, "doc_id", maxRounds = 1,
+        fallbackToStar = false).collect()
     }
+  }
+
+  test("star clusters: 500-hop chain converges in O(log²) rounds with correct labels") {
+    // a path graph is the propagation worst case (one round per hop);
+    // large-star/small-star must label it without 500 shuffle rounds
+    val n = 500L
+    val verts = spark.range(0, n + 1).toDF("doc_id")
+    val pairs = spark.range(0, n).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cl = Dedup.starClusters(verts, pairs, "doc_id")
+    val agg = cl.agg(
+      countDistinct("cluster_id"), min("cluster_id"), max("cluster_size"),
+      sum("keep"), count(lit(1))).head()
+    assert(agg.getLong(0) == 1L)      // one component
+    assert(agg.getLong(1) == 0L)      // labeled with the min vertex
+    assert(agg.getLong(2) == n + 1)   // full size
+    assert(agg.getLong(3) == 1L)      // exactly one keeper
+    assert(agg.getLong(4) == n + 1)
+    // the propagation path falls back to the same answer instead of throwing
+    val fb = Dedup.dedupClusters(verts, pairs, "doc_id", maxRounds = 5)
+    assert(fb.agg(countDistinct("cluster_id"), sum("keep")).head()
+      == org.apache.spark.sql.Row(1L, 1L))
+  }
+
+  test("star clusters match propagation clusters on a multi-component graph") {
+    val verts = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // three shapes: a chain 1..10, a clique on 20..24, a star at 30
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      (for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)) ++
+      Seq((30L, 31L), (30L, 32L), (30L, 33L))).toDF("id_a", "id_b")
+    val prop = Dedup.dedupClusters(verts, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val star = Dedup.starClusters(verts, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(prop == star)
+  }
+
+  test("stored signature index: indexed incremental equals recomputed, scan is pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val corpusSig = sig.filter(col("doc_id") <= 2)
+    val newSig = sig.filter(col("doc_id") >= 3)
+    Dedup.writeSignatureIndex(corpusSig, "doc_id", dir, nBuckets = 16)
+    val idx = Dedup.readSignatureIndex(spark, dir)
+    assert(idx.nBuckets == 16)
+    val indexed = Dedup.incrementalCandidatesIndexed(idx, newSig, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recomputed = Dedup.incrementalCandidates(corpusSig, newSig, "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(indexed == recomputed && indexed.nonEmpty)
+    // only the new batch's buckets are read: the pruned corpus scan carries a
+    // partition filter on `bucket`, so untouched bucket directories never open
+    val pruned = idx.bands.filter(col("bucket").isin(0, 1))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"))
   }
 
   test("dedup clusters end-to-end: LSH pairs cluster exact+near dups together") {

@@ -48,6 +48,28 @@ class GrangerSpec extends SparkSpec {
     assert(ps.forall(_ > 0.01), s"independent series flagged causal: ${ps.mkString(",")}")
   }
 
+  test("degenerate predictors: constant x never flags causality; zero-variance pins NaN") {
+    // constant predictor: the unrestricted design is singular (x lags are
+    // collinear with the intercept), exact-arithmetic F = 0. statsmodels'
+    // pinv-backed OLS reports p ≈ 1; this engine emits p = 1 or NaN (float
+    // cancellation can land f just below 0, taking the NaN guard) — in
+    // either case, never a causality claim.
+    val constX = (0 until 60).map(t => ("S", t, ys(t % n), 3.0))
+      .toDF("symbol", "t", "y", "x")
+    val px = Granger.test(constX, "symbol", "t", "y", "x", maxLag = 3)
+      .select("p_value", "f_stat").collect()
+    assert(px.nonEmpty && px.forall(r =>
+      r.getDouble(0).isNaN || r.getDouble(0) > 0.99))
+    // zero-variance target AND predictor: the restricted fit is already
+    // perfect (rss_r = rss_u = 0), F = 0/0 — the NaN p-value path
+    // (Granger.scala:83-88) must fire rather than fabricating a number
+    val constBoth = (0 until 40).map(t => ("S", t, 2.0, 3.0))
+      .toDF("symbol", "t", "y", "x")
+    val pb = Granger.test(constBoth, "symbol", "t", "y", "x", maxLag = 2)
+      .select("p_value").collect().map(_.getDouble(0))
+    assert(pb.length == 2 && pb.forall(_.isNaN))
+  }
+
   test("sweep runs per predictor and rounds p to 5 decimals") {
     val res = Granger.sweep(df.withColumn("z", col("x") * 2), "symbol", "t", "y",
       Seq("x", "z"), maxLag = 2)
