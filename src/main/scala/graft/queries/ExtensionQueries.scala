@@ -164,6 +164,29 @@ object ExtensionQueries {
         sig.filter(col("doc_id") % 5 === 4), "doc_id")
     }),
 
+    // ── same pairs via the STORED signature index: the corpus band rows are
+    //    written to bucket-partitioned parquet and read back, and only the
+    //    buckets the new batch touches are scanned — value-identical to q80
+    //    (shared oracle), so the index round-trip itself is oracle-checked
+    "q83_incremental_indexed" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+      Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4), "doc_id", dir, 64)
+      Dedup.incrementalCandidatesIndexed(Dedup.readSignatureIndex(s, dir),
+        sig.filter(col("doc_id") % 5 === 4), "doc_id")
+    }),
+
+    // ── connected components via alternating large-star/small-star (the
+    //    adversarial-graph path q75 falls back to): identical labels to
+    //    q75's min-label propagation, so it shares the recursive-CTE oracle
+    "q84_star_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.starClusters(docs, pairs, "doc_id")
+    }),
+
     // ── int8 embedding quantization (codes hashed; saturation + L1 checked)
     "q81_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -247,7 +270,47 @@ object ExtensionQueries {
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
 
+  /** q75 oracle: recursive-CTE reachability closure — shared by q84, whose
+    * large-star/small-star formulation must produce identical labels. */
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE $sigCte,
+       |$candCte,
+       |edges AS (SELECT id_a AS v, id_b AS u FROM cand WHERE est_jaccard >= 0.5
+       |  UNION ALL SELECT id_b, id_a FROM cand WHERE est_jaccard >= 0.5),
+       |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u),
+       |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  CAST(doc_id = cluster_id AS INT) AS keep
+       |FROM cl""".stripMargin
+
+  /** q80 oracle: new-batch band join with both-sides bucket cap — shared by
+    * q83, whose stored-index path must produce identical pairs. */
+  private val incrementalOracleSql = {
+    val bandUnion = (0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
+    val matches = (0 until Dedup.NumHashes).map(i =>
+      s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $sigCte,
+       |ib AS (SELECT doc_id, doc_id % 5 = 4 AS is_new, band_idx, band_key
+       |  FROM ($bandUnion) u),
+       |ibsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM ib GROUP BY 1, 2),
+       |iok AS (SELECT ib.* FROM ib JOIN ibsz USING (band_idx, band_key)
+       |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
+       |ip AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM iok a JOIN iok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |    AND b.is_new AND a.doc_id != b.doc_id
+       |    AND (NOT a.is_new OR a.doc_id < b.doc_id))
+       |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
+       |FROM ip JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q83_incremental_indexed" -> incrementalOracleSql,
+    "q84_star_clusters" -> clustersOracleSql,
     "q24_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
@@ -282,19 +345,7 @@ object ExtensionQueries {
     "q28_minhash_sig" -> s"WITH $sigCte SELECT * FROM sig",
     "q29_minhash_pairs" ->
       s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
-    "q75_dedup_clusters" ->
-      s"""WITH RECURSIVE $sigCte,
-         |$candCte,
-         |edges AS (SELECT id_a AS v, id_b AS u FROM cand WHERE est_jaccard >= 0.5
-         |  UNION ALL SELECT id_b, id_a FROM cand WHERE est_jaccard >= 0.5),
-         |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
-         |  UNION
-         |  SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u),
-         |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
-         |SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         |  CAST(doc_id = cluster_id AS INT) AS keep
-         |FROM cl""".stripMargin,
+    "q75_dedup_clusters" -> clustersOracleSql,
     "q30_simhash" ->
       s"""WITH $toksCte,
          |hs AS (SELECT doc_id, list_transform(w, t -> ${h64d("t")}) AS hs, len(w) AS n FROM toks)
@@ -382,25 +433,7 @@ object ExtensionQueries {
         | count(*) AS n
         |FROM embeddings, generate_series(1, 64) g(i)
         |GROUP BY label, i""".stripMargin,
-    "q80_incremental_dedup" -> {
-      val bandUnion = (0 until Dedup.NumBands).map(b =>
-        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
-      val matches = (0 until Dedup.NumHashes).map(i =>
-        s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $sigCte,
-         |ib AS (SELECT doc_id, doc_id % 5 = 4 AS is_new, band_idx, band_key
-         |  FROM ($bandUnion) u),
-         |ibsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM ib GROUP BY 1, 2),
-         |iok AS (SELECT ib.* FROM ib JOIN ibsz USING (band_idx, band_key)
-         |  WHERE bucket_n <= ${Dedup.DefaultMaxBucket}),
-         |ip AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
-         |    greatest(a.doc_id, b.doc_id) AS id_b
-         |  FROM iok a JOIN iok b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    AND b.is_new AND a.doc_id != b.doc_id
-         |    AND (NOT a.is_new OR a.doc_id < b.doc_id))
-         |SELECT id_a, id_b, ($matches)::DOUBLE / 16 AS est_jaccard
-         |FROM ip JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
-    },
+    "q80_incremental_dedup" -> incrementalOracleSql,
     "q76_sample_split" ->
       s"""WITH smp AS (SELECT doc_id, source FROM documents
          |  WHERE ${h64d("'smp:' || doc_id")} % 1000 <

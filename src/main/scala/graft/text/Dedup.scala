@@ -206,9 +206,12 @@ object Dedup {
                           nBuckets: Int = DefaultIndexBuckets): Unit = {
     val spark = sig.sparkSession
     // null band keys (docs too short to produce a single shingle) can never
-    // satisfy the band equi-join, so they'd be dead weight in the index
+    // satisfy the band equi-join, so they'd be dead weight in the index.
+    // repartition on bucket so each writer task owns whole buckets — one
+    // file per bucket directory instead of (tasks × buckets) small files
     bandRows(sig, id).filter(col("band_key").isNotNull)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
     import spark.implicits._
     Seq((nBuckets, NumHashes, NumBands)).toDF("n_buckets", "num_hashes", "num_bands")
