@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.sim.Similarity
-import graft.text.{Dedup, Mix, TextOps}
+import graft.text.{Curate, Dedup, Mix, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,49 @@ object ExtensionQueries {
           expr("CAST(size(filter(codes, c -> abs(c) = 127)) AS BIGINT)").as("n_sat"),
           expr("CAST(aggregate(codes, 0L, (a, c) -> a + abs(c)) AS BIGINT)").as("l1"))),
 
+    // ── benchmark decontamination: train docs (doc_id%10 != 7) whose word
+    //    3-grams overlap the eval set (doc_id%10 = 7); eval n-gram set is
+    //    broadcast — no corpus-side pair join exists in the plan
+    "q85_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.contamination(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", 3, 0.2)
+    }),
+
+    // ── temperature-weighted source mixing (alpha-sampling, alpha = 0.5)
+    "q86_mix_weights" -> ((s, d) =>
+      Mix.temperatureWeights(Tables.documents(s, d), "source", "text", 0.5)),
+
+    // ── URL/domain stats over a deterministic synthetic URL column (the
+    //    documents table carries no URL; the parse/agg path is the operator)
+    "q87_domain_stats" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit("-"), (col("doc_id") % 7).cast("string"), lit("."),
+        when(col("doc_id") % 3 === 0, lit("example.org"))
+          .when(col("doc_id") % 3 === 1, lit("sample.net"))
+          .otherwise(lit("test.io")),
+        expr("substring('/a/b/c', 1, CAST((doc_id % 4) * 2 AS INT))")))
+      Curate.domainStats(aug, "url", col("n_chars"))
+    }),
+
+    // ── cross-document duplicate 3-gram fraction per doc (no pair join)
+    "q88_shared_ngrams" -> ((s, d) =>
+      Dedup.sharedNgramStats(Tables.documents(s, d), "doc_id", "text", 3)),
+
+    // ── composite C4/Gopher-style quality filter with per-rule reasons
+    "q89_filter_pipeline" -> ((s, d) =>
+      Curate.filterPipeline(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── LSH bucket-size histogram per band (the dedup health report)
+    "q90_lsh_histogram" -> ((s, d) =>
+      Dedup.bucketHistogram(
+        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     "q37_binary_meta" -> ((s, d) =>
       Tables.documents(s, d)
@@ -308,7 +351,87 @@ object ExtensionQueries {
        |FROM ip JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id""".stripMargin
   }
 
+  private val gramCte3 =
+    s"""gs AS (SELECT doc_id, unnest(list_distinct(${shingleExpr(3)})) AS gstr FROM toks),
+       |g AS (SELECT doc_id, ${h64d("gstr")} AS g FROM gs)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q85_decontaminate" ->
+      s"""WITH $toksCte,
+         |$gramCte3,
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7),
+         |tr AS (SELECT * FROM g WHERE doc_id % 10 != 7),
+         |sz AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+         |hit AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (g) GROUP BY 1)
+         |SELECT sz.doc_id, n_grams, coalesce(n_overlap, 0) AS n_overlap,
+         |  round(coalesce(n_overlap, 0)::DOUBLE / n_grams, 6) AS contamination,
+         |  CAST(round(coalesce(n_overlap, 0)::DOUBLE / n_grams, 6) >= 0.2 AS INT) AS contaminated
+         |FROM sz LEFT JOIN hit ON sz.doc_id = hit.doc_id""".stripMargin,
+    "q86_mix_weights" ->
+      raw"""WITH t AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS t
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+         |r AS (SELECT source, n_docs, n_tokens,
+         |  round(n_tokens::DOUBLE / total, 6) AS nat_share,
+         |  round(pow(round(n_tokens::DOUBLE / total, 6), 0.5), 6) AS raw FROM c, tot),
+         |z AS (SELECT CAST(sum(CAST(raw AS DECIMAL(18,6))) AS DOUBLE) AS z FROM r)
+         |SELECT source, n_docs, n_tokens, nat_share,
+         |  round(raw / z, 6) AS mix_weight,
+         |  round(round(raw / z, 6) / nat_share, 6) AS epochs
+         |FROM r, z""".stripMargin,
+    "q87_domain_stats" ->
+      raw"""WITH u AS (SELECT doc_id, n_chars,
+         |  'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+         |  source || '-' || (doc_id % 7)::VARCHAR || '.' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN 'example.org'
+         |       WHEN doc_id % 3 = 1 THEN 'sample.net' ELSE 'test.io' END ||
+         |  substr('/a/b/c', 1, CAST((doc_id % 4) * 2 AS INT)) AS url FROM documents),
+         |p AS (SELECT n_chars, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u),
+         |d AS (SELECT n_chars, host, regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS domain FROM p),
+         |per AS (SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_weight FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM per)
+         |SELECT domain, n_docs, n_hosts, total_weight,
+         |  round(n_docs::DOUBLE / corpus_docs, 6) AS doc_share FROM per, tot""".stripMargin,
+    "q88_shared_ngrams" ->
+      s"""WITH $toksCte,
+         |$gramCte3,
+         |dfq AS (SELECT g, count(*) AS ndoc FROM g GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN ndoc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM g JOIN dfq USING (g) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |  round(n_shared::DOUBLE / n_grams, 6) AS shared_frac FROM per""".stripMargin,
+    "q89_filter_pipeline" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, len(w)::BIGINT AS ws_tokens,
+         |  round(length(array_to_string(w, ''))::DOUBLE / len(w), 6) AS avg_token_len,
+         |  ${shingleExpr(2)} AS g,
+         |  round(len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))})))::DOUBLE
+         |    / len(w), 6) AS stop_ratio
+         |  FROM toks),
+         |c AS (SELECT doc_id, ws_tokens, avg_token_len,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+         |    ELSE 0.0 END AS dup_2gram_ratio, stop_ratio FROM b),
+         |r AS (SELECT *, concat_ws(',',
+         |  CASE WHEN ws_tokens < 10 THEN 'too_short' END,
+         |  CASE WHEN ws_tokens > 5000 THEN 'too_long' END,
+         |  CASE WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'bad_token_len' END,
+         |  CASE WHEN dup_2gram_ratio > 0.3 THEN 'repetitive' END,
+         |  CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END) AS reasons FROM c)
+         |SELECT doc_id, ws_tokens, avg_token_len, dup_2gram_ratio, stop_ratio, reasons,
+         |  CAST(reasons = '' AS INT) AS keep FROM r""".stripMargin,
+    "q90_lsh_histogram" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+         |bands AS ($bandUnion),
+         |bsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2)
+         |SELECT band_idx, bucket_n, count(*) AS n_buckets FROM bsz GROUP BY 1, 2""".stripMargin
+    },
     "q83_incremental_indexed" -> incrementalOracleSql,
     "q84_star_clusters" -> clustersOracleSql,
     "q24_dedup_exact" ->

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the large-scale training-data pipeline:
+  * benchmark decontamination, URL/domain statistics, and a composite
+  * keep/drop quality filter with per-rule reasons.
+  *
+  * All per-doc work is codegen'd scalar/array expressions (no UDFs); the only
+  * shuffles are the per-doc n-gram aggregate in `contamination` (hashed
+  * 8-byte keys, map-side combined) and the per-domain aggregate in
+  * `domainStats`. The eval-set n-gram table is broadcast — benchmark suites
+  * are a few MB against a 100 TB corpus, so the contamination pass adds no
+  * corpus-side shuffle beyond the per-doc count.
+  */
+object Curate {
+
+  /** Distinct hashed word n-grams per doc: (id, g). Docs with fewer than `n`
+    * tokens contribute no rows (and so drop out of contamination — a doc
+    * with no n-grams has no overlap to measure). */
+  private[text] def docNgrams(df: DataFrame, id: String, text: String,
+                              n: Int): DataFrame =
+    df.select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
+      .select(col(id), expr(TextOps.h64Sql("g")).as("g"))
+
+  /** Benchmark decontamination (GPT-3 appendix C / RefinedWeb practice):
+    * for each training doc, count distinct word n-grams that also appear
+    * anywhere in the eval/benchmark set, and flag docs whose overlap
+    * fraction reaches `flagAt`.
+    *
+    * Scale shape: the eval n-gram set is collected small (benchmarks are
+    * tiny) and BROADCAST into a semi-join against the exploded train
+    * n-grams — the corpus side is one scan + one per-doc count aggregate on
+    * 8-byte keys; no corpus×corpus join exists anywhere in the plan. */
+  def contamination(train: DataFrame, evalSet: DataFrame, id: String,
+                    text: String, n: Int = 3,
+                    flagAt: Double = 0.2): DataFrame = {
+    val tg = docNgrams(train, id, text, n)
+    val eg = docNgrams(evalSet, id, text, n).select("g").distinct()
+    val sizes = tg.groupBy(col(id)).agg(count(lit(1)).as("n_grams"))
+    val hits = tg.join(broadcast(eg), Seq("g"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq(id), "left_outer")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated",
+        (col("contamination") >= flagAt).cast("int"))
+  }
+
+  /** URL structure parse: scheme, host, registered domain (last two
+    * dot-labels), path depth (count of '/' in the path). Pure per-row
+    * RE2-portable regex work. */
+  def parseUrl(df: DataFrame, url: String): DataFrame = {
+    val path = regexp_extract(col(url), "^[a-z]+://[^/]+(/.*)?$", 1)
+    df.withColumn("scheme", regexp_extract(col(url), "^([a-z]+)://", 1))
+      .withColumn("host", regexp_extract(col(url), "^[a-z]+://([^/]+)", 1))
+      .withColumn("domain",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("path_depth",
+        (length(path) - length(regexp_replace(path, "/", ""))).cast("long"))
+  }
+
+  /** Per-domain corpus stats: doc count, distinct hosts, total chars, and
+    * each domain's share of the corpus — the input to domain blocklists and
+    * per-domain caps. One groupBy on the domain key; the corpus-total is a
+    * 1-row broadcast. */
+  def domainStats(df: DataFrame, url: String, weight: Column): DataFrame = {
+    val parsed = parseUrl(df, url)
+    val per = parsed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(weight.cast("long")).as("total_weight"))
+    val tot = per.agg(sum(col("n_docs")).as("corpus_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("n_hosts"), col("total_weight"),
+        round(col("n_docs").cast("double") / col("corpus_docs"), 6).as("doc_share"))
+  }
+
+  /** Composite C4/Gopher-style quality filter: evaluate every rule per doc,
+    * emit `keep` plus a comma-joined reason list for each failed rule.
+    * Fully per-row (one corpus scan, zero shuffle) — rules reuse the same
+    * token/shingle expressions as `TextOps.tokenStats`/`repetition`.
+    *
+    * Rules: too_short (<minTokens ws tokens), too_long (>maxTokens),
+    * bad_token_len (mean ws-token length outside [2,12]), repetitive
+    * (duplicate-2-gram fraction > 0.3), low_stopword (English stopword
+    * ratio < 0.01). */
+  def filterPipeline(df: DataFrame, id: String, text: String,
+                     minTokens: Long = 10L,
+                     maxTokens: Long = 5000L): DataFrame = {
+    val stopIn = TextOps.Stopwords("en").map(w => s"'$w'").mkString(",")
+    val d = df.select(col(id), col(text))
+      .withColumn("w", TextOps.tokens(col(text)))
+      .withColumn("ws_tokens", size(col("w")).cast("long"))
+      .withColumn("avg_token_len",
+        round(length(concat_ws("", col("w"))).cast("double") / col("ws_tokens"), 6))
+      .withColumn("g", TextOps.wordShingles("w", 2))
+      .withColumn("dup_2gram_ratio",
+        round(when(size(col("g")) > 0,
+          lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(w, t -> t IN ($stopIn)))").cast("double") /
+          col("ws_tokens"), 6))
+    val reason: Seq[Column] = Seq(
+      when(col("ws_tokens") < minTokens, lit("too_short")),
+      when(col("ws_tokens") > maxTokens, lit("too_long")),
+      when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0,
+        lit("bad_token_len")),
+      when(col("dup_2gram_ratio") > 0.3, lit("repetitive")),
+      when(col("stop_ratio") < 0.01, lit("low_stopword")))
+    d.withColumn("reasons", concat_ws(",", reason: _*))
+      .withColumn("keep", (col("reasons") === "").cast("int"))
+      .select(col(id), col("ws_tokens"), col("avg_token_len"),
+        col("dup_2gram_ratio"), col("stop_ratio"), col("reasons"), col("keep"))
+  }
+}

@@ -218,8 +218,26 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Read a stored signature index; refuses an index written under different
-    * MinHash geometry (band keys would be incomparable garbage). */
+  /** Write one batch's band rows as an index INCREMENT at
+    * `path/increments/batch=<batchId>`, bucket-partitioned like the corpus
+    * bands. Overwrites only its own batch directory, so a retried streaming
+    * micro-batch restates itself instead of duplicating band rows — the
+    * idempotence contract `streaming.StreamingDedup` relies on. */
+  def appendSignatureIndex(sig: DataFrame, id: String, path: String,
+                           batchId: Long): Unit = {
+    val spark = sig.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").select("n_buckets").head().getInt(0)
+    bandRows(sig, id).filter(col("band_key").isNotNull)
+      .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/increments/batch=$batchId")
+  }
+
+  /** Read a stored signature index (base bands plus any streaming
+    * increments); refuses an index written under different MinHash geometry
+    * (band keys would be incomparable garbage). Bucket partition pruning
+    * applies to base and increment directories alike. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): SignatureIndex = {
     val meta = spark.read.parquet(s"$path/meta")
@@ -227,7 +245,14 @@ object Dedup {
     require(meta.getInt(1) == NumHashes && meta.getInt(2) == NumBands,
       s"signature index at $path was written with ${meta.getInt(1)} hashes / " +
         s"${meta.getInt(2)} bands; this build uses $NumHashes / $NumBands")
-    SignatureIndex(spark.read.parquet(s"$path/bands"), meta.getInt(0))
+    val base = spark.read.parquet(s"$path/bands")
+    val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
+    val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bands = if (fs.exists(incDir))
+      base.unionByName(spark.read.parquet(s"$path/increments")
+        .drop("batch").select(base.columns.map(col): _*))
+    else base
+    SignatureIndex(bands, meta.getInt(0))
   }
 
   /** `incrementalCandidates` against a STORED corpus index: identical pairs,
@@ -261,6 +286,39 @@ object Dedup {
       .groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket && col("band_key").isNotNull)
+
+  /** LSH health report: per band, the distribution of bucket sizes —
+    * (band_idx, bucket_n, n_buckets). The operational dashboard for tuning
+    * band count / bucket cap: a healthy corpus shows mass at bucket_n=1-2;
+    * a fat tail means boilerplate flooding the band join. Output is bounded
+    * by distinct bucket sizes (tiny), so it is always safe to compute. */
+  def bucketHistogram(sig: DataFrame, id: String): DataFrame =
+    bandRows(sig, id)
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .groupBy("band_idx", "bucket_n")
+      .agg(count(lit(1)).as("n_buckets"))
+
+  /** Cross-document duplicate n-gram fraction per doc (RefinedWeb-style
+    * "fraction of my n-grams that appear elsewhere in the corpus"): for each
+    * doc, the share of its distinct word n-grams with corpus document
+    * frequency ≥ 2. Unlike `ngramJaccard` this never forms pairs — one
+    * groupBy for df counts on hashed 8-byte keys (map-side combined, bytes
+    * ∝ distinct shingles), one join back, one per-doc count. Linear at
+    * corpus scale. */
+  def sharedNgramStats(df: DataFrame, id: String, text: String,
+                       n: Int): DataFrame = {
+    val grams = df.select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
+      .select(col(id), expr(h64Sql("g")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("_ndoc"))
+    grams.join(dfreq, Seq("g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_ndoc") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
 
   /** 32-bit SimHash over word unigram hashes: bit j set when at least half
     * the token hashes have bit j set (Charikar, STOC'02). One md5 per token,

@@ -45,6 +45,37 @@ object Mix {
         .otherwise("test"))
   }
 
+  /** Temperature-weighted source mixing (the multilingual-LM "alpha
+    * sampling" recipe): per-stratum sampling weight ∝ (token share)^alpha,
+    * normalized. alpha=1 reproduces natural proportions; alpha→0 flattens
+    * toward uniform — the knob that keeps low-resource sources represented.
+    * `epochs` is how many passes over the stratum the weight implies at the
+    * natural corpus size (>1 means upsampling/repeating that source).
+    *
+    * Determinism: weights are rounded to 6 dp before the normalizing sum,
+    * and the sum runs in DECIMAL(18,6) — bit-identical across partition
+    * orders and engines. One groupBy on the stratum key; the normalizer is
+    * a 1-row broadcast. */
+  def temperatureWeights(df: DataFrame, stratum: String, text: String,
+                         alpha: Double): DataFrame = {
+    val counts = df
+      .select(col(stratum), size(TextOps.tokens(col(text))).cast("long").as("_t"))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("_total"))
+    val withRaw = counts.crossJoin(broadcast(tot))
+      .withColumn("nat_share",
+        round(col("n_tokens").cast("double") / col("_total"), 6))
+      .withColumn("_raw", round(pow(col("nat_share"), alpha), 6))
+    val z = withRaw.agg(
+      sum(col("_raw").cast(graft.ops.Relational.ExactDec)).cast("double").as("_z"))
+    withRaw.crossJoin(broadcast(z))
+      .withColumn("mix_weight", round(col("_raw") / col("_z"), 6))
+      .withColumn("epochs", round(col("mix_weight") / col("nat_share"), 6))
+      .select(col(stratum), col("n_docs"), col("n_tokens"), col("nat_share"),
+        col("mix_weight"), col("epochs"))
+  }
+
   /** Per-stratum token budget: order docs by salted hash (a deterministic
     * "random" order), keep docs while the running token total fits `budget`.
     * This is domain capping — bounding any one source's contribution to the

@@ -1,0 +1,115 @@
+package graft
+
+import graft.text.{Curate, Dedup, Mix}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: decontamination, temperature mixing, URL
+  * parsing/domain stats, the composite quality filter, and the LSH bucket
+  * histogram + shared-ngram corpus signals. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination counts eval n-gram overlap and flags at threshold") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 3-gram window with eval
+      (2L, "one two three four five six seven"))   // disjoint from eval
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Curate.contamination(train, evalSet, "doc_id", "text", 3, 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // doc 1: 4 3-grams, eval's 2 3-grams both appear → overlap 2, 0.5 ≥ 0.2
+    assert(out(1L) == ((4L, 2L, 1)))
+    assert(out(2L) == ((5L, 0L, 0)))
+  }
+
+  test("temperatureWeights: alpha=1 reproduces natural shares; alpha=0.5 flattens") {
+    val docs = Seq.tabulate(90)(i => (s"big doc number $i with several tokens", "big")) ++
+      Seq.tabulate(10)(i => (s"small doc $i three tokens here now ok", "small"))
+    val df = docs.toDF("text", "source")
+    val nat = Mix.temperatureWeights(df, "source", "text", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    nat.values.foreach { case (share, w) => assert(math.abs(share - w) < 2e-6) }
+    val half = Mix.temperatureWeights(df, "source", "text", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val natW = nat("small")._2
+    assert(half("small") > natW)         // rare source upweighted
+    assert(half("big") < nat("big")._2)  // dominant source downweighted
+    assert(math.abs(half.values.sum - 1.0) < 2e-6)
+  }
+
+  test("parseUrl extracts scheme/host/domain/path depth") {
+    val r = Curate.parseUrl(
+      Seq(("https://www.sub.example.org/a/b/c", 1)).toDF("url", "x"), "url")
+      .select("scheme", "host", "domain", "path_depth").head()
+    assert(r.getString(0) == "https")
+    assert(r.getString(1) == "www.sub.example.org")
+    assert(r.getString(2) == "example.org")
+    assert(r.getLong(3) == 3L)
+    val bare = Curate.parseUrl(
+      Seq(("http://example.net", 1)).toDF("url", "x"), "url")
+      .select("domain", "path_depth").head()
+    assert(bare.getString(0) == "example.net")
+    assert(bare.getLong(1) == 0L)
+  }
+
+  test("domainStats aggregates docs/hosts/weight per registered domain") {
+    val df = Seq(
+      ("https://a.example.org/x", 10L),
+      ("https://b.example.org/y", 20L),
+      ("https://a.example.org/z", 5L),
+      ("https://only.test.io/w", 7L)).toDF("url", "n_chars")
+    val out = Curate.domainStats(df, "url", col("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("example.org") == ((3L, 2L, 35L, 0.75)))
+    assert(out("test.io") == ((1L, 1L, 7L, 0.25)))
+  }
+
+  test("filterPipeline fires each rule with a reason and keeps clean docs") {
+    val clean = "the cat sat on a mat and the dog lay in the sun near a tree today"
+    val docs = Seq(
+      (1L, clean),
+      (2L, "short doc"),                                     // too_short
+      (3L, Seq.fill(40)("zz xx").mkString(" ")),             // repetitive + low_stopword
+      (4L, ("supercalifragilistic " * 12).trim))             // bad_token_len (+dup)
+      .toDF("doc_id", "text")
+    val out = Curate.filterPipeline(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(5), r.getInt(6))).toMap
+    assert(out(1L) == (("", 1)))
+    assert(out(2L)._1.contains("too_short") && out(2L)._2 == 0)
+    assert(out(3L)._1.contains("repetitive") && out(3L)._1.contains("low_stopword"))
+    assert(out(4L)._1.contains("bad_token_len") && out(4L)._2 == 0)
+  }
+
+  test("sharedNgramStats: duplicated docs share all n-grams, unique docs none") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally unrelated words appear here")).toDF("doc_id", "text")
+    val out = Dedup.sharedNgramStats(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("bucketHistogram per-band bucket counts sum to the doc count") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about query engines and shuffle plans"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text")
+    val hist = Dedup.bucketHistogram(sig, "doc_id").collect()
+    val perBand = hist.groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    assert(perBand.size == Dedup.NumBands)
+    perBand.values.foreach(n => assert(n == 3L)) // every doc lands in a bucket
+    // identical docs share every band bucket → each band has a size-2 bucket
+    hist.filter(_.getLong(1) == 2L).groupBy(_.getInt(0)).foreach {
+      case (_, rs) => assert(rs.map(_.getLong(2)).sum == 1L)
+    }
+    assert(hist.count(_.getLong(1) == 2L) == Dedup.NumBands)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import graft.text.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming dedup-on-ingest: each micro-batch probes the stored signature
+  * index (corpus + prior batches) and absorbs itself as an increment; pairs
+  * equal the batch-computed incremental results, and restating an increment
+  * does not duplicate band rows. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire " +
+      "and the birds sing in the tall green trees above the quiet garden path"
+  private val other =
+    "completely different content about databases query engines shuffle partitions " +
+      "aggregation pipelines and distributed execution frameworks running on clusters"
+  private val third =
+    "a third body of text describing harvest seasons orchards rainfall irrigation " +
+      "schedules soil rotation and the long patient work of growing food every year"
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("stream probes corpus + prior increments and stays idempotent on restatement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$dir/in"; val idx = s"$dir/idx"; val out = s"$dir/pairs"
+    val chk = s"$dir/chk"
+
+    // corpus: docs 1-3; doc 2 is unrelated, doc 3 a third topic
+    val corpus = Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text")
+    val corpusSig = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    Dedup.writeSignatureIndex(corpusSig, "doc_id", idx, nBuckets = 8)
+
+    // batch A: doc 4 duplicates corpus doc 1; doc 5 near-dups doc 4 (in-batch)
+    val batchA = Seq((4L, base), (5L, base.replace("quiet", "silent")))
+      .toDF("doc_id", "text")
+    batchA.write.parquet(in)
+    StreamingDedup.dedupSink(
+      spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, out, chk).start().awaitTermination()
+
+    // batch B: doc 6 duplicates doc 4 — found only if batch A's INCREMENT is
+    // probed, not just the original corpus
+    Seq((6L, base)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamingDedup.dedupSink(
+      spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, out, chk).start().awaitTermination()
+
+    val got = spark.read.parquet(out)
+    val gotA = pairsOf(got.filter(col("batch") === 0))
+    val gotB = pairsOf(got.filter(col("batch") === 1))
+
+    // expected = the batch-computed incremental results at each step
+    val sigA = Dedup.minhashSignatures(batchA, "doc_id", "text")
+    val wantA = pairsOf(Dedup.incrementalCandidates(corpusSig, sigA, "doc_id"))
+    val sigB = Dedup.minhashSignatures(Seq((6L, base)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val wantB = pairsOf(
+      Dedup.incrementalCandidates(corpusSig.unionByName(sigA), sigB, "doc_id"))
+    assert(gotA == wantA)
+    assert(gotB == wantB)
+    assert(gotA.contains((1L, 4L)))              // corpus hit
+    assert(gotA.contains((4L, 5L)))              // within-batch near-dup
+    assert(Set((1L, 6L), (4L, 6L)).subsetOf(gotB)) // prior-increment hit
+
+    // restating an increment overwrites, never duplicates
+    val before = Dedup.readSignatureIndex(spark, idx).bands.count()
+    Dedup.appendSignatureIndex(sigA, "doc_id", idx, batchId = 0L)
+    val after = Dedup.readSignatureIndex(spark, idx).bands.count()
+    assert(before == after)
+  }
+}
