@@ -162,9 +162,24 @@ object BreadthQueries {
         .agg(
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"),
-          R.exactSum(col("value")).as("sum_v"))))
+          R.exactSum(col("value")).as("sum_v"))),
+
+    // ── Z-order (Morton) clustering key over (custkey, order day): the
+    //    bit-interleave that makes parquet min/max prune BOTH dimensions
+    //    when files are written in z order (ops.Layout; LayoutSpec proves
+    //    the locality). Pure integer bit ops — exactly portable.
+    "q91_zorder_key" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.ops.Layout.zValue2(col("o_custkey"), days, 16).as("zval"))
+    }))
 
   val oracle: Map[String, String] = Map(
+    "q91_zorder_key" ->
+      s"""WITH z AS (SELECT o_orderkey, o_custkey AS a,
+         |  date_diff('day', DATE '1995-01-01', o_orderdate) AS b FROM orders)
+         |SELECT o_orderkey, ${graft.ops.Layout.zValue2Sql("a", "b", 16)} AS zval
+         |FROM z""".stripMargin,
     "q56_grouping_sets" ->
       """SELECT event_type, hr, 2*grouping(event_type) + grouping(hr) AS gid,
         | count(*) AS n,

@@ -234,6 +234,32 @@ object Dedup {
       .parquet(s"$path/increments/batch=$batchId")
   }
 
+  /** Fold all streaming increments into the base bands: one
+    * bucket-partitioned rewrite of base ∪ increments, then the increment
+    * directories are dropped. Run periodically (e.g. nightly) to keep the
+    * file count bounded — probe results are identical before and after
+    * (StreamingDedupSpec proves it), so compaction can run any time no
+    * stream is mid-batch. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
+    val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(incDir)) {
+      val all = readSignatureIndex(spark, path).bands
+      // write to a sibling, then swap — the live bands dir stays readable
+      // until the atomic-ish rename, and a crashed compaction leaves the
+      // original index untouched
+      all.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands_compact")
+      val bands = new org.apache.hadoop.fs.Path(s"$path/bands")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/bands_old")
+      fs.rename(bands, tmp)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands_compact"), bands)
+      fs.delete(tmp, true)
+      fs.delete(incDir, true)
+    }: Unit
+  }
+
   /** Read a stored signature index (base bands plus any streaming
     * increments); refuses an index written under different MinHash geometry
     * (band keys would be incomparable garbage). Bucket partition pruning

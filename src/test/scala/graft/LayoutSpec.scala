@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the Morton code is correct bit-interleaving, and
+  * z-clustered partitions have compact ranges on BOTH dimensions — the
+  * property that makes parquet min/max stats prune either predicate,
+  * where a single-column sort prunes only its own column. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits (a even positions, b odd)") {
+    val r = Seq((3L, 1L), (0L, 0L), (5L, 2L), (65535L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(r(0) == 7L)      // a=0b11 → bits 0,2; b=0b1 → bit 1 → 0b111
+    assert(r(1) == 0L)
+    assert(r(2) == 0b011001L) // a=0b101 → bits 0,4; b=0b10 → bit 3
+    assert(r(3) == 0x55555555L) // all even bits set
+  }
+
+  test("bucketize clamps to the domain edges") {
+    val r = Seq(-5.0, 0.0, 50.0, 100.0, 999.0).toDF("x")
+      .select(Layout.bucketize(col("x"), 0.0, 100.0, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(r(0) == 0L && r(1) == 0L && r(2) == 8L && r(3) == 15L && r(4) == 15L)
+  }
+
+  test("z-ordered partitions are compact in BOTH dims; x-sort is not") {
+    val grid = spark.range(64).select(col("id").as("x"))
+      .crossJoin(spark.range(64).select(col("id").as("y")))
+    def ranges(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .agg(avg("rx"), avg("ry")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = ranges(
+      Layout.zOrder(grid, col("x"), 0, 64, col("y"), 0, 64, 16, 6))
+    val (sx, sy) = ranges(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    // x-sorted: x tight but y spans the whole domain in every partition
+    assert(sx < 8 && sy > 55)
+    // z-ordered: BOTH dims compact (ideal 16-cell square → range 15)
+    assert(zx < 32 && zy < 32)
+  }
+}

@@ -76,5 +76,15 @@ class StreamingDedupSpec extends SparkSpec {
     Dedup.appendSignatureIndex(sigA, "doc_id", idx, batchId = 0L)
     val after = Dedup.readSignatureIndex(spark, idx).bands.count()
     assert(before == after)
+
+    // compaction folds increments into base bands; probes are unchanged
+    val probeBefore = pairsOf(Dedup.incrementalCandidatesIndexed(
+      Dedup.readSignatureIndex(spark, idx), sigB, "doc_id"))
+    Dedup.compactSignatureIndex(spark, idx)
+    val compacted = Dedup.readSignatureIndex(spark, idx)
+    assert(compacted.bands.count() == before)
+    assert(!new java.io.File(s"$idx/increments").exists())
+    val probeAfter = pairsOf(Dedup.incrementalCandidatesIndexed(compacted, sigB, "doc_id"))
+    assert(probeBefore == probeAfter)
   }
 }
