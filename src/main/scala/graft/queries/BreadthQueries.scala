@@ -164,6 +164,16 @@ object BreadthQueries {
           count(lit(1)).as("n"),
           R.exactSum(col("value")).as("sum_v"))),
 
+    // ── JSON extraction from a string payload column (the semi-structured
+    //    ingest shape): parse per row, aggregate per type
+    "q93_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // ── Z-order (Morton) clustering key over (custkey, order day): the
     //    bit-interleave that makes parquet min/max prune BOTH dimensions
     //    when files are written in z order (ops.Layout; LayoutSpec proves
@@ -175,6 +185,12 @@ object BreadthQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q93_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q91_zorder_key" ->
       s"""WITH z AS (SELECT o_orderkey, o_custkey AS a,
          |  date_diff('day', DATE '1995-01-01', o_orderdate) AS b FROM orders)
