@@ -233,6 +233,11 @@ object ExtensionQueries {
     "q89_filter_pipeline" -> ((s, d) =>
       Curate.filterPipeline(Tables.documents(s, d), "doc_id", "text")),
 
+    // ── sequence packing: concat-and-split each source's doc stream at
+    //    256-token boundaries (the pretraining batch-assembly step)
+    "q94_seq_pack" -> ((s, d) =>
+      Mix.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 256L)),
+
     // ── LSH bucket-size histogram per band (the dedup health report)
     "q90_lsh_histogram" -> ((s, d) =>
       Dedup.bucketHistogram(
@@ -424,6 +429,17 @@ object ExtensionQueries {
          |  CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END) AS reasons FROM c)
          |SELECT doc_id, ws_tokens, avg_token_len, dup_2gram_ratio, stop_ratio, reasons,
          |  CAST(reasons = '' AS INT) AS keep FROM r""".stripMargin,
+    "q94_seq_pack" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+         |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+         |  ${h64d("'ord:' || doc_id")} AS h FROM documents),
+         |c AS (SELECT doc_id, source, ws_tokens,
+         |  CAST(sum(ws_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e FROM t)
+         |SELECT doc_id, source, ws_tokens, e - ws_tokens AS offset,
+         |  CAST(floor((e - ws_tokens) / 256.0) AS BIGINT) AS first_bin,
+         |  CAST(floor((e - 1) / 256.0) AS BIGINT) AS last_bin
+         |FROM c""".stripMargin,
     "q90_lsh_histogram" -> {
       val bandUnion = (0 until Dedup.NumBands).map(b =>
         s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig").mkString(" UNION ALL ")

@@ -76,6 +76,28 @@ object Mix {
         col("mix_weight"), col("epochs"))
   }
 
+  /** Sequence packing: lay each stratum's docs end-to-end in deterministic
+    * salted-hash order and cut the token stream at fixed `seqLen`
+    * boundaries — the standard pretraining concat-and-split. Emits each
+    * doc's token offset in its stratum stream and the first/last
+    * training sequence it lands in (`first_bin != last_bin` means the doc
+    * straddles a boundary). One window sum per stratum over (id, n_tokens)
+    * rows — the text itself never shuffles; the downstream tokenizer join
+    * consumes (doc → bin) assignments. */
+  def packSequences(df: DataFrame, id: String, stratum: String, text: String,
+                    seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(TextOps.h64(concat(lit("ord:"), col(id).cast("string"))), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long"))
+      .withColumn("_end", sum(col("ws_tokens")).over(w))
+      .withColumn("offset", col("_end") - col("ws_tokens"))
+      .withColumn("first_bin", floor(col("offset") / seqLen))
+      .withColumn("last_bin", floor((col("_end") - 1) / seqLen))
+      .select(col(id), col(stratum), col("ws_tokens"), col("offset"),
+        col("first_bin"), col("last_bin"))
+  }
+
   /** Per-stratum token budget: order docs by salted hash (a deterministic
     * "random" order), keep docs while the running token total fits `budget`.
     * This is domain capping — bounding any one source's contribution to the

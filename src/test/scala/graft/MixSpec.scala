@@ -60,6 +60,35 @@ class MixSpec extends SparkSpec {
     assert(clean.getDouble(5) == 0.25)
   }
 
+  test("packSequences lays each stratum contiguously and bins at seqLen") {
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill((i % 7 + 3).toInt)("tok").mkString(" "), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = Mix.packSequences(docs, "doc_id", "source", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L) // stream starts at offset 0
+      // contiguous: each doc starts exactly where the previous one ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4)
+        case _           =>
+      }
+    }
+    out.foreach { case (_, _, n, off, first, last) =>
+      assert(first == off / 10)
+      assert(last == (off + n - 1) / 10)
+    }
+    // crossing docs exist in the fixture and are flagged
+    assert(out.exists(r => r._5 != r._6))
+    // deterministic under re-evaluation and repartitioning
+    val again = Mix.packSequences(docs.repartition(7), "doc_id", "source", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("pii scrub counts and redacts emails/phones") {
     val d = Seq(
       (1L, "reach me at bob@test.org or 555-123-4567 ok"),
