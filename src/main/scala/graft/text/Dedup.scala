@@ -389,7 +389,11 @@ object Dedup {
   def ngramJaccard(df: DataFrame, id: String, text: String, scope: String,
                    n: Int, minJaccard: Double,
                    maxDf: Int = DefaultMaxDf): DataFrame = {
+    // persist the exploded shingle frame: it feeds the size aggregate, the
+    // df aggregate, and both self-join sides — recomputing re-shingles the
+    // corpus 4×. Cache lifecycle as in minhashCandidates (ContextCleaner).
     val grams = ngrams(df, id, text, scope, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("n_g"))
     val dfreq = grams.groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
     val keep = grams.join(dfreq.filter(col("ndoc").between(2, maxDf)), Seq(scope, "g"))
