@@ -28,7 +28,7 @@ class CuratePipelineSpec extends SparkSpec {
       (6L, ("unique tokens for a perfectly fine document about astronomy and the " +
         "slow drift of the stars across a clear night sky in early winter"), "s1"))
       .toDF("doc_id", "text", "source")
-    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text", "source")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
 
     val r = CuratePipeline.run(docs, evalSet, nearDupAt = 0.5,
       contamAt = 0.2, seqLen = 16L)
