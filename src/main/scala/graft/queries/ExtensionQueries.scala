@@ -99,6 +99,10 @@ object ExtensionQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         0.25, NPlanes, Dim)),
 
+    // ── SemDeDup: coarse-cluster assignment + intra-cluster cosine prune
+    "q92_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 8, 0.35)),
+
     // ── IVF-style ANN: centroid routing + in-cell exact rerank
     "q48_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -448,6 +452,19 @@ object ExtensionQueries {
          |bsz AS (SELECT band_idx, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2)
          |SELECT band_idx, bucket_n, count(*) AS n_buckets FROM bsz GROUP BY 1, 2""".stripMargin
     },
+    "q92_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |s AS (SELECT e.vec_id, e.v, cent.cid, ${cosSqlAB("e.v", "cent.cv")} AS sim FROM e, cent),
+         |a AS (SELECT vec_id, v, cid AS cluster FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+         |  WHERE rn = 1),
+         |dup AS (SELECT DISTINCT a.vec_id FROM a JOIN a b
+         |  ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |  WHERE ${cosSqlAB("a.v", "b.v")} >= 0.35)
+         |SELECT a.vec_id, a.cluster,
+         |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id""".stripMargin,
     "q83_incremental_indexed" -> incrementalOracleSql,
     "q84_star_clusters" -> clustersOracleSql,
     "q24_dedup_exact" ->

@@ -133,6 +133,54 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540): assign
+    * every embedding to a coarse cluster, then inside each cluster drop any
+    * doc that has a lower-id near-duplicate (cosine ≥ `minSim`). Returns one
+    * row per doc: (vec_id, cluster, keep).
+    *
+    * Deterministic, engine-portable variant for the oracle: the cluster
+    * "centroids" are the embeddings of the `nCentroids` lowest ids, so any
+    * engine regenerates the identical assignment (the paper's randomized
+    * KMeans is swapped for `ivfLearned`'s seeded KMeans in production — the
+    * downstream pruning is unchanged). The keep rule (survives iff no
+    * same-cluster near-dup with a smaller id) is the paper's keep-one-per-
+    * duplicate-group made deterministic.
+    *
+    * Scale shape: the centroid set is broadcast; assignment is one corpus
+    * scan with a map-side-combined argmax (min of a (−sim, cid) struct — no
+    * per-doc window shuffle). The quadratic stage self-joins ONLY within a
+    * cluster (one shuffle keyed by cluster id), so shuffled bytes ∝ corpus
+    * embeddings and the pair count is bounded by the largest cluster — at
+    * corpus scale raise `nCentroids` so clusters stay ~10⁴-doc sized (the
+    * paper uses 11k clusters for 5B docs) and cap outliers like LSH buckets.
+    * The assignment frame feeds both join sides plus the output, so it is
+    * persisted (released by the ContextCleaner, as in minhashCandidates). */
+  def semDedup(corpus: DataFrame, id: String, emb: String,
+               nCentroids: Int, minSim: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    val centroids = c.orderBy(col("vec_id").asc).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // argmax over centroids without a window: min of (−sim, cid) picks the
+    // highest rounded sim with lowest-cid tie-break; (ns, cid) is unique per
+    // doc so the trailing payload fields never decide the comparison
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(v, cv)"), 6))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("ns"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .filter(round(expr("graft_cosine(a.v, b.v)"), 6) >= minSim)
+      .select(col("a.vec_id")).distinct()
+    assigned.select("vec_id", "cluster")
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left_outer")
+      .withColumn("keep", when(col("is_dup").isNull, 1).otherwise(0))
+      .select("vec_id", "cluster", "keep")
+  }
+
   /** IVF-style ANN: coarse quantizer (cluster centroids) routes each query
     * to its nearest cell; exact rerank runs only over that cell's posting
     * list. Here the cells are the corpus's `label` partitions and centroids

@@ -54,4 +54,38 @@ class AnnSpec extends SparkSpec {
       .agg(min("cos")).head().getDouble(0)
     assert(minCos > 0.995, s"dequantized cosine degraded: $minCos")
   }
+
+  test("semDedup: planted near-dups pruned, keep rule is exactly min-id-wins") {
+    import spark.implicits._
+    // 3 orthogonal base directions + planted near-copies of doc 0 and 20
+    def vec(weights: (Int, Double)*): Seq[Float] = {
+      val m = weights.toMap
+      (0 until 64).map(d => m.getOrElse(d, 0.0).toFloat)
+    }
+    val rows = Seq(
+      (0L, vec(0 -> 1.0)), (20L, vec(1 -> 1.0)), (40L, vec(2 -> 1.0)),
+      (41L, vec(0 -> 1.0, 5 -> 0.05)), (42L, vec(0 -> 1.0, 6 -> 0.1)), // near-dups of 0
+      (43L, vec(1 -> 1.0, 7 -> 0.05)),                                 // near-dup of 20
+      (44L, vec(2 -> 1.0, 3 -> 1.0)))  // cluster 40's cell, cos √½ < 0.9 → kept
+    val df = rows.toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, "vec_id", "embedding", 3, 0.9)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    // centroids = 3 lowest ids (0, 20, 40); copies land in their base cluster
+    assert(r(41L)._1 == 0L && r(42L)._1 == 0L && r(43L)._1 == 20L && r(44L)._1 == 40L)
+    // min-id survivors keep, later near-dups drop, distant cluster-mate keeps
+    assert(Seq(0L, 20L, 40L, 44L).forall(r(_)._2 == 1))
+    assert(Seq(41L, 42L, 43L).forall(r(_)._2 == 0))
+    // invariant on real data: every dropped doc has a smaller-id same-cluster
+    // neighbour at ≥ minSim; every kept doc has none
+    val real = Similarity.semDedup(e, "vec_id", "embedding", 8, 0.35)
+    val base = e.select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
+    val withV = real.join(base, "vec_id")
+    val witness = withV.as("a").join(withV.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .filter(round(Similarity.cosineNative(spark, "a.v", "b.v"), 6) >= 0.35)
+      .select(col("a.vec_id")).distinct().withColumn("has_witness", lit(1))
+    val joined = real.join(witness, Seq("vec_id"), "left_outer")
+    assert(joined.filter(col("keep") === 1 && col("has_witness") === 1).count() == 0)
+    assert(joined.filter(col("keep") === 0 && col("has_witness").isNull).count() == 0)
+  }
 }
