@@ -211,6 +211,15 @@ object ExtensionQueries {
         "doc_id", "text", 3, 0.2)
     }),
 
+    // ── passage-level exact dedup (CCNet paragraph dedup; 3-token chunks so
+    //    the synthetic small-vocab corpus actually repeats passages)
+    "q95_passage_dedup" -> ((s, d) =>
+      Curate.passageDedup(Tables.documents(s, d), "doc_id", "text", 3)),
+
+    // ── rebuilt clean text with duplicated passages stripped
+    "q96_passage_strip" -> ((s, d) =>
+      Curate.stripDupPassages(Tables.documents(s, d), "doc_id", "text", 3)),
+
     // ── temperature-weighted source mixing (alpha-sampling, alpha = 0.5)
     "q86_mix_weights" -> ((s, d) =>
       Mix.temperatureWeights(Tables.documents(s, d), "source", "text", 0.5)),
@@ -364,7 +373,33 @@ object ExtensionQueries {
     s"""gs AS (SELECT doc_id, unnest(list_distinct(${shingleExpr(3)})) AS gstr FROM toks),
        |g AS (SELECT doc_id, ${h64d("gstr")} AS g FROM gs)""".stripMargin
 
+  // chunked passages: 1-based inclusive DuckDB list slice, ceil for the
+  // trailing partial chunk, floor of 1 chunk for empty docs
+  private val chunkCte =
+    raw"""chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    array_to_string(w[CAST(i*3+1 AS BIGINT):CAST(i*3+3 AS BIGINT)], ' ') AS chunk
+       |  FROM toks, unnest(generate_series(0, CAST(greatest(1, ceil(len(w)/3.0)) AS BIGINT) - 1)) AS u(i)),
+       |hashed AS (SELECT doc_id, chunk_idx, ${h64d("chunk")} AS chunk_hash, chunk FROM chunks)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q95_passage_dedup" ->
+      s"""WITH $toksCte,
+         |$chunkCte
+         |SELECT doc_id, chunk_idx, chunk_hash,
+         |  count(*) OVER (PARTITION BY chunk_hash) AS n_dups,
+         |  CAST(row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) = 1 AS INT) AS keep
+         |FROM hashed""".stripMargin,
+    "q96_passage_strip" ->
+      s"""WITH $toksCte,
+         |$chunkCte,
+         |v AS (SELECT doc_id, chunk_idx, chunk,
+         |  row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+         |FROM hashed),
+         |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+         |  FROM v WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "q85_decontaminate" ->
       s"""WITH $toksCte,
          |$gramCte3,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for the large-scale training-data pipeline:
@@ -48,6 +49,75 @@ object Curate {
         round(col("n_overlap").cast("double") / col("n_grams"), 6))
       .withColumn("contaminated",
         (col("contamination") >= flagAt).cast("int"))
+  }
+
+  /** Passage-level exact dedup (CCNet's paragraph dedup, Wenzek et al.
+    * LREC'20; the chunk-hash approximation of Lee et al. ACL'22 exact
+    * substring dedup): split each doc into fixed `chunkTokens`-token
+    * passages, hash each, and across the WHOLE corpus keep only the first
+    * occurrence of every distinct passage — boilerplate repeated across
+    * documents (headers, licence blocks, navigation) is dropped everywhere
+    * but its first appearance. On real corpora the passage boundary is a
+    * line/paragraph; the token-chunk variant is the deterministic equivalent
+    * for unstructured text.
+    *
+    * Output: one row per passage (id, chunk_idx, chunk_hash, n_dups, keep),
+    * keep = 1 iff this (id, chunk_idx) is the lexicographically-first holder
+    * of the hash. Trailing tokens short of a full chunk form the last chunk.
+    *
+    * Scale shape: one corpus scan to chunk+hash (8-byte keys), one shuffle
+    * keyed by chunk hash for the first-holder window. Passage frequency is
+    * Zipfian — a viral boilerplate passage is ONE hot key; cap it like the
+    * LSH buckets (the keep decision for a hot hash only needs the global
+    * min, which the partial-aggregate form of min_by computes map-side;
+    * the window form here is exact and fine up to ~10⁸ copies of one
+    * passage). */
+  def passageDedup(df: DataFrame, id: String, text: String,
+                   chunkTokens: Int = 50): DataFrame = {
+    val k = chunkTokens
+    val chunks = df
+      .select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("nc",
+        greatest(lit(1L), ceil(size(col("w")).cast("double") / k).cast("long")))
+      .select(col(id), col("w"),
+        posexplode(expr(s"transform(sequence(0, nc - 1), i -> " +
+          s"concat_ws(' ', slice(w, CAST(i * $k + 1 AS INT), $k)))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(TextOps.h64Sql("chunk")).as("chunk_hash"))
+    val w = Window.partitionBy("chunk_hash").orderBy(col(id), col("chunk_idx"))
+    chunks
+      .withColumn("n_dups", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** Rebuild each doc's text with duplicated passages stripped: the kept
+    * chunks of `passageDedup`, re-joined in chunk order. One groupBy on the
+    * doc id (map-side list concat is bounded by doc length). Docs whose
+    * every passage was boilerplate come back with empty text rather than
+    * disappearing — the caller decides whether to drop empties. */
+  def stripDupPassages(df: DataFrame, id: String, text: String,
+                       chunkTokens: Int = 50): DataFrame = {
+    val k = chunkTokens
+    val verdicts = passageDedup(df, id, text, k)
+    val chunks = df
+      .select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("nc",
+        greatest(lit(1L), ceil(size(col("w")).cast("double") / k).cast("long")))
+      .select(col(id),
+        posexplode(expr(s"transform(sequence(0, nc - 1), i -> " +
+          s"concat_ws(' ', slice(w, CAST(i * $k + 1 AS INT), $k)))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+    val rebuilt = chunks
+      .join(verdicts.filter(col("keep") === 1).select(col(id), col("chunk_idx")),
+        Seq(id, "chunk_idx"))
+      .groupBy(col(id))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), " +
+        "p -> p.chunk)"), " ").as("clean_text"))
+    df.select(col(id)).join(rebuilt, Seq(id), "left_outer")
+      .na.fill("", Seq("clean_text"))
   }
 
   /** URL structure parse: scheme, host, registered domain (last two

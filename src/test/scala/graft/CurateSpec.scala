@@ -112,4 +112,26 @@ class CurateSpec extends SparkSpec {
     }
     assert(hist.count(_.getLong(1) == 2L) == Dedup.NumBands)
   }
+
+  test("passageDedup drops repeated boilerplate everywhere but first; strip rebuilds") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter today" // one 5-token chunk
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, boiler))                                  // all boilerplate
+      .toDF("doc_id", "text")
+    val v = Curate.passageDedup(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getInt(4))).toMap
+    // doc 1: chunk0 unique, chunk1 = boiler (first holder by (doc,idx) order)
+    assert(v((1L, 0L)) == (1L, 1))
+    assert(v((1L, 1L)) == (3L, 1)) // 3 copies, doc 1 holds the first
+    assert(v((2L, 0L)) == (3L, 0))
+    assert(v((3L, 0L)) == (3L, 0))
+    val clean = Curate.stripDupPassages(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == s"alpha beta gamma delta epsilon $boiler")
+    assert(clean(2L) == "zeta eta theta iota kappa")
+    assert(clean(3L) == "") // fully-boilerplate doc survives with empty text
+  }
 }
