@@ -173,7 +173,10 @@ object ExtensionQueries {
     //    buckets the new batch touches are scanned — value-identical to q80
     //    (shared oracle), so the index round-trip itself is oracle-checked
     "q83_incremental_indexed" -> ((s, d) => {
+      // one signature pass: the corpus-side write and the new-batch probe
+      // filter the same cached frame (released by the ContextCleaner)
       val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
       Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4), "doc_id", dir, 64)
       Dedup.incrementalCandidatesIndexed(Dedup.readSignatureIndex(s, dir),
