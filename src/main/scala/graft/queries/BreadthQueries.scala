@@ -182,9 +182,62 @@ object BreadthQueries {
       val days = datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
       Tables.orders(s, d).select(col("o_orderkey"),
         graft.ops.Layout.zValue2(col("o_custkey"), days, 16).as("zval"))
-    }))
+    }),
+
+    // ── SCD-1 MERGE (CDC upsert): deterministic change batch derived from
+    //    the base — updates (%10=3, price +10), deletes (%10=7), inserts
+    //    (%10=1 cloned to new keys); latest version per key wins
+    "q97_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val updates = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("_op", lit("U")).withColumn("_v", lit(1L))
+      val deletes = o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("_op", lit("D")).withColumn("_v", lit(1L))
+      val inserts = o.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("_op", lit("I")).withColumn("_v", lit(1L))
+      graft.ops.Merge.upsert(o,
+        updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey", "_v", "_op")
+    }),
+
+    // ── SCD-2 history build: per-user change log → validity intervals
+    "q98_scd2" -> ((s, d) =>
+      graft.ops.Merge.scd2(
+        Tables.events(s, d).select("user_id", "ts", "event_type", "value"),
+        "user_id", "ts")))
 
   val oracle: Map[String, String] = Map(
+    "q97_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, 'U' AS _op, 1 AS _v
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D', 1
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |allv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'I' AS _op, 0 AS _v FROM orders
+        |  UNION ALL SELECT * FROM ch)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _v DESC) AS rn
+        |      FROM allv)
+        |WHERE rn = 1 AND _op != 'D'""".stripMargin,
+    "q98_scd2" ->
+      """SELECT user_id, ts, event_type, value,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS INT) AS is_current
+        |FROM events""".stripMargin,
     "q93_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,

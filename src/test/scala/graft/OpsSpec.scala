@@ -113,4 +113,30 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
   }
+
+  test("Merge.upsert: latest version wins, deletes remove, inserts add") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (1L, "a1", 11.0, "U", 1L), (1L, "a2", 12.0, "U", 2L), // two versions: v2 wins
+      (2L, "b", 20.0, "D", 1L),                             // delete key 2
+      (3L, "c1", 31.0, "U", 2L), (3L, "c", 30.0, "D", 1L),  // delete then later update: update wins
+      (4L, "d", 40.0, "I", 1L))                             // brand-new key
+      .toDF("k", "status", "price", "_op", "_v")
+    val got = graft.ops.Merge.upsert(base, changes, "k", "_v", "_op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> ("a2", 12.0), 3L -> ("c1", 31.0), 4L -> ("d", 40.0)))
+  }
+
+  test("Merge.scd2: validity chains per key, exactly one current row") {
+    val log = Seq((1L, 1000L, "x"), (1L, 2000L, "y"), (1L, 3000L, "z"), (2L, 1500L, "w"))
+      .toDF("k", "ts", "attr")
+    val h = graft.ops.Merge.scd2(log, "k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))).toMap
+    assert(h((1L, 1000L)) == (Some(2000L), 0))
+    assert(h((1L, 2000L)) == (Some(3000L), 0))
+    assert(h((1L, 3000L)) == (None, 1))
+    assert(h((2L, 1500L)) == (None, 1))
+  }
 }
