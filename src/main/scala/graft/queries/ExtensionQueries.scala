@@ -116,6 +116,15 @@ object ExtensionQueries {
         TextOps.normalize(col("text")).as("norm_text"),
         md5(TextOps.normalize(col("text"))).as("norm_hash"))),
 
+    // ── BPE trainer counting step: adjacent char-pair frequencies over the
+    //    weighted word vocabulary
+    "q99_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairCounts(Tables.documents(s, d), "text")),
+
+    // ── unigram-LM perplexity signal per doc (CCNet-style quality filter)
+    "q100_unigram_nll" -> ((s, d) =>
+      TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),
+
     // ── vocabulary stats: top-50 tokens by document frequency
     "q54_term_freq" -> ((s, d) =>
       graft.ops.Relational.topK(
@@ -591,6 +600,29 @@ object ExtensionQueries {
         | trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
         |FROM documents""".stripMargin,
+    "q99_bpe_pairs" ->
+      raw"""WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |w AS (SELECT unnest(regexp_split_to_array(trim(t), '\s+')) AS word FROM n),
+        |v AS (SELECT word, count(*) AS wf FROM w GROUP BY 1),
+        |p AS (SELECT wf, unnest(list_transform(generate_series(1, length(word) - 1),
+        |  i -> substr(word, CAST(i AS BIGINT), 2))) AS pair
+        |  FROM v WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count FROM p GROUP BY 1""".stripMargin,
+    "q100_unigram_nll" ->
+      raw"""WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS token FROM n),
+        |v AS (SELECT token, count(*) AS tf FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v),
+        |s AS (SELECT doc_id, round(-ln(tf::DOUBLE / total), 6) AS nll
+        |  FROM occ JOIN v USING (token), tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) AS sum_nll,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_nll
+        |FROM s GROUP BY 1""".stripMargin,
     "q54_term_freq" ->
       raw"""WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t

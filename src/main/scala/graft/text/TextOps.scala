@@ -110,6 +110,49 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("doc_freq"), sum(col("_tf")).as("term_freq"))
 
+  /** One BPE-trainer counting step (Sennrich et al. ACL'16): corpus-wide
+    * frequencies of adjacent symbol pairs, the quantity a tokenizer trainer
+    * maximizes at every merge. Counted over the DISTINCT word vocabulary
+    * weighted by word frequency — the corpus is scanned once for the
+    * (Zipf-bounded) vocab aggregate, and the quadratic-ish pair explode runs
+    * over vocab entries, not token occurrences. Shuffle bytes ∝ |vocab| +
+    * |charset²| after map-side combine. Here "symbols" are the initial
+    * character alphabet (merge step 0); subsequent merge rounds would
+    * re-tokenize with the learned merge table and re-run the same count. */
+  def bpePairCounts(df: DataFrame, text: String): DataFrame =
+    df.select(explode(tokens(normalize(col(text)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("pair_count"))
+
+  /** Unigram language-model perplexity signal (the CCNet/Wenzek LREC'20
+    * quality filter shape, with the corpus's own unigram LM standing in for
+    * the external KenLM): per doc, token count and the summed/mean negative
+    * log-likelihood under p(w) = term_freq(w) / total_tokens. High mean NLL
+    * = improbable token mix = candidate junk; low = boilerplate-like.
+    *
+    * Scale shape: one vocab aggregate (map-side combined, bytes ∝ vocab),
+    * a 1-row total broadcast, one hash join of token occurrences against the
+    * vocab table (both sides keyed by token), one per-doc aggregate.
+    * Cross-engine determinism: each token's NLL rounds to 6 dp and sums as
+    * DECIMAL(38,6) — no double-accumulation order anywhere. */
+  def unigramNll(df: DataFrame, id: String, text: String): DataFrame = {
+    val occ = df.select(col(id), explode(tokens(normalize(col(text)))).as("token"))
+    val vocab = occ.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    val scored = occ.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        round(-log(col("tf").cast("double") / col("total").cast("double")), 6))
+    scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nll").cast("decimal(38,6)")).cast("double").as("sum_nll"))
+      .withColumn("mean_nll", round(col("sum_nll") / col("n_tokens"), 6))
+  }
+
   /** Repetition signals (the Gopher/C4-style quality filters for generated or
     * boilerplate text): duplicate-token fraction, duplicate-2-gram fraction,
     * and the most frequent token with its share of the doc. Fully per-row —
