@@ -121,6 +121,15 @@ object ExtensionQueries {
     "q99_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.documents(s, d), "text")),
 
+    // ── distributed BPE trainer (iterative argmax loop — rows-only like
+    //    q42/q43; BpeSpec pins the merge order on hand-computed goldens)
+    "q101_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.text.Bpe.train(Tables.documents(s, d), "text", 10)
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+
     // ── unigram-LM perplexity signal per doc (CCNet-style quality filter)
     "q100_unigram_nll" -> ((s, d) =>
       TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),

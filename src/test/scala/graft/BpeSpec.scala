@@ -1,0 +1,37 @@
+package graft
+
+import graft.text.Bpe
+
+/** BPE trainer: hand-computed merge order on a crafted weighted vocab, and
+  * the encode step segments with the learned table. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns merges in weighted-count order with deterministic ties") {
+    // vocab: "low" x5, "lower" x2, "lowest" x3  (10 words total)
+    // initial pairs: (l,o)=10, (o,w)=10, (w,e)=5, (e,r)=2, (e,s)=3, (s,t)=3
+    // tie at 10 broken by pair asc → (l,o) first; after merging "lo":
+    // (lo,w)=10 → "low"; then (w,e)=5? no — after "low" merge: (low,e)=5
+    val docs = Seq((1L, ("low " * 5 + "lower " * 2 + "lowest " * 3).trim))
+      .toDF("doc_id", "text")
+    val rules = Bpe.train(docs, "text", 4)
+    // then (lowe,s)=3 ties (s,t)=3 → left-symbol asc picks (lowe,s)
+    assert(rules.map(m => (m.rank, m.left, m.right, m.count)) == Seq(
+      (0, "l", "o", 10L),
+      (1, "lo", "w", 10L),
+      (2, "low", "e", 5L),
+      (3, "lowe", "s", 3L)))
+    // encode with the learned table
+    val segs = Bpe.segment(docs, "doc_id", "text", rules)
+      .select("word", "syms").distinct().collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(segs("low") == List("low"))
+    assert(segs("lower") == List("lowe", "r"))
+    assert(segs("lowest") == List("lowes", "t"))
+  }
+
+  test("early stop when no adjacent pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, "text", 5).isEmpty)
+  }
+}
