@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator windows over price series — the feature family the
+  * reference's analysis stage derives from closing prices (rolling
+  * volatility at `analysis_part/main.py`; pct-change features feeding the
+  * forecaster). Bollinger bands and Cutler's RSI are the two classic
+  * fixed-window indicators; both are ONE ordered window per series key —
+  * a single hash-partition shuffle on the series key, then per-partition
+  * sorted scans. At 100 TB the frame never leaves the executor: window
+  * state is O(n) rows per series position, no driver involvement.
+  *
+  * Cross-engine determinism: all window sums accumulate in DECIMAL — the
+  * per-row cast double→DECIMAL is exact and engine-portable, the decimal
+  * sum is associative, and only the final band/ratio math runs in double,
+  * so results are bit-identical across engines before the final `round`.
+  */
+object Indicators {
+
+  private val Dec = "decimal(28,10)"
+
+  /** Bollinger bands: `n`-row rolling mean ± `k`·sample-stddev per series,
+    * NULL until a full `n`-row frame exists (the standard chart contract).
+    * Stddev is computed from exact decimal Σx and Σx² (textbook
+    * (Σx² − (Σx)²/n)/(n−1)) rather than a streaming variance kernel, so
+    * both engines evaluate the identical closed form. */
+  def bollinger(df: DataFrame, value: String, keys: Seq[String],
+                ord: Seq[Column], n: Int = 20, k: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(-(n - 1), 0)
+    val x     = col(value).cast(Dec)
+    val cnt   = count(col(value)).over(w)
+    val sx    = sum(x).over(w).cast("double")
+    val sxx   = sum((col(value) * col(value)).cast(Dec)).over(w).cast("double")
+    val mid   = sx / cnt
+    val sd    = sqrt((sxx - sx * sx / cnt) / (cnt - 1))
+    val full  = cnt === n
+    df.withColumn("bb_mid",   when(full, round(mid, 6)))
+      .withColumn("bb_upper", when(full, round(mid + lit(k) * sd, 6)))
+      .withColumn("bb_lower", when(full, round(mid - lit(k) * sd, 6)))
+  }
+
+  /** Cutler's RSI: 100·ΣgainsₙΔ / (ΣgainsₙΔ + ΣlossesₙΔ) over the last `n`
+    * one-step diffs (the SMA variant of RSI — Wilder's smoothed form is a
+    * recursive EWMA, deliberately not used so the indicator stays a pure
+    * window expression). NULL until `n` diffs exist or when the frame is
+    * flat (Σgain + Σloss = 0); a frame with zero losses reads 100. */
+  def rsi(df: DataFrame, value: String, keys: Seq[String],
+          ord: Seq[Column], n: Int = 14): DataFrame = {
+    val wLag = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wSum = wLag.rowsBetween(-(n - 1), 0)
+    val d    = col("_diff")
+    val withDiff = df
+      .withColumn("_diff", (col(value) - lag(col(value), 1).over(wLag)).cast(Dec))
+      .withColumn("_gain", when(d > 0, d).otherwise(lit(0).cast(Dec)))
+      .withColumn("_loss", when(d < 0, -d).otherwise(lit(0).cast(Dec)))
+    val g  = sum(col("_gain")).over(wSum).cast("double")
+    val l  = sum(col("_loss")).over(wSum).cast("double")
+    val nd = count(d).over(wSum)
+    withDiff
+      .withColumn("rsi",
+        when(nd === n && g + l > 0, round(lit(100.0) * g / (g + l), 6)))
+      .drop("_diff", "_gain", "_loss")
+  }
+}

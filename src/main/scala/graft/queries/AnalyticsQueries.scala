@@ -140,7 +140,33 @@ object AnalyticsQueries {
         .select(col("ts"), col("value").as("c"))
       Forecast.forecastSymbol(series, "ts", "c",
         nLags = 6, horizon = 12, maxIter = 10).forecast
-    }))
+    }),
+
+    // ── Bollinger bands: 20-row mean ± 2σ per series (exact decimal Σx/Σx²)
+    "q103_bollinger" -> ((s, d) =>
+      graft.analytics.Indicators.bollinger(Tables.events(s, d), "value",
+          Seq("user_id"), Seq(col("ts"), col("event_id")), n = 20, k = 2.0)
+        .select("user_id", "event_id", "value", "bb_mid", "bb_upper", "bb_lower")),
+
+    // ── Cutler's RSI-14 per series (SMA gains/losses window)
+    "q104_rsi" -> ((s, d) =>
+      graft.analytics.Indicators.rsi(Tables.events(s, d), "value",
+          Seq("user_id"), Seq(col("ts"), col("event_id")), n = 14)
+        .select("user_id", "event_id", "value", "rsi")),
+
+    // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
+    "q105_outlier_iqr" -> ((s, d) =>
+      graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
+          Seq("event_type"), k = 1.5)
+        .select("event_id", "event_type", "value", "lo", "hi")),
+
+    // ── incremental-rollup maintenance: merge per-day partial agg states;
+    //    must equal the direct aggregate (the oracle computes it directly)
+    "q109_agg_merge" -> ((s, d) =>
+      graft.ops.Stats.mergePartials(
+        graft.ops.Stats.partialAgg(Tables.events(s, d), Seq("event_type"),
+          to_date(col("ts")), "value"),
+        Seq("event_type"))))
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
   private val TpchQ3Sql =
@@ -159,6 +185,53 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q46_sql_tpch_q3" -> TpchQ3Sql,
+    "q103_bollinger" ->
+      """WITH b AS (SELECT user_id, event_id, value,
+        |  count(value) OVER w AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sxx
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value,
+        | CASE WHEN cnt = 20 THEN round(sx / cnt, 6) END AS bb_mid,
+        | CASE WHEN cnt = 20 THEN round(sx / cnt
+        |   + 2.0 * sqrt((sxx - sx * sx / cnt) / (cnt - 1)), 6) END AS bb_upper,
+        | CASE WHEN cnt = 20 THEN round(sx / cnt
+        |   - 2.0 * sqrt((sxx - sx * sx / cnt) / (cnt - 1)), 6) END AS bb_lower
+        |FROM b""".stripMargin,
+    "q104_rsi" ->
+      """WITH d AS (SELECT user_id, event_id, ts, value,
+        |  CAST(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS DECIMAL(28,10)) AS diff
+        | FROM events),
+        |g AS (SELECT user_id, event_id, value,
+        |  CAST(sum(CASE WHEN diff > 0 THEN diff
+        |    ELSE CAST(0 AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS gain,
+        |  CAST(sum(CASE WHEN diff < 0 THEN -diff
+        |    ELSE CAST(0 AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS loss,
+        |  count(diff) OVER w AS nd
+        | FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value,
+        | CASE WHEN nd = 14 AND gain + loss > 0
+        |   THEN round(100.0 * gain / (gain + loss), 6) END AS rsi
+        |FROM g""".stripMargin,
+    "q105_outlier_iqr" ->
+      """WITH f AS (SELECT event_type,
+        |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        | FROM events GROUP BY 1),
+        |b AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |  q3 + 1.5 * (q3 - q1) AS hi FROM f)
+        |SELECT event_id, event_type, value, lo, hi
+        |FROM events JOIN b USING (event_type)
+        |WHERE value < lo OR value > hi""".stripMargin,
+    "q109_agg_merge" ->
+      """SELECT event_type, count(value) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | min(value) AS min_value, max(value) AS max_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q38_droplist_projection" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice, l_returnflag, l_linestatus, l_shipdate FROM lineitem""".stripMargin,

@@ -286,7 +286,41 @@ object ExtensionQueries {
           octet_length(col("bin")).cast("long").as("n_bytes"),
           (octet_length(col("bin")) % 640).cast("long").as("width"),
           ((octet_length(col("bin")) * 7) % 480 + 1).cast("long").as("height"),
-          lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))))
+          lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))),
+
+    // ── BM25 retrieval scoring for a fixed query-term set
+    "q102_bm25" -> ((s, d) =>
+      graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms)),
+
+    // ── deterministic k-per-stratum downsample (md5-ordered "reservoir")
+    "q106_source_sample" -> ((s, d) =>
+      graft.ops.Relational.limitPerGroup(Tables.documents(s, d), 50,
+          Seq("source"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+        .select("doc_id", "source")),
+
+    // ── BPE encode with a fixed merge table (the tokenizer-apply step;
+    //    q101 trains the table, this applies one). All rules have l≠r, so
+    //    greedy per-pass merging equals left-to-right non-overlapping
+    //    string replacement — which is how the oracle recomputes it.
+    "q108_bpe_encode" -> ((s, d) => {
+      val rules = BpeEncodeRules.zipWithIndex.map { case ((l, r), i) =>
+        graft.text.Bpe.MergeRule(i, l, r, 0L)
+      }
+      graft.text.Bpe.segment(Tables.documents(s, d), "doc_id", "text", rules)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("syms"))).cast("long").as("n_tokens"))
+    }))
+
+  /** Query terms for q102 (mixed document frequencies in the test corpus). */
+  private val Bm25Terms = Seq("join", "hash", "filter", "stream")
+
+  /** Fixed merge table for q108, rank order; every rule has l≠r (see the
+    * query comment — required for the replace-based oracle equivalence). */
+  private val BpeEncodeRules =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"))
 
   // ───────────────────────── DuckDB oracle SQL ─────────────────────────
 
@@ -403,7 +437,57 @@ object ExtensionQueries {
        |  FROM toks, unnest(generate_series(0, CAST(greatest(1, ceil(len(w)/3.0)) AS BIGINT) - 1)) AS u(i)),
        |hashed AS (SELECT doc_id, chunk_idx, ${h64d("chunk")} AS chunk_hash, chunk FROM chunks)""".stripMargin
 
+  // q53-style normalization (lowercase, strip control chars, collapse
+  // whitespace) — the tokenization base for the BM25/BPE-encode oracles
+  private val normCte =
+    raw"""nrm AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+       |    '\s+', ' ', 'g')) AS t FROM documents)""".stripMargin
+
+  private val bpeEncodeSql: String = {
+    // chr(1) separator: normalize replaced every control char with a space,
+    // so it cannot collide with document content
+    val enc = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"))
+      .foldLeft("cs") { case (acc, (l, r)) =>
+        s"replace($acc, '$l' || chr(1) || '$r', '$l$r')"
+      }
+    s"""WITH $normCte,
+       |w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM nrm),
+       |s AS (SELECT doc_id, array_to_string(string_split(word, ''), chr(1)) AS cs
+       |  FROM w WHERE length(word) > 0),
+       |e AS (SELECT doc_id, $enc AS enc FROM s)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(enc, chr(1)))) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q102_bm25" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tk),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT tk.doc_id, dls.dl, unnest(tk.w) AS term
+         |    FROM tk JOIN dls USING (doc_id))
+         |  WHERE term IN (${inList(Seq("join", "hash", "filter", "stream"))})
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q106_source_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 50""".stripMargin,
+    "q108_bpe_encode" -> bpeEncodeSql,
     "q95_passage_dedup" ->
       s"""WITH $toksCte,
          |$chunkCte

@@ -105,9 +105,26 @@ object ServeQueries {
       graft.sources.Csv.write(src, path)
       graft.sources.Csv.read(s, path,
         "id BIGINT, name STRING, d DATE, ts TIMESTAMP, x DOUBLE")
+    }),
+
+    // ── columnar ORC round-trip (same deterministic content recipe as q74;
+    //    DuckDB can't read ORC, so the oracle regenerates the content from
+    //    range() instead of reading the written files)
+    "q107_orc_roundtrip" -> ((s, _) => {
+      val path = OrcRoundTripPath
+      val src = s.range(0, 500).select(
+        col("id"),
+        concat(lit("name_"), col("id") % 37).as("name"),
+        date_add(to_date(lit("2025-01-01")), (col("id") % 365).cast("int")).as("d"),
+        timestamp_seconds(col("id") * 3607 + 11).as("ts"),
+        (pmod(col("id") * 7, lit(97)) / 97.0).as("x"))
+      graft.sources.Orc.write(src, path)
+      graft.sources.Orc.read(s, path,
+        "id BIGINT, name STRING, d DATE, ts TIMESTAMP, x DOUBLE")
     }))
 
   private val CsvRoundTripPath = "/root/repo/target/graft_csv_roundtrip"
+  private val OrcRoundTripPath = "/root/repo/target/graft_orc_roundtrip"
 
   val oracle: Map[String, String] = Map(
     "q68_last_change" ->
@@ -145,5 +162,12 @@ object ServeQueries {
         |SELECT hour, symbol, c, trend_score FROM l LEFT JOIN t USING (hour, symbol)""".stripMargin,
     "q74_csv_roundtrip" ->
       """SELECT * FROM read_csv('/root/repo/target/graft_csv_roundtrip/*.csv',
-        | header = true)""".stripMargin)
+        | header = true)""".stripMargin,
+    "q107_orc_roundtrip" ->
+      """SELECT id,
+        | 'name_' || CAST(id % 37 AS VARCHAR) AS name,
+        | DATE '2025-01-01' + CAST(id % 365 AS INTEGER) AS d,
+        | TIMESTAMP '1970-01-01' + to_seconds(id * 3607 + 11) AS ts,
+        | CAST(id * 7 % 97 AS DOUBLE) / 97 AS x
+        |FROM range(0, 500) t(id)""".stripMargin)
 }

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring: Okapi BM25 (Robertson & Spärck Jones; the
+  * Lucene `+1` idf smoothing so idf stays positive at df > N/2) for a fixed
+  * query-term set — the ranking half of a retrieval/decontamination stack,
+  * next to `Curate.contamination`'s n-gram overlap half.
+  *
+  * Scale shape: the query-term set is a literal broadcast; the corpus scan
+  * produces (doc, term, tf) only for matching terms (explode-then-filter,
+  * map-side combined), so shuffled bytes ∝ matches, not corpus. Corpus
+  * stats (N, avgdl) are one scalar row broadcast-crossed in; per-term df is
+  * a |terms|-row aggregate broadcast back onto the match frame. ONE real
+  * shuffle keyed by doc id.
+  *
+  * Determinism: tf/df/N/dl are exact longs; avgdl is an exact decimal
+  * average cast to double; per-term partial scores are computed in double
+  * with one fixed formula, then cast to DECIMAL for the per-doc sum so
+  * accumulation order can't wiggle the low bits across engines.
+  */
+object Retrieval {
+
+  /** BM25 score per document containing ≥1 query term: (id, n_terms
+    * matched, bm25 rounded to 6dp). `k1`/`b` defaults sit in the standard
+    * ranges AND are exactly representable in binary (1.25, 0.75), so every
+    * constant subexpression (k1+1, 1−b, b·dl) is bit-identical whether an
+    * engine parses the literal as DECIMAL or DOUBLE. */
+  def bm25(df: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(id),
+      TextOps.tokens(TextOps.normalize(col(text))).as("_w"))
+      .withColumn("dl", size(col("_w")).cast("long"))
+
+    // corpus stats: one row, broadcast
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+
+    // per-(doc, term) tf over the query terms only
+    val tf = toks
+      .select(col(id), col("dl"), explode(col("_w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // per-term document frequency (|terms| rows, broadcast back)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + (col("dl") * b / col("avgdl") + (1 - b)) * k1))
+          .cast("decimal(28,12)"))
+
+    scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("part")).cast("double"), 6).as("bm25"))
+  }
+}

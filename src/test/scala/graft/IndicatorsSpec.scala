@@ -1,0 +1,78 @@
+package graft
+
+import graft.analytics.Indicators
+import graft.ops.Stats
+import graft.text.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Hand-computed goldens for the indicator / retrieval / robust-stats
+  * operators (q102-q105, q109). */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bollinger: 3-row bands match the closed form; NULL until full frame") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("i", "x")
+    val rows = Indicators.bollinger(df.withColumn("g", lit(1)), "x", Seq("g"),
+        Seq(col("i")), n = 3, k = 2.0)
+      .orderBy("i").select("bb_mid", "bb_upper", "bb_lower").collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    // rows 1..3: mean 2, sample sd 1
+    assert(rows(2).getDouble(0) == 2.0 && rows(2).getDouble(1) == 4.0 &&
+      rows(2).getDouble(2) == 0.0)
+    // rows 2..4: mean 3, sample sd 1
+    assert(rows(3).getDouble(0) == 3.0 && rows(3).getDouble(1) == 5.0 &&
+      rows(3).getDouble(2) == 1.0)
+  }
+
+  test("rsi: Cutler SMA form on a hand series") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 1.0), (4, 3.0)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val rows = Indicators.rsi(df, "x", Seq("g"), Seq(col("i")), n = 2)
+      .orderBy("i").select("rsi").collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0)) // <2 diffs in frame
+    assert(rows(2).getDouble(0) == 50.0)               // +1 / -1
+    assert(rows(3).getDouble(0) == 66.666667)          // gains 2, losses 1
+  }
+
+  test("bm25: closed-form score on a 3-doc corpus") {
+    val docs = Seq((1L, "a b"), (2L, "a a c"), (3L, "d")).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("a"))
+      .orderBy("doc_id").collect()
+    assert(got.length == 2) // doc 3 matches no term
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0) // df(a)=2, N=3
+    val avgdl = 2.0                                      // (2+3+1)/3
+    def score(tf: Long, dl: Long): Double = {
+      val raw = idf * (tf * 2.25) / (tf + (dl * 0.75 / avgdl + 0.25) * 1.25)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 1L &&
+      got(0).getDouble(2) == score(1, 2))
+    assert(got(1).getLong(0) == 2L && got(1).getLong(1) == 1L &&
+      got(1).getDouble(2) == score(2, 3))
+  }
+
+  test("iqrOutliers: Tukey fences flag the planted extreme only") {
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "x")
+    val out = Stats.iqrOutliers(df, "x", Seq("grp")).select("id", "x", "lo", "hi")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(1) == 100.0)
+    assert(out(0).getDouble(2) == -3.5 && out(0).getDouble(3) == 14.5)
+  }
+
+  test("mergePartials(partialAgg) equals the direct aggregate") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val merged = Stats.mergePartials(
+      Stats.partialAgg(df, Seq("event_type"), to_date(col("ts")), "value"),
+      Seq("event_type"))
+    val direct = df.groupBy("event_type").agg(
+      count(col("value")).as("n"),
+      sum(col("value").cast(graft.ops.Relational.ExactDec)).cast("double").as("sum_value"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+    assert(merged.orderBy("event_type").collect()
+      .sameElements(direct.orderBy("event_type").collect()))
+  }
+}
