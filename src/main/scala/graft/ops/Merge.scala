@@ -54,4 +54,31 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
+
+  /** Snapshot diff: classify every key as added ('A'), deleted ('D'), or
+    * changed ('C') between two snapshot versions; unchanged keys are
+    * dropped. The reconciliation half of the CDC surface — [[upsert]]
+    * applies a change log, this recovers one from two snapshots.
+    *
+    * ONE sort-merge full-outer join keyed by `key` (both sides
+    * co-partition; with bucketed snapshots the exchanges vanish). Column
+    * comparison is null-safe equality per compare column — no row-level
+    * hashing, so the plan stays codegen'd and column-prunable: only
+    * `compareCols` are read from either snapshot. */
+  def snapshotDiff(base: DataFrame, next: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val b = base.select((key +: compareCols).map(c => col(c).as("_b_" + c)): _*)
+    val n = next.select((key +: compareCols).map(c => col(c).as("_n_" + c)): _*)
+    val changed = compareCols
+      .map(c => !(col("_b_" + c) <=> col("_n_" + c)))
+      .reduce(_ || _)
+    b.join(n, col("_b_" + key) === col("_n_" + key), "full_outer")
+      .withColumn("change_type",
+        when(col("_b_" + key).isNull, lit("A"))
+          .when(col("_n_" + key).isNull, lit("D"))
+          .when(changed, lit("C")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("_b_" + key), col("_n_" + key)).as(key),
+        col("change_type"))
+  }
 }

@@ -28,6 +28,28 @@ object Stats {
       .filter(col(value) < col("lo") || col(value) > col("hi"))
   }
 
+  /** Median/MAD robust z-score outliers per group: rows where
+    * |x − median| / MAD > `k` (MAD = median absolute deviation — both
+    * medians exact interpolated percentiles). Unlike the Tukey fences,
+    * MAD needs a second aggregate over |x − median|, so the shape is two
+    * group-cardinality aggregates, each broadcast back — the data itself
+    * still never shuffles. Degenerate groups (MAD = 0 — over half the
+    * values sit exactly at the median) are excluded rather than dividing
+    * by zero, matching the robust-stats convention. */
+  def madOutliers(df: DataFrame, value: String, keys: Seq[String],
+                  k: Double = 4.0): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($value, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), keys)
+    val mad = withMed.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(abs($value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), keys)
+      .filter(col("mad") > 0)
+      .withColumn("robust_z", (col(value) - col("med")) / col("mad"))
+      .filter(abs(col("robust_z")) > k)
+      .withColumn("robust_z", round(col("robust_z"), 6))
+  }
+
   /** Mergeable partial-aggregate state per (keys, bucket): count / exact
     * decimal sum / min / max — the standard incremental-view state. Computed
     * per ingest bucket (a day, an hour, a file batch), stored, and folded

@@ -166,7 +166,13 @@ object AnalyticsQueries {
       graft.ops.Stats.mergePartials(
         graft.ops.Stats.partialAgg(Tables.events(s, d), Seq("event_type"),
           to_date(col("ts")), "value"),
-        Seq("event_type"))))
+        Seq("event_type"))),
+
+    // ── median/MAD robust z-score outliers per event_type
+    "q111_mad_outliers" -> ((s, d) =>
+      graft.ops.Stats.madOutliers(Tables.events(s, d), "value",
+          Seq("event_type"), k = 4.0)
+        .select("event_id", "event_type", "value", "robust_z")))
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
   private val TpchQ3Sql =
@@ -226,6 +232,16 @@ object AnalyticsQueries {
         |SELECT event_id, event_type, value, lo, hi
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi""".stripMargin,
+    "q111_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events JOIN m USING (event_type) GROUP BY 1),
+        |j AS (SELECT event_id, event_type, value, (value - med) / mad AS rz
+        |  FROM events JOIN m USING (event_type) JOIN a USING (event_type)
+        |  WHERE mad > 0)
+        |SELECT event_id, event_type, value, round(rz, 6) AS robust_z
+        |FROM j WHERE abs(rz) > 4.0""".stripMargin,
     "q109_agg_merge" ->
       """SELECT event_type, count(value) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -207,9 +207,47 @@ object BreadthQueries {
     "q98_scd2" -> ((s, d) =>
       graft.ops.Merge.scd2(
         Tables.events(s, d).select("user_id", "ts", "event_type", "value"),
-        "user_id", "ts")))
+        "user_id", "ts")),
+
+    // ── snapshot diff: recover the change log between two snapshot
+    //    versions (adds %10=1 under new keys, deletes %10=7, price bump
+    //    %10=3) — the inverse of the q97 upsert
+    "q110_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val next = o.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 3, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.Merge.snapshotDiff(o, next, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority"))
+    }))
 
   val oracle: Map[String, String] = Map(
+    "q110_snapshot_diff" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 != 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |d AS (SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'A'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       WHEN b.o_custkey IS DISTINCT FROM n.o_custkey
+        |         OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         OR b.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |         OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |       THEN 'C' END AS change_type
+        | FROM orders b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM d WHERE change_type IS NOT NULL""".stripMargin,
     "q97_merge_upsert" ->
       """WITH ch AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

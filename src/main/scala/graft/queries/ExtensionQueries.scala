@@ -293,6 +293,11 @@ object ExtensionQueries {
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
         Bm25Terms)),
 
+    // ── top-5 terms per doc by smoothed tf-idf (sklearn idf form)
+    "q112_tfidf" -> ((s, d) =>
+      graft.text.Retrieval.tfIdfTopK(Tables.documents(s, d), "doc_id",
+        "text", k = 5)),
+
     // ── deterministic k-per-stratum downsample (md5-ordered "reservoir")
     "q106_source_sample" -> ((s, d) =>
       graft.ops.Relational.limitPerGroup(Tables.documents(s, d), 50,
@@ -481,6 +486,20 @@ object ExtensionQueries {
          |SELECT doc_id, count(*) AS n_terms,
          |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
          |FROM scored GROUP BY doc_id""".stripMargin,
+    "q112_tfidf" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term FROM nrm),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+         |  WHERE length(term) > 0 GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, term, tf,
+         |  tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, rank, term, tf, round(tfidf, 6) AS tfidf
+         |FROM r WHERE rank <= 5""".stripMargin,
     "q106_source_sample" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

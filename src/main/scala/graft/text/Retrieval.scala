@@ -63,4 +63,33 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("part")).cast("double"), 6).as("bm25"))
   }
+
+  /** Top-`k` terms per document by smoothed tf-idf
+    * (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — never zero, so
+    * ties break on the term, deterministically). The df aggregate is
+    * vocab-bounded (map-side combined, bytes ∝ |vocab|); the per-doc top-k
+    * is one row_number window over the (doc, term) frame. Exact doubles:
+    * tf/df/N are longs, the product is one double expression — identical
+    * cross-engine, so ordering ties agree too. */
+  def tfIdfTopK(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    val tf = df.select(col(id),
+      explode(TextOps.tokens(TextOps.normalize(col(text)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+
+    val nDocs = df.select(col(id)).agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
 }

@@ -61,6 +61,52 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(0).getDouble(2) == -3.5 && out(0).getDouble(3) == 14.5)
   }
 
+  test("snapshotDiff classifies adds / deletes / changes and drops unchanged") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val next = Seq((2L, "b", 20.0), (3L, "c", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = graft.ops.Merge.snapshotDiff(base, next, "k", Seq("s", "v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "D"), (3L, "C"), (4L, "A")))
+  }
+
+  test("snapshotDiff treats null-vs-null as unchanged (null-safe compare)") {
+    val base = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("k", "s")
+    val next = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val got = graft.ops.Merge.snapshotDiff(base, next, "k", Seq("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "C")))
+  }
+
+  test("madOutliers flags by |x-med|/MAD and skips MAD=0 groups") {
+    // g1: values 1..9 plus 100 → med 5.5, MAD 2.5 → z(100) = 37.8
+    // g2: constant → MAD 0 → excluded entirely
+    val df = (((1 to 9).map(_.toDouble) :+ 100.0).map(("g1", _)) ++
+      Seq.fill(5)(("g2", 7.0))).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "grp", "x")
+    val got = Stats.madOutliers(df, "x", Seq("grp"), k = 4.0)
+      .select("grp", "x", "robust_z").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "g1" && got(0).getDouble(1) == 100.0)
+    assert(got(0).getDouble(2) == 37.8)
+  }
+
+  test("tfIdfTopK ranks by smoothed tf-idf with term tie-break") {
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // idf: apple ln(3/2)+1, banana ln(3/3)+1=1, cherry ln(3/2)+1
+    // doc1: apple 2*1.405 > banana 1*1 ; doc2: cherry 1.405 > banana 1
+    assert(got.toSeq == Seq((1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "cherry"), (2L, 2, "banana")))
+  }
+
   test("mergePartials(partialAgg) equals the direct aggregate") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val merged = Stats.mergePartials(
