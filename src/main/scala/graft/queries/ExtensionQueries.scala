@@ -293,6 +293,19 @@ object ExtensionQueries {
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
         Bm25Terms)),
 
+    // ── product-quantized ANN with exact re-rank (rows-only: learned
+    //    per-subspace KMeans codebooks aren't reproducible in the oracle
+    //    engine — recall/determinism pinned by AnnSpec instead)
+    "q113_pq_ann" -> ((s, d) => {
+      val norm = Tables.embeddings(s, d).select(col("vec_id"),
+        Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+      val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16)
+      val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
+      Similarity.annPqRerank(codes, cb, norm,
+        norm.filter(col("vec_id") < 10), "vec_id", "nv",
+        k = 10, shortlist = 50)
+    }),
+
     // ── top-5 terms per doc by smoothed tf-idf (sklearn idf form)
     "q112_tfidf" -> ((s, d) =>
       graft.text.Retrieval.tfIdfTopK(Tables.documents(s, d), "doc_id",

@@ -306,4 +306,127 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
   }
+
+  // ── product quantization (Jégou, Douze, Schmid — TPAMI'11) ──────────────
+  //
+  // The compressed-codes scale path: m sub-quantizers of ksub codewords turn
+  // a dim-float vector into m small ints (m bytes at ksub ≤ 256) — at 10⁹+
+  // vectors the search scan reads codes + a driver-sized codebook, never the
+  // raw embeddings. Codebooks are learned (seeded per-subspace KMeans), so
+  // like `ivfLearned` this family is spec-verified (recall vs brute truth),
+  // not DuckDB-oracle-checked.
+
+  /** L2-normalize an array column (zero vectors pass through unscaled).
+    * For cosine-metric PQ, normalize corpus and queries first: on unit
+    * vectors the L2 (ADC) ranking equals the cosine ranking. */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Train per-subspace codebooks: `m` seeded KMeans fits over the
+    * sub-vectors. Returns codebooks[sub][code] = codeword (m·ksub·dsub
+    * doubles — driver/broadcast sized by construction). */
+  def pqTrain(corpus: DataFrame, emb: String, m: Int, ksub: Int,
+              seed: Long = 42L, maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val v = corpus.select(asDouble(emb).as("v")).cache()
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // the m sub-quantizer fits are independent — submit them as concurrent
+    // Spark jobs (each is a small job; serial execution would pay m× the
+    // scheduling latency for no reason)
+    val fits = (0 until m).map { s =>
+      Future {
+        val sub = v.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            slice(col("v"), s * dsub + 1, dsub)).as("features"))
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("features")
+        km.fit(sub).clusterCenters.map(_.toArray)
+      }
+    }
+    val out = fits.map(Await.result(_, Duration.Inf)).toArray
+    v.unpersist(blocking = false)
+    out
+  }
+
+  /** Encode each vector as its per-subspace nearest-codeword index array
+    * (ties break to the lowest code — deterministic). Pure per-row HOF
+    * expression over a broadcast codebook literal: no shuffle, no UDF. */
+  def pqEncode(corpus: DataFrame, id: String, emb: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length; val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    corpus
+      .select(col(id).as("vec_id"), asDouble(emb).as("v"))
+      .withColumn("_cb", typedlit(cb))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  aggregate(sequence(0, ${ksub - 1}),
+           |    struct(CAST(-1 AS INT) AS bk, CAST('Infinity' AS DOUBLE) AS bd),
+           |    (acc, cw) -> CASE WHEN
+           |        aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a, i) ->
+           |          a + (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
+           |            * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i)))
+           |        < acc.bd
+           |      THEN struct(cw AS bk,
+           |        aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a, i) ->
+           |          a + (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
+           |            * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))) AS bd)
+           |      ELSE acc END,
+           |    acc -> acc.bk))""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** ANN search over PQ codes with asymmetric distance (ADC): approximate
+    * ‖q − x‖² = Σ_s ‖q_s − cb[s][code_s]‖², computed from the codes and the
+    * broadcast codebook only — the raw corpus vectors are never read. Exact
+    * sub-distance per (query, row): m·dsub flops on compressed data. */
+  def annPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+            queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+    val m = codebooks.length; val dsub = codebooks(0)(0).length
+    val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("_cb", typedlit(cb))
+      .withColumn("adist", round(expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
+           |  a + aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a2, i) ->
+           |    a2 + (element_at(qv, s * $dsub + i)
+           |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))
+           |      * (element_at(qv, s * $dsub + i)
+           |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "adist", "rank")
+  }
+
+  /** PQ search with exact re-ranking (Jégou et al.'s ADC + R): the code
+    * scan produces a `shortlist`-sized candidate set per query, then ONLY
+    * those rows' raw vectors are fetched (a shortlist-sized join, ~k·queries
+    * rows — negligible against the corpus) and re-ranked by exact cosine.
+    * The standard production recipe: compressed scan for the heavy pass,
+    * exact math on the tiny tail. */
+  def annPqRerank(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+                  corpus: DataFrame, queries: DataFrame, id: String,
+                  emb: String, k: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cands = annPq(codes, codebooks, queries, id, emb, shortlist)
+      .select("q_id", "vec_id")
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cands.join(c, "vec_id").join(broadcast(q), "q_id")
+      .withColumn("sim", round(cosineNative(spark, "qv", "v"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
 }

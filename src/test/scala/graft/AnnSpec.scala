@@ -16,6 +16,49 @@ class AnnSpec extends SparkSpec {
     hits / truth.count()
   }
 
+  test("PQ codes are in range and ADC search recovers most true neighbours") {
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // cosine metric → L2-normalize, then ADC's L2 ranking = cosine ranking
+    val norm = small.select(col("vec_id"),
+      Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+    val qs = norm.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrain(norm, "nv", m = 16, ksub = 16)
+    assert(cb.length == 16 && cb.forall(_.length == 16))
+
+    val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb).cache()
+    val bounds = codes.select(
+      min(array_min(col("codes"))), max(array_max(col("codes")))).head()
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < 16)
+
+    // ADC top-10 vs exact cosine top-10 (cosine is normalization-invariant)
+    val truth = Similarity.knnBrute(small,
+      small.filter(col("vec_id") < 10), "vec_id", "embedding", 10).cache()
+    val got = Similarity.annPq(codes, cb, qs, "vec_id", "nv", 10)
+    assert(got.groupBy("q_id").count().collect().forall(_.getLong(1) == 10))
+    val rAdc = recall(got, truth)
+    assert(rAdc >= 0.3, s"raw ADC recall $rAdc below 0.3")
+
+    // exact re-rank of a 50-deep ADC shortlist: the production recipe —
+    // recall must jump well past the raw code scan
+    val rr = Similarity.annPqRerank(codes, cb, norm, qs, "vec_id", "nv",
+      k = 10, shortlist = 50)
+    val rRr = recall(rr, truth)
+    assert(rRr >= 0.7, s"PQ+rerank recall $rRr below 0.7")
+    assert(rRr >= rAdc, "rerank must not lose recall")
+  }
+
+  test("PQ encode is deterministic and reruns reproduce identical codes") {
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqTrain(small, "embedding", m = 4, ksub = 8)
+    val cb2 = Similarity.pqTrain(small, "embedding", m = 4, ksub = 8)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+    val a = Similarity.pqEncode(small, "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val b = Similarity.pqEncode(small, "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+  }
+
   test("multi-probe LSH recall ≥ single-bucket LSH recall") {
     val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", 5).cache()
     val single = Similarity.annLsh(e, q, "vec_id", "embedding", 5, 8, 64)
