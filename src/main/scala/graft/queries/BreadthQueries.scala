@@ -223,9 +223,44 @@ object BreadthQueries {
       graft.ops.Merge.snapshotDiff(o, next, "o_orderkey",
         Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
           "o_orderpriority"))
-    }))
+    }),
+
+    // ── array-function battery (the collection surface a training pipeline
+    //    lives on): distinct/sort/slice/join, position, element_at(-1),
+    //    filter/transform/aggregate HOFs, contains, set intersection —
+    //    all codegen'd per-row, no shuffle
+    "q114_array_battery" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("_w", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_toks"),
+          size(array_distinct(col("_w"))).cast("long").as("n_distinct"),
+          array_position(col("_w"), "the").as("pos_the"),
+          array_join(slice(array_sort(array_distinct(col("_w"))), 1, 3), ",")
+            .as("head3"),
+          element_at(col("_w"), -1).as("last_tok"),
+          size(filter(col("_w"), t => length(t) > 3)).cast("long").as("n_long"),
+          aggregate(col("_w"), lit(0L), (a, t) => a + length(t)).as("total_chars"),
+          array_contains(col("_w"), "data").as("has_data"),
+          size(array_distinct(array_intersect(col("_w"),
+            array(lit("the"), lit("a"), lit("of"), lit("data")))))
+            .cast("long").as("n_common"))))
 
   val oracle: Map[String, String] = Map(
+    "q114_array_battery" ->
+      raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(w) AS BIGINT) AS n_toks,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        | CAST(list_position(w, 'the') AS BIGINT) AS pos_the,
+        | array_to_string(list_sort(list_distinct(w))[1:3], ',') AS head3,
+        | w[-1] AS last_tok,
+        | CAST(len(list_filter(w, t -> length(t) > 3)) AS BIGINT) AS n_long,
+        | CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS total_chars,
+        | list_contains(w, 'data') AS has_data,
+        | CAST(len(list_distinct(list_intersect(w, ['the','a','of','data']))) AS BIGINT) AS n_common
+        |FROM toks""".stripMargin,
     "q110_snapshot_diff" ->
       """WITH nxt AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -306,6 +306,19 @@ object ExtensionQueries {
         k = 10, shortlist = 50)
     }),
 
+    // ── sliding-window chunking with overlap (64-token window, 48 stride)
+    "q115_chunk_overlap" -> ((s, d) =>
+      Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
+        window = 64, stride = 48)),
+
+    // ── materialize a training mix from per-source epoch targets
+    //    (floor copies + salted-hash fractional copy; exact .25 steps)
+    "q116_mix_materialize" -> ((s, d) =>
+      Mix.mixMaterialize(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0, "src3" -> 1.75),
+          defaultEpochs = 1.0)
+        .select("doc_id", "source", "copy_idx")),
+
     // ── top-5 terms per doc by smoothed tf-idf (sklearn idf form)
     "q112_tfidf" -> ((s, d) =>
       graft.text.Retrieval.tfIdfTopK(Tables.documents(s, d), "doc_id",
@@ -513,6 +526,31 @@ object ExtensionQueries {
          |    ORDER BY tfidf DESC, term ASC) AS rank FROM sc)
          |SELECT doc_id, rank, term, tf, round(tfidf, 6) AS tfidf
          |FROM r WHERE rank <= 5""".stripMargin,
+    "q115_chunk_overlap" ->
+      raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         |  FROM documents),
+         |n AS (SELECT doc_id, w,
+         |  CAST(greatest(1, ceil((len(w) - 64) / CAST(48 AS DOUBLE)) + 1) AS BIGINT) AS nc
+         |  FROM toks),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |  w[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)] AS cw
+         |  FROM n, unnest(generate_series(0, nc - 1)) AS t(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(len(cw) AS BIGINT) AS n_chunk_toks,
+         | ${h64d("array_to_string(cw, ' ')")} AS chunk_hash
+         |FROM c""".stripMargin,
+    "q116_mix_materialize" ->
+      """WITH e AS (SELECT doc_id, source,
+        |  CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 1.75 ELSE 1.0 END AS DOUBLE) AS eps
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(floor(eps) AS BIGINT) +
+        |  CASE WHEN (('0x' || substr(md5(doc_id || ':mix'), 1, 15))::BIGINT % 1000000)
+        |         < (eps - floor(eps)) * 1000000 THEN 1 ELSE 0 END AS rep
+        |  FROM e)
+        |SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+        |FROM r, unnest(generate_series(1, rep)) AS t(i)""".stripMargin,
     "q106_source_sample" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

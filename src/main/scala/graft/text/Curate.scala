@@ -120,6 +120,28 @@ object Curate {
       .na.fill("", Seq("clean_text"))
   }
 
+  /** Sliding-window chunking with overlap (`stride` < `window` tokens) —
+    * the context-window segmentation step for pretraining / retrieval
+    * indexing, where passage boundaries must overlap so no span is split
+    * across chunks unseen. Pure per-row generate: chunk i covers tokens
+    * [i·stride+1, i·stride+window]; every doc yields ≥ 1 chunk (empty docs
+    * included, mirroring [[passageDedup]]'s convention). Emits the chunk
+    * hash (portable h64) for downstream dedup without carrying text. */
+  def chunkOverlap(df: DataFrame, id: String, text: String,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    df.select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("nc", greatest(lit(1L),
+        (ceil((size(col("w")) - window).cast("double") / stride) + 1).cast("long")))
+      .select(col(id), col("w"),
+        posexplode(expr(s"transform(sequence(0, nc - 1), i -> " +
+          s"slice(w, CAST(i * $stride + 1 AS INT), $window))"))
+          .as(Seq("chunk_idx", "cw")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("cw")).cast("long").as("n_chunk_toks"),
+        expr(TextOps.h64Sql("concat_ws(' ', cw)")).as("chunk_hash"))
+  }
+
   /** URL structure parse: scheme, host, registered domain (last two
     * dot-labels), path depth (count of '/' in the path). Pure per-row
     * RE2-portable regex work. */

@@ -112,4 +112,29 @@ object Mix {
       .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Materialize a training mix from per-stratum epoch targets: each doc is
+    * emitted floor(epochs) times, plus one more copy for a deterministic
+    * per-doc hash fraction of the stratum (so a 1.25-epoch source repeats
+    * every doc once and a salted-hash quarter of them twice — expected
+    * token mass ∝ epochs, no RNG, stable under corpus growth). Pure per-row
+    * explode: zero shuffle; downstream packing (`packSequences`) handles
+    * ordering. Epoch values should be exactly representable (.0/.25/.5/.75)
+    * so the fractional threshold is engine-portable. */
+  def mixMaterialize(df: DataFrame, id: String, stratum: String,
+                     epochs: Map[String, Double],
+                     defaultEpochs: Double = 1.0): DataFrame = {
+    val eff = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("_eps", eff)
+      .withColumn("_rep", floor(col("_eps")).cast("long") +
+        when(pmod(TextOps.h64(concat(col(id).cast("string"), lit(":mix"))),
+          lit(1000000L)) < (col("_eps") - floor(col("_eps"))) * 1000000,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("copy_idx",
+        explode(when(col("_rep") >= 1, sequence(lit(1L), col("_rep")))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
+      .drop("_eps", "_rep")
+  }
 }
