@@ -168,6 +168,15 @@ object AnalyticsQueries {
           to_date(col("ts")), "value"),
         Seq("event_type"))),
 
+    // ── ordered funnel: view → click → purchase progression per user
+    "q117_funnel" -> ((s, d) =>
+      graft.analytics.Behavior.funnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // ── cohort retention: first-day cohort × active-day offsets
+    "q118_retention" -> ((s, d) =>
+      graft.analytics.Behavior.retention(Tables.events(s, d), "user_id", "ts")),
+
     // ── median/MAD robust z-score outliers per event_type
     "q111_mad_outliers" -> ((s, d) =>
       graft.ops.Stats.madOutliers(Tables.events(s, d), "value",
@@ -232,6 +241,28 @@ object AnalyticsQueries {
         |SELECT event_id, event_type, value, lo, hi
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi""".stripMargin,
+    "q117_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT u.user_id, t1, t2, t3,
+        | CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
+    "q118_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort, date_diff('day', cohort, day) AS day_n,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q111_mad_outliers" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),
