@@ -299,7 +299,7 @@ object ExtensionQueries {
     "q113_pq_ann" -> ((s, d) => {
       val norm = Tables.embeddings(s, d).select(col("vec_id"),
         Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
-      val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16)
+      val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
       val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
       Similarity.annPqRerank(codes, cb, norm,
         norm.filter(col("vec_id") < 10), "vec_id", "nv",

@@ -344,8 +344,13 @@ object Similarity {
         val sub = v.select(
           org.apache.spark.ml.functions.array_to_vector(
             slice(col("v"), s * dsub + 1, dsub)).as("features"))
+        // random init (seeded, deterministic) over k-means||: the parallel
+        // init costs extra distributed passes per fit, which dominates at
+        // m fits per train — and PQ sub-quantizers converge fine from
+        // random starts (the standard PQ training recipe)
         val km = new org.apache.spark.ml.clustering.KMeans()
           .setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
+          .setInitMode("random")
           .setFeaturesCol("features")
         km.fit(sub).clusterCenters.map(_.toArray)
       }
