@@ -142,6 +142,37 @@ object TimeSeriesOps {
       .select(left.columns.map(col) ++ payload.map(col): _*)
   }
 
+  /** Forward as-of join with tolerance (pandas `merge_asof(direction=
+    * 'forward', tolerance=...)` analog): for every left row, the EARLIEST
+    * right row with left.ts ≤ right.ts ≤ left.ts + tolerance in the same
+    * keys. Same union-and-carry shape as [[asofJoin]], with the window
+    * frame flipped to (current, unbounded following) and a post-carry
+    * tolerance mask (the carried right timestamp rides along as
+    * `matched_ts`; NULL when nothing lands inside the tolerance). Right
+    * rows at exactly left.ts sort AFTER left rows, so a same-timestamp
+    * right row IS visible (ASOF ≥ match). Still ONE shuffle + one sort. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      ts: String, payload: Seq[String],
+                      toleranceSeconds: Long): DataFrame = {
+    val lTag = left.withColumn("_src", lit(1))
+    val rTag = right.withColumn("_src", lit(2)).withColumn("_rts", col(ts))
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("_src").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = (payload :+ "_rts").foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    val within = col("_rts").isNotNull &&
+      (col("_rts").cast("long") - col(ts).cast("long")) <= toleranceSeconds
+    val masked = payload.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, when(within, col(c)))
+    }
+    masked.filter(col("_src") === 1)
+      .select(left.columns.map(col) ++ payload.map(col) :+
+        when(within, col("_rts")).as("matched_ts"): _*)
+  }
+
   /** Batch session windows (gaps-and-islands): rows within `gap` of the
     * previous row share a session; emits per-session aggregates. The
     * streaming analog is streaming.Sessionize (flatMapGroupsWithState). */

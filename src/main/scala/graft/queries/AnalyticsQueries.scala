@@ -60,6 +60,18 @@ object AnalyticsQueries {
         Seq("view_value", "view_ts"))
     }),
 
+    // ── forward as-of with tolerance: each purchase joined to the next
+    //    view within 2 hours (merge_asof direction='forward' analog)
+    "q119_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val r = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_value"))
+      graft.ops.TimeSeriesOps.asofJoinForward(l, r, Seq("user_id"), "ts",
+        Seq("view_value"), toleranceSeconds = 7200L)
+    }),
+
     // ── batch session windows (gaps-and-islands; streaming analog:
     //    streaming.Sessionize)
     "q45_session_window" -> ((s, d) =>
@@ -241,6 +253,30 @@ object AnalyticsQueries {
         |SELECT event_id, event_type, value, lo, hi
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi""".stripMargin,
+    "q119_asof_forward" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, value AS view_value FROM events
+        |  WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(NULL AS DOUBLE) AS view_value, CAST(NULL AS TIMESTAMP) AS rts,
+        |    1 AS src FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, NULL, view_value, ts, 2 FROM r),
+        |c AS (SELECT user_id, ts, event_id, value, src,
+        |  first_value(view_value IGNORE NULLS) OVER w AS view_value,
+        |  first_value(rts IGNORE NULLS) OVER w AS rts
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |m AS (SELECT *, rts IS NOT NULL AND
+        |    date_diff('second', TIMESTAMP '1970-01-01', rts)
+        |  - date_diff('second', TIMESTAMP '1970-01-01', ts) <= 7200 AS ok
+        |  FROM c)
+        |SELECT user_id, ts, event_id, value,
+        |  CASE WHEN ok THEN view_value END AS view_value,
+        |  CASE WHEN ok THEN rts END AS matched_ts
+        |FROM m WHERE src = 1""".stripMargin,
     "q117_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS t1 FROM events

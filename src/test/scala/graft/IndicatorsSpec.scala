@@ -107,6 +107,21 @@ class IndicatorsSpec extends SparkSpec {
       (2L, 1, "cherry"), (2L, 2, "banana")))
   }
 
+  test("asofJoinForward: same-ts match, tolerance boundary, no-match NULL") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(40), "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 1.0), (1L, ts(22), 2.0))
+      .toDF("k", "t", "rv")
+    val got = graft.ops.TimeSeriesOps.asofJoinForward(
+        left, right, Seq("k"), "t", Seq("rv"), toleranceSeconds = 120L)
+      .orderBy("t").select("tag", "rv").collect()
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 1.0) // same ts
+    assert(got(1).getString(0) == "b" && got(1).getDouble(1) == 2.0) // +120s, on boundary
+    assert(got(2).getString(0) == "c" && got(2).isNullAt(1))         // nothing ahead
+  }
+
   test("mergePartials(partialAgg) equals the direct aggregate") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val merged = Stats.mergePartials(
