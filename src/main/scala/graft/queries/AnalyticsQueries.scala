@@ -180,6 +180,23 @@ object AnalyticsQueries {
           to_date(col("ts")), "value"),
         Seq("event_type"))),
 
+    // ── interval-overlap join (binned): view sessions × click sessions
+    //    per user; the oracle recomputes with a plain theta join, so the
+    //    bucket-replication + later-start dedup trick is value-verified
+    "q120_interval_overlap" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def sessions(t: String) = graft.ops.TimeSeriesOps.sessionAgg(
+        e.filter(col("event_type") === t), Seq("user_id"), "ts", "value", 172800L)
+      val a = sessions("view")
+        .select(col("user_id"), col("session_start").as("a_start"),
+          col("session_end").as("a_end"))
+      val b = sessions("click")
+        .select(col("user_id"), col("session_start").as("b_start"),
+          col("session_end").as("b_end"))
+      graft.ops.Intervals.overlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 3600L)
+    }),
+
     // ── ordered funnel: view → click → purchase progression per user
     "q117_funnel" -> ((s, d) =>
       graft.analytics.Behavior.funnel(Tables.events(s, d), "user_id", "ts",
@@ -253,6 +270,26 @@ object AnalyticsQueries {
         |SELECT event_id, event_type, value, lo, hi
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi""".stripMargin,
+    "q120_interval_overlap" ->
+      """WITH f AS (SELECT user_id, event_type, ts,
+        |  CASE WHEN date_diff('second',
+        |      lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts), ts) > 172800
+        |    THEN 1 ELSE 0 END AS newf
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |wi AS (SELECT user_id, event_type, ts,
+        |  sum(newf) OVER (PARTITION BY user_id, event_type ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |s AS (SELECT user_id, event_type, sid, min(ts) AS st, max(ts) AS en
+        |  FROM wi GROUP BY 1, 2, 3),
+        |es AS (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', st) AS sts,
+        |  date_diff('second', TIMESTAMP '1970-01-01', en) AS ens FROM s)
+        |SELECT a.user_id, a.st AS a_start, a.en AS a_end,
+        |  b.st AS b_start, b.en AS b_end,
+        |  least(a.ens, b.ens) - greatest(a.sts, b.sts) AS overlap_seconds
+        |FROM es a JOIN es b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND a.sts <= b.ens AND b.sts <= a.ens""".stripMargin,
     "q119_asof_forward" ->
       """WITH l AS (SELECT user_id, ts, event_id, value FROM events
         |  WHERE event_type = 'purchase'),

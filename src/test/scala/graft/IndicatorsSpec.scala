@@ -122,6 +122,22 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(2).getString(0) == "c" && got(2).isNullAt(1))         // nothing ahead
   }
 
+  test("overlapJoin: one row per pair across buckets; inclusive-touch; disjoint") {
+    val a = Seq((1L, 0L, 10000L, "a1"), (1L, 20000L, 20100L, "a2"))
+      .toDF("k", "s", "e", "atag")
+    val b = Seq(
+      (1L, 5000L, 30000L, "b1"),  // overlaps a1 (spans many buckets) AND a2
+      (1L, 10000L, 10500L, "b2"), // touches a1's end exactly
+      (1L, 10001L, 19999L, "b3")  // disjoint from both
+    ).toDF("k", "bs", "be", "btag")
+    val got = graft.ops.Intervals.overlapJoin(a, b, Seq("k"),
+        "s", "e", "bs", "be", bucketSeconds = 1000L)
+      .select("atag", "btag", "overlap_seconds")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a1", "b1", 5000L), ("a2", "b1", 100L),
+      ("a1", "b2", 0L)))
+  }
+
   test("mergePartials(partialAgg) equals the direct aggregate") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val merged = Stats.mergePartials(
