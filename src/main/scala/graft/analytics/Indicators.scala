@@ -65,4 +65,41 @@ object Indicators {
         when(nd === n && g + l > 0, round(lit(100.0) * g / (g + l), 6)))
       .drop("_diff", "_gain", "_loss")
   }
+
+  /** Rolling Pearson correlation between two columns over the last `n`
+    * rows per series — the pairwise co-movement signal (rolling beta's
+    * numerator). Same exact-decimal scheme as [[bollinger]]: the five
+    * window sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL, only the
+    * closed-form ratio runs in double. NULL until the frame is full or
+    * when either side is constant in the frame. */
+  def rollingCorr(df: DataFrame, x: String, y: String, keys: Seq[String],
+                  ord: Seq[Column], n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(-(n - 1), 0)
+    val bothNotNull = col(x).isNotNull && col(y).isNotNull
+    def dsum(e: Column) = sum(when(bothNotNull, e.cast(Dec))).over(w).cast("double")
+    val cnt = count(when(bothNotNull, 1)).over(w)
+    val (sx, sy)   = (dsum(col(x)), dsum(col(y)))
+    val (sxx, syy) = (dsum(col(x) * col(x)), dsum(col(y) * col(y)))
+    val sxy        = dsum(col(x) * col(y))
+    val cov  = cnt * sxy - sx * sy
+    val vx   = cnt * sxx - sx * sx
+    val vy   = cnt * syy - sy * sy
+    df.withColumn("rolling_corr",
+      when(cnt === n && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)))
+  }
+
+  /** Drawdown from the running peak: value / max-so-far − 1 per series
+    * (≤ 0 by construction; NULL while the running peak is non-positive).
+    * One cumulative-max window — the classic risk curve. */
+  def drawdown(df: DataFrame, value: String, keys: Seq[String],
+               ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col(value)).over(w)
+    df.withColumn("peak", peak)
+      .withColumn("drawdown",
+        when(peak > 0, round(col(value) / peak - 1.0, 6)))
+  }
 }

@@ -166,6 +166,20 @@ object AnalyticsQueries {
           Seq("user_id"), Seq(col("ts"), col("event_id")), n = 14)
         .select("user_id", "event_id", "value", "rsi")),
 
+    // ── rolling 20-row Pearson correlation: value × JSON prop k per user
+    "q121_rolling_corr" -> ((s, d) =>
+      graft.analytics.Indicators.rollingCorr(
+          Tables.events(s, d)
+            .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+          "value", "k", Seq("user_id"), Seq(col("ts"), col("event_id")), n = 20)
+        .select("user_id", "event_id", "value", "k", "rolling_corr")),
+
+    // ── drawdown from the running peak per user
+    "q122_drawdown" -> ((s, d) =>
+      graft.analytics.Indicators.drawdown(Tables.events(s, d), "value",
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "value", "peak", "drawdown")),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -261,6 +275,37 @@ object AnalyticsQueries {
         | CASE WHEN nd = 14 AND gain + loss > 0
         |   THEN round(100.0 * gain / (gain + loss), 6) END AS rsi
         |FROM g""".stripMargin,
+    "q121_rolling_corr" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k FROM events),
+        |b AS (SELECT user_id, event_id, value, k,
+        |  count(CASE WHEN value IS NOT NULL AND k IS NOT NULL THEN 1 END) OVER w AS cnt,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(value AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(value * value AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(k * k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS syy,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(value * k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sxy
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, k,
+        | CASE WHEN cnt = 20 AND cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
+        |   THEN round((cnt * sxy - sx * sy) /
+        |     sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6)
+        | END AS rolling_corr
+        |FROM b""".stripMargin,
+    "q122_drawdown" ->
+      """SELECT user_id, event_id, value,
+        | max(value) OVER w AS peak,
+        | CASE WHEN max(value) OVER w > 0
+        |   THEN round(value / max(value) OVER w - 1.0, 6) END AS drawdown
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q105_outlier_iqr" ->
       """WITH f AS (SELECT event_type,
         |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3

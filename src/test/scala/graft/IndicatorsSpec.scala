@@ -24,6 +24,33 @@ class IndicatorsSpec extends SparkSpec {
       rows(3).getDouble(2) == 1.0)
   }
 
+  test("rollingCorr: perfect positive/negative correlation and flat guard") {
+    val df = Seq(
+      (1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.0),   // y = 2x → corr 1
+      (4, 4.0, 1.0), (5, 5.0, 0.0)                    // window mixes → < 1
+    ).toDF("i", "x", "y").withColumn("g", lit(1))
+    val rows = Indicators.rollingCorr(df, "x", "y", Seq("g"), Seq(col("i")), n = 3)
+      .orderBy("i").select("rolling_corr").collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 1.0)
+    assert(rows(4).getDouble(0) < 0) // 3,4,5 vs 6,1,0 anti-correlated
+    val flat = Seq((1, 1.0, 5.0), (2, 2.0, 5.0), (3, 3.0, 5.0))
+      .toDF("i", "x", "y").withColumn("g", lit(1))
+    val f = Indicators.rollingCorr(flat, "x", "y", Seq("g"), Seq(col("i")), n = 3)
+      .orderBy("i").select("rolling_corr").collect()
+    assert(f(2).isNullAt(0)) // constant y → vy = 0 → NULL, not NaN
+  }
+
+  test("drawdown: running peak and trough depth") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 5.0), (4, 15.0))
+      .toDF("i", "x").withColumn("g", lit(1))
+    val rows = Indicators.drawdown(df, "x", Seq("g"), Seq(col("i")))
+      .orderBy("i").select("peak", "drawdown").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((10.0, 0.0), (20.0, 0.0), (20.0, -0.75),
+      (20.0, -0.25)))
+  }
+
   test("rsi: Cutler SMA form on a hand series") {
     val df = Seq((1, 1.0), (2, 2.0), (3, 1.0), (4, 3.0)).toDF("i", "x")
       .withColumn("g", lit(1))
