@@ -50,6 +50,40 @@ object Stats {
       .withColumn("robust_z", round(col("robust_z"), 6))
   }
 
+  /** ANALYZE-style column statistics: per column, row count, null count,
+    * and exact distinct count — the numbers a cost-based optimizer and a
+    * file-skipping index are built from. ONE aggregate pass over the table
+    * (Spark plans the multi-distinct agg with one expand), then a stack
+    * unpivot of the single stats row. At 100 TB swap `countDistinct` for
+    * `approx_count_distinct` — same plan shape, sketch-sized state. */
+  def columnStats(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c"))).toSeq
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = df.columns
+      .map(c => s"'$c', `__nulls_$c`, `__ndv_$c`").mkString(", ")
+    row.select(col("__n"),
+        expr(s"stack(${df.columns.length}, $stackArgs) AS (col_name, n_nulls, ndv)"))
+      .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"), col("ndv"))
+  }
+
+  /** Equi-depth histogram: `bins` buckets holding equal row mass, edges at
+    * the i/bins exact quantiles (the ANALYZE histogram an optimizer uses
+    * for selectivity on skewed columns, where equi-width bins collapse).
+    * One percentile aggregate (array form — a single sort, not `bins`
+    * passes) exploded into (bin, lo, hi) rows. */
+  def equiDepthHistogram(df: DataFrame, value: String, bins: Int): DataFrame = {
+    val ps = (0 to bins).map(i => i.toDouble / bins)
+    val edges = df.agg(
+      expr(s"percentile($value, array(${ps.mkString("D, ")}D))").as("e"))
+    edges.select(explode(expr(
+        s"transform(sequence(1, $bins), i -> " +
+          "struct(CAST(i - 1 AS BIGINT) AS bin, element_at(e, i) AS lo, " +
+          "element_at(e, i + 1) AS hi))")).as("b"))
+      .select(col("b.bin"), col("b.lo"), col("b.hi"))
+  }
+
   /** Mergeable partial-aggregate state per (keys, bucket): count / exact
     * decimal sum / min / max — the standard incremental-view state. Computed
     * per ingest bucket (a day, an hour, a file batch), stored, and folded

@@ -220,6 +220,16 @@ object AnalyticsQueries {
     "q118_retention" -> ((s, d) =>
       graft.analytics.Behavior.retention(Tables.events(s, d), "user_id", "ts")),
 
+    // ── ANALYZE surface: per-column row/null/distinct counts in one pass
+    "q124_column_stats" -> ((s, d) =>
+      graft.ops.Stats.columnStats(Tables.events(s, d))),
+
+    // ── equi-depth histogram: 8 equal-mass bins on exact quantile edges
+    //    (binary-fraction probabilities so both engines interpolate at
+    //    bit-identical positions)
+    "q123_equidepth" -> ((s, d) =>
+      graft.ops.Stats.equiDepthHistogram(Tables.events(s, d), "value", 8)),
+
     // ── median/MAD robust z-score outliers per event_type
     "q111_mad_outliers" -> ((s, d) =>
       graft.ops.Stats.madOutliers(Tables.events(s, d), "value",
@@ -381,6 +391,32 @@ object AnalyticsQueries {
         |SELECT cohort, date_diff('day', cohort, day) AS day_n,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q124_column_stats" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT event_id) AS ndv FROM events
+        |UNION ALL SELECT 'ts', count(*),
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT ts) FROM events
+        |UNION ALL SELECT 'user_id', count(*),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*),
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'props', count(*),
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT props) FROM events""".stripMargin,
+    "q123_equidepth" ->
+      """WITH q AS (SELECT quantile_cont(value,
+        |  [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS e
+        | FROM events)
+        |SELECT CAST(i - 1 AS BIGINT) AS bin, e[CAST(i AS BIGINT)] AS lo,
+        |  e[CAST(i + 1 AS BIGINT)] AS hi
+        |FROM q, unnest(generate_series(1, 8)) AS t(i)""".stripMargin,
     "q111_mad_outliers" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY 1),

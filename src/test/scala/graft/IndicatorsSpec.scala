@@ -88,6 +88,22 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(0).getDouble(2) == -3.5 && out(0).getDouble(3) == 14.5)
   }
 
+  test("columnStats: null and distinct counts per column in one pass") {
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None))
+      .toDF("id", "s")
+    val got = Stats.columnStats(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("id", 3L, 0L, 3L), ("s", 3L, 1L, 1L)))
+  }
+
+  test("equiDepthHistogram: equal-mass edges on a uniform ramp") {
+    val df = (1 to 9).map(_.toDouble).toDF("x")
+    val got = Stats.equiDepthHistogram(df, "x", 4).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1.0, 3.0), (1L, 3.0, 5.0), (2L, 5.0, 7.0),
+      (3L, 7.0, 9.0)))
+  }
+
   test("snapshotDiff classifies adds / deletes / changes and drops unchanged") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "v")
