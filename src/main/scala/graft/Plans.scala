@@ -77,7 +77,16 @@ object Plans {
       // Tukey fences broadcast back onto the scan
       "q105_outlier_iqr" -> Seq("BroadcastHashJoin"),
       // rollup-merge: map-side partial aggregation on both levels
-      "q109_agg_merge" -> Seq("HashAggregate"))
+      "q109_agg_merge" -> Seq("HashAggregate"),
+      // interval overlap runs as an EQUI-join on (keys, bucket) — the
+      // binning exists precisely so this is not a nested-loop theta join
+      // (any hash/merge equi-join qualifies; AQE broadcasts the small side)
+      "q120_interval_overlap" -> Seq("HashJoin", "!NestedLoopJoin"),
+      // snapshot diff: one key-partitioned full-outer sort-merge join
+      "q110_snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),
+      // indicators share one exchange + sort; both windows chain on it
+      "q121_rolling_corr" -> Seq("Window"),
+      "q122_drawdown" -> Seq("Window"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
