@@ -225,6 +225,43 @@ object BreadthQueries {
           "o_orderpriority"))
     }),
 
+    // ── datetime-function battery: calendar fields, truncation, month
+    //    arithmetic (clamping), day/epoch differences
+    "q125_datetime_battery" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        year(col("ts")).as("y"),
+        quarter(col("ts")).as("qr"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        dayofweek(col("ts")).as("dow"),
+        dayofyear(col("ts")).as("doy"),
+        weekofyear(col("ts")).as("wk"),
+        hour(col("ts")).as("hh"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("ss"),
+        trunc(col("ts"), "month").as("mstart"),
+        last_day(col("ts")).as("ldom"),
+        add_months(to_date(col("ts")), 2).as("plus2m"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("d_since"),
+        col("ts").cast("long").as("epoch_s"))),
+
+    // ── string-function battery: padding, repetition, translation,
+    //    reversal, char codes, slicing, search, edit distance
+    "q126_string_battery" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("lp"),
+        rpad(col("c_name"), 25, "-").as("rp"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep"),
+        translate(col("c_name"), "Customer", "KUSTOMER").as("tr"),
+        reverse(col("c_name")).as("rev"),
+        ascii(col("c_name")).as("asc"),
+        expr("chr(65 + c_custkey % 26)").as("ch"),
+        expr("left(c_name, 3)").as("lft"),
+        expr("right(c_name, 3)").as("rgt"),
+        instr(col("c_name"), "0").as("ins"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("lev"),
+        col("c_name").contains("00").as("has00"))),
+
     // ── array-function battery (the collection surface a training pipeline
     //    lives on): distinct/sort/slice/join, position, element_at(-1),
     //    filter/transform/aggregate HOFs, contains, set intersection —
@@ -247,6 +284,39 @@ object BreadthQueries {
             .cast("long").as("n_common"))))
 
   val oracle: Map[String, String] = Map(
+    "q125_datetime_battery" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS INT) AS y,
+        | CAST(quarter(ts) AS INT) AS qr,
+        | CAST(month(ts) AS INT) AS mo,
+        | CAST(day(ts) AS INT) AS dom,
+        | CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        | CAST(dayofyear(ts) AS INT) AS doy,
+        | CAST(week(ts) AS INT) AS wk,
+        | CAST(hour(ts) AS INT) AS hh,
+        | CAST(minute(ts) AS INT) AS mi,
+        | CAST(second(ts) AS INT) AS ss,
+        | date_trunc('month', ts)::DATE AS mstart,
+        | last_day(ts::DATE) AS ldom,
+        | (ts::DATE + INTERVAL 2 MONTH)::DATE AS plus2m,
+        | CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS INT) AS d_since,
+        | date_diff('second', TIMESTAMP '1970-01-01', ts) AS epoch_s
+        |FROM events""".stripMargin,
+    "q126_string_battery" ->
+      """SELECT c_custkey,
+        | lpad(c_name, 25, '*') AS lp,
+        | rpad(c_name, 25, '-') AS rp,
+        | repeat(c_name[1:2], 3) AS rep,
+        | translate(c_name, 'Customer', 'KUSTOMER') AS tr,
+        | reverse(c_name) AS rev,
+        | CAST(ascii(c_name) AS INT) AS asc,
+        | chr(CAST(65 + c_custkey % 26 AS INT)) AS ch,
+        | left(c_name, 3) AS lft,
+        | right(c_name, 3) AS rgt,
+        | CAST(strpos(c_name, '0') AS INT) AS ins,
+        | CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS lev,
+        | contains(c_name, '00') AS has00
+        |FROM customer""".stripMargin,
     "q114_array_battery" ->
       raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents)
