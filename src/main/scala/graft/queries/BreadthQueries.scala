@@ -225,6 +225,30 @@ object BreadthQueries {
           "o_orderpriority"))
     }),
 
+    // ── two-phase salted aggregation: result must equal the plain
+    //    groupBy (oracle computes it directly) — hot-key spreading is a
+    //    pure plan change, never a semantics change
+    "q127_salted_agg" -> ((s, d) =>
+      graft.ops.Skew.saltedAggregate(
+        Tables.events(s, d).withColumn("_v",
+          col("value").cast(graft.ops.Relational.ExactDec)),
+        Seq("event_type"), salt = 16,
+        partials = Seq((count(lit(1)), "n"), (sum(col("_v")), "sum_v"),
+          (min(col("value")), "min_v"), (max(col("value")), "max_v")),
+        merges = Seq((c => sum(col(c)), "n"),
+          (c => sum(col(c)), "sum_v"),
+          (c => min(col(c)), "min_v"),
+          (c => max(col(c)), "max_v")))
+        .withColumn("sum_v", col("sum_v").cast("double"))),
+
+    // ── SQL surface: TPC-H Q5 (local-supplier volume) verbatim in both
+    //    engines — a 6-table join chain Catalyst must broadcast/reorder
+    "q128_sql_tpch_q5" -> ((s, d) => {
+      Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+        .foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+      s.sql(TpchQ5Sql)
+    }),
+
     // ── datetime-function battery: calendar fields, truncation, month
     //    arithmetic (clamping), day/epoch differences
     "q125_datetime_battery" -> ((s, d) =>
@@ -283,7 +307,30 @@ object BreadthQueries {
             array(lit("the"), lit("a"), lit("of"), lit("data")))))
             .cast("long").as("n_common"))))
 
+  /** TPC-H Q5 shape (local-supplier volume) — runs verbatim in both Spark
+    * SQL and DuckDB, like q46's Q3. */
+  private val TpchQ5Sql =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q128_sql_tpch_q5" -> TpchQ5Sql,
+    "q127_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        | min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     "q125_datetime_battery" ->
       """SELECT event_id,
         | CAST(year(ts) AS INT) AS y,
