@@ -90,6 +90,52 @@ object Indicators {
         round(cov / sqrt(vx * vy), 6)))
   }
 
+  /** Per-key simple OLS: slope/intercept/R² of y on x per group, from the
+    * five exact-decimal sufficient statistics (the closed form — no
+    * iterative fit, one aggregate pass; the per-symbol beta every market
+    * analytics stack computes). NULL slope when x is constant; NULL R²
+    * when either side is constant. */
+  def olsPerKey(df: DataFrame, x: String, y: String,
+                keys: Seq[String]): DataFrame = {
+    val ok = col(x).isNotNull && col(y).isNotNull
+    def dsum(e: Column) = sum(when(ok, e.cast(Dec))).cast("double")
+    val agged = df.groupBy(keys.map(col): _*).agg(
+      count(when(ok, 1)).as("n_obs"),
+      dsum(col(x)).as("_sx"), dsum(col(y)).as("_sy"),
+      dsum(col(x) * col(x)).as("_sxx"), dsum(col(y) * col(y)).as("_syy"),
+      dsum(col(x) * col(y)).as("_sxy"))
+    val n   = col("n_obs")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged
+      .withColumn("slope", when(vx > 0, round(cov / vx, 6)))
+      .withColumn("intercept",
+        when(vx > 0, round((col("_sy") - cov / vx * col("_sx")) / n, 6)))
+      .withColumn("r2", when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+
+  /** Shannon entropy of a categorical column per group (nats): −Σ p·ln p
+    * over exact category counts. Two hash aggregates; the per-category
+    * terms are cast to DECIMAL before the final sum so accumulation order
+    * can't wiggle low bits. */
+  def entropy(df: DataFrame, category: String, keys: Seq[String]): DataFrame = {
+    val counts = df.groupBy((keys.map(col) :+ col(category)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("_n", sum(col("_c")).over(totals))
+      .withColumn("_term",
+        (-(col("_c") / col("_n")) * log(col("_c") / col("_n")))
+          .cast("decimal(28,12)"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_categories"),
+        round(sum(col("_term")).cast("double"), 6).as("entropy_nats"))
+  }
+
   /** Drawdown from the running peak: value / max-so-far − 1 per series
     * (≤ 0 by construction; NULL while the running peak is non-positive).
     * One cumulative-max window — the classic risk curve. */

@@ -220,6 +220,18 @@ object AnalyticsQueries {
     "q118_retention" -> ((s, d) =>
       graft.analytics.Behavior.retention(Tables.events(s, d), "user_id", "ts")),
 
+    // ── per-key OLS: slope/intercept/R² of value on JSON prop k per user
+    "q129_ols_per_key" -> ((s, d) =>
+      graft.analytics.Indicators.olsPerKey(
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+        "k", "value", Seq("user_id"))),
+
+    // ── Shannon entropy of the event-type distribution per user
+    "q130_entropy" -> ((s, d) =>
+      graft.analytics.Indicators.entropy(Tables.events(s, d), "event_type",
+        Seq("user_id"))),
+
     // ── ANALYZE surface: per-column row/null/distinct counts in one pass
     "q124_column_stats" -> ((s, d) =>
       graft.ops.Stats.columnStats(Tables.events(s, d))),
@@ -391,6 +403,42 @@ object AnalyticsQueries {
         |SELECT cohort, date_diff('day', cohort, day) AS day_n,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q129_ols_per_key" ->
+      """WITH e AS (SELECT user_id, value AS y,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS x FROM events),
+        |a AS (SELECT user_id,
+        |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_obs,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(x AS DECIMAL(28,10)) END) AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(x * x AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(y * y AS DECIMAL(28,10)) END) AS DOUBLE) AS syy,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(x * y AS DECIMAL(28,10)) END) AS DOUBLE) AS sxy
+        | FROM e GROUP BY 1)
+        |SELECT user_id, n_obs,
+        | CASE WHEN n_obs * sxx - sx * sx > 0
+        |   THEN round((n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx), 6) END AS slope,
+        | CASE WHEN n_obs * sxx - sx * sx > 0
+        |   THEN round((sy - (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx) * sx)
+        |     / n_obs, 6) END AS intercept,
+        | CASE WHEN n_obs * sxx - sx * sx > 0 AND n_obs * syy - sy * sy > 0
+        |   THEN round((n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy) /
+        |     ((n_obs * sxx - sx * sx) * (n_obs * syy - sy * sy)), 6) END AS r2
+        |FROM a""".stripMargin,
+    "q130_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, event_type, c, sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM c)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_rows,
+        | count(*) AS n_categories,
+        | round(CAST(sum(CAST(-(c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |   AS entropy_nats
+        |FROM t GROUP BY 1""".stripMargin,
     "q124_column_stats" ->
       """SELECT 'event_id' AS col_name, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

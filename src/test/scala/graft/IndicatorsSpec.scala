@@ -41,6 +41,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(f(2).isNullAt(0)) // constant y → vy = 0 → NULL, not NaN
   }
 
+  test("olsPerKey: exact line recovered; constant-x guard") {
+    val df = Seq((1, 1.0, 5.0), (1, 2.0, 7.0), (1, 3.0, 9.0), // y = 2x + 3
+      (2, 4.0, 1.0), (2, 4.0, 2.0))                           // constant x
+      .toDF("g", "x", "y")
+    val got = Indicators.olsPerKey(df, "x", "y", Seq("g"))
+      .orderBy("g").collect()
+    assert(got(0).getDouble(2) == 2.0 && got(0).getDouble(3) == 3.0 &&
+      got(0).getDouble(4) == 1.0)
+    assert(got(1).isNullAt(2) && got(1).isNullAt(3) && got(1).isNullAt(4))
+  }
+
+  test("entropy: uniform vs single-category distributions") {
+    val df = (Seq.fill(4)("a") ++ Seq.fill(4)("b")).map(("u1", _)) ++
+      Seq.fill(5)(("u2", "a"))
+    val got = Indicators.entropy(df.toDF("g", "cat"), "cat", Seq("g"))
+      .orderBy("g").collect()
+    // u1: two equal halves → ln 2; u2: single category → 0
+    assert(got(0).getDouble(3) ==
+      BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1).getDouble(3) == 0.0)
+  }
+
   test("drawdown: running peak and trough depth") {
     val df = Seq((1, 10.0), (2, 20.0), (3, 5.0), (4, 15.0))
       .toDF("i", "x").withColumn("g", lit(1))
