@@ -50,6 +50,53 @@ object Stats {
       .withColumn("robust_z", round(col("robust_z"), 6))
   }
 
+  /** Feature scaling per group: sample z-score and min-max normalization
+    * from one stats aggregate broadcast back onto the scan (the standard
+    * train-feature prep; fit stats once, apply anywhere). Same exact-decimal
+    * Σx/Σx² scheme as the indicators, so both engines evaluate one closed
+    * form. NULL z for constant groups; NULL min-max when max = min. */
+  def scaleFeatures(df: DataFrame, value: String,
+                    keys: Seq[String]): DataFrame = {
+    val dec = "decimal(28,10)"
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      count(col(value)).as("_n"),
+      sum(col(value).cast(dec)).cast("double").as("_sx"),
+      sum((col(value) * col(value)).cast(dec)).cast("double").as("_sxx"),
+      min(col(value)).as("_lo"), max(col(value)).as("_hi"))
+    val n    = col("_n")
+    val mean = col("_sx") / n
+    val varS = (col("_sxx") - col("_sx") * col("_sx") / n) / (n - 1)
+    df.join(broadcast(stats), keys)
+      .withColumn("zscore",
+        when(n > 1 && varS > 0, round((col(value) - mean) / sqrt(varS), 6)))
+      .withColumn("minmax",
+        when(col("_hi") > col("_lo"),
+          round((col(value) - col("_lo")) / (col("_hi") - col("_lo")), 6)))
+      .drop("_n", "_sx", "_sxx", "_lo", "_hi")
+  }
+
+  /** One-hot encoding with a stable, data-derived index: categories get
+    * dense 0-based indices in lexicographic order (a pure plan — the
+    * category dictionary is a distinct + row_number frame broadcast back,
+    * no driver collect), and each row carries the fixed-width 0/1 vector.
+    * Vocab-bounded state; the dictionary is reusable across batches as
+    * long as the category set is stable. The vector column is emitted
+    * both as `onehot` (array) and `onehot_str` (comma-joined — the
+    * cross-engine-comparable rendering). */
+  def oneHotEncode(df: DataFrame, category: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cats = df.select(col(category)).distinct()
+      .withColumn("cat_index",
+        row_number().over(Window.orderBy(col(category))) - 1)
+    val n = cats.agg(count(lit(1)).as("_ncats"))
+    df.join(broadcast(cats), Seq(category)).crossJoin(broadcast(n))
+      .withColumn("onehot", expr(
+        "transform(sequence(1, _ncats), i -> " +
+          "CAST(CASE WHEN i = cat_index + 1 THEN 1 ELSE 0 END AS INT))"))
+      .withColumn("onehot_str", concat_ws(",", col("onehot")))
+      .drop("_ncats")
+  }
+
   /** ANALYZE-style column statistics: per column, row count, null count,
     * and exact distinct count — the numbers a cost-based optimizer and a
     * file-skipping index are built from. ONE aggregate pass over the table

@@ -232,6 +232,18 @@ object AnalyticsQueries {
       graft.analytics.Indicators.entropy(Tables.events(s, d), "event_type",
         Seq("user_id"))),
 
+    // ── feature scaling per user: sample z-score + min-max from one
+    //    broadcast stats pass
+    "q131_feature_scale" -> ((s, d) =>
+      graft.ops.Stats.scaleFeatures(Tables.events(s, d), "value",
+          Seq("user_id"))
+        .select("user_id", "event_id", "value", "zscore", "minmax")),
+
+    // ── one-hot encoding with a stable lexicographic category index
+    "q132_one_hot" -> ((s, d) =>
+      graft.ops.Stats.oneHotEncode(Tables.events(s, d), "event_type")
+        .select("event_id", "event_type", "cat_index", "onehot_str")),
+
     // ── ANALYZE surface: per-column row/null/distinct counts in one pass
     "q124_column_stats" -> ((s, d) =>
       graft.ops.Stats.columnStats(Tables.events(s, d))),
@@ -403,6 +415,27 @@ object AnalyticsQueries {
         |SELECT cohort, date_diff('day', cohort, day) AS day_n,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q131_feature_scale" ->
+      """WITH s AS (SELECT user_id, count(value) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  min(value) AS lo, max(value) AS hi
+        | FROM events GROUP BY 1)
+        |SELECT user_id, event_id, value,
+        | CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |   THEN round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        | END AS zscore,
+        | CASE WHEN hi > lo THEN round((value - lo) / (hi - lo), 6) END AS minmax
+        |FROM events JOIN s USING (user_id)""".stripMargin,
+    "q132_one_hot" ->
+      """WITH cats AS (SELECT event_type,
+        |  row_number() OVER (ORDER BY event_type) - 1 AS cat_index
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |n AS (SELECT count(*) AS nc FROM cats)
+        |SELECT event_id, event_type, cat_index,
+        | array_to_string(list_transform(generate_series(1, nc),
+        |   i -> CAST(CASE WHEN i = cat_index + 1 THEN 1 ELSE 0 END AS INT)), ',') AS onehot_str
+        |FROM events JOIN cats USING (event_type) CROSS JOIN n""".stripMargin,
     "q129_ols_per_key" ->
       """WITH e AS (SELECT user_id, value AS y,
         |  CAST(json_extract(props, '$.k') AS DOUBLE) AS x FROM events),

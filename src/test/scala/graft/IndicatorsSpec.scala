@@ -110,6 +110,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(0).getDouble(2) == -3.5 && out(0).getDouble(3) == 14.5)
   }
 
+  test("scaleFeatures: z-score and min-max on a hand group; constant guard") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 7.0), ("c", 7.0))
+      .toDF("grp", "x")
+    val got = Stats.scaleFeatures(df, "x", Seq("grp"))
+      .orderBy("grp", "x").select("grp", "zscore", "minmax").collect()
+    assert(got(0).getString(0) == "c" && got(0).isNullAt(1) && got(0).isNullAt(2))
+    // g: mean 2, sample sd 1, range [1,3]
+    assert(got(2).getDouble(1) == -1.0 && got(2).getDouble(2) == 0.0)
+    assert(got(3).getDouble(1) == 0.0 && got(3).getDouble(2) == 0.5)
+    assert(got(4).getDouble(1) == 1.0 && got(4).getDouble(2) == 1.0)
+  }
+
+  test("oneHotEncode: lexicographic stable index, fixed-width vector") {
+    val df = Seq("b", "a", "c", "a").toDF("cat")
+    val got = Stats.oneHotEncode(df, "cat")
+      .select("cat", "cat_index", "onehot_str").distinct()
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", 0, "1,0,0"), ("b", 1, "0,1,0"),
+      ("c", 2, "0,0,1")))
+  }
+
   test("columnStats: null and distinct counts per column in one pass") {
     val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None))
       .toDF("id", "s")
