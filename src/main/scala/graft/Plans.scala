@@ -86,7 +86,13 @@ object Plans {
       "q110_snapshot_diff" -> Seq("SortMergeJoin", "FullOuter"),
       // indicators share one exchange + sort; both windows chain on it
       "q121_rolling_corr" -> Seq("Window"),
-      "q122_drawdown" -> Seq("Window"))
+      "q122_drawdown" -> Seq("Window"),
+      // Q6 is the pushdown-is-everything shape: all three predicates must
+      // reach the parquet scan
+      "q133_sql_tpch_q6" -> Seq(
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      // feature scaling: fitted stats broadcast back onto the scan
+      "q131_feature_scale" -> Seq("BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -249,6 +249,13 @@ object BreadthQueries {
       s.sql(TpchQ5Sql)
     }),
 
+    // ── SQL surface: TPC-H Q6 (forecast revenue change) verbatim — the
+    //    pure scan-filter-aggregate shape where pushdown is everything
+    "q133_sql_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(TpchQ6Sql)
+    }),
+
     // ── datetime-function battery: calendar fields, truncation, month
     //    arithmetic (clamping), day/epoch differences
     "q125_datetime_battery" -> ((s, d) =>
@@ -324,8 +331,19 @@ object BreadthQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q6 shape — scan-filter-aggregate, runs verbatim in both engines. */
+  private val TpchQ6Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q128_sql_tpch_q5" -> TpchQ5Sql,
+    "q133_sql_tpch_q6" -> TpchQ6Sql,
     "q127_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
