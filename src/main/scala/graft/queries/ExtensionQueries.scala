@@ -116,6 +116,10 @@ object ExtensionQueries {
         TextOps.normalize(col("text")).as("norm_text"),
         md5(TextOps.normalize(col("text"))).as("norm_hash"))),
 
+    // ── word-bigram LM: P(w2|w1) over the corpus (minCount 3)
+    "q134_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLm(Tables.documents(s, d), "text", minCount = 3L)),
+
     // ── BPE trainer counting step: adjacent char-pair frequencies over the
     //    weighted word vocabulary
     "q99_bpe_pairs" -> ((s, d) =>
@@ -493,6 +497,20 @@ object ExtensionQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q134_bigram_lm" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT list_filter(regexp_split_to_array(t, '\\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |  WHERE len(w) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+         |  HAVING count(*) >= 3),
+         |uc AS (SELECT unnest(w) AS w1 FROM tk),
+         |u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY 1)
+         |SELECT w1, w2, c12, c1,
+         |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+         |FROM bc JOIN u USING (w1)""".stripMargin,
     "q102_bm25" ->
       s"""WITH $normCte,
          |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
