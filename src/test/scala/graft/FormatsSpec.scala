@@ -53,4 +53,25 @@ class FormatsSpec extends SparkSpec {
     // PERMISSIVE default: unparseable rows/fields → null
     assert(df.filter(col("event_id").isNull).count() >= 1)
   }
+
+  test("parquet schema evolution: mergeSchema unions columns across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    // batch 1: (id, a); batch 2 adds column b — the standard additive
+    // evolution a long-lived lake table accumulates
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/b=1")
+    Seq((3L, "z", 30.0)).toDF("id", "a", "bval")
+      .write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "bval", "b"))
+    assert(merged.count() == 3)
+    // old-batch rows surface the new column as null, not an error
+    assert(merged.filter(col("bval").isNull).count() == 2)
+    assert(merged.filter(col("bval") === 30.0).select("id").head().getLong(0) == 3L)
+    // explicit-schema read (the declared-catalog path) also sees old files
+    val declared = spark.read.schema("id BIGINT, a STRING, bval DOUBLE")
+      .parquet(s"$dir/b=1")
+    assert(declared.count() == 2 && declared.filter(col("bval").isNull).count() == 2)
+  }
 }
