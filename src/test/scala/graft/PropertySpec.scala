@@ -84,4 +84,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ── CDC round-trip: applying the diff-recovered change log onto the base
+  //    reproduces the next snapshot exactly (snapshotDiff ∘ upsert = id)
+  test("upsert(base, snapshotDiff changes) reproduces the next snapshot") {
+    val snapGen = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 14L)
+      v <- Gen.choose(-50, 50)
+    } yield (k, v.toDouble))
+    forAll(snapGen) { rows =>
+      val base = rows.toDF("k", "v").dropDuplicates("k")
+      // a deterministic "next": drop k%4==1, bump k%3==0, add shifted keys
+      val next = base.filter(col("k") % 4 =!= 1)
+        .withColumn("v", when(col("k") % 3 === 0, col("v") + 7.0).otherwise(col("v")))
+        .unionByName(base.filter(col("k") % 5 === 2)
+          .withColumn("k", col("k") + 100L))
+        .dropDuplicates("k")
+      val diff = graft.ops.Merge.snapshotDiff(base, next, "k", Seq("v"))
+      // rebuild a change batch from the diff + the next snapshot's values
+      val changes = diff
+        .join(next.withColumnRenamed("v", "_nv"), Seq("k"), "left_outer")
+        .select(col("k"), coalesce(col("_nv"), lit(0.0)).as("v"),
+          when(col("change_type") === "D", "D").otherwise("U").as("_op"),
+          lit(1L).as("_v"))
+      val rebuilt = graft.ops.Merge.upsert(base, changes, "k", "_v", "_op")
+      val a = rebuilt.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = next.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.sameElements(b), "diff+upsert failed to reproduce next snapshot")
+    }
+  }
+
+  // ── binned interval join ≡ naive per-key theta join, for random intervals
+  test("overlapJoin equals the naive theta join on random intervals") {
+    val ivGen = Gen.listOfN(25, for {
+      k <- Gen.oneOf(1L, 2L)
+      s <- Gen.choose(0L, 5000L)
+      len <- Gen.choose(0L, 2500L)
+    } yield (k, s, s + len))
+    forAll(ivGen, n = 6) { ivs =>
+      val half = ivs.length / 2
+      val a = ivs.take(half).zipWithIndex
+        .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "s", "e", "aid")
+      val b = ivs.drop(half).zipWithIndex
+        .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "bs", "be", "bid")
+      val got = graft.ops.Intervals.overlapJoin(a, b, Seq("k"),
+          "s", "e", "bs", "be", bucketSeconds = 700L)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = a.join(b, Seq("k"))
+        .filter(col("s") <= col("be") && col("bs") <= col("e"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == naive.toSet, "binned join diverged from theta join")
+      assert(got.length == naive.length, "binned join duplicated a pair")
+    }
+  }
+
+  // ── mix materialization: copy mass matches the epoch targets exactly
+  test("mixMaterialize emits floor(eps) or ceil(eps) copies per doc") {
+    val docGen = Gen.listOfN(30, Gen.choose(0L, 1000L))
+    forAll(docGen) { ids =>
+      val df = ids.distinct.map((_, "s")).toDF("id", "src")
+      val eps = 1.75
+      val out = graft.text.Mix.mixMaterialize(df, "id", "src",
+        Map("s" -> eps))
+      val counts = out.groupBy("id").count().collect().map(_.getLong(1))
+      assert(counts.forall(c => c == 1L || c == 2L))
+      // every doc appears at least floor(eps) times; totals bounded by ceil
+      assert(counts.length == ids.distinct.length)
+    }
+  }
 }
