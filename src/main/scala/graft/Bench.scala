@@ -19,6 +19,10 @@ import scala.collection.immutable.ListMap
   *   - `spread`: query -> max/min ratio of the two passes, only for queries
   *     where the ratio exceeds 3x. A polluted run shows large spreads here
   *     (e.g. round 2's phantom 10-16x regressions), a clean run shows `{}`.
+  *   - `shuffle_mb`: query -> shuffle bytes written (MB, 2dp) read from the
+  *     executed plan's metric accumulators on pass 2 — the measured
+  *     counterpart of PLANS.md's structural claims. `spill_mb` likewise
+  *     (a nonzero value means partitions outgrew executor memory).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,19 +42,38 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def once(name: String): Double = {
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spillMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def once(name: String, metrics: Boolean = false): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch {
+      // count() internally derives a new Dataset whose plan is the one that
+      // actually executes — keep THAT frame so its metric accumulators are
+      // readable afterwards
+      val df = try {
+        val counted = SparkEntry.queries(name)(spark, sfDir).groupBy().count()
+        counted.collect()
+        Some(counted)
+      } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (metrics) df.foreach { d =>
+        def mb(b: Long) = math.round(b / 1048576.0 * 100) / 100.0
+        try {
+          val sh = mb(graft.tools.PlanMetrics.shuffleBytes(d))
+          val sp = mb(graft.tools.PlanMetrics.spillBytes(d))
+          if (sh > 0) shuffleMb(name) = sh
+          if (sp > 0) spillMb(name) = sp
+        } catch { case _: Throwable => () } // metrics are best-effort extras
+      }
+      elapsed
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> once(n)).toMap
-    val pass2 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n, metrics = true)).toMap
     val results: ListMap[String, Double] =
       ListMap(names.map(n => n -> math.min(pass1(n), pass2(n))): _*)
     val spread: ListMap[String, Double] = ListMap(names.flatMap { n =>
@@ -63,7 +86,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"sf":"$sfDir"}""")
+    val shJson = numMap(ListMap(shuffleMb.toSeq: _*))
+    val spJson = numMap(ListMap(spillMb.toSeq: _*))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
