@@ -90,6 +90,46 @@ object Indicators {
         round(cov / sqrt(vx * vy), 6)))
   }
 
+  /** Time-weighted average price (TWAP) per series: each observation holds
+    * until the next one, so its weight is that interval's duration; the
+    * final observation of a series carries no forward interval and drops
+    * out (the standard TWAP convention for an open-ended tail). One lead
+    * window + one exact-decimal aggregate. */
+  def twap(df: DataFrame, value: String, keys: Seq[String],
+           ts: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val dt = (lead(col(ts), 1).over(w).cast("long") - col(ts).cast("long"))
+    df.withColumn("_dt", dt)
+      .filter(col("_dt").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_dt")).as("span_seconds"),
+        (sum((col(value) * col("_dt")).cast(Dec)).cast("double") /
+          sum(col("_dt"))).as("twap_raw"))
+      .withColumn("twap", round(col("twap_raw"), 6))
+      .drop("twap_raw")
+  }
+
+  /** OHLC bars: open/high/low/close (+ mean and tick count) per series per
+    * time bucket — the canonical market-data downsample. One hash
+    * aggregate with positional first/last picked by `max_by`/`min_by` on
+    * the (unique) timestamp, so bars are deterministic under any
+    * partitioning. */
+  def ohlcBars(df: DataFrame, value: String, keys: Seq[String], ts: String,
+               bucket: String = "hour"): DataFrame =
+    df.filter(col(value).isNotNull)
+      .groupBy((keys.map(col) :+ date_trunc(bucket, col(ts)).as("bar")): _*)
+      .agg(
+        min_by(col(value), col(ts)).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), col(ts)).as("close"),
+        count(lit(1)).as("n_ticks"),
+        (sum(col(value).cast(Dec)).cast("double") / count(lit(1)))
+          .as("mean_raw"))
+      .withColumn("vwap_proxy", round(col("mean_raw"), 6))
+      .drop("mean_raw")
+
   /** Per-key simple OLS: slope/intercept/R² of y on x per group, from the
     * five exact-decimal sufficient statistics (the closed form — no
     * iterative fit, one aggregate pass; the per-symbol beta every market

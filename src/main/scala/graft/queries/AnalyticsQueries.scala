@@ -220,6 +220,17 @@ object AnalyticsQueries {
     "q118_retention" -> ((s, d) =>
       graft.analytics.Behavior.retention(Tables.events(s, d), "user_id", "ts")),
 
+    // ── time-weighted average: each observation weighted by its holding
+    //    interval, per user
+    "q135_twap" -> ((s, d) =>
+      graft.analytics.Indicators.twap(Tables.events(s, d), "value",
+        Seq("user_id"), "ts")),
+
+    // ── OHLC bars: open/high/low/close per user per hour
+    "q136_ohlc_bars" -> ((s, d) =>
+      graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", bucket = "hour")),
+
     // ── per-key OLS: slope/intercept/R² of value on JSON prop k per user
     "q129_ols_per_key" -> ((s, d) =>
       graft.analytics.Indicators.olsPerKey(
@@ -436,6 +447,23 @@ object AnalyticsQueries {
         | array_to_string(list_transform(generate_series(1, nc),
         |   i -> CAST(CASE WHEN i = cat_index + 1 THEN 1 ELSE 0 END AS INT)), ',') AS onehot_str
         |FROM events JOIN cats USING (event_type) CROSS JOIN n""".stripMargin,
+    "q135_twap" ->
+      """WITH l AS (SELECT user_id, value,
+        |  date_diff('second', TIMESTAMP '1970-01-01',
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |  - date_diff('second', TIMESTAMP '1970-01-01', ts) AS dt
+        | FROM events)
+        |SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_seconds,
+        | round(CAST(sum(CAST(value * dt AS DECIMAL(28,10))) AS DOUBLE)
+        |   / sum(dt), 6) AS twap
+        |FROM l WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+    "q136_ohlc_bars" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bar,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, count(*) AS n_ticks,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+        |   AS vwap_proxy
+        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q129_ols_per_key" ->
       """WITH e AS (SELECT user_id, value AS y,
         |  CAST(json_extract(props, '$.k') AS DOUBLE) AS x FROM events),

@@ -41,6 +41,30 @@ class IndicatorsSpec extends SparkSpec {
     assert(f(2).isNullAt(0)) // constant y → vy = 0 → NULL, not NaN
   }
 
+  test("twap: interval weighting; open-ended tail drops") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    // 10.0 held 60s, 20.0 held 180s, 99.0 is the open tail
+    val df = Seq((1L, ts(0), 10.0), (1L, ts(1), 20.0), (1L, ts(4), 99.0))
+      .toDF("k", "t", "x")
+    val got = Indicators.twap(df, "x", Seq("k"), "t").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 240L)
+    assert(got(0).getDouble(2) == 17.5) // (10*60 + 20*180) / 240
+  }
+
+  test("ohlcBars: first/last by timestamp, extremes, tick count") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 09:$m%02d:00")
+    val df = Seq((1L, ts(5), 3.0), (1L, ts(1), 7.0), (1L, ts(59), 2.0),
+      (1L, ts(30), 9.0)).toDF("k", "t", "x")
+    val got = Indicators.ohlcBars(df, "x", Seq("k"), "t").collect()
+    assert(got.length == 1)
+    val byName = got(0).getValuesMap[Any](Seq("open", "high", "low", "close", "n_ticks"))
+    assert(byName("open") == 7.0 && byName("high") == 9.0 &&
+      byName("low") == 2.0 && byName("close") == 2.0 && byName("n_ticks") == 4L)
+  }
+
   test("olsPerKey: exact line recovered; constant-x guard") {
     val df = Seq((1, 1.0, 5.0), (1, 2.0, 7.0), (1, 3.0, 9.0), // y = 2x + 3
       (2, 4.0, 1.0), (2, 4.0, 2.0))                           // constant x
