@@ -41,6 +41,24 @@ object StreamingIngest {
         count(lit(1)).as("n_obs"))
       .select(col("w.start").as("hour"), col(key), col("last_value"), col("n_obs"))
 
+  /** Streaming OHLC bars: open/high/low/close per key per tumbling window
+    * with event-time watermark — the streaming form of
+    * `Indicators.ohlcBars` (same min_by/max_by-on-timestamp picks, so a
+    * drained stream equals the batch bars exactly). State per live window
+    * is five scalars per key: O(keys × open windows), independent of rate. */
+  def ohlcAgg(df: DataFrame, ts: String, delay: String, key: String,
+              value: String, window_ : String = "1 hour"): DataFrame =
+    df.withWatermark(ts, delay)
+      .groupBy(window(col(ts), window_).as("w"), col(key))
+      .agg(
+        min_by(col(value), col(ts)).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), col(ts)).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("w.start").as("bar"), col(key), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+
   /** Append sink to parquet (S2). `AvailableNow` drains whatever has landed
     * and stops — the scheduled-micro-batch cadence of the reference. */
   def appendSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -123,4 +123,33 @@ class StreamingSpec extends SparkSpec {
         assert(r.getDouble(2) == 2.0 && r.getLong(3) == 2) // last of hour 0
     }
   }
+
+  test("streaming OHLC bars: drained stream equals the batch bars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    val in = s"$dir/in"
+    def t(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-08-01 00:00:00").getTime + m * 60000L)
+    val data = Seq(
+      ("AAPL", t(5), 4.0), ("AAPL", t(20), 9.0), ("AAPL", t(50), 2.0),
+      ("AAPL", t(55), 6.0), ("MSFT", t(10), 1.0), ("MSFT", t(30), 3.0))
+    data.toDF("symbol", "ts", "v").write.parquet(in)
+
+    val agg = StreamingIngest.ohlcAgg(
+      StreamingIngest.readDocs(spark, schema, in), "ts", "0 seconds", "symbol", "v")
+    val q = agg.writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ohlc")
+      .orderBy("symbol", "bar")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val want = graft.analytics.Indicators.ohlcBars(
+        data.toDF("symbol", "ts", "v"), "v", Seq("symbol"), "ts")
+      .orderBy("symbol", "bar")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
 }
