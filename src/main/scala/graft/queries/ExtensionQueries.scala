@@ -153,6 +153,19 @@ object ExtensionQueries {
       Dedup.dedupClusters(docs, pairs, "doc_id")
     }),
 
+    // ── end-to-end dedup: corpus in → near-dup-free corpus out (the whole
+    //    minhash → LSH → clusters → keep-representative chain as ONE query)
+    "q137_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      val keepers = Dedup.dedupClusters(docs, pairs, "doc_id")
+        .filter(col("keep") === 1).select("doc_id")
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // ── deterministic stratified sample + train/val/test split assignment
     "q76_sample_split" -> ((s, d) =>
       Mix.splitAssign(
@@ -421,9 +434,9 @@ object ExtensionQueries {
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
 
-  /** q75 oracle: recursive-CTE reachability closure — shared by q84, whose
-    * large-star/small-star formulation must produce identical labels. */
-  private val clustersOracleSql =
+  /** Shared CTE prefix for the connected-components oracles (q75/q84/q137):
+    * recursive reachability closure over the ≥0.5 candidate edges. */
+  private val clustersCtes =
     s"""WITH RECURSIVE $sigCte,
        |$candCte,
        |edges AS (SELECT id_a AS v, id_b AS u FROM cand WHERE est_jaccard >= 0.5
@@ -431,11 +444,24 @@ object ExtensionQueries {
        |reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
        |  UNION
        |  SELECT e.v, r.lbl FROM edges e JOIN reach r ON r.v = e.u),
-       |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+       |cl AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  /** q75 oracle — shared by q84, whose large-star/small-star formulation
+    * must produce identical labels. */
+  private val clustersOracleSql =
+    s"""$clustersCtes
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  CAST(doc_id = cluster_id AS INT) AS keep
        |FROM cl""".stripMargin
+
+  /** q137 oracle: the deduped corpus — keep exactly the cluster
+    * representatives (min doc id per component). */
+  private val dedupKeepOracleSql =
+    s"""$clustersCtes
+       |SELECT d.doc_id, d.source, d.n_chars
+       |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+       |WHERE cl.doc_id = cl.cluster_id""".stripMargin
 
   /** q80 oracle: new-batch band join with both-sides bucket cap — shared by
     * q83, whose stored-index path must produce identical pairs. */
@@ -730,6 +756,7 @@ object ExtensionQueries {
     "q29_minhash_pairs" ->
       s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
     "q75_dedup_clusters" -> clustersOracleSql,
+    "q137_dedup_keep" -> dedupKeepOracleSql,
     "q30_simhash" ->
       s"""WITH $toksCte,
          |hs AS (SELECT doc_id, list_transform(w, t -> ${h64d("t")}) AS hs, len(w) AS n FROM toks)
