@@ -131,6 +131,41 @@ object Stats {
       .select(col("b.bin"), col("b.lo"), col("b.hi"))
   }
 
+  /** Top-share selection per group: keep the largest rows until they cover
+    * `share` of the group's total mass (the nucleus/top-p cut, and the
+    * heavy-hitter report's "smallest set explaining X%"). The row that
+    * crosses the boundary is included. One ordered window per group with
+    * exact-decimal running and total sums. Requires a non-negative value
+    * column (shares of a signed measure aren't monotone). */
+  def topShare(df: DataFrame, value: String, keys: Seq[String],
+               tie: Seq[Column], share: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec  = "decimal(28,10)"
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(value).desc +: tie): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = sum(col(value).cast(dec)).over(wOrd)
+    val tot = sum(col(value).cast(dec)).over(wAll)
+    // both window columns are computed BEFORE the filter — a window added
+    // after it would silently re-aggregate over the surviving rows only
+    df.withColumn("_before",
+        (cum.cast("double") - col(value)) / tot.cast("double"))
+      .withColumn("cum_share",
+        round(cum.cast("double") / tot.cast("double"), 6))
+      .filter(col("_before") < share)
+      .drop("_before")
+  }
+
+  /** k-fold cross-validation assignment: fold = salted-hash of the id mod
+    * k — deterministic, engine-portable, stable under data growth (the
+    * same contract as `Mix.splitAssign`). */
+  def kfoldAssign(df: DataFrame, id: String, k: Int,
+                  salt: String = "fold"): DataFrame =
+    df.withColumn("fold",
+      pmod(graft.text.TextOps.h64(
+        concat(col(id).cast("string"), lit(":" + salt))), lit(k.toLong)))
+
   /** Mergeable partial-aggregate state per (keys, bucket): count / exact
     * decimal sum / min / max — the standard incremental-view state. Computed
     * per ingest bucket (a day, an hour, a file batch), stored, and folded

@@ -243,6 +243,22 @@ object AnalyticsQueries {
       graft.analytics.Indicators.entropy(Tables.events(s, d), "event_type",
         Seq("user_id"))),
 
+    // ── top-share cut: smallest set of lineitems covering 50% of each
+    //    return flag's revenue mass (nucleus/top-p selection)
+    "q138_top_share" -> ((s, d) =>
+      graft.ops.Stats.topShare(Tables.lineitem(s, d), "l_extendedprice",
+          Seq("l_returnflag"), Seq(col("l_orderkey"), col("l_linenumber")),
+          share = 0.5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "cum_share")),
+
+    // ── k-fold CV assignment: salted-hash fold ids, summarized per fold
+    "q139_kfold" -> ((s, d) =>
+      graft.ops.Stats.kfoldAssign(Tables.documents(s, d), "doc_id", k = 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
     // ── feature scaling per user: sample z-score + min-max from one
     //    broadcast stats pass
     "q131_feature_scale" -> ((s, d) =>
@@ -426,6 +442,25 @@ object AnalyticsQueries {
         |SELECT cohort, date_diff('day', cohort, day) AS day_n,
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q138_top_share" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) OVER w AS DOUBLE) AS cum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+        |    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS tot
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        | round(cum / tot, 6) AS cum_share
+        |FROM b WHERE (cum - l_extendedprice) / tot < 0.5""".stripMargin,
+    "q139_kfold" ->
+      """WITH f AS (SELECT n_chars,
+        |  ('0x' || substr(md5(doc_id || ':fold'), 1, 15))::BIGINT % 5 AS fold
+        | FROM documents)
+        |SELECT fold, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1""".stripMargin,
     "q131_feature_scale" ->
       """WITH s AS (SELECT user_id, count(value) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sx,

@@ -156,6 +156,29 @@ class IndicatorsSpec extends SparkSpec {
       ("c", 2, "0,0,1")))
   }
 
+  test("topShare: boundary row included, smallest covering set kept") {
+    // g: masses 5,3,1,1 (total 10) → 50% cut keeps 5 (crosses at 0.5)...
+    // actually 5 reaches exactly 0.5; next row starts AT the boundary
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 3.0), ("g", 3L, 1.0), ("g", 4L, 1.0))
+      .toDF("grp", "id", "m")
+    val keep60 = Stats.topShare(df, "m", Seq("grp"), Seq(col("id")), 0.6)
+      .select("id", "cum_share").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(keep60.toSet == Set((1L, 0.5), (2L, 0.8))) // 3.0 crosses 0.6
+    val keep50 = Stats.topShare(df, "m", Seq("grp"), Seq(col("id")), 0.5)
+      .select("id").collect().map(_.getLong(0))
+    assert(keep50.toSet == Set(1L)) // 5.0 alone covers exactly half
+  }
+
+  test("kfoldAssign: folds in range, deterministic across runs") {
+    val df = (0L until 200L).toDF("id")
+    val a = Stats.kfoldAssign(df, "id", k = 5).orderBy("id")
+      .collect().map(_.getLong(1))
+    val b = Stats.kfoldAssign(df, "id", k = 5).orderBy("id")
+      .collect().map(_.getLong(1))
+    assert(a.forall(f => f >= 0 && f < 5) && a.sameElements(b))
+    assert(a.distinct.length == 5) // all folds populated at n=200
+  }
+
   test("columnStats: null and distinct counts per column in one pass") {
     val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None))
       .toDF("id", "s")
