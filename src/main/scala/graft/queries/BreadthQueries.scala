@@ -249,6 +249,15 @@ object BreadthQueries {
       s.sql(TpchQ5Sql)
     }),
 
+    // ── file-level scan statistics: rows per physical file (the
+    //    small-file report that drives `Layout.compact`; at 100 TB this is
+    //    the table-maintenance health metric)
+    "q140_file_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+
     // ── SQL surface: TPC-H Q6 (forecast revenue change) verbatim — the
     //    pure scan-filter-aggregate shape where pushdown is everything
     "q133_sql_tpch_q6" -> ((s, d) => {
@@ -344,6 +353,13 @@ object BreadthQueries {
   val oracle: Map[String, String] = Map(
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
+    // the driver tables are one physical file each, so the oracle can pin
+    // the basename literally — the check is that Spark's
+    // input_file_name-derived grouping lands every row in that file
+    "q140_file_stats" ->
+      """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
     "q127_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
