@@ -18,10 +18,13 @@ object TimeSeriesOps {
     Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
 
   /** W1 — 1-step percentage change over event time
-    * (reference: pct_change, integrate/main.py:120). */
+    * (reference: pct_change, integrate/main.py:120). A zero previous value
+    * yields NULL rather than pandas' ±inf — under ANSI SQL the bare
+    * division would otherwise ABORT the job on the first zero (a
+    * scale-dependent time bomb: small samples may contain none). */
   def pctChange(df: DataFrame, value: String, keys: Seq[String], ord: Seq[Column], out: String): DataFrame = {
     val prev = lag(col(value), 1).over(w(keys, ord))
-    df.withColumn(out, (col(value) - prev) / prev)
+    df.withColumn(out, when(prev =!= 0, (col(value) - prev) / prev))
   }
 
   /** W2 — next-step lead (reference: shift(-1) label, integrate/main.py:121). */

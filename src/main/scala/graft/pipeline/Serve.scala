@@ -24,7 +24,8 @@ object Serve {
         min_by(col("c"), col("hour")).as("prev_price"),
         count(lit(1)).as("_n"))
       .withColumn("pct_change",
-        when(col("_n") === 2, (col("last_price") - col("prev_price")) / col("prev_price") * 100))
+        when(col("_n") === 2 && col("prev_price") =!= 0,
+          (col("last_price") - col("prev_price")) / col("prev_price") * 100))
       .drop("prev_price", "_n")
   }
 

@@ -247,7 +247,8 @@ object RelationalQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "q07_pct_change" ->
       """SELECT user_id, event_id, value,
-        | (value - lag(value) OVER w) / lag(value) OVER w AS ret
+        | CASE WHEN lag(value) OVER w != 0
+        |   THEN (value - lag(value) OVER w) / lag(value) OVER w END AS ret
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q08_lead" ->
       """SELECT user_id, event_id, value,

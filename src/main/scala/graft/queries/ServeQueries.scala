@@ -131,7 +131,7 @@ object ServeQueries {
       """WITH r AS (SELECT user_id::VARCHAR AS symbol, ts AS hour, value AS c,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events)
         |SELECT symbol, arg_max(c, hour) AS last_price,
-        | CASE WHEN count(*) = 2
+        | CASE WHEN count(*) = 2 AND arg_min(c, hour) != 0
         |   THEN (arg_max(c, hour) - arg_min(c, hour)) / arg_min(c, hour) * 100 END AS pct_change
         |FROM r WHERE rn <= 2 GROUP BY symbol""".stripMargin,
     "q69_latest_volumes" ->
