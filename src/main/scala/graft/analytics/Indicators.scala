@@ -104,10 +104,11 @@ object Indicators {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("_dt")).as("span_seconds"),
-        (sum((col(value) * col("_dt")).cast(Dec)).cast("double") /
-          sum(col("_dt"))).as("twap_raw"))
-      .withColumn("twap", round(col("twap_raw"), 6))
-      .drop("twap_raw")
+        sum((col(value) * col("_dt")).cast(Dec)).cast("double").as("_wsum"))
+      .withColumn("twap",
+        when(col("span_seconds") > 0,
+          round(col("_wsum") / col("span_seconds"), 6)))
+      .drop("_wsum")
   }
 
   /** OHLC bars: open/high/low/close (+ mean and tick count) per series per

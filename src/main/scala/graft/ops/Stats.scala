@@ -148,11 +148,13 @@ object Stats {
     val cum = sum(col(value).cast(dec)).over(wOrd)
     val tot = sum(col(value).cast(dec)).over(wAll)
     // both window columns are computed BEFORE the filter — a window added
-    // after it would silently re-aggregate over the surviving rows only
+    // after it would silently re-aggregate over the surviving rows only.
+    // Zero-total groups produce no rows (NULL comparisons filter them)
+    // rather than an ANSI divide-by-zero abort.
     df.withColumn("_before",
-        (cum.cast("double") - col(value)) / tot.cast("double"))
+        when(tot > 0, (cum.cast("double") - col(value)) / tot.cast("double")))
       .withColumn("cum_share",
-        round(cum.cast("double") / tot.cast("double"), 6))
+        when(tot > 0, round(cum.cast("double") / tot.cast("double"), 6)))
       .filter(col("_before") < share)
       .drop("_before")
   }

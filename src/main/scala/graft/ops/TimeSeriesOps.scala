@@ -200,13 +200,18 @@ object TimeSeriesOps {
   def histogramDensity(df: DataFrame, value: String, bins: Int): DataFrame = {
     val stats = df.agg(min(col(value)).as("_lo"), max(col(value)).as("_hi"),
       count(col(value)).as("_n"))
-    val bucket = least(greatest(
-      floor((col(value) - col("_lo")) / (col("_hi") - col("_lo")) * bins), lit(0.0)),
-      lit((bins - 1).toDouble)).cast("int")
+    // degenerate constant column (hi = lo): everything lands in bucket 0
+    // with NULL density, instead of an ANSI divide-by-zero abort
+    val span = col("_hi") - col("_lo")
+    val bucket = when(span =!= 0, least(greatest(
+      floor((col(value) - col("_lo")) / span * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")).otherwise(lit(0))
     df.crossJoin(stats)
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
-        (count(lit(1)) / (first(col("_n")) * ((first(col("_hi")) - first(col("_lo"))) / bins)))
+        when(first(col("_hi")) =!= first(col("_lo")),
+          count(lit(1)) / (first(col("_n")) *
+            ((first(col("_hi")) - first(col("_lo"))) / bins)))
           .as("density"))
   }
 }

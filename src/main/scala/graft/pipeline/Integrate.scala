@@ -107,10 +107,13 @@ object Integrate {
           count(col(c)).over(dayW)))
     }
 
-    // W1/W2 — hourly return and next-hour label (integrate/main.py:120-121)
+    // W1/W2 — hourly return and next-hour label (integrate/main.py:120-121).
+    // NULL return on a zero previous price: under ANSI the bare division
+    // would abort the whole pipeline on the first zero at scale.
     val w = Window.partitionBy("symbol").orderBy("hour")
+    val prev = lag(col("c"), 1).over(w)
     imputed
-      .withColumn("ret_1h", (col("c") - lag(col("c"), 1).over(w)) / lag(col("c"), 1).over(w))
+      .withColumn("ret_1h", when(prev =!= 0, (col("c") - prev) / prev))
       .withColumn("ret_1h_next", lead(col("ret_1h"), 1).over(w))
   }
 

@@ -489,8 +489,9 @@ object AnalyticsQueries {
         |  - date_diff('second', TIMESTAMP '1970-01-01', ts) AS dt
         | FROM events)
         |SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_seconds,
-        | round(CAST(sum(CAST(value * dt AS DECIMAL(28,10))) AS DOUBLE)
-        |   / sum(dt), 6) AS twap
+        | CASE WHEN sum(dt) > 0
+        |   THEN round(CAST(sum(CAST(value * dt AS DECIMAL(28,10))) AS DOUBLE)
+        |     / sum(dt), 6) END AS twap
         |FROM l WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
     "q136_ohlc_bars" ->
       """SELECT user_id, date_trunc('hour', ts) AS bar,
