@@ -88,7 +88,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val shJson = numMap(ListMap(shuffleMb.toSeq: _*))
     val spJson = numMap(ListMap(spillMb.toSeq: _*))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is one very long row that tail-capture can truncate
+    // (round 3 lost the per-query seconds that way) — the file is the
+    // truncation-proof artifact
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // stdout already has the line
     spark.stop()
   }
 }

@@ -147,12 +147,18 @@ object Stats {
     val wAll = Window.partitionBy(keys.map(col): _*)
     val cum = sum(col(value).cast(dec)).over(wOrd)
     val tot = sum(col(value).cast(dec)).over(wAll)
+    val minv = min(col(value)).over(wAll)
     // both window columns are computed BEFORE the filter — a window added
     // after it would silently re-aggregate over the surviving rows only.
     // Zero-total groups produce no rows (NULL comparisons filter them)
-    // rather than an ANSI divide-by-zero abort.
+    // rather than an ANSI divide-by-zero abort. The non-negativity
+    // precondition is ENFORCED, not just documented: a negative value makes
+    // the running share non-monotone and the boundary filter would silently
+    // select a wrong set — failing fast is the only honest behavior.
     df.withColumn("_before",
-        when(tot > 0, (cum.cast("double") - col(value)) / tot.cast("double")))
+        when(minv < 0, raise_error(lit(
+          s"topShare requires a non-negative '$value' column"))).otherwise(
+        when(tot > 0, (cum.cast("double") - col(value)) / tot.cast("double"))))
       .withColumn("cum_share",
         when(tot > 0, round(cum.cast("double") / tot.cast("double"), 6)))
       .filter(col("_before") < share)

@@ -158,22 +158,24 @@ object TimeSeriesOps {
                       ts: String, payload: Seq[String],
                       toleranceSeconds: Long): DataFrame = {
     val lTag = left.withColumn("_src", lit(1))
-    val rTag = right.withColumn("_src", lit(2)).withColumn("_rts", col(ts))
+    // The whole right row rides in ONE struct so the matched timestamp and
+    // every payload field come from the SAME row (merge_asof row semantics):
+    // a NULL payload on the nearest forward row stays NULL instead of being
+    // back-filled from a later — possibly out-of-tolerance — right row.
+    val rTag = right.select(keys.map(col) :+ col(ts) :+ lit(2).as("_src") :+
+      struct(col(ts).as("_rts") +: payload.map(col): _*).as("_pack"): _*)
     val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("_src").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = (payload :+ "_rts").foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
-    }
-    val within = col("_rts").isNotNull &&
-      (col("_rts").cast("long") - col(ts).cast("long")) <= toleranceSeconds
-    val masked = payload.foldLeft(carried) { (d, c) =>
-      d.withColumn(c, when(within, col(c)))
-    }
-    masked.filter(col("_src") === 1)
-      .select(left.columns.map(col) ++ payload.map(col) :+
-        when(within, col("_rts")).as("matched_ts"): _*)
+    val carried = unioned
+      .withColumn("_pack", first(col("_pack"), ignoreNulls = true).over(w))
+    val within = col("_pack").isNotNull &&
+      (col("_pack._rts").cast("long") - col(ts).cast("long")) <= toleranceSeconds
+    carried.filter(col("_src") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(c => when(within, col(s"_pack.`$c`")).as(c)) :+
+        when(within, col("_pack._rts")).as("matched_ts"): _*)
   }
 
   /** Batch session windows (gaps-and-islands): rows within `gap` of the

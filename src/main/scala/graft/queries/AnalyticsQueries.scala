@@ -403,22 +403,21 @@ object AnalyticsQueries {
         |  WHERE event_type = 'view'),
         |u AS (
         |  SELECT user_id, ts, event_id, value,
-        |    CAST(NULL AS DOUBLE) AS view_value, CAST(NULL AS TIMESTAMP) AS rts,
+        |    CAST(NULL AS STRUCT(rts TIMESTAMP, view_value DOUBLE)) AS pack,
         |    1 AS src FROM l
         |  UNION ALL
-        |  SELECT user_id, ts, NULL, NULL, view_value, ts, 2 FROM r),
+        |  SELECT user_id, ts, NULL, NULL,
+        |    struct_pack(rts := ts, view_value := view_value), 2 FROM r),
         |c AS (SELECT user_id, ts, event_id, value, src,
-        |  first_value(view_value IGNORE NULLS) OVER w AS view_value,
-        |  first_value(rts IGNORE NULLS) OVER w AS rts
+        |  first_value(pack IGNORE NULLS) OVER w AS pack
         |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-        |m AS (SELECT *, rts IS NOT NULL AND
-        |    date_diff('second', TIMESTAMP '1970-01-01', rts)
-        |  - date_diff('second', TIMESTAMP '1970-01-01', ts) <= 7200 AS ok
+        |m AS (SELECT *, pack IS NOT NULL AND
+        |    date_diff('second', ts, pack.rts) <= 7200 AS ok
         |  FROM c)
         |SELECT user_id, ts, event_id, value,
-        |  CASE WHEN ok THEN view_value END AS view_value,
-        |  CASE WHEN ok THEN rts END AS matched_ts
+        |  CASE WHEN ok THEN pack.view_value END AS view_value,
+        |  CASE WHEN ok THEN pack.rts END AS matched_ts
         |FROM m WHERE src = 1""".stripMargin,
     "q117_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

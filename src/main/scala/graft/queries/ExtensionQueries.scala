@@ -530,10 +530,9 @@ object ExtensionQueries {
          |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
          |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
          |  WHERE len(w) >= 2),
-         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
-         |  HAVING count(*) >= 3),
-         |uc AS (SELECT unnest(w) AS w1 FROM tk),
-         |u AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY 1)
+         |ba AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |bc AS (SELECT * FROM ba WHERE c12 >= 3),
+         |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM ba GROUP BY 1)
          |SELECT w1, w2, c12, c1,
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
          |FROM bc JOIN u USING (w1)""".stripMargin,

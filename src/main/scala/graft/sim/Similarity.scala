@@ -326,20 +326,30 @@ object Similarity {
 
   /** Train per-subspace codebooks: `m` seeded KMeans fits over the
     * sub-vectors. Returns codebooks[sub][code] = codeword (m·ksub·dsub
-    * doubles — driver/broadcast sized by construction). */
+    * doubles — driver/broadcast sized by construction).
+    *
+    * The training input is bounded IN CODE: a deterministic pre-sample of at
+    * most `maxTrain` vectors (global top-k by (hash(v), v) —
+    * TakeOrderedAndProject, fully distributed) is taken BEFORE anything is
+    * pinned to one partition, so calling this on a 10⁹-vector corpus never
+    * sorts the corpus in a single task. PQ codebooks converge on ~10⁵
+    * vectors (Jégou et al. TPAMI'11 train on 10⁵-10⁶), so the default bound
+    * loses nothing. The bounded sample is then coalesced to ONE
+    * deterministically ordered partition so seeded init sees the same row
+    * order regardless of scan parallelism; the sort key is the TOTAL order
+    * (hash(v), v) — the vector itself breaks 32-bit hash collisions, which
+    * are expected by ~77k rows — making codebooks bit-identical across
+    * reruns and cluster layouts. */
   def pqTrain(corpus: DataFrame, emb: String, m: Int, ksub: Int,
-              seed: Long = 42L, maxIter: Int = 10): Array[Array[Array[Double]]] = {
+              seed: Long = 42L, maxIter: Int = 10,
+              maxTrain: Int = 100000): Array[Array[Array[Double]]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // partition-invariant training: the fit input is pinned to ONE
-    // deterministically ordered partition, so seeded init sees the same
-    // sample order regardless of scan parallelism — reruns on any cluster
-    // layout learn bit-identical codebooks. At corpus scale the input here
-    // is a bounded sample anyway (PQ codebooks converge on ~10⁵ vectors),
-    // so single-partition training is the honest shape, not a shortcut.
+    val totalOrder = Seq(hash(col("v")).asc, col("v").asc)
     val v = corpus.select(asDouble(emb).as("v"))
-      .coalesce(1).sortWithinPartitions(hash(col("v"))).cache()
+      .orderBy(totalOrder: _*).limit(maxTrain)
+      .coalesce(1).sortWithinPartitions(totalOrder: _*).cache()
     val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

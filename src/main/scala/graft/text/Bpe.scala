@@ -55,24 +55,85 @@ object Bpe {
   }
 
   /** Learn `nMerges` merge rules. Stops early when no pair repeats (every
-    * word fully merged or count 1 ties exhausted — still deterministic). */
-  def train(df: DataFrame, text: String, nMerges: Int): Seq[MergeRule] = {
+    * word fully merged or count 1 ties exhausted — still deterministic).
+    *
+    * Merges are learned in BATCHES of up to `batchK` per distributed round
+    * (classic batched-BPE), which removes the O(vocab) sequential-jobs
+    * ceiling: a 32k-vocab train is ~vocab/batchK rounds, not 32k jobs. The
+    * batch is ONLY taken where it is provably identical to one-at-a-time
+    * training — a prefix c₁..cⱼ of the snapshot's (count desc, l, r) order
+    * such that:
+    *   1. batch members are pairwise symbol-disjoint (so each cᵢ's count at
+    *      its sequential turn equals its snapshot count),
+    *   2. every merged symbol l+r is FRESH — not an existing vocab symbol
+    *      and not another batch member's symbol or concat (no string
+    *      conflation, so untouched pair counts can't change),
+    *   3. no self-pair (l = r) except as the batch head (a self-merge can
+    *      create a (ll, ll) pair whose count isn't bounded by neighbouring
+    *      snapshot pairs),
+    *   4. for j ≥ 2, count(cⱼ) is STRICTLY greater than the best non-batch
+    *      pair's count: any pair a merge creates needs a pre-existing
+    *      neighbouring adjacency of one of the merged symbols, so its count
+    *      is ≤ that best non-batch count — the strict gap keeps every new
+    *      pair ranked below every remaining batch member at its turn.
+    * The first violation ends the batch (a prefix is required: skipping a
+    * rejected candidate would reorder against sequential training, which
+    * re-ranks after every merge). Worst case the batch is 1 = exactly the
+    * sequential round. BpeSpec pins batched ≡ sequential on fixtures. */
+  def train(df: DataFrame, text: String, nMerges: Int,
+            batchK: Int = 16): Seq[MergeRule] = {
     var vocab = initVocab(df, text).localCheckpoint(true)
     val rules = Seq.newBuilder[MergeRule]
     var rank = 0
     var done = false
     while (rank < nMerges && !done) {
-      val top = pairCounts(vocab)
+      val pairs = pairCounts(vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val want = math.min(batchK, nMerges - rank)
+      val top = pairs
         .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+        .limit(want + 1).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      if (top.isEmpty) { pairs.unpersist(blocking = false); done = true }
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        rules += MergeRule(rank, l, r, c)
-        val next = applyMerge(vocab, l, r).localCheckpoint(true)
+        // active alphabet for the freshness check (condition 2) — symbol
+        // count is vocab-bounded (Zipf), one small collect per ROUND
+        val alphabet: Set[String] =
+          if (top.length > 1 && want > 1)
+            pairs.select(explode(array(col("l"), col("r"))).as("s"))
+              .distinct().collect().map(_.getString(0)).toSet
+          else Set.empty
+        pairs.unpersist(blocking = false)
+        val used = scala.collection.mutable.Set[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var stop = false
+        for (c @ (l, r, _) <- top.take(want) if !stop) {
+          val concat = l + r
+          val selfPair = l == r
+          val fresh = !alphabet.contains(concat) && !used.contains(concat)
+          val disjoint = !used.contains(l) && !used.contains(r)
+          if (accepted.isEmpty) {
+            accepted += c
+            if (selfPair || !fresh) stop = true // batch can't grow past it
+            else { used ++= Seq(l, r, concat) }
+          } else if (fresh && disjoint && !selfPair) {
+            accepted += c
+            used ++= Seq(l, r, concat)
+          } else stop = true
+        }
+        // condition 4: strict count gap to the first non-batch pair
+        var j = accepted.length
+        while (j >= 2 && top.length > j && accepted(j - 1)._3 <= top(j)._3)
+          j -= 1
+        val batch = accepted.take(j)
+        batch.foreach { case (l, r, c) =>
+          rules += MergeRule(rank, l, r, c); rank += 1
+        }
+        val next = batch.foldLeft(vocab) { case (d, (l, r, _)) =>
+          applyMerge(d, l, r)
+        }.localCheckpoint(true)
         vocab.unpersist(blocking = false)
         vocab = next
-        rank += 1
       }
     }
     vocab.unpersist(blocking = false)

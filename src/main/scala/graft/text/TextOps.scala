@@ -154,17 +154,22 @@ object TextOps {
   }
 
   /** Word-bigram language model: adjacent-pair counts over the corpus with
-    * the conditional probability P(w₂|w₁) = c(w₁w₂)/c(w₁) — the classic
-    * distributed-counting workload (and the n-gram LM a cheap next-token
-    * quality scorer is built from). Two map-side-combined aggregates
-    * (bigrams, unigram contexts) and one vocab-keyed join; shuffled bytes
-    * ∝ distinct n-grams, Zipf-bounded, never corpus-sized. `minCount`
-    * floors the emitted bigrams — at corpus scale the singleton tail is
-    * most of the distinct mass and all of the noise. */
+    * the conditional probability P(w₂|w₁) = c(w₁w₂) / c(w₁ as context) —
+    * the textbook MLE. The denominator counts w₁ only where it HAS a
+    * continuation (the per-w₁ sum of bigram counts before the `minCount`
+    * filter), so P(·|w₁) sums to exactly 1 for every context — a w₁ that
+    * also ends documents is not deflated by those continuation-less
+    * occurrences. The classic distributed-counting workload (and the n-gram
+    * LM a cheap next-token quality scorer is built from): one
+    * map-side-combined bigram aggregate, a re-aggregate of it for contexts,
+    * one vocab-keyed join; shuffled bytes ∝ distinct n-grams, Zipf-bounded,
+    * never corpus-sized. `minCount` floors the EMITTED bigrams only — at
+    * corpus scale the singleton tail is most of the distinct mass and all
+    * of the noise, but it still belongs in the denominator. */
   def bigramLm(df: DataFrame, text: String, minCount: Long = 3L): DataFrame = {
     val toks = df.select(tokens(normalize(col(text))).as("w"))
       .select(expr("filter(w, t -> length(t) > 0)").as("w"))
-    val bi = toks
+    val biAll = toks
       .select(explode(expr(
         "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
           "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
@@ -172,10 +177,9 @@ object TextOps {
         .as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
-    val uni = toks.select(explode(col("w")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bi.join(uni, Seq("w1"))
+    val uni = biAll.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    biAll.filter(col("c12") >= minCount)
+      .join(uni, Seq("w1"))
       .withColumn("p", round(col("c12").cast("double") / col("c1"), 6))
   }
 

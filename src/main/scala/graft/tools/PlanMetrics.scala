@@ -21,14 +21,23 @@ object PlanMetrics {
   }
 
   /** Sum of metric values across the executed plan for metrics whose
-    * description contains `needle` (e.g. "shuffle bytes written"). */
-  def sumMetric(df: DataFrame, needle: String): Long =
+    * description contains `needle` (e.g. "shuffle bytes written").
+    * Nodes are deduped by REFERENCE identity, not structural equality: two
+    * genuinely distinct but structurally identical nodes (the two scans or
+    * exchanges of a self-join over the same source — the normal shape of the
+    * dedup/minhash queries) each carry their own accumulators and must both
+    * be summed, while a node instance reached twice (reused exchange/stage)
+    * must be summed once. */
+  def sumMetric(df: DataFrame, needle: String): Long = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     flatten(df.queryExecution.executedPlan)
-      .distinct
+      .filter(seen.add)
       .flatMap(_.metrics.values)
       .filter(m => m.name.exists(_.contains(needle)))
       .map(m => math.max(m.value, 0L))
       .sum
+  }
 
   def shuffleBytes(df: DataFrame): Long = sumMetric(df, "shuffle bytes written")
   def spillBytes(df: DataFrame): Long   = sumMetric(df, "spill size")

@@ -59,6 +59,36 @@ class AnnSpec extends SparkSpec {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("pqTrain bound: no-op when n ≤ maxTrain; a real bound is " +
+       "deterministic and keeps rerank recall") {
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val norm = small.select(col("vec_id"),
+      Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+    val n = norm.count().toInt
+    // the limit must be a pure no-op when the corpus fits under the bound:
+    // default bound (≫ n) and exact-n bound learn bit-identical codebooks
+    val cbAll = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
+    val cbExact = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16,
+      maxIter = 5, maxTrain = n)
+    assert(cbAll.flatten.flatten.toSeq == cbExact.flatten.flatten.toSeq)
+    // a genuinely binding sample (n/2) is still deterministic across reruns
+    val cbHalf = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16,
+      maxIter = 5, maxTrain = n / 2)
+    val cbHalf2 = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16,
+      maxIter = 5, maxTrain = n / 2)
+    assert(cbHalf.flatten.flatten.toSeq == cbHalf2.flatten.flatten.toSeq)
+    // ...and codebooks trained on the half-sample still search well: exact
+    // rerank of an ADC shortlist recovers most true neighbours
+    val qs = norm.filter(col("vec_id") < 10)
+    val truth = Similarity.knnBrute(small,
+      small.filter(col("vec_id") < 10), "vec_id", "embedding", 10).cache()
+    val codes = Similarity.pqEncode(norm, "vec_id", "nv", cbHalf)
+    val rr = Similarity.annPqRerank(codes, cbHalf, norm, qs, "vec_id", "nv",
+      k = 10, shortlist = 50)
+    val r = recall(rr, truth)
+    assert(r >= 0.6, s"bounded-train PQ+rerank recall $r below 0.6")
+  }
+
   test("multi-probe LSH recall ≥ single-bucket LSH recall") {
     val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", 5).cache()
     val single = Similarity.annLsh(e, q, "vec_id", "embedding", 5, 8, 64)

@@ -34,4 +34,30 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(Bpe.train(docs, "text", 5).isEmpty)
   }
+
+  test("batched training ≡ sequential: disjoint tops learned in one round") {
+    // three symbol-disjoint pairs with strict count gaps — the ideal batch:
+    // one round must learn all three, in snapshot order, identically to
+    // one-merge-per-round training
+    val docs = Seq((1L, ("ab " * 100 + "cd " * 90 + "ef " * 80).trim))
+      .toDF("doc_id", "text")
+    val batched = Bpe.train(docs, "text", 3, batchK = 16)
+    val sequential = Bpe.train(docs, "text", 3, batchK = 1)
+    assert(batched == sequential)
+    assert(batched.map(m => (m.rank, m.left, m.right, m.count)) == Seq(
+      (0, "a", "b", 100L), (1, "c", "d", 90L), (2, "e", "f", 80L)))
+  }
+
+  test("batched training ≡ sequential on a conflict-heavy real corpus") {
+    // overlapping symbols, ties, self-pairs ("oo", "ss"), merge-creates-
+    // frequent-pair chains — the cases where the batch must shrink to stay
+    // exact. 20 merges, rule-for-rule equality.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val batched = Bpe.train(docs, "text", 20, batchK = 16)
+    val sequential = Bpe.train(docs, "text", 20, batchK = 1)
+    assert(batched.size == 20)
+    assert(batched == sequential)
+  }
 }

@@ -169,6 +169,17 @@ class IndicatorsSpec extends SparkSpec {
     assert(keep50.toSet == Set(1L)) // 5.0 alone covers exactly half
   }
 
+  test("topShare: a negative value fails fast instead of silently " +
+       "selecting a wrong set") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, -1.0)).toDF("grp", "id", "m")
+    val ex = intercept[Throwable] {
+      Stats.topShare(df, "m", Seq("grp"), Seq(col("id")), 0.5).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + chain(t.getCause)
+    assert(chain(ex).contains("non-negative"), s"unexpected error: ${chain(ex)}")
+  }
+
   test("kfoldAssign: folds in range, deterministic across runs") {
     val df = (0L until 200L).toDF("id")
     val a = Stats.kfoldAssign(df, "id", k = 5).orderBy("id")
@@ -254,6 +265,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 1.0) // same ts
     assert(got(1).getString(0) == "b" && got(1).getDouble(1) == 2.0) // +120s, on boundary
     assert(got(2).getString(0) == "c" && got(2).isNullAt(1))         // nothing ahead
+  }
+
+  test("asofJoinForward: whole right row is atomic — NULL payload on the " +
+       "nearest row stays NULL, never back-filled from a later row") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val left = Seq((1L, ts(10), "a")).toDF("k", "t", "tag")
+    // nearest forward row (00:11) has a NULL payload; a later row (00:12,
+    // still inside tolerance) has a value — merge_asof row semantics must
+    // NOT mix them: matched_ts = 00:11, rv = NULL.
+    val right = Seq((1L, ts(11), Option.empty[Double]),
+        (1L, ts(12), Some(2.0)))
+      .toDF("k", "t", "rv")
+    val got = graft.ops.TimeSeriesOps.asofJoinForward(
+        left, right, Seq("k"), "t", Seq("rv"), toleranceSeconds = 600L)
+      .select("tag", "rv", "matched_ts").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a")
+    assert(got(0).isNullAt(1), "payload must come from the matched row")
+    assert(got(0).getTimestamp(2) == ts(11))
   }
 
   test("overlapJoin: one row per pair across buckets; inclusive-touch; disjoint") {

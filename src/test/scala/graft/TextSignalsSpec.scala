@@ -28,4 +28,22 @@ class TextSignalsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(s(2L) > s(1L))
   }
+
+  test("bigramLm: P(·|w1) sums to 1 — document-final occurrences don't " +
+       "deflate the denominator") {
+    // tokens: a b a b a → bigrams (a,b)×2, (b,a)×2; the trailing 'a' ends
+    // the doc and is NOT a context, so c1(a) = 2 (not 3) and P(b|a) = 1
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val got = TextOps.bigramLm(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSet == Set(("a", "b", 2L, 1.0), ("b", "a", 2L, 1.0)))
+    // and on a branching context the conditionals still sum to exactly 1
+    val docs2 = Seq((1L, "x y x z x y")).toDF("doc_id", "text")
+    val sums = TextOps.bigramLm(docs2, "text", minCount = 1L)
+      .groupBy("w1").sum("p").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // p rounds to 6 dp per bigram, so the sum is 1 up to rounding residue
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-5), sums.toString)
+  }
 }
