@@ -92,7 +92,10 @@ object Plans {
       "q133_sql_tpch_q6" -> Seq(
         "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
       // feature scaling: fitted stats broadcast back onto the scan
-      "q131_feature_scale" -> Seq("BroadcastHashJoin"))
+      "q131_feature_scale" -> Seq("BroadcastHashJoin"),
+      // serve layer: the cached panel feeds all three dashboard panels —
+      // every panel side reads the in-memory relation, not the parquet scan
+      "q141_serve_page" -> Seq("InMemoryTableScan"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Serve {
 
+  /** Serve-layer cache: persist the integrated panel ONCE and build every
+    * dashboard panel on the returned frame. The reference re-reads and
+    * re-computes the full CSV on every page render (dashboard/app.py:33-36,
+    * module top runs per Streamlit rerun) — the one §3.3 behavior not worth
+    * replicating: a served dashboard pays the scan once per refresh, after
+    * which every panel plan reads `InMemoryTableScan` (audited in PLANS.md
+    * via q141_serve_page). Storage is MEMORY_AND_DISK so an over-sized
+    * panel degrades to disk instead of evicting; release with
+    * `.unpersist()` on refresh. */
+  def cached(integrated: DataFrame): DataFrame =
+    integrated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Market overview (dashboard/app.py:75-84): per symbol, last price and
     * the % change between the last two observations (W7 + W1). */
   def lastChange(integrated: DataFrame): DataFrame = {

@@ -120,16 +120,26 @@ object AnalyticsQueries {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         expr("percentile(l_extendedprice, 0.9)").as("price_p90"))),
 
-    // ── sketch aggregates for the 100 TB path (rows-only: HLL/KLL internals
-    //    aren't reproducible in the oracle engine): approximate distinct
-    //    users and median per event type, with exact counterparts alongside
-    //    so the approximation error is inspectable
+    // ── sketch aggregates for the 100 TB path, HYBRID-checked: the sketch
+    //    internals (HLL/GK) aren't reproducible in the oracle engine, so the
+    //    exact counterparts are value-checked and the sketch outputs are
+    //    checked as in-bound FLAGS (HLL default rsd 0.05 → 10% guard band;
+    //    approx_percentile rank error ≤ n/accuracy → value band between the
+    //    0.49 and 0.51 exact percentiles). The oracle expects every flag
+    //    true, so an out-of-spec sketch is a hash mismatch, not a shrug.
     "q52_approx_stats" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type").agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, 0.5)").as("approx_median"),
-        expr("percentile(value, 0.5)").as("exact_median"))),
+        expr("percentile(value, 0.5)").as("exact_median"),
+        expr("percentile(value, 0.49)").as("_lo"),
+        expr("percentile(value, 0.51)").as("_hi"))
+      .select(col("event_type"), col("exact_users"), col("exact_median"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.10).as("approx_users_ok"),
+        (col("approx_median") >= col("_lo") &&
+          col("approx_median") <= col("_hi")).as("approx_median_ok"))),
 
     // ── C1: Granger causality sweep (rows-only; OLS F-test per lag) — the
     //    reference's full shape: every numeric predictor × lags 1..5
@@ -600,6 +610,15 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    // hybrid check: exact columns value-checked; the sketch columns arrive
+    // as in-bound flags the oracle expects to be TRUE
+    "q52_approx_stats" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | quantile_cont(value, 0.5) AS exact_median,
+        | TRUE AS approx_users_ok,
+        | TRUE AS approx_median_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS p25,

@@ -20,6 +20,16 @@ object ExtensionQueries {
   private val NPlanes = 8
   private val Dim     = 64
 
+  // Fixed closed-form PQ codebook + query vector (q113b): both sides of the
+  // oracle regenerate them from the same integer arithmetic, so the encode
+  // and ADC stages get full value-level checks with training excluded.
+  private val PqM = 4; private val PqKsub = 4; private val PqDsub = Dim / PqM
+  private val FixedCodebook: Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqKsub, PqDsub)((s, c, i0) =>
+      ((s * 131 + c * 37 + (i0 + 1) * 17) % 19 - 9) / 10.0)
+  private val FixedQuery: Seq[Double] =
+    (1 to Dim).map(j => ((j * 13) % 7 - 3) / 5.0)
+
   val queries: Map[String, Q] = Map(
     // ── exact dedup: digest → canonical id + multiplicity
     "q24_dedup_exact" -> ((s, d) =>
@@ -127,9 +137,11 @@ object ExtensionQueries {
 
     // ── distributed BPE trainer (iterative argmax loop — rows-only like
     //    q42/q43; BpeSpec pins the merge order on hand-computed goldens)
+    // 48 merges exercises several batched rounds (batchK=16) — the
+    // vocab-scale train shape, not a toy loop
     "q101_bpe_train" -> ((s, d) => {
       import s.implicits._
-      graft.text.Bpe.train(Tables.documents(s, d), "text", 10)
+      graft.text.Bpe.train(Tables.documents(s, d), "text", 48)
         .map(m => (m.rank, m.left, m.right, m.count))
         .toDF("rank", "left", "right", "pair_count")
     }),
@@ -321,6 +333,24 @@ object ExtensionQueries {
       Similarity.annPqRerank(codes, cb, norm,
         norm.filter(col("vec_id") < 10), "vec_id", "nv",
         k = 10, shortlist = 50)
+    }),
+
+    // ── PQ encode + ADC ranking with the FIXED closed-form codebook:
+    //    training excluded, so the q113 family's search math (nearest-
+    //    codeword argmin + asymmetric distance) is deterministic arithmetic
+    //    the oracle replicates value-for-value
+    "q113b_pq_fixed" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", FixedCodebook)
+      val qdf = Seq((-1L, FixedQuery)).toDF("vec_id", "qv")
+      val adc = Similarity.annPq(codes, FixedCodebook, qdf, "vec_id", "qv",
+          k = Int.MaxValue)
+        .select(col("vec_id"), col("adist"), col("rank"))
+      codes.select(col("vec_id"),
+          expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')")
+            .as("codes_str"))
+        .join(adc, "vec_id")
     }),
 
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
@@ -792,6 +822,37 @@ object ExtensionQueries {
     "q34_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
+    // cw(s,c,i) and qv(j) are the closed forms of FixedCodebook/FixedQuery;
+    // argmin ties go to the lowest code in both engines (first minimum)
+    "q113b_pq_fixed" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |enc AS (SELECT vec_id, v,
+        |  list_transform([0, 1, 2, 3], s ->
+        |    list_transform([0, 1, 2, 3], c ->
+        |      list_sum(list_transform(generate_series(1, 16), i ->
+        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+        |    AS dists
+        |  FROM e),
+        |cod AS (SELECT vec_id,
+        |  list_transform(dists, ds ->
+        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+        |  FROM enc),
+        |ad AS (SELECT vec_id, codes,
+        |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+        |    list_sum(list_transform(generate_series(1, 16), i ->
+        |      ((((s*16 + i)*13) % 7 - 3) / 5.0
+        |        - (((s*131 + codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+        |    * ((((s*16 + i)*13) % 7 - 3) / 5.0
+        |        - (((s*131 + codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+        |    AS adist
+        |  FROM cod)
+        |SELECT vec_id, array_to_string(codes, ',') AS codes_str, adist,
+        |  CAST(row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS INT)
+        |    AS rank
+        |FROM ad""".stripMargin,
     "q35_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),

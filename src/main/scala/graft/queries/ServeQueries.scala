@@ -88,6 +88,23 @@ object ServeQueries {
       left.join(trends, Seq("hour", "symbol"), "left")
     }),
 
+    // ── serve-layer persist audit (SURVEY §3.3): ONE cached scan of the
+    //    panel feeds three dashboard panels (W7+W1 last-change, A6+O3
+    //    latest volumes, C5+A7 volatility) joined into the market-overview
+    //    page. The reference re-reads the CSV per page render; here every
+    //    panel reads InMemoryTableScan (plan-audited in PLANS.md).
+    "q141_serve_page" -> ((s, d) => {
+      val p = Serve.cached(panel(s, d))
+      val lc = Serve.lastChange(p)
+      val lv = Serve.latestVolumes(
+        p.select(col("symbol"), col("hour"), col("c").as("Volume")))
+      val vol = Serve.volatilityStability(
+          p.select(col("symbol"), col("c").as("ret_1h")))
+        .select(col("symbol"), round(col("volatility"), 6).as("volatility"),
+          col("stability"))
+      lc.join(lv, Seq("symbol")).join(vol, Seq("symbol"))
+    }),
+
     // ── S3 + S4: headered CSV round-trip — the engine writes the CSV, both
     //    engines read it back independently and must agree on every value
     //    (bigint / string / date / timestamp / double columns). Content is
@@ -160,6 +177,21 @@ object ServeQueries {
         |t AS (SELECT date_trunc('hour', ts) AS hour, user_id::VARCHAR AS symbol,
         |  arg_max(value, ts) AS trend_score FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT hour, symbol, c, trend_score FROM l LEFT JOIN t USING (hour, symbol)""".stripMargin,
+    "q141_serve_page" ->
+      """WITH r AS (SELECT user_id::VARCHAR AS symbol, ts AS hour, value AS c,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events),
+        |lc AS (SELECT symbol, arg_max(c, hour) AS last_price,
+        |  CASE WHEN count(*) = 2 AND arg_min(c, hour) != 0
+        |    THEN (arg_max(c, hour) - arg_min(c, hour)) / arg_min(c, hour) * 100 END AS pct_change
+        |  FROM r WHERE rn <= 2 GROUP BY symbol),
+        |lv AS (SELECT user_id::VARCHAR AS symbol, arg_max(value, ts) AS Volume
+        |  FROM events GROUP BY 1),
+        |vol AS (SELECT user_id::VARCHAR AS symbol,
+        |  round(stddev_samp(value), 6) AS volatility,
+        |  CASE WHEN stddev_samp(value) < 0.02 THEN 'Stable' ELSE 'Volatile' END AS stability
+        |  FROM events GROUP BY 1)
+        |SELECT symbol, last_price, pct_change, Volume, volatility, stability
+        |FROM lc JOIN lv USING (symbol) JOIN vol USING (symbol)""".stripMargin,
     "q74_csv_roundtrip" ->
       """SELECT * FROM read_csv('/root/repo/target/graft_csv_roundtrip/*.csv',
         | header = true)""".stripMargin,

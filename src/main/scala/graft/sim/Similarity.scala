@@ -171,6 +171,36 @@ object Similarity {
       .agg(min(struct((-col("csim")).as("ns"), col("cid"), col("v"))).as("m"))
       .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruneWithinClusters(assigned, minSim)
+  }
+
+  /** Production SemDeDup: the coarse step is `ivfLearned`'s seeded KMeans
+    * (the paper's actual clustering) instead of the oracle-portable
+    * first-n-ids quantizer — learned cells track the data distribution, so
+    * near-dup pairs land in the same cell far more reliably on sorted or
+    * skewed corpora. Downstream pruning is identical. Deterministic for a
+    * fixed seed (same property as `ivfLearned`), but not reproducible in
+    * another engine — covered by AnnSpec's drop-recall comparison, while
+    * q92 oracle-checks the shared prune stage through the portable coarse
+    * step. */
+  def semDedupLearned(corpus: DataFrame, id: String, emb: String,
+                      nCells: Int, minSim: Double,
+                      seed: Long = 42L): DataFrame = {
+    graft.expressions.CosineSimilarity.register(corpus.sparkSession)
+    val (assignedRaw, _) = ivfLearned(corpus, id, emb, nCells, seed)
+    val assigned = assignedRaw
+      .select(col("vec_id"), col("v"), col("cell").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruneWithinClusters(assigned, minSim)
+  }
+
+  /** SemDeDup's prune: inside each coarse cluster, drop any doc with a
+    * lower-id near-duplicate (cosine ≥ `minSim`). The quadratic work is
+    * cluster-local (one shuffle keyed by cluster id); `assigned` must be
+    * (vec_id, v, cluster) and persisted by the caller (it feeds both join
+    * sides plus the output). */
+  private def pruneWithinClusters(assigned: DataFrame,
+                                  minSim: Double): DataFrame = {
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
       .filter(round(expr("graft_cosine(a.v, b.v)"), 6) >= minSim)

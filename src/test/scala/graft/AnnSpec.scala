@@ -128,6 +128,26 @@ class AnnSpec extends SparkSpec {
     assert(minCos > 0.995, s"dequantized cosine degraded: $minCos")
   }
 
+  test("semDedupLearned: learned coarse cells hold or improve drop recall " +
+       "against brute-force near-dup truth") {
+    // truth: every doc with a smaller-id near-dup ANYWHERE in the corpus.
+    // Both variants only drop witnessed docs (precision 1 by construction),
+    // so drop recall isolates the coarse-clustering quality.
+    val base = e.select(col("vec_id"), Similarity.asDouble("embedding").as("v"))
+    val truthDocs = base.as("a").join(base.as("b"),
+        col("b.vec_id") < col("a.vec_id"))
+      .filter(round(Similarity.cosineNative(spark, "a.v", "b.v"), 6) >= 0.35)
+      .select(col("a.vec_id")).distinct().cache()
+    val nTruth = truthDocs.count().toDouble
+    assert(nTruth > 0)
+    def dropRecall(r: org.apache.spark.sql.DataFrame): Double =
+      r.filter(col("keep") === 0).join(truthDocs, "vec_id").count() / nTruth
+    val rFirstN = dropRecall(Similarity.semDedup(e, "vec_id", "embedding", 8, 0.35))
+    val rLearned = dropRecall(Similarity.semDedupLearned(e, "vec_id", "embedding", 8, 0.35))
+    assert(rLearned >= rFirstN, s"learned $rLearned < first-n $rFirstN")
+    assert(rLearned > 0.4, s"learned drop recall too low: $rLearned")
+  }
+
   test("semDedup: planted near-dups pruned, keep rule is exactly min-id-wins") {
     import spark.implicits._
     // 3 orthogonal base directions + planted near-copies of doc 0 and 20

@@ -152,4 +152,32 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(4), r.getDouble(5), r.getLong(6)))
     assert(got.nonEmpty && got.sameElements(want))
   }
+
+  test("file-source stream over the q136 events table equals the " +
+       "oracle-checked batch bars, row for row") {
+    // the real driver fixture through a genuine file stream (not
+    // MemoryStream): drain with AvailableNow, then set-compare against the
+    // exact frame the q136 DuckDB oracle hash-checks — closing the
+    // streaming-vs-oracle verification asymmetry
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q136").toString
+    val in = s"$dir/in"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "value")
+    events.write.parquet(in)
+    val agg = StreamingIngest.ohlcAgg(
+      spark.readStream.schema(events.schema).parquet(in),
+      "ts", "0 seconds", "user_id", "value")
+    val q = agg.writeStream.format("memory").queryName("ohlc_q136")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cols = Seq("bar", "user_id", "open", "high", "low", "close", "n_ticks")
+    val got = spark.table("ohlc_q136").select(cols.map(col): _*)
+    val want = graft.queries.AnalyticsQueries
+      .queries("q136_ohlc_bars")(spark, "/root/testdata/sf0.001")
+      .select(cols.map(col): _*)
+    val n = want.count()
+    assert(n > 0 && got.count() == n)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
 }
