@@ -83,27 +83,27 @@ object Bpe {
   def train(df: DataFrame, text: String, nMerges: Int,
             batchK: Int = 16): Seq[MergeRule] = {
     var vocab = initVocab(df, text).localCheckpoint(true)
+    // alphabet for the freshness check (condition 2), maintained on the
+    // driver: seeded with the initial character set, grown by each accepted
+    // concat. Every symbol the vocab can ever contain is an initial char or
+    // an accepted concat, so this is an exact superset of the live alphabet
+    // (symbols that fall out of use stay — which only makes the freshness
+    // check MORE conservative, never wrong) and costs one tiny collect for
+    // the whole train instead of one distinct per round.
+    val alphabet = scala.collection.mutable.Set[String]()
+    alphabet ++= vocab.select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0))
     val rules = Seq.newBuilder[MergeRule]
     var rank = 0
     var done = false
     while (rank < nMerges && !done) {
-      val pairs = pairCounts(vocab)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val want = math.min(batchK, nMerges - rank)
-      val top = pairs
+      val top = pairCounts(vocab)
         .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
         .limit(want + 1).collect()
         .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
-      if (top.isEmpty) { pairs.unpersist(blocking = false); done = true }
+      if (top.isEmpty) done = true
       else {
-        // active alphabet for the freshness check (condition 2) — symbol
-        // count is vocab-bounded (Zipf), one small collect per ROUND
-        val alphabet: Set[String] =
-          if (top.length > 1 && want > 1)
-            pairs.select(explode(array(col("l"), col("r"))).as("s"))
-              .distinct().collect().map(_.getString(0)).toSet
-          else Set.empty
-        pairs.unpersist(blocking = false)
         val used = scala.collection.mutable.Set[String]()
         val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
         var stop = false
@@ -128,6 +128,7 @@ object Bpe {
         val batch = accepted.take(j)
         batch.foreach { case (l, r, c) =>
           rules += MergeRule(rank, l, r, c); rank += 1
+          alphabet += l + r
         }
         val next = batch.foldLeft(vocab) { case (d, (l, r, _)) =>
           applyMerge(d, l, r)
