@@ -95,7 +95,9 @@ object Plans {
       "q131_feature_scale" -> Seq("BroadcastHashJoin"),
       // serve layer: the cached panel feeds all three dashboard panels —
       // every panel side reads the in-memory relation, not the parquet scan
-      "q141_serve_page" -> Seq("InMemoryTableScan"))
+      "q141_serve_page" -> Seq("InMemoryTableScan"),
+      // count-min: the depth×width sketch broadcasts into the estimate join
+      "q142_countmin" -> Seq("BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -85,4 +85,28 @@ object Relational {
     * (reference: pd.concat, integrate/main.py:130-131). */
   def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Skew-safe equi-join: the probe side splits each key across `nSalts`
+    * shuffle partitions via a deterministic per-row salt, and the build
+    * side replicates `nSalts`× — one hot key's rows spread over nSalts
+    * reducers instead of stalling one task, at the cost of an nSalts×
+    * larger build side (use for moderate build sides with a skewed probe;
+    * AQE's skew-join split handles the sort-merge case, this handles the
+    * shuffled-hash/aggregating case it can't). Result ≡ the plain join:
+    * every probe row still meets every matching build row exactly once,
+    * in exactly one salt bucket. The salt derives from `saltFrom` with the
+    * portable `h64`, so the physical row placement itself is deterministic
+    * and re-runs are bit-stable — the same contract as salted aggregation
+    * (q127) and hash mixing. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 saltFrom: Column, nSalts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val p = probe.withColumn("_salt",
+      pmod(graft.text.TextOps.h64(saltFrom.cast("string")),
+        lit(nSalts.toLong)).cast("int"))
+    val b = build.withColumn("_salt",
+      explode(lit((0 until nSalts).toArray)))
+    p.join(b, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -165,6 +165,45 @@ object Stats {
       .drop("_before")
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan, J.Alg'05): `depth` portable
+    * hash rows × `width` counters estimate any key's frequency with
+    * one-sided error — est ≥ exact always, est ≤ exact + εN with
+    * probability 1−δ at width = e/ε, depth = ln(1/δ). THE bounded-memory
+    * frequency structure for 100 TB streams: the sketch is depth×width
+    * longs (a few KB) regardless of key cardinality, built with one
+    * map-side-combined aggregate whose shuffle is ≤ depth·width rows.
+    *
+    * Returns the sketch as (j, bucket, c) rows. Hashes are the portable
+    * md5-derived `h64` salted per row, so another engine rebuilds the
+    * identical sketch — estimates are oracle-checkable, unlike HLL/GK
+    * internals (q52). */
+  def countMinSketch(df: DataFrame, key: String, depth: Int = 4,
+                     width: Int = 256): DataFrame =
+    df.select(posexplode(array((0 until depth).map(j =>
+        pmod(graft.text.TextOps.h64(
+          concat(col(key).cast("string"), lit(s":cm$j"))), lit(width.toLong))): _*))
+      .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Count-min point estimates for every distinct key: est = min over the
+    * `depth` rows of that key's bucket counter. The lookup joins the
+    * (≤ depth·width row) sketch broadcast against the distinct keys —
+    * the raw data is scanned once for the sketch and once for the key set
+    * (in a stream the key set is whatever you query later). */
+  def countMinEstimates(df: DataFrame, key: String, depth: Int = 4,
+                        width: Int = 256): DataFrame = {
+    val sketch = countMinSketch(df, key, depth, width)
+    val keys = df.select(col(key).cast("string").as("key")).distinct()
+    keys.select(col("key"), posexplode(array((0 until depth).map(j =>
+        pmod(graft.text.TextOps.h64(concat(col("key"), lit(s":cm$j"))),
+          lit(width.toLong))): _*))
+      .as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("cm_est"))
+  }
+
   /** k-fold cross-validation assignment: fold = salted-hash of the id mod
     * k — deterministic, engine-portable, stable under data growth (the
     * same contract as `Mix.splitAssign`). */

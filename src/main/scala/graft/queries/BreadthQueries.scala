@@ -241,6 +241,33 @@ object BreadthQueries {
           (c => max(col(c)), "max_v")))
         .withColumn("sum_v", col("sum_v").cast("double"))),
 
+    // ── count-min sketch frequency estimates (Cormode-Muthukrishnan):
+    //    portable md5 hashes, so the oracle rebuilds the IDENTICAL sketch —
+    //    estimates value-checked, plus the one-sided-error guarantee
+    //    (est ≥ exact, always) checked as a flag
+    "q142_countmin" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val est = graft.ops.Stats.countMinEstimates(e, "user_id")
+      val exact = e.groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact.join(est, "key")
+        .select(col("key"), col("exact_n"), col("cm_est"),
+          (col("cm_est") >= col("exact_n")).as("no_underestimate"))
+    }),
+
+    // ── skew-safe salted equi-join: hot probe keys split across 8 salt
+    //    buckets, build side replicated 8× — result ≡ the plain join (the
+    //    oracle runs the unsalted join)
+    "q143_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_orderdate"))
+      graft.ops.Relational.saltedJoin(li, o, Seq("l_orderkey"),
+        saltFrom = col("l_linenumber"), nSalts = 8)
+    }),
+
     // ── SQL surface: TPC-H Q5 (local-supplier volume) verbatim in both
     //    engines — a 6-table join chain Catalyst must broadcast/reorder
     "q128_sql_tpch_q5" -> ((s, d) => {
@@ -360,6 +387,24 @@ object BreadthQueries {
       """SELECT 'lineitem.parquet' AS file, count(*) AS n_rows,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q142_countmin" ->
+      """WITH h AS (SELECT user_id::VARCHAR AS key FROM events),
+        |hashed AS (SELECT key, j,
+        |    ('0x' || substr(md5(key || ':cm' || j::VARCHAR), 1, 15))::BIGINT
+        |      % 256 AS bucket
+        |  FROM h, unnest([0, 1, 2, 3]) AS t(j)),
+        |sketch AS (SELECT j, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+        |kh AS (SELECT DISTINCT key, j, bucket FROM hashed),
+        |est AS (SELECT key, min(c) AS cm_est
+        |  FROM kh JOIN sketch USING (j, bucket) GROUP BY 1),
+        |ex AS (SELECT user_id::VARCHAR AS key, count(*) AS exact_n
+        |  FROM events GROUP BY 1)
+        |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
+        |FROM ex JOIN est USING (key)""".stripMargin,
+    "q143_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  o.o_custkey, o.o_orderdate
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
     "q127_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,

@@ -180,6 +180,37 @@ class IndicatorsSpec extends SparkSpec {
     assert(chain(ex).contains("non-negative"), s"unexpected error: ${chain(ex)}")
   }
 
+  test("countMinEstimates: exact when width avoids collisions; one-sided " +
+       "error when it can't") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    // 3 keys in 1024 buckets × 4 rows: overestimation needs a full-depth
+    // collision — estimates are exact here
+    val wide = Stats.countMinEstimates(df, "k", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // width 1: every key shares the single counter → everyone sees the
+    // total mass — the one-sided (est ≥ exact) degenerate extreme
+    val tiny = Stats.countMinEstimates(df, "k", depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
+  }
+
+  test("saltedJoin ≡ plain join for inner and left, matches met exactly once") {
+    val probe = Seq((1L, "p1"), (1L, "p2"), (2L, "p3"), (3L, "p4"))
+      .toDF("k", "ptag")
+    val build = Seq((1L, "b1"), (2L, "b2"), (4L, "b3")).toDF("k", "btag")
+    val inner = graft.ops.Relational.saltedJoin(
+      probe, build, Seq("k"), col("ptag"), nSalts = 4)
+    val plainI = probe.join(build, Seq("k"))
+    assert(inner.count() == plainI.count())
+    assert(inner.except(plainI).isEmpty && plainI.except(inner).isEmpty)
+    val leftJ = graft.ops.Relational.saltedJoin(
+      probe, build, Seq("k"), col("ptag"), nSalts = 4, joinType = "left")
+    val plainL = probe.join(build, Seq("k"), "left")
+    assert(leftJ.count() == plainL.count())
+    assert(leftJ.except(plainL).isEmpty && plainL.except(leftJ).isEmpty)
+  }
+
   test("kfoldAssign: folds in range, deterministic across runs") {
     val df = (0L until 200L).toDF("id")
     val a = Stats.kfoldAssign(df, "id", k = 5).orderBy("id")
