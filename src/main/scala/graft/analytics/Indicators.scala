@@ -111,6 +111,33 @@ object Indicators {
       .drop("_wsum")
   }
 
+  /** Exponentially-weighted moving average per key (pandas
+    * `ewm(alpha, adjust=False)` semantics: ema₁ = x₁, emaₜ = (1−α)·emaₜ₋₁ +
+    * α·xₜ), evaluated as ONE per-key ordered fold over the collected series
+    * — the recursion is inherently sequential per key, so the honest
+    * distributed shape is per-key arrays (fine for time series: a key's
+    * history fits an executor; for 10⁸-row single keys, fold per chunk and
+    * stitch with pow((1−α), chunk_len) carries). The fold runs left-to-
+    * right in both engines (Spark `aggregate` ≡ DuckDB `list_reduce` with
+    * the first element as init), so the q144 oracle matches bit-for-bit
+    * before the final round. Pass an exactly-representable α (0.25, 0.5…)
+    * for cross-engine checks. Emits (keys, n_obs, ema = final smoothed
+    * value). */
+  def ema(df: DataFrame, value: String, keys: Seq[String], ts: String,
+          alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0, 1]")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ts).as("t"),
+        col(value).cast("double").as("x")))).as("seq"))
+    packed.select(keys.map(col) :+
+      size(col("seq")).cast("long").as("n_obs") :+
+      round(expr(
+        s"aggregate(slice(transform(seq, p -> p.x), 2, size(seq) - 1), " +
+          s"element_at(seq, 1).x, " +
+          s"(acc, x) -> ${1 - alpha}D * acc + ${alpha}D * x)"), 6).as("ema"): _*)
+  }
+
   /** OHLC bars: open/high/low/close (+ mean and tick count) per series per
     * time bucket — the canonical market-data downsample. One hash
     * aggregate with positional first/last picked by `max_by`/`min_by` on

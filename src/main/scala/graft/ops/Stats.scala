@@ -165,6 +165,22 @@ object Stats {
       .drop("_before")
   }
 
+  /** Winsorization per group: clip values into the [`pLo`, `pHi`] exact
+    * percentile band (the standard heavy-tail tamer for features and
+    * reward/score columns before training). Same scale shape as
+    * [[iqrOutliers]]: one group-cardinality percentile aggregate broadcast
+    * back onto the scan — the data itself never shuffles. Emits the
+    * original row plus (lo, hi, value_w). */
+  def winsorize(df: DataFrame, value: String, keys: Seq[String],
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*).agg(
+      expr(s"percentile($value, $pLo)").as("lo"),
+      expr(s"percentile($value, $pHi)").as("hi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn(s"${value}_w",
+        least(greatest(col(value).cast("double"), col("lo")), col("hi")))
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan, J.Alg'05): `depth` portable
     * hash rows × `width` counters estimate any key's frequency with
     * one-sided error — est ≥ exact always, est ≤ exact + εN with

@@ -241,6 +241,21 @@ object AnalyticsQueries {
       graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
         Seq("user_id"), "ts", bucket = "hour")),
 
+    // ── EWMA per series (pandas ewm(adjust=False)): one ordered per-key
+    //    fold, bit-identical left-to-right in both engines (α = 0.25 is
+    //    exactly representable)
+    "q144_ema" -> ((s, d) =>
+      graft.analytics.Indicators.ema(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", alpha = 0.25)),
+
+    // ── winsorization: clip into the per-group [p5, p95] exact-percentile
+    //    band (broadcast bounds; data never shuffles)
+    "q145_winsorize" -> ((s, d) =>
+      graft.ops.Stats.winsorize(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select("event_id", "event_type", "value"),
+        "value", Seq("event_type"), 0.05, 0.95)),
+
     // ── per-key OLS: slope/intercept/R² of value on JSON prop k per user
     "q129_ols_per_key" -> ((s, d) =>
       graft.analytics.Indicators.olsPerKey(
@@ -610,6 +625,23 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q144_ema" ->
+      """WITH p AS (SELECT user_id, list(value ORDER BY ts) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_obs,
+        |  round(list_reduce(list_transform(xs, x -> CAST(x AS DOUBLE)),
+        |    (acc, x) -> CAST(0.75 AS DOUBLE) * acc + CAST(0.25 AS DOUBLE) * x),
+        |    6) AS ema
+        |FROM p""".stripMargin,
+    "q145_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.value, b.lo, b.hi,
+        |  least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi) AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
     // hybrid check: exact columns value-checked; the sketch columns arrive
     // as in-bound flags the oracle expects to be TRUE
     "q52_approx_stats" ->

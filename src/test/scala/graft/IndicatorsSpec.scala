@@ -180,6 +180,33 @@ class IndicatorsSpec extends SparkSpec {
     assert(chain(ex).contains("non-negative"), s"unexpected error: ${chain(ex)}")
   }
 
+  test("ema: pandas ewm(adjust=False) recursion, hand-computed") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    // α = 0.5: ema = 10 → 0.5·10+0.5·20 = 15 → 0.5·15+0.5·30 = 22.5
+    val df = Seq((1L, ts(3), 30.0), (1L, ts(1), 10.0), (1L, ts(2), 20.0),
+      (2L, ts(1), 7.0)).toDF("k", "t", "x")
+    val got = Indicators.ema(df, "x", Seq("k"), "t", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (3L, 22.5)) // out-of-order input sorted by ts first
+    assert(got(2L) == (1L, 7.0))  // single row: ema = x
+  }
+
+  test("winsorize: values clipped into the per-group percentile band") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("grp", "id", "v")
+    val got = Stats.winsorize(df, "v", Seq("grp"), 0.10, 0.90)
+      .select("id", "lo", "hi", "v_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // interpolated percentiles of 1..100: p10 ≈ 10.9, p90 ≈ 90.1 (linear
+    // interpolation carries float residue — compare with tolerance)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(got.forall { case (_, lo, hi, _) => near(lo, 10.9) && near(hi, 90.1) })
+    val byId = got.map(g => g._1 -> g._4).toMap
+    assert(near(byId(1L), 10.9) && near(byId(5L), 10.9))   // low tail up
+    assert(near(byId(100L), 90.1) && near(byId(95L), 90.1)) // high tail down
+    assert(byId(50L) == 50.0)                               // interior untouched
+  }
+
   test("countMinEstimates: exact when width avoids collisions; one-sided " +
        "error when it can't") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
