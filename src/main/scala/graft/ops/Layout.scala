@@ -59,4 +59,20 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Compaction writer — the consumer of q140's small-file report: rewrite
+    * a fragmented dataset as `partitions` sorted ranges with at most
+    * `maxRecordsPerFile` rows per file. Range partitioning + in-partition
+    * sort gives every output file a tight, non-overlapping `sortCols`
+    * min/max footer (scan pruning), and the record cap keeps files
+    * splittable and row-group-sized instead of one giant file per
+    * partition. At 100 TB this is the nightly OPTIMIZE: one shuffle
+    * (the range exchange), no driver involvement. */
+  def compactWrite(df: DataFrame, path: String, sortCols: Seq[Column],
+                   partitions: Int, maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

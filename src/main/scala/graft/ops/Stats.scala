@@ -202,6 +202,23 @@ object Stats {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Equi-join cardinality estimate from two count-min sketches (the AMS/CM
+    * inner-product bound, Cormode & Muthukrishnan §4.2): for each hash row
+    * j, Σ_bucket cmA[j][b]·cmB[j][b] over-estimates |A ⋈ B| on the key;
+    * the min over rows is the estimate, with est ≥ exact ALWAYS (every
+    * matching pair lands in the same bucket) and expected slack ≤
+    * |A|·|B|/width per row. This is how an optimizer sizes a join from
+    * KB-sized sketches instead of scanning either side — both sketches
+    * build in one map-side-combined pass each, and the estimate itself
+    * joins two ≤ depth·width frames. Emits one row: (est_join_size). */
+  def cmJoinSize(a: DataFrame, b: DataFrame, key: String, depth: Int = 4,
+                 width: Int = 256): DataFrame =
+    countMinSketch(a, key, depth, width).as("a")
+      .join(countMinSketch(b, key, depth, width).as("b"), Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
+
   /** Count-min point estimates for every distinct key: est = min over the
     * `depth` rows of that key's bucket counter. The lookup joins the
     * (≤ depth·width row) sketch broadcast against the distinct keys —

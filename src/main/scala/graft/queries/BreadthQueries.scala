@@ -255,6 +255,19 @@ object BreadthQueries {
           (col("cm_est") >= col("exact_n")).as("no_underestimate"))
     }),
 
+    // ── join-size estimation from two count-min sketches (the CM/AMS
+    //    inner-product bound an optimizer uses to size a join from KB of
+    //    state): est ≥ exact always, both value-checked
+    "q146_join_estimate" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val est = graft.ops.Stats.cmJoinSize(e, e, "user_id")
+      val exact = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+        .select(col("exact_join_size"), col("est_join_size"),
+          (col("est_join_size") >= col("exact_join_size")).as("no_underestimate"))
+    }),
+
     // ── skew-safe salted equi-join: hot probe keys split across 8 salt
     //    buckets, build side replicated 8× — result ≡ the plain join (the
     //    oracle runs the unsalted join)
@@ -401,6 +414,21 @@ object BreadthQueries {
         |  FROM events GROUP BY 1)
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
+    "q146_join_estimate" ->
+      """WITH h AS (SELECT user_id::VARCHAR AS key FROM events),
+        |hashed AS (SELECT key, j,
+        |    ('0x' || substr(md5(key || ':cm' || j::VARCHAR), 1, 15))::BIGINT
+        |      % 256 AS bucket
+        |  FROM h, unnest([0, 1, 2, 3]) AS t(j)),
+        |sketch AS (SELECT j, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+        |dots AS (SELECT j, CAST(sum(c * c) AS BIGINT) AS dot
+        |  FROM sketch GROUP BY 1),
+        |est AS (SELECT min(dot) AS est_join_size FROM dots),
+        |ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size FROM
+        |  (SELECT count(*) AS n FROM events GROUP BY user_id))
+        |SELECT exact_join_size, est_join_size,
+        |  est_join_size >= exact_join_size AS no_underestimate
+        |FROM ex, est""".stripMargin,
     "q143_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
         |  o.o_custkey, o.o_orderdate

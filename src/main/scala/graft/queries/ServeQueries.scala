@@ -124,6 +124,23 @@ object ServeQueries {
         "id BIGINT, name STRING, d DATE, ts TIMESTAMP, x DOUBLE")
     }),
 
+    // ── compaction-writer round-trip: deterministic content written as
+    //    range-partitioned, sorted, record-capped parquet (the q140 report's
+    //    consumer — Layout.compactWrite), read back by BOTH engines from
+    //    the same files. LayoutSpec asserts the file-level invariants
+    //    (record cap, non-overlapping sort ranges); the oracle proves the
+    //    rewrite lost nothing.
+    "q147_compact_roundtrip" -> ((s, _) => {
+      val path = CompactPath
+      val src = s.range(0, 10000).select(
+        col("id"),
+        (col("id") % 7).as("k"),
+        (pmod(col("id") * 13, lit(101)) / 101.0).as("x"))
+      graft.ops.Layout.compactWrite(src, path, Seq(col("k"), col("id")),
+        partitions = 4, maxRecordsPerFile = 1000L)
+      s.read.parquet(path)
+    }),
+
     // ── columnar ORC round-trip (same deterministic content recipe as q74;
     //    DuckDB can't read ORC, so the oracle regenerates the content from
     //    range() instead of reading the written files)
@@ -142,6 +159,7 @@ object ServeQueries {
 
   private val CsvRoundTripPath = "/root/repo/target/graft_csv_roundtrip"
   private val OrcRoundTripPath = "/root/repo/target/graft_orc_roundtrip"
+  private val CompactPath      = "/root/repo/target/graft_compact"
 
   val oracle: Map[String, String] = Map(
     "q68_last_change" ->
@@ -195,6 +213,9 @@ object ServeQueries {
     "q74_csv_roundtrip" ->
       """SELECT * FROM read_csv('/root/repo/target/graft_csv_roundtrip/*.csv',
         | header = true)""".stripMargin,
+    "q147_compact_roundtrip" ->
+      """SELECT id, k, x
+        |FROM read_parquet('/root/repo/target/graft_compact/*.parquet')""".stripMargin,
     "q107_orc_roundtrip" ->
       """SELECT id,
         | 'name_' || CAST(id % 37 AS VARCHAR) AS name,

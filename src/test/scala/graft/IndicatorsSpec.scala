@@ -222,6 +222,21 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
   }
 
+  test("cmJoinSize: never underestimates; exact without collisions, " +
+       "exact total with width 1") {
+    val a = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(3)("x") ++ Seq.fill(5)("y")).toDF("k")
+    // exact |A ⋈ B| = 4·3 + 2·5 = 22; 3 keys in 1024 buckets → exact
+    val wide = Stats.cmJoinSize(a, b, "k", depth = 4, width = 1024)
+      .head().getLong(0)
+    assert(wide == 22L)
+    // width 1: single counter per row → |A|·|B| = 7·8 = 56 (the degenerate
+    // upper bound — still one-sided)
+    val tiny = Stats.cmJoinSize(a, b, "k", depth = 2, width = 1)
+      .head().getLong(0)
+    assert(tiny == 56L)
+  }
+
   test("saltedJoin ≡ plain join for inner and left, matches met exactly once") {
     val probe = Seq((1L, "p1"), (1L, "p2"), (2L, "p3"), (3L, "p4"))
       .toDF("k", "ptag")

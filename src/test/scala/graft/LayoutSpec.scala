@@ -47,4 +47,31 @@ class LayoutSpec extends SparkSpec {
     // z-ordered: BOTH dims compact (ideal 16-cell square → range 15)
     assert(zx < 32 && zy < 32)
   }
+
+  test("compactWrite: record cap per file, non-overlapping sort ranges, " +
+       "nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val path = dir.toString + "/out"
+    val src = spark.range(0, 5000).select(col("id"), (col("id") % 11).as("k"))
+    Layout.compactWrite(src, path, Seq(col("id")), partitions = 4,
+      maxRecordsPerFile = 500L)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    // 5000 rows / cap 500 → at least 10 files; 4 range partitions → ≤ 16
+    assert(files.length >= 10 && files.length <= 16, s"${files.length} files")
+    val perFile = files.map { f =>
+      val d = spark.read.parquet(f)
+      val r = d.agg(count(lit(1)), min("id"), max("id")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(perFile.forall(_._1 <= 500L), "record cap violated")
+    // sorted id ranges must tile without overlap: sort by min, check chain
+    val ordered = perFile.sortBy(_._2)
+    assert(ordered.sliding(2).forall {
+      case Array((_, _, hi), (_, lo, _)) => hi < lo
+      case _ => true
+    }, "file id ranges overlap")
+    // round-trip completeness
+    assert(spark.read.parquet(path).count() == 5000L)
+  }
 }
