@@ -202,6 +202,24 @@ object Stats {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Linear (probabilistic) counting (Whang, Vander-Zanden, Taylor —
+    * TODS'90): distinct-count estimate per group from an m-bucket occupancy
+    * set — est = −m·ln(V) where V is the empty-bucket fraction. Buckets
+    * come from the portable salted h64, so unlike HLL the WHOLE estimate is
+    * engine-reproducible and oracle-checkable; state is m bits per group
+    * regardless of cardinality and merges by union across
+    * partitions/batches. Accurate while load n/m ≲ 12; saturated groups
+    * (every bucket hit) emit NULL rather than ±∞. */
+  def linearCountDistinct(df: DataFrame, key: String, keys: Seq[String],
+                          m: Int = 256): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(countDistinct(pmod(graft.text.TextOps.h64(
+        concat(col(key).cast("string"), lit(":lc"))), lit(m.toLong)))
+        .as("occupied"))
+      .withColumn("lc_est", when(col("occupied") < m,
+        round(-lit(m.toDouble) *
+          log(lit(1.0) - col("occupied") / lit(m.toDouble)), 6)))
+
   /** Equi-join cardinality estimate from two count-min sketches (the AMS/CM
     * inner-product bound, Cormode & Muthukrishnan §4.2): for each hash row
     * j, Σ_bucket cmA[j][b]·cmB[j][b] over-estimates |A ⋈ B| on the key;

@@ -255,6 +255,18 @@ object BreadthQueries {
           (col("cm_est") >= col("exact_n")).as("no_underestimate"))
     }),
 
+    // ── linear-counting distinct estimate (portable occupancy sketch —
+    //    the estimate itself is oracle-reproducible, unlike HLL)
+    "q148_linear_count" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val lc = graft.ops.Stats.linearCountDistinct(e, "user_id", Seq("event_type"))
+      val ex = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      ex.join(lc, Seq("event_type"))
+        .withColumn("rel_err", round(
+          abs(col("lc_est") - col("exact_distinct")) / col("exact_distinct"), 6))
+    }),
+
     // ── join-size estimation from two count-min sketches (the CM/AMS
     //    inner-product bound an optimizer uses to size a join from KB of
     //    state): est ≥ exact always, both value-checked
@@ -414,6 +426,22 @@ object BreadthQueries {
         |  FROM events GROUP BY 1)
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
+    "q148_linear_count" ->
+      """WITH b AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':lc'), 1, 15))::BIGINT
+        |      % 256 AS bucket
+        |  FROM events),
+        |lc AS (SELECT event_type, count(DISTINCT bucket) AS occupied
+        |  FROM b GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, exact_distinct, occupied,
+        |  CASE WHEN occupied < 256 THEN round(-CAST(256 AS DOUBLE) *
+        |    ln(1 - occupied / CAST(256 AS DOUBLE)), 6) END AS lc_est,
+        |  round(abs(CASE WHEN occupied < 256 THEN round(-CAST(256 AS DOUBLE) *
+        |      ln(1 - occupied / CAST(256 AS DOUBLE)), 6) END - exact_distinct)
+        |    / exact_distinct, 6) AS rel_err
+        |FROM ex JOIN lc USING (event_type)""".stripMargin,
     "q146_join_estimate" ->
       """WITH h AS (SELECT user_id::VARCHAR AS key FROM events),
         |hashed AS (SELECT key, j,

@@ -165,6 +165,21 @@ object ExtensionQueries {
       Dedup.dedupClusters(docs, pairs, "doc_id")
     }),
 
+    // ── soft dedup: duplication-aware sampling weights — every doc gets
+    //    weight 1/|cluster| and a deterministic salted-hash keep decision
+    //    with P(keep) = weight, so each near-dup cluster survives with ~1
+    //    doc in expectation WITHOUT hard-dropping (the down-weighting
+    //    alternative to q137's keep-one). Integer-exact sampling compare
+    //    (bucket·size < 10⁶), so the oracle matches bit-for-bit.
+    "q149_soft_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.softDedupWeights(Dedup.dedupClusters(docs, pairs, "doc_id"),
+        "doc_id")
+    }),
+
     // ── end-to-end dedup: corpus in → near-dup-free corpus out (the whole
     //    minhash → LSH → clusters → keep-representative chain as ONE query)
     "q137_dedup_keep" -> ((s, d) => {
@@ -785,6 +800,15 @@ object ExtensionQueries {
     "q29_minhash_pairs" ->
       s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
     "q75_dedup_clusters" -> clustersOracleSql,
+    "q149_soft_dedup" ->
+      s"""$clustersCtes,
+         |sz AS (SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cl)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  round(CAST(1 AS DOUBLE) / cluster_size, 6) AS weight,
+         |  CAST((('0x' || substr(md5(doc_id::VARCHAR || ':dw'), 1, 15))::BIGINT
+         |    % 1000000) * cluster_size < 1000000 AS INT) AS sampled
+         |FROM sz""".stripMargin,
     "q137_dedup_keep" -> dedupKeepOracleSql,
     "q30_simhash" ->
       s"""WITH $toksCte,

@@ -496,6 +496,26 @@ object Dedup {
         (col("v") === col("lbl")).cast("int").as("keep"))
   }
 
+  /** Soft dedup: duplication-aware sampling weights over a
+    * [[dedupClusters]]/[[starClusters]] frame. Every doc gets weight
+    * 1/|cluster| and a deterministic salted-hash keep decision with
+    * P(keep) = weight, so each near-dup cluster survives with ~1 doc in
+    * expectation WITHOUT hard-dropping — the down-weighting alternative to
+    * keep-one-representative (common when duplicates correlate with
+    * quality and outright dropping biases the corpus). Singletons are
+    * always kept (bucket·1 < 10⁶ for every bucket). The sampling compare
+    * is integer-exact (bucket·size < 10⁶), so it's engine-portable and
+    * repartition/re-run stable like every other mixing decision here. */
+  def softDedupWeights(clusters: DataFrame, id: String): DataFrame =
+    clusters
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+      .withColumn("_bucket", TextOps.h64(
+        concat(col(id).cast("string"), lit(":dw"))) % lit(1000000L))
+      .withColumn("sampled",
+        (col("_bucket") * col("cluster_size") < lit(1000000L)).cast("int"))
+      .select(col(id), col("cluster_id"), col("cluster_size"),
+        col("weight"), col("sampled"))
+
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14). Same output contract as `dedupClusters` — cluster_id = min

@@ -201,4 +201,22 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(4L))
   }
+
+  test("softDedupWeights: weight = 1/size, singletons always sampled, " +
+       "decision deterministic") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // one 3-cluster
+      (4L, 4L, 1L), (5L, 5L, 1L))               // two singletons
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val got = Dedup.softDedupWeights(clusters, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(got(1L)._1 == 0.333333 && got(4L)._1 == 1.0)
+    // singletons: bucket·1 < 10⁶ for every bucket → always kept
+    assert(got(4L)._2 == 1 && got(5L)._2 == 1)
+    // deterministic across runs
+    val again = Dedup.softDedupWeights(clusters, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got.forall { case (k, (_, s)) => again(k) == s })
+  }
 }

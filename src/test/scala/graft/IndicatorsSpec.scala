@@ -222,6 +222,17 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
   }
 
+  test("linearCountDistinct: near-exact at low load; saturated → NULL") {
+    val df = (1 to 50).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val r = Stats.linearCountDistinct(df, "k", Seq("grp"), m = 256).head()
+    assert(r.getLong(1) <= 50) // bucket collisions only reduce occupancy
+    val est = r.getDouble(2)
+    assert(math.abs(est - 50) / 50.0 < 0.15, s"estimate $est too far from 50")
+    // m=4 with 50 distinct keys: every bucket hit → NULL, not −∞
+    val sat = Stats.linearCountDistinct(df, "k", Seq("grp"), m = 4).head()
+    assert(sat.getLong(1) == 4L && sat.isNullAt(2))
+  }
+
   test("cmJoinSize: never underestimates; exact without collisions, " +
        "exact total with width 1") {
     val a = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
