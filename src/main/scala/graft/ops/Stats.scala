@@ -202,6 +202,41 @@ object Stats {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Cross-source score calibration by quantile normalization: map each
+    * row's within-source rank onto the GLOBAL score distribution, so a
+    * "0.7-quality" doc means the same thing whether its source's scorer
+    * runs hot or cold — the standard pre-threshold step when quality
+    * scores from heterogeneous sources feed one global filter. Rank is
+    * row_number-based ((rn−1)/(n−1), `tie` breaks equal scores), never
+    * percent_rank, so ties are deterministic; the global quantile lattice
+    * (nQ+1 exact interpolated percentiles) is ONE 1-row aggregate
+    * broadcast back — per-source work is one ordered window, the data
+    * shuffles once on `source`. Rows with NULL score must be filtered by
+    * the caller (rank is undefined for them). Emits df + (src_rank,
+    * `score`_qn). */
+  def quantileNormalize(df: DataFrame, score: String, source: String,
+                        tie: Seq[Column], nQ: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = (0 to nQ).map(i => s"${i.toDouble / nQ}D").mkString(", ")
+    val global = df.agg(expr(s"percentile($score, array($qs))").as("_q"))
+    val w = Window.partitionBy(source).orderBy(col(score).asc +: tie: _*)
+    val n = count(lit(1)).over(Window.partitionBy(source))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_r", when(n > 1,
+        (col("_rn") - 1).cast("double") / (n - 1)).otherwise(lit(0.0)))
+      .crossJoin(broadcast(global))
+      .withColumn("_p", col("_r") * nQ)
+      .withColumn("_lo", floor(col("_p")).cast("int"))
+      .withColumn("src_rank", round(col("_r"), 6))
+      .withColumn(s"${score}_qn", round(
+        when(col("_lo") >= nQ, expr(s"element_at(_q, ${nQ + 1})"))
+          .otherwise(expr("element_at(_q, _lo + 1)") +
+            (col("_p") - col("_lo")) *
+              (expr("element_at(_q, _lo + 2)") - expr("element_at(_q, _lo + 1)"))),
+        6))
+      .drop("_rn", "_r", "_q", "_p", "_lo")
+  }
+
   /** Linear (probabilistic) counting (Whang, Vander-Zanden, Taylor —
     * TODS'90): distinct-count estimate per group from an m-bucket occupancy
     * set — est = −m·ln(V) where V is the empty-bucket fraction. Buckets

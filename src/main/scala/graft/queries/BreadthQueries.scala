@@ -255,6 +255,14 @@ object BreadthQueries {
           (col("cm_est") >= col("exact_n")).as("no_underestimate"))
     }),
 
+    // ── quantile normalization: map per-source score ranks onto the global
+    //    distribution (cross-source calibration before one global filter)
+    "q150_quantile_norm" -> ((s, d) =>
+      graft.ops.Stats.quantileNormalize(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select("event_id", "event_type", "value"),
+        "value", "event_type", Seq(col("event_id")))),
+
     // ── linear-counting distinct estimate (portable occupancy sketch —
     //    the estimate itself is oracle-reproducible, unlike HLL)
     "q148_linear_count" -> ((s, d) => {
@@ -426,6 +434,27 @@ object BreadthQueries {
         |  FROM events GROUP BY 1)
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
+    "q150_quantile_norm" ->
+      """WITH g AS (SELECT quantile_cont(value,
+        |    list_transform(generate_series(0, 100),
+        |      i -> i / CAST(100 AS DOUBLE))) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_id, event_type, value,
+        |    CASE WHEN n > 1 THEN CAST(rn - 1 AS DOUBLE) / (n - 1)
+        |         ELSE CAST(0 AS DOUBLE) END AS r
+        |  FROM r),
+        |x AS (SELECT event_id, event_type, value, r, r * 100 AS pp,
+        |    CAST(floor(r * 100) AS INT) AS lo FROM p)
+        |SELECT event_id, event_type, value, round(r, 6) AS src_rank,
+        |  round(CASE WHEN lo >= 100 THEN q[101]
+        |    ELSE q[lo + 1] + (pp - lo) * (q[lo + 2] - q[lo + 1]) END, 6)
+        |    AS value_qn
+        |FROM x, g""".stripMargin,
     "q148_linear_count" ->
       """WITH b AS (SELECT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR || ':lc'), 1, 15))::BIGINT

@@ -180,6 +180,20 @@ object ExtensionQueries {
         "doc_id")
     }),
 
+    // ── leakage-free split: train/val/test assigned by DEDUP CLUSTER, not
+    //    by doc, so near-duplicates can never straddle the split boundary
+    //    (the classic eval-contamination hole in naive per-doc splits)
+    "q151_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      Mix.splitAssign(
+        Dedup.dedupClusters(docs, pairs, "doc_id")
+          .select("doc_id", "cluster_id"),
+        "cluster_id")
+    }),
+
     // ── end-to-end dedup: corpus in → near-dup-free corpus out (the whole
     //    minhash → LSH → clusters → keep-representative chain as ONE query)
     "q137_dedup_keep" -> ((s, d) => {
@@ -800,6 +814,14 @@ object ExtensionQueries {
     "q29_minhash_pairs" ->
       s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
     "q75_dedup_clusters" -> clustersOracleSql,
+    "q151_cluster_split" ->
+      s"""$clustersCtes,
+         |h AS (SELECT doc_id, cluster_id,
+         |  ${h64d("'split:' || cluster_id")} % 100 AS h FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin,
     "q149_soft_dedup" ->
       s"""$clustersCtes,
          |sz AS (SELECT doc_id, cluster_id,

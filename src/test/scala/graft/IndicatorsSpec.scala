@@ -222,6 +222,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
   }
 
+  test("quantileNormalize: rank-matched rows from different sources " +
+       "calibrate to identical global scores") {
+    // source A scores 1..10, source B 101..110 — same shape, shifted scale.
+    // After calibration the i-th ranked row of A and of B must land on the
+    // SAME global-distribution value (that is the point of the operator).
+    val a = (1 to 10).map(i => ("A", i.toLong, i.toDouble))
+    val b = (1 to 10).map(i => ("B", i.toLong + 100, (i + 100).toDouble))
+    val got = Stats.quantileNormalize((a ++ b).toDF("src", "id", "x"),
+        "x", "src", Seq(col("id")))
+      .select("src", "x", "x_qn").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val qa = got.filter(_._1 == "A").sortBy(_._2).map(_._3)
+    val qb = got.filter(_._1 == "B").sortBy(_._2).map(_._3)
+    assert(qa.sameElements(qb))
+    // rank 0 → global min, rank 1 → global max
+    assert(qa.head == 1.0 && qa.last == 110.0)
+    // calibrated scores are monotone in within-source rank
+    assert(qa.zip(qa.tail).forall { case (x, y) => x <= y })
+  }
+
   test("linearCountDistinct: near-exact at low load; saturated → NULL") {
     val df = (1 to 50).map(i => ("g", s"k$i")).toDF("grp", "k")
     val r = Stats.linearCountDistinct(df, "k", Seq("grp"), m = 256).head()
