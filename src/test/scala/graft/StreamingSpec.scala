@@ -153,6 +153,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("streaming count-min sketch over a file source equals the batch " +
+       "sketch (mergeable state under micro-batching)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cm").toString
+    val in = s"$dir/in"
+    val src = Tables.events(spark, "/root/testdata/sf0.001").select(col("user_id"))
+    src.write.parquet(in)
+    val sk = graft.ops.Stats.countMinSketch(
+      spark.readStream.schema(src.schema).parquet(in), "user_id")
+    val q = sk.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cm_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.ops.Stats.countMinSketch(src, "user_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("file-source stream over the q136 events table equals the " +
        "oracle-checked batch bars, row for row") {
     // the real driver fixture through a genuine file stream (not
