@@ -111,6 +111,27 @@ object Indicators {
       .drop("_wsum")
   }
 
+  /** Rolling median (the robust smoother — spikes don't drag it the way
+    * they drag a rolling mean): exact interpolated median over the
+    * trailing `n`-row frame per key. Spark has no percentile window
+    * aggregate, so the frame rides as a collected array per row — memory
+    * O(n) per in-flight row, keep `n` modest (it's a smoothing window, not
+    * a history). Even frames average the two middle values; both engines
+    * sort and index the same array, so q153 value-checks. */
+  def rollingMedian(df: DataFrame, value: String, keys: Seq[String],
+                    ord: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(-(n - 1), 0)
+    df.withColumn("_fr", collect_list(col(value).cast("double")).over(w))
+      .withColumn("rolling_median", round(expr(
+        """CASE WHEN size(_fr) % 2 = 1
+          |THEN element_at(array_sort(_fr), CAST(size(_fr) div 2 + 1 AS INT))
+          |ELSE (element_at(array_sort(_fr), CAST(size(_fr) div 2 AS INT))
+          |    + element_at(array_sort(_fr), CAST(size(_fr) div 2 + 1 AS INT))) / 2
+          |END""".stripMargin), 6))
+      .drop("_fr")
+  }
+
   /** Exponentially-weighted moving average per key (pandas
     * `ewm(alpha, adjust=False)` semantics: ema₁ = x₁, emaₜ = (1−α)·emaₜ₋₁ +
     * α·xₜ), evaluated as ONE per-key ordered fold over the collected series

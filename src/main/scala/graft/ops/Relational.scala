@@ -86,6 +86,26 @@ object Relational {
   def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Blocked edit-distance self-join (the entity-resolution workhorse):
+    * equi-join on cheap blocking keys, then the exact Levenshtein ≤
+    * `maxDist` filter WITHIN blocks only — pair space is Σ|block|², never
+    * n². Same hot-key discipline as LSH buckets: choose blocking keys so
+    * blocks stay small and audit their sizes like q90 audits bucket sizes
+    * (a blocking key that collapses is one quadratic block). The distance
+    * is the codegen'd built-in `levenshtein` — no UDF — and identical in
+    * DuckDB, so the q154 oracle value-checks the distances. */
+  def fuzzyJoinBlocked(df: DataFrame, id: String, name: String,
+                       blockKeys: Seq[String], maxDist: Int): DataFrame =
+    df.as("a").join(df.as("b"),
+        blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$id") < col(s"b.$id"))
+      .withColumn("dist",
+        levenshtein(col(s"a.$name"), col(s"b.$name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col(s"a.$name").as("name_a"), col(s"b.$name").as("name_b"),
+        col("dist"))
+
   /** Skew-safe equi-join: the probe side splits each key across `nSalts`
     * shuffle partitions via a deterministic per-row salt, and the build
     * side replicates `nSalts`× — one hot key's rows spread over nSalts

@@ -241,6 +241,13 @@ object AnalyticsQueries {
       graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
         Seq("user_id"), "ts", bucket = "hour")),
 
+    // ── rolling median: the robust smoother over the trailing 5-row frame
+    "q153_rolling_median" -> ((s, d) =>
+      graft.analytics.Indicators.rollingMedian(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        "value", Seq("user_id"), Seq(col("ts")), n = 5)
+        .select("user_id", "event_id", "value", "rolling_median")),
+
     // ── EWMA per series (pandas ewm(adjust=False)): one ordered per-key
     //    fold, bit-identical left-to-right in both engines (α = 0.25 is
     //    exactly representable)
@@ -625,6 +632,17 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q153_rolling_median" ->
+      """WITH f AS (SELECT user_id, event_id, value,
+        |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+        |      ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, value, list_sort(fr) AS sf,
+        |    len(fr) AS m FROM f)
+        |SELECT user_id, event_id, value,
+        |  round(CASE WHEN m % 2 = 1 THEN sf[m // 2 + 1]
+        |    ELSE (sf[m // 2] + sf[m // 2 + 1]) / 2 END, 6) AS rolling_median
+        |FROM s""".stripMargin,
     "q144_ema" ->
       """WITH p AS (SELECT user_id, list(value ORDER BY ts) AS xs
         |  FROM events WHERE value IS NOT NULL GROUP BY 1)

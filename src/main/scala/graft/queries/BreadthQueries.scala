@@ -255,6 +255,14 @@ object BreadthQueries {
           (col("cm_est") >= col("exact_n")).as("no_underestimate"))
     }),
 
+    // ── blocked edit-distance join (entity resolution): equi-join on
+    //    (p_brand, p_size) blocks, exact Levenshtein ≤ 4 within blocks —
+    //    pair space Σ|block|², never n²
+    "q154_fuzzy_blocked" -> ((s, d) =>
+      graft.ops.Relational.fuzzyJoinBlocked(
+        Tables.part(s, d).select("p_partkey", "p_name", "p_brand", "p_size"),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"), maxDist = 4)),
+
     // ── quantile normalization: map per-source score ranks onto the global
     //    distribution (cross-source calibration before one global filter)
     "q150_quantile_norm" -> ((s, d) =>
@@ -434,6 +442,14 @@ object BreadthQueries {
         |  FROM events GROUP BY 1)
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
+    "q154_fuzzy_blocked" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
     "q150_quantile_norm" ->
       """WITH g AS (SELECT quantile_cont(value,
         |    list_transform(generate_series(0, 100),

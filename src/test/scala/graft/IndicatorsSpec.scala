@@ -222,6 +222,33 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
   }
 
+  test("rollingMedian: interpolated middle over trailing frame, robust " +
+       "to a spike") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val df = Seq((1L, ts(1), 10.0), (1L, ts(2), 12.0), (1L, ts(3), 1000.0),
+      (1L, ts(4), 11.0), (1L, ts(5), 13.0)).toDF("k", "t", "x")
+    val got = Indicators.rollingMedian(df, "x", Seq("k"), Seq(col("t")), n = 3)
+      .orderBy("t").collect().map(_.getDouble(3))
+    // frames: [10] [10,12] [10,12,1000] [12,1000,11] [1000,11,13]
+    assert(got(0) == 10.0)
+    assert(got(1) == 11.0)   // even frame: (10+12)/2
+    assert(got(2) == 12.0)   // spike does NOT drag the median
+    assert(got(3) == 12.0 && got(4) == 13.0)
+  }
+
+  test("fuzzyJoinBlocked: pairs only within blocks, distance filtered") {
+    val df = Seq(
+      (1L, "alpha beta", "B1", 5), (2L, "alpha bets", "B1", 5), // dist 1
+      (3L, "alpha beta", "B2", 5),  // same name, DIFFERENT block → no pair
+      (4L, "zzzzzzzzzz", "B1", 5))  // same block, far name → filtered
+      .toDF("id", "name", "brand", "size")
+    val got = graft.ops.Relational.fuzzyJoinBlocked(
+        df, "id", "name", Seq("brand", "size"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("quantileNormalize: rank-matched rows from different sources " +
        "calibrate to identical global scores") {
     // source A scores 1..10, source B 101..110 — same shape, shifted scale.
