@@ -1,0 +1,98 @@
+package graft.examples
+
+import graft.Tables
+import graft.ops.Stats
+import graft.text.{Curate, Dedup, Mix, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation consumer: the LLM-pipeline
+  * counterpart of [[PipelineDemo]] — one program running the full
+  * curation chain a 100 TB corpus goes through, over the driver's
+  * `documents` table:
+  *
+  *   quality filter → exact dedup → MinHash/LSH near-dup clusters →
+  *   soft-dedup weights → decontaminate vs an eval set →
+  *   quantile-normalized quality threshold → leakage-free cluster split →
+  *   sequence packing
+  *
+  * Every stage is the same operator the oracle-checked catalog uses; this
+  * file exists so a library consumer can read ONE composition top to
+  * bottom. Run:
+  *   sbt "runMain graft.examples.CurationDemo"
+  */
+object CurationDemo {
+
+  /** The composition, returned as the final packed frame (the spec smoke:
+    * rows > 0 and no train/test cluster leakage). */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // 1. per-row quality rules (C4/Gopher-style): keep + reasons
+    val filtered = docs.join(
+        Curate.filterPipeline(docs, "doc_id", "text")
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "source", "text")
+    println(s"[curate] after quality filter: ${filtered.count()}")
+
+    // 2. exact dedup (digest groups, min-id canonical survives)
+    val exact = filtered.join(
+      Dedup.exactGroups(filtered, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    println(s"[curate] after exact dedup: ${exact.count()}")
+
+    // 3. near-dup clusters → soft-dedup sampling (down-weight, don't drop)
+    val pairs = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(exact, "doc_id", "text"), "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    val clusters = Dedup.dedupClusters(exact, pairs, "doc_id")
+    val weighted = Dedup.softDedupWeights(clusters, "doc_id")
+    val sampled = weighted.filter(col("sampled") === 1)
+      .select("doc_id", "cluster_id")
+      .join(exact, "doc_id")
+    println(s"[curate] after soft dedup: ${sampled.count()}")
+
+    // 4. decontamination against a (stand-in) eval set: flag docs sharing
+    //    8-gram spans with the lowest-id docs, drop flagged
+    val eval = exact.orderBy("doc_id").limit(20).select("doc_id", "text")
+    val decon = Curate.contamination(sampled, eval, "doc_id", "text",
+        n = 8, flagAt = 0.2)
+      .filter(col("contaminated") === 0)
+      .select("doc_id")
+      .join(sampled, "doc_id")
+    println(s"[curate] after decontamination: ${decon.count()}")
+
+    // 5. quality score, rank-calibrated per source, thresholded at each
+    //    source's median (keep the better half of EVERY source)
+    val scored = TextOps.qualityScore(decon, "text")
+    val calibrated = Stats.quantileNormalize(scored, "quality_score",
+      "source", Seq(col("doc_id")))
+    val kept = calibrated.filter(col("src_rank") >= 0.5)
+      .select("doc_id", "cluster_id", "source", "text")
+    println(s"[curate] after calibrated threshold: ${kept.count()}")
+
+    // 6. leakage-free split: assignment keyed on the near-dup cluster
+    val split = Mix.splitAssign(kept, "cluster_id")
+    // 7. pack the train split into fixed-length sequences
+    val packed = Mix.packSequences(split.filter(col("split") === "train"),
+      "doc_id", "source", "text", seqLen = 256L)
+    println(s"[curate] packed train doc spans: ${packed.count()}")
+    packed
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val packed = run(spark, dir)
+    packed.show(5, truncate = false)
+    spark.stop()
+  }
+}

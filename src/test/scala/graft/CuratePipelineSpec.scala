@@ -60,4 +60,11 @@ class CuratePipelineSpec extends SparkSpec {
     assert(r2.packed.collect().map(_.toString).sorted
       .sameElements(packed.map(_.toString).sorted))
   }
+
+  test("CurationDemo: the soft-dedup/calibrated/cluster-split composition " +
+       "survives end-to-end to packed train spans") {
+    val out = graft.examples.CurationDemo.run(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0, "curation chain filtered everything out")
+    assert(out.filter(col("first_bin") > col("last_bin")).count() == 0)
+  }
 }
