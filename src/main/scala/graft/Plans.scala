@@ -97,7 +97,14 @@ object Plans {
       // every panel side reads the in-memory relation, not the parquet scan
       "q141_serve_page" -> Seq("InMemoryTableScan"),
       // count-min: the depth×width sketch broadcasts into the estimate join
-      "q142_countmin" -> Seq("BroadcastHashJoin"))
+      "q142_countmin" -> Seq("BroadcastHashJoin"),
+      // rolling median: one ordered window, frame rides as an array
+      "q153_rolling_median" -> Seq("Window"),
+      // blocked fuzzy join: MUST be an equi-join on the blocking keys —
+      // a nested-loop here would be the O(n²) the blocking exists to avoid
+      "q154_fuzzy_blocked" -> Seq("HashJoin", "!NestedLoopJoin"),
+      // quantile normalization: the 1-row global lattice broadcasts
+      "q150_quantile_norm" -> Seq("BroadcastNestedLoopJoin", "Window"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

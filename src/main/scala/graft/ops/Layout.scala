@@ -60,6 +60,21 @@ object Layout {
       .drop("_z")
   }
 
+  /** N-dimensional Morton code: interleave the low `bits` bits of each
+    * column round-robin (column i owns output bit positions i, i+n,
+    * i+2n, …). `zValue2` is the n=2 special case; n·bits ≤ 63. Same
+    * portable integer bit ops, so an oracle can recompute it. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "zValueN needs at least 2 columns")
+    require(bits >= 1 && n * bits <= 63, s"n*bits must fit a long, got $n×$bits")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (n * i + j))
+      }
+    }.reduce(_ + _)
+  }
+
   /** Compaction writer — the consumer of q140's small-file report: rewrite
     * a fragmented dataset as `partitions` sorted ranges with at most
     * `maxRecordsPerFile` rows per file. Range partitioning + in-partition

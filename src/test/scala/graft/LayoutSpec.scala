@@ -48,6 +48,17 @@ class LayoutSpec extends SparkSpec {
     assert(zx < 32 && zy < 32)
   }
 
+  test("zValueN: n=2 equals zValue2; n=3 interleaves round-robin") {
+    val df = Seq((3L, 1L, 2L)).toDF("a", "b", "c")
+    val two = df.select(Layout.zValue2(col("a"), col("b"), 8).as("z2"),
+      Layout.zValueN(Seq(col("a"), col("b")), 8).as("zn")).head()
+    assert(two.getLong(0) == two.getLong(1))
+    // a=0b11 → bits 0,3; b=0b1 → bit 1; c=0b10 → bit 5: 0b101011 = 43
+    val three = df.select(
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 4).as("z")).head()
+    assert(three.getLong(0) == 43L)
+  }
+
   test("compactWrite: record cap per file, non-overlapping sort ranges, " +
        "nothing lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec")
