@@ -117,7 +117,10 @@ object Indicators {
     * aggregate, so the frame rides as a collected array per row — memory
     * O(n) per in-flight row, keep `n` modest (it's a smoothing window, not
     * a history). Even frames average the two middle values; both engines
-    * sort and index the same array, so q153 value-checks. */
+    * sort and index the same array, so q153 value-checks. NULL handling:
+    * `collect_list` DROPS nulls (the median of the observed values), while
+    * an oracle's `list()` would keep them — filter nulls upstream when
+    * cross-checking a null-bearing column. */
   def rollingMedian(df: DataFrame, value: String, keys: Seq[String],
                     ord: Seq[Column], n: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)

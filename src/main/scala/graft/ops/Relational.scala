@@ -89,14 +89,22 @@ object Relational {
   /** Blocked edit-distance self-join (the entity-resolution workhorse):
     * equi-join on cheap blocking keys, then the exact Levenshtein ≤
     * `maxDist` filter WITHIN blocks only — pair space is Σ|block|², never
-    * n². Same hot-key discipline as LSH buckets: choose blocking keys so
-    * blocks stay small and audit their sizes like q90 audits bucket sizes
-    * (a blocking key that collapses is one quadratic block). The distance
-    * is the codegen'd built-in `levenshtein` — no UDF — and identical in
-    * DuckDB, so the q154 oracle value-checks the distances. */
+    * n². Same hot-key discipline as LSH buckets: a blocking key that
+    * collapses is one quadratic block, so blocks larger than `maxBlock`
+    * are EXCLUDED in code (not just documented) — their rows drop out of
+    * pairing exactly like an over-full minhash bucket, and the caller can
+    * audit block sizes q90-style to pick better keys. The distance is the
+    * codegen'd built-in `levenshtein` — no UDF — and identical in DuckDB,
+    * so the q154 oracle value-checks the distances. */
   def fuzzyJoinBlocked(df: DataFrame, id: String, name: String,
-                       blockKeys: Seq[String], maxDist: Int): DataFrame =
-    df.as("a").join(df.as("b"),
+                       blockKeys: Seq[String], maxDist: Int,
+                       maxBlock: Int = 10000): DataFrame = {
+    val sizes = df.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBlock)
+      .drop("_bn")
+    val bounded = df.join(sizes, blockKeys)
+    bounded.as("a").join(bounded.as("b"),
         blockKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$id") < col(s"b.$id"))
       .withColumn("dist",
@@ -105,6 +113,7 @@ object Relational {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
         col(s"a.$name").as("name_a"), col(s"b.$name").as("name_b"),
         col("dist"))
+  }
 
   /** Skew-safe equi-join: the probe side splits each key across `nSalts`
     * shuffle partitions via a deterministic per-row salt, and the build

@@ -443,10 +443,14 @@ object BreadthQueries {
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
     "q154_fuzzy_blocked" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      """WITH ok AS (SELECT p_brand, p_size FROM part
+        |  GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |p AS (SELECT p_partkey, p_name, p_brand, p_size
+        |  FROM part JOIN ok USING (p_brand, p_size))
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM part a JOIN part b
+        |FROM p a JOIN p b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,

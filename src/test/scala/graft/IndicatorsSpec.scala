@@ -247,6 +247,11 @@ class IndicatorsSpec extends SparkSpec {
         df, "id", "name", Seq("brand", "size"), maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(got.toSeq == Seq((1L, 2L, 1L)))
+    // a collapsed block (size > maxBlock) is EXCLUDED from pairing rather
+    // than going quadratic — same discipline as over-full LSH buckets
+    val capped = graft.ops.Relational.fuzzyJoinBlocked(
+      df, "id", "name", Seq("brand", "size"), maxDist = 3, maxBlock = 2)
+    assert(capped.count() == 0) // the B1 block has 3 members
   }
 
   test("quantileNormalize: rank-matched rows from different sources " +
