@@ -169,8 +169,10 @@ object Stats {
     * percentile band (the standard heavy-tail tamer for features and
     * reward/score columns before training). Same scale shape as
     * [[iqrOutliers]]: one group-cardinality percentile aggregate broadcast
-    * back onto the scan — the data itself never shuffles. Emits the
-    * original row plus (lo, hi, value_w). */
+    * back onto the scan — the data itself never shuffles. NULL values pass
+    * through unclipped (least/greatest skip nulls in Spark and DuckDB
+    * alike) and never enter the percentile fit. Emits the original row
+    * plus (lo, hi, value_w). */
   def winsorize(df: DataFrame, value: String, keys: Seq[String],
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     val bounds = df.groupBy(keys.map(col): _*).agg(
@@ -192,7 +194,9 @@ object Stats {
     * Returns the sketch as (j, bucket, c) rows. Hashes are the portable
     * md5-derived `h64` salted per row, so another engine rebuilds the
     * identical sketch — estimates are oracle-checkable, unlike HLL/GK
-    * internals (q52). */
+    * internals (q52). NULL keys hash to a NULL bucket row that no
+    * estimate lookup can match (NULL ≠ NULL in the join) — filter null
+    * keys upstream if they carry meaning. */
   def countMinSketch(df: DataFrame, key: String, depth: Int = 4,
                      width: Int = 256): DataFrame =
     df.select(posexplode(array((0 until depth).map(j =>
@@ -211,9 +215,10 @@ object Stats {
     * percent_rank, so ties are deterministic; the global quantile lattice
     * (nQ+1 exact interpolated percentiles) is ONE 1-row aggregate
     * broadcast back — per-source work is one ordered window, the data
-    * shuffles once on `source`. Rows with NULL score must be filtered by
-    * the caller (rank is undefined for them). Emits df + (src_rank,
-    * `score`_qn). */
+    * shuffles once on `source`. A NULL score FAILS FAST (rank is
+    * undefined for it — a silent null-first placement would assign real
+    * calibrated scores to unscored rows); filter nulls before calling.
+    * Emits df + (src_rank, `score`_qn). */
   def quantileNormalize(df: DataFrame, score: String, source: String,
                         tie: Seq[Column], nQ: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -229,7 +234,9 @@ object Stats {
       .withColumn("_lo", floor(col("_p")).cast("int"))
       .withColumn("src_rank", round(col("_r"), 6))
       .withColumn(s"${score}_qn", round(
-        when(col("_lo") >= nQ, expr(s"element_at(_q, ${nQ + 1})"))
+        when(col(score).isNull, raise_error(lit(
+          s"quantileNormalize: NULL '$score' — filter nulls before calibrating")))
+          .when(col("_lo") >= nQ, expr(s"element_at(_q, ${nQ + 1})"))
           .otherwise(expr("element_at(_q, _lo + 1)") +
             (col("_p") - col("_lo")) *
               (expr("element_at(_q, _lo + 2)") - expr("element_at(_q, _lo + 1)"))),

@@ -272,6 +272,16 @@ class IndicatorsSpec extends SparkSpec {
     assert(qa.head == 1.0 && qa.last == 110.0)
     // calibrated scores are monotone in within-source rank
     assert(qa.zip(qa.tail).forall { case (x, y) => x <= y })
+    // NULL score fails fast instead of silently ranking nulls first
+    val withNull = (a :+ (("A", 99L, Double.NaN))).map {
+      case (s2, i, x) => (s2, i, if (i == 99L) None else Some(x))
+    }.toDF("src", "id", "x")
+    val ex = intercept[Throwable] {
+      Stats.quantileNormalize(withNull, "x", "src", Seq(col("id"))).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " | " + chain(t.getCause)
+    assert(chain(ex).contains("filter nulls"), s"unexpected: ${chain(ex)}")
   }
 
   test("linearCountDistinct: near-exact at low load; saturated → NULL") {
