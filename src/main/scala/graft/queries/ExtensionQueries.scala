@@ -180,6 +180,25 @@ object ExtensionQueries {
         "doc_id")
     }),
 
+    // ── incremental cluster maintenance: cluster the old corpus, then fold
+    //    the new batch in via incremental candidates + star edges — the
+    //    oracle is the FROM-SCRATCH clustering of the full corpus, so the
+    //    check proves incremental ≡ recompute
+    "q155_incremental_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 4)
+      val nw = docs.filter(col("doc_id") % 5 === 4)
+      val oldSig = Dedup.minhashSignatures(old, "doc_id", "text")
+      val oldPairs = Dedup.minhashCandidates(oldSig, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")
+        .select("doc_id", "cluster_id")
+      val incPairs = Dedup.incrementalCandidates(oldSig,
+          Dedup.minhashSignatures(nw, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.incrementalClusters(oldAssign, nw, incPairs, "doc_id")
+    }),
+
     // ── leakage-free split: train/val/test assigned by DEDUP CLUSTER, not
     //    by doc, so near-duplicates can never straddle the split boundary
     //    (the classic eval-contamination hole in naive per-doc splits)
@@ -814,6 +833,9 @@ object ExtensionQueries {
     "q29_minhash_pairs" ->
       s"WITH $sigCte,\n$candCte\nSELECT id_a, id_b, est_jaccard FROM cand",
     "q75_dedup_clusters" -> clustersOracleSql,
+    // incremental maintenance must reproduce the from-scratch answer —
+    // the oracle IS the full-corpus clustering
+    "q155_incremental_clusters" -> clustersOracleSql,
     "q151_cluster_split" ->
       s"""$clustersCtes,
          |h AS (SELECT doc_id, cluster_id,

@@ -496,6 +496,31 @@ object Dedup {
         (col("v") === col("lbl")).cast("int").as("keep"))
   }
 
+  /** Incremental cluster maintenance: fold a NEW batch into an EXISTING
+    * cluster assignment without re-pairing or re-clustering the corpus —
+    * the clustering counterpart of `incrementalCandidates` (q80/q83),
+    * closing the daily-refresh loop end to end. The old assignment is
+    * already a forest of depth-1 stars (doc → min label), so it re-enters
+    * label propagation as edges that converge in one round; only the
+    * incremental candidate pairs (old×new and new×new) add real rounds. A
+    * new doc bridging two old clusters merges them, and labels converge to
+    * the GLOBAL min id per merged component — the output is IDENTICAL to
+    * re-clustering the full corpus from scratch (q155's oracle is exactly
+    * the from-scratch clustering), while the work done is ∝ new-batch
+    * pairs + one label pass over the vertex set. Caveat shared with q80:
+    * hot-bucket caps are evaluated on the union frame, so a bucket that
+    * only overflows once the new batch lands drops its pairs in BOTH the
+    * incremental and from-scratch runs — the two stay equal. */
+  def incrementalClusters(oldAssign: DataFrame, newDocs: DataFrame,
+                          newPairs: DataFrame, id: String,
+                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val docs = oldAssign.select(col(id)).union(newDocs.select(col(id)))
+    val starEdges = oldAssign.filter(col(id) =!= col("cluster_id"))
+      .select(col(id).as(idA), col("cluster_id").as(idB))
+    dedupClusters(docs, starEdges.union(newPairs.select(col(idA), col(idB))),
+      id, idA, idB)
+  }
+
   /** Soft dedup: duplication-aware sampling weights over a
     * [[dedupClusters]]/[[starClusters]] frame. Every doc gets weight
     * 1/|cluster| and a deterministic salted-hash keep decision with

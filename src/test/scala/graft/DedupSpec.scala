@@ -202,6 +202,19 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) != fp(4L))
   }
 
+  test("incrementalClusters: a bridging new doc merges two old clusters " +
+       "to the global min label") {
+    val oldAssign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val newDocs = Seq(Tuple1(4L)).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalClusters(oldAssign, newDocs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 4 bridges {1,2} and {3} → one component labelled by the global min 1
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == (1L, 4L)))
+    assert(got(9L) == (9L, 1L)) // untouched old singleton unchanged
+  }
+
   test("softDedupWeights: weight = 1/size, singletons always sampled, " +
        "decision deterministic") {
     val clusters = Seq(
