@@ -44,4 +44,64 @@ object StreamingDedup {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** [[dedupSink]] extended through CLUSTERING: each micro-batch also
+    * advances the cluster assignment with `Dedup.incrementalClusters` and
+    * lands it as `assignPath/batch=<id>` (the max-batch directory is the
+    * current assignment; seed the pre-stream corpus assignment as
+    * `batch=-1`). Retries are harmless twice over: a replayed batch
+    * restates its own pairs/increment/assignment directories, and
+    * re-applying the same pairs to an already-advanced assignment yields
+    * identical labels (the CC of the same components plus their own star
+    * edges is unchanged). The previous assignment is MATERIALIZED
+    * (`localCheckpoint`) before the write, so a replayed batch can safely
+    * overwrite the very directory it just read. */
+  def dedupClusterSink(docs: DataFrame, id: String, text: String,
+                       indexPath: String, pairsPath: String,
+                       assignPath: String, checkpoint: String,
+                       minJaccard: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val sig = Dedup.minhashSignatures(batch, id, text)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val index = Dedup.readSignatureIndex(spark, indexPath)
+          Dedup.incrementalCandidatesIndexed(index, sig, id)
+            .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+          val pairs = spark.read.parquet(s"$pairsPath/batch=$batchId")
+            .filter(col("est_jaccard") >= minJaccard)
+          val prev = latestAssignment(spark, assignPath, id)
+            .localCheckpoint(true)
+          Dedup.incrementalClusters(prev, batch.select(col(id)), pairs, id)
+            .select(col(id), col("cluster_id"))
+            .write.mode("overwrite").parquet(s"$assignPath/batch=$batchId")
+          Dedup.appendSignatureIndex(sig, id, indexPath, batchId)
+          sig.unpersist()
+        }: Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** The current (max-batch) cluster assignment under `assignPath`, or an
+    * empty (id, cluster_id) frame before any batch landed. */
+  def latestAssignment(spark: org.apache.spark.sql.SparkSession,
+                       assignPath: String, id: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+          .sorted.lastOption
+      else None
+    latest match {
+      case Some(b) => spark.read.parquet(s"$assignPath/batch=$b")
+      case None =>
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField(id, LongType),
+            StructField("cluster_id", LongType))))
+    }
+  }
 }

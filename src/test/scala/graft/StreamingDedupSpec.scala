@@ -87,4 +87,49 @@ class StreamingDedupSpec extends SparkSpec {
     val probeAfter = pairsOf(Dedup.incrementalCandidatesIndexed(compacted, sigB, "doc_id"))
     assert(probeBefore == probeAfter)
   }
+
+  test("cluster sink: the streamed assignment equals from-scratch " +
+       "clustering of everything seen so far") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scluster").toString
+    val in = s"$dir/in"; val idx = s"$dir/idx"; val out = s"$dir/pairs"
+    val asg = s"$dir/assign"; val chk = s"$dir/chk"
+
+    val corpus = Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"), "doc_id", idx,
+      nBuckets = 8)
+    // seed the pre-stream corpus assignment as batch=-1
+    val corpusPairs = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(corpus, "doc_id", "text"), "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    Dedup.dedupClusters(corpus, corpusPairs, "doc_id")
+      .select("doc_id", "cluster_id").write.parquet(s"$asg/batch=-1")
+
+    // batch A: 4 dups corpus doc 1, 5 near-dups 4; batch B: 6 dups 4
+    val batchA = Seq((4L, base), (5L, base.replace("quiet", "silent")))
+      .toDF("doc_id", "text")
+    batchA.write.parquet(in)
+    StreamingDedup.dedupClusterSink(
+      spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, out, asg, chk).start().awaitTermination()
+    Seq((6L, base)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamingDedup.dedupClusterSink(
+      spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, out, asg, chk).start().awaitTermination()
+
+    val streamed = StreamingDedup.latestAssignment(spark, asg, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from-scratch truth over all 6 docs
+    val all = corpus.unionByName(batchA)
+      .unionByName(Seq((6L, base)).toDF("doc_id", "text"))
+    val truth = Dedup.dedupClusters(all,
+        Dedup.minhashCandidates(
+          Dedup.minhashSignatures(all, "doc_id", "text"), "doc_id")
+          .filter(col("est_jaccard") >= 0.5), "doc_id")
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == truth)
+    assert(streamed(6L) == 1L && streamed(5L) == 1L) // chain through batches
+    assert(streamed(2L) == 2L && streamed(3L) == 3L) // singletons untouched
+  }
 }
