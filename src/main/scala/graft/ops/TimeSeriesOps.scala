@@ -178,6 +178,38 @@ object TimeSeriesOps {
         when(within, col("_pack._rts")).as("matched_ts"): _*)
   }
 
+  /** Linear interpolation of missing values per key (pandas
+    * `interpolate(method='time')` analog — completes the imputation family
+    * next to W4's ffill and W5's group-mean): a NULL between two
+    * observations lerps on the time axis; leading/trailing NULLs back/
+    * forward-fill from the nearest observation. Both neighbours ride as
+    * ATOMIC (ts, value) structs (the asofJoinForward lesson: per-column
+    * carries can mix rows), so the lerp always uses one real row on each
+    * side. Two frame-bounded windows over one key sort — a single shuffle;
+    * equal-timestamp neighbours fall back to the previous value instead of
+    * dividing by zero. */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], ts: String,
+                        value: String): DataFrame = {
+    val wB = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val packed = when(col(value).isNotNull,
+      struct(col(ts).as("t"), col(value).cast("double").as("x")))
+    df.withColumn("_p", last(packed, ignoreNulls = true).over(wB))
+      .withColumn("_n", first(packed, ignoreNulls = true).over(wF))
+      .withColumn(s"${value}_lerp", round(
+        when(col(value).isNotNull, col(value).cast("double"))
+          .when(col("_p").isNotNull && col("_n").isNotNull &&
+              col("_n.t") =!= col("_p.t"),
+            col("_p.x") + (col("_n.x") - col("_p.x")) *
+              (col(ts).cast("double") - col("_p.t").cast("double")) /
+              (col("_n.t").cast("double") - col("_p.t").cast("double")))
+          .when(col("_p").isNotNull, col("_p.x"))
+          .when(col("_n").isNotNull, col("_n.x")), 6))
+      .drop("_p", "_n")
+  }
+
   /** Batch session windows (gaps-and-islands): rows within `gap` of the
     * previous row share a session; emits per-session aggregates. The
     * streaming analog is streaming.Sessionize (flatMapGroupsWithState). */

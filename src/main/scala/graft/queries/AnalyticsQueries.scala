@@ -241,6 +241,17 @@ object AnalyticsQueries {
       graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
         Seq("user_id"), "ts", bucket = "hour")),
 
+    // ── linear gap interpolation (pandas interpolate(method='time')):
+    //    error rows' values nulled, then lerped on the time axis between
+    //    real observations; edges back/forward-fill
+    "q156_interpolate" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.interpolateLinear(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v")),
+        Seq("user_id"), "ts", "v")
+        .select("user_id", "event_id", "v", "v_lerp")),
+
     // ── rolling median: the robust smoother over the trailing 5-row frame
     "q153_rolling_median" -> ((s, d) =>
       graft.analytics.Indicators.rollingMedian(
@@ -632,6 +643,31 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q156_interpolate" ->
+      """WITH src AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |p AS (SELECT *,
+        |  last_value(CASE WHEN v IS NOT NULL
+        |      THEN struct_pack(t := ts, x := v) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  first_value(CASE WHEN v IS NOT NULL
+        |      THEN struct_pack(t := ts, x := v) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM src)
+        |SELECT user_id, event_id, v,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL AND pv.t <> nv.t THEN
+        |      pv.x + (nv.x - pv.x)
+        |        * (CAST(epoch_us(ts) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |          - CAST(epoch_us(pv.t) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |        / (CAST(epoch_us(nv.t) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |          - CAST(epoch_us(pv.t) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |    WHEN pv IS NOT NULL THEN pv.x
+        |    WHEN nv IS NOT NULL THEN nv.x END, 6) AS v_lerp
+        |FROM p""".stripMargin,
     "q153_rolling_median" ->
       """WITH f AS (SELECT user_id, event_id, value,
         |    list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id

@@ -222,6 +222,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
   }
 
+  test("interpolateLinear: time-axis lerp between observations, edge fills") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    // observations at minute 0 (10.0) and minute 4 (30.0); nulls at 1 and 3
+    // lerp: minute 1 → 15.0, minute 3 → 25.0; leading/trailing nulls fill
+    val df = Seq(
+      (1L, ts(0), Some(10.0)), (1L, ts(1), None), (1L, ts(3), None),
+      (1L, ts(4), Some(30.0)),
+      (2L, ts(0), None), (2L, ts(1), Some(7.0)), (2L, ts(2), None))
+      .toDF("k", "t", "x")
+    val got = graft.ops.TimeSeriesOps.interpolateLinear(df, Seq("k"), "t", "x")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(3))
+      .toMap
+    assert(got((1L, ts(0))) == 10.0 && got((1L, ts(4))) == 30.0)
+    assert(got((1L, ts(1))) == 15.0) // 10 + 20 * (1/4)
+    assert(got((1L, ts(3))) == 25.0) // 10 + 20 * (3/4)
+    assert(got((2L, ts(0))) == 7.0)  // leading null back-fills
+    assert(got((2L, ts(2))) == 7.0)  // trailing null forward-fills
+  }
+
   test("rollingMedian: interpolated middle over trailing frame, robust " +
        "to a spike") {
     import java.sql.Timestamp
