@@ -118,21 +118,27 @@ object Indicators {
     * O(n) per in-flight row, keep `n` modest (it's a smoothing window, not
     * a history). Even frames average the two middle values; both engines
     * sort and index the same array, so q153 value-checks. NULL handling:
-    * `collect_list` DROPS nulls (the median of the observed values), while
-    * an oracle's `list()` would keep them — filter nulls upstream when
-    * cross-checking a null-bearing column. */
+    * `collect_list` DROPS nulls, so the result is the median of the
+    * OBSERVED values in the frame; a frame whose values are all NULL
+    * yields NULL (guarded — element_at on an empty array would throw).
+    * An oracle's `list()` keeps nulls — mirror with `list(x) FILTER
+    * (x IS NOT NULL)` or filter upstream when cross-checking a
+    * null-bearing column. The sorted frame is bound ONCE (`_sorted`)
+    * so each output row pays exactly one sort. */
   def rollingMedian(df: DataFrame, value: String, keys: Seq[String],
                     ord: Seq[Column], n: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(-(n - 1), 0)
-    df.withColumn("_fr", collect_list(col(value).cast("double")).over(w))
+    df.withColumn("_sorted",
+        array_sort(collect_list(col(value).cast("double")).over(w)))
       .withColumn("rolling_median", round(expr(
-        """CASE WHEN size(_fr) % 2 = 1
-          |THEN element_at(array_sort(_fr), CAST(size(_fr) div 2 + 1 AS INT))
-          |ELSE (element_at(array_sort(_fr), CAST(size(_fr) div 2 AS INT))
-          |    + element_at(array_sort(_fr), CAST(size(_fr) div 2 + 1 AS INT))) / 2
+        """CASE WHEN size(_sorted) = 0 THEN CAST(NULL AS DOUBLE)
+          |WHEN size(_sorted) % 2 = 1
+          |THEN element_at(_sorted, CAST(size(_sorted) div 2 + 1 AS INT))
+          |ELSE (element_at(_sorted, CAST(size(_sorted) div 2 AS INT))
+          |    + element_at(_sorted, CAST(size(_sorted) div 2 + 1 AS INT))) / 2
           |END""".stripMargin), 6))
-      .drop("_fr")
+      .drop("_sorted")
   }
 
   /** Exponentially-weighted moving average per key (pandas

@@ -131,6 +131,14 @@ object Relational {
                  saltFrom: Column, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // Right/full outer would emit each unmatched BUILD row nSalts times
+    // (the build side is replicated across every salt), breaking the
+    // "result ≡ plain join" contract — reject them outright.
+    val probeSided = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(probeSided.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports probe-sided join types only (got '$joinType'): " +
+        "right/full outer joins would duplicate unmatched build rows across salts")
     val p = probe.withColumn("_salt",
       pmod(graft.text.TextOps.h64(saltFrom.cast("string")),
         lit(nSalts.toLong)).cast("int"))

@@ -272,12 +272,22 @@ object Stats {
     * build in one map-side-combined pass each, and the estimate itself
     * joins two ≤ depth·width frames. Emits one row: (est_join_size). */
   def cmJoinSize(a: DataFrame, b: DataFrame, key: String, depth: Int = 4,
-                 width: Int = 256): DataFrame =
-    countMinSketch(a, key, depth, width).as("a")
+                 width: Int = 256): DataFrame = {
+    val dots = countMinSketch(a, key, depth, width).as("a")
       .join(countMinSketch(b, key, depth, width).as("b"), Seq("j", "bucket"))
       .groupBy(col("j"))
       .agg(sum(col("a.c") * col("b.c")).as("dot"))
-      .agg(min(col("dot")).as("est_join_size"))
+    // A hash row with NO shared (j, bucket) buckets has dot = 0 — and a
+    // shared key hashes to the same bucket in BOTH sketches on every row,
+    // so dot_j = 0 proves the exact join size is 0. Those rows vanish from
+    // the inner join though, so every j must be re-seated explicitly:
+    // otherwise disjoint sketches return NULL (min over no rows) and a
+    // partially-colliding pair skips its own zero rows, inflating the min.
+    // est >= exact still holds; this only tightens it.
+    a.sparkSession.range(depth).select(col("id").cast("int").as("j"))
+      .join(dots, Seq("j"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
+  }
 
   /** Count-min point estimates for every distinct key: est = min over the
     * `depth` rows of that key's bucket counter. The lookup joins the

@@ -24,6 +24,29 @@ object Serve {
   def cached(integrated: DataFrame): DataFrame =
     integrated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** [[cached]] memoized per (session, key): the first call persists, every
+    * later call with the same key returns the SAME cached frame instead of
+    * registering a fresh CacheManager entry — Spark's cache entries are not
+    * GC-reclaimed, so an unkeyed re-cache per page render accumulates
+    * MEMORY_AND_DISK entries across a long-lived serving session. Key on
+    * the data's identity (e.g. the scale dir); the session's identity hash is mixed in
+    * so a frame is never handed to a different SparkSession. Release with
+    * [[uncache]] on refresh. */
+  def cachedFor(spark: org.apache.spark.sql.SparkSession, key: String,
+                build: => DataFrame): DataFrame =
+    cacheRegistry.computeIfAbsent(s"${System.identityHashCode(spark)}:$key",
+      _ => cached(build))
+
+  /** Drop one keyed serve-cache entry (data refreshed): unpersists and
+    * forgets it, so the next [[cachedFor]] re-reads. */
+  def uncache(spark: org.apache.spark.sql.SparkSession, key: String): Unit = {
+    val k = s"${System.identityHashCode(spark)}:$key"
+    Option(cacheRegistry.remove(k)).foreach(_.unpersist())
+  }
+
+  private val cacheRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Market overview (dashboard/app.py:75-84): per symbol, last price and
     * the % change between the last two observations (W7 + W1). */
   def lastChange(integrated: DataFrame): DataFrame = {

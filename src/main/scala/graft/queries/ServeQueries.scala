@@ -94,7 +94,7 @@ object ServeQueries {
     //    page. The reference re-reads the CSV per page render; here every
     //    panel reads InMemoryTableScan (plan-audited in PLANS.md).
     "q141_serve_page" -> ((s, d) => {
-      val p = Serve.cached(panel(s, d))
+      val p = Serve.cachedFor(s, d, panel(s, d))
       val lc = Serve.lastChange(p)
       val lv = Serve.latestVolumes(
         p.select(col("symbol"), col("hour"), col("c").as("Volume")))

@@ -71,7 +71,8 @@ object StreamingDedup {
             .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
           val pairs = spark.read.parquet(s"$pairsPath/batch=$batchId")
             .filter(col("est_jaccard") >= minJaccard)
-          val prev = latestAssignment(spark, assignPath, id)
+          val prev = latestAssignment(spark, assignPath, id,
+              batch.schema(id).dataType)
             .localCheckpoint(true)
           Dedup.incrementalClusters(prev, batch.select(col(id)), pairs, id)
             .select(col(id), col("cluster_id"))
@@ -84,9 +85,14 @@ object StreamingDedup {
       .outputMode("update").trigger(Trigger.AvailableNow())
 
   /** The current (max-batch) cluster assignment under `assignPath`, or an
-    * empty (id, cluster_id) frame before any batch landed. */
+    * empty (id, cluster_id) frame before any batch landed. `idType` is the
+    * doc-id type of the corpus (cluster_id = min reachable id shares it) —
+    * pass the batch schema's type so a string-keyed corpus bootstraps
+    * without a union type mismatch on the first micro-batch. */
   def latestAssignment(spark: org.apache.spark.sql.SparkSession,
-                       assignPath: String, id: String): DataFrame = {
+                       assignPath: String, id: String,
+                       idType: org.apache.spark.sql.types.DataType =
+                         org.apache.spark.sql.types.LongType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(assignPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest =
@@ -98,10 +104,10 @@ object StreamingDedup {
     latest match {
       case Some(b) => spark.read.parquet(s"$assignPath/batch=$b")
       case None =>
-        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        import org.apache.spark.sql.types.{StructField, StructType}
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField(id, LongType),
-            StructField("cluster_id", LongType))))
+          StructType(Seq(StructField(id, idType),
+            StructField("cluster_id", idType))))
     }
   }
 }

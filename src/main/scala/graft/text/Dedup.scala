@@ -209,10 +209,18 @@ object Dedup {
     // satisfy the band equi-join, so they'd be dead weight in the index.
     // repartition on bucket so each writer task owns whole buckets — one
     // file per bucket directory instead of (tasks × buckets) small files
-    bandRows(sig, id).filter(col("band_key").isNotNull)
+    val bands = bandRows(sig, id).filter(col("band_key").isNotNull)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    // A dynamic-partitioned write of an EMPTY frame emits zero data files,
+    // leaving an index that fails schema inference on read — a cold-start
+    // stream seeds its index over an empty corpus, so that case writes one
+    // plain empty parquet file (schema preserved; `bucket` rides as a data
+    // column, which every reader filter also accepts).
+    if (bands.isEmpty)
+      bands.coalesce(1).write.mode("overwrite").parquet(s"$path/bands")
+    else
+      bands.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
     import spark.implicits._
     Seq((nBuckets, NumHashes, NumBands)).toDF("n_buckets", "num_hashes", "num_bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -227,11 +235,16 @@ object Dedup {
                            batchId: Long): Unit = {
     val spark = sig.sparkSession
     val nBuckets = spark.read.parquet(s"$path/meta").select("n_buckets").head().getInt(0)
-    bandRows(sig, id).filter(col("band_key").isNotNull)
+    val bands = bandRows(sig, id).filter(col("band_key").isNotNull)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/increments/batch=$batchId")
+    // A batch whose docs are all too short yields zero band rows; writing
+    // its empty increment partitioned would leave a file-less batch dir
+    // that breaks the union read in readSignatureIndex — skip it (the
+    // replay contract is unaffected: the same batch recomputes empty).
+    if (!bands.isEmpty)
+      bands.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/increments/batch=$batchId")
   }
 
   /** Fold all streaming increments into the base bands: one

@@ -257,6 +257,22 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(3) == 12.0 && got(4) == 13.0)
   }
 
+  test("rollingMedian: nulls are ignored; an all-null frame yields NULL, " +
+       "not a crash") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    val df = Seq((1L, ts(1), None: Option[Double]), (1L, ts(2), None),
+      (1L, ts(3), Some(10.0)), (1L, ts(4), None), (1L, ts(5), Some(20.0)))
+      .toDF("k", "t", "x")
+    val got = Indicators.rollingMedian(df, "x", Seq("k"), Seq(col("t")), n = 2)
+      .orderBy("t").collect()
+    // n=2 frames after null-drop: [] [] [10] [10] [20]
+    assert(got(0).isNullAt(3) && got(1).isNullAt(3))
+    assert(got(2).getDouble(3) == 10.0)
+    assert(got(3).getDouble(3) == 10.0) // median of the OBSERVED values
+    assert(got(4).getDouble(3) == 20.0)
+  }
+
   test("fuzzyJoinBlocked: pairs only within blocks, distance filtered") {
     val df = Seq(
       (1L, "alpha beta", "B1", 5), (2L, "alpha bets", "B1", 5), // dist 1
@@ -330,6 +346,14 @@ class IndicatorsSpec extends SparkSpec {
     assert(tiny == 56L)
   }
 
+  test("cmJoinSize: disjoint key sets estimate exactly 0, never NULL") {
+    val a = Seq("a1", "a2", "a3").toDF("k")
+    val b = Seq("b1", "b2", "b3").toDF("k")
+    val r = Stats.cmJoinSize(a, b, "k", depth = 4, width = 1 << 16).head()
+    assert(!r.isNullAt(0), "empty sketch intersection must not yield NULL")
+    assert(r.getLong(0) == 0L)
+  }
+
   test("saltedJoin ≡ plain join for inner and left, matches met exactly once") {
     val probe = Seq((1L, "p1"), (1L, "p2"), (2L, "p3"), (3L, "p4"))
       .toDF("k", "ptag")
@@ -344,6 +368,15 @@ class IndicatorsSpec extends SparkSpec {
     val plainL = probe.join(build, Seq("k"), "left")
     assert(leftJ.count() == plainL.count())
     assert(leftJ.except(plainL).isEmpty && plainL.except(leftJ).isEmpty)
+    // right/full outer would emit each unmatched build row nSalts times —
+    // rejected up front instead of silently breaking the ≡-plain contract
+    for (bad <- Seq("right", "full", "full_outer", "right_outer")) {
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.Relational.saltedJoin(
+          probe, build, Seq("k"), col("ptag"), nSalts = 4, joinType = bad)
+      }
+      assert(ex.getMessage.contains("probe-sided"))
+    }
   }
 
   test("kfoldAssign: folds in range, deterministic across runs") {

@@ -132,4 +132,31 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed(6L) == 1L && streamed(5L) == 1L) // chain through batches
     assert(streamed(2L) == 2L && streamed(3L) == 3L) // singletons untouched
   }
+
+  test("cluster sink bootstraps a string-id corpus with no batch=-1 seed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidstr").toString
+    val in = s"$dir/in"; val idx = s"$dir/idx"; val out = s"$dir/pairs"
+    val asg = s"$dir/assign"; val chk = s"$dir/chk"
+    val sidSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType)))
+
+    // cold start: the index is written over an EMPTY string-keyed corpus and
+    // no assignment seed exists — the first micro-batch must union its
+    // string ids against the bootstrap frame (the old LongType hardcode
+    // made exactly this path throw)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sidSchema)
+    Dedup.writeSignatureIndex(Dedup.minhashSignatures(empty, "doc_id", "text"),
+      "doc_id", idx, nBuckets = 8)
+    Seq(("a", base), ("b", base.replace("quiet", "silent")), ("c", other))
+      .toDF("doc_id", "text").write.parquet(in)
+    StreamingDedup.dedupClusterSink(
+      spark.readStream.schema(sidSchema).parquet(in),
+      "doc_id", "text", idx, out, asg, chk).start().awaitTermination()
+
+    val streamed = StreamingDedup.latestAssignment(spark, asg, "doc_id",
+        StringType)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == Map("a" -> "a", "b" -> "a", "c" -> "c"))
+  }
 }
