@@ -168,6 +168,112 @@ object Indicators {
           s"(acc, x) -> ${1 - alpha}D * acc + ${alpha}D * x)"), 6).as("ema"): _*)
   }
 
+  /** Per-row running EMA (pandas `ewm(alpha, adjust=False).mean()` as a
+    * COLUMN): every row gets the smoothed value at its own position, the
+    * feature-engineering shape (lag features, signal crossovers) — [[ema]]
+    * keeps only the final value. One per-key `aggregate` fold builds the
+    * running array left-to-right (identical arithmetic to DuckDB's prefix
+    * `list_reduce`, so q157 value-checks bit-for-bit before the round),
+    * then `arrays_zip` + explode re-seats each value on its row. `carry`
+    * columns ride the packed struct and come back out (e.g. a row id).
+    * The array append is O(n²) per key in copies — fine for series that
+    * fit an executor; for 10⁸-row keys use [[emaSeriesChunked]], which is
+    * the same math restated with bounded per-chunk state. */
+  def emaSeries(df: DataFrame, value: String, keys: Seq[String], ts: String,
+                alpha: Double, carry: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0, 1]")
+    val fields = (col(ts).as("t") +: carry.map(col)) :+
+      col(value).cast("double").as("x")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(fields: _*))).as("seq"))
+    val runFold = expr(
+      s"""aggregate(
+         |  slice(seq, 2, size(seq) - 1),
+         |  named_struct('arr', array(element_at(seq, 1).x),
+         |               'last', element_at(seq, 1).x),
+         |  (acc, p) -> named_struct(
+         |    'arr', concat(acc.arr, array(${1 - alpha}D * acc.last + ${alpha}D * p.x)),
+         |    'last', ${1 - alpha}D * acc.last + ${alpha}D * p.x),
+         |  acc -> acc.arr)""".stripMargin)
+    packed.withColumn("_emas", runFold)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_emas"))).as("_z")): _*)
+      .select((keys.map(col) ++
+        carry.map(c => col(s"_z.seq.$c").as(c)) :+
+        col("_z.seq.x").as(value) :+
+        quant6(col("_z._emas")).as("ema")): _*)
+  }
+
+  /** 6-decimal quantization in PURE double arithmetic (floor(x·10⁶+½)/10⁶):
+    * unlike `round(x, 6)`, every step is IEEE-double and engine-portable,
+    * so a value sitting a few ulps under a .5 boundary (e.g. …3749999999)
+    * quantizes identically in Spark and DuckDB — decimal-string rounders
+    * disagree exactly there. Used where a long fold makes boundary
+    * stragglers statistically certain (10⁴ running EMAs hit ~3). */
+  private def quant6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** [[emaSeries]] at unbounded key size: the chunk-and-stitch form. Rows
+    * split into `chunkLen`-row chunks per key; within a chunk the EMA
+    * prefix is the CLOSED FORM intraₜ = (1−α)^posₜ · Σ_{j≤t} coefⱼ·xⱼ·
+    * (1−α)^(−posⱼ) (one window cumsum — no per-row array), and chunks
+    * stitch through the carry recursion carry_c = intraEnd_c +
+    * pow(1−α, len_c)·carry_{c−1} folded over the (n/chunkLen)-element
+    * chunk-summary array. Per-key state is O(n/chunkLen), the full-series
+    * array never materializes, and each row's result is intraₜ +
+    * (1−α)^(posₜ+1)·carry — IndicatorsSpec pins ≡ [[emaSeries]] across
+    * chunk sizes. `chunkLen` is capped per α so the intra-chunk weight
+    * ratio (1−α)^(−pos) stays within ~2⁴⁰ (precision headroom; older
+    * terms are exponentially down-weighted in the true EMA anyway). */
+  def emaSeriesChunked(df: DataFrame, value: String, keys: Seq[String],
+                       ts: String, alpha: Double, chunkLen: Int = 64,
+                       carry: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    require(chunkLen >= 2, s"chunkLen $chunkLen < 2")
+    require((chunkLen - 1) * math.log1p(alpha / (1 - alpha)) <
+      40 * math.log(2.0),
+      s"chunkLen $chunkLen too large for alpha $alpha: intra-chunk weight " +
+        "dynamic range exceeds 2^40 — shrink the chunk")
+    val beta = 1 - alpha
+    val wKey = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_rn", row_number().over(wKey) - 1)
+      .withColumn("_chunk", (col("_rn") / lit(chunkLen)).cast("int"))
+      .withColumn("_pos", pmod(col("_rn"), lit(chunkLen)).cast("int"))
+      .withColumn("_coef",
+        when(col("_rn") === 0, lit(1.0)).otherwise(lit(alpha)))
+    val wChunk = Window
+      .partitionBy((keys :+ "_chunk").map(col): _*).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIntra = base
+      .withColumn("_cum", sum(col("_coef") * col(value).cast("double") *
+        pow(lit(beta), -col("_pos"))).over(wChunk))
+      .withColumn("_intra", pow(lit(beta), col("_pos")) * col("_cum"))
+    val chunkSummaries = withIntra
+      .groupBy((keys :+ "_chunk").map(col): _*)
+      .agg(count(lit(1)).as("_len"),
+        max_by(col("_intra"), col("_pos")).as("_intra_end"))
+    val carries = chunkSummaries
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("_chunk"), col("_len"),
+        col("_intra_end")))).as("_cs"))
+      .withColumn("_carr", expr(
+        s"""aggregate(_cs,
+           |  named_struct('arr', CAST(array() AS ARRAY<DOUBLE>), 'prev', 0.0D),
+           |  (acc, c) -> named_struct(
+           |    'arr', concat(acc.arr, array(acc.prev)),
+           |    'prev', c._intra_end + pow(${beta}D, c._len) * acc.prev),
+           |  acc -> acc.arr)""".stripMargin))
+      .select((keys.map(col) :+
+        posexplode(col("_carr")).as(Seq("_chunk", "_carry_in"))): _*)
+    withIntra.join(carries, keys :+ "_chunk")
+      .withColumn("ema", quant6(col("_intra") +
+        pow(lit(beta), col("_pos") + 1) * col("_carry_in")))
+      .select((keys.map(col) ++ carry.map(col) :+
+        col(value).cast("double").as(value) :+ col("ema")): _*)
+  }
+
   /** OHLC bars: open/high/low/close (+ mean and tick count) per series per
     * time bucket — the canonical market-data downsample. One hash
     * aggregate with positional first/last picked by `max_by`/`min_by` on

@@ -266,6 +266,14 @@ object AnalyticsQueries {
       graft.analytics.Indicators.ema(Tables.events(s, d), "value",
         Seq("user_id"), "ts", alpha = 0.25)),
 
+    // ── per-row running EMA (pandas ewm().mean() as a column): the same
+    //    left-to-right fold as q144 but emitting every intermediate — both
+    //    engines run the identical sequential recursion, so the running
+    //    values hash-match bit-for-bit before the final round
+    "q157_ema_series" -> ((s, d) =>
+      graft.analytics.Indicators.emaSeries(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", alpha = 0.25, carry = Seq("event_id"))),
+
     // ── winsorization: clip into the per-group [p5, p95] exact-percentile
     //    band (broadcast bounds; data never shuffles)
     "q145_winsorize" -> ((s, d) =>
@@ -687,6 +695,18 @@ object AnalyticsQueries {
         |    (acc, x) -> CAST(0.75 AS DOUBLE) * acc + CAST(0.25 AS DOUBLE) * x),
         |    6) AS ema
         |FROM p""".stripMargin,
+    "q157_ema_series" ->
+      """WITH p AS (SELECT user_id,
+        |    list(event_id ORDER BY ts) AS ids,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |i AS (SELECT user_id, unnest(range(1, len(xs) + 1)) AS rn, ids, xs
+        |  FROM p)
+        |SELECT user_id, ids[rn] AS event_id, xs[rn] AS value,
+        |  floor(list_reduce(xs[1:rn],
+        |    (acc, x) -> CAST(0.75 AS DOUBLE) * acc + CAST(0.25 AS DOUBLE) * x)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ema
+        |FROM i""".stripMargin,
     "q145_winsorize" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.05) AS lo,

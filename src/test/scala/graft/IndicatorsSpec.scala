@@ -257,6 +257,46 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(3) == 12.0 && got(4) == 13.0)
   }
 
+  test("emaSeries: per-row running EMA equals the hand recursion; chunked " +
+       "closed form ≡ sequential fold across chunk sizes") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:${m % 60}%02d:${m / 60}%02d")
+    val rows = (1 to 30).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, ts(i), ((i * 37) % 100) / 10.0))
+    val df = rows.toDF("k", "id", "t", "x")
+    val plain = Indicators.emaSeries(df, "x", Seq("k"), "t", alpha = 0.25,
+        carry = Seq("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(plain.size == 30)
+    // hand recursion: ema₁ = x₁, emaₜ = 0.75·emaₜ₋₁ + 0.25·xₜ per key
+    for (k <- Seq("a", "b")) {
+      var e = 0.0; var first = true
+      for ((_, id, _, x) <- rows.filter(_._1 == k)) {
+        e = if (first) x else 0.75 * e + 0.25 * x; first = false
+        assert(math.abs(plain((k, id)) - e) < 1.1e-6, s"($k,$id)")
+      }
+    }
+    // chunk-stitch carry: identical values at ANY chunking, including a
+    // chunk length beyond the series (single-chunk degenerate case)
+    for (l <- Seq(2, 4, 7, 64)) {
+      val ch = Indicators.emaSeriesChunked(df, "x", Seq("k"), "t",
+          alpha = 0.25, chunkLen = l, carry = Seq("id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(ch.keySet == plain.keySet)
+      for ((key, want) <- plain)
+        assert(math.abs(ch(key) - want) <= 1.1e-6,
+          s"chunkLen=$l $key: ${ch(key)} vs $want")
+    }
+    // the precision cap rejects chunk sizes whose intra-chunk weight ratio
+    // would burn double headroom
+    intercept[IllegalArgumentException] {
+      Indicators.emaSeriesChunked(df, "x", Seq("k"), "t", alpha = 0.25,
+        chunkLen = 1000)
+    }
+  }
+
   test("rollingMedian: nulls are ignored; an all-null frame yields NULL, " +
        "not a crash") {
     import java.sql.Timestamp
