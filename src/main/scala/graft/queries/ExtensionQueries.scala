@@ -135,13 +135,15 @@ object ExtensionQueries {
     "q99_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairCounts(Tables.documents(s, d), "text")),
 
-    // ── distributed BPE trainer (iterative argmax loop — rows-only like
-    //    q42/q43; BpeSpec pins the merge order on hand-computed goldens)
-    // 48 merges exercises several batched rounds (batchK=16) — the
-    // vocab-scale train shape, not a toy loop
+    // ── BPE trainer at vocab scale (rows-only like q42/q43; BpeSpec pins
+    //    the merge order on hand-computed goldens and rule-for-rule ≡ the
+    //    distributed batched path): ONE distributed pass builds the
+    //    Zipf-bounded word-frequency table, the 256-merge loop runs
+    //    driver-local with incremental pair counts — no per-round jobs,
+    //    which is what makes a real 32k-merge train feasible
     "q101_bpe_train" -> ((s, d) => {
       import s.implicits._
-      graft.text.Bpe.train(Tables.documents(s, d), "text", 48)
+      graft.text.Bpe.trainWordFreq(Tables.documents(s, d), "text", 256)
         .map(m => (m.rank, m.left, m.right, m.count))
         .toDF("rank", "left", "right", "pair_count")
     }),

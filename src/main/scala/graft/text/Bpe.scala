@@ -141,6 +141,119 @@ object Bpe {
     rules.result()
   }
 
+  /** Vocab-scale training: learn merges on the COLLECTED word-frequency
+    * table. The table is Zipf-bounded — corpus-size-independent, usually
+    * well under 10⁶ rows — so one distributed pass builds it (the only
+    * corpus-wide work) and the entire merge loop then runs driver-local
+    * with incremental pair-count maintenance: no per-round Spark jobs, no
+    * per-round vocab rewrite, a real 32k-merge train in seconds. Rules are
+    * IDENTICAL to [[train]] (BpeSpec pins it rule-for-rule): same counts
+    * (the math is the same weighted pair frequency), same greedy rewrite,
+    * same (count desc, l asc, r asc) tie-break with the string order
+    * matched to Spark's BINARY (UTF-8 byte) ordering — Java's UTF-16
+    * compareTo would disagree on supplementary characters. Re-tokenize the
+    * corpus ONCE at the end with [[segment]]. `maxWords` is a guard rail:
+    * a vocab beyond it fails fast rather than silently collecting an
+    * unbounded frame (truncating would change the learned rules). */
+  def trainWordFreq(df: DataFrame, text: String, nMerges: Int,
+                    maxWords: Int = 2000000): Seq[MergeRule] = {
+    val rows = initVocab(df, text)
+      .select(col("word"), col("wf")).limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"word vocabulary exceeds maxWords=$maxWords; raise the cap or " +
+        "pre-filter the corpus — truncation would change the learned rules")
+    trainInMemory(rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** Spark-compatible binary string order: UTF-8 bytes compared unsigned,
+    * exactly UTF8String's comparison (= code-point order). */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The in-memory merge loop behind [[trainWordFreq]]. Pair counts live in
+    * a hash map; the argmax rides a TreeSet ordered by (count desc, l asc,
+    * r asc) and every count mutation is an O(log P) remove/insert, so a
+    * 32k-merge train is O(total count updates · log P), not
+    * O(merges · pairs). Each merge rewrites ONLY the words that contain
+    * its pair (an occurrence index, validated lazily). */
+  private[text] def trainInMemory(words: Array[(String, Long)],
+                                  nMerges: Int): Seq[MergeRule] = {
+    import scala.collection.mutable
+    // split matches initVocab's substring(word, i, 1): code points
+    val syms: Array[mutable.ArrayBuffer[String]] = words.map { case (w, _) =>
+      val buf = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf
+    }
+    val wf = words.map(_._2)
+    val counts = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c
+          else {
+            val l = utf8Compare(x._2, y._2)
+            if (l != 0) l else utf8Compare(x._3, y._3)
+          }
+        }
+      }
+    val ranked = mutable.TreeSet[(Long, String, String)]()
+    def bump(pair: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(pair, 0L)
+      if (old != 0) ranked -= ((old, pair._1, pair._2))
+      val now = old + delta
+      if (now != 0) { counts(pair) = now; ranked += ((now, pair._1, pair._2)) }
+      else counts -= pair
+    }
+    def pairsOf(i: Int)(f: ((String, String)) => Unit): Unit = {
+      val s = syms(i); var j = 0
+      while (j < s.length - 1) { f((s(j), s(j + 1))); j += 1 }
+    }
+    for (i <- words.indices) pairsOf(i) { p =>
+      bump(p, wf(i)); occ.getOrElseUpdate(p, mutable.Set[Int]()) += i
+    }
+    val rules = Seq.newBuilder[MergeRule]
+    var rank = 0
+    while (rank < nMerges && ranked.nonEmpty) {
+      val (cnt, l, r) = ranked.head
+      val merged = l + r
+      for (i <- occ.getOrElse((l, r), mutable.Set.empty[Int]).toArray.sorted) {
+        val s = syms(i)
+        // lazily validate the occurrence (the index is never decremented)
+        var has = false; var j = 0
+        while (!has && j < s.length - 1) { has = s(j) == l && s(j + 1) == r; j += 1 }
+        if (has) {
+          pairsOf(i)(bump(_, -wf(i)))
+          // greedy left-to-right, the exact applyMerge fold (so "aaa" with
+          // (a,a) becomes ["aa","a"])
+          val out = mutable.ArrayBuffer[String]()
+          for (sym <- s) {
+            if (out.nonEmpty && out.last == l && sym == r)
+              out(out.length - 1) = merged
+            else out += sym
+          }
+          syms(i) = out
+          pairsOf(i) { p =>
+            bump(p, wf(i)); occ.getOrElseUpdate(p, mutable.Set[Int]()) += i
+          }
+        }
+      }
+      occ -= ((l, r))
+      rules += MergeRule(rank, l, r, cnt)
+      rank += 1
+    }
+    rules.result()
+  }
+
   /** Segment each doc's words with a learned merge table (rules applied in
     * rank order — the standard encode step). Output: (id, word, syms). */
   def segment(df: DataFrame, id: String, text: String,

@@ -48,6 +48,26 @@ class BpeSpec extends SparkSpec {
       (0, "a", "b", 100L), (1, "c", "d", 90L), (2, "e", "f", 80L)))
   }
 
+  test("word-frequency training ≡ distributed training, rule for rule") {
+    // same counts, same tie-break, same greedy rewrite — the driver-local
+    // loop must reproduce the distributed trainer exactly, on both the
+    // crafted vocab and a conflict-heavy real corpus (ties, self-pairs,
+    // merge-creates-pair chains)
+    val crafted = Seq((1L, ("low " * 5 + "lower " * 2 + "lowest " * 3).trim))
+      .toDF("doc_id", "text")
+    assert(Bpe.trainWordFreq(crafted, "text", 4) == Bpe.train(crafted, "text", 4))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val local = Bpe.trainWordFreq(docs, "text", 40)
+    val dist = Bpe.train(docs, "text", 40, batchK = 16)
+    assert(local.size == 40)
+    assert(local == dist)
+    // early stop parity: single-char words have no pairs
+    val flat = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.trainWordFreq(flat, "text", 5).isEmpty)
+  }
+
   test("batched training ≡ sequential on a conflict-heavy real corpus") {
     // overlapping symbols, ties, self-pairs ("oo", "ss"), merge-creates-
     // frequent-pair chains — the cases where the batch must shrink to stay
