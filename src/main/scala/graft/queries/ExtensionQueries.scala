@@ -367,6 +367,22 @@ object ExtensionQueries {
           ((octet_length(col("bin")) * 7) % 480 + 1).cast("long").as("height"),
           lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))),
 
+    // ── REAL image decode (JDK ImageIO, header-only): genuine PNG bytes of
+    //    known dimensions are generated driver-side, decoded distributed,
+    //    and the recovered format/width/height/channels value-check against
+    //    the closed-form oracle — the decode itself is what's under test
+    "q158_image_meta" -> ((s, _) => {
+      import s.implicits._
+      val assets = (0L until 64L).map(i =>
+          (i, graft.multimodal.Multimodal.pngBytes(
+            1 + (i % 7).toInt, 1 + (i % 5).toInt)))
+        .toDF("asset_id", "content")
+        .repartition(8, col("asset_id"))
+      graft.multimodal.Multimodal.decodeImageMeta(assets)
+        .select(col("asset_id"), col("format"), col("width"), col("height"),
+          col("channels"))
+    }),
+
     // ── BM25 retrieval scoring for a fixed query-term set
     "q102_bm25" -> ((s, d) =>
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
@@ -1056,6 +1072,12 @@ object ExtensionQueries {
         |  len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_sat,
         |  list_sum(list_transform(codes, c -> abs(c)))::BIGINT AS l1
         |FROM q""".stripMargin,
+    "q158_image_meta" ->
+      """SELECT range AS asset_id, 'png' AS format,
+        | CAST(1 + range % 7 AS INT) AS width,
+        | CAST(1 + range % 5 AS INT) AS height,
+        | CAST(3 AS INT) AS channels
+        |FROM range(64)""".stripMargin,
     "q37_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,

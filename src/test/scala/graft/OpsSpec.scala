@@ -114,6 +114,33 @@ class OpsSpec extends SparkSpec {
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
   }
 
+  test("multimodal: ImageIO decode reads true PNG/JPEG dimensions; " +
+       "garbage bytes degrade to NULL metadata") {
+    // a genuine PNG round-trips through the header-only probe
+    val png = Multimodal.pngBytes(23, 11)
+    assert(Multimodal.imageHeader(png).contains(("png", 23, 11, 3)))
+    // a genuine JPEG too (different reader, different format name)
+    val img = new java.awt.image.BufferedImage(
+      9, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpg = Multimodal.imageHeader(out.toByteArray)
+    assert(jpg.map(t => (t._1, t._2, t._3)).contains(("jpeg", 9, 4)))
+    // bytes no reader claims → None, never a throw
+    assert(Multimodal.imageHeader("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.imageHeader(Array.empty[Byte]).isEmpty)
+    // distributed end-to-end: mixed decodable/undecodable assets
+    val assets = Seq(
+      (1L, Multimodal.pngBytes(5, 7)),
+      (2L, "plain text bytes".getBytes)).toDF("asset_id", "content")
+    val got = Multimodal.decodeImageMeta(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "png" && got(1L).getInt(2) == 5 &&
+      got(1L).getInt(3) == 7 && got(1L).getInt(4) == 3)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2))
+    assert(got(2L).getLong(5) == "plain text bytes".getBytes.length.toLong)
+  }
+
   test("Merge.upsert: latest version wins, deletes remove, inserts add") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "status", "price")
