@@ -45,6 +45,30 @@ class AnalysisSpec extends SparkSpec {
     assert(report.errors.isEmpty, report.errors.mkString("; "))
   }
 
+  test("parallel forecast fan-out ≡ sequential, and overlaps the fits") {
+    def fc(par: Int): (Map[(String, Int), (Double, Double)], Long) = {
+      val t0 = System.nanoTime()
+      val r = Analysis.run(integrated, maxLag = 2, nLags = 6, horizon = 6,
+        maxIter = 10, forecastParallelism = par)
+      val rows = r.forecasts.collect().map { row =>
+        (row.getString(3), row.getInt(0)) ->
+          (row.getDouble(1), row.getDouble(2))
+      }.toMap
+      assert(r.errors.isEmpty, r.errors.mkString("; "))
+      (rows, (System.nanoTime() - t0) / 1000000)
+    }
+    val (seq, seqMs) = fc(par = 1)
+    val (par, parMs) = fc(par = 4)
+    // bit-identical per-symbol forecasts and RMSEs: fixed seeds, merge in
+    // symbol order — completion order cannot leak into the result
+    assert(par == seq)
+    assert(par.keySet.map(_._1) == Set("AAPL", "MSFT", "TSLA", "AMZN"))
+    // overlap claim (kept loose against sandbox contention): 4 concurrent
+    // fits must not cost what 4 serial fits cost
+    assert(parMs < seqMs * 1.05,
+      s"parallel $parMs ms vs sequential $seqMs ms — fits did not overlap")
+  }
+
   test("an empty panel yields an empty report, not a crash") {
     val empty = integrated.filter(col("symbol") === "NOPE")
     val report = Analysis.run(empty, maxLag = 2, nLags = 4, horizon = 2, maxIter = 2)
