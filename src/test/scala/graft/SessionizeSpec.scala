@@ -15,7 +15,7 @@ class SessionizeSpec extends SparkSpec {
   test("sessions split on gap and close via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.Event]
-    val q = Sessionize.sessions(input.toDS(), gapMs = 30000L)
+    val q = Sessionize.sessions(input.toDS(), gapSeconds = 30L)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
 
@@ -40,10 +40,55 @@ class SessionizeSpec extends SparkSpec {
       got(1).start == t(60) && got(1).end == t(65))
   }
 
+  test("file-source sessionize stream equals the oracle-checked q45 " +
+       "batch sessions, row for row") {
+    // the real driver fixture through a genuine file stream (the q136
+    // pattern applied to STATEFUL sessionization): drain with AvailableNow
+    // into a parquet sink, flush pending sessions by advancing the global
+    // watermark with a far-future sentinel, then set-compare against the
+    // exact frame the q45 DuckDB oracle hash-checks
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q45").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val chk = s"$dir/chk"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("user_id").cast("string").as("key"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value"))
+    events.write.parquet(in)
+    def drain(): Unit = {
+      val q = Sessionize.sessions(
+          spark.readStream.schema(events.schema).parquet(in)
+            .as[Sessionize.Event],
+          gapSeconds = 1800L)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // sentinel: one far-future event pushes the watermark past every
+    // pending session's end + gap, so EventTimeTimeout closes them all
+    Seq(Sessionize.Event("_flush",
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+      .toDS().write.mode("append").parquet(in)
+    drain()
+    import org.apache.spark.sql.functions.{col, round}
+    val got = spark.read.parquet(out).filter(col("key") =!= "_flush")
+      .select(col("key"), col("start"), col("end"), col("n_events"),
+        round(col("sum_value"), 6).as("sv"))
+    val want = graft.queries.AnalyticsQueries
+      .queries("q45_session_window")(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("key"),
+        col("session_start").as("start"), col("session_end").as("end"),
+        col("n_events"), round(col("sum_value"), 6).as("sv"))
+    val n = want.count()
+    assert(n > 0 && got.count() == n)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("a late event within the gap extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.Event]
-    val q = Sessionize.sessions(input.toDS(), gapMs = 30000L)
+    val q = Sessionize.sessions(input.toDS(), gapSeconds = 30L)
       .writeStream.format("memory").queryName("sessions_late")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
 
