@@ -96,6 +96,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // stdout already has the line
+    // …and a compact summary as the LAST stdout line: tail capture keeps
+    // the end, so even a 2000-char tail carries the totals (the full
+    // per-query map stays in the long line above and in bench_out.json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -156,6 +156,28 @@ object AnalyticsQueries {
         .select("symbol", "predictor", "lag", "p_value", "n_obs")
     }),
 
+    // ── Granger F statistic VALUE-CHECKED cross-engine: integer-quantized
+    //    synthetic series make every Gram sum exactly representable in both
+    //    engines, so the lag-1 F (restricted-vs-unrestricted OLS from those
+    //    sums) agrees to FP noise — quantized at 2 decimals, which pins the
+    //    hardest custom math in DuckDB while the F-CDF p-value stays
+    //    spec-side (GrangerSpec NumPy goldens). y = 2·x_{t−1} + (t mod 5):
+    //    the x lag carries real signal, so rss_r − rss_u is large and the
+    //    cancellation-sensitive numerator is numerically stable.
+    "q42b_granger_f" -> ((s, _) => {
+      val base = s.range(4L * 2500L).select(
+          (col("id") % 4).as("k"), expr("id div 4 + 1").as("t"))
+        .select(
+          concat(lit("s"), col("k")).as("sym"), col("t"),
+          (((col("t") * 7 + col("k") * 3) % 19)).cast("double").as("x"),
+          ((((col("t") - 1) * 7 + col("k") * 3) % 19) * 2 + col("t") % 5)
+            .cast("double").as("y"))
+      Granger.test(base, "sym", "t", "y", "x", maxLag = 1)
+        .select(col("symbol"), col("predictor"), col("lag"),
+          (floor(col("f_stat") * 100 + lit(0.5)) / 100).as("f_stat"),
+          col("n_obs"))
+    }),
+
     // ── C2-C4: GBT lag-feature forecast (rows-only; deterministic seed)
     "q43_forecast" -> ((s, d) => {
       val series = Tables.events(s, d).filter(col("user_id") === 0)
@@ -695,6 +717,38 @@ object AnalyticsQueries {
         |    (acc, x) -> CAST(0.75 AS DOUBLE) * acc + CAST(0.25 AS DOUBLE) * x),
         |    6) AS ema
         |FROM p""".stripMargin,
+    "q42b_granger_f" ->
+      """WITH base AS (
+        |  SELECT 's' || (range % 4) AS sym, range // 4 + 1 AS t,
+        |    CAST(((range // 4 + 1) * 7 + (range % 4) * 3) % 19 AS DOUBLE) AS x,
+        |    CAST(((range // 4) * 7 + (range % 4) * 3) % 19 * 2
+        |         + (range // 4 + 1) % 5 AS DOUBLE) AS y
+        |  FROM range(10000)),
+        |lagged AS (
+        |  SELECT sym, y,
+        |    lag(y) OVER (PARTITION BY sym ORDER BY t) AS a,
+        |    lag(x) OVER (PARTITION BY sym ORDER BY t) AS b
+        |  FROM base),
+        |m AS (
+        |  SELECT sym, count(*) AS n,
+        |    sum(y) AS sy, sum(a) AS sa, sum(b) AS sb,
+        |    sum(y*y) AS syy, sum(a*a) AS saa, sum(b*b) AS sbb,
+        |    sum(y*a) AS sya, sum(y*b) AS syb, sum(a*b) AS sab
+        |  FROM lagged WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY sym),
+        |c AS (
+        |  SELECT sym, n,
+        |    syy - sy*sy/n AS cyy, saa - sa*sa/n AS caa, sbb - sb*sb/n AS cbb,
+        |    sya - sy*sa/n AS cya, syb - sy*sb/n AS cyb, sab - sa*sb/n AS cab
+        |  FROM m),
+        |f AS (
+        |  SELECT sym, n, cyy - cya*cya/caa AS rssr,
+        |    cyy - ((cya*cbb - cyb*cab) * cya + (cyb*caa - cya*cab) * cyb)
+        |          / (caa*cbb - cab*cab) AS rssu
+        |  FROM c)
+        |SELECT sym AS symbol, 'x' AS predictor, 1 AS lag,
+        |  floor((rssr - rssu) / (rssu / (n - 3)) * 100 + 0.5) / 100 AS f_stat,
+        |  CAST(n AS BIGINT) AS n_obs
+        |FROM f""".stripMargin,
     "q157_ema_series" ->
       """WITH p AS (SELECT user_id,
         |    list(event_id ORDER BY ts) AS ids,
