@@ -289,6 +289,38 @@ object Stats {
       .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_size"))
   }
 
+  /** Bloom filter as a mergeable bit-set frame: the distinct bit positions
+    * set by `k` salted-h64 hashes of each key, m bits total. State is
+    * ≤ m rows regardless of cardinality, merges across partitions/batches
+    * by plain union+distinct, and — because the hashes are the portable
+    * h64, not a JVM-private hash — the WHOLE filter is engine-reproducible
+    * and oracle-checkable (unlike `DataFrameStatFunctions.bloomFilter`'s
+    * opaque sketch). The classic decontamination shape: build over the
+    * eval/benchmark set, probe the training corpus, drop maybe-hits. */
+  def bloomBits(df: DataFrame, key: String, m: Int = 4096,
+                k: Int = 3): DataFrame =
+    df.select(explode(array((0 until k).map(j =>
+        pmod(graft.text.TextOps.h64(
+          concat(col(key).cast("string"), lit(s":bf$j"))), lit(m.toLong))): _*))
+      .as("bit")).distinct()
+
+  /** Probe candidate keys against a [[bloomBits]] filter: maybe_present = 1
+    * iff ALL `k` of the key's bit positions are set — no false negatives
+    * ever (a present key's bits are all set by construction), false
+    * positives at the standard (1 − e^(−kn/m))^k rate. The filter frame is
+    * ≤ m rows, so it broadcasts; the probe is one explode + broadcast join
+    * + count — linear in candidates at any corpus size. */
+  def bloomProbe(bits: DataFrame, candidates: DataFrame, key: String,
+                 m: Int = 4096, k: Int = 3): DataFrame =
+    candidates.select(col(key)).distinct()
+      .select(col(key), explode(array((0 until k).map(j =>
+        pmod(graft.text.TextOps.h64(
+          concat(col(key).cast("string"), lit(s":bf$j"))), lit(m.toLong))): _*))
+        .as("bit"))
+      .join(broadcast(bits.withColumn("_hit", lit(1))), Seq("bit"), "left")
+      .groupBy(col(key))
+      .agg((count(col("_hit")) === k).cast("int").as("maybe_present"))
+
   /** Count-min point estimates for every distinct key: est = min over the
     * `depth` rows of that key's bucket counter. The lookup joins the
     * (≤ depth·width row) sketch broadcast against the distinct keys —

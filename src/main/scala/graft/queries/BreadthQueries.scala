@@ -255,6 +255,33 @@ object BreadthQueries {
           (col("cm_est") >= col("exact_n")).as("no_underestimate"))
     }),
 
+    // ── Bloom-filter decontamination probe: portable-hash bit-set built
+    //    over the "eval" key set, every corpus key probed against it — the
+    //    whole filter is engine-reproducible, so the oracle rebuilds the
+    //    IDENTICAL bits and the no-false-negative guarantee checks as a flag
+    "q159_bloom_probe" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val evalSet = e.filter(col("user_id") < 30)
+        .select(col("user_id").cast("string").as("key"))
+      val bits = graft.ops.Stats.bloomBits(evalSet, "key", m = 1024, k = 3)
+      val cands = e.select(col("user_id").cast("string").as("key")).distinct()
+      graft.ops.Stats.bloomProbe(bits, cands, "key", m = 1024, k = 3)
+        .join(evalSet.distinct().withColumn("_in", lit(1)), Seq("key"), "left")
+        .select(col("key"), col("maybe_present"),
+          coalesce(col("_in"), lit(0)).as("exact_present"))
+        .withColumn("no_false_negative",
+          col("maybe_present") >= col("exact_present"))
+    }),
+
+    // ── weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    //    priority u^(1/w) from the salted portable hash, top-50 per event
+    //    type — quality-weighted curation picks, reproducible cross-engine
+    "q160_weighted_sample" -> ((s, d) =>
+      graft.text.Mix.weightedSample(
+        Tables.events(s, d).filter(col("value") > 0)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "value", "event_type", n = 50)),
+
     // ── blocked edit-distance join (entity resolution): equi-join on
     //    (p_brand, p_size) blocks, exact Levenshtein ≤ 4 within blocks —
     //    pair space Σ|block|², never n²
@@ -442,6 +469,39 @@ object BreadthQueries {
         |  FROM events GROUP BY 1)
         |SELECT key, exact_n, cm_est, cm_est >= exact_n AS no_underestimate
         |FROM ex JOIN est USING (key)""".stripMargin,
+    "q159_bloom_probe" ->
+      """WITH eval AS (SELECT DISTINCT user_id::VARCHAR AS key
+        |  FROM events WHERE user_id < 30),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(key || ':bf' || j::VARCHAR), 1, 15))::BIGINT
+        |      % 1024 AS bit
+        |  FROM eval, unnest([0, 1, 2]) AS t(j)),
+        |cand AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events),
+        |pos AS (SELECT key,
+        |    ('0x' || substr(md5(key || ':bf' || j::VARCHAR), 1, 15))::BIGINT
+        |      % 1024 AS bit
+        |  FROM cand, unnest([0, 1, 2]) AS t(j)),
+        |probe AS (SELECT key, CAST(count(b.bit) = 3 AS INT) AS maybe_present
+        |  FROM pos LEFT JOIN bits b USING (bit) GROUP BY key)
+        |SELECT p.key, p.maybe_present,
+        |  CASE WHEN e.key IS NULL THEN 0 ELSE 1 END AS exact_present,
+        |  p.maybe_present >= (CASE WHEN e.key IS NULL THEN 0 ELSE 1 END)
+        |    AS no_false_negative
+        |FROM probe p LEFT JOIN eval e USING (key)""".stripMargin,
+    "q160_weighted_sample" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value > 0),
+        |p AS (SELECT event_id, event_type, value,
+        |    pow(((('0x' || substr(md5('ws:' || event_id::VARCHAR), 1, 15))::BIGINT
+        |          % 1000000) + 1) / 1000000.0,
+        |      1.0 / CAST(value AS DOUBLE)) AS pri
+        |  FROM e),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY pri DESC, event_id ASC) AS rank
+        |  FROM p)
+        |SELECT event_id, event_type, value, CAST(rank AS INT) AS rank,
+        |  round(pri, 6) AS priority
+        |FROM r WHERE rank <= 50""".stripMargin,
     "q154_fuzzy_blocked" ->
       """WITH ok AS (SELECT p_brand, p_size FROM part
         |  GROUP BY 1, 2 HAVING count(*) <= 10000),

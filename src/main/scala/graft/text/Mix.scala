@@ -33,6 +33,28 @@ object Mix {
     df.filter(saltedHash("smp:", id, 1000) < rate * 1000)
   }
 
+  /** Weighted sampling without replacement, top-`n` per stratum (Efraimidis
+    * & Spirakis A-Res): each row draws u ∈ (0, 1] from its salted id hash
+    * and gets priority u^(1/w); the n highest priorities per stratum are a
+    * weighted sample without replacement — the quality-weighted "pick the
+    * best n docs per source, biased by score but not deterministically
+    * top-score" selection a curation pass wants. Deterministic twice over:
+    * u comes from the portable h64 (reproducible across runs/engines — the
+    * oracle computes identical priorities) and the rank breaks ties by id.
+    * One window per stratum, no shuffle beyond it; weights must be > 0. */
+  def weightedSample(df: DataFrame, id: String, weight: String,
+                     stratum: String, n: Int): DataFrame = {
+    val u = (pmod(TextOps.h64(concat(lit("ws:"), col(id).cast("string"))),
+      lit(1000000L)) + 1) / lit(1000000.0)
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("_pri").desc, col(id).asc)
+    df.withColumn("_pri", pow(u, lit(1.0) / col(weight).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .withColumn("priority", round(col("_pri"), 6))
+      .drop("_pri")
+  }
+
   /** Deterministic train/val/test assignment by id hash: stable under
     * re-runs and corpus growth (a doc's split never changes when other docs
     * arrive — unlike `randomSplit`). */
