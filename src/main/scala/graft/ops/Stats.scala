@@ -372,4 +372,152 @@ object Stats {
       min(col("min_value")).as("min_value"),
       max(col("max_value")).as("max_value"))
       .withColumn("avg_value", col("sum_value") / col("n"))
+
+  // ── HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier, AofA'07) ──────────────
+
+  /** Bits of h64's value space left after the register index is peeled off
+    * (h64 is 15 hex chars = 60 bits; 6 go to a 64-register index). */
+  private val HllWBits = 54
+
+  /** Portable rank-of-first-one: for `w` in [0, 2^54), rho = (leading
+    * zeros in the 54-bit word) + 1 = 55 − bitlength(w), with bitlength
+    * read off `bin()`'s minimal binary string — exact integers end to end
+    * (no log2, whose float rounding at power-of-two boundaries would break
+    * cross-engine equality; and no deep CASE chain, which Spark's
+    * subexpression-elimination pass walks exponentially when nested).
+    * w = 0 → 55, the all-zeros sentinel. */
+  private def rhoExpr(w: Column): Column =
+    when(w === 0, lit(HllWBits + 1))
+      .otherwise(lit(HllWBits + 1) - length(bin(w))).cast("int")
+
+  /** The same formula as DuckDB SQL (`bin` prints the identical minimal
+    * binary string in both engines), so the oracle rebuilds identical
+    * registers from the identical md5-derived hash. */
+  def rhoSql(w: String): String =
+    s"CASE WHEN $w = 0 THEN ${HllWBits + 1} " +
+      s"ELSE ${HllWBits + 1} - length(bin($w)) END"
+
+  /** HyperLogLog registers per group: 64 registers × max rank-of-first-one.
+    * THE mergeable distinct-count state for 100 TB: 64 small ints per
+    * group no matter the cardinality, built by one map-side-combined
+    * aggregate (merge across partitions/batches/days = elementwise MAX).
+    * Unlike [[linearCountDistinct]] (which saturates past n ≈ 12·m), HLL's
+    * relative error stays ~1.04/√64 ≈ 13% at ANY cardinality. Hashes are
+    * the portable salted h64, so a second engine rebuilds bit-identical
+    * registers — the whole estimate is oracle-checkable, which Spark's own
+    * `approx_count_distinct` (opaque JVM sketch) is not. */
+  def hllRegisters(df: DataFrame, key: String, keys: Seq[String],
+                   m: Int = 64): DataFrame = {
+    require(m == 64, s"hllRegisters: register count is fixed at 64 " +
+      s"(6 index bits of the 60-bit portable hash); got $m")
+    val h = graft.text.TextOps.h64(
+      concat(col(key).cast("string"), lit(":hll")))
+    // register = low 6 hash bits; w = the remaining 54 (shiftright, not
+    // `/` — double division of a 60-bit value is inexact)
+    df.groupBy((keys.map(col) :+ pmod(h, lit(m.toLong)).as("reg")): _*)
+      .agg(max(rhoExpr(shiftright(h, 6))).as("rho"))
+  }
+
+  /** HLL distinct estimate per group from [[hllRegisters]], with the
+    * standard small-range (linear-counting) correction. The indicator sum
+    * Σ 2^(−rho) is carried as the EXACT integer Σ 2^(55−rho) (absent
+    * registers contribute rho = 0 → 2^55 each; 64·2^55 < 2^63), so the
+    * only floating-point steps are one division and one log — engine
+    * round-off lives below the 6-decimal rounding the catalog compares
+    * at. */
+  def hllEstimate(df: DataFrame, key: String, keys: Seq[String]): DataFrame = {
+    val m = 64
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // FFGM §4, m ≥ 64
+    val scale = HllWBits + 1               // 2^(55−rho) keeps rho=55 integral
+    val regs = hllRegisters(df, key, keys, m)
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - rho)")).as("_seen"),
+        count(lit(1)).as("_nreg"))
+      .withColumn("_denom",
+        col("_seen") + (lit(m) - col("_nreg")) * lit(1L << scale))
+      .withColumn("_zeros", lit(m) - col("_nreg"))
+      .withColumn("_raw",
+        lit(alpha * m * m) * lit(math.pow(2.0, scale)) / col("_denom"))
+      .withColumn("hll_est", round(
+        when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(col("_raw")), 6))
+      .drop("_seen", "_nreg", "_denom", "_zeros", "_raw")
+  }
+
+  // ── target encoding ─────────────────────────────────────────────────────
+
+  /** Leave-one-out target encoding with a smoothing prior (the standard
+    * high-cardinality categorical feature for GBDT/linear models): each
+    * row's category is encoded by the mean target of the OTHER rows in its
+    * category, shrunk toward the global mean by `prior` pseudo-counts —
+    * te = (sum_y − y + prior·ȳ) / (n − 1 + prior). Leaving the own row out
+    * kills the target-leakage overfit of naive mean encoding; the prior
+    * keeps singleton categories at the global mean instead of 0/0. Cost at
+    * scale: one per-category aggregate (map-side combined) broadcast back
+    * onto the scan — no wide shuffle of the data. NULL targets must be
+    * filtered upstream (they would poison sum_y). */
+  def targetEncode(df: DataFrame, cat: String, y: String,
+                   prior: Double = 10.0): DataFrame = {
+    val stats = df.groupBy(col(cat))
+      .agg(sum(col(y).cast("double")).as("_sum_y"), count(lit(1)).as("_n_cat"))
+    val global = df.agg(avg(col(y).cast("double")).as("_gmean"))
+    df.join(broadcast(stats), Seq(cat))
+      .crossJoin(broadcast(global))
+      .withColumn(s"${y}_te", round(
+        (col("_sum_y") - col(y) + lit(prior) * col("_gmean")) /
+          (col("_n_cat") - 1 + lit(prior)), 6))
+      .drop("_sum_y", "_n_cat", "_gmean")
+  }
+
+  // ── two-pass exact median ───────────────────────────────────────────────
+
+  /** EXACT per-group median without a global sort — the two-pass
+    * histogram-narrowing algorithm (the textbook distributed selection
+    * scheme; cf. Blum et al. selection and Spark's own approx_percentile
+    * narrowing). Pass 1 bins every value into `bins` equal-width buckets
+    * per group and locates, from cumulative bin counts (a bins-sized
+    * per-group frame), which bucket holds each middle order statistic
+    * (ranks ⌈n/2⌉ and ⌈(n+1)/2⌉). Pass 2 re-scans ONLY the rows of those
+    * target buckets — expected n/bins of the data — and sorts within them,
+    * offsetting local ranks by the cumulative count below the bucket. At
+    * 100 TB this replaces `sort().limit(k)` over the full group (a
+    * full-shuffle death) with two scans plus a sort of ~n/1000 rows; exact
+    * result, unlike approx_percentile. All-equal groups (bin width 0)
+    * collapse to bucket 0 and come out exact. */
+  def exactMedianTwoPass(df: DataFrame, value: String, keys: Seq[String],
+                         bins: Int = 1001): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val v = col(value).cast("double")
+    // pass 1: per-group extent + target ranks
+    val ext = df.groupBy(k: _*).agg(
+      min(v).as("_lo"), max(v).as("_hi"), count(v).as("_n"))
+      .withColumn("_w", (col("_hi") - col("_lo")) / bins)
+      .withColumn("_k1", expr("(_n + 1) div 2"))
+      .withColumn("_k2", expr("(_n + 2) div 2"))
+    val binned = df.filter(v.isNotNull)
+      .join(broadcast(ext), keys)
+      .withColumn("_bin", when(col("_w") === 0, lit(0L))
+        .otherwise(least(floor((v - col("_lo")) / col("_w")),
+          lit(bins - 1L))))
+    val cumW = Window.partitionBy(k: _*).orderBy(col("_bin"))
+    val hist = binned.groupBy((k :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_c"),
+        first(col("_k1")).as("_k1"), first(col("_k2")).as("_k2"))
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_below", col("_cum") - col("_c"))
+    // buckets holding either middle rank (≤ 2 per group)
+    val targets = hist.filter(
+      (col("_below") < col("_k1") && col("_k1") <= col("_cum")) ||
+        (col("_below") < col("_k2") && col("_k2") <= col("_cum")))
+      .select((k :+ col("_bin") :+ col("_below")): _*)
+    // pass 2: sort only the target buckets, pick the global order stats
+    val rankW = Window.partitionBy((k :+ col("_bin")): _*).orderBy(v)
+    binned.join(targets, keys :+ "_bin")
+      .withColumn("_rk", col("_below") + row_number().over(rankW))
+      .filter(col("_rk") === col("_k1") || col("_rk") === col("_k2"))
+      .groupBy(k: _*)
+      .agg(round(avg(v), 6).as("median"))
+  }
 }

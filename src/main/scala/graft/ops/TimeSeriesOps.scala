@@ -248,4 +248,44 @@ object TimeSeriesOps {
             ((first(col("_hi")) - first(col("_lo"))) / bins)))
           .as("density"))
   }
+
+  /** Seasonal-naive decomposition + residual z-score anomaly flags: the
+    * classic ops-metrics shape (a metric with a strong weekly/daily cycle;
+    * "is this value weird FOR a Tuesday 3pm?" rather than "is it weird
+    * overall?"). seasonal(key, slot) = mean over the series' (day-of-week,
+    * hour-of-day) slot; residual = value − seasonal; z = residual /
+    * stddev_samp(residual | key); anomaly = |z| > `zThresh`.
+    *
+    * Day-of-week is the PORTABLE epoch-day mod 7 (0 = Thursday — 1970-01-01
+    * was one), not `dayofweek()`: engines disagree on week-start numbering
+    * (Spark 1=Sun..7, DuckDB 0=Sun..6) and a calendar off-by-one would
+    * silently shift every seasonal slot.
+    *
+    * Scale shape: the seasonal profile is ≤ |keys|·168 rows and the
+    * residual-σ frame |keys| rows — both broadcast back onto the scan, so
+    * the data itself never shuffles; two map-side-combined aggregates + two
+    * broadcast joins total. Rounding only at the emitted columns (6 dp). */
+  def seasonalDecompose(df: DataFrame, ts: String, value: String,
+                        keys: Seq[String], zThresh: Double = 3.0): DataFrame = {
+    val k = keys.map(col)
+    val v = col(value).cast("double")
+    val slotted = df.filter(v.isNotNull)
+      .withColumn("_dow", pmod(datediff(to_date(col(ts)), lit("1970-01-01")), lit(7)))
+      .withColumn("_hr", hour(col(ts)))
+    val prof = slotted.groupBy((k :+ col("_dow") :+ col("_hr")): _*)
+      .agg(avg(v).as("_seasonal"))
+    val withSeasonal = slotted
+      .join(broadcast(prof), keys ++ Seq("_dow", "_hr"))
+      .withColumn("_resid", v - col("_seasonal"))
+    val sds = withSeasonal.groupBy(k: _*)
+      .agg(stddev_samp(col("_resid")).as("_sd"))
+    withSeasonal.join(broadcast(sds), keys)
+      .withColumn("seasonal", round(col("_seasonal"), 6))
+      .withColumn("residual", round(col("_resid"), 6))
+      .withColumn("z", round(when(col("_sd") > 0, col("_resid") / col("_sd")), 6))
+      .withColumn("is_anomaly",
+        when(col("_sd") > 0, abs(col("_resid") / col("_sd")) > zThresh)
+          .otherwise(lit(false)))
+      .drop("_dow", "_hr", "_seasonal", "_resid", "_sd")
+  }
 }

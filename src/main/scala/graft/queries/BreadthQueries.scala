@@ -416,7 +416,76 @@ object BreadthQueries {
           array_contains(col("_w"), "data").as("has_data"),
           size(array_distinct(array_intersect(col("_w"),
             array(lit("the"), lit("a"), lit("of"), lit("data")))))
-            .cast("long").as("n_common"))))
+            .cast("long").as("n_common"))),
+
+    // ── HyperLogLog distinct estimate per group — completes the sketch
+    //    family (count-min q142, linear-count q148, bloom q159): portable
+    //    md5-derived registers, integer-exact indicator sum, so the oracle
+    //    rebuilds the WHOLE estimate bit-for-bit; exact distinct alongside
+    "q161_hll_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val est = graft.ops.Stats.hllEstimate(
+        e.select(col("event_type"), col("user_id").cast("string").as("key")),
+        "key", Seq("event_type"))
+      e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .join(est, "event_type")
+        .select(col("event_type"), col("exact_distinct"), col("hll_est"))
+    }),
+
+    // ── PageRank, 3 power iterations with dangling-mass redistribution,
+    //    over the two-hop customer→nation→region containment graph: rank
+    //    flows customer→nation on iteration 1 and reaches regions by
+    //    iteration 2, and regions are pure sinks, so both the multi-hop
+    //    propagation AND the dangling path are genuinely exercised — the
+    //    catalog's first iterative graph-rank plan: one shuffle/iteration
+    "q162_pagerank" -> ((s, d) => {
+      val edges = Tables.customer(s, d).select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("src"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+        .union(Tables.nation(s, d).select(
+          concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("r"), col("n_regionkey").cast("string")).as("dst")))
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+      graft.analytics.Graph.pageRank(edges, "src", "dst", nodes, "id",
+        iters = 3)
+    }),
+
+    // ── leave-one-out target encoding with a smoothing prior: the
+    //    high-cardinality categorical feature without target leakage
+    "q163_target_encode" -> ((s, d) =>
+      graft.ops.Stats.targetEncode(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select("event_id", "event_type", "value", "value_te")),
+
+    // ── EXACT per-group median by two-pass histogram narrowing (no global
+    //    sort; pass 2 touches ~n/bins rows) — oracle is DuckDB's exact
+    //    median, so the narrowing is proven correct, not approximate
+    "q164_median_twopass" -> ((s, d) =>
+      graft.ops.Stats.exactMedianTwoPass(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select("event_type", "value"),
+        "value", Seq("event_type"))),
+
+    // ── inverted index with gap-encoded postings (df-capped): the
+    //    retrieval storage layout; gaps stringified for the cross-engine
+    //    compare, RetrievalSpec round-trips the decode
+    "q165_inverted_index" -> ((s, d) =>
+      graft.text.Retrieval.invertedIndex(
+        Tables.documents(s, d), "doc_id", "text", minDf = 5, maxDf = 400)
+        .withColumn("gaps", array_join(col("gaps"), ","))),
+
+    // ── seasonal-naive decomposition + residual z-score anomaly flags
+    //    (portable epoch-day dow so both engines agree on the slot)
+    "q166_seasonal_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.seasonalDecompose(
+        Tables.events(s, d).select("event_id", "ts", "event_type", "value"),
+        "ts", "value", Seq("event_type"))
+        .select("event_id", "event_type", "seasonal", "residual", "z",
+          "is_anomaly")))
 
   /** TPC-H Q5 shape (local-supplier volume) — runs verbatim in both Spark
     * SQL and DuckDB, like q46's Q3. */
@@ -448,6 +517,117 @@ object BreadthQueries {
   val oracle: Map[String, String] = Map(
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
+    // HLL rebuilt register-for-register: identical md5 hash, identical
+    // integer rho chain (Stats.rhoSql), identical exact indicator sum —
+    // the only doubles are the final division/ln, rounded at 6 dp
+    "q161_hll_distinct" -> {
+      val rho = graft.ops.Stats.rhoSql("w")
+      s"""WITH h AS (SELECT event_type,
+         |    ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 15))::BIGINT
+         |      AS hv
+         |  FROM events),
+         |regs AS (SELECT event_type, hv % 64 AS reg, max($rho) AS rho
+         |  FROM (SELECT event_type, hv, hv // 64 AS w FROM h) GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |    sum(1::BIGINT << (55 - rho)) AS seen, count(*) AS nreg
+         |  FROM regs GROUP BY 1),
+         |est AS (SELECT event_type,
+         |    seen + (64 - nreg) * (1::BIGINT << 55) AS denom,
+         |    64 - nreg AS zeros FROM agg),
+         |raw AS (SELECT event_type, zeros,
+         |    0.7213 / (1.0 + 1.079 / 64) * 64 * 64 * 36028797018963968.0
+         |      / denom AS r
+         |  FROM est),
+         |he AS (SELECT event_type,
+         |    round(CASE WHEN r <= 160.0 AND zeros > 0
+         |               THEN 64.0 * ln(64.0 / zeros) ELSE r END, 6) AS hll_est
+         |  FROM raw),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, exact_distinct, hll_est
+         |FROM ex JOIN he USING (event_type)""".stripMargin
+    },
+    // the 3 power iterations unrolled as CTEs; every float literal written
+    // as the same expression Spark evaluates ((1.0 - 0.85), not 0.15) so
+    // both engines hit identical IEEE constants
+    "q162_pagerank" -> {
+      val body = (1 to 3).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS id, sum(p.r / d.deg) AS c
+           |  FROM e0 e JOIN $p p ON e.src = p.id JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |d$i AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM $p p
+           |  LEFT JOIN srcs s ON p.id = s.src WHERE s.src IS NULL),
+           |r$i AS (SELECT nodes.id,
+           |    (1.0 - 0.85) / nn.n
+           |      + 0.85 * (coalesce(c$i.c, 0.0) + d$i.dm / nn.n) AS r
+           |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+           |  LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT 'c' || c_custkey::VARCHAR AS src,
+         |           'n' || c_nationkey::VARCHAR AS dst FROM customer
+         |    UNION ALL
+         |    SELECT 'n' || n_nationkey::VARCHAR,
+         |           'r' || n_regionkey::VARCHAR FROM nation)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |srcs AS (SELECT DISTINCT src FROM e0),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |$body
+         |SELECT id, round(r, 6) AS rank FROM r3""".stripMargin
+    },
+    "q163_target_encode" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, sum(value) AS sum_y, count(*) AS n_cat
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT avg(value) AS gmean FROM e)
+        |SELECT event_id, event_type, value,
+        |  round((sum_y - value + 10.0 * gmean) / (n_cat - 1 + 10.0), 6)
+        |    AS value_te
+        |FROM e JOIN st USING (event_type) CROSS JOIN g""".stripMargin,
+    // the oracle is the EXACT median — proving the histogram narrowing
+    // selects the true order statistics, not an approximation
+    "q164_median_twopass" ->
+      """SELECT event_type, round(median(value), 6) AS median
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+    "q165_inverted_index" ->
+      raw"""WITH toks AS (SELECT DISTINCT doc_id, t.term
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |pl AS (SELECT term, list_sort(list(doc_id)) AS ids,
+        |    count(*) AS df_docs
+        |  FROM toks GROUP BY 1),
+        |f AS (SELECT * FROM pl WHERE df_docs BETWEEN 5 AND 400)
+        |SELECT term, df_docs, ids[1] AS first_id, ids[-1] AS last_id,
+        |  CASE WHEN len(ids) = 1 THEN 0
+        |       ELSE list_max(list_transform(range(2, len(ids) + 1),
+        |                     i -> ids[i] - ids[i - 1])) END AS max_gap,
+        |  array_to_string(list_transform(range(1, len(ids) + 1),
+        |    i -> CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i - 1] END),
+        |    ',') AS gaps
+        |FROM f""".stripMargin,
+    "q166_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, ts, value FROM events
+        |  WHERE value IS NOT NULL),
+        |sl AS (SELECT *, (ts::DATE - DATE '1970-01-01') % 7 AS dow,
+        |    extract(hour FROM ts) AS hr FROM e),
+        |prof AS (SELECT event_type, dow, hr, avg(value) AS seasonal
+        |  FROM sl GROUP BY 1, 2, 3),
+        |r AS (SELECT sl.event_id, sl.event_type, prof.seasonal,
+        |    sl.value - prof.seasonal AS resid
+        |  FROM sl JOIN prof USING (event_type, dow, hr)),
+        |sd AS (SELECT event_type, stddev_samp(resid) AS sd FROM r GROUP BY 1)
+        |SELECT event_id, event_type, round(seasonal, 6) AS seasonal,
+        |  round(resid, 6) AS residual,
+        |  round(CASE WHEN sd > 0 THEN resid / sd END, 6) AS z,
+        |  CASE WHEN sd > 0 THEN abs(resid / sd) > 3.0 ELSE false END
+        |    AS is_anomaly
+        |FROM r JOIN sd USING (event_type)""".stripMargin,
     // the driver tables are one physical file each, so the oracle can pin
     // the basename literally — the check is that Spark's
     // input_file_name-derived grouping lands every row in that file

@@ -556,4 +556,82 @@ class IndicatorsSpec extends SparkSpec {
     assert(merged.orderBy("event_type").collect()
       .sameElements(direct.orderBy("event_type").collect()))
   }
+
+  test("hllEstimate: small cardinality hits linear-counting near-exactly; " +
+       "large stays inside the m=64 error bound; duplicates don't move it") {
+    val small = (1 to 5).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val sEst = Stats.hllEstimate(small, "k", Seq("grp")).head()
+      .getDouble(1)
+    assert(math.abs(sEst - 5.0) < 1.0, s"small-range estimate $sEst vs 5")
+    // 2000 distinct: raw HLL regime, expected σ ≈ 1.04/√64 ≈ 13%
+    val big = (1 to 2000).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val bEst = Stats.hllEstimate(big, "k", Seq("grp")).head().getDouble(1)
+    assert(math.abs(bEst - 2000) / 2000.0 < 0.30, s"estimate $bEst vs 2000")
+    // distinct-count state: repeating every key 7× is a no-op
+    val dup = (1 to 2000).flatMap(i => Seq.fill(7)(("g", s"k$i")))
+      .toDF("grp", "k")
+    assert(Stats.hllEstimate(dup, "k", Seq("grp")).head().getDouble(1) == bEst)
+  }
+
+  test("targetEncode: leave-one-out closed form; singleton category " +
+       "collapses to the global mean") {
+    val df = Seq(("r1", "A", 1.0), ("r2", "A", 3.0), ("r3", "B", 10.0))
+      .toDF("id", "cat", "y")
+    val g = (1.0 + 3.0 + 10.0) / 3
+    val got = Stats.targetEncode(df, "cat", "y", prior = 10.0)
+      .select("id", "y_te").collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("r1") == r6((4.0 - 1.0 + 10 * g) / (2 - 1 + 10)))
+    assert(got("r2") == r6((4.0 - 3.0 + 10 * g) / (2 - 1 + 10)))
+    // singleton B: (10 − 10 + p·g)/(0 + p) = g — pure prior, no self-leak
+    assert(got("r3") == r6(g))
+  }
+
+  test("exactMedianTwoPass: equals the sort-based median on odd/even/" +
+       "all-equal/negative groups, even with bins ≪ n") {
+    val rows =
+      (1 to 101).map(i => ("odd", (i * 37 % 101).toDouble)) ++
+      (1 to 100).map(i => ("even", (i * 13 % 100).toDouble)) ++
+      Seq.fill(9)(("flat", 42.0)) ++
+      (1 to 50).map(i => ("neg", -i.toDouble))
+    val df = rows.toDF("grp", "v")
+    // bins = 7 forces real narrowing (many values per bucket)
+    val got = Stats.exactMedianTwoPass(df, "v", Seq("grp"), bins = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def truth(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    rows.groupBy(_._1).foreach { case (grp, vs) =>
+      assert(got(grp) == truth(vs.map(_._2)), s"group $grp")
+    }
+  }
+
+  test("seasonalDecompose: pure-seasonal series has zero residuals and no " +
+       "anomalies; a planted spike in a noisy series is the one flag") {
+    import java.sql.Timestamp
+    def ts(day: Int, hr: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hr%02d:00:00")
+    // two weeks of a value that depends ONLY on (dow, hour): residual ≡ 0,
+    // sd = 0 → z NULL, anomaly false everywhere
+    val pure = (1 to 14).flatMap(d => Seq(0, 6, 12).map(h =>
+      (s"e$d$h", ts(d, h), "pure", (d % 7) * 100.0 + h)))
+    // noisy group, 4 weeks: alternating ±1 around the slot mean plus one
+    // 1000-point spike — 4 obs/slot dilutes the spike's pull on its own
+    // slot mean enough that only the spike row crosses |z| > 3
+    val noisy = (1 to 28).map(d =>
+      (s"n$d", ts(d, 3), "noisy",
+        50.0 + (if (d == 7) 1000.0 else if (d % 2 == 0) 1.0 else -1.0)))
+    val df = (pure ++ noisy).toDF("event_id", "ts", "event_type", "value")
+    val got = graft.ops.TimeSeriesOps.seasonalDecompose(
+      df, "ts", "value", Seq("event_type")).cache()
+    val p = got.filter(col("event_type") === "pure")
+    assert(p.filter(col("residual") =!= 0.0).count() == 0)
+    assert(p.filter(col("z").isNotNull).count() == 0)
+    assert(p.filter(col("is_anomaly")).count() == 0)
+    val flagged = got.filter(col("event_type") === "noisy" &&
+      col("is_anomaly")).select("event_id").as[String].collect().toSeq
+    assert(flagged == Seq("n7"), s"flagged $flagged")
+  }
 }
