@@ -425,11 +425,27 @@ object Stats {
     * only floating-point steps are one division and one log — engine
     * round-off lives below the 6-decimal rounding the catalog compares
     * at. */
-  def hllEstimate(df: DataFrame, key: String, keys: Seq[String]): DataFrame = {
+  def hllEstimate(df: DataFrame, key: String, keys: Seq[String]): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, key, keys), keys)
+
+  /** Elementwise-max merge of [[hllRegisters]] frames — THE reason HLL is
+    * the 100 TB distinct-count state: shards/days/batches are sketched
+    * independently, and union is a (keys, reg) max — no re-scan of any
+    * shard. `hllMerge(a, b) |> estimate ≡ estimate(a ∪ b)` exactly
+    * (max is associative/commutative/idempotent); q167 emits both sides
+    * of that identity and IndicatorsSpec pins it on random splits. */
+  def hllMerge(shards: DataFrame*): DataFrame = {
+    val all = shards.reduce(_ unionByName _)
+    val ks = all.columns.filterNot(_ == "rho").map(col)
+    all.groupBy(ks: _*).agg(max(col("rho")).as("rho"))
+  }
+
+  /** The FFGM estimator over a register frame (from [[hllRegisters]] or
+    * [[hllMerge]]). */
+  def hllEstimateFromRegisters(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val m = 64
     val alpha = 0.7213 / (1.0 + 1.079 / m) // FFGM §4, m ≥ 64
     val scale = HllWBits + 1               // 2^(55−rho) keeps rho=55 integral
-    val regs = hllRegisters(df, key, keys, m)
     regs.groupBy(keys.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - rho)")).as("_seen"),
         count(lit(1)).as("_nreg"))
@@ -443,6 +459,66 @@ object Stats {
           lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
           .otherwise(col("_raw")), 6))
       .drop("_seen", "_nreg", "_denom", "_zeros", "_raw")
+  }
+
+  // ── KMV (k minimum values) distinct sketch ──────────────────────────────
+
+  /** Size of the portable 60-bit hash value space, as a double. */
+  private val KmvH = math.pow(2.0, 60)
+
+  /** Per-group k-minimum-values sketch: the k smallest DISTINCT h64
+    * hashes, as a sorted array (Bar-Yossef et al., RANDOM'02; the
+    * "KMV/theta sketch" of Beyer et al., SIGMOD'07). Where HLL
+    * ([[hllRegisters]]) only counts, KMV supports SET ALGEBRA: sketches
+    * union by re-taking the k smallest of the merged arrays, and the
+    * Jaccard of two sets is read off one union sketch ([[kmvJaccard]]) —
+    * the cheap "how much do these two 10-TB corpora overlap?" probe.
+    * State is k longs per group; the heavy lift is one shuffle to rank
+    * hashes per group. Hashes are md5-derived, so a second engine rebuilds
+    * the identical sketch. */
+  def kmvSketch(df: DataFrame, key: String, keys: Seq[String],
+                k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.text.TextOps.h64(
+      concat(col(key).cast("string"), lit(":kmv")))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_h"))
+    df.select((keys.map(col) :+ h.as("_h")): _*).distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(col("_h"))).as("kmv"))
+  }
+
+  /** Distinct estimate from a [[kmvSketch]]: (k−1)·H/h₍k₎ when the sketch
+    * is full (the kth-smallest of n uniform hashes sits near k·H/n);
+    * below k distinct hashes the sketch IS the distinct set — exact. */
+  def kmvEstimate(df: DataFrame, key: String, keys: Seq[String],
+                  k: Int = 64): DataFrame =
+    kmvSketch(df, key, keys, k)
+      .withColumn("n_sketch", size(col("kmv")).cast("long"))
+      .withColumn("kmv_est", round(
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvH) /
+            element_at(col("kmv"), k)), 6))
+      .drop("kmv")
+
+  /** Jaccard similarity + intersection size of two keyed sets from their
+    * KMV sketches (Beyer et al. §4): build the union sketch (k smallest
+    * of the merged hash arrays), count its members present in BOTH input
+    * sketches (ρ), then J ≈ ρ/k and |A∩B| ≈ J·|A∪B|. Exact when both
+    * sets fit in the sketch. `a`/`b` are (group-less) single sketches as
+    * 1-row frames from [[kmvSketch]] with keys = Nil semantics — here
+    * taken as arrays for composability inside one plan. */
+  def kmvJaccardExpr(a: Column, b: Column, k: Int): Column = {
+    val union = slice(array_sort(array_union(a, b)), 1, k)
+    val rho = size(array_intersect(array_intersect(union, a), b))
+    val unionEst = when(size(union) < k, size(union).cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvH) / element_at(union, k))
+    struct(
+      round(rho.cast("double") / least(size(union), lit(k)), 6).as("jaccard"),
+      round(rho.cast("double") / least(size(union), lit(k)) * unionEst, 6)
+        .as("inter_est"),
+      round(unionEst, 6).as("union_est"))
   }
 
   // ── target encoding ─────────────────────────────────────────────────────
