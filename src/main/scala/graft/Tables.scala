@@ -19,16 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** The events parquet carries TIMESTAMP(NANOS) (pandas datetime64[ns]),
-    * which Spark's parquet reader rejects. Read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to a micros
-    * timestamp — lossless here (driver data is micro-aligned) and matching
-    * DuckDB's nanos→micros read of the same file. */
+  /** The events parquet's `ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (pandas datetime64[ns], which Spark reads
+    * as long under spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or a plain UTC
+    * timestamp. Normalize all three to session-zone TimestampType — the
+    * session is pinned to UTC everywhere, so the NTZ→TZ cast is wall-clock
+    * lossless and matches DuckDB's naive read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to micros (driver data is micro-aligned)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
