@@ -25,15 +25,43 @@ object Tables {
     * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or a plain UTC
     * timestamp. Normalize all three to session-zone TimestampType — the
     * session is pinned to UTC everywhere, so the NTZ→TZ cast is wall-clock
-    * lossless and matches DuckDB's naive read of the same file. */
+    * lossless and matches DuckDB's naive read of the same file.
+    *
+    * Sessions should set `spark.sql.legacy.parquet.nanosAsLong=true` at
+    * creation (all graft entry points do — Bench/Verify/specs alongside the
+    * UTC pin); it is re-asserted here only as a safety net for external sessions
+    * because a NANOS-annotated file cannot be read at all without it.
+    * FormatsSpec pins all three branches against written fixtures. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption(NanosAsLongKey).isEmpty)
+      s.conf.set(NanosAsLongKey, "true")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = t(s, d, "events")
+    normalizeEventTs(t(s, d, "events"))
+  }
+
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** The three-branch `ts` normalization behind [[events]], factored out so
+    * FormatsSpec can drive it over synthetic fixtures of every physical
+    * type the driver has ever generated. The int64 branch guards magnitude
+    * (ADVICE r6): a plain int64 storing epoch millis/micros would be
+    * silently mis-scaled 1000× by the nanos assumption, so any non-null
+    * value whose magnitude is below one year's worth of nanoseconds
+    * (~1971-01-01, i.e. certainly not an epoch-nanos instant) raises
+    * instead of guessing. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long: truncate to micros (driver data is micro-aligned)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn("ts", timestamp_micros(expr(
+          """CASE WHEN ts IS NOT NULL AND abs(ts) < 31536000000000000
+            |THEN CAST(raise_error(concat('events.ts int64 value ',
+            |  CAST(ts AS STRING),
+            |  ' is too small to be epoch nanoseconds — millis/micros file?'))
+            |  AS BIGINT)
+            |ELSE ts div 1000 END""".stripMargin)))
       case _: TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw

@@ -37,6 +37,70 @@ class FormatsSpec extends SparkSpec {
     assert(canon(o).sameElements(expect), "orc mismatch")
   }
 
+  test("events ts normalization: int64-nanos / NTZ / UTC / INT96 physical " +
+       "types all read identically (the round-5 drift, pinned)") {
+    // The driver's parquet generation has shifted the events `ts` physical
+    // type across rounds (TIMESTAMP(NANOS)→nanos-as-long, TIMESTAMP(MICROS)
+    // NTZ, UTC timestamp); round 5 lost 79/167 bench queries to exactly this
+    // drift. Write one fixture per physical type from the same rows and
+    // assert Tables.events normalizes every variant to identical frames.
+    val base = java.nio.file.Files.createTempDirectory("graft_evts").toString
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(200)
+
+    import org.apache.spark.sql.types.TimestampNTZType
+    // (a) plain int64 epoch nanoseconds (what nanosAsLong surfaces for a
+    //     TIMESTAMP(NANOS)-annotated column — Spark cannot author that
+    //     annotation itself, so the long column exercises the same branch)
+    src.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.parquet(s"$base/nanos/events.parquet")
+    // (b) TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS) isAdjustedToUTC=false
+    src.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.parquet(s"$base/ntz/events.parquet")
+    // (c) UTC-adjusted TIMESTAMP(MICROS)  (d) legacy INT96
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      src.write.parquet(s"$base/utc/events.parquet")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      src.write.parquet(s"$base/int96/events.parquet")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+
+    def canon(dir: String) =
+      Tables.events(spark, dir).orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+    val expect = src.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    assert(expect.length == 200)
+    assert(canon(s"$base/nanos").sameElements(expect), "nanos-as-long mismatch")
+    assert(canon(s"$base/ntz").sameElements(expect), "TIMESTAMP_NTZ mismatch")
+    assert(canon(s"$base/utc").sameElements(expect), "UTC timestamp mismatch")
+    assert(canon(s"$base/int96").sameElements(expect), "INT96 mismatch")
+  }
+
+  test("events ts normalization refuses an int64 column that can't be nanos") {
+    // A plain int64 storing epoch MILLIS/MICROS would be silently mis-scaled
+    // 1000x by the nanos assumption (ADVICE r6) — the guard raises instead.
+    val base = java.nio.file.Files.createTempDirectory("graft_evbad").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(50)
+      .withColumn("ts", expr("unix_millis(ts)"))
+      .write.parquet(s"$base/events.parquet")
+    val e = intercept[Exception] {
+      Tables.events(spark, base).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("too small to be epoch nanoseconds")))
+  }
+
   test("malformed JSON rows land as nulls under the declared schema (coerce)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badjson").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
