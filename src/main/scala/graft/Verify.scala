@@ -21,13 +21,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,9 +33,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE any query runs: the compare side's
+    // key enumeration must survive a query (or table loader) that kills the
+    // JVM mid-loop — round 5's correctness file silently truncated to 88 of
+    // 167 entries because enumeration depended on how far the run got.
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // status.json carries EVERY catalog key from the start ("pending"), is
+    // rewritten after each query, and marks failures with the exception —
+    // so a partial run reads as "N pending / M err", never as a smaller
+    // catalog. Failures also still print to stderr.
+    val names = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    val status = scala.collection.mutable.LinkedHashMap[String, String](
+      names.map(_ -> "pending"): _*)
+    def writeStatus(): Unit = Files.writeString(Paths.get(s"$outDir/status.json"),
+      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    writeStatus()
+    names.foreach { name =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
+        status(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(300))
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      writeStatus()
+    }
     spark.stop()
   }
 }
