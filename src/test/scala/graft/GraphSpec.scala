@@ -55,6 +55,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank checkpointing: ranks ≡ un-checkpointed, and a 30-iter " +
+       "plan stays bounded") {
+    val edges = Seq("a" -> "b", "b" -> "a", "c" -> "a", "c" -> "b", "b" -> "d",
+      "d" -> "e", "e" -> "a").toDF("s", "t")
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("id")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Equality leg at 6 iterations: the rank frame is referenced twice per
+    // iteration, so an UN-checkpointed plan tree DOUBLES every round —
+    // even ~10 unchecked iterations already stall Catalyst analysis for
+    // minutes (measured), which is precisely the hang the checkpoint
+    // exists to prevent (so the 30-iter leg runs checkpointed only and
+    // asserts the plan bound instead).
+    assert(ranksOf(Graph.pageRank(edges, "s", "t", nodes, "id", iters = 6,
+        checkpointEvery = 2)) ==
+      ranksOf(Graph.pageRank(edges, "s", "t", nodes, "id", iters = 6,
+        checkpointEvery = 1000)))
+    val checked30 = Graph.pageRank(edges, "s", "t", nodes, "id", iters = 30,
+      checkpointEvery = 5)
+    def planNodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case p => p }.size
+    // ≤ checkpointEvery un-checkpointed tail iterations on top of a
+    // materialized leaf: ~2^5·base ≈ 1.2k nodes — constant in `iters`,
+    // where the unchecked plan would be 2^30·base
+    assert(planNodes(checked30) < 2500,
+      s"checkpointed 30-iter plan has ${planNodes(checked30)} nodes")
+    assert(math.abs(ranksOf(checked30).values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank tol early-stop converges to the full-run ranks") {
+    val edges = Seq("a" -> "b", "b" -> "a", "c" -> "a", "c" -> "b", "b" -> "d")
+      .toDF("s", "t")
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val early = Graph.pageRank(edges, "s", "t", nodes, "id", iters = 100,
+        tol = 1e-7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = Graph.pageRank(edges, "s", "t", nodes, "id", iters = 60,
+        checkpointEvery = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // both are within the fixed point's rounding grain of each other
+    full.foreach { case (v, r) =>
+      assert(math.abs(early(v) - r) <= 2e-6, s"$v: early ${early(v)} vs $r")
+    }
+  }
+
   test("pageRank on a symmetric cycle is uniform") {
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a")
     val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t",
