@@ -214,6 +214,35 @@ object Indicators {
   private def quant6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** Scale-safe default for per-row EMA (round-6 ask): keys whose series
+    * fit comfortably in one task run the sequential fold ([[emaSeries]] —
+    * bit-identical to an oracle engine's left-to-right recursion), keys
+    * beyond `inlineMax` rows run the chunk-stitch form
+    * ([[emaSeriesChunked]] — O(n/chunkLen) state, no quadratic array).
+    * Routing is value-based (one per-key count + two semi-joins), so a
+    * catalog/oracle workload where every key is modest takes the
+    * fold path unchanged, while a 10⁸-row hot key can no longer pick the
+    * quadratic plan. The two forms agree to ≤1 quant6 ulp (FP
+    * non-associativity makes bit-exact parallel replication of a
+    * sequential recursion impossible — measured: ~1.5e-3 of rows flip the
+    * 6dp rounding, which is why routing, not blanket chunking, is the
+    * hash-stable default). */
+  def emaSeriesAuto(df: DataFrame, value: String, keys: Seq[String],
+                    ts: String, alpha: Double, carry: Seq[String] = Nil,
+                    chunkLen: Int = 64, inlineMax: Long = 1 << 20): DataFrame = {
+    // only the OVERSIZED key set is materialized for routing — it has at
+    // most total/inlineMax members by construction, so it broadcasts even
+    // when the overall key population is billions
+    val bigKeys = broadcast(df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > inlineMax).select(keys.map(col): _*))
+    emaSeries(df.join(bigKeys, keys, "left_anti"), value, keys, ts, alpha,
+        carry)
+      .unionByName(
+        emaSeriesChunked(df.join(bigKeys, keys, "left_semi"), value, keys,
+          ts, alpha, chunkLen, carry))
+  }
+
   /** [[emaSeries]] at unbounded key size: the chunk-and-stitch form. Rows
     * split into `chunkLen`-row chunks per key; within a chunk the EMA
     * prefix is the CLOSED FORM intraₜ = (1−α)^posₜ · Σ_{j≤t} coefⱼ·xⱼ·

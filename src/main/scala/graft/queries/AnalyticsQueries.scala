@@ -288,12 +288,14 @@ object AnalyticsQueries {
       graft.analytics.Indicators.ema(Tables.events(s, d), "value",
         Seq("user_id"), "ts", alpha = 0.25)),
 
-    // ── per-row running EMA (pandas ewm().mean() as a column): the same
-    //    left-to-right fold as q144 but emitting every intermediate — both
-    //    engines run the identical sequential recursion, so the running
-    //    values hash-match bit-for-bit before the final round
+    // ── per-row running EMA (pandas ewm().mean() as a column), via the
+    //    size-routed default: modest keys run the same left-to-right fold
+    //    as q144 (bit-identical to the oracle's sequential recursion —
+    //    which is why these hashes match), oversized keys would take the
+    //    chunk-stitch path (none at catalog SFs; IndicatorsSpec forces the
+    //    split with a tiny threshold)
     "q157_ema_series" -> ((s, d) =>
-      graft.analytics.Indicators.emaSeries(Tables.events(s, d), "value",
+      graft.analytics.Indicators.emaSeriesAuto(Tables.events(s, d), "value",
         Seq("user_id"), "ts", alpha = 0.25, carry = Seq("event_id"))),
 
     // ── winsorization: clip into the per-group [p5, p95] exact-percentile

@@ -297,6 +297,35 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("emaSeriesAuto routes oversized keys to the chunked path and " +
+       "modest keys bit-identically through the fold") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:${m % 60}%02d:${m / 60}%02d")
+    // key "big" has 24 rows, key "sm" has 6 — threshold 10 splits them
+    val rows = (1 to 24).map(i => ("big", i.toLong, ts(i), (i % 7) / 2.0)) ++
+      (1 to 6).map(i => ("sm", 100L + i, ts(i), i / 3.0))
+    val df = rows.toDF("k", "id", "t", "x")
+    val auto = Indicators.emaSeriesAuto(df, "x", Seq("k"), "t", alpha = 0.25,
+        carry = Seq("id"), chunkLen = 8, inlineMax = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val fold = Indicators.emaSeries(df, "x", Seq("k"), "t", alpha = 0.25,
+        carry = Seq("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(auto.keySet == fold.keySet)         // no row lost at the split
+    for ((key, want) <- fold)
+      assert(math.abs(auto(key) - want) <= 1.1e-6, s"$key")
+    // the modest key's values came through the fold path — bit-identical
+    for ((key @ ("sm", _), want) <- fold) assert(auto(key) == want, s"$key")
+    // with the default 2^20 threshold nothing routes chunked: bit-identical
+    val autoDefault = Indicators.emaSeriesAuto(df, "x", Seq("k"), "t",
+        alpha = 0.25, carry = Seq("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(autoDefault == fold)
+  }
+
   test("rollingMedian: nulls are ignored; an all-null frame yields NULL, " +
        "not a crash") {
     import java.sql.Timestamp
