@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real and tested — schema, partitioning, batch
   * iteration shape (`mapPartitions`, the Scala analog of `mapInPandas`:
   * one iterator per partition, decode amortized across the batch, no
-  * per-row JVM↔native crossings). IMAGE decode is REAL: `decodeImageMeta`
-  * reads format/dimensions/channels through JDK ImageIO (PNG/JPEG/BMP/GIF,
-  * header-only — no external codec needed). Audio/video feature extraction
-  * remains a clearly-marked stub (`pseudoFeatures` — no AV libraries in
-  * this container): deterministic pseudo-features keep that plumbing
-  * verifiable end-to-end, and a real codec changes only `decodeBatch`'s
-  * body.
+  * per-row JVM↔native crossings). IMAGE decode is REAL at both depths:
+  * `decodeImageMeta` reads format/dimensions/channels through JDK ImageIO
+  * (header-only), and `imageFeatures`/`decodeBatch` decode the full raster
+  * for per-channel pixel statistics that feed the similarity/dedup stack
+  * (q167 value-checks the decode, q168 runs image near-dup dedup end to
+  * end). Audio/video feature extraction remains a clearly-marked fallback
+  * (`pseudoFeatures` — no AV libraries in this container): deterministic
+  * byte-level features keep that plumbing verifiable end-to-end, and a
+  * real AV codec changes only the `rasterStats` analog for those types.
   */
 object Multimodal {
 
@@ -55,9 +57,10 @@ object Multimodal {
     StructField("features", ArrayType(FloatType)),
     StructField("n_bytes", LongType)))
 
-  /** STUB decode: deterministic 8-dim pseudo-features from byte content.
-    * A real implementation would decode image/audio here (e.g. via javacv /
-    * a JNI codec) — batch-wise inside the same mapPartitions loop. */
+  /** Fallback features: deterministic 8-dim byte-histogram projection, used
+    * for media no installed codec can decode (audio/video in this
+    * container). Does real byte-level work, is documented as a proxy, and
+    * keeps the batch plumbing verifiable end to end for every media type. */
   private def pseudoFeatures(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
     var i = 0
@@ -65,14 +68,119 @@ object Multimodal {
     acc.map(v => (v % 1000) / 1000.0f)
   }
 
+  /** Integer-exact raster statistics: per-channel pixel sums and sums of
+    * squares as longs (exact — 255²·maxPixels is far inside int64), so the
+    * derived mean/variance doubles are REPRODUCIBLE in any engine that
+    * divides the same integers (the q167 oracle recomputes them in SQL).
+    * Returns null when no codec claims the bytes or the image exceeds
+    * `maxPixels` (decode cost is per-pixel — at corpus scale an unbounded
+    * decode is how one poison 10⁹-pixel asset stalls a task). */
+  private[graft] def rasterStats(bytes: Array[Byte],
+                                 maxPixels: Long): Option[RasterStats] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.flatMap { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      if (w.toLong * h > maxPixels || w == 0 || h == 0) None
+      else {
+        var sr, sg, sb, srr, sgg, sbb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            srr += r.toLong * r; sgg += g.toLong * g; sbb += b.toLong * b
+            x += 1
+          }
+          y += 1
+        }
+        Some(RasterStats(w, h, sr, sg, sb, srr, sgg, sbb))
+      }
+    }
+  }
+
+  final case class RasterStats(w: Int, h: Int, sr: Long, sg: Long, sb: Long,
+                               srr: Long, sgg: Long, sbb: Long) {
+    def n: Long = w.toLong * h
+    def mean(s: Long): Double = s.toDouble / n
+    def variance(s: Long, ss: Long): Double = {
+      val m = s.toDouble / n
+      ss.toDouble / n - m * m
+    }
+    /** The 6-dim content vector [mean_r, mean_g, mean_b, var_r, var_g,
+      * var_b] — unrounded, from exact integer sums, so two engines (or two
+      * partitionings) produce bit-identical doubles. */
+    def featureVector: Array[Double] = Array(
+      mean(sr), mean(sg), mean(sb),
+      variance(sr, srr), variance(sg, sgg), variance(sb, sbb))
+  }
+
   /** Batch decode / feature extraction over partitions (mapInPandas shape:
-    * iterator-in/iterator-out per partition). */
-  def decodeBatch(assets: DataFrame): DataFrame = {
+    * iterator-in/iterator-out per partition). Content that decodes as an
+    * image gets REAL pixel-statistic features (per-channel mean and
+    * variance from the decoded raster, scaled to [0,1], plus log-scaled
+    * dimensions — the vector SemDeDup/ANN consume downstream); anything
+    * else falls back to [[pseudoFeatures]]. */
+  def decodeBatch(assets: DataFrame, maxPixels: Long = 1L << 22): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "media_type", "content").mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
-        Row(r.getLong(0), r.getString(1), pseudoFeatures(bytes).toSeq, bytes.length.toLong)
+        val feats = rasterStats(bytes, maxPixels) match {
+          case Some(st) =>
+            val v = st.featureVector
+            Array(
+              (v(0) / 255.0).toFloat, (v(1) / 255.0).toFloat,
+              (v(2) / 255.0).toFloat,
+              (math.sqrt(v(3)) / 255.0).toFloat,
+              (math.sqrt(v(4)) / 255.0).toFloat,
+              (math.sqrt(v(5)) / 255.0).toFloat,
+              (math.log1p(st.w.toDouble) / 16.0).toFloat,
+              (math.log1p(st.h.toDouble) / 16.0).toFloat)
+          case None => pseudoFeatures(bytes)
+        }
+        Row(r.getLong(0), r.getString(1), feats.toSeq, bytes.length.toLong)
+      }
+    }(enc)
+  }
+
+  private val imageFeatureSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("var_r", DoubleType), StructField("var_g", DoubleType),
+    StructField("var_b", DoubleType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** REAL image content features (round-6 ask #2): decode the raster via
+    * JDK ImageIO and emit per-channel mean/variance — as scalar columns
+    * (oracle-comparable) and as the 6-dim `features` vector the similarity
+    * stack consumes (q168 feeds it straight into `cosineNearDupPairs` →
+    * `dedupClusters`). Same `mapPartitions` batch shape as [[decodeBatch]];
+    * undecodable or over-`maxPixels` assets yield NULL stats rather than
+    * failing the partition. Exact integer sums make the doubles
+    * engine-portable — see [[rasterStats]]. */
+  def imageFeatures(assets: DataFrame, maxPixels: Long = 1L << 22): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        rasterStats(bytes, maxPixels) match {
+          case Some(st) =>
+            Row(r.getLong(0), st.w, st.h, st.n,
+              st.mean(st.sr), st.mean(st.sg), st.mean(st.sb),
+              st.variance(st.sr, st.srr), st.variance(st.sg, st.sgg),
+              st.variance(st.sb, st.sbb), st.featureVector.toSeq)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null, null,
+              null, null)
+        }
       }
     }(enc)
   }
@@ -147,6 +255,44 @@ object Multimodal {
       var x = 0
       while (x < width) {
         img.setRGB(x, y, ((x * 31 + y * 17) * 2654435761L).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic gradient-PNG fixture family for the multimodal
+    * queries (q167/q168): group `g` fixes the dimensions, per-channel base
+    * color and gradient slopes; member `m` adds a small uniform brightness
+    * shift. Members of a group are therefore NEAR-duplicates (feature
+    * vectors differ by ~m across the mean dims, variances identical) while
+    * distinct groups sit far apart — the structure an image-dedup pipeline
+    * must recover. Every channel value is a closed-form integer function
+    * of (g, m, x, y), bounded < 256 by construction, so an oracle engine
+    * recomputes the exact pixel statistics from the formula with no image
+    * library — only the DECODE is unique to the Spark side, which is
+    * precisely what q167/q168 put under test. */
+  def gradDims(g: Int): (Int, Int) = (3 + g % 4, 2 + g % 3)
+
+  def gradChannels(g: Int, m: Int, x: Int, y: Int): (Int, Int, Int) = (
+    (g * 97) % 200 + 30 + m + x * (1 + g % 3) + y * 2,
+    (g * 53) % 180 + 40 + m + x * (2 + g % 2) + y * (1 + g % 3),
+    (g * 71) % 190 + 25 + m + x + y * (2 + g % 2))
+
+  /** Genuine PNG bytes (JDK encoder) for group `g`, member `m`. */
+  def gradPngBytes(g: Int, m: Int): Array[Byte] = {
+    val (w, h) = gradDims(g)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, gc, b) = gradChannels(g, m, x, y)
+        img.setRGB(x, y, (r << 16) | (gc << 8) | b)
         x += 1
       }
       y += 1

@@ -383,6 +383,31 @@ object ExtensionQueries {
           col("channels"))
     }),
 
+    // ── REAL image content features: genuine gradient PNGs decoded
+    //    raster-deep (JDK ImageIO), per-channel mean/variance from exact
+    //    integer pixel sums — the oracle recomputes the identical doubles
+    //    from the fixtures' closed-form pixel function, so the DECODE is
+    //    the only thing only Spark does, and it is value-checked
+    "q167_image_features" -> ((s, _) =>
+      graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
+        .select(col("asset_id"), col("width"), col("height"), col("n_px"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          col("var_r"), col("var_g"), col("var_b"))),
+
+    // ── image near-dup dedup END TO END: decoded pixel-stat features feed
+    //    the SAME similarity + clustering stack the text corpus uses
+    //    (LSH-bucketed cosine pairs → connected components) — multimodal
+    //    content as a first-class citizen of the dedup pipeline, not a
+    //    parallel silo. Fixture groups are near-duplicates by construction
+    //    (uniform brightness shifts); the oracle recomputes features,
+    //    buckets, cosine filter, and the reachability closure
+    "q168_image_neardup" -> ((s, _) => {
+      val feats = graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
+      val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
+        ImgMinSim, ImgPlanes, ImgDim)
+      Dedup.dedupClusters(feats.select("asset_id"), pairs, "asset_id")
+    }),
+
     // ── BM25 retrieval scoring for a fixed query-term set
     "q102_bm25" -> ((s, d) =>
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
@@ -461,6 +486,26 @@ object ExtensionQueries {
   /** Query terms for q102 (mixed document frequencies in the test corpus). */
   private val Bm25Terms = Seq("join", "hash", "filter", "stream")
 
+  /** q167/q168 fixture: 12 gradient-PNG groups × 4 brightness-shifted
+    * members (near-dups within a group; groups well separated — measured
+    * within-group cosine ≥ 0.99987, cross-group ≤ 0.99816, so the 0.9995
+    * threshold splits them with margin on both sides). */
+  private val ImgGroups = 12
+  private val ImgMembers = 4
+  private val ImgMinSim = 0.9995
+  private val ImgPlanes = 4
+  private val ImgDim = 6 // [mean_r, mean_g, mean_b, var_r, var_g, var_b]
+
+  private def gradAssets(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    (0 until ImgGroups).flatMap(g => (0 until ImgMembers).map(m =>
+        ((g * ImgMembers + m).toLong,
+          graft.multimodal.Multimodal.gradPngBytes(g, m))))
+      .toDF("asset_id", "content")
+      .repartition(8, col("asset_id"))
+  }
+
   /** Fixed merge table for q108, rank order; every rule has l≠r (see the
     * query comment — required for the replace-based oracle equivalence). */
   private val BpeEncodeRules =
@@ -529,6 +574,67 @@ object ExtensionQueries {
     s"round(list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
+
+  /** Closed-form recomputation of the q167/q168 gradient-fixture pixel
+    * statistics (mirrors `Multimodal.gradDims`/`gradChannels`): enumerate
+    * every (asset, x, y), evaluate the integer channel formulas, aggregate
+    * exact integer sums, derive mean/variance with the same double
+    * operation order the Spark side uses — bit-identical values. */
+  private val imgFeatsCtes = {
+    val n = ImgGroups * ImgMembers
+    s"""ia AS (SELECT range AS asset_id, range // $ImgMembers AS g,
+       |    range % $ImgMembers AS m FROM range($n)),
+       |idm AS (SELECT asset_id, g, m, 3 + g % 4 AS w, 2 + g % 3 AS h FROM ia),
+       |ipx AS (SELECT asset_id, w, h,
+       |    (g*97) % 200 + 30 + m + x*(1 + g % 3) + y*2 AS r,
+       |    (g*53) % 180 + 40 + m + x*(2 + g % 2) + y*(1 + g % 3) AS gc,
+       |    (g*71) % 190 + 25 + m + x + y*(2 + g % 2) AS b
+       |  FROM idm, generate_series(0, 5) gx(x), generate_series(0, 3) gy(y)
+       |  WHERE x < w AND y < h),
+       |iag AS (SELECT asset_id, any_value(w) AS w, any_value(h) AS h,
+       |    count(*) AS n, sum(r) AS sr, sum(gc) AS sg, sum(b) AS sb,
+       |    sum(r*r) AS srr, sum(gc*gc) AS sgg, sum(b*b) AS sbb
+       |  FROM ipx GROUP BY 1),
+       |ift AS (SELECT asset_id, CAST(w AS INT) AS width,
+       |    CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_px,
+       |    CAST(sr AS DOUBLE)/n AS mean_r, CAST(sg AS DOUBLE)/n AS mean_g,
+       |    CAST(sb AS DOUBLE)/n AS mean_b,
+       |    CAST(srr AS DOUBLE)/n - (CAST(sr AS DOUBLE)/n)*(CAST(sr AS DOUBLE)/n) AS var_r,
+       |    CAST(sgg AS DOUBLE)/n - (CAST(sg AS DOUBLE)/n)*(CAST(sg AS DOUBLE)/n) AS var_g,
+       |    CAST(sbb AS DOUBLE)/n - (CAST(sb AS DOUBLE)/n)*(CAST(sb AS DOUBLE)/n) AS var_b
+       |  FROM iag)""".stripMargin
+  }
+
+  /** q168 oracle: features → fixed-plane LSH buckets → rounded-cosine
+    * filter → recursive reachability closure (the clustersCtes shape on
+    * the image pair graph). */
+  private val imgClustersSql = {
+    val planes = Similarity.hyperplanes(ImgPlanes, ImgDim)
+    val bexpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    def cos6(a: String, b: String) =
+      s"round(list_sum(list_transform(generate_series(1,$ImgDim), i -> $a[i]*$b[i])) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+    s"""WITH RECURSIVE $imgFeatsCtes,
+       |iv AS (SELECT asset_id,
+       |  [mean_r, mean_g, mean_b, var_r, var_g, var_b] AS v FROM ift),
+       |ib AS (SELECT asset_id AS vid, v, $bexpr AS bucket FROM iv),
+       |ip AS (SELECT a.vid AS id_a, b.vid AS id_b
+       |  FROM ib a JOIN ib b ON a.bucket = b.bucket AND a.vid < b.vid
+       |  WHERE ${cos6("a.v", "b.v")} >= CAST($ImgMinSim AS DOUBLE)),
+       |ie AS (SELECT id_a AS v, id_b AS u FROM ip
+       |  UNION ALL SELECT id_b, id_a FROM ip),
+       |ir AS (SELECT asset_id AS v, asset_id AS lbl FROM iv
+       |  UNION
+       |  SELECT e.v, r.lbl FROM ie e JOIN ir r ON r.v = e.u),
+       |icl AS (SELECT v AS asset_id, min(lbl) AS cluster_id FROM ir GROUP BY v)
+       |SELECT asset_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  CAST(asset_id = cluster_id AS INT) AS keep
+       |FROM icl""".stripMargin
+  }
 
   /** Shared CTE prefix for the connected-components oracles (q75/q84/q137):
     * recursive reachability closure over the ≥0.5 candidate edges. */
@@ -1078,6 +1184,12 @@ object ExtensionQueries {
         | CAST(1 + range % 5 AS INT) AS height,
         | CAST(3 AS INT) AS channels
         |FROM range(64)""".stripMargin,
+    "q167_image_features" ->
+      s"""WITH $imgFeatsCtes
+         |SELECT asset_id, width, height, n_px, mean_r, mean_g, mean_b,
+         |  var_r, var_g, var_b
+         |FROM ift""".stripMargin,
+    "q168_image_neardup" -> imgClustersSql,
     "q37_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,

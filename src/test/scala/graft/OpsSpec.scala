@@ -141,6 +141,71 @@ class OpsSpec extends SparkSpec {
     assert(got(2L).getLong(5) == "plain text bytes".getBytes.length.toLong)
   }
 
+  test("multimodal: imageFeatures recovers exact closed-form pixel stats " +
+       "from decoded rasters; poison and oversized assets yield NULLs") {
+    // closed-form truth for a gradient fixture, computed in-test
+    def truth(g: Int, m: Int): (Int, Int, Array[Double]) = {
+      val (w, h) = Multimodal.gradDims(g)
+      var s = Array(0L, 0L, 0L); var ss = Array(0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, gc, b) = Multimodal.gradChannels(g, m, x, y)
+        for ((v, i) <- Seq(r, gc, b).zipWithIndex) {
+          s(i) += v; ss(i) += v.toLong * v
+        }
+      }
+      val n = (w * h).toLong
+      (w, h, Array(
+        s(0).toDouble / n, s(1).toDouble / n, s(2).toDouble / n,
+        ss(0).toDouble / n - (s(0).toDouble / n) * (s(0).toDouble / n),
+        ss(1).toDouble / n - (s(1).toDouble / n) * (s(1).toDouble / n),
+        ss(2).toDouble / n - (s(2).toDouble / n) * (s(2).toDouble / n)))
+    }
+    val assets = Seq(
+      (0L, Multimodal.gradPngBytes(3, 1)),
+      (1L, Multimodal.gradPngBytes(7, 2)),
+      (2L, "definitely not an image".getBytes),
+      (3L, Multimodal.pngBytes(40, 40))) // 1600 px > the tiny cap below
+      .toDF("asset_id", "content")
+    val got = Multimodal.imageFeatures(assets, maxPixels = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, (g, m)) <- Map(0L -> (3, 1), 1L -> (7, 2))) {
+      val (w, h, feats) = truth(g, m)
+      val r = got(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h &&
+        r.getLong(3) == w.toLong * h)
+      // decoded raster statistics are BIT-identical to the closed form
+      assert(r.getSeq[Double](10).toArray.sameElements(feats), s"asset $id")
+      assert(r.getDouble(4) == feats(0) && r.getDouble(7) == feats(3))
+    }
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(4) && got(2L).isNullAt(10))
+    assert(got(3L).isNullAt(1), "over-cap image must not decode")
+  }
+
+  test("multimodal: decodeBatch uses real raster features for decodable " +
+       "images and the byte-histogram fallback otherwise") {
+    val png = Multimodal.gradPngBytes(2, 0)
+    val assets = Seq(
+      (1L, "image", png),
+      (2L, "audio", "pretend audio bytes".getBytes))
+      .toDF("asset_id", "media_type", "content")
+    val got = Multimodal.decodeBatch(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(got(1L).size == 8 && got(2L).size == 8)
+    // the image's leading dims are its channel means scaled to [0,1] —
+    // cross-check against imageFeatures
+    val f = Multimodal.imageFeatures(Seq((1L, png)).toDF("asset_id", "content"))
+      .head()
+    assert(got(1L)(0) == (f.getDouble(4) / 255.0).toFloat)
+    assert(got(1L)(1) == (f.getDouble(5) / 255.0).toFloat)
+    assert(got(1L)(3) == (math.sqrt(f.getDouble(7)) / 255.0).toFloat)
+    // non-image content takes the documented fallback path unchanged
+    val pseudoOnly = Multimodal.decodeBatch(
+        Seq((2L, "audio", "pretend audio bytes".getBytes))
+          .toDF("asset_id", "media_type", "content"))
+      .head().getSeq[Float](2)
+    assert(got(2L) == pseudoOnly)
+  }
+
   test("Merge.upsert: latest version wins, deletes remove, inserts add") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "status", "price")
