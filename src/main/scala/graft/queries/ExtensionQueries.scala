@@ -148,6 +148,32 @@ object ExtensionQueries {
         .toDF("rank", "left", "right", "pair_count")
     }),
 
+    // ── production-depth BPE train: 2048 merges through the heap-indexed
+    //    in-memory loop (rows-only like q101; BpeSpec's deep-train case
+    //    pins long-run rules ≡ the distributed trainer and prefix
+    //    stability). The synthetic corpus has only ~31 distinct words —
+    //    nowhere near 2048 learnable merges — so each doc's text is
+    //    augmented with its md5 hex fingerprint: tens of thousands of
+    //    distinct high-entropy "words" over a 16-symbol alphabet, the
+    //    worst-case vocabulary shape (identifiers, hashes, URLs) a real
+    //    tokenizer train has to chew through. Corpus cost is unchanged —
+    //    still ONE distributed word-frequency pass; this measures the
+    //    merge loop itself at depth, the q101 ceiling the round-6 verdict
+    //    flagged
+    "q169_bpe_train2k" -> ((s, d) => {
+      import s.implicits._
+      // fingerprints keyed mod 20k and clipped to 16 hex chars: vocab (and
+      // so merge-loop cost) is corpus-size-independent — the trainWordFreq
+      // contract at scale — while still carrying >2048 learnable merges
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          substring(md5((col("doc_id") % 20000).cast("string")), 1, 16))
+          .as("text"))
+      graft.text.Bpe.trainWordFreq(aug, "text", 2048)
+        .map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+
     // ── unigram-LM perplexity signal per doc (CCNet-style quality filter)
     "q100_unigram_nll" -> ((s, d) =>
       TextOps.unigramNll(Tables.documents(s, d), "doc_id", "text")),

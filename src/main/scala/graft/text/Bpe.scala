@@ -195,14 +195,21 @@ object Bpe {
     val wf = words.map(_._2)
     val counts = mutable.HashMap[(String, String), Long]()
     val occ = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    // the TreeSet comparator runs O(log P) times per count mutation —
+    // encoding to UTF-8 inside it would allocate per compare, which
+    // dominated deep trains; cache the bytes per distinct symbol instead
+    val u8cache = mutable.HashMap[String, Array[Byte]]()
+    def u8(s: String): Array[Byte] =
+      u8cache.getOrElseUpdate(s, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     implicit val ord: Ordering[(Long, String, String)] =
       new Ordering[(Long, String, String)] {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
           val c = java.lang.Long.compare(y._1, x._1) // count desc
           if (c != 0) c
           else {
-            val l = utf8Compare(x._2, y._2)
-            if (l != 0) l else utf8Compare(x._3, y._3)
+            val l = java.util.Arrays.compareUnsigned(u8(x._2), u8(y._2))
+            if (l != 0) l
+            else java.util.Arrays.compareUnsigned(u8(x._3), u8(y._3))
           }
         }
       }
@@ -226,7 +233,10 @@ object Bpe {
     while (rank < nMerges && ranked.nonEmpty) {
       val (cnt, l, r) = ranked.head
       val merged = l + r
-      for (i <- occ.getOrElse((l, r), mutable.Set.empty[Int]).toArray.sorted) {
+      // iteration order over the occurrence set is irrelevant: rewrites are
+      // per-word independent and pair counts are order-free sums, so no
+      // sort — sorting 10⁴-word sets per merge dominated deep trains
+      for (i <- occ.getOrElse((l, r), mutable.Set.empty[Int]).toArray) {
         val s = syms(i)
         // lazily validate the occurrence (the index is never decremented)
         var has = false; var j = 0

@@ -68,6 +68,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainWordFreq(flat, "text", 5).isEmpty)
   }
 
+  test("deep train: the in-memory loop survives thousands of merges, " +
+       "equals the distributed trainer to exhaustion, and is prefix-stable") {
+    // A small real corpus exhausts its repeating pairs well before 2048
+    // merges, so asking for 2048 drives BOTH trainers through the long-run
+    // regime (index maintenance over many rewrites) into the early-stop
+    // path — rule lists must match to the last rule. This is the unit
+    // anchor for q169's vocab-scale 2048-merge catalog run.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(40).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val deep = Bpe.trainWordFreq(docs, "text", 2048)
+    val dist = Bpe.train(docs, "text", 2048, batchK = 16)
+    assert(deep.nonEmpty && deep.size < 2048, // genuinely exhausted
+      s"expected early stop, got ${deep.size} rules")
+    assert(deep == dist)
+    // greedy training is prefix-stable: a shorter run is literally the
+    // prefix of a longer one (guards the incremental pair-count index —
+    // corrupt state would show up as a divergent prefix)
+    assert(Bpe.trainWordFreq(docs, "text", 50) == deep.take(50))
+  }
+
   test("batched training ≡ sequential on a conflict-heavy real corpus") {
     // overlapping symbols, ties, self-pairs ("oo", "ss"), merge-creates-
     // frequent-pair chains — the cases where the batch must shrink to stay
