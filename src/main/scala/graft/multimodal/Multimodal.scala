@@ -140,7 +140,15 @@ object Multimodal {
               (math.sqrt(v(5)) / 255.0).toFloat,
               (math.log1p(st.w.toDouble) / 16.0).toFloat,
               (math.log1p(st.h.toDouble) / 16.0).toFloat)
-          case None => pseudoFeatures(bytes)
+          case None => audioStats(bytes, maxPixels) match {
+            case Some(st) => Array(
+              (st.mean / 32768.0).toFloat, (st.rms / 32768.0).toFloat,
+              (st.crossings.toDouble / math.max(st.n - 1, 1)).toFloat,
+              (st.min / 32768.0).toFloat, (st.max / 32768.0).toFloat,
+              (math.log1p(st.n.toDouble) / 24.0).toFloat,
+              (st.sampleRate / 48000.0).toFloat, (st.channels / 8.0).toFloat)
+            case None => pseudoFeatures(bytes)
+          }
         }
         Row(r.getLong(0), r.getString(1), feats.toSeq, bytes.length.toLong)
       }
@@ -262,6 +270,140 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** REAL audio decode via the JDK's RIFF/WAV codec (`javax.sound.sampled`
+    * ships in every JVM): parse the container header, stream the PCM
+    * frames, and accumulate integer-exact sample statistics. Only
+    * 16-bit-per-sample PCM is accepted (the overwhelmingly common WAV
+    * layout; anything else → None, same poison-safety contract as
+    * [[rasterStats]]). Sums are exact longs, so derived mean/RMS doubles
+    * are engine-reproducible — the q170 oracle recomputes them from the
+    * fixtures' closed-form sample function. `maxSamples` bounds decode
+    * cost per asset. */
+  private[graft] def audioStats(bytes: Array[Byte],
+                                maxSamples: Long): Option[AudioStats] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        val nFrames = in.getFrameLength
+        val nSamples = nFrames * fmt.getChannels
+        if (!ok || nFrames <= 0 || nSamples > maxSamples) None
+        else {
+          val little = !fmt.isBigEndian
+          val buf = new Array[Byte](4096)
+          var sum, ssq = 0L
+          var crossings = 0L
+          var prevNonNeg = true
+          var first = true
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var carry = -1 // pending low/high byte across read boundaries
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) {
+              if (carry < 0 && i == read - 1) { carry = buf(i) & 0xff; i += 1 }
+              else {
+                val (lo, hi) =
+                  if (carry >= 0) {
+                    val p = (carry, buf(i) & 0xff); carry = -1; i += 1; p
+                  } else { val p = (buf(i) & 0xff, buf(i + 1) & 0xff); i += 2; p }
+                val s =
+                  if (little) ((hi << 8) | lo).toShort.toInt
+                  else ((lo << 8) | hi).toShort.toInt
+                sum += s; ssq += s.toLong * s
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                val nonNeg = s >= 0
+                if (!first && nonNeg != prevNonNeg) crossings += 1
+                prevNonNeg = nonNeg; first = false
+              }
+            }
+            read = in.read(buf)
+          }
+          Some(AudioStats(math.round(fmt.getSampleRate), fmt.getChannels,
+            nSamples, sum, ssq, crossings, mn, mx))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class AudioStats(sampleRate: Int, channels: Int, n: Long,
+                              sum: Long, ssq: Long, crossings: Long,
+                              min: Int, max: Int) {
+    def mean: Double = sum.toDouble / n
+    def rms: Double = math.sqrt(ssq.toDouble / n)
+  }
+
+  private val audioFeatureSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("mean_amp", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", LongType),
+    StructField("min_amp", IntegerType),
+    StructField("max_amp", IntegerType)))
+
+  /** Audio analog of [[imageFeatures]]: WAV containers decoded through the
+    * JDK codec, integer-exact per-asset sample statistics (q170
+    * value-checks against closed-form fixtures). Undecodable / non-PCM16 /
+    * over-cap assets yield NULL stats. */
+  def audioFeatures(assets: DataFrame,
+                    maxSamples: Long = 1L << 24): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        audioStats(r.getAs[Array[Byte]]("content"), maxSamples) match {
+          case Some(st) =>
+            Row(r.getLong(0), st.sampleRate, st.channels, st.n,
+              st.mean, st.rms, st.crossings, st.min, st.max)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Genuine WAV bytes (JDK encoder): 16-bit signed PCM mono at
+    * `sampleRate`, frames from `samples`. */
+  def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic WAV fixture family (q170): asset `k` is a pseudo-saw
+    * wave whose every sample is a closed-form integer function of (k, i) —
+    * an oracle engine recomputes the exact statistics with no audio
+    * library, so the DECODE is the only thing under test (the q167
+    * recipe, for audio). */
+  def sawDims(k: Int): (Int, Int) = (8000, 200 + 40 * (k % 5)) // (rate, n)
+
+  def sawSample(k: Int, i: Int): Int =
+    (((i * (3 + k % 7) + k * 17) % 4001) - 2000) * 8
+
+  def sawWavBytes(k: Int): Array[Byte] = {
+    val (rate, n) = sawDims(k)
+    wavBytes(rate, Array.tabulate(n)(i => sawSample(k, i).toShort))
   }
 
   /** Deterministic gradient-PNG fixture family for the multimodal

@@ -420,6 +420,21 @@ object ExtensionQueries {
           col("mean_r"), col("mean_g"), col("mean_b"),
           col("var_r"), col("var_g"), col("var_b"))),
 
+    // ── REAL audio content features: genuine WAV containers decoded
+    //    through the JDK PCM codec, integer-exact sample statistics
+    //    (mean/RMS/zero-crossings/extremes) — fixtures are closed-form
+    //    pseudo-saw waves, so the oracle recomputes the identical values
+    //    and only the DECODE is unique to the Spark side (q167's recipe,
+    //    for audio)
+    "q170_audio_features" -> ((s, _) => {
+      import s.implicits._
+      val assets = (0 until 40).map(k =>
+          (k.toLong, graft.multimodal.Multimodal.sawWavBytes(k)))
+        .toDF("asset_id", "content")
+        .repartition(8, col("asset_id"))
+      graft.multimodal.Multimodal.audioFeatures(assets)
+    }),
+
     // ── image near-dup dedup END TO END: decoded pixel-stat features feed
     //    the SAME similarity + clustering stack the text corpus uses
     //    (LSH-bucketed cosine pairs → connected components) — multimodal
@@ -1216,6 +1231,29 @@ object ExtensionQueries {
          |  var_r, var_g, var_b
          |FROM ift""".stripMargin,
     "q168_image_neardup" -> imgClustersSql,
+    // closed-form recomputation of Multimodal.sawDims/sawSample; the
+    // previous sample is the formula at i−1, so no window is needed for
+    // zero crossings
+    "q170_audio_features" ->
+      """WITH aa AS (SELECT range AS asset_id, range AS k FROM range(40)),
+        |ad AS (SELECT asset_id, k, 200 + 40 * (k % 5) AS n FROM aa),
+        |ax AS (SELECT asset_id, k, n, i,
+        |    ((i*(3 + k % 7) + k*17) % 4001 - 2000) * 8 AS s,
+        |    CASE WHEN i > 0
+        |      THEN (((i-1)*(3 + k % 7) + k*17) % 4001 - 2000) * 8 END AS ps
+        |  FROM ad, generate_series(0, 359) gi(i) WHERE i < n),
+        |ag AS (SELECT asset_id, count(*) AS n, sum(s) AS sm,
+        |    sum(s*s) AS ssq, min(s) AS mn, max(s) AS mx,
+        |    sum(CASE WHEN ps IS NOT NULL AND ((s >= 0) != (ps >= 0))
+        |      THEN 1 ELSE 0 END) AS zc
+        |  FROM ax GROUP BY 1)
+        |SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sm AS DOUBLE)/n AS mean_amp,
+        |  sqrt(CAST(ssq AS DOUBLE)/n) AS rms,
+        |  CAST(zc AS BIGINT) AS zero_crossings,
+        |  CAST(mn AS INT) AS min_amp, CAST(mx AS INT) AS max_amp
+        |FROM ag""".stripMargin,
     "q37_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,

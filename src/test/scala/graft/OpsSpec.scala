@@ -181,6 +181,53 @@ class OpsSpec extends SparkSpec {
     assert(got(3L).isNullAt(1), "over-cap image must not decode")
   }
 
+  test("multimodal: audioFeatures decodes real WAV PCM to exact sample " +
+       "stats; poison / over-cap / non-PCM16 assets yield NULLs") {
+    // closed-form truth for fixture k, computed in-test
+    def truth(k: Int): (Long, Long, Long, Long, Int, Int) = {
+      val (_, n) = Multimodal.sawDims(k)
+      var sm, ssq, zc = 0L
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      for (i <- 0 until n) {
+        val s = Multimodal.sawSample(k, i)
+        sm += s; ssq += s.toLong * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        if (i > 0 && (s >= 0) != (Multimodal.sawSample(k, i - 1) >= 0)) zc += 1
+      }
+      (n.toLong, sm, ssq, zc, mn, mx)
+    }
+    // k=5 → 200 samples, k=6 → 240 (inside the 250 cap); k=3 → 320 (over)
+    val assets = Seq(
+      (0L, Multimodal.sawWavBytes(5)),
+      (1L, Multimodal.sawWavBytes(6)),
+      (2L, "not audio content at all".getBytes),
+      (3L, Multimodal.sawWavBytes(3)))
+      .toDF("asset_id", "content")
+    val got = Multimodal.audioFeatures(assets, maxSamples = 250)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, k) <- Map(0L -> 5, 1L -> 6)) {
+      val (n, sm, ssq, zc, mn, mx) = truth(k)
+      val r = got(id)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getLong(3) == n)
+      assert(r.getDouble(4) == sm.toDouble / n, s"mean k=$k")
+      assert(r.getDouble(5) == math.sqrt(ssq.toDouble / n), s"rms k=$k")
+      assert(r.getLong(6) == zc && r.getInt(7) == mn && r.getInt(8) == mx)
+    }
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(4))
+    assert(got(3L).isNullAt(1), "over-cap audio must not decode")
+    // an 8-bit WAV is a real container the codec opens but not PCM16 —
+    // the stats contract rejects it instead of mis-scaling
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val pcm8 = Array.tabulate[Byte](64)(i => (i * 3 - 90).toByte)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    assert(Multimodal.audioStats(out8.toByteArray, 1000).isEmpty)
+  }
+
   test("multimodal: decodeBatch uses real raster features for decodable " +
        "images and the byte-histogram fallback otherwise") {
     val png = Multimodal.gradPngBytes(2, 0)
