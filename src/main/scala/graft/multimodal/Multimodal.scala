@@ -371,6 +371,123 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL video container metadata via a minimal ISO BMFF (MP4) box
+    * parser — the container layout is a public standard (ISO/IEC 14496-12:
+    * length-prefixed box tree; `ftyp` brand, `moov`→`mvhd` movie header,
+    * `trak` per track) and needs no codec, exactly the tier
+    * [[decodeImageMeta]] occupies for images: header/metadata decode is
+    * real, frame decode would need an external codec and stays out.
+    * Returns (majorBrand, timescale, durationMs, nTracks); malformed or
+    * non-BMFF bytes → None (poison-safe). Handles 64-bit `largesize` and
+    * size-0 (to-end) boxes. */
+  private[graft] def mp4Meta(bytes: Array[Byte])
+      : Option[(String, Long, Long, Int)] = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def typ(o: Int): String = new String(bytes, o, 4, "ISO-8859-1")
+    // walk a box sequence in [from, to); returns (type, payloadFrom,
+    // payloadTo) triples or None on a malformed length
+    def boxes(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      while (o < to) {
+        if (o + 8 > to) return None
+        val raw = be32(o)
+        val (size, hdr) =
+          if (raw == 1) { if (o + 16 > to) return None; (be64(o + 8), 16) }
+          else if (raw == 0) ((to - o).toLong, 8)
+          else (raw, 8)
+        if (size < hdr || o + size > to) return None
+        out += ((typ(o + 4), o + hdr, o + size.toInt))
+        o += size.toInt
+      }
+      Some(out.result())
+    }
+    try {
+      boxes(0, bytes.length).flatMap { top =>
+        for {
+          ftyp <- top.find(_._1 == "ftyp").filter(b => b._3 - b._2 >= 4)
+          moov <- top.find(_._1 == "moov")
+          kids <- boxes(moov._2, moov._3)
+          mvhd <- kids.find(_._1 == "mvhd").filter(b => b._3 - b._2 >= 20)
+          ver = bytes(mvhd._2) & 0xff
+          if (ver == 0 && mvhd._3 - mvhd._2 >= 20) ||
+            (ver == 1 && mvhd._3 - mvhd._2 >= 32)
+        } yield {
+          val (ts, dur) =
+            if (ver == 0) (be32(mvhd._2 + 12), be32(mvhd._2 + 16))
+            else (be32(mvhd._2 + 20), be64(mvhd._2 + 24))
+          (typ(ftyp._2), ts, if (ts > 0) dur * 1000L / ts else 0L,
+            kids.count(_._1 == "trak"))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val videoMetaSchema = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Distributed MP4 container-metadata decode (same batch shape as
+    * [[decodeImageMeta]]). Non-BMFF assets yield NULL metadata. */
+  def videoMeta(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoMetaSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        mp4Meta(bytes) match {
+          case Some((brand, ts, ms, nTrak)) =>
+            Row(r.getLong(0), brand, ts, ms, nTrak, bytes.length.toLong)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, bytes.length.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** Author a minimal, well-formed ISO BMFF stream: `ftyp` (major brand)
+    * + `moov` holding a version-0 `mvhd` (timescale/duration) and
+    * `nTracks` empty `trak` boxes. Fixture path for q171 and specs — the
+    * parser side never sees anything but spec-conformant box layout. */
+  def mp4Bytes(brand: String, timescale: Int, duration: Long,
+               nTracks: Int): Array[Byte] = {
+    require(brand.length == 4, "brand must be 4 chars")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def tag(t: String): Unit = out.write(t.getBytes("ISO-8859-1"))
+    // ftyp: major brand + minor version + one compatible brand
+    be32(20); tag("ftyp"); tag(brand); be32(0); tag(brand)
+    // moov = mvhd(108) + nTracks empty trak(8)
+    be32(8 + 108 + 8L * nTracks); tag("moov")
+    be32(108); tag("mvhd")
+    be32(0)                       // version 0 + flags
+    be32(0); be32(0)              // creation, modification
+    be32(timescale); be32(duration)
+    be32(0x00010000); be32(0x01000000L) // rate 1.0; volume 1.0 + reserved16
+    be32(0); be32(0)              // reserved2
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(v => be32(v.toLong)) // unity matrix
+    (1 to 6).foreach(_ => be32(0)) // pre_defined
+    be32(nTracks + 1L)            // next_track_ID
+    (1 to nTracks).foreach { _ => be32(8); tag("trak") }
+    out.toByteArray
+  }
+
+  /** Deterministic MP4 fixture for q171: timescale 600 (the classic
+    * QuickTime tick rate — exercises the ms integer division), duration
+    * and track count closed-form in `k`. */
+  def mp4Fixture(k: Int): Array[Byte] =
+    mp4Bytes("isom", 600, 3000L + 97L * k, k % 3 + 1)
+
   /** Genuine WAV bytes (JDK encoder): 16-bit signed PCM mono at
     * `sampleRate`, frames from `samples`. */
   def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

@@ -435,6 +435,23 @@ object ExtensionQueries {
       graft.multimodal.Multimodal.audioFeatures(assets)
     }),
 
+    // ── REAL video container metadata: minimal ISO BMFF (MP4) box parser
+    //    — brand, movie-header timescale/duration, track count — over
+    //    authored spec-conformant fixtures; the oracle recomputes the
+    //    closed-form header fields, so only the box-tree PARSE is unique
+    //    to the Spark side. Frame decode needs an external codec and
+    //    stays out (the honest boundary, as with image/audio)
+    "q171_video_meta" -> ((s, _) => {
+      import s.implicits._
+      val assets = (0 until 40).map(k =>
+          (k.toLong, graft.multimodal.Multimodal.mp4Fixture(k)))
+        .toDF("asset_id", "content")
+        .repartition(8, col("asset_id"))
+      graft.multimodal.Multimodal.videoMeta(assets)
+        .select(col("asset_id"), col("brand"), col("timescale"),
+          col("duration_ms"), col("n_tracks"))
+    }),
+
     // ── image near-dup dedup END TO END: decoded pixel-stat features feed
     //    the SAME similarity + clustering stack the text corpus uses
     //    (LSH-bucketed cosine pairs → connected components) — multimodal
@@ -1231,6 +1248,14 @@ object ExtensionQueries {
          |  var_r, var_g, var_b
          |FROM ift""".stripMargin,
     "q168_image_neardup" -> imgClustersSql,
+    // closed-form recomputation of Multimodal.mp4Fixture's header fields
+    // (timescale 600; integer-truncating ms division mirrored with //)
+    "q171_video_meta" ->
+      """SELECT range AS asset_id, 'isom' AS brand,
+        | CAST(600 AS BIGINT) AS timescale,
+        | CAST((3000 + 97 * range) * 1000 // 600 AS BIGINT) AS duration_ms,
+        | CAST(range % 3 + 1 AS INT) AS n_tracks
+        |FROM range(40)""".stripMargin,
     // closed-form recomputation of Multimodal.sawDims/sawSample; the
     // previous sample is the formula at i−1, so no window is needed for
     // zero crossings

@@ -228,6 +228,48 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.audioStats(out8.toByteArray, 1000).isEmpty)
   }
 
+  test("multimodal: MP4 box parser reads brand/timescale/duration/tracks; " +
+       "64-bit and to-end box sizes parse; malformed boxes yield None") {
+    // authored fixture round-trips through the parser
+    assert(Multimodal.mp4Meta(Multimodal.mp4Bytes("isom", 600, 3601L, 2))
+      .contains(("isom", 600L, 3601L * 1000 / 600, 2)))
+    // v0 duration of 0 tracks, different brand
+    assert(Multimodal.mp4Meta(Multimodal.mp4Bytes("mp42", 1000, 250L, 0))
+      .contains(("mp42", 1000L, 250L, 0)))
+    // largesize (size==1 + 64-bit length) on the moov box still parses
+    val std = Multimodal.mp4Bytes("isom", 600, 100L, 1)
+    val moovAt = 20 // after the 20-byte ftyp
+    val moovLen = ((std(moovAt) & 0xff) << 24) | ((std(moovAt + 1) & 0xff) << 16) |
+      ((std(moovAt + 2) & 0xff) << 8) | (std(moovAt + 3) & 0xff)
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(std, 0, moovAt)
+    big.write(Array[Byte](0, 0, 0, 1)); big.write("moov".getBytes("ISO-8859-1"))
+    big.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // patched below
+    big.write(std, moovAt + 8, moovLen - 8)
+    val bigArr = big.toByteArray
+    val large = (moovLen + 8).toLong // original payload + 16-byte header
+    for (i <- 0 until 8)
+      bigArr(moovAt + 8 + i) = ((large >> (8 * (7 - i))) & 0xff).toByte
+    assert(Multimodal.mp4Meta(bigArr).contains(("isom", 600L, 100L * 1000 / 600, 1)))
+    // size==0 (box runs to end of file) on the final box
+    val toEnd = std.clone()
+    for (i <- 0 until 4) toEnd(moovAt + i) = 0
+    assert(Multimodal.mp4Meta(toEnd).contains(("isom", 600L, 100L * 1000 / 600, 1)))
+    // malformed: truncated box length, garbage, no moov
+    assert(Multimodal.mp4Meta(std.take(std.length - 4)).isEmpty)
+    assert(Multimodal.mp4Meta("not a container".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(std.take(20)).isEmpty)
+    // distributed end-to-end with a poison row
+    val assets = Seq((1L, Multimodal.mp4Fixture(7)),
+      (2L, "junk".getBytes)).toDF("asset_id", "content")
+    val got = Multimodal.videoMeta(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "isom" && got(1L).getLong(2) == 600L &&
+      got(1L).getLong(3) == (3000L + 97 * 7) * 1000 / 600 &&
+      got(1L).getInt(4) == 7 % 3 + 1)
+    assert(got(2L).isNullAt(1) && got(2L).getLong(5) == 4L)
+  }
+
   test("multimodal: decodeBatch uses real raster features for decodable " +
        "images and the byte-histogram fallback otherwise") {
     val png = Multimodal.gradPngBytes(2, 0)
