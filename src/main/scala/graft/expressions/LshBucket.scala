@@ -79,11 +79,14 @@ case class LshBucket(child: Expression, planes: Seq[Seq[Int]])
 }
 
 object LshBucket {
-  /** Register `graft_lsh_bucket_<planes>x<dim>(v)` for a fixed plane matrix
-    * (the matrix is a constructor constant, so each shape gets its own
-    * registry name). Returns the registered name. Idempotent. */
+  /** Register `graft_lsh_bucket_<planes>x<dim>_<h>(v)` for a fixed plane
+    * matrix. The name carries a content hash as well as the shape: two
+    * DIFFERENT matrices of the same shape (e.g. the q172 multi-table fine
+    * slices, all 8×64) must not silently replace each other in the
+    * registry. Returns the registered name. Idempotent per matrix. */
   def register(spark: SparkSession, planes: Seq[Seq[Int]]): String = {
-    val name = s"graft_lsh_bucket_${planes.length}x${planes.headOption.map(_.length).getOrElse(0)}"
+    val h = (planes.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_lsh_bucket_${planes.length}x${planes.headOption.map(_.length).getOrElse(0)}_$h"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => LshBucket(exprs.head, planes), "scala_udf")
     name

@@ -113,6 +113,18 @@ object ExtensionQueries {
     "q92_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 8, 0.35)),
 
+    // ── graph ANN (NSW/HNSW family): two-layer degree-capped
+    //    bidirectional neighbor graph (3 fine LSH tables + coarse long
+    //    links over a 1/16 hub subsample), then 6 rounds of relational
+    //    beam search. Fully deterministic (rounded cosine, id
+    //    tie-breaks), so the oracle replays the graph build and every
+    //    search round with unrolled SQL
+    "q172_graph_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annGraph(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", Dim, k = 5)
+    }),
+
     // ── IVF-style ANN: centroid routing + in-cell exact rerank
     "q48_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -694,6 +706,70 @@ object ExtensionQueries {
        |FROM icl""".stripMargin
   }
 
+  /** q172 oracle: rebuild the two-layer neighbor graph edge-for-edge and
+    * replay the beam search with one unrolled CTE pair per round — every
+    * step is rounded-cosine + id-tie-break deterministic arithmetic. */
+  private val graphAnnOracleSql = {
+    val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
+    def bexpr(planes: Seq[Seq[Int]]) = planes.zipWithIndex.map {
+      case (p, j) =>
+        s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val edgeCos = cosSqlAB("a.v", "b.v")
+    def layerCte(in: String, out: String) =
+      s"""$out AS (SELECT src, dst FROM (
+         |  SELECT a.vid AS src, b.vid AS dst,
+         |    row_number() OVER (PARTITION BY a.vid
+         |      ORDER BY $edgeCos DESC, b.vid) AS rn
+         |  FROM $in a JOIN $in b ON a.bucket = b.bucket AND a.vid != b.vid)
+         |  WHERE rn <= 12)""".stripMargin
+    val fineCtes = fineSlices.zipWithIndex.map { case (planes, t) =>
+      s"""cf$t AS (SELECT vec_id AS vid, v, ${bexpr(planes)} AS bucket FROM e),
+         |${layerCte(s"cf$t", s"gf$t")}""".stripMargin
+    }.mkString(",\n")
+    val fineUnion = fineSlices.indices
+      .map(t => s"SELECT src, dst FROM gf$t").mkString(" UNION ALL ")
+    val rounds = (1 to 6).map { r =>
+      s"""c$r AS (SELECT DISTINCT q_id, vec_id FROM (
+         |  SELECT b.q_id, g.dst AS vec_id
+         |  FROM b${r - 1} b JOIN g ON b.vec_id = g.src
+         |  UNION ALL SELECT q_id, vec_id FROM b${r - 1})),
+         |s$r AS (SELECT c.q_id, c.vec_id, ${cosSqlAB("q.qv", "ev.v")} AS sim
+         |  FROM c$r c JOIN ev ON c.vec_id = ev.vid JOIN q ON c.q_id = q.q_id
+         |  WHERE c.vec_id != c.q_id),
+         |b$r AS (SELECT q_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM s$r) WHERE rn <= 24)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS vid, v FROM e),
+       |$fineCtes,
+       |ch AS (SELECT vid, v, ${bexpr(coarseSlice)} AS bucket
+       |  FROM (SELECT vec_id AS vid, v FROM e WHERE vec_id % 16 = 0)),
+       |${layerCte("ch", "gc")},
+       |gd AS ($fineUnion UNION ALL SELECT src, dst FROM gc),
+       |g AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM gd UNION ALL SELECT dst, src FROM gd)),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |c0x AS (SELECT q_id, ent.vec_id FROM q, ent),
+       |s0 AS (SELECT c.q_id, c.vec_id, ${cosSqlAB("q.qv", "ev.v")} AS sim
+       |  FROM c0x c JOIN ev ON c.vec_id = ev.vid JOIN q ON c.q_id = q.q_id
+       |  WHERE c.vec_id != c.q_id),
+       |b0 AS (SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rn FROM s0) WHERE rn <= 24),
+       |$rounds
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rank FROM b6)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Shared CTE prefix for the connected-components oracles (q75/q84/q137):
     * recursive reachability closure over the ≥0.5 candidate edges. */
   private val clustersCtes =
@@ -1248,6 +1324,7 @@ object ExtensionQueries {
          |  var_r, var_g, var_b
          |FROM ift""".stripMargin,
     "q168_image_neardup" -> imgClustersSql,
+    "q172_graph_ann" -> graphAnnOracleSql,
     // closed-form recomputation of Multimodal.mp4Fixture's header fields
     // (timescale 600; integer-truncating ms division mirrored with //)
     "q171_video_meta" ->

@@ -337,6 +337,121 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  // ── graph ANN (navigable-small-world family) ────────────────────────────
+
+  /** The q172 plane slices: one shared closed-form plane matrix, cut into
+    * `fineTables` fine bucketings of `finePlanes` planes plus one coarse
+    * 4-plane slice for the hub layer — both sides (Spark build, SQL
+    * oracle) slice identically. */
+  private[graft] def nswPlaneSlices(dim: Int, finePlanes: Int,
+                                    fineTables: Int)
+      : (Seq[Seq[Seq[Int]]], Seq[Seq[Int]]) = {
+    val all = hyperplanes(fineTables * finePlanes + 4, dim)
+    ((0 until fineTables).map(t =>
+      all.slice(t * finePlanes, (t + 1) * finePlanes)),
+      all.slice(fineTables * finePlanes, fineTables * finePlanes + 4))
+  }
+
+  /** Two-layer degree-capped neighbor graph — the NSW/HNSW idea (Malkov &
+    * Yashunin, arXiv:1603.09320) restated relationally:
+    *
+    *   - layer 0 (fine): every node links to its `degree` most-similar
+    *     same-bucket neighbors in EACH of `fineTables` independent LSH
+    *     bucketings (disjoint plane slices of one closed-form matrix —
+    *     the classic multi-table LSH trick). One table's buckets are
+    *     cliques of one space partition; the union of several partitions
+    *     is what makes the graph navigable ACROSS buckets. Pairing stays
+    *     bucket-local per table, never all-pairs.
+    *   - layer 1 (coarse, long links): HNSW thins upper layers to a
+    *     geometric subsample; here nodes with `vid % hubMod == 0` form the
+    *     hub layer and link under a COARSER 4-plane bucketing (bigger
+    *     buckets → longer-range edges). The quadratic pair join runs only
+    *     over the 1/hubMod subsample, so its cost matches a fine-table
+    *     join over the full corpus.
+    *
+    * All similarities are rounded cosine with (sim desc, id asc) ties, so
+    * the graph — and everything searched over it — is deterministic and
+    * an oracle engine can rebuild it edge for edge. Emits (src, dst). */
+  def nswGraph(corpus: DataFrame, id: String, emb: String, dim: Int,
+               degree: Int = 12, finePlanes: Int = 8, fineTables: Int = 3,
+               hubMod: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val c = corpus.select(col(id).as("vid"), asDouble(emb).as("v"))
+    val (fine, coarse) = nswPlaneSlices(dim, finePlanes, fineTables)
+    def layer(base: DataFrame, planes: Seq[Seq[Int]]): DataFrame = {
+      val cc = base.withColumn("bucket", lshBucketNative(spark, "v", planes))
+      val w = Window.partitionBy("src")
+        .orderBy(col("sim").desc, col("dst").asc)
+      cc.as("a").join(cc.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+        .select(col("a.vid").as("src"), col("b.vid").as("dst"),
+          round(expr("graft_cosine(a.v, b.v)"), 6).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= degree)
+        .select("src", "dst")
+    }
+    val directed = fine.map(layer(c, _))
+      .reduce(_.unionByName(_))
+      .unionByName(layer(c.filter(pmod(col("vid"), lit(hubMod)) === 0),
+        coarse))
+    // NSW links are BIDIRECTIONAL (Malkov & Yashunin §4): a node's
+    // out-edges alone form near-cliques of mutual nearest neighbours and
+    // greedy search fixes-points inside them (measured: recall stalls);
+    // the reverse edges — "nodes that chose me" — are what let the beam
+    // leave a neighbourhood. Degree stays ≤ 2·(tables+1)·degree.
+    directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Beam search over [[nswGraph]], as bounded relational rounds: start
+    * from the `nEntries` lowest-id hub nodes, and each round expand the
+    * current per-query beam along graph edges, score candidates exactly
+    * (rounded cosine), and keep the best `beam` per query — one equi-join
+    * plus one top-k window per round, `rounds` rounds total (the
+    * level-synchronous restatement of NSW greedy descent; no per-query
+    * driver loop, the whole query batch advances together). Deterministic
+    * end to end, so the q172 oracle replays the identical search with
+    * unrolled SQL rounds. Emits (q_id, vec_id, sim, rank ≤ k). */
+  def annGraph(corpus: DataFrame, queries: DataFrame, id: String,
+               emb: String, dim: Int, k: Int, beam: Int = 24,
+               rounds: Int = 6, nEntries: Int = 16, degree: Int = 12,
+               hubMod: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    // the graph and the beam frame are each referenced twice per round —
+    // materialize both (the iterative-plan-depth rule: un-checkpointed,
+    // the plan tree doubles per round and the graph build re-executes
+    // 2^r times)
+    val g = nswGraph(corpus, id, emb, dim, degree, hubMod = hubMod)
+      .localCheckpoint(true)
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val entries = c.filter(pmod(col("vec_id"), lit(hubMod)) === 0)
+      .orderBy(col("vec_id").asc).limit(nEntries).select("vec_id")
+    val wBeam = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // score a (q_id, vec_id) candidate set and keep the per-query beam
+    def beamOf(cand: DataFrame): DataFrame =
+      cand.join(c, "vec_id").join(broadcast(q), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+        .withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= beam)
+        .select("q_id", "vec_id", "sim")
+    var best = beamOf(q.select("q_id").crossJoin(broadcast(entries)))
+    for (r <- 1 to rounds) {
+      val expand = best.join(g, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      best = beamOf(expand.unionByName(best.select("q_id", "vec_id")).distinct())
+      // cut every 2nd round: the beam is referenced twice per round, so
+      // un-cut plans double per round; a 2-round (4x) window amortizes the
+      // eager-materialization job cost without letting the tree explode
+      if (r % 2 == 0 && r < rounds) best = best.localCheckpoint(true)
+    }
+    best.withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   // ── product quantization (Jégou, Douze, Schmid — TPAMI'11) ──────────────
   //
   // The compressed-codes scale path: m sub-quantizers of ksub codewords turn

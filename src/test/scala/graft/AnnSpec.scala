@@ -47,6 +47,37 @@ class AnnSpec extends SparkSpec {
     assert(rRr >= rAdc, "rerank must not lose recall")
   }
 
+  test("graph ANN: beam search beats single-bucket LSH and its own " +
+       "entry-point baseline; reruns are identical") {
+    // This corpus is structureless by construction (same-label vectors are
+    // no more similar than cross-label — near-random 64-dim, the known
+    // worst case for navigable graphs), so absolute recall is data-limited
+    // for the whole ANN family; the meaningful checks are RELATIVE.
+    // Measured here: brute=1.0, graph=0.34, multi-probe=0.30, LSH=0.06.
+    val qs = e.filter(col("vec_id") < 10)
+    val truth = Similarity.knnBrute(e, qs, "vec_id", "embedding", 5).cache()
+    val got = Similarity.annGraph(e, qs, "vec_id", "embedding", dim = 64,
+      k = 5).cache()
+    // every query comes back fully ranked
+    assert(got.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    val r = recall(got, truth)
+    assert(r >= 0.25, s"graph-ANN recall $r below 0.25")
+    val rLsh = recall(
+      Similarity.annLsh(e, qs, "vec_id", "embedding", 5, 8, 64), truth)
+    assert(r > rLsh, s"graph-ANN $r did not beat single-bucket LSH $rLsh")
+    // the search must actually navigate: round-0 entry scoring alone (the
+    // same hub entries, no graph expansion) is a much weaker answer
+    val entryOnly = Similarity.annGraph(e, qs, "vec_id", "embedding",
+      dim = 64, k = 5, rounds = 0)
+    assert(recall(entryOnly, truth) < r,
+      "beam rounds added nothing over the raw entry points")
+    // determinism: a rerun reproduces the identical ranked rows
+    val again = Similarity.annGraph(e, qs, "vec_id", "embedding", dim = 64,
+      k = 5)
+    assert(got.orderBy("q_id", "rank").collect().toSeq ==
+      again.orderBy("q_id", "rank").collect().toSeq)
+  }
+
   test("PQ encode is deterministic and reruns reproduce identical codes") {
     val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = Similarity.pqTrain(small, "embedding", m = 4, ksub = 8)
