@@ -52,6 +52,27 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() == 9000)
   }
 
+  test("multimodal metadata queries prune the binary content column at " +
+       "the scan") {
+    // the 100 TB contract of the asset table: bytes stay columnar in
+    // parquet, and a metadata-only query (dimensions, sizes) must read
+    // ONLY the metadata columns — a scan that drags the binary payload
+    // for a stats query is wrong at any scale
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/a"
+    val docs = (1 to 50).map(i => (i.toLong, "payload " * i)).toDF("doc_id", "text")
+    graft.multimodal.Multimodal.packAssets(docs, "doc_id", "text")
+      .write.parquet(dir)
+    val stats = spark.read.parquet(dir)
+      .filter(col("media_type") === "image")
+      .groupBy("media_type")
+      .agg(sum(col("meta.n_bytes")).as("bytes"), count(lit(1)).as("n"))
+    val scan = stats.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("media_type") && scan.contains("meta"), scan)
+    assert(!scan.contains("content"), s"content column not pruned: $scan")
+    assert(stats.count() == 1)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a temp dir set at session build (static conf)
     spark.sql("DROP TABLE IF EXISTS b_orders")
