@@ -1,7 +1,9 @@
 package graft.examples
 
 import graft.Tables
+import graft.multimodal.Multimodal
 import graft.ops.Stats
+import graft.sim.Similarity
 import graft.text.{Curate, Dedup, Mix, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,6 +17,10 @@ import org.apache.spark.sql.functions._
   *   soft-dedup weights → decontaminate vs an eval set →
   *   quantile-normalized quality threshold → leakage-free cluster split →
   *   sequence packing
+  *
+  * plus the multimodal leg ([[runMultimodal]]): image assets → real
+  * raster decode → feature vectors → the SAME cosine-pair + clustering
+  * dedup stack, keeping one representative per near-duplicate group.
   *
   * Every stage is the same operator the oracle-checked catalog uses; this
   * file exists so a library consumer can read ONE composition top to
@@ -82,6 +88,31 @@ object CurationDemo {
     packed
   }
 
+  /** The multimodal leg: a media-asset frame (here: generated gradient
+    * PNGs with injected near-duplicate groups) flows through real raster
+    * decode into the text stack's similarity + clustering operators —
+    * multimodal content is a first-class dedup citizen, not a silo.
+    * Returns the kept (representative) assets. */
+  def runMultimodal(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val assets = (0 until 12).flatMap(g => (0 until 4).map(m =>
+        ((g * 4 + m).toLong, Multimodal.gradPngBytes(g, m))))
+      .toDF("asset_id", "content")
+      .repartition(8, col("asset_id"))
+    // 1. decode: per-channel pixel statistics from the actual raster
+    val feats = Multimodal.imageFeatures(assets)
+    // 2. near-dup pairs: LSH-bucketed exact-cosine filter on the features
+    val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
+      minSim = 0.9995, nPlanes = 4, dim = 6)
+    // 3. connected components → keep one representative per group
+    val clusters = Dedup.dedupClusters(feats.select("asset_id"), pairs,
+      "asset_id")
+    val kept = clusters.filter(col("keep") === 1).select("asset_id")
+      .join(assets, "asset_id")
+    println(s"[curate] image assets kept: ${kept.count()} of ${assets.count()}")
+    kept
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -93,6 +124,7 @@ object CurationDemo {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val packed = run(spark, dir)
     packed.show(5, truncate = false)
+    runMultimodal(spark).select("asset_id").show(5)
     spark.stop()
   }
 }

@@ -67,4 +67,13 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out.count() > 0, "curation chain filtered everything out")
     assert(out.filter(col("first_bin") > col("last_bin")).count() == 0)
   }
+
+  test("CurationDemo multimodal leg: decode → cosine pairs → clusters " +
+       "keeps one representative per injected near-dup group") {
+    val kept = graft.examples.CurationDemo.runMultimodal(spark)
+    // 12 groups of 4 brightness-shifted members → exactly the 12 group
+    // minima survive
+    val ids = kept.select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0 until 12).map(g => (g * 4).toLong))
+  }
 }
