@@ -33,7 +33,10 @@ object Tables {
     * because a NANOS-annotated file cannot be read at all without it.
     * FormatsSpec pins all three branches against written fixtures. */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.getOption(NanosAsLongKey).isEmpty)
+    // getOption would never be None here — the key is a registered SQLConf
+    // with a default of "false" — so test the VALUE (an external session
+    // that set it intentionally is respected; an unset one gets the net)
+    if (s.conf.get(NanosAsLongKey, "false") != "true")
       s.conf.set(NanosAsLongKey, "true")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -46,17 +49,19 @@ object Tables {
     * FormatsSpec can drive it over synthetic fixtures of every physical
     * type the driver has ever generated. The int64 branch guards magnitude
     * (ADVICE r6): a plain int64 storing epoch millis/micros would be
-    * silently mis-scaled 1000× by the nanos assumption, so any non-null
-    * value whose magnitude is below one year's worth of nanoseconds
-    * (~1971-01-01, i.e. certainly not an epoch-nanos instant) raises
-    * instead of guessing. */
+    * silently mis-scaled 1000× by the nanos assumption, so values in the
+    * seconds/millis/micros magnitude band for modern instants
+    * (10⁹ ≤ |ts| < one year of nanos ≈ 1971) raise instead of guessing.
+    * Values BELOW 10⁹ (epoch-adjacent sentinels like 0) pass through —
+    * a single legitimate sentinel row must not fail the whole table. */
   private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long: truncate to micros (driver data is micro-aligned)
         raw.withColumn("ts", timestamp_micros(expr(
-          """CASE WHEN ts IS NOT NULL AND abs(ts) < 31536000000000000
+          """CASE WHEN ts IS NOT NULL AND abs(ts) >= 1000000000
+            |          AND abs(ts) < 31536000000000000
             |THEN CAST(raise_error(concat('events.ts int64 value ',
             |  CAST(ts AS STRING),
             |  ' is too small to be epoch nanoseconds — millis/micros file?'))

@@ -76,8 +76,10 @@ object Graph {
             (coalesce(col("_c"), lit(0.0)) + col("_dm") / col("_n"))).as("r"))
       if (tol > 0) {
         ranks = ranks.localCheckpoint(true) // about to be acted on anyway
+        // coalesce: sum over an EMPTY node set is NULL, and an empty graph
+        // is trivially converged — not an NPE
         val delta = ranks.join(prev.withColumnRenamed("r", "_rp"), "id")
-          .agg(sum(abs(col("r") - col("_rp"))).as("d"))
+          .agg(coalesce(sum(abs(col("r") - col("_rp"))), lit(0.0)).as("d"))
           .head().getDouble(0)
         converged = delta < tol
       } else if (it % checkpointEvery == 0 && it < iters)

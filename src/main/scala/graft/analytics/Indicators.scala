@@ -232,14 +232,21 @@ object Indicators {
                     chunkLen: Int = 64, inlineMax: Long = 1 << 20): DataFrame = {
     // only the OVERSIZED key set is materialized for routing — it has at
     // most total/inlineMax members by construction, so it broadcasts even
-    // when the overall key population is billions
+    // when the overall key population is billions. The routing joins are
+    // NULL-SAFE (<=>): groupBy pools all-null keys into one group, and a
+    // missing-key hot group is the classic skew case — plain equality
+    // would silently drop it back onto the quadratic fold path
     val bigKeys = broadcast(df.filter(col(value).isNotNull)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
       .filter(col("_kn") > inlineMax).select(keys.map(col): _*))
-    emaSeries(df.join(bigKeys, keys, "left_anti"), value, keys, ts, alpha,
+      .as("_bk")
+    val lhs = df.as("_lhs")
+    val cond = keys.map(k => col(s"_lhs.$k") <=> col(s"_bk.$k"))
+      .reduce(_ && _)
+    emaSeries(lhs.join(bigKeys, cond, "left_anti"), value, keys, ts, alpha,
         carry)
       .unionByName(
-        emaSeriesChunked(df.join(bigKeys, keys, "left_semi"), value, keys,
+        emaSeriesChunked(lhs.join(bigKeys, cond, "left_semi"), value, keys,
           ts, alpha, chunkLen, carry))
   }
 
@@ -296,10 +303,15 @@ object Indicators {
            |  acc -> acc.arr)""".stripMargin))
       .select((keys.map(col) :+
         posexplode(col("_carr")).as(Seq("_chunk", "_carry_in"))): _*)
-    withIntra.join(carries, keys :+ "_chunk")
+    // NULL-SAFE stitch join: groupBy pools all-null keys into a real group
+    // (the missing-key hot-group case emaSeriesAuto routes here), and a
+    // plain equality join would silently drop exactly those rows
+    val stitch = (keys :+ "_chunk")
+      .map(c => col(s"_wi.$c") <=> col(s"_cr.$c")).reduce(_ && _)
+    withIntra.as("_wi").join(carries.as("_cr"), stitch)
       .withColumn("ema", quant6(col("_intra") +
         pow(lit(beta), col("_pos") + 1) * col("_carry_in")))
-      .select((keys.map(col) ++ carry.map(col) :+
+      .select((keys.map(k => col(s"_wi.$k").as(k)) ++ carry.map(col) :+
         col(value).cast("double").as(value) :+ col("ema")): _*)
   }
 

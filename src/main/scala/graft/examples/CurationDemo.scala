@@ -100,7 +100,11 @@ object CurationDemo {
       .toDF("asset_id", "content")
       .repartition(8, col("asset_id"))
     // 1. decode: per-channel pixel statistics from the actual raster
+    //    (persisted — the frame feeds both self-join sides and the
+    //    cluster vertex set; re-decoding rasters per consumer is the
+    //    thing to avoid at corpus scale)
     val feats = Multimodal.imageFeatures(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. near-dup pairs: LSH-bucketed exact-cosine filter on the features
     val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
       minSim = 0.9995, nPlanes = 4, dim = 6)

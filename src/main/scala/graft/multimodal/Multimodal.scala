@@ -77,9 +77,18 @@ object Multimodal {
     * decode is how one poison 10⁹-pixel asset stalls a task). */
   private[graft] def rasterStats(bytes: Array[Byte],
                                  maxPixels: Long): Option[RasterStats] = {
+    // the size cap must be enforced BEFORE the raster decode, from the
+    // header-only probe — a decompression-bomb PNG (tiny bytes, 10⁹
+    // pixels) would otherwise allocate the full raster just to be
+    // rejected, which is exactly the stall the cap exists to prevent
+    val headerOk = imageHeader(bytes).exists { case (_, w, h, _) =>
+      w > 0 && h > 0 && w.toLong * h <= maxPixels
+    }
     val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      if (!headerOk) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
     img.flatMap { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       if (w.toLong * h > maxPixels || w == 0 || h == 0) None
@@ -124,7 +133,8 @@ object Multimodal {
     * variance from the decoded raster, scaled to [0,1], plus log-scaled
     * dimensions — the vector SemDeDup/ANN consume downstream); anything
     * else falls back to [[pseudoFeatures]]. */
-  def decodeBatch(assets: DataFrame, maxPixels: Long = 1L << 22): DataFrame = {
+  def decodeBatch(assets: DataFrame, maxPixels: Long = 1L << 22,
+                  maxSamples: Long = 1L << 24): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "media_type", "content").mapPartitions { it =>
       it.map { r =>
@@ -140,7 +150,7 @@ object Multimodal {
               (math.sqrt(v(5)) / 255.0).toFloat,
               (math.log1p(st.w.toDouble) / 16.0).toFloat,
               (math.log1p(st.h.toDouble) / 16.0).toFloat)
-          case None => audioStats(bytes, maxPixels) match {
+          case None => audioStats(bytes, maxSamples) match {
             case Some(st) => Array(
               (st.mean / 32768.0).toFloat, (st.rms / 32768.0).toFloat,
               (st.crossings.toDouble / math.max(st.n - 1, 1)).toFloat,

@@ -472,7 +472,11 @@ object ExtensionQueries {
     //    (uniform brightness shifts); the oracle recomputes features,
     //    buckets, cosine filter, and the reachability closure
     "q168_image_neardup" -> ((s, _) => {
+      // persisted: the decode feeds both sides of the pair self-join plus
+      // the cluster vertex set — without it every PNG raster is decoded
+      // ~3x (released by the ContextCleaner, as in semDedup)
       val feats = graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
         ImgMinSim, ImgPlanes, ImgDim)
       Dedup.dedupClusters(feats.select("asset_id"), pairs, "asset_id")
@@ -634,14 +638,18 @@ object ExtensionQueries {
     .mkString(" + ")
 
   private val planes = Similarity.hyperplanes(NPlanes, Dim)
-  private val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
-    s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
-  }.mkString(" + ")
-  private val qBucketExpr = planes.zipWithIndex.map { case (p, j) =>
-    s"(CASE WHEN ${Similarity.planeDotSql("qv", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
-  }.mkString(" + ")
-  private def cosSqlAB(a: String, b: String) =
-    s"round(list_sum(list_transform(generate_series(1,64), i -> $a[i]*$b[i])) / " +
+  /** The ONE SQL rendering of the LSH bucket (sign bits of plane dots) and
+    * the rounded cosine — every oracle that buckets or scores must go
+    * through these, so a change to the sign convention or the rounding
+    * cannot silently diverge between oracles. */
+  private def bucketExprOf(v: String, ps: Seq[Seq[Int]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${Similarity.planeDotSql(v, p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  private val bucketExpr = bucketExprOf("v", planes)
+  private val qBucketExpr = bucketExprOf("qv", planes)
+  private def cosSqlAB(a: String, b: String, dim: Int = 64) =
+    s"round(list_sum(list_transform(generate_series(1,$dim), i -> $a[i]*$b[i])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
 
@@ -679,14 +687,8 @@ object ExtensionQueries {
     * filter → recursive reachability closure (the clustersCtes shape on
     * the image pair graph). */
   private val imgClustersSql = {
-    val planes = Similarity.hyperplanes(ImgPlanes, ImgDim)
-    val bexpr = planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    def cos6(a: String, b: String) =
-      s"round(list_sum(list_transform(generate_series(1,$ImgDim), i -> $a[i]*$b[i])) / " +
-        s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
-        s"sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
+    val bexpr = bucketExprOf("v", Similarity.hyperplanes(ImgPlanes, ImgDim))
+    def cos6(a: String, b: String) = cosSqlAB(a, b, ImgDim)
     s"""WITH RECURSIVE $imgFeatsCtes,
        |iv AS (SELECT asset_id,
        |  [mean_r, mean_g, mean_b, var_r, var_g, var_b] AS v FROM ift),
@@ -711,10 +713,7 @@ object ExtensionQueries {
     * step is rounded-cosine + id-tie-break deterministic arithmetic. */
   private val graphAnnOracleSql = {
     val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
-    def bexpr(planes: Seq[Seq[Int]]) = planes.zipWithIndex.map {
-      case (p, j) =>
-        s"(CASE WHEN ${Similarity.planeDotSql("v", p)} >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    def bexpr(ps: Seq[Seq[Int]]) = bucketExprOf("v", ps)
     val edgeCos = cosSqlAB("a.v", "b.v")
     def layerCte(in: String, out: String) =
       s"""$out AS (SELECT src, dst FROM (

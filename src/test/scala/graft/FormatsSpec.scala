@@ -99,6 +99,19 @@ class FormatsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("too small to be epoch nanoseconds")))
+
+    // …but an epoch-adjacent SENTINEL (ts = 0) inside an otherwise-genuine
+    // nanos file must NOT fail the whole table — the guard targets the
+    // seconds/millis/micros magnitude band, not every small value
+    val base2 = java.nio.file.Files.createTempDirectory("graft_evsent").toString
+    import spark.implicits._
+    Seq((1L, 1700000000000000000L, 5L, "view", 1.0),
+        (2L, 0L, 6L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$base2/events.parquet")
+    val rows = Tables.events(spark, base2).orderBy("event_id").collect()
+    assert(rows(0).getTimestamp(1).getTime == 1700000000000L)
+    assert(rows(1).getTimestamp(1).getTime == 0L) // sentinel → epoch
   }
 
   test("malformed JSON rows land as nulls under the declared schema (coerce)") {

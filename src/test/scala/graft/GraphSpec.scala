@@ -100,6 +100,13 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank with tol on an empty node set returns empty, not an NPE") {
+    val empty = Seq.empty[(String, String)].toDF("s", "t")
+    val got = Graph.pageRank(empty, "s", "t",
+      Seq.empty[String].toDF("id"), "id", iters = 10, tol = 1e-6)
+    assert(got.count() == 0)
+  }
+
   test("pageRank on a symmetric cycle is uniform") {
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a")
     val got = Graph.pageRank(edges.toDF("s", "t"), "s", "t",

@@ -324,6 +324,22 @@ class IndicatorsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(autoDefault == fold)
+    // a NULL-key hot group (missing-key skew, pooled by groupBy) must
+    // route too: the join is null-safe, so no row may be lost or silently
+    // left on the quadratic fold path
+    val nullRows = (1 to 24).map(i =>
+      (None: Option[String], 200L + i, ts(i), i / 4.0)) ++
+      (1 to 6).map(i => (Some("sm2"), 300L + i, ts(i), i / 2.0))
+    val ndf = nullRows.toDF("k", "id", "t", "x")
+    val nAuto = Indicators.emaSeriesAuto(ndf, "x", Seq("k"), "t",
+        alpha = 0.25, carry = Seq("id"), chunkLen = 8, inlineMax = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val nFold = Indicators.emaSeries(ndf, "x", Seq("k"), "t", alpha = 0.25,
+        carry = Seq("id"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(nAuto.keySet == nFold.keySet)     // null-key rows all present
+    for ((id, want) <- nFold)
+      assert(math.abs(nAuto(id) - want) <= 1.1e-6, s"id $id")
   }
 
   test("rollingMedian: nulls are ignored; an all-null frame yields NULL, " +
