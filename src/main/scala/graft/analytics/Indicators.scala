@@ -90,6 +90,31 @@ object Indicators {
         round(cov / sqrt(vx * vy), 6)))
   }
 
+  /** Rolling OLS of y on x over a trailing n-row frame per series — the
+    * rolling hedge ratio / market beta every desk computes (slope of the
+    * regression line in the window, plus its intercept). Same
+    * exact-decimal sufficient-statistic scheme as [[rollingCorr]]: five
+    * DECIMAL window sums, the closed form in double. NULL until the frame
+    * is full or when x is constant in it. */
+  def rollingBeta(df: DataFrame, y: String, x: String, keys: Seq[String],
+                  ord: Seq[Column], n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(-(n - 1), 0)
+    val bothNotNull = col(x).isNotNull && col(y).isNotNull
+    def dsum(e: Column) = sum(when(bothNotNull, e.cast(Dec))).over(w).cast("double")
+    val cnt = count(when(bothNotNull, 1)).over(w)
+    val (sx, sy) = (dsum(col(x)), dsum(col(y)))
+    val sxx      = dsum(col(x) * col(x))
+    val sxy      = dsum(col(x) * col(y))
+    val cov = cnt * sxy - sx * sy
+    val vx  = cnt * sxx - sx * sx
+    df.withColumn("rolling_beta",
+        when(cnt === n && vx > 0, round(cov / vx, 6)))
+      .withColumn("rolling_alpha",
+        when(cnt === n && vx > 0,
+          round((sy - cov / vx * sx) / cnt, 6)))
+  }
+
   /** Time-weighted average price (TWAP) per series: each observation holds
     * until the next one, so its weight is that interval's duration; the
     * final observation of a series carries no forward interval and drops

@@ -212,6 +212,16 @@ object AnalyticsQueries {
           Seq("user_id"), Seq(col("ts"), col("event_id")))
         .select("user_id", "event_id", "value", "peak", "drawdown")),
 
+    // ── rolling 20-row OLS beta/alpha of value on JSON prop k per user
+    //    (the rolling hedge ratio; q121's sufficient statistics, slope form)
+    "q173_rolling_beta" -> ((s, d) =>
+      graft.analytics.Indicators.rollingBeta(
+          Tables.events(s, d)
+            .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+          "value", "k", Seq("user_id"), Seq(col("ts"), col("event_id")), n = 20)
+        .select("user_id", "event_id", "value", "k", "rolling_beta",
+          "rolling_alpha")),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -433,6 +443,30 @@ object AnalyticsQueries {
         |   THEN round((cnt * sxy - sx * sy) /
         |     sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6)
         | END AS rolling_corr
+        |FROM b""".stripMargin,
+    "q173_rolling_beta" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k FROM events),
+        |b AS (SELECT user_id, event_id, value, k,
+        |  count(CASE WHEN value IS NOT NULL AND k IS NOT NULL THEN 1 END) OVER w AS cnt,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(value AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(k * k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+        |    THEN CAST(value * k AS DECIMAL(28,10)) END) OVER w AS DOUBLE) AS sxy
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, k,
+        | CASE WHEN cnt = 20 AND cnt * sxx - sx * sx > 0
+        |   THEN round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6)
+        | END AS rolling_beta,
+        | CASE WHEN cnt = 20 AND cnt * sxx - sx * sx > 0
+        |   THEN round((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+        |     / cnt, 6)
+        | END AS rolling_alpha
         |FROM b""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,

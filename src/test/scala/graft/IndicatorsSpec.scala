@@ -342,6 +342,29 @@ class IndicatorsSpec extends SparkSpec {
       assert(math.abs(nAuto(id) - want) <= 1.1e-6, s"id $id")
   }
 
+  test("rollingBeta: slope/intercept of the trailing-frame regression " +
+       "match the closed form; NULL before the frame fills") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+    // y = 3x + 2 exactly on a drifting x → beta 3, alpha 2 once n=3 fills
+    val rows = (1 to 6).map(i => (1L, ts(i), i * 1.5, i * 1.5 * 3 + 2))
+    val df = rows.toDF("k", "t", "x", "y")
+    val got = graft.analytics.Indicators.rollingBeta(df, "y", "x", Seq("k"),
+        Seq(col("t")), n = 3)
+      .orderBy("t").collect()
+    assert(got(0).isNullAt(4) && got(1).isNullAt(4)) // frame not yet full
+    for (i <- 2 until 6) {
+      assert(got(i).getDouble(4) == 3.0, s"beta at $i")
+      assert(got(i).getDouble(5) == 2.0, s"alpha at $i")
+    }
+    // constant x in the frame → NULL, not a division blow-up
+    val flat = (1 to 4).map(i => (1L, ts(i), 7.0, i * 1.0)).toDF("k", "t", "x", "y")
+    val g2 = graft.analytics.Indicators.rollingBeta(flat, "y", "x", Seq("k"),
+        Seq(col("t")), n = 3)
+      .orderBy("t").collect()
+    assert(g2.forall(_.isNullAt(4)))
+  }
+
   test("rollingMedian: nulls are ignored; an all-null frame yields NULL, " +
        "not a crash") {
     import java.sql.Timestamp
