@@ -207,26 +207,28 @@ object Indicators {
   def emaSeries(df: DataFrame, value: String, keys: Seq[String], ts: String,
                 alpha: Double, carry: Seq[String] = Nil): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha outside (0, 1]")
-    val fields = (col(ts).as("t") +: carry.map(col)) :+
-      col(value).cast("double").as("x")
+    // "_gt"/"_gx" struct aliases: deliberately obscure so a carry column
+    // named "t" or "x" (or ts/value themselves) can't collide with them
+    val fields = (col(ts).as("_gt") +: carry.map(col)) :+
+      col(value).cast("double").as("_gx")
     val packed = df.filter(col(value).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(fields: _*))).as("seq"))
     val runFold = expr(
       s"""aggregate(
          |  slice(seq, 2, size(seq) - 1),
-         |  named_struct('arr', array(element_at(seq, 1).x),
-         |               'last', element_at(seq, 1).x),
+         |  named_struct('arr', array(element_at(seq, 1)._gx),
+         |               'last', element_at(seq, 1)._gx),
          |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr, array(${1 - alpha}D * acc.last + ${alpha}D * p.x)),
-         |    'last', ${1 - alpha}D * acc.last + ${alpha}D * p.x),
+         |    'arr', concat(acc.arr, array(${1 - alpha}D * acc.last + ${alpha}D * p._gx)),
+         |    'last', ${1 - alpha}D * acc.last + ${alpha}D * p._gx),
          |  acc -> acc.arr)""".stripMargin)
     packed.withColumn("_emas", runFold)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_emas"))).as("_z")): _*)
       .select((keys.map(col) ++
         carry.map(c => col(s"_z.seq.$c").as(c)) :+
-        col("_z.seq.x").as(value) :+
+        col("_z.seq._gx").as(value) :+
         quant6(col("_z._emas")).as("ema")): _*)
   }
 
@@ -268,12 +270,29 @@ object Indicators {
     val lhs = df.as("_lhs")
     val cond = keys.map(k => col(s"_lhs.$k") <=> col(s"_bk.$k"))
       .reduce(_ && _)
+    // α = 1 degenerates to the identity (emaₜ = xₜ): a per-row projection,
+    // no fold, no routing — and the chunked leg (which requires α < 1)
+    // must not be constructed at all
+    if (alpha == 1.0)
+      return df.filter(col(value).isNotNull)
+        .select((keys.map(col) ++ carry.map(col) :+
+          col(value).cast("double").as(value) :+
+          quant6(col(value).cast("double")).as("ema")): _*)
     emaSeries(lhs.join(bigKeys, cond, "left_anti"), value, keys, ts, alpha,
         carry)
       .unionByName(
         emaSeriesChunked(lhs.join(bigKeys, cond, "left_semi"), value, keys,
-          ts, alpha, chunkLen, carry))
+          ts, alpha, chunkLenFor(alpha, chunkLen), carry))
   }
+
+  /** Largest chunk length the 2^40 intra-chunk dynamic-range bound allows
+    * for this α, capped at `want`. The chunked leg is often built eagerly
+    * (before knowing whether any key is oversized), so its α-precision
+    * guard must hold for ANY α — fast EMAs (large α) down-weight history
+    * so hard that the short chunks this forces lose nothing. */
+  private def chunkLenFor(alpha: Double, want: Int = 64): Int =
+    math.min(want, math.max(2,
+      (40 * math.log(2.0) / math.log1p(alpha / (1 - alpha))).toInt))
 
   /** [[emaSeries]] at unbounded key size: the chunk-and-stitch form. Rows
     * split into `chunkLen`-row chunks per key; within a chunk the EMA
@@ -417,5 +436,277 @@ object Indicators {
     df.withColumn("peak", peak)
       .withColumn("drawdown",
         when(peak > 0, round(col(value) / peak - 1.0, 6)))
+  }
+
+  /** MACD(fast, slow, signal): the classic EMA-crossover momentum triple —
+    * macd = EMA_fast − EMA_slow, signal = EMA_signal(macd), hist = macd −
+    * signal. Built by COMPOSING [[emaSeriesAuto]] (three passes + one
+    * row-key join) rather than a bespoke one-pass fold, so every EMA leg
+    * inherits the size-routed scale guard: modest keys run the sequential
+    * fold bit-identical to an oracle engine's recursion, oversized keys
+    * take the chunk-stitch path instead of a quadratic array build. The
+    * spans' α = 2/(span+1) need not be exactly representable — both
+    * engines start from the identical correctly-rounded double (the oracle
+    * embeds this JVM's shortest-repr constant), so the folds agree
+    * bit-for-bit before the 6-dp quantization each leg applies.
+    * `carry` must, together with `ts`, uniquely identify rows in a key
+    * (it is the join key that re-seats the two EMA legs on the same row). */
+  def macd(df: DataFrame, value: String, keys: Seq[String], ts: String,
+           fast: Int = 12, slow: Int = 26, signalSpan: Int = 9,
+           carry: Seq[String] = Nil, inlineMax: Long = 1 << 20): DataFrame = {
+    require(0 < fast && fast < slow, s"need 0 < fast($fast) < slow($slow)")
+    // same size routing as [[emaSeriesAuto]]: modest keys take the fused
+    // folds (ONE wide shuffle, no row-key join); oversized keys take the
+    // three-leg chunk-stitch composition, which never materializes a
+    // quadratic array. Unlike emaSeriesAuto, the oversized leg is gated by
+    // an explicit (tiny: ≤ total/inlineMax rows) driver check — its
+    // composition carries several broadcast subplans that would all
+    // execute even over a provably empty input, and the common case is
+    // exactly that empty input.
+    val bigKeys = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > inlineMax).select(keys.map(col): _*)
+    if (bigKeys.isEmpty)
+      macdFused(df, value, keys, ts, fast, slow, signalSpan, carry)
+    else {
+      val bk = broadcast(bigKeys).as("_bk")
+      val lhs = df.as("_lhs")
+      val cond = keys.map(k => col(s"_lhs.$k") <=> col(s"_bk.$k"))
+        .reduce(_ && _)
+      macdFused(lhs.join(bk, cond, "left_anti"), value, keys, ts,
+          fast, slow, signalSpan, carry)
+        .unionByName(macdComposed(lhs.join(bk, cond, "left_semi"),
+          value, keys, ts, fast, slow, signalSpan, carry))
+    }
+  }
+
+  /** The fused small-key MACD path: one groupBy packs the series, one
+    * `aggregate` fold carries BOTH EMA states left-to-right (identical
+    * arithmetic to the two independent folds — each state only reads
+    * itself), the macd list derives per-position from the 6-dp-quantized
+    * legs, and the signal fold replays emaSeries over that list. Array
+    * appends are O(n²) per key in copies like [[emaSeries]] — which is
+    * exactly why [[macd]] routes oversized keys elsewhere. */
+  private def macdFused(df: DataFrame, value: String, keys: Seq[String],
+                        ts: String, fast: Int, slow: Int, signalSpan: Int,
+                        carry: Seq[String]): DataFrame = {
+    val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1)
+    val aG = 2.0 / (signalSpan + 1)
+    val bF = 1.0 - aF; val bS = 1.0 - aS; val bG = 1.0 - aG
+    val fields = (col(ts).as("_gt") +: carry.map(col)) :+
+      col(value).cast("double").as("_gx")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(fields: _*))).as("seq"))
+    // two independent double-array folds over the SAME packed column —
+    // plain double appends (the q157 shape; an array-of-struct append
+    // costs ~10× per copy), and `seq` is an aggregate output so neither
+    // fold can be re-evaluated by project collapse
+    def emaFold(field: String, a: Double, b: Double) = expr(
+      s"""aggregate(
+         |  slice(seq, 2, size(seq) - 1),
+         |  named_struct('arr', array(element_at(seq, 1).$field),
+         |               'last', element_at(seq, 1).$field),
+         |  (acc, p) -> named_struct(
+         |    'arr', concat(acc.arr, array(${b}D * acc.last + ${a}D * p.$field)),
+         |    'last', ${b}D * acc.last + ${a}D * p.$field),
+         |  acc -> acc.arr)""".stripMargin)
+    // explode immediately after the folds: derived array chains would be
+    // inlined by project collapse and re-evaluate the O(n²) folds — here
+    // each fold result feeds exactly one generator
+    val leg = packed
+      .withColumn("_ff", emaFold("_gx", aF, bF))
+      .withColumn("_sf", emaFold("_gx", aS, bS))
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_ff"), col("_sf"))).as("_z")): _*)
+      .select((keys.map(col) :+ col("_z.seq._gt").as("_gt")) ++
+        (carry.map(c => col(s"_z.seq.$c").as(c)) :+
+        col("_z.seq._gx").as("_gx") :+
+        quant6(col("_z._ff")).as("ema_fast") :+
+        quant6(col("_z._sf")).as("ema_slow")): _*)
+      .withColumn("_gm", col("ema_fast") - col("ema_slow"))
+    val fields2 = (col("_gt") +: carry.map(col)) ++
+      Seq(col("_gx"), col("ema_fast"), col("ema_slow"), col("_gm"))
+    val packed2 = leg.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(fields2: _*))).as("seq2"))
+    val sigFold = expr(
+      s"""aggregate(
+         |  slice(seq2, 2, size(seq2) - 1),
+         |  named_struct('arr', array(element_at(seq2, 1)._gm),
+         |               'last', element_at(seq2, 1)._gm),
+         |  (acc, p) -> named_struct(
+         |    'arr', concat(acc.arr, array(${bG}D * acc.last + ${aG}D * p._gm)),
+         |    'last', ${bG}D * acc.last + ${aG}D * p._gm),
+         |  acc -> acc.arr)""".stripMargin)
+    packed2.withColumn("_sg", sigFold)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq2"), col("_sg"))).as("_z")): _*)
+      .select((keys.map(col) :+
+        col("_z.seq2._gt").as(ts)) ++ // composed leg carries ts — match it
+        (carry.map(c => col(s"_z.seq2.$c").as(c)) :+
+        col("_z.seq2._gx").as(value) :+
+        col("_z.seq2.ema_fast").as("ema_fast") :+
+        col("_z.seq2.ema_slow").as("ema_slow") :+
+        col("_z.seq2._gm").as("macd") :+
+        quant6(col("_z._sg")).as("macd_signal") :+
+        (col("_z.seq2._gm") - quant6(col("_z._sg"))).as("macd_hist")): _*)
+  }
+
+  /** The oversized-key MACD path: three chunk-stitch EMA legs re-seated by
+    * a row-key join. Every key here is KNOWN oversized (the caller routed
+    * them), so the legs call [[emaSeriesChunked]] directly — re-routing
+    * through emaSeriesAuto would rebuild its broadcast machinery thrice
+    * for keys whose size is already established. Bounded per-key state,
+    * no quadratic array. */
+  private def macdComposed(df: DataFrame, value: String, keys: Seq[String],
+                           ts: String, fast: Int, slow: Int,
+                           signalSpan: Int, carry: Seq[String]): DataFrame = {
+    def leg(d: DataFrame, v: String, span: Int, cr: Seq[String]): DataFrame = {
+      val a = 2.0 / (span + 1)
+      if (a == 1.0) // span 1: EMA ≡ identity (see emaSeriesAuto)
+        d.filter(col(v).isNotNull)
+          .select((keys.map(col) ++ cr.map(col) :+
+            col(v).cast("double").as(v) :+
+            quant6(col(v).cast("double")).as("ema")): _*)
+      else emaSeriesChunked(d, v, keys, ts, a, chunkLenFor(a), cr)
+    }
+    val thread = ts +: carry // ts rides along so each pass can re-order
+    val f = leg(df, value, fast, thread)
+      .withColumnRenamed("ema", "ema_fast")
+    val s = leg(df, value, slow, thread)
+      .select((keys ++ thread).map(col) :+ col("ema").as("ema_slow"): _*)
+    val m = f.join(s, keys ++ thread)
+      .withColumn("macd", col("ema_fast") - col("ema_slow"))
+    leg(m, "macd", signalSpan, thread ++ Seq(value, "ema_fast", "ema_slow"))
+      .withColumnRenamed("ema", "macd_signal")
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+  }
+
+  /** Stochastic oscillator: %K = 100·(x − minₙ)/(maxₙ − minₙ) over the
+    * trailing `n`-row frame, %D = the 3-point SMA of %K. NULL until the
+    * frame holds `n` observations or when the frame is flat. %D is the
+    * explicit ((k + k₋₁) + k₋₂)/3 — a fixed left-to-right sum, not a
+    * window AVG, so accumulation order is pinned across engines. Both
+    * outputs quantize via the portable floor(x·10⁶+½)/10⁶ (see quant6). */
+  def stochastic(df: DataFrame, value: String, keys: Seq[String],
+                 ord: Seq[Column], n: Int = 14, smooth: Int = 3): DataFrame = {
+    require(smooth == 3, "smooth is fixed at 3 (the explicit pinned-order sum)")
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wN = wBase.rowsBetween(-(n - 1), 0)
+    val hi  = max(col(value)).over(wN)
+    val lo  = min(col(value)).over(wN)
+    val cnt = count(col(value)).over(wN)
+    val withK = df.withColumn("pct_k",
+      when(cnt === n && hi > lo,
+        quant6((col(value) - lo) / (hi - lo) * lit(100.0))))
+    val k1 = lag(col("pct_k"), 1).over(wBase)
+    val k2 = lag(col("pct_k"), 2).over(wBase)
+    withK.withColumn("pct_d",
+      when(col("pct_k").isNotNull && k1.isNotNull && k2.isNotNull,
+        quant6((col("pct_k") + k1 + k2) / lit(3.0))))
+  }
+
+  /** Autocorrelation function: Pearson corr(xₜ, xₜ₋ℓ) per series for ℓ =
+    * 1..maxLag — the mean-reversion / momentum fingerprint. ONE window
+    * pass computes every lag column (a single Window exec, the q09
+    * fan-out shape), an explode stacks (lag, pair) rows, and one hash
+    * aggregate derives each lag's correlation from exact-decimal moment
+    * sums. NULL when fewer than `minPairs` complete pairs or either side
+    * is constant. */
+  def acf(df: DataFrame, value: String, keys: Seq[String], ord: Seq[Column],
+          maxLag: Int = 5, minPairs: Long = 10L): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    // window exprs can't sit inside a generator: materialize the lag
+    // columns first (still ONE Window exec — shared spec), then explode
+    val lagged = (1 to maxLag).foldLeft(df) { (acc, l) =>
+      acc.withColumn(s"_l$l", lag(col(value), l).over(wBase))
+    }
+    val pairs = (1 to maxLag).map(l =>
+      struct(lit(l).as("lag_k"), col(s"_l$l").as("xl")))
+    val ex = lagged.withColumn("_p", explode(array(pairs: _*)))
+      .select(keys.map(col) :+ col(value).as("x") :+
+        col("_p.lag_k").as("lag_k") :+ col("_p.xl").as("xl"): _*)
+    val ok = col("x").isNotNull && col("xl").isNotNull
+    def dsum(e: Column) = sum(when(ok, e.cast(Dec))).cast("double")
+    val agged = ex.groupBy((keys.map(col) :+ col("lag_k")): _*).agg(
+      count(when(ok, 1)).as("n_pairs"),
+      dsum(col("x")).as("_sx"), dsum(col("xl")).as("_sy"),
+      dsum(col("x") * col("x")).as("_sxx"),
+      dsum(col("xl") * col("xl")).as("_syy"),
+      dsum(col("x") * col("xl")).as("_sxy"))
+    val n  = col("n_pairs")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged.withColumn("acf",
+        when(n >= minPairs && vx > 0 && vy > 0,
+          round(cov / sqrt(vx * vy), 6)))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+
+  /** Candlestick pattern flags over [[ohlcBars]]: doji (body ≤ a tenth of
+    * the range, scaled as |body|·10 ≤ range to avoid a 0.1 literal),
+    * hammer (lower wick ≥ 2·|body| and upper wick ≤ |body|), and bullish
+    * engulfing (previous bar red, this bar green, and this body spans the
+    * previous one). All comparisons are on the exact bar doubles — no
+    * rounded intermediates — so the booleans are engine-portable. One
+    * aggregate (the bars) + one lag window per series. */
+  def candlePatterns(df: DataFrame, value: String, keys: Seq[String],
+                     ts: String, bucket: String = "hour"): DataFrame = {
+    val bars = ohlcBars(df, value, keys, ts, bucket)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bar"))
+    val body = col("close") - col("open")
+    val rng  = col("high") - col("low")
+    val po = lag(col("open"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    bars
+      .withColumn("doji", rng > 0 && abs(body) * lit(10.0) <= rng)
+      .withColumn("hammer", rng > 0 &&
+        least(col("open"), col("close")) - col("low") >= abs(body) * lit(2.0) &&
+        col("high") - greatest(col("open"), col("close")) <= abs(body))
+      .withColumn("bull_engulf", pc.isNotNull &&
+        pc < po && body > 0 && col("open") <= pc && col("close") >= po)
+  }
+
+  /** Two-sided CUSUM change-point statistic per series: with μ the series
+    * mean, s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − μ)) and s⁻ₜ = min(0, s⁻ₜ₋₁ +
+    * (xₜ − μ)) — the Page (1954) cumulative-sum drift detectors, reported
+    * per row so a monitor can threshold them. μ comes from the exact
+    * decimal Σx/n of the SAME groupBy that packs the series (one shuffle
+    * total); the fold is inherently sequential per key, the [[emaSeries]]
+    * shape — series are assumed to fit an executor (time-series contract;
+    * the chunk-stitch carry that rescues EMA has no CUSUM analog because
+    * max(0,·) is not linear, so oversized keys must be windowed upstream). */
+  def cusumSeries(df: DataFrame, value: String, keys: Seq[String],
+                  ts: String, carry: Seq[String] = Nil): DataFrame = {
+    // same collision-proof struct aliases as [[emaSeries]]
+    val fields = (col(ts).as("_gt") +: carry.map(col)) :+
+      col(value).cast("double").as("_gx")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(fields: _*))).as("seq"),
+        (sum(col(value).cast(Dec)).cast("double") /
+          count(col(value))).as("mu"))
+    val runFold = expr(
+      """aggregate(
+        |  seq,
+        |  named_struct('arr', cast(array() as array<struct<u: double, d: double>>),
+        |               'u', 0D, 'd', 0D),
+        |  (acc, p) -> named_struct(
+        |    'arr', concat(acc.arr, array(named_struct(
+        |      'u', greatest(0D, acc.u + (p._gx - mu)),
+        |      'd', least(0D, acc.d + (p._gx - mu))))),
+        |    'u', greatest(0D, acc.u + (p._gx - mu)),
+        |    'd', least(0D, acc.d + (p._gx - mu))),
+        |  acc -> acc.arr)""".stripMargin)
+    packed.withColumn("_cs", runFold)
+      .select((keys.map(col) :+ col("mu") :+
+        explode(arrays_zip(col("seq"), col("_cs"))).as("_z")): _*)
+      .select((keys.map(col) ++
+        carry.map(c => col(s"_z.seq.$c").as(c)) :+
+        col("_z.seq._gx").as(value) :+
+        quant6(col("mu")).as("mu") :+
+        quant6(col("_z._cs.u")).as("cusum_pos") :+
+        quant6(col("_z._cs.d")).as("cusum_neg")): _*)
   }
 }

@@ -596,4 +596,74 @@ object Stats {
       .groupBy(k: _*)
       .agg(round(avg(v), 6).as("median"))
   }
+
+  private val Dec = "decimal(28,10)"
+
+  /** Historical tail risk per group: VaR and expected shortfall at level
+    * `alpha` by EXACT order statistics — k = ⌈α·n⌉, VaR = the k-th
+    * smallest value, ES = the mean of the k smallest (the coherent
+    * tail-average risk measure; Artzner et al. 1999). Order statistics,
+    * not interpolated percentiles, so ties and engine interpolation
+    * conventions can't wiggle the answer (`id` breaks value ties
+    * deterministically). One rank window + one aggregate; at 100 TB the
+    * rank shuffle is per-group and the tail filter drops 1−α of rows
+    * before the aggregate. */
+  def tailRisk(df: DataFrame, value: String, keys: Seq[String], id: String,
+               alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    val base = df.filter(col(value).isNotNull)
+    val wRank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(value), col(id))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    base
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_k",
+        greatest(lit(1L), ceil(lit(alpha) * col("_n")).cast("long")))
+      .filter(col("_rn") <= col("_k"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(col("_n")).as("n_obs"),
+        max(col("_k")).as("tail_n"),
+        max(col(value)).as("var_tail"),
+        round(sum(col(value).cast(Dec)).cast("double") / max(col("_k")), 6)
+          .as("es_tail"))
+  }
+
+  /** Central-moment shape statistics per group: population skewness
+    * m₃/m₂^1.5 and excess kurtosis m₄/m₂² − 3, derived from exact DECIMAL
+    * power sums (Σx..Σx⁴ — one aggregate pass, mergeable partials). The
+    * closed forms are evaluated in a PINNED operation order (each term a
+    * named intermediate, powers as explicit products, √ not pow) so two
+    * engines produce bit-identical doubles before the final round. NULL
+    * for degenerate groups (m₂ ≤ 0 or fewer than 3 rows). */
+  def momentStats(df: DataFrame, value: String, keys: Seq[String]): DataFrame = {
+    val x = col(value)
+    val ok = x.isNotNull
+    def dsum(e: Column) = sum(when(ok, e.cast(Dec))).cast("double")
+    val agged = df.groupBy(keys.map(col): _*).agg(
+      count(when(ok, 1)).as("n_obs"),
+      dsum(x).as("_s1"),
+      dsum(x * x).as("_s2"),
+      dsum(x * x * x).as("_s3"),
+      dsum(x * x * x * x).as("_s4"))
+    val n = col("n_obs").cast("double")
+    val mean = col("_s1") / n
+    // raw moments first, then central moments in left-associated order —
+    // the oracle SQL spells out the identical association
+    val r2 = col("_s2") / n; val r3 = col("_s3") / n; val r4 = col("_s4") / n
+    val m2 = r2 - mean * mean
+    val m3 = r3 - lit(3.0) * mean * r2 + lit(2.0) * mean * mean * mean
+    val m4 = r4 - lit(4.0) * mean * r3 + lit(6.0) * mean * mean * r2 -
+      lit(3.0) * mean * mean * mean * mean
+    agged
+      .withColumn("mean", round(mean, 6))
+      .withColumn("variance", when(col("n_obs") >= 2, round(m2, 6)))
+      .withColumn("skewness",
+        when(col("n_obs") >= 3 && m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)))
+      .withColumn("kurtosis_excess",
+        when(col("n_obs") >= 3 && m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)))
+      .drop("_s1", "_s2", "_s3", "_s4")
+  }
 }

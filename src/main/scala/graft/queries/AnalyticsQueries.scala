@@ -222,6 +222,52 @@ object AnalyticsQueries {
         .select("user_id", "event_id", "value", "k", "rolling_beta",
           "rolling_alpha")),
 
+    // ── MACD(12,26,9): EMA-crossover momentum triple per series, composed
+    //    from three size-routed EMA legs (each leg the q157 machinery)
+    "q174_macd" -> ((s, d) =>
+      graft.analytics.Indicators.macd(Tables.events(s, d), "value",
+          Seq("user_id"), "ts", carry = Seq("event_id"))
+        .select("user_id", "event_id", "value", "ema_fast", "ema_slow",
+          "macd", "macd_signal", "macd_hist")),
+
+    // ── stochastic oscillator %K/%D over the trailing 14-row frame
+    "q175_stochastic" -> ((s, d) =>
+      graft.analytics.Indicators.stochastic(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+          "value", Seq("user_id"), Seq(col("ts"), col("event_id")), n = 14)
+        .select("user_id", "event_id", "value", "pct_k", "pct_d")),
+
+    // ── autocorrelation function at lags 1..5 per series (one Window exec
+    //    fans out every lag, one aggregate derives the correlations)
+    "q176_acf" -> ((s, d) =>
+      graft.analytics.Indicators.acf(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        "value", Seq("user_id"), Seq(col("ts"), col("event_id")),
+        maxLag = 5, minPairs = 10L)),
+
+    // ── historical VaR / expected shortfall at 5% by exact order statistics
+    "q177_tail_risk" -> ((s, d) =>
+      graft.ops.Stats.tailRisk(Tables.events(s, d), "value",
+        Seq("event_type"), id = "event_id", alpha = 0.05)),
+
+    // ── skewness / excess kurtosis per group from exact decimal power sums
+    "q178_moments" -> ((s, d) =>
+      graft.ops.Stats.momentStats(Tables.events(s, d), "value",
+        Seq("event_type"))),
+
+    // ── candlestick pattern flags (doji/hammer/bullish-engulfing) over
+    //    hourly OHLC bars per series
+    "q180_candles" -> ((s, d) =>
+      graft.analytics.Indicators.candlePatterns(Tables.events(s, d), "value",
+          Seq("user_id"), "ts", bucket = "hour")
+        .select("user_id", "bar", "open", "high", "low", "close", "n_ticks",
+          "doji", "hammer", "bull_engulf")),
+
+    // ── two-sided CUSUM change-point statistic per series (Page 1954)
+    "q181_cusum" -> ((s, d) =>
+      graft.analytics.Indicators.cusumSeries(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", carry = Seq("event_id"))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -468,6 +514,165 @@ object AnalyticsQueries {
         |     / cnt, 6)
         | END AS rolling_alpha
         |FROM b""".stripMargin,
+    // MACD: the three EMA folds replay the Spark recursion exactly — the α
+    // constants are this JVM's shortest-repr doubles (string round-trip ≡
+    // bit-identical), each leg quantizes at the same point as the Spark
+    // side (per-leg quant6), and the signal fold runs over the quantized
+    // macd list, as emaSeries does
+    "q174_macd" -> {
+      val aF = 2.0 / 13.0; val aS = 2.0 / 27.0; val aG = 2.0 / 10.0
+      val bF = 1.0 - aF; val bS = 1.0 - aS; val bG = 1.0 - aG
+      s"""WITH p AS (SELECT user_id,
+         |    list(event_id ORDER BY ts, event_id) AS ids,
+         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |i AS (SELECT user_id, unnest(range(1, len(xs) + 1)) AS rn, ids, xs
+         |  FROM p),
+         |e AS (SELECT user_id, rn, ids[rn] AS event_id, xs[rn] AS value,
+         |  floor(list_reduce(xs[1:rn], (acc, x) ->
+         |    CAST($bF AS DOUBLE) * acc + CAST($aF AS DOUBLE) * x)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS ema_fast,
+         |  floor(list_reduce(xs[1:rn], (acc, x) ->
+         |    CAST($bS AS DOUBLE) * acc + CAST($aS AS DOUBLE) * x)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS ema_slow
+         |  FROM i),
+         |m AS (SELECT *, ema_fast - ema_slow AS macd FROM e),
+         |g AS (SELECT user_id, list(macd ORDER BY rn) AS ms FROM m GROUP BY 1),
+         |j AS (SELECT m.user_id, m.event_id, m.value, m.ema_fast, m.ema_slow,
+         |  m.macd,
+         |  floor(list_reduce(ms[1:m.rn], (acc, x) ->
+         |    CAST($bG AS DOUBLE) * acc + CAST($aG AS DOUBLE) * x)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS macd_signal
+         |  FROM m JOIN g USING (user_id))
+         |SELECT user_id, event_id, value, ema_fast, ema_slow, macd,
+         |  macd_signal, macd - macd_signal AS macd_hist FROM j""".stripMargin
+    },
+    "q175_stochastic" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN count(value) OVER wn = 14
+        |            AND max(value) OVER wn > min(value) OVER wn
+        |    THEN floor((value - min(value) OVER wn)
+        |      / (max(value) OVER wn - min(value) OVER wn) * 100.0
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS pct_k
+        | FROM events WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT user_id, event_id, value, pct_k,
+        |  lag(pct_k, 1) OVER wb AS k1, lag(pct_k, 2) OVER wb AS k2
+        | FROM b WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, value, pct_k,
+        | CASE WHEN pct_k IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
+        |   THEN floor((pct_k + k1 + k2) / CAST(3 AS DOUBLE)
+        |     * 1000000.0 + 0.5) / 1000000.0 END AS pct_d
+        |FROM d""".stripMargin,
+    "q176_acf" ->
+      """WITH b AS (SELECT user_id, value,
+        |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+        |  lag(value, 5) OVER w AS l5
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (
+        | SELECT user_id, 1 AS lag_k, value AS x, l1 AS xl FROM b
+        | UNION ALL SELECT user_id, 2, value, l2 FROM b
+        | UNION ALL SELECT user_id, 3, value, l3 FROM b
+        | UNION ALL SELECT user_id, 4, value, l4 FROM b
+        | UNION ALL SELECT user_id, 5, value, l5 FROM b),
+        |a AS (SELECT user_id, lag_k,
+        |  count(CASE WHEN x IS NOT NULL AND xl IS NOT NULL THEN 1 END) AS n_pairs,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(x AS DECIMAL(28,10)) END) AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(xl AS DECIMAL(28,10)) END) AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(x * x AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(xl * xl AS DECIMAL(28,10)) END) AS DOUBLE) AS syy,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(x * xl AS DECIMAL(28,10)) END) AS DOUBLE) AS sxy
+        | FROM u GROUP BY 1, 2)
+        |SELECT user_id, lag_k, n_pairs,
+        | CASE WHEN n_pairs >= 10 AND n_pairs * sxx - sx * sx > 0
+        |           AND n_pairs * syy - sy * sy > 0
+        |   THEN round((n_pairs * sxy - sx * sy) /
+        |     sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
+        | END AS acf
+        |FROM a""".stripMargin,
+    "q177_tail_risk" ->
+      """WITH b AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |k AS (SELECT *, greatest(1,
+        |  CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) AS kk FROM b)
+        |SELECT event_type, max(n) AS n_obs, max(kk) AS tail_n,
+        | max(value) AS var_tail,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / max(kk), 6)
+        |   AS es_tail
+        |FROM k WHERE rn <= kk GROUP BY 1""".stripMargin,
+    "q178_moments" ->
+      """WITH a AS (SELECT event_type,
+        |  count(value) AS n_obs,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(value * value * value AS DECIMAL(28,10))) AS DOUBLE)
+        |    AS s3,
+        |  CAST(sum(CAST(value * value * value * value AS DECIMAL(28,10)))
+        |    AS DOUBLE) AS s4
+        | FROM events GROUP BY 1),
+        |c AS (SELECT event_type, n_obs, CAST(n_obs AS DOUBLE) AS n,
+        |  s1 / CAST(n_obs AS DOUBLE) AS mean, s2 / CAST(n_obs AS DOUBLE) AS r2,
+        |  s3 / CAST(n_obs AS DOUBLE) AS r3, s4 / CAST(n_obs AS DOUBLE) AS r4
+        | FROM a),
+        |f AS (SELECT event_type, n_obs, mean,
+        |  r2 - mean * mean AS m2,
+        |  r3 - CAST(3 AS DOUBLE) * mean * r2
+        |     + CAST(2 AS DOUBLE) * mean * mean * mean AS m3,
+        |  r4 - CAST(4 AS DOUBLE) * mean * r3
+        |     + CAST(6 AS DOUBLE) * mean * mean * r2
+        |     - CAST(3 AS DOUBLE) * mean * mean * mean * mean AS m4
+        | FROM c)
+        |SELECT event_type, n_obs, round(mean, 6) AS mean,
+        | CASE WHEN n_obs >= 2 THEN round(m2, 6) END AS variance,
+        | CASE WHEN n_obs >= 3 AND m2 > 0
+        |   THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        | CASE WHEN n_obs >= 3 AND m2 > 0
+        |   THEN round(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6) END
+        |   AS kurtosis_excess
+        |FROM f""".stripMargin,
+    "q180_candles" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, ts) AS close, count(*) AS n_ticks
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT *, lag(open) OVER w AS po, lag(close) OVER w AS pc
+        | FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar))
+        |SELECT user_id, bar, open, high, low, close, n_ticks,
+        | (high - low > 0 AND abs(close - open) * CAST(10 AS DOUBLE)
+        |   <= high - low) AS doji,
+        | (high - low > 0
+        |   AND least(open, close) - low >= abs(close - open) * CAST(2 AS DOUBLE)
+        |   AND high - greatest(open, close) <= abs(close - open)) AS hammer,
+        | (pc IS NOT NULL AND pc < po AND close - open > 0
+        |   AND open <= pc AND close >= po) AS bull_engulf
+        |FROM l""".stripMargin,
+    "q181_cusum" ->
+      """WITH p AS (SELECT user_id,
+        |   list(event_id ORDER BY ts, event_id) AS ids,
+        |   list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+        |   CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value)
+        |     AS mu
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |i AS (SELECT user_id, mu, unnest(range(1, len(xs) + 1)) AS rn, ids, xs
+        | FROM p)
+        |SELECT user_id, ids[rn] AS event_id, xs[rn] AS value,
+        | floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mu,
+        | floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:rn]),
+        |   (acc, x) -> greatest(CAST(0 AS DOUBLE), acc + (x - mu)))
+        |   * 1000000.0 + 0.5) / 1000000.0 AS cusum_pos,
+        | floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:rn]),
+        |   (acc, x) -> least(CAST(0 AS DOUBLE), acc + (x - mu)))
+        |   * 1000000.0 + 0.5) / 1000000.0 AS cusum_neg
+        |FROM i""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -142,6 +142,16 @@ object ExtensionQueries {
     "q134_bigram_lm" -> ((s, d) =>
       TextOps.bigramLm(Tables.documents(s, d), "text", minCount = 3L)),
 
+    // ── PMI collocations: ln(c12·N / (c1·c2)) over corpus bigrams with
+    //    positional marginals (Church & Hanks 1990)
+    "q179_pmi" -> ((s, d) =>
+      TextOps.pmiCollocations(Tables.documents(s, d), "text", minCount = 3L)),
+
+    // ── Zipf-law fit: OLS of ln(freq) on ln(rank) over the token spectrum
+    //    — the corpus-composition health check (slope ≈ −1 when healthy)
+    "q182_zipf" -> ((s, d) =>
+      TextOps.zipfFit(Tables.documents(s, d), "text", minCount = 3L)),
+
     // ── BPE trainer counting step: adjacent char-pair frequencies over the
     //    weighted word vocabulary
     "q99_bpe_pairs" -> ((s, d) =>
@@ -871,6 +881,52 @@ object ExtensionQueries {
          |SELECT w1, w2, c12, c1,
          |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
          |FROM bc JOIN u USING (w1)""".stripMargin,
+    "q179_pmi" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT list_filter(regexp_split_to_array(t, '\\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |  WHERE len(w) >= 2),
+         |ba AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM ba),
+         |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM ba GROUP BY 1),
+         |rgt AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM ba GROUP BY 1)
+         |SELECT w1, w2, c12, c1, c2, n_bi,
+         |  round(ln(CAST(c12 * n_bi AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 6)
+         |    AS pmi
+         |FROM ba JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+         |WHERE c12 >= 3""".stripMargin,
+    "q182_zipf" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT unnest(list_filter(regexp_split_to_array(t, '\\s+'),
+         |    x -> length(x) > 0)) AS term FROM nrm),
+         |c AS (SELECT term, count(*) AS c FROM tk GROUP BY 1
+         |  HAVING count(*) >= 3),
+         |r AS (SELECT term, c,
+         |  row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM c),
+         |x AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+         |  FROM r),
+         |a AS (SELECT count(*) AS n_terms,
+         |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         |  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+         | FROM x)
+         |SELECT n_terms,
+         | CASE WHEN n_terms * sxx - sx * sx > 0
+         |   THEN round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         | END AS slope,
+         | CASE WHEN n_terms * sxx - sx * sx > 0
+         |   THEN round((sy - (n_terms * sxy - sx * sy)
+         |     / (n_terms * sxx - sx * sx) * sx) / n_terms, 6)
+         | END AS intercept,
+         | CASE WHEN n_terms * sxx - sx * sx > 0 AND n_terms * syy - sy * sy > 0
+         |   THEN round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+         |     / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+         | END AS r2
+         |FROM a""".stripMargin,
     "q102_bm25" ->
       s"""WITH $normCte,
          |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),

@@ -253,4 +253,75 @@ object TextOps {
       .withColumn("fingerprint",
         md5(expr("concat_ws(',', transform(_mins, x -> cast(x AS STRING)))")))
       .drop("_g", "_mins")
+
+  /** PMI collocations: pointwise mutual information
+    * ln(c₁₂·N / (c₁·c₂)) over corpus word bigrams (Church & Hanks 1990 —
+    * the standard collocation-mining score; c₁/c₂ are positional
+    * marginals: w₁-as-first, w₂-as-second). Same tokenization as
+    * [[bigramLm]]; the count products stay in exact BIGINT (≤ ~10¹⁴ at
+    * any plausible corpus) and only the final log ratio runs in double.
+    * Three hash aggregates over the bigram frame + one broadcast total —
+    * the corpus text is scanned once. */
+  def pmiCollocations(df: DataFrame, text: String,
+                      minCount: Long = 3L): DataFrame = {
+    val toks = df.select(tokens(normalize(col(text))).as("w"))
+      .select(expr("filter(w, t -> length(t) > 0)").as("w"))
+    val biAll = toks
+      .select(explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
+          "ELSE array() END"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val total = biAll.agg(sum(col("c12")).as("n_bi"))
+    val left  = biAll.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = biAll.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    biAll.filter(col("c12") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        (col("c12") * col("n_bi")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6))
+      .select("w1", "w2", "c12", "c1", "c2", "n_bi", "pmi")
+  }
+
+  /** Zipf-law fit over the corpus token-frequency spectrum: OLS of
+    * ln(freq) on ln(rank) (rank by count desc, term asc — deterministic
+    * ties), terms with count ≥ `minCount`. Returns ONE row (n_terms,
+    * slope, intercept, r2) — a healthy natural-language corpus fits slope
+    * ≈ −1 (Zipf 1949), and drift in the slope after filtering is the
+    * standard corpus-composition health check. The spectrum is
+    * vocabulary-sized (≪ corpus), so the rank window and the moment
+    * aggregate cost nothing next to the token count scan. */
+  def zipfFit(df: DataFrame, text: String, minCount: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(tokens(normalize(col(text))).as("w"))
+      .select(explode(expr("filter(w, t -> length(t) > 0)")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    def dsum(e: Column) = sum(e.cast("decimal(28,10)")).cast("double")
+    val agged = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      dsum(x).as("_sx"), dsum(y).as("_sy"),
+      dsum(x * x).as("_sxx"), dsum(y * y).as("_syy"),
+      dsum(x * y).as("_sxy"))
+    val n   = col("n_terms")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged
+      .withColumn("slope", when(vx > 0, round(cov / vx, 6)))
+      .withColumn("intercept",
+        when(vx > 0, round((col("_sy") - cov / vx * col("_sx")) / n, 6)))
+      .withColumn("r2",
+        when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
 }

@@ -702,4 +702,148 @@ class IndicatorsSpec extends SparkSpec {
       col("is_anomaly")).select("event_id").as[String].collect().toSeq
     assert(flagged == Seq("n7"), s"flagged $flagged")
   }
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def emaScan(xs: Seq[Double], a: Double): Seq[Double] =
+    xs.tail.scanLeft(xs.head)((acc, x) => (1 - a) * acc + a * x)
+
+  test("macd: three-leg composition equals the driver-side recursion; " +
+    "signalSpan=1 pins signal ≡ macd") {
+    val xs = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i, x) }
+      .toDF("k", "id", "tm", "x")
+    val got = Indicators.macd(df, "x", Seq("k"), "tm", fast = 3, slow = 5,
+        signalSpan = 2, carry = Seq("id"))
+      .orderBy("id")
+      .select("ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist")
+      .collect()
+    val ef = emaScan(xs, 2.0 / 4).map(q6)
+    val es = emaScan(xs, 2.0 / 6).map(q6)
+    val m  = ef.zip(es).map { case (f, s) => f - s }
+    val sg = emaScan(m, 2.0 / 3).map(q6)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == ef(i) && r.getDouble(1) == es(i), s"ema row $i")
+      assert(r.getDouble(2) == m(i) && r.getDouble(3) == sg(i), s"macd row $i")
+      assert(r.getDouble(4) == m(i) - sg(i), s"hist row $i")
+    }
+    // α_signal = 1 (span 1): the signal fold replays macd itself
+    val deg = Indicators.macd(df, "x", Seq("k"), "tm", fast = 3, slow = 5,
+        signalSpan = 1, carry = Seq("id"))
+      .select("macd", "macd_signal").collect()
+    deg.foreach(r => assert(q6(r.getDouble(0)) == r.getDouble(1)))
+  }
+
+  test("macd: oversized keys route to the chunk-stitch composition and " +
+    "agree with the fused fold to a quant6 ulp") {
+    val xs = (1 to 50).map(i => math.sin(i * 0.7) * 10 + 20)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i, x) }
+      .toDF("k", "id", "tm", "x")
+    val cols = Seq("ema_fast", "ema_slow", "macd", "macd_signal", "macd_hist")
+    def run(inlineMax: Long) =
+      Indicators.macd(df, "x", Seq("k"), "tm", fast = 5, slow = 9,
+          signalSpan = 4, carry = Seq("id"), inlineMax = inlineMax)
+        .orderBy("id").select(cols.map(col): _*).collect()
+    val fused  = run(1L << 20)
+    val routed = run(8L) // every key oversized → macdComposed
+    fused.zip(routed).zipWithIndex.foreach { case ((a, b), i) =>
+      cols.indices.foreach { j =>
+        // each quantized leg may sit one 6-dp ulp off (chunk-stitch vs
+        // sequential fold); differences stack through macd and hist
+        assert(math.abs(a.getDouble(j) - b.getDouble(j)) <= 5e-6,
+          s"row $i col ${cols(j)}: fused ${a.getDouble(j)} vs routed " +
+            s"${b.getDouble(j)}")
+      }
+    }
+  }
+
+  test("stochastic: %K from the trailing frame, %D the pinned 3-sum; " +
+    "flat frame → NULL") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i, x) }.toDF("k", "i", "x")
+    val rows = Indicators.stochastic(df, "x", Seq("k"), Seq(col("i")), n = 3)
+      .orderBy("i").select("pct_k", "pct_d").collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 50.0)        // (2-1)/(3-1)
+    assert(rows(3).getDouble(0) == 100.0)       // (5-2)/(5-2)
+    assert(rows(4).getDouble(0) == q6(200.0 / 3)) // (4-2)/(5-2)
+    assert(rows(3).isNullAt(1))                 // only two %K values yet
+    assert(rows(4).getDouble(1) == q6((q6(200.0 / 3) + 100.0 + 50.0) / 3.0))
+    val flat = Seq.fill(4)(7.0).zipWithIndex.map { case (x, i) => (1L, i, x) }
+      .toDF("k", "i", "x")
+    val f = Indicators.stochastic(flat, "x", Seq("k"), Seq(col("i")), n = 3)
+      .select("pct_k").collect()
+    assert(f.forall(_.isNullAt(0)))             // hi = lo → NULL, not ÷0
+  }
+
+  test("acf: a linear ramp is perfectly autocorrelated at every lag; " +
+    "minPairs gates short lags") {
+    val df = (1 to 12).map(t => (1L, t, t.toDouble)).toDF("k", "t", "x")
+    val got = Indicators.acf(df, "x", Seq("k"), Seq(col("t")), maxLag = 3,
+        minPairs = 10L)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r)).toMap
+    assert(got(1)._1 == 11L && got(1)._2.getDouble(3) == 1.0)
+    assert(got(2)._1 == 10L && got(2)._2.getDouble(3) == 1.0)
+    assert(got(3)._1 == 9L && got(3)._2.isNullAt(3)) // under minPairs
+  }
+
+  test("cusumSeries: Page folds against the hand recursion around μ") {
+    val df = Seq((1L, 1, 10L, 1.0), (1L, 2, 11L, 2.0), (1L, 3, 12L, 3.0))
+      .toDF("k", "t", "id", "x")
+    val rows = Indicators.cusumSeries(df, "x", Seq("k"), "t", carry = Seq("id"))
+      .orderBy("id").select("mu", "cusum_pos", "cusum_neg").collect()
+    // μ = 2: s⁺ = [0, 0, 1]; s⁻ = [−1, −1, 0]
+    assert(rows.forall(_.getDouble(0) == 2.0))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 0.0, 1.0))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(-1.0, -1.0, 0.0))
+  }
+
+  test("candlePatterns: doji / hammer / bullish-engulfing flags on " +
+    "constructed bars") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val df = Seq(
+      // hour 9: red bar open 5 → close 4
+      (1L, ts(9, 0), 5.0), (1L, ts(9, 10), 4.0),
+      // hour 10: green bar 3.9 → 5.2 engulfing the previous body
+      (1L, ts(10, 0), 3.9), (1L, ts(10, 10), 5.2),
+      // hour 11: tiny body inside a wide range → doji
+      (1L, ts(11, 0), 10.0), (1L, ts(11, 5), 11.0), (1L, ts(11, 10), 10.05),
+      // hour 12: long lower wick, tiny upper, body too big for doji → hammer
+      (1L, ts(12, 0), 10.0), (1L, ts(12, 5), 8.0), (1L, ts(12, 10), 10.5)
+    ).toDF("k", "t", "x")
+    val got = Indicators.candlePatterns(df, "x", Seq("k"), "t")
+      .orderBy("bar").select("doji", "hammer", "bull_engulf").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getBoolean(2)).toSeq == Seq(false, true, false, false))
+    assert(got.map(_.getBoolean(0)).toSeq == Seq(false, false, true, false))
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(false, false, false, true))
+  }
+
+  test("tailRisk: VaR/ES are exact order statistics — k = ⌈αn⌉ smallest") {
+    val df = (1 to 20).map(v => ("g", v.toLong, v.toDouble))
+      .toDF("g", "id", "x")
+    val r25 = Stats.tailRisk(df, "x", Seq("g"), id = "id", alpha = 0.25)
+      .collect()(0)
+    assert(r25.getLong(1) == 20L && r25.getLong(2) == 5L)
+    assert(r25.getDouble(3) == 5.0 && r25.getDouble(4) == 3.0)
+    val r05 = Stats.tailRisk(df, "x", Seq("g"), id = "id", alpha = 0.05)
+      .collect()(0)
+    assert(r05.getLong(2) == 1L && r05.getDouble(3) == 1.0 &&
+      r05.getDouble(4) == 1.0)
+  }
+
+  test("momentStats: hand central moments; constant group → NULL shape " +
+    "stats") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val got = Stats.momentStats(df, "x", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0)
+    assert(a.getDouble(3) == q6(2.0 / 3))     // m2 = 2/3
+    assert(a.getDouble(4) == 0.0)             // symmetric → skew 0
+    assert(a.getDouble(5) == -1.5)            // m4/m2² − 3 = 1.5 − 3
+    val b = got("b")
+    assert(b.getDouble(3) == 0.0 && b.isNullAt(4) && b.isNullAt(5))
+  }
 }

@@ -46,4 +46,36 @@ class TextSignalsSpec extends SparkSpec {
     // p rounds to 6 dp per bigram, so the sum is 1 up to rounding residue
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-5), sums.toString)
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pmiCollocations: closed-form PMI from positional marginals") {
+    // bigrams: (a,b)×2, (a,c)×1, (b,b)×1 → N=4; c1: a=3, b=1; c2: b=3, c=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "b")))
+    assert(got(("a", "b")) == (2L, 3L, 3L, 4L, r6(math.log(8.0 / 9))))
+    assert(got(("a", "c")) == (1L, 3L, 1L, 4L, r6(math.log(4.0 / 3))))
+    assert(got(("b", "b")) == (1L, 1L, 3L, 4L, r6(math.log(4.0 / 3))))
+  }
+
+  test("zipfFit: an exact 1/rank spectrum fits slope −1 with R² = 1") {
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 → ln f = ln 12 − ln r
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val r = TextOps.zipfFit(docs, "text", minCount = 1L).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) == r6(math.log(12.0)), s"icept ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+  }
 }
