@@ -668,6 +668,99 @@ object Indicators {
         pc < po && body > 0 && col("open") <= pc && col("close") >= po)
   }
 
+  /** Donchian channel: upper/lower = max/min over the trailing `n`-row
+    * frame, mid = their midpoint, plus the classic breakout flag — the
+    * current value strictly exceeding the PREVIOUS row's upper band (the
+    * turtle-trading entry signal; comparing against the own-row band would
+    * always be false, value ≤ its own frame max). One window spec, all
+    * columns in a single Window exec. NULL bands until the frame is full. */
+  def donchian(df: DataFrame, value: String, keys: Seq[String],
+               ord: Seq[Column], n: Int = 20): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wN = wBase.rowsBetween(-(n - 1), 0)
+    val cnt = count(col(value)).over(wN)
+    val up  = when(cnt === n, max(col(value)).over(wN))
+    val lo  = when(cnt === n, min(col(value)).over(wN))
+    df.withColumn("dc_upper", up)
+      .withColumn("dc_lower", lo)
+      .withColumn("dc_mid",
+        when(cnt === n, (max(col(value)).over(wN) + min(col(value)).over(wN))
+          / lit(2.0)))
+      .withColumn("breakout",
+        coalesce(col(value) > lag(col("dc_upper"), 1).over(wBase), lit(false)))
+  }
+
+  /** On-balance volume: OBVₜ = Σ_{i≤t} sign(xᵢ − xᵢ₋₁)·volᵢ — volume flows
+    * toward the side of each price move (Granville's accumulation proxy).
+    * The signed terms accumulate in exact DECIMAL (associative, so the
+    * running sum is partitioning- and engine-stable); the first row of a
+    * series contributes 0 (no prior move). One window spec. */
+  def obv(df: DataFrame, value: String, volume: String, keys: Seq[String],
+          ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wCum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(value), 1).over(wBase)
+    val term = when(prev.isNull, lit(0).cast(Dec))
+      .when(col(value) > prev, col(volume).cast(Dec))
+      .when(col(value) < prev, -col(volume).cast(Dec))
+      .otherwise(lit(0).cast(Dec))
+    df.withColumn("_obv_term", term)
+      .withColumn("obv", round(sum(col("_obv_term")).over(wCum)
+        .cast("double"), 6))
+      .drop("_obv_term")
+  }
+
+  /** Engle–Granger cointegration check per series pair: stage 1 fits the
+    * long-run relation y = a + b·x by exact-moment OLS, stage 2 runs the
+    * (lag-0, no-intercept) Dickey–Fuller regression Δeₜ = φ·eₜ₋₁ + u on
+    * the residuals and reports the DF t-statistic φ̂/se(φ̂) — strongly
+    * negative ⇒ residuals mean-revert ⇒ the pair cointegrates (Engle &
+    * Granger 1987). All sums accumulate in exact DECIMAL; the closed forms
+    * evaluate in a pinned operation order (rss via Σd² − 2φ·Σld + φ²·Σl²,
+    * se via √, never pow), so both engines agree bit-for-bit before the
+    * final round. Two aggregate passes + one broadcast join back — the
+    * series rows shuffle once. */
+  def engleGranger(df: DataFrame, y: String, x: String, keys: Seq[String],
+                   ord: Seq[Column]): DataFrame = {
+    val fit = olsPerKey(df, x, y, keys)
+      .select(keys.map(col) :+ col("n_obs") :+ col("slope") :+
+        col("intercept"): _*)
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val resid = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .join(broadcast(fit), keys)
+      .filter(col("slope").isNotNull)
+      .withColumn("_e",
+        col(y) - (col("intercept") + col("slope") * col(x)))
+      .withColumn("_l", lag(col("_e"), 1).over(wBase))
+      .withColumn("_d", col("_e") - col("_l"))
+      .filter(col("_l").isNotNull)
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = resid.groupBy(keys.map(col): _*).agg(
+      max(col("n_obs")).as("n_obs"),
+      max(col("slope")).as("beta"),
+      max(col("intercept")).as("alpha_int"),
+      count(lit(1)).as("m"),
+      dsum(col("_l") * col("_d")).as("_sld"),
+      dsum(col("_l") * col("_l")).as("_sll"),
+      dsum(col("_d") * col("_d")).as("_sdd"))
+    // divisors are null-guarded (not CASE-wrapped around the division):
+    // ANSI mode raises DIVIDE_BY_ZERO even under a guarding CASE when the
+    // division is hoisted as a common subexpression — a NULL divisor
+    // instead null-propagates through every downstream form
+    val sllSafe = when(col("_sll") > 0, col("_sll"))
+    val mSafe   = when(col("m") > 1, col("m") - 1)
+    val phi = col("_sld") / sllSafe
+    val rss = col("_sdd") - lit(2.0) * phi * col("_sld") +
+      phi * phi * col("_sll")
+    val se  = sqrt((rss / mSafe) / sllSafe)
+    agged
+      .withColumn("phi", when(col("_sll") > 0, round(phi, 6)))
+      .withColumn("df_stat",
+        when(col("m") >= 3 && col("_sll") > 0 && rss > 0,
+          round(phi / se, 6)))
+      .drop("_sld", "_sll", "_sdd")
+  }
+
   /** Two-sided CUSUM change-point statistic per series: with μ the series
     * mean, s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − μ)) and s⁻ₜ = min(0, s⁻ₜ₋₁ +
     * (xₜ − μ)) — the Page (1954) cumulative-sum drift detectors, reported

@@ -631,6 +631,64 @@ object Stats {
           .as("es_tail"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max over observed values
+    * of |F₁(x) − F₂(x)|, with the ECDFs evaluated EXACTLY from cumulative
+    * counts over the merged distinct-value axis (no interpolation, ties
+    * handled by aggregating per distinct value first — the textbook
+    * definition). One distinct-value aggregate + one ordered window + one
+    * max: the axis is distinct-value-sized, ≪ the data. Returns one row
+    * (n₁, n₂, d_stat). */
+  def ksTest(df: DataFrame, value: String, group: String,
+             aLabel: String, bLabel: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(value).isNotNull &&
+      (col(group) === aLabel || col(group) === bLabel))
+    val perValue = base.groupBy(col(value).as("_v")).agg(
+      count(when(col(group) === aLabel, 1)).as("_c1"),
+      count(when(col(group) === bLabel, 1)).as("_c2"))
+    val wCum = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = perValue
+      .withColumn("_f1", sum(col("_c1")).over(wCum))
+      .withColumn("_f2", sum(col("_c2")).over(wCum))
+    val tot = withCum.agg(max(col("_f1")).as("n1"), max(col("_f2")).as("n2"))
+    withCum.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"),
+        round(max(when(col("n1") > 0 && col("n2") > 0, abs(
+          col("_f1").cast("double") / col("n1").cast("double") -
+            col("_f2").cast("double") / col("n2").cast("double")))), 6)
+          .as("d_stat"))
+  }
+
+  /** Benford first-significant-digit analysis per group: observed digit
+    * shares vs the Benford expectation log₁₀(1 + 1/d) — the classic
+    * fabricated-data / corpus-drift screen. The digit is extracted through
+    * an ENGINE-PORTABLE integer path (floor(x·100 + ½) → first character
+    * of the integer's decimal rendering), never via log₁₀(x) — a value
+    * sitting on a power of ten would round its log either side of the
+    * integer in different engines. Two hash aggregates, no window over
+    * the data itself. */
+  def benford(df: DataFrame, value: String, keys: Seq[String]): DataFrame = {
+    val base = df.filter(col(value).isNotNull && col(value) > 0)
+      .withColumn("_i", floor(col(value) * lit(100.0) + lit(0.5))
+        .cast("long"))
+      .filter(col("_i") > 0)
+      .withColumn("digit",
+        substring(col("_i").cast("string"), 1, 1).cast("int"))
+    val counts = base.groupBy((keys.map(col) :+ col("digit")): _*)
+      .agg(count(lit(1)).as("n_digit"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("n_rows", sum(col("n_digit")).over(totals))
+      .withColumn("share",
+        round(col("n_digit").cast("double") / col("n_rows"), 6))
+      .withColumn("benford_p",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
+  }
+
   /** Central-moment shape statistics per group: population skewness
     * m₃/m₂^1.5 and excess kurtosis m₄/m₂² − 3, derived from exact DECIMAL
     * power sums (Σx..Σx⁴ — one aggregate pass, mergeable partials). The

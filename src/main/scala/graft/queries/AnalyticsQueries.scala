@@ -268,6 +268,48 @@ object AnalyticsQueries {
       graft.analytics.Indicators.cusumSeries(Tables.events(s, d), "value",
         Seq("user_id"), "ts", carry = Seq("event_id"))),
 
+    // ── Donchian channel + turtle breakout flag over the trailing 20 rows
+    "q183_donchian" -> ((s, d) =>
+      graft.analytics.Indicators.donchian(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+          "value", Seq("user_id"), Seq(col("ts"), col("event_id")), n = 20)
+        .select("user_id", "event_id", "value", "dc_upper", "dc_lower",
+          "dc_mid", "breakout")),
+
+    // ── on-balance volume (Granville): signed cumulative flow per series,
+    //    |value| standing in for tick volume
+    "q184_obv" -> ((s, d) =>
+      graft.analytics.Indicators.obv(
+          Tables.events(s, d).select("user_id", "event_id", "ts", "value")
+            .withColumn("vol", abs(col("value"))),
+          "value", "vol", Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "value", "obv")),
+
+    // ── Engle–Granger cointegration: OLS long-run fit + Dickey–Fuller
+    //    t-stat on the residuals, value vs JSON prop k per user
+    "q185_coint" -> ((s, d) =>
+      graft.analytics.Indicators.engleGranger(
+          Tables.events(s, d)
+            .withColumn("k", get_json_object(col("props"), "$.k")
+              .cast("double")),
+          y = "value", x = "k", Seq("user_id"),
+          Seq(col("ts"), col("event_id")))
+        .select("user_id", "n_obs", "beta", "alpha_int", "m", "phi",
+          "df_stat")),
+
+    // ── two-sample Kolmogorov–Smirnov D between view and purchase values
+    "q186_ks" -> ((s, d) =>
+      graft.ops.Stats.ksTest(Tables.events(s, d), "value", "event_type",
+        aLabel = "view", bLabel = "purchase")),
+
+    // ── Benford first-digit screen per event_type (portable integer-path
+    //    digit extraction, never log10 of the value)
+    "q187_benford" -> ((s, d) =>
+      graft.ops.Stats.benford(Tables.events(s, d), "value",
+          Seq("event_type"))
+        .select("event_type", "digit", "n_digit", "n_rows", "share",
+          "benford_p")),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -673,6 +715,118 @@ object AnalyticsQueries {
         |   (acc, x) -> least(CAST(0 AS DOUBLE), acc + (x - mu)))
         |   * 1000000.0 + 0.5) / 1000000.0 AS cusum_neg
         |FROM i""".stripMargin,
+    "q183_donchian" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN count(value) OVER wn = 20
+        |    THEN max(value) OVER wn END AS dc_upper,
+        |  CASE WHEN count(value) OVER wn = 20
+        |    THEN min(value) OVER wn END AS dc_lower,
+        |  CASE WHEN count(value) OVER wn = 20
+        |    THEN (max(value) OVER wn + min(value) OVER wn)
+        |      / CAST(2 AS DOUBLE) END AS dc_mid
+        | FROM events WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, dc_upper, dc_lower, dc_mid,
+        | coalesce(value > lag(dc_upper, 1) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id), FALSE) AS breakout
+        |FROM b""".stripMargin,
+    "q184_obv" ->
+      """WITH t AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(value, 1) OVER w IS NULL THEN CAST(0 AS DECIMAL(28,10))
+        |       WHEN value > lag(value, 1) OVER w
+        |         THEN CAST(abs(value) AS DECIMAL(28,10))
+        |       WHEN value < lag(value, 1) OVER w
+        |         THEN -CAST(abs(value) AS DECIMAL(28,10))
+        |       ELSE CAST(0 AS DECIMAL(28,10)) END AS term
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, value,
+        | round(CAST(sum(term) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |   AS obv
+        |FROM t""".stripMargin,
+    // Engle–Granger: stage-1 OLS uses the q129 moment forms (beta/alpha
+    // ROUNDED to 6dp in both engines — the residuals derive from the
+    // rounded fit, pinning them bit-for-bit), stage 2 the lag-0 DF
+    // regression in the identical closed-form order
+    "q185_coint" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value AS y,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS x FROM events),
+        |a AS (SELECT user_id,
+        |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_obs,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(x AS DECIMAL(28,10)) END) AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(x * x AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |    THEN CAST(y * x AS DECIMAL(28,10)) END) AS DOUBLE) AS sxy
+        | FROM e GROUP BY 1),
+        |f AS (SELECT user_id, n_obs,
+        |  CASE WHEN n_obs * sxx - sx * sx > 0
+        |    THEN round((n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx), 6)
+        |  END AS beta,
+        |  CASE WHEN n_obs * sxx - sx * sx > 0
+        |    THEN round((sy - (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+        |      * sx) / n_obs, 6)
+        |  END AS alpha_int
+        | FROM a),
+        |r AS (SELECT e.user_id, f.n_obs, f.beta, f.alpha_int, e.ts, e.event_id,
+        |   e.y - (f.alpha_int + f.beta * e.x) AS res
+        | FROM e JOIN f USING (user_id)
+        | WHERE e.x IS NOT NULL AND e.y IS NOT NULL AND f.beta IS NOT NULL),
+        |l AS (SELECT *, lag(res, 1) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS lres FROM r),
+        |d AS (SELECT user_id, n_obs, beta, alpha_int, lres, res - lres AS dres
+        | FROM l WHERE lres IS NOT NULL),
+        |g AS (SELECT user_id, max(n_obs) AS n_obs, max(beta) AS beta,
+        |  max(alpha_int) AS alpha_int, count(*) AS m,
+        |  CAST(sum(CAST(lres * dres AS DECIMAL(28,10))) AS DOUBLE) AS sld,
+        |  CAST(sum(CAST(lres * lres AS DECIMAL(28,10))) AS DOUBLE) AS sll,
+        |  CAST(sum(CAST(dres * dres AS DECIMAL(28,10))) AS DOUBLE) AS sdd
+        | FROM d GROUP BY 1)
+        |SELECT user_id, n_obs, beta, alpha_int, m,
+        | CASE WHEN sll > 0 THEN round(sld / sll, 6) END AS phi,
+        | CASE WHEN m >= 3 AND sll > 0
+        |       AND sdd - CAST(2 AS DOUBLE) * (sld / sll) * sld
+        |           + (sld / sll) * (sld / sll) * sll > 0
+        |   THEN round((sld / sll) / sqrt(((sdd
+        |     - CAST(2 AS DOUBLE) * (sld / sll) * sld
+        |     + (sld / sll) * (sld / sll) * sll) / (m - 1)) / sll), 6)
+        | END AS df_stat
+        |FROM g""".stripMargin,
+    "q186_ks" ->
+      """WITH b AS (SELECT value, event_type FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |p AS (SELECT value AS v,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS c1,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c2
+        | FROM b GROUP BY 1),
+        |c AS (SELECT v, CAST(sum(c1) OVER w AS BIGINT) AS f1,
+        |  CAST(sum(c2) OVER w AS BIGINT) AS f2
+        | FROM p WINDOW w AS (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM c)
+        |SELECT t.n1 AS n1, t.n2 AS n2,
+        | round(max(CASE WHEN t.n1 > 0 AND t.n2 > 0
+        |   THEN abs(CAST(f1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+        |     - CAST(f2 AS DOUBLE) / CAST(t.n2 AS DOUBLE)) END), 6) AS d_stat
+        |FROM c CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin,
+    "q187_benford" ->
+      """WITH b AS (SELECT event_type,
+        |   CAST(substr(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+        |     AS VARCHAR), 1, 1) AS INT) AS digit
+        | FROM events WHERE value IS NOT NULL AND value > 0
+        |   AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) > 0),
+        |c AS (SELECT event_type, digit, count(*) AS n_digit FROM b GROUP BY 1, 2)
+        |SELECT event_type, digit, n_digit,
+        | CAST(sum(n_digit) OVER (PARTITION BY event_type) AS BIGINT) AS n_rows,
+        | round(CAST(n_digit AS DOUBLE) /
+        |   CAST(sum(n_digit) OVER (PARTITION BY event_type) AS BIGINT), 6)
+        |   AS share,
+        | round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+        |   / ln(CAST(10 AS DOUBLE)), 6) AS benford_p
+        |FROM c""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -832,6 +832,80 @@ class IndicatorsSpec extends SparkSpec {
       r05.getDouble(4) == 1.0)
   }
 
+  test("donchian: trailing bands, midpoint, breakout vs previous upper") {
+    val df = (1 to 5).map(i => (1L, i, i.toDouble)).toDF("k", "i", "x")
+    val rows = Indicators.donchian(df, "x", Seq("k"), Seq(col("i")), n = 3)
+      .orderBy("i").select("dc_upper", "dc_lower", "dc_mid", "breakout")
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 3.0 && rows(2).getDouble(1) == 1.0 &&
+      rows(2).getDouble(2) == 2.0 && !rows(2).getBoolean(3))
+    assert(rows(3).getDouble(0) == 4.0 && rows(3).getBoolean(3)) // 4 > 3
+    assert(rows(4).getBoolean(3))                                // 5 > 4
+  }
+
+  test("obv: volume flows toward each move's side; flat and first rows " +
+    "contribute zero") {
+    val df = Seq((1L, 1, 5.0), (1L, 2, 7.0), (1L, 3, 6.0), (1L, 4, 6.0),
+      (1L, 5, 9.0)).toDF("k", "i", "x").withColumn("vol", abs(col("x")))
+    val got = Indicators.obv(df, "x", "vol", Seq("k"), Seq(col("i")))
+      .orderBy("i").select("obv").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.0, 7.0, 1.0, 1.0, 10.0))
+  }
+
+  test("engleGranger: orthogonal alternating residuals give the " +
+    "closed-form DF stat; exact fit → NULL (zero residual variance)") {
+    // y = 2x + 1 + e with e = [.5,-.5,-.5,.5] ⊥ {1,x} → OLS recovers
+    // (2, 1) exactly; the DF regression on e has φ = −4/3, t = −2
+    val e = Seq(0.5, -0.5, -0.5, 0.5)
+    val df = (1 to 4).map(i =>
+      (1L, i, i.toDouble, 2.0 * i + 1 + e(i - 1))).toDF("k", "i", "x", "y")
+    val r = Indicators.engleGranger(df, "y", "x", Seq("k"), Seq(col("i")))
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 1.0)                       // n_obs, beta, alpha
+    assert(r.getLong(4) == 3L)                     // m diffs
+    assert(r.getDouble(5) == -1.333333)            // φ = −4/3
+    assert(r.getDouble(6) == -2.0, s"df ${r.getDouble(6)}")
+    // exact linear fit: residuals identically 0 → sll = 0 → NULLs
+    val exact = (1 to 4).map(i => (1L, i, i.toDouble, 2.0 * i + 1))
+      .toDF("k", "i", "x", "y")
+    val ex = Indicators.engleGranger(exact, "y", "x", Seq("k"), Seq(col("i")))
+      .collect()(0)
+    assert(ex.isNullAt(5) && ex.isNullAt(6))
+  }
+
+  test("ksTest: disjoint samples → D = 1; interleaved → exact ECDF gap") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "x")
+    val r = Stats.ksTest(df, "x", "g", "a", "b").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0)
+    val mixed = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("b", 4.0))
+      .toDF("g", "x")
+    val m = Stats.ksTest(mixed, "x", "g", "a", "b").collect()(0)
+    assert(m.getDouble(2) == 0.5)
+  }
+
+  test("benford: portable integer-path digit extraction; sub-cent values " +
+    "drop; shares and expectations match") {
+    val df = Seq(1.23, 0.05, 23.4, 0.004, 9.99, 1.0)
+      .map(("g", _)).toDF("g", "x")
+    val got = Stats.benford(df, "x", Seq("g"))
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    // digits: 1.23→1, 0.05→5, 23.4→2, 0.004→dropped, 9.99→9, 1.0→1
+    assert(got.keySet == Set(1, 2, 5, 9))
+    assert(got(1)._1 == 2L && got(1)._2 == 0.4)
+    assert(got(2)._1 == 1L && got(2)._2 == 0.2)
+    val ln = math.log _
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p1 = Stats.benford(df, "x", Seq("g"))
+      .filter(col("digit") === 1).collect()(0).getDouble(5)
+    assert(p1 == r6(ln(2.0) / ln(10.0)))           // log₁₀ 2 ≈ 0.301030
+  }
+
   test("momentStats: hand central moments; constant group → NULL shape " +
     "stats") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
