@@ -104,7 +104,20 @@ object Plans {
       // a nested-loop here would be the O(n²) the blocking exists to avoid
       "q154_fuzzy_blocked" -> Seq("HashJoin", "!NestedLoopJoin"),
       // quantile normalization: the 1-row global lattice broadcasts
-      "q150_quantile_norm" -> Seq("BroadcastNestedLoopJoin", "Window"))
+      "q150_quantile_norm" -> Seq("BroadcastNestedLoopJoin", "Window"),
+      // ACF: all five lag columns come out of ONE Window exec (the q09
+      // fan-out shape), then one hash aggregate per (key, lag)
+      "q176_acf" -> Seq("Window", "HashAggregate"),
+      // stochastic/donchian/OBV: one sort-partitioned window chain each
+      "q175_stochastic" -> Seq("Window"),
+      "q183_donchian" -> Seq("Window"),
+      "q184_obv" -> Seq("Window"),
+      // moments/tail risk: single aggregate pass over exact power sums /
+      // rank window then a partial-aggregated tail
+      "q178_moments" -> Seq("HashAggregate"),
+      "q177_tail_risk" -> Seq("Window", "HashAggregate"),
+      // cointegration: the stage-1 fit broadcasts back onto the series scan
+      "q185_coint" -> Seq("BroadcastHashJoin", "Window"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

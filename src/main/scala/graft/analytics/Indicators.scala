@@ -761,6 +761,79 @@ object Indicators {
       .drop("_sld", "_sll", "_sdd")
   }
 
+  /** Heikin-Ashi smoothing over [[ohlcBars]]: hcₜ = (o+h+l+c)/4 per bar,
+    * hoₜ = (hoₜ₋₁ + hcₜ₋₁)/2 (ho₁ = (o₁+c₁)/2), hh = max(h, ho, hc),
+    * hl = min(l, ho, hc) — the noise-reduced candle series. The ho
+    * recursion folds left-to-right per key ([[emaSeries]] shape; both
+    * divisions are by powers of two, and the adds round identically in
+    * any IEEE engine, so an oracle replaying the same fold matches
+    * bit-for-bit). Bars per key are time-bucket-bounded, so the packed
+    * array stays small by construction. */
+  def heikinAshi(df: DataFrame, value: String, keys: Seq[String], ts: String,
+                 bucket: String = "hour"): DataFrame = {
+    val bars = ohlcBars(df, value, keys, ts, bucket)
+    val packed = bars
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("bar"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks")))).as("seq"))
+      // hc per element is closed-form; computed ONCE here, referenced by
+      // the fold below and by the output projection
+      .withColumn("_hc", expr(
+        "transform(seq, p -> (((p.open + p.high) + p.low) + p.close) / 4.0D)"))
+    val hoFold = expr(
+      """aggregate(
+        |  sequence(2, size(seq)),
+        |  named_struct(
+        |    'arr', array((element_at(seq, 1).open + element_at(seq, 1).close) / 2.0D),
+        |    'last', (element_at(seq, 1).open + element_at(seq, 1).close) / 2.0D),
+        |  (acc, i) -> named_struct(
+        |    'arr', concat(acc.arr, array((acc.last + element_at(_hc, i - 1)) / 2.0D)),
+        |    'last', (acc.last + element_at(_hc, i - 1)) / 2.0D),
+        |  acc -> acc.arr)""".stripMargin)
+    packed.withColumn("_ho", hoFold)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_hc"), col("_ho"))).as("_z")): _*)
+      .select((keys.map(col) :+
+        col("_z.seq.bar").as("bar") :+
+        col("_z.seq.open").as("open") :+
+        col("_z.seq.high").as("high") :+
+        col("_z.seq.low").as("low") :+
+        col("_z.seq.close").as("close") :+
+        quant6(col("_z._ho")).as("ha_open") :+
+        quant6(col("_z._hc")).as("ha_close") :+
+        quant6(greatest(col("_z.seq.high"), col("_z._ho"), col("_z._hc")))
+          .as("ha_high") :+
+        quant6(least(col("_z.seq.low"), col("_z._ho"), col("_z._hc")))
+          .as("ha_low")): _*)
+  }
+
+  /** Ichimoku Kinkō Hyō over a per-bucket close series: tenkan/kijun/
+    * senkou-B are trailing (max+min)/2 midlines at spans 9/26/52, senkou-A
+    * the tenkan–kijun midline shifted 26 forward, chikou the close shifted
+    * 26 back — all from ONE ordered window chain per series (shared sort),
+    * NULL until each span's frame is full. Operates on bars (one value per
+    * bucket), the standard charting contract. */
+  def ichimoku(df: DataFrame, value: String, keys: Seq[String],
+               ord: Seq[Column], tenkanN: Int = 9, kijunN: Int = 26,
+               senkouN: Int = 52): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    def midline(n: Int): Column = {
+      val w = wBase.rowsBetween(-(n - 1), 0)
+      when(count(col(value)).over(w) === n,
+        (max(col(value)).over(w) + min(col(value)).over(w)) / lit(2.0))
+    }
+    val withLines = df
+      .withColumn("tenkan", midline(tenkanN))
+      .withColumn("kijun", midline(kijunN))
+      .withColumn("senkou_b_raw", midline(senkouN))
+    withLines
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / lit(2.0), kijunN).over(wBase))
+      .withColumn("senkou_b", lag(col("senkou_b_raw"), kijunN).over(wBase))
+      .withColumn("chikou", lead(col(value), kijunN).over(wBase))
+      .drop("senkou_b_raw")
+  }
+
   /** Two-sided CUSUM change-point statistic per series: with μ the series
     * mean, s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − μ)) and s⁻ₜ = min(0, s⁻ₜ₋₁ +
     * (xₜ − μ)) — the Page (1954) cumulative-sum drift detectors, reported

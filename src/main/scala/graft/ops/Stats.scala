@@ -656,10 +656,56 @@ object Stats {
       .agg(
         max(col("n1")).as("n1"),
         max(col("n2")).as("n2"),
-        round(max(when(col("n1") > 0 && col("n2") > 0, abs(
-          col("_f1").cast("double") / col("n1").cast("double") -
-            col("_f2").cast("double") / col("n2").cast("double")))), 6)
+        // divisors null-guarded, not CASE-guarded (ANSI hoists divisions)
+        round(max(abs(
+          col("_f1").cast("double") /
+            when(col("n1") > 0, col("n1").cast("double")) -
+            col("_f2").cast("double") /
+              when(col("n2") > 0, col("n2").cast("double")))), 6)
           .as("d_stat"))
+  }
+
+  /** Mann–Whitney U rank-sum test (two-sided normal approximation with tie
+    * correction): average ranks over the pooled sample (rank() min-rank +
+    * (ties−1)/2 — deterministic under any partitioning), U₁ = R₁ −
+    * n₁(n₁+1)/2, z = (U₁ − n₁n₂/2)/√var with var = (n₁n₂/12)·((n+1) −
+    * Σ(t³−t)/(n(n−1))). Rank sums accumulate in exact DECIMAL; the closed
+    * forms evaluate in a pinned order. One pooled rank window + one
+    * aggregate; returns one row (n1, n2, u1, z). */
+  def mannWhitney(df: DataFrame, value: String, group: String,
+                  aLabel: String, bLabel: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(value).isNotNull &&
+      (col(group) === aLabel || col(group) === bLabel))
+    val wRank = Window.orderBy(col(value))
+    val wTies = Window.partitionBy(col(value))
+    val ranked = base
+      .withColumn("_rmin", rank().over(wRank))
+      .withColumn("_t", count(lit(1)).over(wTies))
+      .withColumn("_avgr",
+        col("_rmin").cast("double") +
+          (col("_t") - 1).cast("double") / lit(2.0))
+    val agged = ranked.agg(
+      count(when(col(group) === aLabel, 1)).as("n1"),
+      count(when(col(group) === bLabel, 1)).as("n2"),
+      sum(when(col(group) === aLabel, col("_avgr").cast(Dec)))
+        .cast("double").as("_r1"),
+      // Σ(t³−t) over tie GROUPS, accumulated per ROW as t²−1: the t rows
+      // of a size-t group contribute t·(t²−1) = t³−t — exact in BIGINT
+      sum((col("_t") * col("_t") - 1).cast(Dec)).cast("double")
+        .as("_tsum3"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val n  = n1 + n2
+    val u1 = col("_r1") - n1 * (n1 + 1) / lit(2.0)
+    // null-guarded divisor (ANSI hoists divisions past CASE guards)
+    val variance = n1 * n2 / lit(12.0) *
+      ((n + 1) - col("_tsum3") / when(n > 1, n * (n - 1)))
+    agged
+      .withColumn("u1", round(u1, 6))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 && variance > 0,
+          round((u1 - n1 * n2 / lit(2.0)) / sqrt(variance), 6)))
+      .select("n1", "n2", "u1", "z")
   }
 
   /** Benford first-significant-digit analysis per group: observed digit

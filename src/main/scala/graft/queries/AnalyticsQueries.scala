@@ -310,6 +310,26 @@ object AnalyticsQueries {
         .select("event_type", "digit", "n_digit", "n_rows", "share",
           "benford_p")),
 
+    // ── Mann–Whitney U rank-sum (tie-corrected normal z), view vs purchase
+    "q188_mannwhitney" -> ((s, d) =>
+      graft.ops.Stats.mannWhitney(Tables.events(s, d), "value",
+        "event_type", aLabel = "view", bLabel = "purchase")),
+
+    // ── Heikin-Ashi smoothed candles over hourly bars per series
+    "q189_heikin" -> ((s, d) =>
+      graft.analytics.Indicators.heikinAshi(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", bucket = "hour")),
+
+    // ── Ichimoku lines over the hourly close series per user
+    "q190_ichimoku" -> ((s, d) =>
+      graft.analytics.Indicators.ichimoku(
+          graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
+              Seq("user_id"), "ts", bucket = "hour")
+            .select("user_id", "bar", "close"),
+          "close", Seq("user_id"), Seq(col("bar")))
+        .select("user_id", "bar", "close", "tenkan", "kijun", "senkou_a",
+          "senkou_b", "chikou")),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -827,6 +847,90 @@ object AnalyticsQueries {
         | round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
         |   / ln(CAST(10 AS DOUBLE)), 6) AS benford_p
         |FROM c""".stripMargin,
+    "q188_mannwhitney" ->
+      """WITH b AS (SELECT value, event_type FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+        |r AS (SELECT value, event_type,
+        |  rank() OVER (ORDER BY value) AS rmin,
+        |  count(*) OVER (PARTITION BY value) AS t FROM b),
+        |v AS (SELECT event_type,
+        |  CAST(rmin AS DOUBLE) + CAST(t - 1 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |    AS avgr, t FROM r),
+        |a AS (SELECT
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n1,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n2,
+        |  CAST(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(avgr AS DECIMAL(28,10)) END) AS DOUBLE) AS r1,
+        |  CAST(sum(CAST(t * t - 1 AS DECIMAL(28,10))) AS DOUBLE) AS tsum3
+        | FROM v),
+        |c AS (SELECT n1, n2, r1, tsum3, CAST(n1 AS DOUBLE) AS d1,
+        |  CAST(n2 AS DOUBLE) AS d2,
+        |  CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS dn FROM a),
+        |u AS (SELECT *, r1 - d1 * (d1 + 1) / CAST(2 AS DOUBLE) AS u1 FROM c),
+        |w AS (SELECT *, d1 * d2 / CAST(12 AS DOUBLE)
+        |  * ((dn + 1) - tsum3 / (dn * (dn - 1))) AS vr FROM u)
+        |SELECT n1, n2, round(u1, 6) AS u1,
+        | CASE WHEN n1 > 0 AND n2 > 0 AND vr > 0
+        |   THEN round((u1 - d1 * d2 / CAST(2 AS DOUBLE)) / sqrt(vr), 6)
+        | END AS z
+        |FROM w""".stripMargin,
+    // Heikin-Ashi: hc per bar is closed-form, the ho recursion replays the
+    // Spark fold per prefix (q157's oracle technique); ha_high/ha_low
+    // re-derive the RAW ho inline so the greatest/least see unquantized
+    // values exactly as the Spark side does
+    "q189_heikin" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT user_id, list(bar ORDER BY bar) AS bs,
+        |  list(open ORDER BY bar) AS os, list(high ORDER BY bar) AS hs,
+        |  list(low ORDER BY bar) AS ls, list(close ORDER BY bar) AS cs
+        | FROM bars GROUP BY 1),
+        |q AS (SELECT user_id, bs, os, hs, ls, cs,
+        |  list_transform(range(1, len(bs) + 1),
+        |    j -> (((os[j] + hs[j]) + ls[j]) + cs[j]) / CAST(4 AS DOUBLE)) AS hc
+        | FROM p),
+        |i AS (SELECT user_id, unnest(range(1, len(bs) + 1)) AS rn,
+        |  bs, os, hs, ls, cs, hc FROM q),
+        |e AS (SELECT user_id, bs[rn] AS bar, os[rn] AS open, hs[rn] AS high,
+        |  ls[rn] AS low, cs[rn] AS close, hc[rn] AS hcv,
+        |  list_reduce(list_prepend((os[1] + cs[1]) / CAST(2 AS DOUBLE),
+        |    hc[1:rn - 1]), (acc, x) -> (acc + x) / CAST(2 AS DOUBLE)) AS hov
+        | FROM i)
+        |SELECT user_id, bar, open, high, low, close,
+        | floor(hov * 1000000.0 + 0.5) / 1000000.0 AS ha_open,
+        | floor(hcv * 1000000.0 + 0.5) / 1000000.0 AS ha_close,
+        | floor(greatest(high, hov, hcv) * 1000000.0 + 0.5) / 1000000.0
+        |   AS ha_high,
+        | floor(least(low, hov, hcv) * 1000000.0 + 0.5) / 1000000.0 AS ha_low
+        |FROM e""".stripMargin,
+    "q190_ichimoku" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT user_id, bar, close,
+        |  CASE WHEN count(close) OVER w9 = 9 THEN
+        |    (max(close) OVER w9 + min(close) OVER w9) / CAST(2 AS DOUBLE)
+        |  END AS tenkan,
+        |  CASE WHEN count(close) OVER w26 = 26 THEN
+        |    (max(close) OVER w26 + min(close) OVER w26) / CAST(2 AS DOUBLE)
+        |  END AS kijun,
+        |  CASE WHEN count(close) OVER w52 = 52 THEN
+        |    (max(close) OVER w52 + min(close) OVER w52) / CAST(2 AS DOUBLE)
+        |  END AS senkou_b_raw
+        | FROM bars WINDOW
+        |  w9 AS (PARTITION BY user_id ORDER BY bar
+        |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |  w26 AS (PARTITION BY user_id ORDER BY bar
+        |    ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |  w52 AS (PARTITION BY user_id ORDER BY bar
+        |    ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, bar, close, tenkan, kijun,
+        | lag((tenkan + kijun) / CAST(2 AS DOUBLE), 26) OVER wb AS senkou_a,
+        | lag(senkou_b_raw, 26) OVER wb AS senkou_b,
+        | lead(close, 26) OVER wb AS chikou
+        |FROM b WINDOW wb AS (PARTITION BY user_id ORDER BY bar)""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -152,6 +152,20 @@ object ExtensionQueries {
     "q182_zipf" -> ((s, d) =>
       TextOps.zipfFit(Tables.documents(s, d), "text", minCount = 3L)),
 
+    // ── Heaps-law fit: vocabulary growth V(N) ≈ k·N^β over the corpus in
+    //    doc_id order (Zipf's companion health check)
+    "q191_heaps" -> ((s, d) =>
+      TextOps.heapsFit(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── pairwise source vocabulary Jaccard (corpus-composition overlap)
+    "q192_source_overlap" -> ((s, d) =>
+      TextOps.sourceVocabOverlap(Tables.documents(s, d), "source", "text")),
+
+    // ── KL divergence of each source's unigram distribution from the
+    //    corpus marginal (mixture-drift monitor)
+    "q193_kl" -> ((s, d) =>
+      TextOps.klFromCorpus(Tables.documents(s, d), "source", "text")),
+
     // ── BPE trainer counting step: adjacent char-pair frequencies over the
     //    weighted word vocabulary
     "q99_bpe_pairs" -> ((s, d) =>
@@ -927,6 +941,77 @@ object ExtensionQueries {
          |     / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
          | END AS r2
          |FROM a""".stripMargin,
+    "q191_heaps" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM tk),
+         |fx AS (SELECT term, min(doc_id) AS fd FROM
+         |  (SELECT doc_id, unnest(w) AS term FROM tk) GROUP BY 1),
+         |nv AS (SELECT fd AS doc_id, count(*) AS v FROM fx GROUP BY 1),
+         |cm AS (SELECT pd.doc_id,
+         |  CAST(sum(pd.n) OVER wc AS BIGINT) AS ncum,
+         |  CAST(sum(coalesce(nv.v, 0)) OVER wc AS BIGINT) AS vcum
+         | FROM pd LEFT JOIN nv USING (doc_id)
+         | WINDOW wc AS (ORDER BY pd.doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |x AS (SELECT ln(CAST(ncum AS DOUBLE)) AS x,
+         |  ln(CAST(vcum AS DOUBLE)) AS y FROM cm
+         | WHERE ncum > 0 AND vcum > 0),
+         |a AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         |  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+         | FROM x)
+         |SELECT n_docs,
+         | CASE WHEN n_docs * sxx - sx * sx > 0
+         |   THEN round((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx), 6)
+         | END AS slope,
+         | CASE WHEN n_docs * sxx - sx * sx > 0
+         |   THEN round((sy - (n_docs * sxy - sx * sy)
+         |     / (n_docs * sxx - sx * sx) * sx) / n_docs, 6)
+         | END AS intercept,
+         | CASE WHEN n_docs * sxx - sx * sx > 0 AND n_docs * syy - sy * sy > 0
+         |   THEN round((n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)
+         |     / ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)), 6)
+         | END AS r2
+         |FROM a""".stripMargin,
+    "q192_source_overlap" ->
+      raw"""WITH nrm2 AS (SELECT source,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+         |    '\s+', ' ', 'g')) AS t FROM documents),
+         |v AS (SELECT DISTINCT source AS s, term FROM
+         |  (SELECT source, unnest(list_filter(regexp_split_to_array(t, '\s+'),
+         |     x -> length(x) > 0)) AS term FROM nrm2)),
+         |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS vn FROM v GROUP BY 1)
+         |SELECT a.s AS s1, b.s AS s2, sa.vn AS v1, sb.vn AS v2,
+         |  count(*) AS n_common,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / CAST(sa.vn + sb.vn - count(*) AS DOUBLE), 6) AS jaccard
+         |FROM v a JOIN v b USING (term)
+         |JOIN sz sa ON sa.s = a.s JOIN sz sb ON sb.s = b.s
+         |WHERE a.s < b.s
+         |GROUP BY a.s, b.s, sa.vn, sb.vn""".stripMargin,
+    "q193_kl" ->
+      raw"""WITH nrm2 AS (SELECT source,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+         |    '\s+', ' ', 'g')) AS t FROM documents),
+         |tk AS (SELECT source AS s,
+         |  unnest(list_filter(regexp_split_to_array(t, '\s+'),
+         |    x -> length(x) > 0)) AS term FROM nrm2),
+         |c AS (SELECT s, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |e AS (SELECT s, term, c,
+         |  CAST(sum(c) OVER (PARTITION BY s) AS BIGINT) AS ns,
+         |  CAST(sum(c) OVER (PARTITION BY term) AS BIGINT) AS ct,
+         |  CAST(sum(c) OVER () AS BIGINT) AS nt FROM c),
+         |t AS (SELECT s, ns, CAST((CAST(c AS DOUBLE) / ns)
+         |  * ln((CAST(c AS DOUBLE) / ns) / (CAST(ct AS DOUBLE) / nt))
+         |  AS DECIMAL(28,12)) AS term_v FROM e)
+         |SELECT s AS source, max(ns) AS n_tokens, count(*) AS n_terms,
+         |  round(CAST(sum(term_v) AS DOUBLE), 6) AS kl_nats
+         |FROM t GROUP BY 1""".stripMargin,
     "q102_bm25" ->
       s"""WITH $normCte,
          |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),

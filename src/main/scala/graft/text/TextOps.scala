@@ -324,4 +324,109 @@ object TextOps {
         when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)))
       .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
   }
+
+  /** Heaps-law fit: OLS of ln(cumulative vocabulary) on ln(cumulative
+    * tokens) over the corpus read in `id` order — V(N) ≈ k·N^β with β ≈
+    * 0.4–0.6 for natural language (Heaps 1978); drift flags synthetic or
+    * boilerplate-heavy corpora. New-vocabulary attribution is exact: each
+    * term counts at its FIRST document (min id), cumulative sums ride one
+    * ordered window over the doc-sized frame. Returns one row (n_docs,
+    * slope, intercept, r2). */
+  def heapsFit(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(id).as("_id"),
+        tokens(normalize(col(text))).as("w"))
+      .select(col("_id"), expr("filter(w, t -> length(t) > 0)").as("w"))
+    val perDoc = toks.select(col("_id"), size(col("w")).cast("long").as("_n"))
+    val firstDoc = toks
+      .select(col("_id"), explode(col("w")).as("term"))
+      .groupBy("term").agg(min(col("_id")).as("_fd"))
+      .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_v"))
+    val wCum = Window.orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = perDoc.join(firstDoc, Seq("_id"), "left")
+      .na.fill(0L, Seq("_v"))
+      .withColumn("_ncum", sum(col("_n")).over(wCum))
+      .withColumn("_vcum", sum(col("_v")).over(wCum))
+      .filter(col("_ncum") > 0 && col("_vcum") > 0)
+    val x = log(col("_ncum").cast("double"))
+    val y = log(col("_vcum").cast("double"))
+    def dsum(e: Column) = sum(e.cast("decimal(28,10)")).cast("double")
+    val agged = cums.agg(
+      count(lit(1)).as("n_docs"),
+      dsum(x).as("_sx"), dsum(y).as("_sy"),
+      dsum(x * x).as("_sxx"), dsum(y * y).as("_syy"),
+      dsum(x * y).as("_sxy"))
+    val n   = col("n_docs")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged
+      .withColumn("slope", when(vx > 0, round(cov / vx, 6)))
+      .withColumn("intercept",
+        when(vx > 0, round((col("_sy") - cov / vx * col("_sx")) / n, 6)))
+      .withColumn("r2",
+        when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+
+  /** Pairwise vocabulary Jaccard between sources: |V₁∩V₂| / |V₁∪V₂| over
+    * distinct normalized terms — the corpus-composition overlap matrix
+    * (which slices duplicate each other's vocabulary). The distinct
+    * (source, term) frame is vocabulary-sized; the pair join is on term
+    * with source-pair aggregation after, so cost is Σ per-term source
+    * multiplicity, never |corpus|². Emits each unordered pair once
+    * (s1 < s2). */
+  def sourceVocabOverlap(df: DataFrame, source: String,
+                         text: String): DataFrame = {
+    val vocab = df.select(col(source).as("_s"),
+        tokens(normalize(col(text))).as("w"))
+      .select(col("_s"), explode(col("w")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val sizes = vocab.groupBy(col("_s")).agg(count(lit(1)).as("_v"))
+    val inter = vocab.as("_a").join(vocab.as("_b"), Seq("term"))
+      .filter(col("_a._s") < col("_b._s"))
+      .groupBy(col("_a._s").as("s1"), col("_b._s").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("_s", "s1")
+        .withColumnRenamed("_v", "v1"), Seq("s1"))
+      .join(broadcast(sizes).withColumnRenamed("_s", "s2")
+        .withColumnRenamed("_v", "v2"), Seq("s2"))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("v1") + col("v2") - col("n_common")).cast("double"), 6))
+      .select("s1", "s2", "v1", "v2", "n_common", "jaccard")
+  }
+
+  /** KL divergence of each source's unigram distribution from the corpus
+    * distribution: Σ p·ln(p/q) over the source's terms (q > 0 always —
+    * the corpus marginal includes every source). The mixture-drift signal
+    * a data-mixing stage monitors. Per-term contributions quantize to
+    * DECIMAL before the final sum (the [[graft.analytics.Indicators]]
+    * entropy scheme), so accumulation order can't wiggle low bits. */
+  def klFromCorpus(df: DataFrame, source: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(source).as("_s"),
+        tokens(normalize(col(text))).as("w"))
+      .select(col("_s"), explode(col("w")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("_s"), col("term")).agg(count(lit(1)).as("_c"))
+    val wSrc = Window.partitionBy(col("_s"))
+    val wAll = Window.partitionBy()
+    val wTerm = Window.partitionBy(col("term"))
+    counts
+      .withColumn("_ns", sum(col("_c")).over(wSrc))
+      .withColumn("_ct", sum(col("_c")).over(wTerm))
+      .withColumn("_nt", sum(col("_c")).over(wAll))
+      .withColumn("_term",
+        ((col("_c").cast("double") / col("_ns")) *
+          log((col("_c").cast("double") / col("_ns")) /
+            (col("_ct").cast("double") / col("_nt"))))
+          .cast("decimal(28,12)"))
+      .groupBy(col("_s").as("source"))
+      .agg(max(col("_ns")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("_term")).cast("double"), 6).as("kl_nats"))
+  }
 }

@@ -906,6 +906,59 @@ class IndicatorsSpec extends SparkSpec {
     assert(p1 == r6(ln(2.0) / ln(10.0)))           // log₁₀ 2 ≈ 0.301030
   }
 
+  test("mannWhitney: disjoint samples give U=0; tie correction matches " +
+    "the closed form") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "x")
+    val r = Stats.mannWhitney(df, "x", "g", "a", "b").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.0)                       // U₁ = 0
+    // z = (0 − 4.5)/√5.25
+    val z = BigDecimal(-4.5 / math.sqrt(5.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == z, s"z ${r.getDouble(3)}")
+    // ties: pooled [1,1,1,2] → avg rank 2 for the 1s; var telescopes to 1
+    val t = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
+    val rt = Stats.mannWhitney(t, "x", "g", "a", "b").collect()(0)
+    assert(rt.getDouble(2) == 1.0 && rt.getDouble(3) == -1.0)
+  }
+
+  test("heikinAshi: hand candles — closed-form hc, recursive ho") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val df = Seq(
+      (1L, ts(9, 0), 10.0), (1L, ts(9, 5), 13.0), (1L, ts(9, 10), 9.0),
+      (1L, ts(9, 15), 12.0),
+      (1L, ts(10, 0), 12.0), (1L, ts(10, 5), 15.0), (1L, ts(10, 10), 11.0),
+      (1L, ts(10, 15), 14.0)).toDF("k", "t", "x")
+    val rows = Indicators.heikinAshi(df, "x", Seq("k"), "t")
+      .orderBy("bar")
+      .select("ha_open", "ha_close", "ha_high", "ha_low").collect()
+    assert(rows(0).getDouble(0) == 11.0 && rows(0).getDouble(1) == 11.0)
+    assert(rows(0).getDouble(2) == 13.0 && rows(0).getDouble(3) == 9.0)
+    // ho₂ = (ho₁ + hc₁)/2 = 11; hc₂ = (12+15+11+14)/4 = 13
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 13.0)
+    assert(rows(1).getDouble(2) == 15.0 && rows(1).getDouble(3) == 11.0)
+  }
+
+  test("ichimoku: midlines at custom spans on a linear ramp; " +
+    "shifted spans and chikou") {
+    val df = (1 to 12).map(i => (1L, i, i.toDouble)).toDF("k", "i", "x")
+    val rows = Indicators.ichimoku(df, "x", Seq("k"), Seq(col("i")),
+        tenkanN = 3, kijunN = 5, senkouN = 7)
+      .orderBy("i")
+      .select("tenkan", "kijun", "senkou_a", "senkou_b", "chikou").collect()
+    assert(rows(1).isNullAt(0))                      // frame not full
+    assert(rows(2).getDouble(0) == 2.0)              // (3+1)/2
+    assert(rows(4).getDouble(1) == 3.0)              // (5+1)/2
+    // senkou_a at row 10 = (tenkan₅ + kijun₅)/2 = (4+3)/2
+    assert(rows(9).getDouble(2) == 3.5)
+    // senkou_b at row 12 = midline₇ at row 7 = (7+1)/2
+    assert(rows(11).getDouble(3) == 4.0)
+    assert(rows(0).getDouble(4) == 6.0)              // chikou = lead 5
+    assert(rows(7).isNullAt(4))
+  }
+
   test("momentStats: hand central moments; constant group → NULL shape " +
     "stats") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),

@@ -65,6 +65,43 @@ class TextSignalsSpec extends SparkSpec {
     assert(got(("b", "b")) == (1L, 1L, 3L, 4L, r6(math.log(4.0 / 3))))
   }
 
+  test("heapsFit: cumulative vocabulary points fit the driver-side OLS") {
+    // docs in id order: ncum = 2,4,8; vcum = 2,3,4
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) == 3L)
+    val xs = Seq(2.0, 4.0, 8.0).map(math.log)
+    val ys = Seq(2.0, 3.0, 4.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.97)                    // near-log-linear
+  }
+
+  test("sourceVocabOverlap: hand Jaccard on two sources") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "b c d"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.sourceVocabOverlap(docs, "source", "text").collect()(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(4) == 2L && r.getDouble(5) == 0.5) // |∩|=2, J=2/4
+  }
+
+  test("klFromCorpus: closed-form divergence of a skewed source") {
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "b b"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.klFromCorpus(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    def kl(ps: Seq[(Double, Double)]): Double = r6(
+      ps.map { case (p, q) => p * math.log(p / q) }.sum)
+    assert(math.abs(got("s1") -
+      kl(Seq((2.0 / 3, 2.0 / 5), (1.0 / 3, 3.0 / 5)))) < 2e-6)
+    assert(math.abs(got("s2") - kl(Seq((1.0, 3.0 / 5)))) < 2e-6)
+  }
+
   test("zipfFit: an exact 1/rank spectrum fits slope −1 with R² = 1") {
     // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 → ln f = ln 12 − ln r
     val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
