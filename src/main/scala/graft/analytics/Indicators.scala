@@ -263,13 +263,6 @@ object Indicators {
     // NULL-SAFE (<=>): groupBy pools all-null keys into one group, and a
     // missing-key hot group is the classic skew case — plain equality
     // would silently drop it back onto the quadratic fold path
-    val bigKeys = broadcast(df.filter(col(value).isNotNull)
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
-      .filter(col("_kn") > inlineMax).select(keys.map(col): _*))
-      .as("_bk")
-    val lhs = df.as("_lhs")
-    val cond = keys.map(k => col(s"_lhs.$k") <=> col(s"_bk.$k"))
-      .reduce(_ && _)
     // α = 1 degenerates to the identity (emaₜ = xₜ): a per-row projection,
     // no fold, no routing — and the chunked leg (which requires α < 1)
     // must not be constructed at all
@@ -278,10 +271,24 @@ object Indicators {
         .select((keys.map(col) ++ carry.map(col) :+
           col(value).cast("double").as(value) :+
           quant6(col(value).cast("double")).as("ema")): _*)
-    emaSeries(lhs.join(bigKeys, cond, "left_anti"), value, keys, ts, alpha,
+    val bigKeys = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > inlineMax).select(keys.map(col): _*)
+    // explicit (tiny: ≤ total/inlineMax rows) driver check before building
+    // the routed union: BOTH legs re-evaluate the input subplan — which
+    // may itself carry aggregates and windows (e.g. ATR's bar frame) — so
+    // the common no-oversized-key case would pay that twice plus the
+    // broadcast machinery of a provably empty chunked leg
+    if (bigKeys.isEmpty)
+      return emaSeries(df, value, keys, ts, alpha, carry)
+    val bk = broadcast(bigKeys).as("_bk")
+    val lhs = df.as("_lhs")
+    val cond = keys.map(k => col(s"_lhs.$k") <=> col(s"_bk.$k"))
+      .reduce(_ && _)
+    emaSeries(lhs.join(bk, cond, "left_anti"), value, keys, ts, alpha,
         carry)
       .unionByName(
-        emaSeriesChunked(lhs.join(bigKeys, cond, "left_semi"), value, keys,
+        emaSeriesChunked(lhs.join(bk, cond, "left_semi"), value, keys,
           ts, alpha, chunkLenFor(alpha, chunkLen), carry))
   }
 
@@ -455,14 +462,11 @@ object Indicators {
            fast: Int = 12, slow: Int = 26, signalSpan: Int = 9,
            carry: Seq[String] = Nil, inlineMax: Long = 1 << 20): DataFrame = {
     require(0 < fast && fast < slow, s"need 0 < fast($fast) < slow($slow)")
-    // same size routing as [[emaSeriesAuto]]: modest keys take the fused
-    // folds (ONE wide shuffle, no row-key join); oversized keys take the
-    // three-leg chunk-stitch composition, which never materializes a
-    // quadratic array. Unlike emaSeriesAuto, the oversized leg is gated by
-    // an explicit (tiny: ≤ total/inlineMax rows) driver check — its
-    // composition carries several broadcast subplans that would all
-    // execute even over a provably empty input, and the common case is
-    // exactly that empty input.
+    // same size routing as [[emaSeriesAuto]] (including its explicit
+    // driver check on the tiny ≤ total/inlineMax big-key frame): modest
+    // keys take the fused folds (ONE wide shuffle, no row-key join);
+    // oversized keys take the three-leg chunk-stitch composition, which
+    // never materializes a quadratic array.
     val bigKeys = df.filter(col(value).isNotNull)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_kn"))
       .filter(col("_kn") > inlineMax).select(keys.map(col): _*)
@@ -759,6 +763,195 @@ object Indicators {
         when(col("m") >= 3 && col("_sll") > 0 && rss > 0,
           round(phi / se, 6)))
       .drop("_sld", "_sll", "_sdd")
+  }
+
+  /** Average true range over [[ohlcBars]]: TRₜ = max(h−l, |h−pcₜ₋₁|,
+    * |l−pcₜ₋₁|) (first bar: h−l), smoothed by Wilder's recursion — which
+    * is exactly an EMA with α = 1/n seeded at TR₁, so the smoothing IS
+    * [[emaSeriesAuto]] (size-routed, chunk-stitch safe) applied to the TR
+    * column. One bar aggregate + one lag window + the EMA machinery. */
+  def atr(df: DataFrame, value: String, keys: Seq[String], ts: String,
+          bucket: String = "hour", n: Int = 14): DataFrame = {
+    val bars = ohlcBars(df, value, keys, ts, bucket)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bar"))
+    val pc = lag(col("close"), 1).over(w)
+    val withTr = bars.withColumn("tr",
+      when(pc.isNull, col("high") - col("low"))
+        .otherwise(greatest(col("high") - col("low"),
+          abs(col("high") - pc), abs(col("low") - pc))))
+    emaSeriesAuto(withTr, "tr", keys, "bar", alpha = 1.0 / n,
+        carry = Seq("bar", "open", "high", "low", "close"))
+      .withColumnRenamed("ema", "atr")
+  }
+
+  /** Wilder's directional system over [[ohlcBars]]: +DM/−DM per bar, the
+    * three Wilder smoothings (α = 1/n folds — the [[macdFused]] shape:
+    * one packed aggregate, three double-array folds over the same
+    * column), DI± = 100·S(±DM)/S(TR), DX = 100·|DI⁺−DI⁻|/(DI⁺+DI⁻), and
+    * ADX = the Wilder smoothing of DX (second pack, fourth fold — each
+    * fold result crosses a shuffle boundary exactly once, never
+    * re-evaluated by project collapse). NULL DI/DX where S(TR) = 0 or
+    * DI⁺+DI⁻ = 0 (null-guarded divisors — ANSI). Bars per key are
+    * time-bucket-bounded, so the packed arrays stay small. */
+  def adx(df: DataFrame, value: String, keys: Seq[String], ts: String,
+          bucket: String = "hour", n: Int = 14): DataFrame = {
+    val a = 1.0 / n; val b = 1.0 - a
+    val bars = ohlcBars(df, value, keys, ts, bucket)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bar"))
+    val pc = lag(col("close"), 1).over(w)
+    val ph = lag(col("high"), 1).over(w)
+    val pl = lag(col("low"), 1).over(w)
+    val up = col("high") - ph
+    val dn = pl - col("low")
+    val withDm = bars
+      .withColumn("_tr",
+        when(pc.isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - pc), abs(col("low") - pc))))
+      .withColumn("_pdm",
+        when(ph.isNull, lit(0.0))
+          .otherwise(when(up > dn && up > 0, up).otherwise(lit(0.0))))
+      .withColumn("_mdm",
+        when(ph.isNull, lit(0.0))
+          .otherwise(when(dn > up && dn > 0, dn).otherwise(lit(0.0))))
+    val packed = withDm
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("bar"), col("_tr"),
+        col("_pdm"), col("_mdm")))).as("seq"))
+    def fold(field: String) = expr(
+      s"""aggregate(
+         |  slice(seq, 2, size(seq) - 1),
+         |  named_struct('arr', array(element_at(seq, 1).$field),
+         |               'last', element_at(seq, 1).$field),
+         |  (acc, p) -> named_struct(
+         |    'arr', concat(acc.arr, array(${b}D * acc.last + ${a}D * p.$field)),
+         |    'last', ${b}D * acc.last + ${a}D * p.$field),
+         |  acc -> acc.arr)""".stripMargin)
+    val leg = packed
+      .withColumn("_st", fold("_tr"))
+      .withColumn("_sp", fold("_pdm"))
+      .withColumn("_sm", fold("_mdm"))
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_st"), col("_sp"), col("_sm")))
+          .as("_z")): _*)
+      .select((keys.map(col) :+
+        col("_z.seq.bar").as("bar") :+
+        quant6(col("_z._st")).as("str") :+
+        quant6(col("_z._sp")).as("spdm") :+
+        quant6(col("_z._sm")).as("smdm")): _*)
+      // DI from the quantized smoothings (pinned); divisors null-guarded
+      .withColumn("di_plus",
+        quant6(lit(100.0) * col("spdm") / when(col("str") > 0, col("str"))))
+      .withColumn("di_minus",
+        quant6(lit(100.0) * col("smdm") / when(col("str") > 0, col("str"))))
+      .withColumn("_gdx",
+        quant6(lit(100.0) * abs(col("di_plus") - col("di_minus")) /
+          when(col("di_plus") + col("di_minus") > 0,
+            col("di_plus") + col("di_minus"))))
+    val packed2 = leg.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("bar"), col("str"),
+        col("spdm"), col("smdm"), col("di_plus"), col("di_minus"),
+        col("_gdx")))).as("seq2"))
+    // ADX fold skips NULL DX rows' effect by folding coalesce(dx, last):
+    // a NULL DX (flat bar) holds the smoothing — deterministic, pinned
+    val adxFold = expr(
+      s"""aggregate(
+         |  slice(seq2, 2, size(seq2) - 1),
+         |  named_struct('arr', array(element_at(seq2, 1)._gdx),
+         |               'last', coalesce(element_at(seq2, 1)._gdx, 0.0D)),
+         |  (acc, p) -> named_struct(
+         |    'arr', concat(acc.arr,
+         |      array(${b}D * acc.last + ${a}D * coalesce(p._gdx, acc.last))),
+         |    'last', ${b}D * acc.last + ${a}D * coalesce(p._gdx, acc.last)),
+         |  acc -> acc.arr)""".stripMargin)
+    packed2.withColumn("_adx", adxFold)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq2"), col("_adx"))).as("_z")): _*)
+      .select((keys.map(col) :+
+        col("_z.seq2.bar").as("bar") :+
+        col("_z.seq2.str").as("str") :+
+        col("_z.seq2.di_plus").as("di_plus") :+
+        col("_z.seq2.di_minus").as("di_minus") :+
+        col("_z.seq2._gdx").as("dx") :+
+        quant6(col("_z._adx")).as("adx")): _*)
+  }
+
+  /** Cross-correlation function: Pearson corr(yₜ, xₜ₋ℓ) per series for
+    * ℓ = −maxLag..maxLag (negative ℓ = x LEADS y — the lead–lag discovery
+    * companion to [[acf]]; ℓ = 0 is the plain contemporaneous corr). Same
+    * shape as acf: one Window exec fans out every shift, one exact-decimal
+    * moment aggregate. */
+  def ccf(df: DataFrame, y: String, x: String, keys: Seq[String],
+          ord: Seq[Column], maxLag: Int = 5, minPairs: Long = 10L): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val shifted = (-maxLag to maxLag).foldLeft(df) { (acc, l) =>
+      val c = if (l >= 0) lag(col(x), l).over(wBase)
+      else lead(col(x), -l).over(wBase)
+      acc.withColumn(s"_s${l + maxLag}", c)
+    }
+    val pairs = (-maxLag to maxLag).map(l =>
+      struct(lit(l).as("lag_k"), col(s"_s${l + maxLag}").as("xl")))
+    val ex = shifted.withColumn("_p", explode(array(pairs: _*)))
+      .select(keys.map(col) :+ col(y).as("yv") :+
+        col("_p.lag_k").as("lag_k") :+ col("_p.xl").as("xl"): _*)
+    val ok = col("yv").isNotNull && col("xl").isNotNull
+    def dsum(e: Column) = sum(when(ok, e.cast(Dec))).cast("double")
+    val agged = ex.groupBy((keys.map(col) :+ col("lag_k")): _*).agg(
+      count(when(ok, 1)).as("n_pairs"),
+      dsum(col("yv")).as("_sy"), dsum(col("xl")).as("_sx"),
+      dsum(col("yv") * col("yv")).as("_syy"),
+      dsum(col("xl") * col("xl")).as("_sxx"),
+      dsum(col("yv") * col("xl")).as("_sxy"))
+    val n  = col("n_pairs")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged.withColumn("ccf",
+        when(n >= minPairs && vx > 0 && vy > 0,
+          round(cov / sqrt(vx * vy), 6)))
+      .drop("_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+
+  /** Lo–MacKinlay variance-ratio test statistics: VR(q) = σ²_q/(q·σ²₁)
+    * where σ²ₖ is the mean-adjusted variance of k-period differences —
+    * VR ≈ 1 under a random walk, > 1 momentum, < 1 mean reversion (Lo &
+    * MacKinlay 1988). One Window exec fans out every q-difference; exact
+    * DECIMAL sums; the 1-period variance is computed once per key and
+    * joined back broadcast. NULL where either variance degenerates. */
+  def varianceRatio(df: DataFrame, value: String, keys: Seq[String],
+                    ord: Seq[Column], qs: Seq[Int] = Seq(2, 3, 4, 5)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(_ >= 2), s"qs $qs must all be ≥ 2")
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val lags = (1 +: qs).distinct
+    val shifted = lags.foldLeft(df) { (acc, l) =>
+      acc.withColumn(s"_d$l", col(value) - lag(col(value), l).over(wBase))
+    }
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    // per-key stats of the k-period differences, one row per (key, q)
+    val pairs = lags.map(l => struct(lit(l).as("q"), col(s"_d$l").as("d")))
+    val ex = shifted.withColumn("_p", explode(array(pairs: _*)))
+      .select(keys.map(col) :+ col("_p.q").as("q") :+ col("_p.d").as("d"): _*)
+      .filter(col("d").isNotNull)
+    val stats = ex.groupBy((keys.map(col) :+ col("q")): _*).agg(
+      count(lit(1)).as("n_d"),
+      dsum(col("d")).as("_sd"),
+      dsum(col("d") * col("d")).as("_sdd"))
+      // mean-adjusted variance: (Σd² − (Σd)²/n)/n, pinned order
+      .withColumn("_var",
+        (col("_sdd") - col("_sd") * col("_sd") /
+          when(col("n_d") > 0, col("n_d"))) /
+          when(col("n_d") > 0, col("n_d")))
+    val base = stats.filter(col("q") === 1)
+      .select(keys.map(col) :+ col("_var").as("_var1") :+
+        col("n_d").as("n_base"): _*)
+    stats.filter(col("q") =!= 1)
+      .join(broadcast(base), keys)
+      .withColumn("vr",
+        when(col("_var1") > 0 && col("_var") >= 0,
+          round(col("_var") / (col("q") * when(col("_var1") > 0,
+            col("_var1"))), 6)))
+      .select(keys.map(col) :+ col("q") :+ col("n_d") :+ col("n_base") :+
+        col("vr"): _*)
   }
 
   /** Heikin-Ashi smoothing over [[ohlcBars]]: hcₜ = (o+h+l+c)/4 per bar,

@@ -330,6 +330,34 @@ object AnalyticsQueries {
         .select("user_id", "bar", "close", "tenkan", "kijun", "senkou_a",
           "senkou_b", "chikou")),
 
+    // ── average true range (Wilder α=1/14 smoothing ≡ the EMA machinery)
+    "q194_atr" -> ((s, d) =>
+      graft.analytics.Indicators.atr(Tables.events(s, d), "value",
+          Seq("user_id"), "ts", bucket = "hour", n = 14)
+        .select("user_id", "bar", "open", "high", "low", "close", "tr",
+          "atr")),
+
+    // ── Wilder directional system: DI+/DI−/DX/ADX over hourly bars
+    "q195_adx" -> ((s, d) =>
+      graft.analytics.Indicators.adx(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", bucket = "hour", n = 14)),
+
+    // ── cross-correlation function at lags −3..3: value vs JSON prop k
+    //    (negative lag = k leads value)
+    "q196_ccf" -> ((s, d) =>
+      graft.analytics.Indicators.ccf(
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k")
+            .cast("double")),
+        y = "value", x = "k", Seq("user_id"),
+        Seq(col("ts"), col("event_id")), maxLag = 3, minPairs = 10L)),
+
+    // ── Lo–MacKinlay variance ratio VR(q), q = 2..5, per series
+    "q197_variance_ratio" -> ((s, d) =>
+      graft.analytics.Indicators.varianceRatio(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        qs = Seq(2, 3, 4, 5))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -931,6 +959,150 @@ object AnalyticsQueries {
         | lag(senkou_b_raw, 26) OVER wb AS senkou_b,
         | lead(close, 26) OVER wb AS chikou
         |FROM b WINDOW wb AS (PARTITION BY user_id ORDER BY bar)""".stripMargin,
+    "q194_atr" -> {
+      val a = 1.0 / 14; val b = 1.0 - a
+      s"""WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+         |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, ts) AS close FROM events
+         | WHERE value IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT user_id, bar, open, high, low, close,
+         |  CASE WHEN lag(close) OVER w IS NULL THEN high - low
+         |    ELSE greatest(high - low, abs(high - lag(close) OVER w),
+         |      abs(low - lag(close) OVER w)) END AS tr
+         | FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar)),
+         |p AS (SELECT user_id, list(bar ORDER BY bar) AS bs,
+         |  list(open ORDER BY bar) AS os, list(high ORDER BY bar) AS hs,
+         |  list(low ORDER BY bar) AS ls, list(close ORDER BY bar) AS cs,
+         |  list(tr ORDER BY bar) AS trs
+         | FROM t GROUP BY 1),
+         |i AS (SELECT user_id, unnest(range(1, len(bs) + 1)) AS rn,
+         |  bs, os, hs, ls, cs, trs FROM p)
+         |SELECT user_id, bs[rn] AS bar, os[rn] AS open, hs[rn] AS high,
+         |  ls[rn] AS low, cs[rn] AS close, trs[rn] AS tr,
+         |  floor(list_reduce(trs[1:rn], (acc, x) ->
+         |    CAST($b AS DOUBLE) * acc + CAST($a AS DOUBLE) * x)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS atr
+         |FROM i""".stripMargin
+    },
+    "q195_adx" -> {
+      val a = 1.0 / 14; val b = 1.0 - a
+      def q6(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+      def fold(src: String) =
+        s"list_reduce($src, (acc, x) -> CAST($b AS DOUBLE) * acc + CAST($a AS DOUBLE) * x)"
+      s"""WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+         |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, ts) AS close FROM events
+         | WHERE value IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT user_id, bar,
+         |  CASE WHEN lag(close) OVER w IS NULL THEN high - low
+         |    ELSE greatest(high - low, abs(high - lag(close) OVER w),
+         |      abs(low - lag(close) OVER w)) END AS tr,
+         |  CASE WHEN lag(high) OVER w IS NULL THEN CAST(0 AS DOUBLE)
+         |    ELSE CASE WHEN (high - lag(high) OVER w) > (lag(low) OVER w - low)
+         |              AND (high - lag(high) OVER w) > 0
+         |      THEN high - lag(high) OVER w ELSE CAST(0 AS DOUBLE) END
+         |  END AS pdm,
+         |  CASE WHEN lag(high) OVER w IS NULL THEN CAST(0 AS DOUBLE)
+         |    ELSE CASE WHEN (lag(low) OVER w - low) > (high - lag(high) OVER w)
+         |              AND (lag(low) OVER w - low) > 0
+         |      THEN lag(low) OVER w - low ELSE CAST(0 AS DOUBLE) END
+         |  END AS mdm
+         | FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar)),
+         |p AS (SELECT user_id, list(bar ORDER BY bar) AS bs,
+         |  list(tr ORDER BY bar) AS trs, list(pdm ORDER BY bar) AS ps,
+         |  list(mdm ORDER BY bar) AS ms FROM t GROUP BY 1),
+         |i AS (SELECT user_id, unnest(range(1, len(bs) + 1)) AS rn,
+         |  bs, trs, ps, ms FROM p),
+         |e AS (SELECT user_id, rn, bs[rn] AS bar,
+         |  ${q6(fold("trs[1:rn]"))} AS str,
+         |  ${q6(fold("ps[1:rn]"))} AS spdm,
+         |  ${q6(fold("ms[1:rn]"))} AS smdm FROM i),
+         |d AS (SELECT user_id, rn, bar, str,
+         |  CASE WHEN str > 0
+         |    THEN ${q6("CAST(100 AS DOUBLE) * spdm / str")} END AS di_plus,
+         |  CASE WHEN str > 0
+         |    THEN ${q6("CAST(100 AS DOUBLE) * smdm / str")} END AS di_minus
+         | FROM e),
+         |x AS (SELECT *, CASE WHEN di_plus IS NOT NULL
+         |      AND di_minus IS NOT NULL AND di_plus + di_minus > 0
+         |    THEN ${q6("CAST(100 AS DOUBLE) * abs(di_plus - di_minus) / (di_plus + di_minus)")}
+         |  END AS dx FROM d),
+         |g AS (SELECT user_id, list(dx ORDER BY rn) AS dxs FROM x GROUP BY 1),
+         |j AS (SELECT x.user_id, x.bar, x.str, x.di_plus, x.di_minus, x.dx,
+         |  CASE WHEN x.rn = 1 THEN dxs[1]
+         |    ELSE list_reduce(
+         |      list_prepend(coalesce(dxs[1], CAST(0 AS DOUBLE)), dxs[2:x.rn]),
+         |      (acc, v) -> CAST($b AS DOUBLE) * acc
+         |        + CAST($a AS DOUBLE) * coalesce(v, acc))
+         |  END AS adx_raw
+         | FROM x JOIN g USING (user_id))
+         |SELECT user_id, bar, str, di_plus, di_minus, dx,
+         |  ${q6("adx_raw")} AS adx
+         |FROM j""".stripMargin
+    },
+    "q196_ccf" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value AS yv,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k FROM events),
+        |b AS (SELECT user_id, yv,
+        |  lead(k, 3) OVER w AS sm3, lead(k, 2) OVER w AS sm2,
+        |  lead(k, 1) OVER w AS sm1, k AS s0,
+        |  lag(k, 1) OVER w AS sp1, lag(k, 2) OVER w AS sp2,
+        |  lag(k, 3) OVER w AS sp3
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (
+        | SELECT user_id, -3 AS lag_k, yv, sm3 AS xl FROM b
+        | UNION ALL SELECT user_id, -2, yv, sm2 FROM b
+        | UNION ALL SELECT user_id, -1, yv, sm1 FROM b
+        | UNION ALL SELECT user_id, 0, yv, s0 FROM b
+        | UNION ALL SELECT user_id, 1, yv, sp1 FROM b
+        | UNION ALL SELECT user_id, 2, yv, sp2 FROM b
+        | UNION ALL SELECT user_id, 3, yv, sp3 FROM b),
+        |a AS (SELECT user_id, lag_k,
+        |  count(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL THEN 1 END)
+        |    AS n_pairs,
+        |  CAST(sum(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(yv AS DECIMAL(28,10)) END) AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(xl AS DECIMAL(28,10)) END) AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(yv * yv AS DECIMAL(28,10)) END) AS DOUBLE) AS syy,
+        |  CAST(sum(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(xl * xl AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN yv IS NOT NULL AND xl IS NOT NULL
+        |    THEN CAST(yv * xl AS DECIMAL(28,10)) END) AS DOUBLE) AS sxy
+        | FROM u GROUP BY 1, 2)
+        |SELECT user_id, lag_k, n_pairs,
+        | CASE WHEN n_pairs >= 10 AND n_pairs * sxx - sx * sx > 0
+        |       AND n_pairs * syy - sy * sy > 0
+        |   THEN round((n_pairs * sxy - sx * sy) /
+        |     sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
+        | END AS ccf
+        |FROM a""".stripMargin,
+    "q197_variance_ratio" ->
+      """WITH b AS (SELECT user_id,
+        |  value - lag(value, 1) OVER w AS d1,
+        |  value - lag(value, 2) OVER w AS d2,
+        |  value - lag(value, 3) OVER w AS d3,
+        |  value - lag(value, 4) OVER w AS d4,
+        |  value - lag(value, 5) OVER w AS d5
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (
+        | SELECT user_id, 1 AS q, d1 AS d FROM b
+        | UNION ALL SELECT user_id, 2, d2 FROM b
+        | UNION ALL SELECT user_id, 3, d3 FROM b
+        | UNION ALL SELECT user_id, 4, d4 FROM b
+        | UNION ALL SELECT user_id, 5, d5 FROM b),
+        |s AS (SELECT user_id, q, count(*) AS n_d,
+        |  CAST(sum(CAST(d AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(d * d AS DECIMAL(28,10))) AS DOUBLE) AS sdd
+        | FROM u WHERE d IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT user_id, q, n_d,
+        |  (sdd - sd * sd / n_d) / n_d AS var FROM s),
+        |base AS (SELECT user_id, var AS var1, n_d AS n_base FROM v WHERE q = 1)
+        |SELECT v.user_id, v.q, v.n_d, base.n_base,
+        | CASE WHEN base.var1 > 0 AND v.var >= 0
+        |   THEN round(v.var / (v.q * base.var1), 6) END AS vr
+        |FROM v JOIN base USING (user_id) WHERE v.q != 1""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -959,6 +959,70 @@ class IndicatorsSpec extends SparkSpec {
     assert(rows(7).isNullAt(4))
   }
 
+  test("atr: true range picks the widest of the three gaps; Wilder " +
+    "smoothing is the α=1/n fold") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val df = Seq(
+      (1L, ts(9, 0), 10.0), (1L, ts(9, 5), 13.0), (1L, ts(9, 10), 9.0),
+      (1L, ts(9, 15), 12.0),                       // bar1: h13 l9 c12, tr 4
+      (1L, ts(10, 0), 12.0), (1L, ts(10, 5), 16.0), (1L, ts(10, 10), 11.0),
+      (1L, ts(10, 15), 14.0)                       // bar2: h16 l11, tr 5
+    ).toDF("k", "t", "x")
+    val rows = Indicators.atr(df, "x", Seq("k"), "t", n = 2)
+      .orderBy("bar").select("tr", "atr").collect()
+    assert(rows(0).getDouble(0) == 4.0 && rows(0).getDouble(1) == 4.0)
+    assert(rows(1).getDouble(0) == 5.0 && rows(1).getDouble(1) == 4.5)
+  }
+
+  test("adx: hand directional system — DI split, DX, held-ADX fold") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    // three bars via 3 ticks each: (h,l,c) = (10,8,9), (12,10,11), (11,9,10)
+    val df = Seq(
+      (1L, ts(9, 0), 10.0), (1L, ts(9, 5), 8.0), (1L, ts(9, 10), 9.0),
+      (1L, ts(10, 0), 12.0), (1L, ts(10, 5), 10.0), (1L, ts(10, 10), 11.0),
+      (1L, ts(11, 0), 11.0), (1L, ts(11, 5), 9.0), (1L, ts(11, 10), 10.0)
+    ).toDF("k", "t", "x")
+    val rows = Indicators.adx(df, "x", Seq("k"), "t", n = 2)
+      .orderBy("bar").select("str", "di_plus", "di_minus", "dx", "adx")
+      .collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(2.0, 2.5, 2.25))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.0, 40.0, q6(100 * 0.5 / 2.25)))
+    assert(rows(2).getDouble(2) == q6(100 * 0.5 / 2.25))
+    assert(rows(0).isNullAt(3))                    // DI⁺+DI⁻ = 0 → DX NULL
+    assert(rows(1).getDouble(3) == 100.0 && rows(2).getDouble(3) == 0.0)
+    assert(rows(0).isNullAt(4))                    // ADX₁ = DX₁ = NULL
+    assert(rows(1).getDouble(4) == 50.0)           // .5·0 + .5·100
+    assert(rows(2).getDouble(4) == 25.0)           // .5·50 + .5·0
+  }
+
+  test("ccf: a pure lag-2 copy peaks at exactly lag 2") {
+    val xs = Seq(3.0, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, i + 1, x, if (i >= 2) Some(xs(i - 2)) else None)
+    }.toDF("k", "i", "xc", "yv")
+    val got = Indicators.ccf(df, "yv", "xc", Seq("k"), Seq(col("i")),
+        maxLag = 3, minPairs = 10L)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(got(2).getDouble(3) == 1.0, s"lag2 ${got(2)}")
+    assert(!got(0).isNullAt(3) && got(0).getDouble(3) < 1.0)
+  }
+
+  test("varianceRatio: an alternating series collapses VR(2) to zero; " +
+    "a pure trend degenerates to NULL") {
+    val alt = (1 to 12).map(i => (1L, i, (i % 2).toDouble)).toDF("k", "i", "x")
+    val got = Indicators.varianceRatio(alt, "x", Seq("k"), Seq(col("i")),
+        qs = Seq(2, 3))
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(got(2).getDouble(4) == 0.0, s"vr2 ${got(2)}")
+    assert(!got(3).isNullAt(4) && got(3).getDouble(4) > 0)
+    val trend = (1 to 12).map(i => (1L, i, i.toDouble)).toDF("k", "i", "x")
+    val t = Indicators.varianceRatio(trend, "x", Seq("k"), Seq(col("i")),
+      qs = Seq(2)).collect()(0)
+    assert(t.isNullAt(4))                          // σ²₁ = 0 → NULL
+  }
+
   test("momentStats: hand central moments; constant group → NULL shape " +
     "stats") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
