@@ -954,6 +954,83 @@ object Indicators {
         col("vr"): _*)
   }
 
+  /** Time-under-water analysis per series: drawdown episodes (maximal runs
+    * where value sits below the running peak), their lengths, and the
+    * deepest drawdown — the risk-duration companion to [[drawdown]].
+    * Episode ids come from a cumulative count of at-peak rows (the gaps-
+    * and-islands idiom: two window passes over one sort), so the whole
+    * analysis is two Window execs + one aggregate. Returns one row per
+    * series: n_obs, n_episodes, max_underwater_len, max_drawdown. */
+  def underwater(df: DataFrame, value: String, keys: Seq[String],
+                 ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wCum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(value).isNotNull)
+    val peak = max(col(value)).over(wCum)
+    val marked = base
+      .withColumn("_under", (col(value) < peak).cast("int"))
+      .withColumn("_dd",
+        when(peak > 0, round(col(value) / peak - 1.0, 6)))
+    val withEp = marked
+      .withColumn("_ep", sum(lit(1) - col("_under")).over(wCum))
+    val episodes = withEp.filter(col("_under") === 1)
+      .groupBy((keys.map(col) :+ col("_ep")): _*)
+      .agg(count(lit(1)).as("_len"), min(col("_dd")).as("_depth"))
+    val perKey = episodes.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_episodes"),
+      max(col("_len")).as("max_underwater_len"),
+      min(col("_depth")).as("max_drawdown"))
+    base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_obs"))
+      .join(perKey, keys, "left")
+      .na.fill(0L, Seq("n_episodes", "max_underwater_len"))
+  }
+
+  /** One-way ANOVA of 1-step returns across a calendar bucket (default
+    * day-of-week): per-bucket mean returns plus the F statistic
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from exact DECIMAL group sums — the
+    * classic calendar-effect screen. The bucket frame is ≤ 7 rows, so the
+    * grand totals ride a broadcast; every closed form is pinned. The F
+    * statistic repeats on each bucket row (the q52 attach pattern). */
+  def calendarAnova(df: DataFrame, value: String, keys: Seq[String],
+                    ts: String, ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val rets = df
+      .withColumn("_ret", col(value) - lag(col(value), 1).over(wBase))
+      .filter(col("_ret").isNotNull)
+      .withColumn("dow", dayofweek(col(ts)))
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val groups = rets.groupBy(col("dow")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("_ret")).as("_s"),
+      dsum(col("_ret") * col("_ret")).as("_ss"))
+    val tot = groups.agg(
+      sum(col("n")).as("_nt"),
+      sum(col("_s").cast(Dec)).cast("double").as("_st"),
+      sum(col("_ss").cast(Dec)).cast("double").as("_sst"),
+      count(lit(1)).as("_k"))
+    val withTot = groups.crossJoin(broadcast(tot))
+    val mg = col("_s") / col("n")
+    val m  = col("_st") / col("_nt")
+    val terms = withTot
+      .withColumn("mean_ret", round(mg, 6))
+      .withColumn("_ssb_g", col("n") * (mg - m) * (mg - m))
+      .withColumn("_ssw_g", col("_ss") - col("_s") * col("_s") / col("n"))
+    val f = terms.agg(
+      max(col("_nt")).as("_nt"), max(col("_k")).as("_k"),
+      sum(col("_ssb_g").cast(Dec)).cast("double").as("_ssb"),
+      sum(col("_ssw_g").cast(Dec)).cast("double").as("_ssw"))
+      .withColumn("f_stat",
+        when(col("_k") > 1 && col("_nt") > col("_k") && col("_ssw") > 0,
+          round((col("_ssb") / when(col("_k") > 1, col("_k") - 1)) /
+            (col("_ssw") / when(col("_nt") > col("_k"),
+              col("_nt") - col("_k"))), 6)))
+      .select(col("_ssb"), col("_ssw"), col("f_stat"),
+        col("_k").as("k_groups"), col("_nt").as("n_total"))
+    terms.select(col("dow"), col("n"), col("mean_ret"))
+      .crossJoin(broadcast(f.select(col("f_stat"), col("k_groups"),
+        col("n_total"))))
+  }
+
   /** Heikin-Ashi smoothing over [[ohlcBars]]: hcₜ = (o+h+l+c)/4 per bar,
     * hoₜ = (hoₜ₋₁ + hcₜ₋₁)/2 (ho₁ = (o₁+c₁)/2), hh = max(h, ho, hc),
     * hl = min(l, ho, hc) — the noise-reduced candle series. The ho

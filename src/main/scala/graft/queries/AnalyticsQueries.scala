@@ -358,6 +358,16 @@ object AnalyticsQueries {
         Seq("user_id"), Seq(col("ts"), col("event_id")),
         qs = Seq(2, 3, 4, 5))),
 
+    // ── time-under-water: drawdown episode count/length/depth per series
+    "q198_underwater" -> ((s, d) =>
+      graft.analytics.Indicators.underwater(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── day-of-week return ANOVA (calendar-effect screen, F attached)
+    "q199_dow_anova" -> ((s, d) =>
+      graft.analytics.Indicators.calendarAnova(Tables.events(s, d), "value",
+        Seq("user_id"), "ts", Seq(col("ts"), col("event_id")))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1103,6 +1113,54 @@ object AnalyticsQueries {
         | CASE WHEN base.var1 > 0 AND v.var >= 0
         |   THEN round(v.var / (v.q * base.var1), 6) END AS vr
         |FROM v JOIN base USING (user_id) WHERE v.q != 1""".stripMargin,
+    "q198_underwater" ->
+      """WITH b AS (SELECT user_id, event_id, ts, value,
+        |  max(value) OVER wc AS peak FROM events WHERE value IS NOT NULL
+        | WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, event_id, ts, value, peak,
+        |  CASE WHEN value < peak THEN 1 ELSE 0 END AS under,
+        |  CASE WHEN peak > 0 THEN round(value / peak - 1.0, 6) END AS dd
+        | FROM b),
+        |e AS (SELECT *, CAST(sum(1 - under) OVER wc AS BIGINT) AS ep FROM m
+        | WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |epi AS (SELECT user_id, ep, count(*) AS len, min(dd) AS depth
+        | FROM e WHERE under = 1 GROUP BY 1, 2),
+        |pk AS (SELECT user_id, count(*) AS n_episodes,
+        |  max(len) AS max_underwater_len, min(depth) AS max_drawdown
+        | FROM epi GROUP BY 1),
+        |nn AS (SELECT user_id, count(*) AS n_obs FROM events
+        | WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT nn.user_id, nn.n_obs, coalesce(pk.n_episodes, 0) AS n_episodes,
+        | coalesce(pk.max_underwater_len, 0) AS max_underwater_len,
+        | pk.max_drawdown
+        |FROM nn LEFT JOIN pk USING (user_id)""".stripMargin,
+    // day-of-week: Spark is Sunday=1..7, DuckDB Sunday=0..6 — shift +1
+    "q199_dow_anova" ->
+      """WITH r AS (SELECT user_id, ts, value,
+        |  value - lag(value, 1) OVER w AS ret FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, count(*) AS n,
+        |  CAST(sum(CAST(ret AS DECIMAL(28,10))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(ret * ret AS DECIMAL(28,10))) AS DOUBLE) AS ss
+        | FROM r WHERE ret IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |  CAST(sum(CAST(s AS DECIMAL(28,10))) AS DOUBLE) AS st,
+        |  count(*) AS k FROM g),
+        |w2 AS (SELECT g.dow, g.n, g.s, g.ss, t.nt, t.st, t.k,
+        |  g.s / g.n AS mg, t.st / t.nt AS m FROM g CROSS JOIN t),
+        |f AS (SELECT max(nt) AS nt, max(k) AS k,
+        |  CAST(sum(CAST(n * (mg - m) * (mg - m) AS DECIMAL(28,10)))
+        |    AS DOUBLE) AS ssb,
+        |  CAST(sum(CAST(ss - s * s / n AS DECIMAL(28,10))) AS DOUBLE) AS ssw
+        | FROM w2),
+        |ff AS (SELECT CASE WHEN k > 1 AND nt > k AND ssw > 0
+        |    THEN round((ssb / (k - 1)) / (ssw / (nt - k)), 6) END AS f_stat,
+        |  k AS k_groups, nt AS n_total FROM f)
+        |SELECT w2.dow, w2.n, round(w2.mg, 6) AS mean_ret,
+        | ff.f_stat, ff.k_groups, ff.n_total
+        |FROM w2 CROSS JOIN ff""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

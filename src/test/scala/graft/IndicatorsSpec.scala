@@ -1023,6 +1023,35 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(4))                          // σ²₁ = 0 → NULL
   }
 
+  test("underwater: episode split at peak touches, depth and length; " +
+    "monotonic series has zero episodes") {
+    val df = Seq(10.0, 8, 9, 11, 11, 7).zipWithIndex
+      .map { case (x, i) => (1L, i, x) }.toDF("k", "i", "x")
+    val r = Indicators.underwater(df, "x", Seq("k"), Seq(col("i")))
+      .collect()(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == BigDecimal(7.0 / 11 - 1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val mono = (1 to 5).map(i => (1L, i, i.toDouble)).toDF("k", "i", "x")
+    val m = Indicators.underwater(mono, "x", Seq("k"), Seq(col("i")))
+      .collect()(0)
+    assert(m.getLong(2) == 0L && m.getLong(3) == 0L && m.isNullAt(4))
+  }
+
+  test("calendarAnova: hand two-group F over day-of-week returns") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2025-01-$d%02d 12:00:00")
+    // returns: Mon {1, 3}, Sun {5} → SSB 6, SSW 2, F = 3
+    val df = Seq((1L, ts(5), 0.0), (1L, ts(6), 1.0),
+      (1L, ts(12), 6.0), (1L, ts(13), 9.0)).toDF("k", "t", "x")
+    val rows = Indicators.calendarAnova(df, "x", Seq("k"), "t",
+        Seq(col("t"))).collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows(1).getLong(1) == 1L && rows(1).getDouble(2) == 5.0) // Sun
+    assert(rows(2).getLong(1) == 2L && rows(2).getDouble(2) == 2.0) // Mon
+    assert(rows.values.forall(_.getDouble(3) == 3.0))
+    assert(rows(1).getLong(4) == 2L && rows(1).getLong(5) == 3L)
+  }
+
   test("momentStats: hand central moments; constant group → NULL shape " +
     "stats") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
