@@ -1145,4 +1145,232 @@ object Indicators {
         quant6(col("_z._cs.u")).as("cusum_pos") :+
         quant6(col("_z._cs.d")).as("cusum_neg")): _*)
   }
+
+  /** Wald–Wolfowitz runs test on the signs of 1-step moves per series:
+    * with n₁ up-moves, n₂ down-moves and R observed sign runs,
+    * z = (R − μ)/σ where μ = 2n₁n₂/n + 1 and
+    * σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n − 1)) — the classic randomness screen
+    * (a random walk has z ≈ 0; trending series too few runs, mean-
+    * reverting too many). Zero moves are dropped before run counting
+    * (the standard convention), which forces a second ordered window
+    * over the surviving rows to restore adjacency; both windows share
+    * one sort key, so the plan is one shuffle + two sorted passes.
+    * Every closed form is pinned left-associated; divisors null-guarded. */
+  def runsTest(df: DataFrame, value: String, keys: Seq[String],
+               ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val signed = df
+      .withColumn("_ret", col(value) - lag(col(value), 1).over(wBase))
+      .filter(col("_ret").isNotNull && col("_ret") =!= 0.0)
+      .withColumn("_sgn", (col("_ret") > 0).cast("int"))
+    val chg = signed
+      .withColumn("_prev", lag(col("_sgn"), 1).over(wBase))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_prev") =!= col("_sgn"), 1)
+          .otherwise(0))
+    val agged = chg.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_moves"),
+      sum(col("_sgn")).cast("long").as("n_up"),
+      sum(col("_new")).cast("long").as("n_runs"))
+      .withColumn("n_down", col("n_moves") - col("n_up"))
+    val n1 = col("n_up").cast("double"); val n2 = col("n_down").cast("double")
+    val n  = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / when(n > 0, n) + lit(1.0)
+    val variance = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      when(n > 1, n * n * (n - lit(1.0)))
+    agged
+      .withColumn("z",
+        when(col("n_up") > 0 && col("n_down") > 0 && variance > 0,
+          round((col("n_runs").cast("double") - mu) / sqrt(variance), 6)))
+      .select(keys.map(col) :+ col("n_moves") :+ col("n_up") :+
+        col("n_down") :+ col("n_runs") :+ col("z"): _*)
+  }
+
+  /** Pettitt (1979) rank-based change-point test per series. With pooled
+    * average ranks rᵢ over the key's values, Uₜ = 2·Σ_{i≤t} rᵢ − t(N+1);
+    * the statistic is K = max_{t<N} |Uₜ|, the change point the EARLIEST t
+    * attaining it (deterministic tie), and p ≈ 2·exp(−6K²/(N³+N²)).
+    * 2·avg-rank = 2·min-rank + (ties − 1) is integral, so U accumulates in
+    * exact BIGINT — both engines compare integers, never doubles. Shapes:
+    * one value-ordered rank window + one time-ordered cumsum window + one
+    * aggregate; nothing leaves the executor. Keys with N < 2 drop (no
+    * interior point to test). */
+  def pettitt(df: DataFrame, value: String, keys: Seq[String],
+              ord: Seq[Column]): DataFrame = {
+    val base  = df.filter(col(value).isNotNull)
+    val wOrd  = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wKey  = Window.partitionBy(keys.map(col): _*)
+    val wRank = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+    val wTies = Window.partitionBy((keys.map(col) :+ col(value)): _*)
+    val ranked = base
+      .withColumn("_r2",
+        lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTies).cast("long") - lit(1L))
+      .withColumn("_t", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wKey).cast("long"))
+    val withU = ranked
+      .withColumn("_cum2", sum(col("_r2")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_u", col("_cum2") - col("_t") * (col("_n") + lit(1L)))
+      .filter(col("_t") < col("_n"))
+      .withColumn("_absu", abs(col("_u")))
+    val withK = withU.withColumn("_k", max(col("_absu")).over(wKey))
+    val kd = col("k_stat").cast("double"); val nd = col("n_obs").cast("double")
+    withK.groupBy(keys.map(col): _*).agg(
+        max(col("_n")).as("n_obs"),
+        max(col("_absu")).as("k_stat"),
+        min(when(col("_absu") === col("_k"), col("_t"))).as("t_change"))
+      .withColumn("p_approx",
+        round(lit(2.0) * exp(lit(-6.0) * kd * kd /
+          when(nd > 0, nd * nd * nd + nd * nd)), 6))
+  }
+
+  /** Hurst exponent per series by the aggregated-variance method
+    * (Beran 1994): for each block size m, the variance of means of
+    * complete m-blocks of the 1-step differences scales as m^(2H−2);
+    * H = 1 + slope/2 from the log-log OLS over the m-grid. Everything is
+    * aggregates — diff window, block groupBy, scale groupBy, per-key OLS —
+    * so the operator is shuffle-bound, never driver-bound, and block means
+    * divide exact decimal block sums by power-of-two m (dyadic-exact in
+    * double). NULL H when fewer than two usable scales survive (a scale
+    * needs ≥ 2 complete blocks and positive variance). */
+  def hurst(df: DataFrame, value: String, keys: Seq[String],
+            ord: Seq[Column], ms: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(ms.distinct.size >= 2 && ms.forall(_ >= 1),
+      s"need ≥ 2 distinct block sizes ≥ 1, got $ms")
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val rets = df
+      .withColumn("_ret", col(value) - lag(col(value), 1).over(wBase))
+      .filter(col("_ret").isNotNull)
+      .withColumn("_pos", row_number().over(wBase).cast("long") - lit(1L))
+    val exploded = rets
+      .withColumn("_m", explode(array(ms.distinct.sorted.map(lit): _*)))
+      .withColumn("_blk", floor(col("_pos") / col("_m")))
+    val blocks = exploded
+      .groupBy((keys.map(col) :+ col("_m") :+ col("_blk")): _*)
+      .agg(count(lit(1)).as("_bn"), sum(col("_ret").cast(Dec)).as("_bs"))
+      .filter(col("_bn") === col("_m"))
+      .withColumn("_bm", col("_bs").cast("double") / col("_m"))
+    val scales = blocks.groupBy((keys.map(col) :+ col("_m")): _*)
+      .agg(count(lit(1)).as("_k"),
+        sum(col("_bm").cast(Dec)).cast("double").as("_sb"),
+        sum((col("_bm") * col("_bm")).cast(Dec)).cast("double").as("_sbb"))
+      .filter(col("_k") >= 2)
+      .withColumn("_var",
+        (col("_sbb") - col("_sb") * col("_sb") /
+          when(col("_k") > 0, col("_k").cast("double"))) /
+          (col("_k").cast("double") - lit(1.0)))
+      .filter(col("_var") > 0)
+      .withColumn("_lx", log(col("_m").cast("double")))
+      .withColumn("_ly", log(col("_var")))
+    val ols = scales.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_scales"),
+      sum(col("_lx").cast(Dec)).cast("double").as("_sx"),
+      sum(col("_ly").cast(Dec)).cast("double").as("_sy"),
+      sum((col("_lx") * col("_lx")).cast(Dec)).cast("double").as("_sxx"),
+      sum((col("_lx") * col("_ly")).cast(Dec)).cast("double").as("_sxy"))
+    val k = col("n_scales").cast("double")
+    val den = k * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (k * col("_sxy") - col("_sx") * col("_sy")) /
+      when(den =!= 0.0, den)
+    ols
+      .withColumn("hurst",
+        when(col("n_scales") >= 2 && den =!= 0.0,
+          round(lit(1.0) + slope / lit(2.0), 6)))
+      .select(keys.map(col) :+ col("n_scales") :+ col("hurst"): _*)
+  }
+
+  /** 1-D local-level Kalman filter per series (state-space smoothing of a
+    * noisy level, Harvey 1989): level₁ = x₁, P₁ = r, and for t ≥ 2 with
+    * P⁻ = P + q: gain k = P⁻/(P⁻ + r), level ← level + k(xₜ − level),
+    * P ← (1 − k)·P⁻. Process/measurement variances (q, r) are fixed
+    * hyper-parameters. The recursion is inherently sequential per key —
+    * the [[cusumSeries]] fold shape (pack-sort-fold one shuffle); the
+    * gain sequence converges geometrically to the steady state where the
+    * filter degenerates to an EMA, which is why the time-varying early
+    * transient is the part worth computing exactly. Operates on bar-level
+    * series (one value per `ordCol`); oversized keys belong upstream in
+    * [[ohlcBars]] bucketing. */
+  def kalmanLevel(df: DataFrame, value: String, keys: Seq[String],
+                  ordCol: String, qVar: Double = 0.01,
+                  rVar: Double = 1.0): DataFrame = {
+    require(qVar > 0 && rVar > 0, s"variances must be positive: q=$qVar r=$rVar")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
+        col(value).cast("double").as("_gx")))).as("seq"))
+    // ppred/gain inlined (SQL lambdas bind no intermediates); the oracle
+    // replays the IDENTICAL expression tree via DuckDB list_reduce
+    val fold = expr(
+      s"""aggregate(
+         |  sequence(2, size(seq)),
+         |  named_struct(
+         |    'arr', array(element_at(seq, 1)._gx),
+         |    'level', element_at(seq, 1)._gx,
+         |    'p', cast($rVar as double)),
+         |  (acc, i) -> named_struct(
+         |    'arr', concat(acc.arr, array(
+         |      acc.level + ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar))
+         |        * (element_at(seq, i)._gx - acc.level))),
+         |    'level',
+         |      acc.level + ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar))
+         |        * (element_at(seq, i)._gx - acc.level),
+         |    'p', (1.0D - ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar)))
+         |      * (acc.p + $qVar)),
+         |  acc -> acc.arr)""".stripMargin)
+    packed.withColumn("_kf", fold)
+      .filter(size(col("seq")) >= 1)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_kf"))).as("_z")): _*)
+      .select(keys.map(col) :+
+        col("_z.seq._gt").as(ordCol) :+
+        col("_z.seq._gx").as(value) :+
+        quant6(col("_z._kf")).as("kf_level"): _*)
+  }
+
+  /** Goertzel-style periodogram at candidate integer periods per series:
+    * spectral power I(p) = (S_c² + S_s²)/n with S_c = Σ x'ₜ·cos(2πt/p),
+    * S_s = Σ x'ₜ·sin(2πt/p) over the mean-removed series — the cheap
+    * seasonality screen when only a few candidate periods matter (hourly/
+    * daily/weekly), O(n·|periods|) instead of an FFT. Because cos(2πt/p)
+    * only takes p distinct values, rows are first reduced per (key, period,
+    * t mod p) RESIDUE — an exact decimal sum — and the trig factors touch
+    * only the ≤p cell rows, quantized to 9 dp so both engines multiply
+    * bit-identical factors. Two hash aggregates, no window over the data
+    * beyond the position numbering. */
+  def periodogram(df: DataFrame, value: String, keys: Seq[String],
+                  ord: Seq[Column],
+                  periods: Seq[Int] = Seq(4, 6, 12, 24)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must all be ≥ 2, got $periods")
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wKey  = Window.partitionBy(keys.map(col): _*)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_pos", row_number().over(wBase).cast("long") - lit(1L))
+      .withColumn("_mean",
+        sum(col(value).cast(Dec)).over(wKey).cast("double") /
+          count(lit(1)).over(wKey))
+      .withColumn("_x", col(value) - col("_mean"))
+    val exploded = base
+      .withColumn("_p", explode(array(periods.distinct.sorted.map(lit): _*)))
+      .withColumn("_res", (col("_pos") % col("_p")).cast("int"))
+    val cells = exploded
+      .groupBy((keys.map(col) :+ col("_p") :+ col("_res")): _*)
+      .agg(count(lit(1)).as("_cn"),
+        sum(col("_x").cast(Dec)).cast("double").as("_sx"))
+    val ang = lit(2.0) * lit(math.Pi) * col("_res").cast("double") /
+      col("_p").cast("double")
+    val withTrig = cells
+      .withColumn("_c", round(cos(ang), 9))
+      .withColumn("_s", round(sin(ang), 9))
+    withTrig.groupBy((keys.map(col) :+ col("_p").as("period")): _*)
+      .agg(sum(col("_cn")).cast("long").as("n_obs"),
+        sum((col("_sx") * col("_c")).cast(Dec)).cast("double").as("_sc"),
+        sum((col("_sx") * col("_s")).cast(Dec)).cast("double").as("_ss"))
+      .withColumn("power",
+        when(col("n_obs") > 0,
+          round((col("_sc") * col("_sc") + col("_ss") * col("_ss")) /
+            col("n_obs").cast("double"), 6)))
+      .drop("_sc", "_ss")
+  }
 }

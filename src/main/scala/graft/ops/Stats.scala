@@ -770,4 +770,40 @@ object Stats {
         when(col("n_obs") >= 3 && m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)))
       .drop("_s1", "_s2", "_s3", "_s4")
   }
+
+  /** Spearman rank correlation per group: Pearson's closed form applied to
+    * pooled average ranks (min-rank + (ties−1)/2 — deterministic under any
+    * partitioning, exact in double since ranks step by halves). Robust to
+    * monotone transforms and outliers where the raw Pearson (q16) is not —
+    * the standard screen for nonlinear association. Two per-group rank
+    * windows + one aggregate of exact DECIMAL rank sums; rank products stay
+    * ≤ n² so DECIMAL(28,10) never saturates below ~10⁹-row groups. NULL
+    * rho when either margin is constant. */
+  def spearman(df: DataFrame, x: String, y: String,
+               keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(x).isNotNull && col(y).isNotNull)
+    def avgRank(c: String, out: String)(d: DataFrame): DataFrame = {
+      val wR = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+      val wT = Window.partitionBy((keys.map(col) :+ col(c)): _*)
+      d.withColumn(out,
+        rank().over(wR).cast("double") +
+          (count(lit(1)).over(wT).cast("double") - lit(1.0)) / lit(2.0))
+    }
+    val ranked = avgRank(y, "_ry")(avgRank(x, "_rx")(base))
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = ranked.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_obs"),
+      dsum(col("_rx")).as("_sx"), dsum(col("_ry")).as("_sy"),
+      dsum(col("_rx") * col("_rx")).as("_sxx"),
+      dsum(col("_ry") * col("_ry")).as("_syy"),
+      dsum(col("_rx") * col("_ry")).as("_sxy"))
+    val n  = col("n_obs").cast("double")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val vx  = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy  = n * col("_syy") - col("_sy") * col("_sy")
+    agged
+      .withColumn("rho", when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)))
+      .select(keys.map(col) :+ col("n_obs") :+ col("rho"): _*)
+  }
 }

@@ -368,6 +368,44 @@ object AnalyticsQueries {
       graft.analytics.Indicators.calendarAnova(Tables.events(s, d), "value",
         Seq("user_id"), "ts", Seq(col("ts"), col("event_id")))),
 
+    // ── Spearman rank correlation: value vs JSON prop k per event type
+    "q200_spearman" -> ((s, d) =>
+      graft.ops.Stats.spearman(
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k")
+            .cast("double")),
+        x = "value", y = "k", Seq("event_type"))),
+
+    // ── Wald–Wolfowitz runs test on 1-step move signs per series
+    "q201_runs_test" -> ((s, d) =>
+      graft.analytics.Indicators.runsTest(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── Pettitt rank change-point test per series (integer-exact U)
+    "q202_pettitt" -> ((s, d) =>
+      graft.analytics.Indicators.pettitt(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── Hurst exponent by aggregated variance over dyadic block sizes
+    "q203_hurst" -> ((s, d) =>
+      graft.analytics.Indicators.hurst(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        ms = Seq(1, 2, 4, 8))),
+
+    // ── 1-D local-level Kalman filter over hourly close bars per series
+    "q204_kalman" -> ((s, d) =>
+      graft.analytics.Indicators.kalmanLevel(
+        graft.analytics.Indicators.ohlcBars(Tables.events(s, d), "value",
+            Seq("user_id"), "ts", bucket = "hour")
+          .select("user_id", "bar", "close"),
+        "close", Seq("user_id"), "bar", qVar = 0.01, rVar = 1.0)),
+
+    // ── Goertzel periodogram at candidate periods per event type
+    "q205_periodogram" -> ((s, d) =>
+      graft.analytics.Indicators.periodogram(Tables.events(s, d), "value",
+        Seq("event_type"), Seq(col("ts"), col("event_id")),
+        periods = Seq(4, 6, 12, 24))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1161,6 +1199,180 @@ object AnalyticsQueries {
         |SELECT w2.dow, w2.n, round(w2.mg, 6) AS mean_ret,
         | ff.f_stat, ff.k_groups, ff.n_total
         |FROM w2 CROSS JOIN ff""".stripMargin,
+    "q200_spearman" ->
+      """WITH base AS (SELECT event_type, value AS x,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS y FROM events
+        | WHERE value IS NOT NULL
+        |   AND CAST(json_extract(props, '$.k') AS DOUBLE) IS NOT NULL),
+        |r AS (SELECT event_type,
+        |  CAST(rank() OVER (PARTITION BY event_type ORDER BY x) AS DOUBLE)
+        |   + (CAST(count(*) OVER (PARTITION BY event_type, x) AS DOUBLE)
+        |      - 1.0) / 2.0 AS rx,
+        |  CAST(rank() OVER (PARTITION BY event_type ORDER BY y) AS DOUBLE)
+        |   + (CAST(count(*) OVER (PARTITION BY event_type, y) AS DOUBLE)
+        |      - 1.0) / 2.0 AS ry
+        | FROM base),
+        |a AS (SELECT event_type, count(*) AS n_obs,
+        |  CAST(sum(CAST(rx AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(ry AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(rx * rx AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(ry * ry AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(rx * ry AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM r GROUP BY 1),
+        |v AS (SELECT event_type, n_obs, CAST(n_obs AS DOUBLE) AS n,
+        |  sx, sy, sxx, syy, sxy FROM a)
+        |SELECT event_type, n_obs,
+        | CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS rho
+        |FROM v""".stripMargin,
+    "q201_runs_test" ->
+      """WITH r AS (SELECT user_id, ts, event_id,
+        |  value - lag(value, 1) OVER w AS ret FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN ret > 0 THEN 1 ELSE 0 END AS sgn
+        | FROM r WHERE ret IS NOT NULL AND ret != 0.0),
+        |c AS (SELECT user_id, sgn,
+        |  lag(sgn, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev FROM f),
+        |a AS (SELECT user_id, count(*) AS n_moves,
+        |  CAST(sum(sgn) AS BIGINT) AS n_up,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev != sgn THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_runs
+        | FROM c GROUP BY 1),
+        |b AS (SELECT user_id, n_moves, n_up, n_moves - n_up AS n_down,
+        |  n_runs, CAST(n_up AS DOUBLE) AS n1,
+        |  CAST(n_moves - n_up AS DOUBLE) AS n2,
+        |  CAST(n_up AS DOUBLE) + CAST(n_moves - n_up AS DOUBLE) AS n FROM a),
+        |z AS (SELECT user_id, n_moves, n_up, n_down, n_runs,
+        |  2.0 * n1 * n2 / n + 1.0 AS mu,
+        |  2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)) AS var
+        | FROM b)
+        |SELECT user_id, n_moves, n_up, n_down, n_runs,
+        | CASE WHEN n_up > 0 AND n_down > 0 AND var > 0
+        |  THEN round((CAST(n_runs AS DOUBLE) - mu) / sqrt(var), 6) END AS z
+        |FROM z""".stripMargin,
+    "q202_pettitt" ->
+      """WITH base AS (SELECT user_id, ts, event_id, value FROM events
+        | WHERE value IS NOT NULL),
+        |r AS (SELECT user_id,
+        |  2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+        |   + count(*) OVER (PARTITION BY user_id, value) - 1 AS r2,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS t,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM base),
+        |u AS (SELECT user_id, t, n,
+        |  CAST(sum(r2) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   - t * (n + 1) AS uu
+        | FROM r),
+        |w2 AS (SELECT user_id, t, n, abs(uu) AS absu FROM u WHERE t < n),
+        |k AS (SELECT user_id, max(n) AS n_obs, max(absu) AS k_stat
+        | FROM w2 GROUP BY 1),
+        |tt AS (SELECT w2.user_id, min(w2.t) AS t_change FROM w2
+        | JOIN k ON w2.user_id = k.user_id AND w2.absu = k.k_stat GROUP BY 1),
+        |d AS (SELECT user_id, n_obs, k_stat, t_change,
+        |  CAST(k_stat AS DOUBLE) AS kd, CAST(n_obs AS DOUBLE) AS nd
+        | FROM k JOIN tt USING (user_id))
+        |SELECT user_id, n_obs, k_stat, t_change,
+        | round(2.0 * exp(-6.0 * kd * kd / (nd * nd * nd + nd * nd)), 6)
+        |   AS p_approx
+        |FROM d""".stripMargin,
+    "q203_hurst" ->
+      """WITH r AS (SELECT user_id, ts, event_id,
+        |  value - lag(value, 1) OVER w AS ret FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, ret,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+        |    AS pos
+        | FROM r WHERE ret IS NOT NULL),
+        |g AS (SELECT user_id, ret, pos, m FROM p
+        | CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS m) ms),
+        |b AS (SELECT user_id, m,
+        |  CAST(floor(CAST(pos AS DOUBLE) / m) AS BIGINT) AS blk,
+        |  count(*) AS bn, sum(CAST(ret AS DECIMAL(28,10))) AS bs
+        | FROM g GROUP BY 1, 2, 3),
+        |bm AS (SELECT user_id, m, CAST(bs AS DOUBLE) / m AS bmv
+        | FROM b WHERE bn = m),
+        |s AS (SELECT user_id, m, count(*) AS k,
+        |  CAST(sum(CAST(bmv AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+        |  CAST(sum(CAST(bmv * bmv AS DECIMAL(28,10))) AS DOUBLE) AS sbb
+        | FROM bm GROUP BY 1, 2),
+        |v AS (SELECT user_id, m, k,
+        |  (sbb - sb * sb / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+        |    AS var
+        | FROM s WHERE k >= 2),
+        |l AS (SELECT user_id, ln(CAST(m AS DOUBLE)) AS lx, ln(var) AS ly
+        | FROM v WHERE var > 0),
+        |o AS (SELECT user_id, count(*) AS n_scales,
+        |  CAST(sum(CAST(lx AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(ly AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(lx * lx AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(lx * ly AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM l GROUP BY 1)
+        |SELECT user_id, n_scales,
+        | CASE WHEN n_scales >= 2
+        |   AND CAST(n_scales AS DOUBLE) * sxx - sx * sx != 0.0
+        |  THEN round(1.0 + (CAST(n_scales AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_scales AS DOUBLE) * sxx - sx * sx) / 2.0, 6) END AS hurst
+        |FROM o""".stripMargin,
+    "q204_kalman" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT user_id, list(bar ORDER BY bar) AS bs,
+        |  list(close ORDER BY bar) AS cs FROM bars GROUP BY 1),
+        |i AS (SELECT user_id, unnest(range(1, len(cs) + 1)) AS rn, bs, cs
+        | FROM p),
+        |e AS (SELECT user_id, bs[rn] AS bar, cs[rn] AS close,
+        |  list_reduce(
+        |    list_prepend({'level': cs[1], 'p': CAST(1.0 AS DOUBLE)},
+        |      list_transform(cs[2:rn],
+        |        x -> {'level': x, 'p': CAST(0.0 AS DOUBLE)})),
+        |    (acc, el) -> {
+        |      'level': acc.level
+        |        + ((acc.p + 0.01) / ((acc.p + 0.01) + 1.0))
+        |          * (el.level - acc.level),
+        |      'p': (1.0 - ((acc.p + 0.01) / ((acc.p + 0.01) + 1.0)))
+        |        * (acc.p + 0.01)}).level AS lvl
+        | FROM i)
+        |SELECT user_id, bar, close,
+        | floor(lvl * 1000000.0 + 0.5) / 1000000.0 AS kf_level
+        |FROM e""".stripMargin,
+    "q205_periodogram" ->
+      """WITH base AS (SELECT event_type, ts, event_id, value FROM events
+        | WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+        |  count(*) AS cn FROM base GROUP BY 1),
+        |x AS (SELECT b.event_type, b.value - m.sv / m.cn AS xv,
+        |  row_number() OVER (PARTITION BY b.event_type
+        |    ORDER BY b.ts, b.event_id) - 1 AS pos
+        | FROM base b JOIN m USING (event_type)),
+        |g AS (SELECT event_type, xv, pos, p FROM x
+        | CROSS JOIN (SELECT unnest([4, 6, 12, 24]) AS p) ps),
+        |cell AS (SELECT event_type, p, CAST(pos % p AS INT) AS res,
+        |  count(*) AS cn2,
+        |  CAST(sum(CAST(xv AS DECIMAL(28,10))) AS DOUBLE) AS sx
+        | FROM g GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, p, cn2, sx,
+        |  floor(cos(2.0 * pi() * res / p) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS c,
+        |  floor(sin(2.0 * pi() * res / p) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS s
+        | FROM cell),
+        |f AS (SELECT event_type, p AS period,
+        |  CAST(sum(cn2) AS BIGINT) AS n_obs,
+        |  CAST(sum(CAST(sx * c AS DECIMAL(28,10))) AS DOUBLE) AS sc,
+        |  CAST(sum(CAST(sx * s AS DECIMAL(28,10))) AS DOUBLE) AS ss
+        | FROM t GROUP BY 1, 2)
+        |SELECT event_type, period, n_obs,
+        | CASE WHEN n_obs > 0
+        |  THEN round((sc * sc + ss * ss) / CAST(n_obs AS DOUBLE), 6)
+        | END AS power
+        |FROM f""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -1066,4 +1066,113 @@ class IndicatorsSpec extends SparkSpec {
     val b = got("b")
     assert(b.getDouble(3) == 0.0 && b.isNullAt(4) && b.isNullAt(5))
   }
+
+  test("spearman: monotone ⇒ 1 through ties; constant margin ⇒ NULL") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 40.0), ("a", 2.0, 40.0),
+      ("a", 3.0, 90.0), ("b", 1.0, 7.0), ("b", 2.0, 7.0), ("b", 3.0, 7.0))
+      .toDF("g", "x", "y")
+    val got = Stats.spearman(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) == 4L && got("a").getDouble(2) == 1.0)
+    assert(got("b").isNullAt(2)) // constant y → zero rank variance
+  }
+
+  test("runsTest: hand runs count and z on a 5-move series") {
+    // x = 1,2,3,2,1,2 → moves +,+,−,−,+ → 3 runs, n1=3, n2=2
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 2.0), (5, 1.0),
+      (6, 2.0)).toDF("i", "x").withColumn("g", lit(1))
+    val r = Indicators.runsTest(df, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L &&
+      r.getLong(3) == 2L && r.getLong(4) == 3L)
+    // μ = 2·3·2/5 + 1 = 3.4, σ² = 12·(12−5)/(25·4) = 0.84
+    val z = (3.0 - 3.4) / math.sqrt(0.84)
+    assert(r.getDouble(5) == q6(z))
+  }
+
+  test("runsTest: zero moves dropped before run counting") {
+    // x = 1,1,2 → the flat move is discarded → 1 up-move, no down → z NULL
+    val df = Seq((1, 1.0), (2, 1.0), (3, 2.0)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val r = Indicators.runsTest(df, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 0L)
+    assert(r.isNullAt(5))
+  }
+
+  test("pettitt: step change located at the break, integer K") {
+    // 1,1,1,10,10,10 → U = (−3,−6,−9,−6,−3), K = 9 at t = 3
+    val df = Seq((1, 1.0), (2, 1.0), (3, 1.0), (4, 10.0), (5, 10.0),
+      (6, 10.0)).toDF("i", "x").withColumn("g", lit(1))
+    val r = Indicators.pettitt(df, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 9L && r.getLong(3) == 3L)
+    val p = 2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0))
+    assert(r.getDouble(4) == q6(p))
+  }
+
+  test("hurst: degenerate scales → NULL; golden vs naive loop") {
+    import org.apache.spark.sql.Row
+    // cumsum of alternating ±1: every m ≥ 2 block mean is 0 → 1 scale
+    val alt = (0 to 8).map(i => (i, if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("i", "x").withColumn("g", lit(1))
+    val a = Indicators.hurst(alt, "x", Seq("g"), Seq(col("i")),
+      ms = Seq(1, 2, 4)).collect().head
+    assert(a.getLong(1) == 1L && a.isNullAt(2))
+    // golden: naive double-loop aggregated-variance H on the same rets
+    val rets = Seq(1.0, 2.0, -1.0, 3.0, 0.0, -2.0, 4.0, 1.0)
+    val xs = rets.scanLeft(0.0)(_ + _)
+    val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
+      .withColumn("g", lit(1))
+    val ms = Seq(1, 2, 4)
+    val pts = ms.flatMap { m =>
+      val means = rets.grouped(m).filter(_.size == m)
+        .map(b => b.sum / m).toSeq
+      if (means.size < 2) None else {
+        val k = means.size
+        val v = (means.map(b => b * b).sum - means.sum * means.sum / k) /
+          (k - 1)
+        if (v > 0) Some((math.log(m.toDouble), math.log(v))) else None
+      }
+    }
+    val k = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val got = Indicators.hurst(df, "x", Seq("g"), Seq(col("i")), ms)
+      .collect().head
+    assert(got.getLong(1) == pts.size.toLong)
+    assert(math.abs(got.getDouble(2) - (1.0 + slope / 2.0)) < 1e-5)
+  }
+
+  test("kalmanLevel: exact replay of the scalar recursion") {
+    val xs = Seq(10.0, 12.0, 11.0, 13.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
+      .withColumn("g", lit(1))
+    val (qv, rv) = (0.01, 1.0)
+    var (level, p) = (xs.head, rv)
+    val exp = xs.head +: xs.tail.map { x =>
+      val ppred = p + qv
+      val k = ppred / (ppred + rv)
+      level = level + k * (x - level)
+      p = (1.0 - k) * ppred
+      level
+    }
+    val got = Indicators.kalmanLevel(df, "x", Seq("g"), "i", qv, rv)
+      .orderBy("i").collect().map(_.getDouble(3))
+    assert(got.toSeq == exp.map(q6))
+    // filter starts at the first observation, gain < 1 thereafter
+    assert(got.head == 10.0 && math.abs(got(1) - 12.0) > 0.9)
+  }
+
+  test("periodogram: pure period-4 cosine concentrates power at p = 4") {
+    val xs = (0 until 8).map(t => (t, math.cos(2.0 * math.Pi * t / 4)))
+    val df = xs.toDF("i", "x").withColumn("g", lit(1))
+    val got = Indicators.periodogram(df, "x", Seq("g"), Seq(col("i")),
+        periods = Seq(2, 4))
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(got(4).getLong(2) == 8L && got(4).getDouble(3) == 2.0)
+    assert(got(2).getDouble(3) == 0.0) // orthogonal frequency → no power
+  }
 }
