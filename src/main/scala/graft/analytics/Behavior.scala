@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics: funnel progression and cohort retention — the
@@ -57,5 +57,100 @@ object Behavior {
     active.join(first, Seq(user))
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_n"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** RFM segmentation over conversion events: per user, recency (days from
+    * last conversion to the data's reference date = the global max event
+    * day), frequency (conversion count), monetary (exact decimal value
+    * sum), each scored 1–5 by QUANTILE BREAKPOINTS rather than a global
+    * ntile — score = 1 + #{q ∈ {.2,.4,.6,.8} : metric beats the q-th
+    * exact interpolated percentile}. Breakpoint scoring keeps the plan
+    * fully parallel (a 1-row quantile aggregate broadcast onto the
+    * user frame — no single-partition global sort the way ntile would)
+    * and is deterministic under ties without inventing a tiebreak. The
+    * composite `segment` is r·100 + f·10 + m, the standard RFM cell. */
+  def rfm(df: DataFrame, user: String, ts: String, etype: String,
+          valueCol: String, label: String): DataFrame = {
+    val conv = df.filter(col(etype) === label && col(valueCol).isNotNull)
+    val ref = conv.agg(max(to_date(col(ts))).as("_ref"))
+    val perUser = conv.groupBy(col(user)).agg(
+      max(to_date(col(ts))).as("_last"),
+      count(lit(1)).as("frequency"),
+      sum(col(valueCol).cast("decimal(28,10)")).cast("double")
+        .as("monetary"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(col("_ref"), col("_last")))
+      .drop("_ref", "_last")
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val brkCols =
+      qs.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(recency_days, $q)").as(s"_r$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(frequency, $q)").as(s"_f$i") } ++
+      qs.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(monetary, $q)").as(s"_m$i") }
+    val brk = perUser.agg(brkCols.head, brkCols.tail: _*)
+    def score(metric: Column, pre: String, lowIsGood: Boolean): Column =
+      qs.indices.map { i =>
+        val p = col(s"_$pre$i")
+        when(if (lowIsGood) metric < p else metric > p, 1).otherwise(0)
+      }.reduce(_ + _) + lit(1)
+    perUser.crossJoin(broadcast(brk))
+      .withColumn("r_score", score(col("recency_days"), "r", lowIsGood = true))
+      .withColumn("f_score", score(col("frequency"), "f", lowIsGood = false))
+      .withColumn("m_score", score(col("monetary"), "m", lowIsGood = false))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col(user), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = b | current = a) estimated from adjacent pairs, with the row
+    * marginal attached. One lead window over the log + one pair aggregate;
+    * the matrix itself is |states|² rows. The from-state marginal rides a
+    * states-sized window, so nothing beyond the event shuffle is wide. */
+  def transitionMatrix(df: DataFrame, user: String, ts: String,
+                       etype: String, tiebreak: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user))
+      .orderBy((col(ts) +: tiebreak): _*)
+    val pairs = df
+      .withColumn("_next", lead(col(etype), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(etype).as("from_state"), col("_next").as("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wFrom = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("n_from", sum(col("n_trans")).over(wFrom))
+      .withColumn("prob",
+        round(col("n_trans").cast("double") / col("n_from"), 6))
+  }
+
+  /** Gini concentration coefficient per group over NON-NEGATIVE weights
+    * (e.g. how concentrated total spend is across users):
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with x ascending, i = 1..n.
+    * Σ i·x is invariant under permutations of tied values, so row_number
+    * needs no tiebreak to be deterministic. Rank products accumulate in
+    * exact DECIMAL; one per-group window + one aggregate. NULL for empty
+    * or zero-mass groups. */
+  def gini(df: DataFrame, value: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+    val ranked = df.filter(col(value).isNotNull)
+      .withColumn("_i", row_number().over(w).cast("long"))
+    val agged = ranked.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_obs"),
+      sum(col(value).cast("decimal(28,10)")).cast("double").as("_s"),
+      sum((col("_i").cast("double") * col(value)).cast("decimal(28,10)"))
+        .cast("double").as("_w"))
+    val n = col("n_obs").cast("double")
+    agged
+      .withColumn("gini",
+        when(col("_s") > 0,
+          round(lit(2.0) * col("_w") / (n * when(col("_s") > 0, col("_s"))) -
+            (n + lit(1.0)) / n, 6)))
+      .drop("_s", "_w")
   }
 }

@@ -406,6 +406,25 @@ object AnalyticsQueries {
         Seq("event_type"), Seq(col("ts"), col("event_id")),
         periods = Seq(4, 6, 12, 24))),
 
+    // ── RFM segmentation: quantile-breakpoint scoring, broadcast fences
+    "q206_rfm" -> ((s, d) =>
+      graft.analytics.Behavior.rfm(Tables.events(s, d), "user_id", "ts",
+        "event_type", "value", label = "purchase")),
+
+    // ── first-order Markov transition matrix over event-type sequences
+    "q207_transitions" -> ((s, d) =>
+      graft.analytics.Behavior.transitionMatrix(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq(col("event_id")))),
+
+    // ── Gini concentration of per-user total value within each event type
+    "q208_gini" -> ((s, d) =>
+      graft.analytics.Behavior.gini(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(28,10)")).cast("double")
+            .as("user_total")),
+        "user_total", Seq("event_type"))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1373,6 +1392,81 @@ object AnalyticsQueries {
         |  THEN round((sc * sc + ss * ss) / CAST(n_obs AS DOUBLE), 6)
         | END AS power
         |FROM f""".stripMargin,
+    "q206_rfm" ->
+      """WITH conv AS (SELECT user_id, CAST(ts AS DATE) AS d, value
+        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |ref AS (SELECT max(d) AS refd FROM conv),
+        |pu AS (SELECT user_id, max(d) AS lastd, count(*) AS frequency,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS monetary
+        | FROM conv GROUP BY 1),
+        |pr AS (SELECT user_id, frequency, monetary,
+        |  date_diff('day', lastd, refd) AS recency_days
+        | FROM pu CROSS JOIN ref),
+        |b AS (SELECT
+        |  quantile_cont(recency_days, 0.2) AS r0,
+        |  quantile_cont(recency_days, 0.4) AS r1,
+        |  quantile_cont(recency_days, 0.6) AS r2,
+        |  quantile_cont(recency_days, 0.8) AS r3,
+        |  quantile_cont(frequency, 0.2) AS f0,
+        |  quantile_cont(frequency, 0.4) AS f1,
+        |  quantile_cont(frequency, 0.6) AS f2,
+        |  quantile_cont(frequency, 0.8) AS f3,
+        |  quantile_cont(monetary, 0.2) AS m0,
+        |  quantile_cont(monetary, 0.4) AS m1,
+        |  quantile_cont(monetary, 0.6) AS m2,
+        |  quantile_cont(monetary, 0.8) AS m3
+        | FROM pr),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary,
+        |  (CASE WHEN recency_days < r0 THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days < r1 THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days < r2 THEN 1 ELSE 0 END
+        |   + CASE WHEN recency_days < r3 THEN 1 ELSE 0 END) + 1 AS r_score,
+        |  (CASE WHEN frequency > f0 THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |   + CASE WHEN frequency > f3 THEN 1 ELSE 0 END) + 1 AS f_score,
+        |  (CASE WHEN monetary > m0 THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |   + CASE WHEN monetary > m3 THEN 1 ELSE 0 END) + 1 AS m_score
+        | FROM pr CROSS JOIN b)
+        |SELECT user_id, recency_days, frequency, monetary,
+        | r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin,
+    "q207_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_state
+        | FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n_trans FROM p
+        | WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n_trans,
+        | CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+        |   AS n_from,
+        | round(CAST(n_trans AS DOUBLE) /
+        |   CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT), 6)
+        |   AS prob
+        |FROM c""".stripMargin,
+    "q208_gini" ->
+      """WITH ut AS (SELECT event_type, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS user_total
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_total,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY user_total)
+        |    AS i
+        | FROM ut),
+        |a AS (SELECT event_type, count(*) AS n_obs,
+        |  CAST(sum(CAST(user_total AS DECIMAL(28,10))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(CAST(i AS DOUBLE) * user_total AS DECIMAL(28,10)))
+        |    AS DOUBLE) AS w
+        | FROM r GROUP BY 1)
+        |SELECT event_type, n_obs,
+        | CASE WHEN s > 0
+        |  THEN round(2.0 * w / (CAST(n_obs AS DOUBLE) * s)
+        |    - (CAST(n_obs AS DOUBLE) + 1.0) / CAST(n_obs AS DOUBLE), 6)
+        | END AS gini
+        |FROM a""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -41,4 +41,61 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq == Seq(("2025-01-01", 0, 2L), ("2025-01-01", 2, 1L),
       ("2025-01-03", 0, 1L)))
   }
+
+  test("rfm: breakpoint scores — best/worst cells, composite segment") {
+    def day(d: Int) = Timestamp.valueOf(f"2025-01-${d}%02d 12:00:00")
+    // five users, strictly increasing frequency/monetary/recency quality:
+    // u5 buys most, most recently, for the most money → 555; u1 → 111
+    val events = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, day(u * 5 + i - 5), "purchase",
+        u * 100.0))
+    } ++ Seq((9L, day(25), "view", 1e9)) // non-purchase noise is ignored
+    val got = Behavior.rfm(events.toDF("user_id", "ts", "event_type",
+        "value"), "user_id", "ts", "event_type", "value", "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(9L))
+    val u5 = got(5L); val u1 = got(1L)
+    assert(u5.getInt(1) == 0 && u5.getLong(2) == 5L &&
+      u5.getDouble(3) == 2500.0)
+    assert(u5.getInt(4) == 5 && u5.getInt(5) == 5 && u5.getInt(6) == 5 &&
+      u5.getInt(7) == 555)
+    assert(u1.getInt(4) == 1 && u1.getInt(5) == 1 && u1.getInt(6) == 1 &&
+      u1.getInt(7) == 111)
+  }
+
+  test("transitionMatrix: adjacent-pair counts and row-normalized probs") {
+    val events = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      (1L, ts(4), 4L, "b"),
+      (2L, ts(1), 5L, "a"), (2L, ts(2), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.transitionMatrix(events, "user_id", "ts",
+        "event_type", Seq(org.apache.spark.sql.functions.col("event_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // from a: a→b twice (u1), a→a once (u2) → probs 2/3 and 1/3
+    assert(got(("a", "b")).getLong(2) == 2L &&
+      got(("a", "b")).getDouble(4) == q6(2.0 / 3.0))
+    assert(got(("a", "a")).getLong(2) == 1L &&
+      got(("a", "a")).getDouble(4) == q6(1.0 / 3.0))
+    // from b: only b→a (u1 middle) → prob 1
+    assert(got(("b", "a")).getLong(2) == 1L &&
+      got(("b", "a")).getDouble(4) == 1.0)
+    assert(!got.contains(("b", "b")))
+  }
+
+  test("gini: perfect equality → 0; total concentration → (n−1)/n") {
+    val eq = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
+      .toDF("k", "x")
+    val g1 = Behavior.gini(eq, "x", Seq("k")).collect().head
+    assert(g1.getLong(1) == 4L && g1.getDouble(2) == 0.0)
+    val conc = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 12.0))
+      .toDF("k", "x")
+    val g2 = Behavior.gini(conc, "x", Seq("k")).collect().head
+    // G = 2·(4·12)/(4·12) − 5/4 = 0.75 = (n−1)/n
+    assert(g2.getDouble(2) == 0.75)
+    val zero = Seq(("g", 0.0)).toDF("k", "x")
+    assert(Behavior.gini(zero, "x", Seq("k")).collect().head.isNullAt(2))
+  }
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 }
