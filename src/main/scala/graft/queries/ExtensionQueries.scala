@@ -166,6 +166,20 @@ object ExtensionQueries {
     "q193_kl" -> ((s, d) =>
       TextOps.klFromCorpus(Tables.documents(s, d), "source", "text")),
 
+    // ── RAKE keyword extraction: top-50 stopword-delimited phrases by
+    //    degree/frequency word scores
+    "q209_rake" -> ((s, d) =>
+      TextOps.rakeKeywords(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── lexical diversity per document: TTR, Guiraud root TTR, Herdan C
+    "q210_lexdiv" -> ((s, d) =>
+      TextOps.lexicalDiversity(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── term burstiness: within-doc repetition + adaptation P(k≥2|k≥1)
+    "q211_burstiness" -> ((s, d) =>
+      TextOps.burstiness(Tables.documents(s, d), "doc_id", "text",
+        minDf = 5L)),
+
     // ── BPE trainer counting step: adjacent char-pair frequencies over the
     //    weighted word vocabulary
     "q99_bpe_pairs" -> ((s, d) =>
@@ -978,6 +992,65 @@ object ExtensionQueries {
          |     / ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)), 6)
          | END AS r2
          |FROM a""".stripMargin,
+    "q209_rake" ->
+      raw"""WITH $normCte,
+         |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |px AS (SELECT doc_id, unnest(w) AS tok,
+         |  unnest(range(1, len(w) + 1)) AS pos FROM tk),
+         |st AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN tok IN ('the','a','of','and','to','in','is','that',
+         |    'it','for') THEN 1 ELSE 0 END AS stop FROM px),
+         |pid AS (SELECT doc_id, pos, tok, stop,
+         |  CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS pid FROM st),
+         |ph AS (SELECT doc_id, pid, list(tok ORDER BY pos) AS words,
+         |  CAST(count(*) AS BIGINT) AS len
+         | FROM pid WHERE stop = 0 GROUP BY 1, 2),
+         |wx AS (SELECT unnest(words) AS wd, len FROM ph),
+         |ws AS (SELECT wd, count(*) AS freq,
+         |  CAST(sum(len) AS BIGINT) AS deg FROM wx GROUP BY 1),
+         |ws2 AS (SELECT wd, CAST(deg AS DOUBLE) / freq AS wscore FROM ws),
+         |pw AS (SELECT doc_id, pid, array_to_string(words, ' ') AS phrase,
+         |  unnest(words) AS wd FROM ph),
+         |sc AS (SELECT doc_id, pid, phrase,
+         |  CAST(sum(CAST(wscore AS DECIMAL(28,10))) AS DOUBLE) AS raw
+         | FROM pw JOIN ws2 USING (wd) GROUP BY 1, 2, 3),
+         |fin AS (SELECT phrase, count(*) AS n_mentions, min(raw) AS r
+         | FROM sc GROUP BY 1)
+         |SELECT phrase, n_mentions, round(r, 6) AS score FROM fin
+         |ORDER BY score DESC, phrase LIMIT 50""".stripMargin,
+    "q210_lexdiv" ->
+      raw"""WITH $normCte,
+         |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_types FROM tk)
+         |SELECT doc_id, n_tokens, n_types,
+         | CASE WHEN n_tokens > 0
+         |   THEN round(CAST(n_types AS DOUBLE) / n_tokens, 6) END AS ttr,
+         | CASE WHEN n_tokens > 0
+         |   THEN round(CAST(n_types AS DOUBLE)
+         |     / sqrt(CAST(n_tokens AS DOUBLE)), 6) END AS guiraud,
+         | CASE WHEN n_tokens > 1 AND n_types > 0
+         |   THEN round(ln(CAST(n_types AS DOUBLE))
+         |     / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan
+         |FROM b""".stripMargin,
+    "q211_burstiness" ->
+      raw"""WITH $normCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest(list_filter(
+         |     regexp_split_to_array(t, '\s+'), x -> length(x) > 0)) AS term
+         |   FROM nrm) GROUP BY 1, 2),
+         |agg AS (SELECT term AS token, count(*) AS doc_freq,
+         |  CAST(sum(tf) AS BIGINT) AS term_freq,
+         |  count(CASE WHEN tf >= 2 THEN 1 END) AS n_multi
+         | FROM tf GROUP BY 1)
+         |SELECT token, doc_freq, term_freq, n_multi,
+         | round(CAST(term_freq AS DOUBLE) / doc_freq, 6) AS burstiness,
+         | round(CAST(n_multi AS DOUBLE) / doc_freq, 6) AS adaptation
+         |FROM agg WHERE doc_freq >= 5""".stripMargin,
     "q192_source_overlap" ->
       raw"""WITH nrm2 AS (SELECT source,
          |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),

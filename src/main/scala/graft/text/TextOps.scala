@@ -429,4 +429,102 @@ object TextOps {
         count(lit(1)).as("n_terms"),
         round(sum(col("_term")).cast("double"), 6).as("kl_nats"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (the gaps-and-islands idiom — one
+    * per-doc position window splits phrases at stopword rows), each word
+    * scores degree/frequency where degree sums the lengths of every phrase
+    * containing it, and a phrase scores the sum of its word scores.
+    * Corpus-level top-k by (score desc, phrase) — a deterministic total
+    * order feeding TakeOrderedAndProject. The word-stats frame is
+    * vocabulary-sized and the phrase frame ∝ corpus/avg-phrase-len, so
+    * beyond the token shuffle nothing is wide; identical phrases score
+    * identically because word scores quantize to DECIMAL before the
+    * phrase sum (order-free accumulation). */
+  def rakeKeywords(df: DataFrame, id: String, text: String,
+                   stops: Seq[String] = Stopwords("en"),
+                   topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(id).as("_doc"), tokens(normalize(col(text))).as("_w"))
+      .select(col("_doc"),
+        posexplode(expr("filter(_w, t -> length(t) > 0)"))
+          .as(Seq("_pos", "_tok")))
+      .withColumn("_stop", col("_tok").isin(stops: _*).cast("int"))
+    val wDoc = Window.partitionBy(col("_doc")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = toks
+      .withColumn("_pid", sum(col("_stop")).over(wDoc))
+      .filter(col("_stop") === 0)
+      .groupBy(col("_doc"), col("_pid"))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_tok"))))
+        .as("_pw"))
+      .withColumn("_words", expr("transform(_pw, p -> p._tok)"))
+      .withColumn("_len", size(col("_words")).cast("long"))
+    val wordScores = phrases
+      .select(explode(col("_words")).as("_wd"), col("_len"))
+      .groupBy(col("_wd"))
+      .agg(count(lit(1)).as("_freq"), sum(col("_len")).as("_deg"))
+      .withColumn("_wscore", col("_deg").cast("double") / col("_freq"))
+    val scored = phrases
+      .select(col("_doc"), col("_pid"),
+        concat_ws(" ", col("_words")).as("phrase"),
+        explode(col("_words")).as("_wd"))
+      .join(wordScores.select("_wd", "_wscore"), Seq("_wd"))
+      .groupBy(col("_doc"), col("_pid"), col("phrase"))
+      .agg(sum(col("_wscore").cast("decimal(28,10)")).cast("double")
+        .as("_raw"))
+    scored.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_mentions"), min(col("_raw")).as("_r"))
+      .withColumn("score", round(col("_r"), 6))
+      .drop("_r")
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Lexical-diversity statistics per document: type-token ratio, Guiraud's
+    * root TTR (types/√tokens — less length-sensitive), and Herdan's C
+    * (ln types / ln tokens). Pure per-row array work over one tokenize —
+    * zero shuffle; the standard corpus-quality screen that catches
+    * keyword-stuffed and boilerplate documents TTR alone misses at
+    * varying lengths. */
+  def lexicalDiversity(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), tokens(normalize(col(text))).as("_w"))
+      .withColumn("_w", expr("filter(_w, t -> length(t) > 0)"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("_w"))).cast("long"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 6)))
+      .withColumn("guiraud",
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") /
+            sqrt(col("n_tokens").cast("double")), 6)))
+      .withColumn("herdan",
+        when(col("n_tokens") > 1 && col("n_types") > 0,
+          round(log(col("n_types").cast("double")) /
+            log(col("n_tokens").cast("double")), 6)))
+      .drop("_w")
+
+  /** Term burstiness (Church & Gale 1995): per term with document
+    * frequency ≥ `minDf`, the mean within-document repetition tf/df and
+    * the adaptation probability P(k ≥ 2 | k ≥ 1) — how much more likely a
+    * second occurrence is once one appears. Bursty terms (names, topics)
+    * adapt strongly; function words don't — the standard signal separating
+    * topical from structural vocabulary when building keep-lists. Two hash
+    * aggregates, shuffle bytes ∝ vocabulary after map-side combine. */
+  def burstiness(df: DataFrame, id: String, text: String,
+                 minDf: Long = 5L): DataFrame =
+    df.select(col(id), explode(tokens(normalize(col(text)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("_tf"))
+      .groupBy(col("token")).agg(
+        count(lit(1)).as("doc_freq"),
+        sum(col("_tf")).cast("long").as("term_freq"),
+        count(when(col("_tf") >= 2, 1)).as("n_multi"))
+      .filter(col("doc_freq") >= minDf)
+      .withColumn("burstiness",
+        round(col("term_freq").cast("double") / col("doc_freq"), 6))
+      .withColumn("adaptation",
+        round(col("n_multi").cast("double") / col("doc_freq"), 6))
 }

@@ -115,4 +115,52 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getDouble(2) == r6(math.log(12.0)), s"icept ${r.getDouble(2)}")
     assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
   }
+
+  test("rakeKeywords: phrases split at stopwords, degree/frequency scores") {
+    // doc: "red apple of red apple" → phrases "red apple" ×2 (split at
+    // "of"). deg(red)=2+2, freq=2 → 2; deg(apple)=4, freq=2 → 2;
+    // phrase score 4. A lone "apple" doc: phrase "apple" scores 2.
+    val docs = Seq((1L, "red apple of red apple"), (2L, "apple"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text",
+        stops = Seq("of"), topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // deg(red)=4 freq=2 → 2.0; deg(apple)=2+2+1=5 freq=3 → 5/3
+    val apple = 5.0 / 3.0
+    assert(got("red apple") == (2L,
+      r6(BigDecimal(2.0).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + BigDecimal(apple)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("apple") == (1L, r6(BigDecimal(apple)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("lexicalDiversity: TTR family on a crafted doc; empty doc NULLs") {
+    val docs = Seq((1L, "a b a b"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d = got(1L)
+    assert(d.getLong(1) == 4L && d.getLong(2) == 2L)
+    assert(d.getDouble(3) == 0.5)                  // ttr
+    assert(d.getDouble(4) == 1.0)                  // 2/√4
+    assert(d.getDouble(5) == 0.5)                  // ln2/ln4
+    val e = got(2L)
+    assert(e.getLong(1) == 0L && e.isNullAt(3) && e.isNullAt(4) &&
+      e.isNullAt(5))
+  }
+
+  test("burstiness: repetition and adaptation separate bursty terms") {
+    // "x x x" in one doc (bursty) vs "y" spread across three docs
+    val docs = Seq((1L, "x x x y"), (2L, "y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.burstiness(docs, "doc_id", "text", minDf = 1L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 1L && x.getLong(2) == 3L && x.getLong(3) == 1L)
+    assert(x.getDouble(4) == 3.0 && x.getDouble(5) == 1.0)
+    val y = got("y")
+    assert(y.getLong(1) == 3L && y.getLong(2) == 3L && y.getLong(3) == 0L)
+    assert(y.getDouble(4) == 1.0 && y.getDouble(5) == 0.0)
+  }
 }
