@@ -1373,4 +1373,111 @@ object Indicators {
             col("n_obs").cast("double"), 6)))
       .drop("_sc", "_ss")
   }
+
+  /** Per-period risk-adjusted performance ratios per series, from 1-step
+    * differences: Sharpe = mean/sd (sample sd), Sortino = mean/downside
+    * deviation (√(Σ min(r,0)²/n) — target 0), Calmar = mean/|max
+    * drawdown| of the level series. Unannualized (pure per-period units —
+    * scaling by √T is the caller's frequency decision). One diff window +
+    * one exact-decimal moment aggregate; the drawdown peak rides the same
+    * sort. NULL where the denominator degenerates. */
+  def riskRatios(df: DataFrame, value: String, keys: Seq[String],
+                 ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wCum = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_ret", col(value) - lag(col(value), 1).over(wBase))
+      .withColumn("_peak", max(col(value)).over(wCum))
+      .withColumn("_dd",
+        when(col("_peak") > 0, col(value) / col("_peak") - lit(1.0)))
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = base.groupBy(keys.map(col): _*).agg(
+      count(col("_ret")).as("n_rets"),
+      dsum(col("_ret")).as("_s"),
+      dsum(col("_ret") * col("_ret")).as("_ss"),
+      dsum(when(col("_ret") < 0, col("_ret") * col("_ret"))
+        .otherwise(lit(0.0))).as("_sd"),
+      min(col("_dd")).as("_mdd"))
+    val n = col("n_rets").cast("double")
+    val mean = col("_s") / when(n > 0, n)
+    val variance = (col("_ss") - col("_s") * col("_s") / when(n > 0, n)) /
+      when(n > 1, n - lit(1.0))
+    val downside = sqrt(col("_sd") / when(n > 0, n))
+    agged
+      .withColumn("mean_ret", when(col("n_rets") > 0, round(mean, 6)))
+      .withColumn("sharpe",
+        when(col("n_rets") > 1 && variance > 0,
+          round(mean / sqrt(variance), 6)))
+      .withColumn("sortino",
+        when(col("n_rets") > 0 && downside > 0, round(mean / downside, 6)))
+      .withColumn("max_drawdown",
+        when(col("_mdd").isNotNull, round(col("_mdd"), 6)))
+      .withColumn("calmar",
+        when(col("_mdd") < 0, round(mean / -col("_mdd"), 6)))
+      .drop("_s", "_ss", "_sd", "_mdd")
+  }
+
+  /** AR(1) mean-reversion fit per series: OLS of xₜ on xₜ₋₁ gives the
+    * autoregressive coefficient φ and, when 0 < φ < 1, the mean-reversion
+    * half-life −ln 2 / ln φ (periods for a shock to decay halfway — the
+    * pairs-trading holding-period heuristic; the speed view of what the
+    * [[engleGranger]] Dickey–Fuller stat tests). Exact-decimal pair
+    * moments over one lag window; every closed form pinned. */
+  def arHalfLife(df: DataFrame, value: String, keys: Seq[String],
+                 ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val pairs = df
+      .withColumn("_xl", lag(col(value), 1).over(wBase))
+      .filter(col(value).isNotNull && col("_xl").isNotNull)
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = pairs.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum(col(value)).as("_sy"), dsum(col("_xl")).as("_sx"),
+      dsum(col("_xl") * col("_xl")).as("_sxx"),
+      dsum(col("_xl") * col(value)).as("_sxy"))
+    val n = col("n_pairs").cast("double")
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    val phi = (n * col("_sxy") - col("_sx") * col("_sy")) /
+      when(den =!= 0.0, den)
+    agged
+      .withColumn("phi", when(den =!= 0.0, round(phi, 6)))
+      .withColumn("half_life",
+        when(den =!= 0.0 && phi > 0 && phi < 1,
+          round(-log(lit(2.0)) / log(phi), 6)))
+      .drop("_sy", "_sx", "_sxx", "_sxy")
+  }
+
+  /** Permutation entropy of order 3 (Bandt & Pompe 2002) per series: the
+    * Shannon entropy of the distribution over the 6 ordinal patterns of
+    * consecutive value triples, normalized by ln 6 — a model-free
+    * complexity score (≈1 for noise, →0 for regular dynamics). Ties break
+    * by temporal precedence (≤ on the earlier element), the standard
+    * convention, making the pattern id an exact integer in both engines.
+    * One lead window + a 6-row-per-key aggregate; entropy terms quantize
+    * to DECIMAL before the final sum. */
+  def permutationEntropy(df: DataFrame, value: String, keys: Seq[String],
+                         ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wKey  = Window.partitionBy(keys.map(col): _*)
+    val trip = df.filter(col(value).isNotNull)
+      .withColumn("_x1", lead(col(value), 1).over(wBase))
+      .withColumn("_x2", lead(col(value), 2).over(wBase))
+      .filter(col("_x1").isNotNull && col("_x2").isNotNull)
+    val a = col(value); val b = col("_x1"); val c = col("_x2")
+    // pattern = 4·[a≤b] + 2·[a≤c] + 1·[b≤c]; 0b011/0b100 are infeasible
+    val pattern = (when(a <= b, 4).otherwise(0) +
+      when(a <= c, 2).otherwise(0) + when(b <= c, 1).otherwise(0))
+    val counts = trip.withColumn("_pat", pattern)
+      .groupBy((keys.map(col) :+ col("_pat")): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum(col("_c")).over(wKey))
+    val p = col("_c").cast("double") / col("_n")
+    counts
+      .withColumn("_term", (-p * log(p)).cast("decimal(28,12)"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).cast("long").as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        round(sum(col("_term")).cast("double") / log(lit(6.0)), 6)
+          .as("perm_entropy"))
+  }
 }

@@ -425,6 +425,21 @@ object AnalyticsQueries {
             .as("user_total")),
         "user_total", Seq("event_type"))),
 
+    // ── risk-adjusted performance ratios: Sharpe / Sortino / Calmar
+    "q212_risk_ratios" -> ((s, d) =>
+      graft.analytics.Indicators.riskRatios(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── AR(1) fit + mean-reversion half-life per series
+    "q213_ar_halflife" -> ((s, d) =>
+      graft.analytics.Indicators.arHalfLife(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── order-3 permutation entropy (Bandt–Pompe complexity) per series
+    "q214_perm_entropy" -> ((s, d) =>
+      graft.analytics.Indicators.permutationEntropy(Tables.events(s, d),
+        "value", Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1467,6 +1482,75 @@ object AnalyticsQueries {
         |    - (CAST(n_obs AS DOUBLE) + 1.0) / CAST(n_obs AS DOUBLE), 6)
         | END AS gini
         |FROM a""".stripMargin,
+    "q212_risk_ratios" ->
+      """WITH b AS (SELECT user_id, value,
+        |  value - lag(value, 1) OVER w AS ret,
+        |  max(value) OVER wc AS peak
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, ret,
+        |  CASE WHEN peak > 0 THEN value / peak - 1.0 END AS dd FROM b),
+        |a AS (SELECT user_id, count(ret) AS n_rets,
+        |  CAST(sum(CAST(ret AS DECIMAL(28,10))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(ret * ret AS DECIMAL(28,10))) AS DOUBLE) AS ss,
+        |  CAST(sum(CAST(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END
+        |    AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+        |  min(dd) AS mdd
+        | FROM m GROUP BY 1),
+        |v AS (SELECT user_id, n_rets, s, ss, sd, mdd,
+        |  CAST(n_rets AS DOUBLE) AS n FROM a)
+        |SELECT user_id, n_rets,
+        | CASE WHEN n_rets > 0 THEN round(s / n, 6) END AS mean_ret,
+        | CASE WHEN n_rets > 1 AND (ss - s * s / n) / (n - 1.0) > 0
+        |   THEN round(s / n / sqrt((ss - s * s / n) / (n - 1.0)), 6)
+        | END AS sharpe,
+        | CASE WHEN n_rets > 0 AND sqrt(sd / n) > 0
+        |   THEN round(s / n / sqrt(sd / n), 6) END AS sortino,
+        | CASE WHEN mdd IS NOT NULL THEN round(mdd, 6) END AS max_drawdown,
+        | CASE WHEN mdd < 0 THEN round(s / n / (-mdd), 6) END AS calmar
+        |FROM v""".stripMargin,
+    "q213_ar_halflife" ->
+      """WITH p AS (SELECT user_id, value AS y,
+        |  lag(value, 1) OVER w AS xl FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(xl AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(xl * xl AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(xl * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM p WHERE y IS NOT NULL AND xl IS NOT NULL GROUP BY 1),
+        |v AS (SELECT user_id, n_pairs,
+        |  CAST(n_pairs AS DOUBLE) * sxx - sx * sx AS den,
+        |  (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) AS phi
+        | FROM a)
+        |SELECT user_id, n_pairs,
+        | CASE WHEN den != 0.0 THEN round(phi, 6) END AS phi,
+        | CASE WHEN den != 0.0 AND phi > 0 AND phi < 1
+        |   THEN round(-ln(2.0) / ln(phi), 6) END AS half_life
+        |FROM v""".stripMargin,
+    "q214_perm_entropy" ->
+      """WITH t AS (SELECT user_id, value AS a,
+        |  lead(value, 1) OVER w AS b, lead(value, 2) OVER w AS c
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT user_id,
+        |  CASE WHEN a <= b THEN 4 ELSE 0 END
+        |   + CASE WHEN a <= c THEN 2 ELSE 0 END
+        |   + CASE WHEN b <= c THEN 1 ELSE 0 END AS pat
+        | FROM t WHERE b IS NOT NULL AND c IS NOT NULL),
+        |g AS (SELECT user_id, pat, count(*) AS cg FROM f GROUP BY 1, 2),
+        |h AS (SELECT user_id, pat, cg,
+        |  CAST(sum(cg) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM g),
+        |e AS (SELECT user_id, n,
+        |  CAST(-(CAST(cg AS DOUBLE) / n) * ln(CAST(cg AS DOUBLE) / n)
+        |    AS DECIMAL(28,12)) AS term
+        | FROM h)
+        |SELECT user_id, max(n) AS n_triples, count(*) AS n_patterns,
+        | round(CAST(sum(term) AS DOUBLE) / ln(6.0), 6) AS perm_entropy
+        |FROM e GROUP BY 1""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -1166,6 +1166,56 @@ class IndicatorsSpec extends SparkSpec {
     assert(got.head == 10.0 && math.abs(got(1) - 12.0) > 0.9)
   }
 
+  test("riskRatios: hand Sharpe/Sortino/Calmar on a short path") {
+    // x = 10, 12, 9, 12 → rets +2, −3, +3; peak path 10,12,12,12
+    val df = Seq((1, 10.0), (2, 12.0), (3, 9.0), (4, 12.0))
+      .toDF("i", "x").withColumn("g", lit(1))
+    val r = Indicators.riskRatios(df, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 3L)
+    val mean = 2.0 / 3
+    assert(r.getDouble(2) == q6(mean))
+    // var = (22 − 4/3)/2; downside = √(9/3) = √3; mdd = 9/12 − 1 = −0.25
+    val variance = (22.0 - 2.0 / 3 * 2.0) / 2 // (Σr² − (Σr)²/n)/(n−1)
+    assert(r.getDouble(3) == q6(mean / math.sqrt(variance)))
+    assert(r.getDouble(4) == q6(mean / math.sqrt(3.0)))
+    assert(r.getDouble(5) == -0.25)
+    assert(r.getDouble(6) == q6(mean / 0.25))
+  }
+
+  test("arHalfLife: exact AR(1) path recovers phi and half-life") {
+    // xₜ = 0.5·xₜ₋₁ exactly → phi 0.5, half-life 1
+    val xs = Iterator.iterate(64.0)(_ * 0.5).take(8).toSeq
+    val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
+      .withColumn("g", lit(1))
+    val r = Indicators.arHalfLife(df, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 7L && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 1.0)
+    // a pure random-walk-ish trend: phi ≥ 1 → half-life NULL
+    val trend = (0 to 7).map(i => (i, i.toDouble)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val t = Indicators.arHalfLife(trend, "x", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(t.isNullAt(3))
+  }
+
+  test("permutationEntropy: monotone series → 0; all-six-patterns > 0") {
+    val mono = (0 to 9).map(i => (i, i.toDouble)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val m = Indicators.permutationEntropy(mono, "x", Seq("g"),
+      Seq(col("i"))).collect().head
+    assert(m.getLong(1) == 8L && m.getLong(2) == 1L &&
+      m.getDouble(3) == 0.0)
+    // uniform over two patterns → H = ln2/ln6
+    val zig = Seq(0.0, 1.0, 0.0, 1.0, 0.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("i", "x").withColumn("g", lit(1))
+    val z = Indicators.permutationEntropy(zig, "x", Seq("g"),
+      Seq(col("i"))).collect().head
+    assert(z.getLong(2) == 2L)
+    assert(z.getDouble(3) == q6(math.log(2.0) / math.log(6.0)))
+  }
+
   test("periodogram: pure period-4 cosine concentrates power at p = 4") {
     val xs = (0 until 8).map(t => (t, math.cos(2.0 * math.Pi * t / 4)))
     val df = xs.toDF("i", "x").withColumn("g", lit(1))
