@@ -376,6 +376,17 @@ object ExtensionQueries {
           expr("CAST(size(filter(codes, c -> abs(c) = 127)) AS BIGINT)").as("n_sat"),
           expr("CAST(aggregate(codes, 0L, (a, c) -> a + abs(c)) AS BIGINT)").as("l1"))),
 
+    // ── JL sign random projection to 16 dims (long format, seedless ±1
+    //    matrix regenerated from the hyperplanes closed form)
+    "q215_jl_project" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 16)),
+
+    // ── simplified (centroid-based) silhouette per cluster label
+    "q216_silhouette" -> ((s, d) =>
+      Similarity.silhouette(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", dim = 64)),
+
     // ── benchmark decontamination: train docs (doc_id%10 != 7) whose word
     //    3-grams overlap the eval set (doc_id%10 = 7); eval n-gram set is
     //    broadcast — no corpus-side pair join exists in the plan
@@ -1513,6 +1524,44 @@ object ExtensionQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, source, ws_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 800""".stripMargin,
+    "q215_jl_project" -> {
+      val legs = Similarity.hyperplanes(16, 64).zipWithIndex.map {
+        case (p, j) =>
+          s"SELECT vec_id, $j AS dim, " +
+            s"round((${Similarity.planeDotSql("v", p)}) " +
+            "/ sqrt(CAST(16 AS DOUBLE)), 6) AS value FROM e"
+      }.mkString("\nUNION ALL ")
+      "WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)\n" + legs
+    },
+    "q216_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |lx AS (SELECT label, unnest(v) AS x,
+        |  unnest(range(1, len(v) + 1)) AS d FROM e),
+        |c AS (SELECT label, d,
+        |  CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+        | FROM lx GROUP BY 1, 2),
+        |ca AS (SELECT label AS clbl, list(cv ORDER BY d) AS carr
+        | FROM c GROUP BY 1),
+        |dd AS (SELECT e.vec_id, e.label, ca.clbl,
+        |  sqrt(list_reduce(list_transform(range(1, 64 + 1),
+        |    i -> (v[i] - carr[i]) * (v[i] - carr[i])),
+        |    (a, b) -> a + b)) AS dist
+        | FROM e CROSS JOIN ca),
+        |pv AS (SELECT vec_id, label,
+        |  min(CASE WHEN clbl = label THEN dist END) AS a,
+        |  min(CASE WHEN clbl != label THEN dist END) AS b
+        | FROM dd GROUP BY 1, 2),
+        |sv AS (SELECT label,
+        |  CASE WHEN greatest(a, b) > 0
+        |    THEN (b - a) / greatest(a, b) END AS s
+        | FROM pv)
+        |SELECT label, count(*) AS n_vecs,
+        | round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(s), 6)
+        |   AS mean_silhouette
+        |FROM sv GROUP BY 1""".stripMargin,
     "q81_quantize_int8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -596,4 +596,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
   }
+
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas 2003): each
+    * output coordinate j is v·plane_j/√k over the SAME deterministic ±1
+    * [[hyperplanes]] the LSH family uses, so any engine regenerates the
+    * matrix from the closed form — no seed state to ship. The signed sums
+    * are fixed left-to-right chains (bit-identical accumulation order in
+    * both engines). Long-format output (id, dim, value) — k·n rows — keeps
+    * the result hash-comparable and feeds the ANN stack directly as a
+    * cheaper distance proxy. Per-row compute is O(dim·k), zero shuffle. */
+  def jlProject(df: DataFrame, id: String, emb: String, dim: Int,
+                k: Int = 16): DataFrame = {
+    require(k >= 1 && dim >= 1, s"need k ≥ 1 and dim ≥ 1, got k=$k dim=$dim")
+    val planes = hyperplanes(k, dim)
+    val pairs = planes.zipWithIndex.map { case (p, j) =>
+      s"named_struct('dim', $j, 'value', " +
+        s"(${planeDot("v", p)}) / sqrt(cast($k as double)))"
+    }.mkString("array(", ", ", ")")
+    df.select(col(id), asDouble(emb).as("v"))
+      .select(col(id), explode(expr(pairs)).as("_p"))
+      .select(col(id), col("_p.dim").as("dim"),
+        round(col("_p.value"), 6).as("value"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster label: a = distance
+    * to the own-label centroid, b = the nearest other centroid, s =
+    * (b − a)/max(a, b) — the O(n·|labels|) clustering-quality score that
+    * replaces the O(n²) pairwise silhouette at corpus scale (the standard
+    * large-N approximation). Centroids come from exact-decimal per-dimension
+    * means; the centroid frame is |labels|-sized and broadcast, so the plan
+    * is one posexplode aggregate + one broadcast nested-loop + one
+    * label-sized aggregate. Distance folds run in a fixed ascending
+    * dimension order in both engines. */
+  def silhouette(df: DataFrame, id: String, emb: String, label: String,
+                 dim: Int): DataFrame = {
+    val base = df.select(col(id), col(label).as("_lbl"), asDouble(emb).as("v"))
+    val long = base
+      .select(col("_lbl"), posexplode(col("v")).as(Seq("_d", "_x")))
+    val cents = long.groupBy(col("_lbl"), col("_d"))
+      .agg((sum(col("_x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("_c"))
+      .groupBy(col("_lbl"))
+      .agg(array_sort(collect_list(struct(col("_d"), col("_c")))).as("_cs"))
+      .withColumn("carr", expr("transform(_cs, p -> p._c)"))
+      .select(col("_lbl").as("_clbl"), col("carr"))
+    val dists = base.crossJoin(broadcast(cents))
+      .withColumn("_dist", sqrt(expr(
+        s"aggregate(sequence(1, $dim), cast(0 as double), (acc, i) -> " +
+          "acc + (element_at(v, i) - element_at(carr, i)) * " +
+          "(element_at(v, i) - element_at(carr, i)))")))
+    val perVec = dists.groupBy(col(id), col("_lbl"))
+      .agg(min(when(col("_clbl") === col("_lbl"), col("_dist"))).as("_a"),
+        min(when(col("_clbl") =!= col("_lbl"), col("_dist"))).as("_b"))
+      .withColumn("_s",
+        when(greatest(col("_a"), col("_b")) > 0,
+          (col("_b") - col("_a")) / greatest(col("_a"), col("_b"))))
+    perVec.groupBy(col("_lbl").as(label))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("_s").cast("decimal(28,12)")).cast("double") /
+          count(col("_s")), 6).as("mean_silhouette"))
+  }
 }

@@ -212,4 +212,57 @@ class AnnSpec extends SparkSpec {
     assert(joined.filter(col("keep") === 1 && col("has_witness") === 1).count() == 0)
     assert(joined.filter(col("keep") === 0 && col("has_witness").isNull).count() == 0)
   }
+
+  test("jlProject: exact hand projection at k=1; JL norm concentration " +
+    "at k=16") {
+    import spark.implicits._
+    // k=1: plane_0 signs from the closed form ((0·131 + d·37) % 7) % 2
+    val signs = Similarity.hyperplanes(1, 4).head
+    val df = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(df, "vec_id", "embedding", dim = 4, k = 1)
+      .collect().head.getDouble(2)
+    val exp = signs.zip(Seq(1.0, 2.0, 3.0, 4.0)).map { case (s, x) => s * x }
+      .sum / math.sqrt(1.0)
+    assert(got == math.floor(exp * 1e6 + 0.5) / 1e6)
+    // JL property: projected squared norms concentrate near the originals
+    val e01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val proj = Similarity.jlProject(e01, "vec_id", "embedding",
+      dim = 64, k = 16)
+    val ratios = proj.groupBy("vec_id")
+      .agg(sum(col("value") * col("value")).as("pn"))
+      .join(e01.select(col("vec_id"),
+        expr("aggregate(embedding, cast(0 as double), " +
+          "(a, x) -> a + cast(x as double) * cast(x as double))").as("on")),
+        Seq("vec_id"))
+      .select((col("pn") / col("on")).as("r"))
+      .agg(avg(col("r")), min(col("r")), max(col("r"))).head()
+    assert(math.abs(ratios.getDouble(0) - 1.0) < 0.15,
+      s"mean ratio ${ratios.getDouble(0)}")
+    // per-vector tails are chi²₁₆-wide — only the mean concentrates hard
+    assert(ratios.getDouble(1) > 0.01 && ratios.getDouble(2) < 10.0,
+      s"ratio range [${ratios.getDouble(1)}, ${ratios.getDouble(2)}]")
+  }
+
+  test("silhouette: separated clusters score near 1, one mixed blob near 0") {
+    import spark.implicits._
+    // two tight, well-separated 2-D clusters
+    val sep = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(0.1f, 0.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 1), (3L, Seq(10.1f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val s1 = Similarity.silhouette(sep, "vec_id", "embedding", "label",
+        dim = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(s1(0) > 0.9 && s1(1) > 0.9)
+    // identical distributions under two labels → silhouette ≈ 0 or worse
+    val mixed = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 1),
+      (2L, Seq(0.0f, 1.0f), 0), (3L, Seq(1.0f, 1.0f), 1),
+      (4L, Seq(0.5f, 0.5f), 0), (5L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val s2 = Similarity.silhouette(mixed, "vec_id", "embedding", "label",
+        dim = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(s2(0) < 0.5 && s2(1) < 0.5)
+  }
 }
