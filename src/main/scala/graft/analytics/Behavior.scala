@@ -135,6 +135,44 @@ object Behavior {
     * needs no tiebreak to be deterministic. Rank products accumulate in
     * exact DECIMAL; one per-group window + one aggregate. NULL for empty
     * or zero-mass groups. */
+  /** Market-basket association rules over per-user item sets: for every
+    * ordered item pair (a < b lexicographically), support n_ab/n_users,
+    * both directional confidences, and lift = n_ab·n_users/(n_a·n_b) — the
+    * classic cross-activity affinity screen. The self-join runs on the
+    * DISTINCT (user, item) frame, so pair volume is Σ_u |basket_u|²,
+    * bounded by the item domain, not the event log; item marginals and the
+    * user total ride broadcast. `minPairUsers` prunes the noise tail the
+    * way a-priori support thresholds do. */
+  def basketLift(df: DataFrame, user: String, item: String,
+                 minPairUsers: Long = 1L): DataFrame = {
+    val baskets = df.select(col(user).as("_u"), col(item).as("_i")).distinct()
+    val totals = baskets.agg(countDistinct(col("_u")).as("n_users"))
+    val items = baskets.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
+    val pairs = baskets.as("a")
+      .join(baskets.withColumnRenamed("_i", "_j").as("b"), Seq("_u"))
+      .filter(col("_i") < col("_j"))
+      .groupBy(col("_i").as("item_a"), col("_j").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairUsers)
+    pairs
+      .join(broadcast(items.select(col("_i").as("item_a"),
+        col("_n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(items.select(col("_i").as("item_b"),
+        col("_n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("support",
+        round(col("n_ab").cast("double") / col("n_users"), 6))
+      .withColumn("conf_a_b",
+        round(col("n_ab").cast("double") / col("n_a"), 6))
+      .withColumn("conf_b_a",
+        round(col("n_ab").cast("double") / col("n_b"), 6))
+      .withColumn("lift",
+        round((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6))
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_users",
+        "support", "conf_a_b", "conf_b_a", "lift")
+  }
+
   def gini(df: DataFrame, value: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))

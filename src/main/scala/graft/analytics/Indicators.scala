@@ -1447,6 +1447,51 @@ object Indicators {
       .drop("_sy", "_sx", "_sxx", "_sxy")
   }
 
+  /** KPSS level-stationarity statistic per series (Kwiatkowski et al.
+    * 1992) — the null-reversed complement to the [[engleGranger]]
+    * Dickey–Fuller stat: with eₜ the demeaned series and Sₜ its partial
+    * sums, η = Σ Sₜ²/n² over the Newey–West long-run variance s²(l) = γ₀ +
+    * 2·Σⱼ (1 − j/(l+1))·γⱼ with Bartlett weights and γⱼ = Σ eₜeₜ₋ⱼ/n.
+    * Large values reject stationarity. One key window (mean), one ordered
+    * cumsum window sharing the lag fan-out's sort, one aggregate of exact
+    * decimal moments; the Bartlett combination evaluates j-ascending in a
+    * pinned order. NULL when the long-run variance degenerates. */
+  def kpss(df: DataFrame, value: String, keys: Seq[String],
+           ord: Seq[Column], lags: Int = 4): DataFrame = {
+    require(lags >= 0, s"lags must be ≥ 0, got $lags")
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_mean",
+        sum(col(value).cast(Dec)).over(wKey).cast("double") /
+          count(lit(1)).over(wKey))
+      .withColumn("_e", col(value) - col("_mean"))
+      .withColumn("_s", sum((col(value) - col("_mean")).cast(Dec))
+        .over(wCum).cast("double"))
+    val lagged = (1 to lags).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"_el$j", lag(col("_e"), j).over(wOrd))
+    }
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val aggCols = Seq(
+      count(lit(1)).as("n_obs"),
+      dsum(col("_s") * col("_s")).as("_ss2"),
+      dsum(col("_e") * col("_e")).as("_g0")) ++
+      (1 to lags).map(j => dsum(col("_e") * col(s"_el$j")).as(s"_g$j"))
+    val agged = lagged.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val n = col("n_obs").cast("double")
+    val eta = col("_ss2") / (n * n)
+    val lrv = (0 to lags).map { j =>
+      if (j == 0) col("_g0") / n
+      else lit(2.0) * (lit(1.0) -
+        lit(j.toDouble) / lit((lags + 1).toDouble)) * (col(s"_g$j") / n)
+    }.reduce(_ + _)
+    agged
+      .withColumn("kpss_stat", when(lrv > 0, round(eta / lrv, 6)))
+      .select(keys.map(col) :+ col("n_obs") :+ col("kpss_stat"): _*)
+  }
+
   /** Permutation entropy of order 3 (Bandt & Pompe 2002) per series: the
     * Shannon entropy of the distribution over the 6 ordinal patterns of
     * consecutive value triples, normalized by ln 6 — a model-free

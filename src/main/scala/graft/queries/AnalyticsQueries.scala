@@ -440,6 +440,16 @@ object AnalyticsQueries {
       graft.analytics.Indicators.permutationEntropy(Tables.events(s, d),
         "value", Seq("user_id"), Seq(col("ts"), col("event_id")))),
 
+    // ── market-basket association rules over per-user event-type sets
+    "q218_basket_lift" -> ((s, d) =>
+      graft.analytics.Behavior.basketLift(Tables.events(s, d), "user_id",
+        "event_type")),
+
+    // ── KPSS level-stationarity statistic (Bartlett lags = 4) per series
+    "q219_kpss" -> ((s, d) =>
+      graft.analytics.Indicators.kpss(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")), lags = 4)),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1551,6 +1561,57 @@ object AnalyticsQueries {
         |SELECT user_id, max(n) AS n_triples, count(*) AS n_patterns,
         | round(CAST(sum(term) AS DOUBLE) / ln(6.0), 6) AS perm_entropy
         |FROM e GROUP BY 1""".stripMargin,
+    "q218_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+        | FROM events),
+        |t AS (SELECT count(DISTINCT u) AS n_users FROM b),
+        |it AS (SELECT i, count(*) AS n FROM b GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        | FROM b a JOIN b c ON a.u = c.u AND a.i < c.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b, t.n_users,
+        | round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+        | round(CAST(n_ab AS DOUBLE) / ia.n, 6) AS conf_a_b,
+        | round(CAST(n_ab AS DOUBLE) / ib.n, 6) AS conf_b_a,
+        | round(CAST(n_ab * n_users AS DOUBLE) /
+        |   CAST(ia.n * ib.n AS DOUBLE), 6) AS lift
+        |FROM p JOIN it ia ON ia.i = item_a JOIN it ib ON ib.i = item_b
+        |CROSS JOIN t WHERE n_ab >= 1""".stripMargin,
+    "q219_kpss" ->
+      """WITH m AS (SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+        |  count(*) AS cn FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |e AS (SELECT ev.user_id, ev.ts, ev.event_id,
+        |  ev.value - m.sv / m.cn AS e
+        | FROM events ev JOIN m USING (user_id) WHERE ev.value IS NOT NULL),
+        |s AS (SELECT user_id, ts, event_id, e,
+        |  CAST(sum(CAST(e AS DECIMAL(28,10))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sc
+        | FROM e),
+        |l AS (SELECT user_id, e, sc,
+        |  lag(e, 1) OVER w AS el1, lag(e, 2) OVER w AS el2,
+        |  lag(e, 3) OVER w AS el3, lag(e, 4) OVER w AS el4
+        | FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, count(*) AS n_obs,
+        |  CAST(sum(CAST(sc * sc AS DECIMAL(28,10))) AS DOUBLE) AS ss2,
+        |  CAST(sum(CAST(e * e AS DECIMAL(28,10))) AS DOUBLE) AS g0,
+        |  CAST(sum(CAST(e * el1 AS DECIMAL(28,10))) AS DOUBLE) AS g1,
+        |  CAST(sum(CAST(e * el2 AS DECIMAL(28,10))) AS DOUBLE) AS g2,
+        |  CAST(sum(CAST(e * el3 AS DECIMAL(28,10))) AS DOUBLE) AS g3,
+        |  CAST(sum(CAST(e * el4 AS DECIMAL(28,10))) AS DOUBLE) AS g4
+        | FROM l GROUP BY 1),
+        |v AS (SELECT user_id, n_obs, CAST(n_obs AS DOUBLE) AS n,
+        |  ss2, g0, g1, g2, g3, g4 FROM a),
+        |f AS (SELECT user_id, n_obs, ss2 / (n * n) AS eta,
+        |  g0 / n + 2.0 * (1.0 - 1.0 / 5.0) * (g1 / n)
+        |       + 2.0 * (1.0 - 2.0 / 5.0) * (g2 / n)
+        |       + 2.0 * (1.0 - 3.0 / 5.0) * (g3 / n)
+        |       + 2.0 * (1.0 - 4.0 / 5.0) * (g4 / n) AS lrv
+        | FROM v)
+        |SELECT user_id, n_obs,
+        | CASE WHEN lrv > 0 THEN round(eta / lrv, 6) END AS kpss_stat
+        |FROM f""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -20,6 +20,11 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ── one-scan table profiler: long-format per-column null/distinct/
+    //    numeric stats (the per-ingest data-quality summary)
+    "q217_profile" -> ((s, d) =>
+      graft.ops.Relational.profile(Tables.lineitem(s, d))),
+
     // ── A1/A7: grouped aggregation battery (TPC-H Q1 shape; reference
     //    preprocess dedup + dashboard stats, SURVEY §2.4)
     "q01_agg" -> ((s, d) => {
@@ -211,7 +216,34 @@ object RelationalQueries {
   private val lagSelect = (1 to 24).map(i =>
     s"lag(value, $i) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag$i").mkString(", ")
 
+  private val ProfileSql: String = {
+    val numeric = Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double")
+    // l_shipdate's parquet TIMESTAMP is isAdjustedToUTC=false → Spark
+    // reads TIMESTAMP_NTZ; the dtype literal mirrors that rendering
+    val other = Seq("l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz")
+    val numLegs = numeric.map { case (c, t) =>
+      s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows, """ +
+        s"count(*) - count($c) AS n_null, " +
+        s"count(DISTINCT $c) AS n_distinct, " +
+        s"round(CAST(min($c) AS DOUBLE), 6) AS min_val, " +
+        s"round(CAST(max($c) AS DOUBLE), 6) AS max_val, " +
+        s"round(CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) " +
+        s"/ count($c), 6) AS mean_val FROM lineitem"
+    }
+    val othLegs = other.map { case (c, t) =>
+      s"""SELECT '$c', '$t', count(*), count(*) - count($c), """ +
+        s"count(DISTINCT $c), CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem"
+    }
+    (numLegs ++ othLegs).mkString("\nUNION ALL ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q217_profile" -> ProfileSql,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

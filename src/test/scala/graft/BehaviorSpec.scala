@@ -83,6 +83,22 @@ class BehaviorSpec extends SparkSpec {
     assert(!got.contains(("b", "b")))
   }
 
+  test("basketLift: hand support/confidence/lift on four baskets") {
+    // baskets: {a,b}, {a,b}, {a}, {c} → n_users 4, n_a 3, n_b 2, n_ab 2
+    val events = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "c")).toDF("user_id", "event_type")
+    val got = Behavior.basketLift(events, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 1) // only (a, b) co-occurs
+    val ab = got(("a", "b"))
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L &&
+      ab.getLong(4) == 2L && ab.getLong(5) == 4L)
+    assert(ab.getDouble(6) == 0.5)             // support 2/4
+    assert(ab.getDouble(7) == q6(2.0 / 3.0))   // conf a→b
+    assert(ab.getDouble(8) == 1.0)             // conf b→a
+    assert(ab.getDouble(9) == q6(8.0 / 6.0))   // lift 2·4/(3·2)
+  }
+
   test("gini: perfect equality → 0; total concentration → (n−1)/n") {
     val eq = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
       .toDF("k", "x")

@@ -1200,6 +1200,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("kpss: hand statistic at lags=1; trend scores above noise") {
+    // x = 1,3,2,4: e = (−1.5,.5,−.5,1.5), S = (−1.5,−1,−1.5,0)
+    // η = 5.5/16, γ0 = 1.25, γ1 = −0.4375, lrv = 0.8125
+    val df = Seq((1, 1.0), (2, 3.0), (3, 2.0), (4, 4.0)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val r = Indicators.kpss(df, "x", Seq("g"), Seq(col("i")), lags = 1)
+      .collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == q6(0.34375 / 0.8125))
+    // a strong trend accumulates partial sums → larger KPSS than a zigzag
+    val n = 16
+    val trend = (1 to n).map(i => (i, i.toDouble)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val zig = (1 to n).map(i => (i, (i % 2).toDouble)).toDF("i", "x")
+      .withColumn("g", lit(1))
+    val kt = Indicators.kpss(trend, "x", Seq("g"), Seq(col("i")))
+      .collect().head.getDouble(2)
+    val kz = Indicators.kpss(zig, "x", Seq("g"), Seq(col("i")))
+      .collect().head.getDouble(2)
+    assert(kt > kz, s"trend $kt should exceed zigzag $kz")
+  }
+
   test("permutationEntropy: monotone series → 0; all-six-patterns > 0") {
     val mono = (0 to 9).map(i => (i, i.toDouble)).toDF("i", "x")
       .withColumn("g", lit(1))

@@ -320,4 +320,23 @@ class OpsSpec extends SparkSpec {
     assert(h((1L, 3000L)) == (None, 1))
     assert(h((2L, 1500L)) == (None, 1))
   }
+
+  test("profile: one row per column, nulls/distinct/numeric stats") {
+    val df = Seq((1L, Some(2.0), "a"), (2L, None, "b"), (3L, Some(6.0), "a"))
+      .toDF("id", "x", "s")
+    val got = graft.ops.Relational.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    val id = got("id")
+    assert(id.getString(1) == "bigint" && id.getLong(2) == 3L &&
+      id.getLong(3) == 0L && id.getLong(4) == 3L)
+    assert(id.getDouble(5) == 1.0 && id.getDouble(6) == 3.0 &&
+      id.getDouble(7) == 2.0)
+    val x = got("x")
+    assert(x.getLong(3) == 1L && x.getLong(4) == 2L &&
+      x.getDouble(7) == 4.0) // mean over non-null {2, 6}
+    val s = got("s")
+    assert(s.getString(1) == "string" && s.getLong(4) == 2L &&
+      s.isNullAt(5) && s.isNullAt(6) && s.isNullAt(7))
+  }
 }
