@@ -135,6 +135,30 @@ object Behavior {
     * needs no tiebreak to be deterministic. Rank products accumulate in
     * exact DECIMAL; one per-group window + one aggregate. NULL for empty
     * or zero-mass groups. */
+  /** Time-to-convert distribution per funnel transition: for users who
+    * completed step i+1, the seconds from their step-i time — count, mean,
+    * median, and p90 (exact interpolated percentiles; swap approx at true
+    * scale). Composes [[funnel]] (user-sized frame), so the only work past
+    * the funnel itself is |steps|−1 small aggregates over converted users.
+    * Long-format output, one row per transition. */
+  def funnelTiming(df: DataFrame, user: String, ts: String, etype: String,
+                   steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two steps for timing")
+    val f = funnel(df, user, ts, etype, steps)
+    val transitions = steps.indices.dropRight(1).map { i =>
+      val (t1, t2) = (s"t${i + 1}", s"t${i + 2}")
+      f.filter(col(t2).isNotNull)
+        .select(lit(s"${steps(i)}->${steps(i + 1)}").as("transition"),
+          (col(t2).cast("long") - col(t1).cast("long")).as("dt"))
+    }.reduce(_ union _)
+    transitions.groupBy("transition").agg(
+      count(lit(1)).as("n_converted"),
+      round(sum(col("dt")).cast("double") / count(lit(1)), 6)
+        .as("mean_seconds"),
+      round(expr("percentile(dt, 0.5)"), 6).as("median_seconds"),
+      round(expr("percentile(dt, 0.9)"), 6).as("p90_seconds"))
+  }
+
   /** Market-basket association rules over per-user item sets: for every
     * ordered item pair (a < b lexicographically), support n_ab/n_users,
     * both directional confidences, and lift = n_ab·n_users/(n_a·n_b) — the

@@ -132,6 +132,72 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient per node: C(v) = 2·T(v)/(deg(v)·(deg(v)−1))
+    * over the canonical undirected simple graph — how close each node's
+    * neighborhood is to a clique (Watts & Strogatz 1998). Composes
+    * [[triangles]] with the degree frame (nodes without triangles get 0;
+    * degree-1 nodes get NULL — the coefficient is undefined there). Same
+    * plan shape as triangles plus one node-sized left join. */
+  def clusteringCoeff(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges, src, dst), Seq("id"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"), 6)))
+  }
+
+  /** Newman modularity of a node partition over an undirected simple
+    * graph: Q = Σ_c ( e_c/m − (d_c/2m)² ) with e_c the intra-community
+    * edge count, d_c the community degree sum, m the edge total (Newman &
+    * Girvan 2004) — how much denser communities are than a random graph
+    * with the same degrees. Emits one row per community with its
+    * contribution plus the total Q attached (the q52 pattern);
+    * contributions quantize to DECIMAL before the total so accumulation
+    * order can't wiggle low bits. Everything is node- or community-sized
+    * after the one edge aggregation — scale-safe by construction. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 communities: DataFrame, id: String,
+                 community: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val comm = communities
+      .select(col(id).as("_id"), col(community).as("_c")).distinct()
+    val total = und.agg(count(lit(1)).as("m"))
+    val tagged = und
+      .join(broadcast(comm.select(col("_id").as("a"), col("_c").as("_ca"))), Seq("a"))
+      .join(broadcast(comm.select(col("_id").as("b"), col("_c").as("_cb"))), Seq("b"))
+    val within = tagged.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community"))
+      .agg(count(lit(1)).as("e_within"))
+    val degC = und.select(col("a").as("_id"))
+      .union(und.select(col("b").as("_id")))
+      .join(broadcast(comm), Seq("_id"))
+      .groupBy(col("_c").as("community"))
+      .agg(count(lit(1)).as("d_sum"))
+    val md = col("m").cast("double")
+    val frac = col("d_sum").cast("double") / (lit(2.0) * md)
+    val perComm = degC.join(within, Seq("community"), "left")
+      .na.fill(0L, Seq("e_within"))
+      .crossJoin(broadcast(total))
+      .withColumn("contribution",
+        round(col("e_within").cast("double") / md - frac * frac, 6))
+    perComm
+      .withColumn("modularity",
+        round(sum(col("contribution").cast("decimal(28,12)"))
+          .over(Window.partitionBy()).cast("double"), 6))
+      .select("community", "e_within", "d_sum", "m", "contribution",
+        "modularity")
+  }
+
   /** Minimum hop distance from a source set, by iterative frontier
     * expansion over a DIRECTED edge list (classic BFS as relational
     * algebra; GraphX/Pregel's sssp with unit weights). Iteration i joins

@@ -450,6 +450,11 @@ object AnalyticsQueries {
       graft.analytics.Indicators.kpss(Tables.events(s, d), "value",
         Seq("user_id"), Seq(col("ts"), col("event_id")), lags = 4)),
 
+    // ── time-to-convert distribution per funnel transition
+    "q224_funnel_timing" -> ((s, d) =>
+      graft.analytics.Behavior.funnelTiming(Tables.events(s, d), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"))),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1612,6 +1617,29 @@ object AnalyticsQueries {
         |SELECT user_id, n_obs,
         | CASE WHEN lrv > 0 THEN round(eta / lrv, 6) END AS kpss_stat
         |FROM f""".stripMargin,
+    "q224_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        |d1 AS (SELECT 'view->click' AS transition,
+        |  date_diff('second', TIMESTAMP '1970-01-01', t2)
+        |   - date_diff('second', TIMESTAMP '1970-01-01', t1) AS dt
+        | FROM v JOIN c USING (user_id)),
+        |d2 AS (SELECT 'click->purchase' AS transition,
+        |  date_diff('second', TIMESTAMP '1970-01-01', t3)
+        |   - date_diff('second', TIMESTAMP '1970-01-01', t2) AS dt
+        | FROM c JOIN p USING (user_id)),
+        |u2 AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |SELECT transition, count(*) AS n_converted,
+        | round(CAST(sum(dt) AS DOUBLE) / count(*), 6) AS mean_seconds,
+        | round(quantile_cont(dt, 0.5), 6) AS median_seconds,
+        | round(quantile_cont(dt, 0.9), 6) AS p90_seconds
+        |FROM u2 GROUP BY 1""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
 object BreadthQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Nation-level trade graph: an undirected edge between a customer's
+    * nation and a supplier's nation whenever a line item connects them —
+    * the entity graph the triangle/clustering/modularity queries share. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+
   val queries: Map[String, Q] = Map(
     // ── GROUPING SETS ((type, hr), (type), ()) — finer than rollup/cube
     //    (q49/q55); gid computed from grouping() bits so the encoding is
@@ -452,6 +463,34 @@ object BreadthQueries {
         iters = 3)
     }),
 
+    // ── per-node triangle counts on the nation trade graph (edges =
+    //    customer-nation ↔ supplier-nation pairs observed on line items)
+    "q220_triangles" -> ((s, d) =>
+      graft.analytics.Graph.triangles(tradeEdges(s, d), "x", "y")),
+
+    // ── BFS hop distance from region roots down the reversed geo tree
+    "q221_bfs_hops" -> ((s, d) => {
+      val edges = Tables.nation(s, d).select(
+          concat(lit("r"), col("n_regionkey").cast("string")).as("src"),
+          concat(lit("n"), col("n_nationkey").cast("string")).as("dst"))
+        .union(Tables.customer(s, d).select(
+          concat(lit("n"), col("c_nationkey").cast("string")).as("src"),
+          concat(lit("c"), col("c_custkey").cast("string")).as("dst")))
+      val sources = Tables.region(s, d).select(
+        concat(lit("r"), col("r_regionkey").cast("string")).as("id"))
+      graft.analytics.Graph.bfsHops(edges, "src", "dst", sources, "id",
+        maxHops = 3)
+    }),
+
+    // ── local clustering coefficient per nation on the trade graph
+    "q222_clustering" -> ((s, d) =>
+      graft.analytics.Graph.clusteringCoeff(tradeEdges(s, d), "x", "y")),
+
+    // ── modularity of the region partition over the trade graph
+    "q223_modularity" -> ((s, d) =>
+      graft.analytics.Graph.modularity(tradeEdges(s, d), "x", "y",
+        Tables.nation(s, d), "n_nationkey", "n_regionkey")),
+
     // ── leave-one-out target encoding with a smoothing prior: the
     //    high-cardinality categorical feature without target leakage
     "q163_target_encode" -> ((s, d) =>
@@ -514,7 +553,79 @@ object BreadthQueries {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Shared CTE chain for the trade-graph oracles: canonical undirected
+    * nation edge set + degree frame (mirrors `tradeEdges` → the operators'
+    * internal canonicalization). */
+  private val TradeCtes =
+    """tr AS (SELECT c.c_nationkey AS x, s.s_nationkey AS y
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | JOIN customer c ON o.o_custkey = c.c_custkey
+      | JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      | FROM tr WHERE least(x, y) != greatest(x, y)),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+      | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+      | GROUP BY 1)""".stripMargin
+
+  private val TriangleCtes =
+    s"""$TradeCtes,
+       |wd AS (SELECT und.a, und.b, da.deg AS da, db.deg AS db FROM und
+       | JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+       |ori AS (SELECT
+       |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       | FROM wd),
+       |twedge AS (SELECT e1.u AS u, e1.v AS v1, e2.v AS v2 FROM ori e1
+       | JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v
+       | JOIN ori cl ON cl.u = e1.v AND cl.v = e2.v),
+       |tri AS (SELECT id, count(*) AS triangles FROM (
+       | SELECT u AS id FROM twedge UNION ALL SELECT v1 AS id FROM twedge
+       | UNION ALL SELECT v2 AS id FROM twedge) GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q220_triangles" ->
+      s"""WITH $TriangleCtes
+         |SELECT id, triangles FROM tri""".stripMargin,
+    "q221_bfs_hops" ->
+      """SELECT concat('r', CAST(r_regionkey AS VARCHAR)) AS id, 0 AS hops
+        | FROM region
+        |UNION ALL
+        |SELECT concat('n', CAST(n_nationkey AS VARCHAR)), 1 FROM nation
+        |UNION ALL
+        |SELECT concat('c', CAST(c_custkey AS VARCHAR)), 2 FROM customer""".stripMargin,
+    "q222_clustering" ->
+      s"""WITH $TriangleCtes
+         |SELECT deg.id, deg.deg, coalesce(tri.triangles, 0) AS triangles,
+         | CASE WHEN deg.deg >= 2
+         |   THEN round(2.0 * coalesce(tri.triangles, 0)
+         |     / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+         | END AS clustering
+         |FROM deg LEFT JOIN tri USING (id)""".stripMargin,
+    "q223_modularity" ->
+      s"""WITH $TradeCtes,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |tag AS (SELECT und.a, und.b, na.n_regionkey AS ca,
+         |  nb.n_regionkey AS cb
+         | FROM und JOIN nation na ON na.n_nationkey = und.a
+         | JOIN nation nb ON nb.n_nationkey = und.b),
+         |wi AS (SELECT ca AS community, count(*) AS e_within FROM tag
+         | WHERE ca = cb GROUP BY 1),
+         |dc AS (SELECT n.n_regionkey AS community,
+         |  CAST(count(*) AS BIGINT) AS d_sum FROM
+         | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) ids
+         | JOIN nation n ON n.n_nationkey = ids.id GROUP BY 1),
+         |pc AS (SELECT dc.community, coalesce(wi.e_within, 0) AS e_within,
+         |  dc.d_sum, tot.m,
+         |  round(CAST(coalesce(wi.e_within, 0) AS DOUBLE)
+         |      / CAST(tot.m AS DOUBLE)
+         |    - (CAST(dc.d_sum AS DOUBLE) / (2.0 * CAST(tot.m AS DOUBLE)))
+         |      * (CAST(dc.d_sum AS DOUBLE) / (2.0 * CAST(tot.m AS DOUBLE))),
+         |    6) AS contribution
+         | FROM dc LEFT JOIN wi ON wi.community = dc.community CROSS JOIN tot)
+         |SELECT community, e_within, d_sum, m, contribution,
+         | round(CAST(sum(CAST(contribution AS DECIMAL(28,12))) OVER ()
+         |   AS DOUBLE), 6) AS modularity
+         |FROM pc""".stripMargin,
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
     // HLL rebuilt register-for-register: identical md5 hash, identical

@@ -83,6 +83,22 @@ class BehaviorSpec extends SparkSpec {
     assert(!got.contains(("b", "b")))
   }
 
+  test("funnelTiming: per-transition dt distribution over converted users") {
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(2), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnelTiming(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val vc = got("view->click") // dts 60 and 120 seconds
+    assert(vc.getLong(1) == 2L && vc.getDouble(2) == 90.0 &&
+      vc.getDouble(3) == 90.0 && vc.getDouble(4) == 114.0)
+    val cp = got("click->purchase") // only u1, 120 s
+    assert(cp.getLong(1) == 1L && cp.getDouble(2) == 120.0 &&
+      cp.getDouble(4) == 120.0)
+  }
+
   test("basketLift: hand support/confidence/lift on four baskets") {
     // baskets: {a,b}, {a,b}, {a}, {c} → n_users 4, n_a 3, n_b 2, n_ab 2
     val events = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),

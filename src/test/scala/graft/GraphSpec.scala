@@ -115,4 +115,47 @@ class GraphSpec extends SparkSpec {
     // output is rounded at 6 dp, so compare at that grain
     assert(got.forall(r => math.abs(r - 1.0 / 3) <= 5e-7))
   }
+
+  test("triangles: K3 + pendant credits each corner once, direction-" +
+    "and-duplicate-proof") {
+    // edges deliberately duplicated and reversed — canonicalization absorbs
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (1L, 3L)).toDF("s", "t")
+    val got = Graph.triangles(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // pendant 4 absent
+  }
+
+  test("clusteringCoeff: closed neighborhoods score 1, hub scores 1/3") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "t")
+    val got = Graph.clusteringCoeff(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(3) == 1.0 && got(2L).getDouble(3) == 1.0)
+    assert(got(3L).getLong(1) == 3L &&
+      got(3L).getDouble(3) == math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(got(4L).getLong(2) == 0L && got(4L).isNullAt(3)) // deg 1
+  }
+
+  test("bfsHops: frontier expansion honors maxHops; unreachable absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L)).toDF("s", "t")
+    val got = Graph.bfsHops(edges, "s", "t", Seq(1L).toDF("id"), "id",
+        maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4 beyond cap, 9 upstream
+  }
+
+  test("modularity: two cliques bridged — hand Newman Q") {
+    // K3 ∪ K3 + bridge: m=7, each community e=3, d=7
+    // contribution = 3/7 − (7/14)² = 0.178571 → Q = 0.357142 (rounded sums)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "c")
+    val got = Graph.modularity(edges, "s", "t", comm, "node", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(1) == 3L && got("A").getLong(2) == 7L &&
+      got("A").getLong(3) == 7L)
+    assert(got("A").getDouble(4) == 0.178571)
+    assert(got.values.forall(_.getDouble(5) == 0.357142))
+  }
 }
