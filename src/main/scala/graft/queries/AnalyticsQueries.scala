@@ -455,6 +455,16 @@ object AnalyticsQueries {
       graft.analytics.Behavior.funnelTiming(Tables.events(s, d), "user_id",
         "ts", "event_type", Seq("view", "click", "purchase"))),
 
+    // ── F4 coerce-parse semantics: malformed timestamp strings → NULL
+    //    (try_to_timestamp; ANSI to_timestamp would throw)
+    "q227_coerce_ts" -> ((s, d) => {
+      val strs = Tables.events(s, d).select(col("event_id"),
+        when(col("event_id") % 97 === 0, lit("not-a-time"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("parsed_ts"))
+      graft.pipeline.Preprocess.coerceTimestamp(strs, "parsed_ts")
+    }),
+
     // ── Tukey-fence outliers per event_type (exact quantiles + broadcast fences)
     "q105_outlier_iqr" -> ((s, d) =>
       graft.ops.Stats.iqrOutliers(Tables.events(s, d), "value",
@@ -1640,6 +1650,13 @@ object AnalyticsQueries {
         | round(quantile_cont(dt, 0.5), 6) AS median_seconds,
         | round(quantile_cont(dt, 0.9), 6) AS p90_seconds
         |FROM u2 GROUP BY 1""".stripMargin,
+    "q227_coerce_ts" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 97 = 0
+        |  THEN try_cast('not-a-time' AS TIMESTAMP)
+        |  ELSE try_cast(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+        | END AS parsed_ts
+        |FROM events""".stripMargin,
     "q122_drawdown" ->
       """SELECT user_id, event_id, value,
         | max(value) OVER w AS peak,

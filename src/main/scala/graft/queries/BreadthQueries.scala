@@ -491,6 +491,30 @@ object BreadthQueries {
       graft.analytics.Graph.modularity(tradeEdges(s, d), "x", "y",
         Tables.nation(s, d), "n_nationkey", "n_regionkey")),
 
+    // ── KMV distinct-count sketch estimate vs exact, per event type
+    "q225_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      graft.ops.Stats.kmvEstimate(ev, "user_id", Seq("event_type"), k = 64)
+        .join(exact, Seq("event_type"))
+    }),
+
+    // ── KMV sketch Jaccard between the view and purchase user sets
+    "q226_kmv_jaccard" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def sk(label: String, out: String) =
+        graft.ops.Stats.kmvSketch(ev.filter(col("event_type") === label),
+          "user_id", Nil, k = 64)
+          .select(col("kmv").as(out))
+      sk("view", "a").crossJoin(sk("purchase", "b"))
+        .select(graft.ops.Stats.kmvJaccardExpr(col("a"), col("b"), 64)
+          .as("j"))
+        .select(col("j.jaccard").as("jaccard"),
+          col("j.inter_est").as("inter_est"),
+          col("j.union_est").as("union_est"))
+    }),
+
     // ── leave-one-out target encoding with a smoothing prior: the
     //    high-cardinality categorical feature without target leakage
     "q163_target_encode" -> ((s, d) =>
@@ -583,6 +607,50 @@ object BreadthQueries {
        | UNION ALL SELECT v2 AS id FROM twedge) GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q225_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  ('0x' || substr(md5(user_id::VARCHAR || ':kmv'), 1, 15))::BIGINT
+        |    AS hv
+        | FROM events),
+        |r AS (SELECT event_type, hv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        | FROM h),
+        |s AS (SELECT event_type, count(*) AS n_sketch,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS h64th
+        | FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        | FROM events GROUP BY 1)
+        |SELECT s.event_type, CAST(s.n_sketch AS BIGINT) AS n_sketch,
+        | round(CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+        |   ELSE 63.0 * power(2.0, 60) / h64th END, 6) AS kmv_est,
+        | ex.exact_distinct
+        |FROM s JOIN ex USING (event_type)""".stripMargin,
+    "q226_kmv_jaccard" ->
+      """WITH va AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(user_id::VARCHAR || ':kmv'), 1, 15))::BIGINT
+        |    AS hv FROM events WHERE event_type = 'view'),
+        |ra AS (SELECT hv FROM (SELECT hv,
+        |  row_number() OVER (ORDER BY hv) AS rn FROM va) WHERE rn <= 64),
+        |la AS (SELECT list(hv ORDER BY hv) AS a FROM ra),
+        |vb AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(user_id::VARCHAR || ':kmv'), 1, 15))::BIGINT
+        |    AS hv FROM events WHERE event_type = 'purchase'),
+        |rb AS (SELECT hv FROM (SELECT hv,
+        |  row_number() OVER (ORDER BY hv) AS rn FROM vb) WHERE rn <= 64),
+        |lb AS (SELECT list(hv ORDER BY hv) AS b FROM rb),
+        |j AS (SELECT a, b, list_sort(list_distinct(a || b))[1:64] AS u
+        | FROM la CROSS JOIN lb),
+        |r2 AS (SELECT u,
+        |  len(list_filter(u,
+        |    x -> list_contains(a, x) AND list_contains(b, x))) AS rho,
+        |  CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+        |       ELSE 63.0 * power(2.0, 60) / u[64] END AS uest
+        | FROM j)
+        |SELECT round(CAST(rho AS DOUBLE) / least(len(u), 64), 6) AS jaccard,
+        | round(CAST(rho AS DOUBLE) / least(len(u), 64) * uest, 6)
+        |   AS inter_est,
+        | round(uest, 6) AS union_est
+        |FROM r2""".stripMargin,
     "q220_triangles" ->
       s"""WITH $TriangleCtes
          |SELECT id, triangles FROM tri""".stripMargin,

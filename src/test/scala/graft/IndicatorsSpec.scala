@@ -1200,6 +1200,29 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("kmv: exact below k, estimate within tolerance above, Jaccard " +
+    "exact on sketchable sets") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 40 distinct < k=64 → sketch IS the set → exact count
+    val small = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "u")
+    val se = Stats.kmvEstimate(small, "u", Seq("g"), k = 64).collect().head
+    assert(se.getLong(1) == 40L && se.getDouble(2) == 40.0)
+    // 5000 distinct, k=64 → estimate within ~35% (KMV σ ≈ 1/√(k−2) ≈ 13%)
+    val big = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "u")
+    val be = Stats.kmvEstimate(big, "u", Seq("g"), k = 64).collect().head
+    assert(math.abs(be.getDouble(2) - 5000.0) / 5000.0 < 0.35,
+      s"estimate ${be.getDouble(2)}")
+    // Jaccard: A = 1..30, B = 16..45 → |∩| = 15, |∪| = 45, J = 1/3 exact
+    def sk(lo: Int, hi: Int) =
+      Stats.kmvSketch((lo to hi).map(i => ("g", i.toLong)).toDF("g", "u"),
+        "u", Nil, k = 64).select(col("kmv"))
+    val j = sk(1, 30).crossJoin(sk(16, 45).withColumnRenamed("kmv", "kmv2"))
+      .select(Stats.kmvJaccardExpr(col("kmv"), col("kmv2"), 64).as("j"))
+      .select("j.jaccard", "j.inter_est", "j.union_est").collect().head
+    assert(j.getDouble(0) == q6(15.0 / 45.0))
+    assert(j.getDouble(2) == 45.0 && j.getDouble(1) == q6(15.0))
+  }
+
   test("kpss: hand statistic at lags=1; trend scores above noise") {
     // x = 1,3,2,4: e = (−1.5,.5,−.5,1.5), S = (−1.5,−1,−1.5,0)
     // η = 5.5/16, γ0 = 1.25, γ1 = −0.4375, lrv = 0.8125

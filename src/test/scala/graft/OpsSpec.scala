@@ -321,6 +321,15 @@ class OpsSpec extends SparkSpec {
     assert(h((2L, 1500L)) == (None, 1))
   }
 
+  test("coerceTimestamp: parse failures coerce to NULL, not throw (F4)") {
+    val df = Seq("2025-01-02 03:04:05", "not-a-time", "2025-13-45 99:99:99")
+      .toDF("t")
+    val got = graft.pipeline.Preprocess.coerceTimestamp(df, "t")
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(java.sql.Timestamp.valueOf("2025-01-02 03:04:05")))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
   test("profile: one row per column, nulls/distinct/numeric stats") {
     val df = Seq((1L, Some(2.0), "a"), (2L, None, "b"), (3L, Some(6.0), "a"))
       .toDF("id", "x", "s")
