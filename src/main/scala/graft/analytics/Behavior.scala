@@ -135,6 +135,30 @@ object Behavior {
     * needs no tiebreak to be deterministic. Rank products accumulate in
     * exact DECIMAL; one per-group window + one aggregate. NULL for empty
     * or zero-mass groups. */
+  /** Top-k frequent event n-grams over per-user sequences: the sequence-
+    * mining screen for dominant behavioral motifs (view>click>purchase vs
+    * error>error>error). One lead-window fan-out per offset + one global
+    * count; top-k by (count desc, ngram asc) is a deterministic total
+    * order feeding TakeOrderedAndProject. N-grams never cross user
+    * boundaries (lead windows are per-user). */
+  def eventNgrams(df: DataFrame, user: String, ts: String, etype: String,
+                  tiebreak: Seq[Column], n: Int = 3,
+                  topK: Int = 20): DataFrame = {
+    require(n >= 2, s"n must be ≥ 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy((col(ts) +: tiebreak): _*)
+    val withLeads = (1 until n).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"_l$j", lead(col(etype), j).over(w))
+    }
+    val parts = col(etype) +: (1 until n).map(j => col(s"_l$j"))
+    withLeads
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(">", parts: _*).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topK)
+  }
+
   /** Time-to-convert distribution per funnel transition: for users who
     * completed step i+1, the seconds from their step-i time — count, mean,
     * median, and p90 (exact interpolated percentiles; swap approx at true

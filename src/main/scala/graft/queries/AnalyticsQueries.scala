@@ -455,6 +455,11 @@ object AnalyticsQueries {
       graft.analytics.Behavior.funnelTiming(Tables.events(s, d), "user_id",
         "ts", "event_type", Seq("view", "click", "purchase"))),
 
+    // ── top-20 frequent event 3-grams over per-user sequences
+    "q229_event_ngrams" -> ((s, d) =>
+      graft.analytics.Behavior.eventNgrams(Tables.events(s, d), "user_id",
+        "ts", "event_type", Seq(col("event_id")), n = 3, topK = 20)),
+
     // ── F4 coerce-parse semantics: malformed timestamp strings → NULL
     //    (try_to_timestamp; ANSI to_timestamp would throw)
     "q227_coerce_ts" -> ((s, d) => {
@@ -1650,6 +1655,16 @@ object AnalyticsQueries {
         | round(quantile_cont(dt, 0.5), 6) AS median_seconds,
         | round(quantile_cont(dt, 0.9), 6) AS p90_seconds
         |FROM u2 GROUP BY 1""".stripMargin,
+    "q229_event_ngrams" ->
+      """WITH l AS (SELECT event_type AS e0,
+        |  lead(event_type, 1) OVER w AS e1,
+        |  lead(event_type, 2) OVER w AS e2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT concat(e0, '>', e1, '>', e2) AS ngram,
+        | count(*) AS n_occurrences
+        |FROM l WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
     "q227_coerce_ts" ->
       """SELECT event_id,
         | CASE WHEN event_id % 97 = 0

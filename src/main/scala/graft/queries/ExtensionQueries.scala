@@ -180,6 +180,10 @@ object ExtensionQueries {
       TextOps.burstiness(Tables.documents(s, d), "doc_id", "text",
         minDf = 5L)),
 
+    // ── Flesch reading ease + Flesch-Kincaid grade per document
+    "q228_readability" -> ((s, d) =>
+      TextOps.readability(Tables.documents(s, d), "doc_id", "text")),
+
     // ── BPE trainer counting step: adjacent char-pair frequencies over the
     //    weighted word vocabulary
     "q99_bpe_pairs" -> ((s, d) =>
@@ -1062,6 +1066,28 @@ object ExtensionQueries {
          | round(CAST(term_freq AS DOUBLE) / doc_freq, 6) AS burstiness,
          | round(CAST(n_multi AS DOUBLE) / doc_freq, 6) AS adaptation
          |FROM agg WHERE doc_freq >= 5""".stripMargin,
+    "q228_readability" ->
+      raw"""WITH $normCte,
+         |tk AS (SELECT doc_id, t, list_filter(regexp_split_to_array(t, '\s+'),
+         |    x -> length(x) > 0) AS w FROM nrm),
+         |b AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  greatest(1, CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT))
+         |    AS n_sentences,
+         |  coalesce(CAST(list_sum(list_transform(w, x -> greatest(1,
+         |    len(regexp_extract_all(x, '[aeiouy]+'))))) AS BIGINT), 0)
+         |    AS n_syllables
+         | FROM tk)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         | CASE WHEN n_words > 0 THEN round(206.835
+         |   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+         |   6) END AS flesch_ease,
+         | CASE WHEN n_words > 0 THEN round(0.39
+         |   * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |   + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |   - 15.59, 6) END AS fk_grade
+         |FROM b""".stripMargin,
     "q192_source_overlap" ->
       raw"""WITH nrm2 AS (SELECT source,
          |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),

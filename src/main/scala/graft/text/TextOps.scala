@@ -506,6 +506,41 @@ object TextOps {
             log(col("n_tokens").cast("double")), 6)))
       .drop("_w")
 
+  /** Flesch readability per document from the classic closed forms
+    * (Flesch 1948 / Kincaid 1975): reading ease = 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) and grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59, with W
+    * whitespace words, S sentence-terminator runs ([.!?]+, min 1), and Y
+    * the vowel-group syllable heuristic (runs of [aeiouy] per word,
+    * min 1 per word — the standard seedless approximation; real syllable
+    * dictionaries are a lookup-table swap). Pure per-row regex + fold
+    * work — zero shuffle, codegen-friendly — the long-form quality signal
+    * complementing [[qualityScore]]'s ratios. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), normalize(col(text)).as("_t"))
+      .withColumn("_w", expr("filter(split(_t, '\\\\s+'), t -> length(t) > 0)"))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L),
+          size(regexp_extract_all(col("_t"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+      .withColumn("n_syllables", expr(
+        "aggregate(_w, 0L, (a, t) -> a + greatest(1L, " +
+          "size(regexp_extract_all(t, '[aeiouy]+', 0))))"))
+      .withColumn("flesch_ease",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          round(lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")) - lit(15.59), 6)))
+      .drop("_t", "_w")
+
   /** Term burstiness (Church & Gale 1995): per term with document
     * frequency ≥ `minDf`, the mean within-document repetition tf/df and
     * the adaptation probability P(k ≥ 2 | k ≥ 1) — how much more likely a

@@ -115,6 +115,21 @@ class BehaviorSpec extends SparkSpec {
     assert(ab.getDouble(9) == q6(8.0 / 6.0))   // lift 2·4/(3·2)
   }
 
+  test("eventNgrams: per-user motifs, no cross-user bleed, top-k order") {
+    val events = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "a"), (1L, ts(5), 5L, "b"), (1L, ts(6), 6L, "c"),
+      (2L, ts(1), 7L, "a"), (2L, ts(2), 8L, "b"), (2L, ts(3), 9L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.eventNgrams(events, "user_id", "ts", "event_type",
+        Seq(org.apache.spark.sql.functions.col("event_id")), n = 3,
+        topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a>b>c: twice in u1 + once in u2; c>a>b and b>c>a once each (u1)
+    assert(got("a>b>c") == 3L && got("b>c>a") == 1L && got("c>a>b") == 1L)
+    assert(got.size == 3) // nothing spans the u1/u2 boundary
+  }
+
   test("gini: perfect equality → 0; total concentration → (n−1)/n") {
     val eq = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
       .toDF("k", "x")

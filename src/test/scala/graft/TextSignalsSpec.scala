@@ -150,6 +150,25 @@ class TextSignalsSpec extends SparkSpec {
       e.isNullAt(5))
   }
 
+  test("readability: hand Flesch on a two-sentence doc; empty doc guard") {
+    // "the cat sat. it ran!" → 5 words, 2 sentences, 5 syllable groups
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d = got(1L)
+    assert(d.getLong(1) == 5L && d.getLong(2) == 2L && d.getLong(3) == 5L)
+    val ease = 206.835 - 1.015 * 2.5 - 84.6 * 1.0
+    val grade = 0.39 * 2.5 + 11.8 * 1.0 - 15.59
+    assert(d.getDouble(4) == r6(ease) && d.getDouble(5) == r6(grade))
+    val e = got(2L)
+    assert(e.getLong(1) == 0L && e.isNullAt(4) && e.isNullAt(5))
+    // vowel-less token still counts one syllable
+    val v = TextOps.readability(Seq((3L, "zzz tv")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(v.getLong(3) == 2L)
+  }
+
   test("burstiness: repetition and adaptation separate bursty terms") {
     // "x x x" in one doc (bursty) vs "y" spread across three docs
     val docs = Seq((1L, "x x x y"), (2L, "y"), (3L, "y"))
