@@ -1447,6 +1447,80 @@ object Indicators {
       .drop("_sy", "_sx", "_sxx", "_sxy")
   }
 
+  /** RiskMetrics EWMA volatility per series (J.P. Morgan 1996): σ²ₜ =
+    * λ·σ²ₜ₋₁ + (1−λ)·r²ₜ over 1-step differences, σ²₁ = r²₁ — exactly an
+    * EMA with α = 1−λ on the squared return, so the whole size-routed
+    * [[emaSeriesAuto]] machinery (sequential fold for modest keys,
+    * chunk-stitch beyond) applies unchanged; this wrapper adds the diff
+    * window and the final √. The classic zero-mean volatility filter
+    * (λ = 0.94 is the RiskMetrics daily standard). */
+  def ewmVolatility(df: DataFrame, value: String, keys: Seq[String],
+                    ts: String, lambda: Double = 0.94,
+                    carry: Seq[String] = Nil): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda $lambda outside (0, 1)")
+    val wBase = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts) +: carry.map(col)): _*)
+    val rets = df.filter(col(value).isNotNull)
+      .withColumn("_r", col(value) - lag(col(value), 1).over(wBase))
+      .filter(col("_r").isNotNull)
+      .withColumn("_r2", col("_r") * col("_r"))
+    emaSeriesAuto(rets, "_r2", keys, ts, alpha = 1 - lambda, carry = carry)
+      .withColumnRenamed("_r2", "sq_ret")
+      .withColumnRenamed("ema", "ewm_var")
+      .withColumn("ewm_vol", quant6(sqrt(col("ewm_var"))))
+  }
+
+  /** Market beta per series: OLS of each key's bucket returns on the
+    * cross-sectional market return (the per-bucket mean over ALL keys) —
+    * the CAPM exposure estimate. Both leg series come from exact-decimal
+    * bucket means; the market frame is |buckets|-sized (its ordered
+    * window is bucket-bounded, never data-bounded) and broadcast onto
+    * the per-key frame. Emits (key, n_obs, beta, alpha, corr) from one
+    * moment aggregate with every closed form pinned. */
+  def marketBeta(df: DataFrame, value: String, key: String, ts: String,
+                 bucket: String = "hour"): DataFrame = {
+    def dmean(c: Column) =
+      sum(c.cast(Dec)).cast("double") / count(c)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_bar", date_trunc(bucket, col(ts)))
+    val userHr = base.groupBy(col(key), col("_bar"))
+      .agg(dmean(col(value)).as("_uv"))
+    val mktHr = base.groupBy(col("_bar"))
+      .agg(dmean(col(value)).as("_mv"))
+    val wU = Window.partitionBy(col(key)).orderBy(col("_bar"))
+    val wM = Window.orderBy(col("_bar"))
+    val uRet = userHr
+      .withColumn("_ur", col("_uv") - lag(col("_uv"), 1).over(wU))
+      .filter(col("_ur").isNotNull)
+    val mRet = mktHr
+      .withColumn("_mr", col("_mv") - lag(col("_mv"), 1).over(wM))
+      .filter(col("_mr").isNotNull)
+      .select("_bar", "_mr")
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = uRet.join(broadcast(mRet), Seq("_bar"))
+      .groupBy(col(key)).agg(
+        count(lit(1)).as("n_obs"),
+        dsum(col("_ur")).as("_sy"), dsum(col("_mr")).as("_sx"),
+        dsum(col("_mr") * col("_mr")).as("_sxx"),
+        dsum(col("_ur") * col("_ur")).as("_syy"),
+        dsum(col("_mr") * col("_ur")).as("_sxy"))
+    val n = col("n_obs").cast("double")
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    val beta = (n * col("_sxy") - col("_sx") * col("_sy")) /
+      when(den =!= 0.0, den)
+    val vy = n * col("_syy") - col("_sy") * col("_sy")
+    agged
+      .withColumn("beta", when(den =!= 0.0, round(beta, 6)))
+      .withColumn("alpha",
+        when(den =!= 0.0 && n > 0,
+          round((col("_sy") - beta * col("_sx")) / when(n > 0, n), 6)))
+      .withColumn("corr",
+        when(den > 0 && vy > 0,
+          round((n * col("_sxy") - col("_sx") * col("_sy")) /
+            sqrt(den * vy), 6)))
+      .drop("_sy", "_sx", "_sxx", "_syy", "_sxy")
+  }
+
   /** KPSS level-stationarity statistic per series (Kwiatkowski et al.
     * 1992) — the null-reversed complement to the [[engleGranger]]
     * Dickey–Fuller stat: with eₜ the demeaned series and Sₜ its partial

@@ -771,6 +771,38 @@ object Stats {
       .drop("_s1", "_s2", "_s3", "_s4")
   }
 
+  /** Benjamini–Hochberg FDR correction over a battery of p-values
+    * (Benjamini & Hochberg 1995): with m tests and ascending order
+    * statistics p₍ᵢ₎, the rejection threshold is the largest p₍ᵢ₎ ≤
+    * i·α/m, and every p ≤ threshold is significant — the standard
+    * multiple-testing gate over per-key test batteries (Granger/KS/
+    * Pettitt screens produce exactly such frames). Ties are safe by
+    * construction: the rejection set is {p ≤ p₍k₎}, which is invariant
+    * to how equal p-values are ranked, so row_number needs no tiebreak.
+    * The rank window is global over the TEST frame (|keys| rows, not
+    * data rows — test batteries are key-sized); the threshold is a 1-row
+    * aggregate broadcast back. NULL p-values are passed through as not
+    * significant. */
+  def bhFdr(df: DataFrame, pCol: String, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    val valid = df.filter(col(pCol).isNotNull)
+    val m1 = valid.agg(count(lit(1)).as("_m"))
+    val ranked = valid.crossJoin(broadcast(m1))
+      .withColumn("_i", row_number().over(Window.orderBy(col(pCol))))
+    val thresh = ranked
+      .filter(col(pCol) <=
+        col("_i").cast("double") * lit(alpha) / col("_m").cast("double"))
+      .agg(max(col(pCol)).as("_thresh"))
+    df.crossJoin(broadcast(thresh))
+      .withColumn("significant",
+        when(col(pCol).isNotNull,
+          col("_thresh").isNotNull && col(pCol) <= col("_thresh"))
+          .otherwise(lit(false)))
+      .withColumn("bh_threshold", col("_thresh"))
+      .drop("_thresh")
+  }
+
   /** Spearman rank correlation per group: Pearson's closed form applied to
     * pooled average ranks (min-rank + (ties−1)/2 — deterministic under any
     * partitioning, exact in double since ranks step by halves). Robust to

@@ -460,6 +460,26 @@ object AnalyticsQueries {
       graft.analytics.Behavior.eventNgrams(Tables.events(s, d), "user_id",
         "ts", "event_type", Seq(col("event_id")), n = 3, topK = 20)),
 
+    // ── RiskMetrics EWMA volatility (λ = 0.94) per series
+    "q230_ewm_vol" -> ((s, d) =>
+      graft.analytics.Indicators.ewmVolatility(Tables.events(s, d),
+        "value", Seq("user_id"), "ts", lambda = 0.94,
+        carry = Seq("event_id"))),
+
+    // ── CAPM market beta: per-user hourly returns vs the cross-sectional
+    //    market return
+    "q231_market_beta" -> ((s, d) =>
+      graft.analytics.Indicators.marketBeta(Tables.events(s, d), "value",
+        "user_id", "ts", bucket = "hour")),
+
+    // ── Benjamini–Hochberg FDR gate over the per-user Pettitt p battery
+    "q232_bh_fdr" -> ((s, d) =>
+      graft.ops.Stats.bhFdr(
+        graft.analytics.Indicators.pettitt(Tables.events(s, d), "value",
+            Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select("user_id", "p_approx"),
+        "p_approx", alpha = 0.05)),
+
     // ── F4 coerce-parse semantics: malformed timestamp strings → NULL
     //    (try_to_timestamp; ANSI to_timestamp would throw)
     "q227_coerce_ts" -> ((s, d) => {
@@ -1655,6 +1675,104 @@ object AnalyticsQueries {
         | round(quantile_cont(dt, 0.5), 6) AS median_seconds,
         | round(quantile_cont(dt, 0.9), 6) AS p90_seconds
         |FROM u2 GROUP BY 1""".stripMargin,
+    "q230_ewm_vol" -> {
+      // the SAME Scala doubles the operator interpolates into its fold
+      val alpha = 1 - 0.94
+      val a = s"CAST($alpha AS DOUBLE)"
+      val b = s"CAST(${1 - alpha} AS DOUBLE)"
+      s"""WITH r AS (SELECT user_id, event_id, ts,
+         |  value - lag(value, 1) OVER w AS ret FROM events
+         |  WHERE value IS NOT NULL
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |p AS (SELECT user_id,
+         |  list(event_id ORDER BY ts) AS ids,
+         |  list(ret * ret ORDER BY ts) AS xs
+         | FROM r WHERE ret IS NOT NULL GROUP BY 1),
+         |i AS (SELECT user_id, unnest(range(1, len(xs) + 1)) AS rn,
+         |  ids, xs FROM p),
+         |e AS (SELECT user_id, ids[rn] AS event_id, xs[rn] AS sq_ret,
+         |  floor(list_reduce(xs[1:rn], (acc, x) -> $b * acc + $a * x)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS ewm_var
+         | FROM i)
+         |SELECT user_id, event_id, sq_ret, ewm_var,
+         | floor(sqrt(ewm_var) * 1000000.0 + 0.5) / 1000000.0 AS ewm_vol
+         |FROM e""".stripMargin
+    },
+    "q231_market_beta" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bar, value
+        | FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT user_id, bar,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(value) AS uv FROM b GROUP BY 1, 2),
+        |m AS (SELECT bar,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(value) AS mv FROM b GROUP BY 1),
+        |ur AS (SELECT user_id, bar,
+        |  uv - lag(uv, 1) OVER (PARTITION BY user_id ORDER BY bar) AS urr
+        | FROM u),
+        |mr AS (SELECT bar, mv - lag(mv, 1) OVER (ORDER BY bar) AS mrr
+        | FROM m),
+        |j AS (SELECT ur.user_id, ur.urr, mr.mrr FROM ur JOIN mr USING (bar)
+        | WHERE ur.urr IS NOT NULL AND mr.mrr IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_obs,
+        |  CAST(sum(CAST(urr AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(mrr AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(mrr * mrr AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(urr * urr AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(mrr * urr AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM j GROUP BY 1),
+        |v AS (SELECT user_id, n_obs, sy, sx, sxx, syy, sxy,
+        |  CAST(n_obs AS DOUBLE) AS n,
+        |  CAST(n_obs AS DOUBLE) * sxx - sx * sx AS den,
+        |  CAST(n_obs AS DOUBLE) * syy - sy * sy AS vy,
+        |  (CAST(n_obs AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_obs AS DOUBLE) * sxx - sx * sx) AS beta
+        | FROM a)
+        |SELECT user_id, n_obs,
+        | CASE WHEN den != 0.0 THEN round(beta, 6) END AS beta,
+        | CASE WHEN den != 0.0 AND n > 0
+        |   THEN round((sy - beta * sx) / n, 6) END AS alpha,
+        | CASE WHEN den > 0 AND vy > 0
+        |   THEN round((n * sxy - sx * sy) / sqrt(den * vy), 6) END AS corr
+        |FROM v""".stripMargin,
+    "q232_bh_fdr" ->
+      """WITH base AS (SELECT user_id, ts, event_id, value FROM events
+        | WHERE value IS NOT NULL),
+        |r AS (SELECT user_id,
+        |  2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+        |   + count(*) OVER (PARTITION BY user_id, value) - 1 AS r2,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS t,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM base),
+        |uu AS (SELECT user_id, t, n,
+        |  CAST(sum(r2) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   - t * (n + 1) AS u
+        | FROM r),
+        |w2 AS (SELECT user_id, t, n, abs(u) AS absu FROM uu WHERE t < n),
+        |k AS (SELECT user_id, max(n) AS n_obs, max(absu) AS k_stat
+        | FROM w2 GROUP BY 1),
+        |d AS (SELECT user_id,
+        |  round(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+        |    * CAST(k_stat AS DOUBLE) /
+        |    (CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)
+        |      * CAST(n_obs AS DOUBLE)
+        |     + CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE))), 6)
+        |    AS p_approx
+        | FROM k),
+        |mm AS (SELECT count(*) AS m FROM d WHERE p_approx IS NOT NULL),
+        |r3 AS (SELECT user_id, p_approx,
+        |  row_number() OVER (ORDER BY p_approx) AS i FROM d
+        | WHERE p_approx IS NOT NULL),
+        |th AS (SELECT max(p_approx) AS thresh FROM r3 CROSS JOIN mm
+        | WHERE p_approx <= CAST(i AS DOUBLE) * 0.05 / CAST(m AS DOUBLE))
+        |SELECT d.user_id, d.p_approx,
+        | CASE WHEN d.p_approx IS NOT NULL
+        |  THEN th.thresh IS NOT NULL AND d.p_approx <= th.thresh
+        |  ELSE FALSE END AS significant,
+        | th.thresh AS bh_threshold
+        |FROM d CROSS JOIN th""".stripMargin,
     "q229_event_ngrams" ->
       """WITH l AS (SELECT event_type AS e0,
         |  lead(event_type, 1) OVER w AS e1,

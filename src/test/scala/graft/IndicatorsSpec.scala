@@ -1200,6 +1200,49 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("ewmVolatility: hand RiskMetrics recursion at λ=0.5") {
+    val df = Seq((1, 10.0), (2, 12.0), (3, 11.0)).toDF("i", "x")
+      .withColumn("g", lit(1)).withColumn("t",
+        org.apache.spark.sql.functions.expr("timestamp_micros(i)"))
+    val got = Indicators.ewmVolatility(df, "x", Seq("g"), "t",
+        lambda = 0.5, carry = Seq("i"))
+      .orderBy("i").collect()
+    // rets 2, −1 → r² 4, 1 → v = (4, 2.5) → vol = (2, √2.5)
+    assert(got.map(_.getDouble(3)).toSeq == Seq(4.0, 2.5))
+    assert(got.map(_.getDouble(4)).toSeq ==
+      Seq(2.0, q6(math.sqrt(2.5))))
+  }
+
+  test("marketBeta: a 2x-levered series scores beta 4/3 against the mean") {
+    import org.apache.spark.sql.functions.expr
+    def t(h: Int) = f"2025-01-01 $h%02d:30:00"
+    val rows = Seq(0.0, 1.0, 3.0, 6.0).zipWithIndex.flatMap {
+      case (v, h) => Seq((1L, t(h), 2 * v), (2L, t(h), v))
+    }
+    val df = rows.toDF("user_id", "ts_s", "x")
+      .withColumn("t", expr("CAST(ts_s AS TIMESTAMP)"))
+    val got = Indicators.marketBeta(df, "x", "user_id", "t", "hour")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // market = 1.5·base → beta(2x) = 4/3, beta(1x) = 2/3; both corr 1
+    assert(got(1L).getLong(1) == 3L)
+    assert(got(1L).getDouble(2) == q6(4.0 / 3.0) &&
+      got(1L).getDouble(3) == 0.0 && got(1L).getDouble(4) == 1.0)
+    assert(got(2L).getDouble(2) == q6(2.0 / 3.0))
+  }
+
+  test("bhFdr: step-up threshold, ties-safe, NULLs never significant") {
+    val df = Seq((1, Some(0.001)), (2, Some(0.01)), (3, Some(0.03)),
+      (4, Some(0.6)), (5, None)).toDF("k", "p")
+    val got = Stats.bhFdr(df, "p", alpha = 0.25)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // i·α/m (m=4): .0625 .125 .1875 .25 → largest passing p = 0.03
+    assert(got.values.forall(r => r.isNullAt(1) ||
+      r.getDouble(3) == 0.03))
+    assert(got(1).getBoolean(2) && got(2).getBoolean(2) &&
+      got(3).getBoolean(2))
+    assert(!got(4).getBoolean(2) && !got(5).getBoolean(2))
+  }
+
   test("kmv: exact below k, estimate within tolerance above, Jaccard " +
     "exact on sketchable sets") {
     import org.apache.spark.sql.functions.{col, lit}
