@@ -135,6 +135,33 @@ object Behavior {
     * needs no tiebreak to be deterministic. Rank products accumulate in
     * exact DECIMAL; one per-group window + one aggregate. NULL for empty
     * or zero-mass groups. */
+  /** Rolling distinct actives per time bucket (rolling DAU/WAU): for each
+    * bucket, the distinct `key` count over the trailing `windowN` buckets.
+    * A naive trailing-window count-distinct would re-scan the window per
+    * bucket; instead each DISTINCT (bucket, key) row fans out to the ≤
+    * `windowN` target buckets it keeps alive (explode of a bounded offset
+    * range — ×windowN on the deduped frame, not the event log), then one
+    * distinct-count per target. This is the standard scalable shape: work
+    * ∝ actives·window, shuffle keyed by target bucket, no self-join of
+    * the log. Target buckets with no activity in range are absent (a
+    * zero-filled calendar is a `sequence` join away if needed). */
+  def rollingActives(df: DataFrame, ts: String, key: String,
+                     bucket: String = "hour", windowN: Int = 24): DataFrame = {
+    require(windowN >= 1, s"windowN must be ≥ 1, got $windowN")
+    val shift = bucket.toLowerCase match {
+      case "hour" => expr("_b + make_interval(0, 0, 0, 0, _off, 0, 0)")
+      case "day"  => expr("_b + make_interval(0, 0, 0, _off, 0, 0, 0)")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported bucket: $other")
+    }
+    df.select(date_trunc(bucket, col(ts)).as("_b"), col(key).as("_k"))
+      .distinct()
+      .withColumn("_off", explode(sequence(lit(0), lit(windowN - 1))))
+      .withColumn("bucket_ts", shift)
+      .groupBy(col("bucket_ts"))
+      .agg(countDistinct(col("_k")).as("active_keys"))
+  }
+
   /** Top-k frequent event n-grams over per-user sequences: the sequence-
     * mining screen for dominant behavioral motifs (view>click>purchase vs
     * error>error>error). One lead-window fan-out per offset + one global

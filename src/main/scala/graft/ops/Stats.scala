@@ -771,6 +771,34 @@ object Stats {
       .drop("_s1", "_s2", "_s3", "_s4")
   }
 
+  /** Exact lower weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total (ties on value are
+    * safe — cumulative weight at a value is summed over ALL rows carrying
+    * it before the comparison, so row order within a value can't matter).
+    * One value-ordered window + one aggregate; weights accumulate in
+    * exact DECIMAL. The weighted generalisation of [[exactMedianTwoPass]]
+    * for frequency- or importance-weighted distributions (token counts,
+    * notional sizes). Non-positive/NULL weights drop. */
+  def weightedMedian(df: DataFrame, value: String, weight: String,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(value).isNotNull && col(weight).isNotNull &&
+      col(weight) > 0)
+    val perValue = base
+      .groupBy((keys.map(col) :+ col(value).as("_v")): _*)
+      .agg(sum(col(weight).cast(Dec)).as("_w"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wCum = wKey.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("_cw", sum(col("_w")).over(wCum))
+      .withColumn("_tw", sum(col("_w")).over(wKey))
+    cum.filter(col("_cw") * 2 >= col("_tw"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_v")).as("weighted_median"),
+        max(col("_tw")).cast("double").as("total_weight"))
+  }
+
   /** Benjamini–Hochberg FDR correction over a battery of p-values
     * (Benjamini & Hochberg 1995): with m tests and ascending order
     * statistics p₍ᵢ₎, the rejection threshold is the largest p₍ᵢ₎ ≤

@@ -480,6 +480,16 @@ object AnalyticsQueries {
           .select("user_id", "p_approx"),
         "p_approx", alpha = 0.05)),
 
+    // ── exact lower weighted median: price weighted by quantity, per flag
+    "q233_weighted_median" -> ((s, d) =>
+      graft.ops.Stats.weightedMedian(Tables.lineitem(s, d),
+        "l_extendedprice", "l_quantity", Seq("l_returnflag"))),
+
+    // ── rolling 24h distinct actives per hour (rolling-DAU shape)
+    "q234_rolling_actives" -> ((s, d) =>
+      graft.analytics.Behavior.rollingActives(Tables.events(s, d), "ts",
+        "user_id", bucket = "hour", windowN = 24)),
+
     // ── F4 coerce-parse semantics: malformed timestamp strings → NULL
     //    (try_to_timestamp; ANSI to_timestamp would throw)
     "q227_coerce_ts" -> ((s, d) => {
@@ -1773,6 +1783,27 @@ object AnalyticsQueries {
         |  ELSE FALSE END AS significant,
         | th.thresh AS bh_threshold
         |FROM d CROSS JOIN th""".stripMargin,
+    "q233_weighted_median" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |  l_quantity AS w FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |   AND l_quantity > 0),
+        |pv AS (SELECT g, v, sum(CAST(w AS DECIMAL(28,10))) AS wsum
+        | FROM base GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |  sum(wsum) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(wsum) OVER (PARTITION BY g) AS tw FROM pv)
+        |SELECT g AS l_returnflag, min(v) AS weighted_median,
+        | CAST(max(tw) AS DOUBLE) AS total_weight
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
+    "q234_rolling_actives" ->
+      """WITH pb AS (SELECT DISTINCT date_trunc('hour', ts) AS b,
+        |  user_id AS k FROM events),
+        |e AS (SELECT b + to_hours(off) AS bucket_ts, k FROM pb
+        | CROSS JOIN (SELECT unnest(range(0, 24)) AS off) o)
+        |SELECT bucket_ts, count(DISTINCT k) AS active_keys
+        |FROM e GROUP BY 1""".stripMargin,
     "q229_event_ngrams" ->
       """WITH l AS (SELECT event_type AS e0,
         |  lead(event_type, 1) OVER w AS e1,

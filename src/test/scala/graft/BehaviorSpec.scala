@@ -115,6 +115,20 @@ class BehaviorSpec extends SparkSpec {
     assert(ab.getDouble(9) == q6(8.0 / 6.0))   // lift 2·4/(3·2)
   }
 
+  test("rollingActives: trailing-window distinct counts via bounded fan-out") {
+    def h(i: Int) = Timestamp.valueOf(f"2025-01-01 $i%02d:15:00")
+    val events = Seq((1L, h(0)), (2L, h(0)), (2L, h(1)), (3L, h(5)))
+      .toDF("user_id", "ts")
+    val got = Behavior.rollingActives(events, "ts", "user_id",
+        bucket = "hour", windowN = 2)
+      .collect()
+      .map(r => r.getTimestamp(0).toString.take(13) -> r.getLong(1)).toMap
+    assert(got("2025-01-01 00") == 2L && got("2025-01-01 01") == 2L)
+    assert(got("2025-01-01 02") == 1L) // only u2's h1 activity survives
+    assert(got("2025-01-01 05") == 1L && got("2025-01-01 06") == 1L)
+    assert(got.size == 5)
+  }
+
   test("eventNgrams: per-user motifs, no cross-user bleed, top-k order") {
     val events = Seq(
       (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),

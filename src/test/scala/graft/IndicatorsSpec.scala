@@ -1200,6 +1200,17 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("weightedMedian: cumulative-weight pick, tie-safe, zero weights drop") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+      ("b", 5.0, 2.0), ("b", 7.0, 2.0),      // even split → lower median 5
+      ("b", 9.0, 0.0)).toDF("g", "v", "w")   // zero weight ignored
+    val got = Stats.weightedMedian(df, "v", "w", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(1) == 3.0) // 10 of 12 mass sits at 3
+    assert(got("a").getDouble(2) == 12.0)
+    assert(got("b").getDouble(1) == 5.0 && got("b").getDouble(2) == 4.0)
+  }
+
   test("ewmVolatility: hand RiskMetrics recursion at λ=0.5") {
     val df = Seq((1, 10.0), (2, 12.0), (3, 11.0)).toDF("i", "x")
       .withColumn("g", lit(1)).withColumn("t",
