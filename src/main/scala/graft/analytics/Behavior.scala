@@ -135,6 +135,29 @@ object Behavior {
     * needs no tiebreak to be deterministic. Rank products accumulate in
     * exact DECIMAL; one per-group window + one aggregate. NULL for empty
     * or zero-mass groups. */
+  /** Cohort churn analysis: per first-activity-day cohort, how many users
+    * went silent more than `inactiveDays` before the data's reference date
+    * (the global max event day — the same data-derived anchor as
+    * [[rfm]]). Two user-sized aggregates + one broadcast reference row;
+    * churn_rate = churned/n_users from exact integer counts. The
+    * product-analytics companion to [[retention]]: retention counts who
+    * came back, churn counts who never did. */
+  def churnRate(df: DataFrame, user: String, ts: String,
+                inactiveDays: Int = 7): DataFrame = {
+    val perUser = df.groupBy(col(user)).agg(
+      min(to_date(col(ts))).as("_first"),
+      max(to_date(col(ts))).as("_last"))
+    val ref = df.agg(max(to_date(col(ts))).as("_ref"))
+    perUser.crossJoin(broadcast(ref))
+      .withColumn("_churned",
+        (datediff(col("_ref"), col("_last")) > inactiveDays).cast("int"))
+      .groupBy(col("_first").as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_churned")).cast("long").as("churned"))
+      .withColumn("churn_rate",
+        round(col("churned").cast("double") / col("n_users"), 6))
+  }
+
   /** Rolling distinct actives per time bucket (rolling DAU/WAU): for each
     * bucket, the distinct `key` count over the trailing `windowN` buckets.
     * A naive trailing-window count-distinct would re-scan the window per

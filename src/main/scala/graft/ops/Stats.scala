@@ -771,6 +771,69 @@ object Stats {
       .drop("_s1", "_s2", "_s3", "_s4")
   }
 
+  /** Lorenz curve at decile resolution per group: for i = 1..10, the
+    * cumulative share of total mass held by the bottom ⌈n·i/10⌉ rows —
+    * the distributional companion to [[graft.analytics.Behavior.gini]]
+    * (Gini = 1 − 2·area under this curve). Rows pre-aggregate per VALUE
+    * before the cumulative pass, so ties cannot make the curve depend on
+    * row order; mass accumulates in exact DECIMAL. Output: (keys, decile,
+    * n_rows_covered, cum_share). Assumes non-negative mass. */
+  def lorenzCurve(df: DataFrame, value: String,
+                  keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.filter(col(value).isNotNull)
+      .groupBy((keys.map(col) :+ col(value).as("_v")): _*)
+      .agg(count(lit(1)).as("_c"), sum(col(value).cast(Dec)).as("_m"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wCum = wKey.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("_cc", sum(col("_c")).over(wCum))
+      .withColumn("_cm", sum(col("_m")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wKey))
+      .withColumn("_tm", sum(col("_m")).over(wKey))
+    val dec = cum.withColumn("_d", explode(sequence(lit(1), lit(10))))
+      // this value-row covers decile d iff it is the FIRST row whose
+      // cumulative row count reaches ⌈n·d/10⌉
+      .withColumn("_need", ceil(col("_n") * col("_d") / lit(10)))
+      .filter(col("_cc") >= col("_need") &&
+        col("_cc") - col("_c") < col("_need"))
+    dec.select((keys.map(col) :+ col("_d").as("decile") :+
+        col("_cc").as("n_rows_covered") :+
+        when(col("_tm").cast("double") > 0,
+          round(col("_cm").cast("double") /
+            when(col("_tm").cast("double") > 0, col("_tm").cast("double")),
+            6)).as("cum_share")): _*)
+  }
+
+  /** Herfindahl–Hirschman concentration index per group over per-entity
+    * mass (Σ shareᵢ² — 1/n for perfect competition, 1 for monopoly) plus
+    * the effective number of entities 1/HHI. One entity aggregate + one
+    * group aggregate, shares from exact-decimal sums, share² quantized to
+    * DECIMAL before the final sum. */
+  def hhi(df: DataFrame, entity: String, value: String,
+          keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perEntity = df.filter(col(value).isNotNull)
+      .groupBy((keys.map(col) :+ col(entity)): _*)
+      .agg(sum(col(value).cast(Dec)).as("_m"))
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val withTot = perEntity
+      .withColumn("_tm", sum(col("_m")).over(wKey))
+      .withColumn("_share",
+        col("_m").cast("double") /
+          when(col("_tm").cast("double") > 0, col("_tm").cast("double")))
+    withTot.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_entities"),
+        sum((col("_share") * col("_share")).cast("decimal(28,12)"))
+          .cast("double").as("_h"))
+      .withColumn("hhi", round(col("_h"), 6))
+      .withColumn("effective_n",
+        when(col("_h") > 0, round(lit(1.0) / when(col("_h") > 0, col("_h")),
+          6)))
+      .drop("_h")
+  }
+
   /** Exact lower weighted median per group: the smallest value whose
     * cumulative weight reaches half the group's total (ties on value are
     * safe — cumulative weight at a value is summed over ALL rows carrying

@@ -490,6 +490,37 @@ object AnalyticsQueries {
       graft.analytics.Behavior.rollingActives(Tables.events(s, d), "ts",
         "user_id", bucket = "hour", windowN = 24)),
 
+    // ── Lorenz curve deciles of per-user total value within event type
+    "q235_lorenz" -> ((s, d) =>
+      graft.ops.Stats.lorenzCurve(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(28,10)")).cast("double")
+            .as("user_total")),
+        "user_total", Seq("event_type"))),
+
+    // ── Herfindahl concentration of value across users per event type
+    "q236_hhi" -> ((s, d) =>
+      graft.ops.Stats.hhi(Tables.events(s, d), "user_id", "value",
+        Seq("event_type"))),
+
+    // ── cohort churn: users silent > 7 days before the reference date
+    "q237_churn" -> ((s, d) =>
+      graft.analytics.Behavior.churnRate(Tables.events(s, d), "user_id",
+        "ts", inactiveDays = 7)),
+
+    // ── DAU/MAU stickiness per day (two rolling-actives legs joined)
+    "q238_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val d1 = graft.analytics.Behavior.rollingActives(ev, "ts", "user_id",
+        bucket = "day", windowN = 1).withColumnRenamed("active_keys", "dau")
+      val d30 = graft.analytics.Behavior.rollingActives(ev, "ts", "user_id",
+        bucket = "day", windowN = 30).withColumnRenamed("active_keys", "mau")
+      d1.join(d30, Seq("bucket_ts"))
+        .withColumn("stickiness",
+          round(col("dau").cast("double") / col("mau"), 6))
+    }),
+
     // ── F4 coerce-parse semantics: malformed timestamp strings → NULL
     //    (try_to_timestamp; ANSI to_timestamp would throw)
     "q227_coerce_ts" -> ((s, d) => {
@@ -1783,6 +1814,67 @@ object AnalyticsQueries {
         |  ELSE FALSE END AS significant,
         | th.thresh AS bh_threshold
         |FROM d CROSS JOIN th""".stripMargin,
+    "q235_lorenz" ->
+      """WITH ut AS (SELECT event_type, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS user_total
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pv AS (SELECT event_type, user_total AS v, count(*) AS c,
+        |  sum(CAST(user_total AS DECIMAL(28,10))) AS m
+        | FROM ut GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v, c, m,
+        |  CAST(sum(c) OVER wc AS BIGINT) AS cc, sum(m) OVER wc AS cm,
+        |  CAST(sum(c) OVER wk AS BIGINT) AS n, sum(m) OVER wk AS tm
+        | FROM pv WINDOW wc AS (PARTITION BY event_type ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wk AS (PARTITION BY event_type)),
+        |g AS (SELECT event_type, c, cc, cm, tm, dd,
+        |  CAST(ceil(n * dd / 10) AS BIGINT) AS need FROM cum
+        | CROSS JOIN (SELECT unnest(range(1, 11)) AS dd) x)
+        |SELECT event_type, dd AS decile, cc AS n_rows_covered,
+        | CASE WHEN CAST(tm AS DOUBLE) > 0
+        |  THEN round(CAST(cm AS DOUBLE) / CAST(tm AS DOUBLE), 6)
+        | END AS cum_share
+        |FROM g WHERE cc >= need AND cc - c < need""".stripMargin,
+    "q236_hhi" ->
+      """WITH pe AS (SELECT event_type, user_id,
+        |  sum(CAST(value AS DECIMAL(28,10))) AS m
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, m,
+        |  sum(m) OVER (PARTITION BY event_type) AS tm FROM pe),
+        |s AS (SELECT event_type,
+        |  CASE WHEN CAST(tm AS DOUBLE) > 0
+        |   THEN CAST(m AS DOUBLE) / CAST(tm AS DOUBLE) END AS share
+        | FROM t),
+        |a AS (SELECT event_type, count(*) AS n_entities,
+        |  CAST(sum(CAST(share * share AS DECIMAL(28,12))) AS DOUBLE) AS h
+        | FROM s GROUP BY 1)
+        |SELECT event_type, n_entities, round(h, 6) AS hhi,
+        | CASE WHEN h > 0 THEN round(1.0 / h, 6) END AS effective_n
+        |FROM a""".stripMargin,
+    "q237_churn" ->
+      """WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+        |  max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1),
+        |r AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events),
+        |c AS (SELECT f,
+        |  CASE WHEN date_diff('day', l, ref) > 7 THEN 1 ELSE 0 END AS ch
+        | FROM pu CROSS JOIN r)
+        |SELECT f AS cohort, count(*) AS n_users,
+        | CAST(sum(ch) AS BIGINT) AS churned,
+        | round(CAST(sum(ch) AS DOUBLE) / count(*), 6) AS churn_rate
+        |FROM c GROUP BY 1""".stripMargin,
+    "q238_stickiness" ->
+      """WITH pb AS (SELECT DISTINCT
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS b, user_id AS k
+        | FROM events),
+        |d1 AS (SELECT b AS bucket_ts, count(DISTINCT k) AS dau
+        | FROM pb GROUP BY 1),
+        |e30 AS (SELECT b + to_days(CAST(off AS INT)) AS bucket_ts, k
+        | FROM pb CROSS JOIN (SELECT unnest(range(0, 30)) AS off) o),
+        |d30 AS (SELECT bucket_ts, count(DISTINCT k) AS mau
+        | FROM e30 GROUP BY 1)
+        |SELECT bucket_ts, dau, mau,
+        | round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+        |FROM d1 JOIN d30 USING (bucket_ts)""".stripMargin,
     "q233_weighted_median" ->
       """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS v,
         |  l_quantity AS w FROM lineitem

@@ -115,6 +115,18 @@ class BehaviorSpec extends SparkSpec {
     assert(ab.getDouble(9) == q6(8.0 / 6.0))   // lift 2·4/(3·2)
   }
 
+  test("churnRate: silence beyond the window counts against the cohort") {
+    def day(d: Int) = Timestamp.valueOf(f"2025-01-$d%02d 12:00:00")
+    val events = Seq((1L, day(1)), (2L, day(1)), (2L, day(20)))
+      .toDF("user_id", "ts")
+    val got = Behavior.churnRate(events, "user_id", "ts", inactiveDays = 7)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head // cohort 2025-01-01: u1 silent 19d → churned, u2 active
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getDouble(3) == 0.5)
+  }
+
   test("rollingActives: trailing-window distinct counts via bounded fan-out") {
     def h(i: Int) = Timestamp.valueOf(f"2025-01-01 $i%02d:15:00")
     val events = Seq((1L, h(0)), (2L, h(0)), (2L, h(1)), (3L, h(5)))

@@ -1200,6 +1200,27 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("lorenzCurve: hand deciles over a skewed four-row mass") {
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0), ("g", 6.0))
+      .toDF("k", "x")
+    val got = Stats.lorenzCurve(df, "x", Seq("k"))
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(got.size == 10)
+    assert((1 to 5).forall(got(_) == 0.2))   // bottom half holds 2/10
+    assert(got(6) == 0.4 && got(7) == 0.4)   // +the 2.0 row → 4/10
+    assert((8 to 10).forall(got(_) == 1.0))
+  }
+
+  test("hhi: hand shares and the monopoly/competition poles") {
+    val df = Seq(("g", "a", 5.0), ("g", "b", 3.0), ("g", "c", 2.0),
+      ("m", "only", 7.0)).toDF("k", "e", "x")
+    val got = Stats.hhi(df, "e", "x", Seq("k"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g").getLong(1) == 3L && got("g").getDouble(2) == 0.38)
+    assert(got("g").getDouble(3) == q6(1.0 / 0.38))
+    assert(got("m").getDouble(2) == 1.0 && got("m").getDouble(3) == 1.0)
+  }
+
   test("weightedMedian: cumulative-weight pick, tie-safe, zero weights drop") {
     val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
       ("b", 5.0, 2.0), ("b", 7.0, 2.0),      // even split → lower median 5
