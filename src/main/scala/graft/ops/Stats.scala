@@ -771,6 +771,88 @@ object Stats {
       .drop("_s1", "_s2", "_s3", "_s4")
   }
 
+  /** Hill tail-index estimator per group (Hill 1975): over the k largest
+    * positive values, α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — the standard heavy-tail
+    * diagnostic (α ≈ 1–2 for power-law traffic/wealth tails, large α for
+    * thin tails). Boundary ties are safe: tied rows carry identical ln x,
+    * so which of them land inside the top-k cannot change the sum. One
+    * per-group rank window (top-k+1 survives, the rest drop before the
+    * aggregate) + exact-decimal log sums. NULL when the denominator
+    * degenerates (all top values equal) or the group has < k+1 positive
+    * rows. */
+  def hillEstimator(df: DataFrame, value: String, keys: Seq[String],
+                    k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be ≥ 2, got $k")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(value).desc)
+    val top = df.filter(col(value).isNotNull && col(value) > 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1)
+    val agged = top.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      sum(when(col("_rn") <= k, log(col(value))).cast(Dec))
+        .cast("double").as("_slog"),
+      max(when(col("_rn") === k + 1, col(value))).as("_xk1"))
+    val denom = col("_slog") - lit(k.toDouble) * log(col("_xk1"))
+    agged
+      .withColumn("hill_alpha",
+        when(col("_n") === k + 1 && col("_xk1") > 0 && denom > 0,
+          round(lit(k.toDouble) / denom, 6)))
+      .select(keys.map(col) :+ col("_n").as("n_top") :+
+        col("hill_alpha"): _*)
+  }
+
+  /** Trimmed mean per group: the exact-decimal mean of values strictly
+    * inside the [p_lo, p_hi] exact-percentile band — the DROPPING robust
+    * location estimate ([[winsorize]] is the clipping one). Same plan
+    * shape as the winsorize fences: one group-sized quantile aggregate
+    * broadcast back onto the scan, the data never wide-shuffles. */
+  def trimmedMean(df: DataFrame, value: String, keys: Seq[String],
+                  lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad band [$lo, $hi]")
+    val fences = df.groupBy(keys.map(col): _*).agg(
+      expr(s"percentile($value, $lo)").as("_lo"),
+      expr(s"percentile($value, $hi)").as("_hi"))
+    df.filter(col(value).isNotNull)
+      .join(broadcast(fences), keys)
+      .filter(col(value) >= col("_lo") && col(value) <= col("_hi"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col(value).cast(Dec)).cast("double") /
+          count(lit(1)), 6).as("trimmed_mean"))
+  }
+
+  /** Two-proportion z-test (pooled): for binary outcomes across two
+    * groups, z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled
+    * success rate — the conversion A/B screen. `success` must be 0/1.
+    * One tiny aggregate; every closed form pinned; NULL z when a group
+    * is empty or the pooled rate degenerates. */
+  def twoProportionZ(df: DataFrame, group: String, success: String,
+                     aLabel: String, bLabel: String): DataFrame = {
+    val base = df.filter(col(group) === aLabel || col(group) === bLabel)
+    val agged = base.agg(
+      count(when(col(group) === aLabel, 1)).as("n1"),
+      count(when(col(group) === bLabel, 1)).as("n2"),
+      sum(when(col(group) === aLabel, col(success)).otherwise(lit(0)))
+        .cast("long").as("s1"),
+      sum(when(col(group) === bLabel, col(success)).otherwise(lit(0)))
+        .cast("long").as("s2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val p1 = col("s1").cast("double") / when(n1 > 0, n1)
+    val p2 = col("s2").cast("double") / when(n2 > 0, n2)
+    val pp = (col("s1") + col("s2")).cast("double") /
+      when(n1 + n2 > 0, n1 + n2)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / when(n1 > 0, n1) +
+      lit(1.0) / when(n2 > 0, n2)))
+    agged
+      .withColumn("p1", when(col("n1") > 0, round(p1, 6)))
+      .withColumn("p2", when(col("n2") > 0, round(p2, 6)))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 && se > 0,
+          round((p1 - p2) / se, 6)))
+  }
+
   /** Lorenz curve at decile resolution per group: for i = 1..10, the
     * cumulative share of total mass held by the bottom ⌈n·i/10⌉ rows —
     * the distributional companion to [[graft.analytics.Behavior.gini]]

@@ -509,6 +509,26 @@ object AnalyticsQueries {
       graft.analytics.Behavior.churnRate(Tables.events(s, d), "user_id",
         "ts", inactiveDays = 7)),
 
+    // ── Hill tail-index estimator over the top-50 values per event type
+    "q239_hill" -> ((s, d) =>
+      graft.ops.Stats.hillEstimator(Tables.events(s, d), "value",
+        Seq("event_type"), k = 50)),
+
+    // ── 5–95% trimmed mean per event type (dropping robust location)
+    "q240_trimmed_mean" -> ((s, d) =>
+      graft.ops.Stats.trimmedMean(Tables.events(s, d), "value",
+        Seq("event_type"), lo = 0.05, hi = 0.95)),
+
+    // ── two-proportion z-test: purchase conversion, even vs odd users
+    "q241_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      graft.ops.Stats.twoProportionZ(users, "grp", "converted", "A", "B")
+    }),
+
     // ── DAU/MAU stickiness per day (two rolling-actives legs joined)
     "q238_stickiness" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1814,6 +1834,60 @@ object AnalyticsQueries {
         |  ELSE FALSE END AS significant,
         | th.thresh AS bh_threshold
         |FROM d CROSS JOIN th""".stripMargin,
+    "q239_hill" ->
+      """WITH t AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC)
+        |    AS rn
+        | FROM events WHERE value IS NOT NULL AND value > 0),
+        |f AS (SELECT event_type, value, rn FROM t WHERE rn <= 51),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN rn <= 50 THEN ln(value) END
+        |    AS DECIMAL(28,10))) AS DOUBLE) AS slog,
+        |  max(CASE WHEN rn = 51 THEN value END) AS xk1
+        | FROM f GROUP BY 1)
+        |SELECT event_type, n AS n_top,
+        | CASE WHEN n = 51 AND xk1 > 0 AND slog - 50.0 * ln(xk1) > 0
+        |  THEN round(50.0 / (slog - 50.0 * ln(xk1)), 6) END AS hill_alpha
+        |FROM a""".stripMargin,
+    "q240_trimmed_mean" ->
+      """WITH f AS (SELECT event_type,
+        |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        | FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_kept,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+        |   / count(*), 6) AS trimmed_mean
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value IS NOT NULL AND e.value >= f.lo AND e.value <= f.hi
+        |GROUP BY 1""".stripMargin,
+    "q241_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS converted
+        | FROM events GROUP BY 1),
+        |g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |    AS grp, converted FROM u),
+        |a AS (SELECT count(CASE WHEN grp = 'A' THEN 1 END) AS n1,
+        |  count(CASE WHEN grp = 'B' THEN 1 END) AS n2,
+        |  CAST(sum(CASE WHEN grp = 'A' THEN converted ELSE 0 END)
+        |    AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN grp = 'B' THEN converted ELSE 0 END)
+        |    AS BIGINT) AS s2
+        | FROM g),
+        |v AS (SELECT n1, n2, s1, s2,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1d,
+        |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2d,
+        |  CAST(s1 + s2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+        | FROM a)
+        |SELECT n1, n2, s1, s2,
+        | round(p1d, 6) AS p1, round(p2d, 6) AS p2,
+        | CASE WHEN n1 > 0 AND n2 > 0 AND
+        |   sqrt(pp * (1.0 - pp) * (1.0 / CAST(n1 AS DOUBLE)
+        |     + 1.0 / CAST(n2 AS DOUBLE))) > 0
+        |  THEN round((p1d - p2d) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+        | END AS z
+        |FROM v""".stripMargin,
     "q235_lorenz" ->
       """WITH ut AS (SELECT event_type, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS user_total

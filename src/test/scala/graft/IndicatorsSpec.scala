@@ -1200,6 +1200,37 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("hillEstimator: hand dyadic tail; short groups NULL") {
+    // top-2 of (8,4,2,1) over x₃=2 → α = 2/(ln8 + ln4 − 2·ln2) = 2/(3ln2)
+    val df = Seq(("g", 8.0), ("g", 4.0), ("g", 2.0), ("g", 1.0),
+      ("s", 5.0), ("s", 3.0)).toDF("k", "x")
+    val got = Stats.hillEstimator(df, "x", Seq("k"), k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exp = 2.0 / (math.log(8.0) + math.log(4.0) - 2.0 * math.log(2.0))
+    assert(got("g").getLong(1) == 3L &&
+      math.abs(got("g").getDouble(2) - exp) < 1e-6)
+    assert(got("s").isNullAt(2)) // only 2 rows < k+1
+  }
+
+  test("trimmedMean: drops the exact-percentile tails, unlike winsorize") {
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val r = Stats.trimmedMean(df, "x", Seq("k"), 0.05, 0.95)
+      .collect().head
+    // p05 = 1.95, p95 = 19.05 → keep 2..19 → mean 10.5
+    assert(r.getLong(1) == 18L && r.getDouble(2) == 10.5)
+  }
+
+  test("twoProportionZ: hand pooled z on a small A/B split") {
+    val df = (Seq.fill(2)(("A", 1)) ++ Seq.fill(2)(("A", 0)) ++
+      Seq.fill(1)(("B", 1)) ++ Seq.fill(3)(("B", 0))).toDF("g", "c")
+    val r = Stats.twoProportionZ(df, "g", "c", "A", "B").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L &&
+      r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.25)
+    val se = math.sqrt(0.375 * 0.625 * (0.25 + 0.25))
+    assert(r.getDouble(6) == q6(0.25 / se))
+  }
+
   test("lorenzCurve: hand deciles over a skewed four-row mass") {
     val df = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0), ("g", 6.0))
       .toDF("k", "x")
