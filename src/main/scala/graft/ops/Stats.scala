@@ -771,6 +771,79 @@ object Stats {
       .drop("_s1", "_s2", "_s3", "_s4")
   }
 
+  /** Chi-square test of independence between two categorical columns plus
+    * Cramér's V effect size: χ² = Σ (O − E)²/E over the contingency table
+    * with E = rowTotal·colTotal/n, V = √(χ²/(n·(min(r,c)−1))). The
+    * contingency table is |a|·|b| cells (one hash aggregate over the
+    * data); marginals ride cell-frame windows; per-cell terms quantize to
+    * DECIMAL before the χ² sum so accumulation order is pinned. Returns
+    * one row (n, r, c, dof, chi2, cramers_v). */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("_a"), col(b).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val wA = Window.partitionBy(col("_a"))
+    val wB = Window.partitionBy(col("_b"))
+    val wAll = Window.partitionBy()
+    val withE = cells
+      .withColumn("_ra", sum(col("_o")).over(wA))
+      .withColumn("_cb", sum(col("_o")).over(wB))
+      .withColumn("_n", sum(col("_o")).over(wAll))
+      .withColumn("_e",
+        (col("_ra") * col("_cb")).cast("double") /
+          when(col("_n") > 0, col("_n").cast("double")))
+      .withColumn("_term",
+        (((col("_o").cast("double") - col("_e")) *
+          (col("_o").cast("double") - col("_e"))) /
+          when(col("_e") > 0, col("_e"))).cast("decimal(28,12)"))
+    val agged = withE.agg(
+      max(col("_n")).cast("long").as("n"),
+      countDistinct(col("_a")).as("r"),
+      countDistinct(col("_b")).as("c"),
+      sum(col("_term")).cast("double").as("_chi2"))
+    val minDim = least(col("r"), col("c")).cast("double") - lit(1.0)
+    agged
+      .withColumn("dof", (col("r") - 1) * (col("c") - 1))
+      .withColumn("chi2", round(col("_chi2"), 6))
+      .withColumn("cramers_v",
+        when(col("n") > 0 && minDim > 0,
+          round(sqrt(col("_chi2") /
+            when(col("n").cast("double") * minDim > 0,
+              col("n").cast("double") * minDim)), 6)))
+      .drop("_chi2")
+  }
+
+  /** CUPED variance-reduced metric (Deng et al. WSDM'13): per row,
+    * y_adj = y − θ·(x − x̄) with θ = cov(x, y)/var(x) from exact-decimal
+    * moments over the WHOLE frame (the pre-experiment covariate is fitted
+    * pooled, as the method prescribes, so the adjustment cannot leak the
+    * treatment split). One 1-row moment aggregate broadcast back onto the
+    * scan; emits the input columns plus y_adj and repeats theta. The
+    * standard experimentation trick: same mean, strictly smaller variance
+    * whenever x correlates with y. */
+  def cuped(df: DataFrame, y: String, x: String): DataFrame = {
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val base = df.filter(col(y).isNotNull && col(x).isNotNull)
+    val m = base.agg(
+      count(lit(1)).as("_n"),
+      dsum(col(x)).as("_sx"), dsum(col(y)).as("_sy"),
+      dsum(col(x) * col(x)).as("_sxx"),
+      dsum(col(x) * col(y)).as("_sxy"))
+    val n = col("_n").cast("double")
+    val vx = n * col("_sxx") - col("_sx") * col("_sx")
+    val theta = (n * col("_sxy") - col("_sx") * col("_sy")) /
+      when(vx =!= 0.0, vx)
+    val xbar = col("_sx") / when(n > 0, n)
+    base.crossJoin(broadcast(m))
+      .withColumn("theta", when(vx =!= 0.0, round(theta, 6)))
+      .withColumn("y_adj",
+        when(vx =!= 0.0,
+          round(col(y) - theta * (col(x) - xbar), 6))
+          .otherwise(col(y)))
+      .drop("_n", "_sx", "_sy", "_sxx", "_sxy")
+  }
+
   /** Hill tail-index estimator per group (Hill 1975): over the k largest
     * positive values, α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) — the standard heavy-tail
     * diagnostic (α ≈ 1–2 for power-law traffic/wealth tails, large α for

@@ -519,6 +519,20 @@ object AnalyticsQueries {
       graft.ops.Stats.trimmedMean(Tables.events(s, d), "value",
         Seq("event_type"), lo = 0.05, hi = 0.95)),
 
+    // ── chi-square independence: event type × day-of-week + Cramér's V
+    "q242_chi2" -> ((s, d) =>
+      graft.ops.Stats.chiSquare(
+        Tables.events(s, d).withColumn("dow", dayofweek(col("ts"))),
+        "event_type", "dow")),
+
+    // ── CUPED variance-reduced metric: value adjusted by the k covariate
+    "q243_cuped" -> ((s, d) =>
+      graft.ops.Stats.cuped(
+        Tables.events(s, d).select(col("event_id"),
+          col("value").as("y"),
+          get_json_object(col("props"), "$.k").cast("double").as("x")),
+        "y", "x")),
+
     // ── two-proportion z-test: purchase conversion, even vs odd users
     "q241_ab_test" -> ((s, d) => {
       val users = Tables.events(s, d).groupBy("user_id")
@@ -1834,6 +1848,50 @@ object AnalyticsQueries {
         |  ELSE FALSE END AS significant,
         | th.thresh AS bh_threshold
         |FROM d CROSS JOIN th""".stripMargin,
+    // day-of-week parity: Spark Sunday=1..7, DuckDB Sunday=0..6 → +1
+    "q242_chi2" ->
+      """WITH base AS (SELECT event_type AS a,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS b FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |m AS (SELECT a, b, o,
+        |  CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+        |  CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+        |  CAST(sum(o) OVER () AS BIGINT) AS n FROM cells),
+        |t AS (SELECT a, b, o, n,
+        |  CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE) AS e FROM m),
+        |t2 AS (SELECT n, a, b,
+        |  CAST(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+        |    AS DECIMAL(28,12)) AS term FROM t),
+        |g AS (SELECT max(n) AS n, count(DISTINCT a) AS r,
+        |  count(DISTINCT b) AS c, CAST(sum(term) AS DOUBLE) AS chi2r
+        | FROM t2)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof, round(chi2r, 6) AS chi2,
+        | CASE WHEN n > 0 AND CAST(least(r, c) AS DOUBLE) - 1.0 > 0
+        |  THEN round(sqrt(chi2r / (CAST(n AS DOUBLE)
+        |    * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6) END AS cramers_v
+        |FROM g""".stripMargin,
+    "q243_cuped" ->
+      """WITH base AS (SELECT event_id, value AS y,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS x FROM events
+        | WHERE value IS NOT NULL
+        |   AND CAST(json_extract(props, '$.k') AS DOUBLE) IS NOT NULL),
+        |m AS (SELECT count(*) AS nn,
+        |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM base),
+        |v AS (SELECT nn, sx, sy, sxx, sxy,
+        |  CAST(nn AS DOUBLE) * sxx - sx * sx AS vx,
+        |  (CAST(nn AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(nn AS DOUBLE) * sxx - sx * sx) AS theta,
+        |  sx / CAST(nn AS DOUBLE) AS xbar FROM m)
+        |SELECT b.event_id, b.y, b.x,
+        | CASE WHEN vx != 0.0 THEN round(theta, 6) END AS theta,
+        | CASE WHEN vx != 0.0 THEN round(b.y - theta * (b.x - xbar), 6)
+        |  ELSE b.y END AS y_adj
+        |FROM base b CROSS JOIN v""".stripMargin,
     "q239_hill" ->
       """WITH t AS (SELECT event_type, value,
         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC)

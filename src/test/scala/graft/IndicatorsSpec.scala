@@ -1200,6 +1200,29 @@ class IndicatorsSpec extends SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("chiSquare: hand 2×2 association and Cramér's V") {
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val r = Stats.chiSquare(rows.toDF("u", "v"), "u", "v").collect().head
+    assert(r.getLong(0) == 80L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L)        // dof
+    assert(r.getDouble(4) == 20.0)    // 4 cells × (10²/20)
+    assert(r.getDouble(5) == 0.5)     // √(20/80)
+  }
+
+  test("cuped: a perfect covariate collapses variance; constant x is a " +
+    "no-op") {
+    val df = Seq((1L, 2.0, 1.0), (2L, 4.0, 2.0), (3L, 6.0, 3.0))
+      .toDF("id", "y", "x")
+    val got = Stats.cuped(df, "y", "x").orderBy("id").collect()
+    assert(got.forall(_.getDouble(3) == 2.0))  // theta
+    assert(got.forall(_.getDouble(4) == 4.0))  // y_adj = ȳ everywhere
+    val const = Seq((1L, 2.0, 5.0), (2L, 9.0, 5.0)).toDF("id", "y", "x")
+    val c = Stats.cuped(const, "y", "x").orderBy("id").collect()
+    assert(c.forall(_.isNullAt(3)))
+    assert(c.map(_.getDouble(4)).toSeq == Seq(2.0, 9.0)) // passthrough
+  }
+
   test("hillEstimator: hand dyadic tail; short groups NULL") {
     // top-2 of (8,4,2,1) over x₃=2 → α = 2/(ln8 + ln4 − 2·ln2) = 2/(3ln2)
     val df = Seq(("g", 8.0), ("g", 4.0), ("g", 2.0), ("g", 1.0),
