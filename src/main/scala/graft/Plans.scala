@@ -117,7 +117,28 @@ object Plans {
       "q178_moments" -> Seq("HashAggregate"),
       "q177_tail_risk" -> Seq("Window", "HashAggregate"),
       // cointegration: the stage-1 fit broadcasts back onto the series scan
-      "q185_coint" -> Seq("BroadcastHashJoin", "Window"))
+      "q185_coint" -> Seq("BroadcastHashJoin", "Window"),
+      // hurst: pure aggregate ladder after the diff window
+      "q203_hurst" -> Seq("Window", "HashAggregate"),
+      // rfm: quantile breakpoints broadcast — NOT a global ntile sort
+      "q206_rfm" -> Seq("BroadcastNestedLoopJoin"),
+      // JL projection and the per-doc text stats are shuffle-free
+      "q215_jl_project" -> Seq("!Exchange"),
+      "q210_lexdiv" -> Seq("!Exchange"),
+      "q228_readability" -> Seq("!Exchange"),
+      // silhouette: label-sized centroid frame broadcast onto the corpus
+      "q216_silhouette" -> Seq("BroadcastNestedLoopJoin"),
+      // triangles: wedge closure MUST stay an equi-join
+      "q220_triangles" -> Seq("HashJoin", "!NestedLoopJoin"),
+      // basket lift: item marginals broadcast onto the pair frame
+      "q218_basket_lift" -> Seq("BroadcastHashJoin"),
+      // modularity: community tags broadcast onto the edge aggregate
+      "q223_modularity" -> Seq("BroadcastHashJoin"),
+      // market beta: the bucket-bounded market leg broadcasts
+      "q231_market_beta" -> Seq("BroadcastHashJoin", "Window"),
+      // weighted median / chi²: value-grouped cumulative windows
+      "q233_weighted_median" -> Seq("Window", "HashAggregate"),
+      "q242_chi2" -> Seq("Window", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
