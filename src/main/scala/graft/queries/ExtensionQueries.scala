@@ -68,6 +68,12 @@ object ExtensionQueries {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", "source", 2, 0.05,
         maxDf = Dedup.DefaultMaxDf)),
 
+    // ── asymmetric containment |A∩B|/|A| — the quote/subset detector the
+    //    symmetric Jaccard misses
+    "q244_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
+        "source", 2, 0.3, maxDf = Dedup.DefaultMaxDf)),
+
     // ── winnowing fingerprint
     "q32_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(Tables.documents(s, d), "text")
@@ -1366,6 +1372,24 @@ object ExtensionQueries {
       s"""WITH $toksCte,
          |hs AS (SELECT doc_id, list_transform(w, t -> ${h64d("t")}) AS hs, len(w) AS n FROM toks)
          |SELECT doc_id, $simhashBits AS simhash FROM hs""".stripMargin,
+    "q244_containment" ->
+      s"""WITH $toksCte,
+         |gs AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS gstr FROM toks),
+         |g AS (SELECT doc_id, source, ${h64d("gstr")} AS g FROM gs),
+         |sizes AS (SELECT doc_id, count(*) AS n_g FROM g GROUP BY 1),
+         |dfreq AS (SELECT source, g, count(*) AS ndoc FROM g GROUP BY 1, 2),
+         |k AS (SELECT g.* FROM g JOIN dfreq USING (source, g)
+         |  WHERE ndoc BETWEEN 2 AND ${Dedup.DefaultMaxDf}),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM k a JOIN k b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |f AS (SELECT id_a, id_b, n_inter,
+         |  round(n_inter::DOUBLE / na.n_g, 6) AS containment_a,
+         |  round(n_inter::DOUBLE / nb.n_g, 6) AS containment_b
+         |  FROM inter JOIN sizes na ON id_a = na.doc_id
+         |  JOIN sizes nb ON id_b = nb.doc_id)
+         |SELECT * FROM f
+         |WHERE containment_a >= 0.3 OR containment_b >= 0.3""".stripMargin,
     "q31_ngram_jaccard" ->
       s"""WITH $toksCte,
          |gs AS (SELECT doc_id, source, unnest(list_distinct(${shingleExpr(2)})) AS gstr FROM toks),

@@ -424,6 +424,39 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric n-gram CONTAINMENT for pairs within a scope (Broder 1997's
+    * second resemblance measure): C(A→B) = |A∩B|/|A| — near 1 when A is
+    * quoted or wholly embedded inside a larger B even though the Jaccard
+    * resemblance is tiny, which is exactly the subset/quote-detection case
+    * [[ngramJaccard]] misses. Same plan and hot-shingle cap as the Jaccard
+    * join (denominators |A|,|B| stay exact on the FULL sets); keeps pairs
+    * where EITHER direction reaches `minContainment`. */
+  def ngramContainment(df: DataFrame, id: String, text: String,
+                       scope: String, n: Int, minContainment: Double,
+                       maxDf: Int = DefaultMaxDf): DataFrame = {
+    val grams = ngrams(df, id, text, scope, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("n_g"))
+    val dfreq = grams.groupBy(col(scope), col("g")).agg(count(lit(1)).as("ndoc"))
+    val keep = grams.join(dfreq.filter(col("ndoc").between(2, maxDf)),
+      Seq(scope, "g"))
+    val inter = keep.as("a").join(keep.as("b"),
+        col("a.g") === col("b.g") && col(s"a.$scope") === col(s"b.$scope") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col(s"na.$id"))
+      .join(sizes.as("nb"), col("id_b") === col(s"nb.$id"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("na.n_g"), 6)
+          .as("containment_a"),
+        round(col("n_inter").cast("double") / col("nb.n_g"), 6)
+          .as("containment_b"))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+  }
+
   /** Shingles the Jaccard join drops at `maxDf`: (scope, g, ndoc). Human-
     * facing report, so g stays the readable string (the join path hashes). */
   def ngramHotShingles(df: DataFrame, id: String, text: String, scope: String,

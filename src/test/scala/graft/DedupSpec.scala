@@ -232,4 +232,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(got.forall { case (k, (_, s)) => again(k) == s })
   }
+
+  test("ngramContainment: a quoted fragment scores 1 toward its host " +
+    "while Jaccard stays small") {
+    import spark.implicits._
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s"),     // fully contained in doc 2
+      (2L, host, "s"),
+      (3L, "unrelated totally different words here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.ngramContainment(docs, "doc_id", "text", "source",
+        n = 2, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    val p = got((1L, 2L))
+    // doc1 has 2 bigrams, both inside doc2's 9 → C(A→B)=1, C(B→A)=2/9
+    assert(p.getLong(2) == 2L && p.getDouble(3) == 1.0)
+    assert(p.getDouble(4) == math.floor(2.0 / 9.0 * 1e6 + 0.5) / 1e6)
+    // the symmetric Jaccard on the same pair is only 2/9 — sub-threshold
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", "source", 2, 0.5)
+    assert(j.count() == 0)
+  }
 }
