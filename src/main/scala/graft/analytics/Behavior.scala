@@ -128,13 +128,6 @@ object Behavior {
         round(col("n_trans").cast("double") / col("n_from"), 6))
   }
 
-  /** Gini concentration coefficient per group over NON-NEGATIVE weights
-    * (e.g. how concentrated total spend is across users):
-    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with x ascending, i = 1..n.
-    * Σ i·x is invariant under permutations of tied values, so row_number
-    * needs no tiebreak to be deterministic. Rank products accumulate in
-    * exact DECIMAL; one per-group window + one aggregate. NULL for empty
-    * or zero-mass groups. */
   /** Cohort churn analysis: per first-activity-day cohort, how many users
     * went silent more than `inactiveDays` before the data's reference date
     * (the global max event day — the same data-derived anchor as
@@ -271,6 +264,18 @@ object Behavior {
         "support", "conf_a_b", "conf_b_a", "lift")
   }
 
+  /** Gini concentration coefficient per group over NON-NEGATIVE weights
+    * (e.g. how concentrated total spend is across users):
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with x ascending, i = 1..n.
+    * Σ i·x is invariant under permutations of tied values, so row_number
+    * needs no tiebreak to be deterministic. Rank products accumulate in
+    * exact DECIMAL; one per-group window + one aggregate. NULL for empty
+    * or zero-mass groups.
+    *
+    * Scale shape: the input here is an already-aggregated per-entity frame
+    * (entity-cardinality-sized, not data-sized); for raw-row inputs at
+    * 100 TB prefer [[graft.ops.Stats.giniPerValue]], which pre-aggregates
+    * per distinct value so the rank window rides over a bounded frame. */
   def gini(df: DataFrame, value: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))

@@ -204,12 +204,23 @@ object Graph {
     * the CURRENT frontier (not the whole visited set) against the edges
     * and anti-joins out already-settled nodes, so per-round work is
     * proportional to the frontier — the standard level-synchronous BFS a
-    * 1000-executor cluster runs; `maxHops` bounds the loop (and the
-    * logical plan's growth). Unreachable nodes are absent from the
-    * output. Emits (id, hops). */
+    * 1000-executor cluster runs; `maxHops` bounds the loop. Unreachable
+    * nodes are absent from the output. Emits (id, hops).
+    *
+    * Deep-graph hardening (the `starClusters` pattern): each frontier is
+    * eagerly `localCheckpoint`ed — it is consumed three times (emptiness
+    * probe, settled union, next round's join), and without truncation the
+    * logical plan grows a join level per hop, making Catalyst analysis
+    * (not data) the bottleneck on path-shaped graphs. The settled set's
+    * union chain is likewise truncated every `CheckpointEvery` hops. The
+    * edge list is persisted once — it is re-joined every round. On a
+    * cluster where executor loss must be survivable, swap for reliable
+    * `checkpoint`. */
   def bfsHops(edges: DataFrame, src: String, dst: String,
               sources: DataFrame, id: String, maxHops: Int): DataFrame = {
+    val CheckpointEvery = 8
     val e = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var settled = sources.select(col(id).as("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = settled
@@ -220,8 +231,13 @@ object Graph {
         .select(col("_d").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
+        .localCheckpoint(true) // materialize + truncate lineage
       settled = settled.union(frontier)
+      if (hop % CheckpointEvery == 0)
+        settled = settled.localCheckpoint(true)
     }
+    // frontiers are materialized, so the returned plan no longer reads e
+    e.unpersist()
     settled
   }
 }

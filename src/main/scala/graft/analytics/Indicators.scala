@@ -1060,7 +1060,11 @@ object Indicators {
         |    'arr', concat(acc.arr, array((acc.last + element_at(_hc, i - 1)) / 2.0D)),
         |    'last', (acc.last + element_at(_hc, i - 1)) / 2.0D),
         |  acc -> acc.arr)""".stripMargin)
-    packed.withColumn("_ho", hoFold)
+    // same single-bar guard as kalmanLevel: sequence(2, 1) counts DOWN,
+    // so a one-bar key must take the closed form ho₁ = (o₁+c₁)/2 directly
+    packed.withColumn("_ho",
+        when(size(col("seq")) >= 2, hoFold)
+          .otherwise(expr("transform(seq, p -> (p.open + p.close) / 2.0D)")))
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_hc"), col("_ho"))).as("_z")): _*)
       .select((keys.map(col) :+
@@ -1318,7 +1322,12 @@ object Indicators {
          |    'p', (1.0D - ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar)))
          |      * (acc.p + $qVar)),
          |  acc -> acc.arr)""".stripMargin)
-    packed.withColumn("_kf", fold)
+    // sequence(2, size(seq)) with size = 1 yields [2, 1] (Spark's default
+    // step is -1 when start > stop), which would run two out-of-bounds
+    // iterations — single-bar keys take the closed form kf = x₁ instead
+    packed.withColumn("_kf",
+        when(size(col("seq")) >= 2, fold)
+          .otherwise(expr("transform(seq, p -> p._gx)")))
       .filter(size(col("seq")) >= 1)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_kf"))).as("_z")): _*)
@@ -1583,7 +1592,8 @@ object Indicators {
       .withColumn("_x2", lead(col(value), 2).over(wBase))
       .filter(col("_x1").isNotNull && col("_x2").isNotNull)
     val a = col(value); val b = col("_x1"); val c = col("_x2")
-    // pattern = 4·[a≤b] + 2·[a≤c] + 1·[b≤c]; 0b011/0b100 are infeasible
+    // pattern = 4·[a≤b] + 2·[a≤c] + 1·[b≤c]; 0b010/0b101 are infeasible
+    // (transitivity: a>b ∧ a≤c forces b<c, and a≤b ∧ a>c forces b>c)
     val pattern = (when(a <= b, 4).otherwise(0) +
       when(a <= c, 2).otherwise(0) + when(b <= c, 1).otherwise(0))
     val counts = trip.withColumn("_pat", pattern)

@@ -134,35 +134,66 @@ object Stats {
   /** Top-share selection per group: keep the largest rows until they cover
     * `share` of the group's total mass (the nucleus/top-p cut, and the
     * heavy-hitter report's "smallest set explaining X%"). The row that
-    * crosses the boundary is included. One ordered window per group with
-    * exact-decimal running and total sums. Requires a non-negative value
-    * column (shares of a signed measure aren't monotone). */
+    * crosses the boundary is included. Requires a non-negative value
+    * column (shares of a signed measure aren't monotone).
+    *
+    * Scale shape: the naive form — one `Window.partitionBy(keys)` ordered
+    * frame over the RAW rows — collapses to a single-task sort per group
+    * when `keys` has few distinct values (a 3-flag table at 100 TB sorts
+    * ⅓ of the data in one reducer). Here the running sum is decomposed:
+    * rows pre-aggregate per distinct value, the mass-above-each-value
+    * prefix comes from [[binnedPrefix]] (two bounded windows), and only
+    * the tie-break ordering runs per (keys, value) — a window whose
+    * partitions are tie-group-sized, giving parallelism ≈ |distinct
+    * values| instead of |groups|. Decimal sums are exact and associative,
+    * so the decomposition reproduces the single-window cumulative
+    * bit-for-bit. */
   def topShare(df: DataFrame, value: String, keys: Seq[String],
                tie: Seq[Column], share: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dec  = "decimal(28,10)"
-    val wOrd = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col(value).desc +: tie): _*)
+    val dec = "decimal(28,10)"
+    val k   = keys.map(col)
+    // group totals; the non-negativity precondition is ENFORCED, not just
+    // documented: a negative value makes the running share non-monotone and
+    // the boundary filter would silently select a wrong set. The guard
+    // lives INSIDE `_tot`, which every candidate evaluation touches, so it
+    // fires even for groups whose rows would all be filtered out.
+    val tot = df.groupBy(k: _*)
+      .agg(sum(col(value).cast(dec)).as("_tsum"), min(col(value)).as("_minv"))
+      .withColumn("_tot",
+        when(col("_minv") < 0, raise_error(lit(
+          s"topShare requires a non-negative '$value' column")))
+          .otherwise(col("_tsum")))
+      .select((k :+ col("_tot")): _*)
+    val perValue = df.filter(col(value).isNotNull)
+      .groupBy((k :+ col(value).as("_v")): _*)
+      .agg(sum(col(value).cast(dec)).as("_vm"))
+    // mass strictly above each value, exact decimal (inclusive − own)
+    val candidates = binnedPrefix(perValue, keys, "_v", Seq("_vm"),
+        descending = true)
+      .withColumn("_above", col("_vm_cum") - col("_vm"))
+      .join(broadcast(tot), keys)
+      // performance-only pre-filter WITH SLACK: the exact per-row filter
+      // below decides membership; this merely drops values whose first
+      // tie-row already lies past the boundary (1e-6 ≫ the double rounding
+      // gap between (above+v)−v and above, so it can only over-admit)
+      .filter(col("_tot") > 0 &&
+        col("_above").cast("double") / col("_tot").cast("double") <
+          share + 1e-6)
+      .select((k :+ col("_v").as(value) :+ col("_above") :+ col("_tot")): _*)
+    val wTie = Window.partitionBy((k :+ col(value)): _*).orderBy(tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keys.map(col): _*)
-    val cum = sum(col(value).cast(dec)).over(wOrd)
-    val tot = sum(col(value).cast(dec)).over(wAll)
-    val minv = min(col(value)).over(wAll)
-    // both window columns are computed BEFORE the filter — a window added
-    // after it would silently re-aggregate over the surviving rows only.
-    // Zero-total groups produce no rows (NULL comparisons filter them)
-    // rather than an ANSI divide-by-zero abort. The non-negativity
-    // precondition is ENFORCED, not just documented: a negative value makes
-    // the running share non-monotone and the boundary filter would silently
-    // select a wrong set — failing fast is the only honest behavior.
-    df.withColumn("_before",
-        when(minv < 0, raise_error(lit(
-          s"topShare requires a non-negative '$value' column"))).otherwise(
-        when(tot > 0, (cum.cast("double") - col(value)) / tot.cast("double"))))
+    df.join(candidates, keys :+ value)
+      .withColumn("_cum", col("_above") + sum(col(value).cast(dec)).over(wTie))
+      .withColumn("_before",
+        when(col("_tot") > 0,
+          (col("_cum").cast("double") - col(value)) /
+            col("_tot").cast("double")))
       .withColumn("cum_share",
-        when(tot > 0, round(cum.cast("double") / tot.cast("double"), 6)))
+        when(col("_tot") > 0,
+          round(col("_cum").cast("double") / col("_tot").cast("double"), 6)))
       .filter(col("_before") < share)
-      .drop("_before")
+      .drop("_before", "_cum", "_above", "_tot")
   }
 
   /** Winsorization per group: clip values into the [`pLo`, `pHi`] exact
@@ -599,6 +630,56 @@ object Stats {
 
   private val Dec = "decimal(28,10)"
 
+  /** Range-partitioned prefix sums over a per-value frame — the scale-safe
+    * replacement for `sum(x).over(Window.partitionBy(keys).orderBy(v))`
+    * when `keys` has few distinct values (where that window is a
+    * single-task sort of the whole group at any scale). Values are bucketed
+    * into `bins` equal-width ranges; per-bucket totals roll up in ONE
+    * bins-sized window per group; the per-row cumulative is then
+    * bucket-offset + within-bucket prefix. Both windows are bounded:
+    * ≤ `bins` rows per group for the offsets, ~|values|/`bins` rows per
+    * task for the local pass — parallelism is groups × bins instead of
+    * groups (the two-level scheme [[exactMedianTwoPass]] uses for
+    * selection, generalized to full prefixes). Decimal/integer sums are
+    * exact and associative, so the decomposition is bit-identical to the
+    * single global window. Requires one row per (keys, vCol); appends
+    * `<c>_cum` (inclusive prefix in `vCol` order, descending if
+    * `descending`) for each column in `sums`. */
+  private[graft] def binnedPrefix(perValue: DataFrame, keys: Seq[String],
+      vCol: String, sums: Seq[String], descending: Boolean,
+      bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k  = keys.map(col)
+    val vd = col(vCol).cast("double")
+    val ext = perValue.groupBy(k: _*)
+      .agg(min(vd).as("_plo"), max(vd).as("_phi"))
+      .withColumn("_pw", (col("_phi") - col("_plo")) / bins)
+      .select((k :+ col("_plo") :+ col("_pw")): _*)
+    // bin index is monotone in the value (equal values share a bin), so
+    // (bin order, value order within bin) IS the global value order
+    val binned = perValue.join(broadcast(ext), keys)
+      .withColumn("_pbin", when(col("_pw") === 0, lit(0L))
+        .otherwise(least(floor((vd - col("_plo")) / col("_pw")),
+          lit(bins - 1L))))
+      .drop("_plo", "_pw")
+    val binTot = binned.groupBy((k :+ col("_pbin")): _*)
+      .agg(sum(col(sums.head)).as(s"_bt_${sums.head}"),
+        sums.tail.map(c => sum(col(c)).as(s"_bt_$c")): _*)
+    val wOff = Window.partitionBy(k: _*)
+      .orderBy(if (descending) col("_pbin").desc else col("_pbin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums.foldLeft(binTot)((d, c) =>
+        d.withColumn(s"_off_$c", sum(col(s"_bt_$c")).over(wOff)))
+      .select((k :+ col("_pbin")) ++ sums.map(c => col(s"_off_$c")): _*)
+    val wLoc = Window.partitionBy((k :+ col("_pbin")): _*)
+      .orderBy(if (descending) col(vCol).desc else col(vCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(binned.join(offsets, keys :+ "_pbin"))((d, c) =>
+        d.withColumn(s"${c}_cum",
+          coalesce(col(s"_off_$c"), lit(0)) + sum(col(c)).over(wLoc)))
+      .drop((sums.map(c => s"_off_$c") :+ "_pbin"): _*)
+  }
+
   /** Historical tail risk per group: VaR and expected shortfall at level
     * `alpha` by EXACT order statistics — k = ⌈α·n⌉, VaR = the k-th
     * smallest value, ES = the mean of the k smallest (the coherent
@@ -903,7 +984,10 @@ object Stats {
     * is empty or the pooled rate degenerates. */
   def twoProportionZ(df: DataFrame, group: String, success: String,
                      aLabel: String, bLabel: String): DataFrame = {
-    val base = df.filter(col(group) === aLabel || col(group) === bLabel)
+    // NULL outcomes are EXCLUDED, not zero-filled: counting them in n while
+    // dropping them from s would silently deflate both proportions
+    val base = df.filter((col(group) === aLabel || col(group) === bLabel) &&
+      col(success).isNotNull)
     val agged = base.agg(
       count(when(col(group) === aLabel, 1)).as("n1"),
       count(when(col(group) === bLabel, 1)).as("n2"),
@@ -935,18 +1019,19 @@ object Stats {
     * n_rows_covered, cum_share). Assumes non-negative mass. */
   def lorenzCurve(df: DataFrame, value: String,
                   keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perValue = df.filter(col(value).isNotNull)
       .groupBy((keys.map(col) :+ col(value).as("_v")): _*)
       .agg(count(lit(1)).as("_c"), sum(col(value).cast(Dec)).as("_m"))
-    val wKey = Window.partitionBy(keys.map(col): _*)
-    val wCum = wKey.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perValue
-      .withColumn("_cc", sum(col("_c")).over(wCum))
-      .withColumn("_cm", sum(col("_m")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wKey))
-      .withColumn("_tm", sum(col("_m")).over(wKey))
+    // cumulative count/mass via the range-partitioned two-level prefix
+    // (bounded windows) instead of one per-group ordered window — exact
+    // integer/decimal sums, so identical values at any partitioning
+    val grp = perValue.groupBy(keys.map(col): _*)
+      .agg(sum(col("_c")).as("_n"), sum(col("_m")).as("_tm"))
+    val cum = binnedPrefix(perValue, keys, "_v", Seq("_c", "_m"),
+        descending = false)
+      .withColumnRenamed("_c_cum", "_cc")
+      .withColumnRenamed("_m_cum", "_cm")
+      .join(broadcast(grp), keys)
     val dec = cum.withColumn("_d", explode(sequence(lit(1), lit(10))))
       // this value-row covers decile d iff it is the FIRST row whose
       // cumulative row count reaches ⌈n·d/10⌉
@@ -993,28 +1078,69 @@ object Stats {
     * cumulative weight reaches half the group's total (ties on value are
     * safe — cumulative weight at a value is summed over ALL rows carrying
     * it before the comparison, so row order within a value can't matter).
-    * One value-ordered window + one aggregate; weights accumulate in
+    * Cumulative weights come from [[binnedPrefix]] (bounded windows, no
+    * per-group single-task sort) and accumulate in
     * exact DECIMAL. The weighted generalisation of [[exactMedianTwoPass]]
     * for frequency- or importance-weighted distributions (token counts,
     * notional sizes). Non-positive/NULL weights drop. */
   def weightedMedian(df: DataFrame, value: String, weight: String,
                      keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.filter(col(value).isNotNull && col(weight).isNotNull &&
       col(weight) > 0)
     val perValue = base
       .groupBy((keys.map(col) :+ col(value).as("_v")): _*)
       .agg(sum(col(weight).cast(Dec)).as("_w"))
-    val wKey = Window.partitionBy(keys.map(col): _*)
-    val wCum = wKey.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perValue
-      .withColumn("_cw", sum(col("_w")).over(wCum))
-      .withColumn("_tw", sum(col("_w")).over(wKey))
+    // cumulative weight via the range-partitioned two-level prefix
+    // (bounded windows — no per-group single-task sort of distinct values)
+    val tw = perValue.groupBy(keys.map(col): _*)
+      .agg(sum(col("_w")).as("_tw"))
+    val cum = binnedPrefix(perValue, keys, "_v", Seq("_w"),
+        descending = false)
+      .withColumnRenamed("_w_cum", "_cw")
+      .join(broadcast(tw), keys)
     cum.filter(col("_cw") * 2 >= col("_tw"))
       .groupBy(keys.map(col): _*)
       .agg(min(col("_v")).as("weighted_median"),
         max(col("_tw")).cast("double").as("total_weight"))
+  }
+
+  /** Scale-safe Gini concentration coefficient per group directly over raw
+    * rows: G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with x ascending, i = 1..n.
+    * Where [[graft.analytics.Behavior.gini]] ranks every input row in one
+    * per-group window (fine for entity-sized frames, a single-task sort
+    * for few-group raw data), this uses the per-distinct-value closed
+    * form: a value v with count c and r strictly-smaller rows occupies
+    * ranks r+1..r+c, so Σᵢ i·v over its rows = v·(c·r + c(c+1)/2) — and
+    * r comes from [[binnedPrefix]] cumulative counts (bounded windows).
+    * The identity is permutation-invariant over ties by construction.
+    * Rank terms are integer-exact (c(c+1) is always even, so `div 2` is
+    * exact), the v·Σi product quantizes to DECIMAL per VALUE (the oracle
+    * replays the identical closed form). NULL gini for zero-mass groups.
+    * Output: (keys, n_obs, gini). */
+  def giniPerValue(df: DataFrame, value: String,
+                   keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    val perValue = df.filter(col(value).isNotNull)
+      .groupBy((k :+ col(value).as("_v")): _*)
+      .agg(count(lit(1)).as("_c"), sum(col(value).cast(Dec)).as("_m"))
+    val terms = binnedPrefix(perValue, keys, "_v", Seq("_c"),
+        descending = false)
+      .withColumn("_r", col("_c_cum") - col("_c"))
+      .withColumn("_ksum",
+        col("_c") * col("_r") + expr("_c * (_c + 1) div 2"))
+      .withColumn("_iw",
+        (col("_v") * col("_ksum").cast("double")).cast(Dec))
+    val agged = terms.groupBy(k: _*).agg(
+      sum(col("_c")).cast("long").as("n_obs"),
+      sum(col("_m")).cast("double").as("_s"),
+      sum(col("_iw")).cast("double").as("_w"))
+    val n = col("n_obs").cast("double")
+    agged
+      .withColumn("gini",
+        when(col("_s") > 0,
+          round(lit(2.0) * col("_w") / (n * when(col("_s") > 0, col("_s"))) -
+            (n + lit(1.0)) / n, 6)))
+      .drop("_s", "_w")
   }
 
   /** Benjamini–Hochberg FDR correction over a battery of p-values

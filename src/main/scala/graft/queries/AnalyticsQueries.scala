@@ -417,8 +417,10 @@ object AnalyticsQueries {
         "user_id", "ts", "event_type", Seq(col("event_id")))),
 
     // ── Gini concentration of per-user total value within each event type
+    //    (scale-safe per-distinct-value closed form — no per-group
+    //    single-task rank window)
     "q208_gini" -> ((s, d) =>
-      graft.analytics.Behavior.gini(
+      graft.ops.Stats.giniPerValue(
         Tables.events(s, d).filter(col("value").isNotNull)
           .groupBy("event_type", "user_id")
           .agg(sum(col("value").cast("decimal(28,10)")).cast("double")
@@ -1592,15 +1594,21 @@ object AnalyticsQueries {
       """WITH ut AS (SELECT event_type, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS user_total
         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT event_type, user_total,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY user_total)
-        |    AS i
-        | FROM ut),
-        |a AS (SELECT event_type, count(*) AS n_obs,
-        |  CAST(sum(CAST(user_total AS DECIMAL(28,10))) AS DOUBLE) AS s,
-        |  CAST(sum(CAST(CAST(i AS DOUBLE) * user_total AS DECIMAL(28,10)))
-        |    AS DOUBLE) AS w
-        | FROM r GROUP BY 1)
+        |pv AS (SELECT event_type, user_total AS v, count(*) AS c,
+        |  sum(CAST(user_total AS DECIMAL(28,10))) AS m
+        | FROM ut GROUP BY 1, 2),
+        |cc AS (SELECT event_type, v, c, m,
+        |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM pv),
+        |t AS (SELECT event_type, c, m,
+        |  CAST(v * CAST(c * (cum - c) + (c * (c + 1)) // 2 AS DOUBLE)
+        |    AS DECIMAL(28,10)) AS iw
+        | FROM cc),
+        |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_obs,
+        |  CAST(sum(m) AS DOUBLE) AS s, CAST(sum(iw) AS DOUBLE) AS w
+        | FROM t GROUP BY 1)
         |SELECT event_type, n_obs,
         | CASE WHEN s > 0
         |  THEN round(2.0 * w / (CAST(n_obs AS DOUBLE) * s)
@@ -1758,10 +1766,10 @@ object AnalyticsQueries {
       s"""WITH r AS (SELECT user_id, event_id, ts,
          |  value - lag(value, 1) OVER w AS ret FROM events
          |  WHERE value IS NOT NULL
-         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |p AS (SELECT user_id,
-         |  list(event_id ORDER BY ts) AS ids,
-         |  list(ret * ret ORDER BY ts) AS xs
+         |  list(event_id ORDER BY ts, event_id) AS ids,
+         |  list(ret * ret ORDER BY ts, event_id) AS xs
          | FROM r WHERE ret IS NOT NULL GROUP BY 1),
          |i AS (SELECT user_id, unnest(range(1, len(xs) + 1)) AS rn,
          |  ids, xs FROM p),

@@ -276,7 +276,12 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val old = docs.filter(col("doc_id") % 5 =!= 4)
       val nw = docs.filter(col("doc_id") % 5 === 4)
+      // the old-corpus signatures feed BOTH legs (from-scratch pairing for
+      // the baseline assignment, and the incremental corpus side) — persist
+      // so the shingle+minhash pass over 80% of the corpus runs ONCE. The
+      // ContextCleaner frees the entry once the result plan is dropped.
       val oldSig = Dedup.minhashSignatures(old, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val oldPairs = Dedup.minhashCandidates(oldSig, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
       val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")

@@ -144,6 +144,20 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4 beyond cap, 9 upstream
   }
 
+  test("bfsHops: 500-hop chain — deep iteration stays analyzable " +
+       "(lineage truncation) and labels every level exactly") {
+    // a path graph is the adversarial shape: one hop per round, so without
+    // per-round plan truncation the union/anti-join chain makes Catalyst
+    // analysis quadratic in depth long before data size matters
+    val n = 500
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("s", "t")
+    val got = Graph.bfsHops(edges, "s", "t", Seq(0L).toDF("id"), "id",
+        maxHops = n.toInt)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == n + 1)
+    assert((0L to n).forall(i => got(i) == i.toInt))
+  }
+
   test("modularity: two cliques bridged — hand Newman Q") {
     // K3 ∪ K3 + bridge: m=7, each community e=3, d=7
     // contribution = 3/7 − (7/14)² = 0.178571 → Q = 0.357142 (rounded sums)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Skew
+import graft.ops.{Skew, Stats}
 import org.apache.spark.sql.functions._
 
 /** Scale-path mechanics verified at small SF: salted aggregation/join
@@ -71,6 +71,87 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("media_type") && scan.contains("meta"), scan)
     assert(!scan.contains("content"), s"content column not pruned: $scan")
     assert(stats.count() == 1)
+  }
+
+  test("topShare: no single task absorbs a whole group (2-group input)") {
+    // few-group order statistics are the classic single-reducer trap: a
+    // Window.partitionBy(keys) cumulative over raw rows gives parallelism
+    // = |groups|, so with 2 groups one task sorts ~half the table at ANY
+    // scale. The binned-prefix rework must (a) reproduce the naive result
+    // exactly and (b) spread shuffle reads across tasks.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+      SparkListenerJobStart, SparkListenerTaskEnd}
+    import org.apache.spark.sql.expressions.Window
+    val n = 40000
+    val df = spark.range(n).select(
+        (col("id") % 2).cast("string").as("g"), col("id"),
+        ((col("id") * 2654435761L) % 100003).cast("double").as("v"))
+      .cache()
+    df.count()
+
+    // (a) exact equivalence with the naive single-window formulation
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val cum = sum(col("v").cast("decimal(28,10)")).over(wOrd)
+    val tot = sum(col("v").cast("decimal(28,10)")).over(wAll)
+    val naive = df
+      .withColumn("_b", (cum.cast("double") - col("v")) / tot.cast("double"))
+      .withColumn("cum_share",
+        round(cum.cast("double") / tot.cast("double"), 6))
+      .filter(col("_b") < 0.5).drop("_b")
+    val fast = Stats.topShare(df, "v", Seq("g"), Seq(col("id")), 0.5)
+    assert(fast.count() == naive.count())
+    assert(fast.select("g", "id", "v", "cum_share")
+      .exceptAll(naive.select("g", "id", "v", "cum_share")).isEmpty)
+
+    // (b) max per-task shuffle read bounded well below a group's row count.
+    // Tasks are attributed via this test's job group so concurrent jobs
+    // from other suites can't pollute the measurement.
+    val group = "scalespec-topshare"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (Option(j.properties.getProperty("spark.jobGroup.id"))
+            .contains(group)) {
+          started.incrementAndGet()
+          j.stageIds.foreach(stages.add(_))
+        }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        ended.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (stages.contains(t.stageId) && t.taskMetrics != null)
+          maxRec.updateAndGet(c =>
+            math.max(c, t.taskMetrics.shuffleReadMetrics.recordsRead))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // AQE coalesces these tiny test-scale shuffles into ONE partition,
+      // which would mask the hash spread being asserted; at real scale the
+      // advisory size keeps many partitions. Shape, not AQE, is under test.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.sparkContext.setJobGroup(group, "topShare scale shape")
+      Stats.topShare(df, "v", Seq("g"), Seq(col("id")), 0.5)
+        .write.mode("overwrite").format("noop").save()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (started.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // let trailing task-end events drain
+      // naive shape: one task reads ~n/2 rows; reworked: ≤ ~n/4 with
+      // 4 shuffle partitions, plus hash slack
+      assert(maxRec.get() > 0, "listener captured no shuffle reads")
+      assert(maxRec.get() < n * 0.35,
+        s"a single task read ${maxRec.get()} of $n rows — " +
+          "few-group window shape has regressed")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.sparkContext.removeSparkListener(listener)
+      df.unpersist()
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
