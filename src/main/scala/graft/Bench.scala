@@ -16,9 +16,12 @@ import scala.collection.immutable.ListMap
   * Self-diagnosis fields beyond the driver contract:
   *   - `errors`: query -> exception class+message for any failed run. A
   *     failing query is NEVER silently reported as a fast time.
-  *   - `spread`: query -> max/min ratio of the two passes, only for queries
-  *     where the ratio exceeds 3x. A polluted run shows large spreads here
-  *     (e.g. round 2's phantom 10-16x regressions), a clean run shows `{}`.
+  *   - `spread`: query -> max/min ratio across passes, only for queries
+  *     where the two interleaved passes disagreed by more than 3x. Such
+  *     queries get a THIRD run in the same process and report min-of-3 —
+  *     a contention burst that poisoned one pass (e.g. round 2's phantom
+  *     10-16x regressions, round 7's q13 at 20.9x) then has two clean
+  *     samples to recover from instead of one. A clean run shows `{}`.
   *   - `shuffle_mb`: query -> shuffle bytes written (MB, 2dp) read from the
   *     executed plan's metric accumulators on pass 2 — the measured
   *     counterpart of PLANS.md's structural claims. `spill_mb` likewise
@@ -75,10 +78,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val pass1 = names.map(n => n -> once(n)).toMap
     val pass2 = names.map(n => n -> once(n, metrics = true)).toMap
+    // contention triage: any query whose two interleaved samples disagree
+    // >3x gets one more run; min-of-3 is what lands in `queries`
+    val flagged = names.filter { n =>
+      val lo = math.min(pass1(n), pass2(n))
+      lo > 0 && math.max(pass1(n), pass2(n)) / lo > 3.0
+    }
+    val pass3 = flagged.map(n => n -> once(n)).toMap
+    def samples(n: String): Seq[Double] =
+      Seq(pass1(n), pass2(n)) ++ pass3.get(n)
     val results: ListMap[String, Double] =
-      ListMap(names.map(n => n -> math.min(pass1(n), pass2(n))): _*)
+      ListMap(names.map(n => n -> samples(n).min): _*)
     val spread: ListMap[String, Double] = ListMap(names.flatMap { n =>
-      val (lo, hi) = (math.min(pass1(n), pass2(n)), math.max(pass1(n), pass2(n)))
+      val (lo, hi) = (samples(n).min, samples(n).max)
       val r = if (lo > 0) hi / lo else 1.0
       if (r > 3.0) Some(n -> math.round(r * 100) / 100.0) else None
     }: _*)
@@ -89,7 +101,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val shJson = numMap(ListMap(shuffleMb.toSeq: _*))
     val spJson = numMap(ListMap(spillMb.toSeq: _*))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"sf":"$sfDir"}"""
+    // metric side-maps come BEFORE the big per-query dict: a tail-truncated
+    // capture then cuts into `queries` (obviously incomplete) instead of
+    // ending at shuffle MB values that read like seconds (round 7's tail
+    // made q233's 16.8 MB look like a 16 s query)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"queries":${numMap(results)},"sf":"$sfDir"}"""
     println(line)
     // the stdout line is one very long row that tail-capture can truncate
     // (round 3 lost the per-query seconds that way) — the file is the
@@ -98,9 +114,11 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // stdout already has the line
     // …and a compact summary as the LAST stdout line: tail capture keeps
-    // the end, so even a 2000-char tail carries the totals (the full
-    // per-query map stays in the long line above and in bench_out.json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
+    // the end, so even a 2000-char tail carries the totals plus the ten
+    // slowest queries (the full map stays above and in bench_out.json)
+    val top10 = ListMap(results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => k -> math.round(v * 100) / 100.0 }: _*)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":${numMap(top10)},"sf":"$sfDir","detail":"bench_out.json"}""")
     spark.stop()
   }
 }

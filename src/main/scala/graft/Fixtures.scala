@@ -14,7 +14,8 @@ object Fixtures {
                              dp: Option[Double], t: Option[Long])
   final case class QuoteDoc(symbol: String, data: QuoteData, timestamp: Timestamp)
   final case class FredDoc(indicator: String, value: Option[Double], timestamp: Timestamp)
-  final case class TrendsDoc(scores: Map[String, Long], timestamp: Timestamp)
+  final case class TrendsDoc(scores: Map[String, Long], is_partial: Boolean,
+                             timestamp: Timestamp)
   final case class YahooRow(symbol: String, Open: Double, High: Double, Low: Double,
                             Close: Double, Volume: Double, Dividends: Double,
                             timestamp: Timestamp)
@@ -73,13 +74,16 @@ object Fixtures {
     rows.toDF()
   }
 
-  /** Trends wide map every 6h; includes an unmapped ticker-looking keyword. */
+  /** Trends wide map every 6h; includes an unmapped ticker-looking keyword.
+    * The final snapshot carries pytrends' isPartial = true (trailing window
+    * still open at fetch time, google_trends/main.py:16-19). */
   def trends(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val last = ((Hours - 1) / 6) * 6
     val rows = for (h <- 0 until Hours if h % 6 == 0) yield TrendsDoc(
       Map("AAPL stock" -> (50L + h % 40), "MSFT stock" -> (40L + h % 30),
         "AMZN stock" -> (30L + h % 20), "TSLA stock" -> (60L + h % 25),
-        "NVDA stock" -> (20L + h % 10)), ts(h, 5))
+        "NVDA stock" -> (20L + h % 10)), h == last, ts(h, 5))
     rows.toDF()
   }
 }

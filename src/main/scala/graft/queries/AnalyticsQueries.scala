@@ -178,6 +178,31 @@ object AnalyticsQueries {
           col("n_obs"))
     }),
 
+    // ── Granger FULL-SWEEP F value-checked cross-engine, lags 1..5: the
+    //    oracle unrolls the restricted/unrestricted OLS as symmetric
+    //    Gaussian elimination over the CENTERED Gram matrix (generated SQL,
+    //    [[grangerSweepOracleSql]]) — mathematically the same RSS Schur
+    //    complement Granger.rss computes by pivoted elimination over the
+    //    uncentered moments, so with integer-quantized inputs (every Gram
+    //    sum exactly representable) the engines agree to FP noise and the
+    //    2-decimal floor is stable. y = 2·P(t+2) + P(t) + 3·(t mod 7) with
+    //    P(s) = (3s² + 7s + 5k) mod 23 and x = P(t+3): y loads on x lags 1
+    //    AND 3, so every lag order 1..5 has a distinct, well-separated F.
+    "q42c_granger_sweep_f" -> ((s, _) => {
+      val t = col("t"); val k = col("k")
+      def p(sft: Int) = ((t + sft) * (t + sft) * 3 + (t + sft) * 7 + k * 5) % 23
+      val base = s.range(4L * 2500L).select(
+          (col("id") % 4).as("k"), expr("id div 4 + 1").as("t"))
+        .select(
+          concat(lit("s"), k).as("sym"), t,
+          p(3).cast("double").as("x"),
+          (p(2) * 2 + p(0) + (t % 7) * 3).cast("double").as("y"))
+      Granger.test(base, "sym", "t", "y", "x", maxLag = 5)
+        .select(col("symbol"), col("predictor"), col("lag"),
+          (floor(col("f_stat") * 100 + lit(0.5)) / 100).as("f_stat"),
+          col("n_obs"))
+    }),
+
     // ── C2-C4: GBT lag-feature forecast (rows-only; deterministic seed)
     "q43_forecast" -> ((s, d) => {
       val series = Tables.events(s, d).filter(col("user_id") === 0)
@@ -732,7 +757,71 @@ object AnalyticsQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Generated DuckDB oracle for [[q42c]]: per lag L, the F test's two RSS
+    * values come from UNROLLED symmetric Gaussian elimination on the
+    * centered Gram matrix of (y-lags a1..aL, x-lags b1..bL, y). Centering
+    * (c_uv = Σuv − Σu·Σv/n) eliminates the intercept; then eliminating
+    * a1..aL in order leaves c_y_y = rss_restricted, and continuing through
+    * b1..bL leaves c_y_y = rss_unrestricted — the same Schur complements
+    * `Granger.rss` reaches via pivoted elimination of the uncentered
+    * normal equations. Each elimination step is the rank-1 update
+    * c_uv ← c_uv − c_ue·c_ev/c_ee over the surviving variables, emitted as
+    * one CTE per step (≤ 10 steps × ≤ 66 pair columns at L = 5). The SQL
+    * is mechanical, so it is generated rather than hand-maintained. */
+  private def grangerSweepOracleSql(maxLag: Int): String = {
+    val chains = (1 to maxLag).map { l =>
+      val vars = (1 to l).map(i => s"a$i") ++ (1 to l).map(i => s"b$i") :+ "y"
+      def pairs(vs: Seq[String]) =
+        for (i <- vs.indices; j <- vs.indices if j >= i) yield (vs(i), vs(j))
+      def cn(u: String, v: String) =
+        if (vars.indexOf(u) <= vars.indexOf(v)) s"c_${u}_$v" else s"c_${v}_$u"
+      val lagCols =
+        ((1 to l).map(i => s"lag(y, $i) OVER w AS a$i") ++
+          (1 to l).map(i => s"lag(x, $i) OVER w AS b$i")).mkString(", ")
+      val sums =
+        (vars.map(v => s"sum($v) AS s_$v") ++
+          pairs(vars).map { case (u, v) => s"sum($u*$v) AS s_${u}_$v" })
+          .mkString(", ")
+      val centered = pairs(vars)
+        .map { case (u, v) => s"s_${u}_$v - s_$u*s_$v/n AS ${cn(u, v)}" }
+        .mkString(", ")
+      // one CTE per eliminated variable; after the L-th (all y-lags gone)
+      // the running c_y_y is captured as rssr and carried through
+      val steps = vars.init.zipWithIndex.map { case (e, idx) =>
+        val remaining = vars.drop(idx + 1)
+        val carry = if (idx >= l) ", rssr" else ""
+        val cols = pairs(remaining)
+          .map { case (u, v) =>
+            s"${cn(u, v)} - ${cn(u, e)}*${cn(e, v)}/${cn(e, e)} AS ${cn(u, v)}" }
+          .mkString(", ")
+        val capture = if (idx + 1 == l) s", c_y_y - ${cn("y", e)}*${cn(e, "y")}/${cn(e, e)} AS rssr" else ""
+        s"e${l}_${idx + 1} AS (SELECT sym, n$carry, $cols$capture FROM " +
+          (if (idx == 0) s"c$l" else s"e${l}_$idx") + ")"
+      }
+      val fin =
+        s"""SELECT sym AS symbol, 'x' AS predictor, $l AS lag,
+           | floor(((rssr - c_y_y) / $l) / (c_y_y / (n - ${2 * l + 1})) * 100 + 0.5) / 100 AS f_stat,
+           | CAST(n AS BIGINT) AS n_obs FROM e${l}_${2 * l}""".stripMargin
+      val ctes = Seq(
+        s"l$l AS (SELECT sym, y, $lagCols FROM base WINDOW w AS (PARTITION BY sym ORDER BY t))",
+        s"m$l AS (SELECT sym, count(*) AS n, $sums FROM l$l WHERE a$l IS NOT NULL AND b$l IS NOT NULL GROUP BY sym)",
+        s"c$l AS (SELECT sym, n, $centered FROM m$l)") ++ steps
+      (ctes, fin)
+    }
+    val base =
+      """base AS (
+        |  SELECT 's' || (range % 4) AS sym, range // 4 + 1 AS t,
+        |    CAST((3*(range//4+4)*(range//4+4) + 7*(range//4+4) + 5*(range%4)) % 23 AS DOUBLE) AS x,
+        |    CAST(2*((3*(range//4+3)*(range//4+3) + 7*(range//4+3) + 5*(range%4)) % 23)
+        |       + ((3*(range//4+1)*(range//4+1) + 7*(range//4+1) + 5*(range%4)) % 23)
+        |       + ((range//4+1) % 7) * 3 AS DOUBLE) AS y
+        |  FROM range(10000))""".stripMargin
+    (base +: chains.flatMap(_._1)).mkString("WITH ", ",\n", "\n") +
+      chains.map(_._2).mkString("\nUNION ALL\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q42c_granger_sweep_f" -> grangerSweepOracleSql(5),
     "q46_sql_tpch_q3" -> TpchQ3Sql,
     "q103_bollinger" ->
       """WITH b AS (SELECT user_id, event_id, value,

@@ -276,18 +276,22 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val old = docs.filter(col("doc_id") % 5 =!= 4)
       val nw = docs.filter(col("doc_id") % 5 === 4)
-      // the old-corpus signatures feed BOTH legs (from-scratch pairing for
-      // the baseline assignment, and the incremental corpus side) — persist
-      // so the shingle+minhash pass over 80% of the corpus runs ONCE. The
+      // the old-corpus BAND ROWS feed both legs (from-scratch pairing for
+      // the baseline assignment, and the corpus side of the incremental
+      // join) — compute the shingle+minhash+band pass over 80% of the
+      // corpus once and cache that, not the intermediate signatures. The
       // ContextCleaner frees the entry once the result plan is dropped.
-      val oldSig = Dedup.minhashSignatures(old, "doc_id", "text")
+      val oldBands = Dedup.bandRows(
+          Dedup.minhashSignatures(old, "doc_id", "text"), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val oldPairs = Dedup.minhashCandidates(oldSig, "doc_id")
+      val oldPairs = Dedup.minhashCandidatesFromBands(oldBands, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
       val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")
         .select("doc_id", "cluster_id")
-      val incPairs = Dedup.incrementalCandidates(oldSig,
-          Dedup.minhashSignatures(nw, "doc_id", "text"), "doc_id")
+      val incPairs = Dedup.incrementalFromBands(oldBands,
+          Dedup.bandRows(
+            Dedup.minhashSignatures(nw, "doc_id", "text"), "doc_id"),
+          "doc_id", Dedup.DefaultMaxBucket)
         .filter(col("est_jaccard") >= 0.5)
       Dedup.incrementalClusters(oldAssign, nw, incPairs, "doc_id")
     }),
@@ -555,8 +559,13 @@ object ExtensionQueries {
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
     "q113_pq_ann" -> ((s, d) => {
+      // normalized embeddings feed THREE passes (codebook training's five
+      // KMeans iterations, encode, and the exact re-rank) — persist so the
+      // parquet scan + float→double + l2-normalize runs once, not 7+ times.
+      // The ContextCleaner frees the entry once the result plan is dropped.
       val norm = Tables.embeddings(s, d).select(col("vec_id"),
-        Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+          Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
       val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
       Similarity.annPqRerank(codes, cb, norm,

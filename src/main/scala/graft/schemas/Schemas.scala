@@ -47,10 +47,16 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("timestamp", TimestampType)))
 
-  /** Google Trends wide snapshot (google_trends/main.py:17-20): one column
-    * per keyword, modeled as a map for schema stability. */
+  /** Google Trends wide snapshot (google_trends/main.py:16-20): one column
+    * per keyword, modeled as a map for schema stability, plus the pytrends
+    * `isPartial` flag (true when the trailing window hadn't closed at fetch
+    * time). The flag is record fidelity only: the reference's fuzzy
+    * keyword→symbol map (integrate/main.py:16-29) can never match the
+    * `isPartial` column name, so integration drops it there — and
+    * [[graft.pipeline.Integrate.trendsLong]] drops it here. */
   val trendsDoc: StructType = StructType(Seq(
     StructField("scores", MapType(StringType, LongType)),
+    StructField("is_partial", BooleanType),
     StructField("timestamp", TimestampType)))
 
   /** Tweet batch document (twitter/main.py:24-28): ≤50 packed per doc. */

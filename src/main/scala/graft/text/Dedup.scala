@@ -92,8 +92,11 @@ object Dedup {
 
   /** One row per (doc, band): id, mh (16-element signature array), band_idx,
     * band_key. The signature travels WITH the band row so candidate scoring
-    * needs no join back to the signature table. */
-  private def bandRows(sig: DataFrame, id: String): DataFrame =
+    * needs no join back to the signature table. Package-visible so a caller
+    * running BOTH a from-scratch pairing and an incremental pass over the
+    * same corpus (q155's shape) can compute + cache the corpus band rows
+    * once and feed the `FromBands` variants below. */
+  private[graft] def bandRows(sig: DataFrame, id: String): DataFrame =
     sig.select(col(id),
       array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mh"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
@@ -132,9 +135,18 @@ object Dedup {
     * sessions doing many dedup passes should materialize the band index to
     * a table instead. */
   def minhashCandidates(sig: DataFrame, id: String,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bands = bandRows(sig, id)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashCandidatesFromBands(
+      bandRows(sig, id)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      id, maxBucket)
+
+  /** [[minhashCandidates]] over pre-computed (and caller-cached)
+    * [[bandRows]] — for pipelines where the band frame feeds more than one
+    * pass (e.g. from-scratch pairing AND the corpus side of an incremental
+    * refresh); the caller owns the cache lifecycle. */
+  def minhashCandidatesFromBands(bands: DataFrame, id: String,
+                                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val ok = capBuckets(bands, maxBucket)
     estimatePairs(
       ok.as("a").join(ok.as("b"),
@@ -165,9 +177,10 @@ object Dedup {
     incrementalFromBands(bandRows(corpusSig, id), bandRows(newSig, id), id, maxBucket)
 
   /** Core of the incremental path, over pre-computed band rows — shared by
-    * the recompute-both-sides form above and the stored-index form below. */
-  private def incrementalFromBands(corpusBands: DataFrame, newBands: DataFrame,
-                                   id: String, maxBucket: Int): DataFrame = {
+    * the recompute-both-sides form above, the stored-index form below, and
+    * callers that cache the corpus band frame across passes. */
+  private[graft] def incrementalFromBands(corpusBands: DataFrame, newBands: DataFrame,
+                                          id: String, maxBucket: Int): DataFrame = {
     val all = corpusBands.withColumn("is_new", lit(false))
       .union(newBands.withColumn("is_new", lit(true)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

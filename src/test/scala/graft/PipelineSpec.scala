@@ -78,6 +78,21 @@ class PipelineSpec extends SparkSpec {
     assert(syms == Set("AAPL", "MSFT", "AMZN", "TSLA", "NVDA"))
   }
 
+  test("trends docs carry pytrends isPartial; integration drops it untouched") {
+    // record fidelity (google_trends/main.py:16-19): the flag lands in the
+    // doc schema and marks exactly the trailing open window — but the fuzzy
+    // keyword→symbol map can never match it, so the long form excludes it
+    val docs = Fixtures.trends(spark)
+    assert(docs.schema.fieldNames.contains("is_partial"))
+    val flagged = docs.filter(col("is_partial")).collect()
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[java.sql.Timestamp]("timestamp") ==
+      docs.agg(max("timestamp")).collect().head.getTimestamp(0))
+    val t = Integrate.trendsLong(docs, cutoff)
+    assert(t.schema.fieldNames.toSet ==
+      Set("hour", "symbol", "trend_score"))
+  }
+
   test("serve: lastChange/latestVolumes/volatility/causality panels") {
     val lc = Serve.lastChange(integrated)
     assert(lc.count() == 4 && lc.filter(col("pct_change").isNull).count() == 0)
