@@ -240,4 +240,125 @@ object Graph {
     e.unpersist()
     settled
   }
+
+  /** Community DETECTION by synchronized Louvain local-move rounds (Blondel
+    * et al. 2008 phase 1, in the synchronous distributed form of Ghosh et
+    * al., IPDPS'18) — where [[modularity]] SCORES a given partition, this
+    * FINDS one. Unweighted undirected simple graph; every node starts in
+    * its own community; each round, every node simultaneously moves to the
+    * candidate community with the best modularity gain.
+    *
+    * The gain of re-inserting node v (first removed from its own
+    * community) into community c is ΔQ(v→c) = k_vc/m − k_v·Σtot(c\v)/2m²;
+    * comparisons are invariant under scaling by the positive constant 2m²,
+    * so the implementation ranks the INTEGER score
+    *     G(c) = 2m·k_vc − k_v·(Σtot(c) − [c = own]·k_v)
+    * (k_vc = edges from v into c, k_v = degree, Σtot = community degree
+    * sum, m = edge count — all integers). Integer scores make the
+    * tie-break total order exact and the whole sweep reproducible
+    * cross-engine — no floating-point modularity arithmetic anywhere.
+    * Ties prefer staying put, then the smallest community id, and all
+    * moves apply synchronously — deterministic under any partitioning.
+    * Fully synchronous greedy sweeps livelock on symmetric shapes (two
+    * communities whose border nodes each greedily join the other side swap
+    * forever — the swap pathology Lu, Halappanavar & Kalyanaraman's
+    * minimum-label heuristic, ParCo'15, addresses for singletons). Here
+    * the restriction is the MONOTONE generalisation: a node may move only
+    * to a community with a SMALLER label than its current one. Every move
+    * then strictly decreases the mover's label, so Σ labels is a strictly
+    * decreasing potential — oscillation is impossible and a fixpoint is
+    * guaranteed, with no asynchrony, coloring, or randomness (the
+    * determinism requirement). The known bias: a locally-minimal-id node
+    * never joins a larger-labeled community — it attracts instead, so
+    * communities coalesce around their minimum-id member (which is also
+    * what makes the output label canonical). GraphSpec pins the classic
+    * two-triangles-and-a-bridge fixture to its ideal Q=0.357142 partition
+    * in 3 rounds.
+    *
+    * Scale shape per round: one join of the symmetrized edges against the
+    * label frame + a (v, community) count (the k_vc table, edge-shuffle
+    * sized, map-side combined), one community-sized degree rollup
+    * (broadcast), one window per node over its candidate communities
+    * (partitions are candidate-list sized, ≈ avg degree). Labels
+    * `localCheckpoint` each round — same lineage-truncation contract as
+    * [[pageRank]]/[[bfsHops]]. Long arithmetic holds to m < 2⁶² / (2·max
+    * community degree); beyond that cast the three factors to
+    * decimal(38,0). Emits (id, community, community_size). Phase 2
+    * (coarsening) = [[communityGraph]] + re-run on the community graph. */
+  def louvain(edges: DataFrame, src: String, dst: String,
+              rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = und.agg(count(lit(1)).as("m"))
+    // the node degree k rides inside the label frame: every round needs it
+    // twice (community degree rollup, gain arithmetic), and carrying it
+    // beats re-joining the degree table — one column against two shuffles
+    var labels = deg.select(col("v"), col("v").as("c"), col("k"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ctot = labels.groupBy("c").agg(sum("k").as("ctot"))
+      val nbr = sym
+        .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
+        .groupBy("v", "cand").agg(count(lit(1)).as("kvc"))
+      // own community rides as an explicit zero-edge candidate: a node with
+      // no intra-community neighbor must still be able to stay put (the
+      // sum-with-zero union re-aggregates in the SAME (v, cand) hash
+      // partitioning, so the planner pipelines it onto nbr's exchange —
+      // cheaper than an anti-join, which would consume nbr twice)
+      val scored = nbr
+        .unionByName(labels.select(col("v"), col("c").as("cand"),
+          lit(0L).as("kvc")))
+        .groupBy("v", "cand").agg(sum("kvc").as("kvc"))
+        .join(labels, "v")
+        // monotone move restriction (see scaladoc): only smaller-labeled
+        // communities are candidates; the own-community row (cand = c)
+        // always survives, so a node with no allowed move stays put —
+        // applied BEFORE the community join, it halves the rows in flight
+        .filter(col("cand") <= col("c"))
+        .join(ctot.withColumnRenamed("c", "cand"), "cand")
+        .crossJoin(broadcast(tot))
+        .withColumn("g", lit(2) * col("m") * col("kvc") -
+          col("k") * (col("ctot") -
+            when(col("cand") === col("c"), col("k")).otherwise(lit(0L))))
+      val w = Window.partitionBy("v").orderBy(col("g").desc,
+        when(col("cand") === col("c"), 0).otherwise(1).asc, col("cand").asc)
+      labels = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v"), col("cand").as("c"), col("k"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(); deg.unpersist()
+    val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "c")
+      .select(col("v").as("id"), col("c").as("community"),
+        col("community_size"))
+  }
+
+  /** Louvain phase 2 — coarsen: collapse each community to one vertex and
+    * aggregate parallel edges into weights. Emits (ca, cb, weight) with
+    * ca ≤ cb; intra-community edges become self-loops (ca = cb), which the
+    * next level's gain arithmetic needs (they carry the collapsed
+    * community's internal mass). One join-tag + one groupBy — edge-sized,
+    * the same shuffle shape as a [[louvain]] round. */
+  def communityGraph(edges: DataFrame, src: String, dst: String,
+                     labels: DataFrame, id: String,
+                     community: String): DataFrame = {
+    val und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(id), col(community)).distinct()
+    und
+      .join(lab.select(col(id).as("a"), col(community).as("_ca")), "a")
+      .join(lab.select(col(id).as("b"), col(community).as("_cb")), "b")
+      .select(least(col("_ca"), col("_cb")).as("ca"),
+        greatest(col("_ca"), col("_cb")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
+  }
 }

@@ -491,6 +491,23 @@ object BreadthQueries {
       graft.analytics.Graph.modularity(tradeEdges(s, d), "x", "y",
         Tables.nation(s, d), "n_nationkey", "n_regionkey")),
 
+    // ── Louvain community DETECTION (3 synchronized sweeps, integer-exact
+    //    gains) on the bipartite customer↔supplier purchase graph — where
+    //    q223 scores a given partition, this finds one (market segments).
+    //    The nation trade graph is near-complete (any split has negative
+    //    Q, so everything correctly collapses to one community); the
+    //    customer-supplier graph is sparse and genuinely clustered. Node
+    //    encoding: customer c → 2c, supplier s → 2s+1 (disjoint integer
+    //    id spaces, so the monotone label order is well-defined). The
+    //    oracle replays every sweep move-for-move.
+    "q245_louvain" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      graft.analytics.Graph.louvain(edges, "cu", "su", rounds = 3)
+    }),
+
     // ── KMV distinct-count sketch estimate vs exact, per event type
     "q225_kmv_distinct" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -590,6 +607,53 @@ object BreadthQueries {
       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
       | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
       | GROUP BY 1)""".stripMargin
+
+  /** Generated DuckDB oracle for q245: replays every synchronized Louvain
+    * sweep move-for-move. All quantities (degrees, community degree sums,
+    * node→community edge counts, the 2m²-scaled gain) are integers, so the
+    * argmax + tie-break order is EXACT cross-engine — one CTE block per
+    * round mirrors `Graph.louvain`'s join/aggregate shape, including the
+    * monotone smaller-label move restriction. */
+  private def louvainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"lab${r - 1}"
+      s"""ct$r AS (SELECT l.c, CAST(sum(d.deg) AS BIGINT) AS ctot
+         | FROM $prev l JOIN deg d ON d.id = l.v GROUP BY 1),
+         |nb$r AS (SELECT s.v, l.c AS cand, CAST(count(*) AS BIGINT) AS kvc
+         | FROM sym s JOIN $prev l ON l.v = s.u GROUP BY 1, 2),
+         |cd$r AS (SELECT v, cand, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+         |  SELECT v, cand, kvc FROM nb$r
+         |  UNION ALL SELECT v, c AS cand, 0 AS kvc FROM $prev) GROUP BY 1, 2),
+         |g$r AS (SELECT cd.v, cd.cand, lb.c,
+         |  2*t.m*cd.kvc - d.deg*(ca.ctot -
+         |    CASE WHEN cd.cand = lb.c THEN d.deg ELSE 0 END) AS g
+         | FROM cd$r cd JOIN $prev lb ON lb.v = cd.v
+         | JOIN deg d ON d.id = cd.v
+         | JOIN ct$r ca ON ca.c = cd.cand
+         | CROSS JOIN tot t
+         | WHERE cd.cand <= lb.c),
+         |lab$r AS (SELECT v, cand AS c FROM (
+         |  SELECT v, cand, row_number() OVER (PARTITION BY v ORDER BY g DESC,
+         |    CASE WHEN cand = c THEN 0 ELSE 1 END, cand) AS rn FROM g$r)
+         | WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH bi AS (SELECT o.o_custkey * 2 AS x, l.l_suppkey * 2 + 1 AS y
+       | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       | FROM bi WHERE least(x, y) != greatest(x, y)),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+       | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       | GROUP BY 1),
+       |sym AS (SELECT a AS v, b AS u FROM und
+       | UNION ALL SELECT b AS v, a AS u FROM und),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |lab0 AS (SELECT id AS v, id AS c FROM deg),
+       |${roundCtes.mkString(",\n")},
+       |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
+       | FROM lab$rounds GROUP BY 1)
+       |SELECT l.v AS id, l.c AS community, sz.community_size
+       |FROM lab$rounds l JOIN sz USING (c)""".stripMargin
+  }
 
   private val TriangleCtes =
     s"""$TradeCtes,
@@ -694,6 +758,7 @@ object BreadthQueries {
          | round(CAST(sum(CAST(contribution AS DECIMAL(28,12))) OVER ()
          |   AS DOUBLE), 6) AS modularity
          |FROM pc""".stripMargin,
+    "q245_louvain" -> louvainOracleSql(3),
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
     // HLL rebuilt register-for-register: identical md5 hash, identical

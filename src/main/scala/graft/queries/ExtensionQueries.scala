@@ -555,6 +555,16 @@ object ExtensionQueries {
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
         Bm25Terms)),
 
+    // ── FILTERED ANN: top-3 under a metadata predicate (vec_id ≡ 0 mod 3,
+    //    ~⅓ selectivity), nProbe=2 — the predicate applies INSIDE the two
+    //    probed posting lists (never a post-filter of an unfiltered top-k,
+    //    never a brute-force scan of all matches)
+    "q246_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvfFiltered(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", col("vec_id") % 3 === 0, k = 3, nProbe = 2)
+    }),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -1532,6 +1542,25 @@ object ExtensionQueries {
          |s AS (SELECT q_id, r.cid, vec_id, $cosSql AS sim
          |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id)
          |SELECT q_id, cid, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
+    // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
+    // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
+    // scan BEFORE scoring, exact rank over survivors
+    "q246_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id
+         |  WHERE e.vec_id % 3 = 0)
+         |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
     "q36_centroids" ->

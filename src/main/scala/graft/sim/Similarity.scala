@@ -295,6 +295,62 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** FILTERED ANN: top-k nearest neighbors among corpus rows satisfying a
+    * metadata predicate — the retrieval shape behind "similar documents
+    * from source X newer than T" (every production vector store exposes
+    * it; the hard part is doing it without a full scan).
+    *
+    * Strategy = single-index pre-filter-in-cell: the coarse quantizer is
+    * built over the FULL corpus (the index is built once; the predicate
+    * changes per query and must not require re-indexing), each query
+    * routes to its `nProbe` nearest cells, and the predicate is applied to
+    * the probed posting lists BEFORE scoring — so the exact-rank cost is
+    * |matching rows in probed cells|, never |corpus| (post-filtering) nor
+    * |matching rows| (pre-filter brute force). `nProbe` is the recall
+    * knob: a selective predicate thins each cell's survivors, so filtered
+    * search probes MORE cells than unfiltered for the same recall (the
+    * standard adaptive response; callers with very selective predicates —
+    * ≲ k·nCells survivors total — should drop to [[knnBrute]] over the
+    * filtered corpus instead, which is then the cheaper exact path).
+    * At 100 TB the posting lists are the `cell`-partitioned parquet from
+    * [[ivfLearned]]'s assignments, so cell routing becomes partition
+    * pruning and the predicate pushes to the parquet scan — the filter
+    * costs column-statistics, not compute. Deterministic like [[annIvf]]
+    * (quantized exact-mean centroids, rounded sims, id tiebreaks), so the
+    * whole path is oracle-checkable cross-engine. */
+  def annIvfFiltered(corpus: DataFrame, queries: DataFrame, id: String,
+                     emb: String, cell: String, pred: Column, k: Int,
+                     nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val centroids = corpus
+      .select(col(cell).as("cid"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val routed = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cid")
+    // predicate FIRST: at scale this is the parquet-pushed filter over the
+    // pruned cell partitions; everything downstream sees survivors only
+    val c = corpus.filter(pred)
+      .select(col(id).as("vec_id"), col(cell).as("cid"), asDouble(emb).as("v"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(routed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Multi-probe LSH: search the query's bucket plus all buckets at Hamming
     * distance 1 (flip each plane bit) — recall rises steeply for the cost of
     * (planes+1)× candidate fan-in, still ≪ brute force. */

@@ -47,6 +47,34 @@ class AnnSpec extends SparkSpec {
     assert(rRr >= rAdc, "rerank must not lose recall")
   }
 
+  test("filtered ANN: every hit satisfies the predicate, ranks are dense, " +
+       "and recall vs filtered brute-force truth recovers with nProbe") {
+    val pred = col("vec_id") % 3 === 0
+    // truth = exact top-5 over the predicate-filtered corpus (what a
+    // pre-filter brute-force scan would return)
+    val truth = Similarity.knnBrute(e.filter(pred), q, "vec_id",
+      "embedding", 5).cache()
+    def run(nProbe: Int) = Similarity.annIvfFiltered(e, q, "vec_id",
+      "embedding", "label", pred, k = 5, nProbe = nProbe).cache()
+    val p2 = run(2)
+    // invariants: predicate holds on every returned row; per-query ranks
+    // are dense 1..k (never post-filtered out of a larger top-k)
+    assert(p2.filter(!(col("vec_id") % 3 === 0)).count() == 0)
+    val ranks = p2.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(ranks.forall(r => r.getLong(1) == r.getInt(2)))
+    // recall grows with probe width (filtered cells hold fewer survivors,
+    // so filtered search wants MORE probes than unfiltered for the same
+    // recall — the adaptive knob the scaladoc documents)
+    val r2 = recall(p2, truth)
+    val r6 = recall(run(6), truth)
+    assert(r6 >= r2, s"recall fell with wider probing ($r2 -> $r6)")
+    assert(r6 >= 0.5, s"filtered recall@nProbe=6 $r6 below 0.5")
+    // probing every cell = exact filtered brute force (10 labels total)
+    val rAll = recall(run(10), truth)
+    assert(rAll == 1.0, s"full-probe filtered search must be exact, got $rAll")
+  }
+
   test("graph ANN: beam search beats single-bucket LSH and its own " +
        "entry-point baseline; reruns are identical") {
     // This corpus is structureless by construction (same-label vectors are

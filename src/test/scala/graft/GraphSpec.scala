@@ -172,4 +172,50 @@ class GraphSpec extends SparkSpec {
     assert(got("A").getDouble(4) == 0.178571)
     assert(got.values.forall(_.getDouble(5) == 0.357142))
   }
+
+  test("louvain: two triangles bridged converge to the ideal partition; " +
+       "singleton guard breaks the symmetric swap") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val got = Graph.louvain(edges, "s", "t", rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hand-traced sweep under the monotone rule: round 1 collapses
+    // {1,2,3} into c1 and scatters 4→c3, 5→c4, 6→c5; round 2 chains 5
+    // into c3 and 6 into c4; round 3 folds 6 into c3 = {4,5,6} — the
+    // fixpoint, and exactly the partition that maximizes Q (0.357142).
+    // Without the restriction the right triangle livelocks (5↔6 swap).
+    assert(got.size == 6)
+    val cA = got(1L)._1
+    assert(Seq(1L, 2L, 3L).forall(got(_)._1 == cA))
+    val cB = got(4L)._1
+    assert(Seq(4L, 5L, 6L).forall(got(_)._1 == cB))
+    assert(cA != cB)
+    assert(got.values.forall(_._2 == 3L))
+    // the found partition scores the known-optimal modularity
+    val comm = got.toSeq.map { case (v, (c, _)) => (v, c) }.toDF("node", "c")
+    val q = Graph.modularity(edges, "s", "t", comm, "node", "c")
+      .select("modularity").head().getDouble(0)
+    assert(q == 0.357142)
+  }
+
+  test("louvain: symmetric singleton pair settles (no oscillation) and " +
+       "isolated-in-community nodes keep a label") {
+    // a single edge is the minimal swap trap: both endpoints want the
+    // other's community every round without the guard
+    val got = Graph.louvain(Seq((7L, 9L)).toDF("s", "t"), "s", "t", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 9L -> 7L))
+  }
+
+  test("communityGraph: coarsening aggregates parallel edges and keeps " +
+       "intra-community self-loops; a second-level sweep runs on it") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (3L, 5L)).toDF("s", "t")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "community")
+    val cg = Graph.communityGraph(edges, "s", "t", labels, "id", "community")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 3 edges inside each triangle → self-loops; 2 bridges → weight-2 edge
+    assert(cg == Map((10L, 10L) -> 3L, (20L, 20L) -> 3L, (10L, 20L) -> 2L))
+  }
 }
