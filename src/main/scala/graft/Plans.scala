@@ -138,7 +138,20 @@ object Plans {
       "q231_market_beta" -> Seq("BroadcastHashJoin", "Window"),
       // weighted median / chi²: value-grouped cumulative windows
       "q233_weighted_median" -> Seq("Window", "HashAggregate"),
-      "q242_chi2" -> Seq("Window", "HashAggregate"))
+      "q242_chi2" -> Seq("Window", "HashAggregate"),
+      // top-share after the binned-prefix rework: per-value pre-aggregation
+      // + bounded windows, group totals broadcast back
+      "q138_top_share" -> Seq("Window", "HashAggregate", "BroadcastHashJoin"),
+      // Granger sweep: the distributed work (one Gram-moment hash
+      // aggregate) ran eagerly inside Granger.test; the returned frame is
+      // the key-count-bounded driver-side result table
+      "q42c_granger_sweep_f" -> Seq("LocalTableScan"),
+      // filtered ANN: the routed (query, cell) frame broadcasts onto the
+      // predicate-filtered posting lists
+      "q246_filtered_ann" -> Seq("BroadcastHashJoin"),
+      // louvain: the returned plan reads round-checkpointed label RDDs —
+      // lineage truncation keeps plan depth O(1) in rounds
+      "q245_louvain" -> Seq("Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
