@@ -244,9 +244,10 @@ object Graph {
   /** Community DETECTION by synchronized Louvain local-move rounds (Blondel
     * et al. 2008 phase 1, in the synchronous distributed form of Ghosh et
     * al., IPDPS'18) — where [[modularity]] SCORES a given partition, this
-    * FINDS one. Unweighted undirected simple graph; every node starts in
-    * its own community; each round, every node simultaneously moves to the
-    * candidate community with the best modularity gain.
+    * FINDS one. Undirected simple graph (weighted form:
+    * [[louvainWeighted]]); every node starts in its own community; each
+    * round, every node simultaneously moves to the candidate community
+    * with the best modularity gain.
     *
     * The gain of re-inserting node v (first removed from its own
     * community) into community c is ΔQ(v→c) = k_vc/m − k_v·Σtot(c\v)/2m²;
@@ -284,21 +285,57 @@ object Graph {
     * [[pageRank]]/[[bfsHops]]. Long arithmetic holds to m < 2⁶² / (2·max
     * community degree); beyond that cast the three factors to
     * decimal(38,0). Emits (id, community, community_size). Phase 2
-    * (coarsening) = [[communityGraph]] + re-run on the community graph. */
+    * (coarsening) = [[communityGraph]] + [[louvainWeighted]] on the
+    * community graph (q247 composes the full two-level pipeline). */
   def louvain(edges: DataFrame, src: String, dst: String,
-              rounds: Int): DataFrame = {
+              rounds: Int): DataFrame =
+    louvainCore(
+      edges.select(
+          least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .withColumn("w", lit(1L)),
+      rounds)
+
+  /** [[louvain]] over a WEIGHTED undirected edge list — the phase-2 entry
+    * point: run it on [[communityGraph]]'s output (weights = collapsed
+    * edge multiplicities, self-loops = internal community mass) and the
+    * sweep optimizes the SAME modularity as re-running on the original
+    * graph, at |communities| scale — Blondel et al.'s coarsening
+    * equivalence. Parallel (a,b) rows pre-aggregate; self-loops are kept
+    * (they enter node strength as 2·w, per the adjacency convention
+    * A_vv = 2w_vv, and cancel in gain comparisons otherwise). Weights
+    * must be positive integers (multiplicities) for the integer-exact
+    * gain order; fractional weights need a fixed-point pre-scale. */
+  def louvainWeighted(edges: DataFrame, src: String, dst: String,
+                      weight: String, rounds: Int): DataFrame =
+    louvainCore(
+      edges.select(
+          least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"),
+          col(weight).cast("long").as("w"))
+        .groupBy("a", "b").agg(sum("w").as("w")),
+      rounds)
+
+  /** Shared sweep over a canonical weighted edge frame (a ≤ b, weight w,
+    * self-loops allowed). W = Σw (loops once); strength s_v = Σ_{u≠v}w_vu
+    * + 2·w_vv; gain score G(c) = 2W·w_vc − s_v·(Σtot(c) − [c=own]·s_v) —
+    * the unweighted form is the w ≡ 1 special case, so one implementation
+    * serves both levels. */
+  private def louvainCore(undRaw: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select(
-        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = undRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym = und.select(col("a").as("v"), col("b").as("u"))
-      .union(und.select(col("b").as("v"), col("a").as("u")))
-    val deg = sym.groupBy("v").agg(count(lit(1)).as("k"))
+    val sym = und.filter(col("a") =!= col("b"))
+      .select(col("a").as("v"), col("b").as("u"), col("w"))
+      .union(und.filter(col("a") =!= col("b"))
+        .select(col("b").as("v"), col("a").as("u"), col("w")))
+    val deg = sym.select(col("v"), col("w"))
+      .unionByName(und.filter(col("a") === col("b"))
+        .select(col("a").as("v"), (col("w") * 2).as("w")))
+      .groupBy("v").agg(sum("w").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = und.agg(count(lit(1)).as("m"))
-    // the node degree k rides inside the label frame: every round needs it
-    // twice (community degree rollup, gain arithmetic), and carrying it
+    val tot = und.agg(sum("w").as("m"))
+    // the node strength k rides inside the label frame: every round needs
+    // it twice (community degree rollup, gain arithmetic), and carrying it
     // beats re-joining the degree table — one column against two shuffles
     var labels = deg.select(col("v"), col("v").as("c"), col("k"))
       .localCheckpoint(true)
@@ -306,7 +343,7 @@ object Graph {
       val ctot = labels.groupBy("c").agg(sum("k").as("ctot"))
       val nbr = sym
         .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
-        .groupBy("v", "cand").agg(count(lit(1)).as("kvc"))
+        .groupBy("v", "cand").agg(sum("w").as("kvc"))
       // own community rides as an explicit zero-edge candidate: a node with
       // no intra-community neighbor must still be able to stay put (the
       // sum-with-zero union re-aggregates in the SAME (v, cand) hash

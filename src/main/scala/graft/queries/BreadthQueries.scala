@@ -502,10 +502,35 @@ object BreadthQueries {
     //    oracle replays every sweep move-for-move.
     "q245_louvain" -> ((s, d) => {
       val edges = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("cu"),
           (col("l_suppkey") * 2 + 1).as("su"))
       graft.analytics.Graph.louvain(edges, "cu", "su", rounds = 3)
+    }),
+
+    // ── HIERARCHICAL (two-level) Louvain: phase-1 sweep → coarsen to the
+    //    weighted community graph (self-loops = internal mass) → weighted
+    //    phase-1 on the coarse graph — Blondel et al.'s full recursion,
+    //    one level of it, every move replayed by the oracle across BOTH
+    //    levels including the coarsening
+    "q247_louvain_l2" -> ((s, d) => {
+      val g = graft.analytics.Graph
+      // the edge frame feeds level 1 AND the coarsening join — persist so
+      // the lineitem scan + order join runs once (ContextCleaner-freed)
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l1 = g.louvain(edges, "cu", "su", rounds = 2)
+      val cg = g.communityGraph(edges, "cu", "su", l1, "id", "community")
+      val l2 = g.louvainWeighted(cg, "ca", "cb", "weight", rounds = 2)
+      l1.select(col("id"), col("community").as("community_l1"))
+        .join(l2.select(col("id").as("community_l1"),
+          col("community").as("community_l2")), "community_l1")
+        .select("id", "community_l1", "community_l2")
     }),
 
     // ── KMV distinct-count sketch estimate vs exact, per event type
@@ -608,52 +633,84 @@ object BreadthQueries {
       | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
       | GROUP BY 1)""".stripMargin
 
-  /** Generated DuckDB oracle for q245: replays every synchronized Louvain
-    * sweep move-for-move. All quantities (degrees, community degree sums,
-    * node→community edge counts, the 2m²-scaled gain) are integers, so the
-    * argmax + tie-break order is EXACT cross-engine — one CTE block per
-    * round mirrors `Graph.louvain`'s join/aggregate shape, including the
-    * monotone smaller-label move restriction. */
-  private def louvainOracleSql(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      val prev = s"lab${r - 1}"
-      s"""ct$r AS (SELECT l.c, CAST(sum(d.deg) AS BIGINT) AS ctot
-         | FROM $prev l JOIN deg d ON d.id = l.v GROUP BY 1),
-         |nb$r AS (SELECT s.v, l.c AS cand, CAST(count(*) AS BIGINT) AS kvc
-         | FROM sym s JOIN $prev l ON l.v = s.u GROUP BY 1, 2),
-         |cd$r AS (SELECT v, cand, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
-         |  SELECT v, cand, kvc FROM nb$r
+  /** Generated DuckDB oracle pieces for q245/q247: replay every
+    * synchronized Louvain sweep move-for-move over a WEIGHTED canonical
+    * edge CTE `und(a, b, w)` (w ≡ 1 reproduces the unweighted level; the
+    * level-2 run feeds the coarsened graph with self-loops). All
+    * quantities (strengths, community strength sums, node→community edge
+    * weights, the 2W²-scaled gain) are integers, so the argmax + tie-break
+    * order is EXACT cross-engine — one CTE block per round mirrors
+    * `Graph.louvainCore`'s join/aggregate shape, including the monotone
+    * smaller-label move restriction. `p` prefixes every CTE name so two
+    * levels coexist in one statement. */
+  private def louvainBaseCtes(p: String, und: String): String =
+    s"""${p}sym AS MATERIALIZED (SELECT a AS v, b AS u, w FROM $und WHERE a != b
+       | UNION ALL SELECT b AS v, a AS u, w FROM $und WHERE a != b),
+       |${p}deg AS MATERIALIZED (SELECT v AS id, CAST(sum(w) AS BIGINT) AS deg FROM
+       | (SELECT v, w FROM ${p}sym
+       |  UNION ALL SELECT a AS v, 2*w AS w FROM $und WHERE a = b)
+       | GROUP BY 1),
+       |${p}tot AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM $und),
+       |${p}lab0 AS MATERIALIZED (SELECT id AS v, id AS c FROM ${p}deg)""".stripMargin
+
+  private def louvainRoundCtes(p: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"${p}lab${r - 1}"
+      s"""${p}ct$r AS (SELECT l.c, CAST(sum(d.deg) AS BIGINT) AS ctot
+         | FROM $prev l JOIN ${p}deg d ON d.id = l.v GROUP BY 1),
+         |${p}nb$r AS (SELECT s.v, l.c AS cand, CAST(sum(s.w) AS BIGINT) AS kvc
+         | FROM ${p}sym s JOIN $prev l ON l.v = s.u GROUP BY 1, 2),
+         |${p}cd$r AS (SELECT v, cand, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+         |  SELECT v, cand, kvc FROM ${p}nb$r
          |  UNION ALL SELECT v, c AS cand, 0 AS kvc FROM $prev) GROUP BY 1, 2),
-         |g$r AS (SELECT cd.v, cd.cand, lb.c,
+         |${p}g$r AS (SELECT cd.v, cd.cand, lb.c,
          |  2*t.m*cd.kvc - d.deg*(ca.ctot -
          |    CASE WHEN cd.cand = lb.c THEN d.deg ELSE 0 END) AS g
-         | FROM cd$r cd JOIN $prev lb ON lb.v = cd.v
-         | JOIN deg d ON d.id = cd.v
-         | JOIN ct$r ca ON ca.c = cd.cand
-         | CROSS JOIN tot t
+         | FROM ${p}cd$r cd JOIN $prev lb ON lb.v = cd.v
+         | JOIN ${p}deg d ON d.id = cd.v
+         | JOIN ${p}ct$r ca ON ca.c = cd.cand
+         | CROSS JOIN ${p}tot t
          | WHERE cd.cand <= lb.c),
-         |lab$r AS (SELECT v, cand AS c FROM (
+         |${p}lab$r AS MATERIALIZED (SELECT v, cand AS c FROM (
          |  SELECT v, cand, row_number() OVER (PARTITION BY v ORDER BY g DESC,
-         |    CASE WHEN cand = c THEN 0 ELSE 1 END, cand) AS rn FROM g$r)
+         |    CASE WHEN cand = c THEN 0 ELSE 1 END, cand) AS rn FROM ${p}g$r)
          | WHERE rn = 1)""".stripMargin
-    }
-    s"""WITH bi AS (SELECT o.o_custkey * 2 AS x, l.l_suppkey * 2 + 1 AS y
-       | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-       |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-       | FROM bi WHERE least(x, y) != greatest(x, y)),
-       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
-       | (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
-       | GROUP BY 1),
-       |sym AS (SELECT a AS v, b AS u FROM und
-       | UNION ALL SELECT b AS v, a AS u FROM und),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
-       |lab0 AS (SELECT id AS v, id AS c FROM deg),
-       |${roundCtes.mkString(",\n")},
+    }.mkString(",\n")
+
+  /** The bipartite customer↔supplier purchase graph as a canonical
+    * unit-weight edge CTE (node encoding c → 2c, s → 2s+1). */
+  private val PurchaseUndCtes =
+    """bi AS (SELECT o.o_custkey * 2 AS x, l.l_suppkey * 2 + 1 AS y
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | WHERE l.l_shipdate < TIMESTAMP '1996-01-01'),
+      |und AS MATERIALIZED (SELECT a, b, 1 AS w FROM (
+      | SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      | FROM bi WHERE least(x, y) != greatest(x, y)))""".stripMargin
+
+  private def louvainOracleSql(rounds: Int): String =
+    s"""WITH $PurchaseUndCtes,
+       |${louvainBaseCtes("", "und")},
+       |${louvainRoundCtes("", rounds)},
        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
        | FROM lab$rounds GROUP BY 1)
        |SELECT l.v AS id, l.c AS community, sz.community_size
        |FROM lab$rounds l JOIN sz USING (c)""".stripMargin
-  }
+
+  /** Two-level Louvain oracle: level-1 sweep, coarsen (weights = collapsed
+    * multiplicities, intra-community edges → self-loops), weighted level-2
+    * sweep, then map every node to its level-2 community. */
+  private def louvain2OracleSql(r1: Int, r2: Int): String =
+    s"""WITH $PurchaseUndCtes,
+       |${louvainBaseCtes("", "und")},
+       |${louvainRoundCtes("", r1)},
+       |cg AS MATERIALIZED (SELECT least(la.c, lb.c) AS a, greatest(la.c, lb.c) AS b,
+       |  CAST(sum(u.w) AS BIGINT) AS w
+       | FROM und u JOIN lab$r1 la ON la.v = u.a
+       | JOIN lab$r1 lb ON lb.v = u.b GROUP BY 1, 2),
+       |${louvainBaseCtes("y", "cg")},
+       |${louvainRoundCtes("y", r2)}
+       |SELECT l1.v AS id, l1.c AS community_l1, l2.c AS community_l2
+       |FROM lab$r1 l1 JOIN ylab$r2 l2 ON l2.v = l1.c""".stripMargin
 
   private val TriangleCtes =
     s"""$TradeCtes,
@@ -759,6 +816,7 @@ object BreadthQueries {
          |   AS DOUBLE), 6) AS modularity
          |FROM pc""".stripMargin,
     "q245_louvain" -> louvainOracleSql(3),
+    "q247_louvain_l2" -> louvain2OracleSql(2, 2),
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
     // HLL rebuilt register-for-register: identical md5 hash, identical

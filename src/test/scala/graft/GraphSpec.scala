@@ -207,6 +207,37 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 9L -> 7L))
   }
 
+  test("louvainWeighted: coarse-graph gains respect self-loop mass — " +
+       "strong communities resist the bridge, weak ones merge") {
+    // hand arithmetic on the coarsened two-community graph (nodes 10, 20):
+    // self-loops s each, bridge weight b; strengths k = b + 2s, W = 2s+b.
+    // Node 20 joining c10: G = 2W·b − k², staying: G = 0 — so merge iff
+    // 2(2s+b)b > (b+2s)².
+    // s=3, b=2: G = 2·8·2 − 8·8 = −32 < 0 → stay separate.
+    val strong = Graph.louvainWeighted(
+        Seq((10L, 10L, 3L), (20L, 20L, 3L), (10L, 20L, 2L))
+          .toDF("x", "y", "wt"), "x", "y", "wt", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strong == Map(10L -> 10L, 20L -> 20L))
+    // s=1, b=5: G = 2·7·5 − 7·7 = 21 > 0 → 20 folds into 10.
+    val weak = Graph.louvainWeighted(
+        Seq((10L, 10L, 1L), (20L, 20L, 1L), (10L, 20L, 5L))
+          .toDF("x", "y", "wt"), "x", "y", "wt", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weak == Map(10L -> 10L, 20L -> 10L))
+  }
+
+  test("louvainWeighted with unit weights equals louvain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (3L, 5L)).toDF("s", "t")
+    val a = Graph.louvain(edges, "s", "t", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.louvainWeighted(edges.withColumn("wt", lit(1L)),
+        "s", "t", "wt", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("communityGraph: coarsening aggregates parallel edges and keeps " +
        "intra-community self-loops; a second-level sweep runs on it") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
