@@ -601,6 +601,15 @@ object ExtensionQueries {
         .join(adc, "vec_id")
     }),
 
+    // ── CCNet-style LM quality scoring: interpolated Kneser–Ney bigram
+    //    perplexity of every document under the corpus's own LM (the
+    //    standard curation signal; train + score are two scan-shaped
+    //    passes, counts shuffle at vocabulary size)
+    "q248_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NgramLm.kneserNeyScore(docs, docs, "doc_id", "text")
+    }),
+
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
     "q115_chunk_overlap" -> ((s, d) =>
       Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
@@ -1544,6 +1553,39 @@ object ExtensionQueries {
          |SELECT q_id, cid, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+    // KN bigram LM replayed count-for-count; each position's -ln P is
+    // quantized to DECIMAL(28,12) BEFORE the per-doc sum in BOTH engines,
+    // so document log-loss is order-independent and hash-matchable
+    "q248_lm_perplexity" ->
+      s"""WITH $toksCte,
+         |bg AS MATERIALIZED (SELECT doc_id, b.v AS v, b.u AS u FROM (
+         | SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+         |   i -> {'v': w[i], 'u': w[i+1]})) AS b
+         | FROM toks WHERE len(w) >= 2)),
+         |cvw AS MATERIALIZED (SELECT v, u, CAST(count(*) AS BIGINT) AS cvw
+         | FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+         |  CAST(count(*) AS BIGINT) AS n1p_v FROM cvw GROUP BY 1),
+         |cont AS (SELECT u, CAST(count(*) AS BIGINT) AS n1p_w
+         | FROM cvw GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p FROM cvw),
+         |sc AS (SELECT b.doc_id,
+         |  coalesce(CAST(n1p_w AS DOUBLE) / CAST(n1p AS DOUBLE),
+         |    1.0 / (CAST(n1p AS DOUBLE) + 1.0)) AS pcont,
+         |  c.cvw, x.cv, x.n1p_v
+         | FROM bg b LEFT JOIN cvw c USING (v, u) LEFT JOIN ctx x USING (v)
+         | LEFT JOIN cont USING (u) CROSS JOIN tot),
+         |p AS (SELECT doc_id, CASE WHEN cv IS NULL THEN pcont
+         |  ELSE greatest(coalesce(CAST(cvw AS DOUBLE), 0.0) - 0.75, 0.0)
+         |      / CAST(cv AS DOUBLE)
+         |    + 0.75 * CAST(n1p_v AS DOUBLE) / CAST(cv AS DOUBLE) * pcont
+         |  END AS p FROM sc),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  sum(CAST(-ln(p) AS DECIMAL(28,12))) AS snll FROM p GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         | round(CAST(snll AS DOUBLE) / n_bigrams, 6) AS avg_logloss,
+         | round(exp(CAST(snll AS DOUBLE) / n_bigrams), 6) AS perplexity
+         |FROM a""".stripMargin,
     // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
     // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
     // scan BEFORE scoring, exact rank over survivors

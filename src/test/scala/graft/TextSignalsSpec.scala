@@ -15,6 +15,40 @@ class TextSignalsSpec extends SparkSpec {
     assert(got == Map("ab" -> 4L, "bc" -> 1L))
   }
 
+  test("kneserNeyScore: hand bigram probabilities, KN normalization, " +
+       "and the deterministic OOV floors") {
+    import graft.text.NgramLm
+    // corpus ["a b a b", "a c"]: c(ab)=2, c(ba)=1, c(ac)=1; c(a)=3, c(b)=1;
+    // N1+(a·)=2, N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1; N1+(··)=3 → Pcont=1/3
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val pBA = (2.0 - 0.75) / 3 + 0.75 * 2.0 / 3 / 3   // P(b|a)
+    val pAB = (1.0 - 0.75) / 1 + 0.75 * 1.0 / 1 / 3   // P(a|b)
+    val pCA = (1.0 - 0.75) / 3 + 0.75 * 2.0 / 3 / 3   // P(c|a)
+    val got = NgramLm.kneserNeyScore(train, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    val d1 = (2 * -math.log(pBA) - math.log(pAB)) / 3
+    assert(math.abs(got(1L)._2 - d1) < 1e-6)
+    assert(math.abs(got(2L)._2 + math.log(pCA)) < 1e-6)
+
+    // KN sums to 1 over the vocabulary for every seen context: score three
+    // single-bigram docs covering all of context a's continuations — their
+    // exp(−logloss) probabilities must total exactly 1
+    val probes = Seq((10L, "a a"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text")
+    val ps = NgramLm.kneserNeyScore(train, probes, "doc_id", "text")
+      .collect().map(r => math.exp(-r.getDouble(2))).sum
+    assert(math.abs(ps - 1.0) < 1e-5)
+
+    // OOV floors: unseen context → Pcont of the word; unseen word too →
+    // 1/(N1+(··)+1) = 1/4
+    val oov = Seq((20L, "z q"), (21L, "z b")).toDF("doc_id", "text")
+    val o = NgramLm.kneserNeyScore(train, oov, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(o(20L) - math.log(4.0)) < 1e-6)  // 1/(3+1)
+    assert(math.abs(o(21L) - math.log(3.0)) < 1e-6)  // Pcont(b) = 1/3
+  }
+
   test("unigramNll: uniform corpus scores ln(V) per token; rare tokens score higher") {
     // 4 tokens, each appearing once → p = 1/4, nll = ln 4 for every token
     val uniform = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
