@@ -53,6 +53,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binnedPrefix equals the naive per-group ordered window on random " +
+       "per-value frames (both directions)") {
+    import org.apache.spark.sql.expressions.Window
+    val perValueGen = Gen.listOfN(60, for {
+      k <- Gen.oneOf("A", "B")
+      v <- Gen.choose(-50, 50)           // ints → duplicate values likely
+      m <- Gen.choose(1L, 9L)
+    } yield (k, v.toDouble, m))
+    forAll(perValueGen, n = 6) { rows =>
+      // one row per (group, value): the binnedPrefix input contract
+      val pv = rows.toDF("g", "v", "m")
+        .groupBy("g", "v").agg(sum(col("m").cast("decimal(28,10)")).as("m"))
+      for (desc <- Seq(false, true)) {
+        val w = Window.partitionBy("g")
+          .orderBy(if (desc) col("v").desc else col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val naive = pv.withColumn("m_cum", sum("m").over(w))
+          .select("g", "v", "m_cum")
+        val fast = graft.ops.Stats.binnedPrefix(pv, Seq("g"), "v", Seq("m"),
+            descending = desc, bins = 7) // small bins → multi-bucket paths
+          .select("g", "v", "m_cum")
+        assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+          s"binnedPrefix(desc=$desc) diverged from the naive window")
+      }
+    }
+  }
+
   test("pivot(last) / melt round-trip preserves cell values") {
     forAll(rowsGen) { rows =>
       val df = rows.collect { case (k, h, Some(v)) => (k, h, v) }
