@@ -1166,6 +1166,31 @@ class IndicatorsSpec extends SparkSpec {
     assert(got.head == 10.0 && math.abs(got(1) - 12.0) > 0.9)
   }
 
+  test("kalmanLevel / heikinAshi: single-bar keys take the closed form " +
+       "(sequence(2,1) counts DOWN — the fold must be guarded)") {
+    // a key with exactly one observation: sequence(2, size) = [2, 1] would
+    // run two out-of-bounds fold iterations emitting garbage rows (or an
+    // ANSI abort); the guard returns kf = x and ho = (o + c)/2 directly.
+    // Mixed with a 3-bar key to prove the guard doesn't disturb the fold.
+    val df = Seq((1, 1, 10.0), (2, 1, 42.0), (2, 2, 44.0), (2, 3, 43.0))
+      .toDF("g", "i", "x")
+    val kf = Indicators.kalmanLevel(df, "x", Seq("g"), "i", 0.01, 1.0)
+      .select("g", "i", "kf_level")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(kf.size == 4)
+    assert(kf((1, 1)) == 10.0)        // closed form: kf₁ = x₁
+    assert(kf((2, 1)) == 42.0)        // fold path unchanged
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:00:00")
+    val hdf = Seq((1, ts(9), 10.0), (2, ts(9), 42.0), (2, ts(10), 44.0),
+      (2, ts(11), 43.0)).toDF("g", "t", "x")
+    val ha = Indicators.heikinAshi(hdf, "x", Seq("g"), "t")
+      .orderBy("bar").select("g", "ha_open").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    assert(ha(1) == Seq(10.0))        // single bar: ho = (o + c)/2 = x
+    assert(ha(2).size == 3 && ha(2).head == 42.0)
+  }
+
   test("riskRatios: hand Sharpe/Sortino/Calmar on a short path") {
     // x = 10, 12, 9, 12 → rets +2, −3, +3; peak path 10,12,12,12
     val df = Seq((1, 10.0), (2, 12.0), (3, 9.0), (4, 12.0))
