@@ -1609,4 +1609,108 @@ object Indicators {
         round(sum(col("_term")).cast("double") / log(lit(6.0)), 6)
           .as("perm_entropy"))
   }
+
+  /** Roll (1984) implied bid-ask spread per series: transaction prices
+    * bouncing between bid and ask make successive price changes negatively
+    * autocorrelated, and s = 2·√(−cov(Δpₜ, Δpₜ₋₁)) (population covariance)
+    * recovers the effective spread from trade prices alone — the classic
+    * microstructure estimator when quote data is absent. NULL when the
+    * autocovariance is non-negative (trending market, no bounce signal —
+    * Roll's own documented failure mode) or under 2 change-pairs. One lag
+    * fan-out window (shared sort) + one exact-decimal moment aggregate —
+    * the [[arHalfLife]] plan shape. Output (keys, n_pairs, dcov,
+    * roll_spread). */
+  def rollSpread(df: DataFrame, value: String, keys: Seq[String],
+                 ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val pairs = df.filter(col(value).isNotNull)
+      .withColumn("_d", col(value) - lag(col(value), 1).over(wBase))
+      .withColumn("_dl", lag(col("_d"), 1).over(wBase))
+      .filter(col("_d").isNotNull && col("_dl").isNotNull)
+    def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
+    val agged = pairs.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum(col("_d")).as("_sd"), dsum(col("_dl")).as("_sdl"),
+      dsum(col("_d") * col("_dl")).as("_sddl"))
+    val n = col("n_pairs").cast("double")
+    val cov = (col("_sddl") - col("_sd") * col("_sdl") / n) / n
+    agged
+      .withColumn("dcov", round(cov, 6))
+      .withColumn("roll_spread",
+        when(cov < 0, round(lit(2.0) * sqrt(-cov), 6)))
+      .drop("_sd", "_sdl", "_sddl")
+  }
+
+  /** Amihud (2002) illiquidity per series: ILLIQ = mean(|rₜ| / volumeₜ) —
+    * the price impact per unit traded, the standard cheap liquidity proxy.
+    * Rows with NULL price/volume or volume ≤ 0 drop (a zero-volume bar has
+    * no impact estimate, and counting it would divide by zero). Each
+    * per-row ratio quantizes to DECIMAL(28,12) before the mean so the
+    * aggregate is partition-order-independent. One lag window + one
+    * aggregate. Output (keys, n_obs, illiq). */
+  def amihud(df: DataFrame, value: String, volume: String,
+             keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val rows = df.filter(col(value).isNotNull)
+      .withColumn("_r", col(value) - lag(col(value), 1).over(wBase))
+      .filter(col("_r").isNotNull && col(volume).isNotNull && col(volume) > 0)
+      .withColumn("_t",
+        (abs(col("_r")) / col(volume).cast("double")).cast("decimal(28,12)"))
+    rows.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_obs"),
+      round(sum(col("_t")).cast("double") / count(lit(1)), 6).as("illiq"))
+  }
+
+  /** GARCH(1,1) variance FILTER with fixed parameters (Bollerslev 1986):
+    * σ²ₜ = ω + α·r²ₜ₋₁ + β·σ²ₜ₋₁ over 1-step price differences, seeded at
+    * the model's unconditional variance σ²₁ = ω/(1−α−β) (data-independent,
+    * so the recursion is pure arithmetic both engines replay bit-for-bit).
+    * This is the FILTER given (ω, α, β) — parameter ESTIMATION is an MLE
+    * the reference stack would also delegate to a solver; with α+β < 1
+    * enforced the filter is stationary. Mean-reverting generalisation of
+    * [[ewmVolatility]] (λ-EWMA is the ω=0, α=1−λ, β=λ edge). Pack-sort-
+    * fold per key ([[kalmanLevel]] shape, same single-return closed-form
+    * guard). Output per return row: (keys, ord, ret, sigma2, sigma). */
+  def garch(df: DataFrame, value: String, keys: Seq[String],
+            ordCol: String, omega: Double, alpha: Double,
+            beta: Double): DataFrame = {
+    require(omega > 0 && alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"GARCH(1,1) needs omega>0, alpha,beta>=0, alpha+beta<1: " +
+        s"($omega, $alpha, $beta)")
+    val s21 = omega / (1.0 - alpha - beta)
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
+        col(value).cast("double").as("_gx")))).as("seq"))
+      .filter(size(col("seq")) >= 2)
+      // returns r[i] = x[i+1] − x[i]; _rts carries each return's ord key
+      .withColumn("_rs", expr(
+        "zip_with(slice(seq, 2, size(seq) - 1), slice(seq, 1, size(seq) - 1), (a, b) -> a._gx - b._gx)"))
+      .withColumn("_rts", expr("transform(slice(seq, 2, size(seq) - 1), p -> p._gt)"))
+    // r² via plain multiplication (NOT pow): x*x is the identical IEEE op
+    // in any engine, while pow(x, 2) is a libm call parity can't rely on
+    val step = s"cast($omega AS DOUBLE) + cast($alpha AS DOUBLE) " +
+      "* element_at(_rs, i - 1) * element_at(_rs, i - 1) " +
+      s"+ cast($beta AS DOUBLE) * acc.s2"
+    val fold = expr(
+      s"""aggregate(
+         |  sequence(2, size(_rs)),
+         |  named_struct('arr', array(cast($s21 AS DOUBLE)),
+         |    's2', cast($s21 AS DOUBLE)),
+         |  (acc, i) -> named_struct(
+         |    'arr', concat(acc.arr, array($step)),
+         |    's2', $step),
+         |  acc -> acc.arr)""".stripMargin)
+    packed
+      // single-return keys: sequence(2, 1) counts DOWN — closed form σ²₁
+      .withColumn("_s2", when(size(col("_rs")) >= 2, fold)
+        .otherwise(expr(s"transform(_rs, r -> cast($s21 AS DOUBLE))")))
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("_rts"), col("_rs"), col("_s2"))).as("_z")): _*)
+      .select(keys.map(col) :+
+        col("_z._rts").as(ordCol) :+
+        quant6(col("_z._rs")).as("ret") :+
+        quant6(col("_z._s2")).as("sigma2") :+
+        quant6(sqrt(col("_z._s2"))).as("sigma"): _*)
+  }
 }

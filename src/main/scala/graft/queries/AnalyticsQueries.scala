@@ -237,6 +237,30 @@ object AnalyticsQueries {
           Seq("user_id"), Seq(col("ts"), col("event_id")))
         .select("user_id", "event_id", "value", "peak", "drawdown")),
 
+    // ── Roll implied bid-ask spread per series (lag-1 autocovariance of
+    //    price changes; NULL when the bounce signal is absent)
+    "q249_roll_spread" -> ((s, d) =>
+      graft.analytics.Indicators.rollSpread(Tables.events(s, d), "value",
+        Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── Amihud illiquidity per series: mean |return| per unit volume
+    //    (JSON prop k as the volume proxy)
+    "q250_amihud" -> ((s, d) =>
+      graft.analytics.Indicators.amihud(
+        Tables.events(s, d).withColumn("vol",
+          get_json_object(col("props"), "$.k").cast("double")),
+        "value", "vol", Seq("user_id"), Seq(col("ts"), col("event_id")))),
+
+    // ── GARCH(1,1) variance filter over hourly close bars (the q204 bar
+    //    shape); dyadic-exact parameters so the fold replay is exact
+    "q251_garch" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      graft.analytics.Indicators.garch(bars, "close", Seq("user_id"), "bar",
+        omega = 0.25, alpha = 0.25, beta = 0.5)
+    }),
+
     // ── rolling 20-row OLS beta/alpha of value on JSON prop k per user
     //    (the rolling hedge ratio; q121's sufficient statistics, slope form)
     "q173_rolling_beta" -> ((s, d) =>
@@ -1568,6 +1592,67 @@ object AnalyticsQueries {
         |  THEN round(1.0 + (CAST(n_scales AS DOUBLE) * sxy - sx * sy) /
         |    (CAST(n_scales AS DOUBLE) * sxx - sx * sx) / 2.0, 6) END AS hurst
         |FROM o""".stripMargin,
+    "q249_roll_spread" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value FROM events
+        | WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, ts, event_id,
+        |  value - lag(value) OVER w AS d FROM b
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |e AS (SELECT user_id, d, lag(d) OVER w AS dl FROM d
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, d, dl FROM e
+        | WHERE d IS NOT NULL AND dl IS NOT NULL),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(d AS DECIMAL(28,10))) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(dl AS DECIMAL(28,10))) AS DOUBLE) AS sdl,
+        |  CAST(sum(CAST(d*dl AS DECIMAL(28,10))) AS DOUBLE) AS sddl
+        | FROM p GROUP BY 1),
+        |c AS (SELECT user_id, n_pairs,
+        |  (sddl - sd*sdl/CAST(n_pairs AS DOUBLE)) / CAST(n_pairs AS DOUBLE)
+        |    AS cov FROM a)
+        |SELECT user_id, n_pairs, round(cov, 6) AS dcov,
+        | CASE WHEN cov < 0 THEN round(2.0*sqrt(-cov), 6) END AS roll_spread
+        |FROM c""".stripMargin,
+    "q250_amihud" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS vol FROM events
+        | WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, vol, value - lag(value) OVER w AS r FROM b
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, CAST(abs(r)/vol AS DECIMAL(28,12)) AS t
+        | FROM r WHERE r IS NOT NULL AND vol IS NOT NULL AND vol > 0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        | round(CAST(sum(t) AS DOUBLE)/count(*), 6) AS illiq
+        |FROM p GROUP BY 1""".stripMargin,
+    // GARCH fold replayed with the identical acc = (s2, prev-return)
+    // recursion; parameters 0.25/0.25/0.5 and seed 1.0 are dyadic-exact
+    "q251_garch" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT user_id, list(bar ORDER BY bar) AS bs,
+        |  list(close ORDER BY bar) AS cs FROM bars GROUP BY 1
+        | HAVING count(*) >= 2),
+        |rr AS (SELECT user_id, bs[2:] AS rbs,
+        |  list_transform(range(2, len(cs) + 1), i -> cs[i] - cs[i-1]) AS rs
+        | FROM p),
+        |i AS (SELECT user_id, unnest(range(1, len(rs) + 1)) AS rn, rbs, rs
+        | FROM rr),
+        |e AS (SELECT user_id, rbs[rn] AS bar, rs[rn] AS ret,
+        |  list_reduce(
+        |    list_prepend({'s2': CAST(1.0 AS DOUBLE), 'rp': rs[1]},
+        |      list_transform(rs[2:rn],
+        |        x -> {'s2': CAST(0.0 AS DOUBLE), 'rp': x})),
+        |    (acc, el) -> {
+        |      's2': CAST(0.25 AS DOUBLE) + CAST(0.25 AS DOUBLE)*acc.rp*acc.rp
+        |        + CAST(0.5 AS DOUBLE)*acc.s2,
+        |      'rp': el.rp}).s2 AS s2
+        | FROM i)
+        |SELECT user_id, bar,
+        | floor(ret * 1000000.0 + 0.5) / 1000000.0 AS ret,
+        | floor(s2 * 1000000.0 + 0.5) / 1000000.0 AS sigma2,
+        | floor(sqrt(s2) * 1000000.0 + 0.5) / 1000000.0 AS sigma
+        |FROM e""".stripMargin,
     "q204_kalman" ->
       """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
         |  arg_max(value, ts) AS close FROM events

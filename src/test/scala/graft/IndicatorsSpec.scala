@@ -1191,6 +1191,54 @@ class IndicatorsSpec extends SparkSpec {
     assert(ha(2).size == 3 && ha(2).head == 42.0)
   }
 
+  test("rollSpread: bouncing prices recover the spread; trend gives NULL") {
+    // bounce 10,11,10,11,10 → d = +1,−1,+1,−1; pairs (d,dl): n=3,
+    // Σd=−1, Σdl=1, Σd·dl=−3 → cov = (−3 + 1/3)/3 = −8/9,
+    // spread = 2·√(8/9) = 1.885618
+    val df = (Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex.map {
+      case (p, i) => (1, i, p)
+    } ++ Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map {
+      case (p, i) => (2, i, p)
+    }).toDF("g", "i", "x")
+    val got = Indicators.rollSpread(df, "x", Seq("g"), Seq(col("i")))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getLong(1) == 3L)
+    assert(got(1).getDouble(2) == q6(-8.0 / 9))
+    assert(got(1).getDouble(3) == q6(2 * math.sqrt(8.0 / 9)))
+    // pure trend: d ≡ 1, cov = 0 → no spread estimate
+    assert(got(2).isNullAt(3))
+  }
+
+  test("amihud: mean |return| per unit volume; zero-volume rows drop") {
+    // prices 10,12,11 volumes 5,2,4 → |2|/2 = 1, |−1|/4 = 0.25 → 0.625;
+    // the zero-volume 4th row must not contribute (and not divide by zero)
+    val df = Seq((1, 1, 10.0, 5.0), (1, 2, 12.0, 2.0), (1, 3, 11.0, 4.0),
+      (1, 4, 13.0, 0.0)).toDF("g", "i", "x", "vol")
+    val r = Indicators.amihud(df, "x", "vol", Seq("g"), Seq(col("i")))
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 0.625)
+  }
+
+  test("garch: exact replay of the scalar recursion; single-return key " +
+       "takes the unconditional seed") {
+    // ω=0.25, α=0.25, β=0.5 → σ²₁ = 0.25/0.25 = 1; xs 10,12,11,14 →
+    // rets 2,−1,3: σ²₂ = 0.25+0.25·4+0.5·1 = 1.75,
+    // σ²₃ = 0.25+0.25·1+0.5·1.75 = 1.375 (all dyadic-exact)
+    val df = (Seq(10.0, 12.0, 11.0, 14.0).zipWithIndex.map {
+      case (x, i) => (1, i, x)
+    } :+ (2, 0, 5.0) :+ (2, 1, 7.0)).toDF("g", "i", "x")
+    val got = Indicators.garch(df, "x", Seq("g"), "i",
+        omega = 0.25, alpha = 0.25, beta = 0.5)
+      .orderBy("g", "i")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == 4)
+    assert(got((1, 1)) == ((2.0, 1.0)))
+    assert(got((1, 2)) == ((-1.0, 1.75)))
+    assert(got((1, 3)) == ((3.0, 1.375)))
+    assert(got((2, 1)) == ((2.0, 1.0)))   // single return → seed only
+  }
+
   test("riskRatios: hand Sharpe/Sortino/Calmar on a short path") {
     // x = 10, 12, 9, 12 → rets +2, −3, +3; peak path 10,12,12,12
     val df = Seq((1, 10.0), (2, 12.0), (3, 9.0), (4, 12.0))
