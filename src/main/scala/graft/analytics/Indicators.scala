@@ -1610,6 +1610,103 @@ object Indicators {
           .as("perm_entropy"))
   }
 
+  /** Holt linear (double exponential) smoothing per series (Holt 1957):
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, seeded
+    * l₁ = x₁, b₁ = x₂−x₁ (the textbook data seeds — deterministic, no
+    * optimizer). `fitted` is the one-step-ahead forecast lₜ₋₁+bₜ₋₁ (= x₁
+    * at t=1), so residuals are honest out-of-sample errors. Pack-sort-fold
+    * per key ([[kalmanLevel]] shape); with dyadic α, β every engine
+    * replays the recursion bit-for-bit. Keys need ≥ 2 points (the trend
+    * seed); output (keys, ord, x, level, trend, fitted) at 6 dp. */
+  def holtLinear(df: DataFrame, value: String, keys: Seq[String],
+                 ordCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"smoothing parameters must lie in (0,1): ($alpha, $beta)")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
+        col(value).cast("double").as("_gx")))).as("seq"))
+      .filter(size(col("seq")) >= 2)
+    val lStep = s"cast($alpha AS DOUBLE) * element_at(seq, i)._gx " +
+      s"+ cast(${1 - alpha} AS DOUBLE) * (acc.l + acc.b)"
+    val fold = expr(
+      s"""aggregate(
+         |  sequence(2, size(seq)),
+         |  named_struct(
+         |    'arr', array(named_struct(
+         |      'l', element_at(seq, 1)._gx,
+         |      'b', element_at(seq, 2)._gx - element_at(seq, 1)._gx,
+         |      'f', element_at(seq, 1)._gx)),
+         |    'l', element_at(seq, 1)._gx,
+         |    'b', element_at(seq, 2)._gx - element_at(seq, 1)._gx),
+         |  (acc, i) -> named_struct(
+         |    'arr', concat(acc.arr, array(named_struct(
+         |      'l', $lStep,
+         |      'b', cast($beta AS DOUBLE) * (($lStep) - acc.l)
+         |        + cast(${1 - beta} AS DOUBLE) * acc.b,
+         |      'f', acc.l + acc.b))),
+         |    'l', $lStep,
+         |    'b', cast($beta AS DOUBLE) * (($lStep) - acc.l)
+         |      + cast(${1 - beta} AS DOUBLE) * acc.b),
+         |  acc -> acc.arr)""".stripMargin)
+    packed.withColumn("_hw", fold)
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("seq"), col("_hw"))).as("_z")): _*)
+      .select(keys.map(col) :+
+        col("_z.seq._gt").as(ordCol) :+
+        col("_z.seq._gx").as(value) :+
+        quant6(col("_z._hw.l")).as("level") :+
+        quant6(col("_z._hw.b")).as("trend") :+
+        quant6(col("_z._hw.f")).as("fitted"): _*)
+  }
+
+  /** Classic additive seasonal decomposition per series (the
+    * statsmodels/STL-lite shape): trend = centered moving average over an
+    * ODD `period` (NULL until the window is full), seasonal = per-phase
+    * mean of the detrended series re-centered to sum to zero across
+    * phases, remainder = x − trend − seasonal. Three bounded passes: one
+    * ordered window (trend + phase index share the sort), one phase-sized
+    * aggregate, one broadcast join back — no global sort, all means from
+    * exact-decimal sums. Output (keys, ord, x, phase, trend, seasonal,
+    * resid). */
+  def seasonalDecompose(df: DataFrame, value: String, keys: Seq[String],
+                        ord: Seq[Column], period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered window), got $period")
+    val h = (period - 1) / 2
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val wCtr = wBase.rowsBetween(-h, h)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_pos", row_number().over(wBase))
+      .withColumn("phase", (col("_pos") - 1) % period)
+      .withColumn("_wn", count(lit(1)).over(wCtr))
+      .withColumn("trend",
+        when(col("_wn") === period,
+          sum(col(value).cast(Dec)).over(wCtr).cast("double") / period))
+      .withColumn("_det", col(value) - col("trend"))
+    val seas = base.filter(col("_det").isNotNull)
+      .groupBy((keys.map(col) :+ col("phase")): _*)
+      .agg((sum(col("_det").cast(Dec)).cast("double") /
+        count(lit(1))).as("_sraw"))
+      // re-center so the seasonal component carries no level: subtract the
+      // mean of the phase means (phase-count-sized window per key)
+      .withColumn("_soff",
+        sum(col("_sraw").cast(Dec)).over(Window.partitionBy(keys.map(col): _*))
+          .cast("double") /
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .withColumn("seasonal", round(col("_sraw") - col("_soff"), 6))
+      .select((keys.map(col) :+ col("phase") :+ col("seasonal")): _*)
+    // seas is (keys × period)-sized: small enough that AQE broadcasts it
+    // for modest key counts, correctly shuffle-joined beyond — no hint
+    base.join(seas, keys :+ "phase", "left")
+      .withColumn("trend", round(col("trend"), 6))
+      .withColumn("resid",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col(value) - col("trend") - col("seasonal"), 6)))
+      .select(keys.map(col) ++ ord :+ col(value) :+ col("phase") :+
+        col("trend") :+ col("seasonal") :+ col("resid"): _*)
+  }
+
   /** Roll (1984) implied bid-ask spread per series: transaction prices
     * bouncing between bid and ask make successive price changes negatively
     * autocorrelated, and s = 2·√(−cov(Δpₜ, Δpₜ₋₁)) (population covariance)

@@ -237,6 +237,26 @@ object AnalyticsQueries {
           Seq("user_id"), Seq(col("ts"), col("event_id")))
         .select("user_id", "event_id", "value", "peak", "drawdown")),
 
+    // ── Holt linear (double exponential) smoothing over hourly close bars
+    //    (dyadic α=0.5, β=0.25 → bit-exact fold replay)
+    "q253_holt" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      graft.analytics.Indicators.holtLinear(bars, "close", Seq("user_id"),
+        "bar", alpha = 0.5, beta = 0.25)
+    }),
+
+    // ── classic additive seasonal decomposition of the hourly bars at an
+    //    odd period of 5 (centered MA trend, re-centered phase means)
+    "q254_seasonal" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      graft.analytics.Indicators.seasonalDecompose(bars, "close",
+        Seq("user_id"), Seq(col("bar")), period = 5)
+    }),
+
     // ── Roll implied bid-ask spread per series (lag-1 autocovariance of
     //    price changes; NULL when the bounce signal is absent)
     "q249_roll_spread" -> ((s, d) =>
@@ -1592,6 +1612,76 @@ object AnalyticsQueries {
         |  THEN round(1.0 + (CAST(n_scales AS DOUBLE) * sxy - sx * sy) /
         |    (CAST(n_scales AS DOUBLE) * sxx - sx * sx) / 2.0, 6) END AS hurst
         |FROM o""".stripMargin,
+    // Holt recursion replayed by a RECURSIVE CTE — one row of scalar
+    // double arithmetic per (key, step), the identical operand order as
+    // the Spark fold (a list_reduce struct-lambda would be the natural
+    // form, but DuckDB 1.0 evaluates interdependent struct fields with
+    // in-place accumulator updates in an engine-defined order — the
+    // recursive CTE sidesteps that entirely); dyadic 0.5/0.25/0.75
+    // constants are exact in any engine
+    "q253_holt" ->
+      """WITH RECURSIVE bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |idx AS (SELECT user_id, bar, close,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar)
+        |    AS BIGINT) AS rn FROM bars),
+        |st AS (
+        | SELECT i1.user_id, CAST(1 AS BIGINT) AS rn, i1.bar, i1.close,
+        |  i1.close AS l, i2.close - i1.close AS b, i1.close AS f
+        | FROM idx i1 JOIN idx i2
+        |   ON i2.user_id = i1.user_id AND i2.rn = 2
+        | WHERE i1.rn = 1
+        | UNION ALL
+        | SELECT s.user_id, s.rn + 1, i.bar, i.close,
+        |  CAST(0.5 AS DOUBLE) * i.close
+        |    + CAST(0.5 AS DOUBLE) * (s.l + s.b),
+        |  CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.close
+        |      + CAST(0.5 AS DOUBLE) * (s.l + s.b)) - s.l)
+        |    + CAST(0.75 AS DOUBLE) * s.b,
+        |  s.l + s.b
+        | FROM st s JOIN idx i
+        |   ON i.user_id = s.user_id AND i.rn = s.rn + 1)
+        |SELECT user_id, bar, close,
+        | floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+        | floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        | floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
+        |FROM st""".stripMargin,
+    // decomposition replay: trend from the same centered decimal-mean,
+    // detrended phase means re-centered by the per-key phase-mean average;
+    // rounding order (trend/seasonal at 6dp BEFORE resid) mirrored exactly
+    "q254_seasonal" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT user_id, bar, close,
+        |  (row_number() OVER w - 1) % 5 AS phase,
+        |  CAST(count(*) OVER c AS BIGINT) AS wn,
+        |  CAST(sum(CAST(close AS DECIMAL(28,10))) OVER c AS DOUBLE) / 5
+        |    AS tr
+        | FROM bars
+        | WINDOW w AS (PARTITION BY user_id ORDER BY bar),
+        |  c AS (PARTITION BY user_id ORDER BY bar
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |t AS (SELECT user_id, bar, close, phase,
+        |  CASE WHEN wn = 5 THEN tr END AS trend FROM b),
+        |s AS (SELECT user_id, phase,
+        |  CAST(sum(CAST(close - trend AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*) AS sraw
+        | FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT user_id, phase,
+        |  round(sraw -
+        |    CAST(sum(CAST(sraw AS DECIMAL(28,10)))
+        |        OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY user_id), 6) AS seasonal
+        | FROM s)
+        |SELECT t.user_id, t.bar, t.close, t.phase,
+        | round(t.trend, 6) AS trend, sc.seasonal,
+        | CASE WHEN t.trend IS NOT NULL AND sc.seasonal IS NOT NULL
+        |   THEN round(t.close - round(t.trend, 6) - sc.seasonal, 6)
+        | END AS resid
+        |FROM t LEFT JOIN sc ON sc.user_id = t.user_id
+        |  AND sc.phase = t.phase""".stripMargin,
     "q249_roll_spread" ->
       """WITH b AS (SELECT user_id, ts, event_id, value FROM events
         | WHERE value IS NOT NULL),

@@ -1191,6 +1191,36 @@ class IndicatorsSpec extends SparkSpec {
     assert(ha(2).size == 3 && ha(2).head == 42.0)
   }
 
+  test("holtLinear: exact replay of the dyadic double-smoothing recursion") {
+    // α=0.5, β=0.25; xs 10,12,11,14: l=10,12,12.5,14.0625;
+    // b=2,2,1.625,1.609375; fitted=10,12,14,14.125 — all dyadic-exact
+    val df = Seq(10.0, 12.0, 11.0, 14.0).zipWithIndex
+      .map { case (x, i) => (1, i, x) }.toDF("g", "i", "x")
+    val rows = Indicators.holtLinear(df, "x", Seq("g"), "i",
+        alpha = 0.5, beta = 0.25)
+      .orderBy("i").select("level", "trend", "fitted").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(10.0, 12.0, 12.5, 14.0625))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(2.0, 2.0, 1.625, 1.609375))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(10.0, 12.0, 14.0, 14.125))
+  }
+
+  test("seasonalDecompose: pure period-3 cycle — flat trend, exact " +
+       "seasonal pattern, zero residuals") {
+    val df = (1 to 9).map(i => (1, i, ((i - 1) % 3 + 1).toDouble))
+      .toDF("g", "i", "x")
+    val rows = Indicators.seasonalDecompose(df, "x", Seq("g"), Seq(col("i")),
+        period = 3)
+      .orderBy("i").collect()
+    val trend = rows.map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    assert(trend.head.isEmpty && trend.last.isEmpty)        // edges NULL
+    assert(trend.slice(1, 8).forall(_.contains(2.0)))
+    val seasonal = rows.map(_.getDouble(5)) // every row has a phase mean
+    assert(rows.map(r => (r.getInt(3), r.getDouble(5))).distinct.sorted
+      .toSeq == Seq((0, -1.0), (1, 0.0), (2, 1.0)))
+    assert(rows.slice(1, 8).forall(_.getDouble(6) == 0.0))  // resid ≡ 0
+    assert(seasonal.length == 9)
+  }
+
   test("rollSpread: bouncing prices recover the spread; trend gives NULL") {
     // bounce 10,11,10,11,10 → d = +1,−1,+1,−1; pairs (d,dl): n=3,
     // Σd=−1, Σdl=1, Σd·dl=−3 → cov = (−3 + 1/3)/3 = −8/9,
