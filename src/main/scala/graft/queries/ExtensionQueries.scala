@@ -610,6 +610,16 @@ object ExtensionQueries {
       graft.text.NgramLm.kneserNeyScore(docs, docs, "doc_id", "text")
     }),
 
+    // ── CCNet head/middle/tail bucketing on the q248 perplexities:
+    //    per-language quartile fences + the deterministic ppm keep
+    "q255_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.text.NgramLm
+        .kneserNeyScore(docs, docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Curate.perplexityBuckets(scored, "doc_id", "lang", "perplexity")
+    }),
+
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
     "q115_chunk_overlap" -> ((s, d) =>
       Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
@@ -680,6 +690,40 @@ object ExtensionQueries {
   // ───────────────────────── DuckDB oracle SQL ─────────────────────────
 
   private def h64d(e: String) = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  /** Interpolated Kneser–Ney bigram LM scoring as a reusable CTE chain
+    * ending in `lm(doc_id, n_bigrams, avg_logloss, perplexity)` —
+    * q248 selects it directly; q255 builds CCNet buckets on top. */
+  private lazy val lmCtes =
+    s"""$toksCte,
+       |bg AS MATERIALIZED (SELECT doc_id, b.v AS v, b.u AS u FROM (
+       | SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+       |   i -> {'v': w[i], 'u': w[i+1]})) AS b
+       | FROM toks WHERE len(w) >= 2)),
+       |cvw AS MATERIALIZED (SELECT v, u, CAST(count(*) AS BIGINT) AS cvw
+       | FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+       |  CAST(count(*) AS BIGINT) AS n1p_v FROM cvw GROUP BY 1),
+       |cont AS (SELECT u, CAST(count(*) AS BIGINT) AS n1p_w
+       | FROM cvw GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p FROM cvw),
+       |sc AS (SELECT b.doc_id,
+       |  coalesce(CAST(n1p_w AS DOUBLE) / CAST(n1p AS DOUBLE),
+       |    1.0 / (CAST(n1p AS DOUBLE) + 1.0)) AS pcont,
+       |  c.cvw, x.cv, x.n1p_v
+       | FROM bg b LEFT JOIN cvw c USING (v, u) LEFT JOIN ctx x USING (v)
+       | LEFT JOIN cont USING (u) CROSS JOIN tot),
+       |p AS (SELECT doc_id, CASE WHEN cv IS NULL THEN pcont
+       |  ELSE greatest(coalesce(CAST(cvw AS DOUBLE), 0.0) - 0.75, 0.0)
+       |      / CAST(cv AS DOUBLE)
+       |    + 0.75 * CAST(n1p_v AS DOUBLE) / CAST(cv AS DOUBLE) * pcont
+       |  END AS p FROM sc),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  sum(CAST(-ln(p) AS DECIMAL(28,12))) AS snll FROM p GROUP BY 1),
+       |lm AS MATERIALIZED (SELECT doc_id, n_bigrams,
+       |  round(CAST(snll AS DOUBLE) / n_bigrams, 6) AS avg_logloss,
+       |  round(exp(CAST(snll AS DOUBLE) / n_bigrams), 6) AS perplexity
+       | FROM a)""".stripMargin
   private val toksCte =
     raw"toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)"
   private def shingleExpr(n: Int): String = {
@@ -1557,35 +1601,29 @@ object ExtensionQueries {
     // quantized to DECIMAL(28,12) BEFORE the per-doc sum in BOTH engines,
     // so document log-loss is order-independent and hash-matchable
     "q248_lm_perplexity" ->
-      s"""WITH $toksCte,
-         |bg AS MATERIALIZED (SELECT doc_id, b.v AS v, b.u AS u FROM (
-         | SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
-         |   i -> {'v': w[i], 'u': w[i+1]})) AS b
-         | FROM toks WHERE len(w) >= 2)),
-         |cvw AS MATERIALIZED (SELECT v, u, CAST(count(*) AS BIGINT) AS cvw
-         | FROM bg GROUP BY 1, 2),
-         |ctx AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
-         |  CAST(count(*) AS BIGINT) AS n1p_v FROM cvw GROUP BY 1),
-         |cont AS (SELECT u, CAST(count(*) AS BIGINT) AS n1p_w
-         | FROM cvw GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p FROM cvw),
-         |sc AS (SELECT b.doc_id,
-         |  coalesce(CAST(n1p_w AS DOUBLE) / CAST(n1p AS DOUBLE),
-         |    1.0 / (CAST(n1p AS DOUBLE) + 1.0)) AS pcont,
-         |  c.cvw, x.cv, x.n1p_v
-         | FROM bg b LEFT JOIN cvw c USING (v, u) LEFT JOIN ctx x USING (v)
-         | LEFT JOIN cont USING (u) CROSS JOIN tot),
-         |p AS (SELECT doc_id, CASE WHEN cv IS NULL THEN pcont
-         |  ELSE greatest(coalesce(CAST(cvw AS DOUBLE), 0.0) - 0.75, 0.0)
-         |      / CAST(cv AS DOUBLE)
-         |    + 0.75 * CAST(n1p_v AS DOUBLE) / CAST(cv AS DOUBLE) * pcont
-         |  END AS p FROM sc),
-         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  sum(CAST(-ln(p) AS DECIMAL(28,12))) AS snll FROM p GROUP BY 1)
-         |SELECT doc_id, n_bigrams,
-         | round(CAST(snll AS DOUBLE) / n_bigrams, 6) AS avg_logloss,
-         | round(exp(CAST(snll AS DOUBLE) / n_bigrams), 6) AS perplexity
-         |FROM a""".stripMargin,
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, avg_logloss, perplexity
+         |FROM lm""".stripMargin,
+    // CCNet bucketing on top of the same LM CTEs: per-language quartile
+    // fences (0.25/0.75 exactly representable → both engines' linear
+    // interpolation agrees) + the salted-hash ppm keep decision
+    "q255_ccnet_buckets" ->
+      s"""WITH $lmCtes,
+         |j AS (SELECT lm.doc_id, d.lang, lm.perplexity
+         | FROM lm JOIN documents d USING (doc_id)),
+         |f AS (SELECT lang, quantile_cont(perplexity, 0.25) AS q25,
+         |  quantile_cont(perplexity, 0.75) AS q75 FROM j GROUP BY 1),
+         |b AS (SELECT j.doc_id, j.lang, j.perplexity,
+         |  CASE WHEN j.perplexity <= f.q25 THEN 'head'
+         |       WHEN j.perplexity <= f.q75 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         | FROM j JOIN f USING (lang))
+         |SELECT doc_id, lang, perplexity, bucket,
+         | CASE WHEN ${h64d("'ppl:' || doc_id")} % 1000000 <
+         |   CASE bucket WHEN 'head' THEN 1000000
+         |     WHEN 'middle' THEN 500000 ELSE 100000 END
+         |  THEN 1 ELSE 0 END AS sampled
+         |FROM b""".stripMargin,
     // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
     // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
     // scan BEFORE scoring, exact rank over survivors

@@ -180,6 +180,41 @@ object Curate {
     * bad_token_len (mean ws-token length outside [2,12]), repetitive
     * (duplicate-2-gram fraction > 0.3), low_stopword (English stopword
     * ratio < 0.01). */
+  /** CCNet-style perplexity bucketing + deterministic keep decision
+    * (Wenzek et al., LREC'20 §4.3): per `group` (CCNet buckets per
+    * language), split the corpus into head / middle / tail by LM
+    * perplexity quartiles — low perplexity ≈ Wikipedia-like, high ≈
+    * noise — then keep head fully and down-sample middle/tail with the
+    * salted-hash decision every mixing operator here uses (re-runs and
+    * repartitions never flip a keep). Quartile fences (exactly
+    * representable 0.25/0.75, so both engines' linear interpolation
+    * agrees) come from one group-sized aggregate broadcast back — the RFM
+    * pattern, no global sort. Keep probabilities are resolved to exact
+    * parts-per-million integers at plan build. Output: (id, group, ppl,
+    * bucket, sampled). */
+  def perplexityBuckets(scored: DataFrame, id: String, group: String,
+                        ppl: String, keepMiddle: Double = 0.5,
+                        keepTail: Double = 0.1): DataFrame = {
+    require(keepMiddle >= 0 && keepMiddle <= 1 && keepTail >= 0 && keepTail <= 1,
+      s"keep rates must be probabilities: ($keepMiddle, $keepTail)")
+    val midPpm = math.round(keepMiddle * 1e6)
+    val tailPpm = math.round(keepTail * 1e6)
+    val fences = scored.groupBy(col(group))
+      .agg(expr(s"percentile($ppl, 0.25)").as("_q25"),
+        expr(s"percentile($ppl, 0.75)").as("_q75"))
+    val bucket = when(col(ppl) <= col("_q25"), "head")
+      .when(col(ppl) <= col("_q75"), "middle").otherwise("tail")
+    val keepPpm = when(col("bucket") === "head", lit(1000000L))
+      .when(col("bucket") === "middle", lit(midPpm)).otherwise(lit(tailPpm))
+    scored.join(broadcast(fences), Seq(group))
+      .filter(col(ppl).isNotNull)
+      .withColumn("bucket", bucket)
+      .withColumn("sampled",
+        (TextOps.h64(concat(lit("ppl:"), col(id).cast("string"))) % 1000000L
+          < keepPpm).cast("int"))
+      .select(col(id), col(group), col(ppl), col("bucket"), col("sampled"))
+  }
+
   def filterPipeline(df: DataFrame, id: String, text: String,
                      minTokens: Long = 10L,
                      maxTokens: Long = 5000L): DataFrame = {

@@ -38,6 +38,35 @@ class CurateSpec extends SparkSpec {
     assert(math.abs(half.values.sum - 1.0) < 2e-6)
   }
 
+  test("perplexityBuckets: quartile fences per group, head kept fully, " +
+       "ppm decision deterministic across re-runs") {
+    // 8 docs per group with distinct ppl 1..8: q25 = 2.75, q75 = 6.25 →
+    // head {1,2}, middle {3,4,5,6}, tail {7,8}
+    val scored = (1 to 8).flatMap(i => Seq(
+      (i.toLong, "en", i.toDouble), (100L + i, "de", i.toDouble)))
+      .toDF("doc_id", "lang", "ppl")
+    val out = Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(got.size == 16)
+    for (base <- Seq(0L, 100L)) {
+      assert(Seq(1L, 2L).forall(i => got(base + i)._1 == "head"))
+      assert(Seq(3L, 4L, 5L, 6L).forall(i => got(base + i)._1 == "middle"))
+      assert(Seq(7L, 8L).forall(i => got(base + i)._1 == "tail"))
+    }
+    // head is never down-sampled; the hash decision is id-deterministic
+    assert(got.collect { case (id, ("head", s)) => s }.forall(_ == 1))
+    val again = Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got.map { case (k, v) => k -> v._2 } == again)
+    // keepTail = 0 drops every tail doc regardless of hash
+    val none = Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl",
+        keepMiddle = 1.0, keepTail = 0.0)
+      .collect().map(r => (r.getString(3), r.getInt(4)))
+    assert(none.collect { case ("tail", s) => s }.forall(_ == 0))
+    assert(none.collect { case ("middle", s) => s }.forall(_ == 1))
+  }
+
   test("parseUrl extracts scheme/host/domain/path depth") {
     val r = Curate.parseUrl(
       Seq(("https://www.sub.example.org/a/b/c", 1)).toDF("url", "x"), "url")
