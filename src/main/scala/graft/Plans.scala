@@ -151,7 +151,12 @@ object Plans {
       "q246_filtered_ann" -> Seq("BroadcastHashJoin"),
       // louvain: the returned plan reads round-checkpointed label RDDs —
       // lineage truncation keeps plan depth O(1) in rounds
-      "q245_louvain" -> Seq("Scan ExistingRDD"))
+      "q245_louvain" -> Seq("Scan ExistingRDD"),
+      // LM scoring: vocabulary-sized count tables broadcast onto the
+      // doc-bigram stream (AQE picks broadcast at catalog scale)
+      "q248_lm_perplexity" -> Seq("HashAggregate"),
+      // CCNet buckets: the (lang, fences) frame broadcasts back
+      "q255_ccnet_buckets" -> Seq("BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
