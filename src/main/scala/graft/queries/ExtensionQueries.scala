@@ -620,6 +620,15 @@ object ExtensionQueries {
       Curate.perplexityBuckets(scored, "doc_id", "lang", "perplexity")
     }),
 
+    // ── multinomial Naive Bayes provenance classifier: train on the
+    //    corpus's own source labels, score every doc — the deterministic
+    //    stand-in for the fastText domain/quality filters (integer
+    //    sufficient statistics, fully value-checked)
+    "q256_nb_domain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.NaiveBayes.trainScore(docs, docs, "doc_id", "source", "text")
+    }),
+
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
     "q115_chunk_overlap" -> ((s, d) =>
       Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
@@ -1604,6 +1613,36 @@ object ExtensionQueries {
       s"""WITH $lmCtes
          |SELECT doc_id, n_bigrams, avg_logloss, perplexity
          |FROM lm""".stripMargin,
+    // NB classifier replayed count-for-count: Laplace likelihoods from
+    // integer counts, per-(doc, class, token) log terms quantized to
+    // DECIMAL(28,12) pre-sum, prior added post-sum, argmax on the rounded
+    // score with label tie-break
+    "q256_nb_domain" ->
+      s"""WITH $toksCte,
+         |tt AS MATERIALIZED (SELECT source AS c, unnest(w) AS tok FROM toks),
+         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tt GROUP BY 1, 2),
+         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
+         |pr AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
+         | FROM documents GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM documents),
+         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+         |tm AS (SELECT st.doc_id, cs.c,
+         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
+         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         | FROM st CROSS JOIN cs CROSS JOIN vv
+         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
+         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.c,
+         |  round(CAST(slp AS DOUBLE)
+         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
+         |    AS logp
+         | FROM sc JOIN pr USING (c) CROSS JOIN nt)
+         |SELECT doc_id, c AS pred_label, logp FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY logp DESC, c) AS rn FROM fin) WHERE rn = 1""".stripMargin,
     // CCNet bucketing on top of the same LM CTEs: per-language quartile
     // fences (0.25/0.75 exactly representable → both engines' linear
     // interpolation agrees) + the salted-hash ppm keep decision

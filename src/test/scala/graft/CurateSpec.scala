@@ -67,6 +67,29 @@ class CurateSpec extends SparkSpec {
     assert(none.collect { case ("middle", s) => s }.forall(_ == 1))
   }
 
+  test("NaiveBayes: hand Laplace posteriors, symmetric tie breaks to the " +
+       "smaller label, OOV floors apply") {
+    import graft.text.NaiveBayes
+    // vocab {buy, pills, meeting, notes}, V=4, 2 tokens/class, priors 1/2:
+    // P(seen|c) = 2/6, P(unseen|c) = 1/6
+    val train = Seq((1L, "spam", "buy pills"), (2L, "ham", "meeting notes"))
+      .toDF("doc_id", "label", "text")
+    val probes = Seq((10L, "buy pills"), (11L, "meeting notes"),
+      (12L, "buy notes")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(train, probes, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(got(10L)._1 == "spam" && got(11L)._1 == "ham")
+    // "buy notes": one seen token per class → identical scores; the
+    // deterministic tie-break picks the lexicographically smaller label
+    assert(got(12L)._1 == "ham")
+    val expect = math.log(0.5) + math.log(2.0 / 6) + math.log(1.0 / 6)
+    val q6e = BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(12L)._2 - q6e) < 2e-6)
+    assert(got(10L)._2 > got(12L)._2) // two seen tokens beat one
+  }
+
   test("parseUrl extracts scheme/host/domain/path depth") {
     val r = Curate.parseUrl(
       Seq(("https://www.sub.example.org/a/b/c", 1)).toDF("url", "x"), "url")
