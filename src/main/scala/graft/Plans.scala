@@ -156,7 +156,10 @@ object Plans {
       // doc-bigram stream (AQE picks broadcast at catalog scale)
       "q248_lm_perplexity" -> Seq("HashAggregate"),
       // CCNet buckets: the (lang, fences) frame broadcasts back
-      "q255_ccnet_buckets" -> Seq("BroadcastHashJoin"))
+      "q255_ccnet_buckets" -> Seq("BroadcastHashJoin"),
+      // NB classifier: vocabulary-sized likelihood table broadcast onto
+      // the (doc, token) stream; never corpus x corpus
+      "q256_nb_domain" -> Seq("BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
