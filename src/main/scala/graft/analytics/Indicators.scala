@@ -1707,6 +1707,42 @@ object Indicators {
         col("trend") :+ col("seasonal") :+ col("resid"): _*)
   }
 
+  /** Forecast accuracy per series: MAE, RMSE, SMAPE, and MASE (Hyndman &
+    * Koehler 2006) of a prediction column against actuals. MASE scales MAE
+    * by the in-sample naive one-step MAE (mean |yₜ − yₜ₋₁| over the same
+    * rows) — the scale-free benchmark ratio (< 1 beats the naive
+    * forecast); NULL when the series never moves. SMAPE terms skip rows
+    * where |y|+|ŷ| = 0 (0/0 is undefined, not zero error). Error terms
+    * quantize to exact decimals before summing, so the metrics are
+    * partition-order-independent. One lag window + one aggregate per key.
+    * Output: (keys, n_obs, mae, rmse, smape, mase). */
+  def forecastAccuracy(df: DataFrame, actual: String, predicted: String,
+                       keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val wBase = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val base = df.filter(col(actual).isNotNull && col(predicted).isNotNull)
+      .withColumn("_e", col(actual) - col(predicted))
+      .withColumn("_nv", col(actual) - lag(col(actual), 1).over(wBase))
+      .withColumn("_sden", abs(col(actual)) + abs(col(predicted)))
+      .withColumn("_st", when(col("_sden") > 0,
+        (lit(2.0) * abs(col("_e")) / col("_sden")).cast("decimal(28,12)")))
+    val agged = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_obs"),
+      (sum(abs(col("_e")).cast(Dec)).cast("double") / count(lit(1)))
+        .as("_mae"),
+      sqrt(sum((col("_e") * col("_e")).cast(Dec)).cast("double") /
+        count(lit(1))).as("_rmse"),
+      (sum(col("_st")).cast("double") / count(col("_st"))).as("_smape"),
+      (sum(abs(col("_nv")).cast(Dec)).cast("double") / count(col("_nv")))
+        .as("_nmae"))
+    agged
+      .withColumn("mae", round(col("_mae"), 6))
+      .withColumn("rmse", round(col("_rmse"), 6))
+      .withColumn("smape", round(col("_smape"), 6))
+      .withColumn("mase",
+        when(col("_nmae") > 0, round(col("_mae") / col("_nmae"), 6)))
+      .drop("_mae", "_rmse", "_smape", "_nmae")
+  }
+
   /** Roll (1984) implied bid-ask spread per series: transaction prices
     * bouncing between bid and ask make successive price changes negatively
     * autocorrelated, and s = 2·√(−cov(Δpₜ, Δpₜ₋₁)) (population covariance)

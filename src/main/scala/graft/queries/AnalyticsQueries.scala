@@ -247,6 +247,18 @@ object AnalyticsQueries {
         "bar", alpha = 0.5, beta = 0.25)
     }),
 
+    // ── forecast accuracy (MAE/RMSE/SMAPE/MASE) of the q253 Holt
+    //    one-step forecasts per series — the evaluation half of C4
+    "q257_forecast_accuracy" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      val holt = graft.analytics.Indicators.holtLinear(bars, "close",
+        Seq("user_id"), "bar", alpha = 0.5, beta = 0.25)
+      graft.analytics.Indicators.forecastAccuracy(holt, "close", "fitted",
+        Seq("user_id"), Seq(col("bar")))
+    }),
+
     // ── classic additive seasonal decomposition of the hourly bars at an
     //    odd period of 5 (centered MA trend, re-centered phase means)
     "q254_seasonal" -> ((s, d) => {
@@ -863,6 +875,33 @@ object AnalyticsQueries {
     (base +: chains.flatMap(_._1)).mkString("WITH ", ",\n", "\n") +
       chains.map(_._2).mkString("\nUNION ALL\n")
   }
+
+  /** The Holt recursive-CTE chain ending in `st(user_id, rn, bar, close,
+    * l, b, f)` — q253 selects it directly; q257 evaluates forecast
+    * accuracy on top. Goes after WITH RECURSIVE. */
+  private val HoltCtes =
+    """bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+      |  arg_max(value, ts) AS close FROM events
+      | WHERE value IS NOT NULL GROUP BY 1, 2),
+      |idx AS (SELECT user_id, bar, close,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar)
+      |    AS BIGINT) AS rn FROM bars),
+      |st AS (
+      | SELECT i1.user_id, CAST(1 AS BIGINT) AS rn, i1.bar, i1.close,
+      |  i1.close AS l, i2.close - i1.close AS b, i1.close AS f
+      | FROM idx i1 JOIN idx i2
+      |   ON i2.user_id = i1.user_id AND i2.rn = 2
+      | WHERE i1.rn = 1
+      | UNION ALL
+      | SELECT s.user_id, s.rn + 1, i.bar, i.close,
+      |  CAST(0.5 AS DOUBLE) * i.close
+      |    + CAST(0.5 AS DOUBLE) * (s.l + s.b),
+      |  CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.close
+      |      + CAST(0.5 AS DOUBLE) * (s.l + s.b)) - s.l)
+      |    + CAST(0.75 AS DOUBLE) * s.b,
+      |  s.l + s.b
+      | FROM st s JOIN idx i
+      |   ON i.user_id = s.user_id AND i.rn = s.rn + 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q42c_granger_sweep_f" -> grangerSweepOracleSql(5),
@@ -1620,33 +1659,39 @@ object AnalyticsQueries {
     // recursive CTE sidesteps that entirely); dyadic 0.5/0.25/0.75
     // constants are exact in any engine
     "q253_holt" ->
-      """WITH RECURSIVE bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
-        |  arg_max(value, ts) AS close FROM events
-        | WHERE value IS NOT NULL GROUP BY 1, 2),
-        |idx AS (SELECT user_id, bar, close,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar)
-        |    AS BIGINT) AS rn FROM bars),
-        |st AS (
-        | SELECT i1.user_id, CAST(1 AS BIGINT) AS rn, i1.bar, i1.close,
-        |  i1.close AS l, i2.close - i1.close AS b, i1.close AS f
-        | FROM idx i1 JOIN idx i2
-        |   ON i2.user_id = i1.user_id AND i2.rn = 2
-        | WHERE i1.rn = 1
-        | UNION ALL
-        | SELECT s.user_id, s.rn + 1, i.bar, i.close,
-        |  CAST(0.5 AS DOUBLE) * i.close
-        |    + CAST(0.5 AS DOUBLE) * (s.l + s.b),
-        |  CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * i.close
-        |      + CAST(0.5 AS DOUBLE) * (s.l + s.b)) - s.l)
-        |    + CAST(0.75 AS DOUBLE) * s.b,
-        |  s.l + s.b
-        | FROM st s JOIN idx i
-        |   ON i.user_id = s.user_id AND i.rn = s.rn + 1)
-        |SELECT user_id, bar, close,
-        | floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
-        | floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
-        | floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
-        |FROM st""".stripMargin,
+      s"""WITH RECURSIVE $HoltCtes
+         |SELECT user_id, bar, close,
+         | floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+         | floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+         | floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
+         |FROM st""".stripMargin,
+    // accuracy of the Holt one-step forecasts: errors against the SAME
+    // quantized fitted values the operator emits; per-row error terms
+    // quantize to exact decimals pre-sum, MASE scales by the naive MAE
+    "q257_forecast_accuracy" ->
+      s"""WITH RECURSIVE $HoltCtes,
+         |h AS (SELECT user_id, bar, close,
+         |  floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted FROM st),
+         |d AS (SELECT user_id, close - fitted AS e,
+         |  close - lag(close) OVER (PARTITION BY user_id ORDER BY bar)
+         |    AS nv,
+         |  abs(close) + abs(fitted) AS sden FROM h),
+         |t AS (SELECT user_id, e, nv, CASE WHEN sden > 0
+         |  THEN CAST(2.0 * abs(e) / sden AS DECIMAL(28,12)) END AS st2
+         | FROM d),
+         |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         |  CAST(sum(CAST(abs(e) AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+         |    AS mae_d,
+         |  sqrt(CAST(sum(CAST(e * e AS DECIMAL(28,10))) AS DOUBLE)
+         |    / count(*)) AS rmse_d,
+         |  CAST(sum(st2) AS DOUBLE) / count(st2) AS smape_d,
+         |  CAST(sum(CAST(abs(nv) AS DECIMAL(28,10))) AS DOUBLE) / count(nv)
+         |    AS nmae_d
+         | FROM t GROUP BY 1)
+         |SELECT user_id, n_obs, round(mae_d, 6) AS mae,
+         | round(rmse_d, 6) AS rmse, round(smape_d, 6) AS smape,
+         | CASE WHEN nmae_d > 0 THEN round(mae_d / nmae_d, 6) END AS mase
+         |FROM a""".stripMargin,
     // decomposition replay: trend from the same centered decimal-mean,
     // detrended phase means re-centered by the per-key phase-mean average;
     // rounding order (trend/seasonal at 6dp BEFORE resid) mirrored exactly

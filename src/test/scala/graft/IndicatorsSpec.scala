@@ -1221,6 +1221,27 @@ class IndicatorsSpec extends SparkSpec {
     assert(seasonal.length == 9)
   }
 
+  test("forecastAccuracy: hand MAE/RMSE/SMAPE/MASE on the Holt fixture; " +
+       "constant series gives NULL MASE") {
+    // actuals 10,12,11,14 vs fitted 10,12,14,14.125 → e = 0,0,−3,−0.125;
+    // naive diffs 2,−1,3 → naive MAE = 2
+    val df = Seq((1, 1, 10.0, 10.0), (1, 2, 12.0, 12.0), (1, 3, 11.0, 14.0),
+      (1, 4, 14.0, 14.125), (2, 1, 5.0, 6.0), (2, 2, 5.0, 6.0))
+      .toDF("g", "i", "y", "yhat")
+    val got = Indicators.forecastAccuracy(df, "y", "yhat", Seq("g"),
+        Seq(col("i")))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val r1 = got(1)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == q6(3.125 / 4))
+    assert(r1.getDouble(3) == q6(math.sqrt((9.0 + 0.015625) / 4)))
+    val smape = (2 * 3.0 / 25 + 2 * 0.125 / 28.125) / 4
+    assert(math.abs(r1.getDouble(4) - smape) < 1e-6)
+    assert(r1.getDouble(5) == q6(3.125 / 4 / 2.0))
+    // group 2 never moves: naive MAE = 0 → MASE NULL, MAE still 1
+    assert(got(2).getDouble(2) == 1.0 && got(2).isNullAt(5))
+  }
+
   test("rollSpread: bouncing prices recover the spread; trend gives NULL") {
     // bounce 10,11,10,11,10 → d = +1,−1,+1,−1; pairs (d,dl): n=3,
     // Σd=−1, Σdl=1, Σd·dl=−3 → cov = (−3 + 1/3)/3 = −8/9,
