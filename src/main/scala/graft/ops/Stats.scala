@@ -153,26 +153,27 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(28,10)"
     val k   = keys.map(col)
-    // group totals; the non-negativity precondition is ENFORCED, not just
-    // documented: a negative value makes the running share non-monotone and
-    // the boundary filter would silently select a wrong set. The guard
-    // lives INSIDE `_tot`, which every candidate evaluation touches, so it
-    // fires even for groups whose rows would all be filtered out.
-    val tot = df.groupBy(k: _*)
-      .agg(sum(col(value).cast(dec)).as("_tsum"), min(col(value)).as("_minv"))
-      .withColumn("_tot",
-        when(col("_minv") < 0, raise_error(lit(
-          s"topShare requires a non-negative '$value' column")))
-          .otherwise(col("_tsum")))
-      .select((k :+ col("_tot")): _*)
+    // per-value masses; the non-negativity precondition is ENFORCED, not
+    // just documented: a negative value makes the running share
+    // non-monotone and the boundary filter would silently select a wrong
+    // set. The guard lives INSIDE `_vm`, which the binnedPrefix bucket
+    // aggregate evaluates for EVERY per-value row — so it fires even for
+    // groups whose rows would all be filtered out downstream.
     val perValue = df.filter(col(value).isNotNull)
       .groupBy((k :+ col(value).as("_v")): _*)
-      .agg(sum(col(value).cast(dec)).as("_vm"))
-    // mass strictly above each value, exact decimal (inclusive − own)
+      .agg(sum(col(value).cast(dec)).as("_vm0"))
+      .withColumn("_vm",
+        when(col("_v") < 0, raise_error(lit(
+          s"topShare requires a non-negative '$value' column")))
+          .otherwise(col("_vm0")))
+      .drop("_vm0")
+    // mass strictly above each value, exact decimal (inclusive − own);
+    // the group total rides out of the SAME prefix pass (`_vm_tot` — the
+    // full descending cumulative), so no separate scan or broadcast
     val candidates = binnedPrefix(perValue, keys, "_v", Seq("_vm"),
-        descending = true)
+        descending = true, totals = true)
       .withColumn("_above", col("_vm_cum") - col("_vm"))
-      .join(broadcast(tot), keys)
+      .withColumn("_tot", col("_vm_tot"))
       // performance-only pre-filter WITH SLACK: the exact per-row filter
       // below decides membership; this merely drops values whose first
       // tie-row already lies past the boundary (1e-6 ≫ the double rounding
@@ -183,7 +184,7 @@ object Stats {
       .select((k :+ col("_v").as(value) :+ col("_above") :+ col("_tot")): _*)
     val wTie = Window.partitionBy((k :+ col(value)): _*).orderBy(tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(candidates, keys :+ value)
+    njoin(df, candidates, keys :+ value)
       .withColumn("_cum", col("_above") + sum(col(value).cast(dec)).over(wTie))
       .withColumn("_before",
         when(col("_tot") > 0,
@@ -245,19 +246,35 @@ object Stats {
     * row_number-based ((rn−1)/(n−1), `tie` breaks equal scores), never
     * percent_rank, so ties are deterministic; the global quantile lattice
     * (nQ+1 exact interpolated percentiles) is ONE 1-row aggregate
-    * broadcast back — per-source work is one ordered window, the data
-    * shuffles once on `source`. A NULL score FAILS FAST (rank is
-    * undefined for it — a silent null-first placement would assign real
-    * calibrated scores to unscored rows); filter nulls before calling.
+    * broadcast back. The within-source rank is DECOMPOSED (the [[topShare]]
+    * scheme): per-(source, score) counts feed [[binnedPrefix]] for the
+    * count-below offset, and row_number runs only inside (source, score)
+    * tie groups — parallelism ≈ |sources|·bins instead of |sources| (a
+    * handful of sources would otherwise sort all their raw rows in one
+    * task each). A NULL score FAILS FAST (rank is undefined for it — a
+    * silent null-first placement would assign real calibrated scores to
+    * unscored rows); filter nulls before calling.
     * Emits df + (src_rank, `score`_qn). */
   def quantileNormalize(df: DataFrame, score: String, source: String,
                         tie: Seq[Column], nQ: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qs = (0 to nQ).map(i => s"${i.toDouble / nQ}D").mkString(", ")
     val global = df.agg(expr(s"percentile($score, array($qs))").as("_q"))
-    val w = Window.partitionBy(source).orderBy(col(score).asc +: tie: _*)
-    val n = count(lit(1)).over(Window.partitionBy(source))
-    df.withColumn("_rn", row_number().over(w))
+    val perValue = df.filter(col(score).isNotNull)
+      .groupBy(col(source), col(score).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val below = binnedPrefix(perValue, Seq(source), "_v", Seq("_c"),
+        descending = false)
+      .select(col(source), col("_v").as(score),
+        (col("_c_cum") - col("_c")).as("_below"))
+    val nSrc = df.groupBy(col(source)).agg(count(lit(1)).as("_n"))
+    // left join: a NULL-score row must SURVIVE to the raise_error guard
+    // below, not silently vanish in an inner join
+    val wTie = Window.partitionBy(col(source), col(score)).orderBy(tie: _*)
+    val n = col("_n")
+    njoin(df, below, Seq(source, score), how = "left")
+      .transform(njoin(_, nSrc, Seq(source), bcastRight = true))
+      .withColumn("_rn", col("_below") + row_number().over(wTie))
       .withColumn("_r", when(n > 1,
         (col("_rn") - 1).cast("double") / (n - 1)).otherwise(lit(0.0)))
       .crossJoin(broadcast(global))
@@ -272,7 +289,7 @@ object Stats {
             (col("_p") - col("_lo")) *
               (expr("element_at(_q, _lo + 2)") - expr("element_at(_q, _lo + 1)"))),
         6))
-      .drop("_rn", "_r", "_q", "_p", "_lo")
+      .drop("_rn", "_r", "_q", "_p", "_lo", "_below", "_n")
   }
 
   /** Linear (probabilistic) counting (Whang, Vander-Zanden, Taylor —
@@ -603,8 +620,7 @@ object Stats {
       .withColumn("_w", (col("_hi") - col("_lo")) / bins)
       .withColumn("_k1", expr("(_n + 1) div 2"))
       .withColumn("_k2", expr("(_n + 2) div 2"))
-    val binned = df.filter(v.isNotNull)
-      .join(broadcast(ext), keys)
+    val binned = njoin(df.filter(v.isNotNull), ext, keys, bcastRight = true)
       .withColumn("_bin", when(col("_w") === 0, lit(0L))
         .otherwise(least(floor((v - col("_lo")) / col("_w")),
           lit(bins - 1L))))
@@ -621,7 +637,7 @@ object Stats {
       .select((k :+ col("_bin") :+ col("_below")): _*)
     // pass 2: sort only the target buckets, pick the global order stats
     val rankW = Window.partitionBy((k :+ col("_bin")): _*).orderBy(v)
-    binned.join(targets, keys :+ "_bin")
+    njoin(binned, targets, keys :+ "_bin")
       .withColumn("_rk", col("_below") + row_number().over(rankW))
       .filter(col("_rk") === col("_k1") || col("_rk") === col("_k2"))
       .groupBy(k: _*)
@@ -629,6 +645,25 @@ object Stats {
   }
 
   private val Dec = "decimal(28,10)"
+
+  /** NULL-safe inner/left equi-join on `keys`: Spark's `join(df, usingCols)`
+    * compiles to plain `=` on the keys, which drops any group whose key is
+    * NULL — but the window-based semantics these operators replace (and
+    * their DuckDB oracles) treat NULL as a regular partition. This helper
+    * joins with `<=>` (null-safe equality — still a hash-joinable key, and
+    * Catalyst rewrites it back to `=` when both sides are non-nullable, so
+    * the non-null fast path costs nothing). Right-side key columns are
+    * renamed before the join, so self-derived frames resolve without
+    * ambiguity, and dropped after. `bcastRight` marks group-sized frames. */
+  private[graft] def njoin(l: DataFrame, r: DataFrame, keys: Seq[String],
+      bcastRight: Boolean = false, how: String = "inner"): DataFrame = {
+    val r1 = keys.foldLeft(r)((d, kk) => d.withColumnRenamed(kk, s"__nj_$kk"))
+    val rr = if (bcastRight) broadcast(r1) else r1
+    if (keys.isEmpty) l.crossJoin(rr)
+    else l.join(rr,
+        keys.map(kk => col(kk) <=> col(s"__nj_$kk")).reduce(_ && _), how)
+      .drop(keys.map(kk => s"__nj_$kk"): _*)
+  }
 
   /** Range-partitioned prefix sums over a per-value frame — the scale-safe
     * replacement for `sum(x).over(Window.partitionBy(keys).orderBy(v))`
@@ -644,10 +679,14 @@ object Stats {
     * exact and associative, so the decomposition is bit-identical to the
     * single global window. Requires one row per (keys, vCol); appends
     * `<c>_cum` (inclusive prefix in `vCol` order, descending if
-    * `descending`) for each column in `sums`. */
+    * `descending`) for each column in `sums`, plus — when `totals` — the
+    * per-group grand total `<c>_tot` (computed in the SAME bins-sized
+    * offsets window pass, so it costs no extra scan or broadcast: the
+    * q138-rework trim). NULL group keys are regular groups (null-safe
+    * joins throughout, matching Window.partitionBy semantics). */
   private[graft] def binnedPrefix(perValue: DataFrame, keys: Seq[String],
       vCol: String, sums: Seq[String], descending: Boolean,
-      bins: Int = 256): DataFrame = {
+      bins: Int = 256, totals: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k  = keys.map(col)
     val vd = col(vCol).cast("double")
@@ -657,7 +696,7 @@ object Stats {
       .select((k :+ col("_plo") :+ col("_pw")): _*)
     // bin index is monotone in the value (equal values share a bin), so
     // (bin order, value order within bin) IS the global value order
-    val binned = perValue.join(broadcast(ext), keys)
+    val binned = njoin(perValue, ext, keys, bcastRight = true)
       .withColumn("_pbin", when(col("_pw") === 0, lit(0L))
         .otherwise(least(floor((vd - col("_plo")) / col("_pw")),
           lit(bins - 1L))))
@@ -668,13 +707,19 @@ object Stats {
     val wOff = Window.partitionBy(k: _*)
       .orderBy(if (descending) col("_pbin").desc else col("_pbin").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sums.foldLeft(binTot)((d, c) =>
-        d.withColumn(s"_off_$c", sum(col(s"_bt_$c")).over(wOff)))
-      .select((k :+ col("_pbin")) ++ sums.map(c => col(s"_off_$c")): _*)
+    val wAll = Window.partitionBy(k: _*)
+    val offsets0 = sums.foldLeft(binTot)((d, c) => {
+      val d2 = d.withColumn(s"_off_$c", sum(col(s"_bt_$c")).over(wOff))
+      if (totals) d2.withColumn(s"${c}_tot", sum(col(s"_bt_$c")).over(wAll))
+      else d2
+    })
+    val offCols = sums.map(c => col(s"_off_$c")) ++
+      (if (totals) sums.map(c => col(s"${c}_tot")) else Nil)
+    val offsets = offsets0.select((k :+ col("_pbin")) ++ offCols: _*)
     val wLoc = Window.partitionBy((k :+ col("_pbin")): _*)
       .orderBy(if (descending) col(vCol).desc else col(vCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sums.foldLeft(binned.join(offsets, keys :+ "_pbin"))((d, c) =>
+    sums.foldLeft(njoin(binned, offsets, keys :+ "_pbin"))((d, c) =>
         d.withColumn(s"${c}_cum",
           coalesce(col(s"_off_$c"), lit(0)) + sum(col(c)).over(wLoc)))
       .drop((sums.map(c => s"_off_$c") :+ "_pbin"): _*)
@@ -686,24 +731,50 @@ object Stats {
     * tail-average risk measure; Artzner et al. 1999). Order statistics,
     * not interpolated percentiles, so ties and engine interpolation
     * conventions can't wiggle the answer (`id` breaks value ties
-    * deterministically). One rank window + one aggregate; at 100 TB the
-    * rank shuffle is per-group and the tail filter drops 1−α of rows
-    * before the aggregate. */
+    * deterministically).
+    *
+    * Selection is the [[exactMedianTwoPass]] two-pass scheme generalized
+    * to rank ⌈αn⌉ — a per-group raw-row rank window would sort each
+    * group's ENTIRE data in one task (few groups → few tasks at any
+    * scale). Pass 1 bins values per group and finds, from bins-sized
+    * cumulative counts, the bucket holding rank k; pass 2 drops every row
+    * above that bucket (1−α of the data, before any sort), ranks ONLY
+    * inside the boundary bucket (~n/bins rows), and aggregates the tail.
+    * Bin indices are monotone in the value and ties share a bin, so
+    * bucket-offset + within-bucket (value, id) rank IS the global rank —
+    * the selected set is row-for-row what the single window selected. */
   def tailRisk(df: DataFrame, value: String, keys: Seq[String], id: String,
-               alpha: Double = 0.05): DataFrame = {
+               alpha: Double = 0.05, bins: Int = 1001): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(alpha > 0 && alpha < 1, s"alpha $alpha outside (0, 1)")
+    val k  = keys.map(col)
+    val vd = col(value).cast("double")
     val base = df.filter(col(value).isNotNull)
-    val wRank = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(value), col(id))
-    val wAll = Window.partitionBy(keys.map(col): _*)
-    base
-      .withColumn("_rn", row_number().over(wRank))
-      .withColumn("_n", count(lit(1)).over(wAll))
+    val ext = base.groupBy(k: _*).agg(
+        min(vd).as("_lo"), max(vd).as("_hi"), count(lit(1)).as("_n"))
+      .withColumn("_w", (col("_hi") - col("_lo")) / bins)
       .withColumn("_k",
         greatest(lit(1L), ceil(lit(alpha) * col("_n")).cast("long")))
-      .filter(col("_rn") <= col("_k"))
-      .groupBy(keys.map(col): _*)
+      .select((k :+ col("_lo") :+ col("_w") :+ col("_n") :+ col("_k")): _*)
+    val binned = njoin(base, ext, keys, bcastRight = true)
+      .withColumn("_bin", when(col("_w") === 0, lit(0L))
+        .otherwise(least(floor((vd - col("_lo")) / col("_w")),
+          lit(bins - 1L))))
+    val cumW = Window.partitionBy(k: _*).orderBy(col("_bin"))
+    val target = binned.groupBy((k :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_c"), first(col("_k")).as("_tk"))
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_blw", col("_cum") - col("_c"))
+      .filter(col("_blw") < col("_tk") && col("_tk") <= col("_cum"))
+      .select((k :+ col("_bin").as("_tbin") :+ col("_blw").as("_tbelow")): _*)
+    val wRank = Window.partitionBy((k :+ col("_bin")): _*)
+      .orderBy(col(value), col(id))
+    val tail = njoin(binned, target, keys, bcastRight = true)
+      .filter(col("_bin") <= col("_tbin"))
+      .withColumn("_rk", when(col("_bin") === col("_tbin"),
+        col("_tbelow") + row_number().over(wRank)).otherwise(lit(0L)))
+      .filter(col("_bin") < col("_tbin") || col("_rk") <= col("_k"))
+    tail.groupBy(k: _*)
       .agg(
         max(col("_n")).as("n_obs"),
         max(col("_k")).as("tail_n"),
@@ -716,22 +787,23 @@ object Stats {
     * of |F₁(x) − F₂(x)|, with the ECDFs evaluated EXACTLY from cumulative
     * counts over the merged distinct-value axis (no interpolation, ties
     * handled by aggregating per distinct value first — the textbook
-    * definition). One distinct-value aggregate + one ordered window + one
-    * max: the axis is distinct-value-sized, ≪ the data. Returns one row
-    * (n₁, n₂, d_stat). */
+    * definition). The cumulative counts ride [[binnedPrefix]] (bounded
+    * windows): the distinct-value axis of a continuous column is ≈ n, so
+    * a single global ordered window over it would be a one-task sort at
+    * scale — the prefix decomposition keeps parallelism at `bins` while
+    * the integer sums stay bit-identical. Returns one row (n₁, n₂,
+    * d_stat). */
   def ksTest(df: DataFrame, value: String, group: String,
              aLabel: String, bLabel: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.filter(col(value).isNotNull &&
       (col(group) === aLabel || col(group) === bLabel))
     val perValue = base.groupBy(col(value).as("_v")).agg(
       count(when(col(group) === aLabel, 1)).as("_c1"),
       count(when(col(group) === bLabel, 1)).as("_c2"))
-    val wCum = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = perValue
-      .withColumn("_f1", sum(col("_c1")).over(wCum))
-      .withColumn("_f2", sum(col("_c2")).over(wCum))
+    val withCum = binnedPrefix(perValue, Nil, "_v", Seq("_c1", "_c2"),
+        descending = false)
+      .withColumnRenamed("_c1_cum", "_f1")
+      .withColumnRenamed("_c2_cum", "_f2")
     val tot = withCum.agg(max(col("_f1")).as("n1"), max(col("_f2")).as("n2"))
     withCum.crossJoin(broadcast(tot))
       .agg(
@@ -747,33 +819,41 @@ object Stats {
   }
 
   /** Mann–Whitney U rank-sum test (two-sided normal approximation with tie
-    * correction): average ranks over the pooled sample (rank() min-rank +
+    * correction): average ranks over the pooled sample (min-rank +
     * (ties−1)/2 — deterministic under any partitioning), U₁ = R₁ −
     * n₁(n₁+1)/2, z = (U₁ − n₁n₂/2)/√var with var = (n₁n₂/12)·((n+1) −
-    * Σ(t³−t)/(n(n−1))). Rank sums accumulate in exact DECIMAL; the closed
-    * forms evaluate in a pinned order. One pooled rank window + one
-    * aggregate; returns one row (n1, n2, u1, z). */
+    * Σ(t³−t)/(n(n−1))). Rows pre-aggregate per DISTINCT VALUE (the
+    * [[ksTest]] shape) and the min-rank derives from [[binnedPrefix]]
+    * cumulative counts (minrank(v) = 1 + #rows below v) — no raw-row
+    * global rank window, whose single unpartitioned sort was the one-task
+    * scale killer. Per-value rank sums accumulate in exact DECIMAL
+    * (t₁·avgrank = the sum of the t₁ identical per-row terms, so the
+    * decomposition is bit-identical to the pooled-window form). Returns
+    * one row (n1, n2, u1, z). */
   def mannWhitney(df: DataFrame, value: String, group: String,
                   aLabel: String, bLabel: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.filter(col(value).isNotNull &&
       (col(group) === aLabel || col(group) === bLabel))
-    val wRank = Window.orderBy(col(value))
-    val wTies = Window.partitionBy(col(value))
-    val ranked = base
-      .withColumn("_rmin", rank().over(wRank))
-      .withColumn("_t", count(lit(1)).over(wTies))
+    val perValue = base.groupBy(col(value).as("_v")).agg(
+      count(when(col(group) === aLabel, 1)).as("_t1"),
+      count(when(col(group) === bLabel, 1)).as("_t2"))
+      .withColumn("_t", col("_t1") + col("_t2"))
+    val ranked = binnedPrefix(perValue, Nil, "_v", Seq("_t"),
+        descending = false)
+      // min-rank = 1 + #rows strictly below; average rank of the tie group
+      // = minrank + (t−1)/2 — exact in double (ranks step by halves)
       .withColumn("_avgr",
-        col("_rmin").cast("double") +
+        (col("_t_cum") - col("_t") + 1).cast("double") +
           (col("_t") - 1).cast("double") / lit(2.0))
     val agged = ranked.agg(
-      count(when(col(group) === aLabel, 1)).as("n1"),
-      count(when(col(group) === bLabel, 1)).as("n2"),
-      sum(when(col(group) === aLabel, col("_avgr").cast(Dec)))
+      coalesce(sum(col("_t1")), lit(0L)).as("n1"),
+      coalesce(sum(col("_t2")), lit(0L)).as("n2"),
+      // R₁ = Σ_v t₁(v)·avgrank(v), exact: t₁ copies of the same DECIMAL
+      sum(col("_avgr").cast(Dec) * col("_t1"))
         .cast("double").as("_r1"),
-      // Σ(t³−t) over tie GROUPS, accumulated per ROW as t²−1: the t rows
-      // of a size-t group contribute t·(t²−1) = t³−t — exact in BIGINT
-      sum((col("_t") * col("_t") - 1).cast(Dec)).cast("double")
+      // Σ(t³−t) over tie GROUPS: (t²−1)·t per value — the (t²−1) factor
+      // stays in BIGINT range, the ·t product is exact in DECIMAL
+      sum((col("_t") * col("_t") - 1).cast(Dec) * col("_t")).cast("double")
         .as("_tsum3"))
     val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
     val n  = n1 + n2
@@ -1027,11 +1107,12 @@ object Stats {
     // integer/decimal sums, so identical values at any partitioning
     val grp = perValue.groupBy(keys.map(col): _*)
       .agg(sum(col("_c")).as("_n"), sum(col("_m")).as("_tm"))
-    val cum = binnedPrefix(perValue, keys, "_v", Seq("_c", "_m"),
-        descending = false)
-      .withColumnRenamed("_c_cum", "_cc")
-      .withColumnRenamed("_m_cum", "_cm")
-      .join(broadcast(grp), keys)
+    val cum = njoin(
+      binnedPrefix(perValue, keys, "_v", Seq("_c", "_m"),
+          descending = false)
+        .withColumnRenamed("_c_cum", "_cc")
+        .withColumnRenamed("_m_cum", "_cm"),
+      grp, keys, bcastRight = true)
     val dec = cum.withColumn("_d", explode(sequence(lit(1), lit(10))))
       // this value-row covers decile d iff it is the FIRST row whose
       // cumulative row count reaches ⌈n·d/10⌉
@@ -1094,10 +1175,11 @@ object Stats {
     // (bounded windows — no per-group single-task sort of distinct values)
     val tw = perValue.groupBy(keys.map(col): _*)
       .agg(sum(col("_w")).as("_tw"))
-    val cum = binnedPrefix(perValue, keys, "_v", Seq("_w"),
-        descending = false)
-      .withColumnRenamed("_w_cum", "_cw")
-      .join(broadcast(tw), keys)
+    val cum = njoin(
+      binnedPrefix(perValue, keys, "_v", Seq("_w"),
+          descending = false)
+        .withColumnRenamed("_w_cum", "_cw"),
+      tw, keys, bcastRight = true)
     cum.filter(col("_cw") * 2 >= col("_tw"))
       .groupBy(keys.map(col): _*)
       .agg(min(col("_v")).as("weighted_median"),

@@ -329,11 +329,13 @@ object TextOps {
     * tokens) over the corpus read in `id` order — V(N) ≈ k·N^β with β ≈
     * 0.4–0.6 for natural language (Heaps 1978); drift flags synthetic or
     * boilerplate-heavy corpora. New-vocabulary attribution is exact: each
-    * term counts at its FIRST document (min id), cumulative sums ride one
-    * ordered window over the doc-sized frame. Returns one row (n_docs,
-    * slope, intercept, r2). */
+    * term counts at its FIRST document (min id), and the cumulative
+    * token/vocabulary sums ride [[graft.ops.Stats.binnedPrefix]] over the
+    * per-doc frame — a single global ordered window would sort the ENTIRE
+    * doc axis in one task at corpus scale; the range-partitioned prefix
+    * keeps parallelism at `bins` with bit-identical integer sums. Returns
+    * one row (n_docs, slope, intercept, r2). */
   def heapsFit(df: DataFrame, id: String, text: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(id).as("_id"),
         tokens(normalize(col(text))).as("w"))
       .select(col("_id"), expr("filter(w, t -> length(t) > 0)").as("w"))
@@ -342,12 +344,11 @@ object TextOps {
       .select(col("_id"), explode(col("w")).as("term"))
       .groupBy("term").agg(min(col("_id")).as("_fd"))
       .groupBy(col("_fd").as("_id")).agg(count(lit(1)).as("_v"))
-    val wCum = Window.orderBy(col("_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = perDoc.join(firstDoc, Seq("_id"), "left")
-      .na.fill(0L, Seq("_v"))
-      .withColumn("_ncum", sum(col("_n")).over(wCum))
-      .withColumn("_vcum", sum(col("_v")).over(wCum))
+    val cums = graft.ops.Stats.binnedPrefix(
+        perDoc.join(firstDoc, Seq("_id"), "left").na.fill(0L, Seq("_v")),
+        Nil, "_id", Seq("_n", "_v"), descending = false)
+      .withColumnRenamed("_n_cum", "_ncum")
+      .withColumnRenamed("_v_cum", "_vcum")
       .filter(col("_ncum") > 0 && col("_vcum") > 0)
     val x = log(col("_ncum").cast("double"))
     val y = log(col("_vcum").cast("double"))

@@ -54,10 +54,12 @@ class PropertySpec extends SparkSpec {
   }
 
   test("binnedPrefix equals the naive per-group ordered window on random " +
-       "per-value frames (both directions)") {
+       "per-value frames (both directions, NULL group key, totals)") {
     import org.apache.spark.sql.expressions.Window
+    // a NULL group key is a REGULAR partition for Window.partitionBy — the
+    // internal joins must be null-safe or the whole group silently vanishes
     val perValueGen = Gen.listOfN(60, for {
-      k <- Gen.oneOf("A", "B")
+      k <- Gen.oneOf("A", "B", null: String)
       v <- Gen.choose(-50, 50)           // ints → duplicate values likely
       m <- Gen.choose(1L, 9L)
     } yield (k, v.toDouble, m))
@@ -69,15 +71,44 @@ class PropertySpec extends SparkSpec {
         val w = Window.partitionBy("g")
           .orderBy(if (desc) col("v").desc else col("v").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("g")
         val naive = pv.withColumn("m_cum", sum("m").over(w))
-          .select("g", "v", "m_cum")
+          .withColumn("m_tot", sum("m").over(wAll))
+          .select("g", "v", "m_cum", "m_tot")
         val fast = graft.ops.Stats.binnedPrefix(pv, Seq("g"), "v", Seq("m"),
-            descending = desc, bins = 7) // small bins → multi-bucket paths
-          .select("g", "v", "m_cum")
+            descending = desc, bins = 7, // small bins → multi-bucket paths
+            totals = true)
+          .select("g", "v", "m_cum", "m_tot")
         assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
           s"binnedPrefix(desc=$desc) diverged from the naive window")
       }
     }
+  }
+
+  test("topShare / weightedMedian keep NULL-key groups (null-safe joins)") {
+    // two real groups + one NULL-key group; the NULL group must appear in
+    // the output with the same semantics as any other partition
+    val df = Seq(("A", 1L, 10.0), ("A", 2L, 30.0), ("A", 3L, 60.0),
+        (null: String, 4L, 50.0), (null: String, 5L, 50.0),
+        ("B", 6L, 100.0))
+      .toDF("g", "id", "v")
+    val ts = graft.ops.Stats.topShare(df, "v", Seq("g"), Seq(col("id")), 0.5)
+    val nullRows = ts.filter(col("g").isNull).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(nullRows.sameElements(Array(4L)),
+      s"NULL-key group lost or wrong in topShare: ${nullRows.mkString(",")}")
+    val wm = graft.ops.Stats.weightedMedian(df, "v", "id", Seq("g"))
+      .filter(col("g").isNull).select("weighted_median").collect()
+    assert(wm.length == 1 && wm.head.getDouble(0) == 50.0,
+      "NULL-key group lost in weightedMedian")
+    // the non-negativity guard must still fire for a NULL-key group
+    val neg = Seq((null: String, 1L, -5.0), (null: String, 2L, 7.0))
+      .toDF("g", "id", "v")
+    val err = intercept[Exception] {
+      graft.ops.Stats.topShare(neg, "v", Seq("g"), Seq(col("id")), 0.5)
+        .collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("pivot(last) / melt round-trip preserves cell values") {

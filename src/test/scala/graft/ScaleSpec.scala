@@ -8,6 +8,48 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Max shuffle-read records of any single task of the jobs `run` starts
+    * (attributed via a job group, so concurrent suites can't pollute the
+    * measurement). AQE partition coalescing is disabled inside — these
+    * test-scale shuffles would coalesce to ONE partition and mask the
+    * hash spread being asserted; shape, not AQE, is under test. */
+  private def maxTaskShuffleRead(jobGroup: String)(run: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+      SparkListenerTaskEnd}
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (Option(j.properties.getProperty("spark.jobGroup.id"))
+            .contains(jobGroup)) {
+          started.incrementAndGet()
+          j.stageIds.foreach(stages.add(_))
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (stages.contains(t.stageId) && t.taskMetrics != null)
+          maxRec.updateAndGet(c =>
+            math.max(c, t.taskMetrics.shuffleReadMetrics.recordsRead))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.sparkContext.setJobGroup(jobGroup, jobGroup)
+      run
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (started.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // let trailing task-end events drain
+      assert(maxRec.get() > 0,
+        s"$jobGroup: listener captured no shuffle reads")
+      maxRec.get()
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   private lazy val skewed = {
     // one hot key carrying 90% of rows
     val hot = (1 to 9000).map(i => ("HOT", i.toLong, i * 1.0))
@@ -79,8 +121,6 @@ class ScaleSpec extends SparkSpec {
     // = |groups|, so with 2 groups one task sorts ~half the table at ANY
     // scale. The binned-prefix rework must (a) reproduce the naive result
     // exactly and (b) spread shuffle reads across tasks.
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
-      SparkListenerJobStart, SparkListenerTaskEnd}
     import org.apache.spark.sql.expressions.Window
     val n = 40000
     val df = spark.range(n).select(
@@ -105,53 +145,74 @@ class ScaleSpec extends SparkSpec {
     assert(fast.select("g", "id", "v", "cum_share")
       .exceptAll(naive.select("g", "id", "v", "cum_share")).isEmpty)
 
-    // (b) max per-task shuffle read bounded well below a group's row count.
-    // Tasks are attributed via this test's job group so concurrent jobs
-    // from other suites can't pollute the measurement.
-    val group = "scalespec-topshare"
-    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    val maxRec = new java.util.concurrent.atomic.AtomicLong(0)
-    val started = new java.util.concurrent.atomic.AtomicInteger(0)
-    val ended = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (Option(j.properties.getProperty("spark.jobGroup.id"))
-            .contains(group)) {
-          started.incrementAndGet()
-          j.stageIds.foreach(stages.add(_))
-        }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        ended.incrementAndGet()
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (stages.contains(t.stageId) && t.taskMetrics != null)
-          maxRec.updateAndGet(c =>
-            math.max(c, t.taskMetrics.shuffleReadMetrics.recordsRead))
-    }
-    spark.sparkContext.addSparkListener(listener)
+    // (b) max per-task shuffle read bounded well below a group's row count:
+    // naive shape has one task reading ~n/2 rows; reworked ≤ ~n/4 with
+    // 4 shuffle partitions, plus hash slack
     try {
-      // AQE coalesces these tiny test-scale shuffles into ONE partition,
-      // which would mask the hash spread being asserted; at real scale the
-      // advisory size keeps many partitions. Shape, not AQE, is under test.
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      spark.sparkContext.setJobGroup(group, "topShare scale shape")
-      Stats.topShare(df, "v", Seq("g"), Seq(col("id")), 0.5)
-        .write.mode("overwrite").format("noop").save()
-      spark.sparkContext.clearJobGroup()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (started.get() == 0 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(500) // let trailing task-end events drain
-      // naive shape: one task reads ~n/2 rows; reworked: ≤ ~n/4 with
-      // 4 shuffle partitions, plus hash slack
-      assert(maxRec.get() > 0, "listener captured no shuffle reads")
-      assert(maxRec.get() < n * 0.35,
-        s"a single task read ${maxRec.get()} of $n rows — " +
+      val maxRec = maxTaskShuffleRead("scalespec-topshare") {
+        Stats.topShare(df, "v", Seq("g"), Seq(col("id")), 0.5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(maxRec < n * 0.35,
+        s"a single task read $maxRec of $n rows — " +
           "few-group window shape has regressed")
-    } finally {
-      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
-      spark.sparkContext.removeSparkListener(listener)
-      df.unpersist()
-    }
+    } finally df.unpersist()
+  }
+
+  test("order-statistics family: no single task absorbs a whole group " +
+       "(mannWhitney / ksTest / quantileNormalize / tailRisk / heapsFit)") {
+    // the round-8 binnedPrefix migration closed topShare et al.; these five
+    // shared the same trap (raw-row or distinct-value ordered windows with
+    // |groups| <= 2 → single-task sorts of half the table at any scale).
+    // Each must keep its max per-task shuffle read well below group size.
+    val n = 40000
+    val df = spark.range(n).select(
+        (col("id") % 2).cast("string").as("g"),
+        when(col("id") % 2 === 0, "view").otherwise("purchase").as("lbl"),
+        col("id"),
+        ((col("id") * 2654435761L) % 100003).cast("double").as("v"))
+      .cache()
+    df.count()
+    try {
+      val bound = (n * 0.35).toLong
+      val mMw = maxTaskShuffleRead("scalespec-mw") {
+        Stats.mannWhitney(df, "v", "lbl", "view", "purchase")
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mMw < bound, s"mannWhitney: one task read $mMw of $n rows")
+      val mKs = maxTaskShuffleRead("scalespec-ks") {
+        Stats.ksTest(df, "v", "lbl", "view", "purchase")
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mKs < bound, s"ksTest: one task read $mKs of $n rows")
+      val mQn = maxTaskShuffleRead("scalespec-qn") {
+        Stats.quantileNormalize(df, "v", "g", Seq(col("id")), nQ = 10)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mQn < bound, s"quantileNormalize: one task read $mQn of $n rows")
+      val mTr = maxTaskShuffleRead("scalespec-tr") {
+        Stats.tailRisk(df, "v", Seq("g"), "id", alpha = 0.05)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mTr < bound, s"tailRisk: one task read $mTr of $n rows")
+    } finally df.unpersist()
+
+    // heapsFit: cumulative vocabulary growth over the doc-id axis — the
+    // doc frame is corpus-sized, so the prefix must spread too
+    val nd = 20000
+    val docs = spark.range(nd).select(col("id").as("doc_id"),
+        concat(lit("tok"), (col("id") % 97).cast("string"), lit(" w"),
+          (col("id") % 53).cast("string")).as("text"))
+      .cache()
+    docs.count()
+    try {
+      val mHf = maxTaskShuffleRead("scalespec-heaps") {
+        graft.text.TextOps.heapsFit(docs, "doc_id", "text")
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mHf < (nd * 0.35).toLong,
+        s"heapsFit: one task read $mHf of $nd docs")
+    } finally docs.unpersist()
   }
 
   test("bucketed tables join without a shuffle exchange") {
