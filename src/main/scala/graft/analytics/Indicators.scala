@@ -1050,21 +1050,13 @@ object Indicators {
       // the fold below and by the output projection
       .withColumn("_hc", expr(
         "transform(seq, p -> (((p.open + p.high) + p.low) + p.close) / 4.0D)"))
-    val hoFold = expr(
-      """aggregate(
-        |  sequence(2, size(seq)),
-        |  named_struct(
-        |    'arr', array((element_at(seq, 1).open + element_at(seq, 1).close) / 2.0D),
-        |    'last', (element_at(seq, 1).open + element_at(seq, 1).close) / 2.0D),
-        |  (acc, i) -> named_struct(
-        |    'arr', concat(acc.arr, array((acc.last + element_at(_hc, i - 1)) / 2.0D)),
-        |    'last', (acc.last + element_at(_hc, i - 1)) / 2.0D),
-        |  acc -> acc.arr)""".stripMargin)
-    // same single-bar guard as kalmanLevel: sequence(2, 1) counts DOWN,
-    // so a one-bar key must take the closed form ho₁ = (o₁+c₁)/2 directly
-    packed.withColumn("_ho",
-        when(size(col("seq")) >= 2, hoFold)
-          .otherwise(expr("transform(seq, p -> (p.open + p.close) / 2.0D)")))
+    // the ho recurrence runs in the native O(n) HeikinScan (seeded with
+    // the closed-form ho₁ = (o₁+c₁)/2) — identical dyadic arithmetic to
+    // the SQL fold it replaces, minus the Θ(n²) accumulator-array copies
+    graft.expressions.SeriesScan.register(df.sparkSession)
+    packed.withColumn("_ho", expr(
+        "graft_heikin_scan(_hc, " +
+          "(element_at(seq, 1).open + element_at(seq, 1).close) / 2.0D)"))
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_hc"), col("_ho"))).as("_z")): _*)
       .select((keys.map(col) :+
@@ -1303,31 +1295,14 @@ object Indicators {
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
         col(value).cast("double").as("_gx")))).as("seq"))
-    // ppred/gain inlined (SQL lambdas bind no intermediates); the oracle
-    // replays the IDENTICAL expression tree via DuckDB list_reduce
-    val fold = expr(
-      s"""aggregate(
-         |  sequence(2, size(seq)),
-         |  named_struct(
-         |    'arr', array(element_at(seq, 1)._gx),
-         |    'level', element_at(seq, 1)._gx,
-         |    'p', cast($rVar as double)),
-         |  (acc, i) -> named_struct(
-         |    'arr', concat(acc.arr, array(
-         |      acc.level + ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar))
-         |        * (element_at(seq, i)._gx - acc.level))),
-         |    'level',
-         |      acc.level + ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar))
-         |        * (element_at(seq, i)._gx - acc.level),
-         |    'p', (1.0D - ((acc.p + $qVar) / ((acc.p + $qVar) + $rVar)))
-         |      * (acc.p + $qVar)),
-         |  acc -> acc.arr)""".stripMargin)
-    // sequence(2, size(seq)) with size = 1 yields [2, 1] (Spark's default
-    // step is -1 when start > stop), which would run two out-of-bounds
-    // iterations — single-bar keys take the closed form kf = x₁ instead
-    packed.withColumn("_kf",
-        when(size(col("seq")) >= 2, fold)
-          .otherwise(expr("transform(seq, p -> p._gx)")))
+    // the gain/level recurrence runs in the native O(n) KalmanScan — the
+    // same ppred/gain arithmetic the SQL fold evaluated, minus the
+    // per-step accumulator-array copy (Θ(n²) on long series); the oracle
+    // keeps replaying the identical expression tree via DuckDB list_reduce
+    graft.expressions.SeriesScan.register(df.sparkSession)
+    packed.withColumn("_kf", expr(
+        "graft_kalman_scan(transform(seq, p -> p._gx), " +
+          s"CAST('$qVar' AS DOUBLE), CAST('$rVar' AS DOUBLE))"))
       .filter(size(col("seq")) >= 1)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_kf"))).as("_z")): _*)
@@ -1627,29 +1602,13 @@ object Indicators {
       .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
         col(value).cast("double").as("_gx")))).as("seq"))
       .filter(size(col("seq")) >= 2)
-    val lStep = s"cast($alpha AS DOUBLE) * element_at(seq, i)._gx " +
-      s"+ cast(${1 - alpha} AS DOUBLE) * (acc.l + acc.b)"
-    val fold = expr(
-      s"""aggregate(
-         |  sequence(2, size(seq)),
-         |  named_struct(
-         |    'arr', array(named_struct(
-         |      'l', element_at(seq, 1)._gx,
-         |      'b', element_at(seq, 2)._gx - element_at(seq, 1)._gx,
-         |      'f', element_at(seq, 1)._gx)),
-         |    'l', element_at(seq, 1)._gx,
-         |    'b', element_at(seq, 2)._gx - element_at(seq, 1)._gx),
-         |  (acc, i) -> named_struct(
-         |    'arr', concat(acc.arr, array(named_struct(
-         |      'l', $lStep,
-         |      'b', cast($beta AS DOUBLE) * (($lStep) - acc.l)
-         |        + cast(${1 - beta} AS DOUBLE) * acc.b,
-         |      'f', acc.l + acc.b))),
-         |    'l', $lStep,
-         |    'b', cast($beta AS DOUBLE) * (($lStep) - acc.l)
-         |      + cast(${1 - beta} AS DOUBLE) * acc.b),
-         |  acc -> acc.arr)""".stripMargin)
-    packed.withColumn("_hw", fold)
+    // the two-state (level, trend) recurrence runs in the native O(n)
+    // HoltScan — identical IEEE step order to the SQL fold it replaces,
+    // minus the per-step accumulator-array copy (Θ(n²) on long series)
+    graft.expressions.SeriesScan.register(df.sparkSession)
+    packed.withColumn("_hw", expr(
+        "graft_holt_scan(transform(seq, p -> p._gx), " +
+          s"CAST('$alpha' AS DOUBLE), CAST('$beta' AS DOUBLE))"))
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_hw"))).as("_z")): _*)
       .select(keys.map(col) :+
@@ -1820,24 +1779,16 @@ object Indicators {
       .withColumn("_rs", expr(
         "zip_with(slice(seq, 2, size(seq) - 1), slice(seq, 1, size(seq) - 1), (a, b) -> a._gx - b._gx)"))
       .withColumn("_rts", expr("transform(slice(seq, 2, size(seq) - 1), p -> p._gt)"))
-    // r² via plain multiplication (NOT pow): x*x is the identical IEEE op
-    // in any engine, while pow(x, 2) is a libm call parity can't rely on
-    val step = s"cast($omega AS DOUBLE) + cast($alpha AS DOUBLE) " +
-      "* element_at(_rs, i - 1) * element_at(_rs, i - 1) " +
-      s"+ cast($beta AS DOUBLE) * acc.s2"
-    val fold = expr(
-      s"""aggregate(
-         |  sequence(2, size(_rs)),
-         |  named_struct('arr', array(cast($s21 AS DOUBLE)),
-         |    's2', cast($s21 AS DOUBLE)),
-         |  (acc, i) -> named_struct(
-         |    'arr', concat(acc.arr, array($step)),
-         |    's2', $step),
-         |  acc -> acc.arr)""".stripMargin)
+    // the recurrence runs in the native O(n) GarchScan (r² via plain
+    // multiplication, NOT pow — x*x is the identical IEEE op in any
+    // engine, while pow(x, 2) is a libm call parity can't rely on); the
+    // SQL-fold formulation it replaces copied the accumulator array per
+    // step — Θ(n²) element copies inside one task on long series
+    graft.expressions.SeriesScan.register(df.sparkSession)
     packed
-      // single-return keys: sequence(2, 1) counts DOWN — closed form σ²₁
-      .withColumn("_s2", when(size(col("_rs")) >= 2, fold)
-        .otherwise(expr(s"transform(_rs, r -> cast($s21 AS DOUBLE))")))
+      .withColumn("_s2", expr(
+        s"graft_garch_scan(_rs, CAST('$omega' AS DOUBLE), " +
+          s"CAST('$alpha' AS DOUBLE), CAST('$beta' AS DOUBLE))"))
       .select((keys.map(col) :+
         explode(arrays_zip(col("_rts"), col("_rs"), col("_s2"))).as("_z")): _*)
       .select(keys.map(col) :+

@@ -1523,4 +1523,67 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(4).getLong(2) == 8L && got(4).getDouble(3) == 2.0)
     assert(got(2).getDouble(3) == 0.0) // orthogonal frequency → no power
   }
+
+  test("series scans: hand recursions match exactly (garch/holt/kalman)") {
+    // the native O(n) scans must reproduce the recurrence ops bit-for-bit
+    // (the unchanged DuckDB oracles replay the old fold arithmetic)
+    val xs = Seq(10.0, 10.5, 9.8, 11.2, 10.9, 12.1, 11.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("g", "t", "x")
+    // GARCH(1,1) ω=.05 α=.1 β=.85 over diffs
+    val (om, al, be) = (0.05, 0.1, 0.85)
+    val rs = xs.sliding(2).map(p => p(1) - p(0)).toVector
+    var s2 = om / (1.0 - al - be)
+    val expS2 = Vector(s2) ++ rs.dropRight(1).map { r =>
+      s2 = om + al * r * r + be * s2; s2 }
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6 // = Indicators.quant6
+    val gotS2 = graft.analytics.Indicators.garch(df, "x", Seq("g"), "t",
+        om, al, be)
+      .orderBy("t").select("sigma2").collect().map(_.getDouble(0))
+    assert(gotS2.sameElements(expS2.map(q6)),
+      s"garch: ${gotS2.toSeq} vs $expS2")
+    // Holt α=.5 β=.25
+    var (l, b) = (xs.head, xs(1) - xs.head)
+    val expHolt = Vector((l, b, xs.head)) ++ (1 until xs.length).map { i =>
+      val f = l + b
+      val ln = 0.5 * xs(i) + 0.5 * (l + b)
+      val bn = 0.25 * (ln - l) + 0.75 * b
+      l = ln; b = bn; (ln, bn, f)
+    }
+    val gotHolt = graft.analytics.Indicators.holtLinear(df, "x", Seq("g"),
+        "t", alpha = 0.5, beta = 0.25)
+      .orderBy("t").select("level", "trend", "fitted").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(gotHolt.sameElements(expHolt.map(t => (q6(t._1), q6(t._2), q6(t._3)))),
+      s"holt: ${gotHolt.toSeq} vs $expHolt")
+    // Kalman q=.01 r=1
+    var lv = xs.head; var p = 1.0
+    val expKf = Vector(lv) ++ (1 until xs.length).map { i =>
+      val pp = p + 0.01; val k = pp / (pp + 1.0)
+      lv = lv + k * (xs(i) - lv); p = (1.0 - k) * pp; lv
+    }
+    val gotKf = graft.analytics.Indicators.kalmanLevel(df, "x", Seq("g"), "t")
+      .orderBy("t").select("kf_level").collect().map(_.getDouble(0))
+    assert(gotKf.sameElements(expKf.map(q6)), s"kalman: ${gotKf.toSeq}")
+  }
+
+  test("series scans are O(n): a 1M-row single-key series completes in " +
+       "seconds") {
+    // the SQL-fold formulation did Θ(n²) accumulator copies — a 1M-bar
+    // key would run for hours; the native scans must stay linear
+    val n = 1000000
+    val big = spark.range(n).select(lit("k").as("g"), col("id").as("t"),
+        (sin(col("id").cast("double") / 37.0) * 10 +
+          col("id").cast("double") / 1000.0).as("x"))
+    val t0 = System.nanoTime()
+    val cnts = Seq(
+      graft.analytics.Indicators.garch(big, "x", Seq("g"), "t",
+        0.05, 0.1, 0.85).count(),
+      graft.analytics.Indicators.holtLinear(big, "x", Seq("g"), "t",
+        0.5, 0.25).count(),
+      graft.analytics.Indicators.kalmanLevel(big, "x", Seq("g"), "t").count())
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnts == Seq(n - 1L, n.toLong, n.toLong), cnts)
+    assert(secs < 120.0, f"series scans took $secs%.1f s on 1M rows")
+  }
 }
