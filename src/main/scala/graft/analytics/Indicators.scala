@@ -1627,7 +1627,17 @@ object Indicators {
     * ordered window (trend + phase index share the sort), one phase-sized
     * aggregate, one broadcast join back — no global sort, all means from
     * exact-decimal sums. Output (keys, ord, x, phase, trend, seasonal,
-    * resid). */
+    * resid).
+    *
+    * Re-centering convention: the offset is the mean over phases that
+    * HAVE detrended rows, so the seasonal component sums to zero across
+    * the phases that actually carry one. On series long enough for every
+    * phase to fall inside a full trend window (≥ 2·period rows — the
+    * statsmodels regime, which requires two full cycles) all `period`
+    * phases are present and this is exactly the statsmodels offset; on
+    * degenerate shorter series statsmodels refuses to decompose at all,
+    * so the present-phases mean is this implementation's defined
+    * extension (IndicatorsSpec pins it). */
   def seasonalDecompose(df: DataFrame, value: String, keys: Seq[String],
                         ord: Seq[Column], period: Int): DataFrame = {
     require(period >= 3 && period % 2 == 1,

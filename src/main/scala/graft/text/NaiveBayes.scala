@@ -23,35 +23,97 @@ import org.apache.spark.sql.functions._
   * Prediction = argmax class with ties broken by label order.
   *
   * Scale shape: the likelihood/prior tables are vocabulary- and
-  * class-sized (broadcast candidates); scoring fans each distinct
-  * (doc, token) pair out by |classes| — bounded fan-out, one hash
-  * aggregate back to (doc, class), one |classes|-deep argmax window per
-  * doc. Nothing is ever corpus × corpus. Output: (id, pred_label, logp). */
+  * class-sized (broadcast candidates). Only IN-VOCABULARY (doc, token)
+  * pairs fan out by |classes|; out-of-vocabulary tokens collapse to a
+  * CLOSED FORM first — a token with count n contributes the per-class
+  * floor term n·ln(1/(toks_c+V)) regardless of which token it is, so OOV
+  * mass reduces to the per-doc histogram of OOV token multiplicities
+  * (≪ tokens, typically a handful of distinct n per doc) × |classes|.
+  * The histogram route keeps the sum BIT-IDENTICAL to the per-token form:
+  * k tokens sharing multiplicity n contribute k · dec₁₂(n·ln floor_c) —
+  * exactly the sum of k copies of the same quantized decimal, which is
+  * what the per-token oracle computes. Nothing is ever corpus × corpus.
+  *
+  * NULL/empty robustness: NULL text coalesces to the empty token list on
+  * BOTH sides. A score doc with no tokens still gets a prediction — all
+  * likelihood sums are zero, so it falls to the class-prior argmax. A
+  * training class whose documents are all empty still appears in
+  * classStats (derived from the PRIOR frame, toks = 0) and is predictable
+  * via its smoothing floor. Output: (id, pred_label, logp). */
 object NaiveBayes {
 
   def trainScore(train: DataFrame, score: DataFrame, id: String,
                  label: String, text: String): DataFrame = {
-    val ttoks = train
-      .select(col(label).as("_c"), explode(TextOps.tokens(col(text))).as("w"))
+    val Dec = "decimal(28,12)"
+    // NULL text → empty token list (split of "" yields [""] — drop it), so
+    // null/blank docs are TOKEN-LESS rather than silently absent; on
+    // corpora with no blank docs this is the identity
+    def toks(c: org.apache.spark.sql.Column) = {
+      val arr = TextOps.tokens(coalesce(c, lit("")))
+      explode(filter(arr, t => length(t) > 0))
+    }
+    val ttoks = train.select(col(label).as("_c"), toks(col(text)).as("w"))
+    // cvc feeds classStats, the vocabulary (×3), and the scoring join;
+    // stoks feeds the in-vocab/OOV split and the empty-doc anti-join —
+    // persist both so the explode+count runs once per side (vocabulary-/
+    // doc-token-sized entries, freed by the ContextCleaner)
     val cvc = ttoks.groupBy("_c", "w").agg(count(lit(1)).as("cnt"))
-    val classStats = cvc.groupBy("_c").agg(sum("cnt").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // class token totals seeded from the PRIOR classes (not from cvc), so
+    // an all-empty-text class keeps a floor-only likelihood row
+    val priors0 = train.groupBy(col(label).as("_c"))
+      .agg(count(lit(1)).as("nd"))
+    val classStats = priors0.select("_c")
+      .join(cvc.groupBy("_c").agg(sum("cnt").as("toks")), Seq("_c"), "left")
+      .na.fill(0L, Seq("toks"))
       .crossJoin(broadcast(cvc.select("w").distinct()
         .agg(count(lit(1)).as("v"))))
-    val priors = train.groupBy(col(label).as("_c")).agg(count(lit(1)).as("nd"))
+    val priors = priors0
       .crossJoin(broadcast(train.agg(count(lit(1)).as("ndtot"))))
       .withColumn("_lprior",
         log(col("nd").cast("double") / col("ndtot").cast("double")))
       .select("_c", "_lprior")
     val stoks = score
-      .select(col(id), explode(TextOps.tokens(col(text))).as("w"))
+      .select(col(id), toks(col(text)).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("n"))
-    val terms = stoks.crossJoin(broadcast(classStats))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = cvc.select("w").distinct()
+    // in-vocabulary terms: fan by |classes|, left-join the class counts
+    // (a vocab token can still be unseen in a PARTICULAR class → floor)
+    val inTerms = stoks.join(vocab, Seq("w"), "left_semi")
+      .crossJoin(broadcast(classStats))
       .join(cvc, Seq("_c", "w"), "left")
       .withColumn("_lp",
         (col("n") * log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (col("toks") + col("v")).cast("double"))).cast("decimal(28,12)"))
-    val scored = terms.groupBy(col(id), col("_c"))
-      .agg(sum("_lp").as("_slp"))
+          (col("toks") + col("v")).cast("double"))).cast(Dec))
+    // widen both partial sums to one decimal type (exact) so the
+    // full-outer merge and the empty-doc union line up schema-wise
+    val SDec = "decimal(38,12)"
+    val inScore = inTerms.groupBy(col(id), col("_c"))
+      .agg(sum("_lp").cast(SDec).as("_slp_in"))
+    // OOV closed form: per-doc histogram of OOV token multiplicities,
+    // k · dec₁₂(n·ln(1/(toks_c+V))) — bit-identical to summing the k
+    // per-token quantized terms, with |docs|·|distinct n|·|classes| rows
+    // instead of |OOV tokens|·|classes|
+    val oovHist = stoks.join(vocab, Seq("w"), "left_anti")
+      .groupBy(col(id), col("n")).agg(count(lit(1)).as("k"))
+    val oovScore = oovHist.crossJoin(broadcast(classStats))
+      .withColumn("_lp",
+        col("k") * (col("n") * log(lit(1L).cast("double") /
+          (col("toks") + col("v")).cast("double"))).cast(Dec))
+      .groupBy(col(id), col("_c")).agg(sum("_lp").cast(SDec).as("_slp_oov"))
+    // token-less docs (empty/NULL text): prior-only rows for every class
+    val emptyDocs = score.select(col(id)).distinct()
+      .join(stoks.select(col(id)).distinct(), Seq(id), "left_anti")
+      .crossJoin(broadcast(classStats.select("_c")))
+    val scored = inScore
+      .join(oovScore, Seq(id, "_c"), "full_outer")
+      .unionByName(emptyDocs
+        .withColumn("_slp_in", lit(null).cast(SDec))
+        .withColumn("_slp_oov", lit(null).cast(SDec)))
+      .withColumn("_slp",
+        coalesce(col("_slp_in"), lit(0).cast(SDec)) +
+          coalesce(col("_slp_oov"), lit(0).cast(SDec)))
       .join(broadcast(priors), "_c")
       .withColumn("logp",
         round(col("_slp").cast("double") + col("_lprior"), 6))

@@ -90,6 +90,34 @@ class CurateSpec extends SparkSpec {
     assert(got(10L)._2 > got(12L)._2) // two seen tokens beat one
   }
 
+  test("NaiveBayes: NULL/empty text scores by prior; all-empty class " +
+       "stays predictable; pure-OOV docs use the closed-form floor") {
+    import graft.text.NaiveBayes
+    val train = Seq((1L, "spam", "buy pills now now"),
+      (2L, "ham", "meeting notes"), (3L, "ham", "meeting agenda"),
+      (4L, "mute", null: String)) // a class with no training tokens
+      .toDF("doc_id", "label", "text")
+    val probes = Seq((10L, null: String), (11L, ""),
+      (12L, "zzz qqq zzz"), (13L, "meeting")).toDF("doc_id", "text")
+    val got = NaiveBayes.trainScore(train, probes, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // token-less docs fall back to the prior argmax: ham has prior 2/4
+    assert(got(10L)._1 == "ham" && got(11L)._1 == "ham")
+    assert(math.abs(got(10L)._2 - math.log(0.5)) < 2e-6)
+    // pure-OOV doc: only floors differ — ham has fewer class tokens than
+    // spam? toks: spam=4, ham=4, mute=0 → mute's floor 1/(0+V) is the
+    // LARGEST, so the empty class wins the all-OOV doc over the others'
+    // smaller per-token floors (V=6: buy,pills,now,meeting,notes,agenda)
+    assert(got(12L)._1 == "mute",
+      s"all-OOV doc should go to the empty class's larger floor: ${got(12L)}")
+    // floor check: 2 distinct OOV tokens, multiplicities 2 and 1 →
+    // 3 · ln(1/6) + ln(1/4)
+    val expect = 3 * math.log(1.0 / 6) + math.log(1.0 / 4)
+    assert(math.abs(got(12L)._2 - expect) < 2e-6)
+    assert(got(13L)._1 == "ham") // in-vocab evidence still dominates
+  }
+
   test("parseUrl extracts scheme/host/domain/path depth") {
     val r = Curate.parseUrl(
       Seq(("https://www.sub.example.org/a/b/c", 1)).toDF("url", "x"), "url")

@@ -1221,6 +1221,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(seasonal.length == 9)
   }
 
+  test("seasonalDecompose: short series with a never-detrended phase — " +
+       "seasonal sums to zero over PRESENT phases (documented convention)") {
+    // period 5, 6 rows → only rows 3 and 4 (phases 2 and 3) get a full
+    // centered window; phases 0, 1, 4 never detrend. The re-centering
+    // offset is the mean over the two PRESENT phase means, so their
+    // seasonal values sum to zero and absent phases emit NULL seasonal.
+    val df = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (1, 4, 25.0),
+      (1, 5, 12.0), (1, 6, 18.0)).toDF("g", "i", "x")
+    val rows = Indicators.seasonalDecompose(df, "x", Seq("g"), Seq(col("i")),
+        period = 5)
+      .orderBy("i").collect()
+    val byPhase = rows.map(r => r.getInt(3) ->
+      (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(byPhase(0).isEmpty && byPhase(1).isEmpty && byPhase(4).isEmpty,
+      s"absent phases must have NULL seasonal: $byPhase")
+    val present = Seq(byPhase(2), byPhase(3)).flatten
+    assert(present.length == 2 && math.abs(present.sum) < 1e-9,
+      s"present-phase seasonal must sum to zero: $present")
+  }
+
   test("forecastAccuracy: hand MAE/RMSE/SMAPE/MASE on the Holt fixture; " +
        "constant series gives NULL MASE") {
     // actuals 10,12,11,14 vs fitted 10,12,14,14.125 → e = 0,0,−3,−0.125;
