@@ -321,9 +321,23 @@ object Graph {
     * the unweighted form is the w ≡ 1 special case, so one implementation
     * serves both levels. */
   private def louvainCore(undRaw: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = undRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = louvainSweep(und, rounds)
+    und.unpersist()
+    val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "c")
+      .select(col("v").as("id"), col("c").as("community"),
+        col("community_size"))
+  }
+
+  /** One phase-1 sweep block over a PERSISTED canonical weighted edge
+    * frame: `rounds` synchronized local-move rounds, returning the final
+    * label frame (v, c, k) — labels are localCheckpoint-materialized, so
+    * the caller may unpersist `und` immediately. Factored out of
+    * [[louvainCore]] so [[louvainHierarchy]] can run it per level. */
+  private def louvainSweep(und: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = und.filter(col("a") =!= col("b"))
       .select(col("a").as("v"), col("b").as("u"), col("w"))
       .union(und.filter(col("a") =!= col("b"))
@@ -371,11 +385,85 @@ object Graph {
         .select(col("v"), col("cand").as("c"), col("k"))
         .localCheckpoint(true)
     }
-    und.unpersist(); deg.unpersist()
-    val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "c")
-      .select(col("v").as("id"), col("c").as("community"),
-        col("community_size"))
+    deg.unpersist()
+    labels
+  }
+
+  /** FULL Blondel recursion: sweep → coarsen → sweep … until a sweep makes
+    * NO move (the labels fixpoint) or `maxLevels`. Emits (id, level,
+    * community) for every level run — the level-ℓ community of each
+    * ORIGINAL node, labels composed through the coarsening chain. A
+    * zero-move level is NOT emitted (its partition duplicates the previous
+    * level's), so the deepest emitted level is the recursion's fixpoint
+    * partition.
+    *
+    * Stopping rule, deliberately: Blondel et al. stop "when no further
+    * improvement" — which for their SEQUENTIAL sweep coincides with "no
+    * node moved". Under this engine's SYNCHRONIZED monotone-label sweep
+    * the per-level modularity is NOT monotone (simultaneous
+    * individually-positive moves can overshoot, then recover at coarser
+    * levels — measured on the purchase graph: Q·4W² goes 8.5M → 3.0M →
+    * 6.6M → 28.7M over four levels), so a strict Q-improvement gate would
+    * stop one level in and discard the far better deep partitions. The
+    * no-moves fixpoint is the faithful counterpart: it terminates
+    * (community count is non-increasing, every move strictly decreases
+    * the mover's label) and it is INTEGER-EXACT — "did any coarse node
+    * change label" is a count both engines replay identically, where a
+    * floating-point Q comparison would be engine-dependent. Per-level
+    * modularity remains available via [[modularity]].
+    *
+    * Scale shape per level: one [[louvainSweep]] (per-round edge-shuffle
+    * joins), one edge-sized coarsen, one node-sized mapping join, and a
+    * ONE-ROW moved-count aggregate collected to the driver (the bounded
+    * control action, [[bfsHops]]' emptiness-probe contract). Level graphs
+    * shrink geometrically in practice, so level 1 dominates cost. */
+  def louvainHierarchy(edges: DataFrame, src: String, dst: String,
+                       maxLevels: Int, rounds: Int): DataFrame = {
+    require(maxLevels >= 1 && rounds >= 1,
+      s"need maxLevels/rounds >= 1: ($maxLevels, $rounds)")
+    var und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn("w", lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var mapping: DataFrame = null   // (id, c) over ORIGINAL node ids
+    var out: DataFrame = null       // accumulated (id, level, community)
+    var level = 1
+    var continue = true
+    while (continue && level <= maxLevels) {
+      val lab = louvainSweep(und, rounds)
+      val moved = lab.filter(col("v") =!= col("c")).limit(1).count() > 0
+      if (level > 1 && !moved) {
+        continue = false // fixpoint: this level duplicates the previous
+      } else {
+        mapping =
+          (if (level == 1) lab.select(col("v").as("id"), col("c"))
+           else mapping.join(lab.select(col("v").as("c"), col("c").as("_c2")),
+               "c")
+             .select(col("id"), col("_c2").as("c")))
+          .localCheckpoint(true)
+        val lvl = mapping.select(col("id"), lit(level).as("level"),
+          col("c").as("community"))
+        out = if (out == null) lvl else out.unionByName(lvl)
+        if (level < maxLevels) {
+          // coarsen: community endpoints, parallel edges summed, intra-
+          // community mass (incl. existing self-loops) → self-loops
+          val next = und
+            .join(lab.select(col("v").as("a"), col("c").as("_ca")), "a")
+            .join(lab.select(col("v").as("b"), col("c").as("_cb")), "b")
+            .select(least(col("_ca"), col("_cb")).as("a"),
+              greatest(col("_ca"), col("_cb")).as("b"), col("w"))
+            .groupBy("a", "b").agg(sum("w").as("w"))
+            .localCheckpoint(true)
+          und.unpersist()
+          und = next
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        level += 1
+      }
+    }
+    und.unpersist()
+    out
   }
 
   /** Louvain phase 2 — coarsen: collapse each community to one vertex and

@@ -533,6 +533,20 @@ object BreadthQueries {
         .select("id", "community_l1", "community_l2")
     }),
 
+    // ── AUTO-LEVEL Louvain (full Blondel recursion): sweep → coarsen →
+    //    sweep until a sweep stops moving nodes (the fixpoint rule;
+    //    ≤ 3 levels) — the oracle replays every sweep move-for-move AND
+    //    the stopping gates themselves
+    "q258_louvain_hier" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      graft.analytics.Graph.louvainHierarchy(edges, "cu", "su",
+        maxLevels = 3, rounds = 2)
+    }),
+
     // ── KMV distinct-count sketch estimate vs exact, per event type
     "q225_kmv_distinct" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -699,6 +713,51 @@ object BreadthQueries {
   /** Two-level Louvain oracle: level-1 sweep, coarsen (weights = collapsed
     * multiplicities, intra-community edges → self-loops), weighted level-2
     * sweep, then map every node to its level-2 community. */
+  /** Auto-level Louvain oracle (q258): up to `maxLevels` sweep+coarsen
+    * blocks, each gated by the EXACT stopping test the Scala side drives
+    * its recursion with — "did this level's sweep move any coarse node"
+    * (count of labels with v ≠ c, an integer both engines replay
+    * identically; see `Graph.louvainHierarchy`'s scaladoc for why the
+    * fixpoint rule, not a floating modularity comparison, is the faithful
+    * Blondel stop under synchronized sweeps). Level 1 is unconditional;
+    * level ℓ ≥ 2 rows appear iff every sweep 2..ℓ moved something — the
+    * oracle computes every level's CTEs regardless (collapsed graphs are
+    * tiny) and lets the WHERE chain discard post-fixpoint levels, which
+    * replays the driver loop's break exactly. */
+  private def louvainHierOracleSql(maxLevels: Int, rounds: Int): String = {
+    val prefixes = Seq("", "y", "z", "u", "x").take(maxLevels)
+    def undName(i: Int) = if (i == 1) "und" else s"cg$i"
+    val blocks = (1 to maxLevels).map { i =>
+      val p = prefixes(i - 1)
+      val coarsen = if (i == 1) "" else {
+        val pp = prefixes(i - 2)
+        s"""cg$i AS MATERIALIZED (SELECT least(la.c, lb.c) AS a,
+           |  greatest(la.c, lb.c) AS b, CAST(sum(u.w) AS BIGINT) AS w
+           | FROM ${undName(i - 1)} u
+           | JOIN ${pp}lab$rounds la ON la.v = u.a
+           | JOIN ${pp}lab$rounds lb ON lb.v = u.b GROUP BY 1, 2),
+           |""".stripMargin
+      }
+      coarsen +
+        s"""${louvainBaseCtes(p, undName(i))},
+           |${louvainRoundCtes(p, rounds)},
+           |mv$i AS (SELECT count(*) AS n FROM ${p}lab$rounds WHERE v != c)""".stripMargin
+    }.mkString(",\n")
+    def gate(i: Int): String =
+      (2 to i).map(j => s"(SELECT n FROM mv$j) > 0").mkString(" AND ")
+    val selects = (1 to maxLevels).map { i =>
+      val joins = (2 to i).map { j =>
+        s"JOIN ${prefixes(j - 1)}lab$rounds l$j ON l$j.v = l${j - 1}.c"
+      }.mkString(" ")
+      val where = if (i == 1) "" else s" WHERE ${gate(i)}"
+      s"""SELECT l1.v AS id, $i AS level, l$i.c AS community
+         |FROM lab$rounds l1 $joins$where""".stripMargin
+    }
+    s"""WITH $PurchaseUndCtes,
+       |$blocks
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def louvain2OracleSql(r1: Int, r2: Int): String =
     s"""WITH $PurchaseUndCtes,
        |${louvainBaseCtes("", "und")},
@@ -817,6 +876,7 @@ object BreadthQueries {
          |FROM pc""".stripMargin,
     "q245_louvain" -> louvainOracleSql(3),
     "q247_louvain_l2" -> louvain2OracleSql(2, 2),
+    "q258_louvain_hier" -> louvainHierOracleSql(3, 2),
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
     // HLL rebuilt register-for-register: identical md5 hash, identical

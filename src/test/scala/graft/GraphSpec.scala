@@ -238,6 +238,51 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("louvainHierarchy: four disconnected bridged-triangle copies — " +
+       "level 2 collapses to the known component partition, then stops") {
+    // four DISCONNECTED copies of the two-triangles-and-a-bridge graph
+    // (nodes 6p+1..6p+6, bridge (6p+3, 6p+4)). The known OPTIMAL
+    // partition is one community per component: Q = 4*(7/28 - (14/56)^2)
+    // = 0.75, beating the per-triangle split (8*(3/28) - 8*(7/56)^2 =
+    // 0.732). The hierarchy must reach it and then stop: level 3's graph
+    // is four isolated self-loop nodes, its sweep moves nothing, and the
+    // fixpoint level is NOT emitted.
+    //
+    // Level 1's intermediate partition is W-dependent (gains scale with
+    // the GLOBAL 2W, so with four copies the monotone sweep chains
+    // across the bridge instead of resolving pure triangles as the
+    // single-copy q=0.357142 fixture does) — pinned exactly below.
+    val edges = (0L to 3L).flatMap { p =>
+      val b = 6 * p
+      Seq((b + 1, b + 2), (b + 2, b + 3), (b + 1, b + 3),
+        (b + 4, b + 5), (b + 5, b + 6), (b + 4, b + 6),
+        (b + 3, b + 4))
+    }.toDF("s", "t")
+    val got = Graph.louvainHierarchy(edges, "s", "t", maxLevels = 4,
+        rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val levels = got.keys.map(_._2).toSet
+    assert(levels == Set(1, 2), s"expected exactly levels 1,2: $levels")
+    def comm(l: Int) = (1L to 24L).map(v => got((v, l)))
+    // level 1: per copy, {first five nodes} + {last node} (the sweep's
+    // deterministic intermediate under global-W gains)
+    val l1 = comm(1)
+    (0 until 4).foreach { p =>
+      val cp = l1.slice(6 * p, 6 * p + 6)
+      assert(cp.take(5).toSet.size == 1 && cp(5) != cp.head, s"l1=$l1")
+    }
+    assert(l1.toSet.size == 8, s"l1=$l1")
+    // level 2: the four connected components — the known-optimal Q=0.75
+    val l2 = comm(2)
+    assert(l2.grouped(6).map(_.toSet.size).forall(_ == 1), s"l2=$l2")
+    assert(l2.toSet.size == 4, s"l2=$l2")
+    // and that partition scores the known optimum on the original graph
+    val part = (1L to 24L).map(v => (v, got((v, 2)))).toDF("node", "c")
+    val q = Graph.modularity(edges, "s", "t", part, "node", "c")
+      .select("modularity").head().getDouble(0)
+    assert(q == 0.75, s"component partition must score Q=0.75, got $q")
+  }
+
   test("communityGraph: coarsening aggregates parallel edges and keeps " +
        "intra-community self-loops; a second-level sweep runs on it") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
