@@ -309,9 +309,17 @@ object Similarity {
     * |matching rows| (pre-filter brute force). `nProbe` is the recall
     * knob: a selective predicate thins each cell's survivors, so filtered
     * search probes MORE cells than unfiltered for the same recall (the
-    * standard adaptive response; callers with very selective predicates —
-    * ≲ k·nCells survivors total — should drop to [[knnBrute]] over the
-    * filtered corpus instead, which is then the cheaper exact path).
+    * standard adaptive response).
+    *
+    * Selectivity fallback, IN CODE: when the predicate is so selective
+    * that ≤ k·nCells rows survive in the whole corpus, cell routing can
+    * no longer beat scoring the survivors directly — the operator then
+    * routes itself to [[knnBrute]] over the filtered corpus, which is
+    * both cheaper AND exact (recall 1.0 by construction, AnnSpec pins
+    * the switch). The estimate is ONE tiny aggregate (survivor count +
+    * cell count — at 100 TB, a predicate-pushed metadata scan); the
+    * probed-cell path's results are unchanged when the fallback does not
+    * fire.
     * At 100 TB the posting lists are the `cell`-partitioned parquet from
     * [[ivfLearned]]'s assignments, so cell routing becomes partition
     * pruning and the predicate pushes to the parquet scan — the filter
@@ -323,6 +331,11 @@ object Similarity {
                      nProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
     graft.expressions.CosineSimilarity.register(spark)
+    val sel = corpus.agg(
+      count(when(pred, 1)).as("_nsurv"),
+      countDistinct(col(cell)).as("_ncells")).head()
+    if (sel.getLong(0) <= k.toLong * sel.getLong(1))
+      return knnBrute(corpus.filter(pred), queries, id, emb, k)
     val centroids = corpus
       .select(col(cell).as("cid"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
       .groupBy("cid", "pos")

@@ -75,6 +75,34 @@ class AnnSpec extends SparkSpec {
     assert(rAll == 1.0, s"full-probe filtered search must be exact, got $rAll")
   }
 
+  test("filtered ANN: a hyper-selective predicate routes to the brute " +
+       "path — exact results even with nProbe = 1") {
+    // ~0.1%-selectivity predicate: survivors <= k * nCells, so the
+    // operator must drop to knnBrute over the filtered corpus instead of
+    // probing cells. With nProbe = 1 the probed path would miss survivors
+    // in unprobed cells (recall < 1); the fallback is EXACT regardless.
+    val pred = col("vec_id") % 701 === 0
+    val nSurv = e.filter(pred).count()
+    val nCells = e.select("label").distinct().count()
+    assert(nSurv > 0 && nSurv <= 3 * nCells,
+      s"fixture drift: $nSurv survivors vs ${3 * nCells} threshold")
+    val got = Similarity.annIvfFiltered(e, q, "vec_id", "embedding",
+      "label", pred, k = 3, nProbe = 1).cache()
+    val brute = Similarity.knnBrute(e.filter(pred), q, "vec_id",
+      "embedding", 3).cache()
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "fallback results must equal the exact filtered brute force")
+    // and the moderately-selective fixture above must NOT have fallen
+    // back: with nProbe = 1 its recall is < 1 (cells were really probed)
+    val probed = Similarity.annIvfFiltered(e, q, "vec_id", "embedding",
+      "label", col("vec_id") % 3 === 0, k = 5, nProbe = 1)
+    val truth = Similarity.knnBrute(e.filter(col("vec_id") % 3 === 0), q,
+      "vec_id", "embedding", 5).cache()
+    assert(recall(probed, truth) < 1.0,
+      "1/3-selectivity predicate unexpectedly took the brute path")
+  }
+
   test("graph ANN: beam search beats single-bucket LSH and its own " +
        "entry-point baseline; reruns are identical") {
     // This corpus is structureless by construction (same-label vectors are
