@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.commons.math3.distribution.FDistribution
+import org.apache.commons.math3.special.Gamma
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,15 +16,23 @@ import org.apache.spark.sql.functions._
   *    clock).
   *  - for each lag L: restricted OLS y ~ [1, y_lag1..L]; unrestricted adds
   *    [x_lag1..L]; F = ((rss_r − rss_u)/L) / (rss_u/(n − 2L − 1)); p-value
-  *    from the F(L, n−2L−1) CDF (commons-math3), rounded to 5
-  *    (analysis_part/main.py:68).
+  *    = I_x(d2/2, d1/2) at x = d2/(d2 + d1·F) — the regularized incomplete
+  *    beta evaluated by the classic continued fraction (Numerical Recipes
+  *    betacf / cephes incbet scheme; GrangerSpec pins it against
+  *    commons-math3's FDistribution to < 1e-10 across a parameter grid),
+  *    rounded to 5 (analysis_part/main.py:68). Evaluating the CDF with an
+  *    explicit, engine-portable algorithm (instead of calling a library)
+  *    is what lets the q42 DuckDB oracle replay the IDENTICAL arithmetic
+  *    via a recursive CTE and hash-check the p-values themselves.
   *
   * Scale design: the data never reaches the driver. One window pass builds
   * positional lags; one hash aggregate per (symbol) accumulates the Gram
-  * moments Σ z_i·z_j (fixed-width state, map-side combined). Only those
-  * O(k²) sums are collected; the tiny OLS solves and F-CDF run on the
-  * driver. This is the Aggregator-style design SURVEY.md §7.3 calls for —
-  * expressed with built-in aggregates, so it stays in whole-stage codegen.
+  * moments Σ z_i·z_j (fixed-width state, map-side combined, quantized to
+  * DECIMAL(38,12) per product so the sums are partition-order-independent
+  * AND cross-engine exact). Only those O(k²) sums are collected; the tiny
+  * OLS solves and CDF evaluations run on the driver. This is the
+  * Aggregator-style design SURVEY.md §7.3 calls for — expressed with
+  * built-in aggregates, so it stays in whole-stage codegen.
   */
 object Granger {
 
@@ -56,7 +64,11 @@ object Granger {
       count(when(valid, 1)).as(s"n_$l") +:
         (for (i <- vs.indices; j <- vs.indices if j >= i) yield {
           val (ni, ci) = vs(i); val (nj, cj) = vs(j)
-          sum(when(valid, ci * cj)).as(s"g_${l}_${ni}_$nj")
+          // per-product DECIMAL quantization: the Gram sums become exact
+          // (partition-order-independent, replayable bit-for-bit by the
+          // oracle); integer-valued inputs (q42b/q42c) are unchanged
+          sum(when(valid, (ci * cj).cast("decimal(38,12)")))
+            .as(s"g_${l}_${ni}_$nj")
         })
     }
     val grams = lagged.groupBy(col("sym")).agg(aggs.head, aggs.tail: _*).collect()
@@ -69,7 +81,8 @@ object Granger {
         def g(a: String, b: String): Double = {
           val idx = row.fieldIndex(
             if (names.indexOf(a) <= names.indexOf(b)) s"g_${l}_${a}_$b" else s"g_${l}_${b}_$a")
-          if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx)
+          if (row.isNullAt(idx)) Double.NaN
+          else row.getDecimal(idx).doubleValue()
         }
         val kU = 2 * l + 1
         if (n < kU + 1) Seq((sym, predictor, l, Double.NaN, Double.NaN, n)) // too few obs
@@ -81,7 +94,7 @@ object Granger {
           val f = ((rssR - rssU) / l) / (rssU / (n - kU))
           val p =
             if (f.isNaN || f < 0) Double.NaN
-            else 1.0 - new FDistribution(l.toDouble, (n - kU).toDouble).cumulativeProbability(f)
+            else pFromF(f, l.toDouble, (n - kU).toDouble)
           // round(5) per the reference; NaN p (degenerate/constant predictor
           // → singular OLS) passes through un-rounded
           val p5 = if (p.isNaN) p
@@ -152,5 +165,68 @@ object Granger {
       x(r) = if (math.abs(a(r)(r)) <= tol) 0.0 else s / a(r)(r)
     }
     x
+  }
+
+  /** F-test upper tail: P(F > f) = I_x(d2/2, d1/2) at x = d2/(d2+d1·f). */
+  private[graft] def pFromF(f: Double, d1: Double, d2: Double): Double =
+    regIncBeta(d2 / (d2 + d1 * f), d2 / 2.0, d1 / 2.0)
+
+  /** Regularized incomplete beta I_x(a, b) by the classic continued
+    * fraction (Numerical Recipes `betai`/`betacf`, the cephes `incbet`
+    * scheme): I_x = x^a (1−x)^b / (a·B(a,b)) · cf(x, a, b), mirrored to
+    * the symmetric form when x past the crossover (a+1)/(a+b+2). The
+    * arithmetic is written STEP-FOR-STEP the way the q42 oracle's
+    * recursive CTE replays it, so both engines converge to the same
+    * value to ~1e-14; GrangerSpec pins it against commons-math3's
+    * FDistribution on a grid. Log-gamma is the one library call
+    * (commons-math3 vs DuckDB lgamma — both accurate to ulps, washed out
+    * by the round(5)). */
+  private[graft] def regIncBeta(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val swap = !(x < (a + 1.0) / (a + b + 2.0))
+      val (xx, aa, bb) = if (swap) (1.0 - x, b, a) else (x, a, b)
+      val lnB = Gamma.logGamma(aa) + Gamma.logGamma(bb) -
+        Gamma.logGamma(aa + bb)
+      val front = math.exp(aa * math.log(xx) + bb * math.log1p(-xx) - lnB)
+      val res = front * betacf(xx, aa, bb) / aa
+      if (swap) 1.0 - res else res
+    }
+  }
+
+  /** Lentz-style continued fraction for [[regIncBeta]] — two rank-1 term
+    * updates per iteration, stop at |δ − 1| < 3e-16 (≤ 300 iterations;
+    * convergence is a few dozen for the F-test's parameter ranges). The
+    * FPMIN floors guard degenerate cancellation only — for x in (0,
+    * crossover) they never fire, so the SQL replay (which omits them)
+    * computes the identical sequence. */
+  private def betacf(x: Double, a: Double, b: Double): Double = {
+    val MaxIt = 300; val Eps = 3e-16; val FpMin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var done = false
+    while (m <= MaxIt && !done) {
+      val m2 = 2 * m
+      val aa1 = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa1 * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa1 / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      h *= d * c
+      val aa2 = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa2 * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa2 / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < Eps) done = true
+      m += 1
+    }
+    h
   }
 }

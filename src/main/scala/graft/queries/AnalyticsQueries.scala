@@ -813,6 +813,133 @@ object AnalyticsQueries {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Generated DuckDB oracle for q42 — the FULL Granger sweep on the real
+    * events table, p-values included. Three pieces, all mechanical and
+    * shared with [[grangerSweepOracleSql]]'s scheme:
+    *  1. per (predictor, lag): the centered-Gram symmetric elimination
+    *     chain → F statistic (raw, no floor — the Spark side's pivoted
+    *     uncentered elimination agrees to FP noise once the Gram moments
+    *     are DECIMAL-exact, which Granger.test now guarantees);
+    *  2. the F upper tail p = I_x(d2/2, d1/2) via the SAME continued
+    *     fraction `Granger.regIncBeta` runs (a recursive CTE iterating
+    *     Lentz steps to |δ−1| < 3e-16, lgamma for the log-beta front) —
+    *     so both engines CONVERGE to the same value and round(5) is
+    *     hash-stable;
+    *  3. gotchas encoded: DuckDB `dayofweek` is Sunday=0 (Spark 1 → +1),
+    *     WITH RECURSIVE forbids reusing a WINDOW name across CTEs
+    *     (unique w_<pred><lag> names), and bare decimal literals in the
+    *     recursion base must be CAST to DOUBLE or the recursive term's
+    *     values get coerced to DECIMAL(2,1). */
+  private def grangerPOracleSql(maxLag: Int): String = {
+    def chain(prefix: String): (Seq[String], Seq[String]) = {
+      val ctes = scala.collection.mutable.ArrayBuffer[String]()
+      val fins = scala.collection.mutable.ArrayBuffer[String]()
+      for (l <- 1 to maxLag) {
+        val vars = (1 to l).map(i => s"a$i") ++ (1 to l).map(i => s"b$i") :+ "y"
+        def pairs(vs: Seq[String]) =
+          for (i <- vs.indices; j <- vs.indices if j >= i) yield (vs(i), vs(j))
+        def cn(u: String, v: String) =
+          if (vars.indexOf(u) <= vars.indexOf(v)) s"c_${u}_$v" else s"c_${v}_$u"
+        val wn = s"w_$prefix$l"
+        val lagCols =
+          ((1 to l).map(i => s"lag(y, $i) OVER $wn AS a$i") ++
+            (1 to l).map(i => s"lag(x, $i) OVER $wn AS b$i")).mkString(", ")
+        val sums =
+          (vars.map(v => s"sum($v) AS s_$v") ++
+            pairs(vars).map { case (u, v) => s"sum($u*$v) AS s_${u}_$v" })
+            .mkString(", ")
+        val centered = pairs(vars)
+          .map { case (u, v) => s"s_${u}_$v - s_$u*s_$v/n AS ${cn(u, v)}" }
+          .mkString(", ")
+        ctes += s"${prefix}l$l AS (SELECT sym, y, $lagCols FROM ${prefix}base " +
+          s"WINDOW $wn AS (PARTITION BY sym ORDER BY t))"
+        ctes += s"${prefix}m$l AS (SELECT sym, count(*) AS n, $sums FROM ${prefix}l$l " +
+          s"WHERE a$l IS NOT NULL AND b$l IS NOT NULL GROUP BY sym)"
+        ctes += s"${prefix}c$l AS (SELECT sym, n, $centered FROM ${prefix}m$l)"
+        vars.init.zipWithIndex.foreach { case (e, idx) =>
+          val remaining = vars.drop(idx + 1)
+          val carry = if (idx >= l) ", rssr" else ""
+          val cols = pairs(remaining)
+            .map { case (u, v) =>
+              s"${cn(u, v)} - ${cn(u, e)}*${cn(e, v)}/${cn(e, e)} AS ${cn(u, v)}" }
+            .mkString(", ")
+          val capture = if (idx + 1 == l)
+            s", c_y_y - ${cn("y", e)}*${cn(e, "y")}/${cn(e, e)} AS rssr" else ""
+          val src = if (idx == 0) s"${prefix}c$l" else s"${prefix}e${l}_$idx"
+          ctes += s"${prefix}e${l}_${idx + 1} AS (SELECT sym, n$carry, $cols$capture FROM $src)"
+        }
+        fins += s"SELECT sym AS symbol, '${prefix.init}' AS predictor, $l AS lag, " +
+          s"((rssr - c_y_y) / $l) / (c_y_y / (n - ${2 * l + 1})) AS f, " +
+          s"CAST(n AS BIGINT) AS n_obs FROM ${prefix}e${l}_${2 * l}"
+      }
+      (ctes.toSeq, fins.toSeq)
+    }
+    val xExprs = Seq(
+      "k_"   -> "CAST(json_extract(props, '$.k') AS DOUBLE)",
+      "hod_" -> "CAST(hour(ts) AS DOUBLE)",
+      "dow_" -> "CAST(dayofweek(ts) + 1 AS DOUBLE)")
+    val (allCtes, allFins) = xExprs.map { case (p, x) =>
+      val base = s"${p}base AS (SELECT user_id::VARCHAR AS sym, ts AS t, " +
+        s"CAST(value AS DOUBLE) AS y, $x AS x FROM events " +
+        s"WHERE user_id < 20 AND value IS NOT NULL AND $x IS NOT NULL)"
+      val (cs, fs) = chain(p)
+      (base +: cs, fs)
+    }.unzip
+    s"""WITH RECURSIVE ${allCtes.flatten.mkString(",\n")},
+       |fs AS (
+       |${allFins.flatten.mkString("\nUNION ALL\n")}),
+       |prep AS (SELECT symbol, predictor, lag, n_obs, f,
+       |  CAST(n_obs - 2*lag - 1 AS DOUBLE) AS d2, CAST(lag AS DOUBLE) AS d1
+       |  FROM fs),
+       |prep2 AS (SELECT *, d2/(d2 + d1*f) AS x0, d2/2.0 AS a0, d1/2.0 AS b0
+       |  FROM prep),
+       |prep3 AS (SELECT *,
+       |  CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN 0 ELSE 1 END AS swp,
+       |  CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN x0 ELSE 1.0 - x0 END AS xx,
+       |  CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN a0 ELSE b0 END AS aa,
+       |  CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN b0 ELSE a0 END AS bb
+       |  FROM prep2),
+       |prep4 AS (SELECT *,
+       |  exp(aa*ln(xx) + bb*ln(1.0 - xx)
+       |      - (lgamma(aa) + lgamma(bb) - lgamma(aa + bb))) AS front,
+       |  1.0/(1.0 - (aa + bb)*xx/(aa + 1.0)) AS dinit
+       |  FROM prep3),
+       |cf AS (
+       |  SELECT symbol, predictor, lag, 0 AS m, CAST(1.0 AS DOUBLE) AS c,
+       |    dinit AS d, dinit AS h, CAST(2.0 AS DOUBLE) AS del
+       |  FROM prep4
+       |  UNION ALL
+       |  SELECT symbol, predictor, lag, m + 1,
+       |    1.0 + aa2/c1, 1.0/(1.0 + aa2*d1), h1*((1.0/(1.0 + aa2*d1))*(1.0 + aa2/c1)),
+       |    (1.0/(1.0 + aa2*d1))*(1.0 + aa2/c1)
+       |  FROM (
+       |    SELECT s.*, p.aa, p.bb, p.xx,
+       |      -(p.aa + (s.m+1))*((p.aa + p.bb) + (s.m+1))*p.xx
+       |        /((p.aa + 2*(s.m+1))*((p.aa + 1.0) + 2*(s.m+1))) AS aa2,
+       |      1.0/(1.0 + s.aa1*s.d) AS d1, 1.0 + s.aa1/s.c AS c1,
+       |      s.h*((1.0/(1.0 + s.aa1*s.d))*(1.0 + s.aa1/s.c)) AS h1
+       |    FROM (
+       |      SELECT cf.*,
+       |        (cf.m+1)*(p0.bb - (cf.m+1))*p0.xx
+       |          /(((p0.aa - 1.0) + 2*(cf.m+1))*(p0.aa + 2*(cf.m+1))) AS aa1
+       |      FROM cf JOIN prep4 p0 USING (symbol, predictor, lag)
+       |      WHERE cf.m < 300 AND abs(cf.del - 1.0) >= 3e-16
+       |    ) s JOIN prep4 p USING (symbol, predictor, lag)
+       |  )
+       |),
+       |cfh AS (SELECT symbol, predictor, lag, h FROM (
+       |  SELECT symbol, predictor, lag, h,
+       |    row_number() OVER (PARTITION BY symbol, predictor, lag
+       |      ORDER BY m DESC) AS rn
+       |  FROM cf) WHERE rn = 1)
+       |SELECT p.symbol, p.predictor, p.lag,
+       |  round(CASE WHEN p.f <= 0 THEN 1.0
+       |    WHEN p.swp = 1 THEN 1.0 - (p.front*cfh.h)/p.aa
+       |    ELSE (p.front*cfh.h)/p.aa END, 5) AS p_value,
+       |  p.n_obs
+       |FROM prep4 p JOIN cfh USING (symbol, predictor, lag)""".stripMargin
+  }
+
   /** Generated DuckDB oracle for [[q42c]]: per lag L, the F test's two RSS
     * values come from UNROLLED symmetric Gaussian elimination on the
     * centered Gram matrix of (y-lags a1..aL, x-lags b1..bL, y). Centering
@@ -905,6 +1032,10 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q42c_granger_sweep_f" -> grangerSweepOracleSql(5),
+    // q42 GRADUATES to fully hash-checked: DECIMAL-exact Gram moments +
+    // the shared continued-fraction F tail make the p-values themselves
+    // reproducible cross-engine at round(5)
+    "q42_granger" -> grangerPOracleSql(5),
     "q46_sql_tpch_q3" -> TpchQ3Sql,
     "q103_bollinger" ->
       """WITH b AS (SELECT user_id, event_id, value,

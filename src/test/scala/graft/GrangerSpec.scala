@@ -70,6 +70,25 @@ class GrangerSpec extends SparkSpec {
     assert(pb.length == 2 && pb.forall(_.isNaN))
   }
 
+  test("regIncBeta continued fraction matches commons-math FDistribution " +
+       "to 1e-10 across the F-test parameter grid") {
+    import org.apache.commons.math3.distribution.FDistribution
+    for {
+      d1 <- Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+      d2 <- Seq(5.0, 11.0, 41.0, 71.0, 500.0, 5000.0)
+      f  <- Seq(0.001, 0.05, 0.3, 0.7, 1.0, 1.5, 2.37, 5.0, 20.0, 100.0)
+    } {
+      val want = 1.0 - new FDistribution(d1, d2).cumulativeProbability(f)
+      val got = Granger.pFromF(f, d1, d2)
+      assert(math.abs(got - want) < 1e-10,
+        s"p(F=$f; $d1, $d2): cf $got vs commons-math $want")
+    }
+    // closed-interval edges
+    assert(Granger.pFromF(0.0, 2, 40) == 1.0)
+    assert(Granger.regIncBeta(0.0, 3, 4) == 0.0 &&
+      Granger.regIncBeta(1.0, 3, 4) == 1.0)
+  }
+
   test("sweep runs per predictor and rounds p to 5 decimals") {
     val res = Granger.sweep(df.withColumn("z", col("x") * 2), "symbol", "t", "y",
       Seq("x", "z"), maxLag = 2)
