@@ -565,6 +565,13 @@ object ExtensionQueries {
         "embedding", "label", col("vec_id") % 3 === 0, k = 3, nProbe = 2)
     }),
 
+    // ── ANN JOIN: top-3 neighbors for EVERY vector via shared cell
+    //    routing — the corpus-wide near-dup-pairs shape (candidates =
+    //    probed posting lists, never the N² cross join)
+    "q260_ann_join" -> ((s, d) =>
+      Similarity.annJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", k = 3, nProbe = 2)),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -618,6 +625,22 @@ object ExtensionQueries {
         .kneserNeyScore(docs, docs, "doc_id", "text")
         .join(docs.select("doc_id", "lang"), "doc_id")
       Curate.perplexityBuckets(scored, "doc_id", "lang", "perplexity")
+    }),
+
+    // ── INCREMENTALLY-MAINTAINED KN-LM: the stored index is the bigram
+    //    type-count table (additive across batches); two batch merges must
+    //    reproduce the from-scratch full-corpus LM exactly — the oracle is
+    //    q248's full-corpus SQL VERBATIM, so the hash check IS the
+    //    incremental ≡ from-scratch proof
+    "q259_lm_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val stored = graft.text.NgramLm.kneserNeyCounts(old, "doc_id", "text")
+      val merged = graft.text.NgramLm.kneserNeyMergeCounts(stored,
+        graft.text.NgramLm.kneserNeyCounts(delta, "doc_id", "text"))
+      graft.text.NgramLm.kneserNeyScoreFromCounts(merged, docs, "doc_id",
+        "text")
     }),
 
     // ── multinomial Naive Bayes provenance classifier: train on the
@@ -1613,6 +1636,12 @@ object ExtensionQueries {
       s"""WITH $lmCtes
          |SELECT doc_id, n_bigrams, avg_logloss, perplexity
          |FROM lm""".stripMargin,
+    // the incremental variant must equal the from-scratch full-corpus LM
+    // bit-for-bit — same oracle SQL as q248 by construction
+    "q259_lm_incremental" ->
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, avg_logloss, perplexity
+         |FROM lm""".stripMargin,
     // NB classifier replayed count-for-count: Laplace likelihoods from
     // integer counts, per-(doc, class, token) log terms quantized to
     // DECIMAL(28,12) pre-sum, prior added post-sum, argmax on the rounded
@@ -1666,6 +1695,23 @@ object ExtensionQueries {
     // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
     // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
     // scan BEFORE scoring, exact rank over survivors
+    // ANN join: q246's routing/ranking shape with every vector as a query
+    // and no predicate — candidates come only from the 2 probed cells
+    "q260_ann_join" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
     "q246_filtered_ann" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,

@@ -364,6 +364,55 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** ANN JOIN — top-k nearest neighbors for EVERY corpus vector at once,
+    * by shared cell routing (the global near-dup-pairs shape: "for each of
+    * N documents, its k most similar documents" — distinct from per-query
+    * search, and the step every corpus-wide semantic-dedup / link-graph
+    * build needs). Each vector plays BOTH roles: it sits in its assigned
+    * cell's posting list, and as a query it routes to its `nProbe` nearest
+    * centroids; candidates are the posting lists of probed cells, so total
+    * pair work is Σ_cells |probes into cell|·|cell| — cell-bucketed, never
+    * the N² cross join. The cid join is shuffle-hash on the cell key (both
+    * sides corpus-sized — nothing broadcasts), so cells should number
+    * ~√N at scale for both balance and candidate bound; the top-k window
+    * partitions per query vector (parallelism = N).
+    *
+    * Deterministic like [[annIvf]] (quantized exact-mean centroids,
+    * rounded sims, id tie-breaks) — the q260 oracle replays routing,
+    * candidate generation, and ranking verbatim. Self-pairs excluded. */
+  def annJoin(corpus: DataFrame, id: String, emb: String, cell: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    // feeds the centroid aggregate, the routing side, and the posting side
+    // — persist so the scan + float→double runs once (ContextCleaner-freed)
+    val base = corpus.select(col(id).as("vec_id"), col(cell).as("cid"),
+        asDouble(emb).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = base
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cid")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    base.join(routed, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Multi-probe LSH: search the query's bucket plus all buckets at Hamming
     * distance 1 (flip each plane bit) — recall rises steeply for the cost of
     * (planes+1)× candidate fan-in, still ≪ brute force. */

@@ -46,13 +46,39 @@ object NgramLm {
           .as("_bg"))
       .select(col(id), col("_bg.0").as("v"), col("_bg.1").as("w"))
 
+  /** The LM's SUFFICIENT STATISTIC: the bigram type-count table (v, w,
+    * cvw). Everything Kneser–Ney needs — context totals c(v), the
+    * continuation counts N₁₊(v·)/N₁₊(·w)/N₁₊(··) — derives from this one
+    * vocabulary-shaped frame, which is why it is the right STORED INDEX
+    * for an incrementally-maintained LM: raw counts are purely ADDITIVE
+    * across batches (unlike the continuation counts themselves, which are
+    * distinct-context cardinalities and do NOT add), so maintenance is
+    * union + sum, the [[kneserNeyMergeCounts]] contract. */
+  def kneserNeyCounts(train: DataFrame, id: String, text: String): DataFrame =
+    bigrams(train, id, text).groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+
+  /** Fold a new batch's counts into a stored count table:
+    * counts(A ∪ B) = counts(A) ⊕ counts(B) exactly (integer sums), so
+    * incremental ≡ from-scratch — hash-verified by q259, whose oracle is
+    * the full-corpus q248 SQL verbatim. Associative and commutative;
+    * shuffle is bigram-TYPE-sized, never corpus bytes (the
+    * incremental-dedup contract applied to LM state). */
+  def kneserNeyMergeCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.select("v", "w", "cvw").unionByName(delta.select("v", "w", "cvw"))
+      .groupBy("v", "w").agg(sum("cvw").as("cvw"))
+
   /** Train on `train`, score every doc of `score`. `d` is the absolute
     * discount (the KN standard 0.75 default). */
   def kneserNeyScore(train: DataFrame, score: DataFrame, id: String,
-                     text: String, d: Double = 0.75): DataFrame = {
-    val tb = bigrams(train, id, text)
-    // bigram types with counts; context totals + continuation fan-outs
-    val cvw = tb.groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+                     text: String, d: Double = 0.75): DataFrame =
+    kneserNeyScoreFromCounts(kneserNeyCounts(train, id, text), score, id,
+      text, d)
+
+  /** Score from a (possibly incrementally-maintained) count table — the
+    * derived KN tables are recomputed from it per scoring run
+    * (vocabulary-shaped aggregates, the cheap part). */
+  def kneserNeyScoreFromCounts(cvw: DataFrame, score: DataFrame, id: String,
+                               text: String, d: Double = 0.75): DataFrame = {
     val ctx = cvw.groupBy("v").agg(sum("cvw").as("cv"),
       count(lit(1)).as("n1p_v"))             // N₁₊(v·): distinct w per v
     val cont = cvw.groupBy("w").agg(count(lit(1)).as("n1p_w")) // N₁₊(·w)

@@ -75,6 +75,26 @@ class AnnSpec extends SparkSpec {
     assert(rAll == 1.0, s"full-probe filtered search must be exact, got $rAll")
   }
 
+  test("annJoin: corpus-wide top-k equals per-query filtered search; " +
+       "ranks dense, no self-pairs") {
+    val aj = Similarity.annJoin(e, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2).cache()
+    // every vector is a query and gets a dense 1..n ranking (n ≤ 3)
+    assert(aj.filter(col("q_id") === col("vec_id")).count() == 0)
+    val perQ = aj.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(perQ.length == e.count())
+    assert(perQ.forall(r => r.getLong(1) == r.getInt(2) && r.getLong(1) <= 3))
+    // the join is the batched form of per-query probed search: restricted
+    // to the q<20 query set it must equal annIvfFiltered with a pass-all
+    // predicate (same centroids over the full corpus, same routing/ranks)
+    val single = Similarity.annIvfFiltered(e, q, "vec_id", "embedding",
+      "label", lit(true), k = 3, nProbe = 2)
+    val sub = aj.filter(col("q_id") < 20)
+    assert(sub.exceptAll(single).isEmpty && single.exceptAll(sub).isEmpty,
+      "annJoin(q<20) must equal per-query probed search")
+  }
+
   test("filtered ANN: a hyper-selective predicate routes to the brute " +
        "path — exact results even with nProbe = 1") {
     // ~0.1%-selectivity predicate: survivors <= k * nCells, so the

@@ -49,6 +49,31 @@ class TextSignalsSpec extends SparkSpec {
     assert(math.abs(o(21L) - math.log(3.0)) < 1e-6)  // Pcont(b) = 1/3
   }
 
+  test("kneserNeyMergeCounts: batch merges are order-independent and " +
+       "reproduce the from-scratch LM exactly") {
+    import graft.text.NgramLm
+    val b1 = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "b c a"), (4L, "c c b")).toDF("doc_id", "text")
+    val b3 = Seq((5L, "a b c d e"), (6L, "d e d")).toDF("doc_id", "text")
+    val full = b1.unionByName(b2).unionByName(b3)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      NgramLm.kneserNeyCounts(df, "doc_id", "text")
+    val m123 = NgramLm.kneserNeyMergeCounts(
+      NgramLm.kneserNeyMergeCounts(counts(b1), counts(b2)), counts(b3))
+    val m321 = NgramLm.kneserNeyMergeCounts(
+      NgramLm.kneserNeyMergeCounts(counts(b3), counts(b2)), counts(b1))
+    val scratch = counts(full)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(asSet(m123) == asSet(scratch) && asSet(m321) == asSet(scratch))
+    // scoring from the maintained index ≡ training from scratch
+    val a = NgramLm.kneserNeyScoreFromCounts(m123, full, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = NgramLm.kneserNeyScore(full, full, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("unigramNll: uniform corpus scores ln(V) per token; rare tokens score higher") {
     // 4 tokens, each appearing once → p = 1/4, nll = ln 4 for every token
     val uniform = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
