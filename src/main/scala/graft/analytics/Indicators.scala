@@ -214,15 +214,12 @@ object Indicators {
     val packed = df.filter(col(value).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(fields: _*))).as("seq"))
+    // native O(n) EMA scan — same IEEE step order as the SQL fold it
+    // replaces, minus the per-step accumulator-array copy
+    graft.expressions.SeriesScan.register(df.sparkSession)
     val runFold = expr(
-      s"""aggregate(
-         |  slice(seq, 2, size(seq) - 1),
-         |  named_struct('arr', array(element_at(seq, 1)._gx),
-         |               'last', element_at(seq, 1)._gx),
-         |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr, array(${1 - alpha}D * acc.last + ${alpha}D * p._gx)),
-         |    'last', ${1 - alpha}D * acc.last + ${alpha}D * p._gx),
-         |  acc -> acc.arr)""".stripMargin)
+      s"graft_ema_scan(transform(seq, p -> p._gx), " +
+        s"CAST('$alpha' AS DOUBLE), CAST('${1 - alpha}' AS DOUBLE))")
     packed.withColumn("_emas", runFold)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq"), col("_emas"))).as("_z")): _*)
@@ -506,15 +503,10 @@ object Indicators {
     // plain double appends (the q157 shape; an array-of-struct append
     // costs ~10× per copy), and `seq` is an aggregate output so neither
     // fold can be re-evaluated by project collapse
+    graft.expressions.SeriesScan.register(df.sparkSession)
     def emaFold(field: String, a: Double, b: Double) = expr(
-      s"""aggregate(
-         |  slice(seq, 2, size(seq) - 1),
-         |  named_struct('arr', array(element_at(seq, 1).$field),
-         |               'last', element_at(seq, 1).$field),
-         |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr, array(${b}D * acc.last + ${a}D * p.$field)),
-         |    'last', ${b}D * acc.last + ${a}D * p.$field),
-         |  acc -> acc.arr)""".stripMargin)
+      s"graft_ema_scan(transform(seq, p -> p.$field), " +
+        s"CAST('$a' AS DOUBLE), CAST('$b' AS DOUBLE))")
     // explode immediately after the folds: derived array chains would be
     // inlined by project collapse and re-evaluate the O(n²) folds — here
     // each fold result feeds exactly one generator
@@ -534,14 +526,8 @@ object Indicators {
     val packed2 = leg.groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(fields2: _*))).as("seq2"))
     val sigFold = expr(
-      s"""aggregate(
-         |  slice(seq2, 2, size(seq2) - 1),
-         |  named_struct('arr', array(element_at(seq2, 1)._gm),
-         |               'last', element_at(seq2, 1)._gm),
-         |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr, array(${bG}D * acc.last + ${aG}D * p._gm)),
-         |    'last', ${bG}D * acc.last + ${aG}D * p._gm),
-         |  acc -> acc.arr)""".stripMargin)
+      s"graft_ema_scan(transform(seq2, p -> p._gm), " +
+        s"CAST('$aG' AS DOUBLE), CAST('$bG' AS DOUBLE))")
     packed2.withColumn("_sg", sigFold)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq2"), col("_sg"))).as("_z")): _*)
@@ -818,15 +804,10 @@ object Indicators {
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(col("bar"), col("_tr"),
         col("_pdm"), col("_mdm")))).as("seq"))
+    graft.expressions.SeriesScan.register(df.sparkSession)
     def fold(field: String) = expr(
-      s"""aggregate(
-         |  slice(seq, 2, size(seq) - 1),
-         |  named_struct('arr', array(element_at(seq, 1).$field),
-         |               'last', element_at(seq, 1).$field),
-         |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr, array(${b}D * acc.last + ${a}D * p.$field)),
-         |    'last', ${b}D * acc.last + ${a}D * p.$field),
-         |  acc -> acc.arr)""".stripMargin)
+      s"graft_ema_scan(transform(seq, p -> p.$field), " +
+        s"CAST('$a' AS DOUBLE), CAST('$b' AS DOUBLE))")
     val leg = packed
       .withColumn("_st", fold("_tr"))
       .withColumn("_sp", fold("_pdm"))
@@ -855,15 +836,8 @@ object Indicators {
     // ADX fold skips NULL DX rows' effect by folding coalesce(dx, last):
     // a NULL DX (flat bar) holds the smoothing — deterministic, pinned
     val adxFold = expr(
-      s"""aggregate(
-         |  slice(seq2, 2, size(seq2) - 1),
-         |  named_struct('arr', array(element_at(seq2, 1)._gdx),
-         |               'last', coalesce(element_at(seq2, 1)._gdx, 0.0D)),
-         |  (acc, p) -> named_struct(
-         |    'arr', concat(acc.arr,
-         |      array(${b}D * acc.last + ${a}D * coalesce(p._gdx, acc.last))),
-         |    'last', ${b}D * acc.last + ${a}D * coalesce(p._gdx, acc.last)),
-         |  acc -> acc.arr)""".stripMargin)
+      s"graft_adx_scan(transform(seq2, p -> p._gdx), " +
+        s"CAST('$a' AS DOUBLE), CAST('$b' AS DOUBLE))")
     packed2.withColumn("_adx", adxFold)
       .select((keys.map(col) :+
         explode(arrays_zip(col("seq2"), col("_adx"))).as("_z")): _*)
@@ -1119,18 +1093,10 @@ object Indicators {
       .agg(array_sort(collect_list(struct(fields: _*))).as("seq"),
         (sum(col(value).cast(Dec)).cast("double") /
           count(col(value))).as("mu"))
-    val runFold = expr(
-      """aggregate(
-        |  seq,
-        |  named_struct('arr', cast(array() as array<struct<u: double, d: double>>),
-        |               'u', 0D, 'd', 0D),
-        |  (acc, p) -> named_struct(
-        |    'arr', concat(acc.arr, array(named_struct(
-        |      'u', greatest(0D, acc.u + (p._gx - mu)),
-        |      'd', least(0D, acc.d + (p._gx - mu))))),
-        |    'u', greatest(0D, acc.u + (p._gx - mu)),
-        |    'd', least(0D, acc.d + (p._gx - mu))),
-        |  acc -> acc.arr)""".stripMargin)
+    // native O(n) CUSUM scan — same IEEE step order as the SQL fold it
+    // replaces, minus the per-step accumulator-array copy
+    graft.expressions.SeriesScan.register(df.sparkSession)
+    val runFold = expr("graft_cusum_scan(transform(seq, p -> p._gx), mu)")
     packed.withColumn("_cs", runFold)
       .select((keys.map(col) :+ col("mu") :+
         explode(arrays_zip(col("seq"), col("_cs"))).as("_z")): _*)

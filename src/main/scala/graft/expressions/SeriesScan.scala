@@ -64,7 +64,122 @@ object SeriesScan {
       es => HoltScan(es.head, litD(es(1)), litD(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_heikin_scan",
       es => HeikinScan(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ema_scan",
+      es => EmaScan(es.head, litD(es(1)), litD(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_adx_scan",
+      es => AdxScan(es.head, litD(es(1)), litD(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cusum_scan",
+      es => CusumScan(es.head, es(1)), "scala_udf")
   }
+}
+
+/** EMA recursion over an ARRAY<DOUBLE>: out₁ = x₁, outₜ = b·outₜ₋₁ + a·xₜ
+  * — the [[graft.analytics.Indicators.emaSeries]]/MACD/ADX-smoothing fold
+  * (a = span smoothing, b = 1−a, both precomputed Scala doubles as the
+  * folds interpolated them). */
+case class EmaScan(child: Expression, a: Double, b: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_ema_scan"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Double](n)
+    if (n > 0) {
+      out(0) = xs.getDouble(0)
+      var i = 1
+      while (i < n) {
+        out(i) = b * out(i - 1) + a * xs.getDouble(i)
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $x.numElements();
+         |double[] $out = new double[$n];
+         |if ($n > 0) {
+         |  $out[0] = $x.getDouble(0);
+         |  for (int $i = 1; $i < $n; $i++)
+         |    $out[$i] = $b * $out[$i - 1] + $a * $x.getDouble($i);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADX's NULL-holding EMA over an ARRAY<DOUBLE> with nullable elements
+  * (the DX series — NULL on flat bars): out₁ = x₁ (NULL passes through),
+  * running state seeds at coalesce(x₁, 0); outₜ = b·last + a·coalesce(xₜ,
+  * last) — a NULL DX holds the smoothing, exactly the fold
+  * [[graft.analytics.Indicators.adx]] ran. */
+case class AdxScan(child: Expression, a: Double, b: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_adx_scan"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    out(0) = if (xs.isNullAt(0)) null else xs.getDouble(0)
+    var last = if (xs.isNullAt(0)) 0.0 else xs.getDouble(0)
+    var i = 1
+    while (i < n) {
+      val x = if (xs.isNullAt(i)) last else xs.getDouble(i)
+      last = b * last + a * x
+      out(i) = last
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Page's two-sided CUSUM over an ARRAY<DOUBLE> around mean `mu` →
+  * ARRAY<STRUCT<u, d>>: uₜ = max(0, uₜ₋₁ + (xₜ − μ)), dₜ = min(0, dₜ₋₁ +
+  * (xₜ − μ)), seeded at 0 — the [[graft.analytics.Indicators.cusumSeries]]
+  * fold (max(0,·) is not linear, so unlike EMA there is no chunk-stitch
+  * rescue; this scan at least makes the single-task pass linear). */
+case class CusumScan(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("u", DoubleType), StructField("d", DoubleType))),
+    containsNull = false)
+  override def prettyName: String = "graft_cusum_scan"
+
+  override def nullSafeEval(xsIn: Any, muIn: Any): Any = {
+    val xs = xsIn.asInstanceOf[ArrayData]
+    val mu = muIn.asInstanceOf[Double]
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    var u = 0.0; var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      u = math.max(0.0, u + (x - mu))
+      d = math.min(0.0, d + (x - mu))
+      out(i) = new GenericInternalRow(Array[Any](u, d))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** σ²ₜ over an ARRAY<DOUBLE> of returns: σ²₁ = ω/(1−α−β), σ²ᵢ = ω + α·r²ᵢ₋₁

@@ -1601,9 +1601,12 @@ class IndicatorsSpec extends SparkSpec {
         0.05, 0.1, 0.85).count(),
       graft.analytics.Indicators.holtLinear(big, "x", Seq("g"), "t",
         0.5, 0.25).count(),
-      graft.analytics.Indicators.kalmanLevel(big, "x", Seq("g"), "t").count())
+      graft.analytics.Indicators.kalmanLevel(big, "x", Seq("g"), "t").count(),
+      graft.analytics.Indicators.emaSeries(big, "x", Seq("g"), "t",
+        alpha = 0.25).count(),
+      graft.analytics.Indicators.cusumSeries(big, "x", Seq("g"), "t").count())
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(cnts == Seq(n - 1L, n.toLong, n.toLong), cnts)
+    assert(cnts == Seq(n - 1L, n.toLong, n.toLong, n.toLong, n.toLong), cnts)
     assert(secs < 120.0, f"series scans took $secs%.1f s on 1M rows")
   }
 }
