@@ -159,7 +159,18 @@ object Plans {
       "q255_ccnet_buckets" -> Seq("BroadcastHashJoin"),
       // NB classifier: vocabulary-sized likelihood table broadcast onto
       // the (doc, token) stream; never corpus x corpus
-      "q256_nb_domain" -> Seq("BroadcastHashJoin"))
+      "q256_nb_domain" -> Seq("BroadcastHashJoin"),
+      // Granger p-value sweep: distributed Gram aggregate ran eagerly,
+      // returned frame is the key-count-bounded driver result table
+      "q42_granger" -> Seq("LocalTableScan"),
+      // auto-level Louvain: per-level label RDDs are checkpointed —
+      // plan depth O(1) in levels and rounds
+      "q258_louvain_hier" -> Seq("Scan ExistingRDD"),
+      // incremental LM: count-table merge is union + partial-agg sum
+      "q259_lm_incremental" -> Seq("HashAggregate", "Union"),
+      // ANN join: native fused cosine on cell-routed candidates; top-k
+      // windows partition per query vector
+      "q260_ann_join" -> Seq("graft_cosine", "Window"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
