@@ -1261,20 +1261,30 @@ object Stats {
     * pooled average ranks (min-rank + (ties−1)/2 — deterministic under any
     * partitioning, exact in double since ranks step by halves). Robust to
     * monotone transforms and outliers where the raw Pearson (q16) is not —
-    * the standard screen for nonlinear association. Two per-group rank
-    * windows + one aggregate of exact DECIMAL rank sums; rank products stay
-    * ≤ n² so DECIMAL(28,10) never saturates below ~10⁹-row groups. NULL
-    * rho when either margin is constant. */
+    * the standard screen for nonlinear association.
+    *
+    * Each margin's rank is a function of the VALUE alone within a group,
+    * so ranks come from per-distinct-value counts + [[binnedPrefix]]
+    * cumulative counts (min-rank = 1 + #rows below — the [[mannWhitney]]
+    * scheme), joined back onto the rows null-safely. No per-group raw-row
+    * rank window anywhere: a few-group input (e.g. a 5-flag table) would
+    * otherwise sort each group's entire data in one task. One aggregate
+    * of exact DECIMAL rank sums; rank products stay ≤ n² so
+    * DECIMAL(28,10) never saturates below ~10⁹-row groups. NULL rho when
+    * either margin is constant. */
   def spearman(df: DataFrame, x: String, y: String,
                keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.filter(col(x).isNotNull && col(y).isNotNull)
     def avgRank(c: String, out: String)(d: DataFrame): DataFrame = {
-      val wR = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
-      val wT = Window.partitionBy((keys.map(col) :+ col(c)): _*)
-      d.withColumn(out,
-        rank().over(wR).cast("double") +
-          (count(lit(1)).over(wT).cast("double") - lit(1.0)) / lit(2.0))
+      val perValue = d.groupBy((keys.map(col) :+ col(c).as("_v")): _*)
+        .agg(count(lit(1)).as("_t"))
+      val ranks = binnedPrefix(perValue, keys, "_v", Seq("_t"),
+          descending = false)
+        .withColumn(out,
+          (col("_t_cum") - col("_t") + 1).cast("double") +
+            (col("_t").cast("double") - lit(1.0)) / lit(2.0))
+        .select((keys.map(col) :+ col("_v").as(c) :+ col(out)): _*)
+      njoin(d, ranks, keys :+ c)
     }
     val ranked = avgRank(y, "_ry")(avgRank(x, "_rx")(base))
     def dsum(e: Column) = sum(e.cast(Dec)).cast("double")

@@ -195,6 +195,13 @@ class ScaleSpec extends SparkSpec {
           .write.mode("overwrite").format("noop").save()
       }
       assert(mTr < bound, s"tailRisk: one task read $mTr of $n rows")
+      val mSp = maxTaskShuffleRead("scalespec-sp") {
+        Stats.spearman(df.withColumn("v2",
+            (col("id") * 48271L % 99991L).cast("double")),
+          "v", "v2", Seq("g"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mSp < bound, s"spearman: one task read $mSp of $n rows")
     } finally df.unpersist()
 
     // heapsFit: cumulative vocabulary growth over the doc-id axis — the
