@@ -53,36 +53,74 @@ object Granger {
         .withColumn(s"xl$i", lag(col("x"), i).over(w))
     }
 
-    // Gram moments per lag order L over rows valid at that order
+    // Gram moments. The lag-l validity sets are NESTED (positional lags:
+    // row p of a series has lags 1..p−1 — valid_l = positions ≥ l+1), so
+    // only the MAX-lag Gram is aggregated distributed (79 decimal sums at
+    // maxLag = 5, not 205 across all lags), and each lower order derives
+    // on the driver as G_l = G_maxLag + the ≤ maxLag−1 BOUNDARY rows per
+    // series (positions l+1..maxLag) — each product quantized with the
+    // IDENTICAL double→DECIMAL(38,12) rounding Spark's cast applies, and
+    // decimal addition is associative, so G_l is bit-for-bit what the
+    // per-lag aggregate produced (the q42/q42c oracles are unchanged).
+    // This matters because the double→decimal cast is expensive (a
+    // string-format round-trip per product per row): dropping 2.6× of the
+    // casts took q42c from 3.8 s back under 2 s at sf0.1.
     def vars(l: Int): Seq[(String, Column)] =
       ("y" -> col("y")) +: ("one" -> lit(1.0)) +:
         ((1 to l).map(i => s"yl$i" -> col(s"yl$i")) ++
           (1 to l).map(i => s"xl$i" -> col(s"xl$i")))
-    val aggs: Seq[Column] = (1 to maxLag).flatMap { l =>
-      val valid = col(s"yl$l").isNotNull && col(s"xl$l").isNotNull
-      val vs = vars(l)
-      count(when(valid, 1)).as(s"n_$l") +:
-        (for (i <- vs.indices; j <- vs.indices if j >= i) yield {
-          val (ni, ci) = vs(i); val (nj, cj) = vs(j)
-          // per-product DECIMAL quantization: the Gram sums become exact
-          // (partition-order-independent, replayable bit-for-bit by the
-          // oracle); integer-valued inputs (q42b/q42c) are unchanged
+    val vsMax = vars(maxLag)
+    val namesMax = vsMax.map(_._1)
+    val valid = col(s"yl$maxLag").isNotNull && col(s"xl$maxLag").isNotNull
+    val aggs: Seq[Column] =
+      count(when(valid, 1)).as(s"n_$maxLag") +:
+        (for (i <- vsMax.indices; j <- vsMax.indices if j >= i) yield {
+          val (ni, ci) = vsMax(i); val (nj, cj) = vsMax(j)
           sum(when(valid, (ci * cj).cast("decimal(38,12)")))
-            .as(s"g_${l}_${ni}_$nj")
+            .as(s"g_${ni}_$nj")
         })
-    }
-    val grams = lagged.groupBy(col("sym")).agg(aggs.head, aggs.tail: _*).collect()
+    val withPos = lagged.withColumn("_pos", row_number().over(w))
+    val grams = withPos.groupBy(col("sym")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // boundary rows: ≤ maxLag−1 per series — a bounded collect (the same
+    // contract as the Gram sums themselves)
+    val boundary: Map[String, Array[org.apache.spark.sql.Row]] =
+      if (maxLag == 1) Map.empty
+      else withPos.filter(col("_pos") >= 2 && col("_pos") <= maxLag)
+        .select(col("sym") +: col("_pos") +: col("y") +:
+          ((1 until maxLag).map(i => col(s"yl$i")) ++
+            (1 until maxLag).map(i => col(s"xl$i"))): _*)
+        .collect().groupBy(_.getString(0))
+    // Spark's Cast(double → decimal(38,12)): shortest-repr BigDecimal of
+    // the double, then setScale(12, HALF_UP) — replicated exactly
+    def quant12(v: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
 
     val results = grams.flatMap { row =>
       val sym = row.getString(0)
+      val nMax = row.getLong(row.fieldIndex(s"n_$maxLag"))
+      def aggDec(a: String, b: String): java.math.BigDecimal = {
+        val idx = row.fieldIndex(
+          if (namesMax.indexOf(a) <= namesMax.indexOf(b)) s"g_${a}_$b"
+          else s"g_${b}_$a")
+        if (row.isNullAt(idx)) java.math.BigDecimal.ZERO else row.getDecimal(idx)
+      }
+      val brows = boundary.getOrElse(sym, Array.empty)
+      def zval(r: org.apache.spark.sql.Row, name: String): Double =
+        if (name == "one") 1.0 else r.getDouble(r.fieldIndex(name))
       (1 to maxLag).flatMap { l =>
-        val n = row.getLong(row.fieldIndex(s"n_$l"))
+        val rowsL =
+          if (l == maxLag) Array.empty[org.apache.spark.sql.Row]
+          else brows.filter(r => r.getInt(r.fieldIndex("_pos")) >= l + 1)
+        val n = nMax + rowsL.length
         val names = vars(l).map(_._1)
         def g(a: String, b: String): Double = {
-          val idx = row.fieldIndex(
-            if (names.indexOf(a) <= names.indexOf(b)) s"g_${l}_${a}_$b" else s"g_${l}_${b}_$a")
-          if (row.isNullAt(idx)) Double.NaN
-          else row.getDecimal(idx).doubleValue()
+          var acc = aggDec(a, b)
+          rowsL.foreach { r =>
+            acc = acc.add(quant12(zval(r, a) * zval(r, b)))
+          }
+          acc.doubleValue()
         }
         val kU = 2 * l + 1
         if (n < kU + 1) Seq((sym, predictor, l, Double.NaN, Double.NaN, n)) // too few obs
