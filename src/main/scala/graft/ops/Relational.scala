@@ -188,4 +188,48 @@ object Relational {
     }
     stats.select(explode(array(entries: _*)).as("_p")).select("_p.*")
   }
+  /** Snapshot DIFF — the table-versioning primitive every incremental
+    * pipeline needs ("what changed between yesterday's load and today's"):
+    * full outer join on the key, classify each key as added / removed /
+    * changed, and name the columns that differ. Unchanged rows are dropped
+    * (the diff of a 100 TB table against itself is empty, not 100 TB).
+    * One co-partitioned shuffle join; with both snapshots bucketed on the
+    * key the exchange disappears entirely (the CDC-merge shape). Value
+    * comparison is NULL-SAFE (`<=>`): NULL→value and value→NULL are
+    * changes, NULL→NULL is not. Compared columns = the non-key columns
+    * the snapshots SHARE; columns present in only one snapshot are a
+    * schema change, out of scope by contract. Output: (keys…,
+    * change_type, changed_cols — comma-joined in shared-column order,
+    * empty for added/removed). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val shared = oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
+      .filterNot(keys.contains)
+    val o = oldDf.select((keys ++ shared).map(col): _*)
+      .withColumn("_in_old", lit(1))
+      .toDF((keys ++ shared.map(c => s"_o_$c") :+ "_in_old"): _*)
+    val n = newDf.select((keys ++ shared).map(col): _*)
+      .withColumn("_in_new", lit(1))
+      .toDF((keys ++ shared.map(c => s"_n_$c") :+ "_in_new"): _*)
+    val nR = keys.foldLeft(n)((d, k) => d.withColumnRenamed(k, s"_k_$k"))
+    val joined = o.join(nR,
+      keys.map(k => col(k) <=> col(s"_k_$k")).reduce(_ && _), "full_outer")
+    val keyOut = keys.map(k => coalesce(col(k), col(s"_k_$k")).as(k))
+    val diffs = shared.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+    val anyDiff = diffs.reduceOption(_ || _).getOrElse(lit(false))
+    // concat_ws skips NULLs, so the changed-column list assembles itself
+    val changedCols =
+      if (shared.isEmpty) lit("")
+      else concat_ws(",", shared.zip(diffs).map { case (c, d) =>
+        when(d, lit(c)) }: _*)
+    joined
+      .withColumn("change_type",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", changedCols).otherwise(lit("")))
+      .select(keyOut :+ col("change_type") :+ col("changed_cols"): _*)
+  }
 }

@@ -1225,6 +1225,63 @@ object Stats {
       .drop("_s", "_w")
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution of `value` — the standard drift monitor a training
+    * pipeline runs per feature/score between data loads (rule of thumb:
+    * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate). Bins are
+    * the reference's `bins`-quantile fences (equal-mass on ref), both
+    * sides share them, and PSI = Σ (curᵢ − refᵢ)·ln(curᵢ/refᵢ) with the
+    * standard ε-floor on shares so empty bins contribute a large-but-
+    * finite term instead of ±∞.
+    *
+    * Scale shape: ONE percentile aggregate on ref (1-row, broadcast) +
+    * one scan-shaped conditional-count aggregate per side — the fences
+    * frame is bins-sized and the bin assignment is a sum of `value > fᵢ`
+    * indicators (portable: no width_bucket in the oracle engine). Fences
+    * are quantized to 6 dp before comparison so both engines bin
+    * boundary-adjacent rows identically. Output: one row per bin
+    * (bin, ref_n, cur_n, ref_share, cur_share, psi_term, psi) with the
+    * total repeated per row (bins-sized window). */
+  def psi(ref: DataFrame, cur: DataFrame, value: String, bins: Int = 10,
+          eps: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val qs = (1 until bins).map(i => s"${i.toDouble / bins}D").mkString(", ")
+    val fences = ref.agg(expr(
+      s"transform(percentile($value, array($qs)), f -> floor(f * 1e6 + 0.5) / 1e6)")
+      .as("_f"))
+    def binned(df: DataFrame): DataFrame = df
+      .filter(col(value).isNotNull)
+      .crossJoin(broadcast(fences))
+      .withColumn("bin", expr(
+        s"aggregate(_f, 0, (acc, f) -> acc + CASE WHEN $value > f THEN 1 ELSE 0 END)"))
+    val refC = binned(ref).groupBy("bin").agg(count(lit(1)).as("ref_n"))
+    val curC = binned(cur).groupBy("bin").agg(count(lit(1)).as("cur_n"))
+    // every bin 0..bins-1 must appear even when empty on both sides
+    val allBins = fences.select(explode(
+      sequence(lit(0), lit(bins - 1))).as("bin"))
+    val wAll = Window.partitionBy(lit(1))
+    val joined = allBins
+      .join(refC, Seq("bin"), "left").join(curC, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .withColumn("_rt", sum(col("ref_n")).over(wAll))
+      .withColumn("_ct", sum(col("cur_n")).over(wAll))
+    val rShare = greatest(col("ref_n").cast("double") /
+      when(col("_rt") > 0, col("_rt").cast("double")), lit(eps))
+    val cShare = greatest(col("cur_n").cast("double") /
+      when(col("_ct") > 0, col("_ct").cast("double")), lit(eps))
+    joined
+      .withColumn("ref_share", round(rShare, 6))
+      .withColumn("cur_share", round(cShare, 6))
+      .withColumn("_term", ((cShare - rShare) * log(cShare / rShare))
+        .cast("decimal(28,12)"))
+      .withColumn("psi_term", round(col("_term").cast("double"), 6))
+      .withColumn("psi",
+        round(sum(col("_term")).over(wAll).cast("double"), 6))
+      .select("bin", "ref_n", "cur_n", "ref_share", "cur_share",
+        "psi_term", "psi")
+  }
+
   /** Benjamini–Hochberg FDR correction over a battery of p-values
     * (Benjamini & Hochberg 1995): with m tests and ascending order
     * statistics p₍ᵢ₎, the rejection threshold is the largest p₍ᵢ₎ ≤

@@ -336,6 +336,15 @@ object AnalyticsQueries {
       graft.ops.Stats.momentStats(Tables.events(s, d), "value",
         Seq("event_type"))),
 
+    // ── PSI drift monitor: reference-decile bins shared by both sides,
+    //    ε-floored shares (the per-feature distribution-shift gate a
+    //    training pipeline runs between data loads)
+    "q262_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Stats.psi(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value", bins = 10)
+    }),
+
     // ── candlestick pattern flags (doji/hammer/bullish-engulfing) over
     //    hourly OHLC bars per series
     "q180_candles" -> ((s, d) =>
@@ -1036,6 +1045,44 @@ object AnalyticsQueries {
     // the shared continued-fraction F tail make the p-values themselves
     // reproducible cross-engine at round(5)
     "q42_granger" -> grangerPOracleSql(5),
+    // PSI: fences quantized to 6 dp in both engines before binning; the
+    // bin index is a fence-indicator sum (no width_bucket in DuckDB);
+    // terms from UNROUNDED shares, quantized to DECIMAL pre-sum
+    "q262_psi_drift" ->
+      """WITH r AS (SELECT value FROM events
+        | WHERE event_type = 'view' AND value IS NOT NULL),
+        |c AS (SELECT value FROM events
+        | WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |f AS (SELECT list_transform(
+        |  quantile_cont(value, [CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+        |    CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE)]), x -> floor(x * 1e6 + 0.5) / 1e6) AS fl
+        |  FROM r),
+        |rb AS (SELECT len(list_filter(f.fl, x -> r.value > x)) AS bin,
+        |  CAST(count(*) AS BIGINT) AS ref_n FROM r, f GROUP BY 1),
+        |cb AS (SELECT len(list_filter(f.fl, x -> c.value > x)) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cur_n FROM c, f GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |jn AS (SELECT bins.bin, coalesce(rb.ref_n, 0) AS ref_n,
+        |  coalesce(cb.cur_n, 0) AS cur_n
+        | FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT bin, ref_n, cur_n,
+        |  CAST(sum(ref_n) OVER () AS BIGINT) AS rt,
+        |  CAST(sum(cur_n) OVER () AS BIGINT) AS ct FROM jn),
+        |sh AS (SELECT bin, ref_n, cur_n,
+        |  greatest(coalesce(CAST(ref_n AS DOUBLE) /
+        |    (CASE WHEN rt > 0 THEN CAST(rt AS DOUBLE) END), 0), 1e-6) AS rs,
+        |  greatest(coalesce(CAST(cur_n AS DOUBLE) /
+        |    (CASE WHEN ct > 0 THEN CAST(ct AS DOUBLE) END), 0), 1e-6) AS cs
+        | FROM t),
+        |tm AS (SELECT bin, ref_n, cur_n, rs, cs,
+        |  CAST((cs - rs) * ln(cs / rs) AS DECIMAL(28,12)) AS term FROM sh)
+        |SELECT bin, ref_n, cur_n, round(rs, 6) AS ref_share,
+        |  round(cs, 6) AS cur_share,
+        |  round(CAST(term AS DOUBLE), 6) AS psi_term,
+        |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi
+        |FROM tm""".stripMargin,
     "q46_sql_tpch_q3" -> TpchQ3Sql,
     "q103_bollinger" ->
       """WITH b AS (SELECT user_id, event_id, value,

@@ -547,6 +547,20 @@ object BreadthQueries {
         maxLevels = 3, rounds = 2)
     }),
 
+    // ── SNAPSHOT DIFF: classify keys as added/removed/changed between two
+    //    table versions, naming the columns that differ (the incremental-
+    //    pipeline "what changed since yesterday's load" primitive; one
+    //    co-partitioned full outer join, unchanged rows dropped)
+    "q261_snapshot_diff" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val newSnap = orders.filter(col("o_orderkey") % 17 =!= 0)
+      graft.ops.Relational.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    }),
+
     // ── KMV distinct-count sketch estimate vs exact, per event type
     "q225_kmv_distinct" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -877,6 +891,39 @@ object BreadthQueries {
     "q245_louvain" -> louvainOracleSql(3),
     "q247_louvain_l2" -> louvain2OracleSql(2, 2),
     "q258_louvain_hier" -> louvainHierOracleSql(3, 2),
+    // snapshot diff: null-safe column compare (IS NOT DISTINCT FROM);
+    // concat_ws skips the NULL CASE arms, assembling the changed list
+    "q261_snapshot_diff" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val diffs = cols.map(c =>
+        s"NOT (o.$c IS NOT DISTINCT FROM n.$c)")
+      val changed = cols.zip(diffs)
+        .map { case (c, dd) => s"CASE WHEN $dd THEN '$c' END" }
+        .mkString(", ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+         |    ELSE o_totalprice END AS o_totalprice,
+         |  o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 13 != 0),
+         |n AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority FROM orders
+         | WHERE o_orderkey % 17 != 0),
+         |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |  o.o_orderkey IS NOT NULL AS in_old,
+         |  n.o_orderkey IS NOT NULL AS in_new,
+         |  CASE WHEN ${diffs.mkString(" OR ")} THEN 1 ELSE 0 END AS any_diff,
+         |  concat_ws(',', $changed) AS ch
+         | FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         |SELECT o_orderkey,
+         |  CASE WHEN NOT in_old THEN 'added'
+         |       WHEN NOT in_new THEN 'removed'
+         |       WHEN any_diff = 1 THEN 'changed' END AS change_type,
+         |  CASE WHEN in_old AND in_new AND any_diff = 1 THEN ch
+         |       ELSE '' END AS changed_cols
+         |FROM j
+         |WHERE (NOT in_old) OR (NOT in_new) OR any_diff = 1""".stripMargin
+    },
     "q128_sql_tpch_q5" -> TpchQ5Sql,
     "q133_sql_tpch_q6" -> TpchQ6Sql,
     // HLL rebuilt register-for-register: identical md5 hash, identical

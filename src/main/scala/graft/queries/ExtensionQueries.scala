@@ -572,6 +572,13 @@ object ExtensionQueries {
       Similarity.annJoin(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", k = 3, nProbe = 2)),
 
+    // ── semantic near-dup DECISION LIST on top of the ANN join: pairs
+    //    with sim ≥ 0.35 among each vector's top-5 routed neighbors,
+    //    canonicalized (dup_id > keep_id, smaller id kept)
+    "q263_semdedup_pairs" -> ((s, d) =>
+      Similarity.semDedupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", k = 5, nProbe = 2, minSim = 0.35)),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -1695,6 +1702,26 @@ object ExtensionQueries {
     // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
     // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
     // scan BEFORE scoring, exact rank over survivors
+    // semantic near-dup pairs: the q260 chain with k=5, a sim threshold,
+    // and DISTINCT canonicalized (dup > keep) pairs
+    "q263_semdedup_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id),
+         |topk AS (SELECT q_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         | WHERE rank <= 5)
+         |SELECT DISTINCT greatest(q_id, vec_id) AS dup_id,
+         |  least(q_id, vec_id) AS keep_id, sim
+         |FROM topk WHERE sim >= 0.35""".stripMargin,
     // ANN join: q246's routing/ranking shape with every vector as a query
     // and no predicate — candidates come only from the 2 probed cells
     "q260_ann_join" ->

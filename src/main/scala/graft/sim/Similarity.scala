@@ -413,6 +413,24 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** Corpus-wide SEMANTIC NEAR-DUP DECISIONS from the [[annJoin]]: every
+    * pair with cosine ≥ `minSim` among each vector's top-k cell-routed
+    * neighbors, canonicalized to (dup_id > keep_id) with the smaller id
+    * kept — the global SemDeDup decision list at scale (where [[semDedup]]
+    * prunes within coarse clusters, this emits the PAIRS, the auditable
+    * artifact a curation run wants to log). Each unordered pair may be
+    * discovered from either side (or both — mutual neighbors); `distinct`
+    * collapses them, exact because sim is symmetric and pre-rounded.
+    * Same cost shape as [[annJoin]]: cell-bucketed, never N². */
+  def semDedupPairs(corpus: DataFrame, id: String, emb: String,
+                    cell: String, k: Int, nProbe: Int,
+                    minSim: Double): DataFrame =
+    annJoin(corpus, id, emb, cell, k, nProbe)
+      .filter(col("sim") >= minSim)
+      .select(greatest(col("q_id"), col("vec_id")).as("dup_id"),
+        least(col("q_id"), col("vec_id")).as("keep_id"), col("sim"))
+      .distinct()
+
   /** Multi-probe LSH: search the query's bucket plus all buckets at Hamming
     * distance 1 (flip each plane bit) — recall rises steeply for the cost of
     * (planes+1)× candidate fan-in, still ≪ brute force. */

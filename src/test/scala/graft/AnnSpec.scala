@@ -95,6 +95,28 @@ class AnnSpec extends SparkSpec {
       "annJoin(q<20) must equal per-query probed search")
   }
 
+  test("semDedupPairs: canonical (dup > keep) pairs, threshold respected, " +
+       "mutual discovery collapses to one row") {
+    val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding", "label",
+      k = 5, nProbe = 2, minSim = 0.35).cache()
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) > r.getLong(1)),
+      "pairs must be canonicalized dup_id > keep_id")
+    assert(rows.forall(_.getDouble(2) >= 0.35))
+    // no duplicate unordered pairs survive the distinct
+    assert(pairs.groupBy("dup_id", "keep_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // consistency with the underlying join: every pair appears there with
+    // the same sim from at least one direction
+    val aj = Similarity.annJoin(e, "vec_id", "embedding", "label",
+      k = 5, nProbe = 2).filter(col("sim") >= 0.35)
+      .select(greatest(col("q_id"), col("vec_id")).as("dup_id"),
+        least(col("q_id"), col("vec_id")).as("keep_id"), col("sim"))
+      .distinct()
+    assert(pairs.exceptAll(aj).isEmpty && aj.exceptAll(pairs).isEmpty)
+  }
+
   test("filtered ANN: a hyper-selective predicate routes to the brute " +
        "path — exact results even with nProbe = 1") {
     // ~0.1%-selectivity predicate: survivors <= k * nCells, so the

@@ -348,4 +348,45 @@ class OpsSpec extends SparkSpec {
     assert(s.getString(1) == "string" && s.getLong(4) == 2L &&
       s.isNullAt(5) && s.isNullAt(6) && s.isNullAt(7))
   }
+  test("snapshotDiff: added/removed/changed with NULL-safe column compare") {
+    val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null: String, 40.0)).toDF("k", "s", "v")
+    val newS = Seq((1L, "a", 10.0),            // unchanged -> dropped
+      (2L, "B", 20.0),                          // changed: s
+      (4L, null: String, 41.0),                 // changed: v (null==null ok)
+      (5L, "e", 50.0))                          // added
+    .toDF("k", "s", "v")                        // 3 removed
+    val got = graft.ops.Relational.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got == Map(
+      2L -> ("changed", "s"),
+      3L -> ("removed", ""),
+      4L -> ("changed", "v"),
+      5L -> ("added", "")), got.toString)
+    // multi-column change lists every differing column in shared order
+    val both = graft.ops.Relational.snapshotDiff(
+      Seq((1L, "a", 1.0)).toDF("k", "s", "v"),
+      Seq((1L, "z", 2.0)).toDF("k", "s", "v"), Seq("k"))
+      .head()
+    assert(both.getString(1) == "changed" && both.getString(2) == "s,v")
+  }
+
+  test("psi: identical distributions score 0; a moved distribution doesn't;" +
+       " empty bins hit the epsilon floor, never infinity") {
+    val ref = (1 to 1000).map(i => i.toDouble).toDF("x")
+    val same = graft.ops.Stats.psi(ref, ref, "x", bins = 10)
+      .select("psi").head().getDouble(0)
+    assert(same == 0.0, s"self-PSI must be 0, got $same")
+    // shift the current distribution entirely above the reference: every
+    // current row lands in the top bin -> 9 eps-floored current bins
+    val cur = (1 to 1000).map(i => i + 10000.0).toDF("x")
+    val rows = graft.ops.Stats.psi(ref, cur, "x", bins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val psi = rows(0).getDouble(6)
+    assert(psi > 1.0 && !psi.isInfinite, s"shifted PSI should be large/finite: $psi")
+    assert(rows(9).getLong(2) == 1000L) // all current mass in the top bin
+    assert((0 to 8).forall(b => rows(b).getDouble(4) == 1e-6),
+      "empty current bins must sit on the epsilon floor")
+  }
 }
