@@ -579,6 +579,23 @@ object ExtensionQueries {
       Similarity.semDedupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", k = 5, nProbe = 2, minSim = 0.35)),
 
+    // ── INCREMENTAL ANN INDEX: centroids frozen from the corpus, posting
+    //    lists assembled from TWO ivfAssign batches (assign(old ∪ delta) =
+    //    assign(old) ∪ assign(delta) under fixed centroids), then searched
+    //    — the oracle assigns from scratch, so the hash check IS the
+    //    incremental ≡ from-scratch proof for the vector index
+    "q264_ann_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      val assigned = Similarity
+        .ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+          "embedding", cents)
+        .unionByName(Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", cents))
+      Similarity.annIvfStored(assigned, cents, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+    }),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -827,6 +844,7 @@ object ExtensionQueries {
     s"round(list_sum(list_transform(generate_series(1,$dim), i -> $a[i]*$b[i])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
+  private val cosSqlAV = cosSqlAB("qv", "a.v")
 
   /** Closed-form recomputation of the q167/q168 gradient-fixture pixel
     * statistics (mirrors `Multimodal.gradDims`/`gradChannels`): enumerate
@@ -1702,6 +1720,28 @@ object ExtensionQueries {
     // filtered ANN mirrors the q48 shape: centroids over the FULL corpus
     // (index reuse), route rn <= 2 (nProbe), predicate on the posting-list
     // scan BEFORE scoring, exact rank over survivors
+    // incremental ANN index: centroids as q48, every vector assigned to
+    // its nearest centroid from scratch (≡ the union of per-batch
+    // assignments under frozen centroids), routed search over the
+    // assigned posting lists
+    "q264_ann_incremental" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
     // semantic near-dup pairs: the q260 chain with k=5, a sim threshold,
     // and DISTINCT canonicalized (dup > keep) pairs
     "q263_semdedup_pairs" ->

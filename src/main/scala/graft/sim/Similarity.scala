@@ -217,12 +217,12 @@ object Similarity {
     * are exact quantized means — a production build would learn cells with
     * seeded KMeans (same query path, learned quantizer). Probing 1 cell ≈
     * |corpus|/|cells| candidates per query. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
-             cell: String, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.expressions.CosineSimilarity.register(spark)
-    // exact, engine-portable centroids (quantized like q36_centroids)
-    val centroids = corpus
+  /** Exact, engine-portable cell centroids (quantized like q36_centroids):
+    * per-dimension 6dp-quantized exact means — ONE aggregate, reproducible
+    * bit-for-bit in the oracle engine, and the reusable INDEX artifact the
+    * stored/incremental IVF contract persists. Output (cid, cv). */
+  def ivfCentroids(corpus: DataFrame, cell: String, emb: String): DataFrame =
+    corpus
       .select(col(cell).as("cid"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
@@ -230,6 +230,60 @@ object Similarity {
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
       .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+
+  /** Assign a batch of vectors to FIXED stored centroids (nearest by
+    * rounded cosine, cid tie-break) — the maintenance half of the
+    * incremental-index contract: because centroids are FROZEN,
+    * assign(old ∪ delta) = assign(old) ∪ assign(delta) exactly, so a new
+    * batch appends to the stored posting lists without touching existing
+    * rows (the stored-signature-index contract of incremental dedup,
+    * applied to vectors). Output (vec_id, v, cell) — [[annIvfStored]]'s
+    * posting-list schema. */
+  def ivfAssign(batch: DataFrame, id: String, emb: String,
+                centroids: DataFrame): DataFrame = {
+    graft.expressions.CosineSimilarity.register(batch.sparkSession)
+    batch.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(v, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** Search a STORED index — posting lists (vec_id, v, cell) + centroids
+    * (cid, cv), both possibly incrementally maintained: deterministic
+    * nProbe routing (rounded sims, cid tie-breaks) and exact rank within
+    * probed lists, the [[annIvfFiltered]] search shape minus the
+    * predicate. At scale the posting lists are `cell`-partitioned parquet
+    * and routing = partition pruning. */
+  def annIvfStored(assigned: DataFrame, centroids: DataFrame,
+                   queries: DataFrame, id: String, emb: String, k: Int,
+                   nProbe: Int): DataFrame = {
+    graft.expressions.CosineSimilarity.register(assigned.sparkSession)
+    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    val routed = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cid")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.select(col("vec_id"), col("cell").as("cid"), col("v"))
+      .join(broadcast(routed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
+  def annIvf(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+             cell: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    // exact, engine-portable centroids (quantized like q36_centroids)
+    val centroids = ivfCentroids(corpus, cell, emb)
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
     // route each query to its nearest centroid (deterministic: rounded sim,
     // cid tiebreak), then exact-rank within that cell only
@@ -336,14 +390,7 @@ object Similarity {
       countDistinct(col(cell)).as("_ncells")).head()
     if (sel.getLong(0) <= k.toLong * sel.getLong(1))
       return knnBrute(corpus.filter(pred), queries, id, emb, k)
-    val centroids = corpus
-      .select(col(cell).as("cid"), posexplode(asDouble(emb)).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
-        count(lit(1))).as("cx"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
-      .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val centroids = ivfCentroids(corpus, cell, emb)
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
     val routed = q.crossJoin(broadcast(centroids))
       .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
@@ -389,14 +436,7 @@ object Similarity {
     val base = corpus.select(col(id).as("vec_id"), col(cell).as("cid"),
         asDouble(emb).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = base
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") / 1e6 /
-        count(lit(1))).as("cx"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
-      .select(col("cid"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val centroids = ivfCentroids(base, "cid", "v")
     val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))

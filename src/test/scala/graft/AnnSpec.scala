@@ -95,6 +95,27 @@ class AnnSpec extends SparkSpec {
       "annJoin(q<20) must equal per-query probed search")
   }
 
+  test("ivfAssign: batch-split assignment equals from-scratch under " +
+       "frozen centroids; stored search is split-invariant") {
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    val full = Similarity.ivfAssign(e, "vec_id", "embedding", cents).cache()
+    val split = Similarity
+      .ivfAssign(e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        cents)
+      .unionByName(Similarity.ivfAssign(e.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(full) == cells(split),
+      "assignment must be independent of batching under frozen centroids")
+    val a = Similarity.annIvfStored(full, cents, q, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    val b = Similarity.annIvfStored(split, cents, q, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("semDedupPairs: canonical (dup > keep) pairs, threshold respected, " +
        "mutual discovery collapses to one row") {
     val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding", "label",
