@@ -526,13 +526,16 @@ object Stats {
     * the identical sketch. */
   def kmvSketch(df: DataFrame, key: String, keys: Seq[String],
                 k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = graft.text.TextOps.h64(
       concat(col(key).cast("string"), lit(":kmv")))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_h"))
-    df.select((keys.map(col) :+ h.as("_h")): _*).distinct()
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
+    // bottom-k via the two-pass binned selection: the distinct-hash frame
+    // is distinct-key-sized, so with few groups a plain rank window would
+    // sort each group's whole key space in one task (and hashes are
+    // uniform, so the target bucket holds ~|hashes|/bins rows — the
+    // selection reads ~k + n/bins rows per group past pass 1)
+    extremeK(
+      df.select((keys.map(col) :+ h.as("_h")): _*).distinct(),
+      "_h", keys, k, descending = false)
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(col("_h"))).as("kmv"))
   }
@@ -723,6 +726,55 @@ object Stats {
         d.withColumn(s"${c}_cum",
           coalesce(col(s"_off_$c"), lit(0)) + sum(col(c)).over(wLoc)))
       .drop((sums.map(c => s"_off_$c") :+ "_pbin"): _*)
+  }
+
+  /** Scale-safe k extreme rows per group — the two-pass binned selection
+    * ([[exactMedianTwoPass]] scheme) for top-k/bottom-k: pass 1 bins
+    * values and finds, from bins-sized cumulative counts, the bucket
+    * holding rank k (kEff = min(k, n) per group); pass 2 keeps only rows
+    * in buckets at-or-better than that bucket (~k + n/bins rows per
+    * group), ranks THAT small frame, and filters to rank ≤ kEff. A plain
+    * `row_number().over(partitionBy(keys).orderBy(value))` sorts each
+    * group's ENTIRE data in one task — with few groups, the classic
+    * single-reducer trap; here the full-data pass is one broadcast-join
+    * scan and the only per-group sort covers the bounded kept frame.
+    * Equal values share a bucket, so the kept set is a superset of the
+    * true top-k under any tie order and `_rn` equals the global
+    * row_number in (value, tie…) order. Emits the kept rows + `_rn`. */
+  private[graft] def extremeK(df: DataFrame, value: String,
+      keys: Seq[String], k: Int, descending: Boolean,
+      tie: Seq[Column] = Nil, bins: Int = 1001): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kk = keys.map(col)
+    val vd = col(value).cast("double")
+    val base = df.filter(col(value).isNotNull)
+    val ext = base.groupBy(kk: _*).agg(
+        min(vd).as("_lo"), max(vd).as("_hi"), count(lit(1)).as("_nx"))
+      .withColumn("_w", (col("_hi") - col("_lo")) / bins)
+      .withColumn("_keff", least(lit(k.toLong), col("_nx")))
+      .select((kk :+ col("_lo") :+ col("_w") :+ col("_keff")): _*)
+    val binned = njoin(base, ext, keys, bcastRight = true)
+      .withColumn("_bin", when(col("_w") === 0, lit(0L))
+        .otherwise(least(floor((vd - col("_lo")) / col("_w")),
+          lit(bins - 1L))))
+    val cumW = Window.partitionBy(kk: _*)
+      .orderBy(if (descending) col("_bin").desc else col("_bin").asc)
+    val target = binned.groupBy((kk :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_c"), first(col("_keff")).as("_tk"))
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_blw", col("_cum") - col("_c"))
+      .filter(col("_blw") < col("_tk") && col("_tk") <= col("_cum"))
+      .select((kk :+ col("_bin").as("_tbin")): _*)
+    val keepCond =
+      if (descending) col("_bin") >= col("_tbin") else col("_bin") <= col("_tbin")
+    val vOrd = (if (descending) col(value).desc else col(value).asc) +: tie
+    val wFull = Window.partitionBy(kk: _*).orderBy(vOrd: _*)
+    njoin(binned, target, keys, bcastRight = true)
+      .filter(keepCond)
+      .withColumn("_rn", row_number().over(wFull))
+      .filter(col("_rn") <= col("_keff"))
+      .drop("_lo", "_w", "_keff", "_bin", "_tbin")
   }
 
   /** Historical tail risk per group: VaR and expected shortfall at level
@@ -1016,13 +1068,13 @@ object Stats {
     * rows. */
   def hillEstimator(df: DataFrame, value: String, keys: Seq[String],
                     k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be ≥ 2, got $k")
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(value).desc)
-    val top = df.filter(col(value).isNotNull && col(value) > 0)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k + 1)
+    // top-(k+1) via the two-pass binned selection — a per-group raw-row
+    // rank window would sort each group's entire data in one task; ties
+    // at the boundary are estimator-invariant (only Σlog of the top k and
+    // the (k+1)-th VALUE enter, both unchanged by which tied row ranks k)
+    val top = extremeK(df.filter(col(value).isNotNull && col(value) > 0),
+      value, keys, k + 1, descending = true)
     val agged = top.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("_n"),
       sum(when(col("_rn") <= k, log(col(value))).cast(Dec))

@@ -202,6 +202,17 @@ class ScaleSpec extends SparkSpec {
           .write.mode("overwrite").format("noop").save()
       }
       assert(mSp < bound, s"spearman: one task read $mSp of $n rows")
+      val mHill = maxTaskShuffleRead("scalespec-hill") {
+        Stats.hillEstimator(df.withColumn("v",
+            abs(col("v")) + lit(1.0)), "v", Seq("g"), k = 50)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mHill < bound, s"hillEstimator: one task read $mHill of $n rows")
+      val mKmv = maxTaskShuffleRead("scalespec-kmv") {
+        Stats.kmvSketch(df, "id", Seq("g"), k = 64)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mKmv < bound, s"kmvSketch: one task read $mKmv of $n rows")
     } finally df.unpersist()
 
     // heapsFit: cumulative vocabulary growth over the doc-id axis — the
