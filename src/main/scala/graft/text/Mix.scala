@@ -46,11 +46,13 @@ object Mix {
                      stratum: String, n: Int): DataFrame = {
     val u = (pmod(TextOps.h64(concat(lit("ws:"), col(id).cast("string"))),
       lit(1000000L)) + 1) / lit(1000000.0)
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(col("_pri").desc, col(id).asc)
-    df.withColumn("_pri", pow(u, lit(1.0) / col(weight).cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= n)
+    // top-n per stratum via the two-pass binned selection — strata are
+    // FEW (sources), so a per-stratum rank window would sort each
+    // stratum's entire corpus in one task at any scale
+    graft.ops.Stats.extremeK(
+        df.withColumn("_pri", pow(u, lit(1.0) / col(weight).cast("double"))),
+        "_pri", Seq(stratum), n, descending = true, tie = Seq(col(id).asc))
+      .withColumnRenamed("_rn", "rank")
       .withColumn("priority", round(col("_pri"), 6))
       .drop("_pri")
   }
@@ -108,11 +110,9 @@ object Mix {
     * consumes (doc → bin) assignments. */
   def packSequences(df: DataFrame, id: String, stratum: String, text: String,
                     seqLen: Long): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(TextOps.h64(concat(lit("ord:"), col(id).cast("string"))), col(id))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long"))
-      .withColumn("_end", sum(col("ws_tokens")).over(w))
+    stratumHashCumSum(
+      df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long")),
+      id, stratum)
       .withColumn("offset", col("_end") - col("ws_tokens"))
       .withColumn("first_bin", floor(col("offset") / seqLen))
       .withColumn("last_bin", floor((col("_end") - 1) / seqLen))
@@ -127,11 +127,10 @@ object Mix {
     * single running counter, so it scales to arbitrarily large strata. */
   def tokenBudget(df: DataFrame, id: String, stratum: String, text: String,
                   budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(TextOps.h64(concat(lit("ord:"), col(id).cast("string"))), col(id))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long"))
-      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+    stratumHashCumSum(
+      df.withColumn("ws_tokens", size(TextOps.tokens(col(text))).cast("long")),
+      id, stratum)
+      .withColumnRenamed("_end", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
   }
 
@@ -158,5 +157,30 @@ object Mix {
         explode(when(col("_rep") >= 1, sequence(lit(1L), col("_rep")))
           .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
       .drop("_eps", "_rep")
+  }
+  /** Inclusive running token sum per stratum in deterministic salted-hash
+    * order — the shared engine of [[packSequences]] and [[tokenBudget]],
+    * decomposed for scale: strata are FEW (sources), so one ordered
+    * window per stratum is a single task streaming the stratum's whole
+    * corpus. Instead, per-(stratum, hash) token totals feed
+    * `Stats.binnedPrefix` (bounded windows, parallelism = strata × bins)
+    * and only the intra-hash tie order (id) runs in a per-value window —
+    * hash-collision-group-sized partitions. Long sums are associative,
+    * so `_end` is bit-identical to the single-window cumulative. Appends
+    * `_end`; requires a `ws_tokens` column. */
+  private def stratumHashCumSum(df: DataFrame, id: String,
+                                stratum: String): DataFrame = {
+    val withH = df.withColumn("_h",
+      TextOps.h64(concat(lit("ord:"), col(id).cast("string"))))
+    val perValue = withH.groupBy(col(stratum), col("_h"))
+      .agg(sum(col("ws_tokens")).as("_vt"))
+    val cums = graft.ops.Stats.binnedPrefix(perValue, Seq(stratum), "_h",
+        Seq("_vt"), descending = false)
+      .select(col(stratum), col("_h"), (col("_vt_cum") - col("_vt")).as("_before"))
+    val wTie = Window.partitionBy(col(stratum), col("_h")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.ops.Stats.njoin(withH, cums, Seq(stratum, "_h"))
+      .withColumn("_end", col("_before") + sum(col("ws_tokens")).over(wTie))
+      .drop("_h", "_before")
   }
 }

@@ -213,6 +213,20 @@ class ScaleSpec extends SparkSpec {
           .write.mode("overwrite").format("noop").save()
       }
       assert(mKmv < bound, s"kmvSketch: one task read $mKmv of $n rows")
+      val docs = df.select(col("g").as("source"), col("id").as("doc_id"),
+        concat(lit("tok"), (col("id") % 97).cast("string")).as("text"))
+      val mTb = maxTaskShuffleRead("scalespec-tb") {
+        graft.text.Mix.tokenBudget(docs, "doc_id", "source", "text",
+            budget = 1000000L)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mTb < bound, s"tokenBudget: one task read $mTb of $n rows")
+      val mWs = maxTaskShuffleRead("scalespec-ws") {
+        graft.text.Mix.weightedSample(docs.withColumn("w", lit(2.0)),
+            "doc_id", "w", "source", n = 50)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(mWs < bound, s"weightedSample: one task read $mWs of $n rows")
     } finally df.unpersist()
 
     // heapsFit: cumulative vocabulary growth over the doc-id axis — the
