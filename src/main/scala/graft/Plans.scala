@@ -170,7 +170,14 @@ object Plans {
       "q259_lm_incremental" -> Seq("HashAggregate", "Union"),
       // ANN join: native fused cosine on cell-routed candidates; top-k
       // windows partition per query vector
-      "q260_ann_join" -> Seq("graft_cosine", "Window"))
+      "q260_ann_join" -> Seq("graft_cosine", "Window"),
+      // snapshot diff: one join on the key, no cartesian anywhere
+      "q261_snapshot_diff" -> Seq("Join", "!NestedLoopJoin"),
+      // PSI: the 9-fence lattice broadcasts onto both scans
+      "q262_psi_drift" -> Seq("BroadcastNestedLoopJoin"),
+      // near-dup pairs / incremental index: fused cosine + broadcast routing
+      "q263_semdedup_pairs" -> Seq("graft_cosine"),
+      "q264_ann_incremental" -> Seq("graft_cosine", "BroadcastHashJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
