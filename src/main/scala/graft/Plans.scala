@@ -177,7 +177,9 @@ object Plans {
       "q262_psi_drift" -> Seq("BroadcastNestedLoopJoin"),
       // near-dup pairs / incremental index: fused cosine + broadcast routing
       "q263_semdedup_pairs" -> Seq("graft_cosine"),
-      "q264_ann_incremental" -> Seq("graft_cosine", "BroadcastHashJoin"))
+      "q264_ann_incremental" -> Seq("graft_cosine", "BroadcastHashJoin"),
+      // semantic clusters: label propagation reads checkpointed RDDs
+      "q265_semantic_clusters" -> Seq("Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

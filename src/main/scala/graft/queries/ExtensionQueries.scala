@@ -579,6 +579,18 @@ object ExtensionQueries {
       Similarity.semDedupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", k = 5, nProbe = 2, minSim = 0.35)),
 
+    // ── SEMANTIC DEDUP CLUSTERS: connected components over the q263 pair
+    //    list — pairs → clusters → keep-one-per-cluster, the full
+    //    embedding-space dedup decision (vectors with no near-dup come
+    //    out as singleton keeps)
+    "q265_semantic_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding",
+        "label", k = 5, nProbe = 2, minSim = 0.35)
+      graft.text.Dedup.dedupClusters(e, pairs, "vec_id",
+        idA = "dup_id", idB = "keep_id")
+    }),
+
     // ── INCREMENTAL ANN INDEX: centroids frozen from the corpus, posting
     //    lists assembled from TWO ivfAssign batches (assign(old ∪ delta) =
     //    assign(old) ∪ assign(delta) under fixed centroids), then searched
@@ -1742,6 +1754,35 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+    // semantic clusters: the q263 pair chain + the q75 recursive
+    // reachability closure over the embedding vertex universe
+    "q265_semantic_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id),
+         |topk AS (SELECT q_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         | WHERE rank <= 5),
+         |prs AS (SELECT DISTINCT greatest(q_id, vec_id) AS dup_id,
+         |  least(q_id, vec_id) AS keep_id FROM topk WHERE sim >= 0.35),
+         |edges AS (SELECT dup_id AS v, keep_id AS u FROM prs
+         |  UNION ALL SELECT keep_id, dup_id FROM prs),
+         |reach AS (SELECT vec_id AS v, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e2.v, r.lbl FROM edges e2 JOIN reach r ON r.v = e2.u),
+         |cl AS (SELECT v AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT vec_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(vec_id = cluster_id AS INT) AS keep
+         |FROM cl""".stripMargin,
     // semantic near-dup pairs: the q260 chain with k=5, a sim threshold,
     // and DISTINCT canonicalized (dup > keep) pairs
     "q263_semdedup_pairs" ->
