@@ -579,6 +579,18 @@ object ExtensionQueries {
       Similarity.semDedupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", k = 5, nProbe = 2, minSim = 0.35)),
 
+    // ── RETRIEVAL EVAL METRICS: recall@5 / MRR@5 / nDCG@5 of the IVF
+    //    search against the exact brute-force truth, per query + macro —
+    //    the tuning-loop numbers as a first-class operator (both inputs
+    //    deterministic, so the whole evaluation is oracle-replayable)
+    "q266_ranking_metrics" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val res = Similarity.annIvf(e, q, "vec_id", "embedding", "label", 5)
+      val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+      Similarity.rankingMetrics(res, truth, k = 5)
+    }),
+
     // ── SEMANTIC DEDUP CLUSTERS: connected components over the q263 pair
     //    list — pairs → clusters → keep-one-per-cluster, the full
     //    embedding-space dedup decision (vectors with no near-dup come
@@ -1754,6 +1766,54 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+    // ranking metrics: IVF results (q48 chain, rank<=5) scored against the
+    // brute-force truth — binary hits, 1/log2(r+1) gains quantized to
+    // DECIMAL pre-sum, macro averages over the query battery
+    "q266_ranking_metrics" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn = 1),
+         |res AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id))
+         | WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS frst,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
+         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_ndcg
+         |FROM pq""".stripMargin,
     // semantic clusters: the q263 pair chain + the q75 recursive
     // reachability closure over the embedding vertex universe
     "q265_semantic_clusters" ->

@@ -471,6 +471,62 @@ object Similarity {
         least(col("q_id"), col("vec_id")).as("keep_id"), col("sim"))
       .distinct()
 
+  /** Retrieval-quality metrics of an ANN result set against a ground-truth
+    * ranking — recall@k, MRR@k, nDCG@k per query plus the macro averages
+    * (the numbers an index-tuning loop optimizes; the AnnSpec recall
+    * helper promoted to a first-class, oracle-checkable operator). Both
+    * inputs are (q_id, vec_id, rank) frames (`rank` 1-based, e.g.
+    * [[annIvfStored]] output and a [[knnBrute]] truth); rows beyond `k`
+    * are ignored on both sides. Binary relevance: a result is a hit iff
+    * its (q_id, vec_id) appears in the truth top-k. nDCG uses the
+    * standard 1/log₂(r+1) gains with the ideal DCG over min(k, |truth_q|)
+    * positions; per-term gains quantize to DECIMAL pre-sum so the tiny
+    * per-query sums are partition-order-independent. Queries present in
+    * truth but absent from results score 0 (they were not answered).
+    * One key-partitioned join + two bounded aggregates; the macro row is
+    * a query-count-sized window. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(28,12)"
+    val t = truth.filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").as("_trank"))
+    val nT = t.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      // ideal DCG: the best achievable ordering places all truth items
+      // first — Σ_{r=1..n_truth} 1/log₂(r+1), exact per-term decimals
+      .withColumn("_idcg", expr(
+        "aggregate(sequence(1, int(n_truth)), CAST(0 AS DECIMAL(28,12)), " +
+          "(acc, r) -> CAST(acc + CAST(1.0 / log2(r + 1) AS DECIMAL(28,12)) " +
+          "AS DECIMAL(28,12)))"))
+    val r = results.filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val hits = r.join(t, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("hits"),
+        min(col("rank")).as("_first"),
+        sum(expr(s"CAST(1.0 / log2(rank + 1) AS $dec)")).as("_dcg"))
+    val perQ = nT.join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall",
+        round(col("hits").cast("double") /
+          least(lit(k.toLong), col("n_truth")).cast("double"), 6))
+      .withColumn("mrr",
+        round(coalesce(lit(1.0) / col("_first").cast("double"), lit(0.0)), 6))
+      .withColumn("ndcg",
+        round(coalesce(col("_dcg").cast("double"), lit(0.0)) /
+          col("_idcg").cast("double"), 6))
+    val wAll = Window.partitionBy(lit(1))
+    def macroOf(c: String) = round(
+      sum(col(c).cast(dec)).over(wAll).cast("double") /
+        count(lit(1)).over(wAll), 6)
+    perQ
+      .withColumn("macro_recall", macroOf("recall"))
+      .withColumn("macro_mrr", macroOf("mrr"))
+      .withColumn("macro_ndcg", macroOf("ndcg"))
+      .select("q_id", "n_truth", "hits", "recall", "mrr", "ndcg",
+        "macro_recall", "macro_mrr", "macro_ndcg")
+  }
+
   /** Multi-probe LSH: search the query's bucket plus all buckets at Hamming
     * distance 1 (flip each plane bit) — recall rises steeply for the cost of
     * (planes+1)× candidate fan-in, still ≪ brute force. */

@@ -116,6 +116,35 @@ class AnnSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("rankingMetrics: hand recall/MRR/nDCG battery with partial, " +
+       "perfect, and missed queries") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (3L, 30L, 1)).toDF("q_id", "vec_id", "rank")
+    val res = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3),
+      (2L, 20L, 1), (3L, 31L, 1), (3L, 32L, 2)).toDF("q_id", "vec_id", "rank")
+    val got = Similarity.rankingMetrics(res, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def q6(v: Double) = BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: hits {11@1, 10@3} of 3 truths → recall 2/3, mrr 1,
+    // dcg = 1 + 1/log2(4), idcg = 1 + 1/log2(3) + 1/log2(4)
+    val r1 = got(1L)
+    assert(r1.getLong(2) == 2L && r1.getDouble(3) == q6(2.0 / 3))
+    assert(r1.getDouble(4) == 1.0)
+    val idcg1 = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r1.getDouble(5) - 1.5 / idcg1) < 2e-6)
+    // q2: perfect single-item query
+    assert(got(2L).getDouble(3) == 1.0 && got(2L).getDouble(4) == 1.0 &&
+      got(2L).getDouble(5) == 1.0)
+    // q3: answered but fully missed
+    assert(got(3L).getLong(2) == 0L && got(3L).getDouble(3) == 0.0 &&
+      got(3L).getDouble(4) == 0.0 && got(3L).getDouble(5) == 0.0)
+    // macro averages over the 3 queries
+    assert(math.abs(got(1L).getDouble(6) - q6((2.0 / 3 + 1 + 0) / 3)) < 2e-6)
+    assert(got(1L).getDouble(7) == q6(2.0 / 3))
+  }
+
   test("semDedupPairs: canonical (dup > keep) pairs, threshold respected, " +
        "mutual discovery collapses to one row") {
     val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding", "label",
