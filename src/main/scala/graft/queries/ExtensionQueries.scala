@@ -599,7 +599,11 @@ object ExtensionQueries {
       val e = Tables.embeddings(s, d)
       val pairs = Similarity.semDedupPairs(e, "vec_id", "embedding",
         "label", k = 5, nProbe = 2, minSim = 0.35)
-      graft.text.Dedup.dedupClusters(e, pairs, "vec_id",
+      // star formulation: thresholded similarity graphs are chain-shaped
+      // (A~B~C without A~C), where min-label propagation needs one round
+      // per hop — large/small-star converges in O(log²) rounds on any
+      // shape (q84 proves label equality with the min-label form)
+      graft.text.Dedup.starClusters(e, pairs, "vec_id",
         idA = "dup_id", idB = "keep_id")
     }),
 

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * engines (the DuckDB oracles compute the identical hashes), and adding new
   * rows never reshuffles previous decisions — the property that makes
   * incremental corpus refreshes safe. Sampling and splits are pure per-row
-  * filters (no shuffle, linear at 100 TB); the budget cap is one window sum
-  * per stratum.
+  * filters (no shuffle, linear at 100 TB); the budget cap and sequence
+  * packing decompose their per-stratum running sums through
+  * `Stats.binnedPrefix` (strata are few — a single ordered window per
+  * stratum would stream each source's whole corpus in one task).
   */
 object Mix {
 
