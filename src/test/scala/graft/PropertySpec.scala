@@ -85,6 +85,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("extremeK equals the naive rank window on random frames " +
+       "(ties, duplicate-heavy, k beyond group size, both directions)") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(80, for {
+      g <- Gen.oneOf("A", "B")
+      v <- Gen.choose(-9, 9) // heavy duplication → boundary ties certain
+    } yield (g, v.toDouble))
+    forAll(gen, n = 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .toDF("g", "id", "v")
+      for (desc <- Seq(false, true); k <- Seq(1, 7, 200)) {
+        val ord = (if (desc) col("v").desc else col("v").asc) +: Seq(col("id"))
+        val naive = df.withColumn("_rn",
+            row_number().over(Window.partitionBy("g").orderBy(ord: _*)))
+          .filter(col("_rn") <= k)
+          .select("g", "id", "v", "_rn")
+        val fast = graft.ops.Stats.extremeK(df, "v", Seq("g"), k,
+            descending = desc, tie = Seq(col("id")))
+          .select("g", "id", "v", "_rn")
+        assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+          s"extremeK(desc=$desc, k=$k) diverged from the naive window")
+      }
+      // all-equal group (bin width 0) collapses to one bucket and ranks
+      val const = Seq(("C", 1L, 5.0), ("C", 2L, 5.0), ("C", 3L, 5.0))
+        .toDF("g", "id", "v")
+      val got = graft.ops.Stats.extremeK(const, "v", Seq("g"), 2,
+          descending = false, tie = Seq(col("id")))
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(Array(1L, 2L)))
+    }
+  }
+
   test("topShare / weightedMedian keep NULL-key groups (null-safe joins)") {
     // two real groups + one NULL-key group; the NULL group must appear in
     // the output with the same semantics as any other partition
