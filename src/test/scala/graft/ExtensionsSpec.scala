@@ -29,6 +29,16 @@ class ExtensionsSpec extends SparkSpec {
           |       graft_simhash(array(1L, 3L, 3L)) AS h""".stripMargin).head()
       assert(r.getDouble(0) == 1.0)
       assert(r.getLong(1) == 3L) // majority bits of {1,3,3} = 0b11
+      // the series-scan family installs too (pure-SQL surface): EMA over
+      // [1, 3] at alpha=0.5 → [1.0, 0.5*1 + 0.5*3 = 2.0]
+      val e = s2.sql(
+        "SELECT graft_ema_scan(array(1.0D, 3.0D), 0.5, 0.5) AS s").head()
+      assert(e.getSeq[Double](0) == Seq(1.0, 2.0))
+      val g = s2.sql(
+        "SELECT graft_cusum_scan(array(2.0D, 0.0D), 1.0D) AS s").head()
+      val cs = g.getSeq[org.apache.spark.sql.Row](0)
+      assert(cs.map(_.getDouble(0)) == Seq(1.0, 0.0)) // u: max(0, ·)
+      assert(cs.map(_.getDouble(1)) == Seq(0.0, -1.0)) // d: min(0, ·)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
