@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         expressions.CosineSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[expressions.JaroWinkler].getName,
+        "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) =>
+        expressions.JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[expressions.SimHash].getName,
         "graft_simhash"),

@@ -472,6 +472,95 @@ object Graph {
     * next level's gain arithmetic needs (they carry the collapsed
     * community's internal mass). One join-tag + one groupBy — edge-sized,
     * the same shuffle shape as a [[louvain]] round. */
+  /** k-core: the maximal induced subgraph where every vertex keeps degree
+    * ≥ k (Seidman 1983) — the standard "dense cohesive backbone" filter
+    * (spam/bot rings in interaction graphs, well-connected concept cores
+    * in co-occurrence graphs). Computed by the textbook peel: drop all
+    * vertices below degree k, recompute degrees, repeat to fixpoint —
+    * order-independent, so the result is deterministic under any
+    * partitioning.
+    *
+    * Scale shape per round: one vertex-sized map-side-combined degree
+    * count + two equi-joins filtering the edge list against the survivor
+    * set (edge-shuffle sized, same contract as [[louvain]]'s rounds); the
+    * edge frame is `localCheckpoint`ed each round so lineage stays flat.
+    * Rounds = peel depth, ≤ the graph's degeneracy ordering length in the
+    * worst case but small on heavy-tailed real graphs (the periphery
+    * sheds in bulk). The fixpoint test rides the degree count it already
+    * computes — survivor count unchanged ⟺ no edge dropped.
+    *
+    * Emits (id, core_deg) for members of the k-core, core_deg = degree
+    * within the core (≥ k by construction). Empty when no k-core exists. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    val und = edges.select(
+        least(col(src), col(dst)).as("lo"), greatest(col(src), col(dst)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    var sym = und.select(col("lo").as("u"), col("hi").as("v"))
+      .union(und.select(col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(true)
+    var prev = -1L
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select("u")
+      val n = keep.count()
+      if (n == prev || n == 0) done = true
+      else {
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"kCore: not converged after $maxRounds rounds ($n survivors)")
+        prev = n
+        sym = sym.join(keep, "u")
+          .join(keep.select(col("u").as("v")), "v")
+          .select("u", "v").localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    // at the n == prev fixpoint every degree is ≥ k and the filter is a
+    // no-op; on the n == 0 exit (no k-core) it empties the result
+    sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive on social
+    * graphs (hubs befriend hubs), negative on technological/co-purchase
+    * graphs (hubs serve the periphery). One degree rollup + one edge join
+    * + one 6-sufficient-statistic aggregate: two shuffles total, every
+    * sum an exact BIGINT until the final one-row double arithmetic (the
+    * op order of which is pinned identically in the oracle). Sums fit a
+    * long while Σ deg(u)·deg(v) < 2⁶³ — beyond that (≳10¹⁴ edge-degree
+    * products) cast the three sums to decimal(38,0). Emits one row
+    * (m_edges = directed pair count, assortativity rounded at 6 dp). */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges.select(
+        least(col(src), col(dst)).as("lo"), greatest(col(src), col(dst)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val sym = und.select(col("lo").as("u"), col("hi").as("v"))
+      .union(und.select(col("hi").as("u"), col("lo").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg, "u").withColumnRenamed("d", "dj")
+      .join(deg.select(col("u").as("v"), col("d").as("dk")), "v")
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+        sum(col("dj") * col("dj")).as("sjj"),
+        sum(col("dk") * col("dk")).as("skk"))
+      .select(col("m").as("m_edges"),
+        round(
+          (col("m").cast("double") * col("sjk").cast("double") -
+            col("sj").cast("double") * col("sk").cast("double")) /
+          (sqrt(col("m").cast("double") * col("sjj").cast("double") -
+              col("sj").cast("double") * col("sj").cast("double")) *
+            sqrt(col("m").cast("double") * col("skk").cast("double") -
+              col("sk").cast("double") * col("sk").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   def communityGraph(edges: DataFrame, src: String, dst: String,
                      labels: DataFrame, id: String,
                      community: String): DataFrame = {

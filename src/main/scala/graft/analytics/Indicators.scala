@@ -1773,4 +1773,63 @@ object Indicators {
         quant6(col("_z._s2")).as("sigma2") :+
         quant6(sqrt(col("_z._s2"))).as("sigma"): _*)
   }
+
+  /** Split-conformal prediction intervals (Vovk et al. 2005; the
+    * Lei et al. JASA 2018 split recipe) around the naive one-step
+    * forecast ŷ_t = y_{t−1}: per series, the chronologically-first
+    * ⌈calFrac·n⌉ forecastable bars calibrate, q̂ = the k-th smallest
+    * absolute residual with k = ⌈(n_cal+1)·(1−α)⌉ — the finite-sample
+    * marginal-coverage quantile — and every later bar gets
+    * [ŷ−q̂, ŷ+q̂] plus its empirical coverage flag. α is taken as the
+    * RATIONAL alphaNum/alphaDen so k comes from pure integer arithmetic
+    * (⌈m·(d−n)/d⌉ = (m·(d−n)+d−1) div d) — no engine-dependent
+    * float-times-count ceil at the rank boundary.
+    *
+    * Scale shape: two ordered windows per series (lag + running index)
+    * and one calibration rank — per-key partitions, and a series' bar
+    * count is calendar-bounded, not data-bounded (the adjudicated
+    * market-index window contract). Residual ties at rank k break by
+    * bar timestamp, so q̂ is deterministic cross-engine. Emits holdout
+    * rows (keys…, ord, y, yhat, lo, hi, covered, n_cal, qhat, coverage)
+    * with lo/hi/qhat/coverage rounded at 6 dp; series whose calibration
+    * or holdout side is empty emit nothing. */
+  def conformalNaive(df: DataFrame, value: String, keys: Seq[String],
+                     ordCol: String, alphaNum: Int = 1, alphaDen: Int = 10,
+                     calFrac: Double = 0.8): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): $alphaNum/$alphaDen")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_yhat", lag(col(value), 1).over(w))
+      .filter(col("_yhat").isNotNull)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val idx = base.withColumn("_rn", row_number().over(w.orderBy(col(ordCol))))
+      .withColumn("_n", count(lit(1)).over(wk))
+      // ⌈calFrac·n⌉ via integer-exact ceil on the decimal product
+      .withColumn("_ncal",
+        ceil(col("_n").cast("decimal(20,0)") * lit(calFrac).cast("decimal(3,2)"))
+          .cast("long"))
+    val cal = idx.filter(col("_rn") <= col("_ncal"))
+      .withColumn("_r", abs(col(value) - col("_yhat")))
+    val kExpr = (col("_ncal") + 1) * (alphaDen - alphaNum) + (alphaDen - 1)
+    val qhat = cal
+      .withColumn("_rr", row_number().over(wk.orderBy(col("_r"), col(ordCol))))
+      .filter(col("_rr") ===
+        least(floor(kExpr.cast("double") / alphaDen).cast("long"), col("_ncal")))
+      .select((keys.map(col) :+ col("_r").as("_qhat")): _*)
+    idx.filter(col("_rn") > col("_ncal"))
+      .join(qhat, keys)
+      .withColumn("_lo", col("_yhat") - col("_qhat"))
+      .withColumn("_hi", col("_yhat") + col("_qhat"))
+      .withColumn("covered",
+        (col(value) >= col("_lo") && col(value) <= col("_hi")).cast("int"))
+      .withColumn("coverage",
+        round(sum(col("covered")).over(wk).cast("double") /
+          count(lit(1)).over(wk), 6))
+      .select(keys.map(col) :+ col(ordCol) :+
+        col(value).as("y") :+ col("_yhat").as("yhat") :+
+        round(col("_lo"), 6).as("lo") :+ round(col("_hi"), 6).as("hi") :+
+        col("covered") :+ col("_ncal").as("n_cal") :+
+        round(col("_qhat"), 6).as("qhat") :+ col("coverage"): _*)
+  }
 }

@@ -259,6 +259,19 @@ object AnalyticsQueries {
         Seq("user_id"), Seq(col("bar")))
     }),
 
+    // ── split-conformal prediction intervals (finite-sample coverage, no
+    //    distributional assumption) around the naive one-step forecast:
+    //    first 80% of bars calibrate the residual quantile, the rest get
+    //    [ŷ−q̂, ŷ+q̂] + the empirical coverage — α = 1/10 as a rational,
+    //    so the quantile rank is integer-exact cross-engine
+    "q272_conformal" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      graft.analytics.Indicators.conformalNaive(bars, "close",
+        Seq("user_id"), "bar", alphaNum = 1, alphaDen = 10, calFrac = 0.8)
+    }),
+
     // ── classic additive seasonal decomposition of the hourly bars at an
     //    odd period of 5 (centered MA trend, re-centered phase means)
     "q254_seasonal" -> ((s, d) => {
@@ -1870,6 +1883,38 @@ object AnalyticsQueries {
          | round(rmse_d, 6) AS rmse, round(smape_d, 6) AS smape,
          | CASE WHEN nmae_d > 0 THEN round(mae_d / nmae_d, 6) END AS mase
          |FROM a""".stripMargin,
+    // split-conformal: the ⌈0.8n⌉ split and the k = ⌈(n_cal+1)·9/10⌉
+    // rank are decimal/integer-exact; residual ties at rank k break by
+    // bar, so q̂ is the identical order statistic in both engines
+    "q272_conformal" ->
+      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+        |  arg_max(value, ts) AS close FROM events
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |lagd AS (SELECT user_id, bar, close,
+        |  lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS yhat FROM bars),
+        |idx AS (SELECT user_id, bar, close, yhat,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        | FROM lagd WHERE yhat IS NOT NULL),
+        |nc AS (SELECT *, CAST(ceil(CAST(n AS DECIMAL(20,0)) * 0.80) AS BIGINT) AS ncal
+        | FROM idx),
+        |cal AS (SELECT user_id, bar, abs(close - yhat) AS r, ncal
+        | FROM nc WHERE rn <= ncal),
+        |rr AS (SELECT user_id, r, ncal,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY r, bar) AS BIGINT) AS rrn
+        | FROM cal),
+        |qh AS (SELECT user_id, r AS qhat FROM rr
+        | WHERE rrn = least(CAST(floor(CAST((ncal + 1) * 9 + 9 AS DOUBLE) / 10) AS BIGINT), ncal)),
+        |cov AS (SELECT nc.user_id, bar, close, yhat, ncal, qhat,
+        |  CASE WHEN close >= yhat - qhat AND close <= yhat + qhat
+        |    THEN 1 ELSE 0 END AS covered
+        | FROM nc JOIN qh USING (user_id) WHERE rn > ncal)
+        |SELECT user_id, bar, close AS y, yhat,
+        | round(yhat - qhat, 6) AS lo, round(yhat + qhat, 6) AS hi,
+        | covered, ncal AS n_cal, round(qhat, 6) AS qhat,
+        | round(CAST(sum(covered) OVER (PARTITION BY user_id) AS DOUBLE)
+        |   / count(*) OVER (PARTITION BY user_id), 6) AS coverage
+        |FROM cov""".stripMargin,
     // decomposition replay: trend from the same centered decimal-mean,
     // detrended phase means re-centered by the per-key phase-mean average;
     // rounding order (trend/seasonal at 6dp BEFORE resid) mirrored exactly

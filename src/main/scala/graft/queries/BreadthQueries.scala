@@ -32,6 +32,23 @@ object BreadthQueries {
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
 
+  /** Part co-purchase graph: an undirected edge between two parts that
+    * appear in the same order at least `minCount` times. The self-join
+    * fans out per order by the order's line count — bounded by the data
+    * model (≤ 7 lines in TPC-H-shaped data), so candidate pairs stay
+    * linear in the lineitem count at any scale. */
+  private def coPurchaseEdges(s: SparkSession, d: String,
+                              minCount: Int = 2): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.select(col("ok"), col("pk").as("lo"))
+      .join(li.select(col("ok"), col("pk").as("hi")), "ok")
+      .filter(col("lo") < col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select("lo", "hi")
+  }
+
   val queries: Map[String, Q] = Map(
     // ── GROUPING SETS ((type, hr), (type), ()) — finer than rollup/cube
     //    (q49/q55); gid computed from grouping() bits so the encoding is
@@ -468,6 +485,19 @@ object BreadthQueries {
     "q220_triangles" -> ((s, d) =>
       graft.analytics.Graph.triangles(tradeEdges(s, d), "x", "y")),
 
+    // ── 3-CORE of the co-purchase graph (parts sharing an order ≥ 2
+    //    times): iterative peel to fixpoint — the dense backbone the
+    //    "frequently bought together" features come from
+    "q269_kcore" -> ((s, d) =>
+      graft.analytics.Graph.kCore(coPurchaseEdges(s, d), "lo", "hi", k = 3)),
+
+    // ── degree assortativity of the full co-purchase graph (Newman 2002):
+    //    do heavily-co-purchased parts pair with each other or with the
+    //    long tail?
+    "q270_assortativity" -> ((s, d) =>
+      graft.analytics.Graph.assortativity(
+        coPurchaseEdges(s, d, minCount = 1), "lo", "hi")),
+
     // ── BFS hop distance from region roots down the reversed geo tree
     "q221_bfs_hops" -> ((s, d) => {
       val edges = Tables.nation(s, d).select(
@@ -848,6 +878,47 @@ object BreadthQueries {
     "q220_triangles" ->
       s"""WITH $TriangleCtes
          |SELECT id, triangles FROM tri""".stripMargin,
+    // 3-core: the peel replayed as a bounded recursion — survivors at the
+    // iteration cap are the fixpoint (rows re-emit unchanged once the peel
+    // settles, and sf0.01 settles in far fewer than 30 rounds)
+    "q269_kcore" ->
+      """WITH RECURSIVE ed AS (SELECT lo, hi FROM (
+        |  SELECT a.l_partkey AS lo, b.l_partkey AS hi, count(*) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE c >= 2),
+        |sym AS (SELECT lo AS u, hi AS v FROM ed UNION ALL SELECT hi, lo FROM ed),
+        |core AS (
+        |  SELECT 0 AS it, u AS id FROM (SELECT DISTINCT u FROM sym)
+        |  UNION ALL
+        |  SELECT it + 1, id FROM (
+        |    SELECT a.it, s.u AS id, count(*) AS deg
+        |    FROM core a JOIN sym s ON s.u = a.id
+        |    JOIN core b ON b.it = a.it AND b.id = s.v
+        |    GROUP BY 1, 2) p WHERE deg >= 3 AND it < 30),
+        |fin AS (SELECT DISTINCT id FROM core WHERE it = 30)
+        |SELECT s.u AS id, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM sym s JOIN fin a ON s.u = a.id JOIN fin b ON s.v = b.id
+        |GROUP BY 1""".stripMargin,
+    // degree assortativity: exact integer sufficient statistics, the
+    // one-row double arithmetic pinned op-for-op against the Spark side
+    "q270_assortativity" ->
+      """WITH ed AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+        |    greatest(a.l_partkey, b.l_partkey) AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT lo AS u, hi AS v FROM ed UNION ALL SELECT hi, lo FROM ed),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+        |pr AS (SELECT dj.d AS dj, dk.d AS dk FROM sym
+        |  JOIN deg dj ON sym.u = dj.u JOIN deg dk ON sym.v = dk.u),
+        |st AS (SELECT count(*) AS m, sum(dj*dk) AS sjk, sum(dj) AS sj,
+        |  sum(dk) AS sk, sum(dj*dj) AS sjj, sum(dk*dk) AS skk FROM pr)
+        |SELECT CAST(m AS BIGINT) AS m_edges,
+        |  round((CAST(m AS DOUBLE)*CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sk AS DOUBLE)) /
+        |   (sqrt(CAST(m AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE)) *
+        |    sqrt(CAST(m AS DOUBLE)*CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE))), 6)
+        |  AS assortativity
+        |FROM st""".stripMargin,
     "q221_bfs_hops" ->
       """SELECT concat('r', CAST(r_regionkey AS VARCHAR)) AS id, 0 AS hops
         | FROM region

@@ -607,6 +607,35 @@ object ExtensionQueries {
         idA = "dup_id", idB = "keep_id")
     }),
 
+    // ── RECORD LINKAGE: blocked Jaro–Winkler candidate pairs over part
+    //    names (block = name noun + size, so candidates = Σ|block|², never
+    //    n²), scored by the native graft_jaro_winkler expression — the
+    //    oracle scores the same blocked pairs with DuckDB's independent
+    //    jaro_winkler_similarity, so the hash check is a value-for-value
+    //    cross-engine audit of the expression itself
+    "q267_er_pairs" -> ((s, d) =>
+      graft.text.Link.jwPairs(
+        Tables.part(s, d)
+          .withColumn("_noun", expr("split_part(p_name, ' ', 2)")),
+        "p_partkey", "p_name", Seq("_noun", "p_size"), minSim = 0.9)),
+
+    // ── ENTITY CANONICALIZATION: connected components over the q267 match
+    //    graph (match is symmetric, not transitive — components ARE the
+    //    entity), min-id labels via the large/small-star method
+    "q268_er_entities" -> ((s, d) =>
+      graft.text.Link.erEntities(
+        Tables.part(s, d)
+          .withColumn("_noun", expr("split_part(p_name, ' ', 2)")),
+        "p_partkey", "p_name", Seq("_noun", "p_size"), minSim = 0.9)),
+
+    // ── DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    //    bag models for target (lang=en) vs raw corpus, per-doc importance
+    //    weights, Gumbel-top-k resample — deterministic via the salted
+    //    portable hash, so the oracle replays the full selection
+    "q271_dsir" -> ((s, d) =>
+      Curate.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en", buckets = 256, k = 100)),
+
     // ── INCREMENTAL ANN INDEX: centroids frozen from the corpus, posting
     //    lists assembled from TWO ivfAssign batches (assign(old ∪ delta) =
     //    assign(old) ∪ assign(delta) under fixed centroids), then searched
@@ -1818,6 +1847,71 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
          |    / count(*) OVER (), 6) AS macro_ndcg
          |FROM pq""".stripMargin,
+    // DSIR: hashed uni+bigram bucket counts, add-1/2 smoothed log-ratios
+    // quantized to DECIMAL before the per-doc sum, Gumbel keys from the
+    // salted hash, global top-100 by (score, doc_id)
+    "q271_dsir" ->
+      raw"""WITH tk AS (SELECT doc_id, lang = 'en' AS t,
+         |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         |gr AS (SELECT doc_id, t, unnest(w) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, t, unnest(CASE WHEN len(w) >= 2
+         |    THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END) FROM tk),
+         |hb AS (SELECT doc_id, t, ${h64d("g")} % 256 AS b FROM gr),
+         |pd AS (SELECT doc_id, t, b, CAST(count(*) AS BIGINT) AS n
+         |  FROM hb GROUP BY 1, 2, 3),
+         |bc AS (SELECT b, CAST(sum(n) AS BIGINT) AS rc,
+         |  CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS tc
+         |  FROM pd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rn_tot,
+         |  CAST(sum(tc) AS BIGINT) AS tc_tot FROM bc),
+         |lam AS (SELECT b, CAST(
+         |    ln((CAST(tc AS DOUBLE) + 0.5) / (CAST(tc_tot AS DOUBLE) + 128.0))
+         |  - ln((CAST(rc AS DOUBLE) + 0.5) / (CAST(rn_tot AS DOUBLE) + 128.0))
+         |  AS DECIMAL(28,12)) AS lam FROM bc CROSS JOIN tot),
+         |dw AS (SELECT doc_id, sum(CAST(n AS DECIMAL(10,0)) * lam) AS iw
+         |  FROM pd JOIN lam USING (b) GROUP BY 1),
+         |sc AS (SELECT doc_id, iw, CAST(iw + CAST(-ln(-ln(
+         |    ((${h64d("'dsir:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1) / 1000000.0))
+         |  AS DECIMAL(28,12)) AS DOUBLE) AS score FROM dw),
+         |rk AS (SELECT doc_id, iw, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, round(CAST(iw AS DOUBLE), 6) AS imp_weight,
+         |  round(score, 6) AS score, rank
+         |FROM rk WHERE rank <= 100""".stripMargin,
+    // record linkage: the same blocked pairs, scored by DuckDB's OWN
+    // jaro_winkler_similarity — an independent implementation of the
+    // measure, so parity here certifies the native expression
+    "q267_er_pairs" ->
+      """WITH b AS (SELECT p_partkey AS id, p_name AS nm,
+        |  split_part(p_name, ' ', 2) || CAST(p_size AS VARCHAR) AS blk FROM part),
+        |ok AS (SELECT blk FROM (SELECT blk, count(*) AS c FROM b GROUP BY 1) WHERE c <= 10000),
+        |i AS (SELECT b.* FROM b JOIN ok USING (blk))
+        |SELECT a.id AS id_a, c.id AS id_b, a.nm AS name_a, c.nm AS name_b,
+        |  round(jaro_winkler_similarity(a.nm, c.nm), 6) AS jw
+        |FROM i a JOIN i c ON a.blk = c.blk AND a.id < c.id
+        |WHERE jaro_winkler_similarity(a.nm, c.nm) >= 0.9""".stripMargin,
+    // ER entities: q267's pair chain + the recursive reachability closure
+    // over the part universe (same idiom as q265/q75)
+    "q268_er_entities" ->
+      """WITH RECURSIVE b AS (SELECT p_partkey AS id, p_name AS nm,
+        |  split_part(p_name, ' ', 2) || CAST(p_size AS VARCHAR) AS blk FROM part),
+        |ok AS (SELECT blk FROM (SELECT blk, count(*) AS c FROM b GROUP BY 1) WHERE c <= 10000),
+        |i AS (SELECT b.* FROM b JOIN ok USING (blk)),
+        |prs AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM i a JOIN i c ON a.blk = c.blk AND a.id < c.id
+        |  WHERE jaro_winkler_similarity(a.nm, c.nm) >= 0.9),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach AS (SELECT p_partkey AS v, p_partkey AS lbl FROM part
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM edges e2 JOIN reach r ON r.v = e2.u),
+        |cl AS (SELECT v AS p_partkey, min(lbl) AS cluster_id FROM reach GROUP BY v)
+        |SELECT p_partkey, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  CAST(p_partkey = cluster_id AS INT) AS keep
+        |FROM cl""".stripMargin,
     // semantic clusters: the q263 pair chain + the q75 recursive
     // reachability closure over the embedding vertex universe
     "q265_semantic_clusters" ->

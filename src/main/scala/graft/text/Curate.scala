@@ -244,4 +244,60 @@ object Curate {
       .select(col(id), col("ws_tokens"), col("avg_token_len"),
         col("dup_2gram_ratio"), col("stop_ratio"), col("reasons"), col("keep"))
   }
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick the k raw-corpus documents that look most like a
+    * target distribution, under hashed-n-gram bag models.
+    *
+    * Features are word uni+bigrams hashed into `buckets` buckets; the
+    * importance weight of a document is
+    *   w(x) = Σ_b n_b(x) · [ ln p̂_target(b) − ln p̂_raw(b) ]
+    * with add-½ smoothed bucket probabilities. Resampling without
+    * replacement is the Gumbel-top-k trick (Vieira 2014): key = w + g with
+    * g = −ln(−ln u) and u drawn from the salted portable hash — the same
+    * determinism contract as [[Mix.weightedSample]] (reproducible across
+    * runs, partitionings and engines; adding documents never flips an
+    * existing doc's u).
+    *
+    * Scale shape: the gram explode is scan-shaped; bucket statistics are
+    * a `buckets`-sized aggregate (map-side combined) broadcast back; the
+    * per-doc weight is one (doc, bucket)-grained aggregate. Per-bucket
+    * log-ratios quantize to DECIMAL(28,12) BEFORE the per-doc sum (the
+    * [[NgramLm]] parity rule: document weights independent of partition
+    * layout, hash-matchable cross-engine), and the top-k selection runs
+    * through `Stats.extremeK` — never a global raw-row rank window.
+    *
+    * Emits the k kept docs: (id, imp_weight, score, rank), weights/scores
+    * rounded at 6 dp, rank 1 = most target-like after noise. */
+  def dsirResample(df: DataFrame, id: String, text: String, isTarget: Column,
+                   buckets: Int = 256, k: Int = 100): DataFrame = {
+    val grams = df
+      .select(col(id), isTarget.cast("boolean").as("_t"),
+        TextOps.tokens(col(text)).as("_w"))
+      .withColumn("_g", explode(concat(col("_w"), TextOps.wordShingles("_w", 2))))
+      .select(col(id), col("_t"),
+        pmod(TextOps.h64(col("_g")), lit(buckets.toLong)).as("_b"))
+    val perDoc = grams.groupBy(col(id), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val bc = perDoc.groupBy("_b").agg(
+      sum("_n").as("_rc"),
+      sum(when(col("_t"), col("_n")).otherwise(lit(0L))).as("_tc"))
+    val tot = bc.agg(sum("_rc").as("_rn_tot"), sum("_tc").as("_tc_tot"))
+    val half = buckets * 0.5
+    val lam = bc.crossJoin(broadcast(tot)).select(col("_b"),
+      (log((col("_tc").cast("double") + 0.5) / (col("_tc_tot").cast("double") + half))
+        - log((col("_rc").cast("double") + 0.5) / (col("_rn_tot").cast("double") + half)))
+        .cast("decimal(28,12)").as("_lam"))
+    val u = (pmod(TextOps.h64(concat(lit("dsir:"), col(id).cast("string"))),
+      lit(1000000L)) + 1) / lit(1000000.0)
+    val keyed = perDoc.join(broadcast(lam), "_b")
+      .groupBy(col(id))
+      .agg(sum(col("_n").cast("decimal(10,0)") * col("_lam")).as("_iw"))
+      .withColumn("_gum", (-log(-log(u))).cast("decimal(28,12)"))
+      .withColumn("_score", (col("_iw") + col("_gum")).cast("double"))
+    graft.ops.Stats.extremeK(keyed, "_score", Nil, k,
+        descending = true, tie = Seq(col(id).asc))
+      .select(col(id), round(col("_iw").cast("double"), 6).as("imp_weight"),
+        round(col("_score"), 6).as("score"), col("_rn").as("rank"))
+  }
 }
