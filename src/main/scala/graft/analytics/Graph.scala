@@ -544,21 +544,23 @@ object Graph {
     val pairs = sym
       .join(deg, "u").withColumnRenamed("d", "dj")
       .join(deg.select(col("u").as("v"), col("d").as("dk")), "v")
-    pairs.agg(
-        count(lit(1)).as("m"),
-        sum(col("dj") * col("dk")).as("sjk"),
-        sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
-        sum(col("dj") * col("dj")).as("sjj"),
-        sum(col("dk") * col("dk")).as("skk"))
-      .select(col("m").as("m_edges"),
-        round(
-          (col("m").cast("double") * col("sjk").cast("double") -
-            col("sj").cast("double") * col("sk").cast("double")) /
-          (sqrt(col("m").cast("double") * col("sjj").cast("double") -
-              col("sj").cast("double") * col("sj").cast("double")) *
-            sqrt(col("m").cast("double") * col("skk").cast("double") -
-              col("sk").cast("double") * col("sk").cast("double"))), 6)
-          .as("assortativity"))
+    val agged = pairs.agg(
+      count(lit(1)).as("m"),
+      sum(col("dj") * col("dk")).as("sjk"),
+      sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+      sum(col("dj") * col("dj")).as("sjj"),
+      sum(col("dk") * col("dk")).as("skk"))
+    val num = col("m").cast("double") * col("sjk").cast("double") -
+      col("sj").cast("double") * col("sk").cast("double")
+    val d1 = col("m").cast("double") * col("sjj").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double")
+    val d2 = col("m").cast("double") * col("skk").cast("double") -
+      col("sk").cast("double") * col("sk").cast("double")
+    // zero degree variance (regular graphs) → the statistic is undefined:
+    // NULL, guarded BEFORE the division (ANSI mode raises on 0/0)
+    agged.select(col("m").as("m_edges"),
+      round(when(d1 > 0 && d2 > 0, num / (sqrt(d1) * sqrt(d2))), 6)
+        .as("assortativity"))
   }
 
   def communityGraph(edges: DataFrame, src: String, dst: String,

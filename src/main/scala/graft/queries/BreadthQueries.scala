@@ -914,10 +914,12 @@ object BreadthQueries {
         |st AS (SELECT count(*) AS m, sum(dj*dk) AS sjk, sum(dj) AS sj,
         |  sum(dk) AS sk, sum(dj*dj) AS sjj, sum(dk*dk) AS skk FROM pr)
         |SELECT CAST(m AS BIGINT) AS m_edges,
-        |  round((CAST(m AS DOUBLE)*CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sk AS DOUBLE)) /
+        |  CASE WHEN CAST(m AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE) > 0
+        |        AND CAST(m AS DOUBLE)*CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE) > 0
+        |  THEN round((CAST(m AS DOUBLE)*CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sk AS DOUBLE)) /
         |   (sqrt(CAST(m AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE)) *
         |    sqrt(CAST(m AS DOUBLE)*CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE))), 6)
-        |  AS assortativity
+        |  END AS assortativity
         |FROM st""".stripMargin,
     "q221_bfs_hops" ->
       """SELECT concat('r', CAST(r_regionkey AS VARCHAR)) AS id, 0 AS hops

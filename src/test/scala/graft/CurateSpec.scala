@@ -214,4 +214,29 @@ class CurateSpec extends SparkSpec {
     assert(clean(2L) == "zeta eta theta iota kappa")
     assert(clean(3L) == "") // fully-boilerplate doc survives with empty text
   }
+
+  test("dsirResample prefers target-like docs and is partition-invariant") {
+    // two disjoint vocabularies: docs 1-10 "target-like", 11-30 not; mark
+    // only 1-5 as target — DSIR should pull 6-10 (target-LIKE but not
+    // target-labeled) ahead of the 11-30 crowd
+    val docs = ((1L to 10L).map(i => (i, "alpha beta gamma delta", i <= 5)) ++
+      (11L to 30L).map(i => (i, "omega psi chi phi", false))).toDF("doc_id", "text", "t")
+    val kept = Curate.dsirResample(docs, "doc_id", "text", col("t"), k = 8)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val targetLike = ids.count(_ <= 10)
+    assert(targetLike >= 6, s"expected mostly target-like docs, got $ids")
+    // weights separate the vocabularies strictly
+    val w = Curate.dsirResample(docs, "doc_id", "text", col("t"), k = 30)
+      .select("doc_id", "imp_weight").as[(Long, Double)].collect().toMap
+    assert((1L to 10L).map(w).min > (11L to 30L).map(w).max)
+    // deterministic under repartitioning
+    val again = Curate.dsirResample(docs.repartition(7), "doc_id", "text",
+      col("t"), k = 8)
+      .select(col("doc_id"), col("score"), col("rank").cast("long"))
+      .as[(Long, Double, Long)].collect().toSet
+    val base = kept
+      .select(col("doc_id"), col("score"), col("rank").cast("long"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(again == base)
+  }
 }

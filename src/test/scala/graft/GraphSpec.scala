@@ -294,4 +294,35 @@ class GraphSpec extends SparkSpec {
     // 3 edges inside each triangle → self-loops; 2 bridges → weight-2 edge
     assert(cg == Map((10L, 10L) -> 3L, (20L, 20L) -> 3L, (10L, 20L) -> 2L))
   }
+
+  test("kCore peels the pendant path and keeps the triangle with its " +
+       "in-core degrees") {
+    // triangle {1,2,3} with a path 3-4-5 hanging off: the 2-core is the
+    // triangle alone, and the peel needs TWO rounds (5 first, then 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val got = Graph.kCore(edges, "s", "t", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore is empty on a tree (no 2-core) and total on a clique") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    assert(Graph.kCore(path, "s", "t", k = 2).isEmpty)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "t")
+    val got = Graph.kCore(k4, "s", "t", k = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("assortativity: a star is perfectly disassortative, a cycle has " +
+       "zero degree variance") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
+    val r = Graph.assortativity(star, "s", "t").head()
+    assert(r.getLong(0) == 6L)   // 3 undirected edges, both directions
+    assert(r.getDouble(1) == -1.0, s"star must score -1, got ${r.getDouble(1)}")
+    // every degree equal → 0/0: the statistic is undefined — NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    assert(Graph.assortativity(cyc, "s", "t").head().isNullAt(1))
+  }
 }

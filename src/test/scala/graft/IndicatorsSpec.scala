@@ -1609,4 +1609,23 @@ class IndicatorsSpec extends SparkSpec {
     assert(cnts == Seq(n - 1L, n.toLong, n.toLong, n.toLong, n.toLong), cnts)
     assert(secs < 120.0, f"series scans took $secs%.1f s on 1M rows")
   }
+
+  test("conformalNaive: hand-checked quantile, intervals, and coverage") {
+    // 11 bars: alternating 0/1 gives residual 1 on every calibration row
+    // (10 forecastable bars, n_cal = ⌈0.8·10⌉ = 8, k = min(⌈9·9/10⌉, 8)
+    // = 8 → q̂ = 1); then one covered and one uncovered holdout point
+    val ys = Seq(0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0.5, 3.0)
+    val df = ys.zipWithIndex.map { case (y, i) => ("k", i + 1, y) }
+      .toDF("g", "t", "y")
+    val got = Indicators.conformalNaive(df, "y", Seq("g"), "t").orderBy("t")
+      .collect()
+    assert(got.length == 2, got.mkString(";"))
+    val (r10, r11) = (got(0), got(1))
+    assert(r10.getLong(7) == 8L)                            // n_cal
+    assert(r10.getDouble(8) == 1.0)                         // q̂
+    assert(r10.getDouble(3) == 0.0 && r10.getInt(6) == 1)   // 0.5 ∈ [−1, 1]
+    assert(r11.getDouble(3) == 0.5 && r11.getInt(6) == 0)   // 3 ∉ [−0.5, 1.5]
+    assert(r10.getDouble(4) == -1.0 && r10.getDouble(5) == 1.0)
+    assert(r10.getDouble(9) == 0.5)                         // coverage 1/2
+  }
 }
