@@ -294,4 +294,104 @@ object Behavior {
             (n + lit(1.0)) / n, 6)))
       .drop("_s", "_w")
   }
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) with
+    * right censoring: subjects are the distinct `keys` combinations, a
+    * subject's duration is last-seen − first-seen in whole hours, and a
+    * subject whose last event falls within `censorDays` of the global
+    * window end is CENSORED (still alive when observation stopped) —
+    * counted in the at-risk denominator up to its duration but never as
+    * an event. S(t) = Π_{dᵢ ≤ t} (1 − eventsᵢ/at-riskᵢ), the product over
+    * event times only.
+    *
+    * Scale shape: one per-subject aggregate (shuffle keyed by subject),
+    * then everything rides the per-duration frame — whose axis is
+    * calendar-bounded (whole hours inside the observation window), the
+    * adjudicated market-index-window contract, so the ordered windows
+    * here sort a few-hundred-row aggregate, never the event log. The
+    * survival product is exp(Σ ln(1−dᵢ/nᵢ)) with per-duration ln terms
+    * quantized to DECIMAL(28,12) before the cumulative sum (cross-engine
+    * parity); a duration where every at-risk subject dies (factor 0)
+    * pins survival to exactly 0 from there on via a cumulative flag —
+    * never a ln(0). Emits one row per distinct duration:
+    * (duration_hr, n_risk, n_events, n_censored, survival@6dp). */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], ts: String,
+                  censorDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = df.groupBy(keys.map(col): _*)
+      .agg(min(col(ts)).cast("long").as("_a"), max(col(ts)).cast("long").as("_b"))
+    val mx = ss.agg(max(col("_b")).as("_mx"))
+    val byDur = ss.crossJoin(broadcast(mx))
+      .withColumn("_dur",
+        floor((col("_b") - col("_a")) / lit(3600.0)).cast("long"))
+      .withColumn("_obs",
+        (col("_b") < col("_mx") - lit(censorDays * 86400L)).cast("int"))
+      .groupBy(col("_dur").as("duration_hr"))
+      .agg(sum(col("_obs")).as("n_events"),
+        sum(lit(1) - col("_obs")).as("n_censored"),
+        count(lit(1)).as("_tot"))
+    val wCum = Window.orderBy(col("duration_hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRisk = Window.orderBy(col("duration_hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDur
+      .withColumn("n_risk", sum(col("_tot")).over(wRisk))
+      .withColumn("_f",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"))
+      .withColumn("_lnf",
+        when(col("_f") > 0, log(col("_f"))).otherwise(lit(0.0))
+          .cast("decimal(28,12)"))
+      .withColumn("_hit0", max((col("_f") === 0).cast("int")).over(wCum))
+      .withColumn("survival", when(col("_hit0") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("_lnf")).over(wCum).cast("double")), 6)))
+      .select(col("duration_hr"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** 2×2 difference-in-differences: the causal-inference workhorse for
+    * "did the launch move the metric" questions.
+    *   DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * with the unpooled standard error √(Σ s²_cell/n_cell) and its t
+    * statistic (equivalent to the OLS interaction coefficient with
+    * heteroskedasticity-robust cell variances).
+    *
+    * One scan, one 12-statistic aggregate (per-cell n/Σy/Σy² through
+    * conditional sums; y and y² quantize to DECIMAL(28,10) per row before
+    * summing, so the means and variances are partition-order-independent
+    * and oracle-exact). Cells with fewer than 2 observations yield NULL
+    * variance (guarded before the n−1 division — ANSI mode raises), which
+    * nulls se/t but never the point estimate. Emits one row:
+    * per-cell means + (did, se, t_stat), all at 6 dp. */
+  def diffInDiff(df: DataFrame, outcome: String, isTreat: Column,
+                 isPost: Column): DataFrame = {
+    val base = df.filter(col(outcome).isNotNull)
+      .select(isTreat.cast("int").as("_t"), isPost.cast("int").as("_p"),
+        col(outcome).cast("double").as("_y"))
+    def cell(t: Int, p: Int, c: Column): Column =
+      sum(when(col("_t") === t && col("_p") === p, c))
+    val aggs = for ((t, p) <- Seq((1, 1), (1, 0), (0, 1), (0, 0))) yield Seq(
+      cell(t, p, lit(1L)).as(s"_n$t$p"),
+      cell(t, p, col("_y").cast("decimal(28,10)")).as(s"_s$t$p"),
+      cell(t, p, (col("_y") * col("_y")).cast("decimal(28,10)")).as(s"_q$t$p"))
+    val a = base.agg(aggs.flatten.head, aggs.flatten.tail: _*)
+    def nD(t: Int, p: Int) = col(s"_n$t$p").cast("double")
+    def mean(t: Int, p: Int) = col(s"_s$t$p").cast("double") / nD(t, p)
+    def variance(t: Int, p: Int) = when(col(s"_n$t$p") > 1,
+      (col(s"_q$t$p").cast("double") -
+        col(s"_s$t$p").cast("double") * col(s"_s$t$p").cast("double") / nD(t, p))
+        / (nD(t, p) - 1.0))
+    val did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    val se = sqrt(variance(1, 1) / nD(1, 1) + variance(1, 0) / nD(1, 0) +
+      variance(0, 1) / nD(0, 1) + variance(0, 0) / nD(0, 0))
+    a.select(
+      col("_n11").as("n_treat_post"), col("_n10").as("n_treat_pre"),
+      col("_n01").as("n_ctrl_post"), col("_n00").as("n_ctrl_pre"),
+      round(mean(1, 1), 6).as("m_treat_post"),
+      round(mean(1, 0), 6).as("m_treat_pre"),
+      round(mean(0, 1), 6).as("m_ctrl_post"),
+      round(mean(0, 0), 6).as("m_ctrl_pre"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(did / se, 6).as("t_stat"))
+  }
 }

@@ -259,6 +259,21 @@ object AnalyticsQueries {
         Seq("user_id"), Seq(col("bar")))
     }),
 
+    // ── Kaplan–Meier survival with right censoring: subjects are
+    //    (user, event_type) activity spans, durations in whole hours,
+    //    spans still alive within 3 days of the window end are censored
+    "q273_kaplan_meier" -> ((s, d) =>
+      graft.analytics.Behavior.kaplanMeier(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", censorDays = 3)),
+
+    // ── 2×2 difference-in-differences on event values: even users
+    //    "treated", the month's second half "post" — point estimate,
+    //    unpooled SE, and the t statistic from one 12-statistic scan
+    "q274_did" -> ((s, d) =>
+      graft.analytics.Behavior.diffInDiff(Tables.events(s, d), "value",
+        isTreat = col("user_id") % 2 === 0,
+        isPost = col("ts") >= lit("2024-01-16").cast("timestamp"))),
+
     // ── split-conformal prediction intervals (finite-sample coverage, no
     //    distributional assumption) around the naive one-step forecast:
     //    first 80% of bars calibrate the residual quantile, the rest get
@@ -1883,6 +1898,78 @@ object AnalyticsQueries {
          | round(rmse_d, 6) AS rmse, round(smape_d, 6) AS smape,
          | CASE WHEN nmae_d > 0 THEN round(mae_d / nmae_d, 6) END AS mase
          |FROM a""".stripMargin,
+    // Kaplan–Meier: epoch seconds via the boundary-crossing mirror of
+    // Spark's cast(ts AS long); ln(1−d/n) terms quantized to DECIMAL
+    // before the cumulative sum; factor-0 durations pin survival to 0
+    "q273_kaplan_meier" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01', min(ts)) AS a,
+        |  date_diff('second', TIMESTAMP '1970-01-01', max(ts)) AS b
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(b) AS mx FROM s),
+        |bd AS (SELECT CAST(floor((b - a) / 3600.0) AS BIGINT) AS duration_hr,
+        |  CAST(sum(CASE WHEN b < mx - 259200 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN b < mx - 259200 THEN 0 ELSE 1 END) AS BIGINT) AS n_censored,
+        |  CAST(count(*) AS BIGINT) AS tot
+        | FROM s, m GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(tot) OVER (ORDER BY duration_hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM bd),
+        |f AS (SELECT *, 1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct
+        | FROM r),
+        |g AS (SELECT *,
+        |  CAST(CASE WHEN fct > 0 THEN ln(fct) ELSE 0 END AS DECIMAL(28,12)) AS lnf,
+        |  max(CASE WHEN fct = 0 THEN 1 ELSE 0 END) OVER wc AS hit0,
+        |  sum(CAST(CASE WHEN fct > 0 THEN ln(fct) ELSE 0 END AS DECIMAL(28,12)))
+        |    OVER wc AS slnf
+        | FROM f
+        | WINDOW wc AS (ORDER BY duration_hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT duration_hr, n_risk, n_events, n_censored,
+        |  CASE WHEN hit0 = 1 THEN 0.0
+        |    ELSE round(exp(CAST(slnf AS DOUBLE)), 6) END AS survival
+        |FROM g""".stripMargin,
+    // DiD: per-cell n/Σy/Σy² via conditional DECIMAL sums, means and
+    // variances in double with the op order pinned against the Spark side
+    "q274_did" ->
+      """WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |  CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS p,
+        |  CAST(value AS DOUBLE) AS y FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN t=1 AND p=1 THEN 1 END) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN t=1 AND p=0 THEN 1 END) AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN t=0 AND p=1 THEN 1 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN t=0 AND p=0 THEN 1 END) AS BIGINT) AS n00,
+        |  sum(CASE WHEN t=1 AND p=1 THEN CAST(y AS DECIMAL(28,10)) END) AS s11,
+        |  sum(CASE WHEN t=1 AND p=0 THEN CAST(y AS DECIMAL(28,10)) END) AS s10,
+        |  sum(CASE WHEN t=0 AND p=1 THEN CAST(y AS DECIMAL(28,10)) END) AS s01,
+        |  sum(CASE WHEN t=0 AND p=0 THEN CAST(y AS DECIMAL(28,10)) END) AS s00,
+        |  sum(CASE WHEN t=1 AND p=1 THEN CAST(y*y AS DECIMAL(28,10)) END) AS q11,
+        |  sum(CASE WHEN t=1 AND p=0 THEN CAST(y*y AS DECIMAL(28,10)) END) AS q10,
+        |  sum(CASE WHEN t=0 AND p=1 THEN CAST(y*y AS DECIMAL(28,10)) END) AS q01,
+        |  sum(CASE WHEN t=0 AND p=0 THEN CAST(y*y AS DECIMAL(28,10)) END) AS q00
+        | FROM b),
+        |c AS (SELECT *,
+        |  CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS m11,
+        |  CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS m10,
+        |  CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS m01,
+        |  CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS m00,
+        |  CASE WHEN n11 > 1 THEN (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0) END AS v11,
+        |  CASE WHEN n10 > 1 THEN (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0) END AS v10,
+        |  CASE WHEN n01 > 1 THEN (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0) END AS v01,
+        |  CASE WHEN n00 > 1 THEN (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0) END AS v00
+        | FROM a),
+        |e AS (SELECT *, (m11 - m10) - (m01 - m00) AS did,
+        |  sqrt(v11 / CAST(n11 AS DOUBLE) + v10 / CAST(n10 AS DOUBLE)
+        |     + v01 / CAST(n01 AS DOUBLE) + v00 / CAST(n00 AS DOUBLE)) AS se
+        | FROM c)
+        |SELECT n11 AS n_treat_post, n10 AS n_treat_pre,
+        |  n01 AS n_ctrl_post, n00 AS n_ctrl_pre,
+        |  round(m11, 6) AS m_treat_post, round(m10, 6) AS m_treat_pre,
+        |  round(m01, 6) AS m_ctrl_post, round(m00, 6) AS m_ctrl_pre,
+        |  round(did, 6) AS did, round(se, 6) AS se,
+        |  round(did / se, 6) AS t_stat
+        |FROM e""".stripMargin,
     // split-conformal: the ⌈0.8n⌉ split and the k = ⌈(n_cal+1)·9/10⌉
     // rank are decimal/integer-exact; residual ties at rank k break by
     // bar, so q̂ is the identical order statistic in both engines

@@ -171,4 +171,64 @@ class BehaviorSpec extends SparkSpec {
   }
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("kaplanMeier: hand survival curve with censoring and an " +
+       "event/censor mix at the same duration") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val T = 1000000000L
+    // (subject, first, last): durations 10h/5h/5h/2h/5h; s1 and s5 end
+    // within 3 days of the window max → censored
+    val spans = Seq(
+      ("s1", T - 36000L, T),                       // 10h, censored
+      ("s2", T - 345600L - 18000L, T - 345600L),   // 5h, observed
+      ("s3", T - 345600L - 18000L, T - 345600L),   // 5h, observed
+      ("s4", T - 432000L - 7200L, T - 432000L),    // 2h, observed
+      ("s5", T - 86400L - 18000L, T - 86400L))     // 5h, censored
+    val ev = spans.flatMap { case (u, a, b) => Seq((u, a), (u, b)) }
+      .toDF("u", "secs").select(col("u"), to_timestamp(col("secs")).as("ts"))
+    val got = Behavior.kaplanMeier(ev, Seq("u"), "ts", censorDays = 3)
+      .orderBy("duration_hr")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // d=2: 5 at risk, 1 event → S=0.8; d=5: 4 at risk, 2 events + 1
+    // censored → S=0.4; d=10: censor only, survival unchanged
+    assert(got == Seq(
+      (2L, 5L, 1L, 0L, 0.8),
+      (5L, 4L, 2L, 1L, 0.4),
+      (10L, 1L, 0L, 1L, 0.4)), got)
+  }
+
+  test("kaplanMeier: a duration where every at-risk subject dies pins " +
+       "survival to exactly zero") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val T = 1000000000L
+    val spans = Seq(
+      ("a", T - 345600L - 3600L, T - 345600L),  // 1h, observed
+      ("b", T - 345600L - 3600L, T - 345600L),  // 1h, observed
+      ("c", T, T))                              // 0h, censored (window end)
+    val ev = spans.flatMap { case (u, a, b) => Seq((u, a), (u, b)) }
+      .toDF("u", "secs").select(col("u"), to_timestamp(col("secs")).as("ts"))
+    val got = Behavior.kaplanMeier(ev, Seq("u"), "ts", censorDays = 3)
+      .orderBy("duration_hr")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 3L, 0L, 1L, 1.0), (1L, 2L, 2L, 0L, 0.0)), got)
+  }
+
+  test("diffInDiff: hand 2x2 cells, unpooled SE, degenerate-cell guard") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1, 0, 1.0), (1, 0, 3.0),   // treat pre:  mean 2, var 2
+      (1, 1, 5.0), (1, 1, 9.0),   // treat post: mean 7, var 8
+      (0, 0, 2.0), (0, 0, 2.0),   // ctrl pre:   mean 2, var 0
+      (0, 1, 4.0), (0, 1, 4.0))   // ctrl post:  mean 4, var 0
+      .toDF("t", "p", "y")
+    val r = Behavior.diffInDiff(rows, "y", col("t") === 1, col("p") === 1)
+      .head()
+    assert(r.getDouble(8) == 3.0)                       // did
+    assert(r.getDouble(9) == q6(math.sqrt(5.0)))        // se = √(8/2+2/2)
+    assert(r.getDouble(10) == q6(3.0 / math.sqrt(5.0))) // t
+    // a 1-observation cell nulls se/t but keeps the point estimate
+    val r2 = Behavior.diffInDiff(rows.limit(7), "y",
+      col("t") === 1, col("p") === 1).head()
+    assert(!r2.isNullAt(8) && r2.isNullAt(9) && r2.isNullAt(10))
+  }
 }
