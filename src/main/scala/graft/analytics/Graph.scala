@@ -524,6 +524,59 @@ object Graph {
       .filter(col("core_deg") >= k)
   }
 
+  /** k-truss (Cohen 2008): the maximal subgraph where every EDGE sits in
+    * ≥ k−2 triangles — the edge-level sharpening of [[kCore]] (every
+    * k-truss is inside the (k−1)-core, but trussness demands actual
+    * triangle cohesion, not just degree). The standard community-backbone
+    * extractor: bridges and spurious links die first.
+    *
+    * Same peel-to-fixpoint scheme as [[kCore]], with the per-round degree
+    * count replaced by a triangle-support count: each surviving edge
+    * (u,v) counts common neighbors w through two adjacency joins (the
+    * [[triangles]] join shape — shuffle ∝ edges × average degree per
+    * round, the distributed k-truss standard). The surviving edge set is
+    * `localCheckpoint`ed per round; the fixpoint test rides the support
+    * count it already computes (edge sets are nested, so an unchanged
+    * count IS the fixpoint). Edges with no triangle simply produce no
+    * support row, which is exactly the ≥ k−2 ≥ 1 cut.
+    *
+    * Emits (lo, hi, support) for truss edges, support = in-truss triangle
+    * count (≥ k−2 by construction); empty when no k-truss exists. */
+  def kTruss(edges: DataFrame, src: String, dst: String, k: Int,
+             maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var cur = edges.select(
+        least(col(src), col(dst)).as("lo"), greatest(col(src), col(dst)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    def supports(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("_u"), col("hi").as("_v"))
+        .union(e.select(col("hi").as("_u"), col("lo").as("_v")))
+      e.join(sym.select(col("_u").as("_u1"), col("_v").as("_w1")),
+          col("lo") === col("_u1"))
+        .join(sym.select(col("_u").as("_u2"), col("_v").as("_w2")),
+          col("hi") === col("_u2") && col("_w2") === col("_w1"))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("support"))
+    }
+    var prev = -1L
+    var rounds = 0
+    while (true) {
+      val keep = supports(cur).filter(col("support") >= k - 2)
+      val n = keep.count()
+      if (n == prev || n == 0)
+        // at the fixpoint `keep`'s supports were computed against the
+        // final edge set itself — emit them directly
+        return keep.select(col("lo"), col("hi"), col("support"))
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kTruss: not converged after $maxRounds rounds ($n edges)")
+      prev = n
+      cur = keep.select("lo", "hi").localCheckpoint(true)
+      rounds += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Degree assortativity (Newman, PRL 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — positive on social
     * graphs (hubs befriend hubs), negative on technological/co-purchase

@@ -498,6 +498,12 @@ object BreadthQueries {
       graft.analytics.Graph.assortativity(
         coPurchaseEdges(s, d, minCount = 1), "lo", "hi")),
 
+    // ── 3-TRUSS of the co-purchase graph: every surviving edge must sit
+    //    in a triangle of survivors — the community backbone (bridges
+    //    peel first), one level sharper than the q269 core
+    "q275_ktruss" -> ((s, d) =>
+      graft.analytics.Graph.kTruss(coPurchaseEdges(s, d), "lo", "hi", k = 3)),
+
     // ── BFS hop distance from region roots down the reversed geo tree
     "q221_bfs_hops" -> ((s, d) => {
       val edges = Tables.nation(s, d).select(
@@ -900,6 +906,35 @@ object BreadthQueries {
         |SELECT s.u AS id, CAST(count(*) AS BIGINT) AS core_deg
         |FROM sym s JOIN fin a ON s.u = a.id JOIN fin b ON s.v = b.id
         |GROUP BY 1""".stripMargin,
+    // 3-truss: the edge peel replayed as a bounded recursion (same
+    // contract as q269 — the fixpoint re-emits unchanged to the cap),
+    // support recomputed on the cap's survivors for the output
+    "q275_ktruss" ->
+      """WITH RECURSIVE ed AS (SELECT lo, hi FROM (
+        |  SELECT a.l_partkey AS lo, b.l_partkey AS hi, count(*) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE c >= 2),
+        |tr AS (
+        |  SELECT 0 AS it, lo, hi FROM ed
+        |  UNION ALL
+        |  SELECT it + 1, lo, hi FROM (
+        |    SELECT e.it, e.lo, e.hi, count(*) AS s
+        |    FROM (SELECT * FROM tr) e
+        |    JOIN (SELECT it, lo AS u, hi AS v FROM tr
+        |          UNION ALL SELECT it, hi, lo FROM tr) s1
+        |      ON s1.it = e.it AND s1.u = e.lo
+        |    JOIN (SELECT it, lo AS u, hi AS v FROM tr
+        |          UNION ALL SELECT it, hi, lo FROM tr) s2
+        |      ON s2.it = e.it AND s2.u = e.hi AND s2.v = s1.v
+        |    GROUP BY 1, 2, 3) p WHERE s >= 1 AND it < 25),
+        |fin AS (SELECT lo, hi FROM tr WHERE it = 25),
+        |fsym AS (SELECT lo AS u, hi AS v FROM fin
+        |  UNION ALL SELECT hi, lo FROM fin)
+        |SELECT e.lo, e.hi, CAST(count(*) AS BIGINT) AS support
+        |FROM fin e JOIN fsym s1 ON s1.u = e.lo
+        |JOIN fsym s2 ON s2.u = e.hi AND s2.v = s1.v
+        |GROUP BY 1, 2""".stripMargin,
     // degree assortativity: exact integer sufficient statistics, the
     // one-row double arithmetic pinned op-for-op against the Spark side
     "q270_assortativity" ->

@@ -315,6 +315,21 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kTruss: bridges peel, triangles survive with in-truss supports; " +
+       "K4 is a 4-truss but loses it with any edge removed") {
+    // two triangles sharing node 3, plus a bridge to a pendant
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L)).toDF("s", "t")
+    val got = Graph.kTruss(g, "s", "t", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (3L, 5L, 1L)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "t")
+    assert(Graph.kTruss(k4, "s", "t", k = 4).count() == 6)
+    assert(Graph.kTruss(k4.limit(5), "s", "t", k = 4).isEmpty)
+  }
+
   test("assortativity: a star is perfectly disassortative, a cycle has " +
        "zero degree variance") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "t")
