@@ -375,9 +375,17 @@ object Stats {
     * the raw data is scanned once for the sketch and once for the key set
     * (in a stream the key set is whatever you query later). */
   def countMinEstimates(df: DataFrame, key: String, depth: Int = 4,
-                        width: Int = 256): DataFrame = {
-    val sketch = countMinSketch(df, key, depth, width)
-    val keys = df.select(col(key).cast("string").as("key")).distinct()
+                        width: Int = 256): DataFrame =
+    cmLookup(countMinSketch(df, key, depth, width),
+      df.select(col(key).cast("string").as("key")).distinct(), depth, width)
+
+  /** Point estimates from a PREBUILT (j, bucket, c) sketch — the lookup
+    * half of [[countMinEstimates]], split out so a maintained sketch
+    * (e.g. [[graft.streaming.StreamingSketch]]'s merged increments) can
+    * be queried without rescanning any data. `keys` must carry a string
+    * `key` column. */
+  def cmLookup(sketch: DataFrame, keys: DataFrame, depth: Int = 4,
+               width: Int = 256): DataFrame =
     keys.select(col("key"), posexplode(array((0 until depth).map(j =>
         pmod(graft.text.TextOps.h64(concat(col("key"), lit(s":cm$j"))),
           lit(width.toLong))): _*))
@@ -385,7 +393,6 @@ object Stats {
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("key"))
       .agg(min(col("c")).as("cm_est"))
-  }
 
   /** k-fold cross-validation assignment: fold = salted-hash of the id mod
     * k — deterministic, engine-portable, stable under data growth (the

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.ops.Stats
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Streaming maintenance of a count-min frequency sketch — the
+  * [[StreamingLm]] contract applied to the heavy-hitter structure: each
+  * micro-batch's (j, bucket, c) counters land as an idempotent
+  * `increments/batch=<id>` parquet partition; the maintained sketch is
+  * the directory, merged by integer sum at read time.
+  *
+  * Count-min counters are the textbook ADDITIVE sufficient statistic —
+  * sketch(A ∪ B) = sketch(A) + sketch(B) counter-for-counter — so the
+  * per-batch increment is a pure function of the batch (no state store,
+  * no read-modify-write), a retried batch overwrites exactly its own
+  * partition (restatement, never duplication), and the merged sketch is
+  * bit-identical to the one built from scratch over everything ingested
+  * (StreamingSketchSpec pins the equality). State is depth×width longs
+  * per batch: the 100 TB story is that the INDEX stays a few KB while
+  * the stream is unbounded — compaction (summing increments into a new
+  * base) is optional hygiene, not a correctness need.
+  */
+object StreamingSketch {
+
+  /** foreachBatch sink: land each micro-batch's count-min counters as its
+    * own increment partition under `sketchPath/increments/`. */
+  def sketchSink(df: DataFrame, key: String, sketchPath: String,
+                 checkpoint: String, depth: Int = 4,
+                 width: Int = 256): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Stats.countMinSketch(batch, key, depth, width)
+            .write.mode("overwrite")
+            .parquet(s"$sketchPath/increments/batch=$batchId")
+        }: Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** Optional base sketch from a batch corpus (an empty start is fine —
+    * the first increments simply ARE the sketch). */
+  def writeBaseSketch(df: DataFrame, key: String, sketchPath: String,
+                      depth: Int = 4, width: Int = 256): Unit =
+    Stats.countMinSketch(df, key, depth, width)
+      .write.mode("overwrite").parquet(s"$sketchPath/base")
+
+  /** The maintained sketch as one (j, bucket, c) frame: base (if present)
+    * plus every increment, merged by counter sum. Query it with
+    * [[graft.ops.Stats.cmLookup]]. */
+  def readMergedSketch(spark: SparkSession, sketchPath: String): DataFrame = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$sketchPath/base")
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      (if (fs.exists(basePath)) Seq(s"$sketchPath/base") else Nil) ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
+          Seq(s"$sketchPath/increments") else Nil)
+    require(parts.nonEmpty, s"no sketch state under $sketchPath")
+    parts.map(p => spark.read.parquet(p).select("j", "bucket", "c"))
+      .reduce(_.unionByName(_))
+      .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Stats
+import graft.streaming.StreamingSketch
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming sketch maintenance: the merged increments must equal the
+  * from-scratch sketch counter-for-counter (count-min is additive), the
+  * maintained sketch must answer lookups exactly like the batch build,
+  * and restatement must not inflate counters. */
+class StreamingSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
+  test("drained stream sketch ≡ from-scratch; lookups from the maintained " +
+       "sketch match; restatement is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssk").toString
+    val in = s"$dir/in"; val sk = s"$dir/sketch"; val chk = s"$dir/chk"
+
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "n")
+    val batchA = Seq(("a", 4L), ("c", 5L), ("c", 6L)).toDF("k", "n")
+    val batchB = Seq(("b", 7L), ("d", 8L), ("a", 9L)).toDF("k", "n")
+    StreamingSketch.writeBaseSketch(base, "k", sk)
+
+    batchA.write.parquet(in)
+    StreamingSketch.sketchSink(spark.readStream.schema(schema).parquet(in),
+      "k", sk, chk).start().awaitTermination()
+    batchB.write.mode("append").parquet(in)
+    StreamingSketch.sketchSink(spark.readStream.schema(schema).parquet(in),
+      "k", sk, chk).start().awaitTermination()
+
+    val all = base.unionByName(batchA).unionByName(batchB)
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = StreamingSketch.readMergedSketch(spark, sk)
+    assert(cset(merged) == cset(Stats.countMinSketch(all, "k")),
+      "streamed counters must equal the from-scratch sketch")
+
+    // lookups from the maintained sketch ≡ the batch-built estimates,
+    // and on this collision-free cardinality they are the exact counts
+    val est = Stats.cmLookup(merged,
+        all.select(col("k").cast("string").as("key")).distinct())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+
+    // restating batch 0 (same content, same partition) must not duplicate
+    Stats.countMinSketch(batchA, "k")
+      .write.mode("overwrite").parquet(s"$sk/increments/batch=0")
+    assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == cset(merged),
+      "restated increment must restate, not duplicate")
+  }
+}
