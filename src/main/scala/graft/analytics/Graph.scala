@@ -88,6 +88,57 @@ object Graph {
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the relatedness measure
+    * behind "similar items" / seed-expansion recommendation): identical
+    * power iteration to [[pageRank]] except the restart mass — and the
+    * dangling mass — return to a SEED distribution s (uniform over
+    * `seeds`) instead of uniform over all nodes:
+    *
+    *   rank_{t+1}(v) = (1−d)·s(v) + d·( Σ_{u→v} rank_t(u)/outdeg(u) + D_t·s(v) )
+    *
+    * Ranks still sum to 1 (GraphSpec pins conservation), but mass
+    * concentrates around the seeds — and seeding EVERY node recovers
+    * plain PageRank exactly (also pinned). Same plan shape and
+    * checkpoint-every-k lineage contract as [[pageRank]]; the seed
+    * vector is vertex-sized, materialized once, and joined back each
+    * iteration in place of the 1/N constant. Emits (id, rank) at 6 dp. */
+  def pageRankPersonalized(edges: DataFrame, src: String, dst: String,
+                           nodes: DataFrame, id: String, seeds: DataFrame,
+                           iters: Int = 3, damping: Double = 0.85,
+                           checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery $checkpointEvery < 1")
+    val e = edges.select(col(src).as("_src"), col(dst).as("_dst")).distinct()
+    val v = nodes.select(col(id).as("id")).distinct()
+    val deg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val srcs = e.select(col("_src")).distinct()
+    val sd = seeds.select(col(id).as("id")).distinct()
+    val ns = sd.agg(count(lit(1)).cast("double").as("_ns"))
+    val sVec = v.join(sd.withColumn("_seed", lit(1)), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"), when(col("_seed").isNotNull, lit(1.0) / col("_ns"))
+        .otherwise(lit(0.0)).as("s"))
+      .localCheckpoint(true) // reused twice per iteration — materialize once
+    var ranks = sVec.select(col("id"), col("s").as("r"))
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val contrib = e.join(deg, "_src")
+        .join(ranks, col("_src") === col("id"))
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("r") / col("_deg")).as("_c"))
+      val dangling = ranks.join(srcs, col("id") === col("_src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("_dm"))
+      ranks = sVec.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1.0 - damping) * col("s") + lit(damping) *
+            (coalesce(col("_c"), lit(0.0)) + col("_dm") * col("s"))).as("r"))
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("rank"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph, by the
     * degree-oriented wedge algorithm (Latapy's compact-forward, TCS'08 —
     * the standard distributed formulation, cf. Suri & Vassilvitskii,

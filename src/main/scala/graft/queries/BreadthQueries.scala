@@ -480,6 +480,23 @@ object BreadthQueries {
         iters = 3)
     }),
 
+    // ── personalized PageRank on the q162 geo tree, restarting at the
+    //    region roots: mass concentrates around the seeds instead of
+    //    spreading uniformly — the seed-expansion relatedness measure
+    "q276_ppr" -> ((s, d) => {
+      val edges = Tables.customer(s, d).select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("src"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+        .union(Tables.nation(s, d).select(
+          concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("r"), col("n_regionkey").cast("string")).as("dst")))
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+      graft.analytics.Graph.pageRankPersonalized(edges, "src", "dst",
+        nodes, "id", seeds = nodes.filter(col("id").startsWith("r")),
+        iters = 3)
+    }),
+
     // ── per-node triangle counts on the nation trade graph (edges =
     //    customer-nation ↔ supplier-nation pairs observed on line items)
     "q220_triangles" -> ((s, d) =>
@@ -1093,6 +1110,41 @@ object BreadthQueries {
          |srcs AS (SELECT DISTINCT src FROM e0),
          |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
          |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |$body
+         |SELECT id, round(r, 6) AS rank FROM r3""".stripMargin
+    },
+    // personalized PageRank: the q162 replay with the uniform 1/N restart
+    // replaced by the region-seed vector (restart AND dangling mass)
+    "q276_ppr" -> {
+      val body = (1 to 3).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS id, sum(p.r / d.deg) AS c
+           |  FROM e0 e JOIN $p p ON e.src = p.id JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |d$i AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM $p p
+           |  LEFT JOIN srcs s2 ON p.id = s2.src WHERE s2.src IS NULL),
+           |r$i AS (SELECT sv.id,
+           |    (1.0 - 0.85) * sv.s
+           |      + 0.85 * (coalesce(c$i.c, 0.0) + d$i.dm * sv.s) AS r
+           |  FROM sv CROSS JOIN d$i
+           |  LEFT JOIN c$i ON sv.id = c$i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT 'c' || c_custkey::VARCHAR AS src,
+         |           'n' || c_nationkey::VARCHAR AS dst FROM customer
+         |    UNION ALL
+         |    SELECT 'n' || n_nationkey::VARCHAR,
+         |           'r' || n_regionkey::VARCHAR FROM nation)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |srcs AS (SELECT DISTINCT src FROM e0),
+         |sd AS (SELECT id FROM nodes WHERE id LIKE 'r%'),
+         |nsd AS (SELECT count(*)::DOUBLE AS ns FROM sd),
+         |sv AS (SELECT nodes.id,
+         |    CASE WHEN sd.id IS NOT NULL THEN 1.0 / nsd.ns ELSE 0.0 END AS s
+         |  FROM nodes CROSS JOIN nsd LEFT JOIN sd ON nodes.id = sd.id),
+         |r0 AS (SELECT id, s AS r FROM sv),
          |$body
          |SELECT id, round(r, 6) AS rank FROM r3""".stripMargin
     },

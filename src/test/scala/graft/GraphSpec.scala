@@ -315,6 +315,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("pageRankPersonalized: seeding every node recovers plain PageRank; " +
+       "seed restarts conserve mass and concentrate it") {
+    val edges = Seq("a" -> "b", "b" -> "a", "c" -> "a", "c" -> "b", "b" -> "d")
+      .toDF("s", "t")
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val plain = Graph.pageRank(edges, "s", "t", nodes, "id", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val allSeeds = Graph.pageRankPersonalized(edges, "s", "t", nodes, "id",
+        seeds = nodes, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(allSeeds == plain)
+    val seeded = Graph.pageRankPersonalized(edges, "s", "t", nodes, "id",
+        seeds = Seq("c").toDF("id"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(seeded.values.sum - 1.0) < 1e-5, seeded)
+    // c holds all restart mass; d only receives via b — strictly less
+    assert(seeded("c") > plain("c") && seeded("d") < plain("d"), seeded)
+  }
+
   test("kTruss: bridges peel, triangles survive with in-truss supports; " +
        "K4 is a 4-truss but loses it with any edge removed") {
     // two triangles sharing node 3, plus a bridge to a pendant
