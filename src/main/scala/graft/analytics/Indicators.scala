@@ -1793,6 +1793,33 @@ object Indicators {
     * rows (keys…, ord, y, yhat, lo, hi, covered, n_cal, qhat, coverage)
     * with lo/hi/qhat/coverage rounded at 6 dp; series whose calibration
     * or holdout side is empty emit nothing. */
+  /** Winkler interval score (Gneiting & Raftery, JASA 2007 eq. 43) — the
+    * proper scoring rule for interval forecasts, penalizing width always
+    * and misses by (2/α)·overshoot: narrow-but-honest intervals win, and
+    * no forecaster can game it by widening or narrowing. 2/α arrives as
+    * the precomputed `invAlpha` (20 for the 90% interval). One
+    * map-side-combined aggregate; per-row score terms quantize to
+    * DECIMAL(28,10) pre-sum (partition-order independence). Composes with
+    * [[conformalNaive]]'s output (q277). Emits per key:
+    * (n_obs, mean_width, coverage, mean_interval_score) at 6 dp. */
+  def intervalScore(df: DataFrame, y: String, lo: String, hi: String,
+                    keys: Seq[String], invAlpha: Double = 20.0): DataFrame = {
+    val width = col(hi) - col(lo)
+    val below = when(col(y) < col(lo),
+      lit(invAlpha) * (col(lo) - col(y))).otherwise(lit(0.0))
+    val above = when(col(y) > col(hi),
+      lit(invAlpha) * (col(y) - col(hi))).otherwise(lit(0.0))
+    val term = width + below + above
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_obs"),
+      round(sum(width.cast("decimal(28,10)")).cast("double") /
+        count(lit(1)), 6).as("mean_width"),
+      round(sum((col(y) >= col(lo) && col(y) <= col(hi)).cast("int"))
+        .cast("double") / count(lit(1)), 6).as("coverage"),
+      round(sum(term.cast("decimal(28,10)")).cast("double") /
+        count(lit(1)), 6).as("mean_interval_score"))
+  }
+
   def conformalNaive(df: DataFrame, value: String, keys: Seq[String],
                      ordCol: String, alphaNum: Int = 1, alphaDen: Int = 10,
                      calFrac: Double = 0.8): DataFrame = {

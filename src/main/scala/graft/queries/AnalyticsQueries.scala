@@ -287,6 +287,19 @@ object AnalyticsQueries {
         Seq("user_id"), "bar", alphaNum = 1, alphaDen = 10, calFrac = 0.8)
     }),
 
+    // ── Winkler interval score of the q272 conformal intervals: the
+    //    proper scoring rule (width + (2/α)·miss overshoot) plus coverage
+    //    and mean width per series — the eval half of interval forecasting
+    "q277_interval_score" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      val conf = graft.analytics.Indicators.conformalNaive(bars, "close",
+        Seq("user_id"), "bar", alphaNum = 1, alphaDen = 10, calFrac = 0.8)
+      graft.analytics.Indicators.intervalScore(conf, "y", "lo", "hi",
+        Seq("user_id"), invAlpha = 20.0)
+    }),
+
     // ── classic additive seasonal decomposition of the hourly bars at an
     //    odd period of 5 (centered MA trend, re-centered phase means)
     "q254_seasonal" -> ((s, d) => {
@@ -1039,6 +1052,39 @@ object AnalyticsQueries {
     (base +: chains.flatMap(_._1)).mkString("WITH ", ",\n", "\n") +
       chains.map(_._2).mkString("\nUNION ALL\n")
   }
+
+  /** The split-conformal chain ending in `conf(user_id, bar, y, yhat,
+    * lo, hi, covered, n_cal, qhat, coverage)` — q272 selects it directly;
+    * q277 scores the intervals on top. */
+  private val ConformalCtes =
+    """bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
+      |  arg_max(value, ts) AS close FROM events
+      | WHERE value IS NOT NULL GROUP BY 1, 2),
+      |lagd AS (SELECT user_id, bar, close,
+      |  lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS yhat FROM bars),
+      |idx AS (SELECT user_id, bar, close, yhat,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar) AS BIGINT) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      | FROM lagd WHERE yhat IS NOT NULL),
+      |nc AS (SELECT *, CAST(ceil(CAST(n AS DECIMAL(20,0)) * 0.80) AS BIGINT) AS ncal
+      | FROM idx),
+      |cal AS (SELECT user_id, bar, abs(close - yhat) AS r, ncal
+      | FROM nc WHERE rn <= ncal),
+      |rr AS (SELECT user_id, r, ncal,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY r, bar) AS BIGINT) AS rrn
+      | FROM cal),
+      |qh AS (SELECT user_id, r AS qhat FROM rr
+      | WHERE rrn = least(CAST(floor(CAST((ncal + 1) * 9 + 9 AS DOUBLE) / 10) AS BIGINT), ncal)),
+      |cov AS (SELECT nc.user_id, bar, close, yhat, ncal, qhat,
+      |  CASE WHEN close >= yhat - qhat AND close <= yhat + qhat
+      |    THEN 1 ELSE 0 END AS covered
+      | FROM nc JOIN qh USING (user_id) WHERE rn > ncal),
+      |conf AS (SELECT user_id, bar, close AS y, yhat,
+      | round(yhat - qhat, 6) AS lo, round(yhat + qhat, 6) AS hi,
+      | covered, ncal AS n_cal, round(qhat, 6) AS qhat,
+      | round(CAST(sum(covered) OVER (PARTITION BY user_id) AS DOUBLE)
+      |   / count(*) OVER (PARTITION BY user_id), 6) AS coverage
+      |FROM cov)""".stripMargin
 
   /** The Holt recursive-CTE chain ending in `st(user_id, rn, bar, close,
     * l, b, f)` — q253 selects it directly; q257 evaluates forecast
@@ -1974,34 +2020,25 @@ object AnalyticsQueries {
     // rank are decimal/integer-exact; residual ties at rank k break by
     // bar, so q̂ is the identical order statistic in both engines
     "q272_conformal" ->
-      """WITH bars AS (SELECT user_id, date_trunc('hour', ts) AS bar,
-        |  arg_max(value, ts) AS close FROM events
-        | WHERE value IS NOT NULL GROUP BY 1, 2),
-        |lagd AS (SELECT user_id, bar, close,
-        |  lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS yhat FROM bars),
-        |idx AS (SELECT user_id, bar, close, yhat,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar) AS BIGINT) AS rn,
-        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-        | FROM lagd WHERE yhat IS NOT NULL),
-        |nc AS (SELECT *, CAST(ceil(CAST(n AS DECIMAL(20,0)) * 0.80) AS BIGINT) AS ncal
-        | FROM idx),
-        |cal AS (SELECT user_id, bar, abs(close - yhat) AS r, ncal
-        | FROM nc WHERE rn <= ncal),
-        |rr AS (SELECT user_id, r, ncal,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY r, bar) AS BIGINT) AS rrn
-        | FROM cal),
-        |qh AS (SELECT user_id, r AS qhat FROM rr
-        | WHERE rrn = least(CAST(floor(CAST((ncal + 1) * 9 + 9 AS DOUBLE) / 10) AS BIGINT), ncal)),
-        |cov AS (SELECT nc.user_id, bar, close, yhat, ncal, qhat,
-        |  CASE WHEN close >= yhat - qhat AND close <= yhat + qhat
-        |    THEN 1 ELSE 0 END AS covered
-        | FROM nc JOIN qh USING (user_id) WHERE rn > ncal)
-        |SELECT user_id, bar, close AS y, yhat,
-        | round(yhat - qhat, 6) AS lo, round(yhat + qhat, 6) AS hi,
-        | covered, ncal AS n_cal, round(qhat, 6) AS qhat,
-        | round(CAST(sum(covered) OVER (PARTITION BY user_id) AS DOUBLE)
-        |   / count(*) OVER (PARTITION BY user_id), 6) AS coverage
-        |FROM cov""".stripMargin,
+      s"""WITH $ConformalCtes
+         |SELECT user_id, bar, y, yhat, lo, hi, covered, n_cal, qhat,
+         | coverage
+         |FROM conf""".stripMargin,
+    // interval score over the conformal chain: per-row score terms
+    // quantized to DECIMAL pre-sum, the (width + below) + above op order
+    // pinned against the Spark side, 20.0 = 2/α exact in both engines
+    "q277_interval_score" ->
+      s"""WITH $ConformalCtes
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         | round(CAST(sum(CAST(hi - lo AS DECIMAL(28,10))) AS DOUBLE)
+         |   / count(*), 6) AS mean_width,
+         | round(CAST(sum(CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS coverage,
+         | round(CAST(sum(CAST((hi - lo)
+         |   + (CASE WHEN y < lo THEN 20.0 * (lo - y) ELSE 0.0 END)
+         |   + (CASE WHEN y > hi THEN 20.0 * (y - hi) ELSE 0.0 END)
+         |   AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_interval_score
+         |FROM conf GROUP BY 1""".stripMargin,
     // decomposition replay: trend from the same centered decimal-mean,
     // detrended phase means re-centered by the per-key phase-mean average;
     // rounding order (trend/seasonal at 6dp BEFORE resid) mirrored exactly

@@ -1628,4 +1628,15 @@ class IndicatorsSpec extends SparkSpec {
     assert(r10.getDouble(4) == -1.0 && r10.getDouble(5) == 1.0)
     assert(r10.getDouble(9) == 0.5)                         // coverage 1/2
   }
+
+  test("intervalScore: hand Winkler scores — inside pays width, misses " +
+       "pay width plus 20x the overshoot") {
+    val df = Seq(("k", 5.0, 4.0, 6.0), ("k", 3.0, 4.0, 6.0),
+      ("k", 7.0, 4.0, 6.0)).toDF("g", "y", "lo", "hi")
+    val r = Indicators.intervalScore(df, "y", "lo", "hi", Seq("g")).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0)                       // mean width
+    assert(r.getDouble(3) == 0.333333)                  // coverage
+    assert(r.getDouble(4) == 15.333333)                 // (2 + 22 + 22)/3
+  }
 }
