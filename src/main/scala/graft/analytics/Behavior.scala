@@ -295,6 +295,47 @@ object Behavior {
       .drop("_s", "_w")
   }
 
+  /** First/last-touch conversion attribution — the marketing-OLAP
+    * standard: each conversion event credits (a) the user's most recent
+    * preceding touch (last-touch) and (b) the user's earliest preceding
+    * touch (first-touch); conversions with no preceding touch land on
+    * the explicit "(none)" channel rather than silently dropping.
+    *
+    * Both running touches come from ONE per-user ordered window
+    * (first/last with ignoreNulls over UNBOUNDED PRECEDING..1 PRECEDING)
+    * — per-user partitions at user-cardinality parallelism, the same
+    * contract as the funnel/retention family; `ts` must be unique within
+    * a user (it is globally unique in the events table). The channel
+    * rollup is a |channels|-sized aggregate. Emits one row per channel:
+    * (channel, first_touch, last_touch, first_share, last_share). */
+  def attribution(df: DataFrame, user: String, ts: String, etype: String,
+                  conversion: String, touches: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = df
+      .withColumn("_touch", when(col(etype).isin(touches: _*), col(etype)))
+      .withColumn("_lt", last(col("_touch"), ignoreNulls = true).over(w))
+      .withColumn("_ft", first(col("_touch"), ignoreNulls = true).over(w))
+      .filter(col(etype) === conversion)
+      .select(coalesce(col("_lt"), lit("(none)")).as("_lt"),
+        coalesce(col("_ft"), lit("(none)")).as("_ft"))
+    val ft = conv.groupBy(col("_ft").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lt = conv.groupBy(col("_lt").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    val both = ft.join(lt, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    both
+      .withColumn("first_share", round(col("first_touch").cast("double") /
+        sum(col("first_touch")).over(wAll), 6))
+      .withColumn("last_share", round(col("last_touch").cast("double") /
+        sum(col("last_touch")).over(wAll), 6))
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) with
     * right censoring: subjects are the distinct `keys` combinations, a
     * subject's duration is last-seen − first-seen in whole hours, and a

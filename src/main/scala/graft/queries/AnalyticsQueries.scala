@@ -259,6 +259,14 @@ object AnalyticsQueries {
         Seq("user_id"), Seq(col("bar")))
     }),
 
+    // ── first/last-touch conversion attribution: purchases credit the
+    //    most recent and the earliest preceding touch per user; untouched
+    //    conversions land on the explicit "(none)" channel
+    "q278_attribution" -> ((s, d) =>
+      graft.analytics.Behavior.attribution(Tables.events(s, d), "user_id",
+        "ts", "event_type", conversion = "purchase",
+        touches = Seq("view", "click", "signup"))),
+
     // ── Kaplan–Meier survival with right censoring: subjects are
     //    (user, event_type) activity spans, durations in whole hours,
     //    spans still alive within 3 days of the window end are censored
@@ -1944,6 +1952,34 @@ object AnalyticsQueries {
          | round(rmse_d, 6) AS rmse, round(smape_d, 6) AS smape,
          | CASE WHEN nmae_d > 0 THEN round(mae_d / nmae_d, 6) END AS mase
          |FROM a""".stripMargin,
+    // attribution: IGNORE NULLS running first/last over the same
+    // preceding-rows frame; ts is globally unique so the order is total
+    "q278_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN event_type IN ('view','click','signup')
+        |    THEN event_type END AS touch
+        | FROM events),
+        |c AS (SELECT event_type,
+        |  coalesce(last_value(touch IGNORE NULLS) OVER w, '(none)') AS lt,
+        |  coalesce(first_value(touch IGNORE NULLS) OVER w, '(none)') AS ft
+        | FROM t
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |cv AS (SELECT lt, ft FROM c WHERE event_type = 'purchase'),
+        |f AS (SELECT ft AS channel, CAST(count(*) AS BIGINT) AS first_touch
+        |  FROM cv GROUP BY 1),
+        |l AS (SELECT lt AS channel, CAST(count(*) AS BIGINT) AS last_touch
+        |  FROM cv GROUP BY 1),
+        |b AS (SELECT coalesce(f.channel, l.channel) AS channel,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch
+        | FROM f FULL OUTER JOIN l ON f.channel = l.channel)
+        |SELECT channel, first_touch, last_touch,
+        | round(CAST(first_touch AS DOUBLE)
+        |   / CAST(sum(first_touch) OVER () AS DOUBLE), 6) AS first_share,
+        | round(CAST(last_touch AS DOUBLE)
+        |   / CAST(sum(last_touch) OVER () AS DOUBLE), 6) AS last_share
+        |FROM b""".stripMargin,
     // Kaplan–Meier: epoch seconds via the boundary-crossing mirror of
     // Spark's cast(ts AS long); ln(1−d/n) terms quantized to DECIMAL
     // before the cumulative sum; factor-0 durations pin survival to 0

@@ -213,6 +213,25 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 3L, 0L, 1L, 1.0), (1L, 2L, 2L, 0L, 0.0)), got)
   }
 
+  test("attribution: first vs last touch diverge on a touch-switching " +
+       "user; untouched conversions credit '(none)'") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1: view → click → purchase (first=view, last=click)
+    // u2: purchase with no prior touch → (none); then click → purchase
+    val ev = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"),
+      ("u2", 1L, "purchase"), ("u2", 2L, "click"), ("u2", 3L, "purchase"))
+      .toDF("u", "secs", "et")
+      .select(col("u"), to_timestamp(col("secs")).as("ts"), col("et"))
+    val got = Behavior.attribution(ev, "u", "ts", "et", "purchase",
+        Seq("view", "click"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("view") == ((1L, 0L, q6(1.0 / 3), 0.0)))
+    assert(got("click") == ((1L, 2L, q6(1.0 / 3), q6(2.0 / 3))))
+    assert(got("(none)") == ((1L, 1L, q6(1.0 / 3), q6(1.0 / 3))))
+  }
+
   test("diffInDiff: hand 2x2 cells, unpooled SE, degenerate-cell guard") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
