@@ -179,7 +179,28 @@ object Plans {
       "q263_semdedup_pairs" -> Seq("graft_cosine"),
       "q264_ann_incremental" -> Seq("graft_cosine", "BroadcastHashJoin"),
       // semantic clusters: label propagation reads checkpointed RDDs
-      "q265_semantic_clusters" -> Seq("Scan ExistingRDD"))
+      "q265_semantic_clusters" -> Seq("Scan ExistingRDD"),
+      // ER pairs: native codegen'd Jaro–Winkler scoring a blocked
+      // EQUI-join — a nested loop here would be the n² the blocks avoid
+      "q267_er_pairs" -> Seq("graft_jaro_winkler", "HashJoin", "!NestedLoopJoin"),
+      // entity closure / k-core / k-truss / PPR: iterative ops return
+      // plans over round-checkpointed RDDs (lineage truncation)
+      "q268_er_entities" -> Seq("Scan ExistingRDD"),
+      "q269_kcore" -> Seq("Scan ExistingRDD"),
+      "q275_ktruss" -> Seq("Scan ExistingRDD", "!NestedLoopJoin"),
+      "q276_ppr" -> Seq("Scan ExistingRDD"),
+      // DSIR: the 256-bucket log-ratio table broadcasts onto the per-doc
+      // counts; the top-k runs through the binned two-pass selection
+      "q271_dsir" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      // assortativity / DiD: pure aggregate pipelines
+      "q270_assortativity" -> Seq("HashAggregate"),
+      "q274_did" -> Seq("HashAggregate"),
+      // KM / conformal / interval score / attribution: ordered windows
+      // over calendar-bounded or per-key frames + hash aggregates
+      "q273_kaplan_meier" -> Seq("Window", "HashAggregate"),
+      "q272_conformal" -> Seq("Window"),
+      "q277_interval_score" -> Seq("Window", "HashAggregate"),
+      "q278_attribution" -> Seq("Window", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
