@@ -200,7 +200,12 @@ object Plans {
       "q273_kaplan_meier" -> Seq("Window", "HashAggregate"),
       "q272_conformal" -> Seq("Window"),
       "q277_interval_score" -> Seq("Window", "HashAggregate"),
-      "q278_attribution" -> Seq("Window", "HashAggregate"))
+      "q278_attribution" -> Seq("Window", "HashAggregate"),
+      // semantic decontamination: IVF-routed candidates (broadcast
+      // routing), native fused cosine — never corpus x eval
+      "q279_sem_decontaminate" -> Seq("graft_cosine", "BroadcastHashJoin"),
+      // LTV: cohort assignment join + calendar-bounded cumulative window
+      "q280_ltv" -> Seq("Window", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

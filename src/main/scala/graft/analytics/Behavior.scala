@@ -295,6 +295,39 @@ object Behavior {
       .drop("_s", "_w")
   }
 
+  /** Cohort LTV curve: users cohorted by first-seen day, revenue rolled
+    * up per (cohort, week-of-life), and the running cumulative value per
+    * cohort member — the "how much is a week-0 user worth by week N"
+    * curve that pairs with [[retention]].
+    *
+    * Scale shape: one per-user min (cohort assignment, user-keyed
+    * shuffle), one (cohort, week) revenue aggregate with per-row values
+    * quantized to DECIMAL(28,10) pre-sum, then a cumulative window over
+    * the calendar-bounded week-of-life axis per cohort. Weeks with no
+    * revenue emit no row; the cumulative sum over present weeks is
+    * unchanged by the gaps. Emits (cohort, age_week, n_users, wk_value,
+    * ltv) with money at 6 dp. */
+  def ltvCurve(df: DataFrame, user: String, ts: String,
+               value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = df.groupBy(col(user))
+      .agg(min(to_date(col(ts))).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val rev = df.filter(col(value).isNotNull)
+      .join(first, Seq(user))
+      .groupBy(col("cohort"),
+        floor(datediff(to_date(col(ts)), col("cohort")) / lit(7.0))
+          .cast("long").as("age_week"))
+      .agg(sum(col(value).cast("decimal(28,10)")).as("_wk"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort"))
+      .withColumn("_cum", sum(col("_wk")).over(wCum))
+      .select(col("cohort"), col("age_week"), col("n_users"),
+        round(col("_wk").cast("double"), 6).as("wk_value"),
+        round(col("_cum").cast("double") / col("n_users"), 6).as("ltv"))
+  }
+
   /** First/last-touch conversion attribution — the marketing-OLAP
     * standard: each conversion event credits (a) the user's most recent
     * preceding touch (last-touch) and (b) the user's earliest preceding

@@ -259,6 +259,12 @@ object AnalyticsQueries {
         Seq("user_id"), Seq(col("bar")))
     }),
 
+    // ── cohort LTV curve: first-seen-day cohorts, weekly revenue, and
+    //    the running cumulative value per cohort member
+    "q280_ltv" -> ((s, d) =>
+      graft.analytics.Behavior.ltvCurve(Tables.events(s, d), "user_id",
+        "ts", "value")),
+
     // ── first/last-touch conversion attribution: purchases credit the
     //    most recent and the earliest preceding touch per user; untouched
     //    conversions land on the explicit "(none)" channel
@@ -1952,6 +1958,24 @@ object AnalyticsQueries {
          | round(rmse_d, 6) AS rmse, round(smape_d, 6) AS smape,
          | CASE WHEN nmae_d > 0 THEN round(mae_d / nmae_d, 6) END AS mase
          |FROM a""".stripMargin,
+    // LTV: per-row values quantized to DECIMAL pre-sum; the cumulative
+    // window rides the calendar-bounded (cohort, week-of-life) axis
+    "q280_ltv" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY 1),
+        |r AS (SELECT f.cohort,
+        |  CAST(floor(date_diff('day', f.cohort, CAST(ts AS DATE)) / 7.0) AS BIGINT) AS age_week,
+        |  sum(CAST(value AS DECIMAL(28,10))) AS wk
+        | FROM events e JOIN f ON e.user_id = f.user_id
+        | WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT *, sum(wk) OVER (PARTITION BY cohort ORDER BY age_week
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r)
+        |SELECT c.cohort, age_week, n_users,
+        | round(CAST(wk AS DOUBLE), 6) AS wk_value,
+        | round(CAST(cum AS DOUBLE) / n_users, 6) AS ltv
+        |FROM c JOIN sz ON c.cohort = sz.cohort""".stripMargin,
     // attribution: IGNORE NULLS running first/last over the same
     // preceding-rows frame; ts is globally unique so the order is total
     "q278_attribution" ->

@@ -628,6 +628,15 @@ object ExtensionQueries {
           .withColumn("_noun", expr("split_part(p_name, ' ', 2)")),
         "p_partkey", "p_name", Seq("_noun", "p_size"), minSim = 0.9)),
 
+    // ── SEMANTIC decontamination: corpus vectors within cosine 0.35 of
+    //    any eval vector (eval = vec_id % 10 == 0) via IVF-routed
+    //    candidates — the paraphrase-robust complement to lexical q85
+    "q279_sem_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Curate.semanticDecontaminate(e, e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", minSim = 0.35, k = 50)
+    }),
+
     // ── DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     //    bag models for target (lang=en) vs raw corpus, per-doc importance
     //    weights, Gumbel-top-k resample — deterministic via the salted
@@ -1847,6 +1856,29 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
          |    / count(*) OVER (), 6) AS macro_ndcg
          |FROM pq""".stripMargin,
+    // semantic decontamination: the q48 routing chain with eval queries,
+    // rank <= 50 candidates, sim >= 0.35 hits rolled up per corpus vector
+    "q279_sem_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn = 1),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim
+         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id),
+         |topk AS (SELECT q_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         | WHERE rank <= 50),
+         |hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |  max(sim) AS max_eval_sim FROM topk WHERE sim >= 0.35 GROUP BY 1)
+         |SELECT emb.vec_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+         |  h.max_eval_sim,
+         |  CAST(h.max_eval_sim IS NOT NULL AS INT) AS contaminated
+         |FROM embeddings emb LEFT JOIN hits h ON emb.vec_id = h.vec_id""".stripMargin,
     // DSIR: hashed uni+bigram bucket counts, add-1/2 smoothed log-ratios
     // quantized to DECIMAL before the per-doc sum, Gumbel keys from the
     // salted hash, global top-100 by (score, doc_id)

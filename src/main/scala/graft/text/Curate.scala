@@ -245,6 +245,33 @@ object Curate {
         col("dup_2gram_ratio"), col("stop_ratio"), col("reasons"), col("keep"))
   }
 
+  /** Semantic benchmark decontamination: flag corpus members whose
+    * EMBEDDING sits within `minSim` cosine of any eval-set vector — the
+    * paraphrase-robust complement to the lexical n-gram overlap of
+    * [[contamination]] (a reworded eval question shares no 8-gram but
+    * keeps its embedding neighborhood). Candidates come from the IVF
+    * cell-routed search ([[graft.sim.Similarity.annIvf]]), so the join
+    * is posting-list-shaped, never corpus × eval; detection recall is
+    * bounded by the per-eval-query `k` cap and the routing (raise k /
+    * probe more cells for a stricter sweep — the q246 trade-off).
+    * Emits every corpus id with (n_eval_hits, max_eval_sim,
+    * contaminated); the eval set's own vectors match only as non-self
+    * neighbors. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            id: String, emb: String, cell: String,
+                            minSim: Double, k: Int = 50): DataFrame = {
+    val hits = graft.sim.Similarity.annIvf(corpus, evalSet, id, emb, cell, k)
+      .filter(col("sim") >= minSim)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_eval_sim"))
+    corpus.select(col(id).as("vec_id"))
+      .join(hits, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_eval_sim"),
+        col("max_eval_sim").isNotNull.cast("int").as("contaminated"))
+  }
+
   /** DSIR — Data Selection with Importance Resampling (Xie et al.,
     * NeurIPS 2023): pick the k raw-corpus documents that look most like a
     * target distribution, under hashed-n-gram bag models.

@@ -213,6 +213,23 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 3L, 0L, 1L, 1.0), (1L, 2L, 2L, 0L, 0.0)), got)
   }
 
+  test("ltvCurve: weekly rollup, cumulative per cohort member, gaps ok") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val day = 86400L
+    val ev = Seq(
+      ("u1", 0L, Some(10.0)), ("u1", 8L * day, Some(20.0)),
+      ("u2", 0L, Some(5.0)), ("u2", 1L * day, None))  // null value ignored
+      .toDF("u", "secs", "v")
+      .select(col("u"), to_timestamp(col("secs")).as("ts"), col("v"))
+    val got = Behavior.ltvCurve(ev, "u", "ts", "v")
+      .orderBy("age_week")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // cohort 1970-01-01, 2 users: week 0 = 15 (ltv 7.5), week 1 = 20
+    // (cumulative 35 → ltv 17.5)
+    assert(got == Seq((0L, 2L, 15.0, 7.5), (1L, 2L, 20.0, 17.5)), got)
+  }
+
   test("attribution: first vs last touch diverge on a touch-switching " +
        "user; untouched conversions credit '(none)'") {
     import org.apache.spark.sql.functions.{col, to_timestamp}

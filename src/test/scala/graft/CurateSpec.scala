@@ -215,6 +215,26 @@ class CurateSpec extends SparkSpec {
     assert(clean(3L) == "") // fully-boilerplate doc survives with empty text
   }
 
+  test("semanticDecontaminate flags embedding neighbors of the eval set " +
+       "and leaves orthogonal vectors clean") {
+    // cell "a": eval vector 10 and near-copy 1 (contaminated), plus an
+    // orthogonal vector 2; cell "b": vector 3, no eval vector routes there
+    val rows = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f), "a"),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), "a"),
+      (2L, Seq(0f, 0f, 1f, 0f), "a"),
+      (3L, Seq(0f, 0f, 0f, 1f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Curate.semanticDecontaminate(rows,
+        rows.filter(col("vec_id") === 10), "vec_id", "embedding", "label",
+        minSim = 0.8, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    assert(got(1L) == ((1L, 1)))   // near-copy: one eval hit
+    assert(got(2L) == ((0L, 0)))   // same cell, orthogonal
+    assert(got(3L) == ((0L, 0)))   // other cell, never a candidate
+    assert(got(10L) == ((0L, 0)))  // the eval vector itself: self excluded
+  }
+
   test("dsirResample prefers target-like docs and is partition-invariant") {
     // two disjoint vocabularies: docs 1-10 "target-like", 11-30 not; mark
     // only 1-5 as target — DSIR should pull 6-10 (target-LIKE but not
