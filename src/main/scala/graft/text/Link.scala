@@ -21,7 +21,7 @@ import graft.expressions.JaroWinkler
   * — and surfaced there instead of silently exploding the shuffle. At
   * 100 TB the blocking key must carry enough entropy to keep |B| bounded
   * (prefix+attribute compounds, as q267 does with noun+size); for long
-  * free-text fields use MinHash LSH ([[Dedup.lshBuckets]]) instead —
+  * free-text fields use MinHash LSH ([[Dedup.minhashCandidates]]) instead —
   * Jaro–Winkler is the short-name-field instrument.
   */
 object Link {
