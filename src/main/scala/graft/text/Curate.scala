@@ -304,8 +304,13 @@ object Curate {
       .withColumn("_g", explode(concat(col("_w"), TextOps.wordShingles("_w", 2))))
       .select(col(id), col("_t"),
         pmod(TextOps.h64(col("_g")), lit(buckets.toLong)).as("_b"))
+    // (doc, bucket) counts feed BOTH the bucket models and the per-doc
+    // weights — persist so the gram explode + md5 hashing runs once, not
+    // twice (≤ `buckets` rows per doc, far smaller than the gram stream;
+    // the ContextCleaner frees the entry when the plan is dropped)
     val perDoc = grams.groupBy(col(id), col("_t"), col("_b"))
       .agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = perDoc.groupBy("_b").agg(
       sum("_n").as("_rc"),
       sum(when(col("_t"), col("_n")).otherwise(lit(0L))).as("_tc"))
