@@ -394,6 +394,57 @@ object Stats {
       .groupBy(col("key"))
       .agg(min(col("c")).as("cm_est"))
 
+  /** Classifier calibration report (Guo et al., ICML 2017 conventions):
+    * from a per-(doc, class) posterior frame and a truth table, the
+    * `bins`-bin reliability diagram on the argmax confidence (per-bin n,
+    * mean confidence, accuracy), the expected calibration error
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, and the multi-class Brier score
+    * (mean over docs of Σ_c (p_c − 1{c=truth})²) — the evaluation
+    * companion the NB filter (q256) and any probabilistic curation
+    * classifier need before their scores gate real data.
+    *
+    * Scale shape: one truth join (doc-keyed), one |classes|-row window
+    * per doc for the argmax, one per-doc Brier aggregate, then
+    * everything rides the bins-sized frame. Brier and ECE terms quantize
+    * to DECIMAL pre-sum. Emits one row per non-empty bin:
+    * (bin, n, avg_conf, accuracy, ece, brier) — ece/brier constant
+    * across rows, all at 6 dp. */
+  def calibrationReport(probs: DataFrame, id: String, classCol: String,
+                        p: String, truth: DataFrame, truthLabel: String,
+                        bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = probs.join(truth.select(col(id), col(truthLabel).as("_y")), Seq(id))
+      .withColumn("_hit", (col(classCol) === col("_y")).cast("int"))
+    val docB = j.groupBy(col(id)).agg(
+      sum(((col(p) - col("_hit")) * (col(p) - col("_hit")))
+        .cast("decimal(28,12)")).as("_b"))
+    val brier = docB.agg(
+      (sum(col("_b")).cast("double") / count(lit(1))).as("_brier"))
+    val w = Window.partitionBy(col(id)).orderBy(col(p).desc, col(classCol).asc)
+    val top = j.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val binned = top
+      .withColumn("bin", least(floor(col(p) * bins).cast("long"),
+        lit(bins - 1L)))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col(p).cast("decimal(28,12)")).as("_cs"),
+        sum(col("_hit")).as("_hits"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    binned
+      .withColumn("_term", (col("n").cast("double") *
+          abs(col("_cs").cast("double") / col("n") -
+            col("_hits").cast("double") / col("n")))
+        .cast("decimal(28,12)"))
+      .withColumn("ece", round(
+        sum(col("_term")).over(wAll).cast("double") /
+          sum(col("n")).over(wAll), 6))
+      .crossJoin(broadcast(brier))
+      .select(col("bin"), col("n"),
+        round(col("_cs").cast("double") / col("n"), 6).as("avg_conf"),
+        round(col("_hits").cast("double") / col("n"), 6).as("accuracy"),
+        col("ece"), round(col("_brier"), 6).as("brier"))
+  }
+
   /** k-fold cross-validation assignment: fold = salted-hash of the id mod
     * k — deterministic, engine-portable, stable under data growth (the
     * same contract as `Mix.splitAssign`). */

@@ -628,6 +628,12 @@ object ExtensionQueries {
           .withColumn("_noun", expr("split_part(p_name, ' ', 2)")),
         "p_partkey", "p_name", Seq("_noun", "p_size"), minSim = 0.9)),
 
+    // ── TEXTRANK corpus keywords: PageRank over the adjacent-content-word
+    //    co-occurrence graph (window 2, stopwords out) — the centrality
+    //    complement to RAKE's degree/frequency phrase scoring
+    "q281_textrank" -> ((s, d) =>
+      TextOps.textRank(Tables.documents(s, d), "text")),
+
     // ── SEMANTIC decontamination: corpus vectors within cosine 0.35 of
     //    any eval vector (eval = vec_id % 10 == 0) via IVF-routed
     //    candidates — the paraphrase-robust complement to lexical q85
@@ -740,6 +746,21 @@ object ExtensionQueries {
     "q256_nb_domain" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.text.NaiveBayes.trainScore(docs, docs, "doc_id", "source", "text")
+    }),
+
+    // ── CLASSIFIER CALIBRATION: NB trained on folds 1-4, scored on fold
+    //    0 with full softmax posteriors → reliability bins, ECE, and the
+    //    multi-class Brier score — the trust-the-filter evaluation
+    "q282_calibration" -> ((s, d) => {
+      val folded = graft.ops.Stats.kfoldAssign(Tables.documents(s, d),
+        "doc_id", 5)
+      val train = folded.filter(col("fold") =!= 0)
+      val test = folded.filter(col("fold") === 0)
+      val post = graft.text.NaiveBayes.posteriors(
+        graft.text.NaiveBayes.scoreAll(train, test, "doc_id", "source",
+          "text"), "doc_id")
+      graft.ops.Stats.calibrationReport(post, "doc_id", "label", "p",
+        test.select("doc_id", "source"), "source")
     }),
 
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
@@ -1856,6 +1877,105 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
          |    / count(*) OVER (), 6) AS macro_ndcg
          |FROM pq""".stripMargin,
+    // calibration: the q256 NB chain on a fold split (the per-token
+    // left-join floor IS the OOV closed form), softmax with DECIMAL-
+    // quantized exp terms, then bins/ECE/Brier with pinned op order
+    "q282_calibration" ->
+      raw"""WITH tk AS (SELECT doc_id, source,
+         |  regexp_split_to_array(trim(text), '\s+') AS w,
+         |  ('0x' || substr(md5(doc_id || ':fold'), 1, 15))::BIGINT % 5 AS fold
+         | FROM documents),
+         |tt AS MATERIALIZED (SELECT source AS c, unnest(w) AS tok FROM tk
+         | WHERE fold != 0),
+         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tt GROUP BY 1, 2),
+         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
+         |pr AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
+         | FROM tk WHERE fold != 0 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM tk WHERE fold != 0),
+         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT doc_id, unnest(w) AS tok FROM tk WHERE fold = 0)
+         | GROUP BY 1, 2),
+         |tm AS (SELECT st.doc_id, cs.c,
+         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
+         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         | FROM st CROSS JOIN cs CROSS JOIN vv
+         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
+         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.c,
+         |  round(CAST(slp AS DOUBLE)
+         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
+         |    AS logp
+         | FROM sc JOIN pr USING (c) CROSS JOIN nt),
+         |mx AS (SELECT *, max(logp) OVER (PARTITION BY doc_id) AS m FROM fin),
+         |ex AS (SELECT doc_id, c, CAST(exp(logp - m) AS DECIMAL(28,12)) AS e
+         | FROM mx),
+         |zz AS (SELECT *, sum(e) OVER (PARTITION BY doc_id) AS z FROM ex),
+         |post AS (SELECT doc_id, c AS label,
+         |  round(CAST(e AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p FROM zz),
+         |jt AS (SELECT p.doc_id, p.label, p.p,
+         |  CASE WHEN p.label = d.source THEN 1 ELSE 0 END AS hit
+         | FROM post p JOIN (SELECT doc_id, source FROM tk WHERE fold = 0) d
+         |   USING (doc_id)),
+         |db AS (SELECT doc_id,
+         |  sum(CAST((p - hit) * (p - hit) AS DECIMAL(28,12))) AS b
+         | FROM jt GROUP BY 1),
+         |br AS (SELECT CAST(sum(b) AS DOUBLE) / count(*) AS brier FROM db),
+         |tp AS (SELECT doc_id, p, hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY p DESC, label) AS rn FROM jt) WHERE rn = 1),
+         |bn AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(p AS DECIMAL(28,12))) AS cs2,
+         |  CAST(sum(hit) AS BIGINT) AS hits FROM tp GROUP BY 1)
+         |SELECT bin, n,
+         | round(CAST(cs2 AS DOUBLE) / n, 6) AS avg_conf,
+         | round(CAST(hits AS DOUBLE) / n, 6) AS accuracy,
+         | round(CAST(sum(CAST(CAST(n AS DOUBLE) *
+         |     abs(CAST(cs2 AS DOUBLE) / n - CAST(hits AS DOUBLE) / n)
+         |     AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |   / CAST(sum(n) OVER () AS BIGINT), 6) AS ece,
+         | round(brier, 6) AS brier
+         |FROM bn CROSS JOIN br""".stripMargin,
+    // TextRank: co-occurrence edges from the normalized token stream,
+    // then the q162 power-iteration replay (symmetrized, no dangling)
+    "q281_textrank" -> {
+      val stopIn = inList(TextOps.Stopwords("en"))
+      val body = (1 to 3).map { i =>
+        val p = s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS id, sum(p.r / d.deg) AS c
+           |  FROM e0 e JOIN $p p ON e.src = p.id JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |d$i AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM $p p
+           |  LEFT JOIN srcs s2 ON p.id = s2.src WHERE s2.src IS NULL),
+           |r$i AS (SELECT nodes.id,
+           |    (1.0 - 0.85) / nn.n
+           |      + 0.85 * (coalesce(c$i.c, 0.0) + d$i.dm / nn.n) AS r
+           |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+           |  LEFT JOIN c$i ON nodes.id = c$i.id)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH $normCte,
+         |tk AS (SELECT list_filter(regexp_split_to_array(t, '\s+'),
+         |    x -> length(x) > 0 AND NOT x IN ($stopIn)) AS w FROM nrm),
+         |pp AS (SELECT unnest(CASE WHEN len(w) >= 2
+         |  THEN list_transform(generate_series(1, len(w) - 1),
+         |    i -> [least(w[i], w[i+1]), greatest(w[i], w[i+1])])
+         |  ELSE [] END) AS p FROM tk),
+         |und AS (SELECT DISTINCT p[1] AS a, p[2] AS b FROM pp WHERE p[1] != p[2]),
+         |e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+         |nodes AS (SELECT DISTINCT src AS id FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |srcs AS (SELECT DISTINCT src FROM e0),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |$body,
+         |rk AS (SELECT id AS word, round(r, 6) AS rank FROM r3)
+         |SELECT word, rank, kw_rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rank DESC, word) AS kw_rank
+         |  FROM rk)
+         |WHERE kw_rank <= 30""".stripMargin
+    },
     // semantic decontamination: the q48 routing chain with eval queries,
     // rank <= 50 candidates, sim >= 0.35 hits rolled up per corpus vector
     "q279_sem_decontaminate" ->

@@ -42,8 +42,22 @@ import org.apache.spark.sql.functions._
   * via its smoothing floor. Output: (id, pred_label, logp). */
 object NaiveBayes {
 
+  /** Argmax prediction per doc: [[scoreAll]] + one |classes|-row window.
+    * Output: (id, pred_label, logp). */
   def trainScore(train: DataFrame, score: DataFrame, id: String,
                  label: String, text: String): DataFrame = {
+    val sa = scoreAll(train, score, id, label, text)
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("logp").desc, col("label").asc)
+    sa.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(id), col("label").as("pred_label"), col("logp"))
+  }
+
+  /** The full per-(doc, class) posterior log-scores — what [[trainScore]]
+    * argmaxes over, exposed so calibration/posterior consumers (q282) can
+    * see the whole distribution. Output: (id, label, logp@6dp). */
+  def scoreAll(train: DataFrame, score: DataFrame, id: String,
+               label: String, text: String): DataFrame = {
     val Dec = "decimal(28,12)"
     // NULL text → empty token list (split of "" yields [""] — drop it), so
     // null/blank docs are TOKEN-LESS rather than silently absent; on
@@ -117,9 +131,22 @@ object NaiveBayes {
       .join(broadcast(priors), "_c")
       .withColumn("logp",
         round(col("_slp").cast("double") + col("_lprior"), 6))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("logp").desc, col("_c").asc)
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(id), col("_c").as("pred_label"), col("logp"))
+    scored.select(col(id), col("_c").as("label"), col("logp"))
+  }
+
+  /** Softmax posteriors from [[scoreAll]]'s log-scores: per doc,
+    * p(c) = exp(logp_c − max) / Σ exp(logp − max) — the max-shifted form
+    * (no overflow), with each exp term quantized to DECIMAL(28,12) before
+    * the per-doc normalizer sum so the probabilities are partition-order-
+    * independent and oracle-exact. Windows ride |classes|-row partitions.
+    * Output: (id, label, p@6dp). */
+  def posteriors(scoredAll: DataFrame, id: String): DataFrame = {
+    val wd = Window.partitionBy(col(id))
+    scoredAll
+      .withColumn("_m", max(col("logp")).over(wd))
+      .withColumn("_e", exp(col("logp") - col("_m")).cast("decimal(28,12)"))
+      .withColumn("_z", sum(col("_e")).over(wd))
+      .select(col(id), col("label"),
+        round(col("_e").cast("double") / col("_z").cast("double"), 6).as("p"))
   }
 }

@@ -563,4 +563,46 @@ object TextOps {
         round(col("term_freq").cast("double") / col("doc_freq"), 6))
       .withColumn("adaptation",
         round(col("n_multi").cast("double") / col("doc_freq"), 6))
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): corpus
+    * keywords = PageRank over the word co-occurrence graph — an
+    * undirected edge joins every pair of adjacent content words
+    * (window 2, stopwords and empties removed after [[normalize]]), and
+    * a word's importance is its stationary mass under the q162 power
+    * iteration. The graph-centrality complement to [[rakeKeywords]]'s
+    * degree/frequency scoring: RAKE rewards long phrases, TextRank
+    * rewards words that bridge many contexts.
+    *
+    * Scale shape: the pair explode is scan-shaped; the distinct edge
+    * list is vocabulary²-bounded (in practice Heaps-sublinear in corpus
+    * bytes — co-occurrence vocabularies saturate); the iteration is
+    * [[graft.analytics.Graph.pageRank]]'s edge-join shape on that
+    * bounded frame; the final top-k runs through `Stats.extremeK`
+    * (never a global raw-row rank window). Symmetrized edges have no
+    * dangling nodes, so no mass correction path activates. Emits the
+    * top `topK` (word, rank, kw_rank). */
+  def textRank(df: DataFrame, text: String,
+               stops: Seq[String] = Stopwords("en"),
+               topK: Int = 30, iters: Int = 3): DataFrame = {
+    val stopIn = stops.map(w => s"'$w'").mkString(",")
+    val toks = df.select(tokens(normalize(col(text))).as("_w"))
+      .select(expr(s"filter(_w, t -> length(t) > 0 AND NOT t IN ($stopIn))")
+        .as("_w"))
+    val pairs = toks
+      .select(explode(expr("CASE WHEN size(_w) >= 2 THEN " +
+        "transform(sequence(1, size(_w) - 1), i -> " +
+        "struct(element_at(_w, i) AS x, element_at(_w, i + 1) AS y)) " +
+        "ELSE array() END")).as("_p"))
+      .select(least(col("_p.x"), col("_p.y")).as("a"),
+        greatest(col("_p.x"), col("_p.y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val ranks = graft.analytics.Graph.pageRank(edges, "src", "dst",
+      nodes, "id", iters)
+    graft.ops.Stats.extremeK(ranks, "rank", Nil, topK,
+        descending = true, tie = Seq(col("id").asc))
+      .select(col("id").as("word"), col("rank"), col("_rn").as("kw_rank"))
+  }
 }

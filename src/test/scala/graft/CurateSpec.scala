@@ -215,6 +215,35 @@ class CurateSpec extends SparkSpec {
     assert(clean(3L) == "") // fully-boilerplate doc survives with empty text
   }
 
+  test("posteriors: max-shifted softmax over the class log-scores") {
+    import graft.text.NaiveBayes
+    val sa = Seq((1L, "a", 0.0), (1L, "b", 1.098612))
+      .toDF("doc_id", "label", "logp")
+    val got = NaiveBayes.posteriors(sa, "doc_id")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got("a") == 0.25 && got("b") == 0.75, got)
+  }
+
+  test("calibrationReport: hand bins, ECE, and multi-class Brier; " +
+       "posterior ties predict the smaller label") {
+    val probs = Seq(
+      (1L, "a", 0.9), (1L, "b", 0.1),    // truth a: hit, bin 9
+      (2L, "a", 0.8), (2L, "b", 0.2),    // truth b: miss, bin 8
+      (3L, "a", 0.55), (3L, "b", 0.45),  // truth a: hit, bin 5
+      (4L, "a", 0.5), (4L, "b", 0.5))    // truth b: tie → pred a, miss
+      .toDF("doc_id", "label", "p")
+    val truth = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "source")
+    val got = graft.ops.Stats.calibrationReport(probs, "doc_id", "label",
+        "p", truth, "source")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(9L) == ((1L, 0.9, 1.0, 0.2375, 0.55125)))
+    assert(got(8L) == ((1L, 0.8, 0.0, 0.2375, 0.55125)))
+    assert(got(5L) == ((2L, 0.525, 0.5, 0.2375, 0.55125)))
+  }
+
   test("semanticDecontaminate flags embedding neighbors of the eval set " +
        "and leaves orthogonal vectors clean") {
     // cell "a": eval vector 10 and near-copy 1 (contaminated), plus an

@@ -241,4 +241,18 @@ class TextSignalsSpec extends SparkSpec {
     assert(y.getLong(1) == 3L && y.getLong(2) == 3L && y.getLong(3) == 0L)
     assert(y.getDouble(4) == 1.0 && y.getDouble(5) == 0.0)
   }
+
+  test("textRank: the bridging word out-ranks the leaves; stopwords and " +
+       "self-pairs never enter the graph") {
+    val docs = Seq((1L, "hub beta"), (2L, "hub gamma"), (3L, "hub delta"),
+      (4L, "the the the"), (5L, "solo solo")).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(got.head._1 == "hub" && got.head._3 == 1, got.mkString(";"))
+    val words = got.map(_._1).toSet
+    // 'the' is a stopword; 'solo solo' collapses to a self-pair (dropped)
+    assert(words == Set("hub", "beta", "gamma", "delta"), words)
+    // star graph: the three leaves tie exactly, ranked alphabetically
+    assert(got.map(_._1).toSeq == Seq("hub", "beta", "delta", "gamma"))
+  }
 }
