@@ -205,7 +205,12 @@ object Plans {
       // routing), native fused cosine — never corpus x eval
       "q279_sem_decontaminate" -> Seq("graft_cosine", "BroadcastHashJoin"),
       // LTV: cohort assignment join + calendar-bounded cumulative window
-      "q280_ltv" -> Seq("Window", "HashAggregate"))
+      "q280_ltv" -> Seq("Window", "HashAggregate"),
+      // TextRank: the iteration reads the vocabulary-bounded edge frame;
+      // top-k via the binned selection, never a raw global sort window
+      "q281_textrank" -> Seq("HashAggregate", "Window"),
+      // calibration: class tables broadcast; bins-sized windows
+      "q282_calibration" -> Seq("BroadcastHashJoin", "Window"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
