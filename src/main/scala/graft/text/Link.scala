@@ -36,10 +36,12 @@ object Link {
               maxBlock: Int = 10000): DataFrame = {
     val base = df.select(col(id).cast("long").as("_id"),
       col(name).as("_nm"), concat_ws("", blockCols.map(col): _*).as("_blk"))
-    // block-size gate: tiny aggregate, broadcast back onto the join input
-    val ok = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBlock).select("_blk")
-    val in = base.join(broadcast(ok), "_blk")
+    // block-size gate as an anti-join against the OVERSIZED block list —
+    // which is provably tiny (≤ n/maxBlock keys, vs. the ok-list's
+    // unbounded block cardinality), so the broadcast holds at any scale
+    val bad = base.groupBy("_blk").agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBlock).select("_blk")
+    val in = base.join(broadcast(bad), Seq("_blk"), "left_anti")
     val a = in.select(col("_blk"), col("_id").as("id_a"), col("_nm").as("name_a"))
     val b = in.select(col("_blk"), col("_id").as("id_b"), col("_nm").as("name_b"))
     JaroWinkler.register(df.sparkSession)

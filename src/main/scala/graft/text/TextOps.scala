@@ -588,6 +588,9 @@ object TextOps {
     val toks = df.select(tokens(normalize(col(text))).as("_w"))
       .select(expr(s"filter(_w, t -> length(t) > 0 AND NOT t IN ($stopIn))")
         .as("_w"))
+    // materialize the vocabulary-bounded edge list ONCE: pageRank's
+    // iterations reference it several times per round, and without the
+    // checkpoint each reference re-runs the corpus-sized explode
     val pairs = toks
       .select(explode(expr("CASE WHEN size(_w) >= 2 THEN " +
         "transform(sequence(1, size(_w) - 1), i -> " +
@@ -596,6 +599,7 @@ object TextOps {
       .select(least(col("_p.x"), col("_p.y")).as("a"),
         greatest(col("_p.x"), col("_p.y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()
