@@ -210,7 +210,9 @@ object Plans {
       // top-k via the binned selection, never a raw global sort window
       "q281_textrank" -> Seq("HashAggregate", "Window"),
       // calibration: class tables broadcast; bins-sized windows
-      "q282_calibration" -> Seq("BroadcastHashJoin", "Window"))
+      "q282_calibration" -> Seq("BroadcastHashJoin", "Window"),
+      // log-rank: KM's duration-axis windows + one-row aggregates
+      "q283_logrank" -> Seq("Window", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -422,6 +422,69 @@ object Behavior {
         col("n_censored"), col("survival"))
   }
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
+    * two survival curves differ?", the canonical companion to
+    * [[kaplanMeier]]. Subjects, durations, and censoring follow the KM
+    * contract exactly; `treat` must be constant per subject (it is read
+    * through a per-subject max). At each duration with ≥1 event:
+    * expected treated events E_t = d_t·n1_t/n_t and hypergeometric
+    * variance V_t = d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1);
+    * χ² = (Σ(d1_t − E_t))²/ΣV_t, asymptotically χ²(1) under equal
+    * hazards.
+    *
+    * Scale shape: one per-subject aggregate, then everything rides the
+    * calendar-bounded duration axis (the KM contract); per-duration O−E
+    * and V terms quantize to DECIMAL(28,12) before their sums, and the
+    * final ratio is one row of double arithmetic. Emits one row:
+    * (n_treat, n_ctrl, events_treat, events_ctrl, chi2@6dp — NULL when
+    * the variance sum is 0, e.g. a single shared event time exhausts
+    * one side). */
+  def logRank(df: DataFrame, keys: Seq[String], ts: String, treat: Column,
+              censorDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = df.groupBy(keys.map(col): _*)
+      .agg(min(col(ts)).cast("long").as("_a"), max(col(ts)).cast("long").as("_b"),
+        max(treat.cast("int")).as("_t"))
+    val mx = ss.agg(max(col("_b")).as("_mx"))
+    val bd = ss.crossJoin(broadcast(mx))
+      .withColumn("_dur",
+        floor((col("_b") - col("_a")) / lit(3600.0)).cast("long"))
+      .withColumn("_obs",
+        (col("_b") < col("_mx") - lit(censorDays * 86400L)).cast("int"))
+      .groupBy(col("_dur"))
+      .agg(sum(col("_t")).as("_tot1"),
+        sum(lit(1) - col("_t")).as("_tot0"),
+        sum(col("_t") * col("_obs")).as("_d1"),
+        sum((lit(1) - col("_t")) * col("_obs")).as("_d0"))
+    val wRisk = Window.orderBy(col("_dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = bd
+      .withColumn("_n1", sum(col("_tot1")).over(wRisk))
+      .withColumn("_n0", sum(col("_tot0")).over(wRisk))
+      .withColumn("_n", col("_n1") + col("_n0"))
+      .withColumn("_d", col("_d1") + col("_d0"))
+      .filter(col("_d") > 0)
+      .withColumn("_p1", col("_n1").cast("double") / col("_n").cast("double"))
+      .withColumn("_oe", (col("_d1").cast("double") -
+          col("_d").cast("double") * col("_p1")).cast("decimal(28,12)"))
+      .withColumn("_v", when(col("_n") > 1,
+        (col("_d").cast("double") * col("_p1") * (lit(1.0) - col("_p1")) *
+          (col("_n") - col("_d")).cast("double") /
+          (col("_n") - 1).cast("double")).cast("decimal(28,12)"))
+        .otherwise(lit(0.0).cast("decimal(28,12)")))
+    val tots = ss.agg(sum(col("_t")).as("n_treat"),
+      sum(lit(1) - col("_t")).as("n_ctrl"))
+    terms.agg(
+        sum(col("_d1")).as("events_treat"), sum(col("_d0")).as("events_ctrl"),
+        sum(col("_oe")).cast("double").as("_soe"),
+        sum(col("_v")).cast("double").as("_sv"))
+      .crossJoin(broadcast(tots))
+      .select(col("n_treat"), col("n_ctrl"),
+        col("events_treat"), col("events_ctrl"),
+        when(col("_sv") > 0,
+          round(col("_soe") * col("_soe") / col("_sv"), 6)).as("chi2"))
+  }
+
   /** 2×2 difference-in-differences: the causal-inference workhorse for
     * "did the launch move the metric" questions.
     *   DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)

@@ -280,6 +280,13 @@ object AnalyticsQueries {
       graft.analytics.Behavior.kaplanMeier(Tables.events(s, d),
         Seq("user_id", "event_type"), "ts", censorDays = 3)),
 
+    // ── two-group log-rank test on the q273 survival subjects: do
+    //    even-user activity spans die at a different hazard than odd?
+    "q283_logrank" -> ((s, d) =>
+      graft.analytics.Behavior.logRank(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts",
+        treat = col("user_id") % 2 === 0, censorDays = 3)),
+
     // ── 2×2 difference-in-differences on event values: even users
     //    "treated", the month's second half "post" — point estimate,
     //    unpooled SE, and the t statistic from one 12-statistic scan
@@ -2035,6 +2042,41 @@ object AnalyticsQueries {
         |  CASE WHEN hit0 = 1 THEN 0.0
         |    ELSE round(exp(CAST(slnf AS DOUBLE)), 6) END AS survival
         |FROM g""".stripMargin,
+    // log-rank: the KM subject/duration chain split by parity, O−E and
+    // hypergeometric-variance terms DECIMAL-quantized per duration
+    "q283_logrank" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01', min(ts)) AS a,
+        |  date_diff('second', TIMESTAMP '1970-01-01', max(ts)) AS b,
+        |  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(b) AS mx FROM s),
+        |bd AS (SELECT CAST(floor((b - a) / 3600.0) AS BIGINT) AS dur,
+        |  CAST(sum(t) AS BIGINT) AS tot1, CAST(sum(1 - t) AS BIGINT) AS tot0,
+        |  CAST(sum(t * CASE WHEN b < mx - 259200 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum((1 - t) * CASE WHEN b < mx - 259200 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        | FROM s, m GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(tot1) OVER wr AS BIGINT) AS n1,
+        |  CAST(sum(tot0) OVER wr AS BIGINT) AS n0
+        | FROM bd WINDOW wr AS (ORDER BY dur
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |tm AS (SELECT *, n1 + n0 AS n, d1 + d0 AS d,
+        |  CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS p1
+        | FROM r WHERE d1 + d0 > 0),
+        |tt AS (SELECT
+        |  CAST(sum(CAST(CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * p1
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS soe,
+        |  CAST(sum(CASE WHEN n > 1 THEN CAST(CAST(d AS DOUBLE) * p1 * (1.0 - p1)
+        |      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS DECIMAL(28,12))
+        |    ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS DOUBLE) AS sv,
+        |  CAST(sum(d1) AS BIGINT) AS events_treat,
+        |  CAST(sum(d0) AS BIGINT) AS events_ctrl
+        | FROM tm),
+        |g AS (SELECT CAST(sum(t) AS BIGINT) AS n_treat,
+        |  CAST(sum(1 - t) AS BIGINT) AS n_ctrl FROM s)
+        |SELECT n_treat, n_ctrl, events_treat, events_ctrl,
+        | CASE WHEN sv > 0 THEN round(soe * soe / sv, 6) END AS chi2
+        |FROM tt CROSS JOIN g""".stripMargin,
     // DiD: per-cell n/Σy/Σy² via conditional DECIMAL sums, means and
     // variances in double with the op order pinned against the Spark side
     "q274_did" ->

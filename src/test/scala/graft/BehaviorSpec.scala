@@ -249,6 +249,34 @@ class BehaviorSpec extends SparkSpec {
     assert(got("(none)") == ((1L, 1L, q6(1.0 / 3), q6(1.0 / 3))))
   }
 
+  test("logRank: hand O-E/variance terms on the KM fixture split by " +
+       "group; identical groups score zero") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val T = 1000000000L
+    // the kaplanMeier fixture with s2/s3 treated: at dur 2 (ctrl event)
+    // O-E = -0.4, V = 0.24; at dur 5 (two treated events) O-E = 1,
+    // V = 1/3 → chi2 = 0.36 / 0.573333333333 = 0.627907
+    val spans = Seq(
+      ("s1", T - 36000L, T, 0),
+      ("s2", T - 345600L - 18000L, T - 345600L, 1),
+      ("s3", T - 345600L - 18000L, T - 345600L, 1),
+      ("s4", T - 432000L - 7200L, T - 432000L, 0),
+      ("s5", T - 86400L - 18000L, T - 86400L, 0))
+    val ev = spans.flatMap { case (u, a, b, t) => Seq((u, a, t), (u, b, t)) }
+      .toDF("u", "secs", "t")
+      .select(col("u"), to_timestamp(col("secs")).as("ts"), col("t"))
+    val r = Behavior.logRank(ev, Seq("u"), "ts", col("t") === 1,
+      censorDays = 3).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.627907, r)
+    // degenerate: nobody treated → p1 = 0, every O-E and V term is 0 →
+    // the variance guard yields NULL, not a 0/0
+    val r2 = Behavior.logRank(ev, Seq("u"), "ts",
+      org.apache.spark.sql.functions.lit(false), censorDays = 3).head()
+    assert(r2.getLong(0) == 0L && r2.isNullAt(4), r2)
+  }
+
   test("diffInDiff: hand 2x2 cells, unpooled SE, degenerate-cell guard") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
