@@ -667,6 +667,62 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge list: alternating power iteration a ← Aᵀh, h ← A·a with L1
+    * normalization each half-step, so both vectors stay probability-
+    * scaled (on a bipartite src→dst graph the two sides carry hub and
+    * authority mass respectively — the buyer/seller, supplier/part,
+    * query/document duality PageRank's single score can't separate).
+    *
+    * Cross-engine exactness: every cross-row sum — the neighbor
+    * aggregation AND the L1 norm — runs in DECIMAL over values that are
+    * themselves bit-identical doubles (each iteration's score is one
+    * pinned division of two exact-decimal-derived doubles), so the whole
+    * iteration is engine-order-independent and the DuckDB oracle replays
+    * it CTE-for-CTE.
+    *
+    * Plan shape per iteration (the 100 TB story): two edge-shuffle joins
+    * (edges⋈scores on src, then on dst) with map-side-combined sums —
+    * the [[pageRank]] contract — plus two 1-row norm aggregates broadcast
+    * back; score frames are `localCheckpoint`ed every `checkpointEvery`
+    * iterations to keep the lineage bounded. Emits (id, hub, authority)
+    * at 6 dp over the node set (union of endpoints). */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
+           checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters $iters < 1")
+    val Dec = "decimal(28,12)"
+    val e = edges.select(col(src).as("_src"), col(dst).as("_dst")).distinct()
+    val v = e.select(col("_src").as("id"))
+      .union(e.select(col("_dst").as("id"))).distinct()
+    var h = v.select(col("id"), lit(1.0).as("h"))
+    var a: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val aRaw = e.join(h, col("_src") === col("id"))
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("h").cast(Dec)).cast("double").as("_ar"))
+      val aN = aRaw.agg(sum(col("_ar").cast(Dec)).cast("double").as("_s"))
+      a = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aN))
+        .select(col("id"), (coalesce(col("_ar"), lit(0.0)) /
+          when(col("_s") > 0, col("_s"))).as("a"))
+      val hRaw = e.join(a, col("_dst") === col("id"))
+        .groupBy(col("_src").as("id"))
+        .agg(sum(col("a").cast(Dec)).cast("double").as("_hr"))
+      val hN = hRaw.agg(sum(col("_hr").cast(Dec)).cast("double").as("_s"))
+      h = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hN))
+        .select(col("id"), (coalesce(col("_hr"), lit(0.0)) /
+          when(col("_s") > 0, col("_s"))).as("h"))
+      if (it % checkpointEvery == 0 && it < iters) {
+        h = h.localCheckpoint(true)
+        a = a.localCheckpoint(true)
+      }
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("authority"))
+  }
+
   def communityGraph(edges: DataFrame, src: String, dst: String,
                      labels: DataFrame, id: String,
                      community: String): DataFrame = {

@@ -1585,6 +1585,47 @@ object Indicators {
         quant6(col("_z._hw.f")).as("fitted"): _*)
   }
 
+  /** Holt–Winters ADDITIVE triple exponential smoothing per series
+    * (Winters 1960) — [[holtLinear]] plus a `period`-phase seasonal state,
+    * the classic fit for hourly/daily cycles: level, trend, seasonal, and
+    * the one-step-ahead forecast ℓ+b+s (honest out-of-sample residuals).
+    * The recurrence and its deterministic data seeds live in the native
+    * O(n) [[graft.expressions.HwScan]] (ring-buffered seasonal state —
+    * the pack-sort-fold family contract: no Θ(n²) accumulator copies, and
+    * every IEEE step replayable by the oracle's recursive CTE). Keys need
+    * ≥ 2·period points (the trend seed window); warm-up rows t ≤ period
+    * are consumed by the seed and not emitted. Output (keys, ord, x,
+    * level, trend, seasonal, fitted) at 6 dp. */
+  def holtWinters(df: DataFrame, value: String, keys: Seq[String],
+                  ordCol: String, period: Int, alpha: Double, beta: Double,
+                  gamma: Double): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1,
+      s"smoothing parameters must lie in (0,1): ($alpha, $beta, $gamma)")
+    val packed = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(ordCol).as("_gt"),
+        col(value).cast("double").as("_gx")))).as("seq"))
+      .filter(size(col("seq")) >= 2 * period)
+    graft.expressions.SeriesScan.register(df.sparkSession)
+    packed.withColumn("_hw", expr(
+        s"graft_hw_scan(transform(seq, p -> p._gx), $period, " +
+          s"CAST('$alpha' AS DOUBLE), CAST('$beta' AS DOUBLE), " +
+          s"CAST('$gamma' AS DOUBLE))"))
+      // align outputs to t = period+1..n: drop the seed prefix of seq
+      .withColumn("_tail", expr(s"slice(seq, ${period + 1}, size(seq))"))
+      .select((keys.map(col) :+
+        explode(arrays_zip(col("_tail"), col("_hw"))).as("_z")): _*)
+      .select(keys.map(col) :+
+        col("_z._tail._gt").as(ordCol) :+
+        col("_z._tail._gx").as(value) :+
+        quant6(col("_z._hw.l")).as("level") :+
+        quant6(col("_z._hw.b")).as("trend") :+
+        quant6(col("_z._hw.s")).as("seasonal") :+
+        quant6(col("_z._hw.f")).as("fitted"): _*)
+  }
+
   /** Classic additive seasonal decomposition per series (the
     * statsmodels/STL-lite shape): trend = centered moving average over an
     * ODD `period` (NULL until the window is full), seasonal = per-phase

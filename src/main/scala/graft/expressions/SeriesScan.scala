@@ -70,6 +70,9 @@ object SeriesScan {
       es => AdxScan(es.head, litD(es(1)), litD(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cusum_scan",
       es => CusumScan(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hw_scan",
+      es => HwScan(es.head, litD(es(1)).toInt, litD(es(2)), litD(es(3)),
+        litD(es(4))), "scala_udf")
   }
 }
 
@@ -320,6 +323,75 @@ case class HoltScan(child: Expression, alpha: Double, beta: Double)
       out(i) = new GenericInternalRow(Array[Any](lNew, bNew, f))
       l = lNew; b = bNew
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Holt–Winters ADDITIVE triple smoothing over an ARRAY<DOUBLE> series
+  * (Winters 1960; Hyndman & Athanasopoulos §8.3 component form), period
+  * `m` — ARRAY<STRUCT<l, b, s, f>> for t = m+1..n (length n−m):
+  *
+  *   f_t = ℓ_{t−1} + b_{t−1} + s_{t−m}            (one-step forecast)
+  *   ℓ_t = α(x_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+  *   b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+  *   s_t = γ(x_t − ℓ_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+  *
+  * Deterministic data seeds (no optimizer): ℓ_m = mean(x_1..x_m), b_m =
+  * (mean(x_{m+1}..x_{2m}) − mean(x_1..x_m))/m, s_i = x_i − ℓ_m for i ≤ m;
+  * series shorter than 2m have no trend seed → NULL (callers filter).
+  * The seed means run over DECIMAL(28,10)-quantized terms (exact,
+  * associative — the cross-row-sum house rule), so the DuckDB replay's
+  * `sum(CAST(x AS DECIMAL(28,10)))` reproduces them bit-for-bit; every
+  * recurrence step is pinned left-to-right double IEEE, identical to the
+  * oracle's recursive-CTE expression text. The m seasonal states live in
+  * a ring buffer — O(n + m) time, O(m) extra space, vs the Θ(n²) copies
+  * an `aggregate`-fold formulation would do. CodegenFallback (struct
+  * output, one interpreted call per PACKED series — the HoltScan
+  * contract). */
+case class HwScan(child: Expression, m: Int, alpha: Double, beta: Double,
+                  gamma: Double) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", DoubleType), StructField("b", DoubleType),
+    StructField("s", DoubleType), StructField("f", DoubleType))),
+    containsNull = false)
+  override def prettyName: String = "graft_hw_scan"
+  private val oneMA = 1 - alpha
+  private val oneMB = 1 - beta
+  private val oneMG = 1 - gamma
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (m < 2 || n < 2 * m) return null
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec(x: Double) = new JBD(x).setScale(10, RoundingMode.HALF_UP)
+    var s1 = JBD.ZERO; var s2 = JBD.ZERO
+    var i = 0
+    while (i < m) { s1 = s1.add(dec(xs.getDouble(i))); i += 1 }
+    while (i < 2 * m) { s2 = s2.add(dec(xs.getDouble(i))); i += 1 }
+    val l0 = s1.doubleValue() / m
+    val b0 = (s2.doubleValue() / m - l0) / m
+    val ring = new Array[Double](m) // ring(t % m) holds s_{t−m} at step t
+    i = 0
+    while (i < m) { ring(i) = xs.getDouble(i) - l0; i += 1 }
+    val out = new Array[Any](n - m)
+    var l = l0; var b = b0
+    var t = m
+    while (t < n) {
+      val x = xs.getDouble(t)
+      val sm = ring(t % m)
+      val f = l + b + sm
+      val lN = alpha * (x - sm) + oneMA * (l + b)
+      val bN = beta * (lN - l) + oneMB * b
+      val sN = gamma * (x - l - b) + oneMG * sm
+      out(t - m) = new GenericInternalRow(Array[Any](lN, bN, sN, f))
+      ring(t % m) = sN
+      l = lN; b = bN
+      t += 1
     }
     new GenericArrayData(out)
   }

@@ -1092,7 +1092,8 @@ object Stats {
     * treatment split). One 1-row moment aggregate broadcast back onto the
     * scan; emits the input columns plus y_adj and repeats theta. The
     * standard experimentation trick: same mean, strictly smaller variance
-    * whenever x correlates with y. */
+    * whenever x correlates with y ([[cupedReadout]] is the per-arm
+    * experiment summary built on the same identity). */
   def cuped(df: DataFrame, y: String, x: String): DataFrame = {
     def dsum(e: Column) = sum(e.cast(Dec)).cast("double")
     val base = df.filter(col(y).isNotNull && col(x).isNotNull)
@@ -1468,5 +1469,178 @@ object Stats {
     agged
       .withColumn("rho", when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6)))
       .select(keys.map(col) :+ col("n_obs") :+ col("rho"): _*)
+  }
+
+  /** ROC AUC and average precision per group — the threshold-free ranking
+    * metrics every scored filter (quality classifier, dedup score, ANN
+    * re-ranker) is judged by before its threshold is chosen.
+    *
+    * AUC is the Mann–Whitney U statistic normalized by n₁·n₀ (Hanley &
+    * McNeil 1982): P(score⁺ > score⁻) + ½·P(=). Computed ENTIRELY from
+    * per-distinct-value counts + [[binnedPrefix]] descending cumulatives —
+    * never a raw-row rank window — as 2U = Σ_v n⁻_v·(2·(P_{≥v} − p_v) +
+    * p_v), an integer identity (positives strictly above each negative's
+    * value, plus half the ties), summed in DECIMAL so it is exact and
+    * associative in any engine. Average precision is the step-interpolated
+    * area under the precision–recall curve (the sklearn
+    * `average_precision_score` form): AP = Σ_v (p_v/P)·precision(≥v) with
+    * thresholds at the distinct score values descending; the per-value
+    * precision term is one pinned double division, quantized to DECIMAL
+    * before the cross-value sum.
+    *
+    * Scale shape: one hash-aggregate to per-value counts, then everything
+    * rides binnedPrefix's two bounded windows (groups × bins tasks) — the
+    * q138/topShare contract. Emits one row per group: (keys, n_pos,
+    * n_neg, auc, avg_prec) at 6 dp; NULL metrics for one-class groups. */
+  def rocPr(df: DataFrame, score: String, label: String,
+            keys: Seq[String]): DataFrame = {
+    val base = df.filter(col(score).isNotNull && col(label).isNotNull)
+    val perValue = base.groupBy((keys.map(col) :+ col(score).as("_v")): _*)
+      .agg(count(when(col(label) === 1, 1)).as("_p"),
+        count(when(col(label) === 0, 1)).as("_n"))
+    val pre = binnedPrefix(perValue, keys, "_v", Seq("_p", "_n"),
+      descending = true, totals = true)
+    // integer 2U in unbounded DECIMAL (n⁻_v · positives-above products
+    // overflow BIGINT near 10¹⁰ rows); the AP term is the only double
+    val agged = pre.groupBy(keys.map(col): _*).agg(
+      max(col("_p_tot")).as("n_pos"),
+      max(col("_n_tot")).as("n_neg"),
+      sum(col("_n").cast("decimal(38,0)") *
+        (lit(2) * (col("_p_cum") - col("_p")) + col("_p"))).as("_u2"),
+      sum(when(col("_p") > 0,
+        (col("_p").cast("double") * col("_p_cum").cast("double") /
+          (col("_p_cum") + col("_n_cum")).cast("double"))
+          .cast("decimal(28,12)"))).as("_ap"))
+    agged
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+      .withColumn("avg_prec",
+        when(col("n_pos") > 0,
+          round(col("_ap").cast("double") / col("n_pos"), 6)))
+      .select(keys.map(col) :+ col("n_pos") :+ col("n_neg") :+
+        col("auc") :+ col("avg_prec"): _*)
+  }
+
+  /** CUPED experiment READOUT (Deng et al., WSDM 2013) — the per-arm
+    * companion to the row-level [[cuped]] transform: with a pre-period
+    * covariate X per unit and the experiment metric Y, θ = cov(X,Y)/var(X)
+    * estimated on the POOLED population, and each arm is compared on the
+    * adjusted metric Y − θ·(X − X̄) — same expectation, variance shrunk by
+    * the pre/post correlation (the industry-standard sensitivity boost),
+    * with the achieved per-arm variance reduction reported alongside.
+    *
+    * `df` carries one row per unit: (arm, pre, post). θ and the adjusted
+    * means/variances derive from one pass of per-arm power sums (n, ΣX,
+    * ΣY, ΣX², ΣY², ΣXY — per-unit cross terms quantized to DECIMAL before
+    * the cross-unit sums, so partials merge exactly) — the arm-sized frame
+    * then folds to the pooled 1-row frame and broadcasts back; the closed
+    * forms are evaluated in a PINNED operation order mirrored by the
+    * oracle. Scale: one hash aggregate over units, everything after is
+    * arm-count-sized. Emits (arm, n, mean_pre, mean_post, mean_adj,
+    * var_post, var_adj, theta, var_reduction) at 6 dp; adjusted columns
+    * NULL when the pooled pre-variance is 0. */
+  def cupedReadout(df: DataFrame, arm: String, pre: String,
+                   post: String): DataFrame = {
+    val x = col(pre).cast("double"); val y = col(post).cast("double")
+    def dsum(e: Column) = sum(e.cast(Dec))
+    val perArm = df.groupBy(col(arm)).agg(
+      count(lit(1)).as("n"),
+      dsum(x).as("_sx"), dsum(y).as("_sy"),
+      dsum(x * x).as("_sxx"), dsum(y * y).as("_syy"),
+      dsum(x * y).as("_sxy"))
+    val all = perArm.agg(
+      sum(col("n")).as("_na"),
+      sum(col("_sx")).as("_sxa"), sum(col("_sy")).as("_sya"),
+      sum(col("_sxx")).as("_sxxa"), sum(col("_sxy")).as("_sxya"))
+    val na = col("_na").cast("double")
+    val varPreAll = col("_sxxa").cast("double") / na -
+      col("_sxa").cast("double") / na * (col("_sxa").cast("double") / na)
+    val covAll = col("_sxya").cast("double") / na -
+      col("_sxa").cast("double") / na * (col("_sya").cast("double") / na)
+    val pooled = all.select(
+      when(varPreAll > 0, covAll / varPreAll).as("_theta"),
+      (col("_sxa").cast("double") / na).as("_mxa"))
+    val n = col("n").cast("double")
+    val mx = col("_sx").cast("double") / n
+    val my = col("_sy").cast("double") / n
+    val th = col("_theta")
+    val varPost = col("_syy").cast("double") / n - my * my
+    val varAdj = (col("_syy").cast("double") -
+      lit(2.0) * th * col("_sxy").cast("double") +
+      th * th * col("_sxx").cast("double")) / n -
+      (my - th * mx) * (my - th * mx)
+    perArm.crossJoin(broadcast(pooled))
+      .withColumn("mean_pre", round(mx, 6))
+      .withColumn("mean_post", round(my, 6))
+      .withColumn("mean_adj", round(my - th * (mx - col("_mxa")), 6))
+      .withColumn("var_post", round(varPost, 6))
+      .withColumn("var_adj", round(varAdj, 6))
+      .withColumn("theta", round(th, 6))
+      .withColumn("var_reduction",
+        when(varPost > 0, round(lit(1.0) - varAdj / varPost, 6)))
+      .select(col(arm), col("n"), col("mean_pre"), col("mean_post"),
+        col("mean_adj"), col("var_post"), col("var_adj"), col("theta"),
+        col("var_reduction"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration of a score against a
+    * binary outcome, on an equal-width score grid — the PAV-fit
+    * reliability mapping (Zadrozny & Elkan, KDD 2002) that turns a raw
+    * classifier score into a calibrated probability.
+    *
+    * The pool-adjacent-violators solution is computed through its minimax
+    * characterization (Robertson–Wright–Dykstra 1988, §1.4): over the
+    * binned curve, fit_b = max_{i≤b} min_{j≥b} rate(i..j) where rate(i..j)
+    * is the pooled positive rate of bins i..j — pure integer-ratio
+    * arithmetic (one division per (i,j) pair from exact BIGINT pooled
+    * counts), so both engines produce bit-identical doubles and the
+    * min/max lattice is order-free. Bin fences are broadcast min/max;
+    * empty bins are absent (PAV pools over occupied bins).
+    *
+    * Scale shape: ONE full-data hash aggregate to ≤`bins` rows; the
+    * minimax runs on the bins-sized frame (≤ bins³ tiny rows, broadcast
+    * joins) — corpus-size-independent after the first pass. Emits one row
+    * per occupied bin: (bin, n, pos, raw_rate, iso_rate) at 6 dp,
+    * iso_rate monotone in bin (StatsSpec property). */
+  def isotonicCalibration(df: DataFrame, score: String, label: String,
+                          bins: Int = 16): DataFrame = {
+    val base = df.filter(col(score).isNotNull && col(label).isNotNull)
+    val s = col(score).cast("double")
+    val ext = base.agg(min(s).as("_lo"), max(s).as("_hi"))
+      .withColumn("_w", (col("_hi") - col("_lo")) / bins)
+    val binned = base.crossJoin(broadcast(ext))
+      .withColumn("bin", when(col("_w") === 0, lit(0L))
+        .otherwise(least(floor((s - col("_lo")) / col("_w")),
+          lit(bins - 1L))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(label).cast("long")).as("pos"))
+    // minimax PAV over the occupied-bins frame: every frame below is
+    // bins-sized — broadcast self-joins, no data-sized shuffle
+    val bi = binned.select(col("bin").as("_i"))
+    val bj = binned.select(col("bin").as("_j"))
+    val mem = binned.select(col("bin").as("_b"), col("n").as("_bn"),
+      col("pos").as("_bp"))
+    val pair = broadcast(bi).crossJoin(broadcast(bj))
+      .filter(col("_i") <= col("_j"))
+      .join(broadcast(mem),
+        col("_b") >= col("_i") && col("_b") <= col("_j"))
+      .groupBy(col("_i"), col("_j"))
+      .agg((sum(col("_bp")).cast("double") /
+        sum(col("_bn")).cast("double")).as("_rate"))
+    val fit = broadcast(binned.select(col("bin")))
+      .join(broadcast(pair),
+        col("_i") <= col("bin") && col("_j") >= col("bin"))
+      .groupBy(col("bin"), col("_i"))
+      .agg(min(col("_rate")).as("_mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("_mn")).as("_fit"))
+    binned.join(broadcast(fit), Seq("bin"))
+      .withColumn("raw_rate",
+        round(col("pos").cast("double") / col("n"), 6))
+      .withColumn("iso_rate", round(col("_fit"), 6))
+      .select("bin", "n", "pos", "raw_rate", "iso_rate")
   }
 }

@@ -287,6 +287,59 @@ object AnalyticsQueries {
         Seq("user_id", "event_type"), "ts",
         treat = col("user_id") % 2 === 0, censorDays = 3)),
 
+    // ── ROC AUC + average precision of `value` as a purchase-vs-view
+    //    score, per day-of-week — the threshold-free ranking metrics,
+    //    from per-distinct-value counts + binnedPrefix descending
+    //    cumulatives (never a raw-row rank window)
+    "q284_roc_pr" -> ((s, d) =>
+      graft.ops.Stats.rocPr(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+          .withColumn("lbl", (col("event_type") === "purchase").cast("int")),
+        "value", "lbl", Seq("dow"))),
+
+    // ── CUPED variance-reduced A/B readout: pre-period spend (before the
+    //    q274 split date) as the covariate, post-period spend as the
+    //    metric, θ estimated on the pooled population
+    "q285_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val units = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id")).agg(
+          sum(when(col("ts") < cut, col("value").cast("decimal(28,10)")))
+            .cast("double").as("_pre"),
+          sum(when(col("ts") >= cut, col("value").cast("decimal(28,10)")))
+            .cast("double").as("_post"))
+        .select(
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("grp"),
+          coalesce(col("_pre"), lit(0.0)).as("pre"),
+          coalesce(col("_post"), lit(0.0)).as("post"))
+      graft.ops.Stats.cupedReadout(units, "grp", "pre", "post")
+        .orderBy("grp")
+    }),
+
+    // ── isotonic (PAV) calibration of `value` against purchase outcome
+    //    on a 16-bin score grid — the monotone reliability mapping via
+    //    the minimax characterization, all on the bins-sized frame
+    "q287_isotonic" -> ((s, d) =>
+      graft.ops.Stats.isotonicCalibration(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("lbl", (col("event_type") === "purchase").cast("int")),
+        "value", "lbl", bins = 16)),
+
+    // ── Holt–Winters additive triple smoothing (daily cycle over hourly
+    //    bars: period=24) per event_type — native O(n) ring-buffer scan,
+    //    dyadic α=.25 β=.125 γ=.25 → bit-exact recursive-CTE replay
+    "q288_holt_winters" -> ((s, d) => {
+      val bars = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar"))
+        .agg(max_by(col("value"), col("ts")).as("close"))
+      graft.analytics.Indicators.holtWinters(bars, "close",
+        Seq("event_type"), "bar", period = 24,
+        alpha = 0.25, beta = 0.125, gamma = 0.25)
+    }),
+
     // ── 2×2 difference-in-differences on event values: even users
     //    "treated", the month's second half "post" — point estimate,
     //    unpooled SE, and the t statistic from one 12-statistic scan
@@ -2077,6 +2130,158 @@ object AnalyticsQueries {
         |SELECT n_treat, n_ctrl, events_treat, events_ctrl,
         | CASE WHEN sv > 0 THEN round(soe * soe / sv, 6) END AS chi2
         |FROM tt CROSS JOIN g""".stripMargin,
+    // ROC/PR: per-distinct-value class counts, descending cumulatives;
+    // 2U is an exact integer identity (HUGEINT here, DECIMAL in Spark),
+    // the AP precision term one pinned division quantized pre-sum
+    "q284_roc_pr" ->
+      """WITH b AS (SELECT date_part('dow', ts) AS dow, value AS v,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE event_type IN ('view', 'purchase')
+        |   AND value IS NOT NULL),
+        |pv AS (SELECT dow, v,
+        |  CAST(count(CASE WHEN lbl = 1 THEN 1 END) AS BIGINT) AS p,
+        |  CAST(count(CASE WHEN lbl = 0 THEN 1 END) AS BIGINT) AS n
+        | FROM b GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(p) OVER w AS BIGINT) AS p_cum,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+        |  CAST(sum(p) OVER (PARTITION BY dow) AS BIGINT) AS pt,
+        |  CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS nt
+        | FROM pv WINDOW w AS (PARTITION BY dow ORDER BY v DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT dow, max(pt) AS n_pos, max(nt) AS n_neg,
+        |  sum(n * (2 * (p_cum - p) + p)) AS u2,
+        |  sum(CASE WHEN p > 0 THEN
+        |    CAST(CAST(p AS DOUBLE) * CAST(p_cum AS DOUBLE)
+        |      / CAST(p_cum + n_cum AS DOUBLE) AS DECIMAL(28,12)) END) AS ap
+        | FROM c GROUP BY 1)
+        |SELECT dow, n_pos, n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0
+        |   THEN round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+        |   END AS auc,
+        | CASE WHEN n_pos > 0
+        |   THEN round(CAST(ap AS DOUBLE) / n_pos, 6) END AS avg_prec
+        |FROM a""".stripMargin,
+    // CUPED: per-unit pre/post from exact DECIMAL sums, per-arm power
+    // sums with per-unit cross terms quantized pre-sum, θ on the pooled
+    // frame, every closed form spelled in the Spark side's op order
+    "q285_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+        |  coalesce(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |    THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE), 0.0) AS x,
+        |  coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |    THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE), 0.0) AS y
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |pa AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS DECIMAL(28,10))) AS sx,
+        |  sum(CAST(y AS DECIMAL(28,10))) AS sy,
+        |  sum(CAST(x * x AS DECIMAL(28,10))) AS sxx,
+        |  sum(CAST(y * y AS DECIMAL(28,10))) AS syy,
+        |  sum(CAST(x * y AS DECIMAL(28,10))) AS sxy
+        | FROM u GROUP BY 1),
+        |al AS (SELECT CAST(sum(n) AS BIGINT) AS na, sum(sx) AS sxa,
+        |  sum(sy) AS sya, sum(sxx) AS sxxa, sum(sxy) AS sxya FROM pa),
+        |th AS (SELECT
+        |  CASE WHEN CAST(sxxa AS DOUBLE) / na
+        |      - CAST(sxa AS DOUBLE) / na * (CAST(sxa AS DOUBLE) / na) > 0
+        |    THEN (CAST(sxya AS DOUBLE) / na
+        |        - CAST(sxa AS DOUBLE) / na * (CAST(sya AS DOUBLE) / na))
+        |      / (CAST(sxxa AS DOUBLE) / na
+        |        - CAST(sxa AS DOUBLE) / na * (CAST(sxa AS DOUBLE) / na))
+        |    END AS theta,
+        |  CAST(sxa AS DOUBLE) / na AS mxa FROM al)
+        |SELECT grp, n,
+        | round(CAST(sx AS DOUBLE) / n, 6) AS mean_pre,
+        | round(CAST(sy AS DOUBLE) / n, 6) AS mean_post,
+        | round(CAST(sy AS DOUBLE) / n
+        |   - theta * (CAST(sx AS DOUBLE) / n - mxa), 6) AS mean_adj,
+        | round(CAST(syy AS DOUBLE) / n
+        |   - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n), 6)
+        |   AS var_post,
+        | round((CAST(syy AS DOUBLE) - 2.0 * theta * CAST(sxy AS DOUBLE)
+        |     + theta * theta * CAST(sxx AS DOUBLE)) / n
+        |   - (CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n))
+        |     * (CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n)),
+        |   6) AS var_adj,
+        | round(theta, 6) AS theta,
+        | CASE WHEN CAST(syy AS DOUBLE) / n
+        |     - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n) > 0
+        |   THEN round(1.0 - ((CAST(syy AS DOUBLE)
+        |       - 2.0 * theta * CAST(sxy AS DOUBLE)
+        |       + theta * theta * CAST(sxx AS DOUBLE)) / n
+        |     - (CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n))
+        |       * (CAST(sy AS DOUBLE) / n - theta * (CAST(sx AS DOUBLE) / n)))
+        |     / (CAST(syy AS DOUBLE) / n
+        |       - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n)), 6)
+        |   END AS var_reduction
+        |FROM pa CROSS JOIN th ORDER BY grp""".stripMargin,
+    // isotonic: equal-width bins from broadcast min/max, then the PAV
+    // minimax on pooled integer counts — every rate one exact division
+    "q287_isotonic" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS s,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE event_type IN ('view', 'purchase')
+        |   AND value IS NOT NULL),
+        |ex AS (SELECT min(s) AS lo, (max(s) - min(s)) / 16 AS w FROM b),
+        |bn AS (SELECT CASE WHEN w = 0 THEN 0
+        |    ELSE least(CAST(floor((s - lo) / w) AS BIGINT), 15) END AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(lbl) AS BIGINT) AS pos
+        | FROM b, ex GROUP BY 1),
+        |pr AS (SELECT i.bin AS i, j.bin AS j,
+        |  CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS rate
+        | FROM bn i JOIN bn j ON i.bin <= j.bin
+        | JOIN bn m ON m.bin BETWEEN i.bin AND j.bin GROUP BY 1, 2),
+        |ft AS (SELECT b2.bin, pr.i, min(pr.rate) AS mn
+        | FROM bn b2 JOIN pr ON pr.i <= b2.bin AND pr.j >= b2.bin
+        | GROUP BY 1, 2),
+        |f2 AS (SELECT bin, max(mn) AS fit FROM ft GROUP BY 1)
+        |SELECT bn.bin, n, pos,
+        | round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
+        | round(fit, 6) AS iso_rate
+        |FROM bn JOIN f2 USING (bin)""".stripMargin,
+    // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
+    // replays the ring-buffer recurrence with the seasonal state as a
+    // LIST (head = s_{t−m}, rotate-append each step) — expression text
+    // pinned to HwScan's IEEE step order
+    "q288_holt_winters" ->
+      """WITH RECURSIVE bars AS (SELECT event_type AS k,
+        |  date_trunc('hour', ts) AS bar, arg_max(value, ts) AS close
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |idx AS (SELECT k, bar, close,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY bar) AS BIGINT)
+        |    AS rn FROM bars),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM idx GROUP BY 1),
+        |sraw AS (SELECT i.k,
+        |  CAST(sum(CASE WHEN rn <= 24
+        |    THEN CAST(close AS DECIMAL(28,10)) END) AS DOUBLE) AS s1,
+        |  CAST(sum(CASE WHEN rn > 24 AND rn <= 48
+        |    THEN CAST(close AS DECIMAL(28,10)) END) AS DOUBLE) AS s2
+        | FROM idx i JOIN nn ON nn.k = i.k WHERE nn.cnt >= 48 GROUP BY 1),
+        |sd AS (SELECT k, s1 / 24 AS l0, (s2 / 24 - s1 / 24) / 24 AS b0
+        | FROM sraw),
+        |sl0 AS (SELECT i.k, list(i.close - sd.l0 ORDER BY i.rn) AS sl
+        | FROM idx i JOIN sd ON sd.k = i.k WHERE i.rn <= 24 GROUP BY 1),
+        |st AS (
+        | SELECT sd.k, CAST(24 AS BIGINT) AS rn, CAST(NULL AS TIMESTAMP) AS bar,
+        |  CAST(NULL AS DOUBLE) AS close, sd.l0 AS l, sd.b0 AS b,
+        |  CAST(NULL AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS f, sl0.sl AS sl
+        | FROM sd JOIN sl0 ON sl0.k = sd.k
+        | UNION ALL
+        | SELECT s0.k, s0.rn + 1, i.bar, i.close,
+        |  0.25 * (i.close - s0.sl[1]) + 0.75 * (s0.l + s0.b),
+        |  0.125 * ((0.25 * (i.close - s0.sl[1]) + 0.75 * (s0.l + s0.b))
+        |      - s0.l) + 0.875 * s0.b,
+        |  0.25 * (i.close - s0.l - s0.b) + 0.75 * s0.sl[1],
+        |  s0.l + s0.b + s0.sl[1],
+        |  list_append(s0.sl[2:],
+        |    0.25 * (i.close - s0.l - s0.b) + 0.75 * s0.sl[1])
+        | FROM st s0 JOIN idx i ON i.k = s0.k AND i.rn = s0.rn + 1)
+        |SELECT k AS event_type, bar, close,
+        | floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+        | floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+        | floor(s * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+        | floor(f * 1000000.0 + 0.5) / 1000000.0 AS fitted
+        |FROM st WHERE rn > 24""".stripMargin,
     // DiD: per-cell n/Σy/Σy² via conditional DECIMAL sums, means and
     // variances in double with the op order pinned against the Spark side
     "q274_did" ->

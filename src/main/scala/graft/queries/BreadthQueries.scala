@@ -497,6 +497,18 @@ object BreadthQueries {
         iters = 3)
     }),
 
+    // ── HITS hubs/authorities over the supplier→part supply graph from
+    //    line items (suppliers hub-score parts, parts authority-score
+    //    suppliers — the bipartite duality PageRank can't separate):
+    //    3 alternating L1-normalized power iterations, DECIMAL-exact
+    //    cross-row sums → CTE-for-CTE oracle replay
+    "q286_hits" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      graft.analytics.Graph.hits(edges, "src", "dst", iters = 3)
+    }),
+
     // ── per-node triangle counts on the nation trade graph (edges =
     //    customer-nation ↔ supplier-nation pairs observed on line items)
     "q220_triangles" -> ((s, d) =>
@@ -901,6 +913,39 @@ object BreadthQueries {
     "q220_triangles" ->
       s"""WITH $TriangleCtes
          |SELECT id, triangles FROM tri""".stripMargin,
+    // HITS: unrolled 3-iteration replay; every neighbor aggregation and
+    // L1 norm sums DECIMAL-quantized terms (order-free), each score one
+    // pinned division — bit-identical to Graph.hits
+    "q286_hits" -> {
+      val body = (1 to 3).map { i =>
+        s"""ar$i AS (SELECT e.dst AS id,
+           |  CAST(sum(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS ar
+           |  FROM e0 e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+           |an$i AS (SELECT CAST(sum(CAST(ar AS DECIMAL(28,12))) AS DOUBLE)
+           |    AS s FROM ar$i),
+           |a$i AS (SELECT nodes.id, coalesce(ar.ar, 0.0)
+           |    / (CASE WHEN an.s > 0 THEN an.s END) AS a
+           |  FROM nodes CROSS JOIN an$i an
+           |  LEFT JOIN ar$i ar ON nodes.id = ar.id),
+           |hr$i AS (SELECT e.src AS id,
+           |  CAST(sum(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS hr
+           |  FROM e0 e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+           |hn$i AS (SELECT CAST(sum(CAST(hr AS DECIMAL(28,12))) AS DOUBLE)
+           |    AS s FROM hr$i),
+           |h$i AS (SELECT nodes.id, coalesce(hr.hr, 0.0)
+           |    / (CASE WHEN hn.s > 0 THEN hn.s END) AS h
+           |  FROM nodes CROSS JOIN hn$i hn
+           |  LEFT JOIN hr$i hr ON nodes.id = hr.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+         |    'p' || l_partkey::VARCHAR AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+         |$body
+         |SELECT h3.id, round(h3.h, 6) AS hub, round(a3.a, 6) AS authority
+         |FROM h3 JOIN a3 ON h3.id = a3.id""".stripMargin
+    },
     // 3-core: the peel replayed as a bounded recursion — survivors at the
     // iteration cap are the fixpoint (rows re-emit unchanged once the peel
     // settles, and sf0.01 settles in far fewer than 30 rounds)

@@ -359,4 +359,43 @@ class GraphSpec extends SparkSpec {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
     assert(Graph.assortativity(cyc, "s", "t").head().isNullAt(1))
   }
+
+  /** Driver-side reference HITS — the textbook alternating loop with L1
+    * norms (no decimal quantization: the fixture values are exact). */
+  private def refHits(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap
+      val as = ar.values.sum
+      a = nodes.map(v => v -> ar.getOrElse(v, 0.0) / as).toMap
+      val hr = e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap
+      val hs = hr.values.sum
+      h = nodes.map(v => v -> hr.getOrElse(v, 0.0) / hs).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits: bipartite fixture matches the scalar loop; hub mass stays " +
+    "on sources, authority mass on sinks, both L1-normalized") {
+    val edges = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p1"))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val exp = refHits(edges, 3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((v, (eh, ea)) <- exp) {
+      assert(math.abs(got(v)._1 - r6(eh)) < 2e-6, s"hub $v")
+      assert(math.abs(got(v)._2 - r6(ea)) < 2e-6, s"auth $v")
+    }
+    // bipartite: parts carry no hub mass, suppliers no authority mass
+    assert(got("p1")._1 == 0.0 && got("p2")._1 == 0.0)
+    assert(got("s1")._2 == 0.0 && got("s2")._2 == 0.0)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }

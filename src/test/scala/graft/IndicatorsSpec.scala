@@ -1639,4 +1639,102 @@ class IndicatorsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.333333)                  // coverage
     assert(r.getDouble(4) == 15.333333)                 // (2 + 22 + 22)/3
   }
+
+  test("rocPr: perfect separation → AUC=AP=1; hand case matches the " +
+    "U-statistic and step-interpolated AP; one-class → NULL") {
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))
+      .toDF("s", "y").withColumn("g", lit("m"))
+    val p = Stats.rocPr(perfect, "s", "y", Seq("g")).collect()(0)
+    assert(p.getLong(1) == 2L && p.getLong(2) == 2L)
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0)
+    // pos {3, 1}, neg {2, 1}: U = 2 wins + 1 tie/2 = 2.5 → AUC .625;
+    // AP = ½·1 (thr 3: P=1/1) + ½·½ (thr 1: P=2/4) = 0.75
+    val mixed = Seq((3.0, 1), (1.0, 1), (2.0, 0), (1.0, 0))
+      .toDF("s", "y").withColumn("g", lit("m"))
+    val m = Stats.rocPr(mixed, "s", "y", Seq("g")).collect()(0)
+    assert(m.getDouble(3) == 0.625 && m.getDouble(4) == 0.75)
+    // all scores tied: AUC ½, AP = prevalence
+    val tied = Seq((1.0, 1), (1.0, 0), (1.0, 0), (1.0, 0))
+      .toDF("s", "y").withColumn("g", lit("m"))
+    val t = Stats.rocPr(tied, "s", "y", Seq("g")).collect()(0)
+    assert(t.getDouble(3) == 0.5 && t.getDouble(4) == 0.25)
+    val oneClass = Seq((1.0, 1), (2.0, 1)).toDF("s", "y")
+      .withColumn("g", lit("m"))
+    val o = Stats.rocPr(oneClass, "s", "y", Seq("g")).collect()(0)
+    assert(o.isNullAt(3))
+  }
+
+  test("cupedReadout: Y exactly linear in X → θ recovered, adjusted means " +
+    "equalize, adjusted variance 0, reduction 1") {
+    val units = Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0),
+      ("B", 3.0, 6.0), ("B", 4.0, 8.0)).toDF("grp", "pre", "post")
+    val rows = Stats.cupedReadout(units, "grp", "pre", "post")
+      .orderBy("grp").collect()
+    for (r <- rows) {
+      assert(r.getDouble(7) == 2.0, s"theta ${r.getDouble(7)}")
+      assert(r.getDouble(4) == 5.0, s"mean_adj ${r.getDouble(4)}")
+      assert(r.getDouble(6) == 0.0)                     // var_adj
+      assert(r.getDouble(8) == 1.0)                     // var_reduction
+    }
+    // arm means differ before adjustment (pure pre-period drift)
+    assert(rows(0).getDouble(3) == 3.0 && rows(1).getDouble(3) == 7.0)
+    // constant covariate → θ undefined → NULL adjusted columns
+    val flat = Seq(("A", 1.0, 2.0), ("B", 1.0, 3.0))
+      .toDF("grp", "pre", "post")
+    assert(Stats.cupedReadout(flat, "grp", "pre", "post").collect()
+      .forall(_.isNullAt(7)))
+  }
+
+  test("isotonicCalibration: PAV pools the violating bins (minimax = " +
+    "pooled rate), keeps monotone bins, output is monotone") {
+    // scores 0/1/2/3 land in bins 0..3 (w = 0.75); rates 0, 1, ½, 1 →
+    // bins 1-2 pool to ¾
+    val df = Seq((0.0, 0), (0.0, 0), (1.0, 1), (1.0, 1),
+      (2.0, 1), (2.0, 0), (3.0, 1), (3.0, 1)).toDF("s", "y")
+    val got = Stats.isotonicCalibration(df, "s", "y", bins = 4)
+      .orderBy("bin").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.0, 0.75, 0.75, 1.0))
+    assert(got.map(_.getDouble(3)).toSeq == Seq(0.0, 1.0, 0.5, 1.0))
+    val iso = got.map(_.getDouble(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("holtWinters: matches the scalar recurrence from the data seeds; " +
+    "series shorter than 2·period drop") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:00:00")
+    val xs = Seq(10.0, 20.0, 12.0, 22.0, 14.0, 24.0, 16.0, 26.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, ts(i), x) }
+      .toDF("k", "t", "x")
+    val m = 2; val a = 0.25; val b = 0.125; val g = 0.25
+    // scalar reference: identical seeds and step order
+    val l0 = xs.take(m).sum / m
+    val b0 = (xs.slice(m, 2 * m).sum / m - l0) / m
+    var l = l0; var bb = b0
+    val ring = Array(xs(0) - l0, xs(1) - l0)
+    val exp = (m until xs.size).map { t =>
+      val x = xs(t); val sm = ring(t % m)
+      val f = l + bb + sm
+      val lN = a * (x - sm) + (1 - a) * (l + bb)
+      val bN = b * (lN - l) + (1 - b) * bb
+      val sN = g * (x - l - bb) + (1 - g) * sm
+      ring(t % m) = sN; l = lN; bb = bN
+      (lN, bN, sN, f)
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Indicators.holtWinters(df, "x", Seq("k"), "t",
+        period = m, alpha = a, beta = b, gamma = g)
+      .orderBy("t").collect()
+    assert(got.length == xs.size - m)
+    got.zip(exp).foreach { case (r, (el, eb, es, ef)) =>
+      assert(r.getDouble(3) == q6(el) && r.getDouble(4) == q6(eb) &&
+        r.getDouble(5) == q6(es) && r.getDouble(6) == q6(ef))
+    }
+    // 2m−1 points: no trend seed window → filtered out entirely
+    val short = xs.take(2 * m - 1).zipWithIndex
+      .map { case (x, i) => (1L, ts(i), x) }.toDF("k", "t", "x")
+    assert(Indicators.holtWinters(short, "x", Seq("k"), "t",
+      period = m, alpha = a, beta = b, gamma = g).count() == 0L)
+  }
 }
