@@ -684,16 +684,23 @@ object Graph {
     * Plan shape per iteration (the 100 TB story): two edge-shuffle joins
     * (edges⋈scores on src, then on dst) with map-side-combined sums —
     * the [[pageRank]] contract — plus two 1-row norm aggregates broadcast
-    * back; score frames are `localCheckpoint`ed every `checkpointEvery`
-    * iterations to keep the lineage bounded. Emits (id, hub, authority)
-    * at 6 dp over the node set (union of endpoints). */
-  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
-           checkpointEvery: Int = 8): DataFrame = {
+    * back. The deduplicated edge frame, the node frame, and each
+    * iteration's raw neighbor sums are eagerly `localCheckpoint`ed:
+    * every raw-sum frame is consumed TWICE (its L1 norm and the score
+    * join), so an un-truncated lazy plan re-evaluates the whole prefix
+    * 4× per level — exponential in `iters` (the q281 lesson, applied at
+    * construction). The checkpointed frames are node-sized, never
+    * edge-sized. Emits (id, hub, authority) at 6 dp over the node set
+    * (union of endpoints). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters $iters < 1")
     val Dec = "decimal(28,12)"
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst")).distinct()
+      .localCheckpoint(true)
     val v = e.select(col("_src").as("id"))
       .union(e.select(col("_dst").as("id"))).distinct()
+      .localCheckpoint(true)
     var h = v.select(col("id"), lit(1.0).as("h"))
     var a: DataFrame = null
     var it = 0
@@ -702,6 +709,7 @@ object Graph {
       val aRaw = e.join(h, col("_src") === col("id"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("h").cast(Dec)).cast("double").as("_ar"))
+        .persist()
       val aN = aRaw.agg(sum(col("_ar").cast(Dec)).cast("double").as("_s"))
       a = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aN))
         .select(col("id"), (coalesce(col("_ar"), lit(0.0)) /
@@ -709,14 +717,11 @@ object Graph {
       val hRaw = e.join(a, col("_dst") === col("id"))
         .groupBy(col("_src").as("id"))
         .agg(sum(col("a").cast(Dec)).cast("double").as("_hr"))
+        .persist()
       val hN = hRaw.agg(sum(col("_hr").cast(Dec)).cast("double").as("_s"))
       h = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hN))
         .select(col("id"), (coalesce(col("_hr"), lit(0.0)) /
           when(col("_s") > 0, col("_s"))).as("h"))
-      if (it % checkpointEvery == 0 && it < iters) {
-        h = h.localCheckpoint(true)
-        a = a.localCheckpoint(true)
-      }
     }
     h.join(a, Seq("id"))
       .select(col("id"), round(col("h"), 6).as("hub"),
