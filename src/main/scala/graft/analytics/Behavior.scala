@@ -422,6 +422,56 @@ object Behavior {
         col("n_censored"), col("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen 1978)
+    * — the integral companion to [[kaplanMeier]]: H(t) = Σ_{dᵢ ≤ t}
+    * eventsᵢ/at-riskᵢ, with the standard variance estimate
+    * Var(H(t)) = Σ_{dᵢ ≤ t} eventsᵢ/at-riskᵢ². Subjects, durations, and
+    * right censoring follow the KM contract exactly (same per-subject
+    * aggregate, same calendar-bounded duration axis), so the two curves
+    * are directly comparable on the same axis — H is the preferred
+    * estimator for hazard-ratio eyeballing and for small risk sets where
+    * the KM product degenerates.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one subject-keyed
+    * aggregate, then ordered windows over the calendar-bounded duration
+    * frame only. Per-duration hazard and variance terms quantize to
+    * DECIMAL(28,12) before the cumulative sums (cross-engine parity).
+    * Emits one row per distinct duration: (duration_hr, n_risk,
+    * n_events, n_censored, cum_hazard@6dp, hazard_var@6dp). */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], ts: String,
+                  censorDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = df.groupBy(keys.map(col): _*)
+      .agg(min(col(ts)).cast("long").as("_a"), max(col(ts)).cast("long").as("_b"))
+    val mx = ss.agg(max(col("_b")).as("_mx"))
+    val byDur = ss.crossJoin(broadcast(mx))
+      .withColumn("_dur",
+        floor((col("_b") - col("_a")) / lit(3600.0)).cast("long"))
+      .withColumn("_obs",
+        (col("_b") < col("_mx") - lit(censorDays * 86400L)).cast("int"))
+      .groupBy(col("_dur").as("duration_hr"))
+      .agg(sum(col("_obs")).as("n_events"),
+        sum(lit(1) - col("_obs")).as("n_censored"),
+        count(lit(1)).as("_tot"))
+    val wCum = Window.orderBy(col("duration_hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRisk = Window.orderBy(col("duration_hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDur
+      .withColumn("n_risk", sum(col("_tot")).over(wRisk))
+      .withColumn("_h", (col("n_events").cast("double") /
+        col("n_risk").cast("double")).cast("decimal(28,12)"))
+      .withColumn("_v", (col("n_events").cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double")))
+        .cast("decimal(28,12)"))
+      .withColumn("cum_hazard",
+        round(sum(col("_h")).over(wCum).cast("double"), 6))
+      .withColumn("hazard_var",
+        round(sum(col("_v")).over(wCum).cast("double"), 6))
+      .select(col("duration_hr"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("cum_hazard"), col("hazard_var"))
+  }
+
   /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
     * two survival curves differ?", the canonical companion to
     * [[kaplanMeier]]. Subjects, durations, and censoring follow the KM

@@ -681,51 +681,72 @@ object Graph {
     * iteration is engine-order-independent and the DuckDB oracle replays
     * it CTE-for-CTE.
     *
-    * Plan shape per iteration (the 100 TB story): two edge-shuffle joins
-    * (edges⋈scores on src, then on dst) with map-side-combined sums —
-    * the [[pageRank]] contract — plus two 1-row norm aggregates broadcast
-    * back. The deduplicated edge frame, the node frame, and each
-    * iteration's raw neighbor sums are eagerly `localCheckpoint`ed:
-    * every raw-sum frame is consumed TWICE (its L1 norm and the score
-    * join), so an un-truncated lazy plan re-evaluates the whole prefix
-    * 4× per level — exponential in `iters` (the q281 lesson, applied at
-    * construction). The checkpointed frames are node-sized, never
-    * edge-sized. Emits (id, hub, authority) at 6 dp over the node set
-    * (union of endpoints). */
+    * Plan shape per iteration (the 100 TB story): the deduplicated edge
+    * frame is hash-partitioned ONCE per join key (a by-src and a by-dst
+    * cached copy — the GraphX trade: 2× edge storage buys zero edge
+    * movement per iteration) and every iteration join is a SHUFFLED HASH
+    * join that moves only the node-sized score frame; the build side is
+    * pinned to the scores via the shuffle_hash hint, because left to
+    * stats the planner builds-left on the edge frame — i.e. BROADCASTS
+    * THE EDGES, which is quadratically wrong at cluster scale (and was
+    * 6× slower at sf0.1). Each half-step's raw neighbor sums are eagerly
+    * `localCheckpoint`ed: every raw-sum frame is consumed TWICE (its L1
+    * norm and the score join), so an un-truncated lazy plan re-evaluates
+    * the whole prefix 4× per level — exponential in `iters` (the q281
+    * lesson, applied at construction). The checkpointed frames are
+    * node-sized, never edge-sized, and each iteration's frames fall out
+    * of reference scope when the loop variables are reassigned, so the
+    * ContextCleaner frees their blocks — nothing stays pinned for the
+    * session's lifetime (the cached edge copies go the same way when the
+    * result plan is dropped). Emits (id, hub, authority) at 6 dp over
+    * the node set (union of endpoints). */
   def hits(edges: DataFrame, src: String, dst: String,
            iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters $iters < 1")
     val Dec = "decimal(28,12)"
+    val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst")).distinct()
       .localCheckpoint(true)
+    // persist (not checkpoint) the partitioned copies: an InMemoryRelation
+    // keeps its outputPartitioning, so the per-iteration joins read the
+    // cache with NO exchange on the edge side; a localCheckpoint would
+    // drop the partitioning under AQE and re-shuffle the edges every join
+    val eSrc = e.repartition(col("_src")).persist(MemDisk)
+    val eDst = e.repartition(col("_dst")).persist(MemDisk)
     val v = e.select(col("_src").as("id"))
       .union(e.select(col("_dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // the iteration runs on COMPACT score frames — only nodes with a
+    // nonzero raw sum. A zero-score node contributes exactly 0 to every
+    // downstream DECIMAL sum and 0 to the L1 norm, so dropping its row is
+    // arithmetic-identity (the oracle's zero-filled replay hashes the
+    // same); the node-set zero-fill happens ONCE at the end instead of
+    // twice per iteration
     var h = v.select(col("id"), lit(1.0).as("h"))
     var a: DataFrame = null
     var it = 0
     while (it < iters) {
       it += 1
-      val aRaw = e.join(h, col("_src") === col("id"))
+      val aRaw = eSrc.join(h.hint("shuffle_hash"), col("_src") === col("id"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("h").cast(Dec)).cast("double").as("_ar"))
-        .persist()
+        .localCheckpoint(true)
       val aN = aRaw.agg(sum(col("_ar").cast(Dec)).cast("double").as("_s"))
-      a = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aN))
-        .select(col("id"), (coalesce(col("_ar"), lit(0.0)) /
-          when(col("_s") > 0, col("_s"))).as("a"))
-      val hRaw = e.join(a, col("_dst") === col("id"))
+      a = aRaw.crossJoin(broadcast(aN))
+        .select(col("id"),
+          (col("_ar") / when(col("_s") > 0, col("_s"))).as("a"))
+      val hRaw = eDst.join(a.hint("shuffle_hash"), col("_dst") === col("id"))
         .groupBy(col("_src").as("id"))
         .agg(sum(col("a").cast(Dec)).cast("double").as("_hr"))
-        .persist()
+        .localCheckpoint(true)
       val hN = hRaw.agg(sum(col("_hr").cast(Dec)).cast("double").as("_s"))
-      h = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hN))
-        .select(col("id"), (coalesce(col("_hr"), lit(0.0)) /
-          when(col("_s") > 0, col("_s"))).as("h"))
+      h = hRaw.crossJoin(broadcast(hN))
+        .select(col("id"),
+          (col("_hr") / when(col("_s") > 0, col("_s"))).as("h"))
     }
-    h.join(a, Seq("id"))
-      .select(col("id"), round(col("h"), 6).as("hub"),
-        round(col("a"), 6).as("authority"))
+    v.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id"), round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("authority"))
   }
 
   def communityGraph(edges: DataFrame, src: String, dst: String,

@@ -383,16 +383,20 @@ object Stats {
     * half of [[countMinEstimates]], split out so a maintained sketch
     * (e.g. [[graft.streaming.StreamingSketch]]'s merged increments) can
     * be queried without rescanning any data. `keys` must carry a string
-    * `key` column. */
+    * `key` column. The sketch join is a LEFT join with absent buckets
+    * counting as zero: a maintained sketch only stores buckets that were
+    * ever incremented, so a never-ingested key may hash to missing
+    * counter rows — its correct count-min estimate is 0, not the min
+    * over whichever of its buckets happen to exist. */
   def cmLookup(sketch: DataFrame, keys: DataFrame, depth: Int = 4,
                width: Int = 256): DataFrame =
     keys.select(col("key"), posexplode(array((0 until depth).map(j =>
         pmod(graft.text.TextOps.h64(concat(col("key"), lit(s":cm$j"))),
           lit(width.toLong))): _*))
       .as(Seq("j", "bucket")))
-      .join(broadcast(sketch), Seq("j", "bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col("key"))
-      .agg(min(col("c")).as("cm_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
 
   /** Classifier calibration report (Guo et al., ICML 2017 conventions):
     * from a per-(doc, class) posterior frame and a truth table, the
@@ -415,9 +419,13 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val j = probs.join(truth.select(col(id), col(truthLabel).as("_y")), Seq(id))
       .withColumn("_hit", (col(classCol) === col("_y")).cast("int"))
+    // a doc whose truth label is absent from its scored class set (a
+    // test-fold-only label) still owes the true class's (0 − 1)² = 1
+    // Brier term — max(_hit) = 0 detects exactly that doc
     val docB = j.groupBy(col(id)).agg(
-      sum(((col(p) - col("_hit")) * (col(p) - col("_hit")))
-        .cast("decimal(28,12)")).as("_b"))
+      (sum(((col(p) - col("_hit")) * (col(p) - col("_hit")))
+        .cast("decimal(28,12)")) +
+        (lit(1L) - max(col("_hit"))).cast("decimal(28,12)")).as("_b"))
     val brier = docB.agg(
       (sum(col("_b")).cast("double") / count(lit(1))).as("_brier"))
     val w = Window.partitionBy(col(id)).orderBy(col(p).desc, col(classCol).asc)

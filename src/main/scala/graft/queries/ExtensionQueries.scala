@@ -1919,7 +1919,8 @@ object ExtensionQueries {
          | FROM post p JOIN (SELECT doc_id, source FROM tk WHERE fold = 0) d
          |   USING (doc_id)),
          |db AS (SELECT doc_id,
-         |  sum(CAST((p - hit) * (p - hit) AS DECIMAL(28,12))) AS b
+         |  sum(CAST((p - hit) * (p - hit) AS DECIMAL(28,12)))
+         |    + CAST(1 - max(hit) AS DECIMAL(28,12)) AS b
          | FROM jt GROUP BY 1),
          |br AS (SELECT CAST(sum(b) AS DOUBLE) / count(*) AS brier FROM db),
          |tp AS (SELECT doc_id, p, hit FROM (
@@ -2025,7 +2026,7 @@ object ExtensionQueries {
          |dw AS (SELECT doc_id, sum(CAST(n AS DECIMAL(10,0)) * lam) AS iw
          |  FROM pd JOIN lam USING (b) GROUP BY 1),
          |sc AS (SELECT doc_id, iw, CAST(iw + CAST(-ln(-ln(
-         |    ((${h64d("'dsir:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1) / 1000000.0))
+         |    ((${h64d("'dsir:' || CAST(doc_id AS VARCHAR)")} % 1000000) + 0.5) / 1000000.0))
          |  AS DECIMAL(28,12)) AS DOUBLE) AS score FROM dw),
          |rk AS (SELECT doc_id, iw, score,
          |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)

@@ -320,8 +320,12 @@ object Curate {
       (log((col("_tc").cast("double") + 0.5) / (col("_tc_tot").cast("double") + half))
         - log((col("_rc").cast("double") + 0.5) / (col("_rn_tot").cast("double") + half)))
         .cast("decimal(28,12)").as("_lam"))
+    // u strictly inside (0, 1): the +0.5 midpoint can never reach either
+    // endpoint, so -log(-log(u)) stays finite — u = 1.0 (possible under a
+    // (pmod+1)/1e6 draw) would make the Gumbel key +Infinity and poison
+    // extremeK's bin arithmetic for the whole selection
     val u = (pmod(TextOps.h64(concat(lit("dsir:"), col(id).cast("string"))),
-      lit(1000000L)) + 1) / lit(1000000.0)
+      lit(1000000L)) + 0.5) / lit(1000000.0)
     val keyed = perDoc.join(broadcast(lam), "_b")
       .groupBy(col(id))
       .agg(sum(col("_n").cast("decimal(10,0)") * col("_lam")).as("_iw"))

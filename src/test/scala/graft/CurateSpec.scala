@@ -244,6 +244,23 @@ class CurateSpec extends SparkSpec {
     assert(got(5L) == ((2L, 0.525, 0.5, 0.2375, 0.55125)))
   }
 
+  test("calibrationReport: a truth label outside the scored class set " +
+       "still owes the true class's full Brier term") {
+    // doc 1: truth "c" is NOT among the scored classes {a, b} — Brier is
+    // 0.6² + 0.4² + (0 − 1)² = 1.52, not the 0.52 a present-classes-only
+    // sum would give; doc 2 is a plain hit: 0.1² + 0.9²·0 → (0.9−1)²+0.1²
+    // = 0.02. Mean Brier = (1.52 + 0.02) / 2 = 0.77.
+    val probs = Seq(
+      (1L, "a", 0.6), (1L, "b", 0.4),
+      (2L, "a", 0.9), (2L, "b", 0.1))
+      .toDF("doc_id", "label", "p")
+    val truth = Seq((1L, "c"), (2L, "a")).toDF("doc_id", "source")
+    val brier = graft.ops.Stats.calibrationReport(probs, "doc_id", "label",
+        "p", truth, "source")
+      .select("brier").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(brier == Seq(0.77), brier)
+  }
+
   test("semanticDecontaminate flags embedding neighbors of the eval set " +
        "and leaves orthogonal vectors clean") {
     // cell "a": eval vector 10 and near-copy 1 (contaminated), plus an

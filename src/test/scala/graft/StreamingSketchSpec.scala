@@ -46,10 +46,20 @@ class StreamingSketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("a" -> 4L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
 
+    // a NEVER-ingested key hashes to buckets the maintained sketch has no
+    // counter rows for — its estimate is 0 (min with absent-as-zero), not
+    // a row that vanishes or an overestimate from the few hit buckets
+    val cold = Stats.cmLookup(merged,
+        Seq("zzz-never-seen").toDF("key"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cold == Map("zzz-never-seen" -> 0L),
+      "absent buckets must count as zero in the count-min min")
+
     // restating batch 0 (same content, same partition) must not duplicate
+    val before = cset(merged)
     Stats.countMinSketch(batchA, "k")
       .write.mode("overwrite").parquet(s"$sk/increments/batch=0")
-    assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == cset(merged),
+    assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == before,
       "restated increment must restate, not duplicate")
   }
 }
