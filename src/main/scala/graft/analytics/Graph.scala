@@ -517,6 +517,53 @@ object Graph {
     out
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    * Rev. E 2007) — the cheap, parameter-free community detector that
+    * complements [[louvain]] when modularity optimization is overkill:
+    * every node starts as its own label and each round adopts the MOST
+    * FREQUENT label among its neighbors, ties broken toward the smallest
+    * label (the deterministic variant — no randomized sweep order, so
+    * any engine replays it round-for-round). Fixed `rounds` rounds: the
+    * synchronized min-label rule can 2-cycle on bipartite structures, so
+    * the bounded-round contract IS the termination rule, mirroring the
+    * [[louvainSweep]] design decision.
+    *
+    * Scale shape per round: one edge-shuffle join (labels onto the
+    * symmetric neighbor list), one (node, label) count aggregate
+    * (map-side combined), and one per-node argmax window whose partition
+    * is the node's distinct neighbor-label set (≤ degree, skew-bounded
+    * by the count pre-aggregate); labels localCheckpoint each round so
+    * lineage stays flat. Emits (id, community, community_size). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds $rounds < 1")
+    val und = edges.select(
+        least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("c"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("v")
+      .orderBy(col("_n").desc, col("cand").asc)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
+        .groupBy("v", "cand").agg(count(lit(1)).as("_n"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("v"), col("cand").as("c"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "c")
+      .select(col("v").as("id"), col("c").as("community"),
+        col("community_size"))
+  }
+
   /** Louvain phase 2 — coarsen: collapse each community to one vertex and
     * aggregate parallel edges into weights. Emits (ca, cb, weight) with
     * ca ≤ cb; intra-community edges become self-loops (ca = cb), which the

@@ -1651,4 +1651,223 @@ object Stats {
       .withColumn("iso_rate", round(col("_fit"), 6))
       .select("bin", "n", "pos", "raw_rate", "iso_rate")
   }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the geometric-mean-normalized NMI
+    * (Strehl & Ghosh, JMLR 2002) — the "does source predict language /
+    * does domain predict quality bucket" dependence readout a curation
+    * pipeline wants before stratifying on a column.
+    *
+    * MI = Σ_xy (n_xy/N)·ln(N·n_xy/(n_x·n_y)), H(X) = −Σ_x (n_x/N)·
+    * ln(n_x/N); NMI = MI/√(H(X)·H(Y)), NULL when either entropy is 0
+    * (a constant column carries no information to normalize by).
+    *
+    * Scale shape: ONE corpus hash-aggregate to the (x, y) contingency
+    * cells; margins, N, and every log term ride the cells frame, which
+    * is |X|·|Y|-bounded (categorical contract) — margin joins broadcast.
+    * Per-cell and per-margin terms quantize to DECIMAL(28,12) before
+    * their sums, each log argument one pinned double expression, so the
+    * oracle replays bit-for-bit. Emits one row:
+    * (n, mi, h_x, h_y, nmi) at 6 dp. */
+  def mutualInfo(df: DataFrame, x: String, y: String): DataFrame = {
+    val cells = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x).as("_x"), col(y).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+      .localCheckpoint(true)
+    val mx = cells.groupBy("_x").agg(sum("_nxy").as("_nx"))
+    val my = cells.groupBy("_y").agg(sum("_nxy").as("_ny"))
+    val nn = cells.agg(sum("_nxy").as("_n"))
+    val dN = col("_n").cast("double")
+    val mi = cells
+      .join(broadcast(mx), "_x").join(broadcast(my), "_y")
+      .crossJoin(broadcast(nn))
+      .select(((col("_nxy").cast("double") / dN) *
+        log((col("_nxy").cast("double") * dN) /
+          (col("_nx").cast("double") * col("_ny").cast("double"))))
+        .cast("decimal(28,12)").as("_t"))
+      .agg(sum(col("_t")).cast("double").as("_mi"))
+    def entropy(m: DataFrame, c: String) = m.crossJoin(broadcast(nn))
+      .select((negate(col(c).cast("double") / dN) *
+        log(col(c).cast("double") / dN)).cast("decimal(28,12)").as("_t"))
+      .agg(sum(col("_t")).cast("double").as(s"_h$c"))
+    mi.crossJoin(broadcast(entropy(mx, "_nx")))
+      .crossJoin(broadcast(entropy(my, "_ny")))
+      .crossJoin(broadcast(nn))
+      .select(col("_n").as("n"), round(col("_mi"), 6).as("mi"),
+        round(col("_h_nx"), 6).as("h_x"), round(col("_h_ny"), 6).as("h_y"),
+        round(when(col("_h_nx") > 0 && col("_h_ny") > 0,
+          col("_mi") / sqrt(col("_h_nx") * col("_h_ny"))), 6).as("nmi"))
+  }
+
+  /** Cumulative Poisson(1) CDF at 2⁻²⁰ grid resolution, as INTEGER
+    * thresholds against a 20-bit hash — the resample weight is the first
+    * k whose threshold exceeds the hash (tail collapsed to 9). Integer
+    * compares only: no float parsing anywhere near the draw, so any
+    * engine replays the weights exactly. */
+  private val PoissonCuts = Seq(385749L, 771499L, 964373L, 1028665L,
+    1044738L, 1047952L, 1048488L, 1048565L, 1048574L)
+
+  /** Poisson bootstrap confidence interval for the per-group mean
+    * (Chamandy et al., Google 2012; Hanley & MacGibbon 2006): resample r
+    * weights each row by an independent Poisson(1) count — for large n
+    * this is the multinomial bootstrap without needing n up front, which
+    * is what makes the bootstrap ONE-PASS at cluster scale (no
+    * per-resample data copies, no sampling coordination). The weights
+    * are deterministic: row id salted with the resample index through
+    * the portable h64, compared against [[PoissonCuts]].
+    *
+    * Scale shape: the reps-way fan-out feeds a map-side-combined
+    * aggregate keyed (group, rep) — the shuffle is |groups|·reps rows,
+    * never data-sized; the quantile of the resample means is an ordered
+    * window over reps rows per group. Resample sums quantize each term
+    * to DECIMAL(28,6) (value·small-int weight is exact there), the mean
+    * is one pinned division. CI rank indexes use pure integer ceil
+    * arithmetic k = ⌈m·perMille/1000⌉ over the NON-EMPTY resample count
+    * m (an all-zero-weight resample estimates nothing and is dropped —
+    * only possible for tiny groups). Emits per group: (keys, n, mean,
+    * ci_lo, ci_hi, n_resamples) at 6 dp. */
+  def bootstrapCi(df: DataFrame, id: String, value: String,
+                  keys: Seq[String], reps: Int = 64, loPerMille: Int = 25,
+                  hiPerMille: Int = 975): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 2 && loPerMille >= 1 && hiPerMille <= 1000 &&
+      loPerMille < hiPerMille, s"bad bootstrap params ($reps, $loPerMille, $hiPerMille)")
+    val k = keys.map(col)
+    val base = df.select(k :+ col(id).cast("string").as("_id") :+
+      col(value).cast("double").as("_x"): _*)
+    val hm = pmod(graft.text.TextOps.h64(
+      concat(col("_id"), lit(":bs"), col("_rep").cast("string"))),
+      lit(1048576L))
+    val w = PoissonCuts.zipWithIndex.reverse.foldLeft(lit(9L): Column) {
+      case (acc, (c, i)) => when(hm < c, lit(i.toLong)).otherwise(acc)
+    }
+    val res = base
+      .withColumn("_rep", explode(array((0 until reps).map(lit(_)): _*)))
+      .withColumn("_w", w)
+      .groupBy(k :+ col("_rep"): _*)
+      .agg(sum((col("_w") * col("_x")).cast("decimal(28,6)")).as("_sv"),
+        sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0)
+      .withColumn("_mean", col("_sv").cast("double") / col("_wn"))
+    val wRk = Window.partitionBy(k: _*)
+      .orderBy(col("_mean").asc, col("_rep").asc)
+    val wAll = Window.partitionBy(k: _*)
+    val ranked = res
+      .withColumn("_rn", row_number().over(wRk))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("_klo",
+        expr(s"CAST((_m * $loPerMille + 999) DIV 1000 AS BIGINT)"))
+      .withColumn("_khi",
+        expr(s"CAST((_m * $hiPerMille + 999) DIV 1000 AS BIGINT)"))
+    val ci = ranked.groupBy(k: _*)
+      .agg(max(when(col("_rn") === col("_klo"), col("_mean"))).as("_lo"),
+        max(when(col("_rn") === col("_khi"), col("_mean"))).as("_hi"),
+        max(col("_m")).as("n_resamples"))
+    val full = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_x").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("_mean"))
+    njoin(full, ci, keys)
+      .select(k ++ Seq(col("n"), round(col("_mean"), 6).as("mean"),
+        round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"),
+        col("n_resamples")): _*)
+  }
+
+  /** Decile lift-and-gains table for a score against a binary label —
+    * the campaign-targeting readout ("the top decile captures X% of all
+    * conversions at Y× the base rate"). Rows rank by score DESCENDING;
+    * a distinct score value lands entirely in the decile its cumulative
+    * row count ends in (d = ⌈10·cum_n/N⌉, pure integer arithmetic), so
+    * value ties never straddle deciles non-deterministically.
+    *
+    * Scale shape: per-distinct-value counts then [[binnedPrefix]]
+    * descending cumulatives — the rocPr contract, never a raw-row rank
+    * window. Everything after rides the distinct-value frame. Emits one
+    * row per non-empty decile: (decile, n, n_pos, cum_pos, gain =
+    * cum_pos/P, lift = decile rate / base rate) at 6 dp. */
+  def liftGains(df: DataFrame, score: String, label: String,
+                keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
+    val base = df.filter(col(score).isNotNull && col(label).isNotNull)
+    val perValue = base.groupBy(k :+ col(score).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"),
+        count(when(col(label) === 1, 1)).as("_p"))
+    val pre = binnedPrefix(perValue, keys, "_v", Seq("_c", "_p"),
+      descending = true, totals = true)
+    val dec = pre
+      .withColumn("decile",
+        expr("CAST((10 * _c_cum + _c_tot - 1) DIV _c_tot AS BIGINT)"))
+      .groupBy(k :+ col("decile"): _*)
+      .agg(sum(col("_c")).as("n"), sum(col("_p")).as("n_pos"),
+        max(col("_p_cum")).as("cum_pos"), max(col("_p_tot")).as("_ptot"),
+        max(col("_c_tot")).as("_ctot"))
+    dec.select(k ++ Seq(col("decile"), col("n"), col("n_pos"),
+      col("cum_pos"),
+      round(when(col("_ptot") > 0,
+        col("cum_pos").cast("double") / col("_ptot")), 6).as("gain"),
+      round(when(col("_ptot") > 0,
+        (col("n_pos").cast("double") / col("n")) /
+          (col("_ptot").cast("double") / col("_ctot"))), 6).as("lift")): _*)
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) with the
+    * tie-corrected normal approximation, plus the Theil–Sen slope
+    * (Theil 1950; Sen 1968) — the robust "is this series trending, and
+    * how fast" pair for monotone-trend monitoring. S = Σ_{i<j}
+    * sgn(y_j − y_i); Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over
+    * tie groups t of y; z applies the ±1 continuity correction. The Sen
+    * slope is the exact median of the pairwise slopes (y_j−y_i)/(t_j−t_i)
+    * over pairs with distinct t.
+    *
+    * Scale contract: the input must be a per-group series whose length
+    * is CALENDAR-BOUNDED (monthly/daily aggregates — the KM duration-
+    * axis rule), because the pair fan-out is n² per group: bounded n
+    * makes the within-group self-join a constant-factor map-side
+    * operation at any corpus size, and the per-group slope-median
+    * window sorts ≤ n²/2 rows. S and the tie/variance terms are pure
+    * integers (cross-engine exact); each slope is one pinned division;
+    * the even-count median midpoint is one pinned (a+b)/2.0. Emits per
+    * group: (keys, n, s_stat, var_s, z, sen_slope), stats at 6 dp. */
+  def trendTest(df: DataFrame, keys: Seq[String], t: String,
+                y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val a = df.select(k :+ col(t).cast("double").as("_t1") :+
+      col(y).cast("double").as("_y1"): _*)
+    val b = df.select(k :+ col(t).cast("double").as("_t2") :+
+      col(y).cast("double").as("_y2"): _*)
+    val pairs = njoin(a, b, keys).filter(col("_t1") < col("_t2"))
+    val sStat = pairs.groupBy(k: _*)
+      .agg(sum(signum(col("_y2") - col("_y1")).cast("long")).as("s_stat"))
+    val nRows = df.groupBy(k: _*).agg(count(lit(1)).as("n"))
+    val ties = df.groupBy(k :+ col(y).as("_yv"): _*)
+      .agg(count(lit(1)).as("_tc"))
+      .groupBy(k: _*)
+      .agg(sum(col("_tc") * (col("_tc") - 1) * (lit(2) * col("_tc") + 5))
+        .as("_tie"))
+    val slopes = pairs.filter(col("_t2") =!= col("_t1"))
+      .withColumn("_sl", (col("_y2") - col("_y1")) / (col("_t2") - col("_t1")))
+    val wRk = Window.partitionBy(k: _*).orderBy(col("_sl").asc)
+    val wAll = Window.partitionBy(k: _*)
+    val sen = slopes
+      .withColumn("_rn", row_number().over(wRk))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .filter(col("_rn") * 2 === col("_m") ||
+        col("_rn") * 2 === col("_m") + 2 || col("_rn") * 2 === col("_m") + 1)
+      .groupBy(k: _*)
+      .agg(((min(col("_sl")) + max(col("_sl"))) / 2.0).as("_sen"))
+    njoin(njoin(njoin(nRows, sStat, keys), ties, keys), sen, keys)
+      .withColumn("_vs",
+        ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("_tie"))
+          .cast("double") / 18.0))
+      .select(k ++ Seq(col("n"), col("s_stat"),
+        round(col("_vs"), 6).as("var_s"),
+        round(when(col("_vs") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("_vs")))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(col("_vs")))
+            .otherwise(lit(0.0))), 6).as("z"),
+        round(col("_sen"), 6).as("sen_slope")): _*)
+  }
 }

@@ -340,6 +340,50 @@ object AnalyticsQueries {
         alpha = 0.25, beta = 0.125, gamma = 0.25)
     }),
 
+    // ── Poisson-bootstrap CI for the mean order value per priority: 64
+    //    deterministic hash-Poisson(1) resamples in ONE pass, 2.5/97.5
+    //    percentile bounds from pure-integer rank arithmetic
+    "q289_bootstrap_ci" -> ((s, d) =>
+      graft.ops.Stats.bootstrapCi(Tables.orders(s, d), "o_orderkey",
+        "o_totalprice", Seq("o_orderpriority"), reps = 64)),
+
+    // ── Mann–Kendall trend test + Theil–Sen slope on the monthly revenue
+    //    series per order priority (calendar-bounded series → the n² pair
+    //    fan-out is a constant per group at any corpus size)
+    "q291_trend_test" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("t"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+          .as("rev"))
+      graft.ops.Stats.trendTest(monthly, Seq("o_orderpriority"), "t", "rev")
+    }),
+
+    // ── decile lift & cumulative gains of `value` as a purchase-vs-view
+    //    score per day-of-week — per-distinct-value counts + binnedPrefix
+    //    descending cumulatives (the rocPr contract), deciles by pure
+    //    integer ceil on the cumulative counts
+    "q294_lift_gains" -> ((s, d) =>
+      graft.ops.Stats.liftGains(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+          .withColumn("lbl", (col("event_type") === "purchase").cast("int")),
+        "value", "lbl", Seq("dow"))),
+
+    // ── Nelson–Aalen cumulative hazard on the q273 survival subjects —
+    //    same duration axis and censoring, the integral companion curve
+    "q295_nelson_aalen" -> ((s, d) =>
+      graft.analytics.Behavior.nelsonAalen(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", censorDays = 3)),
+
+    // ── mutual information + NMI between document source and language:
+    //    one corpus aggregate to the contingency cells, everything else
+    //    rides the category-bounded frames
+    "q296_mutual_info" -> ((s, d) =>
+      graft.ops.Stats.mutualInfo(Tables.documents(s, d), "source", "lang")),
+
     // ── 2×2 difference-in-differences on event values: even users
     //    "treated", the month's second half "post" — point estimate,
     //    unpooled SE, and the t statistic from one 12-statistic scan
@@ -2241,6 +2285,161 @@ object AnalyticsQueries {
         |FROM bn JOIN f2 USING (bin)""".stripMargin,
     // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
     // replays the ring-buffer recurrence with the seasonal state as a
+    // Poisson bootstrap: the hash-Poisson weights replay from integer
+    // thresholds (no float near the draw); resample sums DECIMAL(28,6),
+    // CI ranks from integer ceil over the non-empty resample count
+    "q289_bootstrap_ci" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+        |  CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS val
+        | FROM orders),
+        |r AS (SELECT grp, id, val, rep FROM b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS rep)),
+        |w AS (SELECT grp, rep, val,
+        |  CASE WHEN hm < 385749 THEN 0 WHEN hm < 771499 THEN 1
+        |    WHEN hm < 964373 THEN 2 WHEN hm < 1028665 THEN 3
+        |    WHEN hm < 1044738 THEN 4 WHEN hm < 1047952 THEN 5
+        |    WHEN hm < 1048488 THEN 6 WHEN hm < 1048565 THEN 7
+        |    WHEN hm < 1048574 THEN 8 ELSE 9 END AS w
+        | FROM (SELECT *, ('0x' || substr(md5(id || ':bs'
+        |     || CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS hm
+        |   FROM r)),
+        |s AS (SELECT grp, rep, sum(CAST(w * val AS DECIMAL(28,6))) AS sv,
+        |  CAST(sum(w) AS BIGINT) AS wn FROM w GROUP BY 1, 2),
+        |m AS (SELECT grp, rep, CAST(sv AS DOUBLE) / wn AS mean FROM s
+        | WHERE wn > 0),
+        |rk AS (SELECT grp, mean,
+        |  row_number() OVER (PARTITION BY grp ORDER BY mean, rep) AS rn,
+        |  count(*) OVER (PARTITION BY grp) AS m FROM m),
+        |ci AS (SELECT grp,
+        |  max(CASE WHEN rn = (m * 25 + 999) // 1000 THEN mean END) AS lo,
+        |  max(CASE WHEN rn = (m * 975 + 999) // 1000 THEN mean END) AS hi,
+        |  CAST(max(m) AS BIGINT) AS n_resamples FROM rk GROUP BY 1),
+        |f AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mn
+        | FROM b GROUP BY 1)
+        |SELECT f.grp AS o_orderpriority, n, round(mn, 6) AS mean,
+        | round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi, n_resamples
+        |FROM f JOIN ci USING (grp)""".stripMargin,
+    // Mann-Kendall + Theil-Sen: S and the tie/variance terms are pure
+    // integers; each slope one pinned division; median midpoint (a+b)/2
+    "q291_trend_test" ->
+      """WITH mo AS (SELECT o_orderpriority AS g,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS t,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+        | FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.g, a.t AS t1, a.y AS y1, b.t AS t2, b.y AS y2
+        | FROM mo a JOIN mo b ON a.g = b.g AND a.t < b.t),
+        |s AS (SELECT g, CAST(sum(CASE WHEN y2 > y1 THEN 1
+        |    WHEN y2 < y1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM p GROUP BY 1),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM mo GROUP BY 1),
+        |tie AS (SELECT g, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+        |   AS tie
+        | FROM (SELECT g, y, count(*) AS tc FROM mo GROUP BY 1, 2)
+        | GROUP BY 1),
+        |sl AS (SELECT g, (y2 - y1) / (t2 - t1) AS sl FROM p WHERE t2 != t1),
+        |rk AS (SELECT g, sl, row_number() OVER (PARTITION BY g ORDER BY sl)
+        |   AS rn, count(*) OVER (PARTITION BY g) AS m FROM sl),
+        |sen AS (SELECT g, (min(sl) + max(sl)) / 2.0 AS sen FROM rk
+        | WHERE rn * 2 = m OR rn * 2 = m + 2 OR rn * 2 = m + 1 GROUP BY 1),
+        |v AS (SELECT n.g, n.n, s.s_stat, sen.sen,
+        |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - tie.tie AS DOUBLE) / 18.0
+        |    AS vs
+        | FROM n JOIN s ON s.g = n.g JOIN tie ON tie.g = n.g
+        | JOIN sen ON sen.g = n.g)
+        |SELECT g AS o_orderpriority, n, s_stat, round(vs, 6) AS var_s,
+        | round(CASE WHEN vs > 0 THEN
+        |   CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(vs)
+        |     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(vs)
+        |     ELSE 0.0 END END, 6) AS z,
+        | round(sen, 6) AS sen_slope
+        |FROM v""".stripMargin,
+    // lift/gains: q284's per-value descending cumulatives, deciles by
+    // integer ceil on cumulative row counts (value ties never straddle)
+    "q294_lift_gains" ->
+      """WITH b AS (SELECT date_part('dow', ts) AS dow, value AS v,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        | FROM events WHERE event_type IN ('view', 'purchase')
+        |   AND value IS NOT NULL),
+        |pv AS (SELECT dow, v, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(lbl) AS BIGINT) AS p FROM b GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(c) OVER w AS BIGINT) AS ccum,
+        |  CAST(sum(p) OVER w AS BIGINT) AS pcum,
+        |  CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS ctot,
+        |  CAST(sum(p) OVER (PARTITION BY dow) AS BIGINT) AS ptot
+        | FROM pv WINDOW w AS (PARTITION BY dow ORDER BY v DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dec AS (SELECT dow,
+        |  CAST((10 * ccum + ctot - 1) // ctot AS BIGINT) AS decile,
+        |  c, p, pcum, ptot, ctot FROM cum),
+        |agg AS (SELECT dow, decile, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(max(pcum) AS BIGINT) AS cum_pos,
+        |  max(ptot) AS ptot, max(ctot) AS ctot
+        | FROM dec GROUP BY 1, 2)
+        |SELECT dow, decile, n, n_pos, cum_pos,
+        | round(CASE WHEN ptot > 0
+        |   THEN CAST(cum_pos AS DOUBLE) / ptot END, 6) AS gain,
+        | round(CASE WHEN ptot > 0 THEN (CAST(n_pos AS DOUBLE) / n)
+        |   / (CAST(ptot AS DOUBLE) / ctot) END, 6) AS lift
+        |FROM agg""".stripMargin,
+    // Nelson-Aalen: the q273 subject/duration/censor chain, hazard and
+    // variance terms DECIMAL-quantized before the cumulative sums
+    "q295_nelson_aalen" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  date_diff('second', TIMESTAMP '1970-01-01', min(ts)) AS a,
+        |  date_diff('second', TIMESTAMP '1970-01-01', max(ts)) AS b
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(b) AS mx FROM s),
+        |bd AS (SELECT CAST(floor((b - a) / 3600.0) AS BIGINT) AS duration_hr,
+        |  CAST(sum(CASE WHEN b < mx - 259200 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN b < mx - 259200 THEN 0 ELSE 1 END) AS BIGINT) AS n_censored,
+        |  CAST(count(*) AS BIGINT) AS tot
+        | FROM s, m GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(tot) OVER (ORDER BY duration_hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM bd),
+        |g AS (SELECT *,
+        |  sum(CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |    AS DECIMAL(28,12))) OVER wc AS ch,
+        |  sum(CAST(CAST(n_events AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+        |    AS DECIMAL(28,12))) OVER wc AS hv
+        | FROM r WINDOW wc AS (ORDER BY duration_hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT duration_hr, n_risk, n_events, n_censored,
+        | round(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+        | round(CAST(hv AS DOUBLE), 6) AS hazard_var
+        |FROM g""".stripMargin,
+    // mutual information: per-cell and per-margin log terms quantized to
+    // DECIMAL(28,12) pre-sum, every log argument one pinned double expr
+    "q296_mutual_info" ->
+      """WITH c AS (SELECT source AS x, lang AS y,
+        |  CAST(count(*) AS BIGINT) AS nxy
+        | FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        | GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c),
+        |mi AS (SELECT CAST(sum(CAST(
+        |    (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS mi
+        | FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn),
+        |hx AS (SELECT CAST(sum(CAST(
+        |    -(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS hx FROM mx CROSS JOIN nn),
+        |hy AS (SELECT CAST(sum(CAST(
+        |    -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS hy FROM my CROSS JOIN nn)
+        |SELECT n, round(mi, 6) AS mi, round(hx, 6) AS h_x,
+        | round(hy, 6) AS h_y,
+        | round(CASE WHEN hx > 0 AND hy > 0
+        |   THEN mi / sqrt(hx * hy) END, 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn""".stripMargin,
     // LIST (head = s_{t−m}, rotate-append each step) — expression text
     // pinned to HwScan's IEEE step order
     "q288_holt_winters" ->

@@ -574,6 +574,37 @@ object BreadthQueries {
       graft.analytics.Graph.louvain(edges, "cu", "su", rounds = 3)
     }),
 
+    // ── synchronous label propagation (min-label deterministic variant,
+    //    4 rounds) on the purchase graph — the parameter-free community
+    //    baseline; the oracle replays every round's argmax
+    "q290_lpa" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      graft.analytics.Graph.labelPropagation(edges, "cu", "su", rounds = 4)
+    }),
+
+    // ── TPC-H Q17 shape (small-quantity revenue for a brand/size slice):
+    //    the correlated per-part average as one broadcast aggregate, the
+    //    dimension filter broadcast onto the fact scan
+    "q297_tpch_q17" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
+        .select("p_partkey")
+      val base = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = base.groupBy("l_partkey")
+        .agg((sum(col("l_quantity").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("_avg"))
+      base.join(broadcast(avgq), "l_partkey")
+        .filter(col("l_quantity") < col("_avg") / lit(5.0))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double") / lit(7.0), 6).as("avg_yearly"))
+    }),
+
     // ── HIERARCHICAL (two-level) Louvain: phase-1 sweep → coarsen to the
     //    weighted community graph (self-loops = internal mass) → weighted
     //    phase-1 on the coarse graph — Blondel et al.'s full recursion,
@@ -779,6 +810,28 @@ object BreadthQueries {
       |und AS MATERIALIZED (SELECT a, b, 1 AS w FROM (
       | SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
       | FROM bi WHERE least(x, y) != greatest(x, y)))""".stripMargin
+
+  /** Label-propagation oracle: round CTEs replaying the synchronous
+    * most-frequent-neighbor-label argmax (ties to the smaller label) —
+    * the same replay idiom as the Louvain round CTEs. */
+  private def lpaOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""lc$r AS (SELECT s.v, l.c AS cand, count(*) AS n
+         | FROM lsym s JOIN lp${r - 1} l ON l.v = s.u GROUP BY 1, 2),
+         |lp$r AS MATERIALIZED (SELECT v, cand AS c FROM (
+         |  SELECT v, cand, row_number() OVER (PARTITION BY v
+         |    ORDER BY n DESC, cand) AS rn FROM lc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $PurchaseUndCtes,
+       |lsym AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+       | UNION ALL SELECT b AS v, a AS u FROM und),
+       |lp0 AS (SELECT DISTINCT v, v AS c FROM lsym),
+       |$roundCtes,
+       |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS community_size
+       | FROM lp$rounds GROUP BY 1)
+       |SELECT l.v AS id, l.c AS community, sz.community_size
+       |FROM lp$rounds l JOIN sz USING (c)""".stripMargin
+  }
 
   private def louvainOracleSql(rounds: Int): String =
     s"""WITH $PurchaseUndCtes,
@@ -1061,6 +1114,21 @@ object BreadthQueries {
     "q245_louvain" -> louvainOracleSql(3),
     "q247_louvain_l2" -> louvain2OracleSql(2, 2),
     "q258_louvain_hier" -> louvainHierOracleSql(3, 2),
+    "q290_lpa" -> lpaOracleSql(4),
+    "q297_tpch_q17" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        | WHERE p_brand = 'Brand#4' AND p_size <= 10),
+        |base AS (SELECT l.* FROM lineitem l JOIN p
+        | ON l.l_partkey = p.p_partkey),
+        |av AS (SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |    AS avgq
+        | FROM base GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |   / CAST(7 AS DOUBLE), 6) AS avg_yearly
+        |FROM base JOIN av USING (l_partkey)
+        |WHERE l_quantity < avgq / CAST(5 AS DOUBLE)""".stripMargin,
     // snapshot diff: null-safe column compare (IS NOT DISTINCT FROM);
     // concat_ws skips the NULL CASE arms, assembling the changed list
     "q261_snapshot_diff" -> {

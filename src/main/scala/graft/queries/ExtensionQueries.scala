@@ -668,6 +668,23 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 3, nProbe = 2)
     }),
 
+    // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
+    //    rational — no float literal near the score), 5 greedy picks per
+    //    query; the oracle replays every greedy step
+    "q292_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 3), "vec_id",
+        "embedding", k = 5, topN = 20)
+    }),
+
+    // ── recall@10 of int8-quantized dot-product retrieval vs the exact
+    //    float cosine top-10 — integer code dots, engine-portable
+    "q293_quant_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantRecall(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+    }),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -932,6 +949,54 @@ object ExtensionQueries {
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
   private val cosSqlAV = cosSqlAB("qv", "a.v")
+
+  /** MMR oracle: exact top-`topN` candidates (q33 chain), pairwise
+    * candidate cosines, then `k` greedy steps unrolled CTE-for-CTE —
+    * each step the same (7·sim − 3·pen)/10 argmax the Spark side runs. */
+  private def mmrOracleSql(k: Int, topN: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""pen$i AS (SELECT p.q_id, p.va AS vec_id, max(p.psim) AS pen
+         | FROM pw p JOIN sel${i - 1} s ON s.q_id = p.q_id
+         |   AND s.vec_id = p.vb
+         | GROUP BY 1, 2),
+         |st$i AS (SELECT q_id, vec_id, score FROM (
+         |  SELECT r.q_id, r.vec_id,
+         |    (7 * r.sim - 3 * p.pen) / CAST(10 AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY r.q_id
+         |      ORDER BY (7 * r.sim - 3 * p.pen) / CAST(10 AS DOUBLE) DESC,
+         |        r.vec_id) AS rn
+         |  FROM cand r
+         |  LEFT JOIN sel${i - 1} sx ON sx.q_id = r.q_id
+         |    AND sx.vec_id = r.vec_id
+         |  JOIN pen$i p ON p.q_id = r.q_id AND p.vec_id = r.vec_id
+         |  WHERE sx.vec_id IS NULL) WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+         | SELECT q_id, vec_id, $i AS pick, score FROM st$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+       |sc AS (SELECT q_id, vec_id, $cosSql AS sim, v FROM e, q
+       | WHERE vec_id != q_id),
+       |cand AS MATERIALIZED (SELECT q_id, vec_id, sim, v FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rank FROM sc) WHERE rank <= $topN),
+       |pw AS MATERIALIZED (SELECT x.q_id, x.vec_id AS va, y.vec_id AS vb,
+       |  ${cosSqlAB("x.v", "y.v")} AS psim
+       | FROM cand x JOIN cand y ON x.q_id = y.q_id
+       |   AND x.vec_id != y.vec_id),
+       |sel1 AS (SELECT q_id, vec_id, 1 AS pick, score FROM (
+       |  SELECT q_id, vec_id,
+       |    (7 * sim - 3 * CAST(0 AS DOUBLE)) / CAST(10 AS DOUBLE) AS score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (7 * sim - 3 * CAST(0 AS DOUBLE))
+       |        / CAST(10 AS DOUBLE) DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT q_id, pick, vec_id, round(score, 6) AS mmr_score
+       |FROM sel$k""".stripMargin
+  }
 
   /** Closed-form recomputation of the q167/q168 gradient-fixture pixel
     * statistics (mirrors `Multimodal.gradDims`/`gradChannels`): enumerate
@@ -1643,6 +1708,42 @@ object ExtensionQueries {
     "q34_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
+    "q292_mmr" -> mmrOracleSql(k = 5, topN = 20),
+    // quantized retrieval recall: the q81 codes, integer dot products
+    // (BIGINT — no float anywhere in the quantized ranking), and the
+    // q33 float chain as the reference set
+    "q293_quant_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         |qz AS (SELECT vec_id,
+         |  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+         |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+         |      AS INT)) END AS codes
+         | FROM m),
+         |qq AS (SELECT vec_id AS q_id, codes AS qc FROM qz
+         | WHERE vec_id < 5),
+         |dt AS (SELECT q.q_id, z.vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(qc[i] AS BIGINT) * z.codes[i])) AS BIGINT) AS dot
+         | FROM qz z, qq q WHERE z.vec_id != q.q_id),
+         |it AS (SELECT q_id, vec_id FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, vec_id) AS rn FROM dt) WHERE rn <= 10),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |sf AS (SELECT q_id, vec_id, $cosSql AS sim FROM e, qe
+         | WHERE vec_id != q_id),
+         |ex AS (SELECT q_id, vec_id FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn FROM sf) WHERE rn <= 10),
+         |h AS (SELECT i.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM it i JOIN ex x ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+         | GROUP BY 1)
+         |SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         | round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10, 6) AS recall
+         |FROM (SELECT DISTINCT q_id FROM qq) q LEFT JOIN h USING (q_id)""".stripMargin,
     // cw(s,c,i) and qv(j) are the closed forms of FixedCodebook/FixedQuery;
     // argmin ties go to the lowest code in both engines (first minimum)
     "q113b_pq_fixed" ->

@@ -888,4 +888,106 @@ object Similarity {
         round(sum(col("_s").cast("decimal(28,12)")).cast("double") /
           count(col("_s")), 6).as("mean_silhouette"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from each query's exact top-`topN` cosine candidates,
+    * greedily pick `k` results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) — relevance traded against redundancy to the already-picked
+    * set, the standard diversity pass between retrieval and a context
+    * window. λ is a RATIONAL lamNum/lamDen and the score is evaluated as
+    * (lamNum·sim − (lamDen−lamNum)·pen)/lamDen — one integer-weighted
+    * combination and one pinned division, so no 0.7-style literal ever
+    * needs to round-trip between engines; sims are the 6-dp [[knnBrute]]
+    * values.
+    *
+    * Scale shape: the corpus is touched ONCE (the knnBrute scan); the
+    * greedy loop runs on the (queries × topN) candidate frame and its
+    * (queries × topN²) pairwise-sim frame — both bounded by parameters,
+    * never by corpus size — with each of the k steps one small join +
+    * argmax window, localCheckpoint'ed so the k-step lineage stays flat.
+    * Emits (q_id, pick, vec_id, mmr_score@6dp), pick = 1..k. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int, topN: Int, lamNum: Int = 7,
+                lamDen: Int = 10): DataFrame = {
+    require(k >= 1 && topN >= k && lamNum >= 0 && lamNum <= lamDen,
+      s"bad mmr params (k=$k, topN=$topN, lam=$lamNum/$lamDen)")
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    val cand = knnBrute(corpus, queries, id, emb, topN)
+      .join(vecs, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("sim"), col("v"))
+      .localCheckpoint(true)
+    val pw = cand.select(col("q_id"), col("vec_id").as("_va"), col("v").as("_x"))
+      .join(cand.select(col("q_id"), col("vec_id").as("_vb"), col("v").as("_y")),
+        "q_id")
+      .filter(col("_va") =!= col("_vb"))
+      .withColumn("_psim", round(cosineNative(spark, "_x", "_y"), 6))
+      .select(col("q_id"), col("_va"), col("_vb"), col("_psim"))
+      .localCheckpoint(true)
+    val base = cand.select(col("q_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("_score").desc, col("vec_id").asc)
+    def score(pen: Column): Column =
+      (lit(lamNum) * col("sim") - lit(lamDen - lamNum) * pen) /
+        lit(lamDen.toDouble)
+    var sel = base.withColumn("_score", score(lit(0.0)))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("pick"), col("_score"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val rem = base.join(sel.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      val pen = pw
+        .join(sel.select(col("q_id"), col("vec_id").as("_vb")),
+          Seq("q_id", "_vb"))
+        .groupBy(col("q_id"), col("_va").as("vec_id"))
+        .agg(max(col("_psim")).as("_pen"))
+      sel = sel.unionByName(rem.join(pen, Seq("q_id", "vec_id"))
+          .withColumn("_score", score(col("_pen")))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("q_id"), col("vec_id"), lit(step).as("pick"),
+            col("_score")))
+        .localCheckpoint(true)
+    }
+    sel.select(col("q_id"), col("pick"), col("vec_id"),
+      round(col("_score"), 6).as("mmr_score"))
+  }
+
+  /** Recall@k of int8-quantized dot-product retrieval against the exact
+    * float cosine top-k — the accuracy-vs-footprint readout that decides
+    * whether the [[quantizeInt8]] 4× compression is safe for the
+    * candidate stage. The quantized ranking orders by the INTEGER code
+    * dot product (engine-portable by construction: int sums, no floats
+    * anywhere), ties toward the smaller id; the reference ranking is
+    * [[knnBrute]].
+    *
+    * Scale shape: both rankings are one broadcast-queries pass over the
+    * corpus with per-query top-k windows (the knnBrute contract); the
+    * recall join touches only the two k-row-per-query result sets.
+    * Emits (q_id, n_hit, recall@6dp). */
+  def quantRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                  emb: String, k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, id, emb)
+      .select(col(id).as("vec_id"), col("codes"))
+    val q = quantizeInt8(queries, id, emb)
+      .select(col(id).as("q_id"), col("codes").as("_qc"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("_dot").desc, col("vec_id").asc)
+    val intTop = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("_dot", expr(
+        "aggregate(zip_with(_qc, codes, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("q_id", "vec_id")
+    val exact = knnBrute(corpus, queries, id, emb, k)
+      .select("q_id", "vec_id")
+    val hits = intTop.join(exact, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col(id).as("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
 }

@@ -413,4 +413,39 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(s2(0) < 0.5 && s2(1) < 0.5)
   }
+
+  test("mmrRerank: the redundant near-duplicate of pick 1 is deferred " +
+       "behind the diverse candidate; picks are dense 1..k per query") {
+    import spark.implicits._
+    // query 0 = e1; candidate 1 (a) most similar; 2 (b) nearly collinear
+    // with a — heavily penalized after a is picked; 3 (c) moderately
+    // similar but diverse: MMR order must be a, c, b
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f, 0.0f, 0.0f)),   // sim .8, unit norm
+      (2L, Seq(0.79f, 0.61f, 0.0f, 0.0f)), // sim .7915, ~collinear with 1
+      (3L, Seq(0.79f, 0.0f, 0.6f, 0.0f)))  // sim .7964, diverse
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(rows, rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, topN = 3)
+      .orderBy("pick").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), got)
+  }
+
+  test("quantRecall: quantization-faithful rankings score recall 1 even " +
+       "across a large norm spread (per-vector scales)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.1f, 0.05f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantRecall(rows,
+        rows.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 2L, 1.0)), got.toSeq)
+  }
 }

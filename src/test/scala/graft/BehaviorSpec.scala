@@ -197,6 +197,29 @@ class BehaviorSpec extends SparkSpec {
       (10L, 1L, 0L, 1L, 0.4)), got)
   }
 
+  test("nelsonAalen: hand cumulative hazard and variance on the KM " +
+       "fixture — censor-only durations leave the curve flat") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val T = 1000000000L
+    val spans = Seq(
+      ("s1", T - 36000L, T),                       // 10h, censored
+      ("s2", T - 345600L - 18000L, T - 345600L),   // 5h, observed
+      ("s3", T - 345600L - 18000L, T - 345600L),   // 5h, observed
+      ("s4", T - 432000L - 7200L, T - 432000L),    // 2h, observed
+      ("s5", T - 86400L - 18000L, T - 86400L))     // 5h, censored
+    val ev = spans.flatMap { case (u, a, b) => Seq((u, a), (u, b)) }
+      .toDF("u", "secs").select(col("u"), to_timestamp(col("secs")).as("ts"))
+    val got = Behavior.nelsonAalen(ev, Seq("u"), "ts", censorDays = 3)
+      .orderBy("duration_hr")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // H(2) = 1/5; H(5) = 1/5 + 2/4 = 0.7; H(10) = flat (censor only)
+    // V(2) = 1/25; V(5) = 0.04 + 2/16 = 0.165; V(10) = flat
+    assert(got == Seq(
+      (2L, 5L, 1L, 0L, 0.2, 0.04),
+      (5L, 4L, 2L, 1L, 0.7, 0.165),
+      (10L, 1L, 0L, 1L, 0.7, 0.165)), got)
+  }
+
   test("kaplanMeier: a duration where every at-risk subject dies pins " +
        "survival to exactly zero") {
     import org.apache.spark.sql.functions.{col, to_timestamp}

@@ -227,6 +227,30 @@ class GraphSpec extends SparkSpec {
     assert(weak == Map(10L -> 10L, 20L -> 10L))
   }
 
+  test("labelPropagation: bridged triangles settle to per-triangle " +
+       "communities under the deterministic min-label tie-break") {
+    // hand-replayed rounds: {1,2,3} converges to label 1; {4,5,6} to 3
+    // (the bridge 3-4 pulls 4's community onto label 3 in round 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "t")
+    val got = Graph.labelPropagation(edges, "s", "t", rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((3L, 3L)), 5L -> ((3L, 3L)), 6L -> ((3L, 3L))), got)
+  }
+
+  test("labelPropagation is partition-invariant") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (6L, 7L), (7L, 8L)).toDF("s", "t")
+    val a = Graph.labelPropagation(edges, "s", "t", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.labelPropagation(edges.repartition(7), "s", "t",
+      rounds = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("louvainWeighted with unit weights equals louvain") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
       (4L, 6L), (3L, 4L), (3L, 5L)).toDF("s", "t")

@@ -1700,6 +1700,86 @@ class IndicatorsSpec extends SparkSpec {
     assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
   }
 
+  test("bootstrapCi: constant column collapses the interval to the mean; " +
+       "bounds bracket and are ordered on a spread sample") {
+    val const = (1 to 50).map(i => (i.toLong, 42.0, "g")).toDF("id", "x", "g")
+    val c = Stats.bootstrapCi(const, "id", "x", Seq("g")).collect()(0)
+    assert((c.getDouble(2), c.getDouble(3), c.getDouble(4)) ==
+      ((42.0, 42.0, 42.0)), c)
+    assert(c.getLong(1) == 50L && c.getLong(5) == 64L, c)
+    val spread = (1 to 200).map(i => (i.toLong, i.toDouble, "g"))
+      .toDF("id", "x", "g")
+    val s = Stats.bootstrapCi(spread, "id", "x", Seq("g")).collect()(0)
+    val (mean, lo, hi) = (s.getDouble(2), s.getDouble(3), s.getDouble(4))
+    assert(lo < mean && mean < hi && mean == 100.5, s)
+    // a 97.5% bound of a 200-point uniform mean stays within a few sd
+    assert(lo > 80 && hi < 121, s)
+  }
+
+  test("bootstrapCi is partition-invariant (hash-deterministic weights)") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toDouble, "g"))
+      .toDF("id", "x", "g")
+    val a = Stats.bootstrapCi(df, "id", "x", Seq("g")).collect().toSeq
+    val b = Stats.bootstrapCi(df.repartition(13), "id", "x", Seq("g"))
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("trendTest: strict monotone series give S = ±n(n−1)/2 and the " +
+       "exact slope; a constant series has zero variance → NULL z") {
+    val up = (1 to 10).map(i => ("u", i.toDouble, 3.0 * i + 1))
+    val dn = (1 to 10).map(i => ("d", i.toDouble, -2.0 * i))
+    val ct = (1 to 10).map(i => ("c", i.toDouble, 5.0))
+    val df = (up ++ dn ++ ct).toDF("g", "t", "y")
+    val got = Stats.trendTest(df, Seq("g"), "t", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("u").getLong(2) == 45L && got("u").getDouble(5) == 3.0)
+    assert(got("u").getDouble(4) > 0)
+    assert(got("d").getLong(2) == -45L && got("d").getDouble(5) == -2.0)
+    assert(got("d").getDouble(4) < 0)
+    // all ties: S = 0, tie term equals the main term → var 0 → z NULL
+    assert(got("c").getLong(2) == 0L && got("c").getDouble(3) == 0.0)
+    assert(got("c").isNullAt(4))
+    assert(got("c").getDouble(5) == 0.0)
+  }
+
+  test("liftGains: hand deciles — top decile captures its positives at " +
+       "the right multiple of the base rate") {
+    // 20 distinct scores descending; positives at the 4 highest scores
+    val df = (1 to 20).map(i => (i.toDouble, if (i >= 17) 1 else 0, "g"))
+      .toDF("s", "y", "g")
+    val got = Stats.liftGains(df, "s", "y", Seq("g"))
+      .orderBy("decile").collect()
+    // decile 1 = scores {20, 19}: 2 pos of 4 → gain .5, lift (2/2)/(4/20)=5
+    val d1 = got(0)
+    assert(d1.getLong(1) == 1L && d1.getLong(2) == 2L &&
+      d1.getLong(3) == 2L && d1.getLong(4) == 2L, d1)
+    assert(d1.getDouble(5) == 0.5 && d1.getDouble(6) == 5.0, d1)
+    // decile 2 = {18, 17}: cumulative gain 1.0; lift 5 again
+    val d2 = got(1)
+    assert(d2.getDouble(5) == 1.0 && d2.getDouble(6) == 5.0, d2)
+    // deciles 3..10: no positives → lift 0, gain stays 1.0
+    assert(got.drop(2).forall(r => r.getDouble(6) == 0.0 &&
+      r.getDouble(5) == 1.0), got.toSeq)
+    assert(got.map(_.getLong(1)).toSeq == (1L to 10L), got.toSeq)
+  }
+
+  test("mutualInfo: identical columns give MI = H = ln 2 and NMI = 1; " +
+       "independent columns give MI = 0") {
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val d = Stats.mutualInfo(dep, "x", "y").collect()(0)
+    val ln2 = BigDecimal(math.log(2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d.getLong(0) == 4L && d.getDouble(1) == ln2 &&
+      d.getDouble(2) == ln2 && d.getDouble(3) == ln2 &&
+      d.getDouble(4) == 1.0, d)
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val i = Stats.mutualInfo(ind, "x", "y").collect()(0)
+    assert(i.getDouble(1) == 0.0 && i.getDouble(4) == 0.0, i)
+  }
+
   test("holtWinters: matches the scalar recurrence from the data seeds; " +
     "series shorter than 2·period drop") {
     import java.sql.Timestamp
