@@ -422,6 +422,106 @@ object Behavior {
         col("n_censored"), col("survival"))
   }
 
+  /** Data-driven Shapley-value attribution (Shapley 1953; Dalessandro,
+    * Perlich et al., "Causally motivated attribution", ADKDD 2012): the
+    * game's players are the touch channels, a user's coalition is the
+    * SET of channels present anywhere in their history, and the
+    * characteristic function v(S) is the observed conversion rate of
+    * users with exactly coalition S (unobserved coalitions contribute
+    * v = 0, and v(∅) is the no-touch baseline measured from the data).
+    * φ_c = Σ_{S ∌ c} |S|!·(n−1−|S|)!/n! · (v(S∪{c}) − v(S)) — the unique
+    * credit split that is efficient, symmetric, and dummy-free.
+    *
+    * Scale shape: ONE user-keyed aggregate folds the event log to
+    * (coalition bitmask, converted) rows; the v table is 2ⁿ-bounded and
+    * everything after — the coefficient join (n·2ⁿ⁻¹ literal rows built
+    * driver-side from the channel list) and the marginal sums — rides
+    * it. Weights stay exact rationals (integer factorial numerators over
+    * the common n! denominator, one pinned division per term, quantized
+    * to DECIMAL(28,12) pre-sum). Emits one row per channel:
+    * (channel, shapley@6dp). `touches` must be small (n ≤ ~10 — the 2ⁿ
+    * coalition table is driver-built). */
+  def shapleyAttribution(df: DataFrame, user: String, etype: String,
+                         conversion: String,
+                         touches: Seq[String]): DataFrame = {
+    val n = touches.length
+    require(n >= 1 && n <= 10, s"need 1..10 touch channels, got $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maskExpr = touches.zipWithIndex.map { case (t, i) =>
+      max(when(col(etype) === t, 1L).otherwise(0L)) * (1L << i)
+    }.reduce(_ + _)
+    val users = df.groupBy(col(user))
+      .agg(maskExpr.as("_mask"),
+        max((col(etype) === conversion).cast("long")).as("_conv"))
+    val vtab = users.groupBy("_mask")
+      .agg((sum(col("_conv")).cast("double") / count(lit(1))).as("_v"))
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val den = fact(n).toDouble
+    val coef = for {
+      (t, i) <- touches.zipWithIndex
+      s <- 0 until (1 << n) if (s & (1 << i)) == 0
+    } yield (t, (s | (1 << i)).toLong, s.toLong,
+      fact(java.lang.Long.bitCount(s.toLong))
+        * fact(n - 1 - java.lang.Long.bitCount(s.toLong)))
+    val coefDf = coef.toDF("channel", "_mwith", "_mwo", "_num")
+    coefDf
+      .join(broadcast(vtab.withColumnRenamed("_mask", "_mwith")
+        .withColumnRenamed("_v", "_vw")), Seq("_mwith"), "left")
+      .join(broadcast(vtab.withColumnRenamed("_mask", "_mwo")
+        .withColumnRenamed("_v", "_vo")), Seq("_mwo"), "left")
+      .select(col("channel"),
+        ((col("_num").cast("double") *
+          (coalesce(col("_vw"), lit(0.0)) - coalesce(col("_vo"), lit(0.0))))
+          / lit(den)).cast("decimal(28,12)").as("_t"))
+      .groupBy("channel")
+      .agg(round(sum(col("_t")).cast("double"), 6).as("shapley"))
+  }
+
+  /** U-shaped (position-based) multi-touch attribution: each converting
+    * user's pre-conversion touch path splits one unit of credit 40/20/40
+    * — 2/5 to the first touch, 2/5 to the last, the middle 1/5 shared
+    * equally; single-touch paths keep the whole unit, two-touch paths
+    * split it evenly. Paths are the touch events strictly BEFORE the
+    * user's FIRST conversion (the [[attribution]] contract, extended
+    * from endpoints to the whole path). Credits are exact rationals
+    * evaluated as one pinned integer-over-integer division per touch
+    * (2/5, 1/(5·(k−2)), 1/1, …), quantized to DECIMAL(28,12) before the
+    * per-channel sum.
+    *
+    * Scale shape: one first-conversion aggregate (user-keyed), one
+    * broadcast-back join, per-user position windows (path-length
+    * bounded), then a channels-sized sum. `ts` must be unique within a
+    * user (the events contract) — positions are total-ordered by it.
+    * Emits (channel, credit@6dp, n_first = paths opened by the
+    * channel). */
+  def positionAttribution(df: DataFrame, user: String, ts: String,
+                          etype: String, conversion: String,
+                          touches: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstConv = df.filter(col(etype) === conversion)
+      .groupBy(col(user)).agg(min(col(ts)).as("_cts"))
+    val path = df.filter(col(etype).isin(touches: _*))
+      .join(firstConv, Seq(user))
+      .filter(col(ts) < col("_cts"))
+    val wAsc = Window.partitionBy(col(user)).orderBy(col(ts).asc)
+    val wAll = Window.partitionBy(col(user))
+    val credited = path
+      .withColumn("_pos", row_number().over(wAsc))
+      .withColumn("_k", count(lit(1)).over(wAll))
+      .withColumn("_credit",
+        when(col("_k") === 1, lit(1.0))
+          .when(col("_k") === 2, lit(1) / lit(2.0))
+          .when(col("_pos") === 1 || col("_pos") === col("_k"),
+            lit(2) / lit(5.0))
+          .otherwise(lit(1) / (lit(5.0) * (col("_k") - 2))))
+    credited
+      .groupBy(col(etype).as("channel"))
+      .agg(round(sum(col("_credit").cast("decimal(28,12)"))
+          .cast("double"), 6).as("credit"),
+        sum((col("_pos") === 1).cast("long")).as("n_first"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972; Aalen 1978)
     * — the integral companion to [[kaplanMeier]]: H(t) = Σ_{dᵢ ≤ t}
     * eventsᵢ/at-riskᵢ, with the standard variance estimate

@@ -340,6 +340,22 @@ object AnalyticsQueries {
         alpha = 0.25, beta = 0.125, gamma = 0.25)
     }),
 
+    // ── Shapley-value attribution over the 2³ touch coalitions: v(S) =
+    //    observed conversion rate per coalition, exact factorial-rational
+    //    weights — the unique efficient/symmetric credit split
+    "q299_shapley" -> ((s, d) =>
+      graft.analytics.Behavior.shapleyAttribution(Tables.events(s, d),
+        "user_id", "event_type", conversion = "purchase",
+        touches = Seq("view", "click", "signup"))),
+
+    // ── U-shaped (40/20/40) position attribution over pre-conversion
+    //    paths — rational credits, the multi-touch middle ground between
+    //    q278's first/last endpoints
+    "q300_position_attribution" -> ((s, d) =>
+      graft.analytics.Behavior.positionAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", conversion = "purchase",
+        touches = Seq("view", "click", "signup"))),
+
     // ── Poisson-bootstrap CI for the mean order value per priority: 64
     //    deterministic hash-Poisson(1) resamples in ONE pass, 2.5/97.5
     //    percentile bounds from pure-integer rank arithmetic
@@ -2285,6 +2301,57 @@ object AnalyticsQueries {
         |FROM bn JOIN f2 USING (bin)""".stripMargin,
     // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
     // replays the ring-buffer recurrence with the seasonal state as a
+    // Shapley: the 2^3 coalition v-table from one user aggregate,
+    // factorial-rational weights, per-term pinned division over n! = 6
+    "q299_shapley" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 1
+        |  + max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 2
+        |  + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |    AS mask,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |v AS (SELECT mask, CAST(sum(conv) AS DOUBLE) / count(*) AS v
+        | FROM u GROUP BY 1),
+        |coef(channel, mwith, mwo, num) AS (VALUES
+        | ('view', 1, 0, 2), ('view', 3, 2, 1),
+        | ('view', 5, 4, 1), ('view', 7, 6, 2),
+        | ('click', 2, 0, 2), ('click', 3, 1, 1),
+        | ('click', 6, 4, 1), ('click', 7, 5, 2),
+        | ('signup', 4, 0, 2), ('signup', 5, 1, 1),
+        | ('signup', 6, 2, 1), ('signup', 7, 3, 2)),
+        |t AS (SELECT channel, CAST(
+        |   (CAST(num AS DOUBLE) * (coalesce(vw.v, CAST(0 AS DOUBLE))
+        |     - coalesce(vo.v, CAST(0 AS DOUBLE)))) / CAST(6 AS DOUBLE)
+        |   AS DECIMAL(28,12)) AS t
+        | FROM coef LEFT JOIN v vw ON vw.mask = coef.mwith
+        | LEFT JOIN v vo ON vo.mask = coef.mwo)
+        |SELECT channel, round(CAST(sum(t) AS DOUBLE), 6) AS shapley
+        |FROM t GROUP BY 1""".stripMargin,
+    // U-shaped attribution: positions from the pre-first-conversion
+    // path, rational credits, DECIMAL-quantized pre-sum
+    "q300_position_attribution" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS cts FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT e.user_id, e.event_type, e.ts FROM events e
+        | JOIN fc USING (user_id)
+        | WHERE e.event_type IN ('view', 'click', 'signup')
+        |   AND e.ts < fc.cts),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos,
+        |  count(*) OVER (PARTITION BY user_id) AS k FROM p),
+        |c AS (SELECT event_type AS channel, pos,
+        |  CASE WHEN k = 1 THEN CAST(1 AS DOUBLE)
+        |    WHEN k = 2 THEN 1 / CAST(2 AS DOUBLE)
+        |    WHEN pos = 1 OR pos = k THEN 2 / CAST(5 AS DOUBLE)
+        |    ELSE 1 / (CAST(5 AS DOUBLE) * (k - 2)) END AS credit
+        | FROM r)
+        |SELECT channel,
+        | round(CAST(sum(CAST(credit AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |   AS credit,
+        | CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_first
+        |FROM c GROUP BY 1""".stripMargin,
     // Poisson bootstrap: the hash-Poisson weights replay from integer
     // thresholds (no float near the draw); resample sums DECIMAL(28,6),
     // CI ranks from integer ceil over the non-empty resample count

@@ -685,6 +685,18 @@ object ExtensionQueries {
         "embedding", k = 10)
     }),
 
+    // ── reciprocal-rank fusion of the exact-cosine and int8-quantized
+    //    rankings (k0 = 60) — the calibration-free hybrid combiner
+    "q298_rrf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.rrfFuse(Seq(
+        Similarity.knnBrute(e, q, "vec_id", "embedding", 10)
+          .select("q_id", "vec_id", "rank"),
+        Similarity.quantTopK(e, q, "vec_id", "embedding", 10)),
+        k0 = 60, topK = 10)
+    }),
+
     // ── product-quantized ANN with exact re-rank (rows-only: learned
     //    per-subspace KMeans codebooks aren't reproducible in the oracle
     //    engine — recall/determinism pinned by AnnSpec instead)
@@ -1709,6 +1721,43 @@ object ExtensionQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
     "q292_mmr" -> mmrOracleSql(k = 5, topN = 20),
+    // RRF: the q33 float chain and q293 integer chain fused by
+    // 1/(60+rank) terms quantized to DECIMAL pre-sum
+    "q298_rrf" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |sf AS (SELECT q_id, vec_id, $cosSql AS sim FROM e, qe
+         | WHERE vec_id != q_id),
+         |ra AS (SELECT q_id, vec_id, rank FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM sf) WHERE rank <= 10),
+         |m AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         |qz AS (SELECT vec_id,
+         |  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+         |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5)
+         |      AS INT)) END AS codes
+         | FROM m),
+         |qq AS (SELECT vec_id AS q_id, codes AS qc FROM qz
+         | WHERE vec_id < 5),
+         |dt AS (SELECT q.q_id, z.vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(qc[i] AS BIGINT) * z.codes[i])) AS BIGINT) AS dot
+         | FROM qz z, qq q WHERE z.vec_id != q.q_id),
+         |rb AS (SELECT q_id, vec_id, rank FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dot DESC, vec_id) AS rank FROM dt) WHERE rank <= 10),
+         |t AS (SELECT q_id, vec_id,
+         |  CAST(CAST(1 AS DOUBLE) / (60 + rank) AS DECIMAL(28,12)) AS t
+         | FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)),
+         |fs AS (SELECT q_id, vec_id, sum(t) AS s FROM t GROUP BY 1, 2)
+         |SELECT q_id, vec_id, round(CAST(s AS DOUBLE), 6) AS rrf_score,
+         | rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY s DESC, vec_id) AS rank FROM fs)
+         |WHERE rank <= 10""".stripMargin,
     // quantized retrieval recall: the q81 codes, integer dot products
     // (BIGINT — no float anywhere in the quantized ranking), and the
     // q33 float chain as the reference set

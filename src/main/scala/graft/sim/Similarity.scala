@@ -965,20 +965,30 @@ object Similarity {
     * corpus with per-query top-k windows (the knnBrute contract); the
     * recall join touches only the two k-row-per-query result sets.
     * Emits (q_id, n_hit, recall@6dp). */
-  def quantRecall(corpus: DataFrame, queries: DataFrame, id: String,
-                  emb: String, k: Int): DataFrame = {
+  /** Top-k by the int8-quantized INTEGER dot product — the quantized
+    * candidate ranking on its own: (q_id, vec_id, rank). Engine-portable
+    * by construction (integer sums, smaller-id ties); the broadcast-
+    * queries/corpus-streams contract of [[knnBrute]]. */
+  def quantTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int): DataFrame = {
     val c = quantizeInt8(corpus, id, emb)
       .select(col(id).as("vec_id"), col("codes"))
     val q = quantizeInt8(queries, id, emb)
       .select(col(id).as("q_id"), col("codes").as("_qc"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("_dot").desc, col("vec_id").asc)
-    val intTop = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("_dot", expr(
         "aggregate(zip_with(_qc, codes, (x, y) -> CAST(x AS BIGINT) * y), " +
           "0L, (a, x) -> a + x)"))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+  }
+
+  def quantRecall(corpus: DataFrame, queries: DataFrame, id: String,
+                  emb: String, k: Int): DataFrame = {
+    val intTop = quantTopK(corpus, queries, id, emb, k)
       .select("q_id", "vec_id")
     val exact = knnBrute(corpus, queries, id, emb, k)
       .select("q_id", "vec_id")
@@ -989,5 +999,35 @@ object Similarity {
       .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
           .as("recall"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse any number of per-query rankings by score(d) = Σ_r
+    * 1/(k0 + rank_r(d)) — the robust rank-only ensemble that needs no
+    * score calibration between retrievers (the standard hybrid-search
+    * combiner for lexical + vector lists). A document missing from one
+    * ranking simply contributes nothing for it.
+    *
+    * Each 1/(k0+rank) term is one pinned double division quantized to
+    * DECIMAL(28,12) before the cross-ranking sum; the fused rank breaks
+    * score ties toward the smaller id. Scale shape: the inputs are
+    * already k-bounded per query, so everything here rides
+    * |queries|·k·|rankings| rows — one union, one sum aggregate, one
+    * bounded per-query window. Emits (q_id, vec_id, rrf_score@6dp,
+    * rank ≤ topK). */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 0, s"bad rrf params")
+    val terms = rankings.map(_.select(col("q_id"), col("vec_id"),
+        (lit(1.0) / (lit(k0) + col("rank"))).cast("decimal(28,12)")
+          .as("_t")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("_s").desc, col("vec_id").asc)
+    terms.groupBy("q_id", "vec_id")
+      .agg(sum(col("_t")).as("_s"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"),
+        round(col("_s").cast("double"), 6).as("rrf_score"), col("rank"))
   }
 }

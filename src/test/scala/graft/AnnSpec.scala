@@ -433,6 +433,25 @@ class AnnSpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), got)
   }
 
+  test("rrfFuse: consensus docs outrank single-list docs; scores match " +
+       "the 1/(k0+rank) closed form; missing entries contribute zero") {
+    import spark.implicits._
+    val ra = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("q_id", "vec_id", "rank")
+    val rb = Seq((0L, 10L, 2), (0L, 12L, 1))
+      .toDF("q_id", "vec_id", "rank")
+    val got = Similarity.rrfFuse(Seq(ra, rb), k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def s(rs: Int*) = BigDecimal(rs.map(r =>
+        BigDecimal(1.0 / (60 + r)).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10: ranks 1+2 → top; 12: ranks 3+1; 11: rank 2 alone → last
+    assert(got == Seq((10L, s(1, 2), 1), (12L, s(3, 1), 2),
+      (11L, s(2), 3)), got)
+  }
+
   test("quantRecall: quantization-faithful rankings score recall 1 even " +
        "across a large norm spread (per-vector scales)") {
     import spark.implicits._

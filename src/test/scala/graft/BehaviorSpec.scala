@@ -197,6 +197,46 @@ class BehaviorSpec extends SparkSpec {
       (10L, 1L, 0L, 1L, 0.4)), got)
   }
 
+  test("shapleyAttribution: hand two-channel game — efficiency and the " +
+       "exact factorial-weighted marginals") {
+    // coalitions: {} 2 users 0 conv; {a} 2 users 1 conv; {b} 2 users
+    // 0 conv; {a,b} 2 users 2 conv. φ_a = ½·0.5 + ½·(1−0) = 0.75,
+    // φ_b = ½·0 + ½·(1−0.5) = 0.25; Σφ = v(ab) − v(∅) = 1 (efficiency)
+    val ev = Seq(
+      ("u1", "x"), ("u2", "x"),
+      ("u3", "a"), ("u4", "a"), ("u4", "conv"),
+      ("u5", "b"), ("u6", "b"),
+      ("u7", "a"), ("u7", "b"), ("u7", "conv"),
+      ("u8", "a"), ("u8", "b"), ("u8", "conv"))
+      .toDF("u", "et")
+    val got = Behavior.shapleyAttribution(ev, "u", "et", "conv",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.75, "b" -> 0.25), got)
+  }
+
+  test("positionAttribution: U-shaped credits over 4/2/1-touch paths; " +
+       "post-conversion touches carry nothing") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1: a b b a conv → 0.4/0.1/0.1/0.4; u2: b conv → 1.0;
+    // u3: a b conv → 0.5/0.5; u4: conv a (post-conversion, dropped)
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "b"), ("u1", 4L, "a"),
+      ("u1", 5L, "conv"),
+      ("u2", 1L, "b"), ("u2", 2L, "conv"),
+      ("u3", 1L, "a"), ("u3", 2L, "b"), ("u3", 3L, "conv"),
+      ("u4", 1L, "conv"), ("u4", 2L, "a"))
+      .toDF("u", "secs", "et")
+      .select(col("u"), to_timestamp(col("secs")).as("ts"), col("et"))
+    val got = Behavior.positionAttribution(ev, "u", "ts", "et", "conv",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    // a: 0.4 + 0.4 + 0.5 = 1.3 (opens u1, u3); b: 0.1 + 0.1 + 1.0 + 0.5
+    // = 1.7 (opens u2)
+    assert(got == Map("a" -> ((1.3, 2L)), "b" -> ((1.7, 1L))), got)
+  }
+
   test("nelsonAalen: hand cumulative hazard and variance on the KM " +
        "fixture — censor-only durations leave the curve flat") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
