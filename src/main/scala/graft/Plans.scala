@@ -212,7 +212,42 @@ object Plans {
       // calibration: class tables broadcast; bins-sized windows
       "q282_calibration" -> Seq("BroadcastHashJoin", "Window"),
       // log-rank: KM's duration-axis windows + one-row aggregates
-      "q283_logrank" -> Seq("Window", "HashAggregate"))
+      "q283_logrank" -> Seq("Window", "HashAggregate"),
+      // ROC/PR rides binnedPrefix (per-value counts, bounded windows)
+      "q284_roc_pr" -> Seq("HashAggregate", "Window"),
+      "q285_cuped" -> Seq("HashAggregate"),
+      // HITS: the iteration runs at construction (checkpointed frames —
+      // its shuffled-hash/no-edge-broadcast shape is pinned by GraphSpec
+      // and the scaladoc); the audited final plan is the node-sized
+      // zero-fill join over checkpointed score RDDs
+      "q286_hits" -> Seq("SortMergeJoin LeftOuter", "Scan ExistingRDD"),
+      // isotonic: bins-sized aggregates, stats broadcast back
+      "q287_isotonic" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // bootstrap: the reps fan-out feeds a map-side-combined aggregate
+      // (shuffle = groups x reps); CI ranks over reps-sized windows
+      "q289_bootstrap_ci" -> Seq("Generate", "HashAggregate", "Window"),
+      // LPA: rounds run at construction (checkpointed labels); the final
+      // plan is the community-size aggregate + membership join
+      "q290_lpa" -> Seq("HashAggregate", "Scan ExistingRDD"),
+      // trend test: month-bounded pair self-join, never corpus-sized
+      "q291_trend_test" -> Seq("HashAggregate", "Window"),
+      // MMR: greedy steps run at construction on bounded checkpointed
+      // frames (knnBrute's broadcast scan shape is audited via q33); the
+      // final plan reads the materialized picks
+      "q292_mmr" -> Seq("Scan ExistingRDD"),
+      "q293_quant_recall" -> Seq("BroadcastNestedLoopJoin"),
+      // lift/gains: the rocPr per-value + binnedPrefix contract
+      "q294_lift_gains" -> Seq("HashAggregate", "Window"),
+      "q295_nelson_aalen" -> Seq("Window", "HashAggregate"),
+      // mutual info: one corpus aggregate, margins broadcast back
+      "q296_mutual_info" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      // Q17: dimension filter + per-part averages both broadcast
+      "q297_tpch_q17" -> Seq("BroadcastHashJoin"),
+      "q298_rrf" -> Seq("Window", "HashAggregate"),
+      // Shapley: one user aggregate; the 2^n v-table broadcast onto the
+      // driver-built coefficient table
+      "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),
+      "q300_position_attribution" -> Seq("Window", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

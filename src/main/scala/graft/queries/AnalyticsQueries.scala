@@ -2359,17 +2359,19 @@ object AnalyticsQueries {
       """WITH b AS (SELECT o_orderpriority AS grp,
         |  CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS val
         | FROM orders),
-        |r AS (SELECT grp, id, val, rep FROM b
+        |sd AS (SELECT grp, val, h % 1048573 AS s0,
+        |  1 + (h // 1048576) % 1048572 AS s1
+        | FROM (SELECT *, ('0x' || substr(md5(id || ':bs'), 1, 15))::BIGINT
+        |   AS h FROM b)),
+        |r AS (SELECT grp, val, s0, s1, rep FROM sd
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS rep)),
         |w AS (SELECT grp, rep, val,
-        |  CASE WHEN hm < 385749 THEN 0 WHEN hm < 771499 THEN 1
-        |    WHEN hm < 964373 THEN 2 WHEN hm < 1028665 THEN 3
-        |    WHEN hm < 1044738 THEN 4 WHEN hm < 1047952 THEN 5
-        |    WHEN hm < 1048488 THEN 6 WHEN hm < 1048565 THEN 7
-        |    WHEN hm < 1048574 THEN 8 ELSE 9 END AS w
-        | FROM (SELECT *, ('0x' || substr(md5(id || ':bs'
-        |     || CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 1048576 AS hm
-        |   FROM r)),
+        |  CASE WHEN hm < 385748 THEN 0 WHEN hm < 771496 THEN 1
+        |    WHEN hm < 964371 THEN 2 WHEN hm < 1028662 THEN 3
+        |    WHEN hm < 1044735 THEN 4 WHEN hm < 1047949 THEN 5
+        |    WHEN hm < 1048485 THEN 6 WHEN hm < 1048562 THEN 7
+        |    WHEN hm < 1048571 THEN 8 ELSE 9 END AS w
+        | FROM (SELECT *, (s0 + rep * s1) % 1048573 AS hm FROM r)),
         |s AS (SELECT grp, rep, sum(CAST(w * val AS DECIMAL(28,6))) AS sv,
         |  CAST(sum(w) AS BIGINT) AS wn FROM w GROUP BY 1, 2),
         |m AS (SELECT grp, rep, CAST(sv AS DOUBLE) / wn AS mean FROM s
