@@ -244,6 +244,15 @@ object Plans {
       // Q17: dimension filter + per-part averages both broadcast
       "q297_tpch_q17" -> Seq("BroadcastHashJoin"),
       "q298_rrf" -> Seq("Window", "HashAggregate"),
+      // Markov attribution: the data plane (transition matrix) runs at
+      // construction and collects a channel-bounded result; the emitted
+      // frame is the driver-solved local table
+      "q301_markov_attribution" -> Seq("LocalTableScan"),
+      // minhash calibration: LSH band frame persisted once (q29 chain)
+      "q302_minhash_eval" -> Seq("HashAggregate", "InMemoryTableScan"),
+      // Neyman: strata-frame allocation windows, quota broadcast back
+      "q303_neyman_sample" -> Seq("Window", "BroadcastHashJoin"),
+      "q304_embedding_drift" -> Seq("HashAggregate", "graft_cosine"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

@@ -478,6 +478,81 @@ object Behavior {
       .agg(round(sum(col("_t")).cast("double"), 6).as("shapley"))
   }
 
+  /** Markov-chain (removal-effect) attribution (Anderl, Becker, Wangenheim
+    * & Schumann, IJRM 2016): model pre-conversion journeys as a first-order
+    * chain over {start} ∪ touches ∪ {conv, null}, estimate transition
+    * probabilities from the event log, and credit each channel by its
+    * REMOVAL EFFECT — how much the start→conv absorption probability drops
+    * when the channel is deleted (transitions into it redirected to null,
+    * which is exactly "drop those edges": null's absorption value is 0).
+    *
+    * Scale split: the DATA plane is distributed — one first-conversion
+    * aggregate, per-user lag windows, and a (src, dst) count aggregate
+    * whose result is (|touches|+1)·(|touches|+2)-BOUNDED; only that tiny
+    * matrix is collected (the [[graft.analytics.Graph.bfsHops]] bounded-
+    * control-action contract). The CONTROL plane solves absorption by
+    * `iters` fixed Jacobi iterations per variant in quantized decimal
+    * arithmetic — p quantized to DECIMAL(28,12) from one pinned double
+    * division, every product re-quantized to 12 dp before the exact
+    * decimal sum — so a recursive SQL oracle replays every iteration
+    * bit-for-bit (a float linear solve would be engine-order-dependent).
+    * Fixed iteration count, not a tolerance: the absorption error decays
+    * geometrically in the non-absorbing mass, and a data-dependent stop
+    * would not be replayable. `ts` must be unique within a user.
+    * Emits per channel: (channel, p_conv, p_conv_removed,
+    * removal_effect@6dp — NULL when p_conv = 0). */
+  def markovAttribution(df: DataFrame, user: String, ts: String,
+                        etype: String, conversion: String,
+                        touches: Seq[String], iters: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fc = df.filter(col(etype) === conversion)
+      .groupBy(col(user)).agg(min(col(ts)).as("_cts"))
+    val tl = df.filter(col(etype).isin(touches: _*))
+      .join(fc, Seq(user), "left")
+      .filter(col("_cts").isNull || col(ts) < col("_cts"))
+    val wAsc = Window.partitionBy(col(user)).orderBy(col(ts).asc)
+    val t1 = tl.withColumn("_prev", lag(col(etype), 1).over(wAsc))
+      .select(coalesce(col("_prev"), lit("start")).as("_src"),
+        col(etype).as("_dst"))
+    val lastT = tl.groupBy(col(user))
+      .agg(max_by(col(etype), col(ts)).as("_lch"))
+    val convU = df.groupBy(col(user))
+      .agg(max((col(etype) === conversion).cast("int")).as("_cv"))
+    val t2 = convU.join(lastT, Seq(user), "left")
+      .select(coalesce(col("_lch"), lit("start")).as("_src"),
+        when(col("_cv") === 1, "conv").otherwise("null").as("_dst"))
+    val mat = t1.unionByName(t2).groupBy("_src", "_dst")
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = mat.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    def q12(b: BigDecimal) =
+      b.setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val edges = mat.map { case (s, t, c) =>
+      (s, t, q12(BigDecimal(c.toDouble / tot(s)))) }
+    val one = q12(BigDecimal(1)); val zero = q12(BigDecimal(0))
+    def absorb(skip: Option[String]): BigDecimal = {
+      val es = edges.filter(e => skip.forall(_ != e._2))
+      var p = Map("conv" -> one, "null" -> zero)
+      for (_ <- 1 to iters) {
+        val next = es.groupBy(_._1).map { case (s, out) =>
+          s -> out.map(e => q12(e._3 * p.getOrElse(e._2, zero))).sum }
+        p = next ++ Map("conv" -> one, "null" -> zero)
+      }
+      p.getOrElse("start", zero)
+    }
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pf = absorb(None).toDouble
+    val out = touches.map { c =>
+      val pr = absorb(Some(c)).toDouble
+      (c, r6(pf), r6(pr),
+        if (pf > 0) Some(r6(1.0 - pr / pf)) else None)
+    }
+    out.toDF("channel", "p_conv", "p_conv_removed", "removal_effect")
+  }
+
   /** U-shaped (position-based) multi-touch attribution: each converting
     * user's pre-conversion touch path splits one unit of credit 40/20/40
     * — 2/5 to the first touch, 2/5 to the last, the middle 1/5 shared

@@ -356,6 +356,15 @@ object AnalyticsQueries {
         "user_id", "ts", "event_type", conversion = "purchase",
         touches = Seq("view", "click", "signup"))),
 
+    // ── Markov-chain removal-effect attribution: transition matrix from
+    //    the event log (distributed, channel-bounded result), absorption
+    //    by 32 quantized-decimal Jacobi iterations the oracle replays as
+    //    a recursive CTE — the causal counterweight to q299's Shapley
+    "q301_markov_attribution" -> ((s, d) =>
+      graft.analytics.Behavior.markovAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", conversion = "purchase",
+        touches = Seq("view", "click", "signup"))),
+
     // ── Poisson-bootstrap CI for the mean order value per priority: 64
     //    deterministic hash-Poisson(1) resamples in ONE pass, 2.5/97.5
     //    percentile bounds from pure-integer rank arithmetic
@@ -2301,6 +2310,63 @@ object AnalyticsQueries {
         |FROM bn JOIN f2 USING (bin)""".stripMargin,
     // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
     // replays the ring-buffer recurrence with the seasonal state as a
+    // Markov attribution: the transition chain in SQL windows, then the
+    // 32 Jacobi iterations as a recursive CTE over the 4 variants —
+    // every product CAST to DECIMAL(28,12) exactly as the driver solve
+    "q301_markov_attribution" ->
+      """WITH RECURSIVE fc AS (SELECT user_id, min(ts) AS cts FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |tl AS (SELECT e.user_id, e.event_type AS ch, e.ts FROM events e
+        | LEFT JOIN fc USING (user_id)
+        | WHERE e.event_type IN ('view', 'click', 'signup')
+        |   AND (fc.cts IS NULL OR e.ts < fc.cts)),
+        |sq AS (SELECT user_id, ch,
+        |  lag(ch) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM tl),
+        |t1 AS (SELECT coalesce(prev, 'start') AS src, ch AS dst FROM sq),
+        |lt AS (SELECT user_id, arg_max(ch, ts) AS lch FROM tl GROUP BY 1),
+        |cu AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        | FROM events GROUP BY 1),
+        |t2 AS (SELECT coalesce(l.lch, 'start') AS src,
+        |  CASE WHEN c.cv = 1 THEN 'conv' ELSE 'null' END AS dst
+        | FROM cu c LEFT JOIN lt l USING (user_id)),
+        |mt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM
+        | (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY 1, 2),
+        |tt AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM mt
+        | GROUP BY 1),
+        |e AS (SELECT src, dst, CAST(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)
+        |   AS DECIMAL(28,12)) AS p
+        | FROM mt JOIN tt USING (src)),
+        |ev AS MATERIALIZED (SELECT 'full' AS variant, * FROM e
+        | UNION ALL SELECT 'view', * FROM e WHERE dst != 'view'
+        | UNION ALL SELECT 'click', * FROM e WHERE dst != 'click'
+        | UNION ALL SELECT 'signup', * FROM e WHERE dst != 'signup'),
+        |rec AS (
+        | SELECT v.variant, a.s,
+        |   CAST(CASE WHEN a.s = 'conv' THEN 1 ELSE 0 END AS DECIMAL(28,12))
+        |     AS val, 0 AS it
+        | FROM (SELECT DISTINCT variant FROM ev) v
+        | CROSS JOIN (VALUES ('conv'), ('null')) a(s)
+        | UNION ALL
+        | SELECT variant, s, val, it FROM (
+        |  SELECT x.variant AS variant, x.src AS s,
+        |    sum(CAST(x.p * r.val AS DECIMAL(28,12))) AS val,
+        |    r.it + 1 AS it
+        |  FROM ev x JOIN rec r ON r.variant = x.variant AND r.s = x.dst
+        |  WHERE r.it < 32 GROUP BY 1, 2, r.it + 1
+        |  UNION ALL
+        |  SELECT variant, s, val, it + 1 FROM rec
+        |  WHERE s IN ('conv', 'null') AND it < 32)),
+        |fin AS (SELECT variant, val FROM rec WHERE it = 32 AND s = 'start')
+        |SELECT c.channel,
+        | round(CAST(pf.val AS DOUBLE), 6) AS p_conv,
+        | round(CAST(pr.val AS DOUBLE), 6) AS p_conv_removed,
+        | round(CASE WHEN pf.val > 0
+        |   THEN 1 - CAST(pr.val AS DOUBLE) / CAST(pf.val AS DOUBLE) END, 6)
+        |   AS removal_effect
+        |FROM (VALUES ('view'), ('click'), ('signup')) c(channel)
+        |JOIN fin pf ON pf.variant = 'full'
+        |JOIN fin pr ON pr.variant = c.channel""".stripMargin,
     // Shapley: the 2^3 coalition v-table from one user aggregate,
     // factorial-rational weights, per-term pinned division over n! = 6
     "q299_shapley" ->

@@ -685,6 +685,25 @@ object ExtensionQueries {
         "embedding", k = 10)
     }),
 
+    // ── MinHash estimator calibration: per est_jaccard decile, the TRUE
+    //    shingle-set Jaccard of every LSH candidate pair — the evidence
+    //    behind the dedup threshold ("measure, don't guess")
+    "q302_minhash_eval" -> ((s, d) =>
+      Dedup.minhashEval(Tables.documents(s, d), "doc_id", "text")),
+
+    // ── Neyman-allocated stratified sample: budget 1000 split by
+    //    N_h·S_h over exact integer moments of n_chars, largest-remainder
+    //    seats, salted-hash per-stratum picks via the binned selection
+    "q303_neyman_sample" -> ((s, d) =>
+      Mix.neymanSample(Tables.documents(s, d), "doc_id", "source",
+        "n_chars", budget = 1000)),
+
+    // ── embedding drift between snapshot halves (odd vs even vec_id)
+    //    per label: fixed-point centroids, cosine between halves
+    "q304_embedding_drift" -> ((s, d) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, d), "label",
+        "embedding", col("vec_id") % 2 === 1)),
+
     // ── reciprocal-rank fusion of the exact-cosine and int8-quantized
     //    rankings (k0 = 60) — the calibration-free hybrid combiner
     "q298_rrf" -> ((s, d) => {
@@ -1721,6 +1740,92 @@ object ExtensionQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
     "q292_mmr" -> mmrOracleSql(k = 5, topN = 20),
+    // minhash calibration: candidates from the q29 chain, truth from the
+    // estimator's own hashed-shingle universe (bhc deduplicated)
+    "q302_minhash_eval" ->
+      s"""WITH $sigCte,
+         |$candCte,
+         |gs AS (SELECT doc_id, unnest(list_distinct(bh)) AS g FROM bhc),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM gs
+         | GROUP BY 1),
+         |pi AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+         | FROM cand c JOIN gs a ON a.doc_id = c.id_a
+         | JOIN gs b ON b.doc_id = c.id_b AND b.g = a.g
+         | GROUP BY 1, 2),
+         |sc AS (SELECT c.id_a, c.id_b, c.est_jaccard AS est,
+         |  coalesce(pi.ni, 0) AS ni, na.ng AS na, nb.ng AS nb
+         | FROM cand c LEFT JOIN pi ON pi.id_a = c.id_a AND pi.id_b = c.id_b
+         | JOIN sz na ON na.doc_id = c.id_a
+         | JOIN sz nb ON nb.doc_id = c.id_b),
+         |bn AS (SELECT least(CAST(floor(est * 10) AS BIGINT), 9) AS bin,
+         |  est, CAST(ni AS DOUBLE) / (na + nb - ni) AS tr FROM sc)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(CAST(sum(CAST(est AS DECIMAL(28,12))) AS DOUBLE)
+         |   / count(*), 6) AS mean_est,
+         | round(CAST(sum(CAST(tr AS DECIMAL(28,12))) AS DOUBLE)
+         |   / count(*), 6) AS mean_true,
+         | round(CAST(sum(CAST(abs(est - tr) AS DECIMAL(28,12))) AS DOUBLE)
+         |   / count(*), 6) AS mean_abs_err
+         |FROM bn GROUP BY 1""".stripMargin,
+    // Neyman sampling: exact integer moments -> pinned S_h, decimal
+    // share sums, largest-remainder seats, md5-ordered quota picks
+    "q303_neyman_sample" ->
+      s"""WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         |  CAST(sum(CAST(CAST(n_chars AS DECIMAL(38,0))
+         |      * CAST(n_chars AS DECIMAL(38,0)) AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS sx2
+         | FROM documents GROUP BY 1),
+         |sh AS (SELECT source, n, CASE WHEN n > 1 THEN
+         |   sqrt(greatest((CAST(sx2 AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1),
+         |     CAST(0 AS DOUBLE)))
+         |  ELSE CAST(0 AS DOUBLE) END AS s FROM st),
+         |x AS (SELECT source, CAST(CAST(n AS DOUBLE) * s AS DECIMAL(28,6))
+         |   AS x FROM sh),
+         |a0 AS (SELECT *, sum(x) OVER () AS tot FROM x),
+         |a1 AS (SELECT source, CASE WHEN tot > 0
+         |   THEN CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)
+         |   ELSE CAST(0 AS DOUBLE) END AS w FROM a0),
+         |a2 AS (SELECT source, CAST(floor(1000 * w) AS BIGINT) AS base,
+         |  1000 * w - floor(1000 * w) AS frac FROM a1),
+         |a3 AS (SELECT *, 1000 - CAST(sum(base) OVER () AS BIGINT) AS rem,
+         |  row_number() OVER (ORDER BY frac DESC, source) AS seat FROM a2),
+         |al AS (SELECT source,
+         |  base + CASE WHEN seat <= rem THEN 1 ELSE 0 END AS alloc_n
+         | FROM a3),
+         |hk AS (SELECT doc_id, source,
+         |  ${h64d("'ns:' || CAST(doc_id AS VARCHAR)")} AS hk
+         | FROM documents),
+         |rk AS (SELECT doc_id, source, row_number() OVER (
+         |   PARTITION BY source ORDER BY hk, doc_id) AS samp_rank FROM hk)
+         |SELECT r.doc_id, r.source, r.samp_rank,
+         | CAST(al.alloc_n AS BIGINT) AS alloc_n
+         |FROM rk r JOIN al USING (source) WHERE samp_rank <= alloc_n""".stripMargin,
+    // embedding drift: the q36 fixed-point centroid trick per half,
+    // cosine via the shared cosSql rendering
+    "q304_embedding_drift" ->
+      s"""WITH b AS (SELECT label AS cid, CAST(vec_id % 2 = 1 AS INT) AS h,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |cx AS (SELECT cid, h, i AS pos,
+         |  CAST(sum(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e6 / count(*) AS cx
+         | FROM b, generate_series(1, 64) g(i) GROUP BY 1, 2, 3),
+         |cvt AS (SELECT cid, h, list(cx ORDER BY pos) AS cv FROM cx
+         | GROUP BY 1, 2),
+         |cnt AS (SELECT cid, h, CAST(count(*) AS BIGINT) AS n FROM b
+         | GROUP BY 1, 2),
+         |j AS (SELECT c0.cid, n0.n AS n_old, n1.n AS n_new,
+         |  c0.cv AS a, c1.cv AS b
+         | FROM cvt c0 JOIN cvt c1 ON c0.cid = c1.cid
+         |   AND c0.h = 0 AND c1.h = 1
+         | JOIN cnt n0 ON n0.cid = c0.cid AND n0.h = 0
+         | JOIN cnt n1 ON n1.cid = c0.cid AND n1.h = 1)
+         |SELECT cid AS label, n_old, n_new,
+         | ${cosSqlAB("a", "b")} AS cos_sim,
+         | round(1 - ${cosSqlAB("a", "b")}, 6) AS drift
+         |FROM j""".stripMargin,
     // RRF: the q33 float chain and q293 integer chain fused by
     // 1/(60+rank) terms quantized to DECIMAL pre-sum
     "q298_rrf" ->

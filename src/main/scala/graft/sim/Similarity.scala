@@ -889,6 +889,45 @@ object Similarity {
           count(col("_s")), 6).as("mean_silhouette"))
   }
 
+  /** Embedding-distribution drift between two corpus snapshots: per
+    * `cell` (label/domain/source), the fixed-point centroid of the rows
+    * where `isNew` is false vs true, and the cosine between the two
+    * centroids — the cheap "did this slice's embedding distribution
+    * move" monitor that gates re-training an ANN index or re-fitting
+    * quantizers (the vector-space counterpart of the PSI score drift
+    * check). Centroids use [[ivfCentroids]]' fixed-point trick — per-dim
+    * sums of floor(x·10⁶ + 0.5) longs, order-independent and
+    * engine-exact — so the whole readout hash-checks.
+    *
+    * Scale shape: one (cell, half, dim)-keyed aggregate over the
+    * exploded corpus (map-side combined), then everything rides the
+    * cells×2 centroid frame. Emits one row per cell present in BOTH
+    * halves: (cell, n_old, n_new, cos_sim@6dp, drift = 1 − cos). */
+  def embeddingDrift(df: DataFrame, cell: String, emb: String,
+                     isNew: Column): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(cell).as("cid"), isNew.cast("int").as("_h"),
+      asDouble(emb).as("v"))
+    val cents = base
+      .select(col("cid"), col("_h"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "_h", "pos")
+      .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double")
+        / 1e6 / count(lit(1))).as("cx"))
+      .groupBy("cid", "_h")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+      .select(col("cid"), col("_h"), expr("transform(pcs, p -> p.cx)").as("cv"))
+    val counts = base.groupBy("cid", "_h").agg(count(lit(1)).as("n"))
+    val halves = cents.join(counts, Seq("cid", "_h"))
+    halves.filter(col("_h") === 0)
+      .select(col("cid"), col("cv").as("_c0"), col("n").as("n_old"))
+      .join(halves.filter(col("_h") === 1)
+        .select(col("cid"), col("cv").as("_c1"), col("n").as("n_new")),
+        "cid")
+      .withColumn("cos_sim", round(cosineNative(spark, "_c0", "_c1"), 6))
+      .select(col("cid").as(cell), col("n_old"), col("n_new"),
+        col("cos_sim"), round(lit(1.0) - col("cos_sim"), 6).as("drift"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): from each query's exact top-`topN` cosine candidates,
     * greedily pick `k` results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}

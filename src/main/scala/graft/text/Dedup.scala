@@ -696,4 +696,58 @@ object Dedup {
     df.select(col(id), col(scope), TextOps.tokens(col(text)).as("w"))
       .withColumn("g", explode(array_distinct(TextOps.wordShingles("w", n))))
       .select(col(id), col(scope), expr(TextOps.h64Sql("g")).as("g"))
+
+  /** MinHash estimator calibration ("measure, don't guess" for the dedup
+    * pipeline): for every LSH candidate pair, compute the TRUE Jaccard of
+    * the exact hashed-3-shingle sets (the estimator's own universe —
+    * [[minhashSignatures]]'s `bh` stream, deduplicated) and bucket the
+    * 16-hash estimate into `bins` reliability bins: per bin, pair count,
+    * mean estimate, mean truth, and mean absolute error. This is the
+    * evidence for choosing the candidate threshold: it tells you what an
+    * est_jaccard of 0.5 actually MEANS on this corpus.
+    *
+    * Scale shape: signatures/candidates are the production pipeline
+    * (shuffles bounded by the LSH bucket cap); the truth pass streams
+    * each candidate doc's shingle set once through a semi-restricted
+    * (pair, gram) join — candidates × doc-size rows, never corpus² —
+    * with map-side-combined intersection counts. Truth and error terms
+    * quantize to DECIMAL(28,12) pre-sum; divisions pinned. Emits one row
+    * per non-empty bin: (bin, n_pairs, mean_est, mean_true,
+    * mean_abs_err) at 6 dp. */
+  def minhashEval(df: DataFrame, id: String, text: String,
+                  bins: Int = 10): DataFrame = {
+    val cand = minhashCandidates(minhashSignatures(df, id, text), id)
+    val grams = df.select(col(id), TextOps.tokens(col(text)).as("w"))
+      .withColumn("sh", TextOps.wordShingles("w", 3))
+      .select(col(id), explode(array_distinct(
+        expr(s"transform(sh, x -> ${TextOps.h64Sql("x")} % ${MinhashP}L)")))
+        .as("g"))
+    val sizes = grams.groupBy(col(id)).agg(count(lit(1)).as("_ng"))
+    val inter = cand.select("id_a", "id_b")
+      .join(grams.withColumnRenamed(id, "id_a"), "id_a")
+      .join(grams.withColumnRenamed(id, "id_b"), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_ni"))
+    val scored = cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("_ng", "_na"),
+        "id_a")
+      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("_ng", "_nb"),
+        "id_b")
+      .withColumn("_ni", coalesce(col("_ni"), lit(0L)))
+      .withColumn("_true", col("_ni").cast("double") /
+        (col("_na") + col("_nb") - col("_ni")))
+      .withColumn("bin", least(floor(col("est_jaccard") * bins).cast("long"),
+        lit(bins - 1L)))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_jaccard").cast("decimal(28,12)")).as("_se"),
+        sum(col("_true").cast("decimal(28,12)")).as("_st"),
+        sum(abs(col("est_jaccard") - col("_true")).cast("decimal(28,12)"))
+          .as("_sa"))
+      .select(col("bin"), col("n_pairs"),
+        round(col("_se").cast("double") / col("n_pairs"), 6).as("mean_est"),
+        round(col("_st").cast("double") / col("n_pairs"), 6).as("mean_true"),
+        round(col("_sa").cast("double") / col("n_pairs"), 6)
+          .as("mean_abs_err"))
+  }
 }

@@ -185,4 +185,67 @@ object Mix {
       .withColumn("_end", col("_before") + sum(col("ws_tokens")).over(wTie))
       .drop("_h", "_before")
   }
+
+  /** Neyman-allocated stratified sample (Neyman, JRSS 1934): split a
+    * fixed `budget` across strata proportionally to N_h·S_h — sampling
+    * more where the stratum is big AND internally variable, the
+    * minimum-variance allocation for estimating the mean of `value` —
+    * then pick each stratum's quota deterministically by salted-hash
+    * order. `value` must be integer-typed: the stratum variance comes
+    * from EXACT integer power sums (Σx, Σx² in DECIMAL(38,0)), so S_h is
+    * one pinned double expression in any engine, never a
+    * Welford-vs-textbook stddev drift. Seats are integer floor shares
+    * plus largest-remainder apportionment (fraction ties toward the
+    * smaller stratum name) — Σ n_h = budget exactly whenever any stratum
+    * varies and quotas don't exceed stratum sizes; the degenerate
+    * all-constant corpus (every S_h = 0) degrades to one seat per
+    * stratum rather than dividing by zero.
+    *
+    * Scale shape: one stratum-keyed moment aggregate (strata-sized
+    * result), allocation windows over the strata frame, then ONE
+    * [[graft.ops.Stats.extremeK]] two-pass binned selection for the
+    * per-stratum hash-order picks (never a corpus-wide rank window) cut
+    * to the allocated quota. Emits (id, stratum, samp_rank, alloc_n). */
+  def neymanSample(df: DataFrame, id: String, stratum: String,
+                   value: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    require(budget >= 1, s"budget $budget < 1")
+    val st = df.groupBy(col(stratum)).agg(
+      count(lit(1)).as("_n"),
+      sum(col(value).cast("decimal(38,0)")).as("_sx"),
+      sum((col(value).cast("decimal(38,0)") *
+        col(value).cast("decimal(38,0)")).cast("decimal(38,0)")).as("_sx2"))
+    val sh = st.withColumn("_s",
+      when(col("_n") > 1, sqrt(
+        (col("_sx2").cast("double") -
+          col("_sx").cast("double") * col("_sx").cast("double") / col("_n"))
+          / (col("_n") - 1))).otherwise(lit(0.0)))
+      .withColumn("_x",
+        (col("_n").cast("double") * col("_s")).cast("decimal(28,6)"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val alloc0 = sh
+      .withColumn("_tot", sum(col("_x")).over(wAll))
+      .withColumn("_w", when(col("_tot") > 0,
+        col("_x").cast("double") / col("_tot").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("_base", ffloor(lit(budget) * col("_w")).cast("long"))
+      .withColumn("_frac", lit(budget) * col("_w") - col("_base"))
+    val wSeat = Window.orderBy(col("_frac").desc, col(stratum).asc)
+    val alloc = alloc0
+      .withColumn("_rem", lit(budget.toLong) - sum(col("_base")).over(wAll))
+      .withColumn("_seat", row_number().over(wSeat))
+      .withColumn("alloc_n",
+        col("_base") + when(col("_seat") <= col("_rem"), 1L).otherwise(0L))
+      .select(col(stratum), col("alloc_n"))
+    val keyed = df.select(col(id), col(stratum))
+      .withColumn("_hk", graft.text.TextOps.h64(
+        concat(lit("ns:"), col(id).cast("string"))))
+    graft.ops.Stats.extremeK(keyed, "_hk", Seq(stratum), budget,
+        descending = false, tie = Seq(col(id).asc))
+      .join(broadcast(alloc), stratum)
+      .filter(col("_rn") <= col("alloc_n"))
+      .select(col(id), col(stratum), col("_rn").as("samp_rank"),
+        col("alloc_n"))
+  }
 }

@@ -433,6 +433,30 @@ class AnnSpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), got)
   }
 
+  test("embeddingDrift: identical halves show zero drift, a rotated " +
+       "half shows positive drift; cells missing a half are dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      // label "same": both halves centered on e1
+      (0L, Seq(1.0f, 0.0f), "same"), (1L, Seq(1.0f, 0.0f), "same"),
+      (2L, Seq(1.0f, 0.0f), "same"), (3L, Seq(1.0f, 0.0f), "same"),
+      // label "moved": old half on e1, new half on e1+e2
+      (10L, Seq(1.0f, 0.0f), "moved"), (12L, Seq(1.0f, 0.0f), "moved"),
+      (11L, Seq(1.0f, 1.0f), "moved"), (13L, Seq(1.0f, 1.0f), "moved"),
+      // label "halfonly": only even ids → no output row
+      (20L, Seq(0.0f, 1.0f), "halfonly"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDrift(rows, "label", "embedding",
+        col("vec_id") % 2 === 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set("same", "moved"), got)
+    assert(got("same") == ((2L, 2L, 1.0, 0.0)), got("same"))
+    val m = got("moved")
+    assert(m._1 == 2L && m._2 == 2L && m._4 > 0.29 && m._4 < 0.3, m)
+  }
+
   test("rrfFuse: consensus docs outrank single-list docs; scores match " +
        "the 1/(k0+rank) closed form; missing entries contribute zero") {
     import spark.implicits._

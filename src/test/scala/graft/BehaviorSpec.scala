@@ -215,6 +215,28 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Map("a" -> 0.75, "b" -> 0.25), got)
   }
 
+  test("markovAttribution: hand chain — absorption and removal effects " +
+       "match the exact matrix arithmetic; no renormalization on removal") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // start→a ½, start→b ¼, start→null ¼; a→conv ½, a→null ½; b→conv 1.
+    // P(start) = ½·½ + ¼·1 = 0.5; remove a → ¼; remove b → ¼ —
+    // both removal effects 0.5
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "conv"),
+      ("u2", 1L, "a"),
+      ("u3", 1L, "b"), ("u3", 2L, "conv"),
+      ("u4", 1L, "x"))
+      .toDF("u", "secs", "et")
+      .select(col("u"), to_timestamp(col("secs")).as("ts"), col("et"))
+    val got = Behavior.markovAttribution(ev, "u", "ts", "et", "conv",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "a" -> ((0.5, 0.25, 0.5)),
+      "b" -> ((0.5, 0.25, 0.5))), got)
+  }
+
   test("positionAttribution: U-shaped credits over 4/2/1-touch paths; " +
        "post-conversion touches carry nothing") {
     import org.apache.spark.sql.functions.{col, to_timestamp}

@@ -254,4 +254,18 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.ngramJaccard(docs, "doc_id", "text", "source", 2, 0.5)
     assert(j.count() == 0)
   }
+
+  test("minhashEval: an exact duplicate pair calibrates to bin 9 with " +
+       "true jaccard 1 and zero error; unrelated docs produce no pair") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, words), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashEval(docs, "doc_id", "text").collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 0.0, r)
+  }
 }

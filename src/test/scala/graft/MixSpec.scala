@@ -103,4 +103,25 @@ class MixSpec extends SparkSpec {
     assert(p(1L).getString(3) == md5hex("reach me at <EMAIL> or <PHONE> ok"))
     assert(p(2L).getString(3) == md5hex("no pii here at all"))
   }
+
+  test("neymanSample: all budget flows to the variable stratum; a " +
+       "zero-variance stratum gets nothing; quotas are hit exactly") {
+    import org.apache.spark.sql.functions.col
+    // stratum A: 20 docs, constant value (S=0); B: 20 docs, spread
+    val docs = ((1 to 20).map(i => (i.toLong, "A", 100L)) ++
+      (21 to 40).map(i => (i.toLong, "B", (i * 37 % 400).toLong)))
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.text.Mix.neymanSample(docs, "doc_id", "source",
+      "n_chars", budget = 10)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("B" -> 10L), bySrc)
+    assert(got.agg(org.apache.spark.sql.functions.max("alloc_n"))
+      .collect()(0).getLong(0) == 10L)
+    // determinism across partitioning
+    val again = graft.text.Mix.neymanSample(docs.repartition(7), "doc_id",
+      "source", "n_chars", budget = 10)
+    assert(got.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
 }
