@@ -253,6 +253,8 @@ object Plans {
       // Neyman: strata-frame allocation windows, quota broadcast back
       "q303_neyman_sample" -> Seq("Window", "BroadcastHashJoin"),
       "q304_embedding_drift" -> Seq("HashAggregate", "graft_cosine"),
+      // lang-id eval: two class-bounded aggregates full-outer joined
+      "q305_langid_eval" -> Seq("HashAggregate", "FullOuter"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

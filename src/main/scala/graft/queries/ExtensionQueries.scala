@@ -50,6 +50,38 @@ object ExtensionQueries {
       TextOps.languageId(Tables.documents(s, d), "text", "lang_pred")
         .select("doc_id", "lang_pred")),
 
+    // ── language-ID eval: per-class precision/recall/F1 of the stopword
+    //    heuristic against the labeled lang column — the measured error
+    //    profile behind any lang-filtered curation decision
+    "q305_langid_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val j = docs.select(col("doc_id"), col("lang"))
+        .join(TextOps.languageId(docs, "text", "lang_pred")
+          .select(col("doc_id"), col("lang_pred")), "doc_id")
+      val byTrue = j.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("n_true"),
+          sum((col("lang") === col("lang_pred")).cast("long"))
+            .as("n_correct"))
+      val byPred = j.groupBy(col("lang_pred").as("label"))
+        .agg(count(lit(1)).as("n_pred"))
+      byTrue.join(byPred, Seq("label"), "full_outer")
+        .select(col("label"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("_p", when(col("n_pred") > 0,
+          col("n_correct").cast("double") / col("n_pred")))
+        .withColumn("_r", when(col("n_true") > 0,
+          col("n_correct").cast("double") / col("n_true")))
+        .select(col("label"), col("n_true"), col("n_pred"),
+          col("n_correct"), round(col("_p"), 6).as("precision"),
+          round(col("_r"), 6).as("recall"),
+          round(when(col("_p").isNotNull && col("_r").isNotNull &&
+              col("_p") + col("_r") > 0,
+            lit(2) * col("_p") * col("_r") / (col("_p") + col("_r"))), 6)
+            .as("f1"))
+    }),
+
     // ── MinHash signatures + LSH band keys
     "q28_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")),
@@ -1740,6 +1772,42 @@ object ExtensionQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
     "q292_mmr" -> mmrOracleSql(k = 5, topN = 20),
+    // lang-id eval: the q27 stopword-vote CASE, then the standard
+    // per-class confusion aggregates with guarded pinned divisions
+    "q305_langid_eval" ->
+      s"""WITH $toksCte,
+         |sc AS (SELECT doc_id, source,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))}))) AS en,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("es"))}))) AS es,
+         |  len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("fr"))}))) AS fr
+         |FROM toks),
+         |pr AS (SELECT doc_id, CASE WHEN en + es + fr = 0 THEN 'und'
+         |  WHEN en >= es AND en >= fr THEN 'en'
+         |  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
+         | FROM sc),
+         |j AS (SELECT d.lang, p.lang_pred FROM documents d
+         | JOIN pr p USING (doc_id)),
+         |bt AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct
+         | FROM j GROUP BY 1),
+         |bp AS (SELECT lang_pred AS label, CAST(count(*) AS BIGINT)
+         |   AS n_pred FROM j GROUP BY 1),
+         |f AS (SELECT coalesce(bt.label, bp.label) AS label,
+         |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+         |  coalesce(n_correct, 0) AS n_correct
+         | FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+         |g AS (SELECT *,
+         |  CASE WHEN n_pred > 0
+         |    THEN CAST(n_correct AS DOUBLE) / n_pred END AS p,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(n_correct AS DOUBLE) / n_true END AS r
+         | FROM f)
+         |SELECT label, n_true, n_pred, n_correct,
+         | round(p, 6) AS precision, round(r, 6) AS recall,
+         | round(CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+         |   THEN 2 * p * r / (p + r) END, 6) AS f1
+         |FROM g""".stripMargin,
     // minhash calibration: candidates from the q29 chain, truth from the
     // estimator's own hashed-shingle universe (bhc deduplicated)
     "q302_minhash_eval" ->

@@ -247,6 +247,28 @@ class ScaleSpec extends SparkSpec {
     } finally docs.unpersist()
   }
 
+  test("bootstrapCi: the reps fan-out is map-side combined — shuffle is " +
+       "groups x reps records, never the exploded row count") {
+    val n = 40000
+    val df = spark.range(n).select(
+        (col("id") % 2).cast("string").as("g"), col("id"),
+        ((col("id") * 2654435761L) % 100003).cast("double").as("v"))
+      .cache()
+    df.count()
+    try {
+      val maxRec = maxTaskShuffleRead("scalespec-bootstrap") {
+        Stats.bootstrapCi(df, "id", "v", Seq("g"), reps = 64)
+          .write.mode("overwrite").format("noop").save()
+      }
+      // the fan-out is n·64 = 2.56M rows; after partial aggregation the
+      // whole shuffle carries ≤ maps·groups·reps records (plus the tiny
+      // CI/rank stages) — orders of magnitude under the row fan-out
+      assert(maxRec < 50000,
+        s"bootstrapCi: one task read $maxRec shuffle records — the " +
+          "reps fan-out is reaching the shuffle unreduced")
+    } finally df.unpersist()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a temp dir set at session build (static conf)
     spark.sql("DROP TABLE IF EXISTS b_orders")
