@@ -255,6 +255,11 @@ object Plans {
       "q304_embedding_drift" -> Seq("HashAggregate", "graft_cosine"),
       // lang-id eval: two class-bounded aggregates full-outer joined
       "q305_langid_eval" -> Seq("HashAggregate", "FullOuter"),
+      // SMD balance: the per-covariate selects read the checkpointed
+      // 1-row moment frame, not the corpus
+      "q306_smd_balance" -> Seq("Scan ExistingRDD", "Union"),
+      // dup spans: generate + two hash aggregates, no window functions
+      "q307_dup_spans" -> Seq("Generate", "HashAggregate", "!Window"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

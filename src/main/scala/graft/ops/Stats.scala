@@ -1823,6 +1823,56 @@ object Stats {
           (col("_ptot").cast("double") / col("_ctot"))), 6).as("lift")): _*)
   }
 
+  /** Covariate-balance check for a two-group assignment: per covariate,
+    * the standardized mean difference SMD = (mean_A − mean_B) /
+    * √((var_A + var_B)/2) (Austin, Stat Med 2009 conventions — |SMD| <
+    * 0.1 is the usual "balanced" bar). This is the pre-experiment health
+    * gate an A/B readout (q274/q285) should pass before anyone trusts
+    * the effect estimate.
+    *
+    * One aggregate pass computes exact conditional moments per group
+    * (Σx, Σx² quantized to DECIMAL(28,6) per term — value·value runs in
+    * double then quantizes, the q285 sufficient-statistic contract), so
+    * the variance is one pinned double expression in any engine. Emits
+    * one row per covariate: (covariate, n_a, n_b, mean_a, mean_b, smd)
+    * at 6 dp; smd NULL when the pooled variance is 0. */
+  def smdBalance(df: DataFrame, group: Column,
+                 covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val g = group.cast("int")
+    val aggCols: Seq[Column] =
+      Seq(sum(g).as("_na"), sum(lit(1) - g).as("_nb")) ++
+        covariates.flatMap(c => Seq(
+          sum(when(g === 1, col(c).cast("double")).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as(s"_sa_$c"),
+          sum(when(g === 1, col(c).cast("double") * col(c).cast("double"))
+            .otherwise(lit(0.0)).cast("decimal(28,6)")).as(s"_qa_$c"),
+          sum(when(g === 0, col(c).cast("double")).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as(s"_sb_$c"),
+          sum(when(g === 0, col(c).cast("double") * col(c).cast("double"))
+            .otherwise(lit(0.0)).cast("decimal(28,6)")).as(s"_qb_$c")))
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+      // one corpus pass: the 1-row moment frame feeds |covariates|
+      // selects below — materialize it so they don't re-scan
+      .localCheckpoint(true)
+    val rows = covariates.map { c =>
+      def v(side: String) = {
+        val s = col(s"_s$side" + s"_$c").cast("double")
+        val q = col(s"_q$side" + s"_$c").cast("double")
+        val n = col(s"_n$side")
+        when(n > 1, (q - s * s / n) / (n - 1))
+      }
+      val ma = col(s"_sa_$c").cast("double") / col("_na")
+      val mb = col(s"_sb_$c").cast("double") / col("_nb")
+      val pooled = (v("a") + v("b")) / 2.0
+      agg.select(lit(c).as("covariate"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(when(pooled > 0, (ma - mb) / sqrt(pooled)), 6).as("smd"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Mann–Kendall trend test (Mann 1945; Kendall 1975) with the
     * tie-corrected normal approximation, plus the Theil–Sen slope
     * (Theil 1950; Sen 1968) — the robust "is this series trending, and

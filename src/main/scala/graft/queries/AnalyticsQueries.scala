@@ -356,6 +356,19 @@ object AnalyticsQueries {
         "user_id", "ts", "event_type", conversion = "purchase",
         touches = Seq("view", "click", "signup"))),
 
+    // ── covariate balance (SMD) for the q274/q285 parity assignment:
+    //    per-user spend / activity / breadth covariates, exact decimal
+    //    moments, |SMD| < 0.1 is the standard "balanced" bar
+    "q306_smd_balance" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id")).agg(
+        coalesce(sum(col("value").cast("decimal(28,10)")).cast("double"),
+          lit(0.0)).as("spend"),
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("event_type")).cast("double").as("n_types"))
+      graft.ops.Stats.smdBalance(units, col("user_id") % 2 === 0,
+        Seq("spend", "n_events", "n_types"))
+    }),
+
     // ── Markov-chain removal-effect attribution: transition matrix from
     //    the event log (distributed, channel-bounded result), absorption
     //    by 32 quantized-decimal Jacobi iterations the oracle replays as
@@ -2310,6 +2323,54 @@ object AnalyticsQueries {
         |FROM bn JOIN f2 USING (bin)""".stripMargin,
     // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
     // replays the ring-buffer recurrence with the seasonal state as a
+    // SMD balance: the q285 conditional-moment contract per covariate,
+    // variance/pooled/smd as pinned double expressions
+    "q306_smd_balance" -> {
+      val covs = Seq("spend", "n_events", "n_types")
+      val sums = covs.map { c =>
+        s"""sum(CAST(CASE WHEN g = 1 THEN $c ELSE CAST(0 AS DOUBLE) END
+           |    AS DECIMAL(28,6))) AS sa_$c,
+           |  sum(CAST(CASE WHEN g = 1 THEN $c * $c ELSE CAST(0 AS DOUBLE) END
+           |    AS DECIMAL(28,6))) AS qa_$c,
+           |  sum(CAST(CASE WHEN g = 0 THEN $c ELSE CAST(0 AS DOUBLE) END
+           |    AS DECIMAL(28,6))) AS sb_$c,
+           |  sum(CAST(CASE WHEN g = 0 THEN $c * $c ELSE CAST(0 AS DOUBLE) END
+           |    AS DECIMAL(28,6))) AS qb_$c""".stripMargin
+      }.mkString(",\n  ")
+      val selects = covs.map { c =>
+        s"""SELECT '$c' AS covariate, na AS n_a, nb AS n_b,
+           | round(CAST(sa_$c AS DOUBLE) / na, 6) AS mean_a,
+           | round(CAST(sb_$c AS DOUBLE) / nb, 6) AS mean_b,
+           | round(CASE WHEN
+           |     ((CASE WHEN na > 1 THEN (CAST(qa_$c AS DOUBLE)
+           |         - CAST(sa_$c AS DOUBLE) * CAST(sa_$c AS DOUBLE) / na)
+           |         / (na - 1) END)
+           |      + (CASE WHEN nb > 1 THEN (CAST(qb_$c AS DOUBLE)
+           |         - CAST(sb_$c AS DOUBLE) * CAST(sb_$c AS DOUBLE) / nb)
+           |         / (nb - 1) END)) / CAST(2 AS DOUBLE) > 0
+           |   THEN (CAST(sa_$c AS DOUBLE) / na - CAST(sb_$c AS DOUBLE) / nb)
+           |     / sqrt(((CASE WHEN na > 1 THEN (CAST(qa_$c AS DOUBLE)
+           |         - CAST(sa_$c AS DOUBLE) * CAST(sa_$c AS DOUBLE) / na)
+           |         / (na - 1) END)
+           |      + (CASE WHEN nb > 1 THEN (CAST(qb_$c AS DOUBLE)
+           |         - CAST(sb_$c AS DOUBLE) * CAST(sb_$c AS DOUBLE) / nb)
+           |         / (nb - 1) END)) / CAST(2 AS DOUBLE))
+           |   END, 6) AS smd
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (SELECT user_id,
+         |  coalesce(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS spend,
+         |  CAST(count(*) AS DOUBLE) AS n_events,
+         |  CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types,
+         |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+         | FROM events GROUP BY user_id),
+         |m AS (SELECT CAST(sum(g) AS BIGINT) AS na,
+         |  CAST(sum(1 - g) AS BIGINT) AS nb,
+         |  $sums
+         | FROM u)
+         |$selects""".stripMargin
+    },
     // Markov attribution: the transition chain in SQL windows, then the
     // 32 Jacobi iterations as a recursive CTE over the 4 variants —
     // every product CAST to DECIMAL(28,12) exactly as the driver solve

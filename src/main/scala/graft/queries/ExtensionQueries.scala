@@ -717,6 +717,12 @@ object ExtensionQueries {
         "embedding", k = 10)
     }),
 
+    // ── duplicated 8-token span fraction per doc (window-level substring
+    //    dedup signal, Lee et al. 2022) — catches boilerplate and
+    //    in-document repetition that doc-level MinHash misses
+    "q307_dup_spans" -> ((s, d) =>
+      Curate.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
+
     // ── MinHash estimator calibration: per est_jaccard decile, the TRUE
     //    shingle-set Jaccard of every LSH candidate pair — the evidence
     //    behind the dedup threshold ("measure, don't guess")
@@ -1772,6 +1778,25 @@ object ExtensionQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT vec_id, $bucketExpr AS bucket FROM e""".stripMargin,
     "q292_mmr" -> mmrOracleSql(k = 5, topN = 20),
+    // duplicated spans: positional 8-gram window hashes, global
+    // occurrence >= 2 marks a window, one per-doc rollup
+    "q307_dup_spans" ->
+      s"""WITH $toksCte,
+         |win AS (SELECT doc_id, ${h64d("x")} AS g FROM
+         | (SELECT doc_id, unnest(${shingleExpr(8)}) AS x FROM toks)),
+         |dup AS (SELECT g FROM
+         | (SELECT g, count(*) AS c FROM win GROUP BY 1) WHERE c >= 2),
+         |pd AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup
+         | FROM win w LEFT JOIN dup d ON d.g = w.g GROUP BY 1)
+         |SELECT dd.doc_id, coalesce(n_windows, 0) AS n_windows,
+         | coalesce(n_dup, 0) AS n_dup_windows,
+         | round(CASE WHEN n_windows > 0
+         |   THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_windows END, 6)
+         |   AS dup_frac
+         |FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |LEFT JOIN pd ON pd.doc_id = dd.doc_id""".stripMargin,
     // lang-id eval: the q27 stopword-vote CASE, then the standard
     // per-class confusion aggregates with guarded pinned divisions
     "q305_langid_eval" ->

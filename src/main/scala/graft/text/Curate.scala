@@ -336,4 +336,47 @@ object Curate {
       .select(col(id), round(col("_iw").cast("double"), 6).as("imp_weight"),
         round(col("_score"), 6).as("score"), col("_rn").as("rank"))
   }
+
+  /** Duplicated-span signal (the window-level approximation of exact
+    * substring dedup — Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): slide an `n`-token window over
+    * every document, hash each window, and mark a window DUPLICATED when
+    * its hash occurs ≥ 2 times across the corpus (cross-document copies
+    * AND in-document repetition both count — the second copy is the
+    * redundant one either way). Per document: window count, duplicated
+    * count, and the duplicated fraction — the "how much of this doc is
+    * boilerplate someone else already has" score that doc-level MinHash
+    * (which needs the WHOLE doc to look similar) structurally misses.
+    *
+    * Scale shape: the window stream is one generate pass (positions ≈
+    * tokens, hashed to 60-bit longs so shuffle keys are 8 B); duplicate
+    * marking is one hash-keyed count aggregate semi-joined back as the
+    * dup set (broadcast when small, shuffle join at corpus scale — AQE's
+    * call); the per-doc rollup is one map-side-combined aggregate. No
+    * window functions, no per-doc sorts. Docs shorter than `n` tokens
+    * have zero windows and report dup_frac NULL. Emits (id, n_windows,
+    * n_dup_windows, dup_frac@6dp). */
+  def dupSpans(df: DataFrame, id: String, text: String,
+               n: Int = 8): DataFrame = {
+    require(n >= 2, s"window $n < 2")
+    val wins = df
+      .select(col(id), TextOps.tokens(col(text)).as("_w"))
+      .select(col(id), explode(TextOps.wordShingles("_w", n)).as("_s"))
+      .select(col(id), expr(TextOps.h64Sql("_s")).as("_g"))
+    val dups = wins.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_g")
+    val perDoc = wins
+      .join(dups.withColumn("_dup", lit(1)), Seq("_g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_dup"), lit(0))).as("n_dup_windows"))
+    df.select(col(id)).distinct()
+      .join(perDoc, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows")), 6).as("dup_frac"))
+  }
 }

@@ -281,6 +281,32 @@ class CurateSpec extends SparkSpec {
     assert(got(10L) == ((0L, 0)))  // the eval vector itself: self excluded
   }
 
+  test("dupSpans: a shared 8-token span flags both docs, in-document " +
+       "repetition flags itself, short docs report NULL") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma"),      // shares span with doc 2
+      (2L, s"prefix words here $span"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique
+      (4L, s"$span and $span"),             // repeats its own span
+      (5L, "too short"))                    // < 8 tokens
+      .toDF("doc_id", "text")
+    val got = Curate.dupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 4 windows, the first (= the span) duplicated
+    assert(got(1L) == ((4L, 1L)), got(1L))
+    assert(got(2L) == ((4L, 1L)), got(2L))
+    assert(got(3L) == ((5L, 0L)), got(3L))
+    // doc4: 10 windows, window 1 and window 10 are both the span —
+    // they duplicate each other AND docs 1/2
+    assert(got(4L)._2 >= 2L, got(4L))
+    assert(got(5L) == ((0L, 0L)), got(5L))
+    val short = Curate.dupSpans(docs, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 5).collect()(0)
+    assert(short.isNullAt(3))
+  }
+
   test("dsirResample prefers target-like docs and is partition-invariant") {
     // two disjoint vocabularies: docs 1-10 "target-like", 11-30 not; mark
     // only 1-5 as target — DSIR should pull 6-10 (target-LIKE but not

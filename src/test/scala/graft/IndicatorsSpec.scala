@@ -1780,6 +1780,24 @@ class IndicatorsSpec extends SparkSpec {
     assert(i.getDouble(1) == 0.0 && i.getDouble(4) == 0.0, i)
   }
 
+  test("smdBalance: identical groups score 0, a 10-sd shift scores ±10, " +
+       "zero pooled variance yields NULL") {
+    val df = Seq(
+      (1, 1.0, 1.0, 5.0), (1, 2.0, 2.0, 5.0), (1, 3.0, 3.0, 5.0),
+      (0, 1.0, 11.0, 5.0), (0, 2.0, 12.0, 5.0), (0, 3.0, 13.0, 5.0))
+      .toDF("g", "same", "shifted", "const")
+    val got = Stats.smdBalance(df, col("g") === 1,
+        Seq("same", "shifted", "const"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("same").getDouble(5) == 0.0)
+    // mean diff −10, pooled var (1+1)/2 = 1 → SMD = −10
+    assert(got("shifted").getDouble(5) == -10.0)
+    assert(got("const").isNullAt(5))
+    assert(got("same").getLong(1) == 3L && got("same").getLong(2) == 3L)
+    assert(got("shifted").getDouble(3) == 2.0 &&
+      got("shifted").getDouble(4) == 12.0)
+  }
+
   test("holtWinters: matches the scalar recurrence from the data seeds; " +
     "series shorter than 2·period drop") {
     import java.sql.Timestamp
