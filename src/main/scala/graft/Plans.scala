@@ -260,6 +260,9 @@ object Plans {
       "q306_smd_balance" -> Seq("Scan ExistingRDD", "Union"),
       // dup spans: generate + two hash aggregates, no window functions
       "q307_dup_spans" -> Seq("Generate", "HashAggregate", "!Window"),
+      // ddsketch: one corpus aggregate to the bucket counts, cumulative
+      // windows only over the log-range-bounded sketch frame
+      "q308_ddsketch" -> Seq("HashAggregate", "Window"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

@@ -1823,6 +1823,70 @@ object Stats {
           (col("_ptot").cast("double") / col("_ctot"))), 6).as("lift")): _*)
   }
 
+  /** DDSketch relative-error quantile sketch (Masson, Rim & Lee, VLDB
+    * 2019): bucket(x) = ⌈ln x / ln γ⌉ with γ = (1+α)/(1−α), so every
+    * estimate 2γᵇ/(γ+1) is within relative error α of the true quantile
+    * — the mergeable quantile summary a 100 TB metrics pipeline actually
+    * ships (bucket counts ADD across partitions/days/shards, unlike any
+    * rank-based exact quantile). Deterministic end-to-end: no sampling,
+    * no ordering sensitivity, so the whole sketch AND its quantile reads
+    * hash-check against the oracle — rare among quantile sketches
+    * (t-digest and GK are merge-order-dependent). Positive-domain store
+    * (the standard DDSketch store); ≤ 0 values are excluded.
+    *
+    * α arrives as per-mille (`alphaPm`) and quantiles as per-mille
+    * (`qPm`), so rank cutoffs are pure integer ⌈n·q/1000⌉ arithmetic —
+    * never a float·count ceil. The γ-constants are computed once in
+    * Scala and INLINED into both engines' expressions as decimal
+    * literals, so libm-vs-JVM log differences can only enter through
+    * per-row ln(x) (a 1-ulp bucket flip needs the ratio within 1 ulp of
+    * an integer — measure-zero on real data).
+    *
+    * Scale shape: one hash-aggregate to (keys, bucket) counts — the
+    * sketch itself, log-range-bounded (~⌈ln(max/min)/ln γ⌉ rows per
+    * key) — then cumulative windows over that bounded frame. Emits per
+    * key: (keys, n, n_buckets, p<q> for each requested quantile) at
+    * 6 dp. */
+  def ddSketch(df: DataFrame, value: String, keys: Seq[String],
+               alphaPm: Int = 10, qPm: Seq[Int] = Seq(500, 950, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaPm >= 1 && alphaPm < 1000 && qPm.nonEmpty &&
+      qPm.forall(q => q >= 1 && q <= 999), s"bad ddSketch params")
+    val k = keys.map(col)
+    val gamma = (1000.0 + alphaPm) / (1000.0 - alphaPm)
+    val lnG = math.log(gamma)
+    val gp1 = gamma + 1.0
+    val sk = df.filter(col(value) > 0)
+      .select(k :+ ceil(log(col(value).cast("double")) / lit(lnG))
+        .cast("long").as("_b"): _*)
+      .groupBy(k :+ col("_b"): _*).agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+    val est = sk
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_e", round(lit(2.0) * pow(lit(gamma), col("_b")) /
+        lit(gp1), 6))
+    val qCols = qPm.flatMap { q =>
+      val kq = expr(s"CAST((_n * $q + 999) DIV 1000 AS BIGINT)")
+      Seq(min(when(col("_cum") >= kq, col("_e")))
+        .as(s"p${if (q % 10 == 0) (q / 10).toString else s"0$q"}"))
+    }
+    est.groupBy(k: _*)
+      .agg(max(col("_n")).as("n"),
+        (count(lit(1)).as("n_buckets") +: qCols): _*)
+  }
+
+  /** The exact decimal literal rendering of [[ddSketch]]'s γ-constants
+    * for the oracle SQL — the SAME Scala doubles, round-tripped through
+    * their shortest string repr (CAST('…' AS DOUBLE) parses
+    * correctly-rounded in any engine). */
+  def ddSketchConsts(alphaPm: Int): (String, String, String) = {
+    val gamma = (1000.0 + alphaPm) / (1000.0 - alphaPm)
+    (math.log(gamma).toString, gamma.toString, (gamma + 1.0).toString)
+  }
+
   /** Covariate-balance check for a two-group assignment: per covariate,
     * the standardized mean difference SMD = (mean_A − mean_B) /
     * √((var_A + var_B)/2) (Austin, Stat Med 2009 conventions — |SMD| <

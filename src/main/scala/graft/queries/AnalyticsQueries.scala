@@ -356,6 +356,13 @@ object AnalyticsQueries {
         "user_id", "ts", "event_type", conversion = "purchase",
         touches = Seq("view", "click", "signup"))),
 
+    // ── DDSketch mergeable quantile sketch (α = 1%): p50/p95/p99 of the
+    //    order value per priority from log-bucket counts — deterministic
+    //    bucket arithmetic, so the sketch READS hash-check cross-engine
+    "q308_ddsketch" -> ((s, d) =>
+      graft.ops.Stats.ddSketch(Tables.orders(s, d), "o_totalprice",
+        Seq("o_orderpriority"))),
+
     // ── covariate balance (SMD) for the q274/q285 parity assignment:
     //    per-user spend / activity / breadth covariates, exact decimal
     //    moments, |SMD| < 0.1 is the standard "balanced" bar
@@ -2323,6 +2330,29 @@ object AnalyticsQueries {
         |FROM bn JOIN f2 USING (bin)""".stripMargin,
     // Holt–Winters: DECIMAL-exact seed means, then the recursive CTE
     // replays the ring-buffer recurrence with the seasonal state as a
+    // DDSketch: the γ-constants are the SAME Scala doubles inlined as
+    // string-cast literals; rank cutoffs pure integer ceil
+    "q308_ddsketch" -> {
+      val (lnG, g, gp1) = graft.ops.Stats.ddSketchConsts(10)
+      s"""WITH b AS (SELECT o_orderpriority AS k,
+         |  CAST(ceil(ln(CAST(o_totalprice AS DOUBLE))
+         |    / CAST('$lnG' AS DOUBLE)) AS BIGINT) AS bkt
+         | FROM orders WHERE o_totalprice > 0),
+         |sk AS (SELECT k, bkt, CAST(count(*) AS BIGINT) AS c FROM b
+         | GROUP BY 1, 2),
+         |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k ORDER BY bkt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum,
+         |  CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM sk),
+         |est AS (SELECT *, round(2.0 * pow(CAST('$g' AS DOUBLE), bkt)
+         |    / CAST('$gp1' AS DOUBLE), 6) AS e FROM cm)
+         |SELECT k AS o_orderpriority, max(n) AS n,
+         | CAST(count(*) AS BIGINT) AS n_buckets,
+         | min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN e END) AS p50,
+         | min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN e END) AS p95,
+         | min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN e END) AS p99
+         |FROM est GROUP BY 1""".stripMargin
+    },
     // SMD balance: the q285 conditional-moment contract per covariate,
     // variance/pooled/smd as pinned double expressions
     "q306_smd_balance" -> {

@@ -1780,6 +1780,31 @@ class IndicatorsSpec extends SparkSpec {
     assert(i.getDouble(1) == 0.0 && i.getDouble(4) == 0.0, i)
   }
 
+  test("ddSketch: every quantile estimate is within the relative-error " +
+       "bound of the exact quantile; partition-invariant; merge-shaped") {
+    // log-spread positives across 4 decades — the regime rank sketches
+    // hate and relative-error sketches are built for
+    val vals = (1 to 5000).map(i => (math.exp(i % 97 / 10.0) * (1 + i % 7))
+      .max(0.001))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("id", "x", "g")
+    val got = Stats.ddSketch(df, "x", Seq("g"), alphaPm = 10)
+      .collect()(0)
+    val sorted = vals.sorted
+    def exact(q: Double) = sorted(math.ceil(q * vals.length).toInt - 1)
+    for ((q, idx) <- Seq((0.5, 3), (0.95, 4), (0.99, 5))) {
+      val est = got.getDouble(idx)
+      val ex = exact(q)
+      assert(math.abs(est - ex) / ex <= 0.0101,
+        s"q=$q est=$est exact=$ex rel=${math.abs(est - ex) / ex}")
+    }
+    assert(got.getLong(1) == 5000L)
+    // the sketch is bucket counts — identical under any partitioning
+    val again = Stats.ddSketch(df.repartition(13), "x", Seq("g"),
+      alphaPm = 10).collect()(0)
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("smdBalance: identical groups score 0, a 10-sd shift scores ±10, " +
        "zero pooled variance yields NULL") {
     val df = Seq(
