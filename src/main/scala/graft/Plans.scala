@@ -263,6 +263,10 @@ object Plans {
       // ddsketch: one corpus aggregate to the bucket counts, cumulative
       // windows only over the log-range-bounded sketch frame
       "q308_ddsketch" -> Seq("HashAggregate", "Window"),
+      // connected components: contraction rounds run at construction
+      // (checkpointed edges); the final plan is the size join over the
+      // materialized label frame
+      "q309_connected_components" -> Seq("Scan ExistingRDD", "HashAggregate"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

@@ -517,6 +517,26 @@ object Graph {
     out
   }
 
+  /** Connected components over an arbitrary edge list — the named
+    * first-class form of the alternating large-star/small-star
+    * contraction (Kiveris et al., SoCC 2014) that already powers the
+    * dedup-cluster family ([[graft.text.Dedup.starClusters]]): per round
+    * two edge-shuffle-sized min-joins, geometric component collapse
+    * (O(log d) rounds on diameter d), an exact decimal edge-fingerprint
+    * fixpoint test, and eager `localCheckpoint` plan truncation. Labels
+    * are the component MINIMUM id — deterministic under any
+    * partitioning, recursive-CTE-replayable. Emits
+    * (id, component, component_size) over the edge-endpoint node set. */
+  def connectedComponents(edges: DataFrame, src: String,
+                          dst: String): DataFrame = {
+    val nodes = edges.select(col(src).as("_v"))
+      .union(edges.select(col(dst).as("_v"))).distinct()
+    graft.text.Dedup.starClusters(nodes,
+        edges.select(col(src).as("id_a"), col(dst).as("id_b")), "_v")
+      .select(col("_v").as("id"), col("cluster_id").as("component"),
+        col("cluster_size").as("component_size"))
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
     * Rev. E 2007) — the cheap, parameter-free community detector that
     * complements [[louvain]] when modularity optimization is overkill:

@@ -520,6 +520,13 @@ object BreadthQueries {
     "q269_kcore" -> ((s, d) =>
       graft.analytics.Graph.kCore(coPurchaseEdges(s, d), "lo", "hi", k = 3)),
 
+    // ── connected components of the co-purchase graph (alternating
+    //    star contraction; min-id labels) — the explicit CC operator the
+    //    dedup-cluster family builds on
+    "q309_connected_components" -> ((s, d) =>
+      graft.analytics.Graph.connectedComponents(
+        coPurchaseEdges(s, d), "lo", "hi")),
+
     // ── degree assortativity of the full co-purchase graph (Newman 2002):
     //    do heavily-co-purchased parts pair with each other or with the
     //    long tail?
@@ -1115,6 +1122,24 @@ object BreadthQueries {
     "q247_louvain_l2" -> louvain2OracleSql(2, 2),
     "q258_louvain_hier" -> louvainHierOracleSql(3, 2),
     "q290_lpa" -> lpaOracleSql(4),
+    // connected components: the q75/q268 recursive reachability closure
+    // over the q269 co-purchase edge set, min-id labels
+    "q309_connected_components" ->
+      """WITH RECURSIVE ed AS (SELECT lo, hi FROM (
+        |  SELECT a.l_partkey AS lo, b.l_partkey AS hi, count(*) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE c >= 2),
+        |sym AS (SELECT lo AS u, hi AS v FROM ed UNION ALL SELECT hi, lo FROM ed),
+        |nodes AS (SELECT DISTINCT u AS v FROM sym),
+        |reach AS (SELECT v, v AS lbl FROM nodes
+        |  UNION
+        |  SELECT s.v, r.lbl FROM sym s JOIN reach r ON r.v = s.u),
+        |cl AS (SELECT v, min(lbl) AS comp FROM reach GROUP BY 1),
+        |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS component_size
+        | FROM cl GROUP BY 1)
+        |SELECT cl.v AS id, cl.comp AS component, sz.component_size
+        |FROM cl JOIN sz ON sz.comp = cl.comp""".stripMargin,
     "q297_tpch_q17" ->
       """WITH p AS (SELECT p_partkey FROM part
         | WHERE p_brand = 'Brand#4' AND p_size <= 10),

@@ -227,6 +227,20 @@ class GraphSpec extends SparkSpec {
     assert(weak == Map(10L -> 10L, 20L -> 10L))
   }
 
+  test("connectedComponents: min-id labels per component, sizes, and a " +
+       "long path collapses in logarithmic rounds") {
+    // components: {1,2,3} (triangle), {10,11} (edge), {20..29} (path)
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("s", "t")
+    val got = Graph.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert((1L to 3L).forall(v => got(v) == ((1L, 3L))), got)
+    assert(got(10L) == ((10L, 2L)) && got(11L) == ((10L, 2L)), got)
+    assert((20L to 29L).forall(v => got(v) == ((20L, 10L))), got)
+    assert(got.size == 15)
+  }
+
   test("labelPropagation: bridged triangles settle to per-triangle " +
        "communities under the deterministic min-label tie-break") {
     // hand-replayed rounds: {1,2,3} converges to label 1; {4,5,6} to 3
