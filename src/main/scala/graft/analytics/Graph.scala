@@ -384,10 +384,20 @@ object Graph {
 
   /** One phase-1 sweep block over a PERSISTED canonical weighted edge
     * frame: `rounds` synchronized local-move rounds, returning the final
-    * label frame (v, c, k) — labels are localCheckpoint-materialized, so
-    * the caller may unpersist `und` immediately. Factored out of
-    * [[louvainCore]] so [[louvainHierarchy]] can run it per level. */
-  private def louvainSweep(und: DataFrame, rounds: Int): DataFrame = {
+    * label frame (v, c, k) — the FINAL labels are always
+    * localCheckpoint-materialized, so the caller may unpersist `und`
+    * immediately. `eagerRounds = false` skips the per-round intermediate
+    * checkpoints: [[louvainHierarchy]] sets it for levels ≥ 2, where the
+    * label frame is community-sized and a per-round materialization job
+    * is pure scheduler overhead (at sf0.1 and at 100 TB alike — the
+    * level-2+ graphs have collapsed geometrically). The level, not a row
+    * count, keys the choice, so replay stays deterministic. Lineage
+    * within an uncheckpointed sweep re-references `labels` ~3× per round,
+    * but every frame in the chain is community-sized and `und` is
+    * persisted, so the re-evaluation is bounded and cheap. Factored out
+    * of [[louvainCore]] so [[louvainHierarchy]] can run it per level. */
+  private def louvainSweep(und: DataFrame, rounds: Int,
+                           eagerRounds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = und.filter(col("a") =!= col("b"))
       .select(col("a").as("v"), col("b").as("u"), col("w"))
@@ -404,7 +414,7 @@ object Graph {
     // beats re-joining the degree table — one column against two shuffles
     var labels = deg.select(col("v"), col("v").as("c"), col("k"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val ctot = labels.groupBy("c").agg(sum("k").as("ctot"))
       val nbr = sym
         .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
@@ -429,12 +439,21 @@ object Graph {
         .withColumn("g", lit(2) * col("m") * col("kvc") -
           col("k") * (col("ctot") -
             when(col("cand") === col("c"), col("k")).otherwise(lit(0L))))
-      val w = Window.partitionBy("v").orderBy(col("g").desc,
-        when(col("cand") === col("c"), 0).otherwise(1).asc, col("cand").asc)
-      labels = scored
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("v"), col("cand").as("c"), col("k"))
-        .localCheckpoint(true)
+      // per-node argmax as a PARTIAL-AGGREGABLE max_by, not a rank window:
+      // a hub's candidate set is degree-sized, and a row_number partition
+      // would hand one task all of it — max_by map-side-combines the hub's
+      // rows before the shuffle. The ordering struct encodes the exact
+      // window order (g desc, own-community first, smallest cand): struct
+      // comparison is field-by-field and (g, own, −cand) determines cand
+      // uniquely, so the pick is deterministic under any partitioning.
+      val next = scored
+        .groupBy("v").agg(max_by(struct(col("cand"), col("k")),
+          struct(col("g"),
+            when(col("cand") === col("c"), 1).otherwise(0),
+            negate(col("cand")))).as("_b"))
+        .select(col("v"), col("_b.cand").as("c"), col("_b.k").as("k"))
+      labels =
+        if (eagerRounds || r == rounds) next.localCheckpoint(true) else next
     }
     deg.unpersist()
     labels
@@ -482,7 +501,10 @@ object Graph {
     var level = 1
     var continue = true
     while (continue && level <= maxLevels) {
-      val lab = louvainSweep(und, rounds)
+      // level ≥ 2 frames are community-sized — per-round checkpoints
+      // there are pure scheduler overhead (keyed on the LEVEL, not a
+      // row count, so replay stays deterministic)
+      val lab = louvainSweep(und, rounds, eagerRounds = level == 1)
       val moved = lab.filter(col("v") =!= col("c")).limit(1).count() > 0
       if (level > 1 && !moved) {
         continue = false // fixpoint: this level duplicates the previous
@@ -550,13 +572,16 @@ object Graph {
     *
     * Scale shape per round: one edge-shuffle join (labels onto the
     * symmetric neighbor list), one (node, label) count aggregate
-    * (map-side combined), and one per-node argmax window whose partition
-    * is the node's distinct neighbor-label set (≤ degree, skew-bounded
-    * by the count pre-aggregate); labels localCheckpoint each round so
-    * lineage stays flat. Emits (id, community, community_size). */
+    * (map-side combined), and one per-node argmax as a partial-aggregable
+    * `max_by` — NOT a rank window, because a celebrity node's candidate
+    * set is degree-sized (round 1: every neighbor carries a distinct
+    * label) and a window would sort it in one task; max_by
+    * map-side-combines it away. Ties toward the smaller label are encoded
+    * in the ordering struct (_n, −cand), which determines cand uniquely —
+    * deterministic under any partitioning. labels localCheckpoint each
+    * round so lineage stays flat. Emits (id, community, community_size). */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
                        rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"rounds $rounds < 1")
     val und = edges.select(
         least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
@@ -567,15 +592,13 @@ object Graph {
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("c"))
       .localCheckpoint(true)
-    val w = Window.partitionBy("v")
-      .orderBy(col("_n").desc, col("cand").asc)
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
         .groupBy("v", "cand").agg(count(lit(1)).as("_n"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("v"), col("cand").as("c"))
+        .groupBy("v").agg(
+          max_by(col("cand"), struct(col("_n"), negate(col("cand"))))
+            .as("c"))
         .localCheckpoint(true)
     }
     val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
@@ -763,10 +786,13 @@ object Graph {
     * lesson, applied at construction). The checkpointed frames are
     * node-sized, never edge-sized, and each iteration's frames fall out
     * of reference scope when the loop variables are reassigned, so the
-    * ContextCleaner frees their blocks — nothing stays pinned for the
-    * session's lifetime (the cached edge copies go the same way when the
-    * result plan is dropped). Emits (id, hub, authority) at 6 dp over
-    * the node set (union of endpoints). */
+    * ContextCleaner frees their blocks. The two cached edge copies are
+    * explicitly unpersisted after the loop — the final h/a plans derive
+    * only from the checkpointed raw sums, so the edge caches are dead
+    * weight the CacheManager would otherwise pin for the session's
+    * lifetime (it holds persisted entries until explicit unpersist,
+    * regardless of plan liveness). Emits (id, hub, authority) at 6 dp
+    * over the node set (union of endpoints). */
   def hits(edges: DataFrame, src: String, dst: String,
            iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters $iters < 1")
@@ -811,6 +837,11 @@ object Graph {
         .select(col("id"),
           (col("_hr") / when(col("_s") > 0, col("_s"))).as("h"))
     }
+    // the final h/a derive from the eagerly-checkpointed raw sums, so the
+    // partitioned edge caches are no longer referenced by any live plan —
+    // drop them now (the CacheManager never frees them on its own)
+    eSrc.unpersist()
+    eDst.unpersist()
     v.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
       .select(col("id"), round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
         round(coalesce(col("a"), lit(0.0)), 6).as("authority"))

@@ -594,8 +594,12 @@ object BreadthQueries {
     }),
 
     // ── TPC-H Q17 shape (small-quantity revenue for a brand/size slice):
-    //    the correlated per-part average as one broadcast aggregate, the
-    //    dimension filter broadcast onto the fact scan
+    //    the dimension filter broadcast onto the fact scan; the correlated
+    //    per-part average joins back WITHOUT a forced broadcast — avgq is
+    //    bounded by the brand/size slice at sf0.1 but grows linearly with
+    //    SF, so AQE picks the join strategy (it still broadcasts when the
+    //    runtime size is small, and degrades to a shuffled join at scale
+    //    instead of OOMing the driver)
     "q297_tpch_q17" -> ((s, d) => {
       val p = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#4" && col("p_size") <= 10)
@@ -605,7 +609,7 @@ object BreadthQueries {
       val avgq = base.groupBy("l_partkey")
         .agg((sum(col("l_quantity").cast("decimal(28,6)")).cast("double") /
           count(lit(1))).as("_avg"))
-      base.join(broadcast(avgq), "l_partkey")
+      base.join(avgq, "l_partkey")
         .filter(col("l_quantity") < col("_avg") / lit(5.0))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_extendedprice").cast("decimal(28,6)"))

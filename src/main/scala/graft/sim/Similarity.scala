@@ -41,17 +41,25 @@ object Similarity {
   }
 
   /** Brute-force exact top-k neighbours for each query vector.
-    * queries is expected to be small (broadcast); corpus streams past it. */
+    * queries is expected to be small (broadcast); corpus streams past it.
+    *
+    * The per-query selection rides [[graft.ops.Stats.extremeK]]'s two-pass
+    * binned top-k, NOT a raw rank window: with a handful of queries a
+    * `row_number` partition would be the ENTIRE corpus sorted by one task
+    * (the straggler that kills the eval harness at 100× corpus), whereas
+    * extremeK's passes are embarrassingly-parallel corpus rescans (scan +
+    * broadcast join, no shuffle) plus a bounded final sort of ~k + n/bins
+    * rows per query. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
     val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    c.crossJoin(broadcast(q))
+    val cand = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "sim", "rank")
+      .select("q_id", "vec_id", "sim")
+    graft.ops.Stats.extremeK(cand, "sim", Seq("q_id"), k,
+        descending = true, tie = Seq(col("vec_id").asc))
+      .select(col("q_id"), col("vec_id"), col("sim"), col("_rn").as("rank"))
   }
 
   /** Scalar int8 quantization per vector (the standard memory/shuffle
@@ -992,6 +1000,29 @@ object Similarity {
       round(col("_score"), 6).as("mmr_score"))
   }
 
+  /** Top-k by the int8-quantized INTEGER dot product — the quantized
+    * candidate ranking on its own: (q_id, vec_id, rank). Engine-portable
+    * by construction (integer sums, smaller-id ties); the broadcast-
+    * queries/corpus-streams contract of [[knnBrute]], including its
+    * extremeK-routed per-query selection (no corpus-sized rank-window
+    * partitions — see the knnBrute scaladoc). */
+  def quantTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int): DataFrame = {
+    val c = quantizeInt8(corpus, id, emb)
+      .select(col(id).as("vec_id"), col("codes"))
+    val q = quantizeInt8(queries, id, emb)
+      .select(col(id).as("q_id"), col("codes").as("_qc"))
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("_dot", expr(
+        "aggregate(zip_with(_qc, codes, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "0L, (a, x) -> a + x)"))
+      .select("q_id", "vec_id", "_dot")
+    graft.ops.Stats.extremeK(cand, "_dot", Seq("q_id"), k,
+        descending = true, tie = Seq(col("vec_id").asc))
+      .select(col("q_id"), col("vec_id"), col("_rn").as("rank"))
+  }
+
   /** Recall@k of int8-quantized dot-product retrieval against the exact
     * float cosine top-k — the accuracy-vs-footprint readout that decides
     * whether the [[quantizeInt8]] 4× compression is safe for the
@@ -1001,30 +1032,9 @@ object Similarity {
     * [[knnBrute]].
     *
     * Scale shape: both rankings are one broadcast-queries pass over the
-    * corpus with per-query top-k windows (the knnBrute contract); the
-    * recall join touches only the two k-row-per-query result sets.
-    * Emits (q_id, n_hit, recall@6dp). */
-  /** Top-k by the int8-quantized INTEGER dot product — the quantized
-    * candidate ranking on its own: (q_id, vec_id, rank). Engine-portable
-    * by construction (integer sums, smaller-id ties); the broadcast-
-    * queries/corpus-streams contract of [[knnBrute]]. */
-  def quantTopK(corpus: DataFrame, queries: DataFrame, id: String,
-                emb: String, k: Int): DataFrame = {
-    val c = quantizeInt8(corpus, id, emb)
-      .select(col(id).as("vec_id"), col("codes"))
-    val q = quantizeInt8(queries, id, emb)
-      .select(col(id).as("q_id"), col("codes").as("_qc"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("_dot").desc, col("vec_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("_dot", expr(
-        "aggregate(zip_with(_qc, codes, (x, y) -> CAST(x AS BIGINT) * y), " +
-          "0L, (a, x) -> a + x)"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank")
-  }
-
+    * corpus with per-query binned top-k selections (the knnBrute
+    * contract); the recall join touches only the two k-row-per-query
+    * result sets. Emits (q_id, n_hit, recall@6dp). */
   def quantRecall(corpus: DataFrame, queries: DataFrame, id: String,
                   emb: String, k: Int): DataFrame = {
     val intTop = quantTopK(corpus, queries, id, emb, k)

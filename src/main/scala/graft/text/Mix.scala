@@ -215,11 +215,15 @@ object Mix {
       sum(col(value).cast("decimal(38,0)")).as("_sx"),
       sum((col(value).cast("decimal(38,0)") *
         col(value).cast("decimal(38,0)")).cast("decimal(38,0)")).as("_sx2"))
+    // greatest(0, …) mirrors the q303 oracle exactly: for a near-constant
+    // stratum with large values the double cancellation can dip slightly
+    // negative, and an unclamped sqrt would yield NaN → NULL allocation
+    // (stratum silently dropped) while the oracle reports 0
     val sh = st.withColumn("_s",
-      when(col("_n") > 1, sqrt(
+      when(col("_n") > 1, sqrt(greatest(lit(0.0),
         (col("_sx2").cast("double") -
           col("_sx").cast("double") * col("_sx").cast("double") / col("_n"))
-          / (col("_n") - 1))).otherwise(lit(0.0)))
+          / (col("_n") - 1)))).otherwise(lit(0.0)))
       .withColumn("_x",
         (col("_n").cast("double") * col("_s")).cast("decimal(28,6)"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,

@@ -436,4 +436,36 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  test("hits leaves no CacheManager entries behind (edge caches " +
+       "explicitly unpersisted)") {
+    // the leak ADVICE flagged: eSrc/eDst were persisted and never
+    // unpersisted — CacheManager holds DataFrame cache entries STRONGLY
+    // until explicit unpersist (the ContextCleaner only frees block data
+    // of GC'd RDDs), so every hits() call would pin two edge-sized
+    // cached plans for the session's lifetime. localCheckpoint blocks
+    // are ContextCleaner-managed and excluded here by construction (they
+    // never enter the CacheManager).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("s", "t")
+    val before = org.apache.spark.sql.GraftCacheProbe.cachedEntryCount(spark)
+    Graph.hits(edges, "s", "t", iters = 2).collect()
+    val after = org.apache.spark.sql.GraftCacheProbe.cachedEntryCount(spark)
+    assert(after == before,
+      s"hits leaked ${after - before} CacheManager entries")
+  }
+
+  test("labelPropagation: star graph — hub adopts the smallest spoke " +
+       "label, spokes adopt the hub's; hand-replayed round 1") {
+    // one hub (0) with distinct-labeled spokes is LPA's worst skew case:
+    // round 1 gives the hub a degree-sized candidate set of all-distinct
+    // labels (counts all 1 → smallest label wins)
+    val n = 1000
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("s"), col("id").as("t"))
+    val got = Graph.labelPropagation(edges, "s", "t", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 1L, s"hub label ${got(0L)}")
+    assert((1L to n).forall(got(_) == 0L))
+  }
 }

@@ -291,4 +291,88 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("knnBrute / quantTopK: no single task ranks the whole corpus for " +
+       "one query (extremeK-routed top-k) and both match the naive window") {
+    // few queries over a big corpus is the eval-harness trap: a raw
+    // row_number window partitioned by q_id hands ONE task the entire
+    // corpus per query at any scale. The extremeK rework must (a) keep
+    // the exact (q_id, vec_id, rank) result and (b) bound every task's
+    // shuffle read far below corpus size.
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val n = 20000
+    val corpus = spark.range(n).select(col("id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(pmod(id * (j * 2654435761L + 97) + j * j, 1000) " +
+          "AS DOUBLE) / 1000.0)").as("emb"))
+      .repartition(8).cache()
+    corpus.count()
+    val queries = corpus.filter(col("id") < 2)
+
+    // (a) exact equivalence with the naive rank-window formulation
+    val naiveB = {
+      val c = corpus.select(col("id").as("vec_id"),
+        Similarity.asDouble("emb").as("v"))
+      val q = queries.select(col("id").as("q_id"),
+        Similarity.asDouble("emb").as("qv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      c.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(Similarity.cosineNative(spark, "qv", "v"), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q_id", "vec_id", "sim", "rank")
+    }
+    val fastB = Similarity.knnBrute(corpus, queries, "id", "emb", 10)
+    assert(fastB.count() == 20)
+    assert(fastB.exceptAll(naiveB).isEmpty && naiveB.exceptAll(fastB).isEmpty)
+
+    // (b) per-task shuffle-read bound: naive shape reads ~n rows in one
+    // task; the binned selection spreads stats/bin-count shuffles and
+    // final-sorts only ~k + n/bins rows per query
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val recB = maxTaskShuffleRead("scalespec-knnbrute") {
+        Similarity.knnBrute(corpus, queries, "id", "emb", 10)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(recB < n * 0.35,
+        s"knnBrute: a single task read $recB of $n corpus rows")
+      val recQ = maxTaskShuffleRead("scalespec-quanttopk") {
+        Similarity.quantTopK(corpus, queries, "id", "emb", 10)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(recQ < n * 0.35,
+        s"quantTopK: a single task read $recQ of $n corpus rows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      corpus.unpersist()
+    }
+  }
+
+  test("labelPropagation: a celebrity hub's candidate set never lands on " +
+       "one task (max_by partial aggregate, not a rank window)") {
+    // star graph: round 1 gives the hub a degree-sized all-distinct
+    // candidate set — the exact shape where a per-node row_number window
+    // sorts 10^8 rows in one task on a real interaction graph. The
+    // max_by rework map-side-combines the hub's rows before the shuffle.
+    val n = 100000
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("s"), col("id").as("t"))
+      .repartition(8).cache()
+    edges.count()
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val rec = maxTaskShuffleRead("scalespec-lpa") {
+        graft.analytics.Graph.labelPropagation(edges, "s", "t", rounds = 1)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(rec < n / 3,
+        s"labelPropagation: a single task read $rec of $n hub-candidate rows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      edges.unpersist()
+    }
+  }
 }
