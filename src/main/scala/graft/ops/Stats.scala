@@ -1848,18 +1848,53 @@ object Stats {
     * key: (keys, n, n_buckets, p<q> for each requested quantile) at
     * 6 dp. */
   def ddSketch(df: DataFrame, value: String, keys: Seq[String],
-               alphaPm: Int = 10, qPm: Seq[Int] = Seq(500, 950, 990)): DataFrame = {
+               alphaPm: Int = 10, qPm: Seq[Int] = Seq(500, 950, 990)): DataFrame =
+    ddSketchRead(ddSketchBuckets(df, value, keys, alphaPm), keys,
+      alphaPm, qPm)
+
+  /** The DDSketch additive sufficient statistic on its own: per-key
+    * log-bucket counts (keys, _b, _c). Bucket counts ADD across any
+    * partition of the data — sketch(A ∪ B) = sketch(A) ⊕ sketch(B)
+    * counter-for-counter ([[ddSketchMerge]]) — which is what makes the
+    * sketch maintainable (per-day/per-batch increments summed at read
+    * time, the [[graft.streaming.StreamingSketch]] contract) without
+    * ever reordering or resampling anything. */
+  def ddSketchBuckets(df: DataFrame, value: String, keys: Seq[String],
+                      alphaPm: Int = 10): DataFrame = {
+    require(alphaPm >= 1 && alphaPm < 1000, s"bad ddSketch alpha $alphaPm")
+    val k = keys.map(col)
+    val gamma = (1000.0 + alphaPm) / (1000.0 - alphaPm)
+    val lnG = math.log(gamma)
+    df.filter(col(value) > 0)
+      .select(k :+ ceil(log(col(value).cast("double")) / lit(lnG))
+        .cast("long").as("_b"): _*)
+      .groupBy(k :+ col("_b"): _*).agg(count(lit(1)).as("_c"))
+  }
+
+  /** Merge bucket frames produced by [[ddSketchBuckets]] with the same
+    * (keys, α): one integer counter sum — exact by additivity, the
+    * result is bit-identical to sketching the concatenated inputs. */
+  def ddSketchMerge(sketches: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.map(_.select((keys.map(col) :+ col("_b") :+ col("_c")): _*))
+      .reduce(_.unionByName(_))
+      .groupBy((keys.map(col) :+ col("_b")): _*)
+      .agg(sum(col("_c")).as("_c"))
+  }
+
+  /** Quantile readout over a (keys, _b, _c) bucket frame — the other
+    * half of [[ddSketch]], split out so maintained/merged sketches read
+    * through the same cumulative-rank arithmetic. The frame is
+    * log-range-bounded per key, so the windows here are sketch-sized,
+    * never data-sized. */
+  def ddSketchRead(sk: DataFrame, keys: Seq[String], alphaPm: Int = 10,
+                   qPm: Seq[Int] = Seq(500, 950, 990)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(alphaPm >= 1 && alphaPm < 1000 && qPm.nonEmpty &&
       qPm.forall(q => q >= 1 && q <= 999), s"bad ddSketch params")
     val k = keys.map(col)
     val gamma = (1000.0 + alphaPm) / (1000.0 - alphaPm)
-    val lnG = math.log(gamma)
     val gp1 = gamma + 1.0
-    val sk = df.filter(col(value) > 0)
-      .select(k :+ ceil(log(col(value).cast("double")) / lit(lnG))
-        .cast("long").as("_b"): _*)
-      .groupBy(k :+ col("_b"): _*).agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(k: _*).orderBy(col("_b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(k: _*)

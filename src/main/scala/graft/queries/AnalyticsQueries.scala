@@ -363,6 +363,21 @@ object AnalyticsQueries {
       graft.ops.Stats.ddSketch(Tables.orders(s, d), "o_totalprice",
         Seq("o_orderpriority"))),
 
+    // ── DDSketch MERGE path: two disjoint shard sketches (orderkey
+    //    parity) merged by counter sum, then read through the q308
+    //    quantile arithmetic — additivity makes merged ≡ from-scratch,
+    //    and the oracle replays the split/merge literally
+    "q311_ddsketch_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val shards = Seq(0, 1).map(p =>
+        graft.ops.Stats.ddSketchBuckets(
+          o.filter(pmod(col("o_orderkey"), lit(2)) === p),
+          "o_totalprice", Seq("o_orderpriority")))
+      graft.ops.Stats.ddSketchRead(
+        graft.ops.Stats.ddSketchMerge(shards, Seq("o_orderpriority")),
+        Seq("o_orderpriority"))
+    }),
+
     // ── covariate balance (SMD) for the q274/q285 parity assignment:
     //    per-user spend / activity / breadth covariates, exact decimal
     //    moments, |SMD| < 0.1 is the standard "balanced" bar
@@ -2339,6 +2354,31 @@ object AnalyticsQueries {
          |    / CAST('$lnG' AS DOUBLE)) AS BIGINT) AS bkt
          | FROM orders WHERE o_totalprice > 0),
          |sk AS (SELECT k, bkt, CAST(count(*) AS BIGINT) AS c FROM b
+         | GROUP BY 1, 2),
+         |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k ORDER BY bkt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum,
+         |  CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM sk),
+         |est AS (SELECT *, round(2.0 * pow(CAST('$g' AS DOUBLE), bkt)
+         |    / CAST('$gp1' AS DOUBLE), 6) AS e FROM cm)
+         |SELECT k AS o_orderpriority, max(n) AS n,
+         | CAST(count(*) AS BIGINT) AS n_buckets,
+         | min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN e END) AS p50,
+         | min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN e END) AS p95,
+         | min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN e END) AS p99
+         |FROM est GROUP BY 1""".stripMargin
+    },
+    // DDSketch merge: per-parity shard bucket counts summed, then the
+    // identical q308 cumulative-rank read
+    "q311_ddsketch_merge" -> {
+      val (lnG, g, gp1) = graft.ops.Stats.ddSketchConsts(10)
+      s"""WITH b AS (SELECT o_orderpriority AS k, o_orderkey % 2 AS sh,
+         |  CAST(ceil(ln(CAST(o_totalprice AS DOUBLE))
+         |    / CAST('$lnG' AS DOUBLE)) AS BIGINT) AS bkt
+         | FROM orders WHERE o_totalprice > 0),
+         |shard AS (SELECT k, sh, bkt, CAST(count(*) AS BIGINT) AS c
+         | FROM b GROUP BY 1, 2, 3),
+         |sk AS (SELECT k, bkt, CAST(sum(c) AS BIGINT) AS c FROM shard
          | GROUP BY 1, 2),
          |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k ORDER BY bkt
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -723,6 +723,13 @@ object ExtensionQueries {
     "q307_dup_spans" -> ((s, d) =>
       Curate.dupSpans(Tables.documents(s, d), "doc_id", "text", n = 8)),
 
+    // ── maximal duplicated spans: adjacent/overlapping duplicated 8-token
+    //    windows coalesced into per-doc removable token ranges — the
+    //    remove-list output of exact-substring dedup (Lee et al. 2022)
+    "q310_dup_span_islands" -> ((s, d) =>
+      Curate.dupSpanIslands(Tables.documents(s, d), "doc_id", "text",
+        n = 8)),
+
     // ── MinHash estimator calibration: per est_jaccard decile, the TRUE
     //    shingle-set Jaccard of every LSH candidate pair — the evidence
     //    behind the dedup threshold ("measure, don't guess")
@@ -1797,6 +1804,32 @@ object ExtensionQueries {
          |   AS dup_frac
          |FROM (SELECT DISTINCT doc_id FROM documents) dd
          |LEFT JOIN pd ON pd.doc_id = dd.doc_id""".stripMargin,
+    // maximal duplicated spans: positional window hashes, occurrence >= 2
+    // marks a window, gaps-and-islands (new island when the positional
+    // difference exceeds the window width) coalesces them into per-doc
+    // removable token ranges
+    "q310_dup_span_islands" ->
+      s"""WITH $toksCte,
+         |pw AS (SELECT doc_id, unnest(generate_series(1, len(w)-7)) AS pos,
+         |  w FROM toks WHERE len(w) >= 8),
+         |wh AS (SELECT doc_id, pos, ${h64d(
+             (0 until 8).map(k => "w[pos+" + k + "]")
+               .mkString(" || ' ' || "))} AS g FROM pw),
+         |dup AS (SELECT g FROM
+         | (SELECT g, count(*) AS c FROM wh GROUP BY 1) WHERE c >= 2),
+         |m AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (g)),
+         |lg AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS gp
+         | FROM m),
+         |isl AS (SELECT doc_id, pos, sum(gp) OVER
+         |  (PARTITION BY doc_id ORDER BY pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS il
+         | FROM lg)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         | CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         | CAST(count(*) AS BIGINT) AS span_windows
+         |FROM isl GROUP BY doc_id, il""".stripMargin,
     // lang-id eval: the q27 stopword-vote CASE, then the standard
     // per-class confusion aggregates with guarded pinned divisions
     "q305_langid_eval" ->

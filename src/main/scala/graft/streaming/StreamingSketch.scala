@@ -62,4 +62,54 @@ object StreamingSketch {
       .reduce(_.unionByName(_))
       .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
   }
+
+  // ── DDSketch maintenance: the same contract as the count-min sink —
+  //    DDSketch bucket counts are ADDITIVE (sketch(A ∪ B) = sketch(A) ⊕
+  //    sketch(B), Stats.ddSketchMerge), so each micro-batch's (keys, _b,
+  //    _c) frame lands as an idempotent increment partition with no state
+  //    store, a retried batch restates exactly its own partition, and the
+  //    merged sketch is bit-identical to one built from scratch
+  //    (StreamingSketchSpec pins stream ≡ batch through the q308 read
+  //    path). State per batch is log-range-bounded per key — a few KB
+  //    against an unbounded stream.
+
+  /** foreachBatch sink: land each micro-batch's DDSketch bucket counts
+    * as its own increment partition under `sketchPath/increments/`. */
+  def ddSketchSink(df: DataFrame, value: String, keys: Seq[String],
+                   sketchPath: String, checkpoint: String,
+                   alphaPm: Int = 10): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Stats.ddSketchBuckets(batch, value, keys, alphaPm)
+            .write.mode("overwrite")
+            .parquet(s"$sketchPath/increments/batch=$batchId")
+        }: Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** Optional base DDSketch from a batch corpus. */
+  def writeBaseDdSketch(df: DataFrame, value: String, keys: Seq[String],
+                        sketchPath: String, alphaPm: Int = 10): Unit =
+    Stats.ddSketchBuckets(df, value, keys, alphaPm)
+      .write.mode("overwrite").parquet(s"$sketchPath/base")
+
+  /** The maintained DDSketch as one (keys, _b, _c) bucket frame: base
+    * (if present) plus every increment, merged by counter sum. Read
+    * quantiles from it with [[graft.ops.Stats.ddSketchRead]]. */
+  def readMergedDdSketch(spark: SparkSession, sketchPath: String,
+                         keys: Seq[String]): DataFrame = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$sketchPath/base")
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = keys :+ "_b" :+ "_c"
+    val parts =
+      (if (fs.exists(basePath)) Seq(s"$sketchPath/base") else Nil) ++
+        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
+          Seq(s"$sketchPath/increments") else Nil)
+    require(parts.nonEmpty, s"no sketch state under $sketchPath")
+    Stats.ddSketchMerge(
+      parts.map(p => spark.read.parquet(p).select(cols.map(col): _*)),
+      keys)
+  }
 }

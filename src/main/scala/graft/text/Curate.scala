@@ -379,4 +379,47 @@ object Curate {
           coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
             col("n_windows")), 6).as("dup_frac"))
   }
+
+  /** Maximal duplicated spans — the remove-list output of exact-substring
+    * dedup (Lee et al., ACL 2022) that [[dupSpans]]'s per-doc `dup_frac`
+    * alone can't drive: duplicated `n`-token windows are coalesced into
+    * maximal per-doc token ranges. Windows at 1-based positions p, p'
+    * (each covering tokens p..p+n-1) belong to the same span when
+    * p' − p ≤ n — overlapping (< n) or token-adjacent (= n), i.e. the
+    * union of their token ranges is contiguous; a difference > n leaves
+    * at least one non-duplicated token between them, which closes the
+    * span. Classic gaps-and-islands over the duplicated positions.
+    *
+    * Scale shape: the window/mark stages are [[dupSpans]]'s (one generate
+    * pass, 60-bit hash keys, one count aggregate, semi-join back); the
+    * islands pass adds one per-doc ordered window whose partition is the
+    * doc's DUPLICATED window set — bounded by document token count, never
+    * corpus-sized (documents are bounded; this is the per-doc-partition
+    * shape the engine accepts everywhere, not the few-group trap).
+    * Emits (id, span_start, span_end, span_windows) with 1-based
+    * inclusive token indices, one row per maximal span. */
+  def dupSpanIslands(df: DataFrame, id: String, text: String,
+                     n: Int = 8): DataFrame = {
+    require(n >= 2, s"window $n < 2")
+    val wins = df
+      .select(col(id), TextOps.tokens(col(text)).as("_w"))
+      .select(col(id), posexplode(TextOps.wordShingles("_w", n)))
+      .select(col(id), (col("pos") + 1).as("pos"),
+        expr(TextOps.h64Sql("col")).as("_g"))
+    val dups = wins.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_g")
+    val marked = wins.join(dups, Seq("_g"), "left_semi")
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    marked
+      .withColumn("_gap",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("_isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("span_windows"))
+      .select(col(id), col("span_start"), col("span_end"),
+        col("span_windows"))
+  }
 }

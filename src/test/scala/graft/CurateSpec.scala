@@ -307,6 +307,33 @@ class CurateSpec extends SparkSpec {
     assert(short.isNullAt(3))
   }
 
+  test("dupSpanIslands: overlapping windows merge, exactly-adjacent " +
+       "windows merge, a gap splits — hand-replayed islands") {
+    // n = 4; window at 1-based pos p covers tokens p..p+3; windows merge
+    // when the positional difference <= 4 (overlap or token-adjacency)
+    val s = "s1 s2 s3 s4"                    // shared 4-token span
+    val t6 = (1 to 6).map(i => s"t$i").mkString(" ") // shared 6-token run
+    val docs = Seq(
+      (1L, s"$s x1 x2 x3 x4 $s"),  // dup windows at pos 1 and 9: gap (>4)
+      (2L, s"p1 p2 $s p3 p4"),     // single dup window at pos 3
+      (3L, s"$t6 z1 z2"),          // dup windows 1,2,3: overlap, one span
+      (4L, s"q1 $t6"),             // dup windows 2,3,4: overlap, one span
+      (5L, s"$s t1 t2 t3 t4"),     // dup at pos 1 and 5: EXACTLY adjacent
+      (6L, "too short"))           // < 4 tokens: no windows, no rows
+      .toDF("doc_id", "text")
+    val got = Curate.dupSpanIslands(docs, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Set(
+      (1L, 1L, 4L, 1L), (1L, 9L, 12L, 1L), // split: 9 - 1 = 8 > 4
+      (2L, 3L, 6L, 1L),
+      (3L, 1L, 6L, 3L),                    // 3 overlapping windows merge
+      (4L, 2L, 7L, 3L),
+      (5L, 1L, 8L, 2L))                    // 5 - 1 = 4: adjacent, merged
+    assert(got == want, s"got $got")
+  }
+
   test("dsirResample prefers target-like docs and is partition-invariant") {
     // two disjoint vocabularies: docs 1-10 "target-like", 11-30 not; mark
     // only 1-5 as target — DSIR should pull 6-10 (target-LIKE but not

@@ -62,4 +62,51 @@ class StreamingSketchSpec extends SparkSpec {
     assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == before,
       "restated increment must restate, not duplicate")
   }
+
+  test("maintained DDSketch ≡ from-scratch buckets AND identical q308 " +
+       "quantile reads; restatement idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+    val in = s"$dir/in"; val sk = s"$dir/sketch"; val chk = s"$dir/chk"
+    val vschema = StructType(Seq(
+      StructField("grp", StringType), StructField("v", DoubleType)))
+
+    def mk(rows: Seq[(String, Double)]) = rows.toDF("grp", "v")
+    val base = mk(Seq(("a", 1.5), ("a", 220.0), ("b", 33.3), ("a", 7.0)))
+    val batchA = mk(Seq(("a", 0.9), ("b", 4100.0), ("b", 33.3),
+      ("c", 12.25), ("a", -3.0))) // non-positive values drop in BOTH paths
+    val batchB = mk(Seq(("c", 555.5), ("a", 220.0), ("b", 0.01)))
+    StreamingSketch.writeBaseDdSketch(base, "v", Seq("grp"), sk)
+
+    batchA.write.parquet(in)
+    StreamingSketch.ddSketchSink(
+      spark.readStream.schema(vschema).parquet(in),
+      "v", Seq("grp"), sk, chk).start().awaitTermination()
+    batchB.write.mode("append").parquet(in)
+    StreamingSketch.ddSketchSink(
+      spark.readStream.schema(vschema).parquet(in),
+      "v", Seq("grp"), sk, chk).start().awaitTermination()
+
+    val all = base.unionByName(batchA).unionByName(batchB)
+    def bset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp"))
+    assert(bset(merged) ==
+      bset(Stats.ddSketchBuckets(all, "v", Seq("grp"))),
+      "maintained buckets must equal the from-scratch sketch")
+
+    // the q308 read path over the MAINTAINED sketch ≡ the one-shot batch
+    // ddSketch over everything ingested — bit-identical rows
+    val viaStream = Stats.ddSketchRead(merged, Seq("grp"))
+    val oneShot = Stats.ddSketch(all, "v", Seq("grp"))
+    assert(viaStream.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(viaStream).isEmpty,
+      "quantile reads must match the batch build exactly")
+
+    // restating batch 0 must not inflate any counter
+    val before = bset(merged)
+    Stats.ddSketchBuckets(batchA, "v", Seq("grp"))
+      .write.mode("overwrite").parquet(s"$sk/increments/batch=0")
+    assert(bset(StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp")))
+      == before, "restated increment must restate, not duplicate")
+  }
 }
