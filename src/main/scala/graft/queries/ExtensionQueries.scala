@@ -700,6 +700,38 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 3, nProbe = 2)
     }),
 
+    // ── the same search through the ON-DISK index: posting lists written
+    //    cell-partitioned from the old batch, the delta batch APPENDED
+    //    under the frozen stored centroids, probe = static partition
+    //    pruning — value-identical to q264 (shared oracle), so the index
+    //    round-trip + append path is itself oracle-checked
+    "q312_ann_index_stored" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+        .toString
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+          "embedding", cents), cents, dir)
+      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir)
+      Similarity.annIvfIndexed(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+    }),
+
+    // ── per-cell drift of an incrementally-maintained index against its
+    //    FROZEN centroids (learned on the old 90%, full corpus assigned
+    //    to them): cosine(stored centroid, current member mean) — the
+    //    recluster trigger that decides when append-only maintenance has
+    //    aged out the quantizer
+    "q313_ivf_cell_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(
+        e.filter(col("vec_id") % 10 =!= 0), "label", "embedding")
+      Similarity.ivfCellDrift(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents)
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -1025,6 +1057,28 @@ object ExtensionQueries {
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
   private val cosSqlAV = cosSqlAB("qv", "a.v")
+
+  /** q264 and q312 share this replay: the on-disk index is value-
+    * identical to in-memory incremental assembly (assign distributes
+    * over union under frozen centroids). */
+  private lazy val annIncrementalOracleSql =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin
 
   /** MMR oracle: exact top-`topN` candidates (q33 chain), pairwise
     * candidate cosines, then `k` greedy steps unrolled CTE-for-CTE —
@@ -2192,24 +2246,31 @@ object ExtensionQueries {
     // its nearest centroid from scratch (≡ the union of per-batch
     // assignments under frozen centroids), routed search over the
     // assigned posting lists
-    "q264_ann_incremental" ->
+    // the on-disk index search (q312) is value-identical to q264 by the
+    // assign-distributes-over-union property — identical oracle replay;
+    // q313 freezes centroids on the old 90% and reads the per-cell drift
+    "q312_ann_index_stored" -> annIncrementalOracleSql,
+    "q313_ivf_cell_drift" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,
          |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
-         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |  FROM e, generate_series(1,64) g(i) WHERE vec_id % 10 != 0
+         |  GROUP BY 1, 2),
          |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
          |asn AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-         |routed AS (SELECT q_id, qv, cid FROM (
-         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
-         |s AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
-         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
-         |SELECT q_id, vec_id, sim, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
-         |WHERE rank <= 3""".stripMargin,
+         |cur AS (SELECT cid, list(cx ORDER BY pos) AS mv FROM (
+         |  SELECT cid, i AS pos,
+         |    CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM asn, generate_series(1,64) g(i) GROUP BY 1, 2) GROUP BY cid),
+         |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM asn
+         | GROUP BY 1)
+         |SELECT cv.cid, n_members,
+         | ${cosSqlAB("cv.cv", "cur.mv")} AS cos_sim,
+         | round(1.0 - ${cosSqlAB("cv.cv", "cur.mv")}, 6) AS drift
+         |FROM cv JOIN cur USING (cid) JOIN n USING (cid)""".stripMargin,
+    "q264_ann_incremental" -> annIncrementalOracleSql,
     // ranking metrics: IVF results (q48 chain, rank<=5) scored against the
     // brute-force truth — binary hits, 1/log2(r+1) gains quantized to
     // DECIMAL pre-sum, macro averages over the query battery

@@ -286,6 +286,86 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** Persist an IVF index: posting lists land CELL-PARTITIONED (probe =
+    * partition pruning at read time — untouched cell directories never
+    * open, the [[graft.text.Dedup.writeSignatureIndex]] contract applied
+    * to vectors), centroids land beside them as the frozen quantizer. */
+  def writeIvfIndex(assigned: DataFrame, centroids: DataFrame,
+                    dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.select(col("vec_id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Incremental maintenance: assign a new batch to the STORED (frozen)
+    * centroids and APPEND to the cell-partitioned posting lists — no
+    * existing row is touched, and because assignment under fixed
+    * centroids distributes over union, the maintained index is
+    * value-identical to one built from scratch over everything ingested
+    * (AnnSpec pins it; [[ivfCellDrift]] is the monitor that says when
+    * the frozen quantizer has aged out and a recluster is due). */
+  def appendIvfBatch(batch: DataFrame, id: String, emb: String,
+                     dir: String): Unit = {
+    val cents = batch.sparkSession.read.parquet(s"$dir/centroids")
+    ivfAssign(batch, id, emb, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** A stored index read back: (posting lists, centroids). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** Search a stored ON-DISK index with static cell pruning: route the
+    * queries against the (broadcast) centroids, collect the probed cell
+    * ids — bounded by |queries|·nProbe, a parameter-sized driver set,
+    * never data-sized — and push them as an `isin` partition filter on
+    * the posting-list scan, so only the probed cell directories open
+    * (PartitionFilters, spec-asserted). The rank itself is
+    * [[annIvfStored]] over the pruned lists — same results, same ties. */
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, id: String, emb: String, k: Int,
+                    nProbe: Int): DataFrame = {
+    val (post, cents) = readIvfIndex(spark, dir)
+    graft.expressions.CosineSimilarity.register(spark)
+    val routed = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+    val cells = routed.select("cid").distinct().collect().map(_.get(0))
+    annIvfStored(post.filter(col("cell").isInCollection(cells)), cents,
+      queries, id, emb, k, nProbe)
+  }
+
+  /** Per-cell drift of a maintained index against its FROZEN centroids:
+    * for each cell, the cosine between the stored centroid and the
+    * current fixed-point mean of the cell's members (the
+    * [[ivfCentroids]] quantized-long trick, so the readout is
+    * order-independent and engine-exact) plus the member count — the
+    * [[embeddingDrift]] monitor pointed at the index itself. A cell
+    * whose members have drifted from the centroid that routes queries
+    * to it is a cell whose recall is decaying: this is the recluster
+    * trigger for [[appendIvfBatch]]-maintained indexes. Emits
+    * (cid, n_members, cos_sim@6dp, drift = 1 − cos). */
+  def ivfCellDrift(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val cur = ivfCentroids(assigned.select(col("vec_id"),
+        col("cell"), col("v")), "cell", "v")
+      .select(col("cid"), col("cv").as("_mv"))
+    val counts = assigned.groupBy(col("cell").as("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    centroids.select(col("cid"), col("cv"))
+      .join(cur, "cid").join(counts, "cid")
+      .withColumn("cos_sim", round(expr("graft_cosine(cv, _mv)"), 6))
+      .select(col("cid"), col("n_members"), col("cos_sim"),
+        round(lit(1.0) - col("cos_sim"), 6).as("drift"))
+  }
+
   def annIvf(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
              cell: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -116,6 +116,60 @@ class AnnSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("on-disk IVF index: write + append ≡ from-scratch search (same " +
+       "recall, same rows), probe scan carries a cell partition filter, " +
+       "drift of an undrifted index is ~0 where members are unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+        "embedding", cents), cents, dir)
+    Similarity.appendIvfBatch(e.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", dir)
+
+    // incremental (write + append) ≡ from-scratch: identical result rows
+    // → identical recall by construction
+    val fromDisk = Similarity.annIvfIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 3, nProbe = 2)
+    val scratch = Similarity.annIvfStored(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(fromDisk.count() > 0)
+    assert(fromDisk.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(fromDisk).isEmpty,
+      "maintained index must search identically to from-scratch")
+
+    // probing is partition pruning: the posting-list scan under an isin
+    // cell filter carries PartitionFilters — untouched cells never open
+    val (post, _) = Similarity.readIvfIndex(spark, dir)
+    val plan = post.filter(col("cell").isInCollection(Seq(0, 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+
+    // drift semantics on a hand fixture: two orthogonal cells; appending
+    // vectors that still route to cell 1 but point elsewhere moves ONLY
+    // cell 1's member mean off its frozen centroid
+    import spark.implicits._
+    def vec(xs: Double*) = xs ++ Seq.fill(8 - xs.length)(0.0)
+    val oldRows = Seq(
+      (1L, 0, vec(1.0)), (2L, 0, vec(1.0)), (3L, 0, vec(1.0)),
+      (4L, 1, vec(0.0, 1.0)), (5L, 1, vec(0.0, 1.0)), (6L, 1, vec(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val fixedCents = Similarity.ivfCentroids(oldRows, "label", "embedding")
+    val drifted = Seq( // cos to c1 = 0.8 > cos to c0 = 0.6: routes to cell 1
+      (7L, 1, vec(0.6, 0.8)), (8L, 1, vec(0.6, 0.8)))
+      .toDF("vec_id", "label", "embedding")
+    val allAssigned = Similarity.ivfAssign(oldRows.unionByName(drifted),
+      "vec_id", "embedding", fixedCents)
+    val drift = Similarity.ivfCellDrift(allAssigned, fixedCents)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(drift(0) == ((3L, 0.0)), s"cell 0 must not drift: ${drift(0)}")
+    // cell 1 mean = (0.24, 0.92, 0, …); cos to (0,1) = 0.92/√0.904
+    assert(drift(1)._1 == 5L && math.abs(drift(1)._2 - 0.032383) < 1e-6,
+      s"cell 1 drift: ${drift(1)}")
+  }
+
   test("rankingMetrics: hand recall/MRR/nDCG battery with partial, " +
        "perfect, and missed queries") {
     import spark.implicits._
