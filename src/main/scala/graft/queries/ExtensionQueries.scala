@@ -328,6 +328,26 @@ object ExtensionQueries {
       Dedup.incrementalClusters(oldAssign, nw, incPairs, "doc_id")
     }),
 
+    // ── CROSS-SNAPSHOT CLUSTER DIFF: what did the last batch do to the
+    //    duplicate structure — new clusters, grown clusters, old clusters
+    //    merged by a bridging doc. One LSH pass: the old assignment is
+    //    the same pair set restricted to old↔old (append-only snapshots,
+    //    so old clusters never split)
+    "q315_cluster_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(
+          Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newAssign = Dedup.dedupClusters(docs, pairs, "doc_id")
+        .select("doc_id", "cluster_id")
+      val oldAssign = Dedup.dedupClusters(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        pairs.filter(col("id_a") % 5 =!= 4 && col("id_b") % 5 =!= 4),
+        "doc_id").select("doc_id", "cluster_id")
+      Dedup.clusterDiff(oldAssign, newAssign, "doc_id")
+    }),
+
     // ── leakage-free split: train/val/test assigned by DEDUP CLUSTER, not
     //    by doc, so near-duplicates can never straddle the split boundary
     //    (the classic eval-contamination hole in naive per-doc splits)
@@ -888,6 +908,28 @@ object ExtensionQueries {
         test.select("doc_id", "source"), "source")
     }),
 
+    // ── END-TO-END CURATION LOOP (CCNet-style): the rule-based quality
+    //    filter (q89) labels the corpus keep/drop, NB trains on folds 1-4
+    //    to IMITATE the rules from raw text, and the held-out fold 0
+    //    calibration report says whether the learned filter can replace
+    //    the rules at the next 100 TB shard — q89 + q256 + q282 composed
+    "q314_quality_loop" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.join(
+        Curate.filterPipeline(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+              .as("quality")), Seq("doc_id"))
+      val folded = graft.ops.Stats.kfoldAssign(labeled, "doc_id", 5)
+      val train = folded.filter(col("fold") =!= 0)
+      val test = folded.filter(col("fold") === 0)
+      val post = graft.text.NaiveBayes.posteriors(
+        graft.text.NaiveBayes.scoreAll(train, test, "doc_id", "quality",
+          "text"), "doc_id")
+      graft.ops.Stats.calibrationReport(post, "doc_id", "label", "p",
+        test.select("doc_id", "quality"), "quality")
+    }),
+
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
     "q115_chunk_overlap" -> ((s, d) =>
       Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
@@ -1056,6 +1098,66 @@ object ExtensionQueries {
     s"round(list_sum(list_transform(generate_series(1,$dim), i -> $a[i]*$b[i])) / " +
       s"(sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x)))), 6)"
   private val cosSql = cosSqlAB("qv", "v")
+
+  /** NB-calibration replay shared by q282 and q314: callers supply the
+    * CTE chain ending in tk(doc_id, source, w, fold); everything from
+    * the class-conditional counts to the reliability bins is identical. */
+  private def nbCalibrationSqlFrom(tkCtes: String): String =
+    raw"""WITH $tkCtes,
+         |tt AS MATERIALIZED (SELECT source AS c, unnest(w) AS tok FROM tk
+         | WHERE fold != 0),
+         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tt GROUP BY 1, 2),
+         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
+         |pr AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
+         | FROM tk WHERE fold != 0 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM tk WHERE fold != 0),
+         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT doc_id, unnest(w) AS tok FROM tk WHERE fold = 0)
+         | GROUP BY 1, 2),
+         |tm AS (SELECT st.doc_id, cs.c,
+         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
+         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         | FROM st CROSS JOIN cs CROSS JOIN vv
+         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
+         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.c,
+         |  round(CAST(slp AS DOUBLE)
+         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
+         |    AS logp
+         | FROM sc JOIN pr USING (c) CROSS JOIN nt),
+         |mx AS (SELECT *, max(logp) OVER (PARTITION BY doc_id) AS m FROM fin),
+         |ex AS (SELECT doc_id, c, CAST(exp(logp - m) AS DECIMAL(28,12)) AS e
+         | FROM mx),
+         |zz AS (SELECT *, sum(e) OVER (PARTITION BY doc_id) AS z FROM ex),
+         |post AS (SELECT doc_id, c AS label,
+         |  round(CAST(e AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p FROM zz),
+         |jt AS (SELECT p.doc_id, p.label, p.p,
+         |  CASE WHEN p.label = d.source THEN 1 ELSE 0 END AS hit
+         | FROM post p JOIN (SELECT doc_id, source FROM tk WHERE fold = 0) d
+         |   USING (doc_id)),
+         |db AS (SELECT doc_id,
+         |  sum(CAST((p - hit) * (p - hit) AS DECIMAL(28,12)))
+         |    + CAST(1 - max(hit) AS DECIMAL(28,12)) AS b
+         | FROM jt GROUP BY 1),
+         |br AS (SELECT CAST(sum(b) AS DOUBLE) / count(*) AS brier FROM db),
+         |tp AS (SELECT doc_id, p, hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY p DESC, label) AS rn FROM jt) WHERE rn = 1),
+         |bn AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(p AS DECIMAL(28,12))) AS cs2,
+         |  CAST(sum(hit) AS BIGINT) AS hits FROM tp GROUP BY 1)
+         |SELECT bin, n,
+         | round(CAST(cs2 AS DOUBLE) / n, 6) AS avg_conf,
+         | round(CAST(hits AS DOUBLE) / n, 6) AS accuracy,
+         | round(CAST(sum(CAST(CAST(n AS DOUBLE) *
+         |     abs(CAST(cs2 AS DOUBLE) / n - CAST(hits AS DOUBLE) / n)
+         |     AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |   / CAST(sum(n) OVER () AS BIGINT), 6) AS ece,
+         | round(brier, 6) AS brier
+         |FROM bn CROSS JOIN br""".stripMargin
   private val cosSqlAV = cosSqlAB("qv", "a.v")
 
   /** q264 and q312 share this replay: the on-disk index is value-
@@ -1264,6 +1366,34 @@ object ExtensionQueries {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  CAST(doc_id = cluster_id AS INT) AS keep
        |FROM cl""".stripMargin
+
+  /** q315 oracle: the q75 replay for the new snapshot, a second
+    * min-label recursion over the old↔old edge restriction for the old
+    * one, then the per-cluster diff rollup. */
+  private val clusterDiffOracleSql =
+    s"""$clustersCtes,
+       |edges2 AS (SELECT id_a AS v, id_b AS u FROM cand
+       |  WHERE est_jaccard >= 0.5 AND id_a % 5 != 4 AND id_b % 5 != 4
+       |  UNION ALL SELECT id_b, id_a FROM cand
+       |  WHERE est_jaccard >= 0.5 AND id_a % 5 != 4 AND id_b % 5 != 4),
+       |reach2 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+       |  WHERE doc_id % 5 != 4
+       |  UNION
+       |  SELECT e.v, r.lbl FROM edges2 e JOIN reach2 r ON r.v = e.u),
+       |cl2 AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach2
+       |  GROUP BY v),
+       |jd AS (SELECT cl.doc_id, cl.cluster_id, cl2.cluster_id AS oc
+       |  FROM cl LEFT JOIN cl2 USING (doc_id)),
+       |ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN oc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new_docs,
+       |  CAST(count(DISTINCT oc) AS BIGINT) AS n_old_clusters
+       | FROM jd GROUP BY 1)
+       |SELECT *, CASE WHEN n_old_clusters = 0 THEN 'new'
+       |  WHEN n_old_clusters > 1 THEN 'merged'
+       |  WHEN n_new_docs > 0 THEN 'grown'
+       |  ELSE 'unchanged' END AS status
+       |FROM ag""".stripMargin
 
   /** q137 oracle: the deduped corpus — keep exactly the cluster
     * representatives (min doc id per component). */
@@ -1766,6 +1896,7 @@ object ExtensionQueries {
     // incremental maintenance must reproduce the from-scratch answer —
     // the oracle IS the full-corpus clustering
     "q155_incremental_clusters" -> clustersOracleSql,
+    "q315_cluster_diff" -> clusterDiffOracleSql,
     "q151_cluster_split" ->
       s"""$clustersCtes,
          |h AS (SELECT doc_id, cluster_id,
@@ -2322,65 +2453,31 @@ object ExtensionQueries {
     // calibration: the q256 NB chain on a fold split (the per-token
     // left-join floor IS the OOV closed form), softmax with DECIMAL-
     // quantized exp terms, then bins/ECE/Brier with pinned op order
-    "q282_calibration" ->
-      raw"""WITH tk AS (SELECT doc_id, source,
+    "q282_calibration" -> nbCalibrationSqlFrom(
+      raw"""tk AS (SELECT doc_id, source,
          |  regexp_split_to_array(trim(text), '\s+') AS w,
          |  ('0x' || substr(md5(doc_id || ':fold'), 1, 15))::BIGINT % 5 AS fold
+         | FROM documents)""".stripMargin),
+    // the quality loop shares the whole NB + calibration replay; only the
+    // label derivation differs — the q89 rule CASE instead of `source`
+    "q314_quality_loop" -> nbCalibrationSqlFrom(
+      raw"""t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+         |  ('0x' || substr(md5(doc_id || ':fold'), 1, 15))::BIGINT % 5 AS fold
          | FROM documents),
-         |tt AS MATERIALIZED (SELECT source AS c, unnest(w) AS tok FROM tk
-         | WHERE fold != 0),
-         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
-         | FROM tt GROUP BY 1, 2),
-         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
-         |pr AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
-         | FROM tk WHERE fold != 0 GROUP BY 1),
-         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM tk WHERE fold != 0),
-         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
-         | FROM (SELECT doc_id, unnest(w) AS tok FROM tk WHERE fold = 0)
-         | GROUP BY 1, 2),
-         |tm AS (SELECT st.doc_id, cs.c,
-         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
-         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
-         | FROM st CROSS JOIN cs CROSS JOIN vv
-         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
-         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
-         |fin AS (SELECT sc.doc_id, sc.c,
-         |  round(CAST(slp AS DOUBLE)
-         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
-         |    AS logp
-         | FROM sc JOIN pr USING (c) CROSS JOIN nt),
-         |mx AS (SELECT *, max(logp) OVER (PARTITION BY doc_id) AS m FROM fin),
-         |ex AS (SELECT doc_id, c, CAST(exp(logp - m) AS DECIMAL(28,12)) AS e
-         | FROM mx),
-         |zz AS (SELECT *, sum(e) OVER (PARTITION BY doc_id) AS z FROM ex),
-         |post AS (SELECT doc_id, c AS label,
-         |  round(CAST(e AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p FROM zz),
-         |jt AS (SELECT p.doc_id, p.label, p.p,
-         |  CASE WHEN p.label = d.source THEN 1 ELSE 0 END AS hit
-         | FROM post p JOIN (SELECT doc_id, source FROM tk WHERE fold = 0) d
-         |   USING (doc_id)),
-         |db AS (SELECT doc_id,
-         |  sum(CAST((p - hit) * (p - hit) AS DECIMAL(28,12)))
-         |    + CAST(1 - max(hit) AS DECIMAL(28,12)) AS b
-         | FROM jt GROUP BY 1),
-         |br AS (SELECT CAST(sum(b) AS DOUBLE) / count(*) AS brier FROM db),
-         |tp AS (SELECT doc_id, p, hit FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY p DESC, label) AS rn FROM jt) WHERE rn = 1),
-         |bn AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  sum(CAST(p AS DECIMAL(28,12))) AS cs2,
-         |  CAST(sum(hit) AS BIGINT) AS hits FROM tp GROUP BY 1)
-         |SELECT bin, n,
-         | round(CAST(cs2 AS DOUBLE) / n, 6) AS avg_conf,
-         | round(CAST(hits AS DOUBLE) / n, 6) AS accuracy,
-         | round(CAST(sum(CAST(CAST(n AS DOUBLE) *
-         |     abs(CAST(cs2 AS DOUBLE) / n - CAST(hits AS DOUBLE) / n)
-         |     AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |   / CAST(sum(n) OVER () AS BIGINT), 6) AS ece,
-         | round(brier, 6) AS brier
-         |FROM bn CROSS JOIN br""".stripMargin,
+         |qb AS (SELECT doc_id, w, fold, len(w)::BIGINT AS ws_tokens,
+         |  round(length(array_to_string(w, ''))::DOUBLE / len(w), 6) AS avg_token_len,
+         |  ${shingleExpr(2)} AS g,
+         |  round(len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))})))::DOUBLE
+         |    / len(w), 6) AS stop_ratio FROM t0),
+         |qc AS (SELECT doc_id, w, fold, ws_tokens, avg_token_len,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+         |    ELSE 0.0 END AS dup_2gram_ratio, stop_ratio FROM qb),
+         |tk AS (SELECT doc_id,
+         |  CASE WHEN ws_tokens >= 10 AND ws_tokens <= 5000
+         |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+         |    AND dup_2gram_ratio <= 0.3 AND stop_ratio >= 0.01
+         |   THEN 'keep' ELSE 'drop' END AS source, w, fold FROM qc)""".stripMargin),
     // TextRank: co-occurrence edges from the normalized token stream,
     // then the q162 power-iteration replay (symmetrized, no dangling)
     "q281_textrank" -> {

@@ -580,6 +580,37 @@ object Dedup {
       id, idA, idB)
   }
 
+  /** Cross-snapshot cluster diff: classify every cluster of the NEW
+    * assignment against the OLD one — the change-report that tells an
+    * incremental-dedup pipeline ([[incrementalClusters]]) what the last
+    * batch actually did to the duplicate structure. Per new cluster:
+    * member count, how many members are new docs (absent from the old
+    * assignment), how many DISTINCT old clusters it absorbed, and a
+    * status — `new` (all members new), `merged` (a new doc bridged ≥ 2
+    * old clusters), `grown` (one old cluster gained members), or
+    * `unchanged`. Under append-only snapshots old edges persist, so old
+    * clusters never split and these four cases are exhaustive.
+    *
+    * Scale shape: one doc-keyed left join of the two assignment frames
+    * and one cluster-keyed aggregate (count-distinct over the bounded
+    * per-cluster old-label set) — both assignment-sized, no pair joins,
+    * no text. Emits (cluster_id, n_docs, n_new_docs, n_old_clusters,
+    * status). */
+  def clusterDiff(oldAssign: DataFrame, newAssign: DataFrame,
+                  id: String): DataFrame =
+    newAssign.select(col(id), col("cluster_id"))
+      .join(oldAssign.select(col(id), col("cluster_id").as("_oc")),
+        Seq(id), "left")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("_oc").isNull, 1)).as("n_new_docs"),
+        countDistinct(col("_oc")).as("n_old_clusters"))
+      .withColumn("status",
+        when(col("n_old_clusters") === 0, lit("new"))
+          .when(col("n_old_clusters") > 1, lit("merged"))
+          .when(col("n_new_docs") > 0, lit("grown"))
+          .otherwise(lit("unchanged")))
+
   /** Soft dedup: duplication-aware sampling weights over a
     * [[dedupClusters]]/[[starClusters]] frame. Every doc gets weight
     * 1/|cluster| and a deterministic salted-hash keep decision with

@@ -268,4 +268,25 @@ class DedupSpec extends SparkSpec {
       r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
       r.getDouble(4) == 0.0, r)
   }
+
+  test("clusterDiff: new / merged / grown / unchanged hand cases") {
+    import spark.implicits._
+    val oldAssign = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L).toDF("doc_id", "cluster_id")
+    val newAssign = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L, // doc 6 bridged old 1 and 3
+      4L -> 4L, 5L -> 4L, 7L -> 4L,           // old 4 gained doc 7
+      8L -> 8L, 9L -> 8L,                     // all-new duplicate pair
+      10L -> 10L                              // untouched singleton
+    ).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterDiff(oldAssign, newAssign, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 2L, "merged")), got(1L))
+    assert(got(4L) == ((3L, 1L, 1L, "grown")), got(4L))
+    assert(got(8L) == ((2L, 2L, 0L, "new")), got(8L))
+    assert(got(10L) == ((1L, 0L, 1L, "unchanged")), got(10L))
+  }
 }
