@@ -386,16 +386,16 @@ object Graph {
     * frame: `rounds` synchronized local-move rounds, returning the final
     * label frame (v, c, k) — the FINAL labels are always
     * localCheckpoint-materialized, so the caller may unpersist `und`
-    * immediately. `eagerRounds = false` skips the per-round intermediate
-    * checkpoints: [[louvainHierarchy]] sets it for levels ≥ 2, where the
-    * label frame is community-sized and a per-round materialization job
-    * is pure scheduler overhead (at sf0.1 and at 100 TB alike — the
-    * level-2+ graphs have collapsed geometrically). The level, not a row
-    * count, keys the choice, so replay stays deterministic. Lineage
-    * within an uncheckpointed sweep re-references `labels` ~3× per round,
-    * but every frame in the chain is community-sized and `und` is
-    * persisted, so the re-evaluation is bounded and cheap. Factored out
-    * of [[louvainCore]] so [[louvainHierarchy]] can run it per level. */
+    * immediately. `eagerRounds = false` makes the per-round intermediate
+    * checkpoints LAZY: [[louvainHierarchy]] sets it for levels ≥ 2, where
+    * the label frame is community-sized and a dedicated materialization
+    * job per round is scheduler overhead — a lazy localCheckpoint still
+    * truncates lineage (each round re-references `labels` ~3×, so
+    * skipping truncation entirely compounds plan re-evaluation — measured
+    * 6.8 → 11 s on the sf0.1 hierarchy) but materializes inside the next
+    * round's first job instead of its own. The level, not a row count,
+    * keys the choice, so replay stays deterministic. Factored out of
+    * [[louvainCore]] so [[louvainHierarchy]] can run it per level. */
   private def louvainSweep(und: DataFrame, rounds: Int,
                            eagerRounds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -453,7 +453,8 @@ object Graph {
             negate(col("cand")))).as("_b"))
         .select(col("v"), col("_b.cand").as("c"), col("_b.k").as("k"))
       labels =
-        if (eagerRounds || r == rounds) next.localCheckpoint(true) else next
+        if (eagerRounds || r == rounds) next.localCheckpoint(true)
+        else next.localCheckpoint(false)
     }
     deg.unpersist()
     labels
