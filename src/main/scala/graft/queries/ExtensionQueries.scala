@@ -782,6 +782,12 @@ object ExtensionQueries {
       Curate.dupSpanIslands(Tables.documents(s, d), "doc_id", "text",
         n = 8)),
 
+    // ── apply the q310 remove-list: drop every token inside a maximal
+    //    duplicated span, emit the cleaned corpus + removal accounting
+    "q316_strip_dup_spans" -> ((s, d) =>
+      Curate.removeDupSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8)),
+
     // ── MinHash estimator calibration: per est_jaccard decile, the TRUE
     //    shingle-set Jaccard of every LSH candidate pair — the evidence
     //    behind the dedup threshold ("measure, don't guess")
@@ -928,6 +934,34 @@ object ExtensionQueries {
           "text"), "doc_id")
       graft.ops.Stats.calibrationReport(post, "doc_id", "label", "p",
         test.select("doc_id", "quality"), "quality")
+    }),
+
+    // ── WHERE does the learned filter disagree with the rules: NB
+    //    trained on the rule labels scores the whole corpus back, and the
+    //    per-source false-keep/false-drop rollup is the audit that says
+    //    which slices the classifier can't imitate (q314's companion —
+    //    calibration says IF to trust it, this says WHERE not to)
+    "q317_filter_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.join(
+        Curate.filterPipeline(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+              .as("quality")), Seq("doc_id"))
+      val pred = graft.text.NaiveBayes.trainScore(labeled, labeled,
+        "doc_id", "quality", "text")
+      labeled.select(col("doc_id"), col("source"), col("quality"))
+        .join(pred.select(col("doc_id"), col("pred_label")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pred_label") === col("quality"), 1))
+            .as("n_agree"),
+          count(when(col("pred_label") === "keep" &&
+            col("quality") === "drop", 1)).as("n_false_keep"),
+          count(when(col("pred_label") === "drop" &&
+            col("quality") === "keep", 1)).as("n_false_drop"))
+        .withColumn("agree_rate",
+          round(col("n_agree").cast("double") / col("n_docs"), 6))
     }),
 
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
@@ -2015,6 +2049,42 @@ object ExtensionQueries {
          | CAST(max(pos) + 7 AS BIGINT) AS span_end,
          | CAST(count(*) AS BIGINT) AS span_windows
          |FROM isl GROUP BY doc_id, il""".stripMargin,
+    // strip: the q310 island chain, then every token position NOT inside
+    // a span survives and re-joins with single spaces
+    "q316_strip_dup_spans" ->
+      s"""WITH $toksCte,
+         |pw AS (SELECT doc_id, unnest(generate_series(1, len(w)-7)) AS pos,
+         |  w FROM toks WHERE len(w) >= 8),
+         |wh AS (SELECT doc_id, pos, ${h64d(
+             (0 until 8).map(k => "w[pos+" + k + "]")
+               .mkString(" || ' ' || "))} AS g FROM pw),
+         |dup AS (SELECT g FROM
+         | (SELECT g, count(*) AS c FROM wh GROUP BY 1) WHERE c >= 2),
+         |m AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (g)),
+         |lg AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS gp
+         | FROM m),
+         |isl AS (SELECT doc_id, pos, sum(gp) OVER
+         |  (PARTITION BY doc_id ORDER BY pos
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS il
+         | FROM lg),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM isl
+         | GROUP BY doc_id, il),
+         |pt AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+         |  w FROM toks),
+         |ptt AS (SELECT doc_id, pos, w[pos] AS t FROM pt),
+         |kept AS (SELECT p.doc_id, p.pos, p.t FROM ptt p
+         | WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id
+         |   AND p.pos BETWEEN sp.s AND sp.e)),
+         |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+         |  string_agg(t, ' ' ORDER BY pos) AS clean_text FROM kept
+         | GROUP BY 1),
+         |tot AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM toks)
+         |SELECT t.doc_id, n_tokens,
+         | n_tokens - coalesce(nk, 0) AS n_removed,
+         | coalesce(clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN cl USING (doc_id)""".stripMargin,
     // lang-id eval: the q27 stopword-vote CASE, then the standard
     // per-class confusion aggregates with guarded pinned divisions
     "q305_langid_eval" ->
@@ -2478,6 +2548,57 @@ object ExtensionQueries {
          |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
          |    AND dup_2gram_ratio <= 0.3 AND stop_ratio >= 0.01
          |   THEN 'keep' ELSE 'drop' END AS source, w, fold FROM qc)""".stripMargin),
+    // filter audit: the q89 rule CASE labels the corpus, the q256 NB
+    // trainScore replay predicts, per-source disagreement rollup
+    "q317_filter_audit" ->
+      raw"""WITH $toksCte,
+         |qb AS (SELECT doc_id, source, w, len(w)::BIGINT AS ws_tokens,
+         |  round(length(array_to_string(w, ''))::DOUBLE / len(w), 6) AS avg_token_len,
+         |  ${shingleExpr(2)} AS g,
+         |  round(len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))})))::DOUBLE
+         |    / len(w), 6) AS stop_ratio FROM toks),
+         |qc AS (SELECT doc_id, source, w, ws_tokens, avg_token_len,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+         |    ELSE 0.0 END AS dup_2gram_ratio, stop_ratio FROM qb),
+         |lab AS (SELECT doc_id, source,
+         |  CASE WHEN ws_tokens >= 10 AND ws_tokens <= 5000
+         |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+         |    AND dup_2gram_ratio <= 0.3 AND stop_ratio >= 0.01
+         |   THEN 'keep' ELSE 'drop' END AS c, w FROM qc),
+         |tt AS MATERIALIZED (SELECT c, unnest(w) AS tok FROM lab),
+         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tt GROUP BY 1, 2),
+         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
+         |pr AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM lab GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM lab),
+         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT doc_id, unnest(w) AS tok FROM lab) GROUP BY 1, 2),
+         |tm AS (SELECT st.doc_id, cs.c,
+         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
+         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         | FROM st CROSS JOIN cs CROSS JOIN vv
+         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
+         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.c,
+         |  round(CAST(slp AS DOUBLE)
+         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
+         |    AS logp
+         | FROM sc JOIN pr USING (c) CROSS JOIN nt),
+         |pred AS (SELECT doc_id, c AS pl FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY logp DESC, c) AS rn FROM fin) WHERE rn = 1)
+         |SELECT l.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN p.pl = l.c THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_agree,
+         | CAST(sum(CASE WHEN p.pl = 'keep' AND l.c = 'drop' THEN 1 ELSE 0
+         |   END) AS BIGINT) AS n_false_keep,
+         | CAST(sum(CASE WHEN p.pl = 'drop' AND l.c = 'keep' THEN 1 ELSE 0
+         |   END) AS BIGINT) AS n_false_drop,
+         | round(CAST(sum(CASE WHEN p.pl = l.c THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS agree_rate
+         |FROM lab l JOIN pred p USING (doc_id) GROUP BY 1""".stripMargin,
     // TextRank: co-occurrence edges from the normalized token stream,
     // then the q162 power-iteration replay (symmetrized, no dangling)
     "q281_textrank" -> {

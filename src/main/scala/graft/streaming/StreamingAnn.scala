@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Streaming maintenance of the IVF ANN index — the [[StreamingSketch]]
+  * contract applied to posting lists: each micro-batch is assigned to the
+  * FROZEN stored centroids and lands as an idempotent
+  * `increments/batch=<id>` cell-partitioned parquet partition; the
+  * maintained index is the directory union, and because assignment under
+  * fixed centroids distributes over union, search over it is
+  * value-identical to a from-scratch build over everything ingested
+  * (StreamingAnnSpec pins it).
+  *
+  * Retried batches overwrite exactly their own partition (restatement,
+  * never duplication — the same reason the sketch sinks are safe), and
+  * no state store is needed: the per-batch increment is a pure function
+  * of the batch. At 100 TB the increments are cell-partitioned like the
+  * base, so probe-time pruning skips untouched cells in EVERY batch
+  * directory; [[graft.sim.Similarity.ivfCellDrift]] over the merged
+  * postings is the signal that the frozen quantizer needs reclustering
+  * (at which point a new base is written and the increments restart).
+  */
+object StreamingAnn {
+
+  /** Write the base index: centroids learned from the corpus's `cell`
+    * column + the corpus's own posting lists. */
+  def writeBaseIndex(corpus: DataFrame, id: String, emb: String,
+                     cell: String, indexPath: String): Unit = {
+    val cents = Similarity.ivfCentroids(corpus, cell, emb)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    Similarity.ivfAssign(corpus, id, emb, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/base")
+  }
+
+  /** foreachBatch sink: assign each micro-batch to the stored centroids
+    * and land it as its own cell-partitioned increment. */
+  def ivfSink(df: DataFrame, id: String, emb: String, indexPath: String,
+              checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cents = batch.sparkSession.read
+            .parquet(s"$indexPath/centroids")
+          Similarity.ivfAssign(batch, id, emb, cents)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexPath/increments/batch=$batchId")
+        }: Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** The maintained posting lists: base plus every increment. */
+  def readPostings(spark: SparkSession, indexPath: String): DataFrame = {
+    val incPath =
+      new org.apache.hadoop.fs.Path(s"$indexPath/increments")
+    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$indexPath/base")
+      .select("vec_id", "v", "cell")
+    if (fs.exists(incPath))
+      base.unionByName(spark.read.parquet(s"$indexPath/increments")
+        .select("vec_id", "v", "cell"))
+    else base
+  }
+
+  /** Search the maintained index — [[Similarity.annIvfStored]] routing
+    * and ranking over the merged posting lists. */
+  def search(spark: SparkSession, indexPath: String, queries: DataFrame,
+             id: String, emb: String, k: Int, nProbe: Int): DataFrame =
+    Similarity.annIvfStored(readPostings(spark, indexPath),
+      spark.read.parquet(s"$indexPath/centroids"), queries, id, emb, k,
+      nProbe)
+}

@@ -422,4 +422,41 @@ object Curate {
       .select(col(id), col("span_start"), col("span_end"),
         col("span_windows"))
   }
+
+  /** APPLY the [[dupSpanIslands]] remove-list: drop every token covered
+    * by a maximal duplicated span and re-assemble the survivors — the
+    * exact-substring-dedup output corpus (Lee et al. 2022's `dedup` step,
+    * where both copies of a duplicated span are removed; the second
+    * occurrence is redundant and the first is boilerplate by symmetry).
+    * Whitespace is normalized to single spaces in the rebuilt text (the
+    * tokenizer's view — deterministic both engines).
+    *
+    * Scale shape: one posexplode token pass joined to the span frame on
+    * the doc key (equi on id, the BETWEEN is a post-join filter —
+    * co-partitioned, span count per doc is tiny), then one per-doc
+    * collect of the surviving (pos, token) pairs — doc-bounded, the
+    * accepted per-doc-array shape. Emits (id, n_tokens, n_removed,
+    * clean_text). */
+  def removeDupSpans(df: DataFrame, id: String, text: String,
+                     n: Int = 8): DataFrame = {
+    val sp = dupSpanIslands(df, id, text, n)
+      .select(col(id).as("_sid"), col("span_start"), col("span_end"))
+    val toks = df
+      .select(col(id), posexplode(TextOps.tokens(col(text))))
+      .select(col(id), (col("pos") + 1).as("pos"), col("col").as("_t"))
+    val kept = toks.join(sp, col(id) === col("_sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val cleaned = kept.groupBy(col(id))
+      .agg(count(lit(1)).as("_nk"),
+        array_sort(collect_list(struct(col("pos"), col("_t")))).as("_ps"))
+      .select(col(id), col("_nk"),
+        expr("array_join(transform(_ps, p -> p._t), ' ')").as("clean_text"))
+    df.select(col(id),
+        size(TextOps.tokens(col(text))).cast("long").as("n_tokens"))
+      .join(cleaned, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -332,6 +332,16 @@ class CurateSpec extends SparkSpec {
       (4L, 2L, 7L, 3L),
       (5L, 1L, 8L, 2L))                    // 5 - 1 = 4: adjacent, merged
     assert(got == want, s"got $got")
+
+    // applying the remove-list: covered tokens drop, survivors rejoin
+    val stripped = Curate.removeDupSpans(docs, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(stripped(2L) == ((8L, 4L, "p1 p2 p3 p4")), stripped(2L))
+    assert(stripped(5L) == ((8L, 8L, "")), stripped(5L)) // fully covered
+    assert(stripped(6L) == ((2L, 0L, "too short")), stripped(6L))
+    assert(stripped(1L) == ((12L, 8L, "x1 x2 x3 x4")), stripped(1L))
   }
 
   test("dsirResample prefers target-like docs and is partition-invariant") {

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sim.Similarity
+import graft.streaming.StreamingAnn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming IVF maintenance: drained increments + base must search
+  * exactly like a from-scratch index over everything ingested (assignment
+  * distributes over union under frozen centroids), and restating a batch
+  * must not duplicate posting rows. */
+class StreamingAnnSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  test("drained stream index ≡ from-scratch search; restatement is " +
+       "idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sann").toString
+    val in = s"$dir/in"; val idx = s"$dir/index"; val chk = s"$dir/chk"
+
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter(col("vec_id") % 3 === 0)
+    val batchA = e.filter(col("vec_id") % 3 === 1)
+    val batchB = e.filter(col("vec_id") % 3 === 2)
+    StreamingAnn.writeBaseIndex(base, "vec_id", "embedding", "label", idx)
+
+    batchA.write.parquet(in)
+    StreamingAnn.ivfSink(spark.readStream.schema(schema).parquet(in),
+      "vec_id", "embedding", idx, chk).start().awaitTermination()
+    batchB.write.mode("append").parquet(in)
+    StreamingAnn.ivfSink(spark.readStream.schema(schema).parquet(in),
+      "vec_id", "embedding", idx, chk).start().awaitTermination()
+
+    // maintained postings = exactly one row per ingested vector, in the
+    // same cell the from-scratch assignment puts it
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val posted = StreamingAnn.readPostings(spark, idx)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val scratch = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(posted == scratch,
+      "maintained postings must equal from-scratch assignment")
+
+    // ...and the search path over the maintained index matches
+    val q = e.filter(col("vec_id") < 5)
+    val viaStream = StreamingAnn.search(spark, idx, q, "vec_id",
+      "embedding", k = 3, nProbe = 2)
+    val oneShot = Similarity.annIvfStored(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(viaStream.count() > 0)
+    assert(viaStream.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(viaStream).isEmpty)
+
+    // restating batch 0 (same content, same partition) must not duplicate
+    val before = StreamingAnn.readPostings(spark, idx).count()
+    Similarity.ivfAssign(batchA, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/increments/batch=0")
+    assert(StreamingAnn.readPostings(spark, idx).count() == before,
+      "restated increment must restate, not duplicate")
+  }
+}
