@@ -25,6 +25,21 @@ object Similarity {
   /** Embedding column as ARRAY<DOUBLE> (floats widen exactly). */
   def asDouble(emb: String): Column = expr(s"transform($emb, x -> cast(x AS DOUBLE))")
 
+  /** Per-query top-k of a scored candidate frame via the binned two-pass
+    * selection ([[graft.ops.Stats.extremeK]]), NOT a raw rank window: a
+    * `row_number` partition is ONE task holding every candidate of that
+    * query — the entire corpus for brute force, a hot cell/bucket for the
+    * pruned families, either way the straggler at 100× — whereas the
+    * binned passes are embarrassingly-parallel candidate rescans plus a
+    * bounded final sort of ~k + n/bins rows per query. Results and ties
+    * (value direction, then `vec_id` asc) are identical to the window
+    * form, so every oracle hash is unchanged by construction. */
+  private def topKPerQuery(cand: DataFrame, value: String, k: Int,
+                           descending: Boolean = true): DataFrame =
+    graft.ops.Stats.extremeK(cand, value, Seq("q_id"), k,
+        descending = descending, tie = Seq(col("vec_id").asc))
+      .withColumnRenamed("_rn", "rank")
+
   /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order.
     * Built-in HOF composition — reference implementation; `cosineNative`
     * (graft.expressions.CosineSimilarity) computes the identical value in a
@@ -57,9 +72,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
       .select("q_id", "vec_id", "sim")
-    graft.ops.Stats.extremeK(cand, "sim", Seq("q_id"), k,
-        descending = true, tie = Seq(col("vec_id").asc))
-      .select(col("q_id"), col("vec_id"), col("sim"), col("_rn").as("rank"))
+    topKPerQuery(cand, "sim", k)
+      .select("q_id", "vec_id", "sim", "rank")
   }
 
   /** Scalar int8 quantization per vector (the standard memory/shuffle
@@ -276,13 +290,16 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rn") <= nProbe)
       .select("q_id", "qv", "cid")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.select(col("vec_id"), col("cell").as("cid"), col("v"))
+    // top-k rides the binned selection, not a per-query rank window: a
+    // window partition is one query's probed posting lists (corpus/nCells
+    // × nProbe rows) in ONE task — pruned, but a hot cell at 100× is
+    // still tens of GB sorted by a single straggler
+    val cand = assigned.select(col("vec_id"), col("cell").as("cid"), col("v"))
       .join(broadcast(routed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
@@ -382,12 +399,13 @@ object Similarity {
       .filter(col("rn") === 1)
       .select("q_id", "qv", "cid")
     val c = corpus.select(col(id).as("vec_id"), col(cell).as("cid"), asDouble(emb).as("v"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    c.join(broadcast(routed), Seq("cid"))
+    // binned top-k, not a rank window — one cell per query is still a
+    // single-task sort of corpus/nCells rows at scale
+    val cand = c.join(broadcast(routed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "cid", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "cid", "vec_id", "sim", "rank")
   }
 
@@ -428,12 +446,13 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("rn") <= nProbe)
       .select("q_id", "qv", "cell")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(routed), Seq("cell"))
+    // binned top-k, not a rank window (see topKPerQuery): nProbe learned
+    // cells per query still land one task per query under row_number
+    val cand = assigned.join(broadcast(routed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
@@ -490,12 +509,12 @@ object Similarity {
     // pruned cell partitions; everything downstream sees survivors only
     val c = corpus.filter(pred)
       .select(col(id).as("vec_id"), col(cell).as("cid"), asDouble(emb).as("v"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    c.join(broadcast(routed), Seq("cid"))
+    // binned top-k over the probed survivors, not a per-query rank window
+    val cand = c.join(broadcast(routed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
@@ -631,11 +650,13 @@ object Similarity {
       .withColumn("q_bucket", lshBucketNative(spark, "qv", planes))
       .withColumn("probe_bucket",
         explode(expr(s"transform($maskArr, m -> q_bucket ^ m)")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    c.join(broadcast(q), col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
+    // binned top-k, not a rank window: (planes+1) probed buckets per
+    // query are still corpus/2^planes-sized single-task partitions
+    val cand = c.join(broadcast(q),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
@@ -649,11 +670,13 @@ object Similarity {
       .withColumn("bucket", lshBucketNative(spark, "v", planes))
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
       .withColumn("q_bucket", lshBucketNative(spark, "qv", planes))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    c.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+    // binned top-k, not a rank window: one bucket per query is a
+    // corpus/2^planes-row single-task partition at scale
+    val cand = c.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosineNative(corpus.sparkSession, "qv", "v"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 
@@ -874,14 +897,20 @@ object Similarity {
   /** ANN search over PQ codes with asymmetric distance (ADC): approximate
     * ‖q − x‖² = Σ_s ‖q_s − cb[s][code_s]‖², computed from the codes and the
     * broadcast codebook only — the raw corpus vectors are never read. Exact
-    * sub-distance per (query, row): m·dsub flops on compressed data. */
+    * sub-distance per (query, row): m·dsub flops on compressed data.
+    *
+    * The per-query selection is [[topKPerQuery]]'s binned two-pass scheme
+    * in ASCENDING order (smallest distances win) — the ADC scan is the
+    * whole code table per query, so a raw `row_number` partition would be
+    * the entire corpus sorted by one task, the exact shape [[knnBrute]]
+    * retired. Same results and ties, so q113b's hash and the AnnSpec
+    * recall goldens are unchanged. */
   def annPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
             queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
     val m = codebooks.length; val dsub = codebooks(0)(0).length
     val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
-    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val cand = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("_cb", typedlit(cb))
       .withColumn("adist", round(expr(
         s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
@@ -890,8 +919,8 @@ object Similarity {
            |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))
            |      * (element_at(qv, s * $dsub + i)
            |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "adist")
+    topKPerQuery(cand, "adist", k, descending = false)
       .select("q_id", "vec_id", "adist", "rank")
   }
 

@@ -375,4 +375,130 @@ class ScaleSpec extends SparkSpec {
       edges.unpersist()
     }
   }
+
+  test("annPq: the ADC scan never sorts the whole code table in one task " +
+       "(ascending extremeK) and matches the naive window") {
+    // PQ search scans EVERY code row per query; with few queries a raw
+    // row_number partition is the entire corpus ranked by one task. The
+    // ascending binned selection must keep the exact (rank, adist) result.
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val n = 20000
+    val m = 4; val ksub = 16; val dsub = 2
+    // synthetic frozen codebooks — training is irrelevant to the scan shape
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, ksub, dsub) {
+      (s, c, i) => (s * 31 + c * 7 + i).toDouble / 10.0
+    }
+    val codes = spark.range(n).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${m - 1}), s -> " +
+          s"cast(pmod(vec_id * (s * 2654435761L + 13) + s, $ksub) AS INT))")
+          .as("codes"))
+      .repartition(8).cache()
+    codes.count()
+    val queries = spark.range(2).select(col("id"),
+      expr("transform(sequence(0, 7), j -> " +
+        "cast(id * 8 + j AS DOUBLE) / 10.0)").as("emb"))
+
+    val fast = Similarity.annPq(codes, codebooks, queries, "id", "emb", 10)
+    val naive = {
+      val cb: Seq[Seq[Seq[Double]]] =
+        codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+      val q = queries.select(col("id").as("q_id"),
+        Similarity.asDouble("emb").as("qv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)
+      codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("_cb", typedlit(cb))
+        .withColumn("adist", round(expr(
+          s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
+             |  a + aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a2, i) ->
+             |    a2 + (element_at(qv, s * $dsub + i)
+             |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))
+             |      * (element_at(qv, s * $dsub + i)
+             |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q_id", "vec_id", "adist", "rank")
+    }
+    assert(fast.count() == 20)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val rec = maxTaskShuffleRead("scalespec-annpq") {
+        Similarity.annPq(codes, codebooks, queries, "id", "emb", 10)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(rec < n * 0.35,
+        s"annPq: a single task read $rec of $n code rows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      codes.unpersist()
+    }
+  }
+
+  test("annIvfStored / annLsh: a hot cell/bucket never lands on one task " +
+       "(extremeK-routed top-k) and both match the naive window") {
+    // skewed fixture: 90% of the corpus sits in ONE cell and the query
+    // routes to it — the pruned families' residual straggler: a per-query
+    // rank window sorts the whole hot cell in a single task.
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val n = 20000
+    val corpus = spark.range(n).select(col("id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(pmod(id * (j * 2654435761L + 97) + j * j, 1000) " +
+          "AS DOUBLE) / 1000.0)").as("emb"),
+        // 90% hot cell 0, the rest spread over 9 cold cells
+        when(col("id") % 10 < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(9)) + 1).as("cell"))
+      .repartition(8).cache()
+    corpus.count()
+    val queries = corpus.filter(col("id") === 10) // id%10==0 → hot cell
+    val assigned = corpus.select(col("id").as("vec_id"),
+      Similarity.asDouble("emb").as("v"), col("cell"))
+    val centroids = Similarity.ivfCentroids(
+      corpus.select(col("cell"), col("emb")), "cell", "emb")
+
+    val fast = Similarity.annIvfStored(assigned, centroids, queries,
+      "id", "emb", 10, nProbe = 1)
+    val naive = {
+      graft.expressions.CosineSimilarity.register(spark)
+      val q = queries.select(col("id").as("q_id"),
+        Similarity.asDouble("emb").as("qv"))
+      val routed = q.crossJoin(broadcast(centroids))
+        .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("rn") <= 1).select("q_id", "qv", "cid")
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      assigned.select(col("vec_id"), col("cell").as("cid"), col("v"))
+        .join(broadcast(routed), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("q_id", "vec_id", "sim", "rank")
+    }
+    assert(fast.count() == 10)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val recI = maxTaskShuffleRead("scalespec-annivf") {
+        Similarity.annIvfStored(assigned, centroids, queries,
+            "id", "emb", 10, nProbe = 1)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(recI < n * 0.35,
+        s"annIvfStored: a single task read $recI of the $n-row hot cell")
+      val recL = maxTaskShuffleRead("scalespec-annlsh") {
+        Similarity.annLsh(corpus, queries, "id", "emb", 10,
+            nPlanes = 2, dim = 8)
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(recL < n * 0.35,
+        s"annLsh: a single task read $recL of $n bucket rows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      corpus.unpersist()
+    }
+  }
 }
