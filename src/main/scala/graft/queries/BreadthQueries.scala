@@ -623,14 +623,16 @@ object BreadthQueries {
     //    levels including the coarsening
     "q247_louvain_l2" -> ((s, d) => {
       val g = graft.analytics.Graph
-      // the edge frame feeds level 1 AND the coarsening join — persist so
-      // the lineitem scan + order join runs once (ContextCleaner-freed)
+      // the edge frame feeds level 1 AND the coarsening join — eager
+      // localCheckpoint so the lineitem scan + order join runs once and
+      // the blocks free with the plan (a persist here would stay
+      // CacheManager-pinned for the session with no unpersist point)
       val edges = Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("cu"),
           (col("l_suppkey") * 2 + 1).as("su"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val l1 = g.louvain(edges, "cu", "su", rounds = 2)
       val cg = g.communityGraph(edges, "cu", "su", l1, "id", "community")
       val l2 = g.louvainWeighted(cg, "ca", "cb", "weight", rounds = 2)

@@ -30,6 +30,21 @@ object ExtensionQueries {
   private val FixedQuery: Seq[Double] =
     (1 to Dim).map(j => ((j * 13) % 7 - 3) / 5.0)
 
+  /** Scratch directory for stored-index round-trip queries, deleted
+    * recursively at JVM exit — repeated verify/bench runs must not
+    * accumulate orphaned index trees in /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // ── exact dedup: digest → canonical id + multiplicity
     "q24_dedup_exact" -> ((s, d) =>
@@ -311,11 +326,13 @@ object ExtensionQueries {
       // the old-corpus BAND ROWS feed both legs (from-scratch pairing for
       // the baseline assignment, and the corpus side of the incremental
       // join) — compute the shingle+minhash+band pass over 80% of the
-      // corpus once and cache that, not the intermediate signatures. The
-      // ContextCleaner frees the entry once the result plan is dropped.
+      // corpus once. Eager localCheckpoint, NOT persist: CacheManager
+      // pins persisted plans until explicit unpersist (which a lazily
+      // returned frame can never issue), whereas checkpoint blocks are
+      // freed by the ContextCleaner when the plan is dropped.
       val oldBands = Dedup.bandRows(
           Dedup.minhashSignatures(old, "doc_id", "text"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val oldPairs = Dedup.minhashCandidatesFromBands(oldBands, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
       val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")
@@ -335,10 +352,14 @@ object ExtensionQueries {
     //    so old clusters never split)
     "q315_cluster_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // both assignments read the candidate pairs — eager localCheckpoint,
+      // NOT persist: a persisted entry stays pinned by the CacheManager for
+      // the session (no unpersist point exists for a returned lazy frame);
+      // checkpoint blocks free with the plan via the ContextCleaner
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
         .filter(col("est_jaccard") >= 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val newAssign = Dedup.dedupClusters(docs, pairs, "doc_id")
         .select("doc_id", "cluster_id")
       val oldAssign = Dedup.dedupClusters(
@@ -418,10 +439,11 @@ object ExtensionQueries {
     //    (shared oracle), so the index round-trip itself is oracle-checked
     "q83_incremental_indexed" -> ((s, d) => {
       // one signature pass: the corpus-side write and the new-batch probe
-      // filter the same cached frame (released by the ContextCleaner)
+      // read the same frame — eager localCheckpoint (ContextCleaner-freed;
+      // a persist here would stay CacheManager-pinned for the session)
       val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+        .localCheckpoint(true)
+      val dir = scratchDir("graft_sigidx")
       Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4), "doc_id", dir, 64)
       Dedup.incrementalCandidatesIndexed(Dedup.readSignatureIndex(s, dir),
         sig.filter(col("doc_id") % 5 === 4), "doc_id")
@@ -592,11 +614,12 @@ object ExtensionQueries {
     //    (uniform brightness shifts); the oracle recomputes features,
     //    buckets, cosine filter, and the reachability closure
     "q168_image_neardup" -> ((s, _) => {
-      // persisted: the decode feeds both sides of the pair self-join plus
-      // the cluster vertex set — without it every PNG raster is decoded
-      // ~3x (released by the ContextCleaner, as in semDedup)
+      // materialized once: the decode feeds both sides of the pair
+      // self-join plus the cluster vertex set — without it every PNG
+      // raster is decoded ~3x. Eager localCheckpoint, not persist, so the
+      // blocks free with the plan instead of pinning the CacheManager.
       val feats = graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
         ImgMinSim, ImgPlanes, ImgDim)
       Dedup.dedupClusters(feats.select("asset_id"), pairs, "asset_id")
@@ -728,8 +751,7 @@ object ExtensionQueries {
     "q312_ann_index_stored" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
-        .toString
+      val dir = scratchDir("graft_ivfidx")
       Similarity.writeIvfIndex(
         Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
           "embedding", cents), cents, dir)
@@ -824,12 +846,13 @@ object ExtensionQueries {
     //    engine — recall/determinism pinned by AnnSpec instead)
     "q113_pq_ann" -> ((s, d) => {
       // normalized embeddings feed THREE passes (codebook training's five
-      // KMeans iterations, encode, and the exact re-rank) — persist so the
-      // parquet scan + float→double + l2-normalize runs once, not 7+ times.
-      // The ContextCleaner frees the entry once the result plan is dropped.
+      // KMeans iterations, encode, and the exact re-rank) — eager
+      // localCheckpoint so the parquet scan + float→double + l2-normalize
+      // runs once, not 7+ times, and the blocks free with the plan (a
+      // persist would stay CacheManager-pinned for the session).
       val norm = Tables.embeddings(s, d).select(col("vec_id"),
           Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
       val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
       Similarity.annPqRerank(codes, cb, norm,
@@ -2467,10 +2490,12 @@ object ExtensionQueries {
          |  FROM asn, generate_series(1,64) g(i) GROUP BY 1, 2) GROUP BY cid),
          |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM asn
          | GROUP BY 1)
-         |SELECT cv.cid, n_members,
-         | ${cosSqlAB("cv.cv", "cur.mv")} AS cos_sim,
-         | round(1.0 - ${cosSqlAB("cv.cv", "cur.mv")}, 6) AS drift
-         |FROM cv JOIN cur USING (cid) JOIN n USING (cid)""".stripMargin,
+         |SELECT cv.cid, COALESCE(n_members, 0) AS n_members,
+         | CASE WHEN cur.mv IS NOT NULL
+         |   THEN ${cosSqlAB("cv.cv", "cur.mv")} END AS cos_sim,
+         | CASE WHEN cur.mv IS NOT NULL
+         |   THEN round(1.0 - ${cosSqlAB("cv.cv", "cur.mv")}, 6) END AS drift
+         |FROM cv LEFT JOIN cur USING (cid) LEFT JOIN n USING (cid)""".stripMargin,
     "q264_ann_incremental" -> annIncrementalOracleSql,
     // ranking metrics: IVF results (q48 chain, rank<=5) scored against the
     // brute-force truth — binary hits, 1/log2(r+1) gains quantized to

@@ -376,11 +376,16 @@ object Similarity {
       .select(col("cid"), col("cv").as("_mv"))
     val counts = assigned.groupBy(col("cell").as("cid"))
       .agg(count(lit(1)).as("n_members"))
+    // LEFT join from the stored centroids: a cell whose members have all
+    // drained away (zero current members) is the one state a recluster
+    // trigger most needs to see — it surfaces as n_members = 0 with NULL
+    // cos_sim/drift instead of silently vanishing from the report
     centroids.select(col("cid"), col("cv"))
-      .join(cur, "cid").join(counts, "cid")
-      .withColumn("cos_sim", round(expr("graft_cosine(cv, _mv)"), 6))
-      .select(col("cid"), col("n_members"), col("cos_sim"),
-        round(lit(1.0) - col("cos_sim"), 6).as("drift"))
+      .join(cur, Seq("cid"), "left").join(counts, Seq("cid"), "left")
+      .withColumn("cos_sim",
+        when(col("_mv").isNotNull, round(expr("graft_cosine(cv, _mv)"), 6)))
+      .select(col("cid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("cos_sim"), round(lit(1.0) - col("cos_sim"), 6).as("drift"))
   }
 
   def annIvf(corpus: DataFrame, queries: DataFrame, id: String, emb: String,

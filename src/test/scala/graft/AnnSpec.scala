@@ -168,6 +168,17 @@ class AnnSpec extends SparkSpec {
     // cell 1 mean = (0.24, 0.92, 0, …); cos to (0,1) = 0.92/√0.904
     assert(drift(1)._1 == 5L && math.abs(drift(1)._2 - 0.032383) < 1e-6,
       s"cell 1 drift: ${drift(1)}")
+
+    // a DRAINED cell stays visible (left join from the stored centroids):
+    // with cell 0's members gone the report must still emit its row —
+    // n_members = 0, NULL cos_sim/drift — not silently drop the one cell
+    // state a recluster trigger most needs to see
+    val drained = Similarity.ivfCellDrift(
+        allAssigned.filter(col("cell") =!= 0), fixedCents)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(drained(0).getLong(1) == 0L && drained(0).isNullAt(2) &&
+      drained(0).isNullAt(3), s"drained cell must surface: ${drained(0)}")
+    assert(drained(1).getLong(1) == 5L, s"live cell intact: ${drained(1)}")
   }
 
   test("rankingMetrics: hand recall/MRR/nDCG battery with partial, " +
