@@ -73,4 +73,19 @@ object StreamingAnn {
     Similarity.annIvfStored(readPostings(spark, indexPath),
       spark.read.parquet(s"$indexPath/centroids"), queries, id, emb, k,
       nProbe)
+
+  /** Fold the increment directories into a new cell-partitioned base —
+    * [[Compaction.foldIncrements]] with this index's union merge. Because
+    * assignment under frozen centroids distributes over union, the folded
+    * base holds exactly the rows the old base ∪ increments held, so
+    * [[search]] before ≡ after (StreamingAnnSpec pins it). Run between
+    * streams; returns the number of increments folded. */
+  def compactIndex(spark: SparkSession, indexPath: String): Int =
+    Compaction.foldIncrements(spark, indexPath) { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("vec_id", "v", "cell"))
+        .reduce(_.unionByName(_))
+    } { (df, out) =>
+      df.write.mode("overwrite").partitionBy("cell").parquet(out)
+    }
 }

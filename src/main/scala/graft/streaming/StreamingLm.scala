@@ -64,4 +64,17 @@ object StreamingLm {
       .reduce(_.unionByName(_))
       .groupBy("v", "w").agg(sum("cvw").as("cvw"))
   }
+
+  /** Fold the count increments into a new base — integer count addition
+    * ([[graft.text.NgramLm.kneserNeyMergeCounts]]' contract) is the
+    * read-path merge, so [[readMergedCounts]] and every score derived
+    * from it are identical before and after (StreamingLmSpec pins it).
+    * Run between streams; returns the number of increments folded. */
+  def compactCounts(spark: SparkSession, countsPath: String): Int =
+    Compaction.foldIncrements(spark, countsPath) { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("v", "w", "cvw"))
+        .reduce(_.unionByName(_))
+        .groupBy("v", "w").agg(sum("cvw").as("cvw"))
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
 }

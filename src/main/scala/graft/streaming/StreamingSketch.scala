@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * bit-identical to the one built from scratch over everything ingested
   * (StreamingSketchSpec pins the equality). State is depth×width longs
   * per batch: the 100 TB story is that the INDEX stays a few KB while
-  * the stream is unbounded — compaction (summing increments into a new
-  * base) is optional hygiene, not a correctness need.
+  * the stream is unbounded — compaction ([[compactSketch]] /
+  * [[compactDdSketch]], summing increments into a new base) bounds the
+  * read-side file listing, not the answer.
   */
 object StreamingSketch {
 
@@ -62,6 +63,18 @@ object StreamingSketch {
       .reduce(_.unionByName(_))
       .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
   }
+
+  /** Fold the count-min increments into a new base — counter addition IS
+    * the read-path merge, so [[readMergedSketch]] before ≡ after
+    * (StreamingSketchSpec pins it). Run between streams; returns the
+    * number of increments folded. */
+  def compactSketch(spark: SparkSession, sketchPath: String): Int =
+    Compaction.foldIncrements(spark, sketchPath) { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("j", "bucket", "c"))
+        .reduce(_.unionByName(_))
+        .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
 
   // ── DDSketch maintenance: the same contract as the count-min sink —
   //    DDSketch bucket counts are ADDITIVE (sketch(A ∪ B) = sketch(A) ⊕
@@ -111,5 +124,20 @@ object StreamingSketch {
     Stats.ddSketchMerge(
       parts.map(p => spark.read.parquet(p).select(cols.map(col): _*)),
       keys)
+  }
+
+  /** Fold the DDSketch increments into a new base — bucket-count addition
+    * ([[graft.ops.Stats.ddSketchMerge]]) is the read-path merge, so
+    * [[readMergedDdSketch]] before ≡ after (StreamingSketchSpec pins it).
+    * Run between streams; returns the number of increments folded. */
+  def compactDdSketch(spark: SparkSession, sketchPath: String,
+                      keys: Seq[String]): Int = {
+    val cols = keys :+ "_b" :+ "_c"
+    Compaction.foldIncrements(spark, sketchPath) { (base, incs) =>
+      Stats.ddSketchMerge(
+        (base.toSeq ++ incs)
+          .map(p => spark.read.parquet(p).select(cols.map(col): _*)),
+        keys)
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
   }
 }

@@ -64,5 +64,29 @@ class StreamingAnnSpec extends SparkSpec {
       .parquet(s"$idx/increments/batch=0")
     assert(StreamingAnn.readPostings(spark, idx).count() == before,
       "restated increment must restate, not duplicate")
+
+    // compaction folds the increments into the base without changing a
+    // single posting row or search result, and empties the increment tree
+    val preRows = StreamingAnn.readPostings(spark, idx)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // fresh plan — viaStream's captured file index predates the
+    // restatement overwrite above
+    val preSearch = StreamingAnn.search(spark, idx, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).collect().toSet
+    assert(StreamingAnn.compactIndex(spark, idx) == 2,
+      "both increments must fold")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/increments")),
+      "folded increment tree must be gone")
+    val postRows = StreamingAnn.readPostings(spark, idx)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(postRows == preRows, "compaction must not change the postings")
+    assert(StreamingAnn.search(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect().toSet == preSearch)
+    // idempotent: nothing left to fold
+    assert(StreamingAnn.compactIndex(spark, idx) == 0)
   }
 }

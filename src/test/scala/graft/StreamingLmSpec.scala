@@ -51,5 +51,17 @@ class StreamingLmSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$counts/increments/batch=0")
     assert(cset(StreamingLm.readMergedCounts(spark, counts)) == cset(merged),
       "restated increment must restate, not duplicate")
+
+    // compaction folds the increments into the base count-for-count and
+    // scoring from the folded index is unchanged; increments gone
+    val preCounts = cset(merged)
+    assert(StreamingLm.compactCounts(spark, counts) == 2)
+    assert(cset(StreamingLm.readMergedCounts(spark, counts)) == preCounts,
+      "compaction must not change a count")
+    assert(NgramLm.kneserNeyScoreFromCounts(
+        StreamingLm.readMergedCounts(spark, counts), all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == b)
+    assert(StreamingLm.compactCounts(spark, counts) == 0)
   }
 }

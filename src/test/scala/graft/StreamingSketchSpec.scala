@@ -61,6 +61,16 @@ class StreamingSketchSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$sk/increments/batch=0")
     assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == before,
       "restated increment must restate, not duplicate")
+
+    // compaction folds the increments into the base counter-for-counter:
+    // identical merged sketch, identical lookups, empty increment tree
+    assert(StreamingSketch.compactSketch(spark, sk) == 2)
+    assert(!new org.apache.hadoop.fs.Path(s"$sk/increments")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$sk/increments")))
+    assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == before,
+      "compaction must not change a counter")
+    assert(StreamingSketch.compactSketch(spark, sk) == 0)
   }
 
   test("maintained DDSketch ≡ from-scratch buckets AND identical q308 " +
@@ -108,5 +118,19 @@ class StreamingSketchSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$sk/increments/batch=0")
     assert(bset(StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp")))
       == before, "restated increment must restate, not duplicate")
+
+    // compaction: identical merged buckets AND identical quantile reads
+    // from the folded base; increments gone. Fresh plan — viaStream's
+    // captured file index predates the restatement overwrite above.
+    val preRead = Stats.ddSketchRead(
+      StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp")),
+      Seq("grp")).collect().toSet
+    assert(StreamingSketch.compactDdSketch(spark, sk, Seq("grp")) == 2)
+    assert(bset(StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp")))
+      == before, "compaction must not change a bucket")
+    assert(Stats.ddSketchRead(
+        StreamingSketch.readMergedDdSketch(spark, sk, Seq("grp")),
+        Seq("grp")).collect().toSet == preRead)
+    assert(StreamingSketch.compactDdSketch(spark, sk, Seq("grp")) == 0)
   }
 }
