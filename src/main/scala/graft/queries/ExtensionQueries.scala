@@ -774,6 +774,26 @@ object ExtensionQueries {
         Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents)
     }),
 
+    // ── the RECLUSTER arm the q313 trigger fires: base written under the
+    //    label quantizer, delta appended frozen, then the index rebuilds
+    //    with fresh centroids (current cell means, one Lloyd refresh) and
+    //    every vector re-assigns — the oracle replays quantizer → assign →
+    //    refresh → re-assign → route → rank end to end, closing the
+    //    drift→recluster loop under full value-level checks
+    "q318_ivf_recluster" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      val dir = scratchDir("graft_ivfrec")
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+          "embedding", cents), cents, dir)
+      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir)
+      Similarity.reclusterIvfIndex(s, dir)
+      Similarity.annIvfIndexed(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -2474,6 +2494,34 @@ object ExtensionQueries {
     // assign-distributes-over-union property — identical oracle replay;
     // q313 freezes centroids on the old 90% and reads the per-cell drift
     "q312_ann_index_stored" -> annIncrementalOracleSql,
+    // recluster replay: label quantizer -> full assign (the maintained
+    // postings) -> fresh centroids from current cell means -> re-assign ->
+    // route queries over the REFRESHED quantizer -> exact rank
+    "q318_ivf_recluster" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |cur0 AS (SELECT cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM asn, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cur AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cur0 GROUP BY cid),
+         |asn2 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, cur.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${cosSqlAB("a.v", "cur.cv")} DESC, cur.cid) AS rn FROM asn a, cur) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cur.cv")} DESC, cid) AS rn FROM q, cur) WHERE rn <= 2),
+         |s AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn2 a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 3""".stripMargin,
     "q313_ivf_cell_drift" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,

@@ -335,6 +335,47 @@ object Similarity {
     (spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/centroids"))
 
+  /** RECLUSTER a stored index — the arm [[ivfCellDrift]] triggers: when
+    * append-only maintenance has aged the frozen quantizer out, rebuild
+    * the base with FRESH centroids. One Lloyd refresh, fully
+    * deterministic (so the whole loop stays oracle-checkable, unlike a
+    * from-scratch KMeans): new centroids = the current fixed-point means
+    * of each live cell (exactly the [[ivfCellDrift]] readout — drained
+    * cells have no mean and drop out of the quantizer), then every stored
+    * vector re-assigns to the nearest new centroid and the posting lists
+    * rewrite cell-partitioned. Write-aside-and-swap like
+    * [[graft.streaming.Compaction]]: a crash leaves either the old or the
+    * new index readable, never neither.
+    *
+    * Scale shape: one postings scan for the means (cells×dim aggregate),
+    * one for the re-assign (broadcast centroids, no shuffle), one
+    * cell-partitioned write — the same cost as the original build; no
+    * pairwise work anywhere. */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    spark.catalog.refreshByPath(dir)
+    val members = spark.read.parquet(s"$dir/postings")
+      .select(col("vec_id"), col("cell"), col("v"))
+    val fresh = ivfCentroids(members, "cell", "v")
+    fresh.write.mode("overwrite").parquet(s"$dir/centroids_new")
+    ivfAssign(members.select(col("vec_id"), col("v")), "vec_id", "v",
+        spark.read.parquet(s"$dir/centroids_new"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings_new")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new Path(s"$dir/$name")
+      val old = new Path(s"$dir/${name}_old")
+      fs.rename(live, old)
+      fs.rename(new Path(s"$dir/${name}_new"), live)
+      fs.delete(old, true); ()
+    }
+    swap("centroids"); swap("postings")
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Search a stored ON-DISK index with static cell pruning: route the
     * queries against the (broadcast) centroids, collect the probed cell
     * ids — bounded by |queries|·nProbe, a parameter-sized driver set,

@@ -74,6 +74,56 @@ object StreamingAnn {
       spark.read.parquet(s"$indexPath/centroids"), queries, id, emb, k,
       nProbe)
 
+  /** Rebuild the maintained index under FRESH centroids — the recluster
+    * arm of the drift loop ([[Similarity.reclusterIvfIndex]]'s Lloyd
+    * refresh on this layout): new centroids = the current fixed-point
+    * means of each live cell over base ∪ increments, every ingested
+    * vector re-assigns to them, the result lands as a new base, and the
+    * increments RESTART (they encoded assignments under the old quantizer;
+    * the fold subsumes them). Write-aside-and-swap; run between streams. */
+  def reclusterIndex(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    spark.catalog.refreshByPath(indexPath)
+    val members = readPostings(spark, indexPath)
+    Similarity.ivfCentroids(members, "cell", "v")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids_new")
+    Similarity.ivfAssign(members.select("vec_id", "v"), "vec_id", "v",
+        spark.read.parquet(s"$indexPath/centroids_new"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/base_new")
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String): Unit = {
+      val live = new Path(s"$indexPath/$name")
+      val old = new Path(s"$indexPath/${name}_old")
+      fs.rename(live, old)
+      fs.rename(new Path(s"$indexPath/${name}_new"), live)
+      fs.delete(old, true); ()
+    }
+    swap("centroids"); swap("base")
+    fs.delete(new Path(s"$indexPath/increments"), true)
+    spark.catalog.refreshByPath(indexPath)
+  }
+
+  /** The closed drift loop: read the [[Similarity.ivfCellDrift]] report
+    * of the maintained postings against the stored (frozen) centroids;
+    * when any cell breaches `maxDrift` — or has drained to zero members,
+    * the state the report surfaces as NULL drift — rebuild via
+    * [[reclusterIndex]] and return true. Below threshold the index is
+    * untouched. The report is cells-sized, so the check costs one
+    * postings aggregate. */
+  def reclusterIfDrifted(spark: SparkSession, indexPath: String,
+                         maxDrift: Double): Boolean = {
+    val report = Similarity.ivfCellDrift(
+      readPostings(spark, indexPath),
+      spark.read.parquet(s"$indexPath/centroids"))
+    val breached = report
+      .filter(col("n_members") === 0 || col("drift") > maxDrift)
+      .limit(1).count() > 0
+    if (breached) reclusterIndex(spark, indexPath)
+    breached
+  }
+
   /** Fold the increment directories into a new cell-partitioned base —
     * [[Compaction.foldIncrements]] with this index's union merge. Because
     * assignment under frozen centroids distributes over union, the folded

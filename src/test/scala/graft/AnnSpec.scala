@@ -181,6 +181,40 @@ class AnnSpec extends SparkSpec {
     assert(drained(1).getLong(1) == 5L, s"live cell intact: ${drained(1)}")
   }
 
+  test("reclusterIvfIndex: rebuild keeps every vector, refreshes the " +
+       "quantizer to the current cell means, and recall does not regress") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrc").toString
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+        "embedding", cents), cents, dir)
+    Similarity.appendIvfBatch(e.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", dir)
+    val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").cache()
+    val before = recall(Similarity.annIvfIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).select("q_id", "vec_id"), truth)
+
+    Similarity.reclusterIvfIndex(spark, dir)
+
+    // every ingested vector survives the rebuild, exactly once
+    val (post, newCents) = Similarity.readIvfIndex(spark, dir)
+    assert(post.count() == e.count())
+    assert(post.select("vec_id").distinct().count() == e.count())
+    // the refreshed quantizer is the current fixed-point cell means: the
+    // drift report of the REBUILT index against its own centroids is zero
+    // wherever re-assignment didn't move a vector... but globally, every
+    // stored centroid must now be a live cell's mean (no stale cells)
+    val report = Similarity.ivfCellDrift(post, newCents)
+    assert(report.filter(col("n_members") === 0).count() == 0,
+      "a rebuilt quantizer must not carry drained cells")
+    val after = recall(Similarity.annIvfIndexed(spark, dir, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).select("q_id", "vec_id"), truth)
+    assert(after >= before,
+      s"recall regressed across the rebuild: $before -> $after")
+    truth.unpersist()
+  }
+
   test("rankingMetrics: hand recall/MRR/nDCG battery with partial, " +
        "perfect, and missed queries") {
     import spark.implicits._

@@ -89,4 +89,45 @@ class StreamingAnnSpec extends SparkSpec {
     // idempotent: nothing left to fold
     assert(StreamingAnn.compactIndex(spark, idx) == 0)
   }
+
+  test("reclusterIfDrifted: below threshold the index is untouched; a " +
+       "breach rebuilds under fresh centroids and restarts the increments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sanr").toString
+    val idx = s"$dir/index"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "label", idx)
+    val cents0 = spark.read.parquet(s"$idx/centroids")
+    Similarity.ivfAssign(e.filter(col("vec_id") % 2 === 1), "vec_id",
+        "embedding", cents0)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/increments/batch=0")
+
+    // an impossible threshold: no breach, nothing moves
+    assert(!StreamingAnn.reclusterIfDrifted(spark, idx, maxDrift = 10.0))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/increments")),
+      "below threshold the increments must survive")
+
+    // the expected rebuild, computed independently: fresh centroids =
+    // current cell means of the maintained postings, full re-assign
+    val preMembers = StreamingAnn.readPostings(spark, idx)
+      .localCheckpoint(true)
+    val freshCents = Similarity.ivfCentroids(preMembers, "cell", "v")
+    val q = e.filter(col("vec_id") < 5)
+    val expected = Similarity.annIvfStored(
+      Similarity.ivfAssign(preMembers.select("vec_id", "v"), "vec_id", "v",
+        freshCents), freshCents, q, "vec_id", "embedding", k = 3,
+      nProbe = 2).collect().toSet
+
+    // a certain threshold: breach, rebuild, increments restart
+    assert(StreamingAnn.reclusterIfDrifted(spark, idx, maxDrift = -1.0))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/increments")),
+      "a rebuild must restart the increments")
+    assert(StreamingAnn.readPostings(spark, idx).count() == e.count())
+    assert(StreamingAnn.search(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect().toSet == expected,
+      "search over the rebuilt index must equal the independent rebuild")
+  }
 }
