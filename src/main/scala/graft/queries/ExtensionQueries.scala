@@ -853,12 +853,8 @@ object ExtensionQueries {
     //    rankings (k0 = 60) — the calibration-free hybrid combiner
     "q298_rrf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
-      Similarity.rrfFuse(Seq(
-        Similarity.knnBrute(e, q, "vec_id", "embedding", 10)
-          .select("q_id", "vec_id", "rank"),
-        Similarity.quantTopK(e, q, "vec_id", "embedding", 10)),
-        k0 = 60, topK = 10)
+      Similarity.rrfBruteQuant(e, e.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, k0 = 60, topK = 10)
     }),
 
     // ── product-quantized ANN with exact re-rank (rows-only: learned

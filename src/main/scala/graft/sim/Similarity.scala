@@ -1186,17 +1186,18 @@ object Similarity {
     * anywhere), ties toward the smaller id; the reference ranking is
     * [[knnBrute]].
     *
-    * Scale shape: both rankings are one broadcast-queries pass over the
-    * corpus with per-query binned top-k selections (the knnBrute
-    * contract); the recall join touches only the two k-row-per-query
-    * result sets. Emits (q_id, n_hit, recall@6dp). */
+    * Scale shape: ONE broadcast-queries pass scores every pair with both
+    * scorers and lands a narrow checkpointed frame; the two rankings are
+    * [[fusedTopKPair]]'s shared binned selection (identical ranks to
+    * independent knnBrute/quantTopK runs by construction) and the recall
+    * join touches only the two k-row-per-query result sets. Emits
+    * (q_id, n_hit, recall@6dp). */
   def quantRecall(corpus: DataFrame, queries: DataFrame, id: String,
                   emb: String, k: Int): DataFrame = {
-    val intTop = quantTopK(corpus, queries, id, emb, k)
-      .select("q_id", "vec_id")
-    val exact = knnBrute(corpus, queries, id, emb, k)
-      .select("q_id", "vec_id")
-    val hits = intTop.join(exact, Seq("q_id", "vec_id"))
+    val (bySim, byDot) = fusedTopKPair(
+      bruteQuantCand(corpus, queries, id, emb), k)
+    val hits = byDot.select("q_id", "vec_id")
+      .join(bySim.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     queries.select(col(id).as("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
@@ -1233,5 +1234,122 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"),
         round(col("_s").cast("double"), 6).as("rrf_score"), col("rank"))
+  }
+
+  /** The standard hybrid-retrieval RRF — exact float-cosine and
+    * int8-quantized-dot rankings fused by [[rrfFuse]] — with the candidate
+    * frame computed ONCE. Running [[knnBrute]] and [[quantTopK]]
+    * independently re-derives the (query, vector) scores per selection
+    * pass (four corpus rescans, each re-widening floats and re-quantizing
+    * codes); here one pass scores every pair with BOTH scorers and lands
+    * the results as a narrow (q_id, vec_id, sim, dot) frame — two scalars
+    * per pair, ~1% the bytes of the embeddings that produced them — which
+    * is then eagerly materialized (localCheckpoint; ContextCleaner-freed)
+    * so all four binned-selection scans read scored pairs instead of
+    * recomputing them. Rankings, ties, and therefore the fused output are
+    * value-identical to the compose-it-yourself form (the q298 oracle is
+    * unchanged). */
+  def rrfBruteQuant(corpus: DataFrame, queries: DataFrame, id: String,
+                    emb: String, k: Int, k0: Int = 60,
+                    topK: Int = 10): DataFrame = {
+    val (bySim, byDot) = fusedTopKPair(
+      bruteQuantCand(corpus, queries, id, emb), k)
+    rrfFuse(Seq(bySim, byDot), k0, topK)
+  }
+
+  /** The shared scored-candidate frame of [[rrfBruteQuant]] and
+    * [[quantRecall]]: every (query, vector) pair scored by BOTH the exact
+    * rounded cosine and the int8-quantized integer dot (the same
+    * expressions as [[knnBrute]]/[[quantizeInt8]], so downstream rankings
+    * are value-identical to independent runs), landed as a narrow
+    * (q_id, vec_id, sim, dot) frame — two scalars per pair, ~1% the bytes
+    * of the embeddings that produced them — and eagerly materialized
+    * (localCheckpoint; ContextCleaner-freed) so every selection pass reads
+    * scored pairs instead of re-widening floats, re-quantizing codes, and
+    * re-running the dot products. */
+  private def bruteQuantCand(corpus: DataFrame, queries: DataFrame,
+                             id: String, emb: String): DataFrame = {
+    graft.expressions.CosineSimilarity.register(corpus.sparkSession)
+    // same expressions as quantizeInt8, keeping the raw doubles alongside
+    def withCodes(df: DataFrame, idAs: String, vAs: String, cAs: String) =
+      df.select(col(id).as(idAs), asDouble(emb).as(vAs))
+        .withColumn("_mx", expr(
+          s"aggregate($vAs, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn(cAs, expr(
+          s"CASE WHEN _mx = 0 THEN transform($vAs, x -> 0) " +
+            s"ELSE transform($vAs, x -> CAST(floor(x * 127.0 / _mx + 0.5) AS INT)) END"))
+        .drop("_mx")
+    val c = withCodes(corpus, "vec_id", "v", "codes")
+    val qf = withCodes(queries, "q_id", "qv", "_qc")
+    c.crossJoin(broadcast(qf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("_dot", expr(
+        "aggregate(zip_with(_qc, codes, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "0L, (a, x) -> a + x)"))
+      .select("q_id", "vec_id", "sim", "_dot")
+      // LAZY checkpoint: the frame materializes inside the first pass that
+      // scans it (no separate eager job) and every later selection pass
+      // reads the stored narrow blocks
+      .localCheckpoint(false)
+  }
+
+  /** Both per-query top-k selections of [[rrfBruteQuant]] fused over one
+    * scored frame: the two scorers share ONE stats aggregate, ONE
+    * histogram shuffle (rows stack into (scorer, bin) pairs, map-side
+    * combined to ≤ queries·2·bins records), and ONE window shuffle whose
+    * partitions hold only the union of both threshold-bin survivor sets
+    * (~2·(k + n/bins) rows per query) — [[graft.ops.Stats.extremeK]]'s
+    * exact semantics (same bins, same thresholds, same
+    * (value desc, vec_id asc) ties ⇒ identical ranks by construction),
+    * at half its pass count. `cand` must be non-null in both scores. */
+  private def fusedTopKPair(cand: DataFrame, k: Int,
+                            bins: Int = 1001): (DataFrame, DataFrame) = {
+    val stats = cand.groupBy("q_id").agg(
+        min(col("sim")).as("_loS"), max(col("sim")).as("_hiS"),
+        min(col("_dot")).as("_loD"), max(col("_dot")).as("_hiD"),
+        count(lit(1)).as("_n"))
+      .withColumn("_wS", (col("_hiS") - col("_loS")) / bins)
+      .withColumn("_wD",
+        (col("_hiD") - col("_loD")).cast("double") / bins)
+      .withColumn("_keff", least(lit(k.toLong), col("_n")))
+      .select("q_id", "_loS", "_wS", "_loD", "_wD", "_keff")
+    def binOf(v: Column, lo: Column, w: Column) =
+      when(w === 0, lit(0L))
+        .otherwise(least(floor((v - lo) / w), lit(bins - 1L)))
+    val binned = cand.join(broadcast(stats), Seq("q_id"))
+      .withColumn("_binS", binOf(col("sim"), col("_loS"), col("_wS")))
+      .withColumn("_binD",
+        binOf(col("_dot").cast("double"), col("_loD"), col("_wD")))
+    val cumW = Window.partitionBy("q_id", "_sc").orderBy(col("_bin").desc)
+    val targets = binned
+      .select(col("q_id"), col("_keff"),
+        expr("stack(2, 'S', _binS, 'D', _binD)").as(Seq("_sc", "_bin")))
+      .groupBy("q_id", "_sc", "_bin")
+      .agg(count(lit(1)).as("_c"), first(col("_keff")).as("_tk"))
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_blw", col("_cum") - col("_c"))
+      .filter(col("_blw") < col("_tk") && col("_tk") <= col("_cum"))
+      .groupBy("q_id").agg(
+        max(when(col("_sc") === "S", col("_bin"))).as("_tbinS"),
+        max(when(col("_sc") === "D", col("_bin"))).as("_tbinD"))
+    val kept = binned.join(broadcast(targets), Seq("q_id"))
+      .withColumn("_ksS", col("_binS") >= col("_tbinS"))
+      .withColumn("_ksD", col("_binD") >= col("_tbinD"))
+      .filter(col("_ksS") || col("_ksD"))
+    // survivors-first orderings: scorer-i ranks over exactly its own
+    // survivor set (non-survivors sort after all survivors, then fall to
+    // the rank/flag filter), so both rankings ride one window shuffle
+    val wS = Window.partitionBy("q_id")
+      .orderBy(col("_ksS").desc, col("sim").desc, col("vec_id").asc)
+    val wD = Window.partitionBy("q_id")
+      .orderBy(col("_ksD").desc, col("_dot").desc, col("vec_id").asc)
+    val ranked = kept
+      .withColumn("_rnS", row_number().over(wS))
+      .withColumn("_rnD", row_number().over(wD))
+    (ranked.filter(col("_ksS") && col("_rnS") <= col("_keff"))
+       .select(col("q_id"), col("vec_id"), col("_rnS").as("rank")),
+     ranked.filter(col("_ksD") && col("_rnD") <= col("_keff"))
+       .select(col("q_id"), col("vec_id"), col("_rnD").as("rank")))
   }
 }
