@@ -1003,6 +1003,16 @@ object ExtensionQueries {
           round(col("n_agree").cast("double") / col("n_docs"), 6))
     }),
 
+    // ── DID THE LEARNED FILTER DRIFT WITH THE CORPUS: train the q314 NB
+    //    filter on the PRIOR snapshot's rule labels only, apply it to the
+    //    prior snapshot AND the new shard (doc_id%5=4), and diff per-source
+    //    keep-rates — the incremental-curation readout that pairs with
+    //    q315's cluster diff (a source whose keep-rate moves is a source
+    //    whose incoming distribution moved past the trained filter)
+    "q319_filter_drift" -> ((s, d) =>
+      Curate.filterDrift(Tables.documents(s, d), "doc_id", "text",
+        "source", col("doc_id") % 5 === 4)),
+
     // ── sliding-window chunking with overlap (64-token window, 48 stride)
     "q115_chunk_overlap" -> ((s, d) =>
       Curate.chunkOverlap(Tables.documents(s, d), "doc_id", "text",
@@ -2668,6 +2678,69 @@ object ExtensionQueries {
          | round(CAST(sum(CASE WHEN p.pl = l.c THEN 1 ELSE 0 END) AS DOUBLE)
          |   / count(*), 6) AS agree_rate
          |FROM lab l JOIN pred p USING (doc_id) GROUP BY 1""".stripMargin,
+    // filter drift: the q317 NB replay with the TRAINING CTEs restricted
+    // to the prior snapshot (doc_id%5!=4); scoring runs over everything,
+    // and the rollup diffs per-source keep-rates old vs new shard
+    "q319_filter_drift" ->
+      raw"""WITH $toksCte,
+         |qb AS (SELECT doc_id, source, w, len(w)::BIGINT AS ws_tokens,
+         |  round(length(array_to_string(w, ''))::DOUBLE / len(w), 6) AS avg_token_len,
+         |  ${shingleExpr(2)} AS g,
+         |  round(len(list_filter(w, t -> t IN (${inList(TextOps.Stopwords("en"))})))::DOUBLE
+         |    / len(w), 6) AS stop_ratio FROM toks),
+         |qc AS (SELECT doc_id, source, w, ws_tokens, avg_token_len,
+         |  CASE WHEN len(g) > 0
+         |    THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+         |    ELSE 0.0 END AS dup_2gram_ratio, stop_ratio FROM qb),
+         |lab AS (SELECT doc_id, source,
+         |  CASE WHEN ws_tokens >= 10 AND ws_tokens <= 5000
+         |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+         |    AND dup_2gram_ratio <= 0.3 AND stop_ratio >= 0.01
+         |   THEN 'keep' ELSE 'drop' END AS c, w FROM qc),
+         |tt AS MATERIALIZED (SELECT c, unnest(w) AS tok FROM lab
+         | WHERE doc_id % 5 != 4),
+         |cvc AS MATERIALIZED (SELECT c, tok, CAST(count(*) AS BIGINT) AS cnt
+         | FROM tt GROUP BY 1, 2),
+         |cs AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS toks FROM cvc GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cvc),
+         |pr AS (SELECT c, CAST(count(*) AS BIGINT) AS nd FROM lab
+         | WHERE doc_id % 5 != 4 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ndtot FROM lab
+         | WHERE doc_id % 5 != 4),
+         |st AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT doc_id, unnest(w) AS tok FROM lab) GROUP BY 1, 2),
+         |tm AS (SELECT st.doc_id, cs.c,
+         |  CAST(st.n * ln(CAST(coalesce(cvc.cnt, 0) + 1 AS DOUBLE)
+         |    / CAST(cs.toks + vv.v AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+         | FROM st CROSS JOIN cs CROSS JOIN vv
+         | LEFT JOIN cvc ON cvc.c = cs.c AND cvc.tok = st.tok),
+         |sc AS (SELECT doc_id, c, sum(lp) AS slp FROM tm GROUP BY 1, 2),
+         |fin AS (SELECT sc.doc_id, sc.c,
+         |  round(CAST(slp AS DOUBLE)
+         |    + ln(CAST(pr.nd AS DOUBLE) / CAST(nt.ndtot AS DOUBLE)), 6)
+         |    AS logp
+         | FROM sc JOIN pr USING (c) CROSS JOIN nt),
+         |pred AS (SELECT doc_id, c AS pl FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY logp DESC, c) AS rn FROM fin) WHERE rn = 1),
+         |agg AS (SELECT l.source,
+         |  CAST(sum(CASE WHEN l.doc_id % 5 != 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |  CAST(sum(CASE WHEN l.doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(sum(CASE WHEN l.doc_id % 5 != 4 AND p.pl = 'keep' THEN 1
+         |    ELSE 0 END) AS BIGINT) AS k_old,
+         |  CAST(sum(CASE WHEN l.doc_id % 5 = 4 AND p.pl = 'keep' THEN 1
+         |    ELSE 0 END) AS BIGINT) AS k_new
+         | FROM lab l JOIN pred p USING (doc_id) GROUP BY 1),
+         |rt AS (SELECT source, n_old, n_new,
+         |  CASE WHEN n_old > 0
+         |    THEN round(CAST(k_old AS DOUBLE) / n_old, 6) END AS keep_rate_old,
+         |  CASE WHEN n_new > 0
+         |    THEN round(CAST(k_new AS DOUBLE) / n_new, 6) END AS keep_rate_new
+         | FROM agg)
+         |SELECT source, n_old, n_new, keep_rate_old, keep_rate_new,
+         | CASE WHEN n_old > 0 AND n_new > 0
+         |   THEN round(keep_rate_new - keep_rate_old, 6) END AS drift
+         |FROM rt""".stripMargin,
     // TextRank: co-occurrence edges from the normalized token stream,
     // then the q162 power-iteration replay (symmetrized, no dangling)
     "q281_textrank" -> {

@@ -459,4 +459,45 @@ object Curate {
         (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Did the LEARNED filter drift with the corpus: train the
+    * [[filterPipeline]]-labeled NB filter (the q314 classifier-in-the-loop)
+    * on the PRIOR snapshot only (`isNew` false), apply it to both shards,
+    * and diff per-source keep-rates — the incremental-curation readout
+    * that pairs with the cluster diff. A source whose keep-rate moves is
+    * a source whose incoming distribution moved past the trained filter;
+    * sources absent from a shard emit NULL rates/drift rather than a
+    * divide-by-zero.
+    *
+    * Scale shape: one rules pass + one NB train (integer sufficient
+    * statistics, vocabulary-sized shuffles) + one scoring pass + a
+    * sources-sized rollup — nothing pairwise, nothing corpus². Emits
+    * (source, n_old, n_new, keep_rate_old, keep_rate_new, drift@6dp). */
+  def filterDrift(docs: DataFrame, id: String, text: String,
+                  source: String, isNew: Column): DataFrame = {
+    val labeled = docs.join(
+      filterPipeline(docs, id, text)
+        .select(col(id),
+          when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+            .as("_quality")), Seq(id))
+    val pred = NaiveBayes.trainScore(
+      labeled.filter(!isNew), labeled, id, "_quality", text)
+    labeled.select(col(id), col(source).as("source"), isNew.cast("int").as("_new"))
+      .join(pred.select(col(id), col("pred_label")), Seq(id))
+      .groupBy("source").agg(
+        count(when(col("_new") === 0, 1)).as("n_old"),
+        count(when(col("_new") === 1, 1)).as("n_new"),
+        count(when(col("_new") === 0 && col("pred_label") === "keep", 1))
+          .as("_kOld"),
+        count(when(col("_new") === 1 && col("pred_label") === "keep", 1))
+          .as("_kNew"))
+      .withColumn("keep_rate_old", when(col("n_old") > 0,
+        round(col("_kOld").cast("double") / col("n_old"), 6)))
+      .withColumn("keep_rate_new", when(col("n_new") > 0,
+        round(col("_kNew").cast("double") / col("n_new"), 6)))
+      .withColumn("drift", when(col("n_old") > 0 && col("n_new") > 0,
+        round(col("keep_rate_new") - col("keep_rate_old"), 6)))
+      .select("source", "n_old", "n_new", "keep_rate_old",
+        "keep_rate_new", "drift")
+  }
 }

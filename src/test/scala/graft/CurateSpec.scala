@@ -162,6 +162,36 @@ class CurateSpec extends SparkSpec {
     assert(out(4L)._1.contains("bad_token_len") && out(4L)._2 == 0)
   }
 
+  test("filterDrift: the source whose new shard degraded moves, the " +
+       "stable source holds at zero drift") {
+    val clean = "the cat sat on a mat and the dog lay in the sun near a tree"
+    val junk = Seq.fill(40)("zz xx").mkString(" ")
+    def rows(src: String, ids: Seq[Long], texts: Seq[String]) =
+      ids.zip(texts).map { case (i, t) => (i, src, t) }
+    // old shard (doc_id < 100): both sources ship 3 clean + 1 junk
+    val old =
+      rows("stable", Seq(1L, 2L, 3L), Seq.fill(3)(clean)) ++
+        rows("stable", Seq(4L), Seq(junk)) ++
+        rows("moving", Seq(5L, 6L, 7L), Seq.fill(3)(clean)) ++
+        rows("moving", Seq(8L), Seq(junk))
+    // new shard (doc_id >= 100): stable repeats the mix; moving degrades
+    // to all-junk vocabulary — the trained filter must drop all of it
+    val nw =
+      rows("stable", Seq(101L, 102L, 103L), Seq.fill(3)(clean)) ++
+        rows("stable", Seq(104L), Seq(junk)) ++
+        rows("moving", Seq(105L, 106L, 107L, 108L), Seq.fill(4)(junk))
+    val docs = (old ++ nw).toDF("doc_id", "source", "text")
+    val got = Curate.filterDrift(docs, "doc_id", "text", "source",
+        col("doc_id") >= 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("stable") == ((4L, 4L, 0.75, 0.75, 0.0)),
+      s"stable source must hold: ${got("stable")}")
+    assert(got("moving") == ((4L, 4L, 0.75, 0.0, -0.75)),
+      s"moving source must drift down: ${got("moving")}")
+  }
+
   test("sharedNgramStats: duplicated docs share all n-grams, unique docs none") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),
