@@ -131,4 +131,51 @@ object Retrieval {
       .select(col(id), col("rank"), col("term"), col("tf"),
         round(col("tfidf"), 6).as("tfidf"))
   }
+
+  /** Two-stage retrieval evaluated end to end — the hybrid-stack quality
+    * readout of a stored vector index: [[bm25]] picks the `nCand` lexical
+    * candidates (global top-N by (bm25 desc, id asc) — a bounded
+    * TakeOrdered, never a sort of the corpus), ONLY those candidates'
+    * stored vectors are fetched (candidate-sized join against the
+    * index's posting lists) and exact-cosine reranked per query, and the
+    * reranked top-k is scored against the exhaustive-cosine truth with
+    * [[graft.sim.Similarity.rankingMetrics]]. The cross-encoder recipe:
+    * cheap recall stage over text, expensive exact scoring on the
+    * shortlist only — so the eval says what the INDEX + candidate stage
+    * lose, not what the scorer loses.
+    *
+    * Scale shape: one corpus text scan (bm25), one candidate-sized vector
+    * fetch, |q|·nCand rerank rows (parameter-bounded window), one
+    * extremeK-routed brute pass for the truth, metric joins on
+    * k-per-query frames. Deterministic end to end (rounded sims/scores,
+    * id ties) — the q320 oracle replays every stage. */
+  def rerankEval(docs: DataFrame, id: String, text: String,
+                 terms: Seq[String], vectors: DataFrame,
+                 queries: DataFrame, qid: String, emb: String,
+                 nCand: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val cand = bm25(docs, id, text, terms)
+      .orderBy(col("bm25").desc, col(id).asc).limit(nCand)
+      .select(col(id).as("vec_id"))
+    val q = queries.select(col(qid).as("q_id"),
+      graft.sim.Similarity.asDouble(emb).as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    // nCand-bounded partitions: the shortlist window is the adjudicated
+    // annPqRerank shape, never corpus-sized
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val res = cand.join(vectors.select(col("vec_id"), col("v")), "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank")
+    val truth = graft.sim.Similarity.knnBrute(
+      vectors.select(col("vec_id"), col("v").as(emb)),
+      queries.select(col(qid).as("vec_id"), col(emb)),
+      "vec_id", emb, k)
+    graft.sim.Similarity.rankingMetrics(res, truth, k)
+  }
 }

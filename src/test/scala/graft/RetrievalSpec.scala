@@ -55,4 +55,41 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("df_docs")) == 2L)
     assert(r.getSeq[Long](r.fieldIndex("gaps")) == Seq(1L, 1L))
   }
+
+  test("rerankEval: hand recall/MRR/nDCG goldens — a true neighbour the " +
+       "lexical stage misses costs exactly its metric share") {
+    import org.apache.spark.sql.functions._
+    // planar unit vectors at fixed angles: cosine = cos(angle delta).
+    // docs 1-4 contain the query term (the candidate set); 5-6 do not.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)), 0.0, 0.0)
+    val vectors = Seq(
+      1L -> v(0), 2L -> v(10), 3L -> v(20), 4L -> v(80),
+      5L -> v(90), 6L -> v(85))
+      .toDF("vec_id", "v")
+    val docs6 = Seq(
+      (1L, "apple one of the words here makes it lexical"),
+      (2L, "apple two of the words here makes it lexical"),
+      (3L, "apple three of the words here makes it lexical"),
+      (4L, "apple four of the words here makes it lexical"),
+      (5L, "banana five of the words here stays invisible"),
+      (6L, "banana six of the words here stays invisible"))
+      .toDF("doc_id", "text")
+    val queries = vectors.filter(col("vec_id").isin(1L, 5L))
+      .select(col("vec_id"), col("v").as("embedding"))
+    val got = graft.text.Retrieval.rerankEval(docs6, "doc_id", "text",
+        Seq("apple"), vectors, queries, "vec_id", "embedding",
+        nCand = 4, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(8)))).toMap
+    // q1 (0°): truth {2,3}, both in candidates → perfect
+    assert(got(1L) == ((2L, 1.0, 1.0, 1.0, 0.75, 0.806574)),
+      s"q1: ${got(1L)}")
+    // q5 (90°): truth {6@5°, 4@10°} but 6 is invisible to BM25 → the
+    // rerank can only return candidates: hits {4} at rank 1 →
+    // recall 1/2, mrr 1, ndcg 1/(1 + 1/log2 3) = 0.613147
+    assert(got(5L) == ((1L, 0.5, 1.0, 0.613147, 0.75, 0.806574)),
+      s"q5: ${got(5L)}")
+  }
 }
