@@ -966,6 +966,13 @@ object Similarity {
            |      * (element_at(qv, s * $dsub + i)
            |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
       .select("q_id", "vec_id", "adist")
+      // the ADC distance is m·dsub flops of nested HOF folds per pair —
+      // far more expensive than the 24-byte (q_id, vec_id, adist) row it
+      // produces. The binned selection scans its input twice; a LAZY
+      // checkpoint materializes the narrow scored frame inside the first
+      // pass so the ADC arithmetic runs exactly once per pair
+      // (ContextCleaner-freed; queries are broadcast-bounded by contract)
+      .localCheckpoint(false)
     topKPerQuery(cand, "adist", k, descending = false)
       .select("q_id", "vec_id", "adist", "rank")
   }
