@@ -235,7 +235,9 @@ object Plans {
       // frames (knnBrute's broadcast scan shape is audited via q33); the
       // final plan reads the materialized picks
       "q292_mmr" -> Seq("Scan ExistingRDD"),
-      "q293_quant_recall" -> Seq("BroadcastNestedLoopJoin"),
+      // both rankings read the ONE checkpointed scored-pair frame (the
+      // broadcast cross join lives inside its lineage)
+      "q293_quant_recall" -> Seq("Scan ExistingRDD", "HashAggregate"),
       // lift/gains: the rocPr per-value + binnedPrefix contract
       "q294_lift_gains" -> Seq("HashAggregate", "Window"),
       "q295_nelson_aalen" -> Seq("Window", "HashAggregate"),
@@ -270,7 +272,29 @@ object Plans {
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),
-      "q300_position_attribution" -> Seq("Window", "HashAggregate"))
+      "q300_position_attribution" -> Seq("Window", "HashAggregate"),
+      // dup-span coalescing: gaps-and-islands is a doc-bounded Window
+      "q310_dup_span_islands" -> Seq("Window"),
+      // sketch merge: counter sums are map-side-combined aggregates
+      "q311_ddsketch_merge" -> Seq("HashAggregate"),
+      // on-disk index probe: routed cells land as a PARTITION filter on
+      // the posting-list scan — untouched cell dirs never open
+      "q312_ann_index_stored" -> Seq("graft_cosine", "PartitionFilters: [cell"),
+      "q313_ivf_cell_drift" -> Seq("graft_cosine", "HashAggregate"),
+      // curation loop / audits: corpus scans + vocabulary-shaped aggregates
+      "q314_quality_loop" -> Seq("HashAggregate"),
+      // cluster diff: the shared pair frame is checkpointed, not re-derived
+      "q315_cluster_diff" -> Seq("Scan ExistingRDD"),
+      // strip: doc-keyed equi-join, never a nested-loop over spans
+      "q316_strip_dup_spans" -> Seq("!NestedLoopJoin"),
+      "q317_filter_audit" -> Seq("HashAggregate"),
+      // recluster: the refreshed index is read back cell-partitioned with
+      // the probe's partition filter intact
+      "q318_ivf_recluster" -> Seq("graft_cosine", "PartitionFilters: [cell"),
+      "q319_filter_drift" -> Seq("HashAggregate"),
+      // hybrid rerank eval: the lexical cut is a bounded TakeOrdered, the
+      // rerank is exact native cosine on the shortlist
+      "q320_rerank_eval" -> Seq("TakeOrderedAndProject", "graft_cosine"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")
