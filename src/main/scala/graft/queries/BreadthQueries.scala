@@ -623,7 +623,7 @@ object BreadthQueries {
     //    levels including the coarsening
     "q247_louvain_l2" -> ((s, d) => {
       val g = graft.analytics.Graph
-      // the edge frame feeds level 1 AND the coarsening join — eager
+      // the edge frame feeds level 1 AND the coarsening join — lazy
       // localCheckpoint so the lineitem scan + order join runs once and
       // the blocks free with the plan (a persist here would stay
       // CacheManager-pinned for the session with no unpersist point)
@@ -632,7 +632,7 @@ object BreadthQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("cu"),
           (col("l_suppkey") * 2 + 1).as("su"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val l1 = g.louvain(edges, "cu", "su", rounds = 2)
       val cg = g.communityGraph(edges, "cu", "su", l1, "id", "community")
       val l2 = g.louvainWeighted(cg, "ca", "cb", "weight", rounds = 2)

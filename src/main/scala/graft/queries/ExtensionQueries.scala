@@ -326,13 +326,13 @@ object ExtensionQueries {
       // the old-corpus BAND ROWS feed both legs (from-scratch pairing for
       // the baseline assignment, and the corpus side of the incremental
       // join) — compute the shingle+minhash+band pass over 80% of the
-      // corpus once. Eager localCheckpoint, NOT persist: CacheManager
+      // corpus once. LAZY localCheckpoint, NOT persist: CacheManager
       // pins persisted plans until explicit unpersist (which a lazily
       // returned frame can never issue), whereas checkpoint blocks are
       // freed by the ContextCleaner when the plan is dropped.
       val oldBands = Dedup.bandRows(
           Dedup.minhashSignatures(old, "doc_id", "text"), "doc_id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val oldPairs = Dedup.minhashCandidatesFromBands(oldBands, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
       val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")
@@ -352,14 +352,14 @@ object ExtensionQueries {
     //    so old clusters never split)
     "q315_cluster_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // both assignments read the candidate pairs — eager localCheckpoint,
+      // both assignments read the candidate pairs — lazy localCheckpoint,
       // NOT persist: a persisted entry stays pinned by the CacheManager for
       // the session (no unpersist point exists for a returned lazy frame);
       // checkpoint blocks free with the plan via the ContextCleaner
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
         .filter(col("est_jaccard") >= 0.5)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val newAssign = Dedup.dedupClusters(docs, pairs, "doc_id")
         .select("doc_id", "cluster_id")
       val oldAssign = Dedup.dedupClusters(
@@ -439,10 +439,10 @@ object ExtensionQueries {
     //    (shared oracle), so the index round-trip itself is oracle-checked
     "q83_incremental_indexed" -> ((s, d) => {
       // one signature pass: the corpus-side write and the new-batch probe
-      // read the same frame — eager localCheckpoint (ContextCleaner-freed;
+      // read the same frame — lazy localCheckpoint (ContextCleaner-freed;
       // a persist here would stay CacheManager-pinned for the session)
       val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dir = scratchDir("graft_sigidx")
       Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4), "doc_id", dir, 64)
       Dedup.incrementalCandidatesIndexed(Dedup.readSignatureIndex(s, dir),
@@ -616,10 +616,10 @@ object ExtensionQueries {
     "q168_image_neardup" -> ((s, _) => {
       // materialized once: the decode feeds both sides of the pair
       // self-join plus the cluster vertex set — without it every PNG
-      // raster is decoded ~3x. Eager localCheckpoint, not persist, so the
+      // raster is decoded ~3x. Lazy localCheckpoint, not persist, so the
       // blocks free with the plan instead of pinning the CacheManager.
       val feats = graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
         ImgMinSim, ImgPlanes, ImgDim)
       Dedup.dedupClusters(feats.select("asset_id"), pairs, "asset_id")
@@ -883,13 +883,13 @@ object ExtensionQueries {
     //    engine — recall/determinism pinned by AnnSpec instead)
     "q113_pq_ann" -> ((s, d) => {
       // normalized embeddings feed THREE passes (codebook training's five
-      // KMeans iterations, encode, and the exact re-rank) — eager
+      // KMeans iterations, encode, and the exact re-rank) — lazy
       // localCheckpoint so the parquet scan + float→double + l2-normalize
       // runs once, not 7+ times, and the blocks free with the plan (a
       // persist would stay CacheManager-pinned for the session).
       val norm = Tables.embeddings(s, d).select(col("vec_id"),
           Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
       val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
       Similarity.annPqRerank(codes, cb, norm,
