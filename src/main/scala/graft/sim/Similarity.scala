@@ -33,10 +33,17 @@ object Similarity {
     * binned passes are embarrassingly-parallel candidate rescans plus a
     * bounded final sort of ~k + n/bins rows per query. Results and ties
     * (value direction, then `vec_id` asc) are identical to the window
-    * form, so every oracle hash is unchanged by construction. */
+    * form, so every oracle hash is unchanged by construction.
+    *
+    * The scored frame is a handful of scalars per pair — far narrower
+    * than the vectors/codes that produced it — and the selection scans
+    * it twice, so a LAZY checkpoint caches the scored rows inside the
+    * first pass and the similarity arithmetic runs exactly once per pair
+    * (blocks are ContextCleaner-freed with the plan). */
   private def topKPerQuery(cand: DataFrame, value: String, k: Int,
                            descending: Boolean = true): DataFrame =
-    graft.ops.Stats.extremeK(cand, value, Seq("q_id"), k,
+    graft.ops.Stats.extremeK(cand.localCheckpoint(false), value,
+        Seq("q_id"), k,
         descending = descending, tie = Seq(col("vec_id").asc))
       .withColumnRenamed("_rn", "rank")
 
@@ -966,13 +973,8 @@ object Similarity {
            |      * (element_at(qv, s * $dsub + i)
            |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
       .select("q_id", "vec_id", "adist")
-      // the ADC distance is m·dsub flops of nested HOF folds per pair —
-      // far more expensive than the 24-byte (q_id, vec_id, adist) row it
-      // produces. The binned selection scans its input twice; a LAZY
-      // checkpoint materializes the narrow scored frame inside the first
-      // pass so the ADC arithmetic runs exactly once per pair
-      // (ContextCleaner-freed; queries are broadcast-bounded by contract)
-      .localCheckpoint(false)
+    // the ADC distance is m·dsub flops of nested HOF folds per pair —
+    // exactly the shape topKPerQuery's lazy checkpoint amortizes
     topKPerQuery(cand, "adist", k, descending = false)
       .select("q_id", "vec_id", "adist", "rank")
   }
