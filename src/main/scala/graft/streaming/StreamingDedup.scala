@@ -110,4 +110,29 @@ object StreamingDedup {
             StructField("cluster_id", idType))))
     }
   }
+
+  /** Prune superseded assignment snapshots: every batch directory except
+    * the `keepLast` most recent is deleted. [[latestAssignment]] only ever
+    * reads the max batch — each snapshot is a FULL assignment, not an
+    * increment — so older directories are pure history; without pruning
+    * the tree grows one corpus-sized directory per micro-batch forever
+    * (the assignment-side counterpart of [[graft.streaming.Compaction]]'s
+    * increment folding). Keep ≥ 1 so a replayed batch that overwrites its
+    * own directory still has the prior snapshot to read. Returns the
+    * number of directories deleted; run between streams. */
+  def pruneAssignments(spark: org.apache.spark.sql.SparkSession,
+                       assignPath: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val p = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val batches = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+    val drop = batches.dropRight(keepLast)
+    drop.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$assignPath/batch=$b"), true))
+    if (drop.nonEmpty) spark.catalog.refreshByPath(assignPath)
+    drop.length
+  }
 }

@@ -131,6 +131,15 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == truth)
     assert(streamed(6L) == 1L && streamed(5L) == 1L) // chain through batches
     assert(streamed(2L) == 2L && streamed(3L) == 3L) // singletons untouched
+
+    // pruning drops superseded snapshots (batch=-1 here), keeps the
+    // latest two, and the current assignment read is unchanged
+    assert(StreamingDedup.pruneAssignments(spark, asg, keepLast = 2) == 1)
+    val afterPrune = StreamingDedup.latestAssignment(spark, asg, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterPrune == streamed,
+      "pruning history must not change the current assignment")
+    assert(StreamingDedup.pruneAssignments(spark, asg, keepLast = 2) == 0)
   }
 
   test("cluster sink bootstraps a string-id corpus with no batch=-1 seed") {
