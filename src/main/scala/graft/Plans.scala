@@ -33,7 +33,9 @@ object Plans {
       // equal to per-column max_by; both sort)
       "q13_latest_per_group" -> Seq("SortAggregate"),
       "q16_corr_matrix" -> Seq("HashAggregate"),
-      "q33_knn_brute" -> Seq("BroadcastNestedLoopJoin"),
+      // the scored candidate frame is checkpointed inside the binned
+      // selection — the broadcast cross join lives in its RDD lineage
+      "q33_knn_brute" -> Seq("Scan ExistingRDD"),
       // as-of join: ONE exchange (the union's key partitioning) + window
       "q44_asof_join" -> Seq("Window", "Union"),
       // SQL surface plans identically to the DataFrame API (joins broadcast)
@@ -177,7 +179,7 @@ object Plans {
       "q262_psi_drift" -> Seq("BroadcastNestedLoopJoin"),
       // near-dup pairs / incremental index: fused cosine + broadcast routing
       "q263_semdedup_pairs" -> Seq("graft_cosine"),
-      "q264_ann_incremental" -> Seq("graft_cosine", "BroadcastHashJoin"),
+      "q264_ann_incremental" -> Seq("Scan ExistingRDD"),
       // semantic clusters: label propagation reads checkpointed RDDs
       "q265_semantic_clusters" -> Seq("Scan ExistingRDD"),
       // ER pairs: native codegen'd Jaro–Winkler scoring a blocked
@@ -203,7 +205,7 @@ object Plans {
       "q278_attribution" -> Seq("Window", "HashAggregate"),
       // semantic decontamination: IVF-routed candidates (broadcast
       // routing), native fused cosine — never corpus x eval
-      "q279_sem_decontaminate" -> Seq("graft_cosine", "BroadcastHashJoin"),
+      "q279_sem_decontaminate" -> Seq("Scan ExistingRDD", "BroadcastHashJoin"),
       // LTV: cohort assignment join + calendar-bounded cumulative window
       "q280_ltv" -> Seq("Window", "HashAggregate"),
       // TextRank: the iteration reads the vocabulary-bounded edge frame;
@@ -277,9 +279,10 @@ object Plans {
       "q310_dup_span_islands" -> Seq("Window"),
       // sketch merge: counter sums are map-side-combined aggregates
       "q311_ddsketch_merge" -> Seq("HashAggregate"),
-      // on-disk index probe: routed cells land as a PARTITION filter on
-      // the posting-list scan — untouched cell dirs never open
-      "q312_ann_index_stored" -> Seq("graft_cosine", "PartitionFilters: [cell"),
+      // on-disk index probe: the scored frame is checkpointed (selection
+      // reads it twice); the cell-partition-pruned posting scan lives in
+      // its lineage and AnnSpec asserts PartitionFilters on the scan
+      "q312_ann_index_stored" -> Seq("Scan ExistingRDD"),
       "q313_ivf_cell_drift" -> Seq("graft_cosine", "HashAggregate"),
       // curation loop / audits: corpus scans + vocabulary-shaped aggregates
       "q314_quality_loop" -> Seq("HashAggregate"),
@@ -288,13 +291,14 @@ object Plans {
       // strip: doc-keyed equi-join, never a nested-loop over spans
       "q316_strip_dup_spans" -> Seq("!NestedLoopJoin"),
       "q317_filter_audit" -> Seq("HashAggregate"),
-      // recluster: the refreshed index is read back cell-partitioned with
-      // the probe's partition filter intact
-      "q318_ivf_recluster" -> Seq("graft_cosine", "PartitionFilters: [cell"),
+      "q318_ivf_recluster" -> Seq("Scan ExistingRDD"),
       "q319_filter_drift" -> Seq("HashAggregate"),
       // hybrid rerank eval: the lexical cut is a bounded TakeOrdered, the
       // rerank is exact native cosine on the shortlist
-      "q320_rerank_eval" -> Seq("TakeOrderedAndProject", "graft_cosine"))
+      "q320_rerank_eval" -> Seq("TakeOrderedAndProject", "graft_cosine"),
+      // stored lexical index: the query terms' buckets land as a
+      // PARTITION filter on the postings scan
+      "q323_bm25_indexed" -> Seq("PartitionFilters: [bucket"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -630,6 +630,21 @@ object ExtensionQueries {
       graft.text.Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
         Bm25Terms)),
 
+    // ── the same BM25 through the STORED LEXICAL INDEX: base postings +
+    //    doc lengths written from the old 80%, the delta batch appended as
+    //    its own increment, the probe scan bucket-PRUNED by the query
+    //    terms — value-identical to q102 (shared oracle), so the lexical
+    //    index round-trip + append path is itself oracle-checked
+    "q323_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_lexidx")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+    }),
+
     // ── FILTERED ANN: top-3 under a metadata predicate (vec_id ≡ 0 mod 3,
     //    ~⅓ selectivity), nProbe=2 — the predicate applies INSIDE the two
     //    probed posting lists (never a post-filter of an unfiltered top-k,
@@ -1544,6 +1559,29 @@ object ExtensionQueries {
 
   // q53-style normalization (lowercase, strip control chars, collapse
   // whitespace) — the tokenization base for the BM25/BPE-encode oracles
+  /** The q102 BM25 replay — shared with q323, whose stored-index path is
+    * value-identical by the union-distributive sufficient-statistics
+    * contract. */
+  private lazy val bm25OracleSql: String =
+    s"""WITH $normCte,
+       |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+       |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tk),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT tk.doc_id, dls.dl, unnest(tk.w) AS term
+       |    FROM tk JOIN dls USING (doc_id))
+       |  WHERE term IN (${inList(Seq("join", "hash", "filter", "stream"))})
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT doc_id,
+       |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+       |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+       |FROM scored GROUP BY doc_id""".stripMargin
+
   private val normCte =
     raw"""nrm AS (SELECT doc_id,
        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
@@ -1778,25 +1816,10 @@ object ExtensionQueries {
          |SELECT s AS source, max(ns) AS n_tokens, count(*) AS n_terms,
          |  round(CAST(sum(term_v) AS DOUBLE), 6) AS kl_nats
          |FROM t GROUP BY 1""".stripMargin,
-    "q102_bm25" ->
-      s"""WITH $normCte,
-         |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
-         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tk),
-         |stats AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
-         |    SELECT tk.doc_id, dls.dl, unnest(tk.w) AS term
-         |    FROM tk JOIN dls USING (doc_id))
-         |  WHERE term IN (${inList(Seq("join", "hash", "filter", "stream"))})
-         |  GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (SELECT doc_id,
-         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
-         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
-         |SELECT doc_id, count(*) AS n_terms,
-         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
-         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q102_bm25" -> bm25OracleSql,
+    // stored-index BM25 ≡ from-scratch BM25 (the sufficient statistics
+    // are union-distributive over an append-only corpus)
+    "q323_bm25_indexed" -> bm25OracleSql,
     "q112_tfidf" ->
       s"""WITH $normCte,
          |tk AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term FROM nrm),

@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * AFTER its increment was folded would re-land its directory and
   * double-count — the same caveat `compactSignatureIndex` documents.
   */
-private[streaming] object Compaction {
+private[graft] object Compaction {
 
   /** Fold the current increments of the artifact rooted at `root` into a
     * new `base`. `fold(basePath, incrementPaths)` builds the merged frame

@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored LEXICAL index — the BM25 counterpart of the stored IVF vector
+  * index ([[graft.sim.Similarity.writeIvfIndex]]): the corpus's term
+  * postings live on disk, maintenance appends per-batch increments, and
+  * query-time scoring reads ONLY the partitions the query's terms hash to.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   meta/                         n_buckets (the term-hash partitioner)
+  *   postings/base/bucket=B/...    (term, doc_id, tf), term-hash-partitioned
+  *   postings/increments/batch=N/  same schema, one dir per ingested batch
+  *   doclens/base/                 (doc_id, dl) — BM25's length normalizer
+  *   doclens/increments/batch=N/
+  * }}}
+  *
+  * Why these statistics: (term, doc, tf) rows and (doc, dl) rows are the
+  * COMPLETE sufficient statistics of BM25 — df(term) counts postings rows,
+  * N counts doclens rows, avgdl averages dl — and for an append-only corpus
+  * they are union-distributive: a new batch contributes exactly its own
+  * rows and touches nothing (the [[graft.streaming.StreamingAnn]]
+  * frozen-centroid contract, with disjoint-row union instead of frozen
+  * assignment). So the maintained index scores IDENTICALLY to a
+  * from-scratch [[Retrieval.bm25]] over everything ingested — the q323
+  * oracle is q102's, shared — and a retried batch restates its own
+  * increment directory (never `mode(append)`, which would double rows).
+  *
+  * At 100 TB: the postings scan for a query is PARTITION PRUNING — the
+  * query's terms hash to a parameter-bounded bucket list pushed as an
+  * `isin` partition filter, so untouched term buckets never open (the
+  * [[Dedup.writeSignatureIndex]] trick on the lexical axis). Doclens is
+  * docs×12 B. Increment trees fold with [[compactIndex]]
+  * ([[graft.streaming.Compaction]]'s write-aside-and-swap, per root).
+  */
+object LexIndex {
+
+  /** Per-(term, doc) term frequencies of a doc batch — [[Retrieval.bm25]]'s
+    * tokenization verbatim (normalize → whitespace tokens); empty tokens
+    * are dropped (no query term is empty, and doc length comes from
+    * [[docLengths]], not from summing postings). */
+  def postings(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        explode(TextOps.tokens(TextOps.normalize(col(text)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token counts — `size` of the SAME token array [[Retrieval.bm25]]
+    * measures (empty tokens included, exactly as there). */
+  def docLengths(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      size(TextOps.tokens(TextOps.normalize(col(text)))).cast("long")
+        .as("dl"))
+
+  private def bucketOf(term: org.apache.spark.sql.Column,
+                       nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(TextOps.h64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Write the base index over a corpus. */
+  def writeIndex(docs: DataFrame, id: String, text: String, dir: String,
+                 nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    postings(docs, id, text)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings/base")
+    docLengths(docs, id, text)
+      .write.mode("overwrite").parquet(s"$dir/doclens/base")
+  }
+
+  /** Append one batch as its own increment directories — idempotent:
+    * a retried batch OVERWRITES exactly its own `batch=<id>` dirs
+    * (restatement, never duplication). */
+  def appendBatch(batch: DataFrame, id: String, text: String, dir: String,
+                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta")
+      .select("n_buckets").head().getInt(0)
+    val post = postings(batch, id, text)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    // an all-blank batch yields zero postings rows; writing the empty
+    // PARTITIONED frame would leave a file-less batch dir that breaks the
+    // union read (the appendSignatureIndex guard) — its doclens still
+    // land, so the docs count toward N/avgdl
+    if (!post.isEmpty)
+      post.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings/increments/batch=$batchId")
+    docLengths(batch, id, text)
+      .write.mode("overwrite")
+      .parquet(s"$dir/doclens/increments/batch=$batchId")
+  }
+
+  private def unionParts(spark: SparkSession, root: String,
+                         cols: Seq[String]): DataFrame = {
+    val incPath = new org.apache.hadoop.fs.Path(s"$root/increments")
+    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$root/base").select(cols.map(col): _*)
+    if (fs.exists(incPath))
+      base.unionByName(spark.read.parquet(s"$root/increments")
+        .select(cols.map(col): _*))
+    else base
+  }
+
+  /** The maintained postings (term, doc_id, tf, bucket): base + every
+    * increment. */
+  def readPostings(spark: SparkSession, dir: String): DataFrame =
+    unionParts(spark, s"$dir/postings",
+      Seq("term", "doc_id", "tf", "bucket"))
+
+  /** The maintained doc lengths (doc_id, dl): base + every increment. */
+  def readDocLens(spark: SparkSession, dir: String): DataFrame =
+    unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl"))
+
+  /** BM25 over the STORED index — value-identical to
+    * [[Retrieval.bm25]](everything ingested, `terms`) because the stored
+    * rows ARE that computation's sufficient statistics and the scoring
+    * tail is shared code ([[Retrieval.bm25Score]]).
+    *
+    * The postings scan is bucket-PRUNED: the query terms' buckets are a
+    * parameter-bounded driver list pushed as an `isin` partition filter
+    * (PartitionFilters, spec-asserted) — untouched term buckets never
+    * open. Doclens joins in per matching doc; corpus stats (N, avgdl)
+    * aggregate the doc-sized doclens frame. */
+  def bm25Indexed(spark: SparkSession, dir: String, terms: Seq[String],
+                  k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val nBuckets = spark.read.parquet(s"$dir/meta")
+      .select("n_buckets").head().getInt(0)
+    import spark.implicits._
+    // terms-bounded driver work: which buckets can hold the query terms
+    val buckets = terms.toDF("term")
+      .select(bucketOf(col("term"), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val dls = readDocLens(spark, dir)
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val tf = readPostings(spark, dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isin(terms: _*))
+      .join(dls, "doc_id")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    Retrieval.bm25Score(tf, "doc_id", stats, k1, b)
+  }
+
+  /** Fold both increment trees into new bases —
+    * [[graft.streaming.Compaction.foldIncrements]] per root; reads are
+    * identical before and after (union of disjoint rows is the read-path
+    * merge). Returns (postings increments folded, doclens increments
+    * folded); run between streams. */
+  def compactIndex(spark: SparkSession, dir: String): (Int, Int) = {
+    val p = graft.streaming.Compaction.foldIncrements(spark,
+        s"$dir/postings") { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(x => spark.read.parquet(x)
+          .select("term", "doc_id", "tf", "bucket"))
+        .reduce(_.unionByName(_))
+    } { (df, out) =>
+      df.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    }
+    val d = graft.streaming.Compaction.foldIncrements(spark,
+        s"$dir/doclens") { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(x => spark.read.parquet(x).select("doc_id", "dl"))
+        .reduce(_.unionByName(_))
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    (p, d)
+  }
+}

@@ -46,6 +46,15 @@ object Retrieval {
       .groupBy(col(id), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+    bm25Score(tf, id, stats, k1, b)
+  }
+
+  /** The BM25 scoring tail over a prepared (id, dl, term, tf) match frame
+    * and a 1-row (n_docs, avgdl) stats frame — shared verbatim by [[bm25]]
+    * (from-scratch) and [[LexIndex.bm25Indexed]] (stored postings), so the
+    * two paths are value-identical by construction. */
+  private[text] def bm25Score(tf: DataFrame, id: String, stats: DataFrame,
+                              k1: Double, b: Double): DataFrame = {
     // per-term document frequency (|terms| rows, broadcast back)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 

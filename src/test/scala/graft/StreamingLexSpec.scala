@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.{LexIndex, Retrieval}
+import graft.streaming.StreamingLex
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming lexical-index maintenance: the drained increments + base must
+  * score BM25 exactly like a from-scratch run over everything ingested
+  * (the sufficient statistics are union-distributive), restatement must
+  * not duplicate rows, compaction must not change a score, and the probe
+  * scan must carry a bucket partition filter. */
+class StreamingLexSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val terms = Seq("join", "hash", "filter", "stream")
+
+  test("drained stream index ≡ from-scratch BM25; restatement idempotent; " +
+       "compaction changes nothing; probe scan is bucket-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slex").toString
+    val in = s"$dir/in"; val idx = s"$dir/index"; val chk = s"$dir/chk"
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val batchA = docs.filter(col("doc_id") % 3 === 1)
+    val batchB = docs.filter(col("doc_id") % 3 === 2)
+    LexIndex.writeIndex(base, "doc_id", "text", idx)
+
+    batchA.write.parquet(in)
+    StreamingLex.lexSink(spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, chk).start().awaitTermination()
+    batchB.write.mode("append").parquet(in)
+    StreamingLex.lexSink(spark.readStream.schema(schema).parquet(in),
+      "doc_id", "text", idx, chk).start().awaitTermination()
+
+    def bmSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scratch = bmSet(Retrieval.bm25(docs, "doc_id", "text", terms))
+    assert(scratch.nonEmpty)
+    val viaIndex = bmSet(LexIndex.bm25Indexed(spark, idx, terms))
+    assert(viaIndex == scratch,
+      "maintained index must score exactly like from-scratch BM25")
+
+    // the probed postings scan prunes untouched term buckets
+    val nBuckets = spark.read.parquet(s"$idx/meta")
+      .select("n_buckets").head().getInt(0)
+    val plan = LexIndex.readPostings(spark, idx)
+      .filter(col("bucket").isInCollection(Seq(0, 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan)
+    assert(nBuckets == 64)
+
+    // restating batch 0 (same content, same directories) must not
+    // duplicate a row or move a score
+    LexIndex.appendBatch(batchA, "doc_id", "text", idx, batchId = 0L)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) == scratch,
+      "restated increment must restate, not duplicate")
+    assert(LexIndex.readDocLens(spark, idx).count() == docs.count())
+
+    // compaction folds both increment trees; scores identical, trees gone
+    val (pFolded, dFolded) = LexIndex.compactIndex(spark, idx)
+    assert(pFolded == 2 && dFolded == 2, s"folded ($pFolded, $dFolded)")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/postings/increments")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/doclens/increments")))
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) == scratch,
+      "compaction must not change a score")
+    assert(LexIndex.compactIndex(spark, idx) == ((0, 0)))
+  }
+}
