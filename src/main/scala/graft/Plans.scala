@@ -298,7 +298,11 @@ object Plans {
       "q320_rerank_eval" -> Seq("TakeOrderedAndProject", "graft_cosine"),
       // stored lexical index: the query terms' buckets land as a
       // PARTITION filter on the postings scan
-      "q323_bm25_indexed" -> Seq("PartitionFilters: [bucket"))
+      "q323_bm25_indexed" -> Seq("PartitionFilters: [bucket"),
+      // both-stages-stored hybrid eval: bucket-pruned lexical probe,
+      // bounded lexical cut, exact native cosine on the shortlist
+      "q324_hybrid_indexed" -> Seq("PartitionFilters: [bucket",
+        "TakeOrderedAndProject", "graft_cosine"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -830,6 +830,32 @@ object ExtensionQueries {
         nCand = 50, k = 5)
     }),
 
+    // ── the SAME hybrid eval with the lexical stage ALSO on a stored
+    //    artifact: BM25 candidates from the q323 lexical index (base on
+    //    80%, delta appended), vectors from the q312 vector index — the
+    //    whole retrieval stack runs off maintained on-disk state and is
+    //    value-identical to q320 (shared oracle)
+    "q324_hybrid_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val ldir = scratchDir("graft_lexhyb")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", ldir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", ldir, batchId = 0L)
+      val vdir = scratchDir("graft_ivfhyb")
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+          "embedding", cents), cents, vdir)
+      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", vdir)
+      val (post, _) = Similarity.readIvfIndex(s, vdir)
+      graft.text.Retrieval.rerankEvalIndexed(s, ldir, Bm25Terms,
+        post.select("vec_id", "v"), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nCand = 50, k = 5)
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -1559,6 +1585,68 @@ object ExtensionQueries {
 
   // q53-style normalization (lowercase, strip control chars, collapse
   // whitespace) — the tokenization base for the BM25/BPE-encode oracles
+  /** The q320 BM25→rerank→metrics replay — shared with q324, whose
+    * both-stages-stored path is value-identical by the index contracts. */
+  private lazy val rerankEvalOracleSql: String =
+      s"""WITH $normCte,
+         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
+         |    FROM tkb JOIN dls USING (doc_id))
+         |  WHERE term IN (${inList(Seq("join", "hash", "filter", "stream"))})
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         | FROM scored GROUP BY doc_id),
+         |cand AS (SELECT doc_id AS vec_id FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS rn FROM bmsc) WHERE rn <= 50),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |res AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, e.vec_id, $cosSql AS sim
+         |    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         |    WHERE e.vec_id != q.q_id))
+         | WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS frst,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
+         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_ndcg
+         |FROM pq""".stripMargin
+
   /** The q102 BM25 replay — shared with q323, whose stored-index path is
     * value-identical by the union-distributive sufficient-statistics
     * contract. */
@@ -2547,65 +2635,10 @@ object ExtensionQueries {
     // hybrid-stack retrieval eval: q102's BM25 chain picks 50 candidates,
     // exact-cosine rerank over only those, q266's metric tail scores the
     // reranked top-5 against the exhaustive q33 truth
-    "q320_rerank_eval" ->
-      s"""WITH $normCte,
-         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
-         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
-         |stats AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
-         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
-         |    FROM tkb JOIN dls USING (doc_id))
-         |  WHERE term IN (${inList(Seq("join", "hash", "filter", "stream"))})
-         |  GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (SELECT doc_id,
-         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
-         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
-         | FROM scored GROUP BY doc_id),
-         |cand AS (SELECT doc_id AS vec_id FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
-         |    AS rn FROM bmsc) WHERE rn <= 50),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-         |res AS (SELECT q_id, vec_id, rank FROM (
-         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) AS rank FROM (
-         |    SELECT q_id, e.vec_id, $cosSql AS sim
-         |    FROM e JOIN cand USING (vec_id) CROSS JOIN q
-         |    WHERE e.vec_id != q.q_id))
-         | WHERE rank <= 5),
-         |tru AS (SELECT q_id, vec_id, rank FROM (
-         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) AS rank FROM (
-         |    SELECT q_id, vec_id, $cosSql AS sim
-         |    FROM e, q WHERE vec_id != q_id))
-         | WHERE rank <= 5),
-         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
-         |idcg AS (SELECT nt.q_id,
-         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
-         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
-         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
-         |  min(r.rank) AS frst,
-         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
-         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
-         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
-         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
-         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
-         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
-         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
-         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
-         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
-         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
-         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_recall,
-         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_mrr,
-         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_ndcg
-         |FROM pq""".stripMargin,
+    "q320_rerank_eval" -> rerankEvalOracleSql,
+    // both stages on stored artifacts ≡ the from-scratch q320 chain
+    "q324_hybrid_indexed" -> rerankEvalOracleSql,
+
     // recluster replay: label quantizer -> full assign (the maintained
     // postings) -> fresh centroids from current cell means -> re-assign ->
     // route queries over the REFRESHED quantizer -> exact rank

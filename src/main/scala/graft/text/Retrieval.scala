@@ -161,17 +161,43 @@ object Retrieval {
   def rerankEval(docs: DataFrame, id: String, text: String,
                  terms: Seq[String], vectors: DataFrame,
                  queries: DataFrame, qid: String, emb: String,
-                 nCand: Int, k: Int): DataFrame = {
-    val spark = docs.sparkSession
+                 nCand: Int, k: Int): DataFrame =
+    rerankFrom(
+      bm25(docs, id, text, terms)
+        .orderBy(col("bm25").desc, col(id).asc).limit(nCand)
+        .select(col(id).as("vec_id")),
+      vectors, queries, qid, emb, k)
+
+  /** [[rerankEval]] with BOTH stages on STORED artifacts: the lexical
+    * candidates come from a [[LexIndex]] directory (bucket-pruned probe)
+    * and the vectors from the caller's stored posting lists — the whole
+    * hybrid stack evaluated without touching raw text or re-deriving an
+    * index. Value-identical to [[rerankEval]] over everything the lexical
+    * index ingested ([[LexIndex.bm25Indexed]]'s contract), so the q324
+    * oracle is q320's, shared. */
+  def rerankEvalIndexed(spark: org.apache.spark.sql.SparkSession,
+                        lexDir: String, terms: Seq[String],
+                        vectors: DataFrame, queries: DataFrame,
+                        qid: String, emb: String, nCand: Int,
+                        k: Int): DataFrame =
+    rerankFrom(
+      LexIndex.bm25Indexed(spark, lexDir, terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(nCand)
+        .select(col("doc_id").as("vec_id")),
+      vectors, queries, qid, emb, k)
+
+  /** The shared rerank + metrics tail: exact-cosine rerank of a bounded
+    * candidate id set against the stored vectors (nCand-bounded shortlist
+    * window — the adjudicated annPqRerank shape, never corpus-sized),
+    * scored against the extremeK-routed exhaustive truth. */
+  private def rerankFrom(cand: DataFrame, vectors: DataFrame,
+                         queries: DataFrame, qid: String, emb: String,
+                         k: Int): DataFrame = {
+    val spark = vectors.sparkSession
     graft.expressions.CosineSimilarity.register(spark)
-    val cand = bm25(docs, id, text, terms)
-      .orderBy(col("bm25").desc, col(id).asc).limit(nCand)
-      .select(col(id).as("vec_id"))
     val q = queries.select(col(qid).as("q_id"),
       graft.sim.Similarity.asDouble(emb).as("qv"))
     import org.apache.spark.sql.expressions.Window
-    // nCand-bounded partitions: the shortlist window is the adjudicated
-    // annPqRerank shape, never corpus-sized
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val res = cand.join(vectors.select(col("vec_id"), col("v")), "vec_id")
