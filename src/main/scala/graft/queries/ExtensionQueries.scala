@@ -836,20 +836,16 @@ object ExtensionQueries {
     //    whole retrieval stack runs off maintained on-disk state and is
     //    value-identical to q320 (shared oracle)
     "q324_hybrid_indexed" -> ((s, d) => {
+      // single-shot builds: the append paths are q323's / q312's claims;
+      // this query's claim is the eval running off the stored state
       val e = Tables.embeddings(s, d)
-      val docs = Tables.documents(s, d)
       val ldir = scratchDir("graft_lexhyb")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+      graft.text.LexIndex.writeIndex(Tables.documents(s, d),
         "doc_id", "text", ldir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", ldir, batchId = 0L)
       val vdir = scratchDir("graft_ivfhyb")
       val cents = Similarity.ivfCentroids(e, "label", "embedding")
       Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
-          "embedding", cents), cents, vdir)
-      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", vdir)
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, vdir)
       val (post, _) = Similarity.readIvfIndex(s, vdir)
       graft.text.Retrieval.rerankEvalIndexed(s, ldir, Bm25Terms,
         post.select("vec_id", "v"), e.filter(col("vec_id") < 10),
