@@ -383,6 +383,25 @@ object Similarity {
     spark.catalog.refreshByPath(dir)
   }
 
+  /** The closed drift loop on this layout (the
+    * [[graft.streaming.StreamingAnn.reclusterIfDrifted]] contract for
+    * batch-maintained indexes): read the [[ivfCellDrift]] report of the
+    * stored postings against the stored centroids; when any cell breaches
+    * `maxDrift` — or has drained to zero members (the NULL-drift row the
+    * report surfaces) — rebuild via [[reclusterIvfIndex]] and return
+    * true. Below threshold the index is untouched; the check costs one
+    * cells-sized aggregate over the postings. */
+  def reclusterIvfIndexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, maxDrift: Double): Boolean = {
+    val (post, cents) = readIvfIndex(spark, dir)
+    val breached = ivfCellDrift(
+        post.select(col("vec_id"), col("cell"), col("v")), cents)
+      .filter(col("n_members") === 0 || col("drift") > maxDrift)
+      .limit(1).count() > 0
+    if (breached) reclusterIvfIndex(spark, dir)
+    breached
+  }
+
   /** Search a stored ON-DISK index with static cell pruning: route the
     * queries against the (broadcast) centroids, collect the probed cell
     * ids — bounded by |queries|·nProbe, a parameter-sized driver set,

@@ -213,6 +213,18 @@ class AnnSpec extends SparkSpec {
     assert(after >= before,
       s"recall regressed across the rebuild: $before -> $after")
     truth.unpersist()
+
+    // the trigger arms on this layout: an impossible threshold leaves the
+    // freshly rebuilt index untouched; a certain one rebuilds again
+    val centsBefore = Similarity.readIvfIndex(spark, dir)._2
+      .collect().map(_.toString).sorted.toSeq
+    assert(!Similarity.reclusterIvfIndexIfDrifted(spark, dir,
+      maxDrift = 10.0))
+    assert(Similarity.readIvfIndex(spark, dir)._2
+      .collect().map(_.toString).sorted.toSeq == centsBefore,
+      "below threshold the stored quantizer must not move")
+    assert(Similarity.reclusterIvfIndexIfDrifted(spark, dir,
+      maxDrift = -1.0))
   }
 
   test("rankingMetrics: hand recall/MRR/nDCG battery with partial, " +
