@@ -76,4 +76,14 @@ class CuratePipelineSpec extends SparkSpec {
     val ids = kept.select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == (0 until 12).map(g => (g * 4).toLong))
   }
+
+  test("CurationDemo serving leg: build + append + fold + drift check + " +
+       "hybrid eval run entirely off the stored indexes") {
+    val m = graft.examples.CurationDemo
+      .runIndexLifecycle(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(m.length == 10, s"one metrics row per query: ${m.length}")
+    val macroRecall = m.head.getDouble(m.head.fieldIndex("macro_recall"))
+    assert(macroRecall > 0.0 && macroRecall <= 1.0, s"macro $macroRecall")
+  }
 }
