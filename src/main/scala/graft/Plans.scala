@@ -302,7 +302,10 @@ object Plans {
       // both-stages-stored hybrid eval: bucket-pruned lexical probe,
       // bounded lexical cut, exact native cosine on the shortlist
       "q324_hybrid_indexed" -> Seq("PartitionFilters: [bucket",
-        "TakeOrderedAndProject", "graft_cosine"))
+        "TakeOrderedAndProject", "graft_cosine"),
+      // compacted-store reads: counter merge / checkpointed selection
+      "q325_compacted_ddsketch" -> Seq("HashAggregate"),
+      "q326_compacted_ann_index" -> Seq("Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

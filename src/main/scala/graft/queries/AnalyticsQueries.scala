@@ -378,6 +378,30 @@ object AnalyticsQueries {
         Seq("o_orderpriority"))
     }),
 
+    // ── the COMPACTED maintained DDSketch store, oracle-checked: base +
+    //    two increments (orderkey mod 3) folded into a new base, then the
+    //    q308 read path over the compacted store — additivity makes the
+    //    fold invisible to the answer, and this query proves it at the
+    //    value level (the compaction specs pin it structurally)
+    "q325_compacted_ddsketch" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = ExtensionQueries.scratchDir("graft_cdd")
+      graft.streaming.StreamingSketch.writeBaseDdSketch(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "o_totalprice",
+        Seq("o_orderpriority"), dir)
+      Seq(1, 2).foreach(p =>
+        graft.ops.Stats.ddSketchBuckets(
+            o.filter(pmod(col("o_orderkey"), lit(3)) === p),
+            "o_totalprice", Seq("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$dir/increments/batch=$p"))
+      require(graft.streaming.StreamingSketch.compactDdSketch(s, dir,
+        Seq("o_orderpriority")) == 2, "both increments must fold")
+      graft.ops.Stats.ddSketchRead(
+        graft.streaming.StreamingSketch.readMergedDdSketch(s, dir,
+          Seq("o_orderpriority")),
+        Seq("o_orderpriority"))
+    }),
+
     // ── covariate balance (SMD) for the q274/q285 parity assignment:
     //    per-user spend / activity / breadth covariates, exact decimal
     //    moments, |SMD| < 0.1 is the standard "balanced" bar
@@ -1290,6 +1314,30 @@ object AnalyticsQueries {
       |  s.l + s.b
       | FROM st s JOIN idx i
       |   ON i.user_id = s.user_id AND i.rn = s.rn + 1)""".stripMargin
+
+  /** The q308 DDSketch replay — shared with q325, whose compacted store
+    * reads identically (counter addition is the merge everywhere). */
+  private lazy val ddSketchOracleSql: String = {
+      val (lnG, g, gp1) = graft.ops.Stats.ddSketchConsts(10)
+      s"""WITH b AS (SELECT o_orderpriority AS k,
+         |  CAST(ceil(ln(CAST(o_totalprice AS DOUBLE))
+         |    / CAST('$lnG' AS DOUBLE)) AS BIGINT) AS bkt
+         | FROM orders WHERE o_totalprice > 0),
+         |sk AS (SELECT k, bkt, CAST(count(*) AS BIGINT) AS c FROM b
+         | GROUP BY 1, 2),
+         |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k ORDER BY bkt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum,
+         |  CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM sk),
+         |est AS (SELECT *, round(2.0 * pow(CAST('$g' AS DOUBLE), bkt)
+         |    / CAST('$gp1' AS DOUBLE), 6) AS e FROM cm)
+         |SELECT k AS o_orderpriority, max(n) AS n,
+         | CAST(count(*) AS BIGINT) AS n_buckets,
+         | min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN e END) AS p50,
+         | min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN e END) AS p95,
+         | min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN e END) AS p99
+         |FROM est GROUP BY 1""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q42c_granger_sweep_f" -> grangerSweepOracleSql(5),
@@ -2347,27 +2395,11 @@ object AnalyticsQueries {
     // replays the ring-buffer recurrence with the seasonal state as a
     // DDSketch: the γ-constants are the SAME Scala doubles inlined as
     // string-cast literals; rank cutoffs pure integer ceil
-    "q308_ddsketch" -> {
-      val (lnG, g, gp1) = graft.ops.Stats.ddSketchConsts(10)
-      s"""WITH b AS (SELECT o_orderpriority AS k,
-         |  CAST(ceil(ln(CAST(o_totalprice AS DOUBLE))
-         |    / CAST('$lnG' AS DOUBLE)) AS BIGINT) AS bkt
-         | FROM orders WHERE o_totalprice > 0),
-         |sk AS (SELECT k, bkt, CAST(count(*) AS BIGINT) AS c FROM b
-         | GROUP BY 1, 2),
-         |cm AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k ORDER BY bkt
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum,
-         |  CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM sk),
-         |est AS (SELECT *, round(2.0 * pow(CAST('$g' AS DOUBLE), bkt)
-         |    / CAST('$gp1' AS DOUBLE), 6) AS e FROM cm)
-         |SELECT k AS o_orderpriority, max(n) AS n,
-         | CAST(count(*) AS BIGINT) AS n_buckets,
-         | min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN e END) AS p50,
-         | min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN e END) AS p95,
-         | min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN e END) AS p99
-         |FROM est GROUP BY 1""".stripMargin
-    },
+    "q308_ddsketch" -> ddSketchOracleSql,
+    // the compacted store reads identically — counter addition is the
+    // merge in both the fold and the read
+    "q325_compacted_ddsketch" -> ddSketchOracleSql,
+
     // DDSketch merge: per-parity shard bucket counts summed, then the
     // identical q308 cumulative-rank read
     "q311_ddsketch_merge" -> {

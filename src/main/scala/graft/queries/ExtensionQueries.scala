@@ -33,7 +33,7 @@ object ExtensionQueries {
   /** Scratch directory for stored-index round-trip queries, deleted
     * recursively at JVM exit — repeated verify/bench runs must not
     * accumulate orphaned index trees in /tmp. */
-  private def scratchDir(prefix: String): String = {
+  private[queries] def scratchDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
@@ -807,6 +807,29 @@ object ExtensionQueries {
       Similarity.reclusterIvfIndex(s, dir)
       Similarity.annIvfIndexed(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nProbe = 2)
+    }),
+
+    // ── the COMPACTED maintained ANN store, oracle-checked: streaming
+    //    layout (base on 90% under its own label centroids, the delta as
+    //    an increment), increments folded into a new base, then the
+    //    search over the compacted store — assignment under frozen
+    //    centroids distributes over union, and this proves it at the
+    //    value level through the fold
+    "q326_compacted_ann_index" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_cann")
+      graft.streaming.StreamingAnn.writeBaseIndex(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        "label", dir)
+      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
+          "embedding", s.read.parquet(s"$dir/centroids"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/increments/batch=0")
+      require(graft.streaming.StreamingAnn.compactIndex(s, dir) == 1,
+        "the increment must fold")
+      graft.streaming.StreamingAnn.search(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nProbe = 2)
     }),
 
     // ── END-TO-END RETRIEVAL QUALITY of the maintained index: BM25 picks
@@ -2634,6 +2657,27 @@ object ExtensionQueries {
     "q320_rerank_eval" -> rerankEvalOracleSql,
     // both stages on stored artifacts ≡ the from-scratch q320 chain
     "q324_hybrid_indexed" -> rerankEvalOracleSql,
+    // compacted-store search: q264's replay with the quantizer learned on
+    // the base shard only (writeBaseIndex's contract)
+    "q326_compacted_ann_index" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) WHERE vec_id % 10 != 0
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |sc AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
 
     // recluster replay: label quantizer -> full assign (the maintained
     // postings) -> fresh centroids from current cell means -> re-assign ->
