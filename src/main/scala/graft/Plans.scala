@@ -170,15 +170,18 @@ object Plans {
       "q258_louvain_hier" -> Seq("Scan ExistingRDD"),
       // incremental LM: count-table merge is union + partial-agg sum
       "q259_lm_incremental" -> Seq("HashAggregate", "Union"),
-      // ANN join: native fused cosine on cell-routed candidates; top-k
-      // windows partition per query vector
-      "q260_ann_join" -> Seq("graft_cosine", "Window"),
+      // ANN join: per-query selection is the binned extremeK over the
+      // lazily-checkpointed scored candidate frame (no raw rank window —
+      // a hot cell would otherwise sort |cell| rows in one task per
+      // probing vector); routing's nProbe window stays inside the RDD
+      "q260_ann_join" -> Seq("Scan ExistingRDD"),
       // snapshot diff: one join on the key, no cartesian anywhere
       "q261_snapshot_diff" -> Seq("Join", "!NestedLoopJoin"),
       // PSI: the 9-fence lattice broadcasts onto both scans
       "q262_psi_drift" -> Seq("BroadcastNestedLoopJoin"),
-      // near-dup pairs / incremental index: fused cosine + broadcast routing
-      "q263_semdedup_pairs" -> Seq("graft_cosine"),
+      // near-dup pairs: composes annJoin — scored frame checkpointed,
+      // fused cosine runs inside the RDD lineage
+      "q263_semdedup_pairs" -> Seq("Scan ExistingRDD"),
       "q264_ann_incremental" -> Seq("Scan ExistingRDD"),
       // semantic clusters: label propagation reads checkpointed RDDs
       "q265_semantic_clusters" -> Seq("Scan ExistingRDD"),

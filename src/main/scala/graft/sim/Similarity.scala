@@ -600,8 +600,11 @@ object Similarity {
     * pair work is Σ_cells |probes into cell|·|cell| — cell-bucketed, never
     * the N² cross join. The cid join is shuffle-hash on the cell key (both
     * sides corpus-sized — nothing broadcasts), so cells should number
-    * ~√N at scale for both balance and candidate bound; the top-k window
-    * partitions per query vector (parallelism = N).
+    * ~√N at scale for both balance and candidate bound; the per-query
+    * selection rides [[topKPerQuery]]'s binned two-pass extremeK — a raw
+    * rank window would land every candidate of a query in ONE sorting
+    * task, and a skewed hot cell repeats that |cell|-row sort for every
+    * vector probing it.
     *
     * Deterministic like [[annIvf]] (quantized exact-mean centroids,
     * rounded sims, id tie-breaks) — the q260 oracle replays routing,
@@ -623,12 +626,11 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rn") <= nProbe)
       .select("q_id", "qv", "cid")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    base.join(routed, Seq("cid"))
+    val cand = base.join(routed, Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
       .select("q_id", "vec_id", "sim", "rank")
   }
 

@@ -1,12 +1,13 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared fold-increments-into-a-new-base protocol for the maintained
   * parquet artifacts ([[StreamingAnn]] posting lists, [[StreamingSketch]]
-  * count-min and DDSketch counters, [[StreamingLm]] bigram counts — the
-  * same write-aside-and-swap scheme as
-  * [[graft.text.Dedup.compactSignatureIndex]]).
+  * count-min and DDSketch counters, [[StreamingLm]] bigram counts,
+  * [[graft.text.LexIndex]] postings/doclens — the same write-aside-and-swap
+  * scheme as [[graft.text.Dedup.compactSignatureIndex]]).
   *
   * Why it exists: every foreachBatch sink in this family lands one
   * `increments/batch=<id>` directory per micro-batch, forever — correct
@@ -14,61 +15,179 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * path's file listing and union width grow linearly with batch count; at
   * hourly cadence a reader unions thousands of directories within months.
   *
-  * Protocol, restatement-safe by construction:
-  *  1. snapshot the `increments/batch=*` directories present NOW — a batch
-  *     that lands mid-compaction is simply not folded this round;
-  *  2. compute the folded frame from base ∪ snapshot (each family's own
-  *     merge — the very contract its read path already applies, so
+  * Protocol — crash-safe and replay-safe by MECHANISM, not convention:
+  *  1. [[recover]] first: converge any interrupted swap (below) so the
+  *     preconditions of this run's renames hold;
+  *  2. snapshot the `increments/batch=<id>` directories present NOW and
+  *     DROP the stale ones — `id <= foldedWatermark(base)` means a prior
+  *     fold already owns that batch's rows (its delete never ran, or a
+  *     retried batch re-landed the directory after the fold) — deleting
+  *     them instead of folding is what makes a rerun single-count;
+  *  3. compute the folded frame from base ∪ fresh snapshot (each family's
+  *     own merge — the very contract its read path already applies, so
   *     read-before ≡ read-after is an identity, spec-pinned per family);
-  *  3. write it to `base_compact`, then swap: base → base_old,
-  *     base_compact → base, delete base_old — a crash at any step leaves
-  *     either the original base+increments or the new base readable,
-  *     never neither;
-  *  4. delete ONLY the folded snapshot directories (later increments stay),
-  *     and the `increments/` dir itself once empty.
+  *  4. write it to `base_compact` and stamp the new watermark (max folded
+  *     batch id) INSIDE it as `_folded_watermark` (underscore-prefixed →
+  *     invisible to parquet readers) — the watermark travels with the
+  *     base through the rename, atomically;
+  *  5. swap with CHECKED renames (fail fast on a false return): base →
+  *     base_old, base_compact → base, delete base_old;
+  *  6. delete ONLY the folded snapshot directories (later increments
+  *     stay), and the `increments/` dir itself once empty.
+  *
+  * Crash matrix (every state converges under [[recover]] + the watermark):
+  *  - during/after the base_compact write, before the swap → recover
+  *    deletes the (possibly torn) `base_compact`; original intact;
+  *  - between rename(base→base_old) and rename(base_compact→base) → base
+  *    absent + base_old present: recover restores base_old → base and
+  *    deletes base_compact; original intact (the state ADVICE r12 showed
+  *    would otherwise lose the base to a naive rerun);
+  *  - after rename(base_compact→base), before delete(base_old) → both
+  *    present: the NEW base is live (it carries the watermark); recover
+  *    deletes base_old;
+  *  - after the swap, before/mid increment deletes → the folded
+  *    increments survive on disk but carry `id <= watermark`, so the next
+  *    run (or [[StreamingMerge.dropIfFolded]]-guarded sink) deletes
+  *    instead of double-counting them.
   *
   * Run it when no stream is mid-batch (this family's sinks use
-  * AvailableNow triggers, which terminate between runs): a batch retried
-  * AFTER its increment was folded would re-land its directory and
-  * double-count — the same caveat `compactSignatureIndex` documents.
+  * AvailableNow triggers, which terminate between runs); the watermark
+  * guard makes even a violated discipline single-count as long as batch
+  * ids are the monotone foreachBatch ids (they are).
   */
 private[graft] object Compaction {
+
+  /** Name of the watermark stamp inside a base directory. Underscore
+    * prefix: parquet readers ignore it as a hidden file. */
+  private val WmFile = "_folded_watermark"
+
+  private def fsFor(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Max batch id ever folded into `root`'s base; -1 when no fold has
+    * happened (or no base exists). Sinks use it via
+    * [[StreamingMerge.dropIfFolded]] to drop replayed batches. */
+  def foldedWatermark(spark: SparkSession, root: String): Long =
+    readWm(fsFor(spark, root), new Path(s"$root/base"))
+
+  private def readWm(fs: FileSystem, baseDir: Path): Long = {
+    val p = new Path(baseDir, WmFile)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  private def writeWm(fs: FileSystem, baseDir: Path, wm: Long): Unit = {
+    val out = fs.create(new Path(baseDir, WmFile), true)
+    try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Checked rename: Hadoop's rename reports failure as a boolean (dest
+    * exists, source missing, FS error) — a silent no-op here is what turns
+    * the later deletes destructive, so fail fast instead. */
+  private def mv(fs: FileSystem, src: Path, dst: Path): Unit = {
+    require(!fs.exists(dst), s"compaction swap: $dst already exists")
+    require(fs.rename(src, dst), s"compaction swap: rename $src -> $dst failed")
+  }
+
+  /** Converge any interrupted swap under `root` to a readable state (the
+    * crash matrix in the object doc). Safe to call any time no fold is
+    * concurrently running; [[foldIncrements]] always calls it on entry. */
+  private[streaming] def recover(spark: SparkSession, root: String): Unit = {
+    val fs = fsFor(spark, root)
+    val base = new Path(s"$root/base")
+    val old = new Path(s"$root/base_old")
+    val compact = new Path(s"$root/base_compact")
+    if (fs.exists(old)) {
+      if (fs.exists(base)) {
+        // crash after the promote: the new base is live; drop the old copy
+        fs.delete(old, true)
+      } else {
+        // crash mid-swap: the original base IS base_old — restore it
+        require(fs.rename(old, base),
+          s"compaction recover: rename $old -> $base failed")
+      }
+    }
+    // a write-aside that never got promoted (possibly torn) — discard;
+    // the original base + increments are intact and a rerun refolds them
+    if (fs.exists(compact)) fs.delete(compact, true)
+  }
 
   /** Fold the current increments of the artifact rooted at `root` into a
     * new `base`. `fold(basePath, incrementPaths)` builds the merged frame
     * (basePath is None when no base exists yet); `write(df, outPath)`
     * materializes it with the family's layout (partitioning etc.).
     * Returns the number of increment directories folded (0 = nothing to
-    * do, the artifact is untouched). */
+    * do, the artifact is untouched — stale replayed increments may still
+    * have been dropped). */
   def foldIncrements(spark: SparkSession, root: String)
                     (fold: (Option[String], Seq[String]) => DataFrame)
                     (write: (DataFrame, String) => Unit): Int = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, root)
+    recover(spark, root)
     val incDir = new Path(s"$root/increments")
     if (!fs.exists(incDir)) return 0
-    val batches = fs.listStatus(incDir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq.sorted
-    if (batches.isEmpty) return 0
     val baseP = new Path(s"$root/base")
+    val wm = readWm(fs, baseP)
+    val ids = fs.listStatus(incDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(n => n.stripPrefix("batch=").toLong).toSeq.sorted
+    // id <= watermark: a prior fold owns these rows (its delete never ran,
+    // or a retried batch re-landed after the fold) — drop, don't refold
+    val (stale, fresh) = ids.partition(_ <= wm)
+    stale.foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
+    if (fresh.isEmpty) {
+      if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true)
+      return 0
+    }
     val base = if (fs.exists(baseP)) Some(s"$root/base") else None
     // the shared FileStatusCache may hold listings from earlier reads of
     // these paths (a restated increment rewrites its part files under the
     // same directory) — refresh before folding and again after the swap,
     // or readers chase deleted part files
     spark.catalog.refreshByPath(root)
-    write(fold(base, batches.map(b => s"$root/increments/$b")),
-      s"$root/base_compact")
+    val compactP = new Path(s"$root/base_compact")
+    write(fold(base, fresh.map(b => s"$root/increments/batch=$b")),
+      compactP.toString)
+    writeWm(fs, compactP, math.max(wm, fresh.max))
     val oldP = new Path(s"$root/base_old")
-    if (fs.exists(baseP)) { fs.rename(baseP, oldP); () }
-    fs.rename(new Path(s"$root/base_compact"), baseP)
+    if (fs.exists(baseP)) mv(fs, baseP, oldP)
+    mv(fs, compactP, baseP)
     fs.delete(oldP, true)
-    batches.foreach(b => fs.delete(new Path(s"$root/increments/$b"), true))
+    fresh.foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
     // drop the dir itself once empty so exists-checks in the readers stay
     // cheap and a bare dir can't trip schema inference
     if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true)
     spark.catalog.refreshByPath(root)
-    batches.size
+    fresh.size
+  }
+
+  /** Count of increment directories currently under `root` — the trigger
+    * signal for [[compactIfNeeded]]. */
+  def incrementCount(spark: SparkSession, root: String): Int = {
+    val fs = fsFor(spark, root)
+    val incDir = new Path(s"$root/increments")
+    if (!fs.exists(incDir)) 0
+    else fs.listStatus(incDir).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
+  /** The operational trigger the drift loop already has
+    * (`reclusterIvfIndexIfDrifted`) applied to compaction: fold iff more
+    * than `maxIncrements` increment directories have accumulated,
+    * otherwise leave the artifact untouched (0). One cheap directory
+    * listing below threshold — call it after every stream run and the
+    * read-side union width stays bounded by construction. */
+  def compactIfNeeded(spark: SparkSession, root: String, maxIncrements: Int)
+                     (fold: (Option[String], Seq[String]) => DataFrame)
+                     (write: (DataFrame, String) => Unit): Int = {
+    require(maxIncrements >= 0, s"maxIncrements must be >= 0, got $maxIncrements")
+    if (incrementCount(spark, root) > maxIncrements)
+      foldIncrements(spark, root)(fold)(write)
+    else 0
   }
 }

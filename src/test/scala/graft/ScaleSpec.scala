@@ -501,4 +501,63 @@ class ScaleSpec extends SparkSpec {
       corpus.unpersist()
     }
   }
+
+  test("annJoin: a hot cell never lands a per-query sort on one task " +
+       "(extremeK-routed top-k) and matches the naive window") {
+    // corpus-wide join shape: EVERY vector is a query, and with 90% of
+    // the corpus in one hot cell each hot vector's candidate set is the
+    // whole hot cell — a raw rank window repeats a |cell|-row single-task
+    // sort per probing vector; extremeK's passes spread the scored frame
+    // and the final sort sees ~k + |cell|/bins rows per query.
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val n = 2000
+    val hot = (n * 9) / 10
+    val corpus = spark.range(n).select(col("id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(pmod(id * (j * 2654435761L + 97) + j * j, 1000) " +
+          "AS DOUBLE) / 1000.0)").as("emb"),
+        when(col("id") % 10 < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(9)) + 1).as("cell"))
+      .repartition(8).cache()
+    corpus.count()
+    val fast = Similarity.annJoin(corpus, "id", "emb", "cell",
+      k = 5, nProbe = 1)
+    val naive = {
+      graft.expressions.CosineSimilarity.register(spark)
+      val base = corpus.select(col("id").as("vec_id"), col("cell").as("cid"),
+        Similarity.asDouble("emb").as("v"))
+      val centroids = Similarity.ivfCentroids(base, "cid", "v")
+      val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("rn") <= 1).select("q_id", "qv", "cid")
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      base.join(routed, Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("q_id", "vec_id", "sim", "rank")
+    }
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "annJoin must match the per-query rank window row-for-row")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val rec = maxTaskShuffleRead("scalespec-annjoin") {
+        Similarity.annJoin(corpus, "id", "emb", "cell", k = 5, nProbe = 1)
+          .write.mode("overwrite").format("noop").save()
+      }
+      // naive shape: hot² candidate rows hash-spread over 32 tasks puts
+      // ~hot²/32 ≈ 56·hot rows in one sorting task; the binned selection
+      // must stay an order of magnitude below that
+      assert(rec < hot * 10L,
+        s"annJoin: a single task read $rec rows (hot cell = $hot)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      corpus.unpersist()
+    }
+  }
 }
