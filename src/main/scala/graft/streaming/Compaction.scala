@@ -46,9 +46,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    present: the NEW base is live (it carries the watermark); recover
   *    deletes base_old;
   *  - after the swap, before/mid increment deletes → the folded
-  *    increments survive on disk but carry `id <= watermark`, so the next
-  *    run (or [[StreamingMerge.dropIfFolded]]-guarded sink) deletes
-  *    instead of double-counting them.
+  *    increments survive on disk but carry `id <= watermark`, so readers
+  *    PRUNE them (every family's read path filters the `batch` partition
+  *    column against [[foldedWatermark]] — stale dirs never even open),
+  *    sinks drop a replayed landing ([[isFolded]]), and the next fold
+  *    deletes instead of double-counting them.
   *
   * Run it when no stream is mid-batch (this family's sinks use
   * AvailableNow triggers, which terminate between runs); the watermark
@@ -65,10 +67,21 @@ private[graft] object Compaction {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Max batch id ever folded into `root`'s base; -1 when no fold has
-    * happened (or no base exists). Sinks use it via
-    * [[StreamingMerge.dropIfFolded]] to drop replayed batches. */
-  def foldedWatermark(spark: SparkSession, root: String): Long =
-    readWm(fsFor(spark, root), new Path(s"$root/base"))
+    * happened (or no base exists). `baseName` is the live directory's
+    * name under `root` ("base" for the streaming artifacts, "bands" for
+    * the dedup signature index). Readers prune `batch <= watermark`
+    * increment directories; sinks drop replayed landings via
+    * [[isFolded]]. */
+  def foldedWatermark(spark: SparkSession, root: String,
+                      baseName: String = "base"): Long =
+    readWm(fsFor(spark, root), new Path(s"$root/$baseName"))
+
+  /** True iff `batchId`'s rows are already owned by `root`'s base — the
+    * sink-side replay guard: a batch retried AFTER its increment was
+    * folded must NOT re-land its directory. */
+  def isFolded(spark: SparkSession, root: String, batchId: Long,
+               baseName: String = "base"): Boolean =
+    batchId <= foldedWatermark(spark, root, baseName)
 
   private def readWm(fs: FileSystem, baseDir: Path): Long = {
     val p = new Path(baseDir, WmFile)
@@ -86,6 +99,37 @@ private[graft] object Compaction {
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Stamp a freshly-written sibling (e.g. a recluster's `base_new`) with
+    * the watermark it subsumes, BEFORE it is promoted — the stamp travels
+    * with the directory through the rename, atomically. */
+  private[graft] def stampWatermark(spark: SparkSession, dir: String,
+                                    wm: Long): Unit =
+    writeWm(fsFor(spark, dir), new Path(dir), wm)
+
+  /** Batch ids of the increment directories currently under `root`. */
+  private[graft] def incrementIds(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val incDir = new Path(s"$root/increments")
+    if (!fs.exists(incDir)) Nil
+    else fs.listStatus(incDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).toSeq.sorted
+  }
+
+  /** Delete the increment directories with id <= `wm` (and the
+    * `increments/` dir itself once empty) — the post-promote cleanup of a
+    * recluster; idempotent, and a crash mid-way is covered by the
+    * read-time watermark prune. */
+  private[graft] def dropFoldedIncrements(spark: SparkSession, root: String,
+                                          wm: Long): Unit = {
+    val fs = fsFor(spark, root)
+    val incDir = new Path(s"$root/increments")
+    if (!fs.exists(incDir)) return
+    incrementIds(spark, root).filter(_ <= wm)
+      .foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
+    if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true): Unit
+  }
+
   /** Checked rename: Hadoop's rename reports failure as a boolean (dest
     * exists, source missing, FS error) — a silent no-op here is what turns
     * the later deletes destructive, so fail fast instead. */
@@ -97,11 +141,12 @@ private[graft] object Compaction {
   /** Converge any interrupted swap under `root` to a readable state (the
     * crash matrix in the object doc). Safe to call any time no fold is
     * concurrently running; [[foldIncrements]] always calls it on entry. */
-  private[streaming] def recover(spark: SparkSession, root: String): Unit = {
+  private[graft] def recover(spark: SparkSession, root: String,
+                             baseName: String = "base"): Unit = {
     val fs = fsFor(spark, root)
-    val base = new Path(s"$root/base")
-    val old = new Path(s"$root/base_old")
-    val compact = new Path(s"$root/base_compact")
+    val base = new Path(s"$root/$baseName")
+    val old = new Path(s"$root/${baseName}_old")
+    val compact = new Path(s"$root/${baseName}_compact")
     if (fs.exists(old)) {
       if (fs.exists(base)) {
         // crash after the promote: the new base is live; drop the old copy
@@ -124,14 +169,18 @@ private[graft] object Compaction {
     * Returns the number of increment directories folded (0 = nothing to
     * do, the artifact is untouched — stale replayed increments may still
     * have been dropped). */
-  def foldIncrements(spark: SparkSession, root: String)
+  def foldIncrements(spark: SparkSession, root: String,
+                     baseName: String = "base")
                     (fold: (Option[String], Seq[String]) => DataFrame)
                     (write: (DataFrame, String) => Unit): Int = {
     val fs = fsFor(spark, root)
-    recover(spark, root)
+    // a half-finished PROMOTE (recluster family) must converge before the
+    // fold reads base — otherwise the fold snapshots a torn layout
+    recoverPromote(spark, root)
+    recover(spark, root, baseName)
     val incDir = new Path(s"$root/increments")
     if (!fs.exists(incDir)) return 0
-    val baseP = new Path(s"$root/base")
+    val baseP = new Path(s"$root/$baseName")
     val wm = readWm(fs, baseP)
     val ids = fs.listStatus(incDir).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch="))
@@ -144,17 +193,17 @@ private[graft] object Compaction {
       if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true)
       return 0
     }
-    val base = if (fs.exists(baseP)) Some(s"$root/base") else None
+    val base = if (fs.exists(baseP)) Some(s"$root/$baseName") else None
     // the shared FileStatusCache may hold listings from earlier reads of
     // these paths (a restated increment rewrites its part files under the
     // same directory) — refresh before folding and again after the swap,
     // or readers chase deleted part files
     spark.catalog.refreshByPath(root)
-    val compactP = new Path(s"$root/base_compact")
+    val compactP = new Path(s"$root/${baseName}_compact")
     write(fold(base, fresh.map(b => s"$root/increments/batch=$b")),
       compactP.toString)
     writeWm(fs, compactP, math.max(wm, fresh.max))
-    val oldP = new Path(s"$root/base_old")
+    val oldP = new Path(s"$root/${baseName}_old")
     if (fs.exists(baseP)) mv(fs, baseP, oldP)
     mv(fs, compactP, baseP)
     fs.delete(oldP, true)
@@ -182,12 +231,103 @@ private[graft] object Compaction {
     * otherwise leave the artifact untouched (0). One cheap directory
     * listing below threshold — call it after every stream run and the
     * read-side union width stays bounded by construction. */
-  def compactIfNeeded(spark: SparkSession, root: String, maxIncrements: Int)
+  def compactIfNeeded(spark: SparkSession, root: String, maxIncrements: Int,
+                      baseName: String = "base")
                      (fold: (Option[String], Seq[String]) => DataFrame)
                      (write: (DataFrame, String) => Unit): Int = {
     require(maxIncrements >= 0, s"maxIncrements must be >= 0, got $maxIncrements")
     if (incrementCount(spark, root) > maxIncrements)
-      foldIncrements(spark, root)(fold)(write)
+      foldIncrements(spark, root, baseName)(fold)(write)
     else 0
+  }
+
+  // ── multi-directory promote: the recluster family swaps SEVERAL live
+  //    dirs (centroids + postings) that must flip together — two
+  //    independent rename pairs leave fresh centroids routing over old
+  //    posting lists if a crash lands between them. The commit point here
+  //    is ONE atomic file create; recovery rolls forward past it and
+  //    rolls back before it, so the artifact set is always EITHER all-old
+  //    or all-new after [[recoverPromote]] runs.
+
+  /** Marker carrying the promote's name list (root-relative). */
+  private val PendingFile = "_promote_pending"
+
+  /** Atomically promote `$root/<name>_new` over `$root/<name>` for every
+    * name, with checked renames and a single-file commit point:
+    *  1. [[recoverPromote]] (converge any earlier crash — preconditions);
+    *  2. require every `<name>_new` present;
+    *  3. create `$root/_promote_pending` listing the names — THE commit:
+    *     before it exists a crash discards the `_new` dirs, after it
+    *     exists recovery completes the promote;
+    *  4. per name: rename live → `<name>_old`, `<name>_new` → live;
+    *  5. delete the `_old` dirs, then the marker.
+    * Callers delete subsumed increments AFTER promote returns — a crash
+    * before those deletes is covered by the read-time watermark prune,
+    * never by double-counting. */
+  private[graft] def promote(spark: SparkSession, root: String,
+                             names: Seq[String]): Unit = {
+    require(names.nonEmpty, "promote needs at least one directory name")
+    val fs = fsFor(spark, root)
+    // converge any interrupted EARLIER promote, but keep the _new dirs —
+    // they are this call's freshly-written payload
+    recoverPromote(spark, root, dropUncommittedNew = false)
+    names.foreach { n =>
+      require(fs.exists(new Path(s"$root/${n}_new")),
+        s"promote: $root/${n}_new is missing")
+    }
+    val marker = new Path(s"$root/$PendingFile")
+    val out = fs.create(marker, false) // atomic create, fail if present
+    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    names.foreach { n =>
+      val live = new Path(s"$root/$n")
+      if (fs.exists(live)) mv(fs, live, new Path(s"$root/${n}_old"))
+      mv(fs, new Path(s"$root/${n}_new"), live)
+    }
+    names.foreach(n => fs.delete(new Path(s"$root/${n}_old"), true))
+    fs.delete(marker, false): Unit
+  }
+
+  /** Converge an interrupted [[promote]]: marker present → roll FORWARD
+    * (finish each name's swap, delete `_old` dirs and the marker); marker
+    * absent → roll BACK (leftover `_new` dirs from a pre-commit crash are
+    * discarded unless `dropUncommittedNew` is false — [[promote]] passes
+    * false because the `_new` dirs are its own payload). `_old` dirs with
+    * no marker are NEVER touched here: `<base>_old` may belong to an
+    * interrupted [[foldIncrements]] swap, whose [[recover]] is the one
+    * that knows whether it is the only live copy. Call on entry of any
+    * maintenance op — and at reader startup after an unclean shutdown —
+    * before trusting the layout. */
+  private[graft] def recoverPromote(spark: SparkSession, root: String,
+                                    dropUncommittedNew: Boolean = true): Unit = {
+    val fs = fsFor(spark, root)
+    val marker = new Path(s"$root/$PendingFile")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      names.foreach { n =>
+        val live = new Path(s"$root/$n")
+        val nw = new Path(s"$root/${n}_new")
+        val old = new Path(s"$root/${n}_old")
+        if (fs.exists(nw)) {
+          // this name's swap did not finish — complete it
+          if (fs.exists(live)) {
+            require(!fs.exists(old), s"recoverPromote: both $live and $old " +
+              s"exist with ${nw} pending — layout needs manual inspection")
+            mv(fs, live, old)
+          }
+          mv(fs, nw, live)
+        }
+        // swap done (or just completed): the old copy is garbage
+        fs.delete(old, true)
+      }
+      fs.delete(marker, false)
+    } else if (dropUncommittedNew) {
+      // pre-commit crash: _new dirs are unpromoted garbage, discard
+      val st = if (fs.exists(new Path(root))) fs.listStatus(new Path(root))
+               else Array.empty[org.apache.hadoop.fs.FileStatus]
+      st.filter(s => s.isDirectory && s.getPath.getName.endsWith("_new"))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
   }
 }

@@ -42,7 +42,11 @@ object StreamingAnn {
               checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // a batch replayed AFTER compaction folded its increment would
+        // re-land rows the base already owns — drop it (the mechanical
+        // guard; the read-time watermark prune is the backstop)
+        if (!Compaction.isFolded(batch.sparkSession, indexPath, batchId) &&
+            !batch.isEmpty) {
           val cents = batch.sparkSession.read
             .parquet(s"$indexPath/centroids")
           Similarity.ivfAssign(batch, id, emb, cents)
@@ -53,7 +57,10 @@ object StreamingAnn {
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
 
-  /** The maintained posting lists: base plus every increment. */
+  /** The maintained posting lists: base plus every LIVE increment — the
+    * `batch` partition column prunes directories at or below the folded
+    * watermark (a fold or recluster that crashed before its increment
+    * deletes leaves them on disk; they must not double-count). */
   def readPostings(spark: SparkSession, indexPath: String): DataFrame = {
     val incPath =
       new org.apache.hadoop.fs.Path(s"$indexPath/increments")
@@ -62,6 +69,7 @@ object StreamingAnn {
       .select("vec_id", "v", "cell")
     if (fs.exists(incPath))
       base.unionByName(spark.read.parquet(s"$indexPath/increments")
+        .filter(col("batch") > Compaction.foldedWatermark(spark, indexPath))
         .select("vec_id", "v", "cell"))
     else base
   }
@@ -80,10 +88,20 @@ object StreamingAnn {
     * means of each live cell over base ∪ increments, every ingested
     * vector re-assigns to them, the result lands as a new base, and the
     * increments RESTART (they encoded assignments under the old quantizer;
-    * the fold subsumes them). Write-aside-and-swap; run between streams. */
+    * the rebuild subsumes them). Centroids and base must flip TOGETHER —
+    * fresh centroids routing over old posting lists silently degrades
+    * every search — so the swap is [[Compaction.promote]]'s single-marker
+    * commit: checked renames, roll-forward/roll-back recovery, and the
+    * subsumed increments are dropped AFTER the promote under the folded
+    * watermark stamped into the new base (a crash before the deletes is
+    * covered by [[readPostings]]'s read-time prune, never double-counted).
+    * Run between streams. */
   def reclusterIndex(spark: SparkSession, indexPath: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    Compaction.recoverPromote(spark, indexPath)
+    Compaction.recover(spark, indexPath)
     spark.catalog.refreshByPath(indexPath)
+    val prevWm = Compaction.foldedWatermark(spark, indexPath)
+    val subsumedWm = (prevWm +: Compaction.incrementIds(spark, indexPath)).max
     val members = readPostings(spark, indexPath)
     Similarity.ivfCentroids(members, "cell", "v")
       .write.mode("overwrite").parquet(s"$indexPath/centroids_new")
@@ -91,17 +109,9 @@ object StreamingAnn {
         spark.read.parquet(s"$indexPath/centroids_new"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/base_new")
-    val fs = new Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String): Unit = {
-      val live = new Path(s"$indexPath/$name")
-      val old = new Path(s"$indexPath/${name}_old")
-      fs.rename(live, old)
-      fs.rename(new Path(s"$indexPath/${name}_new"), live)
-      fs.delete(old, true); ()
-    }
-    swap("centroids"); swap("base")
-    fs.delete(new Path(s"$indexPath/increments"), true)
+    Compaction.stampWatermark(spark, s"$indexPath/base_new", subsumedWm)
+    Compaction.promote(spark, indexPath, Seq("centroids", "base"))
+    Compaction.dropFoldedIncrements(spark, indexPath, subsumedWm)
     spark.catalog.refreshByPath(indexPath)
   }
 
@@ -138,4 +148,15 @@ object StreamingAnn {
     } { (df, out) =>
       df.write.mode("overwrite").partitionBy("cell").parquet(out)
     }
+
+  /** The operational trigger [[reclusterIfDrifted]] is for drift, applied
+    * to compaction: fold iff more than `maxIncrements` increment
+    * directories have accumulated (one directory listing below
+    * threshold). Call after every stream run and the read-side union
+    * width stays bounded by construction. */
+  def compactIndexIfNeeded(spark: SparkSession, indexPath: String,
+                           maxIncrements: Int): Int =
+    if (Compaction.incrementCount(spark, indexPath) > maxIncrements)
+      compactIndex(spark, indexPath)
+    else 0
 }

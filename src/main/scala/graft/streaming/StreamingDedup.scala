@@ -135,4 +135,22 @@ object StreamingDedup {
     if (drop.nonEmpty) spark.catalog.refreshByPath(assignPath)
     drop.length
   }
+
+  /** The [[pruneAssignments]] trigger: prune iff more than `maxSnapshots`
+    * assignment snapshots have accumulated (one directory listing below
+    * threshold), keeping the newest `keepLast`. Call after every stream
+    * run and superseded snapshots never pile up. */
+  def pruneIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                    assignPath: String, maxSnapshots: Int,
+                    keepLast: Int = 2): Int = {
+    require(maxSnapshots >= keepLast,
+      s"maxSnapshots ($maxSnapshots) must be >= keepLast ($keepLast)")
+    val p = new org.apache.hadoop.fs.Path(assignPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (n > maxSnapshots) pruneAssignments(spark, assignPath, keepLast)
+    else 0
+  }
 }

@@ -31,7 +31,10 @@ object StreamingLm {
                  countsPath: String, checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // a batch replayed AFTER compaction folded its increment would
+        // re-add counts the base already owns — drop it
+        if (!Compaction.isFolded(batch.sparkSession, countsPath, batchId) &&
+            !batch.isEmpty) {
           NgramLm.kneserNeyCounts(batch, id, text)
             .write.mode("overwrite")
             .parquet(s"$countsPath/increments/batch=$batchId")
@@ -55,13 +58,20 @@ object StreamingLm {
   def readMergedCounts(spark: SparkSession, countsPath: String): DataFrame = {
     val basePath = new org.apache.hadoop.fs.Path(s"$countsPath/base")
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("v", "w", "cvw")
     val parts =
-      (if (fs.exists(basePath)) Seq(s"$countsPath/base") else Nil) ++
+      (if (fs.exists(basePath))
+        Seq(spark.read.parquet(s"$countsPath/base").select(cols.map(col): _*))
+      else Nil) ++
         (if (fs.exists(new org.apache.hadoop.fs.Path(s"$countsPath/increments")))
-           Seq(s"$countsPath/increments") else Nil)
+          // prune increments a crashed fold already owns (batch is the
+          // partition column — stale dirs never open)
+          Seq(spark.read.parquet(s"$countsPath/increments")
+            .filter(col("batch") > Compaction.foldedWatermark(spark, countsPath))
+            .select(cols.map(col): _*))
+        else Nil)
     require(parts.nonEmpty, s"no LM counts under $countsPath")
-    parts.map(p => spark.read.parquet(p).select("v", "w", "cvw"))
-      .reduce(_.unionByName(_))
+    parts.reduce(_.unionByName(_))
       .groupBy("v", "w").agg(sum("cvw").as("cvw"))
   }
 
@@ -77,4 +87,12 @@ object StreamingLm {
         .reduce(_.unionByName(_))
         .groupBy("v", "w").agg(sum("cvw").as("cvw"))
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
+
+  /** Compaction trigger: fold iff more than `maxIncrements` increment
+    * directories have accumulated. */
+  def compactCountsIfNeeded(spark: SparkSession, countsPath: String,
+                            maxIncrements: Int): Int =
+    if (Compaction.incrementCount(spark, countsPath) > maxIncrements)
+      compactCounts(spark, countsPath)
+    else 0
 }

@@ -32,7 +32,10 @@ object StreamingSketch {
                  width: Int = 256): DataStreamWriter[Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // a batch replayed AFTER compaction folded its increment would
+        // re-add counters the base already owns — drop it
+        if (!Compaction.isFolded(batch.sparkSession, sketchPath, batchId) &&
+            !batch.isEmpty) {
           Stats.countMinSketch(batch, key, depth, width)
             .write.mode("overwrite")
             .parquet(s"$sketchPath/increments/batch=$batchId")
@@ -54,13 +57,20 @@ object StreamingSketch {
   def readMergedSketch(spark: SparkSession, sketchPath: String): DataFrame = {
     val basePath = new org.apache.hadoop.fs.Path(s"$sketchPath/base")
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("j", "bucket", "c")
     val parts =
-      (if (fs.exists(basePath)) Seq(s"$sketchPath/base") else Nil) ++
+      (if (fs.exists(basePath))
+        Seq(spark.read.parquet(s"$sketchPath/base").select(cols.map(col): _*))
+      else Nil) ++
         (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
-          Seq(s"$sketchPath/increments") else Nil)
+          // prune increments a crashed fold already owns (batch is the
+          // partition column — stale dirs never open)
+          Seq(spark.read.parquet(s"$sketchPath/increments")
+            .filter(col("batch") > Compaction.foldedWatermark(spark, sketchPath))
+            .select(cols.map(col): _*))
+        else Nil)
     require(parts.nonEmpty, s"no sketch state under $sketchPath")
-    parts.map(p => spark.read.parquet(p).select("j", "bucket", "c"))
-      .reduce(_.unionByName(_))
+    parts.reduce(_.unionByName(_))
       .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
   }
 
@@ -93,7 +103,8 @@ object StreamingSketch {
                    alphaPm: Int = 10): DataStreamWriter[Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!Compaction.isFolded(batch.sparkSession, sketchPath, batchId) &&
+            !batch.isEmpty) {
           Stats.ddSketchBuckets(batch, value, keys, alphaPm)
             .write.mode("overwrite")
             .parquet(s"$sketchPath/increments/batch=$batchId")
@@ -117,13 +128,16 @@ object StreamingSketch {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cols = keys :+ "_b" :+ "_c"
     val parts =
-      (if (fs.exists(basePath)) Seq(s"$sketchPath/base") else Nil) ++
+      (if (fs.exists(basePath))
+        Seq(spark.read.parquet(s"$sketchPath/base").select(cols.map(col): _*))
+      else Nil) ++
         (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
-          Seq(s"$sketchPath/increments") else Nil)
+          Seq(spark.read.parquet(s"$sketchPath/increments")
+            .filter(col("batch") > Compaction.foldedWatermark(spark, sketchPath))
+            .select(cols.map(col): _*))
+        else Nil)
     require(parts.nonEmpty, s"no sketch state under $sketchPath")
-    Stats.ddSketchMerge(
-      parts.map(p => spark.read.parquet(p).select(cols.map(col): _*)),
-      keys)
+    Stats.ddSketchMerge(parts, keys)
   }
 
   /** Fold the DDSketch increments into a new base — bucket-count addition
@@ -140,4 +154,19 @@ object StreamingSketch {
         keys)
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
   }
+
+  /** Compaction trigger for the count-min store: fold iff more than
+    * `maxIncrements` increment directories have accumulated. */
+  def compactSketchIfNeeded(spark: SparkSession, sketchPath: String,
+                            maxIncrements: Int): Int =
+    if (Compaction.incrementCount(spark, sketchPath) > maxIncrements)
+      compactSketch(spark, sketchPath)
+    else 0
+
+  /** Compaction trigger for the DDSketch store. */
+  def compactDdSketchIfNeeded(spark: SparkSession, sketchPath: String,
+                              keys: Seq[String], maxIncrements: Int): Int =
+    if (Compaction.incrementCount(spark, sketchPath) > maxIncrements)
+      compactDdSketch(spark, sketchPath, keys)
+    else 0
 }

@@ -246,45 +246,66 @@ object Dedup {
     * idempotence contract `streaming.StreamingDedup` relies on. */
   def appendSignatureIndex(sig: DataFrame, id: String, path: String,
                            batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = sig.sparkSession
+    // a batch replayed AFTER compaction folded its increment would
+    // re-land band rows the base already owns — drop it
+    if (graft.streaming.Compaction.isFolded(spark, path, batchId, "bands"))
+      return
     val nBuckets = spark.read.parquet(s"$path/meta").select("n_buckets").head().getInt(0)
     val bands = bandRows(sig, id).filter(col("band_key").isNotNull)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
     // A batch whose docs are all too short yields zero band rows; writing
     // its empty increment partitioned would leave a file-less batch dir
-    // that breaks the union read in readSignatureIndex — skip it (the
-    // replay contract is unaffected: the same batch recomputes empty).
-    if (!bands.isEmpty)
-      bands.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/increments/batch=$batchId")
+    // that breaks the union read in readSignatureIndex. Land into a hidden
+    // `_tmp` sibling (ONE job — no separate isEmpty pass recomputing the
+    // signatures), then promote it iff the write produced bucket dirs;
+    // restatement overwrites this batch's own dir either way.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/increments/_tmp_batch_$batchId")
+    bands.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    val dst = new Path(s"$path/increments/batch=$batchId")
+    if (fs.listStatus(tmp).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("bucket="))) {
+      fs.delete(dst, true)
+      require(fs.rename(tmp, dst),
+        s"appendSignatureIndex: rename $tmp -> $dst failed")
+    } else fs.delete(tmp, true): Unit
   }
 
   /** Fold all streaming increments into the base bands: one
     * bucket-partitioned rewrite of base ∪ increments, then the increment
-    * directories are dropped. Run periodically (e.g. nightly) to keep the
-    * file count bounded — probe results are identical before and after
-    * (StreamingDedupSpec proves it), so compaction can run any time no
-    * stream is mid-batch. */
+    * directories are dropped — [[graft.streaming.Compaction.foldIncrements]]
+    * with `bands` as the live directory, so the swap gets the shared
+    * crash-safe protocol (checked renames, interrupted-swap recovery, the
+    * folded-batch watermark that makes replay-after-fold single-count).
+    * Probe results are identical before and after (StreamingDedupSpec
+    * proves it); run any time no stream is mid-batch. Returns the number
+    * of increments folded. */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Unit = {
-    val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
-    val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(incDir)) {
-      val all = readSignatureIndex(spark, path).bands
-      // write to a sibling, then swap — the live bands dir stays readable
-      // until the atomic-ish rename, and a crashed compaction leaves the
-      // original index untouched
-      all.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands_compact")
-      val bands = new org.apache.hadoop.fs.Path(s"$path/bands")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/bands_old")
-      fs.rename(bands, tmp)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands_compact"), bands)
-      fs.delete(tmp, true)
-      fs.delete(incDir, true)
-    }: Unit
-  }
+                            path: String): Int =
+    graft.streaming.Compaction.foldIncrements(spark, path, "bands") {
+      (base, incs) =>
+        // the id column's name is caller-chosen — the base's schema is the
+        // authority (readSignatureIndex's own convention)
+        val baseDf = spark.read.parquet(base.getOrElse(
+          sys.error(s"no bands base under $path")))
+        val cols = baseDf.columns.toSeq.map(col)
+        (baseDf +: incs.map(p => spark.read.parquet(p).select(cols: _*)))
+          .reduce(_.unionByName(_))
+    } { (df, out) =>
+      df.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    }
+
+  /** Compaction trigger: fold iff more than `maxIncrements` increment
+    * directories have accumulated. */
+  def compactSignatureIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, maxIncrements: Int): Int =
+    if (graft.streaming.Compaction.incrementCount(spark, path) > maxIncrements)
+      compactSignatureIndex(spark, path)
+    else 0
 
   /** Read a stored signature index (base bands plus any streaming
     * increments); refuses an index written under different MinHash geometry
@@ -301,7 +322,11 @@ object Dedup {
     val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
     val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bands = if (fs.exists(incDir))
+      // prune increments a crashed fold already owns (batch is the
+      // partition column — stale dirs never open)
       base.unionByName(spark.read.parquet(s"$path/increments")
+        .filter(col("batch") >
+          graft.streaming.Compaction.foldedWatermark(spark, path, "bands"))
         .drop("batch").select(base.columns.map(col): _*))
     else base
     SignatureIndex(bands, meta.getInt(0))

@@ -80,22 +80,40 @@ object LexIndex {
     * (restatement, never duplication). */
   def appendBatch(batch: DataFrame, id: String, text: String, dir: String,
                   batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
+    import graft.streaming.Compaction
     val nBuckets = spark.read.parquet(s"$dir/meta")
       .select("n_buckets").head().getInt(0)
-    val post = postings(batch, id, text)
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
-    // an all-blank batch yields zero postings rows; writing the empty
-    // PARTITIONED frame would leave a file-less batch dir that breaks the
-    // union read (the appendSignatureIndex guard) — its doclens still
-    // land, so the docs count toward N/avgdl
-    if (!post.isEmpty)
-      post.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/postings/increments/batch=$batchId")
-    docLengths(batch, id, text)
-      .write.mode("overwrite")
-      .parquet(s"$dir/doclens/increments/batch=$batchId")
+    // a batch replayed AFTER compaction folded its increments would
+    // re-land rows the bases already own — drop each root independently
+    // (an all-blank batch skips its postings increment, so the two
+    // watermarks can differ)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!Compaction.isFolded(spark, s"$dir/postings", batchId)) {
+      // an all-blank batch yields zero postings rows; writing the empty
+      // PARTITIONED frame would leave a file-less batch dir that breaks
+      // the union read (the appendSignatureIndex guard). Land into a
+      // hidden `_tmp` sibling (ONE job — no separate isEmpty pass that
+      // recomputes the aggregation), then promote it iff the write
+      // produced bucket directories; its doclens still land either way,
+      // so the docs count toward N/avgdl.
+      val tmp = new Path(s"$dir/postings/increments/_tmp_batch_$batchId")
+      postings(batch, id, text)
+        .withColumn("bucket", bucketOf(col("term"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      val dst = new Path(s"$dir/postings/increments/batch=$batchId")
+      if (fs.listStatus(tmp).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("bucket="))) {
+        fs.delete(dst, true) // restatement: replace this batch's own dir
+        require(fs.rename(tmp, dst), s"appendBatch: rename $tmp -> $dst failed")
+      } else fs.delete(tmp, true): Unit
+    }
+    if (!Compaction.isFolded(spark, s"$dir/doclens", batchId))
+      docLengths(batch, id, text)
+        .write.mode("overwrite")
+        .parquet(s"$dir/doclens/increments/batch=$batchId")
   }
 
   private def unionParts(spark: SparkSession, root: String,
@@ -104,7 +122,11 @@ object LexIndex {
     val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = spark.read.parquet(s"$root/base").select(cols.map(col): _*)
     if (fs.exists(incPath))
+      // prune increments a crashed fold already owns (batch is the
+      // partition column — stale dirs never open)
       base.unionByName(spark.read.parquet(s"$root/increments")
+        .filter(col("batch") >
+          graft.streaming.Compaction.foldedWatermark(spark, root))
         .select(cols.map(col): _*))
     else base
   }
@@ -170,10 +192,35 @@ object LexIndex {
     }
     val d = graft.streaming.Compaction.foldIncrements(spark,
         s"$dir/doclens") { (base, incs) =>
-      (base.toSeq ++ incs)
+      val merged = (base.toSeq ++ incs)
         .map(x => spark.read.parquet(x).select("doc_id", "dl"))
         .reduce(_.unionByName(_))
+      // the index is append-only per doc: a doc_id ingested in MORE THAN
+      // ONE batch (re-crawl/update — restating the SAME batch is safe)
+      // splits its tf rows across fragments, inflating df and fanning out
+      // the dl join; that skews scores silently, so detect it here where
+      // the whole history is in hand and fail loudly instead
+      val dup = merged.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate doc_id '${if (dup.isEmpty) "" else dup.head.get(0)}' " +
+          s"in $dir: a document was ingested in more than one batch — " +
+          "the lexical index contract is append-only per doc_id")
+      merged
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
     (p, d)
+  }
+
+  /** Compaction trigger: fold iff more than `maxIncrements` increment
+    * directories have accumulated under EITHER root (postings and doclens
+    * fold together — their watermarks stay aligned and the read-side
+    * union width stays bounded). */
+  def compactIndexIfNeeded(spark: SparkSession, dir: String,
+                           maxIncrements: Int): (Int, Int) = {
+    import graft.streaming.Compaction
+    if (Compaction.incrementCount(spark, s"$dir/postings") > maxIncrements ||
+        Compaction.incrementCount(spark, s"$dir/doclens") > maxIncrements)
+      compactIndex(spark, dir)
+    else (0, 0)
   }
 }
