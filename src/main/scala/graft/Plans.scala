@@ -308,7 +308,15 @@ object Plans {
         "TakeOrderedAndProject", "graft_cosine"),
       // compacted-store reads: counter merge / checkpointed selection
       "q325_compacted_ddsketch" -> Seq("HashAggregate"),
-      "q326_compacted_ann_index" -> Seq("Scan ExistingRDD"))
+      "q326_compacted_ann_index" -> Seq("Scan ExistingRDD"),
+      // fused stored-hybrid serving: bucket-pruned lexical probe, bounded
+      // lexical cut, truth via the checkpointed brute selection
+      "q327_hybrid_rrf" -> Seq("PartitionFilters: [bucket",
+        "TakeOrderedAndProject", "Scan ExistingRDD"),
+      // retrieval drift: the frozen-snapshot metrics are an EAGER
+      // checkpoint (they must materialize before the recluster rewrites
+      // the directory both evals read)
+      "q328_retrieval_drift" -> Seq("Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

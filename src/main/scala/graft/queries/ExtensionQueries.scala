@@ -879,6 +879,62 @@ object ExtensionQueries {
         "vec_id", "embedding", nCand = 50, k = 5)
     }),
 
+    // ── FUSED STORED-HYBRID SERVING: the BM25 ranking probed from the
+    //    stored lexical index and the ANN ranking probed from the stored
+    //    IVF index, fused by reciprocal-rank fusion (DECIMAL(28,12)
+    //    terms, the q298 scheme), the fused top-5 scored against the
+    //    exhaustive truth — the standard hybrid-search serving query run
+    //    entirely off maintained on-disk state
+    "q327_hybrid_rrf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ldir = scratchDir("graft_lexrrf")
+      graft.text.LexIndex.writeIndex(Tables.documents(s, d),
+        "doc_id", "text", ldir)
+      val vdir = scratchDir("graft_ivfrrf")
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, vdir)
+      graft.text.Retrieval.hybridRrfIndexed(s, ldir, vdir, Bm25Terms,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLex = 50, nProbe = 2, k = 5)
+    }),
+
+    // ── RETRIEVAL-QUALITY DRIFT across snapshots of a maintained index:
+    //    the same eval battery against the SAME exhaustive truth (it
+    //    depends only on the ingested vectors), on the index right after
+    //    a frozen-centroid append vs after the recluster — the readout
+    //    that says whether the recluster actually repaired routing
+    //    quality (q319's drift pattern on the retrieval axis; composes
+    //    q318's recluster replay with q320's metrics replay)
+    "q328_retrieval_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.ivfCentroids(old, "label", "embedding")
+      val dir = scratchDir("graft_ivfdrift")
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(old, "vec_id", "embedding", cents), cents, dir)
+      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir)
+      val q = e.filter(col("vec_id") < 10)
+      // EAGER checkpoint: the frozen-snapshot eval must materialize
+      // before the recluster below rewrites the directory it reads
+      val frozen = Similarity.annEvalStored(s, dir, q, "vec_id",
+          "embedding", k = 5, nProbe = 2)
+        .select(col("q_id"), col("recall").as("recall_frozen"),
+          col("ndcg").as("ndcg_frozen"))
+        .localCheckpoint(true)
+      Similarity.reclusterIvfIndex(s, dir)
+      val re = Similarity.annEvalStored(s, dir, q, "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .select(col("q_id"), col("recall").as("recall_reclustered"),
+          col("ndcg").as("ndcg_reclustered"))
+      frozen.join(re, "q_id")
+        .withColumn("d_recall",
+          round(col("recall_reclustered") - col("recall_frozen"), 6))
+        .withColumn("d_ndcg",
+          round(col("ndcg_reclustered") - col("ndcg_frozen"), 6))
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -2711,6 +2767,157 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+    // fused stored-hybrid serving: the q320 BM25 CTEs (global candidate
+    // ranking, per-query view keeps GLOBAL ranks with the self-doc
+    // dropped), the q312 IVF chain, the q298 decimal RRF fold, and the
+    // shared metrics tail
+    "q327_hybrid_rrf" ->
+      s"""WITH $normCte,
+         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
+         |    FROM tkb JOIN dls USING (doc_id))
+         |  WHERE term IN (${inList(Bm25Terms)})
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         | FROM scored GROUP BY doc_id),
+         |cand AS (SELECT doc_id AS vec_id, rn AS lrank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS rn FROM bmsc) WHERE rn <= 50),
+         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |lexr AS (SELECT q.q_id, c.vec_id, c.lrank AS rank
+         |  FROM cand c, q WHERE c.vec_id != q.q_id),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |sv AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id),
+         |annr AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM sv) WHERE rank <= 5),
+         |t AS (SELECT q_id, vec_id,
+         |  CAST(CAST(1 AS DOUBLE) / (60 + rank) AS DECIMAL(28,12)) AS t
+         | FROM (SELECT * FROM lexr UNION ALL SELECT * FROM annr)),
+         |fsum AS (SELECT q_id, vec_id, sum(t) AS s FROM t GROUP BY 1, 2),
+         |res AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) AS rank FROM fsum) WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS frst,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
+         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_ndcg
+         |FROM pq""".stripMargin,
+    // retrieval drift: frozen centroids from the OLD shard route the
+    // frozen-snapshot search; the recluster (q318's replay) refreshes
+    // them from the current assignment; BOTH snapshots score against the
+    // ONE exhaustive truth (it depends only on the ingested vectors)
+    "q328_retrieval_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) WHERE vec_id % 10 != 0
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed1 AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s1 AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed1 r ON a.cid = r.cid AND a.vec_id != r.q_id),
+         |res1 AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM s1) WHERE rank <= 5),
+         |cur0 AS (SELECT cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM asn, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cur AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cur0 GROUP BY cid),
+         |asn2 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, cur.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${cosSqlAB("a.v", "cur.cv")} DESC, cur.cid) AS rn FROM asn a, cur) WHERE rn = 1),
+         |routed2 AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cur.cv")} DESC, cid) AS rn FROM q, cur) WHERE rn <= 2),
+         |s2 AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn2 a JOIN routed2 r ON a.cid = r.cid AND a.vec_id != r.q_id),
+         |res2 AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM s2) WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |h1 AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res1 r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |p1 AS (SELECT nt.q_id,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall_frozen,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg_frozen
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN h1 h USING (q_id)),
+         |h2 AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res2 r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |p2 AS (SELECT nt.q_id,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall_reclustered,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg_reclustered
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN h2 h USING (q_id))
+         |SELECT q_id, recall_frozen, ndcg_frozen,
+         |  recall_reclustered, ndcg_reclustered,
+         |  round(recall_reclustered - recall_frozen, 6) AS d_recall,
+         |  round(ndcg_reclustered - ndcg_frozen, 6) AS d_ndcg
+         |FROM p1 JOIN p2 USING (q_id)""".stripMargin,
     "q313_ivf_cell_drift" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,

@@ -421,6 +421,31 @@ object Similarity {
       queries, id, emb, k, nProbe)
   }
 
+  /** RETRIEVAL QUALITY of a stored IVF index, as a metrics frame: search
+    * the index ([[annIvfIndexed]] — cell-pruned probe), score against the
+    * exhaustive cosine truth over the index's OWN posting lists
+    * ([[knnBrute]], extremeK-routed), and emit [[rankingMetrics]]. The
+    * truth depends only on the ingested vectors, not the quantizer, so
+    * evaluating the SAME index before and after a recluster isolates
+    * exactly the routing quality the recluster was meant to repair —
+    * the readout [[ivfCellDrift]] predicts and
+    * `Retrieval.retrievalDrift`-style rollups consume.
+    *
+    * Scale shape: one pruned probe (parameter-bounded cells), one brute
+    * truth pass over the postings (queries are few by construction of an
+    * eval battery), metric joins on k-per-query frames. */
+  def annEvalStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, id: String, emb: String, k: Int,
+                    nProbe: Int): DataFrame = {
+    val (post, _) = readIvfIndex(spark, dir)
+    val res = annIvfIndexed(spark, dir, queries, id, emb, k, nProbe)
+      .select("q_id", "vec_id", "rank")
+    val truth = knnBrute(
+      post.select(col("vec_id"), col("v").as(emb)),
+      queries.select(col(id).as("vec_id"), col(emb)), "vec_id", emb, k)
+    rankingMetrics(res, truth, k)
+  }
+
   /** Per-cell drift of a maintained index against its FROZEN centroids:
     * for each cell, the cosine between the stored centroid and the
     * current fixed-point mean of the cell's members (the

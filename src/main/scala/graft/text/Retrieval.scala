@@ -186,6 +186,55 @@ object Retrieval {
         .select(col("doc_id").as("vec_id")),
       vectors, queries, qid, emb, k)
 
+  /** The standard HYBRID-SEARCH SERVING query, entirely off STORED
+    * artifacts, with its quality readout: a BM25 ranking probed from the
+    * lexical index (bucket-pruned scan) and an ANN ranking probed from
+    * the stored IVF index (cell-pruned scan) are fused by reciprocal-rank
+    * fusion ([[graft.sim.Similarity.rrfFuse]] — DECIMAL(28,12) terms, so
+    * the fused scores are partition-order-independent), and the fused
+    * top-k scores against the exhaustive cosine truth via
+    * [[graft.sim.Similarity.rankingMetrics]].
+    *
+    * The lexical leg is ONE global ranking (the term set is the lexical
+    * query — [[rerankEval]]'s model): top `nLex` docs by (bm25 desc, id),
+    * ranked once over the nLex-row TakeOrdered result (a parameter-sized
+    * single-partition window, never corpus-sized), then viewed per query
+    * with the query's own doc dropped — global ranks are KEPT (a skipped
+    * rank, not a re-densified one), and the oracle replays that choice.
+    * The vector leg is per-query [[graft.sim.Similarity.annIvfIndexed]].
+    *
+    * Scale shape: bucket-pruned postings probe + cell-pruned vector probe
+    * (both parameter-bounded), RRF on two k-per-query frames, brute truth
+    * over the posting lists for the few eval queries. */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       lexDir: String, vecDir: String, terms: Seq[String],
+                       queries: DataFrame, qid: String, emb: String,
+                       nLex: Int, nProbe: Int, k: Int,
+                       k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val lexRanked = LexIndex.bm25Indexed(spark, lexDir, terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(nLex)
+      .select(col("doc_id").as("vec_id"), col("bm25"))
+      // nLex rows by construction — the unpartitioned window is bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("vec_id").asc)))
+    val lexPerQuery = queries.select(col(qid).as("q_id"))
+      .crossJoin(broadcast(lexRanked))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "rank")
+    val annRank = Similarity.annIvfIndexed(spark, vecDir, queries, qid,
+        emb, k, nProbe)
+      .select("q_id", "vec_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(lexPerQuery, annRank), k0, k)
+      .select("q_id", "vec_id", "rank")
+    val (post, _) = Similarity.readIvfIndex(spark, vecDir)
+    val truth = Similarity.knnBrute(
+      post.select(col("vec_id"), col("v").as(emb)),
+      queries.select(col(qid).as("vec_id"), col(emb)), "vec_id", emb, k)
+    Similarity.rankingMetrics(fused, truth, k)
+  }
+
   /** The shared rerank + metrics tail: exact-cosine rerank of a bounded
     * candidate id set against the stored vectors (nCand-bounded shortlist
     * window — the adjudicated annPqRerank shape, never corpus-sized),

@@ -587,6 +587,41 @@ class AnnSpec extends SparkSpec {
       (11L, s(2), 3)), got)
   }
 
+  test("annEvalStored: recall degrades under frozen centroids and " +
+       "RECOVERS after reclusterIvfIndex (the drift loop's payoff)") {
+    import spark.implicits._
+    // 2-D fixture: old corpus = a big cluster on e1 (cell 0) plus a tiny
+    // seed on e2 (cell 1). The new batch straddles the frozen boundary —
+    // half at (.8,.6) assigns to cell 0, half at (.6,.8) to cell 1 — so a
+    // query at (.8,.6) with nProbe=1 sees only ONE half of its true
+    // neighborhood. One Lloyd refresh pulls the whole batch into one
+    // cell (the means shift toward it), and recall recovers.
+    val old = ((0L to 19L).map(i => (i, Seq(1.0f, 0.0f), 0)) ++
+      Seq((20L, Seq(0.0f, 1.0f), 1), (21L, Seq(0.0f, 1.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val fresh = ((30L to 35L).map(i => (i, Seq(0.8f, 0.6f))) ++
+      (40L to 45L).map(i => (i, Seq(0.6f, 0.8f))))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val cents = Similarity.ivfCentroids(old, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(old, "vec_id", "embedding", cents), cents,
+      s"$dir/idx")
+    Similarity.appendIvfBatch(fresh, "vec_id", "embedding", s"$dir/idx")
+    val q = Seq((100L, Seq(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    def recall(): Double =
+      Similarity.annEvalStored(spark, s"$dir/idx", q, "vec_id",
+          "embedding", k = 10, nProbe = 1)
+        .select("recall").head().getDouble(0)
+    // truth top-10 = 6 at (.8,.6) sim 1.0 + 4 at (.6,.8) sim .96; frozen
+    // routing reaches cell 0 only (the (.8,.6) half + e1 filler) → 6/10
+    val frozen = recall()
+    assert(frozen == 0.6, s"frozen recall was $frozen")
+    Similarity.reclusterIvfIndex(spark, s"$dir/idx")
+    val recovered = recall()
+    assert(recovered == 1.0, s"post-recluster recall was $recovered")
+  }
+
   test("quantRecall: quantization-faithful rankings score recall 1 even " +
        "across a large norm spread (per-vector scales)") {
     import spark.implicits._

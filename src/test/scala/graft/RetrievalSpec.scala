@@ -92,4 +92,49 @@ class RetrievalSpec extends SparkSpec {
     assert(got(5L) == ((1L, 0.5, 1.0, 0.613147, 0.75, 0.806574)),
       s"q5: ${got(5L)}")
   }
+
+  test("hybridRrfIndexed: hand goldens off stored indexes — RRF fuses the " +
+       "global lexical ranks (self-doc dropped, rank kept) with per-query " +
+       "ANN ranks, decimal tie scheme") {
+    import graft.sim.Similarity
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)), 0.0, 0.0)
+    // two angular clusters → two IVF cells; docs 1-4 carry the query term
+    // with IDENTICAL tf and length, so the lexical ranking is by doc_id
+    val vectors = Seq((1L, v(0), 0), (2L, v(10), 0), (3L, v(20), 0),
+        (4L, v(80), 1), (5L, v(90), 1), (6L, v(85), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs6 = Seq(
+      (1L, "apple one of the words here makes it lexical"),
+      (2L, "apple two of the words here makes it lexical"),
+      (3L, "apple three of the words here makes it lexical"),
+      (4L, "apple four of the words here makes it lexical"),
+      (5L, "banana five of the words here stays invisible"),
+      (6L, "banana six of the words here stays invisible"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyb").toString
+    graft.text.LexIndex.writeIndex(docs6, "doc_id", "text", s"$dir/lex",
+      nBuckets = 4)
+    val cents = Similarity.ivfCentroids(vectors, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(vectors, "vec_id", "embedding", cents), cents,
+      s"$dir/ivf")
+    val queries = vectors.filter(col("vec_id").isin(1L, 5L))
+      .select("vec_id", "embedding")
+    val got = graft.text.Retrieval.hybridRrfIndexed(spark, s"$dir/lex",
+        s"$dir/ivf", Seq("apple"), queries, "vec_id", "embedding",
+        nLex = 4, nProbe = 1, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // q1 (0°): lex gives {2,3,4} at GLOBAL ranks 2,3,4 (own doc 1 held
+    // rank 1 — dropped, rank NOT re-densified); ANN (cell 0) gives 2@1,
+    // 3@2; RRF top-3 = {2,3,4} = the cosine truth → perfect
+    assert(got(1L) == ((1.0, 1.0, 1.0)), s"q1: ${got(1L)}")
+    // q5 (90°): lex gives 1-4 at ranks 1-4; ANN (cell 1) gives 6@1, 4@2;
+    // RRF: 4 fuses both legs (1/64+1/62), 1 and 6 tie at 1/61 (decimal-
+    // exact) → id order → top-3 {4,1,6}; truth {6,4,3} → hits {4,6},
+    // recall 2/3, mrr 1 (hit at rank 1), dcg 1 + 1/log2(4),
+    // idcg 1 + 1/log2(3) + 1/log2(4) → ndcg 1.5/2.130929753571 = 0.703918
+    assert(got(5L) == ((0.666667, 1.0, 0.703918)), s"q5: ${got(5L)}")
+  }
 }
