@@ -118,27 +118,38 @@ object CurationDemo {
   }
 
   /** The SERVING leg: the curated corpus becomes maintained on-disk
-    * retrieval state. A term-bucketed lexical index and a cell-partitioned
-    * vector index are built over the prior snapshot, the new shard appends
-    * to both as increments, the drift monitor decides whether the vector
-    * quantizer needs a recluster, the lexical increments fold into a new
-    * base, and the hybrid stack (BM25 candidates → exact-cosine rerank →
-    * recall/MRR/nDCG) is evaluated entirely off the stored artifacts —
-    * the full lifecycle a long-running corpus actually operates. Returns
-    * the per-query metrics frame. */
+    * retrieval state, operated the way a deployment would copy it. A
+    * term-bucketed lexical index and a cell-partitioned vector index are
+    * built over the prior snapshot; the new shard arrives as a STREAM
+    * (an AvailableNow run through [[graft.streaming.StreamingLex]]'s
+    * foreachBatch sink, so retries restate and folded batches are dropped
+    * by the watermark guard); the maintenance TRIGGERS decide what runs —
+    * `compactIndexIfNeeded` folds the lexical increments once they exceed
+    * the threshold, `reclusterIvfIndexIfDrifted` rebuilds the vector
+    * quantizer only on a drift breach; and the hybrid stack is evaluated
+    * entirely off the stored artifacts, twice: the BM25→rerank eval and
+    * the fused BM25+ANN RRF serving query. Returns the fused-serving
+    * metrics frame. */
   def runIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val e = Tables.embeddings(spark, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_demo_idx").toString
 
-    // lexical: base over the prior snapshot, delta appended, then folded
+    // lexical: base over the prior snapshot; the delta STREAMS in through
+    // the foreachBatch sink (idempotent batch=<id> increments), and the
+    // compaction trigger folds once the increment count crosses the
+    // threshold — the call a deployment makes after every stream run
     LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
       "doc_id", "text", s"$root/lex")
-    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-      "doc_id", "text", s"$root/lex", batchId = 0L)
-    val (pFolded, dFolded) = LexIndex.compactIndex(spark, s"$root/lex")
-    println(s"[curate] lexical increments folded: " +
+    docs.filter(col("doc_id") % 5 === 4).write.parquet(s"$root/delta")
+    graft.streaming.StreamingLex.lexSink(
+        spark.readStream.schema(docs.schema).parquet(s"$root/delta"),
+        "doc_id", "text", s"$root/lex", s"$root/chk")
+      .start().awaitTermination()
+    val (pFolded, dFolded) =
+      LexIndex.compactIndexIfNeeded(spark, s"$root/lex", maxIncrements = 0)
+    println(s"[curate] lexical increments folded (trigger): " +
       s"postings=$pFolded doclens=$dFolded")
 
     // vector: frozen-centroid append, then the drift-triggered recluster
@@ -154,16 +165,21 @@ object CurationDemo {
     println(s"[curate] vector quantizer reclustered after append: " +
       s"$reclustered")
 
-    // the hybrid eval runs off the maintained state only
-    val metrics = Retrieval.rerankEvalIndexed(spark, s"$root/lex",
-      Seq("join", "hash", "filter", "stream"),
+    // both serving-time evals run off the maintained state only
+    val qs = e.filter(col("vec_id") < 10)
+    val terms = Seq("join", "hash", "filter", "stream")
+    val rerank = Retrieval.rerankEvalIndexed(spark, s"$root/lex", terms,
       Similarity.readIvfIndex(spark, s"$root/vec")._1
         .select("vec_id", "v"),
-      e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      nCand = 50, k = 5)
-    println("[curate] hybrid retrieval macro metrics: " +
-      metrics.select("macro_recall", "macro_mrr", "macro_ndcg").head())
-    metrics
+      qs, "vec_id", "embedding", nCand = 50, k = 5)
+    println("[curate] BM25->rerank macro metrics: " +
+      rerank.select("macro_recall", "macro_mrr", "macro_ndcg").head())
+    val fused = Retrieval.hybridRrfIndexed(spark, s"$root/lex",
+      s"$root/vec", terms, qs, "vec_id", "embedding",
+      nLex = 50, nProbe = 2, k = 5)
+    println("[curate] fused RRF serving macro metrics: " +
+      fused.select("macro_recall", "macro_mrr", "macro_ndcg").head())
+    fused
   }
 
   def main(args: Array[String]): Unit = {
