@@ -316,7 +316,13 @@ object Plans {
       // retrieval drift: the frozen-snapshot metrics are an EAGER
       // checkpoint (they must materialize before the recluster rewrites
       // the directory both evals read)
-      "q328_retrieval_drift" -> Seq("Scan ExistingRDD"))
+      "q328_retrieval_drift" -> Seq("Scan ExistingRDD"),
+      // lifecycle capstone: the lexical probe partition-prunes on the
+      // query-term buckets; the cell-pruned postings scan sits inside
+      // the checkpointed selection's RDD lineage (AnnSpec asserts the
+      // cell PartitionFilters directly on the probe plan)
+      "q329_index_lifecycle" -> Seq("PartitionFilters: [bucket",
+        "TakeOrderedAndProject", "Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -409,7 +409,18 @@ object Similarity {
                     queries: DataFrame, id: String, emb: String, k: Int,
                     nProbe: Int): DataFrame = {
     val (post, cents) = readIvfIndex(spark, dir)
-    graft.expressions.CosineSimilarity.register(spark)
+    annIvfPruned(post, cents, queries, id, emb, k, nProbe)
+  }
+
+  /** [[annIvfIndexed]]'s probe on caller-supplied frames — the same
+    * static cell pruning (the probed cell list is |queries|·nProbe driver
+    * values pushed as a filter; when `post` is a cell-partitioned parquet
+    * scan it lands as the partition filter) for any stored layout, e.g.
+    * [[graft.streaming.StreamingAnn.readPostings]]'s base ∪ increments. */
+  def annIvfPruned(post: DataFrame, cents: DataFrame, queries: DataFrame,
+                   id: String, emb: String, k: Int,
+                   nProbe: Int): DataFrame = {
+    graft.expressions.CosineSimilarity.register(post.sparkSession)
     val routed = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))

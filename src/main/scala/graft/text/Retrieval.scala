@@ -211,6 +211,20 @@ object Retrieval {
                        queries: DataFrame, qid: String, emb: String,
                        nLex: Int, nProbe: Int, k: Int,
                        k0: Int = 60): DataFrame = {
+    val (post, cents) = graft.sim.Similarity.readIvfIndex(spark, vecDir)
+    hybridRrfStored(spark, lexDir, post.select("vec_id", "v", "cell"),
+      cents, terms, queries, qid, emb, nLex, nProbe, k, k0)
+  }
+
+  /** [[hybridRrfIndexed]] with the vector store supplied as frames — the
+    * same fused serving query over any stored layout's posting lists
+    * (e.g. [[graft.streaming.StreamingAnn.readPostings]]'s
+    * base ∪ live increments, the q329 lifecycle end-state). */
+  def hybridRrfStored(spark: org.apache.spark.sql.SparkSession,
+                      lexDir: String, post: DataFrame, cents: DataFrame,
+                      terms: Seq[String], queries: DataFrame, qid: String,
+                      emb: String, nLex: Int, nProbe: Int, k: Int,
+                      k0: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.sim.Similarity
     val lexRanked = LexIndex.bm25Indexed(spark, lexDir, terms)
@@ -223,12 +237,11 @@ object Retrieval {
       .crossJoin(broadcast(lexRanked))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id", "rank")
-    val annRank = Similarity.annIvfIndexed(spark, vecDir, queries, qid,
+    val annRank = Similarity.annIvfPruned(post, cents, queries, qid,
         emb, k, nProbe)
       .select("q_id", "vec_id", "rank")
     val fused = Similarity.rrfFuse(Seq(lexPerQuery, annRank), k0, k)
       .select("q_id", "vec_id", "rank")
-    val (post, _) = Similarity.readIvfIndex(spark, vecDir)
     val truth = Similarity.knnBrute(
       post.select(col("vec_id"), col("v").as(emb)),
       queries.select(col(qid).as("vec_id"), col(emb)), "vec_id", emb, k)
