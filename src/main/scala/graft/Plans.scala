@@ -322,7 +322,11 @@ object Plans {
       // the checkpointed selection's RDD lineage (AnnSpec asserts the
       // cell PartitionFilters directly on the probe plan)
       "q329_index_lifecycle" -> Seq("PartitionFilters: [bucket",
-        "TakeOrderedAndProject", "Scan ExistingRDD"))
+        "TakeOrderedAndProject", "Scan ExistingRDD"),
+      // stored PQ tier: the ADC scan + LUT ride the checkpointed binned
+      // selection; the drift readout is two aggregate passes
+      "q330_pq_index_stored" -> Seq("Scan ExistingRDD"),
+      "q331_pq_code_drift" -> Seq("HashAggregate", "!NestedLoopJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

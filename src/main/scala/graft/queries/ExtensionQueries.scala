@@ -981,6 +981,40 @@ object ExtensionQueries {
         nLex = 50, nProbe = 2, k = 5)
     }),
 
+    // ── STORED PQ INDEX: the compressed serving tier as a maintained
+    //    artifact. Codes under a FROZEN codebook distribute over union
+    //    (the frozen-centroid contract on the compression axis), so
+    //    base + appended increment + trigger-fold searches exactly like
+    //    a from-scratch encode — the oracle replays the closed-form
+    //    codebook, the argmin encode, the per-query ADC, and the rank
+    "q330_pq_index_stored" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_pqidx")
+      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", FixedCodebook, dir)
+      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      require(graft.sim.PqIndex.compactIndexIfNeeded(s, dir, 0) == 1,
+        "the trigger must fold the increment")
+      graft.sim.PqIndex.search(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ── PQ CODE-USAGE DRIFT: the aging monitor a frozen codebook needs,
+    //    computed from the stored codes alone — per subspace, the L1
+    //    distance between the base's and the increments' codeword-usage
+    //    distributions (exact-integer counts, single-rounded double
+    //    quotients, decimal-quantized terms)
+    "q331_pq_code_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_pqdrift")
+      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", FixedCodebook, dir)
+      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      graft.sim.PqIndex.codeUsageDrift(s, dir)
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -2893,6 +2927,79 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
          |    / count(*) OVER (), 6) AS macro_ndcg
          |FROM pq""".stripMargin,
+    // stored PQ index: q113b's closed-form codebook + argmin encode over
+    // the full corpus (frozen-codebook encoding distributes over union;
+    // the fold is an identity), then the per-query ADC and the ascending
+    // rank — the maintained compressed tier replayed from scratch
+    "q330_pq_index_stored" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |enc AS (SELECT vec_id, v,
+        |  list_transform([0, 1, 2, 3], s ->
+        |    list_transform([0, 1, 2, 3], c ->
+        |      list_sum(list_transform(generate_series(1, 16), i ->
+        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+        |    AS dists
+        |  FROM e),
+        |cod AS (SELECT vec_id,
+        |  list_transform(dists, ds ->
+        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+        |  FROM enc),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |ad AS (SELECT q.q_id, c.vec_id,
+        |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+        |    list_sum(list_transform(generate_series(1, 16), i ->
+        |      (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+        |    * (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+        |    AS adist
+        |  FROM cod c, q WHERE c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, adist, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+        |WHERE rank <= 5""".stripMargin,
+    // PQ code-usage drift: encode both shards under the closed-form
+    // codebook, per-subspace codeword frequencies, exact-integer counts,
+    // single-rounded double quotients, decimal-quantized |Δ| terms
+    "q331_pq_code_drift" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |enc AS (SELECT vec_id, v,
+        |  list_transform([0, 1, 2, 3], s ->
+        |    list_transform([0, 1, 2, 3], c ->
+        |      list_sum(list_transform(generate_series(1, 16), i ->
+        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+        |    AS dists
+        |  FROM e),
+        |cod AS (SELECT vec_id,
+        |  list_transform(dists, ds ->
+        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+        |  FROM enc),
+        |lng AS (SELECT vec_id, g.i - 1 AS s, codes[g.i] AS code
+        |  FROM cod, generate_series(1, 4) g(i)),
+        |b AS (SELECT s, code, CAST(count(*) AS BIGINT) AS cb FROM lng
+        |  WHERE vec_id % 10 != 0 GROUP BY 1, 2),
+        |nb AS (SELECT s, CAST(count(*) AS BIGINT) AS nb FROM lng
+        |  WHERE vec_id % 10 != 0 GROUP BY 1),
+        |i2 AS (SELECT s, code, CAST(count(*) AS BIGINT) AS ci FROM lng
+        |  WHERE vec_id % 10 = 0 GROUP BY 1, 2),
+        |ni AS (SELECT s, CAST(count(*) AS BIGINT) AS ni FROM lng
+        |  WHERE vec_id % 10 = 0 GROUP BY 1),
+        |u AS (SELECT coalesce(b.s, i2.s) AS s,
+        |    coalesce(b.cb, 0) AS cb, coalesce(i2.ci, 0) AS ci
+        |  FROM b FULL JOIN i2 ON b.s = i2.s AND b.code = i2.code),
+        |d AS (SELECT u.s,
+        |  CAST(abs(CAST(cb AS DOUBLE) / CAST(nb.nb AS DOUBLE)
+        |         - CAST(ci AS DOUBLE) / CAST(ni.ni AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS dd
+        |  FROM u JOIN nb ON nb.s = u.s JOIN ni ON ni.s = u.s)
+        |SELECT s, round(CAST(sum(dd) AS DOUBLE), 6) AS l1_drift
+        |FROM d GROUP BY s""".stripMargin,
     // lifecycle capstone: the lexical store after two appends + fold IS
     // from-scratch BM25 over everything ingested (union-distributive
     // statistics, fold identity — the q323 contract), and the vector

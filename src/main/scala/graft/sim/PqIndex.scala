@@ -1,0 +1,217 @@
+package graft.sim
+
+import graft.streaming.Compaction
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored PRODUCT-QUANTIZED index — the compressed serving tier of the
+  * vector stack (Jégou et al.), maintained on disk like the IVF and
+  * lexical stores: codes are a pure function of (vector, codebook), so
+  * under a FROZEN codebook per-batch encoding DISTRIBUTES OVER UNION —
+  * the [[graft.streaming.StreamingAnn]] frozen-centroid contract on the
+  * compression axis — and the maintained code table searches identically
+  * to a from-scratch encode of everything ingested (the q330 oracle
+  * replays encode + ADC in SQL).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   codebook/            (s, c, i, w) — the m×ksub×dsub codebook as a
+  *                        long frame any engine can read back exactly
+  *   codes/base/          (vec_id, codes ARRAY<INT>)
+  *   codes/increments/batch=<id>/   idempotent per-batch landings
+  * }}}
+  *
+  * At 100 TB the point is the footprint: a dim-64 float vector is 256 B,
+  * its m=4 code array is 16 B — the ADC scan reads ~16× less than a raw
+  * cosine scan, and the exact rerank fetches only the shortlist. All the
+  * maintenance mechanics are [[graft.streaming.Compaction]]'s: folds are
+  * crash-safe with the watermark (replayed batches drop at the sink, at
+  * read time, and at fold time), and a RETRAIN — where codebook AND codes
+  * must flip together or every stored code decodes against the wrong
+  * centroids — rides the single-marker multi-directory promote. */
+object PqIndex {
+
+  /** Codebook as a long (s, c, i, w) frame — exact doubles, fixed order. */
+  private def codebookDf(spark: SparkSession,
+                         cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.flatMap { case (cw, c) =>
+        cw.zipWithIndex.map { case (w, i) => (s, c, i, w) } } }
+      .toSeq.toDF("s", "c", "i", "w")
+  }
+
+  /** Read the codebook back as the in-memory array the search ops take —
+    * a bounded collect (m·ksub·dsub doubles, parameters not data). */
+  def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebook")
+      .select("s", "c", "i", "w").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val dsub = rows.map(_._3).max + 1
+    val cb = Array.ofDim[Double](m, ksub, dsub)
+    rows.foreach { case (s, c, i, w) => cb(s)(c)(i) = w }
+    cb
+  }
+
+  /** Write the base index: the codebook plus the corpus's codes. */
+  def writeIndex(corpus: DataFrame, id: String, emb: String,
+                 codebooks: Array[Array[Array[Double]]], dir: String): Unit = {
+    val spark = corpus.sparkSession
+    codebookDf(spark, codebooks).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    Similarity.pqEncode(corpus, id, emb, codebooks)
+      .select("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$dir/codes/base")
+  }
+
+  /** Encode one batch under the STORED (frozen) codebook and land it as
+    * its own increment — idempotent (a retried batch overwrites exactly
+    * its own directory), and a batch already folded into the base is
+    * dropped by the watermark guard. */
+  def appendBatch(batch: DataFrame, id: String, emb: String, dir: String,
+                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (Compaction.isFolded(spark, s"$dir/codes", batchId)) return
+    Similarity.pqEncode(batch, id, emb, readCodebook(spark, dir))
+      .select("vec_id", "codes")
+      .write.mode("overwrite")
+      .parquet(s"$dir/codes/increments/batch=$batchId")
+  }
+
+  /** The maintained code table: base plus every LIVE increment (the
+    * `batch` partition column prunes directories a crashed fold already
+    * owns). */
+  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
+    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$dir/codes/base")
+      .select("vec_id", "codes")
+    if (fs.exists(incPath))
+      base.unionByName(spark.read.parquet(s"$dir/codes/increments")
+        .filter(col("batch") >
+          Compaction.foldedWatermark(spark, s"$dir/codes"))
+        .select("vec_id", "codes"))
+    else base
+  }
+
+  /** ADC search over the maintained code table —
+    * [[Similarity.annPq]]'s per-query LUT + binned ascending selection
+    * over base ∪ increments. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             id: String, emb: String, k: Int): DataFrame =
+    Similarity.annPq(readCodes(spark, dir), readCodebook(spark, dir),
+      queries, id, emb, k)
+
+  /** Fold the code increments into a new base — disjoint-row union is
+    * the read-path merge, so [[search]] before ≡ after. */
+  def compactIndex(spark: SparkSession, dir: String): Int =
+    Compaction.foldIncrements(spark, s"$dir/codes") { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("vec_id", "codes"))
+        .reduce(_.unionByName(_))
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
+
+  /** Compaction trigger: fold iff more than `maxIncrements` increment
+    * directories have accumulated. */
+  def compactIndexIfNeeded(spark: SparkSession, dir: String,
+                           maxIncrements: Int): Int =
+    if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements)
+      compactIndex(spark, dir)
+    else 0
+
+  /** CODE-USAGE DRIFT of the maintained index — the aging monitor for a
+    * frozen codebook, computed from the stored codes alone (the raw
+    * vectors are gone by design): per subspace, the L1 distance between
+    * the base's codeword-usage distribution and the increments'. New data
+    * that uses the codewords the way the training data did scores ~0;
+    * data the codebook never saw piles onto few codewords and the
+    * distance grows toward 2. Emits (s, l1_drift) per subspace — a
+    * subspaces-sized frame from two scans of the code table.
+    *
+    * Engine-exact at any corpus size: each |cb/nb − ci/ni| term is two
+    * IEEE divisions of exact integers (single-rounded, so bit-identical
+    * across engines) quantized to DECIMAL(28,12) BEFORE the cross-row
+    * sum (decimal addition is associative — partition-order-free) — the
+    * q331 oracle recomputes it in SQL term for term. */
+  def codeUsageDrift(spark: SparkSession, dir: String): DataFrame = {
+    val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
+    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(incPath),
+      s"no increments under $dir/codes — nothing to compare against")
+    val wm = Compaction.foldedWatermark(spark, s"$dir/codes")
+    def usage(df: DataFrame, name: String): DataFrame = {
+      val long = df.select(posexplode(col("codes")).as(Seq("s", "code")))
+      val tot = long.groupBy("s").agg(count(lit(1)).as(s"n_$name"))
+      long.groupBy("s", "code").agg(count(lit(1)).as(s"c_$name"))
+        .join(tot, "s")
+    }
+    val base = usage(spark.read.parquet(s"$dir/codes/base")
+      .select("vec_id", "codes"), "base")
+    val inc = usage(spark.read.parquet(s"$dir/codes/increments")
+      .filter(col("batch") > wm).select("vec_id", "codes"), "inc")
+    // full outer: a codeword used by only one side contributes its whole
+    // probability mass to the distance (the per-s totals re-fill from the
+    // surviving side via the subspace window)
+    graft.ops.Stats.njoin(base, inc, Seq("s", "code"), how = "full")
+      .select(col("s"), col("code"),
+        coalesce(col("c_base"), lit(0L)).as("cb"),
+        coalesce(col("c_inc"), lit(0L)).as("ci"),
+        max(col("n_base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")).as("nb"),
+        max(col("n_inc")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")).as("ni"))
+      .withColumn("_d",
+        abs(col("cb").cast("double") / col("nb").cast("double") -
+            col("ci").cast("double") / col("ni").cast("double"))
+          .cast("decimal(28,12)"))
+      .groupBy("s")
+      .agg(round(sum(col("_d")).cast("double"), 6).as("l1_drift"))
+  }
+
+  /** RETRAIN the stored index under a fresh codebook learned from
+    * `corpus` ([[Similarity.pqTrain]]) — the recluster arm of the PQ
+    * lifecycle. Codebook and codes MUST flip together (every stored code
+    * is an index into ITS codebook; mixing generations decodes garbage),
+    * so the swap is [[Compaction.promote]]'s single-marker commit over
+    * both directories; the subsumed increments drop under the watermark
+    * stamped into the new base. Run between streams. */
+  def retrainIndex(spark: SparkSession, dir: String, corpus: DataFrame,
+                   id: String, emb: String, m: Int, ksub: Int,
+                   maxIter: Int = 10): Unit = {
+    Compaction.recoverPromote(spark, dir)
+    Compaction.recover(spark, dir, "codes")
+    spark.catalog.refreshByPath(dir)
+    val prevWm = Compaction.foldedWatermark(spark, s"$dir/codes")
+    val subsumedWm =
+      (prevWm +: Compaction.incrementIds(spark, s"$dir/codes")).max
+    val fresh = Similarity.pqTrain(corpus.select(col(id), col(emb)),
+      emb, m, ksub, maxIter = maxIter)
+    codebookDf(spark, fresh).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook_new")
+    // the replacement codes tree contains ONLY the new base: the old
+    // increments encode against the OLD codebook and are subsumed by the
+    // re-encode, so they die with `codes_old` in the same promote
+    Similarity.pqEncode(corpus, id, emb, fresh)
+      .select("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$dir/codes_new/base")
+    Compaction.stampWatermark(spark, s"$dir/codes_new/base", subsumedWm)
+    Compaction.promote(spark, dir, Seq("codebook", "codes"))
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The drift-triggered retrain: when any subspace's
+    * [[codeUsageDrift]] breaches `maxL1`, retrain from `corpus` and
+    * return true; below threshold the index is untouched (the
+    * [[Similarity.reclusterIvfIndexIfDrifted]] contract on the
+    * compression axis). */
+  def retrainIndexIfDrifted(spark: SparkSession, dir: String,
+                            corpus: DataFrame, id: String, emb: String,
+                            m: Int, ksub: Int, maxL1: Double): Boolean = {
+    val breached = codeUsageDrift(spark, dir)
+      .filter(col("l1_drift") > maxL1).limit(1).count() > 0
+    if (breached) retrainIndex(spark, dir, corpus, id, emb, m, ksub)
+    breached
+  }
+}

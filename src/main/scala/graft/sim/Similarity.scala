@@ -39,7 +39,15 @@ object Similarity {
     * than the vectors/codes that produced it — and the selection scans
     * it twice, so a LAZY checkpoint caches the scored rows inside the
     * first pass and the similarity arithmetic runs exactly once per pair
-    * (blocks are ContextCleaner-freed with the plan). */
+    * (blocks are ContextCleaner-freed with the plan).
+    *
+    * Cluster caveat (measured trade, accepted): localCheckpoint truncates
+    * lineage, so under dynamic allocation / preemption a LOST executor's
+    * blocks cannot recompute — the job fails and is retried from the
+    * scan instead. On a static-executor deployment (this engine's target
+    * shape) that risk is nil; a deployment that preempts executors should
+    * swap this for reliable `checkpoint()` on a shared FS, at the cost of
+    * a write barrier per selection. */
   private def topKPerQuery(cand: DataFrame, value: String, k: Int,
                            descending: Boolean = true): DataFrame =
     graft.ops.Stats.extremeK(cand.localCheckpoint(false), value,

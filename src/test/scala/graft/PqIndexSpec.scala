@@ -1,0 +1,109 @@
+package graft
+
+import graft.sim.{PqIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The stored PQ index's maintained-artifact contract: frozen-codebook
+  * appends search exactly like a from-scratch encode (codes distribute
+  * over union), restatement and replay-after-fold are single-count, the
+  * codebook round-trips bit-exactly, the drift monitor moves in the
+  * right direction, and the retrain promotes codebook+codes together. */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cb: Array[Array[Array[Double]]] =
+    Array.tabulate(4, 4, 16)((s, c, i0) =>
+      ((s * 131 + c * 37 + (i0 + 1) * 17) % 19 - 9) / 10.0)
+
+  test("maintained code table ≡ from-scratch encode; search before ≡ " +
+       "after the fold; replay drops; codebook round-trips exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    PqIndex.writeIndex(e.filter(col("vec_id") % 3 =!= 0), "vec_id",
+      "embedding", cb, s"$dir/idx")
+    PqIndex.appendBatch(e.filter(col("vec_id") % 3 === 0), "vec_id",
+      "embedding", s"$dir/idx", 0L)
+
+    // codebook round-trip is bit-exact (parquet doubles)
+    val rt = PqIndex.readCodebook(spark, s"$dir/idx")
+    assert(rt.length == 4 && rt(0).length == 4 && rt(0)(0).length == 16)
+    for (s <- 0 until 4; c <- 0 until 4; i <- 0 until 16)
+      assert(rt(s)(c)(i) == cb(s)(c)(i))
+
+    // maintained codes = from-scratch encode of everything ingested
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val maintained = codeMap(PqIndex.readCodes(spark, s"$dir/idx"))
+    val scratch = codeMap(
+      Similarity.pqEncode(e, "vec_id", "embedding", cb)
+        .select("vec_id", "codes"))
+    assert(maintained == scratch)
+
+    val q = e.filter(col("vec_id") < 3)
+    def searchSet() = PqIndex.search(spark, s"$dir/idx", q, "vec_id",
+      "embedding", k = 5).collect().toSet
+    val before = searchSet()
+    assert(before.nonEmpty)
+    assert(PqIndex.compactIndexIfNeeded(spark, s"$dir/idx", 5) == 0,
+      "below threshold the trigger must not fold")
+    assert(PqIndex.compactIndexIfNeeded(spark, s"$dir/idx", 0) == 1)
+    assert(searchSet() == before, "the fold must not move a result")
+
+    // a replayed folded batch must neither re-land nor double-count
+    PqIndex.appendBatch(e.filter(col("vec_id") % 3 === 0), "vec_id",
+      "embedding", s"$dir/idx", 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/idx/codes/increments")))
+    assert(codeMap(PqIndex.readCodes(spark, s"$dir/idx")) == scratch)
+  }
+
+  test("codeUsageDrift ~0 for same-distribution appends, large for " +
+       "shifted data; the trigger retrains codebook+codes together") {
+    // base: vectors near the first codeword direction of every subspace;
+    // shifted batch: constant 0.9 — a region the base never occupies
+    def vec(seed: Long, shift: Double) = (1 to 64).map(j =>
+      (((seed * 31 + j * 7) % 11).toDouble / 55.0 + shift).toFloat)
+    val base = (0L to 59L).map(i => (i, vec(i, 0.0))).toDF("vec_id", "embedding")
+    val same = (100L to 119L).map(i => (i, vec(i, 0.0))).toDF("vec_id", "embedding")
+    val far  = (200L to 219L).map(i => (i, vec(i, 0.9))).toDF("vec_id", "embedding")
+
+    val d1 = java.nio.file.Files.createTempDirectory("graft_pqd1").toString
+    PqIndex.writeIndex(base, "vec_id", "embedding", cb, s"$d1/idx")
+    PqIndex.appendBatch(same, "vec_id", "embedding", s"$d1/idx", 0L)
+    val calm = PqIndex.codeUsageDrift(spark, s"$d1/idx")
+      .agg(max("l1_drift")).head().getDouble(0)
+
+    val d2 = java.nio.file.Files.createTempDirectory("graft_pqd2").toString
+    PqIndex.writeIndex(base, "vec_id", "embedding", cb, s"$d2/idx")
+    PqIndex.appendBatch(far, "vec_id", "embedding", s"$d2/idx", 0L)
+    val stormy = PqIndex.codeUsageDrift(spark, s"$d2/idx")
+      .agg(max("l1_drift")).head().getDouble(0)
+    assert(calm < stormy,
+      s"same-distribution drift $calm must be below shifted drift $stormy")
+
+    // trigger: below threshold untouched, above it the retrain promotes
+    // codebook and codes together and the result searches like a fresh
+    // train over everything ingested (pqTrain is deterministic)
+    val all = base.unionByName(far)
+    assert(!PqIndex.retrainIndexIfDrifted(spark, s"$d2/idx", all,
+      "vec_id", "embedding", m = 4, ksub = 4, maxL1 = 10.0))
+    assert(PqIndex.retrainIndexIfDrifted(spark, s"$d2/idx", all,
+      "vec_id", "embedding", m = 4, ksub = 4, maxL1 = stormy / 2))
+    val fs = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$d2/idx/codes/increments")),
+      "the retrain must subsume the old-codebook increments")
+    val fresh = Similarity.pqTrain(all.select(col("vec_id"), col("embedding")),
+      "embedding", m = 4, ksub = 4)
+    val expect = Similarity.pqEncode(all, "vec_id", "embedding", fresh)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val got = PqIndex.readCodes(spark, s"$d2/idx").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == expect,
+      "retrained store must equal a from-scratch train+encode")
+  }
+}
