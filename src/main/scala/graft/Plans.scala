@@ -326,7 +326,8 @@ object Plans {
       // stored PQ tier: the ADC scan + LUT ride the checkpointed binned
       // selection; the drift readout is two aggregate passes
       "q330_pq_index_stored" -> Seq("Scan ExistingRDD"),
-      "q331_pq_code_drift" -> Seq("HashAggregate", "!NestedLoopJoin"))
+      "q331_pq_code_drift" -> Seq("HashAggregate", "!NestedLoopJoin"),
+      "q332_ivfpq" -> Seq("Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -1015,6 +1015,22 @@ object ExtensionQueries {
       graft.sim.PqIndex.codeUsageDrift(s, dir)
     }),
 
+    // ── IVF-PQ: the production serving composition (Jégou's IVFADC /
+    //    the faiss IVFPQ layout) — posting lists carry CODES, a probe
+    //    partition-prunes to each query's routed cells and runs the LUT
+    //    ADC over ~nProbe/nCells of the corpus at 16 B a row; raw
+    //    vectors never enter the hot path. Oracle replays routing,
+    //    frozen assignment, the closed-form encode, the per-candidate
+    //    ADC, and the ascending rank
+    "q332_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_ivfpq")
+      graft.sim.PqIndex.writeIvfPq(e, "vec_id", "embedding", "label",
+        FixedCodebook, dir)
+      graft.sim.PqIndex.searchIvfPq(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -3000,6 +3016,48 @@ object ExtensionQueries {
         |  FROM u JOIN nb ON nb.s = u.s JOIN ni ON ni.s = u.s)
         |SELECT s, round(CAST(sum(dd) AS DOUBLE), 6) AS l1_drift
         |FROM d GROUP BY s""".stripMargin,
+    // IVF-PQ: q312's routing + frozen assignment composed with q330's
+    // closed-form encode — candidates are each query's probed cells'
+    // code rows, ranked by the per-pair ADC ascending
+    "q332_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |enc AS (SELECT vec_id,
+         |  list_transform([0, 1, 2, 3], s ->
+         |    list_transform([0, 1, 2, 3], c ->
+         |      list_sum(list_transform(generate_series(1, 16), i ->
+         |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+         |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+         |    AS dists
+         |  FROM e),
+         |cod AS (SELECT vec_id,
+         |  list_transform(dists, ds ->
+         |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+         |  FROM enc),
+         |ad AS (SELECT r.q_id, c.vec_id,
+         |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+         |    list_sum(list_transform(generate_series(1, 16), i ->
+         |      (r.qv[s*16 + i]
+         |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+         |    * (r.qv[s*16 + i]
+         |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+         |    AS adist
+         |  FROM cod c JOIN asn a ON a.vec_id = c.vec_id
+         |  JOIN routed r ON a.cid = r.cid AND c.vec_id != r.q_id)
+         |SELECT q_id, vec_id, adist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+         |WHERE rank <= 5""".stripMargin,
     // lifecycle capstone: the lexical store after two appends + fold IS
     // from-scratch BM25 over everything ingested (union-distributive
     // statistics, fold identity — the q323 contract), and the vector

@@ -201,6 +201,66 @@ object PqIndex {
     spark.catalog.refreshByPath(dir)
   }
 
+  // ── IVF-PQ: the production composition (Jégou et al.'s IVFADC / the
+  //    faiss IVFPQ layout). The posting lists carry CODES, not raw
+  //    vectors: a probe partition-prunes to the routed cells and runs
+  //    the LUT ADC over ~nProbe/nCells of the corpus at 16 B a row —
+  //    both pruning axes at once. Raw vectors live wherever the caller
+  //    reranks from; this store never reads them after the build.
+
+  /** Write an IVF-PQ index: frozen centroids from the corpus's `cell`
+    * column, each vector assigned to its nearest centroid and PQ-encoded,
+    * posting lists landed cell-partitioned as (vec_id, codes, cell). */
+  def writeIvfPq(corpus: DataFrame, id: String, emb: String, cell: String,
+                 codebooks: Array[Array[Array[Double]]],
+                 dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.ivfCentroids(corpus, cell, emb)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebookDf(spark, codebooks).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val assigned = Similarity.ivfAssign(corpus, id, emb, cents)
+    Similarity.pqEncode(assigned, "vec_id", "v", codebooks)
+      .join(assigned.select("vec_id", "cell"), "vec_id")
+      .select("vec_id", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Search the IVF-PQ store: route each query to its `nProbe` nearest
+    * stored centroids, push the UNION of probed cells as a PARTITION
+    * filter on the code posting lists (untouched cells never open), then
+    * join each query to ITS OWN probed cells' codes — candidates are
+    * per-query-faithful IVFADC, not the pruned union — and rank by the
+    * LUT ADC through the binned ascending selection. */
+  def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+                  id: String, emb: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val routed = queries.select(col(id).as("q_id"),
+        Similarity.asDouble(emb).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "cid")
+    // |queries|·nProbe driver values — parameter-bounded, never data-sized
+    val cells = routed.select("cid").distinct().collect().map(_.get(0))
+    val cb = readCodebook(spark, dir)
+    val routedLut = routed
+      .join(Similarity.pqLutFrame(queries, id, emb, cb), "q_id")
+    val cand = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isInCollection(cells))
+      .join(broadcast(routedLut), col("cell") === col("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", Similarity.pqAdistCol(cb.length))
+      .select("q_id", "vec_id", "adist")
+    Similarity.topKPerQuery(cand, "adist", k, descending = false)
+      .select("q_id", "vec_id", "adist", "rank")
+  }
+
   /** The drift-triggered retrain: when any subspace's
     * [[codeUsageDrift]] breaches `maxL1`, retrain from `corpus` and
     * return true; below threshold the index is untouched (the

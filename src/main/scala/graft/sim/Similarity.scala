@@ -48,8 +48,8 @@ object Similarity {
     * shape) that risk is nil; a deployment that preempts executors should
     * swap this for reliable `checkpoint()` on a shared FS, at the cost of
     * a write barrier per selection. */
-  private def topKPerQuery(cand: DataFrame, value: String, k: Int,
-                           descending: Boolean = true): DataFrame =
+  private[graft] def topKPerQuery(cand: DataFrame, value: String, k: Int,
+                                  descending: Boolean = true): DataFrame =
     graft.ops.Stats.extremeK(cand.localCheckpoint(false), value,
         Seq("q_id"), k,
         descending = descending, tie = Seq(col("vec_id").asc))
@@ -1026,14 +1026,16 @@ object Similarity {
     * whole code table per query, so a raw `row_number` partition would be
     * the entire corpus sorted by one task, the exact shape [[knnBrute]]
     * retired. */
-  def annPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
-            queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+  /** Per-query ADC lookup table: (q_id, _lut) where _lut[s+1][cw+1] =
+    * ‖q_s − cb[s][cw]‖² — the exact inner fold the naive per-pair ADC
+    * evaluates, hoisted off the corpus scan ([[annPq]]'s LUT, shared
+    * with [[PqIndex.searchIvfPq]]). */
+  private[graft] def pqLutFrame(queries: DataFrame, id: String, emb: String,
+                                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length; val dsub = codebooks(0)(0).length
     val ksub = codebooks(0).length
     val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
-    // per-query LUT: _lut[s+1][cw+1] = ||q_s - cb[s][cw]||², the exact
-    // inner fold the naive per-pair form evaluates — hoisted off the scan
-    val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
+    queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
       .withColumn("_cb", typedlit(cb))
       .withColumn("_lut", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
@@ -1044,11 +1046,21 @@ object Similarity {
            |        * (element_at(qv, s * $dsub + i)
            |          - element_at(element_at(element_at(_cb, s + 1), cw + 1), i)))))""".stripMargin))
       .select("q_id", "_lut")
+  }
+
+  /** The ADC distance from a code array and the query's `_lut` column —
+    * the same per-sub sums the naive form computes, added in the same s
+    * order, so values are bit-identical to it. */
+  private[graft] def pqAdistCol(m: Int): Column = round(expr(
+    s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
+       |  a + element_at(element_at(_lut, s + 1),
+       |        element_at(codes, s + 1) + 1))""".stripMargin), 6)
+
+  def annPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+            queries: DataFrame, id: String, emb: String, k: Int): DataFrame = {
+    val q = pqLutFrame(queries, id, emb, codebooks)
     val cand = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(expr(
-        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, s) ->
-           |  a + element_at(element_at(_lut, s + 1),
-           |        element_at(codes, s + 1) + 1))""".stripMargin), 6))
+      .withColumn("adist", pqAdistCol(codebooks.length))
       .select("q_id", "vec_id", "adist")
     // the checkpointed selection wins even with the cheap LUT score:
     // extremeK rescans the cand frame three times, and re-evaluating the

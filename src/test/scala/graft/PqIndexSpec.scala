@@ -59,6 +59,30 @@ class PqIndexSpec extends SparkSpec {
     assert(codeMap(PqIndex.readCodes(spark, s"$dir/idx")) == scratch)
   }
 
+  test("IVF-PQ: probing every cell equals the flat ADC ranking; the " +
+       "posting scan partition-prunes on the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    PqIndex.writeIvfPq(e, "vec_id", "embedding", "label", cb, s"$dir/idx")
+    val q = e.filter(col("vec_id") < 3)
+    val nCells = spark.read.parquet(s"$dir/idx/centroids").count().toInt
+    // with nProbe = every cell the candidate set is the whole corpus —
+    // the ranking must equal flat annPq over the same codes
+    val viaIvf = PqIndex.searchIvfPq(spark, s"$dir/idx", q, "vec_id",
+      "embedding", k = 5, nProbe = nCells).collect().toSet
+    val flat = Similarity.annPq(
+      spark.read.parquet(s"$dir/idx/postings").select("vec_id", "codes"),
+      cb, q, "vec_id", "embedding", k = 5).collect().toSet
+    assert(viaIvf == flat)
+    // narrow probe returns k rows per query and the scan is cell-pruned
+    assert(PqIndex.searchIvfPq(spark, s"$dir/idx", q, "vec_id",
+      "embedding", k = 5, nProbe = 1).count() == 3 * 5)
+    val plan = spark.read.parquet(s"$dir/idx/postings")
+      .filter(col("cell").isInCollection(Seq(0, 1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
   test("codeUsageDrift ~0 for same-distribution appends, large for " +
        "shifted data; the trigger retrains codebook+codes together") {
     // base: vectors near the first codeword direction of every subspace;
