@@ -916,16 +916,19 @@ object ExtensionQueries {
       Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", dir)
       val q = e.filter(col("vec_id") < 10)
-      // EAGER checkpoint: the frozen-snapshot eval must materialize
-      // before the recluster below rewrites the directory it reads
+      // ONE truth for both snapshots (a recluster permutes cells, never
+      // the ingested vectors) — eager-checkpointed, like the frozen eval,
+      // because the recluster below rewrites the directory both read
+      val truth = Similarity.annEvalTruth(s, dir, q, "vec_id", "embedding",
+        k = 5).localCheckpoint(true)
       val frozen = Similarity.annEvalStored(s, dir, q, "vec_id",
-          "embedding", k = 5, nProbe = 2)
+          "embedding", k = 5, nProbe = 2, truth = Some(truth))
         .select(col("q_id"), col("recall").as("recall_frozen"),
           col("ndcg").as("ndcg_frozen"))
         .localCheckpoint(true)
       Similarity.reclusterIvfIndex(s, dir)
       val re = Similarity.annEvalStored(s, dir, q, "vec_id", "embedding",
-          k = 5, nProbe = 2)
+          k = 5, nProbe = 2, truth = Some(truth))
         .select(col("q_id"), col("recall").as("recall_reclustered"),
           col("ndcg").as("ndcg_reclustered"))
       frozen.join(re, "q_id")

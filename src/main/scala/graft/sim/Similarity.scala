@@ -455,14 +455,24 @@ object Similarity {
     * eval battery), metric joins on k-per-query frames. */
   def annEvalStored(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queries: DataFrame, id: String, emb: String, k: Int,
-                    nProbe: Int): DataFrame = {
-    val (post, _) = readIvfIndex(spark, dir)
+                    nProbe: Int, truth: Option[DataFrame] = None): DataFrame = {
     val res = annIvfIndexed(spark, dir, queries, id, emb, k, nProbe)
       .select("q_id", "vec_id", "rank")
-    val truth = knnBrute(
+    rankingMetrics(res,
+      truth.getOrElse(annEvalTruth(spark, dir, queries, id, emb, k)), k)
+  }
+
+  /** The exhaustive truth [[annEvalStored]] scores against — exposed so a
+    * before/after comparison (q328's shape) computes it ONCE: it depends
+    * only on the ingested vectors, which a recluster permutes but never
+    * changes. */
+  def annEvalTruth(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, id: String, emb: String,
+                   k: Int): DataFrame = {
+    val (post, _) = readIvfIndex(spark, dir)
+    knnBrute(
       post.select(col("vec_id"), col("v").as(emb)),
       queries.select(col(id).as("vec_id"), col(emb)), "vec_id", emb, k)
-    rankingMetrics(res, truth, k)
   }
 
   /** Per-cell drift of a maintained index against its FROZEN centroids:
