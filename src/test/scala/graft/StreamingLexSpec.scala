@@ -73,4 +73,50 @@ class StreamingLexSpec extends SparkSpec {
       "compaction must not change a score")
     assert(LexIndex.compactIndex(spark, idx) == ((0, 0)))
   }
+
+  test("appendBatch lands a batch in fewer jobs than the old isEmpty " +
+       "shape (no pre-pass recomputing the postings aggregation)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexjob").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", s"$dir/idx")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    def count(run: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0); run
+        Thread.sleep(500) // let trailing job-start events drain
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val newJobs = count {
+      LexIndex.appendBatch(batch, "doc_id", "text", s"$dir/idx", 9L)
+    }
+    // the retired shape, faithfully: meta read, an isEmpty pre-pass
+    // materializing the postings aggregation, then the conditional write
+    // recomputing all of it, then the doclens landing
+    val oldJobs = count {
+      val nBuckets = spark.read.parquet(s"$dir/idx/meta")
+        .select("n_buckets").head().getInt(0)
+      val post = LexIndex.postings(batch, "doc_id", "text")
+        .withColumn("bucket", pmod(graft.text.TextOps.h64(col("term")),
+          lit(nBuckets.toLong)).cast("int"))
+      if (!post.isEmpty)
+        post.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/old_style_increment")
+      LexIndex.docLengths(batch, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/old_style_doclens")
+    }
+    assert(newJobs < oldJobs,
+      s"one-job landing started $newJobs jobs vs old shape's $oldJobs")
+    assert(LexIndex.readDocLens(spark, s"$dir/idx").count() == docs.count())
+  }
 }
