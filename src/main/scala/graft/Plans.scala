@@ -327,7 +327,17 @@ object Plans {
       // selection; the drift readout is two aggregate passes
       "q330_pq_index_stored" -> Seq("Scan ExistingRDD"),
       "q331_pq_code_drift" -> Seq("HashAggregate", "!NestedLoopJoin"),
-      "q332_ivfpq" -> Seq("Scan ExistingRDD"))
+      "q332_ivfpq" -> Seq("Scan ExistingRDD"),
+      // delete read path: the tombstone anti-join must BROADCAST (the
+      // build side is deleted-ids-sized) and must not break the term-
+      // bucket partition pruning of the probe scan
+      "q333_lex_delete" -> Seq("PartitionFilters: [bucket",
+        "BroadcastHashJoin", "LeftAnti"),
+      // the anti-join itself sits inside topKPerQuery's checkpointed
+      // lineage (invisible here); TombstoneSpec asserts it on the read
+      // path, with cell pruning pushed through it
+      "q334_ann_delete" -> Seq("Scan ExistingRDD", "!SortMergeJoin"),
+      "q335_pq_delete" -> Seq("Scan ExistingRDD", "!SortMergeJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

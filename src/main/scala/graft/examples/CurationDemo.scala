@@ -126,7 +126,10 @@ object CurationDemo {
     * by the watermark guard); the maintenance TRIGGERS decide what runs —
     * `compactIndexIfNeeded` folds the lexical increments once they exceed
     * the threshold, `reclusterIvfIndexIfDrifted` rebuilds the vector
-    * quantizer only on a drift breach; and the hybrid stack is evaluated
+    * quantizer only on a drift breach; a TAKEDOWN stream tombstones
+    * opted-out ids on both axes (logically immediate, physically erased
+    * by the very same fold/recluster maintenance); and the hybrid stack
+    * is evaluated
     * entirely off the stored artifacts, twice: the BM25→rerank eval and
     * the fused BM25+ANN RRF serving query. Returns the fused-serving
     * metrics frame. */
@@ -147,12 +150,25 @@ object CurationDemo {
         spark.readStream.schema(docs.schema).parquet(s"$root/delta"),
         "doc_id", "text", s"$root/lex", s"$root/chk")
       .start().awaitTermination()
+    // takedown: opted-out doc_ids arrive as a DELETE stream — tombstone
+    // increments make them logically gone from the next read; the trigger
+    // fold below physically erases their rows from the rewritten base,
+    // and the tombstones stay terminal (a re-crawl can't resurrect them)
+    docs.filter(col("doc_id") % 31 === 7).select("doc_id")
+      .write.parquet(s"$root/takedown")
+    graft.streaming.StreamingLex.tombstoneSink(
+        spark.readStream
+          .schema(docs.select("doc_id").schema).parquet(s"$root/takedown"),
+        s"$root/lex", s"$root/chkdel")
+      .start().awaitTermination()
     val (pFolded, dFolded) =
       LexIndex.compactIndexIfNeeded(spark, s"$root/lex", maxIncrements = 0)
     println(s"[curate] lexical increments folded (trigger): " +
       s"postings=$pFolded doclens=$dFolded")
 
-    // vector: frozen-centroid append, then the drift-triggered recluster
+    // vector: frozen-centroid append, then the drift-triggered recluster;
+    // the takedown's vec_ids tombstone the vector index the same way (the
+    // recluster below rebuilds the base without them)
     val cents = Similarity.ivfCentroids(
       e.filter(col("vec_id") % 5 =!= 4), "label", "embedding")
     Similarity.writeIvfIndex(
@@ -160,6 +176,9 @@ object CurationDemo {
         "embedding", cents), cents, s"$root/vec")
     Similarity.appendIvfBatch(e.filter(col("vec_id") % 5 === 4),
       "vec_id", "embedding", s"$root/vec")
+    Similarity.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 31 === 7).select("vec_id"), s"$root/vec",
+      batchId = 0L)
     val reclustered = Similarity.reclusterIvfIndexIfDrifted(spark,
       s"$root/vec", maxDrift = 0.01)
     println(s"[curate] vector quantizer reclustered after append: " +

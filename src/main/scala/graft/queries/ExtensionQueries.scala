@@ -1034,6 +1034,94 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
 
+    // ── DELETE from the stored PQ tier: base codes on 90% under the
+    //    closed-form frozen codebook, delta appended, every vec_id ≡ 3
+    //    mod 7 tombstoned. Stage 'tombstoned' runs the LUT ADC through
+    //    the anti-join, stage 'compacted' after the fold physically
+    //    erased the code rows; both must equal a from-scratch encode of
+    //    the FILTERED corpus (codes under a frozen codebook are
+    //    per-vector, so deletion distributes exactly)
+    "q335_pq_delete" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_pqdel")
+      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", FixedCodebook, dir)
+      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      graft.sim.PqIndex.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
+        batchId = 0L)
+      val q = e.filter(col("vec_id") < 10)
+      val tombstoned = graft.sim.PqIndex.search(s, dir, q, "vec_id",
+          "embedding", k = 5)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction read
+      require(graft.sim.PqIndex.compactIndex(s, dir) == 1,
+        "the increment must fold")
+      tombstoned.unionByName(
+        graft.sim.PqIndex.search(s, dir, q, "vec_id", "embedding", k = 5)
+          .withColumn("stage", lit("compacted")))
+    }),
+
+    // ── DELETE from the stored lexical index (takedown/opt-out): base on
+    //    80%, delta appended, then every doc_id ≡ 3 mod 7 tombstoned.
+    //    Stage 'tombstoned' scores BEFORE any fold (the logical delete —
+    //    eagerly pinned so compaction can't leak into it), stage
+    //    'compacted' after compactIndex physically erased the rows; both
+    //    must equal a from-scratch BM25 over the corpus MINUS the deleted
+    //    docs — tf, df, N and avgdl all reflecting the deletion
+    "q333_lex_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_lexdel")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.deleteBatch(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
+        batchId = 0L)
+      val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction read
+      graft.text.LexIndex.compactIndex(s, dir)
+      tombstoned.unionByName(
+        graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+          .withColumn("stage", lit("compacted")))
+    }),
+
+    // ── DELETE from the maintained ANN index: streaming layout (base on
+    //    90% under its own label centroids, the delta as an increment),
+    //    every vec_id ≡ 3 mod 7 tombstoned. Stage 'tombstoned' searches
+    //    through the anti-join (logical), stage 'compacted' after the fold
+    //    rewrote the base without the deleted rows (physical); both must
+    //    equal a from-scratch frozen assignment of the FILTERED corpus —
+    //    deletes never move a centroid until recluster
+    "q334_ann_delete" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_anndel")
+      graft.streaming.StreamingAnn.writeBaseIndex(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        "label", dir)
+      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
+          "embedding", s.read.parquet(s"$dir/centroids"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/increments/batch=0")
+      graft.streaming.StreamingAnn.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
+        batchId = 0L)
+      val q = e.filter(col("vec_id") < 10)
+      val tombstoned = graft.streaming.StreamingAnn.search(s, dir, q,
+          "vec_id", "embedding", k = 3, nProbe = 2)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction read
+      require(graft.streaming.StreamingAnn.compactIndex(s, dir) == 1,
+        "the increment must fold")
+      tombstoned.unionByName(
+        graft.streaming.StreamingAnn.search(s, dir, q, "vec_id",
+            "embedding", k = 3, nProbe = 2)
+          .withColumn("stage", lit("compacted")))
+    }),
+
     // ── MMR diversity re-ranking of the exact top-20 (λ = 7/10 as a
     //    rational — no float literal near the score), 5 greedy picks per
     //    query; the oracle replays every greedy step
@@ -1828,8 +1916,10 @@ object ExtensionQueries {
   /** The q102 BM25 replay — shared with q323, whose stored-index path is
     * value-identical by the union-distributive sufficient-statistics
     * contract. */
-  private lazy val bm25OracleSql: String =
-    s"""WITH $normCte,
+  /** The BM25 CTE chain over a given `nrm`-producing CTE — shared by the
+    * plain (q102/q323) and the delete-filtered (q333) oracles. */
+  private def bm25Ctes(norm: String): String =
+    s"""$norm,
        |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tk),
        |stats AS (SELECT count(*) AS n_docs,
@@ -1843,7 +1933,10 @@ object ExtensionQueries {
        |scored AS (SELECT doc_id,
        |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
        |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
-       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)""".stripMargin
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH ${bm25Ctes(normCte)}
        |SELECT doc_id, count(*) AS n_terms,
        |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
        |FROM scored GROUP BY doc_id""".stripMargin
@@ -1852,6 +1945,13 @@ object ExtensionQueries {
     raw"""nrm AS (SELECT doc_id,
        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
        |    '\s+', ' ', 'g')) AS t FROM documents)""".stripMargin
+
+  /** [[normCte]] over a filtered documents set — the delete oracles'
+    * from-scratch-on-the-filtered-corpus replay. */
+  private def normCteWhere(pred: String) =
+    raw"""nrm AS (SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+       |    '\s+', ' ', 'g')) AS t FROM documents WHERE $pred)""".stripMargin
 
   private val bpeEncodeSql: String = {
     // chr(1) separator: normalize replaced every control char with a space,
@@ -2837,6 +2937,82 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
          |WHERE rank <= 3""".stripMargin,
+
+    // delete replay, PQ: the q330 closed-form encode + LUT ADC chain with
+    // the tombstoned vectors dropped from the code table (codes are
+    // per-vector — deletion distributes exactly), ranked per stage
+    "q335_pq_delete" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |enc AS (SELECT vec_id, v,
+        |  list_transform([0, 1, 2, 3], s ->
+        |    list_transform([0, 1, 2, 3], c ->
+        |      list_sum(list_transform(generate_series(1, 16), i ->
+        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+        |    AS dists
+        |  FROM e),
+        |cod AS (SELECT vec_id,
+        |  list_transform(dists, ds ->
+        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+        |  FROM enc WHERE vec_id % 7 != 3),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |ad AS (SELECT q.q_id, c.vec_id,
+        |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+        |    list_sum(list_transform(generate_series(1, 16), i ->
+        |      (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+        |    * (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+        |    AS adist
+        |  FROM cod c, q WHERE c.vec_id != q.q_id),
+        |res AS (SELECT q_id, vec_id, adist, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+        |WHERE rank <= 5)
+        |SELECT st.stage, res.q_id, res.vec_id, res.adist, res.rank
+        |FROM res CROSS JOIN (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
+
+    // delete replay, lexical: BM25 from scratch over the corpus MINUS the
+    // tombstoned docs (tf/df/N/avgdl all reflect the deletion), once per
+    // stage — 'tombstoned' (anti-join read) and 'compacted' (physically
+    // erased base) must both equal it
+    "q333_lex_delete" ->
+      s"""WITH ${bm25Ctes(normCteWhere("doc_id % 7 <> 3"))},
+         |res AS (SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         |FROM scored GROUP BY doc_id)
+         |SELECT st.stage, res.doc_id, res.n_terms, res.bm25
+         |FROM res CROSS JOIN (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
+
+    // delete replay, ANN: the q326 chain (90% label quantizer, full
+    // frozen assignment) with the tombstoned vectors dropped AFTER
+    // assignment (a delete never moves a frozen centroid), ranked per
+    // stage — logical (anti-join) and physical (folded base) reads both
+    // equal the from-scratch filtered assignment
+    "q334_ann_delete" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) WHERE vec_id % 10 != 0
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |live AS (SELECT * FROM asn WHERE vec_id % 7 != 3),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |sc AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM live a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id),
+         |res AS (SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
+         |WHERE rank <= 3)
+         |SELECT st.stage, res.q_id, res.vec_id, res.sim, res.rank
+         |FROM res CROSS JOIN (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
 
     // recluster replay: label quantizer -> full assign (the maintained
     // postings) -> fresh centroids from current cell means -> re-assign ->

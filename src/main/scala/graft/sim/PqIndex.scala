@@ -80,20 +80,30 @@ object PqIndex {
       .parquet(s"$dir/codes/increments/batch=$batchId")
   }
 
+  /** DELETE vectors from the stored PQ tier (takedown/opt-out) — a
+    * tombstone increment under `dir`, shared by the flat code table and
+    * the IVF-PQ posting lists rooted there ([[graft.streaming.Tombstones]]):
+    * logically gone from the next [[search]]/[[searchIvfPq]], physically
+    * erased at the next [[compactIndex]] / [[vacuumIvfPq]] / [[retrainIndex]]
+    * base rewrite, terminal against re-ingest. */
+  def deleteBatch(ids: DataFrame, dir: String, batchId: Long): Unit =
+    graft.streaming.Tombstones.append(ids, dir, batchId)
+
   /** The maintained code table: base plus every LIVE increment (the
     * `batch` partition column prunes directories a crashed fold already
-    * owns). */
+    * owns), minus tombstoned vectors (broadcast anti-join). */
   def readCodes(spark: SparkSession, dir: String): DataFrame = {
     val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
     val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = spark.read.parquet(s"$dir/codes/base")
       .select("vec_id", "codes")
-    if (fs.exists(incPath))
+    val merged = if (fs.exists(incPath))
       base.unionByName(spark.read.parquet(s"$dir/codes/increments")
         .filter(col("batch") >
           Compaction.foldedWatermark(spark, s"$dir/codes"))
         .select("vec_id", "codes"))
     else base
+    graft.streaming.Tombstones.applyTo(merged, dir, "vec_id")
   }
 
   /** ADC search over the maintained code table —
@@ -105,19 +115,49 @@ object PqIndex {
       queries, id, emb, k)
 
   /** Fold the code increments into a new base — disjoint-row union is
-    * the read-path merge, so [[search]] before ≡ after. */
-  def compactIndex(spark: SparkSession, dir: String): Int =
-    Compaction.foldIncrements(spark, s"$dir/codes") { (base, incs) =>
-      (base.toSeq ++ incs)
-        .map(p => spark.read.parquet(p).select("vec_id", "codes"))
-        .reduce(_.unionByName(_))
+    * the read-path merge, so [[search]] before ≡ after. Tombstones fold
+    * first and apply inside the data fold (physical erasure); a pure
+    * deletion campaign with nothing to fold gets the vacuum arm. */
+  def compactIndex(spark: SparkSession, dir: String): Int = {
+    import graft.streaming.Tombstones
+    Tombstones.compact(spark, dir)
+    val folded = Compaction.foldIncrements(spark, s"$dir/codes") {
+      (base, incs) =>
+        Tombstones.applyTo((base.toSeq ++ incs)
+          .map(p => spark.read.parquet(p).select("vec_id", "codes"))
+          .reduce(_.unionByName(_)), dir, "vec_id")
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    if (folded == 0 && Tombstones.needsVacuum(
+        spark.read.parquet(s"$dir/codes/base"), dir, "vec_id"))
+      Compaction.rewriteBase(spark, s"$dir/codes")(df =>
+        Tombstones.applyTo(df.select("vec_id", "codes"), dir, "vec_id")) {
+        (df, out) => df.write.mode("overwrite").parquet(out)
+      }
+    folded
+  }
+
+  /** Physically erase tombstoned vectors from the IVF-PQ posting lists —
+    * the [[compactIndex]] vacuum arm for the cell-partitioned layout
+    * (which is single-shot, so it has no fold to ride). No-op when the
+    * base holds no tombstoned row. */
+  def vacuumIvfPq(spark: SparkSession, dir: String): Unit = {
+    import graft.streaming.Tombstones
+    Tombstones.compact(spark, dir)
+    if (Tombstones.needsVacuum(
+        spark.read.parquet(s"$dir/postings"), dir, "vec_id"))
+      Compaction.rewriteBase(spark, dir, "postings")(df =>
+        Tombstones.applyTo(df.select("vec_id", "codes", "cell"), dir,
+          "vec_id")) { (df, out) =>
+        df.write.mode("overwrite").partitionBy("cell").parquet(out)
+      }
+  }
 
   /** Compaction trigger: fold iff more than `maxIncrements` increment
-    * directories have accumulated. */
+    * directories (data or tombstone) have accumulated. */
   def compactIndexIfNeeded(spark: SparkSession, dir: String,
                            maxIncrements: Int): Int =
-    if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements)
+    if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements ||
+        graft.streaming.Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else 0
 
@@ -186,14 +226,18 @@ object PqIndex {
     val prevWm = Compaction.foldedWatermark(spark, s"$dir/codes")
     val subsumedWm =
       (prevWm +: Compaction.incrementIds(spark, s"$dir/codes")).max
-    val fresh = Similarity.pqTrain(corpus.select(col(id), col(emb)),
+    // tombstoned vectors are excluded from the retrain corpus — the fresh
+    // codebook trains on live data only and the re-encode is the
+    // physical-erasure rewrite for this layout too
+    val live = graft.streaming.Tombstones.applyTo(corpus, dir, id)
+    val fresh = Similarity.pqTrain(live.select(col(id), col(emb)),
       emb, m, ksub, maxIter = maxIter)
     codebookDf(spark, fresh).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook_new")
     // the replacement codes tree contains ONLY the new base: the old
     // increments encode against the OLD codebook and are subsumed by the
     // re-encode, so they die with `codes_old` in the same promote
-    Similarity.pqEncode(corpus, id, emb, fresh)
+    Similarity.pqEncode(live, id, emb, fresh)
       .select("vec_id", "codes")
       .write.mode("overwrite").parquet(s"$dir/codes_new/base")
     Compaction.stampWatermark(spark, s"$dir/codes_new/base", subsumedWm)
@@ -251,7 +295,8 @@ object PqIndex {
     val cb = readCodebook(spark, dir)
     val routedLut = routed
       .join(Similarity.pqLutFrame(queries, id, emb, cb), "q_id")
-    val cand = spark.read.parquet(s"$dir/postings")
+    val cand = graft.streaming.Tombstones.applyTo(
+        spark.read.parquet(s"$dir/postings"), dir, "vec_id")
       .filter(col("cell").isInCollection(cells))
       .join(broadcast(routedLut), col("cell") === col("cid"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -344,10 +344,24 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
   }
 
-  /** A stored index read back: (posting lists, centroids). */
+  /** DELETE vectors from a stored index — the takedown arm
+    * ([[graft.streaming.Tombstones]]): the delete lands as a tombstone
+    * increment, [[readIvfIndex]] anti-joins it (logically gone from the
+    * next search, and from the drift report's member means), and the next
+    * [[reclusterIvfIndex]] rewrites the posting lists without the rows —
+    * the physical erasure. Terminal: re-ingesting a deleted vec_id via
+    * [[appendIvfBatch]] is suppressed forever. */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String, batchId: Long): Unit =
+    graft.streaming.Tombstones.append(ids, dir, batchId)
+
+  /** A stored index read back: (posting lists, centroids). Tombstoned
+    * vectors are anti-joined out (broadcast — the tombstone set is
+    * deleted-ids-sized); the probe's cell partition filter still reaches
+    * the scan because `cell` is a left-side column. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/postings"),
+    (graft.streaming.Tombstones.applyTo(
+        spark.read.parquet(s"$dir/postings"), dir, "vec_id"),
       spark.read.parquet(s"$dir/centroids"))
 
   /** RECLUSTER a stored index — the arm [[ivfCellDrift]] triggers: when
@@ -375,7 +389,10 @@ object Similarity {
                         dir: String): Unit = {
     graft.streaming.Compaction.recoverPromote(spark, dir)
     spark.catalog.refreshByPath(dir)
-    val members = spark.read.parquet(s"$dir/postings")
+    // tombstones apply through readIvfIndex: the rebuilt base is written
+    // WITHOUT deleted vectors (physical erasure), and the fresh centroids
+    // are means over live members only
+    val members = readIvfIndex(spark, dir)._1
       .select(col("vec_id"), col("cell"), col("v"))
     val fresh = ivfCentroids(members, "cell", "v")
     fresh.write.mode("overwrite").parquet(s"$dir/centroids_new")

@@ -215,6 +215,34 @@ private[graft] object Compaction {
     fresh.size
   }
 
+  /** Rewrite a live base directory through the same write-aside-and-swap
+    * (and the same crash matrix) as [[foldIncrements]], WITHOUT folding
+    * increments — the vacuum arm: physically removing tombstoned rows
+    * when no data increments are pending (a pure deletion campaign would
+    * otherwise never rewrite the base). The folded watermark is preserved
+    * verbatim — a vacuum folds nothing, so it must not change which
+    * increment directories readers prune. No-op when no base exists. */
+  private[graft] def rewriteBase(spark: SparkSession, root: String,
+                                 baseName: String = "base")
+                                (transform: DataFrame => DataFrame)
+                                (write: (DataFrame, String) => Unit): Unit = {
+    val fs = fsFor(spark, root)
+    recoverPromote(spark, root)
+    recover(spark, root, baseName)
+    val baseP = new Path(s"$root/$baseName")
+    if (!fs.exists(baseP)) return
+    val wm = readWm(fs, baseP)
+    spark.catalog.refreshByPath(root)
+    val compactP = new Path(s"$root/${baseName}_compact")
+    write(transform(spark.read.parquet(baseP.toString)), compactP.toString)
+    writeWm(fs, compactP, wm)
+    val oldP = new Path(s"$root/${baseName}_old")
+    mv(fs, baseP, oldP)
+    mv(fs, compactP, baseP)
+    fs.delete(oldP, true)
+    spark.catalog.refreshByPath(root)
+  }
+
   /** Count of increment directories currently under `root` — the trigger
     * signal for [[compactIfNeeded]]. */
   def incrementCount(spark: SparkSession, root: String): Int = {

@@ -57,21 +57,44 @@ object StreamingAnn {
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
 
+  /** foreachBatch sink for a DELETE stream (takedown / opt-out ids):
+    * each micro-batch of vec_ids lands as a tombstone increment
+    * ([[Tombstones]] — its own watermark, so the ingest and delete
+    * streams replay independently). Logically gone from the next
+    * [[search]] (and from [[reclusterIfDrifted]]'s member means);
+    * physically gone at the next [[compactIndex]] / [[reclusterIndex]]
+    * base rewrite. Terminal: a re-ingested deleted vec_id stays dead. */
+  def tombstoneSink(df: DataFrame, indexPath: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Tombstones.append(batch, indexPath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** [[tombstoneSink]]'s batch form: land one delete batch of vec_ids. */
+  def deleteBatch(ids: DataFrame, indexPath: String, batchId: Long): Unit =
+    Tombstones.append(ids, indexPath, batchId)
+
   /** The maintained posting lists: base plus every LIVE increment — the
     * `batch` partition column prunes directories at or below the folded
     * watermark (a fold or recluster that crashed before its increment
-    * deletes leaves them on disk; they must not double-count). */
+    * deletes leaves them on disk; they must not double-count) — minus
+    * tombstoned vectors (broadcast anti-join; cell pruning still reaches
+    * the scan, the filter is left-side-only). */
   def readPostings(spark: SparkSession, indexPath: String): DataFrame = {
     val incPath =
       new org.apache.hadoop.fs.Path(s"$indexPath/increments")
     val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = spark.read.parquet(s"$indexPath/base")
       .select("vec_id", "v", "cell")
-    if (fs.exists(incPath))
+    val merged = if (fs.exists(incPath))
       base.unionByName(spark.read.parquet(s"$indexPath/increments")
         .filter(col("batch") > Compaction.foldedWatermark(spark, indexPath))
         .select("vec_id", "v", "cell"))
     else base
+    Tombstones.applyTo(merged, indexPath, "vec_id")
   }
 
   /** Search the maintained index — [[Similarity.annIvfStored]] routing
@@ -140,14 +163,27 @@ object StreamingAnn {
     * base holds exactly the rows the old base ∪ increments held, so
     * [[search]] before ≡ after (StreamingAnnSpec pins it). Run between
     * streams; returns the number of increments folded. */
-  def compactIndex(spark: SparkSession, indexPath: String): Int =
-    Compaction.foldIncrements(spark, indexPath) { (base, incs) =>
-      (base.toSeq ++ incs)
-        .map(p => spark.read.parquet(p).select("vec_id", "v", "cell"))
-        .reduce(_.unionByName(_))
-    } { (df, out) =>
+  def compactIndex(spark: SparkSession, indexPath: String): Int = {
+    // fold the tombstone increments first, then apply the folded set
+    // inside the data fold: the new base is written WITHOUT the deleted
+    // vectors' rows — the physical erasure a takedown requires
+    Tombstones.compact(spark, indexPath)
+    val writeCells = (df: DataFrame, out: String) =>
       df.write.mode("overwrite").partitionBy("cell").parquet(out)
-    }
+    val folded = Compaction.foldIncrements(spark, indexPath) { (base, incs) =>
+      Tombstones.applyTo((base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("vec_id", "v", "cell"))
+        .reduce(_.unionByName(_)), indexPath, "vec_id")
+    } (writeCells)
+    // pure deletion campaign: nothing folded, but the base still holds
+    // tombstoned rows physically — vacuum it through the same swap
+    if (folded == 0 && Tombstones.needsVacuum(
+        spark.read.parquet(s"$indexPath/base"), indexPath, "vec_id"))
+      Compaction.rewriteBase(spark, indexPath)(df =>
+        Tombstones.applyTo(df.select("vec_id", "v", "cell"), indexPath,
+          "vec_id"))(writeCells)
+    folded
+  }
 
   /** The operational trigger [[reclusterIfDrifted]] is for drift, applied
     * to compaction: fold iff more than `maxIncrements` increment
@@ -156,7 +192,8 @@ object StreamingAnn {
     * width stays bounded by construction. */
   def compactIndexIfNeeded(spark: SparkSession, indexPath: String,
                            maxIncrements: Int): Int =
-    if (Compaction.incrementCount(spark, indexPath) > maxIncrements)
+    if (Compaction.incrementCount(spark, indexPath) > maxIncrements ||
+        Tombstones.incrementCount(spark, indexPath) > maxIncrements)
       compactIndex(spark, indexPath)
     else 0
 }

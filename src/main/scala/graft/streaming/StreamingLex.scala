@@ -30,4 +30,19 @@ object StreamingLex {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** foreachBatch sink for a DELETE stream (takedown doc_ids): each
+    * micro-batch lands as a tombstone increment
+    * ([[graft.text.LexIndex.deleteBatch]] — its own watermark, so the
+    * ingest and delete streams replay independently). Logically gone from
+    * the next read, physically gone at the next
+    * [[graft.text.LexIndex.compactIndex]]; terminal against re-ingest. */
+  def tombstoneSink(docIds: DataFrame, indexPath: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    docIds.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LexIndex.deleteBatch(batch, indexPath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
 }

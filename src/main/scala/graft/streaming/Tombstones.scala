@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETE support for the maintained on-disk artifacts — the lifecycle
+  * piece a training-data deployment cannot ship without (takedown /
+  * opt-out / right-to-be-forgotten): removing a document or vector from
+  * an index whose base and increments are immutable parquet.
+  *
+  * Design: deletes are data, not mutations. A delete lands as a TOMBSTONE
+  * increment (one row per deleted id) under the artifact it applies to:
+  * {{{
+  *   <root>/tombstones/base/              (tid) — folded tombstone set
+  *   <root>/tombstones/increments/batch=N (tid) — one dir per delete batch
+  * }}}
+  * exactly the [[Compaction]] protocol the data increments already ride
+  * (restatement-safe landings, folded-batch watermark, crash-safe swap),
+  * with set-union as the merge — tombstones are trivially
+  * union-distributive, so fold ≡ read-merge is an identity.
+  *
+  * Read path: the artifact's reader anti-joins the live tombstone set on
+  * its id column — a LOGICAL delete, visible the moment the tombstone
+  * lands, costing one broadcast anti-join (the tombstone set is
+  * deleted-ids-sized, never corpus-sized). Compaction/recluster apply
+  * tombstones while rewriting the base — the PHYSICAL delete, after which
+  * the bytes are gone from disk (what a takedown actually requires).
+  *
+  * Semantics are TERMINAL: the tombstone base persists after the rows are
+  * physically removed, so a later batch that re-ingests a deleted id is
+  * anti-joined away forever — deletion cannot be silently undone by a
+  * re-crawl (and the append-only-per-doc contracts stay intact: the
+  * resurrected row never becomes visible, so it can never fragment
+  * statistics). Trimming tombstones older than a verified-erasure audit
+  * is a retention policy decision, deliberately not automated here.
+  *
+  * At 100 TB: a tombstone set is |deleted ids| × 8 B — broadcast-sized by
+  * construction for any plausible takedown volume; the anti-join keys on
+  * the artifact's own id column, so no shuffle is added to reads (the
+  * build side broadcasts), and partition-prune filters (cell / term
+  * bucket) still reach the scan because only left-side columns feed them.
+  */
+private[graft] object Tombstones {
+
+  private def root(dir: String) = s"$dir/tombstones"
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Land one delete batch: `ids`' single column becomes `tid`. Replay-
+    * and restatement-safe like every increment sink in the family: a
+    * batch id at or below the folded watermark is dropped (a prior fold
+    * owns it), a retried live batch overwrites exactly its own dir. */
+  def append(ids: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    require(ids.columns.length == 1,
+      s"tombstone batch must be a single id column, got ${ids.columns.toSeq}")
+    if (!Compaction.isFolded(spark, root(dir), batchId))
+      ids.select(col(ids.columns.head).as("tid")).distinct()
+        .write.mode("overwrite")
+        .parquet(s"${root(dir)}/increments/batch=$batchId")
+  }
+
+  /** The live tombstone set (tid), base ∪ unfolded increments — None when
+    * no delete has ever landed (readers skip the anti-join entirely). */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = fsFor(spark, root(dir))
+    val baseP = new Path(s"${root(dir)}/base")
+    val incP = new Path(s"${root(dir)}/increments")
+    val parts =
+      (if (fs.exists(baseP)) Seq(spark.read.parquet(baseP.toString)) else Nil) ++
+      (if (fs.exists(incP))
+        Seq(spark.read.parquet(incP.toString)
+          .filter(col("batch") > Compaction.foldedWatermark(spark, root(dir)))
+          .select("tid"))
+      else Nil)
+    if (parts.isEmpty) None
+    else Some(parts.map(_.select("tid")).reduce(_.unionByName(_)).distinct())
+  }
+
+  /** Apply the live tombstones to `df`: broadcast anti-join on `idCol`.
+    * No tombstones → `df` untouched (no join node in the plan at all). */
+  def applyTo(df: DataFrame, dir: String, idCol: String): DataFrame =
+    read(df.sparkSession, dir) match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t), df(idCol) === t("tid"), "left_anti")
+    }
+
+  /** Fold tombstone increments into the tombstone base (set union) —
+    * [[Compaction.foldIncrements]] with the distinct-union merge. Called
+    * by each artifact's compaction before it applies tombstones to the
+    * data fold, so one compacted artifact never unions a long tombstone
+    * increment tail either. */
+  def compact(spark: SparkSession, dir: String): Int =
+    Compaction.foldIncrements(spark, root(dir)) { (base, incs) =>
+      (base.toSeq ++ incs)
+        .map(p => spark.read.parquet(p).select("tid"))
+        .reduce(_.unionByName(_)).distinct()
+    } { (df, out) => df.coalesce(1).write.mode("overwrite").parquet(out) }
+
+  /** True iff `base` still physically holds any tombstoned row — the
+    * vacuum trigger for the zero-data-increments case (a fold applies
+    * tombstones as a side effect; a pure deletion campaign has nothing to
+    * fold, so its physical erasure needs [[Compaction.rewriteBase]]).
+    * Cost: one broadcast semi-join short-circuited at the first hit. */
+  def needsVacuum(base: DataFrame, dir: String, idCol: String): Boolean =
+    read(base.sparkSession, dir).exists(t =>
+      base.join(broadcast(t), base(idCol) === t("tid"), "left_semi")
+        .limit(1).head(1).nonEmpty)
+
+  /** Count of unfolded tombstone increment dirs — trigger signal. */
+  def incrementCount(spark: SparkSession, dir: String): Int =
+    Compaction.incrementCount(spark, root(dir))
+
+  /** True iff any tombstone has ever landed under `dir`. */
+  def exist(spark: SparkSession, dir: String): Boolean =
+    fsFor(spark, root(dir)).exists(new Path(root(dir)))
+}

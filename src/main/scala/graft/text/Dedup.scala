@@ -274,36 +274,71 @@ object Dedup {
     } else fs.delete(tmp, true): Unit
   }
 
+  /** The caller-chosen id column of a bands frame — everything else in
+    * the schema is the fixed band-row machinery. */
+  private def bandsIdCol(bands: DataFrame): String =
+    bands.columns
+      .filterNot(Set("mh", "band_idx", "band_key", "bucket", "batch")).head
+
+  /** DELETE documents from the stored signature index (takedown/opt-out) —
+    * a tombstone increment ([[graft.streaming.Tombstones]]): the deleted
+    * docs' band rows are logically gone from the next probe (so a future
+    * near-dup of a deleted doc is assigned exactly as if the index had
+    * been built from the filtered corpus — it becomes its own keeper),
+    * physically gone at the next [[compactSignatureIndex]], and terminal
+    * against re-ingest. Assignment SNAPSHOTS of other docs are untouched:
+    * a cluster id that happens to be a deleted doc's id is a label, not
+    * the doc's content — re-electing keepers historically would rewrite
+    * decisions training runs already consumed. */
+  def deleteFromSignatureIndex(ids: DataFrame, path: String,
+                               batchId: Long): Unit =
+    graft.streaming.Tombstones.append(ids, path, batchId)
+
   /** Fold all streaming increments into the base bands: one
     * bucket-partitioned rewrite of base ∪ increments, then the increment
     * directories are dropped — [[graft.streaming.Compaction.foldIncrements]]
     * with `bands` as the live directory, so the swap gets the shared
     * crash-safe protocol (checked renames, interrupted-swap recovery, the
     * folded-batch watermark that makes replay-after-fold single-count).
-    * Probe results are identical before and after (StreamingDedupSpec
-    * proves it); run any time no stream is mid-batch. Returns the number
-    * of increments folded. */
+    * Tombstones fold first and apply inside the data fold (the physical
+    * erasure of deleted docs' band rows); a pure deletion campaign gets
+    * the vacuum arm. Probe results are identical before and after
+    * (StreamingDedupSpec proves it); run any time no stream is mid-batch.
+    * Returns the number of increments folded. */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Int =
-    graft.streaming.Compaction.foldIncrements(spark, path, "bands") {
+                            path: String): Int = {
+    import graft.streaming.{Compaction, Tombstones}
+    Tombstones.compact(spark, path)
+    val writeBands = (df: DataFrame, out: String) =>
+      df.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val folded = Compaction.foldIncrements(spark, path, "bands") {
       (base, incs) =>
         // the id column's name is caller-chosen — the base's schema is the
         // authority (readSignatureIndex's own convention)
         val baseDf = spark.read.parquet(base.getOrElse(
           sys.error(s"no bands base under $path")))
         val cols = baseDf.columns.toSeq.map(col)
-        (baseDf +: incs.map(p => spark.read.parquet(p).select(cols: _*)))
-          .reduce(_.unionByName(_))
-    } { (df, out) =>
-      df.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+        Tombstones.applyTo(
+          (baseDf +: incs.map(p => spark.read.parquet(p).select(cols: _*)))
+            .reduce(_.unionByName(_)), path, bandsIdCol(baseDf))
+    } (writeBands)
+    if (folded == 0) {
+      val baseDf = spark.read.parquet(s"$path/bands")
+      if (Tombstones.needsVacuum(baseDf, path, bandsIdCol(baseDf)))
+        Compaction.rewriteBase(spark, path, "bands")(df =>
+          Tombstones.applyTo(df, path, bandsIdCol(df))
+            .select(baseDf.columns.map(col): _*))(writeBands)
     }
+    folded
+  }
 
   /** Compaction trigger: fold iff more than `maxIncrements` increment
     * directories have accumulated. */
   def compactSignatureIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
                                     path: String, maxIncrements: Int): Int =
-    if (graft.streaming.Compaction.incrementCount(spark, path) > maxIncrements)
+    if (graft.streaming.Compaction.incrementCount(spark, path) > maxIncrements ||
+        graft.streaming.Tombstones.incrementCount(spark, path) > maxIncrements)
       compactSignatureIndex(spark, path)
     else 0
 
@@ -329,7 +364,10 @@ object Dedup {
           graft.streaming.Compaction.foldedWatermark(spark, path, "bands"))
         .drop("batch").select(base.columns.map(col): _*))
     else base
-    SignatureIndex(bands, meta.getInt(0))
+    // tombstoned docs' band rows are anti-joined out — a future near-dup
+    // of a deleted doc probes as if the index never held it
+    SignatureIndex(graft.streaming.Tombstones.applyTo(bands, path,
+      bandsIdCol(bands)), meta.getInt(0))
   }
 
   /** `incrementalCandidates` against a STORED corpus index: identical pairs,

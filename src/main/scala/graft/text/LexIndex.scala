@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *   postings/increments/batch=N/  same schema, one dir per ingested batch
   *   doclens/base/                 (doc_id, dl) — BM25's length normalizer
   *   doclens/increments/batch=N/
+  *   tombstones/...                deleted doc_ids ([[deleteBatch]])
   * }}}
   *
   * Why these statistics: (term, doc, tf) rows and (doc, dl) rows are the
@@ -116,6 +117,18 @@ object LexIndex {
         .parquet(s"$dir/doclens/increments/batch=$batchId")
   }
 
+  /** DELETE documents from the index — a takedown lands as a TOMBSTONE
+    * increment ([[graft.streaming.Tombstones]]): logically gone from the
+    * next read (both read paths anti-join the tombstone set, so tf, df,
+    * N and avgdl all reflect the filtered corpus — BM25 after a delete is
+    * value-identical to a from-scratch index over the corpus minus the
+    * deleted docs), physically gone at the next [[compactIndex]] (the
+    * fold rewrites both bases without the tombstoned rows). Deletion is
+    * TERMINAL: a later batch re-ingesting a deleted doc_id is suppressed
+    * forever — a re-crawl cannot silently resurrect removed content. */
+  def deleteBatch(docIds: DataFrame, dir: String, batchId: Long): Unit =
+    graft.streaming.Tombstones.append(docIds, dir, batchId)
+
   private def unionParts(spark: SparkSession, root: String,
                          cols: Seq[String]): DataFrame = {
     val incPath = new org.apache.hadoop.fs.Path(s"$root/increments")
@@ -132,14 +145,18 @@ object LexIndex {
   }
 
   /** The maintained postings (term, doc_id, tf, bucket): base + every
-    * increment. */
+    * increment, minus tombstoned docs (broadcast anti-join — left-side
+    * bucket filters still reach the scan as partition filters). */
   def readPostings(spark: SparkSession, dir: String): DataFrame =
-    unionParts(spark, s"$dir/postings",
-      Seq("term", "doc_id", "tf", "bucket"))
+    graft.streaming.Tombstones.applyTo(
+      unionParts(spark, s"$dir/postings",
+        Seq("term", "doc_id", "tf", "bucket")), dir, "doc_id")
 
-  /** The maintained doc lengths (doc_id, dl): base + every increment. */
+  /** The maintained doc lengths (doc_id, dl): base + every increment,
+    * minus tombstoned docs — so N and avgdl reflect the live corpus. */
   def readDocLens(spark: SparkSession, dir: String): DataFrame =
-    unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl"))
+    graft.streaming.Tombstones.applyTo(
+      unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl")), dir, "doc_id")
 
   /** BM25 over the STORED index — value-identical to
     * [[Retrieval.bm25]](everything ingested, `terms`) because the stored
@@ -180,26 +197,35 @@ object LexIndex {
     * merge). Returns (postings increments folded, doclens increments
     * folded); run between streams. */
   def compactIndex(spark: SparkSession, dir: String): (Int, Int) = {
+    import graft.streaming.Tombstones
+    // fold the tombstone increments first so the data folds below apply
+    // ONE folded set (and the tombstone read path stays union-narrow too)
+    Tombstones.compact(spark, dir)
     val p = graft.streaming.Compaction.foldIncrements(spark,
         s"$dir/postings") { (base, incs) =>
-      (base.toSeq ++ incs)
+      // tombstones apply inside the fold: the new base is written WITHOUT
+      // the deleted docs' rows — the physical erasure a takedown requires
+      Tombstones.applyTo((base.toSeq ++ incs)
         .map(x => spark.read.parquet(x)
           .select("term", "doc_id", "tf", "bucket"))
-        .reduce(_.unionByName(_))
+        .reduce(_.unionByName(_)), dir, "doc_id")
     } { (df, out) =>
       df.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
     }
     val d = graft.streaming.Compaction.foldIncrements(spark,
         s"$dir/doclens") { (base, incs) =>
-      val merged = (base.toSeq ++ incs)
+      val merged = Tombstones.applyTo((base.toSeq ++ incs)
         .map(x => spark.read.parquet(x).select("doc_id", "dl"))
-        .reduce(_.unionByName(_))
-      // the index is append-only per doc: a doc_id ingested in MORE THAN
-      // ONE batch (re-crawl/update — restating the SAME batch is safe)
-      // splits its tf rows across fragments, inflating df and fanning out
-      // the dl join; that skews scores silently, so detect it here where
-      // the whole history is in hand and fail loudly instead
+        .reduce(_.unionByName(_)), dir, "doc_id")
+      // the index is append-only per LIVE doc: a doc_id ingested in MORE
+      // THAN ONE batch (re-crawl/update — restating the SAME batch is
+      // safe) splits its tf rows across fragments, inflating df and
+      // fanning out the dl join; that skews scores silently, so detect it
+      // here where the whole history is in hand and fail loudly instead.
+      // The guard runs on the tombstone-FILTERED frame: re-ingesting a
+      // DELETED doc is suppressed by the terminal tombstone (identically
+      // before and after its physical removal), never an error
       val dup = merged.groupBy("doc_id").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).collect()
       require(dup.isEmpty,
@@ -208,6 +234,22 @@ object LexIndex {
           "the lexical index contract is append-only per doc_id")
       merged
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    // pure deletion campaign: nothing folded but tombstoned rows remain
+    // physically in a base — vacuum each root through the same swap
+    if (p == 0 && Tombstones.needsVacuum(
+        spark.read.parquet(s"$dir/postings/base"), dir, "doc_id"))
+      graft.streaming.Compaction.rewriteBase(spark, s"$dir/postings")(df =>
+        Tombstones.applyTo(df.select("term", "doc_id", "tf", "bucket"),
+          dir, "doc_id")) { (df, out) =>
+        df.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      }
+    if (d == 0 && Tombstones.needsVacuum(
+        spark.read.parquet(s"$dir/doclens/base"), dir, "doc_id"))
+      graft.streaming.Compaction.rewriteBase(spark, s"$dir/doclens")(df =>
+        Tombstones.applyTo(df.select("doc_id", "dl"), dir, "doc_id")) {
+        (df, out) => df.write.mode("overwrite").parquet(out)
+      }
     (p, d)
   }
 
@@ -217,9 +259,10 @@ object LexIndex {
     * union width stays bounded). */
   def compactIndexIfNeeded(spark: SparkSession, dir: String,
                            maxIncrements: Int): (Int, Int) = {
-    import graft.streaming.Compaction
+    import graft.streaming.{Compaction, Tombstones}
     if (Compaction.incrementCount(spark, s"$dir/postings") > maxIncrements ||
-        Compaction.incrementCount(spark, s"$dir/doclens") > maxIncrements)
+        Compaction.incrementCount(spark, s"$dir/doclens") > maxIncrements ||
+        Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else (0, 0)
   }

@@ -1,0 +1,297 @@
+package graft
+
+import graft.sim.Similarity
+import graft.streaming.{StreamingAnn, Tombstones}
+import graft.text.{LexIndex, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** DELETE support for the maintained artifacts ([[graft.streaming.Tombstones]]):
+  * a tombstone makes the rows logically gone from the next read, compaction /
+  * recluster makes them physically gone from the base bytes, deletion is
+  * terminal (a re-ingested deleted id stays dead), and the landing is
+  * replay-safe like every other increment in the family. */
+class TombstoneSpec extends SparkSpec {
+
+  private val terms = Seq("join", "hash", "filter", "stream")
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def bmSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("lex index: delete is logically immediate, physically applied at " +
+       "compaction, and terminal against re-ingest") {
+    val idx = tmp("graft_lexdel")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 3 =!= 2), "doc_id",
+      "text", idx)
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 3 === 2), "doc_id",
+      "text", idx, batchId = 0L)
+
+    val deleted = docs.filter(col("doc_id") % 5 === 1)
+    LexIndex.deleteBatch(deleted.select("doc_id"), idx, batchId = 0L)
+
+    // logical: scores ≡ a from-scratch run over the filtered corpus —
+    // tf, df, N and avgdl all reflect the deletion
+    val expect = bmSet(Retrieval.bm25(
+      docs.filter(col("doc_id") % 5 =!= 1), "doc_id", "text", terms))
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
+
+    // physical: after compaction the raw base bytes hold no deleted doc
+    LexIndex.compactIndex(spark, idx)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
+    val delIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$idx/postings/base")
+      .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
+    assert(spark.read.parquet(s"$idx/doclens/base")
+      .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
+
+    // terminal: re-ingesting deleted docs is suppressed — reads unchanged,
+    // and the next compaction treats them as suppressed too (no dup error)
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 1), "doc_id",
+      "text", idx, batchId = 1L)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
+    LexIndex.compactIndex(spark, idx)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
+
+    // ...but re-ingesting a LIVE doc is still the loud contract violation
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 2), "doc_id",
+      "text", idx, batchId = 2L)
+    val err = intercept[IllegalArgumentException] {
+      LexIndex.compactIndex(spark, idx)
+    }
+    assert(err.getMessage.contains("append-only"))
+  }
+
+  test("lex index: a pure deletion campaign (no data increments) still " +
+       "erases physically — the vacuum arm") {
+    val idx = tmp("graft_lexvac")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    LexIndex.writeIndex(docs, "doc_id", "text", idx)
+    LexIndex.deleteBatch(docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id"), idx, batchId = 0L)
+
+    val (p, d) = LexIndex.compactIndex(spark, idx) // folds nothing...
+    assert(p === 0 && d === 0)
+    val delIds = docs.filter(col("doc_id") % 5 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ...yet the base bytes are clean
+    assert(spark.read.parquet(s"$idx/postings/base")
+      .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
+    assert(spark.read.parquet(s"$idx/doclens/base")
+      .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) ===
+      bmSet(Retrieval.bm25(docs.filter(col("doc_id") % 5 =!= 1),
+        "doc_id", "text", terms)))
+  }
+
+  test("ann index: delete excludes vectors from search and recluster " +
+       "means; compaction and recluster erase physically; replayed and " +
+       "post-fold delete batches are single-count") {
+    val idx = tmp("graft_anndel")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", "label", idx)
+    Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
+        "embedding", spark.read.parquet(s"$idx/centroids"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/increments/batch=0")
+
+    val delIds = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+    StreamingAnn.deleteBatch(delIds, idx, batchId = 0L)
+    // replayed delete batch restates its own dir — idempotent
+    StreamingAnn.deleteBatch(delIds, idx, batchId = 0L)
+
+    val q = e.filter(col("vec_id") < 10)
+    def searchSet() = StreamingAnn.search(spark, idx, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).collect().toSet
+    // truth: from-scratch assignment of the filtered corpus to the SAME
+    // frozen centroids (deletes never move a centroid until recluster);
+    // eagerly pinned — the recluster below deletes these part files
+    val cents = spark.read.parquet(s"$idx/centroids").localCheckpoint()
+    val expect = Similarity.annIvfStored(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 7 =!= 3), "vec_id",
+        "embedding", cents).select(col("vec_id"), col("cell"), col("v")),
+      cents, q, "vec_id", "embedding", k = 3, nProbe = 2).collect().toSet
+    assert(searchSet() === expect)
+
+    // physical: fold applies tombstones to the new base
+    assert(StreamingAnn.compactIndex(spark, idx) === 1)
+    assert(searchSet() === expect)
+    val del = delIds.collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$idx/base")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+
+    // a delete batch replayed AFTER the tombstone fold is dropped by the
+    // watermark guard (no increment dir re-lands)
+    StreamingAnn.deleteBatch(delIds, idx, batchId = 0L)
+    assert(Tombstones.incrementCount(spark, idx) === 0)
+    assert(searchSet() === expect)
+
+    // terminal: re-ingesting deleted vectors is suppressed
+    Similarity.ivfAssign(e.filter(col("vec_id") % 7 === 3), "vec_id",
+        "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/increments/batch=1")
+    assert(searchSet() === expect)
+
+    // recluster: fresh centroids are means over LIVE members only, and
+    // the rebuilt base holds no deleted vector
+    StreamingAnn.reclusterIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/base")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+    val freshCents = spark.read.parquet(s"$idx/centroids")
+    val expectFresh = Similarity.ivfCentroids(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 7 =!= 3), "vec_id",
+        "embedding", cents).select(col("vec_id"), col("cell"), col("v")),
+      "cell", "v")
+    assert(freshCents.collect().map(r => r.toString).sorted.toSeq ===
+      expectFresh.collect().map(r => r.toString).sorted.toSeq)
+  }
+
+  test("ann index: pure deletion campaign vacuums the base without a fold") {
+    val idx = tmp("graft_annvac")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    StreamingAnn.writeBaseIndex(e, "vec_id", "embedding", "label", idx)
+    StreamingAnn.deleteBatch(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), idx, batchId = 0L)
+    assert(StreamingAnn.compactIndex(spark, idx) === 0)
+    val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$idx/base")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+    // a second compaction is a no-op (nothing left to vacuum)
+    assert(StreamingAnn.compactIndex(spark, idx) === 0)
+  }
+
+  test("stored batch IVF index: deleteFromIvfIndex excludes from " +
+       "annIvfIndexed; reclusterIvfIndex erases physically") {
+    val idx = tmp("graft_ivfdel")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, idx)
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), idx, batchId = 0L)
+
+    val q = e.filter(col("vec_id") < 10)
+    val expect = Similarity.annIvfStored(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 7 =!= 3), "vec_id",
+        "embedding", cents).select(col("vec_id"), col("cell"), col("v")),
+      cents, q, "vec_id", "embedding", k = 3, nProbe = 2).collect().toSet
+    assert(Similarity.annIvfIndexed(spark, idx, q, "vec_id",
+      "embedding", k = 3, nProbe = 2).collect().toSet === expect)
+
+    Similarity.reclusterIvfIndex(spark, idx)
+    val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+  }
+
+  test("pq index: delete excludes codes from ADC search (flat and " +
+       "IVF-PQ), compaction/vacuum erase physically, retrain trains on " +
+       "live vectors only") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqTrain(e.select("vec_id", "embedding"),
+      "embedding", m = 8, ksub = 16, maxIter = 2)
+    val q = e.filter(col("vec_id") < 5)
+
+    // flat maintained layout
+    val idx = tmp("graft_pqdel")
+    graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", cb, idx)
+    graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", idx, 0L)
+    graft.sim.PqIndex.deleteBatch(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), idx, 0L)
+    val expect = Similarity.annPq(
+      Similarity.pqEncode(e.filter(col("vec_id") % 7 =!= 3), "vec_id",
+        "embedding", cb).select("vec_id", "codes"),
+      cb, q, "vec_id", "embedding", k = 5).collect().toSet
+    def flatSearch() = graft.sim.PqIndex.search(spark, idx, q, "vec_id",
+      "embedding", k = 5).collect().toSet
+    assert(flatSearch() === expect)           // logical
+    assert(graft.sim.PqIndex.compactIndex(spark, idx) === 1)
+    assert(flatSearch() === expect)           // physical, fold-applied
+    val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$idx/codes/base")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+
+    // retrain: codebook and codes rebuilt from live vectors only
+    graft.sim.PqIndex.retrainIndex(spark, idx, e, "vec_id", "embedding",
+      m = 8, ksub = 16, maxIter = 2)
+    assert(spark.read.parquet(s"$idx/codes/base")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+
+    // IVF-PQ layout: logical at search, physical via vacuum
+    val ivf = tmp("graft_ivfpqdel")
+    graft.sim.PqIndex.writeIvfPq(e, "vec_id", "embedding", "label", cb, ivf)
+    graft.sim.PqIndex.deleteBatch(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), ivf, 0L)
+    val got = graft.sim.PqIndex.searchIvfPq(spark, ivf, q, "vec_id",
+      "embedding", k = 5, nProbe = 2).collect()
+    assert(got.nonEmpty &&
+      !got.exists(r => del.contains(r.getLong(r.fieldIndex("vec_id")))))
+    graft.sim.PqIndex.vacuumIvfPq(spark, ivf)
+    assert(spark.read.parquet(s"$ivf/postings")
+      .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+    assert(graft.sim.PqIndex.searchIvfPq(spark, ivf, q, "vec_id",
+      "embedding", k = 5, nProbe = 2).collect().toSet === got.toSet)
+  }
+
+  test("dedup signature index: deleted docs stop matching probes (a new " +
+       "near-dup of a deleted doc probes as if the index never held it); " +
+       "compaction erases the band rows") {
+    import graft.text.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val idx = tmp("graft_sigdel")
+    Dedup.writeSignatureIndex(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id", idx)
+    // delete half the corpus from the index
+    Dedup.deleteFromSignatureIndex(
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id"), idx, 0L)
+    // the live band rows hold only surviving docs — a probe can never
+    // match a deleted one
+    val matched = Dedup.readSignatureIndex(spark, idx).bands
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(matched.nonEmpty && matched.forall(_ % 2 === 1))
+    // physical erasure via the vacuum arm (no data increments pending)
+    assert(Dedup.compactSignatureIndex(spark, idx) === 0)
+    val raw = spark.read.parquet(s"$idx/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(raw === matched)
+    // the index still reads identically after the vacuum
+    val after = Dedup.readSignatureIndex(spark, idx).bands
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(after === matched, s"${after.size} vs ${matched.size}")
+  }
+
+  test("cell partition pruning pushes through the tombstone anti-join " +
+       "and the build side broadcasts") {
+    val idx = tmp("graft_ivfplan")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, idx)
+    Similarity.deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), idx, batchId = 0L)
+    // the probe's cell filter must reach the parquet scan as a PARTITION
+    // filter (only left-side columns feed it), and the tombstone set must
+    // be the broadcast build side — never a shuffled join
+    val plan = Similarity.readIvfIndex(spark, idx)._1
+      .filter(col("cell").isInCollection(Seq(0, 1)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
