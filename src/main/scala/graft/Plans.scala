@@ -337,7 +337,11 @@ object Plans {
       // lineage (invisible here); TombstoneSpec asserts it on the read
       // path, with cell pruning pushed through it
       "q334_ann_delete" -> Seq("Scan ExistingRDD", "!SortMergeJoin"),
-      "q335_pq_delete" -> Seq("Scan ExistingRDD", "!SortMergeJoin"))
+      "q335_pq_delete" -> Seq("Scan ExistingRDD", "!SortMergeJoin"),
+      // lexical drift: the OOV anti-join and the base-doc semi/anti
+      // splits all broadcast; output is one row
+      "q336_lex_stats_drift" -> Seq("BroadcastHashJoin", "LeftAnti",
+        "!SortMergeJoin", "!CartesianProduct"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -1034,6 +1034,21 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
 
+    // ── LEXICAL-STATS DRIFT of the maintained lexical index — the aging
+    //    monitor on the text axis (q331's contract for BM25): N/avgdl
+    //    shift plus the increments' out-of-vocabulary term and occurrence
+    //    mass against the base vocabulary, all from the stored index
+    //    alone. Exact-integer counts, single-rounded quotients, ONE row
+    "q336_lex_stats_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_lexdrift")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.statsDrift(s, dir)
+    }),
+
     // ── DELETE from the stored PQ tier: base codes on 90% under the
     //    closed-form frozen codebook, delta appended, every vec_id ≡ 3
     //    mod 7 tombstoned. Stage 'tombstoned' runs the LUT ADC through
@@ -2937,6 +2952,38 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
          |WHERE rank <= 3""".stripMargin,
+
+    // lexical-stats drift replay: split the corpus exactly as the index
+    // build did (base 80% / increment 20%), recompute N/avgdl per side
+    // and the increments' OOV term/occurrence mass against the base
+    // vocabulary — postings drop empty tokens, doclens count them,
+    // mirroring the engine's tokenization contract
+    "q336_lex_stats_drift" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tk),
+         |b AS (SELECT count(*) AS n_docs_base,
+         |  round(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+         |    AS avgdl_base FROM dls WHERE doc_id % 5 <> 4),
+         |i AS (SELECT count(*) AS n_docs_inc,
+         |  round(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+         |    AS avgdl_inc FROM dls WHERE doc_id % 5 = 4),
+         |toks AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM tk)
+         |  WHERE length(term) > 0),
+         |bvocab AS (SELECT DISTINCT term FROM toks WHERE doc_id % 5 <> 4),
+         |it AS (SELECT term, count(*) AS occ FROM toks
+         |  WHERE doc_id % 5 = 4 GROUP BY 1),
+         |fr AS (SELECT
+         |  round(CAST(count(*) FILTER (WHERE bv.term IS NULL) AS DOUBLE)
+         |    / count(*), 6) AS oov_term_frac,
+         |  round(CAST(COALESCE(sum(it.occ) FILTER (WHERE bv.term IS NULL),
+         |      0) AS DOUBLE)
+         |    / CAST(sum(it.occ) AS DOUBLE), 6) AS oov_occ_frac
+         |  FROM it LEFT JOIN bvocab bv ON it.term = bv.term)
+         |SELECT b.n_docs_base, b.avgdl_base, i.n_docs_inc, i.avgdl_inc,
+         |  fr.oov_term_frac, fr.oov_occ_frac
+         |FROM b, i, fr""".stripMargin,
 
     // delete replay, PQ: the q330 closed-form encode + LUT ADC chain with
     // the tombstoned vectors dropped from the code table (codes are

@@ -191,6 +191,60 @@ object LexIndex {
     Retrieval.bm25Score(tf, "doc_id", stats, k1, b)
   }
 
+  /** LEXICAL-STATS DRIFT of the maintained index — the aging monitor for
+    * the lexical axis (the [[graft.sim.PqIndex.codeUsageDrift]] contract
+    * on text), computed from the stored index alone: does the streamed-in
+    * text still look like the corpus the base was built over?
+    *
+    * One row, exact-integer counts with single-rounded quotients:
+    *  - `n_docs_base` / `n_docs_inc`, `avgdl_base` / `avgdl_inc` — the
+    *    length/volume shift (BM25's normalizer moving under the scores);
+    *  - `oov_term_frac` — fraction of the increments' DISTINCT terms the
+    *    base vocabulary has never seen (domain shift shows up here first:
+    *    new jargon, new language, new boilerplate);
+    *  - `oov_occ_frac` — the same mass-weighted (occurrences of unseen
+    *    terms / all increment occurrences), robust to long-tail noise.
+    *
+    * Scale shape: two postings aggregates (term-distinct on each side, a
+    * broadcast-able anti-join on the term sets) and two doclens
+    * aggregates — never doc-pair work, output is ONE row. NULL fractions
+    * when no increment postings exist (nothing has streamed in: nothing
+    * to compare). Tombstoned docs are excluded from both sides, exactly
+    * as the scoring read path excludes them. */
+  def statsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val post = readPostings(spark, dir)
+    val dls = readDocLens(spark, dir)
+    // base rows came from postings/base (no batch column survives the
+    // union, so split by membership in the base directory's doc set — the
+    // doclens base IS that doc set, and doc_id is unique per doc)
+    val baseDocs = graft.streaming.Tombstones.applyTo(
+      spark.read.parquet(s"$dir/doclens/base").select("doc_id"), dir,
+      "doc_id")
+    def split(df: DataFrame): (DataFrame, DataFrame) = (
+      df.join(broadcast(baseDocs), Seq("doc_id"), "left_semi"),
+      df.join(broadcast(baseDocs), Seq("doc_id"), "left_anti"))
+    val (bPost, iPost) = split(post)
+    val (bDl, iDl) = split(dls)
+    def dlAgg(df: DataFrame, suffix: String): DataFrame = df.agg(
+      count(lit(1)).as(s"n_docs_$suffix"),
+      round(sum(col("dl").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)), 6).as(s"avgdl_$suffix"))
+    val baseVocab = bPost.select("term").distinct()
+    val incTerms = iPost.groupBy("term")
+      .agg(sum(col("tf")).cast("long").as("occ"))
+    val oov = incTerms.join(baseVocab, Seq("term"), "left_anti")
+    val fracs = incTerms.agg(
+        count(lit(1)).as("n_terms"), sum(col("occ")).as("n_occ"))
+      .crossJoin(oov.agg(count(lit(1)).as("oov_terms"),
+        coalesce(sum(col("occ")), lit(0L)).as("oov_occ")))
+      .select(
+        when(col("n_terms") > 0, round(col("oov_terms").cast("double") /
+          col("n_terms"), 6)).as("oov_term_frac"),
+        when(col("n_occ") > 0, round(col("oov_occ").cast("double") /
+          col("n_occ"), 6)).as("oov_occ_frac"))
+    dlAgg(bDl, "base").crossJoin(dlAgg(iDl, "inc")).crossJoin(fracs)
+  }
+
   /** Fold both increment trees into new bases —
     * [[graft.streaming.Compaction.foldIncrements]] per root; reads are
     * identical before and after (union of disjoint rows is the read-path

@@ -119,4 +119,39 @@ class StreamingLexSpec extends SparkSpec {
       s"one-job landing started $newJobs jobs vs old shape's $oldJobs")
     assert(LexIndex.readDocLens(spark, s"$dir/idx").count() == docs.count())
   }
+
+  test("statsDrift: same-distribution increments read ~zero OOV; a " +
+       "novel-vocabulary batch is flagged in both fractions and avgdl") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexdr").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", s"$dir/calm")
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 2 === 1), "doc_id",
+      "text", s"$dir/calm", 0L)
+    val calm = LexIndex.statsDrift(spark, s"$dir/calm").head()
+    val calmOcc = calm.getDouble(calm.fieldIndex("oov_occ_frac"))
+    assert(calmOcc < 0.05, s"same-distribution OOV mass was $calmOcc")
+
+    // shifted: the increment is entirely new jargon the base never saw
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", s"$dir/hot")
+    val jargon = (0 until 50)
+      .map(i => (100000L + i, s"zxq$i qxz${i % 7} jjj$i zxq${i % 3}"))
+      .toDF("doc_id", "text")
+    LexIndex.appendBatch(jargon, "doc_id", "text", s"$dir/hot", 0L)
+    val hot = LexIndex.statsDrift(spark, s"$dir/hot").head()
+    assert(hot.getDouble(hot.fieldIndex("oov_term_frac")) === 1.0)
+    assert(hot.getDouble(hot.fieldIndex("oov_occ_frac")) === 1.0)
+    assert(hot.getLong(hot.fieldIndex("n_docs_inc")) === 50L)
+    assert(hot.getDouble(hot.fieldIndex("avgdl_inc")) === 4.0)
+    assert(hot.getDouble(hot.fieldIndex("oov_occ_frac")) > calmOcc)
+
+    // no increments at all → NULL fractions (nothing to compare)
+    LexIndex.writeIndex(docs, "doc_id", "text", s"$dir/empty")
+    val none = LexIndex.statsDrift(spark, s"$dir/empty").head()
+    assert(none.isNullAt(none.fieldIndex("oov_term_frac")))
+    assert(none.isNullAt(none.fieldIndex("oov_occ_frac")))
+  }
 }
