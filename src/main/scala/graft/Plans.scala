@@ -341,7 +341,10 @@ object Plans {
       // lexical drift: the OOV anti-join and the base-doc semi/anti
       // splits all broadcast; output is one row
       "q336_lex_stats_drift" -> Seq("BroadcastHashJoin", "LeftAnti",
-        "!SortMergeJoin", "!CartesianProduct"))
+        "!SortMergeJoin", "!CartesianProduct"),
+      // filtered stored search: ranking rides the checkpointed selection;
+      // AnnSpec asserts the pushdown + partition pruning on the read path
+      "q337_filtered_indexed" -> Seq("Scan ExistingRDD", "!SortMergeJoin"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -1034,6 +1034,24 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
 
+    // ── FILTERED search over the STORED index — q246's semantics on
+    //    q312's layout (base on 90%, delta appended frozen): the
+    //    vec_id ≡ 0 mod 3 predicate applies INSIDE the probed posting
+    //    lists of the on-disk index, composed with the cell partition
+    //    pruning — the "search within a tenant" serving query
+    "q337_filtered_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "label", "embedding")
+      val dir = scratchDir("graft_ivffilt")
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+          "embedding", cents), cents, dir)
+      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir)
+      Similarity.annIvfIndexedFiltered(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", col("vec_id") % 3 === 0, k = 3, nProbe = 2)
+    }),
+
     // ── LEXICAL-STATS DRIFT of the maintained lexical index — the aging
     //    monitor on the text axis (q331's contract for BM25): N/avgdl
     //    shift plus the increments' out-of-vocabulary term and occurrence
@@ -2951,6 +2969,29 @@ object ExtensionQueries {
          |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+
+    // filtered stored-index search replay: q312's chain with the
+    // predicate's survivors as the candidate pool (applied after the
+    // frozen assignment — a filter never moves a vector's cell)
+    "q337_filtered_indexed" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |live AS (SELECT * FROM asn WHERE vec_id % 3 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |s AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM live a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
 
     // lexical-stats drift replay: split the corpus exactly as the index

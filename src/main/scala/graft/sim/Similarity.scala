@@ -437,6 +437,24 @@ object Similarity {
     annIvfPruned(post, cents, queries, id, emb, k, nProbe)
   }
 
+  /** FILTERED search over the stored ON-DISK index — [[annIvfFiltered]]'s
+    * semantics on [[annIvfIndexed]]'s layout, the "search within a
+    * tenant/language/license" serving query: the metadata predicate
+    * applies INSIDE the probed posting lists (a data filter pushed to the
+    * same pruned scan the cell partition filter reaches — never a
+    * post-filter of an unfiltered top-k, never a brute-force scan of all
+    * matches), then the shared binned ranking runs over survivors only.
+    * Queries whose probed cells hold fewer than k survivors return fewer
+    * rows — the IVF contract; raise nProbe for recall under selective
+    * predicates. */
+  def annIvfIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, queries: DataFrame, id: String,
+                            emb: String, pred: Column, k: Int,
+                            nProbe: Int): DataFrame = {
+    val (post, cents) = readIvfIndex(spark, dir)
+    annIvfPruned(post.filter(pred), cents, queries, id, emb, k, nProbe)
+  }
+
   /** [[annIvfIndexed]]'s probe on caller-supplied frames — the same
     * static cell pruning (the probed cell list is |queries|·nProbe driver
     * values pushed as a filter; when `post` is a cell-partitioned parquet

@@ -637,4 +637,38 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((0L, 2L, 1.0)), got.toSeq)
   }
+
+  test("annIvfIndexedFiltered: the predicate is PUSHED to the stored scan " +
+       "and composes with the cell partition filter; results equal the " +
+       "in-memory filtered search on the same layout") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivff").toString
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val pred = col("vec_id") % 3 === 0
+
+    // plan: data filter pushed (PushedFilters on the vec_id predicate is
+    // residual-only for %, so assert the Filter sits ON the scan) + cell
+    // partition pruning intact on the same scan
+    val (post, _) = Similarity.readIvfIndex(spark, dir)
+    val plan = post.filter(pred)
+      .filter(col("cell").isInCollection(Seq(0, 1)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+
+    // value: stored filtered search ≡ in-memory filtered ranking over the
+    // identical frozen assignment
+    val stored = Similarity.annIvfIndexedFiltered(spark, dir, q, "vec_id",
+      "embedding", pred, k = 3, nProbe = 2).collect().toSet
+    val mem = Similarity.annIvfStored(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents).filter(pred)
+        .select(col("vec_id"), col("cell"), col("v")),
+      cents, q, "vec_id", "embedding", k = 3, nProbe = 2).collect().toSet
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+  }
 }
