@@ -344,7 +344,9 @@ object Plans {
         "!SortMergeJoin", "!CartesianProduct"),
       // filtered stored search: ranking rides the checkpointed selection;
       // AnnSpec asserts the pushdown + partition pruning on the read path
-      "q337_filtered_indexed" -> Seq("Scan ExistingRDD", "!SortMergeJoin"))
+      "q337_filtered_indexed" -> Seq("Scan ExistingRDD", "!SortMergeJoin"),
+      "q338_ann_join_indexed" -> Seq("Scan ExistingRDD",
+        "!CartesianProduct"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

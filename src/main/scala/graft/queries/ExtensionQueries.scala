@@ -1034,6 +1034,21 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
 
+    // ── the corpus-wide ANN JOIN served off the STORED index: posting
+    //    lists written with the corpus's own label cells and their exact
+    //    means as centroids, so the stored join is value-identical to
+    //    q260's in-memory annJoin (SHARED oracle) — semantic-dedup pair
+    //    generation without re-reading or re-embedding the corpus
+    "q338_ann_join_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_annjidx")
+      Similarity.writeIvfIndex(
+        e.select(col("vec_id"), Similarity.asDouble("embedding").as("v"),
+          col("label").as("cell")),
+        Similarity.ivfCentroids(e, "label", "embedding"), dir)
+      Similarity.annJoinIndexed(s, dir, k = 3, nProbe = 2)
+    }),
+
     // ── FILTERED search over the STORED index — q246's semantics on
     //    q312's layout (base on 90%, delta appended frozen): the
     //    vec_id ≡ 0 mod 3 predicate applies INSIDE the probed posting
@@ -1607,6 +1622,22 @@ object ExtensionQueries {
   /** q264 and q312 share this replay: the on-disk index is value-
     * identical to in-memory incremental assembly (assign distributes
     * over union under frozen centroids). */
+  private lazy val annJoinOracleSql =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent AS (SELECT label AS cid, i AS pos,
+       |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+       |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+       |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
+       |routed AS (SELECT q_id, qv, cid FROM (
+       |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+       |s AS (SELECT q_id, vec_id, $cosSql AS sim
+       |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id)
+       |SELECT q_id, vec_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+       |WHERE rank <= 3""".stripMargin
+
   private lazy val annIncrementalOracleSql =
     s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,
@@ -3879,21 +3910,10 @@ object ExtensionQueries {
          |FROM topk WHERE sim >= 0.35""".stripMargin,
     // ANN join: q246's routing/ranking shape with every vector as a query
     // and no predicate — candidates come only from the 2 probed cells
-    "q260_ann_join" ->
-      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cent AS (SELECT label AS cid, i AS pos,
-         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
-         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
-         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e),
-         |routed AS (SELECT q_id, qv, cid FROM (
-         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
-         |s AS (SELECT q_id, vec_id, $cosSql AS sim
-         |  FROM e JOIN routed r ON e.label = r.cid AND e.vec_id != r.q_id)
-         |SELECT q_id, vec_id, sim, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
-         |WHERE rank <= 3""".stripMargin,
+    "q260_ann_join" -> annJoinOracleSql,
+    // the stored-index join is value-identical to the in-memory one over
+    // the same (cells, vectors) — shared oracle
+    "q338_ann_join_indexed" -> annJoinOracleSql,
     "q246_filtered_ann" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT label AS cid, i AS pos,

@@ -719,6 +719,37 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rank")
   }
 
+  /** [[annJoin]] served off the STORED index — the corpus-wide top-k
+    * neighbor join (semantic-dedup / link-graph build) without re-reading
+    * or re-embedding the corpus: posting lists and centroids come from
+    * [[writeIvfIndex]]'s on-disk layout (tombstones already anti-joined by
+    * [[readIvfIndex]]), every stored vector routes to its `nProbe` nearest
+    * stored centroids, candidates are the probed posting lists, ranking is
+    * the shared binned selection. Identical results to [[annJoin]] over
+    * the same (cells, vectors) — AnnSpec and the shared q260 oracle pin
+    * it. Same cost shape: cell-bucketed, never N²; the routing side and
+    * posting side are one persisted scan of the stored lists. */
+  def annJoinIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    graft.expressions.CosineSimilarity.register(spark)
+    val (post, cents) = readIvfIndex(spark, dir)
+    val base = post.select(col("vec_id"), col("cell").as("cid"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qv", "cid")
+    val cand = base.join(routed, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("graft_cosine(qv, v)"), 6))
+      .select("q_id", "vec_id", "sim")
+    topKPerQuery(cand, "sim", k)
+      .select("q_id", "vec_id", "sim", "rank")
+  }
+
   /** Corpus-wide SEMANTIC NEAR-DUP DECISIONS from the [[annJoin]]: every
     * pair with cosine ≥ `minSim` among each vector's top-k cell-routed
     * neighbors, canonicalized to (dup_id > keep_id) with the smaller id

@@ -671,4 +671,29 @@ class AnnSpec extends SparkSpec {
     assert(stored === mem)
     assert(stored.nonEmpty)
   }
+
+  test("annJoinIndexed: the corpus-wide join off the stored index equals " +
+       "the in-memory annJoin over the same cells, and excludes " +
+       "tombstoned vectors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_annj").toString
+    Similarity.writeIvfIndex(
+      e.select(col("vec_id"), Similarity.asDouble("embedding").as("v"),
+        col("label").as("cell")),
+      Similarity.ivfCentroids(e, "label", "embedding"), dir)
+    val mem = Similarity.annJoin(e, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2).collect().toSet
+    assert(Similarity.annJoinIndexed(spark, dir, k = 3, nProbe = 2)
+      .collect().toSet === mem)
+
+    Similarity.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 0L)
+    val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val afterDel = Similarity.annJoinIndexed(spark, dir, k = 3, nProbe = 2)
+      .collect()
+    // deleted vectors appear on NEITHER side of the join
+    assert(afterDel.nonEmpty && !afterDel.exists(r =>
+      del.contains(r.getLong(0)) || del.contains(r.getLong(1))))
+  }
 }
