@@ -346,7 +346,11 @@ object Plans {
       // AnnSpec asserts the pushdown + partition pruning on the read path
       "q337_filtered_indexed" -> Seq("Scan ExistingRDD", "!SortMergeJoin"),
       "q338_ann_join_indexed" -> Seq("Scan ExistingRDD",
-        "!CartesianProduct"))
+        "!CartesianProduct"),
+      // the delete-lifecycle capstone keeps q329's shape: bucket-pruned
+      // lexical probe, bounded lexical top-N, checkpointed ANN selection
+      "q339_delete_lifecycle" -> Seq("PartitionFilters: [bucket",
+        "TakeOrderedAndProject", "Scan ExistingRDD"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

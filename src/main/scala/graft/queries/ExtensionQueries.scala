@@ -984,6 +984,54 @@ object ExtensionQueries {
         nLex = 50, nProbe = 2, k = 5)
     }),
 
+    // ── the q329 LIFECYCLE capstone WITH A TAKEDOWN in the middle — the
+    //    strongest statement the delete family can make: base → two
+    //    streamed appends → tombstone every id ≡ 3 mod 7 → trigger fold
+    //    (physical erasure rides the same fold) → forced recluster (fresh
+    //    centroids = means over LIVE members only) → fused hybrid serving
+    //    eval, where the exhaustive truth itself comes from the live
+    //    stored postings. ONE oracle derives the end state from scratch
+    //    over the FILTERED corpus
+    "q339_delete_lifecycle" -> ((s, d) => {
+      import graft.streaming.StreamingAnn
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val vdir = scratchDir("graft_dlvec")
+      StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "label", vdir)
+      val frozen = s.read.parquet(s"$vdir/centroids")
+      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 0), "vec_id",
+          "embedding", frozen)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vdir/increments/batch=0")
+      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 10), "vec_id",
+          "embedding", frozen)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$vdir/increments/batch=1")
+      StreamingAnn.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), vdir, 0L)
+      require(StreamingAnn.compactIndexIfNeeded(s, vdir, 1) == 2,
+        "the trigger must fold both increments")
+      require(StreamingAnn.reclusterIfDrifted(s, vdir, maxDrift = -1.0),
+        "the certain breach must recluster")
+      val ldir = scratchDir("graft_dllex")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", ldir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", ldir, 0L)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 10),
+        "doc_id", "text", ldir, 1L)
+      graft.text.LexIndex.deleteBatch(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), ldir, 0L)
+      require(graft.text.LexIndex.compactIndexIfNeeded(s, ldir, 1) == ((2, 2)),
+        "the trigger must fold both lexical increments")
+      graft.text.Retrieval.hybridRrfStored(s, ldir,
+        StreamingAnn.readPostings(s, vdir),
+        s.read.parquet(s"$vdir/centroids"), Bm25Terms,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        nLex = 50, nProbe = 2, k = 5)
+    }),
+
     // ── STORED PQ INDEX: the compressed serving tier as a maintained
     //    artifact. Codes under a FROZEN codebook distribute over union
     //    (the frozen-centroid contract on the compression axis), so
@@ -3449,6 +3497,97 @@ object ExtensionQueries {
          |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
          |    / count(*) OVER (), 6) AS macro_ndcg
          |FROM pq""".stripMargin,
+    // delete-lifecycle capstone: q329's end-to-end replay over the
+    // FILTERED corpus — lexical stats from live docs, recluster means
+    // and re-assignment over live vectors, and the exhaustive truth
+    // itself filtered (a deleted vector can neither be returned nor
+    // expected)
+    "q339_delete_lifecycle" ->
+      s"""WITH ${normCteWhere("doc_id % 7 <> 3")},
+         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
+         |    FROM tkb JOIN dls USING (doc_id))
+         |  WHERE term IN (${inList(Bm25Terms)})
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         | FROM scored GROUP BY doc_id),
+         |cand AS (SELECT doc_id AS vec_id, rn AS lrank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS rn FROM bmsc) WHERE rn <= 50),
+         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |lexr AS (SELECT q.q_id, c.vec_id, c.lrank AS rank
+         |  FROM cand c, q WHERE c.vec_id != q.q_id),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) WHERE vec_id % 10 != 0
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |live AS (SELECT * FROM asn WHERE vec_id % 7 != 3),
+         |cur0 AS (SELECT cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM live, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cur AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cur0 GROUP BY cid),
+         |asn2 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT a.vec_id, a.v, cur.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ${cosSqlAB("a.v", "cur.cv")} DESC, cur.cid) AS rn FROM live a, cur) WHERE rn = 1),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cur.cv")} DESC, cid) AS rn FROM q, cur) WHERE rn <= 2),
+         |sv AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn2 a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id),
+         |annr AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM sv) WHERE rank <= 5),
+         |t AS (SELECT q_id, vec_id,
+         |  CAST(CAST(1 AS DOUBLE) / (60 + rank) AS DECIMAL(28,12)) AS t
+         | FROM (SELECT * FROM lexr UNION ALL SELECT * FROM annr)),
+         |fsum AS (SELECT q_id, vec_id, sum(t) AS s FROM t GROUP BY 1, 2),
+         |res AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) AS rank FROM fsum) WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id AND vec_id % 7 != 3))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS frst,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
+         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_ndcg
+         |FROM pq""".stripMargin,
+
     // retrieval drift: frozen centroids from the OLD shard route the
     // frozen-snapshot search; the recluster (q318's replay) refreshes
     // them from the current assignment; BOTH snapshots score against the
