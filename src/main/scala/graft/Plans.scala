@@ -350,7 +350,9 @@ object Plans {
       // the delete-lifecycle capstone keeps q329's shape: bucket-pruned
       // lexical probe, bounded lexical top-N, checkpointed ANN selection
       "q339_delete_lifecycle" -> Seq("PartitionFilters: [bucket",
-        "TakeOrderedAndProject", "Scan ExistingRDD"))
+        "TakeOrderedAndProject", "Scan ExistingRDD"),
+      // audit: driver-computed counts — the plan is a local one-row scan
+      "q340_erasure_audit" -> Seq("!SortMergeJoin", "!CartesianProduct"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by `graft.Plans`)\n\n")

@@ -1115,6 +1115,29 @@ object ExtensionQueries {
         "vec_id", "embedding", col("vec_id") % 3 === 0, k = 3, nProbe = 2)
     }),
 
+    // ── ERASURE AUDIT: the compliance readout of a takedown — stage
+    //    'tombstoned' (delete landed, fold not yet run) must report the
+    //    deleted docs' physical rows as hidden-but-present; stage
+    //    'compacted' must report zero hidden rows and physically_clean.
+    //    The oracle derives both stages' counts from the corpus
+    "q340_erasure_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_lexaud")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.deleteBatch(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
+        batchId = 0L)
+      val before = graft.text.LexIndex.erasureAudit(s, dir)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction audit
+      graft.text.LexIndex.compactIndex(s, dir)
+      before.unionByName(graft.text.LexIndex.erasureAudit(s, dir)
+        .withColumn("stage", lit("compacted")))
+    }),
+
     // ── LEXICAL-STATS DRIFT of the maintained lexical index — the aging
     //    monitor on the text axis (q331's contract for BM25): N/avgdl
     //    shift plus the increments' out-of-vocabulary term and occurrence
@@ -3072,6 +3095,30 @@ object ExtensionQueries {
          |SELECT q_id, vec_id, sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 3""".stripMargin,
+
+    // erasure-audit replay: the tombstoned stage's hidden rows are the
+    // deleted docs' (term, doc) posting groups and doclens rows over the
+    // full ingested corpus; the compacted stage must be clean
+    "q340_erasure_audit" ->
+      s"""WITH $normCte,
+         |tk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |toks AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM tk)
+         |  WHERE length(term) > 0),
+         |ph AS (SELECT CAST(count(*) AS BIGINT) AS p FROM (
+         |  SELECT DISTINCT term, doc_id FROM toks WHERE doc_id % 7 = 3)),
+         |dh AS (SELECT CAST(count(*) AS BIGINT) AS d
+         |  FROM documents WHERE doc_id % 7 = 3)
+         |SELECT dh.d AS n_tombstones,
+         |  CASE st.stage WHEN 'tombstoned' THEN ph.p ELSE 0 END
+         |    AS postings_rows_hidden,
+         |  CASE st.stage WHEN 'tombstoned' THEN dh.d ELSE 0 END
+         |    AS doclens_rows_hidden,
+         |  CASE WHEN st.stage = 'tombstoned'
+         |    THEN (ph.p = 0 AND dh.d = 0) ELSE TRUE END
+         |    AS physically_clean,
+         |  st.stage
+         |FROM ph, dh, (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
 
     // lexical-stats drift replay: split the corpus exactly as the index
     // build did (base 80% / increment 20%), recompute N/avgdl per side

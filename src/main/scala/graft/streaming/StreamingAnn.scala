@@ -83,18 +83,38 @@ object StreamingAnn {
     * deletes leaves them on disk; they must not double-count) — minus
     * tombstoned vectors (broadcast anti-join; cell pruning still reaches
     * the scan, the filter is left-side-only). */
-  def readPostings(spark: SparkSession, indexPath: String): DataFrame = {
+  def readPostings(spark: SparkSession, indexPath: String): DataFrame =
+    Tombstones.applyTo(rawPostings(spark, indexPath), indexPath, "vec_id")
+
+  /** The physical rows (base ∪ live increments) WITHOUT the tombstone
+    * anti-join — the erasure audit's read; everything else goes through
+    * [[readPostings]]. */
+  private def rawPostings(spark: SparkSession,
+                          indexPath: String): DataFrame = {
     val incPath =
       new org.apache.hadoop.fs.Path(s"$indexPath/increments")
     val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = spark.read.parquet(s"$indexPath/base")
       .select("vec_id", "v", "cell")
-    val merged = if (fs.exists(incPath))
+    if (fs.exists(incPath))
       base.unionByName(spark.read.parquet(s"$indexPath/increments")
         .filter(col("batch") > Compaction.foldedWatermark(spark, indexPath))
         .select("vec_id", "v", "cell"))
     else base
-    Tombstones.applyTo(merged, indexPath, "vec_id")
+  }
+
+  /** ERASURE AUDIT for the maintained ANN index — the
+    * [[graft.text.LexIndex.erasureAudit]] readout on the vector axis:
+    * tombstone count plus the physical rows the anti-join is hiding;
+    * `physically_clean = true` is the state an erasure attestation can
+    * cite (reached after [[compactIndex]] / [[reclusterIndex]]). */
+  def erasureAudit(spark: SparkSession, indexPath: String): DataFrame = {
+    val nTomb = Tombstones.count(spark, indexPath)
+    val hidden = Tombstones.hiddenRowCount(
+      rawPostings(spark, indexPath), indexPath, "vec_id")
+    import spark.implicits._
+    Seq((nTomb, hidden, hidden == 0L))
+      .toDF("n_tombstones", "rows_hidden", "physically_clean")
   }
 
   /** Search the maintained index — [[Similarity.annIvfStored]] routing

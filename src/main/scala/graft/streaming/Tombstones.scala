@@ -110,6 +110,21 @@ private[graft] object Tombstones {
       base.join(broadcast(t), base(idCol) === t("tid"), "left_semi")
         .limit(1).head(1).nonEmpty)
 
+  /** Rows of `raw` (a PHYSICAL read that bypasses [[applyTo]]) that the
+    * tombstones hide — the erasure-audit primitive: > 0 means deleted
+    * content still exists in the bytes (logically invisible, awaiting the
+    * next fold/vacuum); 0 means the takedown is physically complete. */
+  def hiddenRowCount(raw: DataFrame, dir: String, idCol: String): Long =
+    read(raw.sparkSession, dir) match {
+      case None => 0L
+      case Some(t) =>
+        raw.join(broadcast(t), raw(idCol) === t("tid"), "left_semi").count()
+    }
+
+  /** Number of tombstoned ids under `dir` (0 when none ever landed). */
+  def count(spark: SparkSession, dir: String): Long =
+    read(spark, dir).map(_.count()).getOrElse(0L)
+
   /** Count of unfolded tombstone increment dirs — trigger signal. */
   def incrementCount(spark: SparkSession, dir: String): Int =
     Compaction.incrementCount(spark, root(dir))

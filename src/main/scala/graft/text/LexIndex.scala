@@ -191,6 +191,28 @@ object LexIndex {
     Retrieval.bm25Score(tf, "doc_id", stats, k1, b)
   }
 
+  /** ERASURE AUDIT — the compliance readout a takedown needs: how many
+    * ids are tombstoned, and do the PHYSICAL bytes (base ∪ increments,
+    * read without the anti-join) still hold any of their rows. A
+    * `physically_clean = false` row means the deletion is logically in
+    * force but the content still exists on disk awaiting the next
+    * [[compactIndex]]; `true` is the state an erasure attestation can
+    * cite. One row; costs two broadcast semi-join counts. */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Tombstones
+    val nTomb = Tombstones.count(spark, dir)
+    val pHidden = Tombstones.hiddenRowCount(
+      unionParts(spark, s"$dir/postings",
+        Seq("term", "doc_id", "tf", "bucket")), dir, "doc_id")
+    val dHidden = Tombstones.hiddenRowCount(
+      unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl")), dir,
+      "doc_id")
+    import spark.implicits._
+    Seq((nTomb, pHidden, dHidden, pHidden == 0L && dHidden == 0L))
+      .toDF("n_tombstones", "postings_rows_hidden", "doclens_rows_hidden",
+        "physically_clean")
+  }
+
   /** LEXICAL-STATS DRIFT of the maintained index — the aging monitor for
     * the lexical axis (the [[graft.sim.PqIndex.codeUsageDrift]] contract
     * on text), computed from the stored index alone: does the streamed-in

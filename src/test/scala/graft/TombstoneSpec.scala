@@ -104,6 +104,11 @@ class TombstoneSpec extends SparkSpec {
     // replayed delete batch restates its own dir — idempotent
     StreamingAnn.deleteBatch(delIds, idx, batchId = 0L)
 
+    // audit before any fold: deletion in force, bytes still present
+    val pre = StreamingAnn.erasureAudit(spark, idx).head()
+    assert(pre.getLong(0) > 0 && pre.getLong(1) > 0 && !pre.getBoolean(2),
+      pre.toString)
+
     val q = e.filter(col("vec_id") < 10)
     def searchSet() = StreamingAnn.search(spark, idx, q, "vec_id",
       "embedding", k = 3, nProbe = 2).collect().toSet
@@ -123,6 +128,10 @@ class TombstoneSpec extends SparkSpec {
     val del = delIds.collect().map(_.getLong(0)).toSet
     assert(spark.read.parquet(s"$idx/base")
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
+    // audit after the fold: clean — the erasure-attestation state
+    val post = StreamingAnn.erasureAudit(spark, idx).head()
+    assert(post.getLong(0) > 0 && post.getLong(1) === 0L &&
+      post.getBoolean(2), post.toString)
 
     // a delete batch replayed AFTER the tombstone fold is dropped by the
     // watermark guard (no increment dir re-lands)
