@@ -234,19 +234,30 @@ object LexIndex {
     * to compare). Tombstoned docs are excluded from both sides, exactly
     * as the scoring read path excludes them. */
   def statsDrift(spark: SparkSession, dir: String): DataFrame = {
-    val post = readPostings(spark, dir)
-    val dls = readDocLens(spark, dir)
-    // base rows came from postings/base (no batch column survives the
-    // union, so split by membership in the base directory's doc set — the
-    // doclens base IS that doc set, and doc_id is unique per doc)
-    val baseDocs = graft.streaming.Tombstones.applyTo(
-      spark.read.parquet(s"$dir/doclens/base").select("doc_id"), dir,
-      "doc_id")
-    def split(df: DataFrame): (DataFrame, DataFrame) = (
-      df.join(broadcast(baseDocs), Seq("doc_id"), "left_semi"),
-      df.join(broadcast(baseDocs), Seq("doc_id"), "left_anti"))
-    val (bPost, iPost) = split(post)
-    val (bDl, iDl) = split(dls)
+    import graft.streaming.{Compaction, Tombstones}
+    // base and increments are SEPARATE directory trees — read each side
+    // directly rather than splitting the union with a corpus-sized join
+    // (a membership join on the base doc set would need to broadcast or
+    // shuffle billions of ids at scale; a directory read needs neither)
+    def side(root: String, cols: Seq[String], base: Boolean): DataFrame = {
+      val incP = new org.apache.hadoop.fs.Path(s"$root/increments")
+      val fs = incP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val df =
+        if (base) spark.read.parquet(s"$root/base").select(cols.map(col): _*)
+        else if (fs.exists(incP))
+          spark.read.parquet(incP.toString)
+            .filter(col("batch") > Compaction.foldedWatermark(spark, root))
+            .select(cols.map(col): _*)
+        else // no increments yet: empty frame, schema from the base
+          spark.read.parquet(s"$root/base").select(cols.map(col): _*)
+            .limit(0)
+      Tombstones.applyTo(df, dir, "doc_id")
+    }
+    val pCols = Seq("term", "doc_id", "tf")
+    val bPost = side(s"$dir/postings", pCols, base = true)
+    val iPost = side(s"$dir/postings", pCols, base = false)
+    val bDl = side(s"$dir/doclens", Seq("doc_id", "dl"), base = true)
+    val iDl = side(s"$dir/doclens", Seq("doc_id", "dl"), base = false)
     def dlAgg(df: DataFrame, suffix: String): DataFrame = df.agg(
       count(lit(1)).as(s"n_docs_$suffix"),
       round(sum(col("dl").cast("decimal(28,6)")).cast("double") /
