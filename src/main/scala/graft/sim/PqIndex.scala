@@ -92,18 +92,48 @@ object PqIndex {
   /** The maintained code table: base plus every LIVE increment (the
     * `batch` partition column prunes directories a crashed fold already
     * owns), minus tombstoned vectors (broadcast anti-join). */
-  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+  def readCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Tombstones.applyTo(rawCodes(spark, dir), dir, "vec_id")
+
+  /** The physical code rows WITHOUT the tombstone anti-join — the
+    * erasure audit's read. */
+  private def rawCodes(spark: SparkSession, dir: String): DataFrame = {
     val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
     val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = spark.read.parquet(s"$dir/codes/base")
       .select("vec_id", "codes")
-    val merged = if (fs.exists(incPath))
+    if (fs.exists(incPath))
       base.unionByName(spark.read.parquet(s"$dir/codes/increments")
         .filter(col("batch") >
           Compaction.foldedWatermark(spark, s"$dir/codes"))
         .select("vec_id", "codes"))
     else base
-    graft.streaming.Tombstones.applyTo(merged, dir, "vec_id")
+  }
+
+  /** ERASURE AUDIT for the PQ tier ([[graft.text.LexIndex.erasureAudit]]'s
+    * readout on the compressed axis): tombstone count plus the physical
+    * code rows the anti-join is hiding — across the flat code table AND
+    * the IVF-PQ posting lists when present. `physically_clean = true` is
+    * the attestation state (after [[compactIndex]] / [[vacuumIvfPq]] /
+    * [[retrainIndex]]). */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Tombstones
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nTomb = Tombstones.count(spark, dir)
+    val flat =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/base")))
+        Tombstones.hiddenRowCount(rawCodes(spark, dir), dir, "vec_id")
+      else 0L
+    val ivf =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")))
+        Tombstones.hiddenRowCount(
+          spark.read.parquet(s"$dir/postings"), dir, "vec_id")
+      else 0L
+    import spark.implicits._
+    Seq((nTomb, flat, ivf, flat == 0L && ivf == 0L))
+      .toDF("n_tombstones", "code_rows_hidden", "posting_rows_hidden",
+        "physically_clean")
   }
 
   /** ADC search over the maintained code table —

@@ -353,10 +353,21 @@ object Dedup {
     require(meta.getInt(1) == NumHashes && meta.getInt(2) == NumBands,
       s"signature index at $path was written with ${meta.getInt(1)} hashes / " +
         s"${meta.getInt(2)} bands; this build uses $NumHashes / $NumBands")
+    val bands = rawBands(spark, path)
+    // tombstoned docs' band rows are anti-joined out — a future near-dup
+    // of a deleted doc probes as if the index never held it
+    SignatureIndex(graft.streaming.Tombstones.applyTo(bands, path,
+      bandsIdCol(bands)), meta.getInt(0))
+  }
+
+  /** The physical band rows (base ∪ live increments) WITHOUT the
+    * tombstone anti-join — the erasure audit's read. */
+  private def rawBands(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/bands")
     val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
     val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bands = if (fs.exists(incDir))
+    if (fs.exists(incDir))
       // prune increments a crashed fold already owns (batch is the
       // partition column — stale dirs never open)
       base.unionByName(spark.read.parquet(s"$path/increments")
@@ -364,10 +375,23 @@ object Dedup {
           graft.streaming.Compaction.foldedWatermark(spark, path, "bands"))
         .drop("batch").select(base.columns.map(col): _*))
     else base
-    // tombstoned docs' band rows are anti-joined out — a future near-dup
-    // of a deleted doc probes as if the index never held it
-    SignatureIndex(graft.streaming.Tombstones.applyTo(bands, path,
-      bandsIdCol(bands)), meta.getInt(0))
+  }
+
+  /** ERASURE AUDIT for the stored signature index
+    * ([[graft.text.LexIndex.erasureAudit]]'s readout on the dedup axis):
+    * tombstone count plus the physical band rows — MinHash signatures are
+    * DERIVED CONTENT of the deleted docs, so an attestation needs them
+    * gone from the bytes too ([[compactSignatureIndex]] gets them there).
+    */
+  def erasureAudit(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    import graft.streaming.Tombstones
+    val raw = rawBands(spark, path)
+    val nTomb = Tombstones.count(spark, path)
+    val hidden = Tombstones.hiddenRowCount(raw, path, bandsIdCol(raw))
+    import spark.implicits._
+    Seq((nTomb, hidden, hidden == 0L))
+      .toDF("n_tombstones", "band_rows_hidden", "physically_clean")
   }
 
   /** `incrementalCandidates` against a STORED corpus index: identical pairs,

@@ -223,8 +223,13 @@ class TombstoneSpec extends SparkSpec {
     def flatSearch() = graft.sim.PqIndex.search(spark, idx, q, "vec_id",
       "embedding", k = 5).collect().toSet
     assert(flatSearch() === expect)           // logical
+    val pqPre = graft.sim.PqIndex.erasureAudit(spark, idx).head()
+    assert(pqPre.getLong(1) > 0 && !pqPre.getBoolean(3), pqPre.toString)
     assert(graft.sim.PqIndex.compactIndex(spark, idx) === 1)
     assert(flatSearch() === expect)           // physical, fold-applied
+    val pqPost = graft.sim.PqIndex.erasureAudit(spark, idx).head()
+    assert(pqPost.getLong(1) === 0L && pqPost.getBoolean(3),
+      pqPost.toString)
     val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(spark.read.parquet(s"$idx/codes/base")
@@ -245,7 +250,12 @@ class TombstoneSpec extends SparkSpec {
       "embedding", k = 5, nProbe = 2).collect()
     assert(got.nonEmpty &&
       !got.exists(r => del.contains(r.getLong(r.fieldIndex("vec_id")))))
+    val ivfPre = graft.sim.PqIndex.erasureAudit(spark, ivf).head()
+    assert(ivfPre.getLong(2) > 0 && !ivfPre.getBoolean(3), ivfPre.toString)
     graft.sim.PqIndex.vacuumIvfPq(spark, ivf)
+    val ivfPost = graft.sim.PqIndex.erasureAudit(spark, ivf).head()
+    assert(ivfPost.getLong(2) === 0L && ivfPost.getBoolean(3),
+      ivfPost.toString)
     assert(spark.read.parquet(s"$ivf/postings")
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
     assert(graft.sim.PqIndex.searchIvfPq(spark, ivf, q, "vec_id",
@@ -270,8 +280,13 @@ class TombstoneSpec extends SparkSpec {
       .select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(matched.nonEmpty && matched.forall(_ % 2 === 1))
+    val sigPre = Dedup.erasureAudit(spark, idx).head()
+    assert(sigPre.getLong(1) > 0 && !sigPre.getBoolean(2), sigPre.toString)
     // physical erasure via the vacuum arm (no data increments pending)
     assert(Dedup.compactSignatureIndex(spark, idx) === 0)
+    val sigPost = Dedup.erasureAudit(spark, idx).head()
+    assert(sigPost.getLong(1) === 0L && sigPost.getBoolean(2),
+      sigPost.toString)
     val raw = spark.read.parquet(s"$idx/bands")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(raw === matched)
