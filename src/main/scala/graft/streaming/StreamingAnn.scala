@@ -125,6 +125,18 @@ object StreamingAnn {
       spark.read.parquet(s"$indexPath/centroids"), queries, id, emb, k,
       nProbe)
 
+  /** RETENTION TRIM of the tombstone set — refuses while the audit shows
+    * hidden physical rows (trimming then would resurrect them); after a
+    * trim, deleted vec_ids are re-ingestable (terminality consciously
+    * waived — see [[graft.text.LexIndex.trimTombstones]]). */
+  def trimTombstones(spark: SparkSession, indexPath: String): Unit = {
+    val audit = erasureAudit(spark, indexPath).head()
+    require(audit.getBoolean(audit.fieldIndex("physically_clean")),
+      s"trimTombstones($indexPath): erasure not yet physical — " +
+        s"${audit.getLong(1)} rows still hidden; run compactIndex first")
+    Tombstones.clear(spark, indexPath)
+  }
+
   /** Rebuild the maintained index under FRESH centroids — the recluster
     * arm of the drift loop ([[Similarity.reclusterIvfIndex]]'s Lloyd
     * refresh on this layout): new centroids = the current fixed-point

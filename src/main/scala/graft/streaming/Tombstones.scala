@@ -132,4 +132,21 @@ private[graft] object Tombstones {
   /** True iff any tombstone has ever landed under `dir`. */
   def exist(spark: SparkSession, dir: String): Boolean =
     fsFor(spark, root(dir)).exists(new Path(root(dir)))
+
+  /** Drop the ENTIRE tombstone tree under `dir` — the retention-trim arm
+    * the docs leave as an administrative decision. Two consequences the
+    * caller owns, which is why this is `private[graft]` and only reachable
+    * through the per-family trim wrappers that first REQUIRE a clean
+    * [[hiddenRowCount]] audit: (1) if any physical row were still hidden,
+    * trimming would resurrect it — the guard makes that impossible;
+    * (2) previously-deleted ids become re-ingestable again — the terminal
+    * guarantee is consciously waived by this action (do it only after the
+    * erasure attestation is filed and the upstream can no longer re-crawl
+    * the content). */
+  private[graft] def clear(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, root(dir))
+    if (fs.exists(new Path(root(dir))))
+      fs.delete(new Path(root(dir)), true): Unit
+    spark.catalog.refreshByPath(dir)
+  }
 }

@@ -213,6 +213,22 @@ object LexIndex {
         "physically_clean")
   }
 
+  /** RETENTION TRIM of the tombstone set — the administrative action the
+    * audit enables: once [[erasureAudit]] attests `physically_clean`
+    * (and the attestation is filed), the tombstones themselves can be
+    * dropped. REFUSES while any physical row is still hidden (trimming
+    * then would resurrect deleted content at the next read). After a
+    * trim, previously-deleted doc_ids are re-ingestable — terminality is
+    * consciously waived by this call. */
+  def trimTombstones(spark: SparkSession, dir: String): Unit = {
+    val audit = erasureAudit(spark, dir).head()
+    require(audit.getBoolean(audit.fieldIndex("physically_clean")),
+      s"trimTombstones($dir): erasure not yet physical — " +
+        s"${audit.getLong(1)} postings rows and ${audit.getLong(2)} " +
+        "doclens rows still hidden; run compactIndex first")
+    graft.streaming.Tombstones.clear(spark, dir)
+  }
+
   /** LEXICAL-STATS DRIFT of the maintained index — the aging monitor for
     * the lexical axis (the [[graft.sim.PqIndex.codeUsageDrift]] contract
     * on text), computed from the stored index alone: does the streamed-in

@@ -73,6 +73,12 @@ class TombstoneSpec extends SparkSpec {
     LexIndex.deleteBatch(docs.filter(col("doc_id") % 5 === 1)
       .select("doc_id"), idx, batchId = 0L)
 
+    // retention trim refuses while erasure is only logical
+    val premature = intercept[IllegalArgumentException] {
+      LexIndex.trimTombstones(spark, idx)
+    }
+    assert(premature.getMessage.contains("not yet physical"))
+
     val (p, d) = LexIndex.compactIndex(spark, idx) // folds nothing...
     assert(p === 0 && d === 0)
     val delIds = docs.filter(col("doc_id") % 5 === 1)
@@ -85,6 +91,15 @@ class TombstoneSpec extends SparkSpec {
     assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) ===
       bmSet(Retrieval.bm25(docs.filter(col("doc_id") % 5 =!= 1),
         "doc_id", "text", terms)))
+
+    // after attested erasure the trim runs, and the deleted docs become
+    // re-ingestable — terminality consciously waived by the trim
+    LexIndex.trimTombstones(spark, idx)
+    assert(!graft.streaming.Tombstones.exist(spark, idx))
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 1), "doc_id",
+      "text", idx, batchId = 1L)
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) ===
+      bmSet(Retrieval.bm25(docs, "doc_id", "text", terms)))
   }
 
   test("ann index: delete excludes vectors from search and recluster " +
@@ -173,6 +188,10 @@ class TombstoneSpec extends SparkSpec {
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
     // a second compaction is a no-op (nothing left to vacuum)
     assert(StreamingAnn.compactIndex(spark, idx) === 0)
+    // retention trim after attested erasure; refuses before is covered by
+    // the lex twin — here just assert the clean-state path
+    StreamingAnn.trimTombstones(spark, idx)
+    assert(!Tombstones.exist(spark, idx))
   }
 
   test("stored batch IVF index: deleteFromIvfIndex excludes from " +
