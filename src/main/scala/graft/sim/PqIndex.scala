@@ -221,20 +221,33 @@ object PqIndex {
       .select("vec_id", "codes"), "base")
     val inc = usage(spark.read.parquet(s"$dir/codes/increments")
       .filter(col("batch") > wm).select("vec_id", "codes"), "inc")
-    // full outer: a codeword used by only one side contributes its whole
-    // probability mass to the distance (the per-s totals re-fill from the
-    // surviving side via the subspace window)
-    graft.ops.Stats.njoin(base, inc, Seq("s", "code"), how = "full")
-      .select(col("s"), col("code"),
+    // full outer with COALESCED keys: a codeword used by only one side
+    // must land under its real (s, code) — not under NULL keys, where it
+    // would fall out of its subspace's window partition and its whole
+    // probability mass would silently vanish from the distance (exactly
+    // the one-sided case this monitor exists to catch; the q331 oracle's
+    // `coalesce(b.s, i2.s)` is the same move in SQL)
+    val joined = base.join(
+        inc.withColumnRenamed("s", "s_i").withColumnRenamed("code", "code_i"),
+        col("s") <=> col("s_i") && col("code") <=> col("code_i"), "full")
+      .select(coalesce(col("s"), col("s_i")).as("s"),
         coalesce(col("c_base"), lit(0L)).as("cb"),
         coalesce(col("c_inc"), lit(0L)).as("ci"),
+        col("n_base"), col("n_inc"))
+    // per-s totals re-fill across the coalesced subspace (each side's
+    // rows carry NULL totals for the other side); a side with NO rows in
+    // a subspace has probability 0 there — coalesce(quotient, 0)
+    joined
+      .select(col("s"), col("cb"), col("ci"),
         max(col("n_base")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("s")).as("nb"),
         max(col("n_inc")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("s")).as("ni"))
       .withColumn("_d",
-        abs(col("cb").cast("double") / col("nb").cast("double") -
-            col("ci").cast("double") / col("ni").cast("double"))
+        abs(coalesce(col("cb").cast("double") / col("nb").cast("double"),
+              lit(0.0)) -
+            coalesce(col("ci").cast("double") / col("ni").cast("double"),
+              lit(0.0)))
           .cast("decimal(28,12)"))
       .groupBy("s")
       .agg(round(sum(col("_d")).cast("double"), 6).as("l1_drift"))
@@ -251,7 +264,10 @@ object PqIndex {
                    id: String, emb: String, m: Int, ksub: Int,
                    maxIter: Int = 10): Unit = {
     Compaction.recoverPromote(spark, dir)
-    Compaction.recover(spark, dir, "codes")
+    // the codes FOLD's crash leftovers live under $dir/codes (root) as
+    // base_old/base_compact — recover at that root, not at $dir with a
+    // "codes" base name (a path no fold ever creates)
+    Compaction.recover(spark, s"$dir/codes")
     spark.catalog.refreshByPath(dir)
     val prevWm = Compaction.foldedWatermark(spark, s"$dir/codes")
     val subsumedWm =
@@ -293,9 +309,12 @@ object PqIndex {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     codebookDf(spark, codebooks).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook")
-    val assigned = Similarity.ivfAssign(corpus, id, emb, cents)
-    Similarity.pqEncode(assigned, "vec_id", "v", codebooks)
-      .join(assigned.select("vec_id", "cell"), "vec_id")
+    // carry `cell` THROUGH the encode: the assignment (broadcast
+    // centroid cross-join + per-vector rank window over the whole
+    // corpus) runs once and no corpus-wide self-join re-attaches the
+    // cell — one pass over the most expensive stage of the build
+    Similarity.pqEncode(Similarity.ivfAssign(corpus, id, emb, cents),
+        "vec_id", "v", codebooks, carry = Seq("cell"))
       .select("vec_id", "codes", "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/postings")
@@ -344,6 +363,10 @@ object PqIndex {
   def retrainIndexIfDrifted(spark: SparkSession, dir: String,
                             corpus: DataFrame, id: String, emb: String,
                             m: Int, ksub: Int, maxL1: Double): Boolean = {
+    // no unfolded increments (e.g. right after compactIndexIfNeeded in
+    // the documented maintenance loop): nothing new to compare the base
+    // against — not drifted, not an error
+    if (Compaction.incrementCount(spark, s"$dir/codes") == 0) return false
     val breached = codeUsageDrift(spark, dir)
       .filter(col("l1_drift") > maxL1).limit(1).count() > 0
     if (breached) retrainIndex(spark, dir, corpus, id, emb, m, ksub)

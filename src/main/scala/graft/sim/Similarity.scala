@@ -699,10 +699,13 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.expressions.CosineSimilarity.register(spark)
     // feeds the centroid aggregate, the routing side, and the posting side
-    // — persist so the scan + float→double runs once (ContextCleaner-freed)
+    // — lazy localCheckpoint so the scan + float→double runs once; unlike
+    // persist, the blocks are ContextCleaner-freed when the returned
+    // (lazy) plan is dropped, so repeated calls can't pin corpus-sized
+    // caches in CacheManager for the session lifetime
     val base = corpus.select(col(id).as("vec_id"), col(cell).as("cid"),
         asDouble(emb).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val centroids = ivfCentroids(base, "cid", "v")
     val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroids))
@@ -733,8 +736,11 @@ object Similarity {
                      k: Int, nProbe: Int): DataFrame = {
     graft.expressions.CosineSimilarity.register(spark)
     val (post, cents) = readIvfIndex(spark, dir)
+    // lazy localCheckpoint, not persist — same reason as [[annJoin]]:
+    // a serving process calls this per maintenance cycle, and persist
+    // would pin a never-unpersisted corpus-sized cache per call
     val base = post.select(col("vec_id"), col("cell").as("cid"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
@@ -1059,12 +1065,14 @@ object Similarity {
     * (ties break to the lowest code — deterministic). Pure per-row HOF
     * expression over a broadcast codebook literal: no shuffle, no UDF. */
   def pqEncode(corpus: DataFrame, id: String, emb: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+               codebooks: Array[Array[Array[Double]]],
+               carry: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length; val ksub = codebooks(0).length
     val dsub = codebooks(0)(0).length
     val cb: Seq[Seq[Seq[Double]]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
     corpus
-      .select(col(id).as("vec_id"), asDouble(emb).as("v"))
+      .select(col(id).as("vec_id") +: asDouble(emb).as("v") +:
+        carry.map(col): _*)
       .withColumn("_cb", typedlit(cb))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
@@ -1081,7 +1089,7 @@ object Similarity {
            |            * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))) AS bd)
            |      ELSE acc END,
            |    acc -> acc.bk))""".stripMargin))
-      .select(col("vec_id"), col("codes"))
+      .select(col("vec_id") +: col("codes") +: carry.map(col): _*)
   }
 
   /** ANN search over PQ codes with asymmetric distance (ADC): approximate

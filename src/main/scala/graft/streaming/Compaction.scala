@@ -244,29 +244,15 @@ private[graft] object Compaction {
   }
 
   /** Count of increment directories currently under `root` — the trigger
-    * signal for [[compactIfNeeded]]. */
+    * signal every family's `compact*IfNeeded` gate reads (the families
+    * each own their fold, so the threshold gate lives with them rather
+    * than as a generic hook here). */
   def incrementCount(spark: SparkSession, root: String): Int = {
     val fs = fsFor(spark, root)
     val incDir = new Path(s"$root/increments")
     if (!fs.exists(incDir)) 0
     else fs.listStatus(incDir).count(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch="))
-  }
-
-  /** The operational trigger the drift loop already has
-    * (`reclusterIvfIndexIfDrifted`) applied to compaction: fold iff more
-    * than `maxIncrements` increment directories have accumulated,
-    * otherwise leave the artifact untouched (0). One cheap directory
-    * listing below threshold — call it after every stream run and the
-    * read-side union width stays bounded by construction. */
-  def compactIfNeeded(spark: SparkSession, root: String, maxIncrements: Int,
-                      baseName: String = "base")
-                     (fold: (Option[String], Seq[String]) => DataFrame)
-                     (write: (DataFrame, String) => Unit): Int = {
-    require(maxIncrements >= 0, s"maxIncrements must be >= 0, got $maxIncrements")
-    if (incrementCount(spark, root) > maxIncrements)
-      foldIncrements(spark, root, baseName)(fold)(write)
-    else 0
   }
 
   // ── multi-directory promote: the recluster family swaps SEVERAL live

@@ -304,6 +304,20 @@ object LexIndex {
     // fold the tombstone increments first so the data folds below apply
     // ONE folded set (and the tombstone read path stays union-narrow too)
     Tombstones.compact(spark, dir)
+    // the append-only-per-LIVE-doc contract check runs BEFORE either root
+    // folds: a violation found mid-fold (after the postings base had
+    // already been rewritten with the duplicate's merged fragments) would
+    // leave the index permanently half-folded with no repair path — fail
+    // while everything is still intact. Runs on the tombstone-FILTERED
+    // doclens (re-ingesting a DELETED doc is suppressed, never an error,
+    // identically before and after its physical removal)
+    val dup = readDocLens(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate doc_id '${if (dup.isEmpty) "" else dup.head.get(0)}' " +
+        s"in $dir: a document was ingested in more than one batch — " +
+        "the lexical index contract is append-only per doc_id")
     val p = graft.streaming.Compaction.foldIncrements(spark,
         s"$dir/postings") { (base, incs) =>
       // tombstones apply inside the fold: the new base is written WITHOUT
@@ -318,24 +332,10 @@ object LexIndex {
     }
     val d = graft.streaming.Compaction.foldIncrements(spark,
         s"$dir/doclens") { (base, incs) =>
-      val merged = Tombstones.applyTo((base.toSeq ++ incs)
+      // the dup guard already ran above, before any root committed
+      Tombstones.applyTo((base.toSeq ++ incs)
         .map(x => spark.read.parquet(x).select("doc_id", "dl"))
         .reduce(_.unionByName(_)), dir, "doc_id")
-      // the index is append-only per LIVE doc: a doc_id ingested in MORE
-      // THAN ONE batch (re-crawl/update — restating the SAME batch is
-      // safe) splits its tf rows across fragments, inflating df and
-      // fanning out the dl join; that skews scores silently, so detect it
-      // here where the whole history is in hand and fail loudly instead.
-      // The guard runs on the tombstone-FILTERED frame: re-ingesting a
-      // DELETED doc is suppressed by the terminal tombstone (identically
-      // before and after its physical removal), never an error
-      val dup = merged.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"duplicate doc_id '${if (dup.isEmpty) "" else dup.head.get(0)}' " +
-          s"in $dir: a document was ingested in more than one batch — " +
-          "the lexical index contract is append-only per doc_id")
-      merged
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
     // pure deletion campaign: nothing folded but tombstoned rows remain
     // physically in a base — vacuum each root through the same swap

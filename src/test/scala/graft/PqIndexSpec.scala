@@ -129,5 +129,34 @@ class PqIndexSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
     assert(got == expect,
       "retrained store must equal a from-scratch train+encode")
+
+    // maintenance-loop order: after a fold removed every increment, the
+    // drift trigger must report false, not crash on the missing tree
+    val d3 = java.nio.file.Files.createTempDirectory("graft_pqd3").toString
+    PqIndex.writeIndex(base, "vec_id", "embedding", cb, s"$d3/idx")
+    PqIndex.appendBatch(far, "vec_id", "embedding", s"$d3/idx", 0L)
+    assert(PqIndex.compactIndex(spark, s"$d3/idx") == 1)
+    assert(!PqIndex.retrainIndexIfDrifted(spark, s"$d3/idx", all,
+      "vec_id", "embedding", m = 4, ksub = 4, maxL1 = 0.0))
+  }
+
+  test("codeUsageDrift counts the FULL mass of one-sided codewords — a " +
+       "codeword used only by the increments lands under its real " +
+       "subspace, not a NULL key") {
+    import spark.implicits._
+    // write the code tables directly: drift reads only codes/base and
+    // codes/increments, so the layout can be planted exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq1s").toString
+    Seq((0L, Seq(0, 0, 0, 0)), (1L, Seq(1, 1, 1, 1)))
+      .toDF("vec_id", "codes")
+      .write.parquet(s"$dir/idx/codes/base")
+    Seq((2L, Seq(3, 3, 3, 3))).toDF("vec_id", "codes")
+      .write.parquet(s"$dir/idx/codes/increments/batch=0")
+    val rows = PqIndex.codeUsageDrift(spark, s"$dir/idx").collect()
+    // base probs {0: 1/2, 1: 1/2}, inc {3: 1}: true L1 = 1/2 + 1/2 + 1
+    // per subspace; dropping the inc-only codeword would read 1.0
+    assert(rows.length == 4, rows.mkString(","))
+    assert(rows.forall(!_.isNullAt(0)), "no NULL-subspace row")
+    assert(rows.forall(_.getDouble(1) == 2.0), rows.mkString(","))
   }
 }

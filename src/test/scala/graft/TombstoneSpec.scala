@@ -55,13 +55,20 @@ class TombstoneSpec extends SparkSpec {
     LexIndex.compactIndex(spark, idx)
     assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
 
-    // ...but re-ingesting a LIVE doc is still the loud contract violation
+    // ...but re-ingesting a LIVE doc is still the loud contract violation,
+    // and it fires BEFORE either root folds — the violating increments
+    // are still on disk, nothing was rewritten, nothing half-committed
     LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 2), "doc_id",
       "text", idx, batchId = 2L)
     val err = intercept[IllegalArgumentException] {
       LexIndex.compactIndex(spark, idx)
     }
     assert(err.getMessage.contains("append-only"))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/postings/increments/batch=2")),
+      "guard must fail the compaction before the postings fold commits")
   }
 
   test("lex index: a pure deletion campaign (no data increments) still " +
