@@ -167,8 +167,9 @@ object CurationDemo {
       s"postings=$pFolded doclens=$dFolded")
 
     // vector: frozen-centroid append, then the drift-triggered recluster;
-    // the takedown's vec_ids tombstone the vector index the same way (the
-    // recluster below rebuilds the base without them)
+    // the takedown's vec_ids tombstone the vector index the same way —
+    // physically erased by the recluster when drift breaches, or by the
+    // explicit vacuum fallback below when it doesn't
     val cents = Similarity.ivfCentroids(
       e.filter(col("vec_id") % 5 =!= 4), "label", "embedding")
     Similarity.writeIvfIndex(
@@ -183,6 +184,9 @@ object CurationDemo {
       s"$root/vec", maxDrift = 0.01)
     println(s"[curate] vector quantizer reclustered after append: " +
       s"$reclustered")
+    // no drift breach → the takedown's rows are still physically in the
+    // posting lists; the vacuum rewrite finishes the erasure either way
+    if (!reclustered) Similarity.vacuumIvfIndex(spark, s"$root/vec")
 
     // both serving-time evals run off the maintained state only
     val qs = e.filter(col("vec_id") < 10)

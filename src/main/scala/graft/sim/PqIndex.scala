@@ -85,8 +85,10 @@ object PqIndex {
     * the IVF-PQ posting lists rooted there ([[graft.streaming.Tombstones]]):
     * logically gone from the next [[search]]/[[searchIvfPq]], physically
     * erased at the next [[compactIndex]] / [[vacuumIvfPq]] / [[retrainIndex]]
-    * base rewrite, terminal against re-ingest. */
-  def deleteBatch(ids: DataFrame, dir: String, batchId: Long): Unit =
+    * base rewrite, terminal against re-ingest. Returns true iff the batch
+    * landed (false = dropped by the fold watermark — manual batch ids
+    * must be monotone per index). */
+  def deleteBatch(ids: DataFrame, dir: String, batchId: Long): Boolean =
     graft.streaming.Tombstones.append(ids, dir, batchId)
 
   /** The maintained code table: base plus every LIVE increment (the
@@ -157,8 +159,15 @@ object PqIndex {
           .map(p => spark.read.parquet(p).select("vec_id", "codes"))
           .reduce(_.unionByName(_)), dir, "vec_id")
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
-    if (folded == 0 && Tombstones.needsVacuum(
-        spark.read.parquet(s"$dir/codes/base"), dir, "vec_id"))
+    // an IVF-PQ-only dir (postings, no codes tree) can reach here via the
+    // shared tombstone root — the vacuum arm must no-op on the absent
+    // flat table rather than throw on the missing path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (folded == 0 &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/base")) &&
+        Tombstones.needsVacuum(
+          spark.read.parquet(s"$dir/codes/base"), dir, "vec_id"))
       Compaction.rewriteBase(spark, s"$dir/codes")(df =>
         Tombstones.applyTo(df.select("vec_id", "codes"), dir, "vec_id")) {
         (df, out) => df.write.mode("overwrite").parquet(out)
@@ -183,13 +192,23 @@ object PqIndex {
   }
 
   /** Compaction trigger: fold iff more than `maxIncrements` increment
-    * directories (data or tombstone) have accumulated. */
+    * directories (data or tombstone) have accumulated. An IVF-PQ-only
+    * layout (postings tree, no flat `codes/`) has no fold to run — its
+    * tombstone pressure routes to [[vacuumIvfPq]] instead. */
   def compactIndexIfNeeded(spark: SparkSession, dir: String,
-                           maxIncrements: Int): Int =
-    if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements ||
+                           maxIncrements: Int): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    if (!hasCodes) {
+      if (graft.streaming.Tombstones.incrementCount(spark, dir) > maxIncrements)
+        vacuumIvfPq(spark, dir)
+      0
+    } else if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements ||
         graft.streaming.Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else 0
+  }
 
   /** CODE-USAGE DRIFT of the maintained index — the aging monitor for a
     * frozen codebook, computed from the stored codes alone (the raw

@@ -350,8 +350,10 @@ object Similarity {
     * next search, and from the drift report's member means), and the next
     * [[reclusterIvfIndex]] rewrites the posting lists without the rows —
     * the physical erasure. Terminal: re-ingesting a deleted vec_id via
-    * [[appendIvfBatch]] is suppressed forever. */
-  def deleteFromIvfIndex(ids: DataFrame, dir: String, batchId: Long): Unit =
+    * [[appendIvfBatch]] is suppressed forever. Returns true iff the batch
+    * landed (false = dropped by the fold watermark — manual batch ids
+    * must be monotone per index). */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String, batchId: Long): Boolean =
     graft.streaming.Tombstones.append(ids, dir, batchId)
 
   /** A stored index read back: (posting lists, centroids). Tombstoned
@@ -402,6 +404,25 @@ object Similarity {
       .parquet(s"$dir/postings_new")
     graft.streaming.Compaction.promote(spark, dir, Seq("centroids", "postings"))
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Physically erase tombstoned vectors from the stored posting lists
+    * WITHOUT touching the quantizer — the vacuum arm of this layout (the
+    * [[graft.sim.PqIndex.vacuumIvfPq]] contract on raw vectors): a pure
+    * deletion campaign has no drift breach to ride, so its physical
+    * erasure needs an explicit cell-partitioned rewrite. No-op when no
+    * tombstoned row is physically present. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    import graft.streaming.{Compaction, Tombstones}
+    Tombstones.compact(spark, dir)
+    if (Tombstones.needsVacuum(
+        spark.read.parquet(s"$dir/postings"), dir, "vec_id"))
+      Compaction.rewriteBase(spark, dir, "postings")(df =>
+        Tombstones.applyTo(df.select("vec_id", "v", "cell"), dir,
+          "vec_id")) { (df, out) =>
+        df.write.mode("overwrite").partitionBy("cell").parquet(out)
+      }
   }
 
   /** The closed drift loop on this layout (the

@@ -68,13 +68,15 @@ object StreamingAnn {
                     checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Tombstones.append(batch, indexPath, batchId)
+        Tombstones.append(batch, indexPath, batchId): Unit
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
 
-  /** [[tombstoneSink]]'s batch form: land one delete batch of vec_ids. */
-  def deleteBatch(ids: DataFrame, indexPath: String, batchId: Long): Unit =
+  /** [[tombstoneSink]]'s batch form: land one delete batch of vec_ids.
+    * Returns true iff the batch landed (false = dropped by the fold
+    * watermark — manual batch ids must be monotone per index). */
+  def deleteBatch(ids: DataFrame, indexPath: String, batchId: Long): Boolean =
     Tombstones.append(ids, indexPath, batchId)
 
   /** The maintained posting lists: base plus every LIVE increment — the

@@ -41,7 +41,7 @@ object StreamingLex {
                     checkpoint: String): DataStreamWriter[Row] =
     docIds.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        LexIndex.deleteBatch(batch, indexPath, batchId)
+        LexIndex.deleteBatch(batch, indexPath, batchId): Unit
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())

@@ -51,15 +51,30 @@ private[graft] object Tombstones {
   /** Land one delete batch: `ids`' single column becomes `tid`. Replay-
     * and restatement-safe like every increment sink in the family: a
     * batch id at or below the folded watermark is dropped (a prior fold
-    * owns it), a retried live batch overwrites exactly its own dir. */
-  def append(ids: DataFrame, dir: String, batchId: Long): Unit = {
+    * owns it), a retried live batch overwrites exactly its own dir.
+    *
+    * Returns true iff the batch LANDED. A false return means the
+    * watermark guard dropped it — correct for a replayed stream batch,
+    * but a MANUAL caller reusing a stale id after a compaction would
+    * silently lose a NEW takedown, which is worse for a compliance
+    * primitive than for ingest increments; manual batch ids must be
+    * monotone per index (the dropped case also logs a warning so a
+    * fire-and-forget caller still leaves a trace). */
+  def append(ids: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = ids.sparkSession
     require(ids.columns.length == 1,
       s"tombstone batch must be a single id column, got ${ids.columns.toSeq}")
-    if (!Compaction.isFolded(spark, root(dir), batchId))
+    val landed = !Compaction.isFolded(spark, root(dir), batchId)
+    if (landed)
       ids.select(col(ids.columns.head).as("tid")).distinct()
         .write.mode("overwrite")
         .parquet(s"${root(dir)}/increments/batch=$batchId")
+    else
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"tombstone batch $batchId for $dir dropped: at or below " +
+          "the fold watermark (already folded, or a stale manual batch " +
+          "id — manual ids must be monotone per index)")
+    landed
   }
 
   /** The live tombstone set (tid), base ∪ unfolded increments — None when

@@ -291,7 +291,7 @@ object Dedup {
     * the doc's content — re-electing keepers historically would rewrite
     * decisions training runs already consumed. */
   def deleteFromSignatureIndex(ids: DataFrame, path: String,
-                               batchId: Long): Unit =
+                               batchId: Long): Boolean =
     graft.streaming.Tombstones.append(ids, path, batchId)
 
   /** Fold all streaming increments into the base bands: one

@@ -125,8 +125,10 @@ object LexIndex {
     * deleted docs), physically gone at the next [[compactIndex]] (the
     * fold rewrites both bases without the tombstoned rows). Deletion is
     * TERMINAL: a later batch re-ingesting a deleted doc_id is suppressed
-    * forever — a re-crawl cannot silently resurrect removed content. */
-  def deleteBatch(docIds: DataFrame, dir: String, batchId: Long): Unit =
+    * forever — a re-crawl cannot silently resurrect removed content.
+    * Returns true iff the batch landed (false = dropped by the fold
+    * watermark — manual batch ids must be monotone per index). */
+  def deleteBatch(docIds: DataFrame, dir: String, batchId: Long): Boolean =
     graft.streaming.Tombstones.append(docIds, dir, batchId)
 
   private def unionParts(spark: SparkSession, root: String,

@@ -696,4 +696,29 @@ class AnnSpec extends SparkSpec {
     assert(afterDel.nonEmpty && !afterDel.exists(r =>
       del.contains(r.getLong(0)) || del.contains(r.getLong(1))))
   }
+
+  test("q113 learned-PQ golden: the full train→encode→rerank pipeline is " +
+    "value-pinned at sf0.001 (the path the DuckDB oracle cannot replay — " +
+    "per-subspace KMeans isn't portable across engines; q113b covers the " +
+    "search math with a fixed codebook, this golden covers the learned one)") {
+    val small = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val norm = small.select(col("vec_id"),
+      Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
+    val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
+    val got = Similarity.annPqRerank(
+        Similarity.pqEncode(norm, "vec_id", "nv", cb), cb, norm,
+        norm.filter(col("vec_id") < 10), "vec_id", "nv",
+        k = 10, shortlist = 50)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        format_number(col("sim"), 6).as("s"))
+      .collect()
+      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.get(2)}|${r.getString(3)}")
+      .sorted.mkString(";")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(got.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(digest == GOLDEN_Q113,
+      s"learned-PQ pipeline drifted: sha256=$digest (rows=${got.take(120)}…)")
+  }
+  private val GOLDEN_Q113 =
+    "935e062105dfdf3288aa668e463f5e0b88b9222c02144e4e1f9724d05037182c"
 }
