@@ -979,7 +979,10 @@ object ExtensionQueries {
         "the trigger must fold both lexical increments")
       graft.text.Retrieval.hybridRrfStored(s, ldir,
         StreamingAnn.readPostings(s, vdir),
-        s.read.parquet(s"$vdir/centroids"), Bm25Terms,
+        // post-recluster: the legacy literal path still exists in grace
+        // but holds the OLD generation — resolve the live one
+        s.read.parquet(graft.streaming.Compaction
+          .resolve(s, vdir, "centroids").get), Bm25Terms,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         nLex = 50, nProbe = 2, k = 5)
     }),
@@ -1027,7 +1030,10 @@ object ExtensionQueries {
         "the trigger must fold both lexical increments")
       graft.text.Retrieval.hybridRrfStored(s, ldir,
         StreamingAnn.readPostings(s, vdir),
-        s.read.parquet(s"$vdir/centroids"), Bm25Terms,
+        // post-recluster: the legacy literal path still exists in grace
+        // but holds the OLD generation — resolve the live one
+        s.read.parquet(graft.streaming.Compaction
+          .resolve(s, vdir, "centroids").get), Bm25Terms,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         nLex = 50, nProbe = 2, k = 5)
     }),

@@ -42,9 +42,16 @@ object PqIndex {
   }
 
   /** Read the codebook back as the in-memory array the search ops take —
-    * a bounded collect (m·ksub·dsub doubles, parameters not data). */
-  def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$dir/codebook")
+    * a bounded collect (m·ksub·dsub doubles, parameters not data).
+    * NOTE: anything that pairs the codebook with the code table must take
+    * both from ONE [[Compaction.view]] ([[search]] does) — a concurrent
+    * retrain flips them together, and mixed generations decode garbage. */
+  def readCodebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    readCodebookFrom(Compaction.view(spark, dir))
+
+  private def readCodebookFrom(
+      v: Compaction.RootView): Array[Array[Array[Double]]] = {
+    val rows = v.spark.read.parquet(v.dirOrLegacy("codebook"))
       .select("s", "c", "i", "w").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     val m = rows.map(_._1).max + 1
@@ -73,11 +80,15 @@ object PqIndex {
   def appendBatch(batch: DataFrame, id: String, emb: String, dir: String,
                   batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (Compaction.isFolded(spark, s"$dir/codes", batchId)) return
-    Similarity.pqEncode(batch, id, emb, readCodebook(spark, dir))
+    // one view: the codebook generation and the codes tree the increment
+    // lands in must match (a retrain flips them together)
+    val v = Compaction.view(spark, dir)
+    val codes = v.dirOrLegacy("codes")
+    if (Compaction.isFolded(spark, codes, batchId)) return
+    Similarity.pqEncode(batch, id, emb, readCodebookFrom(v))
       .select("vec_id", "codes")
       .write.mode("overwrite")
-      .parquet(s"$dir/codes/increments/batch=$batchId")
+      .parquet(s"$codes/increments/batch=$batchId")
   }
 
   /** DELETE vectors from the stored PQ tier (takedown/opt-out) — a
@@ -92,25 +103,20 @@ object PqIndex {
     graft.streaming.Tombstones.append(ids, dir, batchId)
 
   /** The maintained code table: base plus every LIVE increment (the
-    * `batch` partition column prunes directories a crashed fold already
+    * `batch` partition column prunes directories an in-grace fold already
     * owns), minus tombstoned vectors (broadcast anti-join). */
   def readCodes(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.Tombstones.applyTo(rawCodes(spark, dir), dir, "vec_id")
+    graft.streaming.Tombstones.applyTo(
+      rawCodes(Compaction.view(spark, dir)), dir, "vec_id")
 
   /** The physical code rows WITHOUT the tombstone anti-join — the
-    * erasure audit's read. */
-  private def rawCodes(spark: SparkSession, dir: String): DataFrame = {
-    val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
-    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$dir/codes/base")
-      .select("vec_id", "codes")
-    if (fs.exists(incPath))
-      base.unionByName(spark.read.parquet(s"$dir/codes/increments")
-        .filter(col("batch") >
-          Compaction.foldedWatermark(spark, s"$dir/codes"))
-        .select("vec_id", "codes"))
-    else base
-  }
+    * erasure audit's read. Resolves the codes tree from the caller's
+    * root view, then takes an inner view of that tree (folds version the
+    * base within it; retrains version the tree itself at the root). */
+  private def rawCodes(v: Compaction.RootView): DataFrame =
+    Compaction.view(v.spark, v.dirOrLegacy("codes"))
+      .read(Seq("vec_id", "codes")).getOrElse(
+        sys.error(s"no PQ code table under ${v.root}"))
 
   /** ERASURE AUDIT for the PQ tier ([[graft.text.LexIndex.erasureAudit]]'s
     * readout on the compressed axis): tombstone count plus the physical
@@ -122,16 +128,18 @@ object PqIndex {
     import graft.streaming.Tombstones
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Compaction.view(spark, dir)
     val nTomb = Tombstones.count(spark, dir)
     val flat =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/base")))
-        Tombstones.hiddenRowCount(rawCodes(spark, dir), dir, "vec_id")
+      if (Compaction.view(spark, v.dirOrLegacy("codes")).dir("base").isDefined)
+        Tombstones.hiddenRowCount(rawCodes(v), dir, "vec_id")
       else 0L
-    val ivf =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")))
-        Tombstones.hiddenRowCount(
-          spark.read.parquet(s"$dir/postings"), dir, "vec_id")
-      else 0L
+    val postingsDir = v.dir("postings")
+    val ivf = postingsDir match {
+      case Some(p) if fs.exists(new org.apache.hadoop.fs.Path(p)) =>
+        Tombstones.hiddenRowCount(spark.read.parquet(p), dir, "vec_id")
+      case _ => 0L
+    }
     import spark.implicits._
     Seq((nTomb, flat, ivf, flat == 0L && ivf == 0L))
       .toDF("n_tombstones", "code_rows_hidden", "posting_rows_hidden",
@@ -140,11 +148,16 @@ object PqIndex {
 
   /** ADC search over the maintained code table —
     * [[Similarity.annPq]]'s per-query LUT + binned ascending selection
-    * over base ∪ increments. */
+    * over base ∪ increments. Codebook and codes resolve from ONE
+    * [[Compaction.view]]: a concurrent retrain flips them together, so
+    * the search can never pair a fresh codebook with stale codes. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             id: String, emb: String, k: Int): DataFrame =
-    Similarity.annPq(readCodes(spark, dir), readCodebook(spark, dir),
-      queries, id, emb, k)
+             id: String, emb: String, k: Int): DataFrame = {
+    val v = Compaction.view(spark, dir)
+    Similarity.annPq(
+      graft.streaming.Tombstones.applyTo(rawCodes(v), dir, "vec_id"),
+      readCodebookFrom(v), queries, id, emb, k)
+  }
 
   /** Fold the code increments into a new base — disjoint-row union is
     * the read-path merge, so [[search]] before ≡ after. Tombstones fold
@@ -153,7 +166,8 @@ object PqIndex {
   def compactIndex(spark: SparkSession, dir: String): Int = {
     import graft.streaming.Tombstones
     Tombstones.compact(spark, dir)
-    val folded = Compaction.foldIncrements(spark, s"$dir/codes") {
+    val codes = Compaction.view(spark, dir).dirOrLegacy("codes")
+    val folded = Compaction.foldIncrements(spark, codes) {
       (base, incs) =>
         Tombstones.applyTo((base.toSeq ++ incs)
           .map(p => spark.read.parquet(p).select("vec_id", "codes"))
@@ -162,13 +176,11 @@ object PqIndex {
     // an IVF-PQ-only dir (postings, no codes tree) can reach here via the
     // shared tombstone root — the vacuum arm must no-op on the absent
     // flat table rather than throw on the missing path
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (folded == 0 &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/base")) &&
+    val codesBase = Compaction.resolve(spark, codes, "base")
+    if (folded == 0 && codesBase.isDefined &&
         Tombstones.needsVacuum(
-          spark.read.parquet(s"$dir/codes/base"), dir, "vec_id"))
-      Compaction.rewriteBase(spark, s"$dir/codes")(df =>
+          spark.read.parquet(codesBase.get), dir, "vec_id"))
+      Compaction.rewriteBase(spark, codes)(df =>
         Tombstones.applyTo(df.select("vec_id", "codes"), dir, "vec_id")) {
         (df, out) => df.write.mode("overwrite").parquet(out)
       }
@@ -183,7 +195,8 @@ object PqIndex {
     import graft.streaming.Tombstones
     Tombstones.compact(spark, dir)
     if (Tombstones.needsVacuum(
-        spark.read.parquet(s"$dir/postings"), dir, "vec_id"))
+        spark.read.parquet(Compaction.resolve(spark, dir, "postings")
+          .getOrElse(s"$dir/postings")), dir, "vec_id"))
       Compaction.rewriteBase(spark, dir, "postings")(df =>
         Tombstones.applyTo(df.select("vec_id", "codes", "cell"), dir,
           "vec_id")) { (df, out) =>
@@ -199,12 +212,13 @@ object PqIndex {
                            maxIncrements: Int): Int = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    val codes = Compaction.view(spark, dir).dirOrLegacy("codes")
+    val hasCodes = fs.exists(new org.apache.hadoop.fs.Path(codes))
     if (!hasCodes) {
       if (graft.streaming.Tombstones.incrementCount(spark, dir) > maxIncrements)
         vacuumIvfPq(spark, dir)
       0
-    } else if (Compaction.incrementCount(spark, s"$dir/codes") > maxIncrements ||
+    } else if (Compaction.incrementCount(spark, codes) > maxIncrements ||
         graft.streaming.Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else 0
@@ -225,21 +239,21 @@ object PqIndex {
     * sum (decimal addition is associative — partition-order-free) — the
     * q331 oracle recomputes it in SQL term for term. */
   def codeUsageDrift(spark: SparkSession, dir: String): DataFrame = {
-    val incPath = new org.apache.hadoop.fs.Path(s"$dir/codes/increments")
-    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(incPath),
-      s"no increments under $dir/codes — nothing to compare against")
-    val wm = Compaction.foldedWatermark(spark, s"$dir/codes")
+    val codes = Compaction.view(spark, dir).dirOrLegacy("codes")
+    val cv = Compaction.view(spark, codes)
     def usage(df: DataFrame, name: String): DataFrame = {
       val long = df.select(posexplode(col("codes")).as(Seq("s", "code")))
       val tot = long.groupBy("s").agg(count(lit(1)).as(s"n_$name"))
       long.groupBy("s", "code").agg(count(lit(1)).as(s"c_$name"))
         .join(tot, "s")
     }
-    val base = usage(spark.read.parquet(s"$dir/codes/base")
-      .select("vec_id", "codes"), "base")
-    val inc = usage(spark.read.parquet(s"$dir/codes/increments")
-      .filter(col("batch") > wm).select("vec_id", "codes"), "inc")
+    val base = usage(cv.readBase(Seq("vec_id", "codes")).getOrElse(
+      sys.error(s"no PQ code table under $dir")), "base")
+    // no LIVE increments (none landed, or all folded-in-grace): compare
+    // against an empty frame — callers gate on incrementCount first
+    val inc = usage(cv.readIncrements(Seq("vec_id", "codes"))
+      .orElse(cv.readBase(Seq("vec_id", "codes")).map(_.limit(0)))
+      .getOrElse(sys.error(s"no PQ code table under $dir")), "inc")
     // full outer with COALESCED keys: a codeword used by only one side
     // must land under its real (s, code) — not under NULL keys, where it
     // would fall out of its subspace's window partition and its whole
@@ -283,14 +297,14 @@ object PqIndex {
                    id: String, emb: String, m: Int, ksub: Int,
                    maxIter: Int = 10): Unit = {
     Compaction.recoverPromote(spark, dir)
-    // the codes FOLD's crash leftovers live under $dir/codes (root) as
-    // base_old/base_compact — recover at that root, not at $dir with a
-    // "codes" base name (a path no fold ever creates)
-    Compaction.recover(spark, s"$dir/codes")
+    val codes = Compaction.view(spark, dir).dirOrLegacy("codes")
+    // pre-versioning fold crash leftovers live under the codes tree as
+    // base_old/base_compact — recover at that root
+    Compaction.recover(spark, codes)
     spark.catalog.refreshByPath(dir)
-    val prevWm = Compaction.foldedWatermark(spark, s"$dir/codes")
+    val prevWm = Compaction.foldedWatermark(spark, codes)
     val subsumedWm =
-      (prevWm +: Compaction.incrementIds(spark, s"$dir/codes")).max
+      (prevWm +: Compaction.incrementIds(spark, codes)).max
     // tombstoned vectors are excluded from the retrain corpus — the fresh
     // codebook trains on live data only and the re-encode is the
     // physical-erasure rewrite for this layout too
@@ -349,7 +363,9 @@ object PqIndex {
                   id: String, emb: String, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.register(spark)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    // one view: centroids, codebook and posting lists flip together
+    val v = Compaction.view(spark, dir)
+    val cents = spark.read.parquet(v.dirOrLegacy("centroids"))
     val routed = queries.select(col(id).as("q_id"),
         Similarity.asDouble(emb).as("qv"))
       .crossJoin(broadcast(cents))
@@ -360,11 +376,11 @@ object PqIndex {
       .select("q_id", "cid")
     // |queries|·nProbe driver values — parameter-bounded, never data-sized
     val cells = routed.select("cid").distinct().collect().map(_.get(0))
-    val cb = readCodebook(spark, dir)
+    val cb = readCodebookFrom(v)
     val routedLut = routed
       .join(Similarity.pqLutFrame(queries, id, emb, cb), "q_id")
     val cand = graft.streaming.Tombstones.applyTo(
-        spark.read.parquet(s"$dir/postings"), dir, "vec_id")
+        spark.read.parquet(v.dirOrLegacy("postings")), dir, "vec_id")
       .filter(col("cell").isInCollection(cells))
       .join(broadcast(routedLut), col("cell") === col("cid"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -382,10 +398,11 @@ object PqIndex {
   def retrainIndexIfDrifted(spark: SparkSession, dir: String,
                             corpus: DataFrame, id: String, emb: String,
                             m: Int, ksub: Int, maxL1: Double): Boolean = {
-    // no unfolded increments (e.g. right after compactIndexIfNeeded in
+    // no LIVE increments (e.g. right after compactIndexIfNeeded in
     // the documented maintenance loop): nothing new to compare the base
     // against — not drifted, not an error
-    if (Compaction.incrementCount(spark, s"$dir/codes") == 0) return false
+    if (Compaction.incrementCount(spark,
+        Compaction.view(spark, dir).dirOrLegacy("codes")) == 0) return false
     val breached = codeUsageDrift(spark, dir)
       .filter(col("l1_drift") > maxL1).limit(1).count() > 0
     if (breached) retrainIndex(spark, dir, corpus, id, emb, m, ksub)

@@ -339,9 +339,16 @@ object Similarity {
     * the frozen quantizer has aged out and a recluster is due). */
   def appendIvfBatch(batch: DataFrame, id: String, emb: String,
                      dir: String): Unit = {
-    val cents = batch.sparkSession.read.parquet(s"$dir/centroids")
+    // one view: the centroids the batch assigns under and the posting
+    // tree it appends into must be the same generation (a concurrent
+    // recluster flips them together). Appending files into the live
+    // generation is snapshot-safe for readers — their captured listing
+    // only ever misses the newest rows, it never chases deleted files.
+    val v = graft.streaming.Compaction.view(batch.sparkSession, dir)
+    val cents = batch.sparkSession.read.parquet(v.dirOrLegacy("centroids"))
     ivfAssign(batch, id, emb, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+      .write.mode("append").partitionBy("cell")
+      .parquet(v.dirOrLegacy("postings"))
   }
 
   /** DELETE vectors from a stored index — the takedown arm
@@ -361,10 +368,14 @@ object Similarity {
     * deleted-ids-sized); the probe's cell partition filter still reaches
     * the scan because `cell` is a left-side column. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): (DataFrame, DataFrame) =
+                   dir: String): (DataFrame, DataFrame) = {
+    // one view: a concurrent recluster promotes centroids + postings
+    // together; resolving each separately could mix generations
+    val v = graft.streaming.Compaction.view(spark, dir)
     (graft.streaming.Tombstones.applyTo(
-        spark.read.parquet(s"$dir/postings"), dir, "vec_id"),
-      spark.read.parquet(s"$dir/centroids"))
+        spark.read.parquet(v.dirOrLegacy("postings")), dir, "vec_id"),
+      spark.read.parquet(v.dirOrLegacy("centroids")))
+  }
 
   /** RECLUSTER a stored index — the arm [[ivfCellDrift]] triggers: when
     * append-only maintenance has aged the frozen quantizer out, rebuild
@@ -417,7 +428,8 @@ object Similarity {
     import graft.streaming.{Compaction, Tombstones}
     Tombstones.compact(spark, dir)
     if (Tombstones.needsVacuum(
-        spark.read.parquet(s"$dir/postings"), dir, "vec_id"))
+        spark.read.parquet(Compaction.resolve(spark, dir, "postings")
+          .getOrElse(s"$dir/postings")), dir, "vec_id"))
       Compaction.rewriteBase(spark, dir, "postings")(df =>
         Tombstones.applyTo(df.select("vec_id", "v", "cell"), dir,
           "vec_id")) { (df, out) =>

@@ -2,60 +2,78 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** Shared fold-increments-into-a-new-base protocol for the maintained
-  * parquet artifacts ([[StreamingAnn]] posting lists, [[StreamingSketch]]
-  * count-min and DDSketch counters, [[StreamingLm]] bigram counts,
-  * [[graft.text.LexIndex]] postings/doclens — the same write-aside-and-swap
-  * scheme as [[graft.text.Dedup.compactSignatureIndex]]).
+/** Shared maintenance protocol for the maintained parquet artifacts
+  * ([[StreamingAnn]] posting lists, [[StreamingSketch]] count-min and
+  * DDSketch counters, [[StreamingLm]] bigram counts,
+  * [[graft.text.LexIndex]] postings/doclens, [[graft.text.Dedup]]
+  * signature bands, [[graft.sim.PqIndex]] code tables, [[Tombstones]]).
   *
   * Why it exists: every foreachBatch sink in this family lands one
   * `increments/batch=<id>` directory per micro-batch, forever — correct
   * (the merge contracts are additive / union-distributive), but the read
   * path's file listing and union width grow linearly with batch count; at
   * hourly cadence a reader unions thousands of directories within months.
+  * Folds, vacuums and reclusters rewrite the base — and at 100 TB a
+  * serving fleet queries these indexes CONTINUOUSLY, so the rewrite must
+  * never require a read outage.
   *
-  * Protocol — crash-safe and replay-safe by MECHANISM, not convention:
-  *  1. [[recover]] first: converge any interrupted swap (below) so the
-  *     preconditions of this run's renames hold;
-  *  2. snapshot the `increments/batch=<id>` directories present NOW and
-  *     DROP the stale ones — `id <= foldedWatermark(base)` means a prior
-  *     fold already owns that batch's rows (its delete never ran, or a
-  *     retried batch re-landed the directory after the fold) — deleting
-  *     them instead of folding is what makes a rerun single-count;
-  *  3. compute the folded frame from base ∪ fresh snapshot (each family's
-  *     own merge — the very contract its read path already applies, so
-  *     read-before ≡ read-after is an identity, spec-pinned per family);
-  *  4. write it to `base_compact` and stamp the new watermark (max folded
-  *     batch id) INSIDE it as `_folded_watermark` (underscore-prefixed →
-  *     invisible to parquet readers) — the watermark travels with the
-  *     base through the rename, atomically;
-  *  5. swap with CHECKED renames (fail fast on a false return): base →
-  *     base_old, base_compact → base, delete base_old;
-  *  6. delete ONLY the folded snapshot directories (later increments
-  *     stay), and the `increments/` dir itself once empty.
+  * == Versioned roots: snapshot isolation for readers ==
   *
-  * Crash matrix (every state converges under [[recover]] + the watermark):
-  *  - during/after the base_compact write, before the swap → recover
-  *    deletes the (possibly torn) `base_compact`; original intact;
-  *  - between rename(base→base_old) and rename(base_compact→base) → base
-  *    absent + base_old present: recover restores base_old → base and
-  *    deletes base_compact; original intact (the state ADVICE r12 showed
-  *    would otherwise lose the base to a naive rerun);
-  *  - after rename(base_compact→base), before delete(base_old) → both
-  *    present: the NEW base is live (it carries the watermark); recover
-  *    deletes base_old;
-  *  - after the swap, before/mid increment deletes → the folded
-  *    increments survive on disk but carry `id <= watermark`, so readers
-  *    PRUNE them (every family's read path filters the `batch` partition
-  *    column against [[foldedWatermark]] — stale dirs never even open),
-  *    sinks drop a replayed landing ([[isFolded]]), and the next fold
-  *    deletes instead of double-counting them.
+  * Maintenance never mutates or renames a directory a reader could be
+  * holding. Instead each root carries a POINTER:
+  * {{{
+  *   <root>/_pointer/p<NNNN>       one file per committed generation,
+  *                                 lines of "name<TAB>versioned-dir"
+  *   <root>/<name>_v<K>            immutable content generations
+  *   <root>/<name>                 the pre-versioning (legacy) layout —
+  *                                 still resolvable as a fallback
+  * }}}
+  * A reader resolves the pointer ONCE per query ([[view]]): the highest
+  * `p<N>` file names the live directory of every maintained artifact
+  * under the root; names absent from the pointer fall back to the legacy
+  * literal path. Maintenance writes a NEW `<name>_v<K>` directory in
+  * full, then commits by renaming a finished pointer file into place —
+  * one atomic create is the commit point; a crash before it leaves
+  * uncommitted garbage (reaped by the next op's GC), a crash after it
+  * leaves the new generation fully live. Multi-directory flips
+  * (recluster: centroids + postings; retrain: codebook + codes) commit in
+  * ONE pointer file, so the artifact SET is always all-old or all-new.
   *
-  * Run it when no stream is mid-batch (this family's sinks use
-  * AvailableNow triggers, which terminate between runs); the watermark
-  * guard makes even a violated discipline single-count as long as batch
-  * ids are the monotone foreachBatch ids (they are).
+  * == Grace period ==
+  *
+  * GC keeps the directories referenced by the LAST TWO pointers (plus the
+  * legacy dirs until two versioned generations supersede them), and keeps
+  * every increment directory whose batch id exceeds the OLDEST in-grace
+  * base's folded watermark. So a reader that resolved the previous
+  * generation keeps a complete, consistent view — base plus the
+  * increments that base has not folded — throughout the next maintenance
+  * op. The isolation contract: a query is safe so long as it finishes
+  * before TWO subsequent maintenance ops land on the same root (at any
+  * plausible fold cadence, hours of slack). SnapshotIsolationSpec
+  * interleaves reader execution with concurrent fold/recluster/vacuum on
+  * all four index families to pin exactly this.
+  *
+  * == Watermarks (unchanged from the pre-versioned protocol) ==
+  *
+  * The folded-batch watermark is stamped INSIDE each base generation as
+  * `_folded_watermark` (hidden from parquet readers) and travels with the
+  * directory: readers prune `batch <= watermark` increment directories
+  * (partition-column filter — stale dirs never open), sinks drop a
+  * replayed landing ([[isFolded]]), and folds skip batches a prior fold
+  * owns. Because watermark and content commit together, replay is
+  * single-count in every crash state.
+  *
+  * Single-writer contract: maintenance ops (fold / vacuum / promote) on
+  * one root must not run concurrently with each other — run them between
+  * streams (this family's sinks use AvailableNow triggers, which
+  * terminate between runs). Readers need no coordination at all.
+  *
+  * [[recover]] / [[recoverPromote]] remain solely to converge debris of
+  * the PRE-versioning rename-swap protocol (`base_old` / `base_compact` /
+  * `_promote_pending`) left by an upgrade mid-crash; versioned operation
+  * never creates those states.
   */
 private[graft] object Compaction {
 
@@ -63,18 +81,252 @@ private[graft] object Compaction {
     * prefix: parquet readers ignore it as a hidden file. */
   private val WmFile = "_folded_watermark"
 
+  /** Pointer directory under a versioned root. */
+  private val PtrDir = "_pointer"
+
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Max batch id ever folded into `root`'s base; -1 when no fold has
-    * happened (or no base exists). `baseName` is the live directory's
-    * name under `root` ("base" for the streaming artifacts, "bands" for
-    * the dedup signature index). Readers prune `batch <= watermark`
-    * increment directories; sinks drop replayed landings via
-    * [[isFolded]]. */
+  // ─────────────────────────────── pointer machinery ──
+
+  /** An immutable resolution of a maintained root, taken ONCE — every
+    * directory a single query touches must come from the same view, or a
+    * concurrent multi-directory promote could hand it mixed generations
+    * (fresh centroids over stale posting lists). Cheap: one directory
+    * listing of `_pointer/`. */
+  final class RootView private[Compaction] (
+      val spark: SparkSession, val root: String,
+      private[Compaction] val ptrId: Long,
+      private[Compaction] val mapping: Map[String, String]) {
+
+    private val fs = fsFor(spark, root)
+
+    /** The live directory for `name`: the pointer's generation when one
+      * is committed, else the legacy literal `<root>/<name>` if present. */
+    def dir(name: String): Option[String] =
+      mapping.get(name).map(d => s"$root/$d").orElse {
+        val legacy = new Path(s"$root/$name")
+        if (fs.exists(legacy)) Some(legacy.toString) else None
+      }
+
+    /** [[dir]] with the legacy literal as the last resort even when the
+      * directory does not exist — callers that would rather surface
+      * Spark's own path-not-found than an Option. */
+    def dirOrLegacy(name: String): String =
+      dir(name).getOrElse(s"$root/$name")
+
+    /** The folded watermark stamped inside [[dir]](name); -1 when the
+      * directory (or the stamp) is absent. */
+    def watermark(name: String): Long =
+      dir(name).map(d => readWm(fs, new Path(d))).getOrElse(-1L)
+
+    /** Snapshot-isolated union read of this root's artifact: resolved
+      * base generation ∪ increments above ITS watermark. None when
+      * neither exists. `cols` also prunes the increment scan's schema
+      * (partition column `batch` is dropped unless requested). */
+    def read(cols: Seq[String], baseName: String = "base"): Option[DataFrame] = {
+      val basePath = dir(baseName)
+      val wm = basePath.map(d => readWm(fs, new Path(d))).getOrElse(-1L)
+      val incP = new Path(s"$root/increments")
+      val base = basePath.map(p =>
+        spark.read.parquet(p).select(cols.map(col): _*))
+      val inc =
+        if (fs.exists(incP) && incrementIds(spark, root).exists(_ > wm))
+          Some(spark.read.parquet(incP.toString)
+            .filter(col("batch") > wm).select(cols.map(col): _*))
+        else None
+      (base, inc) match {
+        case (Some(b), Some(i)) => Some(b.unionByName(i))
+        case (b, i)             => b.orElse(i)
+      }
+    }
+
+    /** The base generation alone (no increments) — drift monitors compare
+      * it against [[readIncrements]]. */
+    def readBase(cols: Seq[String], baseName: String = "base"): Option[DataFrame] =
+      dir(baseName).map(p => spark.read.parquet(p).select(cols.map(col): _*))
+
+    /** The live increments alone (batch > the base's watermark); None
+      * when none exist. */
+    def readIncrements(cols: Seq[String],
+                       baseName: String = "base"): Option[DataFrame] = {
+      val wm = watermark(baseName)
+      val incP = new Path(s"$root/increments")
+      if (fs.exists(incP) && incrementIds(spark, root).exists(_ > wm))
+        Some(spark.read.parquet(incP.toString)
+          .filter(col("batch") > wm).select(cols.map(col): _*))
+      else None
+    }
+  }
+
+  /** Resolve a root's pointer ONCE. See [[RootView]]. */
+  def view(spark: SparkSession, root: String): RootView = {
+    val (id, m) = latestPointer(fsFor(spark, root), root)
+    new RootView(spark, root, id, m)
+  }
+
+  /** The live directory for `name` under `root` (one-shot [[view]]).
+    * Queries touching a SINGLE directory may use this; anything touching
+    * two maintained directories must share one [[view]]. */
+  def resolve(spark: SparkSession, root: String, name: String): Option[String] =
+    view(spark, root).dir(name)
+
+  /** (pointer id, name→dir map); (0, empty) when the root is unversioned. */
+  private def latestPointer(fs: FileSystem,
+                            root: String): (Long, Map[String, String]) = {
+    val dir = new Path(s"$root/$PtrDir")
+    if (!fs.exists(dir)) return (0L, Map.empty)
+    val ids = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("p") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+    if (ids.isEmpty) return (0L, Map.empty)
+    val id = ids.max
+    val in = fs.open(new Path(dir, ptrName(id)))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    (id, lines.map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v
+    }.toMap)
+  }
+
+  private def ptrName(id: Long): String = f"p$id%012d"
+
+  /** Commit generation `expect` with `updates` merged over the previous
+    * pointer's map. The rename of a fully-written temp file is the atomic
+    * commit point — a reader never observes a torn pointer. `expect` is
+    * the id the caller reserved via [[nextGenId]]; a mismatch means a
+    * concurrent maintenance op violated the single-writer contract. */
+  private def commitPointer(spark: SparkSession, root: String,
+                            updates: Map[String, String],
+                            expect: Long): Unit = {
+    val fs = fsFor(spark, root)
+    val (id, cur) = latestPointer(fs, root)
+    require(id + 1 == expect,
+      s"pointer commit at $root: expected generation $expect but the " +
+        s"latest is $id — a concurrent maintenance op ran (single-writer " +
+        "contract violated)")
+    val dir = new Path(s"$root/$PtrDir")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp_${ptrName(expect)}")
+    val out = fs.create(tmp, true)
+    try out.write((cur ++ updates).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, ptrName(expect))
+    require(!fs.exists(dst) && fs.rename(tmp, dst),
+      s"pointer commit at $root: rename $tmp -> $dst failed")
+  }
+
+  /** The generation id the next commit will use; also the `_v<K>` suffix
+    * of the directories that commit publishes. */
+  private def nextGenId(fs: FileSystem, root: String): Long =
+    latestPointer(fs, root)._1 + 1
+
+  private val VersionedDir = "^(.+)_v(\\d+)$".r
+
+  /** Reap everything outside the grace window: pointer files older than
+    * the previous generation, `_v<K>` directories referenced by neither
+    * kept pointer (including uncommitted crash leftovers), and legacy
+    * directories superseded in BOTH kept pointers. Never touches
+    * `increments/`, `tombstones/`, `meta`, or any live generation. */
+  private def gcVersions(spark: SparkSession, root: String): Unit = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(s"$root/$PtrDir")
+    if (!fs.exists(dir)) return
+    val ids = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("p") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
+    if (ids.isEmpty) return
+    val kept = ids.takeRight(2)
+    ids.dropRight(2).foreach(i => fs.delete(new Path(dir, ptrName(i)), false))
+    def mapOf(id: Long): Map[String, String] = {
+      val in = fs.open(new Path(dir, ptrName(id)))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("\t", 2); k -> v
+        }.toMap
+      finally in.close()
+    }
+    val keptMaps = kept.map(mapOf)
+    val referenced = keptMaps.flatMap(_.values).toSet
+    fs.listStatus(new Path(root)).foreach { st =>
+      st.getPath.getName match {
+        case n @ VersionedDir(_, _) if st.isDirectory && !referenced(n) =>
+          fs.delete(st.getPath, true): Unit
+        case _ => ()
+      }
+    }
+    // a legacy dir is unreachable only once BOTH in-grace pointers map its
+    // name elsewhere (with one pointer, the legacy dir IS the previous
+    // snapshot and an in-flight reader may hold it)
+    if (keptMaps.size == 2) {
+      val (prev, latest) = (keptMaps(0), keptMaps(1))
+      latest.foreach { case (name, vdir) =>
+        if (vdir != name && prev.get(name).exists(_ != name)) {
+          val legacy = new Path(s"$root/$name")
+          if (fs.exists(legacy)) fs.delete(legacy, true): Unit
+        }
+      }
+    }
+  }
+
+  /** Delete the increment directories every in-grace snapshot prunes:
+    * batch id at or below the OLDEST kept generation's watermark. Called
+    * by folds and by [[StreamingAnn]]-style reclusters after their
+    * promote; deferred deletion is what lets a reader of the previous
+    * base keep unioning the increments that base has not folded. */
+  private[graft] def gcIncrements(spark: SparkSession, root: String,
+                                  baseName: String = "base"): Unit = {
+    val fs = fsFor(spark, root)
+    val incDir = new Path(s"$root/increments")
+    if (!fs.exists(incDir)) return
+    val dir = new Path(s"$root/$PtrDir")
+    val ids =
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.startsWith("p") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).sorted.takeRight(2)
+      else Array.empty[Long]
+    def wmOfGen(id: Long): Long = {
+      val in = fs.open(new Path(dir, ptrName(id)))
+      val m = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("\t", 2); k -> v
+        }.toMap
+      finally in.close()
+      m.get(baseName)
+        .map(d => readWm(fs, new Path(s"$root/$d")))
+        .getOrElse(legacyWm)
+    }
+    def legacyWm: Long = {
+      val legacy = new Path(s"$root/$baseName")
+      if (fs.exists(legacy)) readWm(fs, legacy) else -1L
+    }
+    val horizon: Long =
+      if (ids.isEmpty) legacyWm // unversioned root: legacy base (if any)
+                                // is the only snapshot anyone can hold
+      else if (ids.length == 2) math.min(wmOfGen(ids(0)), wmOfGen(ids(1)))
+      else {
+        // one generation: the legacy layout (if any) is still in grace
+        val legacy = new Path(s"$root/$baseName")
+        if (fs.exists(legacy)) math.min(legacyWm, wmOfGen(ids(0)))
+        else wmOfGen(ids(0))
+      }
+    incrementIds(spark, root).filter(_ <= horizon)
+      .foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
+    if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true): Unit
+  }
+
+  // ─────────────────────────────── watermarks & signals ──
+
+  /** Max batch id ever folded into `root`'s live base generation; -1 when
+    * no fold has happened (or no base exists). Readers prune
+    * `batch <= watermark` increment directories; sinks drop replayed
+    * landings via [[isFolded]]. One-shot resolution — reads sharing a
+    * base scan must take the watermark from the same [[view]]. */
   def foldedWatermark(spark: SparkSession, root: String,
                       baseName: String = "base"): Long =
-    readWm(fsFor(spark, root), new Path(s"$root/$baseName"))
+    view(spark, root).watermark(baseName)
 
   /** True iff `batchId`'s rows are already owned by `root`'s base — the
     * sink-side replay guard: a batch retried AFTER its increment was
@@ -99,14 +351,17 @@ private[graft] object Compaction {
     try out.write(wm.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Stamp a freshly-written sibling (e.g. a recluster's `base_new`) with
-    * the watermark it subsumes, BEFORE it is promoted — the stamp travels
-    * with the directory through the rename, atomically. */
+  /** Stamp a freshly-written uncommitted sibling (e.g. a recluster's
+    * `base_new`) with the watermark it subsumes, BEFORE it is promoted —
+    * the stamp travels with the directory through the promote,
+    * atomically. */
   private[graft] def stampWatermark(spark: SparkSession, dir: String,
                                     wm: Long): Unit =
     writeWm(fsFor(spark, dir), new Path(dir), wm)
 
-  /** Batch ids of the increment directories currently under `root`. */
+  /** Batch ids of the increment directories currently under `root`
+    * (live AND folded-but-in-grace — see [[incrementCount]] for the
+    * trigger signal, which counts live only). */
   private[graft] def incrementIds(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsFor(spark, root)
     val incDir = new Path(s"$root/increments")
@@ -116,31 +371,32 @@ private[graft] object Compaction {
       .map(_.stripPrefix("batch=").toLong).toSeq.sorted
   }
 
-  /** Delete the increment directories with id <= `wm` (and the
-    * `increments/` dir itself once empty) — the post-promote cleanup of a
-    * recluster; idempotent, and a crash mid-way is covered by the
-    * read-time watermark prune. */
-  private[graft] def dropFoldedIncrements(spark: SparkSession, root: String,
-                                          wm: Long): Unit = {
-    val fs = fsFor(spark, root)
-    val incDir = new Path(s"$root/increments")
-    if (!fs.exists(incDir)) return
-    incrementIds(spark, root).filter(_ <= wm)
-      .foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
-    if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true): Unit
+  /** Count of LIVE increment directories under `root` (batch id above the
+    * current base's watermark) — the trigger signal every family's
+    * `compact*IfNeeded` gate reads. Folded-but-in-grace directories are
+    * excluded: they are already pruned by every current reader and would
+    * otherwise re-trigger a no-op fold each call. */
+  def incrementCount(spark: SparkSession, root: String,
+                     baseName: String = "base"): Int = {
+    val wm = foldedWatermark(spark, root, baseName)
+    incrementIds(spark, root).count(_ > wm)
   }
+
+  // ─────────────────────────────── maintenance ops ──
 
   /** Checked rename: Hadoop's rename reports failure as a boolean (dest
-    * exists, source missing, FS error) — a silent no-op here is what turns
-    * the later deletes destructive, so fail fast instead. */
+    * exists, source missing, FS error) — fail fast instead. */
   private def mv(fs: FileSystem, src: Path, dst: Path): Unit = {
-    require(!fs.exists(dst), s"compaction swap: $dst already exists")
-    require(fs.rename(src, dst), s"compaction swap: rename $src -> $dst failed")
+    require(!fs.exists(dst), s"maintenance swap: $dst already exists")
+    require(fs.rename(src, dst), s"maintenance swap: rename $src -> $dst failed")
   }
 
-  /** Converge any interrupted swap under `root` to a readable state (the
-    * crash matrix in the object doc). Safe to call any time no fold is
-    * concurrently running; [[foldIncrements]] always calls it on entry. */
+  /** Converge debris of the PRE-versioning rename-swap fold (`base_old` /
+    * `base_compact`) left by an upgrade mid-crash; versioned folds never
+    * create these states. Crash matrix: `base_old` with `base` present →
+    * the new base was live, drop the old copy; `base_old` alone → it IS
+    * the only copy, restore it; any `base_compact` → an unpromoted
+    * write-aside, discard (its increments are intact and refold). */
   private[graft] def recover(spark: SparkSession, root: String,
                              baseName: String = "base"): Unit = {
     val fs = fsFor(spark, root)
@@ -149,79 +405,64 @@ private[graft] object Compaction {
     val compact = new Path(s"$root/${baseName}_compact")
     if (fs.exists(old)) {
       if (fs.exists(base)) {
-        // crash after the promote: the new base is live; drop the old copy
         fs.delete(old, true)
       } else {
-        // crash mid-swap: the original base IS base_old — restore it
         require(fs.rename(old, base),
           s"compaction recover: rename $old -> $base failed")
       }
     }
-    // a write-aside that never got promoted (possibly torn) — discard;
-    // the original base + increments are intact and a rerun refolds them
-    if (fs.exists(compact)) fs.delete(compact, true)
+    if (fs.exists(compact)) fs.delete(compact, true): Unit
   }
 
   /** Fold the current increments of the artifact rooted at `root` into a
-    * new `base`. `fold(basePath, incrementPaths)` builds the merged frame
-    * (basePath is None when no base exists yet); `write(df, outPath)`
-    * materializes it with the family's layout (partitioning etc.).
-    * Returns the number of increment directories folded (0 = nothing to
-    * do, the artifact is untouched — stale replayed increments may still
-    * have been dropped). */
+    * NEW base generation. `fold(basePath, incrementPaths)` builds the
+    * merged frame (basePath is None when no base exists yet);
+    * `write(df, outPath)` materializes it with the family's layout.
+    * The new generation commits via the pointer; the previous generation
+    * and the increments it still needs survive one grace round for
+    * in-flight readers. Returns the number of increment directories
+    * folded (0 = nothing to do — GC may still have reaped out-of-grace
+    * debris). */
   def foldIncrements(spark: SparkSession, root: String,
                      baseName: String = "base")
                     (fold: (Option[String], Seq[String]) => DataFrame)
                     (write: (DataFrame, String) => Unit): Int = {
     val fs = fsFor(spark, root)
-    // a half-finished PROMOTE (recluster family) must converge before the
-    // fold reads base — otherwise the fold snapshots a torn layout
+    // converge any pre-versioning debris before trusting the layout
     recoverPromote(spark, root)
     recover(spark, root, baseName)
-    val incDir = new Path(s"$root/increments")
-    if (!fs.exists(incDir)) return 0
-    val baseP = new Path(s"$root/$baseName")
-    val wm = readWm(fs, baseP)
-    val ids = fs.listStatus(incDir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(n => n.stripPrefix("batch=").toLong).toSeq.sorted
-    // id <= watermark: a prior fold owns these rows (its delete never ran,
-    // or a retried batch re-landed after the fold) — drop, don't refold
-    val (stale, fresh) = ids.partition(_ <= wm)
-    stale.foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
+    val v = view(spark, root)
+    val basePath = v.dir(baseName)
+    val wm = v.watermark(baseName)
+    val fresh = incrementIds(spark, root).filter(_ > wm)
     if (fresh.isEmpty) {
-      if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true)
+      gcVersions(spark, root)
+      gcIncrements(spark, root, baseName)
       return 0
     }
-    val base = if (fs.exists(baseP)) Some(s"$root/$baseName") else None
     // the shared FileStatusCache may hold listings from earlier reads of
     // these paths (a restated increment rewrites its part files under the
-    // same directory) — refresh before folding and again after the swap,
-    // or readers chase deleted part files
+    // same directory) — refresh before folding
     spark.catalog.refreshByPath(root)
-    val compactP = new Path(s"$root/${baseName}_compact")
-    write(fold(base, fresh.map(b => s"$root/increments/batch=$b")),
-      compactP.toString)
-    writeWm(fs, compactP, math.max(wm, fresh.max))
-    val oldP = new Path(s"$root/${baseName}_old")
-    if (fs.exists(baseP)) mv(fs, baseP, oldP)
-    mv(fs, compactP, baseP)
-    fs.delete(oldP, true)
-    fresh.foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
-    // drop the dir itself once empty so exists-checks in the readers stay
-    // cheap and a bare dir can't trip schema inference
-    if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true)
+    val gen = nextGenId(fs, root)
+    val outDir = s"$root/${baseName}_v$gen"
+    fs.delete(new Path(outDir), true) // uncommitted leftover of a crash
+    write(fold(basePath, fresh.map(b => s"$root/increments/batch=$b")),
+      outDir)
+    writeWm(fs, new Path(outDir), math.max(wm, fresh.max))
+    commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
+    gcVersions(spark, root)
+    gcIncrements(spark, root, baseName)
     spark.catalog.refreshByPath(root)
     fresh.size
   }
 
-  /** Rewrite a live base directory through the same write-aside-and-swap
-    * (and the same crash matrix) as [[foldIncrements]], WITHOUT folding
-    * increments — the vacuum arm: physically removing tombstoned rows
-    * when no data increments are pending (a pure deletion campaign would
-    * otherwise never rewrite the base). The folded watermark is preserved
-    * verbatim — a vacuum folds nothing, so it must not change which
-    * increment directories readers prune. No-op when no base exists. */
+  /** Rewrite the live base generation WITHOUT folding increments — the
+    * vacuum arm: physically removing tombstoned rows when no data
+    * increments are pending (a pure deletion campaign would otherwise
+    * never rewrite the base). The folded watermark is preserved verbatim —
+    * a vacuum folds nothing, so it must not change which increment
+    * directories readers prune. No-op when no base exists. */
   private[graft] def rewriteBase(spark: SparkSession, root: String,
                                  baseName: String = "base")
                                 (transform: DataFrame => DataFrame)
@@ -229,92 +470,67 @@ private[graft] object Compaction {
     val fs = fsFor(spark, root)
     recoverPromote(spark, root)
     recover(spark, root, baseName)
-    val baseP = new Path(s"$root/$baseName")
-    if (!fs.exists(baseP)) return
-    val wm = readWm(fs, baseP)
+    val v = view(spark, root)
+    val basePath = v.dir(baseName).getOrElse(return)
+    val wm = v.watermark(baseName)
     spark.catalog.refreshByPath(root)
-    val compactP = new Path(s"$root/${baseName}_compact")
-    write(transform(spark.read.parquet(baseP.toString)), compactP.toString)
-    writeWm(fs, compactP, wm)
-    val oldP = new Path(s"$root/${baseName}_old")
-    mv(fs, baseP, oldP)
-    mv(fs, compactP, baseP)
-    fs.delete(oldP, true)
+    val gen = nextGenId(fs, root)
+    val outDir = s"$root/${baseName}_v$gen"
+    fs.delete(new Path(outDir), true)
+    write(transform(spark.read.parquet(basePath)), outDir)
+    writeWm(fs, new Path(outDir), wm)
+    commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
+    gcVersions(spark, root)
+    gcIncrements(spark, root, baseName)
     spark.catalog.refreshByPath(root)
   }
 
-  /** Count of increment directories currently under `root` — the trigger
-    * signal every family's `compact*IfNeeded` gate reads (the families
-    * each own their fold, so the threshold gate lives with them rather
-    * than as a generic hook here). */
-  def incrementCount(spark: SparkSession, root: String): Int = {
-    val fs = fsFor(spark, root)
-    val incDir = new Path(s"$root/increments")
-    if (!fs.exists(incDir)) 0
-    else fs.listStatus(incDir).count(s =>
-      s.isDirectory && s.getPath.getName.startsWith("batch="))
-  }
-
-  // ── multi-directory promote: the recluster family swaps SEVERAL live
-  //    dirs (centroids + postings) that must flip together — two
-  //    independent rename pairs leave fresh centroids routing over old
-  //    posting lists if a crash lands between them. The commit point here
-  //    is ONE atomic file create; recovery rolls forward past it and
-  //    rolls back before it, so the artifact set is always EITHER all-old
-  //    or all-new after [[recoverPromote]] runs.
-
-  /** Marker carrying the promote's name list (root-relative). */
-  private val PendingFile = "_promote_pending"
-
-  /** Atomically promote `$root/<name>_new` over `$root/<name>` for every
-    * name, with checked renames and a single-file commit point:
-    *  1. [[recoverPromote]] (converge any earlier crash — preconditions);
-    *  2. require every `<name>_new` present;
-    *  3. create `$root/_promote_pending` listing the names — THE commit:
-    *     before it exists a crash discards the `_new` dirs, after it
-    *     exists recovery completes the promote;
-    *  4. per name: rename live → `<name>_old`, `<name>_new` → live;
-    *  5. delete the `_old` dirs, then the marker.
-    * Callers delete subsumed increments AFTER promote returns — a crash
-    * before those deletes is covered by the read-time watermark prune,
-    * never by double-counting. */
+  /** Atomically publish `$root/<name>_new` as the live generation of
+    * every name, in ONE pointer commit — the recluster/retrain flip where
+    * several directories must move together (fresh centroids routing over
+    * old posting lists silently degrades every search). The `_new`
+    * payload dirs are renamed to their `_v<K>` generation names (invisible
+    * to readers — nothing references them yet), then the pointer commit
+    * makes the whole set live at once. A crash before the commit leaves
+    * uncommitted garbage for GC; after it, the new set is fully live.
+    * The previous generation survives one grace round. Callers relying on
+    * increments being subsumed stamp the new base's watermark BEFORE
+    * calling ([[stampWatermark]]) and run [[gcIncrements]] after. */
   private[graft] def promote(spark: SparkSession, root: String,
                              names: Seq[String]): Unit = {
     require(names.nonEmpty, "promote needs at least one directory name")
     val fs = fsFor(spark, root)
-    // converge any interrupted EARLIER promote, but keep the _new dirs —
-    // they are this call's freshly-written payload
+    // converge any PRE-VERSIONING interrupted promote, but keep the _new
+    // dirs — they are this call's freshly-written payload
     recoverPromote(spark, root, dropUncommittedNew = false)
     names.foreach { n =>
       require(fs.exists(new Path(s"$root/${n}_new")),
         s"promote: $root/${n}_new is missing")
     }
-    val marker = new Path(s"$root/$PendingFile")
-    val out = fs.create(marker, false) // atomic create, fail if present
-    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val gen = nextGenId(fs, root)
     names.foreach { n =>
-      val live = new Path(s"$root/$n")
-      if (fs.exists(live)) mv(fs, live, new Path(s"$root/${n}_old"))
-      mv(fs, new Path(s"$root/${n}_new"), live)
+      val dst = new Path(s"$root/${n}_v$gen")
+      fs.delete(dst, true) // uncommitted leftover of a crash
+      mv(fs, new Path(s"$root/${n}_new"), dst)
     }
-    names.foreach(n => fs.delete(new Path(s"$root/${n}_old"), true))
-    fs.delete(marker, false): Unit
+    commitPointer(spark, root,
+      names.map(n => n -> s"${n}_v$gen").toMap, gen)
+    gcVersions(spark, root)
   }
 
-  /** Converge an interrupted [[promote]]: marker present → roll FORWARD
+  /** Converge an interrupted PRE-VERSIONING [[promote]] (the
+    * `_promote_pending` marker protocol): marker present → roll FORWARD
     * (finish each name's swap, delete `_old` dirs and the marker); marker
     * absent → roll BACK (leftover `_new` dirs from a pre-commit crash are
     * discarded unless `dropUncommittedNew` is false — [[promote]] passes
     * false because the `_new` dirs are its own payload). `_old` dirs with
     * no marker are NEVER touched here: `<base>_old` may belong to an
-    * interrupted [[foldIncrements]] swap, whose [[recover]] is the one
-    * that knows whether it is the only live copy. Call on entry of any
-    * maintenance op — and at reader startup after an unclean shutdown —
-    * before trusting the layout. */
+    * interrupted legacy fold swap, whose [[recover]] is the one that
+    * knows whether it is the only live copy. */
   private[graft] def recoverPromote(spark: SparkSession, root: String,
                                     dropUncommittedNew: Boolean = true): Unit = {
     val fs = fsFor(spark, root)
-    val marker = new Path(s"$root/$PendingFile")
+    val marker = new Path(s"$root/_promote_pending")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val names = try scala.io.Source.fromInputStream(in, "UTF-8")

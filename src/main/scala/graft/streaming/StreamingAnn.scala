@@ -47,8 +47,9 @@ object StreamingAnn {
         // guard; the read-time watermark prune is the backstop)
         if (!Compaction.isFolded(batch.sparkSession, indexPath, batchId) &&
             !batch.isEmpty) {
-          val cents = batch.sparkSession.read
-            .parquet(s"$indexPath/centroids")
+          val cents = batch.sparkSession.read.parquet(
+            Compaction.resolve(batch.sparkSession, indexPath, "centroids")
+              .getOrElse(s"$indexPath/centroids"))
           Similarity.ivfAssign(batch, id, emb, cents)
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$indexPath/increments/batch=$batchId")
@@ -86,24 +87,16 @@ object StreamingAnn {
     * tombstoned vectors (broadcast anti-join; cell pruning still reaches
     * the scan, the filter is left-side-only). */
   def readPostings(spark: SparkSession, indexPath: String): DataFrame =
-    Tombstones.applyTo(rawPostings(spark, indexPath), indexPath, "vec_id")
+    Tombstones.applyTo(rawPostings(Compaction.view(spark, indexPath)),
+      indexPath, "vec_id")
 
   /** The physical rows (base ∪ live increments) WITHOUT the tombstone
     * anti-join — the erasure audit's read; everything else goes through
-    * [[readPostings]]. */
-  private def rawPostings(spark: SparkSession,
-                          indexPath: String): DataFrame = {
-    val incPath =
-      new org.apache.hadoop.fs.Path(s"$indexPath/increments")
-    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$indexPath/base")
-      .select("vec_id", "v", "cell")
-    if (fs.exists(incPath))
-      base.unionByName(spark.read.parquet(s"$indexPath/increments")
-        .filter(col("batch") > Compaction.foldedWatermark(spark, indexPath))
-        .select("vec_id", "v", "cell"))
-    else base
-  }
+    * [[readPostings]]. Takes the caller's [[Compaction.RootView]] so a
+    * query touching centroids too stays on one generation. */
+  private def rawPostings(v: Compaction.RootView): DataFrame =
+    v.read(Seq("vec_id", "v", "cell")).getOrElse(
+      sys.error(s"no maintained ANN index under ${v.root}"))
 
   /** ERASURE AUDIT for the maintained ANN index — the
     * [[graft.text.LexIndex.erasureAudit]] readout on the vector axis:
@@ -113,19 +106,24 @@ object StreamingAnn {
   def erasureAudit(spark: SparkSession, indexPath: String): DataFrame = {
     val nTomb = Tombstones.count(spark, indexPath)
     val hidden = Tombstones.hiddenRowCount(
-      rawPostings(spark, indexPath), indexPath, "vec_id")
+      rawPostings(Compaction.view(spark, indexPath)), indexPath, "vec_id")
     import spark.implicits._
     Seq((nTomb, hidden, hidden == 0L))
       .toDF("n_tombstones", "rows_hidden", "physically_clean")
   }
 
   /** Search the maintained index — [[Similarity.annIvfStored]] routing
-    * and ranking over the merged posting lists. */
+    * and ranking over the merged posting lists. Postings and centroids
+    * resolve from ONE [[Compaction.view]] so a concurrent recluster can
+    * never hand the search mixed generations. */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
-             id: String, emb: String, k: Int, nProbe: Int): DataFrame =
-    Similarity.annIvfStored(readPostings(spark, indexPath),
-      spark.read.parquet(s"$indexPath/centroids"), queries, id, emb, k,
+             id: String, emb: String, k: Int, nProbe: Int): DataFrame = {
+    val v = Compaction.view(spark, indexPath)
+    Similarity.annIvfStored(
+      Tombstones.applyTo(rawPostings(v), indexPath, "vec_id"),
+      spark.read.parquet(v.dirOrLegacy("centroids")), queries, id, emb, k,
       nProbe)
+  }
 
   /** RETENTION TRIM of the tombstone set — refuses while the audit shows
     * hidden physical rows (trimming then would resurrect them); after a
@@ -147,12 +145,13 @@ object StreamingAnn {
     * increments RESTART (they encoded assignments under the old quantizer;
     * the rebuild subsumes them). Centroids and base must flip TOGETHER —
     * fresh centroids routing over old posting lists silently degrades
-    * every search — so the swap is [[Compaction.promote]]'s single-marker
-    * commit: checked renames, roll-forward/roll-back recovery, and the
-    * subsumed increments are dropped AFTER the promote under the folded
-    * watermark stamped into the new base (a crash before the deletes is
-    * covered by [[readPostings]]'s read-time prune, never double-counted).
-    * Run between streams. */
+    * every search — so the swap is [[Compaction.promote]]'s single
+    * pointer commit: both `_new` payloads are published as one new
+    * generation, readers holding the previous generation keep a complete
+    * view through the grace period, and the subsumed increments are GC'd
+    * only once no in-grace snapshot can need them (the folded watermark
+    * stamped into the new base is the prune signal either way). Run
+    * between streams. */
   def reclusterIndex(spark: SparkSession, indexPath: String): Unit = {
     Compaction.recoverPromote(spark, indexPath)
     Compaction.recover(spark, indexPath)
@@ -168,7 +167,7 @@ object StreamingAnn {
       .parquet(s"$indexPath/base_new")
     Compaction.stampWatermark(spark, s"$indexPath/base_new", subsumedWm)
     Compaction.promote(spark, indexPath, Seq("centroids", "base"))
-    Compaction.dropFoldedIncrements(spark, indexPath, subsumedWm)
+    Compaction.gcIncrements(spark, indexPath)
     spark.catalog.refreshByPath(indexPath)
   }
 
@@ -181,9 +180,10 @@ object StreamingAnn {
     * postings aggregate. */
   def reclusterIfDrifted(spark: SparkSession, indexPath: String,
                          maxDrift: Double): Boolean = {
+    val v = Compaction.view(spark, indexPath)
     val report = Similarity.ivfCellDrift(
-      readPostings(spark, indexPath),
-      spark.read.parquet(s"$indexPath/centroids"))
+      Tombstones.applyTo(rawPostings(v), indexPath, "vec_id"),
+      spark.read.parquet(v.dirOrLegacy("centroids")))
     val breached = report
       .filter(col("n_members") === 0 || col("drift") > maxDrift)
       .limit(1).count() > 0
@@ -212,7 +212,8 @@ object StreamingAnn {
     // pure deletion campaign: nothing folded, but the base still holds
     // tombstoned rows physically — vacuum it through the same swap
     if (folded == 0 && Tombstones.needsVacuum(
-        spark.read.parquet(s"$indexPath/base"), indexPath, "vec_id"))
+        spark.read.parquet(Compaction.resolve(spark, indexPath, "base")
+          .getOrElse(s"$indexPath/base")), indexPath, "vec_id"))
       Compaction.rewriteBase(spark, indexPath)(df =>
         Tombstones.applyTo(df.select("vec_id", "v", "cell"), indexPath,
           "vec_id"))(writeCells)

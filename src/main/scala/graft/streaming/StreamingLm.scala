@@ -55,25 +55,13 @@ object StreamingLm {
     * [[graft.text.NgramLm.kneserNeyMergeCounts]] over all parts, so
     * scoring from it ≡ training from scratch on everything ingested
     * (StreamingLmSpec pins the equality). */
-  def readMergedCounts(spark: SparkSession, countsPath: String): DataFrame = {
-    val basePath = new org.apache.hadoop.fs.Path(s"$countsPath/base")
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cols = Seq("v", "w", "cvw")
-    val parts =
-      (if (fs.exists(basePath))
-        Seq(spark.read.parquet(s"$countsPath/base").select(cols.map(col): _*))
-      else Nil) ++
-        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$countsPath/increments")))
-          // prune increments a crashed fold already owns (batch is the
-          // partition column — stale dirs never open)
-          Seq(spark.read.parquet(s"$countsPath/increments")
-            .filter(col("batch") > Compaction.foldedWatermark(spark, countsPath))
-            .select(cols.map(col): _*))
-        else Nil)
-    require(parts.nonEmpty, s"no LM counts under $countsPath")
-    parts.reduce(_.unionByName(_))
+  def readMergedCounts(spark: SparkSession, countsPath: String): DataFrame =
+    // snapshot-isolated: one view resolves the base generation and its
+    // watermark together; folded-but-in-grace increments prune on the
+    // batch partition column
+    Compaction.view(spark, countsPath).read(Seq("v", "w", "cvw"))
+      .getOrElse(sys.error(s"no LM counts under $countsPath"))
       .groupBy("v", "w").agg(sum("cvw").as("cvw"))
-  }
 
   /** Fold the count increments into a new base — integer count addition
     * ([[graft.text.NgramLm.kneserNeyMergeCounts]]' contract) is the

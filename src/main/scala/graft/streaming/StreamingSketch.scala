@@ -54,25 +54,13 @@ object StreamingSketch {
   /** The maintained sketch as one (j, bucket, c) frame: base (if present)
     * plus every increment, merged by counter sum. Query it with
     * [[graft.ops.Stats.cmLookup]]. */
-  def readMergedSketch(spark: SparkSession, sketchPath: String): DataFrame = {
-    val basePath = new org.apache.hadoop.fs.Path(s"$sketchPath/base")
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cols = Seq("j", "bucket", "c")
-    val parts =
-      (if (fs.exists(basePath))
-        Seq(spark.read.parquet(s"$sketchPath/base").select(cols.map(col): _*))
-      else Nil) ++
-        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
-          // prune increments a crashed fold already owns (batch is the
-          // partition column — stale dirs never open)
-          Seq(spark.read.parquet(s"$sketchPath/increments")
-            .filter(col("batch") > Compaction.foldedWatermark(spark, sketchPath))
-            .select(cols.map(col): _*))
-        else Nil)
-    require(parts.nonEmpty, s"no sketch state under $sketchPath")
-    parts.reduce(_.unionByName(_))
+  def readMergedSketch(spark: SparkSession, sketchPath: String): DataFrame =
+    // snapshot-isolated: one view resolves the base generation and its
+    // watermark together; folded-but-in-grace increments prune on the
+    // batch partition column
+    Compaction.view(spark, sketchPath).read(Seq("j", "bucket", "c"))
+      .getOrElse(sys.error(s"no sketch state under $sketchPath"))
       .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
-  }
 
   /** Fold the count-min increments into a new base — counter addition IS
     * the read-path merge, so [[readMergedSketch]] before ≡ after
@@ -123,22 +111,10 @@ object StreamingSketch {
     * (if present) plus every increment, merged by counter sum. Read
     * quantiles from it with [[graft.ops.Stats.ddSketchRead]]. */
   def readMergedDdSketch(spark: SparkSession, sketchPath: String,
-                         keys: Seq[String]): DataFrame = {
-    val basePath = new org.apache.hadoop.fs.Path(s"$sketchPath/base")
-    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cols = keys :+ "_b" :+ "_c"
-    val parts =
-      (if (fs.exists(basePath))
-        Seq(spark.read.parquet(s"$sketchPath/base").select(cols.map(col): _*))
-      else Nil) ++
-        (if (fs.exists(new org.apache.hadoop.fs.Path(s"$sketchPath/increments")))
-          Seq(spark.read.parquet(s"$sketchPath/increments")
-            .filter(col("batch") > Compaction.foldedWatermark(spark, sketchPath))
-            .select(cols.map(col): _*))
-        else Nil)
-    require(parts.nonEmpty, s"no sketch state under $sketchPath")
-    Stats.ddSketchMerge(parts, keys)
-  }
+                         keys: Seq[String]): DataFrame =
+    Stats.ddSketchMerge(Seq(
+      Compaction.view(spark, sketchPath).read(keys :+ "_b" :+ "_c")
+        .getOrElse(sys.error(s"no sketch state under $sketchPath"))), keys)
 
   /** Fold the DDSketch increments into a new base — bucket-count addition
     * ([[graft.ops.Stats.ddSketchMerge]]) is the read-path merge, so

@@ -78,21 +78,11 @@ private[graft] object Tombstones {
   }
 
   /** The live tombstone set (tid), base ∪ unfolded increments — None when
-    * no delete has ever landed (readers skip the anti-join entirely). */
-  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val fs = fsFor(spark, root(dir))
-    val baseP = new Path(s"${root(dir)}/base")
-    val incP = new Path(s"${root(dir)}/increments")
-    val parts =
-      (if (fs.exists(baseP)) Seq(spark.read.parquet(baseP.toString)) else Nil) ++
-      (if (fs.exists(incP))
-        Seq(spark.read.parquet(incP.toString)
-          .filter(col("batch") > Compaction.foldedWatermark(spark, root(dir)))
-          .select("tid"))
-      else Nil)
-    if (parts.isEmpty) None
-    else Some(parts.map(_.select("tid")).reduce(_.unionByName(_)).distinct())
-  }
+    * no delete has ever landed (readers skip the anti-join entirely).
+    * Snapshot-isolated: one [[Compaction.view]] resolves the folded base
+    * generation and its watermark together. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    Compaction.view(spark, root(dir)).read(Seq("tid")).map(_.distinct())
 
   /** Apply the live tombstones to `df`: broadcast anti-join on `idCol`.
     * No tombstones → `df` untouched (no join node in the plan at all). */

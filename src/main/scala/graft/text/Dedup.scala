@@ -324,7 +324,8 @@ object Dedup {
             .reduce(_.unionByName(_)), path, bandsIdCol(baseDf))
     } (writeBands)
     if (folded == 0) {
-      val baseDf = spark.read.parquet(s"$path/bands")
+      val baseDf = spark.read.parquet(
+        Compaction.resolve(spark, path, "bands").getOrElse(s"$path/bands"))
       if (Tombstones.needsVacuum(baseDf, path, bandsIdCol(baseDf)))
         Compaction.rewriteBase(spark, path, "bands")(df =>
           Tombstones.applyTo(df, path, bandsIdCol(df))
@@ -333,11 +334,12 @@ object Dedup {
     folded
   }
 
-  /** Compaction trigger: fold iff more than `maxIncrements` increment
-    * directories have accumulated. */
+  /** Compaction trigger: fold iff more than `maxIncrements` LIVE
+    * increment directories have accumulated. */
   def compactSignatureIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
                                     path: String, maxIncrements: Int): Int =
-    if (graft.streaming.Compaction.incrementCount(spark, path) > maxIncrements ||
+    if (graft.streaming.Compaction.incrementCount(spark, path, "bands") >
+          maxIncrements ||
         graft.streaming.Tombstones.incrementCount(spark, path) > maxIncrements)
       compactSignatureIndex(spark, path)
     else 0
@@ -361,20 +363,16 @@ object Dedup {
   }
 
   /** The physical band rows (base ∪ live increments) WITHOUT the
-    * tombstone anti-join — the erasure audit's read. */
+    * tombstone anti-join — the erasure audit's read. Snapshot-isolated:
+    * one view resolves the bands generation and its watermark together
+    * (the id column's name is caller-chosen, so the base's own schema
+    * drives the column list). */
   private def rawBands(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/bands")
-    val incDir = new org.apache.hadoop.fs.Path(s"$path/increments")
-    val fs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(incDir))
-      // prune increments a crashed fold already owns (batch is the
-      // partition column — stale dirs never open)
-      base.unionByName(spark.read.parquet(s"$path/increments")
-        .filter(col("batch") >
-          graft.streaming.Compaction.foldedWatermark(spark, path, "bands"))
-        .drop("batch").select(base.columns.map(col): _*))
-    else base
+    val v = graft.streaming.Compaction.view(spark, path)
+    val base = v.readBase(Seq("*"), "bands").getOrElse(
+      sys.error(s"no bands base under $path"))
+    v.read(base.columns.toSeq, "bands").get
   }
 
   /** ERASURE AUDIT for the stored signature index

@@ -132,19 +132,12 @@ object LexIndex {
     graft.streaming.Tombstones.append(docIds, dir, batchId)
 
   private def unionParts(spark: SparkSession, root: String,
-                         cols: Seq[String]): DataFrame = {
-    val incPath = new org.apache.hadoop.fs.Path(s"$root/increments")
-    val fs = incPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(s"$root/base").select(cols.map(col): _*)
-    if (fs.exists(incPath))
-      // prune increments a crashed fold already owns (batch is the
-      // partition column — stale dirs never open)
-      base.unionByName(spark.read.parquet(s"$root/increments")
-        .filter(col("batch") >
-          graft.streaming.Compaction.foldedWatermark(spark, root))
-        .select(cols.map(col): _*))
-    else base
-  }
+                         cols: Seq[String]): DataFrame =
+    // snapshot-isolated: one view resolves the base generation and its
+    // watermark together, and folded-but-in-grace increments are pruned
+    // by the batch partition column (stale dirs never open)
+    graft.streaming.Compaction.view(spark, root).read(cols).getOrElse(
+      sys.error(s"no maintained index root at $root"))
 
   /** The maintained postings (term, doc_id, tf, bucket): base + every
     * increment, minus tombstoned docs (broadcast anti-join — left-side
@@ -258,17 +251,14 @@ object LexIndex {
     // (a membership join on the base doc set would need to broadcast or
     // shuffle billions of ids at scale; a directory read needs neither)
     def side(root: String, cols: Seq[String], base: Boolean): DataFrame = {
-      val incP = new org.apache.hadoop.fs.Path(s"$root/increments")
-      val fs = incP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = Compaction.view(spark, root)
       val df =
-        if (base) spark.read.parquet(s"$root/base").select(cols.map(col): _*)
-        else if (fs.exists(incP))
-          spark.read.parquet(incP.toString)
-            .filter(col("batch") > Compaction.foldedWatermark(spark, root))
-            .select(cols.map(col): _*)
-        else // no increments yet: empty frame, schema from the base
-          spark.read.parquet(s"$root/base").select(cols.map(col): _*)
-            .limit(0)
+        if (base) v.readBase(cols).getOrElse(
+          sys.error(s"no maintained index root at $root"))
+        else v.readIncrements(cols).getOrElse(
+          // no increments yet: empty frame, schema from the base
+          v.readBase(cols).map(_.limit(0)).getOrElse(
+            sys.error(s"no maintained index root at $root")))
       Tombstones.applyTo(df, dir, "doc_id")
     }
     val pCols = Seq("term", "doc_id", "tf")
@@ -341,8 +331,10 @@ object LexIndex {
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
     // pure deletion campaign: nothing folded but tombstoned rows remain
     // physically in a base — vacuum each root through the same swap
+    import graft.streaming.Compaction.resolve
     if (p == 0 && Tombstones.needsVacuum(
-        spark.read.parquet(s"$dir/postings/base"), dir, "doc_id"))
+        spark.read.parquet(resolve(spark, s"$dir/postings", "base")
+          .getOrElse(s"$dir/postings/base")), dir, "doc_id"))
       graft.streaming.Compaction.rewriteBase(spark, s"$dir/postings")(df =>
         Tombstones.applyTo(df.select("term", "doc_id", "tf", "bucket"),
           dir, "doc_id")) { (df, out) =>
@@ -350,7 +342,8 @@ object LexIndex {
           .write.mode("overwrite").partitionBy("bucket").parquet(out)
       }
     if (d == 0 && Tombstones.needsVacuum(
-        spark.read.parquet(s"$dir/doclens/base"), dir, "doc_id"))
+        spark.read.parquet(resolve(spark, s"$dir/doclens", "base")
+          .getOrElse(s"$dir/doclens/base")), dir, "doc_id"))
       graft.streaming.Compaction.rewriteBase(spark, s"$dir/doclens")(df =>
         Tombstones.applyTo(df.select("doc_id", "dl"), dir, "doc_id")) {
         (df, out) => df.write.mode("overwrite").parquet(out)

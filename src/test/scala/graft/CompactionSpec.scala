@@ -41,30 +41,45 @@ class CompactionSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$sk/increments/batch=0")))
     assert(readTotal(sk) == 13)
 
-    // trigger above threshold: folds, stamps the watermark
+    // trigger above threshold: folds, stamps the watermark. The folded
+    // increments are RETAINED (grace): the legacy base is still an
+    // in-grace snapshot with watermark -1, and a reader holding it needs
+    // them — readers of the new generation prune them by partition column
     assert(StreamingSketch.compactSketchIfNeeded(spark, sk, 1) == 2)
-    assert(!fs.exists(new Path(s"$sk/increments")))
+    assert(fs.exists(new Path(s"$sk/increments/batch=0")),
+      "folded increments stay on disk while an in-grace snapshot needs them")
     assert(readTotal(sk) == 13)
     assert(Compaction.foldedWatermark(spark, sk) == 1)
     assert(Compaction.isFolded(spark, sk, 1) &&
       !Compaction.isFolded(spark, sk, 2))
+    // ... and the trigger no longer counts them (no fold-loop)
+    assert(Compaction.incrementCount(spark, sk) == 0)
 
     // a replayed batch re-lands its folded increment: the reader must
-    // prune it (no double count) and the next fold must DROP it unfolded
+    // prune it (no double count) and the next fold must not refold it
     writeCounter(s"$sk/increments/batch=1", 2)
     assert(readTotal(sk) == 13,
       "read-time watermark prune must ignore a replayed folded increment")
     assert(StreamingSketch.compactSketch(spark, sk) == 0,
-      "a stale increment must be dropped, not refolded")
-    assert(!fs.exists(new Path(s"$sk/increments")))
+      "a stale increment must be dropped or retained-pruned, not refolded")
     assert(readTotal(sk) == 13)
 
-    // later batches keep flowing: ids above the watermark fold normally
+    // later batches keep flowing: ids above the watermark fold normally;
+    // committing the SECOND versioned generation pushes the legacy layout
+    // out of grace, so the first fold's increments (batch ids <= the
+    // oldest surviving generation's watermark) are reaped now
     writeCounter(s"$sk/increments/batch=2", 5)
     assert(readTotal(sk) == 18)
     assert(StreamingSketch.compactSketch(spark, sk) == 1)
     assert(readTotal(sk) == 18)
     assert(Compaction.foldedWatermark(spark, sk) == 2)
+    assert(!fs.exists(new Path(s"$sk/increments/batch=0")) &&
+      !fs.exists(new Path(s"$sk/increments/batch=1")),
+      "increments below every in-grace watermark are reaped")
+    assert(fs.exists(new Path(s"$sk/increments/batch=2")),
+      "the just-folded increment survives its own grace round")
+    assert(!fs.exists(new Path(s"$sk/base")),
+      "the legacy base is GC'd once two versioned generations supersede it")
   }
 
   test("foldIncrements: every interrupted-swap state converges — torn " +
@@ -105,13 +120,21 @@ class CompactionSpec extends SparkSpec {
     writeCounter(s"$c/base", 10)
     writeCounter(s"$c/increments/batch=0", 4)
     assert(StreamingSketch.compactSketch(spark, c) == 1) // base = 14, wm = 0
-    writeCounter(s"$c/base_old", 10)                     // leftover old copy
-    writeCounter(s"$c/increments/batch=0", 4)            // undeleted increment
-    assert(readTotal(c) == 14, "watermark prune covers the undeleted increment")
+    writeCounter(s"$c/base_old", 10)                     // legacy-debris copy
+    writeCounter(s"$c/increments/batch=0", 4)            // re-landed increment
+    assert(readTotal(c) == 14, "watermark prune covers the re-landed increment")
     assert(StreamingSketch.compactSketch(spark, c) == 0)
     assert(readTotal(c) == 14)
-    assert(!fs.exists(new Path(s"$c/base_old")) &&
-      !fs.exists(new Path(s"$c/increments")))
+    assert(!fs.exists(new Path(s"$c/base_old")),
+      "legacy swap debris is converged on the next maintenance entry")
+    // the re-landed folded increment is retained while the legacy base is
+    // in grace, and reaped once a second generation pushes it out
+    assert(fs.exists(new Path(s"$c/increments/batch=0")))
+    writeCounter(s"$c/increments/batch=1", 3)
+    assert(StreamingSketch.compactSketch(spark, c) == 1)
+    assert(readTotal(c) == 17)
+    assert(!fs.exists(new Path(s"$c/increments/batch=0")),
+      "out-of-grace increments are reaped by the next fold")
   }
 
   test("promote: multi-directory swap is all-or-nothing across crashes") {
@@ -122,14 +145,40 @@ class CompactionSpec extends SparkSpec {
     def tagOf(root: String, name: String): String =
       fs.listStatus(new Path(s"$root/$name")).map(_.getPath.getName).min
 
-    // clean promote: both flip, no debris
+    def resolvedTag(root: String, name: String): String = {
+      val d = Compaction.resolve(spark, root, name).get
+      fs.listStatus(new Path(d)).map(_.getPath.getName).min
+    }
+
+    // clean promote: both names flip TOGETHER in one pointer commit; the
+    // superseded legacy dirs stay readable for one grace round
     val p = tmp("graft_promote")
     mk(p, "x", "vOLD"); mk(p, "y", "vOLD")
     mk(p, "x_new", "vNEW"); mk(p, "y_new", "vNEW")
     Compaction.promote(spark, p, Seq("x", "y"))
-    assert(tagOf(p, "x") == "vNEW" && tagOf(p, "y") == "vNEW")
-    assert(fs.listStatus(new Path(p)).map(_.getPath.getName).toSet ==
-      Set("x", "y"), "no marker/_old/_new debris may survive a promote")
+    assert(resolvedTag(p, "x") == "vNEW" && resolvedTag(p, "y") == "vNEW")
+    assert(!fs.exists(new Path(s"$p/x_new")) &&
+      !fs.exists(new Path(s"$p/_promote_pending")),
+      "no payload/marker debris may survive a promote")
+    assert(tagOf(p, "x") == "vOLD",
+      "the previous generation stays readable through the grace period")
+    // a second promote pushes the legacy generation out of grace; the
+    // FIRST versioned generation is still referenced by the previous
+    // pointer, so it survives this round
+    val gen1x = Compaction.resolve(spark, p, "x").get
+    mk(p, "x_new", "vNEW2"); mk(p, "y_new", "vNEW2")
+    Compaction.promote(spark, p, Seq("x", "y"))
+    assert(resolvedTag(p, "x") == "vNEW2" && resolvedTag(p, "y") == "vNEW2")
+    assert(!fs.exists(new Path(s"$p/x")) && !fs.exists(new Path(s"$p/y")),
+      "out-of-grace legacy dirs are reaped")
+    assert(fs.exists(new Path(gen1x)),
+      "the previous versioned generation stays in grace")
+    // a third promote pushes generation 1 out of grace
+    mk(p, "x_new", "vNEW3"); mk(p, "y_new", "vNEW3")
+    Compaction.promote(spark, p, Seq("x", "y"))
+    assert(resolvedTag(p, "x") == "vNEW3")
+    assert(!fs.exists(new Path(gen1x)),
+      "out-of-grace versioned generations are reaped")
 
     // pre-commit crash: _new dirs exist, no marker — recovery ROLLS BACK
     val q = tmp("graft_promote_pre")
@@ -174,10 +223,15 @@ class CompactionSpec extends SparkSpec {
       s"$lex/idx", 0L)
     val (pf, df) = LexIndex.compactIndex(spark, s"$lex/idx")
     assert(pf == 1 && df == 1)
+    def listing(d: String): Set[String] =
+      if (!fs.exists(new Path(d))) Set.empty
+      else fs.listStatus(new Path(d)).map(_.getPath.getName).toSet
+    val before = (listing(s"$lex/idx/postings/increments"),
+      listing(s"$lex/idx/doclens/increments"))
     LexIndex.appendBatch(docs.filter(col("doc_id") === 2), "doc_id", "text",
       s"$lex/idx", 0L)
-    assert(!fs.exists(new Path(s"$lex/idx/postings/increments")) &&
-      !fs.exists(new Path(s"$lex/idx/doclens/increments")),
+    assert((listing(s"$lex/idx/postings/increments"),
+      listing(s"$lex/idx/doclens/increments")) == before,
       "a replayed folded batch must not re-land its increments")
     assert(LexIndex.readDocLens(spark, s"$lex/idx").count() == 2)
 
@@ -193,9 +247,12 @@ class CompactionSpec extends SparkSpec {
     val n = bandCount(s"$ded/idx")
     assert(Dedup.compactSignatureIndex(spark, s"$ded/idx") == 1)
     assert(bandCount(s"$ded/idx") == n)
+    val beforeBands = fs.listStatus(new Path(s"$ded/idx/increments"))
+      .map(_.getPath.getName).toSet
     Dedup.appendSignatureIndex(sig.filter(col("doc_id") === 2), "doc_id",
       s"$ded/idx", 0L)
-    assert(!fs.exists(new Path(s"$ded/idx/increments")),
+    assert(fs.listStatus(new Path(s"$ded/idx/increments"))
+      .map(_.getPath.getName).toSet == beforeBands,
       "a replayed folded batch must not re-land its band rows")
     assert(bandCount(s"$ded/idx") == n)
     // the trigger: no-op below, folds above

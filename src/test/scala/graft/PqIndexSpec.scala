@@ -50,12 +50,20 @@ class PqIndexSpec extends SparkSpec {
     assert(searchSet() == before, "the fold must not move a result")
 
     // a replayed folded batch must neither re-land nor double-count
-    PqIndex.appendBatch(e.filter(col("vec_id") % 3 === 0), "vec_id",
-      "embedding", s"$dir/idx", 0L)
+    // (the folded increment dir itself stays on disk for one grace round
+    // — the replay guard is that nothing NEW lands and reads are stable)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/idx/codes/increments")))
+    def incListing() = {
+      val ip = new org.apache.hadoop.fs.Path(s"$dir/idx/codes/increments")
+      if (!fs.exists(ip)) Set.empty[String]
+      else fs.listStatus(ip).map(_.getPath.getName).toSet
+    }
+    val beforeListing = incListing()
+    PqIndex.appendBatch(e.filter(col("vec_id") % 3 === 0), "vec_id",
+      "embedding", s"$dir/idx", 0L)
+    assert(incListing() == beforeListing,
+      "a replayed folded batch must not re-land its increment")
     assert(codeMap(PqIndex.readCodes(spark, s"$dir/idx")) == scratch)
   }
 
@@ -115,10 +123,15 @@ class PqIndexSpec extends SparkSpec {
       "vec_id", "embedding", m = 4, ksub = 4, maxL1 = 10.0))
     assert(PqIndex.retrainIndexIfDrifted(spark, s"$d2/idx", all,
       "vec_id", "embedding", m = 4, ksub = 4, maxL1 = stormy / 2))
+    // the retrain must subsume the old-codebook increments: the LIVE
+    // codes tree (the promoted generation) starts with no increments at
+    // all — the pre-retrain tree keeps its own for its grace round
+    val liveCodes = graft.streaming.Compaction
+      .resolve(spark, s"$d2/idx", "codes").get
     val fs = new org.apache.hadoop.fs.Path(d2)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$d2/idx/codes/increments")),
+      new org.apache.hadoop.fs.Path(s"$liveCodes/increments")),
       "the retrain must subsume the old-codebook increments")
     val fresh = Similarity.pqTrain(all.select(col("vec_id"), col("embedding")),
       "embedding", m = 4, ksub = 4)

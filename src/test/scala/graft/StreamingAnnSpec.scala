@@ -78,8 +78,8 @@ class StreamingAnnSpec extends SparkSpec {
       "both increments must fold")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/increments")),
-      "folded increment tree must be gone")
+    assert(graft.streaming.Compaction.incrementCount(spark, idx) == 0,
+      "no LIVE increment may remain (the folded dirs stay one grace round)")
     val postRows = StreamingAnn.readPostings(spark, idx)
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -123,8 +123,8 @@ class StreamingAnnSpec extends SparkSpec {
 
     // a certain threshold: breach, rebuild, increments restart
     assert(StreamingAnn.reclusterIfDrifted(spark, idx, maxDrift = -1.0))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/increments")),
-      "a rebuild must restart the increments")
+    assert(graft.streaming.Compaction.incrementCount(spark, idx) == 0,
+      "a rebuild must subsume the increments (live count restarts at 0)")
     assert(StreamingAnn.readPostings(spark, idx).count() == e.count())
     assert(StreamingAnn.search(spark, idx, q, "vec_id", "embedding",
       k = 3, nProbe = 2).collect().toSet == expected,

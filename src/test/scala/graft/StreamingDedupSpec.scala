@@ -83,7 +83,9 @@ class StreamingDedupSpec extends SparkSpec {
     Dedup.compactSignatureIndex(spark, idx)
     val compacted = Dedup.readSignatureIndex(spark, idx)
     assert(compacted.bands.count() == before)
-    assert(!new java.io.File(s"$idx/increments").exists())
+    assert(graft.streaming.Compaction
+      .incrementCount(spark, idx, "bands") == 0,
+      "no LIVE increment may remain (folded dirs stay one grace round)")
     val probeAfter = pairsOf(Dedup.incrementalCandidatesIndexed(compacted, sigB, "doc_id"))
     assert(probeBefore == probeAfter)
   }

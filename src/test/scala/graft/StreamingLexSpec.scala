@@ -65,10 +65,10 @@ class StreamingLexSpec extends SparkSpec {
     assert(pFolded == 2 && dFolded == 2, s"folded ($pFolded, $dFolded)")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$idx/postings/increments")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$idx/doclens/increments")))
+    assert(graft.streaming.Compaction
+      .incrementCount(spark, s"$idx/postings") == 0)
+    assert(graft.streaming.Compaction
+      .incrementCount(spark, s"$idx/doclens") == 0)
     assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) == scratch,
       "compaction must not change a score")
     assert(LexIndex.compactIndex(spark, idx) == ((0, 0)))

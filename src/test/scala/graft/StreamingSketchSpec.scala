@@ -63,11 +63,10 @@ class StreamingSketchSpec extends SparkSpec {
       "restated increment must restate, not duplicate")
 
     // compaction folds the increments into the base counter-for-counter:
-    // identical merged sketch, identical lookups, empty increment tree
+    // identical merged sketch, identical lookups, no live increments
     assert(StreamingSketch.compactSketch(spark, sk) == 2)
-    assert(!new org.apache.hadoop.fs.Path(s"$sk/increments")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(s"$sk/increments")))
+    assert(graft.streaming.Compaction.incrementCount(spark, sk) == 0,
+      "no LIVE increment may remain (folded dirs stay one grace round)")
     assert(cset(StreamingSketch.readMergedSketch(spark, sk)) == before,
       "compaction must not change a counter")
     assert(StreamingSketch.compactSketch(spark, sk) == 0)

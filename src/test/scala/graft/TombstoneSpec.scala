@@ -1,7 +1,7 @@
 package graft
 
 import graft.sim.Similarity
-import graft.streaming.{StreamingAnn, Tombstones}
+import graft.streaming.{Compaction, StreamingAnn, Tombstones}
 import graft.text.{LexIndex, Retrieval}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,12 @@ class TombstoneSpec extends SparkSpec {
 
   private def bmSet(df: org.apache.spark.sql.DataFrame) = df.collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** The LIVE physical directory of a maintained name — post-maintenance
+    * the legacy literal path may still exist in grace with stale bytes,
+    * so physical-erasure assertions must resolve the pointer. */
+  private def live(root: String, name: String): String =
+    Compaction.resolve(spark, root, name).get
 
   test("lex index: delete is logically immediate, physically applied at " +
        "compaction, and terminal against re-ingest") {
@@ -42,9 +48,9 @@ class TombstoneSpec extends SparkSpec {
     LexIndex.compactIndex(spark, idx)
     assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect)
     val delIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(spark.read.parquet(s"$idx/postings/base")
+    assert(spark.read.parquet(live(s"$idx/postings", "base"))
       .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
-    assert(spark.read.parquet(s"$idx/doclens/base")
+    assert(spark.read.parquet(live(s"$idx/doclens", "base"))
       .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
 
     // terminal: re-ingesting deleted docs is suppressed — reads unchanged,
@@ -91,9 +97,9 @@ class TombstoneSpec extends SparkSpec {
     val delIds = docs.filter(col("doc_id") % 5 === 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // ...yet the base bytes are clean
-    assert(spark.read.parquet(s"$idx/postings/base")
+    assert(spark.read.parquet(live(s"$idx/postings", "base"))
       .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
-    assert(spark.read.parquet(s"$idx/doclens/base")
+    assert(spark.read.parquet(live(s"$idx/doclens", "base"))
       .filter(col("doc_id").isInCollection(delIds)).head(1).isEmpty)
     assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) ===
       bmSet(Retrieval.bm25(docs.filter(col("doc_id") % 5 =!= 1),
@@ -148,7 +154,7 @@ class TombstoneSpec extends SparkSpec {
     assert(StreamingAnn.compactIndex(spark, idx) === 1)
     assert(searchSet() === expect)
     val del = delIds.collect().map(_.getLong(0)).toSet
-    assert(spark.read.parquet(s"$idx/base")
+    assert(spark.read.parquet(live(idx, "base"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
     // audit after the fold: clean — the erasure-attestation state
     val post = StreamingAnn.erasureAudit(spark, idx).head()
@@ -171,9 +177,9 @@ class TombstoneSpec extends SparkSpec {
     // recluster: fresh centroids are means over LIVE members only, and
     // the rebuilt base holds no deleted vector
     StreamingAnn.reclusterIndex(spark, idx)
-    assert(spark.read.parquet(s"$idx/base")
+    assert(spark.read.parquet(live(idx, "base"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
-    val freshCents = spark.read.parquet(s"$idx/centroids")
+    val freshCents = spark.read.parquet(live(idx, "centroids"))
     val expectFresh = Similarity.ivfCentroids(
       Similarity.ivfAssign(e.filter(col("vec_id") % 7 =!= 3), "vec_id",
         "embedding", cents).select(col("vec_id"), col("cell"), col("v")),
@@ -191,7 +197,7 @@ class TombstoneSpec extends SparkSpec {
     assert(StreamingAnn.compactIndex(spark, idx) === 0)
     val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(spark.read.parquet(s"$idx/base")
+    assert(spark.read.parquet(live(idx, "base"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
     // a second compaction is a no-op (nothing left to vacuum)
     assert(StreamingAnn.compactIndex(spark, idx) === 0)
@@ -222,7 +228,7 @@ class TombstoneSpec extends SparkSpec {
     Similarity.reclusterIvfIndex(spark, idx)
     val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(spark.read.parquet(s"$idx/postings")
+    assert(spark.read.parquet(live(idx, "postings"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
   }
 
@@ -258,13 +264,14 @@ class TombstoneSpec extends SparkSpec {
       pqPost.toString)
     val del = e.filter(col("vec_id") % 7 === 3).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(spark.read.parquet(s"$idx/codes/base")
+    assert(spark.read.parquet(live(live(idx, "codes"), "base"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
 
-    // retrain: codebook and codes rebuilt from live vectors only
+    // retrain: codebook and codes rebuilt from live vectors only (the
+    // codes TREE is the promoted name; the base within it is legacy)
     graft.sim.PqIndex.retrainIndex(spark, idx, e, "vec_id", "embedding",
       m = 8, ksub = 16, maxIter = 2)
-    assert(spark.read.parquet(s"$idx/codes/base")
+    assert(spark.read.parquet(live(live(idx, "codes"), "base"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
 
     // IVF-PQ layout: logical at search, physical via vacuum
@@ -282,7 +289,7 @@ class TombstoneSpec extends SparkSpec {
     val ivfPost = graft.sim.PqIndex.erasureAudit(spark, ivf).head()
     assert(ivfPost.getLong(2) === 0L && ivfPost.getBoolean(3),
       ivfPost.toString)
-    assert(spark.read.parquet(s"$ivf/postings")
+    assert(spark.read.parquet(live(ivf, "postings"))
       .filter(col("vec_id").isInCollection(del)).head(1).isEmpty)
     assert(graft.sim.PqIndex.searchIvfPq(spark, ivf, q, "vec_id",
       "embedding", k = 5, nProbe = 2).collect().toSet === got.toSet)
@@ -313,7 +320,7 @@ class TombstoneSpec extends SparkSpec {
     val sigPost = Dedup.erasureAudit(spark, idx).head()
     assert(sigPost.getLong(1) === 0L && sigPost.getBoolean(2),
       sigPost.toString)
-    val raw = spark.read.parquet(s"$idx/bands")
+    val raw = spark.read.parquet(live(idx, "bands"))
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(raw === matched)
     // the index still reads identically after the vacuum
