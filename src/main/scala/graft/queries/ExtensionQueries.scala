@@ -1144,6 +1144,136 @@ object ExtensionQueries {
         .withColumn("stage", lit("compacted")))
     }),
 
+    // ── ERASURE AUDIT, PQ family — q340's compliance readout on the
+    //    compressed axis, over BOTH layouts in one dir (flat code table:
+    //    base 90% + delta appended; IVF-PQ posting lists over the full
+    //    corpus): stage 'tombstoned' reports the deleted vectors' code
+    //    AND posting rows as hidden-but-present, stage 'erased' (after
+    //    compactIndex folds-with-erasure and vacuumIvfPq rewrites the
+    //    cell lists) reports zero hidden rows and physically_clean
+    "q341_pq_erasure_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_pqaud")
+      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", FixedCodebook, dir)
+      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      graft.sim.PqIndex.writeIvfPq(e, "vec_id", "embedding", "label",
+        FixedCodebook, dir)
+      graft.sim.PqIndex.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
+        batchId = 0L)
+      val before = graft.sim.PqIndex.erasureAudit(s, dir)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-erasure audit
+      require(graft.sim.PqIndex.compactIndex(s, dir) == 1,
+        "the code increment must fold")
+      graft.sim.PqIndex.vacuumIvfPq(s, dir)
+      before.unionByName(graft.sim.PqIndex.erasureAudit(s, dir)
+        .withColumn("stage", lit("erased")))
+    }),
+
+    // ── ERASURE AUDIT, maintained-ANN family — q340's readout on the
+    //    vector axis (base 90%, delta landed as a frozen-assignment
+    //    increment): hidden posting rows before the fold, clean after
+    "q342_ann_erasure_audit" -> ((s, d) => {
+      import graft.streaming.StreamingAnn
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_annaud")
+      StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "label", dir)
+      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
+          "embedding", s.read.parquet(graft.streaming.Compaction
+            .resolve(s, dir, "centroids").get))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/increments/batch=0")
+      StreamingAnn.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
+        batchId = 0L)
+      val before = StreamingAnn.erasureAudit(s, dir)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint()
+      require(StreamingAnn.compactIndex(s, dir) == 1,
+        "the increment must fold")
+      before.unionByName(StreamingAnn.erasureAudit(s, dir)
+        .withColumn("stage", lit("erased")))
+    }),
+
+    // ── ERASURE AUDIT, dedup-signature family — q340's readout on the
+    //    dedup axis: MinHash band rows are DERIVED CONTENT of the deleted
+    //    docs, so the attestation needs them physically gone too. The
+    //    oracle recomputes the deleted docs' band-row count from the
+    //    corpus via the shared MinHash replay (docs too short to shingle
+    //    contribute no band rows, exactly as the index holds none)
+    "q343_dedup_erasure_audit" -> ((s, d) => {
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_sigaud")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", dir)
+      Dedup.appendSignatureIndex(sig.filter(col("doc_id") % 5 === 4),
+        "doc_id", dir, 0L)
+      Dedup.deleteFromSignatureIndex(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
+        batchId = 0L)
+      val before = Dedup.erasureAudit(s, dir)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint()
+      require(Dedup.compactSignatureIndex(s, dir) == 1,
+        "the band increment must fold")
+      before.unionByName(Dedup.erasureAudit(s, dir)
+        .withColumn("stage", lit("erased")))
+    }),
+
+    // ── PREDICATE-SHAPED DELETE, corpus-resolved: a DOMAIN TAKEDOWN
+    //    ("remove everything from sources src3/src7") — the predicate
+    //    resolves against the documents metadata to an id frame and lands
+    //    as a normal tombstone batch; both stages must equal a
+    //    from-scratch BM25 over the corpus minus those domains
+    "q344_delete_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_srcdel")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.deleteWhere(docs, "doc_id",
+        col("source").isin("src3", "src7"), dir, batchId = 0L)
+      val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction read
+      graft.text.LexIndex.compactIndex(s, dir)
+      tombstoned.unionByName(
+        graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+          .withColumn("stage", lit("compacted")))
+    }),
+
+    // ── PREDICATE-SHAPED DELETE, artifact-resolved: a CONTENT TAKEDOWN
+    //    ("remove every document containing term T") answered by the
+    //    lexical index itself — the resolution is a bucket-pruned
+    //    postings probe of T's hash bucket, never a corpus scan; the
+    //    resolved ids tombstone the index and both stages must equal a
+    //    from-scratch BM25 over the corpus minus the matching docs (the
+    //    query still asks for T: its df is 0 afterwards, by construction)
+    "q345_delete_by_term" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_termdel")
+      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", dir)
+      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dir, batchId = 0L)
+      graft.text.LexIndex.deleteWhereTermMatches(s, dir, Seq("stream"),
+        batchId = 0L)
+      val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint()
+      graft.text.LexIndex.compactIndex(s, dir)
+      tombstoned.unionByName(
+        graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
+          .withColumn("stage", lit("compacted")))
+    }),
+
     // ── LEXICAL-STATS DRIFT of the maintained lexical index — the aging
     //    monitor on the text axis (q331's contract for BM25): N/avgdl
     //    shift plus the increments' out-of-vocabulary term and occurrence
@@ -3125,6 +3255,85 @@ object ExtensionQueries {
          |    AS physically_clean,
          |  st.stage
          |FROM ph, dh, (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
+
+    // PQ-family erasure-audit replay: the whole corpus is ingested into
+    // both layouts (flat codes: 90% base + 10% increment; IVF-PQ postings:
+    // full), so the tombstoned stage hides exactly one code row and one
+    // posting row per deleted vector; the erased stage is clean
+    "q341_pq_erasure_audit" ->
+      """WITH dh AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE vec_id % 7 = 3)
+        |SELECT dh.n AS n_tombstones,
+        |  CASE st.stage WHEN 'tombstoned' THEN dh.n ELSE CAST(0 AS BIGINT)
+        |    END AS code_rows_hidden,
+        |  CASE st.stage WHEN 'tombstoned' THEN dh.n ELSE CAST(0 AS BIGINT)
+        |    END AS posting_rows_hidden,
+        |  CASE WHEN st.stage = 'tombstoned' THEN dh.n = 0 ELSE TRUE END
+        |    AS physically_clean,
+        |  st.stage
+        |FROM dh, (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
+
+    // maintained-ANN erasure-audit replay: full corpus ingested (90% base
+    // + 10% frozen-assignment increment) — one hidden posting row per
+    // deleted vector before the fold, none after
+    "q342_ann_erasure_audit" ->
+      """WITH dh AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE vec_id % 7 = 3)
+        |SELECT dh.n AS n_tombstones,
+        |  CASE st.stage WHEN 'tombstoned' THEN dh.n ELSE CAST(0 AS BIGINT)
+        |    END AS rows_hidden,
+        |  CASE WHEN st.stage = 'tombstoned' THEN dh.n = 0 ELSE TRUE END
+        |    AS physically_clean,
+        |  st.stage
+        |FROM dh, (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
+
+    // dedup-signature erasure-audit replay: the deleted docs' hidden band
+    // rows are recomputed from the corpus via the shared MinHash replay —
+    // NumBands rows per deleted doc that shingles, zero for docs too
+    // short (their band keys are NULL and the index never held them)
+    "q343_dedup_erasure_audit" ->
+      s"""WITH $sigCte,
+         |bh2 AS (SELECT doc_id, bk FROM (
+         |  SELECT doc_id, unnest([${(0 until Dedup.NumBands)
+               .map(b => s"band$b").mkString(", ")}]) AS bk
+         |  FROM sig WHERE doc_id % 7 = 3) WHERE bk IS NOT NULL),
+         |hid AS (SELECT CAST(count(*) AS BIGINT) AS h FROM bh2),
+         |dh AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 7 = 3)
+         |SELECT dh.n AS n_tombstones,
+         |  CASE st.stage WHEN 'tombstoned' THEN hid.h ELSE CAST(0 AS BIGINT)
+         |    END AS band_rows_hidden,
+         |  CASE WHEN st.stage = 'tombstoned' THEN hid.h = 0 ELSE TRUE END
+         |    AS physically_clean,
+         |  st.stage
+         |FROM dh, hid, (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
+
+    // domain-takedown replay: from-scratch BM25 over the corpus minus the
+    // deleted sources, emitted at both stages
+    "q344_delete_by_source" ->
+      s"""WITH ${bm25Ctes(normCteWhere("source NOT IN ('src3','src7')"))},
+         |res AS (SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         |FROM scored GROUP BY doc_id)
+         |SELECT st.stage, res.doc_id, res.n_terms, res.bm25
+         |FROM res CROSS JOIN (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
+
+    // content-takedown replay: the matching-doc set is recomputed with the
+    // engine's own tokenization (normalize -> whitespace split), then
+    // from-scratch BM25 over the corpus minus it, at both stages
+    "q345_delete_by_term" ->
+      s"""WITH ${bm25Ctes(normCteWhere(
+             raw"""doc_id NOT IN (SELECT doc_id FROM (
+               |    SELECT doc_id, unnest(regexp_split_to_array(
+               |      trim(regexp_replace(regexp_replace(lower(text),
+               |        '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')),
+               |      '\s+')) AS term FROM documents) WHERE term = 'stream')"""
+               .stripMargin))},
+         |res AS (SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         |FROM scored GROUP BY doc_id)
+         |SELECT st.stage, res.doc_id, res.n_terms, res.bm25
+         |FROM res CROSS JOIN (VALUES ('tombstoned'), ('compacted')) st(stage)""".stripMargin,
 
     // lexical-stats drift replay: split the corpus exactly as the index
     // build did (base 80% / increment 20%), recompute N/avgdl per side

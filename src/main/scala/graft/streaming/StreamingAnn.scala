@@ -80,6 +80,16 @@ object StreamingAnn {
   def deleteBatch(ids: DataFrame, indexPath: String, batchId: Long): Boolean =
     Tombstones.append(ids, indexPath, batchId)
 
+  /** PREDICATE-SHAPED DELETE resolved against the LIVE posting lists
+    * (vec_id, v, cell): e.g. drain a whole routing cell, or compose with
+    * a caller-joined metadata frame via [[Tombstones.deleteWhere]]. A
+    * `cell`-shaped predicate partition-prunes the resolution scan. */
+  def deleteWhere(spark: SparkSession, indexPath: String,
+                  pred: org.apache.spark.sql.Column,
+                  batchId: Long): Boolean =
+    Tombstones.deleteWhere(readPostings(spark, indexPath), "vec_id", pred,
+      indexPath, batchId)
+
   /** The maintained posting lists: base plus every LIVE increment — the
     * `batch` partition column prunes directories at or below the folded
     * watermark (a fold or recluster that crashed before its increment

@@ -84,6 +84,26 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
 
+  /** foreachBatch sink for a DELETE stream (takedown doc_ids) — the
+    * [[StreamingLex.tombstoneSink]] contract on the dedup axis: each
+    * micro-batch lands as a tombstone increment under the signature index
+    * with its own watermark (the ingest and delete streams replay
+    * independently). The deleted docs' band rows are logically gone from
+    * the next probe — a future near-dup of a deleted doc becomes its own
+    * keeper, exactly as if the index had been built from the filtered
+    * corpus — physically gone at the next
+    * [[graft.text.Dedup.compactSignatureIndex]], and terminal against
+    * re-ingest. Assignment SNAPSHOTS of other docs are untouched (a
+    * cluster label is not the doc's content). */
+  def tombstoneSink(docIds: DataFrame, indexPath: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    docIds.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.deleteFromSignatureIndex(batch, indexPath, batchId): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
   /** The current (max-batch) cluster assignment under `assignPath`, or an
     * empty (id, cluster_id) frame before any batch landed. `idType` is the
     * doc-id type of the corpus (cluster_id = min reachable id shares it) —

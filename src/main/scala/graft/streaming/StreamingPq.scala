@@ -33,9 +33,26 @@ object StreamingPq {
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())
 
-  /** ADC search over the maintained code table. */
+  /** foreachBatch sink for a DELETE stream (takedown vec_ids) — the
+    * [[StreamingLex.tombstoneSink]] / [[StreamingAnn.tombstoneSink]]
+    * contract on the compressed tier: each micro-batch lands as a
+    * tombstone increment with its own watermark, so the ingest and
+    * delete streams replay independently. Logically gone from the next
+    * [[search]]; physically erased at the next
+    * [[graft.sim.PqIndex.compactIndex]] / retrain; terminal against
+    * re-ingest. */
+  def tombstoneSink(ids: DataFrame, indexPath: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    ids.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        PqIndex.deleteBatch(batch, indexPath, batchId): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
+
+  /** ADC search over the maintained code table (one pointer view:
+    * codebook + codes resolve together — [[graft.sim.PqIndex.search]]). */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              id: String, emb: String, k: Int): DataFrame =
-    Similarity.annPq(PqIndex.readCodes(spark, indexPath),
-      PqIndex.readCodebook(spark, indexPath), queries, id, emb, k)
+    PqIndex.search(spark, indexPath, queries, id, emb, k)
 }

@@ -77,6 +77,20 @@ private[graft] object Tombstones {
     landed
   }
 
+  /** PREDICATE-SHAPED DELETE — real takedowns arrive as "everything from
+    * domain X / matching pattern Y", not id lists: resolve `pred` against
+    * `corpus` (the metadata-bearing frame — the documents table for a
+    * domain takedown, a stored artifact's own read for content-shaped
+    * predicates) to an id frame and land it as a normal tombstone batch.
+    * Everything downstream — logical anti-join, physical erasure at the
+    * next fold/vacuum, terminal re-ingest suppression, the erasure
+    * audit — is id-shaped and unchanged. Returns the landed/dropped
+    * signal of [[append]]. */
+  def deleteWhere(corpus: DataFrame, idCol: String,
+                  pred: org.apache.spark.sql.Column, dir: String,
+                  batchId: Long): Boolean =
+    append(corpus.filter(pred).select(idCol), dir, batchId)
+
   /** The live tombstone set (tid), base ∪ unfolded increments — None when
     * no delete has ever landed (readers skip the anti-join entirely).
     * Snapshot-isolated: one [[Compaction.view]] resolves the folded base

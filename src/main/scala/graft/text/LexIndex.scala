@@ -131,6 +131,40 @@ object LexIndex {
   def deleteBatch(docIds: DataFrame, dir: String, batchId: Long): Boolean =
     graft.streaming.Tombstones.append(docIds, dir, batchId)
 
+  /** PREDICATE-SHAPED DELETE resolved against the CORPUS metadata —
+    * the domain-takedown case ("delete everything from source X"):
+    * filter the metadata frame, land the surviving ids as a normal
+    * tombstone batch ([[graft.streaming.Tombstones.deleteWhere]]). */
+  def deleteWhere(corpus: DataFrame, idCol: String,
+                  pred: org.apache.spark.sql.Column, dir: String,
+                  batchId: Long): Boolean =
+    graft.streaming.Tombstones.deleteWhere(corpus, idCol, pred, dir, batchId)
+
+  /** PREDICATE-SHAPED DELETE resolved against the LIVE ARTIFACT — the
+    * content-shaped takedown ("delete every document containing term T",
+    * the keyword-triggered removal a lexical index can answer itself):
+    * the resolution is a BUCKET-PRUNED postings probe (the terms' hash
+    * buckets push as an `isin` partition filter, exactly the
+    * [[bm25Indexed]] scan — untouched term buckets never open), its
+    * distinct doc_ids land as a normal tombstone batch. At 100 TB the
+    * resolution cost is the probe of |terms| buckets, never a corpus
+    * scan. Returns the landed/dropped signal. */
+  def deleteWhereTermMatches(spark: SparkSession, dir: String,
+                             terms: Seq[String], batchId: Long): Boolean = {
+    require(terms.nonEmpty, "need at least one takedown term")
+    val nBuckets = spark.read.parquet(s"$dir/meta")
+      .select("n_buckets").head().getInt(0)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketOf(col("term"), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val ids = readPostings(spark, dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isin(terms: _*))
+      .select("doc_id").distinct()
+    graft.streaming.Tombstones.append(ids, dir, batchId)
+  }
+
   private def unionParts(spark: SparkSession, root: String,
                          cols: Seq[String]): DataFrame =
     // snapshot-isolated: one view resolves the base generation and its

@@ -170,4 +170,40 @@ class StreamingDedupSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(streamed == Map("a" -> "a", "b" -> "a", "c" -> "c"))
   }
+
+  test("drained DELETE stream ≡ batch deleteFromSignatureIndex: the " +
+       "deleted docs stop matching probes; fold erases the band rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdeldel").toString
+    val idx = s"$dir/index"; val twin = s"$dir/twin"
+    val docs = Seq((1L, base), (2L, base.replace("quiet", "silent")),
+      (3L, other), (4L, third)).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    Dedup.writeSignatureIndex(sig, "doc_id", idx)
+    Dedup.writeSignatureIndex(sig, "doc_id", twin)
+    Dedup.deleteFromSignatureIndex(
+      docs.filter(col("doc_id") === 1L).select("doc_id"), twin, 0L)
+
+    val in = s"$dir/delin"
+    docs.filter(col("doc_id") === 1L).select("doc_id").write.parquet(in)
+    StreamingDedup.tombstoneSink(
+        spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType)))).parquet(in),
+        idx, s"$dir/chkdel")
+      .start().awaitTermination()
+
+    // a near-dup of the deleted doc probes as if the index never held it
+    val probe = Dedup.minhashSignatures(
+      Seq((9L, base.replace("warm", "cold"))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def matches(p: String) = pairsOf(Dedup.incrementalCandidatesIndexed(
+      Dedup.readSignatureIndex(spark, p), probe, "doc_id"))
+    assert(matches(idx) == matches(twin),
+      "the drained delete stream must equal the batch delete")
+    assert(!matches(idx).exists(t => t._1 == 1L || t._2 == 1L))
+    // fold-driven physical erasure attested by the audit
+    Dedup.compactSignatureIndex(spark, idx)
+    val audit = Dedup.erasureAudit(spark, idx).head()
+    assert(audit.getBoolean(audit.fieldIndex("physically_clean")))
+    assert(matches(idx) == matches(twin))
+  }
 }

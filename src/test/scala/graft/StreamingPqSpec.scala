@@ -55,4 +55,36 @@ class StreamingPqSpec extends SparkSpec {
       k = 4).collect().toSet == before)
     assert(codeMap(PqIndex.readCodes(spark, idx)) == scratch)
   }
+
+  test("drained DELETE stream ≡ batch deleteBatch: tombstones land per " +
+       "micro-batch with their own watermark; fold erases physically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spqdel").toString
+    val idx = s"$dir/index"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    PqIndex.writeIndex(e, "vec_id", "embedding", cb, idx)
+
+    // the same takedown applied via the batch API to a twin index
+    val twin = s"$dir/twin"
+    PqIndex.writeIndex(e, "vec_id", "embedding", cb, twin)
+    PqIndex.deleteBatch(e.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), twin, 0L)
+
+    val in = s"$dir/delin"
+    e.filter(col("vec_id") % 7 === 3).select("vec_id").write.parquet(in)
+    val idSchema = StructType(Seq(StructField("vec_id", LongType)))
+    StreamingPq.tombstoneSink(
+        spark.readStream.schema(idSchema).parquet(in), idx, s"$dir/chkdel")
+      .start().awaitTermination()
+
+    val q = e.filter(col("vec_id") < 3)
+    def res(p: String) = StreamingPq.search(spark, p, q, "vec_id",
+      "embedding", k = 4).collect().toSet
+    assert(res(idx) == res(twin),
+      "the drained delete stream must equal the batch delete")
+    // fold-driven physical erasure attested by the audit
+    PqIndex.compactIndex(spark, idx)
+    val audit = PqIndex.erasureAudit(spark, idx).head()
+    assert(audit.getBoolean(audit.fieldIndex("physically_clean")))
+    assert(res(idx) == res(twin))
+  }
 }

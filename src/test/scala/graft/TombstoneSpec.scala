@@ -330,6 +330,54 @@ class TombstoneSpec extends SparkSpec {
     assert(after === matched, s"${after.size} vs ${matched.size}")
   }
 
+  test("predicate-shaped deletes: corpus-resolved (by source) and " +
+       "artifact-resolved (by term, bucket-pruned) land as normal " +
+       "tombstone batches; ANN deleteWhere resolves on the live postings") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val idx = tmp("graft_preddel")
+    LexIndex.writeIndex(docs, "doc_id", "text", idx)
+
+    // corpus-resolved: a domain takedown
+    assert(LexIndex.deleteWhere(docs, "doc_id",
+      col("source") === "src3", idx, batchId = 0L))
+    val expect1 = bmSet(Retrieval.bm25(
+      docs.filter(col("source") =!= "src3"), "doc_id", "text", terms))
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect1)
+
+    // artifact-resolved: a content takedown the index answers itself;
+    // composes with the prior delete (monotone batch ids)
+    assert(LexIndex.deleteWhereTermMatches(spark, idx, Seq("stream"),
+      batchId = 1L))
+    val hasTerm = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(
+          graft.text.TextOps.normalize(col("text")))).as("term"))
+      .filter(col("term") === "stream").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expect2 = bmSet(Retrieval.bm25(
+      docs.filter(col("source") =!= "src3" &&
+        !col("doc_id").isInCollection(hasTerm)),
+      "doc_id", "text", terms))
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect2)
+    // physical erasure rides the ordinary vacuum, and the audit attests it
+    LexIndex.compactIndex(spark, idx)
+    val audit = LexIndex.erasureAudit(spark, idx).head()
+    assert(audit.getBoolean(audit.fieldIndex("physically_clean")))
+    assert(bmSet(LexIndex.bm25Indexed(spark, idx, terms)) === expect2)
+
+    // ANN: a predicate over the live posting lists (drain one cell)
+    val vidx = tmp("graft_preddel_ann")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    StreamingAnn.writeBaseIndex(e, "vec_id", "embedding", "label", vidx)
+    assert(StreamingAnn.deleteWhere(spark, vidx, col("cell") === 0,
+      batchId = 0L))
+    val left = StreamingAnn.readPostings(spark, vidx)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(!left.contains(0) && left.nonEmpty,
+      "the drained cell must be logically gone, the rest intact")
+  }
+
   test("cell partition pruning pushes through the tombstone anti-join " +
        "and the build side broadcasts") {
     val idx = tmp("graft_ivfplan")
