@@ -178,6 +178,22 @@ object ExtensionQueries {
         "embedding", Dim, k = 5)
     }),
 
+    // ── graph ANN served off the STORED/MAINTAINED graph: base on 90%,
+    //    delta appended (the touched bucket groups restate over the live
+    //    membership, reproducing the from-scratch graph edge for edge),
+    //    then the SHARED beam-search tail — value-identical to q172's
+    //    in-memory annGraph over everything ingested (SHARED oracle)
+    "q346_graph_ann_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_gannidx")
+      graft.sim.GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", Dim, dir)
+      graft.sim.GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      graft.sim.GraphAnnIndex.search(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // ── IVF-style ANN: centroid routing + in-cell exact rerank
     "q48_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -4448,6 +4464,10 @@ object ExtensionQueries {
          |FROM ift""".stripMargin,
     "q168_image_neardup" -> imgClustersSql,
     "q172_graph_ann" -> graphAnnOracleSql,
+    // the stored/maintained graph reproduces the from-scratch build edge
+    // for edge (bucket-group restatement) and shares the search tail —
+    // the oracle is q172's, shared
+    "q346_graph_ann_indexed" -> graphAnnOracleSql,
     // closed-form recomputation of Multimodal.mp4Fixture's header fields
     // (timescale 600; integer-truncating ms division mirrored with //)
     "q171_video_meta" ->

@@ -1,0 +1,332 @@
+package graft.sim
+
+import graft.streaming.{Compaction, Tombstones}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** STORED / MAINTAINED graph ANN — [[Similarity.nswGraph]]'s two-layer
+  * navigable-small-world graph as an on-disk artifact with the same
+  * lifecycle as the IVF / PQ / lexical stores: append, delete, compaction,
+  * erasure audit, snapshot-isolated reads.
+  *
+  * The key property that makes EXACT incremental maintenance possible:
+  * every directed edge of [[Similarity.nswGraph]] is a pure function of
+  * its LSH BUCKET's membership — a node links to its `degree` most-similar
+  * same-bucket neighbors, per table. So when a batch lands (or a takedown
+  * removes vectors), only the buckets whose membership changed can have
+  * different edges, and recomputing exactly those buckets over the LIVE
+  * membership reproduces the from-scratch graph edge for edge
+  * (GraphAnnSpec pins maintained ≡ scratch; the q346 oracle is q172's,
+  * shared). Buckets are grouped into `nGroups` hash groups per layer —
+  * the restatement unit, so one append rewrites |touched groups| of edge
+  * state, never the graph.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   meta/                      frozen graph geometry (dim, degree,
+  *                              finePlanes, fineTables, hubMod, nGroups)
+  *   vectors/base, increments/  (vec_id, v, b_0..b_{T-1}, b_hub) — the
+  *                              union-distributive family contract
+  *   edges/base, increments/    (layer, grp, src, dst) DIRECTED edges;
+  *                              merge = LAST WRITER WINS per (layer, grp)
+  *                              (each increment RESTATES whole groups; a
+  *                              null-src sentinel row registers a group
+  *                              that restated to empty)
+  *   tombstones/                deleted vec_ids ([[deleteBatch]])
+  * }}}
+  *
+  * At 100 TB: an append scans the vector store once per layer filtered to
+  * the touched groups (a data filter on the precomputed bucket columns —
+  * linear, never pairwise beyond the bucket-local joins the from-scratch
+  * build already does), and rewrites only those groups' edges. Search
+  * cost is [[Similarity.annGraph]]'s bounded relational beam — the tail
+  * is SHARED CODE ([[Similarity.nswBeamSearch]]), so stored and in-memory
+  * searches are value-identical by construction. All reads are
+  * snapshot-isolated via [[Compaction.view]].
+  */
+object GraphAnnIndex {
+
+  private case class Meta(dim: Int, degree: Int, finePlanes: Int,
+                          fineTables: Int, hubMod: Int, nGroups: Int)
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getInt(5))
+  }
+
+  /** (vec_id, v, b_0..b_{T-1}, b_hub) — bucket columns precomputed once
+    * at landing so maintenance never re-hashes the corpus. */
+  private def withBuckets(df: DataFrame, id: String, emb: String,
+                          m: Meta): DataFrame = {
+    val spark = df.sparkSession
+    val (fine, coarse) =
+      Similarity.nswPlaneSlices(m.dim, m.finePlanes, m.fineTables)
+    val base = df.select(col(id).as("vec_id"),
+      Similarity.asDouble(emb).as("v"))
+    fine.zipWithIndex.foldLeft(
+        base.withColumn("b_hub",
+          Similarity.lshBucketNative(spark, "v", coarse))) {
+      case (acc, (planes, t)) =>
+        acc.withColumn(s"b_$t", Similarity.lshBucketNative(spark, "v", planes))
+    }
+  }
+
+  private def vectorCols(m: Meta): Seq[String] =
+    Seq("vec_id", "v") ++ (0 until m.fineTables).map(t => s"b_$t") :+ "b_hub"
+
+  /** Bucket column and membership filter of one layer: fine layers
+    * 0..T-1 cover every node; the coarse hub layer T covers
+    * vec_id % hubMod == 0 (the [[Similarity.nswGraph]] contract). */
+  private def layerOf(l: Int, m: Meta): (String, Column) =
+    if (l < m.fineTables) (s"b_$l", lit(true))
+    else ("b_hub", pmod(col("vec_id"), lit(m.hubMod)) === 0)
+
+  /** The directed degree-capped edges of one layer restricted to `grps`
+    * (None = all groups) — [[Similarity.nswGraph.layer]]'s exact
+    * semantics (bucket-local self-join, rounded cosine, (sim desc, dst
+    * asc) ties, top `degree` per src) with (layer, grp) attached, plus
+    * one null-src SENTINEL row per restated group so a group whose live
+    * membership dropped to zero still registers its restatement under
+    * the last-writer-wins merge. */
+  private def layerEdges(live: DataFrame, l: Int, m: Meta,
+                         grps: Option[Seq[Int]]): DataFrame = {
+    val spark = live.sparkSession
+    graft.expressions.CosineSimilarity.register(spark)
+    val (bcol, memberOf) = layerOf(l, m)
+    val scoped = live.filter(memberOf)
+      .withColumn("grp", pmod(col(bcol), lit(m.nGroups.toLong)).cast("int"))
+    val members = grps match {
+      case Some(g) => scoped.filter(col("grp").isInCollection(g))
+      case None    => scoped
+    }
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    val edges = members.as("a").join(members.as("b"),
+        col(s"a.$bcol") === col(s"b.$bcol") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.grp").as("grp"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        round(expr("graft_cosine(a.v, b.v)"), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= m.degree)
+      .select(lit(l).as("layer"), col("grp"), col("src"), col("dst"))
+    val idType = live.schema("vec_id").dataType
+    val sentinels = grps match {
+      case Some(g) =>
+        import spark.implicits._
+        g.toDF("grp").select(lit(l).as("layer"), col("grp"),
+          lit(null).cast(idType).as("src"), lit(null).cast(idType).as("dst"))
+      case None => edges.limit(0)
+    }
+    edges.unionByName(sentinels)
+  }
+
+  private def allLayerEdges(live: DataFrame, m: Meta,
+                            touched: Option[Map[Int, Seq[Int]]]): DataFrame =
+    (0 to m.fineTables).map { l =>
+      layerEdges(live, l, m, touched.map(_.getOrElse(l, Nil)))
+    }.reduce(_.unionByName(_))
+
+  /** Write the base index over a corpus: frozen geometry in `meta/`, the
+    * bucket-annotated vectors, and the full directed edge set. */
+  def writeIndex(corpus: DataFrame, id: String, emb: String, dim: Int,
+                 dir: String, degree: Int = 12, finePlanes: Int = 8,
+                 fineTables: Int = 3, hubMod: Int = 16,
+                 nGroups: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = Meta(dim, degree, finePlanes, fineTables, hubMod, nGroups)
+    Seq((dim, degree, finePlanes, fineTables, hubMod, nGroups))
+      .toDF("dim", "degree", "fine_planes", "fine_tables", "hub_mod",
+        "n_groups")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val vecs = withBuckets(corpus, id, emb, m)
+      .localCheckpoint(false) // referenced once per layer below
+    vecs.write.mode("overwrite").parquet(s"$dir/vectors/base")
+    allLayerEdges(vecs, m, None)
+      .write.mode("overwrite").parquet(s"$dir/edges/base")
+  }
+
+  /** The live bucket-annotated vectors: base ∪ live increments, minus
+    * tombstoned ids (broadcast anti-join). */
+  def readVectors(spark: SparkSession, dir: String): DataFrame =
+    Tombstones.applyTo(rawVectors(spark, dir), dir, "vec_id")
+
+  private def rawVectors(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    Compaction.view(spark, s"$dir/vectors").read(vectorCols(m)).getOrElse(
+      sys.error(s"no stored graph index under $dir"))
+  }
+
+  /** The live DIRECTED edge set: base ∪ live increments merged LAST
+    * WRITER WINS per (layer, grp) — an increment restates whole groups,
+    * so within each group only the newest batch's rows (the base counts
+    * as batch -1) are live; sentinel rows then drop out. The per-group
+    * window never concentrates the graph in one task: a partition is one
+    * bucket group's edges. */
+  def readEdges(spark: SparkSession, dir: String): DataFrame = {
+    val v = Compaction.view(spark, s"$dir/edges")
+    val cols = Seq("layer", "grp", "src", "dst")
+    val base = v.readBase(cols).getOrElse(
+        sys.error(s"no stored graph index under $dir"))
+      .withColumn("batch", lit(-1L))
+    val all = v.readIncrements(cols :+ "batch") match {
+      case Some(inc) => base.unionByName(inc)
+      case None      => base
+    }
+    val w = Window.partitionBy("layer", "grp")
+    all.withColumn("_mx", max(col("batch")).over(w))
+      .filter(col("batch") === col("_mx") && col("src").isNotNull)
+      .select("layer", "grp", "src", "dst")
+  }
+
+  /** Append one batch: land its bucket-annotated vectors as an increment,
+    * then RESTATE exactly the bucket groups the batch touches — the edges
+    * of those groups recomputed over the full LIVE membership, so the
+    * maintained graph equals a from-scratch build over everything
+    * ingested (minus deletions), edge for edge. Idempotent: a retried
+    * batch overwrites its own two directories with identical content.
+    * Batch ids must be monotone across [[appendBatch]] AND
+    * [[deleteBatch]] (they share the edges-increment id space). */
+  def appendBatch(batch: DataFrame, id: String, emb: String, dir: String,
+                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir)
+    if (Compaction.isFolded(spark, s"$dir/edges", batchId)) return
+    val vecs = withBuckets(batch, id, emb, m).localCheckpoint(false)
+    if (!Compaction.isFolded(spark, s"$dir/vectors", batchId))
+      vecs.write.mode("overwrite")
+        .parquet(s"$dir/vectors/increments/batch=$batchId")
+    restateTouched(spark, dir, m, vecs, batchId)
+  }
+
+  /** DELETE vectors (takedown/opt-out): the ids land as a tombstone
+    * increment (logical, terminal against re-ingest), and the groups
+    * that held them are RESTATED over the live membership — so search
+    * over the maintained graph equals a from-scratch build over the
+    * filtered corpus exactly (deleted vectors stop competing for degree
+    * slots, not just stop being returned). Physical erasure of the
+    * vector rows and superseded edge rows completes at the next
+    * [[compactIndex]]. */
+  def deleteBatch(ids: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = ids.sparkSession
+    val m = readMeta(spark, dir)
+    // resolve the deleted ids' bucket groups BEFORE the tombstone hides
+    // them from the live read
+    val victim = rawVectors(spark, dir).join(
+      broadcast(ids.select(col(ids.columns.head).as("vec_id")).distinct()),
+      "vec_id", "left_semi")
+    val landed = Tombstones.append(ids, dir, batchId)
+    if (landed && !Compaction.isFolded(spark, s"$dir/edges", batchId))
+      restateTouched(spark, dir, m, victim, batchId)
+    landed
+  }
+
+  /** Restate the bucket groups `touchers` belongs to: per layer, the
+    * distinct groups of the touching vectors (a parameter-bounded driver
+    * list — |touchers| ints per layer, capped by nGroups), recomputed
+    * over the LIVE membership and landed as ONE edges increment. */
+  private def restateTouched(spark: SparkSession, dir: String, m: Meta,
+                             touchers: DataFrame, batchId: Long): Unit = {
+    val touched = (0 to m.fineTables).map { l =>
+      val (bcol, memberOf) = layerOf(l, m)
+      l -> touchers.filter(memberOf)
+        .select(pmod(col(bcol), lit(m.nGroups.toLong)).cast("int").as("g"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }.toMap
+    val live = readVectors(spark, dir).localCheckpoint(false)
+    allLayerEdges(live, m, Some(touched))
+      .write.mode("overwrite")
+      .parquet(s"$dir/edges/increments/batch=$batchId")
+  }
+
+  /** Search the maintained graph — [[Similarity.nswBeamSearch]] (the
+    * exact [[Similarity.annGraph]] tail) over the stored live vectors
+    * and the bidirectionalized live edge set. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             id: String, emb: String, k: Int, beam: Int = 24,
+             rounds: Int = 6, nEntries: Int = 16): DataFrame = {
+    val m = readMeta(spark, dir)
+    val c = readVectors(spark, dir).select("vec_id", "v")
+    val directed = readEdges(spark, dir).select("src", "dst")
+    val g = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // referenced every beam round
+    Similarity.nswBeamSearch(c, g, queries, id, emb, k, beam, rounds,
+      nEntries, m.hubMod)
+  }
+
+  /** Fold both increment trees into new bases (vectors: disjoint union
+    * with tombstone erasure; edges: the last-writer-wins merge resolved,
+    * sentinels dropped) — reads identical before and after; run between
+    * streams. Returns (vector increments folded, edge increments
+    * folded). */
+  def compactIndex(spark: SparkSession, dir: String): (Int, Int) = {
+    Tombstones.compact(spark, dir)
+    val m = readMeta(spark, dir)
+    val fv = Compaction.foldIncrements(spark, s"$dir/vectors") {
+      (base, incs) =>
+        Tombstones.applyTo((base.toSeq ++ incs)
+          .map(p => spark.read.parquet(p).select(vectorCols(m).map(col): _*))
+          .reduce(_.unionByName(_)), dir, "vec_id")
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    if (fv == 0 && Tombstones.needsVacuum(
+        spark.read.parquet(Compaction.resolve(spark, s"$dir/vectors", "base")
+          .getOrElse(s"$dir/vectors/base")), dir, "vec_id"))
+      Compaction.rewriteBase(spark, s"$dir/vectors")(df =>
+        Tombstones.applyTo(df.select(vectorCols(m).map(col): _*), dir,
+          "vec_id")) { (df, out) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+    val cols = Seq("layer", "grp", "src", "dst")
+    val fe = Compaction.foldIncrements(spark, s"$dir/edges") {
+      (base, incs) =>
+        val w = Window.partitionBy("layer", "grp")
+        val all = (base.map(p => spark.read.parquet(p)
+            .select(cols.map(col): _*).withColumn("batch", lit(-1L))).toSeq ++
+          incs.map { p =>
+            val b = p.split("batch=").last.toLong
+            spark.read.parquet(p).select(cols.map(col): _*)
+              .withColumn("batch", lit(b))
+          }).reduce(_.unionByName(_))
+        all.withColumn("_mx", max(col("batch")).over(w))
+          .filter(col("batch") === col("_mx") && col("src").isNotNull)
+          .select(cols.map(col): _*)
+    } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    (fv, fe)
+  }
+
+  /** Compaction trigger: fold iff more than `maxIncrements` LIVE
+    * increment directories accumulated under either tree. */
+  def compactIndexIfNeeded(spark: SparkSession, dir: String,
+                           maxIncrements: Int): (Int, Int) =
+    if (Compaction.incrementCount(spark, s"$dir/vectors") > maxIncrements ||
+        Compaction.incrementCount(spark, s"$dir/edges") > maxIncrements ||
+        Tombstones.incrementCount(spark, dir) > maxIncrements)
+      compactIndex(spark, dir)
+    else (0, 0)
+
+  /** ERASURE AUDIT ([[graft.text.LexIndex.erasureAudit]]'s readout on the
+    * graph axis): tombstone count, the vector rows the anti-join hides,
+    * and the LIVE-reachable edge rows still naming a deleted endpoint
+    * (superseded in-grace increment bytes fall off at the next fold's
+    * GC, as everywhere in the family). */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nTomb = Tombstones.count(spark, dir)
+    val vHidden = Tombstones.hiddenRowCount(rawVectors(spark, dir), dir,
+      "vec_id")
+    val eHidden = Tombstones.read(spark, dir) match {
+      case None => 0L
+      case Some(t) =>
+        val e = readEdges(spark, dir)
+        e.join(broadcast(t),
+            e("src") === t("tid") || e("dst") === t("tid"), "left_semi")
+          .count()
+    }
+    import spark.implicits._
+    Seq((nTomb, vHidden, eHidden, vHidden == 0L && eHidden == 0L))
+      .toDF("n_tombstones", "vector_rows_hidden", "edge_rows_hidden",
+        "physically_clean")
+  }
+}

@@ -998,6 +998,20 @@ object Similarity {
     // 2^r times)
     val g = nswGraph(corpus, id, emb, dim, degree, hubMod = hubMod)
       .localCheckpoint(true)
+    nswBeamSearch(c, g, queries, id, emb, k, beam, rounds, nEntries, hubMod)
+  }
+
+  /** The beam-search tail of [[annGraph]] over caller-supplied frames —
+    * shared verbatim by the in-memory path and the stored/maintained
+    * graph ([[GraphAnnIndex.search]]), so the two are value-identical by
+    * construction. `c` is (vec_id, v); `g` is the BIDIRECTIONAL distinct
+    * edge set, already materialized (it is referenced every round). */
+  private[graft] def nswBeamSearch(c: DataFrame, g: DataFrame,
+                                   queries: DataFrame, id: String,
+                                   emb: String, k: Int, beam: Int,
+                                   rounds: Int, nEntries: Int,
+                                   hubMod: Int): DataFrame = {
+    graft.expressions.CosineSimilarity.register(c.sparkSession)
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
     val entries = c.filter(pmod(col("vec_id"), lit(hubMod)) === 0)
       .orderBy(col("vec_id").asc).limit(nEntries).select("vec_id")
