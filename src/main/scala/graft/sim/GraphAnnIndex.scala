@@ -140,8 +140,8 @@ object GraphAnnIndex {
       .toDF("dim", "degree", "fine_planes", "fine_tables", "hub_mod",
         "n_groups")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val vecs = withBuckets(corpus, id, emb, m)
-      .localCheckpoint(false) // referenced once per layer below
+    val vecs = Similarity.cut(withBuckets(corpus, id, emb, m),
+      eager = false) // referenced once per layer below
     vecs.write.mode("overwrite").parquet(s"$dir/vectors/base")
     allLayerEdges(vecs, m, None)
       .write.mode("overwrite").parquet(s"$dir/edges/base")
@@ -193,7 +193,7 @@ object GraphAnnIndex {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
     if (Compaction.isFolded(spark, s"$dir/edges", batchId)) return
-    val vecs = withBuckets(batch, id, emb, m).localCheckpoint(false)
+    val vecs = Similarity.cut(withBuckets(batch, id, emb, m), eager = false)
     if (!Compaction.isFolded(spark, s"$dir/vectors", batchId))
       vecs.write.mode("overwrite")
         .parquet(s"$dir/vectors/increments/batch=$batchId")
@@ -234,7 +234,7 @@ object GraphAnnIndex {
         .select(pmod(col(bcol), lit(m.nGroups.toLong)).cast("int").as("g"))
         .distinct().collect().map(_.getInt(0)).toSeq
     }.toMap
-    val live = readVectors(spark, dir).localCheckpoint(false)
+    val live = Similarity.cut(readVectors(spark, dir), eager = false)
     allLayerEdges(live, m, Some(touched))
       .write.mode("overwrite")
       .parquet(s"$dir/edges/increments/batch=$batchId")
@@ -251,8 +251,8 @@ object GraphAnnIndex {
     val directed = readEdges(spark, dir).select("src", "dst")
     val g = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // referenced every beam round
+      .transform(df => Similarity.cut(df.distinct(), eager = true))
+      // referenced every beam round
     Similarity.nswBeamSearch(c, g, queries, id, emb, k, beam, rounds,
       nEntries, m.hubMod)
   }

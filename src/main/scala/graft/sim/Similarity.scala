@@ -41,19 +41,34 @@ object Similarity {
     * first pass and the similarity arithmetic runs exactly once per pair
     * (blocks are ContextCleaner-freed with the plan).
     *
-    * Cluster caveat (measured trade, accepted): localCheckpoint truncates
-    * lineage, so under dynamic allocation / preemption a LOST executor's
-    * blocks cannot recompute — the job fails and is retried from the
-    * scan instead. On a static-executor deployment (this engine's target
-    * shape) that risk is nil; a deployment that preempts executors should
-    * swap this for reliable `checkpoint()` on a shared FS, at the cost of
-    * a write barrier per selection. */
+    * Cluster caveat (measured trade, with an ESCAPE HATCH): a local
+    * checkpoint truncates lineage, so under dynamic allocation /
+    * preemption a LOST executor's blocks cannot recompute — the job
+    * fails and is retried from the scan instead. On a static-executor
+    * deployment (this engine's target shape) that risk is nil; a
+    * deployment that preempts executors sets
+    * `spark.graft.reliableCheckpoint=true` (plus a
+    * `sparkContext.setCheckpointDir` on a shared FS) and every cut in
+    * this family becomes a RELIABLE checkpoint — same values
+    * (CheckpointSpec pins it), at the cost of a write barrier per
+    * selection. */
   private[graft] def topKPerQuery(cand: DataFrame, value: String, k: Int,
                                   descending: Boolean = true): DataFrame =
-    graft.ops.Stats.extremeK(cand.localCheckpoint(false), value,
+    graft.ops.Stats.extremeK(cut(cand, eager = false), value,
         Seq("q_id"), k,
         descending = descending, tie = Seq(col("vec_id").asc))
       .withColumnRenamed("_rn", "rank")
+
+  /** Materialization cut honoring the deployment's checkpoint policy:
+    * `localCheckpoint` by default (executor-memory blocks, no write
+    * barrier — right for static executors); a RELIABLE `checkpoint` on
+    * the session's checkpoint dir when `spark.graft.reliableCheckpoint`
+    * is true (survives executor loss under dynamic allocation). */
+  private[graft] def cut(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.conf
+          .get("spark.graft.reliableCheckpoint", "false").toBoolean)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order.
     * Built-in HOF composition — reference implementation; `cosineNative`
@@ -736,9 +751,8 @@ object Similarity {
     // persist, the blocks are ContextCleaner-freed when the returned
     // (lazy) plan is dropped, so repeated calls can't pin corpus-sized
     // caches in CacheManager for the session lifetime
-    val base = corpus.select(col(id).as("vec_id"), col(cell).as("cid"),
-        asDouble(emb).as("v"))
-      .localCheckpoint(false)
+    val base = cut(corpus.select(col(id).as("vec_id"), col(cell).as("cid"),
+        asDouble(emb).as("v")), eager = false)
     val centroids = ivfCentroids(base, "cid", "v")
     val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroids))
@@ -772,8 +786,8 @@ object Similarity {
     // lazy localCheckpoint, not persist — same reason as [[annJoin]]:
     // a serving process calls this per maintenance cycle, and persist
     // would pin a never-unpersisted corpus-sized cache per call
-    val base = post.select(col("vec_id"), col("cell").as("cid"), col("v"))
-      .localCheckpoint(false)
+    val base = cut(post.select(col("vec_id"), col("cell").as("cid"),
+      col("v")), eager = false)
     val routed = base.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(expr("graft_cosine(qv, cv)"), 6))
@@ -996,8 +1010,8 @@ object Similarity {
     // materialize both (the iterative-plan-depth rule: un-checkpointed,
     // the plan tree doubles per round and the graph build re-executes
     // 2^r times)
-    val g = nswGraph(corpus, id, emb, dim, degree, hubMod = hubMod)
-      .localCheckpoint(true)
+    val g = cut(nswGraph(corpus, id, emb, dim, degree, hubMod = hubMod),
+      eager = true)
     nswBeamSearch(c, g, queries, id, emb, k, beam, rounds, nEntries, hubMod)
   }
 
@@ -1032,7 +1046,7 @@ object Similarity {
       // cut every 2nd round: the beam is referenced twice per round, so
       // un-cut plans double per round; a 2-round (4x) window amortizes the
       // eager-materialization job cost without letting the tree explode
-      if (r % 2 == 0 && r < rounds) best = best.localCheckpoint(true)
+      if (r % 2 == 0 && r < rounds) best = cut(best, eager = true)
     }
     best.withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")
@@ -1356,7 +1370,7 @@ object Similarity {
       .filter(col("_va") =!= col("_vb"))
       .withColumn("_psim", round(cosineNative(spark, "_x", "_y"), 6))
       .select(col("q_id"), col("_va"), col("_vb"), col("_psim"))
-      .localCheckpoint(true)
+      .transform(df => cut(df, eager = true))
     val base = cand.select(col("q_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("_score").desc, col("vec_id").asc)

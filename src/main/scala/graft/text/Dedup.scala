@@ -763,10 +763,59 @@ object Dedup {
     var fp = fingerprint(edges)
     var converged = fp._1 == 0L
     var rounds = 0
+    // SMALL-TAIL DRIVER FINISH: the star rounds shrink the edge set
+    // monotonically, and the last few rounds of a distributed CC are the
+    // classic latency sink — k more rounds of tiny shuffles to converge a
+    // graph that now fits in one task. Once the edge count (already on the
+    // driver from the convergence fingerprint) drops under the cutoff,
+    // finish with a driver union-find instead: the collect is BOUNDED by
+    // the cutoff (default 10⁶ edges = 16 MB — the codebook/Gram-moment
+    // family of parameter-bounded driver reads, tunable/disable-able via
+    // spark.graft.ccDriverFinishEdges), and the labels are identical (min
+    // reachable id — union always roots at the smaller id), so outputs are
+    // byte-equal with or without it. Integral-id graphs only: the driver
+    // comparison must reproduce Spark's ordering exactly, which UTF-16
+    // String.compareTo does not guarantee against UTF-8 binary order.
+    val smallTail = docs.sparkSession.conf
+      .get("spark.graft.ccDriverFinishEdges", "1000000").toLong
+    val integralIds = pairs.schema(idA).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
     while (!converged) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"starClusters: not converged after $maxRounds rounds (edge count ${fp._1})")
+      if (integralIds && fp._1 <= smallTail) {
+        val idDt = pairs.schema(idA).dataType
+        val es = edges.select(col("lo").cast("long"), col("hi").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        val verts = es.iterator.flatMap(t => Iterator(t._1, t._2)).toSet
+        val star = verts.iterator.map(v => (find(v), v))
+          .filter { case (m, v) => m != v }.toSeq
+        import docs.sparkSession.implicits._
+        edges = star.toDF("lo", "hi")
+          .select(col("lo").cast(idDt).as("lo"),
+            col("hi").cast(idDt).as("hi"))
+        converged = true
+      } else {
       // large-star: attach each vertex's larger neighbors to its closed-
       // neighborhood minimum m; emitted edges (m, v) keep lo < hi since m ≤ u < v
       val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
@@ -790,6 +839,7 @@ object Dedup {
       converged = nfp == fp
       fp = nfp
       rounds += 1
+      }
     }
     // fixpoint edge set is a star forest (lo = component min, hi = member);
     // the groupBy-min is belt and braces, not a requirement

@@ -1,0 +1,41 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** The reliable-checkpoint escape hatch: every materialization cut in the
+  * similarity family (topKPerQuery, annJoin's corpus scan, the graph beam)
+  * is `localCheckpoint` by default — right for static executors — and a
+  * RELIABLE `checkpoint` on the session's checkpoint dir when
+  * `spark.graft.reliableCheckpoint=true` (dynamic allocation / preemption
+  * can lose localCheckpoint blocks, which fails the job instead of
+  * recomputing). The switch must not move a single value. */
+class CheckpointSpec extends SparkSpec {
+
+  test("spark.graft.reliableCheckpoint=true routes cuts through reliable " +
+       "checkpoints with identical results (knn, annJoin, graph beam)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    def run(): (Set[String], Set[String], Set[String]) = (
+      Similarity.knnBrute(e, q, "vec_id", "embedding", 5)
+        .collect().map(_.toString).toSet,
+      Similarity.annJoin(e, "vec_id", "embedding", "label", k = 3,
+        nProbe = 2).collect().map(_.toString).toSet,
+      Similarity.annGraph(e, q, "vec_id", "embedding", 64, k = 5)
+        .collect().map(_.toString).toSet)
+
+    val default = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      assert(run() === default,
+        "the reliable-checkpoint path must not move a value")
+      // and it actually wrote reliable checkpoint state
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty,
+        "reliable checkpoints must land in the checkpoint dir")
+    } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+}

@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
       == org.apache.spark.sql.Row(1L, 1L))
   }
 
+  test("star clusters: the small-tail driver finish is byte-equal to the " +
+       "pure distributed rounds (toggled via spark.graft.ccDriverFinishEdges)") {
+    val verts = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      (for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)) ++
+      Seq((30L, 31L), (30L, 32L), (30L, 33L))).toDF("id_a", "id_b")
+    def run() = Dedup.starClusters(verts, pairs, "doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val viaDriver = run() // default cutoff: the tiny graph finishes local
+    spark.conf.set("spark.graft.ccDriverFinishEdges", "0")
+    try assert(run() == viaDriver,
+      "driver finish and distributed rounds must label identically")
+    finally spark.conf.unset("spark.graft.ccDriverFinishEdges")
+  }
+
   test("star clusters match propagation clusters on a multi-component graph") {
     val verts = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     // three shapes: a chain 1..10, a clique on 20..24, a star at 30
