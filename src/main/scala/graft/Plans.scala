@@ -183,14 +183,16 @@ object Plans {
       // fused cosine runs inside the RDD lineage
       "q263_semdedup_pairs" -> Seq("Scan ExistingRDD"),
       "q264_ann_incremental" -> Seq("Scan ExistingRDD"),
-      // semantic clusters: label propagation reads checkpointed RDDs
-      "q265_semantic_clusters" -> Seq("Scan ExistingRDD"),
+      // semantic clusters: the small-tail driver finish resolves the
+      // star rounds locally — the member frame is a bounded LocalTableScan
+      // (an edge set above the cutoff reads checkpointed RDDs instead)
+      "q265_semantic_clusters" -> Seq("LocalTableScan"),
       // ER pairs: native codegen'd Jaro–Winkler scoring a blocked
       // EQUI-join — a nested loop here would be the n² the blocks avoid
       "q267_er_pairs" -> Seq("graft_jaro_winkler", "HashJoin", "!NestedLoopJoin"),
       // entity closure / k-core / k-truss / PPR: iterative ops return
       // plans over round-checkpointed RDDs (lineage truncation)
-      "q268_er_entities" -> Seq("Scan ExistingRDD"),
+      "q268_er_entities" -> Seq("LocalTableScan"),
       "q269_kcore" -> Seq("Scan ExistingRDD"),
       "q275_ktruss" -> Seq("Scan ExistingRDD", "!NestedLoopJoin"),
       "q276_ppr" -> Seq("Scan ExistingRDD"),
@@ -273,7 +275,7 @@ object Plans {
       // connected components: contraction rounds run at construction
       // (checkpointed edges); the final plan is the size join over the
       // materialized label frame
-      "q309_connected_components" -> Seq("Scan ExistingRDD", "HashAggregate"),
+      "q309_connected_components" -> Seq("LocalTableScan", "HashAggregate"),
       // Shapley: one user aggregate; the 2^n v-table broadcast onto the
       // driver-built coefficient table
       "q299_shapley" -> Seq("HashAggregate", "BroadcastHashJoin"),

@@ -1225,7 +1225,10 @@ object ExtensionQueries {
       import graft.text.Dedup
       val docs = Tables.documents(s, d)
       val dir = scratchDir("graft_sigaud")
+      // the signature frame feeds BOTH the base write and the append —
+      // lazy cut so the MinHash pass over the corpus runs once, not twice
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+        .localCheckpoint(false)
       Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4),
         "doc_id", dir)
       Dedup.appendSignatureIndex(sig.filter(col("doc_id") % 5 === 4),

@@ -7,10 +7,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 /** CDC apply-on-ingest: the streaming form of `ops.Merge.upsert`.
   *
   * Each micro-batch of change rows (op I/U/D + per-key version) merges into
-  * the persisted snapshot; the result is written beside the live snapshot
-  * and swapped in with renames, so readers always see a complete snapshot
-  * and a crashed apply leaves the previous one untouched (the same
-  * write-sibling-then-swap shape as `Dedup.compactSignatureIndex`).
+  * the persisted snapshot; the result publishes as a new immutable
+  * generation behind [[Compaction]]'s atomic pointer flip, so readers
+  * always see a complete snapshot — including readers that resolved
+  * BEFORE the apply (grace period) — and a crashed apply leaves the
+  * previous generation fully live (uncommitted payload is GC'd).
   *
   * Replay safety comes from the merge semantics themselves: applying the
   * same change batch onto the post-apply snapshot is a no-op — a re-applied
@@ -29,24 +30,30 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 object StreamingMerge {
 
   /** One merge application onto the stored snapshot (shared by the batch
-    * and streaming paths). `basePath/current` must exist. */
+    * and streaming paths). `basePath/current` must exist (via [[init]]).
+    * The swap rides [[Compaction]]'s versioned-root protocol: the merged
+    * snapshot publishes as a new immutable generation behind an atomic
+    * pointer flip, so a reader that resolved [[readSnapshot]] before the
+    * apply keeps a complete view through the grace period (one further
+    * apply) — never a path-not-found mid-swap. */
   def applyBatch(spark: SparkSession, changes: DataFrame, basePath: String,
                  key: String, versionCol: String, opCol: String): Unit = {
-    val base = spark.read.parquet(s"$basePath/current")
+    val base = readSnapshot(spark, basePath)
     Merge.upsert(base, changes, key, versionCol, opCol)
-      .write.mode("overwrite").parquet(s"$basePath/next")
-    val fs = new org.apache.hadoop.fs.Path(basePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$basePath/$s")
-    fs.delete(p("old"), true)
-    fs.rename(p("current"), p("old"))
-    fs.rename(p("next"), p("current"))
-    fs.delete(p("old"), true): Unit
+      .write.mode("overwrite").parquet(s"$basePath/current_new")
+    Compaction.promote(spark, basePath, Seq("current"))
   }
 
   /** Seed the snapshot directory from an initial base table. */
   def init(base: DataFrame, basePath: String): Unit =
     base.write.mode("overwrite").parquet(s"$basePath/current")
+
+  /** The live snapshot — resolve the pointer once per query
+    * ([[Compaction.view]]; legacy pre-versioning layouts fall back to the
+    * literal `current` directory). */
+  def readSnapshot(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(Compaction.resolve(spark, basePath, "current")
+      .getOrElse(s"$basePath/current"))
 
   /** foreachBatch sink applying each micro-batch of changes to the
     * snapshot at `basePath/current`. */

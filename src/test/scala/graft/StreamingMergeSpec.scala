@@ -17,7 +17,7 @@ class StreamingMergeSpec extends SparkSpec {
     StructField("_v", LongType)))
 
   private def snap(path: String): Map[Long, (String, Double)] =
-    spark.read.parquet(s"$path/current")
+    graft.streaming.StreamingMerge.readSnapshot(spark, path)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
 
   test("micro-batches merge into the snapshot; replay is a no-op") {
