@@ -60,6 +60,25 @@ object LexIndex {
                        nBuckets: Int): org.apache.spark.sql.Column =
     pmod(TextOps.h64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** (doc_id, _toks) — the tokenization both statistics derive from.
+    * The index build consumes it twice (postings + doclens), so the
+    * writers cut it lazily: one parquet scan + one normalize/tokenize
+    * pass instead of two, with the blocks freed when the plan drops. */
+  private def tokenized(docs: DataFrame, id: String,
+                        text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        TextOps.tokens(TextOps.normalize(col(text))).as("_toks"))
+      .localCheckpoint(false)
+
+  private def postingsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("_toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  private def docLengthsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), size(col("_toks")).cast("long").as("dl"))
+
   /** Write the base index over a corpus. */
   def writeIndex(docs: DataFrame, id: String, text: String, dir: String,
                  nBuckets: Int = 64): Unit = {
@@ -67,12 +86,13 @@ object LexIndex {
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    postings(docs, id, text)
+    val toks = tokenized(docs, id, text)
+    postingsOf(toks)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings/base")
-    docLengths(docs, id, text)
+    docLengthsOf(toks)
       .write.mode("overwrite").parquet(s"$dir/doclens/base")
   }
 
@@ -91,6 +111,7 @@ object LexIndex {
     // (an all-blank batch skips its postings increment, so the two
     // watermarks can differ)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val toks = tokenized(batch, id, text) // one pass feeds both roots
     if (!Compaction.isFolded(spark, s"$dir/postings", batchId)) {
       // an all-blank batch yields zero postings rows; writing the empty
       // PARTITIONED frame would leave a file-less batch dir that breaks
@@ -100,7 +121,7 @@ object LexIndex {
       // produced bucket directories; its doclens still land either way,
       // so the docs count toward N/avgdl.
       val tmp = new Path(s"$dir/postings/increments/_tmp_batch_$batchId")
-      postings(batch, id, text)
+      postingsOf(toks)
         .withColumn("bucket", bucketOf(col("term"), nBuckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
@@ -112,7 +133,7 @@ object LexIndex {
       } else fs.delete(tmp, true): Unit
     }
     if (!Compaction.isFolded(spark, s"$dir/doclens", batchId))
-      docLengths(batch, id, text)
+      docLengthsOf(toks)
         .write.mode("overwrite")
         .parquet(s"$dir/doclens/increments/batch=$batchId")
   }
