@@ -194,6 +194,51 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // ── GRAPH TAKEDOWN: delete every vec_id ≡ 3 mod 7 from the stored
+    //    graph — the touched bucket groups restate over the LIVE
+    //    membership, so the maintained search equals a from-scratch
+    //    graph over the filtered corpus EXACTLY (deleted vectors stop
+    //    competing for degree slots, not just stop being returned).
+    //    Stage 'tombstoned' searches before any fold; stage 'erased'
+    //    after compactIndex physically removed the rows
+    "q347_graph_delete" -> ((s, d) => {
+      import graft.sim.GraphAnnIndex
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_ganndel")
+      GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", Dim, dir)
+      GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      GraphAnnIndex.deleteBatch(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 1L)
+      val q = e.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
+      val tombstoned = GraphAnnIndex.search(s, dir, q, "vec_id",
+          "embedding", k = 5)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-compaction read
+      GraphAnnIndex.compactIndex(s, dir)
+      tombstoned.unionByName(
+        GraphAnnIndex.search(s, dir, q, "vec_id", "embedding", k = 5)
+          .withColumn("stage", lit("erased")))
+    }),
+
+    // ── GRAPH BUCKET-OCCUPANCY DRIFT: the frozen LSH geometry's aging
+    //    monitor (q331's contract on the graph axis) — per layer, the L1
+    //    between the base's and the live increments' bucket-occupancy
+    //    distributions, from the stored bucket columns alone. The oracle
+    //    recomputes both distributions with the same closed-form plane
+    //    buckets and the same decimal-quantized arithmetic
+    "q348_graph_bucket_drift" -> ((s, d) => {
+      import graft.sim.GraphAnnIndex
+      val e = Tables.embeddings(s, d)
+      val dir = scratchDir("graft_gdrift")
+      GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", Dim, dir)
+      GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", dir, 0L)
+      GraphAnnIndex.bucketDrift(s, dir)
+    }),
+
     // ── IVF-style ANN: centroid routing + in-cell exact rerank
     "q48_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1988,8 +2033,12 @@ object ExtensionQueries {
 
   /** q172 oracle: rebuild the two-layer neighbor graph edge-for-edge and
     * replay the beam search with one unrolled CTE pair per round — every
-    * step is rounded-cosine + id-tie-break deterministic arithmetic. */
-  private val graphAnnOracleSql = {
+    * step is rounded-cosine + id-tie-break deterministic arithmetic.
+    * `corpusWhere` restricts the graph's membership (the delete replay:
+    * a takedown's from-scratch truth is the graph over the FILTERED
+    * corpus); `queryWhere` restricts the query set to live vectors. */
+  private def graphAnnOracleSql(corpusWhere: String = "TRUE",
+                                queryWhere: String = "vec_id < 10"): String = {
     val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
     def bexpr(ps: Seq[Seq[Int]]) = bucketExprOf("v", ps)
     val edgeCos = cosSqlAB("a.v", "b.v")
@@ -2021,7 +2070,7 @@ object ExtensionQueries {
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $corpusWhere),
        |ev AS (SELECT vec_id AS vid, v FROM e),
        |$fineCtes,
        |ch AS (SELECT vid, v, ${bexpr(coarseSlice)} AS bucket
@@ -2030,7 +2079,7 @@ object ExtensionQueries {
        |gd AS ($fineUnion UNION ALL SELECT src, dst FROM gc),
        |g AS (SELECT DISTINCT src, dst FROM
        |  (SELECT src, dst FROM gd UNION ALL SELECT dst, src FROM gd)),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryWhere),
        |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0
        |  ORDER BY vec_id LIMIT 16),
        |c0x AS (SELECT q_id, ent.vec_id FROM q, ent),
@@ -4466,11 +4515,53 @@ object ExtensionQueries {
          |  var_r, var_g, var_b
          |FROM ift""".stripMargin,
     "q168_image_neardup" -> imgClustersSql,
-    "q172_graph_ann" -> graphAnnOracleSql,
+    "q172_graph_ann" -> graphAnnOracleSql(),
     // the stored/maintained graph reproduces the from-scratch build edge
     // for edge (bucket-group restatement) and shares the search tail —
     // the oracle is q172's, shared
-    "q346_graph_ann_indexed" -> graphAnnOracleSql,
+    "q346_graph_ann_indexed" -> graphAnnOracleSql(),
+    // graph takedown replay: the truth is the from-scratch graph over the
+    // FILTERED corpus (deleted vectors stop competing for degree slots),
+    // emitted at both stages — the maintained index matches BEFORE the
+    // fold (touched-group repair) and after (physical erasure)
+    "q347_graph_delete" ->
+      s"""SELECT st.stage, r.q_id, r.vec_id, r.sim, r.rank
+         |FROM (${graphAnnOracleSql("vec_id % 7 <> 3",
+             "vec_id < 10 AND vec_id % 7 <> 3")}) r
+         |CROSS JOIN (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
+
+    // graph bucket-drift replay: both distributions recomputed with the
+    // closed-form plane buckets; one-sided buckets keep their full mass
+    // under their real (layer, bucket) via the coalesced full join
+    "q348_graph_bucket_drift" -> {
+      val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
+      val fines = fineSlices.zipWithIndex.map { case (ps, t) =>
+        s"SELECT $t AS layer, ${bucketExprOf("v", ps)} AS bucket, vec_id FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |lb AS ($fines
+         |  UNION ALL SELECT 3 AS layer, ${bucketExprOf("v", coarseSlice)}
+         |    AS bucket, vec_id FROM e WHERE vec_id % 16 = 0),
+         |b AS (SELECT layer, bucket, count(*) AS cb FROM lb
+         |  WHERE vec_id % 10 <> 0 GROUP BY 1, 2),
+         |i AS (SELECT layer, bucket, count(*) AS ci FROM lb
+         |  WHERE vec_id % 10 = 0 GROUP BY 1, 2),
+         |nb AS (SELECT layer, sum(cb) AS n FROM b GROUP BY 1),
+         |ni AS (SELECT layer, sum(ci) AS n FROM i GROUP BY 1),
+         |j AS (SELECT coalesce(b.layer, i.layer) AS layer,
+         |    coalesce(cb, 0) AS cb, coalesce(ci, 0) AS ci
+         |  FROM b FULL JOIN i ON b.layer = i.layer AND b.bucket = i.bucket)
+         |SELECT j.layer,
+         |  round(CAST(sum(CAST(abs(
+         |    coalesce(CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE), 0.0) -
+         |    coalesce(CAST(ci AS DOUBLE) / CAST(ni.n AS DOUBLE), 0.0))
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS l1_drift
+         |FROM j JOIN nb ON j.layer = nb.layer
+         |LEFT JOIN ni ON j.layer = ni.layer
+         |GROUP BY j.layer""".stripMargin
+    },
     // closed-form recomputation of Multimodal.mp4Fixture's header fields
     // (timescale 600; integer-truncating ms division mirrored with //)
     "q171_video_meta" ->

@@ -184,20 +184,29 @@ object GraphAnnIndex {
     * then RESTATE exactly the bucket groups the batch touches — the edges
     * of those groups recomputed over the full LIVE membership, so the
     * maintained graph equals a from-scratch build over everything
-    * ingested (minus deletions), edge for edge. Idempotent: a retried
-    * batch overwrites its own two directories with identical content.
-    * Batch ids must be monotone across [[appendBatch]] AND
-    * [[deleteBatch]] (they share the edges-increment id space). */
+    * ingested (minus deletions), edge for edge.
+    *
+    * Replay/id contract: `batchId` keys the VECTORS increment (a retried
+    * batch overwrites exactly its own directory; one already folded is
+    * dropped by the watermark). The edge restatement instead lands under
+    * a monotone LOGICAL CLOCK allocated from the edges tree itself —
+    * ingest and DELETE streams have independent per-checkpoint batch
+    * counters, so stream ids cannot provide the total order
+    * last-writer-wins needs; the clock can, because all writes to one
+    * index are serialized (the family's single-writer-between-streams
+    * discipline). A retried batch restates the same groups over the same
+    * live membership (its vectors landing is idempotent), so the extra
+    * clock generation is value-identical and the superseded one is
+    * harmless until the fold drops it. */
   def appendBatch(batch: DataFrame, id: String, emb: String, dir: String,
                   batchId: Long): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    if (Compaction.isFolded(spark, s"$dir/edges", batchId)) return
+    if (Compaction.isFolded(spark, s"$dir/vectors", batchId)) return
     val vecs = Similarity.cut(withBuckets(batch, id, emb, m), eager = false)
-    if (!Compaction.isFolded(spark, s"$dir/vectors", batchId))
-      vecs.write.mode("overwrite")
-        .parquet(s"$dir/vectors/increments/batch=$batchId")
-    restateTouched(spark, dir, m, vecs, batchId)
+    vecs.write.mode("overwrite")
+      .parquet(s"$dir/vectors/increments/batch=$batchId")
+    restateTouched(spark, dir, m, vecs)
   }
 
   /** DELETE vectors (takedown/opt-out): the ids land as a tombstone
@@ -217,17 +226,19 @@ object GraphAnnIndex {
       broadcast(ids.select(col(ids.columns.head).as("vec_id")).distinct()),
       "vec_id", "left_semi")
     val landed = Tombstones.append(ids, dir, batchId)
-    if (landed && !Compaction.isFolded(spark, s"$dir/edges", batchId))
-      restateTouched(spark, dir, m, victim, batchId)
+    if (landed) restateTouched(spark, dir, m, victim)
     landed
   }
 
   /** Restate the bucket groups `touchers` belongs to: per layer, the
     * distinct groups of the touching vectors (a parameter-bounded driver
     * list — |touchers| ints per layer, capped by nGroups), recomputed
-    * over the LIVE membership and landed as ONE edges increment. */
+    * over the LIVE membership and landed as ONE edges increment under the
+    * next LOGICAL CLOCK id. The write goes to a hidden `_tmp` sibling and
+    * renames into place, so a crashed restatement is invisible to readers
+    * (its retry supersedes it under a fresh clock). */
   private def restateTouched(spark: SparkSession, dir: String, m: Meta,
-                             touchers: DataFrame, batchId: Long): Unit = {
+                             touchers: DataFrame): Unit = {
     val touched = (0 to m.fineTables).map { l =>
       val (bcol, memberOf) = layerOf(l, m)
       l -> touchers.filter(memberOf)
@@ -235,9 +246,18 @@ object GraphAnnIndex {
         .distinct().collect().map(_.getInt(0)).toSeq
     }.toMap
     val live = Similarity.cut(readVectors(spark, dir), eager = false)
+    val clock = (Compaction.foldedWatermark(spark, s"$dir/edges") +:
+      Compaction.incrementIds(spark, s"$dir/edges")).max + 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/edges/increments/_tmp_batch_$clock")
     allLayerEdges(live, m, Some(touched))
-      .write.mode("overwrite")
-      .parquet(s"$dir/edges/increments/batch=$batchId")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(
+      s"$dir/edges/increments/batch=$clock")
+    require(fs.rename(tmp, dst),
+      s"graph edge restatement: rename $tmp -> $dst failed")
   }
 
   /** Search the maintained graph — [[Similarity.nswBeamSearch]] (the
@@ -306,6 +326,65 @@ object GraphAnnIndex {
         Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else (0, 0)
+
+  /** BUCKET-OCCUPANCY DRIFT of the maintained graph — the aging monitor
+    * for the frozen LSH geometry ([[graft.sim.PqIndex.codeUsageDrift]]'s
+    * contract on the graph axis), computed from the stored bucket
+    * columns alone: per layer, the L1 distance between the base's
+    * bucket-occupancy distribution and the live increments'. New data
+    * that fills the buckets the way the base did scores ~0; a domain
+    * shift piles onto few buckets (degree joins fatten, navigability
+    * thins) and the distance grows toward 2. Output is layers-sized and
+    * each layer's support is parameter-bounded (≤ 2^finePlanes fine,
+    * 2^4 coarse). With no live increment the comparison is against an
+    * empty distribution (drift = 1 per layer) — gate on
+    * [[Compaction.incrementCount]] as the PQ monitor's callers do. Same
+    * decimal-quantized, coalesced-key arithmetic as the PQ monitor, so
+    * the q348 oracle replays it term for term. */
+  def bucketDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    val v = Compaction.view(spark, s"$dir/vectors")
+    val cols = vectorCols(m)
+    val base = v.readBase(cols).getOrElse(
+      sys.error(s"no stored graph index under $dir"))
+    val inc = v.readIncrements(cols)
+      .getOrElse(base.limit(0))
+    def usage(df: DataFrame, name: String): DataFrame = {
+      val long = (0 to m.fineTables).map { l =>
+        val (bcol, memberOf) = layerOf(l, m)
+        df.filter(memberOf)
+          .select(lit(l).as("layer"), col(bcol).as("bucket"))
+      }.reduce(_.unionByName(_))
+      val tot = long.groupBy("layer").agg(count(lit(1)).as(s"n_$name"))
+      long.groupBy("layer", "bucket")
+        .agg(count(lit(1)).as(s"c_$name")).join(tot, "layer")
+    }
+    val b = usage(base, "base")
+    val i = usage(inc, "inc")
+      .withColumnRenamed("layer", "layer_i")
+      .withColumnRenamed("bucket", "bucket_i")
+    // coalesced full outer: one-sided buckets keep their full mass under
+    // their real (layer, bucket) — the exact shape the monitor must catch
+    val joined = b.join(i,
+        col("layer") <=> col("layer_i") && col("bucket") <=> col("bucket_i"),
+        "full")
+      .select(coalesce(col("layer"), col("layer_i")).as("layer"),
+        coalesce(col("c_base"), lit(0L)).as("cb"),
+        coalesce(col("c_inc"), lit(0L)).as("ci"),
+        col("n_base"), col("n_inc"))
+    joined
+      .select(col("layer"), col("cb"), col("ci"),
+        max(col("n_base")).over(Window.partitionBy("layer")).as("nb"),
+        max(col("n_inc")).over(Window.partitionBy("layer")).as("ni"))
+      .withColumn("_d",
+        abs(coalesce(col("cb").cast("double") / col("nb").cast("double"),
+              lit(0.0)) -
+            coalesce(col("ci").cast("double") / col("ni").cast("double"),
+              lit(0.0)))
+          .cast("decimal(28,12)"))
+      .groupBy("layer")
+      .agg(round(sum(col("_d")).cast("double"), 6).as("l1_drift"))
+  }
 
   /** ERASURE AUDIT ([[graft.text.LexIndex.erasureAudit]]'s readout on the
     * graph axis): tombstone count, the vector rows the anti-join hides,
