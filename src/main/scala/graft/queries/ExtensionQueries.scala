@@ -45,6 +45,130 @@ object ExtensionQueries {
     dir.toString
   }
 
+  // ─────────────────────────── shared fixture recipes ──
+  // Each build below is the deterministic starting state of SEVERAL
+  // catalog queries; [[Fixtures]] memoizes it per (key, data dir) so the
+  // expensive Spark build runs once per JVM — read-only consumers share
+  // the directory, mutating consumers (delete / fold / recluster) get a
+  // file-tree copy. A recipe's key must fully determine its build.
+
+  /** Lexical index, base on doc_id %5≠4, delta %5=4 appended as batch 0
+    * — the q323 layout, starting state of q333/q336/q340/q344/q345. */
+  private def buildLex5(s: SparkSession, d: String)(dir: String): Unit = {
+    val docs = Tables.documents(s, d)
+    graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
+      "doc_id", "text", dir)
+    graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", dir, batchId = 0L)
+  }
+
+  /** Lexical index over the FULL corpus, single shot (q324/q327). */
+  private def buildLexFull(s: SparkSession, d: String)(dir: String): Unit =
+    graft.text.LexIndex.writeIndex(Tables.documents(s, d), "doc_id",
+      "text", dir)
+
+  /** Lexical index, base on doc_id %10≠0 with TWO appended batches
+    * (%20=0 as 0, %20=10 as 1) — the lifecycle-capstone starting state
+    * (q329/q339). */
+  private def buildLex10(s: SparkSession, d: String)(dir: String): Unit = {
+    val docs = Tables.documents(s, d)
+    graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", dir)
+    graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", dir, 0L)
+    graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 10),
+      "doc_id", "text", dir, 1L)
+  }
+
+  /** IVF index under the FULL corpus's label centroids: base written
+    * from vec_id %10≠0, the delta appended frozen — the q312 layout,
+    * also read by q320/q337 and copied by q318's recluster. */
+  private def buildIvf90(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+        "embedding", cents), cents, dir)
+    Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", dir)
+  }
+
+  /** IVF index over the full corpus, single shot (q324/q327). */
+  private def buildIvfFull(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.ivfCentroids(e, "label", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, dir)
+  }
+
+  /** Streaming-layout ANN store: base on vec_id %10≠0 under its own
+    * label centroids, the delta as increment batch 0 — the compaction /
+    * delete / audit starting state (q326/q334/q342). */
+  private def buildSann1(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    graft.streaming.StreamingAnn.writeBaseIndex(
+      e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", "label", dir)
+    Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
+        "embedding", s.read.parquet(s"$dir/centroids"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/increments/batch=0")
+  }
+
+  /** Streaming-layout ANN store with TWO frozen increments (%20=0 as 0,
+    * %20=10 as 1) — the lifecycle-capstone vector side (q329/q339). */
+  private def buildSann2(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    graft.streaming.StreamingAnn.writeBaseIndex(
+      e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", "label", dir)
+    val frozen = s.read.parquet(s"$dir/centroids")
+    Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 0), "vec_id",
+        "embedding", frozen)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/increments/batch=0")
+    Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 10), "vec_id",
+        "embedding", frozen)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/increments/batch=1")
+  }
+
+  /** Flat PQ code table under the closed-form frozen codebook: base on
+    * vec_id %10≠0, delta appended as batch 0 (q330/q331/q335/q341). */
+  private def buildPq1(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", FixedCodebook, dir)
+    graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", dir, 0L)
+  }
+
+  /** IVF-PQ posting lists over the full corpus (q332; q341 composes it
+    * with the flat table under one root, as a real deployment would). */
+  private def buildIvfPq(s: SparkSession, d: String)(dir: String): Unit =
+    graft.sim.PqIndex.writeIvfPq(Tables.embeddings(s, d), "vec_id",
+      "embedding", "label", FixedCodebook, dir)
+
+  /** Stored MinHash signature index: base on doc_id %5≠4, delta appended
+    * as batch 0 — ONE signature pass feeds both (lazy cut), q343/q350. */
+  private def buildSig1(s: SparkSession, d: String)(dir: String): Unit = {
+    val sig = graft.ops.Checkpoint.cut(
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text"),
+      eager = false)
+    Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4),
+      "doc_id", dir)
+    Dedup.appendSignatureIndex(sig.filter(col("doc_id") % 5 === 4),
+      "doc_id", dir, 0L)
+  }
+
+  /** Stored graph-ANN index: base on vec_id %10≠0, delta appended as
+    * batch 0 (q346/q348; q347 copies and deletes). */
+  private def buildGraph1(s: SparkSession, d: String)(dir: String): Unit = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", Dim, dir)
+    graft.sim.GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", dir, 0L)
+  }
+
   val queries: Map[String, Q] = Map(
     // ── exact dedup: digest → canonical id + multiplicity
     "q24_dedup_exact" -> ((s, d) =>
@@ -185,11 +309,7 @@ object ExtensionQueries {
     //    in-memory annGraph over everything ingested (SHARED oracle)
     "q346_graph_ann_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_gannidx")
-      graft.sim.GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", Dim, dir)
-      graft.sim.GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
+      val dir = Fixtures.shared("graph1", d)(buildGraph1(s, d))
       graft.sim.GraphAnnIndex.search(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
     }),
@@ -204,11 +324,7 @@ object ExtensionQueries {
     "q347_graph_delete" -> ((s, d) => {
       import graft.sim.GraphAnnIndex
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_ganndel")
-      GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", Dim, dir)
-      GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
+      val dir = Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))
       GraphAnnIndex.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 1L)
       val q = e.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3)
@@ -228,15 +344,51 @@ object ExtensionQueries {
     //    distributions, from the stored bucket columns alone. The oracle
     //    recomputes both distributions with the same closed-form plane
     //    buckets and the same decimal-quantized arithmetic
-    "q348_graph_bucket_drift" -> ((s, d) => {
-      import graft.sim.GraphAnnIndex
+    "q348_graph_bucket_drift" -> ((s, d) =>
+      graft.sim.GraphAnnIndex.bucketDrift(s,
+        Fixtures.shared("graph1", d)(buildGraph1(s, d)))),
+
+    // ── FILTERED search over the STORED GRAPH — q337's "search within a
+    //    tenant" contract on the graph axis: the vec_id ≡ 0 mod 3
+    //    predicate applies INSIDE the beam (excluded vectors neither rank
+    //    nor navigate — the beam runs over the induced survivor
+    //    subgraph), never as a post-filter of an unfiltered top-k. The
+    //    oracle rebuilds the full graph and replays the beam with every
+    //    candidate/entry restricted to survivors
+    "q349_graph_filtered" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_gdrift")
-      GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", Dim, dir)
-      GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
-      GraphAnnIndex.bucketDrift(s, dir)
+      val dir = Fixtures.shared("graph1", d)(buildGraph1(s, d))
+      graft.sim.GraphAnnIndex.searchFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("vec_id") % 3 === 0, k = 5)
+    }),
+
+    // ── TAKEDOWN CAMPAIGN: one compliance request landed across FOUR
+    //    maintained families at once (lexical postings, IVF vector store,
+    //    PQ code table, dedup signature bands) + ONE combined
+    //    erasure-attestation frame — stage 'tombstoned' shows every
+    //    family's physical rows hidden-but-present, stage 'erased' (after
+    //    each family's erasure-bearing fold) all-clean. The oracle
+    //    derives every family's counts from the corpus
+    "q350_takedown_campaign" -> ((s, d) => {
+      import graft.streaming.Takedown
+      val docs = Tables.documents(s, d)
+      val e = Tables.embeddings(s, d)
+      val t = Takedown.Targets(
+        lex = Some(Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))),
+        ann = Some(Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))),
+        pq = Some(Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))),
+        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))))
+      Takedown.land(
+        Some(docs.filter(col("doc_id") % 7 === 3).select("doc_id")),
+        Some(e.filter(col("vec_id") % 7 === 3).select("vec_id")),
+        t, batchId = 0L)
+      val before = Takedown.attest(s, t)
+        .withColumn("stage", lit("tombstoned"))
+        .localCheckpoint() // eager: pin the pre-erasure attestation
+      Takedown.erase(s, t)
+      before.unionByName(Takedown.attest(s, t)
+        .withColumn("stage", lit("erased")))
     }),
 
     // ── IVF-style ANN: centroid routing + in-cell exact rerank
@@ -700,15 +852,9 @@ object ExtensionQueries {
     //    its own increment, the probe scan bucket-PRUNED by the query
     //    terms — value-identical to q102 (shared oracle), so the lexical
     //    index round-trip + append path is itself oracle-checked
-    "q323_bm25_indexed" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_lexidx")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
-      graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
-    }),
+    "q323_bm25_indexed" -> ((s, d) =>
+      graft.text.LexIndex.bm25Indexed(s,
+        Fixtures.shared("lex5", d)(buildLex5(s, d)), Bm25Terms)),
 
     // ── FILTERED ANN: top-3 under a metadata predicate (vec_id ≡ 0 mod 3,
     //    ~⅓ selectivity), nProbe=2 — the predicate applies INSIDE the two
@@ -830,13 +976,7 @@ object ExtensionQueries {
     //    round-trip + append path is itself oracle-checked
     "q312_ann_index_stored" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      val dir = scratchDir("graft_ivfidx")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
-          "embedding", cents), cents, dir)
-      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir)
+      val dir = Fixtures.shared("ivf90", d)(buildIvf90(s, d))
       Similarity.annIvfIndexed(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nProbe = 2)
     }),
@@ -862,13 +1002,7 @@ object ExtensionQueries {
     //    drift→recluster loop under full value-level checks
     "q318_ivf_recluster" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      val dir = scratchDir("graft_ivfrec")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
-          "embedding", cents), cents, dir)
-      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir)
+      val dir = Fixtures.mutableCopy("ivf90", d)(buildIvf90(s, d))
       Similarity.reclusterIvfIndex(s, dir)
       Similarity.annIvfIndexed(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nProbe = 2)
@@ -882,14 +1016,7 @@ object ExtensionQueries {
     //    value level through the fold
     "q326_compacted_ann_index" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_cann")
-      graft.streaming.StreamingAnn.writeBaseIndex(
-        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        "label", dir)
-      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
-          "embedding", s.read.parquet(s"$dir/centroids"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/increments/batch=0")
+      val dir = Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))
       require(graft.streaming.StreamingAnn.compactIndex(s, dir) == 1,
         "the increment must fold")
       graft.streaming.StreamingAnn.search(s, dir,
@@ -904,13 +1031,7 @@ object ExtensionQueries {
     //    truth — recall/MRR/nDCG of the hybrid stack, not the scorer
     "q320_rerank_eval" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      val dir = scratchDir("graft_ivfrr")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
-          "embedding", cents), cents, dir)
-      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir)
+      val dir = Fixtures.shared("ivf90", d)(buildIvf90(s, d))
       val (post, _) = Similarity.readIvfIndex(s, dir)
       graft.text.Retrieval.rerankEval(Tables.documents(s, d), "doc_id",
         "text", Bm25Terms, post.select("vec_id", "v"),
@@ -927,13 +1048,8 @@ object ExtensionQueries {
       // single-shot builds: the append paths are q323's / q312's claims;
       // this query's claim is the eval running off the stored state
       val e = Tables.embeddings(s, d)
-      val ldir = scratchDir("graft_lexhyb")
-      graft.text.LexIndex.writeIndex(Tables.documents(s, d),
-        "doc_id", "text", ldir)
-      val vdir = scratchDir("graft_ivfhyb")
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, vdir)
+      val ldir = Fixtures.shared("lexFull", d)(buildLexFull(s, d))
+      val vdir = Fixtures.shared("ivfFull", d)(buildIvfFull(s, d))
       val (post, _) = Similarity.readIvfIndex(s, vdir)
       graft.text.Retrieval.rerankEvalIndexed(s, ldir, Bm25Terms,
         post.select("vec_id", "v"), e.filter(col("vec_id") < 10),
@@ -948,13 +1064,8 @@ object ExtensionQueries {
     //    entirely off maintained on-disk state
     "q327_hybrid_rrf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val ldir = scratchDir("graft_lexrrf")
-      graft.text.LexIndex.writeIndex(Tables.documents(s, d),
-        "doc_id", "text", ldir)
-      val vdir = scratchDir("graft_ivfrrf")
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e, "vec_id", "embedding", cents), cents, vdir)
+      val ldir = Fixtures.shared("lexFull", d)(buildLexFull(s, d))
+      val vdir = Fixtures.shared("ivfFull", d)(buildIvfFull(s, d))
       graft.text.Retrieval.hybridRrfIndexed(s, ldir, vdir, Bm25Terms,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         nLex = 50, nProbe = 2, k = 5)
@@ -1012,30 +1123,12 @@ object ExtensionQueries {
     "q329_index_lifecycle" -> ((s, d) => {
       import graft.streaming.StreamingAnn
       val e = Tables.embeddings(s, d)
-      val docs = Tables.documents(s, d)
-      val vdir = scratchDir("graft_lcvec")
-      StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", "label", vdir)
-      val frozen = s.read.parquet(s"$vdir/centroids")
-      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 0), "vec_id",
-          "embedding", frozen)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$vdir/increments/batch=0")
-      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 10), "vec_id",
-          "embedding", frozen)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$vdir/increments/batch=1")
+      val vdir = Fixtures.mutableCopy("sann2", d)(buildSann2(s, d))
       require(StreamingAnn.compactIndexIfNeeded(s, vdir, 1) == 2,
         "the trigger must fold both increments")
       require(StreamingAnn.reclusterIfDrifted(s, vdir, maxDrift = -1.0),
         "the certain breach must recluster")
-      val ldir = scratchDir("graft_lclex")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", ldir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", ldir, 0L)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 10),
-        "doc_id", "text", ldir, 1L)
+      val ldir = Fixtures.mutableCopy("lex10", d)(buildLex10(s, d))
       require(graft.text.LexIndex.compactIndexIfNeeded(s, ldir, 1) == ((2, 2)),
         "the trigger must fold both lexical increments")
       graft.text.Retrieval.hybridRrfStored(s, ldir,
@@ -1060,31 +1153,14 @@ object ExtensionQueries {
       import graft.streaming.StreamingAnn
       val e = Tables.embeddings(s, d)
       val docs = Tables.documents(s, d)
-      val vdir = scratchDir("graft_dlvec")
-      StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", "label", vdir)
-      val frozen = s.read.parquet(s"$vdir/centroids")
-      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 0), "vec_id",
-          "embedding", frozen)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$vdir/increments/batch=0")
-      Similarity.ivfAssign(e.filter(col("vec_id") % 20 === 10), "vec_id",
-          "embedding", frozen)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$vdir/increments/batch=1")
+      val vdir = Fixtures.mutableCopy("sann2", d)(buildSann2(s, d))
       StreamingAnn.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), vdir, 0L)
       require(StreamingAnn.compactIndexIfNeeded(s, vdir, 1) == 2,
         "the trigger must fold both increments")
       require(StreamingAnn.reclusterIfDrifted(s, vdir, maxDrift = -1.0),
         "the certain breach must recluster")
-      val ldir = scratchDir("graft_dllex")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", ldir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", ldir, 0L)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 20 === 10),
-        "doc_id", "text", ldir, 1L)
+      val ldir = Fixtures.mutableCopy("lex10", d)(buildLex10(s, d))
       graft.text.LexIndex.deleteBatch(
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), ldir, 0L)
       require(graft.text.LexIndex.compactIndexIfNeeded(s, ldir, 1) == ((2, 2)),
@@ -1107,11 +1183,7 @@ object ExtensionQueries {
     //    codebook, the argmin encode, the per-query ADC, and the rank
     "q330_pq_index_stored" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_pqidx")
-      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", FixedCodebook, dir)
-      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
+      val dir = Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))
       require(graft.sim.PqIndex.compactIndexIfNeeded(s, dir, 0) == 1,
         "the trigger must fold the increment")
       graft.sim.PqIndex.search(s, dir, e.filter(col("vec_id") < 10),
@@ -1123,15 +1195,9 @@ object ExtensionQueries {
     //    distance between the base's and the increments' codeword-usage
     //    distributions (exact-integer counts, single-rounded double
     //    quotients, decimal-quantized terms)
-    "q331_pq_code_drift" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_pqdrift")
-      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", FixedCodebook, dir)
-      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
-      graft.sim.PqIndex.codeUsageDrift(s, dir)
-    }),
+    "q331_pq_code_drift" -> ((s, d) =>
+      graft.sim.PqIndex.codeUsageDrift(s,
+        Fixtures.shared("pq1", d)(buildPq1(s, d)))),
 
     // ── IVF-PQ: the production serving composition (Jégou's IVFADC /
     //    the faiss IVFPQ layout) — posting lists carry CODES, a probe
@@ -1142,9 +1208,7 @@ object ExtensionQueries {
     //    ADC, and the ascending rank
     "q332_ivfpq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_ivfpq")
-      graft.sim.PqIndex.writeIvfPq(e, "vec_id", "embedding", "label",
-        FixedCodebook, dir)
+      val dir = Fixtures.shared("ivfpq", d)(buildIvfPq(s, d))
       graft.sim.PqIndex.searchIvfPq(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
@@ -1171,13 +1235,7 @@ object ExtensionQueries {
     //    pruning — the "search within a tenant" serving query
     "q337_filtered_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Similarity.ivfCentroids(e, "label", "embedding")
-      val dir = scratchDir("graft_ivffilt")
-      Similarity.writeIvfIndex(
-        Similarity.ivfAssign(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
-          "embedding", cents), cents, dir)
-      Similarity.appendIvfBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir)
+      val dir = Fixtures.shared("ivf90", d)(buildIvf90(s, d))
       Similarity.annIvfIndexedFiltered(s, dir, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", col("vec_id") % 3 === 0, k = 3, nProbe = 2)
     }),
@@ -1189,11 +1247,7 @@ object ExtensionQueries {
     //    The oracle derives both stages' counts from the corpus
     "q340_erasure_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_lexaud")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
+      val dir = Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))
       graft.text.LexIndex.deleteBatch(
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
         batchId = 0L)
@@ -1214,13 +1268,11 @@ object ExtensionQueries {
     //    cell lists) reports zero hidden rows and physically_clean
     "q341_pq_erasure_audit" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_pqaud")
-      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", FixedCodebook, dir)
-      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
-      graft.sim.PqIndex.writeIvfPq(e, "vec_id", "embedding", "label",
-        FixedCodebook, dir)
+      val dir = Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))
+      // compose the IVF-PQ store under the same root (both fixtures
+      // write the identical closed-form codebook, so the overlap is
+      // byte-equal to the sequential build this replaces)
+      Fixtures.copyInto("ivfpq", d, dir)(buildIvfPq(s, d))
       graft.sim.PqIndex.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
         batchId = 0L)
@@ -1240,14 +1292,7 @@ object ExtensionQueries {
     "q342_ann_erasure_audit" -> ((s, d) => {
       import graft.streaming.StreamingAnn
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_annaud")
-      StreamingAnn.writeBaseIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", "label", dir)
-      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
-          "embedding", s.read.parquet(graft.streaming.Compaction
-            .resolve(s, dir, "centroids").get))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/increments/batch=0")
+      val dir = Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))
       StreamingAnn.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
         batchId = 0L)
@@ -1269,15 +1314,7 @@ object ExtensionQueries {
     "q343_dedup_erasure_audit" -> ((s, d) => {
       import graft.text.Dedup
       val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_sigaud")
-      // the signature frame feeds BOTH the base write and the append —
-      // lazy cut so the MinHash pass over the corpus runs once, not twice
-      val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
-        .localCheckpoint(false)
-      Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", dir)
-      Dedup.appendSignatureIndex(sig.filter(col("doc_id") % 5 === 4),
-        "doc_id", dir, 0L)
+      val dir = Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))
       Dedup.deleteFromSignatureIndex(
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
         batchId = 0L)
@@ -1297,11 +1334,7 @@ object ExtensionQueries {
     //    from-scratch BM25 over the corpus minus those domains
     "q344_delete_by_source" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_srcdel")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
+      val dir = Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))
       graft.text.LexIndex.deleteWhere(docs, "doc_id",
         col("source").isin("src3", "src7"), dir, batchId = 0L)
       val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
@@ -1321,12 +1354,7 @@ object ExtensionQueries {
     //    from-scratch BM25 over the corpus minus the matching docs (the
     //    query still asks for T: its df is 0 afterwards, by construction)
     "q345_delete_by_term" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_termdel")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
+      val dir = Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))
       graft.text.LexIndex.deleteWhereTermMatches(s, dir, Seq("stream"),
         batchId = 0L)
       val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
@@ -1343,15 +1371,9 @@ object ExtensionQueries {
     //    shift plus the increments' out-of-vocabulary term and occurrence
     //    mass against the base vocabulary, all from the stored index
     //    alone. Exact-integer counts, single-rounded quotients, ONE row
-    "q336_lex_stats_drift" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_lexdrift")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
-      graft.text.LexIndex.statsDrift(s, dir)
-    }),
+    "q336_lex_stats_drift" -> ((s, d) =>
+      graft.text.LexIndex.statsDrift(s,
+        Fixtures.shared("lex5", d)(buildLex5(s, d)))),
 
     // ── DELETE from the stored PQ tier: base codes on 90% under the
     //    closed-form frozen codebook, delta appended, every vec_id ≡ 3
@@ -1362,11 +1384,7 @@ object ExtensionQueries {
     //    per-vector, so deletion distributes exactly)
     "q335_pq_delete" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_pqdel")
-      graft.sim.PqIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", FixedCodebook, dir)
-      graft.sim.PqIndex.appendBatch(e.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", dir, 0L)
+      val dir = Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))
       graft.sim.PqIndex.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
         batchId = 0L)
@@ -1391,11 +1409,7 @@ object ExtensionQueries {
     //    docs — tf, df, N and avgdl all reflecting the deletion
     "q333_lex_delete" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = scratchDir("graft_lexdel")
-      graft.text.LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", dir)
-      graft.text.LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4),
-        "doc_id", "text", dir, batchId = 0L)
+      val dir = Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))
       graft.text.LexIndex.deleteBatch(
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir,
         batchId = 0L)
@@ -1417,14 +1431,7 @@ object ExtensionQueries {
     //    deletes never move a centroid until recluster
     "q334_ann_delete" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dir = scratchDir("graft_anndel")
-      graft.streaming.StreamingAnn.writeBaseIndex(
-        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        "label", dir)
-      Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 0), "vec_id",
-          "embedding", s.read.parquet(s"$dir/centroids"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/increments/batch=0")
+      val dir = Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))
       graft.streaming.StreamingAnn.deleteBatch(
         e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir,
         batchId = 0L)
@@ -2036,9 +2043,16 @@ object ExtensionQueries {
     * step is rounded-cosine + id-tie-break deterministic arithmetic.
     * `corpusWhere` restricts the graph's membership (the delete replay:
     * a takedown's from-scratch truth is the graph over the FILTERED
-    * corpus); `queryWhere` restricts the query set to live vectors. */
+    * corpus); `queryWhere` restricts the query set to live vectors;
+    * `candWhere` (a predicate builder over a vec_id column reference)
+    * restricts the BEAM — entries and every round's scored candidates —
+    * to the surviving pool while the graph itself keeps its full
+    * membership (the q349 filtered-search replay: a filter is per-query,
+    * never a restatement). */
   private def graphAnnOracleSql(corpusWhere: String = "TRUE",
-                                queryWhere: String = "vec_id < 10"): String = {
+                                queryWhere: String = "vec_id < 10",
+                                candWhere: String => String =
+                                  _ => "TRUE"): String = {
     val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
     def bexpr(ps: Seq[Seq[Int]]) = bucketExprOf("v", ps)
     val edgeCos = cosSqlAB("a.v", "b.v")
@@ -2062,7 +2076,7 @@ object ExtensionQueries {
          |  UNION ALL SELECT q_id, vec_id FROM b${r - 1})),
          |s$r AS (SELECT c.q_id, c.vec_id, ${cosSqlAB("q.qv", "ev.v")} AS sim
          |  FROM c$r c JOIN ev ON c.vec_id = ev.vid JOIN q ON c.q_id = q.q_id
-         |  WHERE c.vec_id != c.q_id),
+         |  WHERE c.vec_id != c.q_id AND ${candWhere("c.vec_id")}),
          |b$r AS (SELECT q_id, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY sim DESC, vec_id) AS rn FROM s$r) WHERE rn <= 24)"""
@@ -2081,11 +2095,12 @@ object ExtensionQueries {
        |  (SELECT src, dst FROM gd UNION ALL SELECT dst, src FROM gd)),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryWhere),
        |ent AS (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+       |  AND ${candWhere("vec_id")}
        |  ORDER BY vec_id LIMIT 16),
        |c0x AS (SELECT q_id, ent.vec_id FROM q, ent),
        |s0 AS (SELECT c.q_id, c.vec_id, ${cosSqlAB("q.qv", "ev.v")} AS sim
        |  FROM c0x c JOIN ev ON c.vec_id = ev.vid JOIN q ON c.q_id = q.q_id
-       |  WHERE c.vec_id != c.q_id),
+       |  WHERE c.vec_id != c.q_id AND ${candWhere("c.vec_id")}),
        |b0 AS (SELECT q_id, vec_id, sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY sim DESC, vec_id) AS rn FROM s0) WHERE rn <= 24),
@@ -4529,6 +4544,49 @@ object ExtensionQueries {
          |FROM (${graphAnnOracleSql("vec_id % 7 <> 3",
              "vec_id < 10 AND vec_id % 7 <> 3")}) r
          |CROSS JOIN (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
+    // filtered graph search replay: the graph keeps its FULL membership
+    // (a filter is per-query, never a restatement), the beam — entries
+    // and every round's scored candidates — is restricted to survivors
+    "q349_graph_filtered" ->
+      graphAnnOracleSql(candWhere = ref => s"$ref % 3 = 0"),
+    // campaign attestation replay: every family's hidden-row count
+    // derived from the corpus — lexical = distinct (term, doc) postings
+    // of the deleted docs + their doclens rows; ann/pq = one row per
+    // deleted vector in each store; dedup = the deleted docs' MinHash
+    // band rows (short docs contribute none). Stage 'erased' is all-zero
+    // by construction; tombstone counts persist (terminal semantics)
+    "q350_takedown_campaign" ->
+      s"""WITH $normCte,
+         |ltk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w
+         |  FROM nrm),
+         |ltoks AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(w) AS term FROM ltk)
+         |  WHERE length(term) > 0),
+         |ph AS (SELECT CAST(count(*) AS BIGINT) AS p FROM (
+         |  SELECT DISTINCT term, doc_id FROM ltoks WHERE doc_id % 7 = 3)),
+         |dhd AS (SELECT CAST(count(*) AS BIGINT) AS d
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |dhe AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings WHERE vec_id % 7 = 3),
+         |$sigCte,
+         |bh2 AS (SELECT doc_id, bk FROM (
+         |  SELECT doc_id, unnest([${(0 until Dedup.NumBands)
+               .map(b => s"band$b").mkString(", ")}]) AS bk
+         |  FROM sig WHERE doc_id % 7 = 3) WHERE bk IS NOT NULL),
+         |hid AS (SELECT CAST(count(*) AS BIGINT) AS h FROM bh2),
+         |fam AS (
+         |  SELECT 'lex' AS family, dhd.d AS n_tombstones,
+         |    ph.p + dhd.d AS rows_hidden FROM dhd, ph
+         |  UNION ALL SELECT 'ann', dhe.n, dhe.n FROM dhe
+         |  UNION ALL SELECT 'pq', dhe.n, dhe.n FROM dhe
+         |  UNION ALL SELECT 'dedup', dhd.d, hid.h FROM dhd, hid)
+         |SELECT fam.family, fam.n_tombstones,
+         |  CASE st.stage WHEN 'tombstoned' THEN fam.rows_hidden
+         |    ELSE CAST(0 AS BIGINT) END AS rows_hidden,
+         |  CASE WHEN st.stage = 'tombstoned' THEN fam.rows_hidden = 0
+         |    ELSE TRUE END AS physically_clean,
+         |  st.stage
+         |FROM fam, (VALUES ('tombstoned'), ('erased')) st(stage)""".stripMargin,
 
     // graph bucket-drift replay: both distributions recomputed with the
     // closed-form plane buckets; one-sided buckets keep their full mass
@@ -4558,9 +4616,13 @@ object ExtensionQueries {
          |    coalesce(CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE), 0.0) -
          |    coalesce(CAST(ci AS DOUBLE) / CAST(ni.n AS DOUBLE), 0.0))
          |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS l1_drift
-         |FROM j JOIN nb ON j.layer = nb.layer
+         |FROM j LEFT JOIN nb ON j.layer = nb.layer
          |LEFT JOIN ni ON j.layer = ni.layer
          |GROUP BY j.layer""".stripMargin
+      // LEFT joins on BOTH totals: a layer with zero base rows (possible
+      // if the fixture ever loses its base hub members) must keep its
+      // coalesce-to-0 arithmetic — the engine's bucketDrift emits it with
+      // l1_drift = 1.0, and an INNER join on nb would silently drop it
     },
     // closed-form recomputation of Multimodal.mp4Fixture's header fields
     // (timescale 600; integer-truncating ms division mirrored with //)

@@ -128,15 +128,31 @@ object GraphAnnIndex {
     }.reduce(_.unionByName(_))
 
   /** Write the base index over a corpus: frozen geometry in `meta/`, the
-    * bucket-annotated vectors, and the full directed edge set. */
+    * bucket-annotated vectors, and the full directed edge set.
+    *
+    * `nGroups` is FROZEN GEOMETRY — it caps the parallelism of every later
+    * restatement and of [[readEdges]]'s last-writer-wins merge windows
+    * (one window per (layer, grp)), and cannot change without a rebuild.
+    * `nGroups ≤ 0` (the default) derives it from the corpus at write
+    * time: the bucket-count target (2^finePlanes·fineTables/16) or one
+    * group per ~1M vectors, whichever is larger, floored at 64 (the
+    * historical default — small corpora are byte-identical to it) and
+    * capped at 4096 (beyond which per-group restatement overhead
+    * dominates). A 100× corpus thus gets 100× merge parallelism without
+    * the operator remembering to size it. */
   def writeIndex(corpus: DataFrame, id: String, emb: String, dim: Int,
                  dir: String, degree: Int = 12, finePlanes: Int = 8,
                  fineTables: Int = 3, hubMod: Int = 16,
-                 nGroups: Int = 64): Unit = {
+                 nGroups: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val m = Meta(dim, degree, finePlanes, fineTables, hubMod, nGroups)
-    Seq((dim, degree, finePlanes, fineTables, hubMod, nGroups))
+    val groups =
+      if (nGroups > 0) nGroups
+      else math.max(64, math.min(4096,
+        math.max((1 << finePlanes) * fineTables / 16,
+          (corpus.count() / 1000000L).toInt)))
+    val m = Meta(dim, degree, finePlanes, fineTables, hubMod, groups)
+    Seq((dim, degree, finePlanes, fineTables, hubMod, groups))
       .toDF("dim", "degree", "fine_planes", "fine_tables", "hub_mod",
         "n_groups")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -197,16 +213,39 @@ object GraphAnnIndex {
     * discipline). A retried batch restates the same groups over the same
     * live membership (its vectors landing is idempotent), so the extra
     * clock generation is value-identical and the superseded one is
-    * harmless until the fold drops it. */
+    * harmless until the fold drops it.
+    *
+    * The restatement is SEPARATELY replay-safe: each completed
+    * restatement leaves a marker keyed by the triggering batch
+    * (`edges/_restated/i<batchId>`), and a replayed batch whose VECTORS
+    * are already folded still restates iff its marker is missing — the
+    * crash-between-landing-and-restatement window, where a fold that ran
+    * before the retry absorbed the vectors (watermark ≥ batchId) but the
+    * touched groups' edges were never recomputed. Without the marker the
+    * old early-return left those vectors permanently unreachable.
+    * [[compactIndex]] runs the same repair up front, so the invariant
+    * holds even if the stream never restarts. */
   def appendBatch(batch: DataFrame, id: String, emb: String, dir: String,
                   batchId: Long): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir)
-    if (Compaction.isFolded(spark, s"$dir/vectors", batchId)) return
+    val tag = s"i$batchId"
+    val folded = Compaction.isFolded(spark, s"$dir/vectors", batchId)
+    if (folded && hasRestated(spark, dir, tag)) return
     val vecs = Similarity.cut(withBuckets(batch, id, emb, m), eager = false)
-    vecs.write.mode("overwrite")
-      .parquet(s"$dir/vectors/increments/batch=$batchId")
-    restateTouched(spark, dir, m, vecs)
+    // the parameter-bounded groups collect doubles as the empty-batch
+    // probe (every row belongs to a fine-layer group), so streaming sinks
+    // need no separate isEmpty pre-pass job
+    val touched = touchedGroups(vecs, m)
+    if (touched.valuesIterator.forall(_.isEmpty)) return
+    if (!folded)
+      vecs.write.mode("overwrite")
+        .parquet(s"$dir/vectors/increments/batch=$batchId")
+    // folded && !hasRestated: the crash-window repair — the vectors were
+    // absorbed by a fold that ran before this retry, but the touched
+    // groups' edges were never recomputed (withBuckets is deterministic,
+    // so the groups are exactly the original landing's)
+    restateGroups(spark, dir, m, touched, tag)
   }
 
   /** DELETE vectors (takedown/opt-out): the ids land as a tombstone
@@ -220,45 +259,95 @@ object GraphAnnIndex {
   def deleteBatch(ids: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = ids.sparkSession
     val m = readMeta(spark, dir)
+    val tag = s"d$batchId"
+    val idf = ids.select(col(ids.columns.head).as("vec_id")).distinct()
     // resolve the deleted ids' bucket groups BEFORE the tombstone hides
     // them from the live read
-    val victim = rawVectors(spark, dir).join(
-      broadcast(ids.select(col(ids.columns.head).as("vec_id")).distinct()),
-      "vec_id", "left_semi")
+    val victim = rawVectors(spark, dir).join(broadcast(idf), Seq("vec_id"),
+      "left_semi")
     val landed = Tombstones.append(ids, dir, batchId)
-    if (landed) restateTouched(spark, dir, m, victim)
+    if (landed) restateGroups(spark, dir, m, touchedGroups(victim, m), tag)
+    else if (!hasRestated(spark, dir, tag)) {
+      // replayed delete whose original restatement never completed, with
+      // the fold already past (victims may be physically erased): the
+      // groups to repair are the ones whose LIVE edges still reference a
+      // deleted endpoint — restating them over the live membership
+      // removes the stale references exactly
+      val e = readEdges(spark, dir)
+      val touched = e.join(broadcast(idf),
+          e("src") === idf("vec_id") || e("dst") === idf("vec_id"),
+          "left_semi")
+        .select("layer", "grp").distinct().collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) => l -> rows.map(_.getInt(1)).toSeq }
+      if (touched.valuesIterator.exists(_.nonEmpty))
+        restateGroups(spark, dir, m, touched, tag)
+      else markRestated(spark, dir, tag)
+    }
     landed
   }
 
-  /** Restate the bucket groups `touchers` belongs to: per layer, the
-    * distinct groups of the touching vectors (a parameter-bounded driver
-    * list — |touchers| ints per layer, capped by nGroups), recomputed
-    * over the LIVE membership and landed as ONE edges increment under the
-    * next LOGICAL CLOCK id. The write goes to a hidden `_tmp` sibling and
-    * renames into place, so a crashed restatement is invisible to readers
-    * (its retry supersedes it under a fresh clock). */
-  private def restateTouched(spark: SparkSession, dir: String, m: Meta,
-                             touchers: DataFrame): Unit = {
-    val touched = (0 to m.fineTables).map { l =>
+  /** Per layer, the distinct bucket groups of `touchers` — a
+    * parameter-bounded driver list (≤ nGroups ints per layer). */
+  private def touchedGroups(touchers: DataFrame, m: Meta): Map[Int, Seq[Int]] =
+    (0 to m.fineTables).map { l =>
       val (bcol, memberOf) = layerOf(l, m)
       l -> touchers.filter(memberOf)
         .select(pmod(col(bcol), lit(m.nGroups.toLong)).cast("int").as("g"))
         .distinct().collect().map(_.getInt(0)).toSeq
     }.toMap
-    val live = Similarity.cut(readVectors(spark, dir), eager = false)
-    val clock = (Compaction.foldedWatermark(spark, s"$dir/edges") +:
-      Compaction.incrementIds(spark, s"$dir/edges")).max + 1
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$dir/edges/increments/_tmp_batch_$clock")
-    allLayerEdges(live, m, Some(touched))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val dst = new org.apache.hadoop.fs.Path(
-      s"$dir/edges/increments/batch=$clock")
-    require(fs.rename(tmp, dst),
-      s"graph edge restatement: rename $tmp -> $dst failed")
+
+  private def markerDir(dir: String) = s"$dir/edges/_restated"
+
+  private def hasRestated(spark: SparkSession, dir: String,
+                          tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${markerDir(dir)}/$tag")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  private def markRestated(spark: SparkSession, dir: String,
+                           tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${markerDir(dir)}/$tag")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Restate `touched`'s bucket groups: recomputed over the LIVE
+    * membership and landed as ONE edges increment under the next LOGICAL
+    * CLOCK id. The write goes to a hidden `_tmp` sibling and renames into
+    * place, so a crashed restatement is invisible to readers (its retry
+    * supersedes it under a fresh clock); stale `_tmp_batch_*` leftovers of
+    * such crashes are swept here, because neither GC arm reaps them
+    * (gcIncrements only sees `batch=` dirs, gcVersions only `_v` dirs).
+    * On completion a `_restated/<tag>` marker records that the triggering
+    * batch's edge work is done — the replay guards above key on it. */
+  private def restateGroups(spark: SparkSession, dir: String, m: Meta,
+                            touched: Map[Int, Seq[Int]], tag: String): Unit =
+    // leased: the clock allocation below is max+1 over the edges tree —
+    // sound only while writes to one index are serialized, so make the
+    // contract mechanical (a racing writer fails fast, not lost-update)
+    Compaction.withWriteLease(spark, s"$dir/edges") {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val incDir = new org.apache.hadoop.fs.Path(s"$dir/edges/increments")
+      if (fs.exists(incDir))
+        fs.listStatus(incDir)
+          .filter(_.getPath.getName.startsWith("_tmp_batch_"))
+          .foreach(st => fs.delete(st.getPath, true))
+      val live = Similarity.cut(readVectors(spark, dir), eager = false)
+      val clock = (Compaction.foldedWatermark(spark, s"$dir/edges") +:
+        Compaction.incrementIds(spark, s"$dir/edges")).max + 1
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/edges/increments/_tmp_batch_$clock")
+      allLayerEdges(live, m, Some(touched))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$dir/edges/increments/batch=$clock")
+      require(fs.rename(tmp, dst),
+        s"graph edge restatement: rename $tmp -> $dst failed")
+      markRestated(spark, dir, tag)
+    }
 
   /** Search the maintained graph — [[Similarity.nswBeamSearch]] (the
     * exact [[Similarity.annGraph]] tail) over the stored live vectors
@@ -277,14 +366,71 @@ object GraphAnnIndex {
       nEntries, m.hubMod)
   }
 
+  /** FILTERED search over the maintained graph — the "search within a
+    * tenant" serving query ([[Similarity.annIvfIndexedFiltered]]'s
+    * contract on the graph axis): `pred` (over the stored vector columns
+    * — vec_id, v, and the bucket columns) applies INSIDE the beam, never
+    * as a post-filter of an unfiltered top-k. Excluded vectors neither
+    * RANK nor NAVIGATE: the beam's candidate join keeps only surviving
+    * vectors, so an excluded vector never enters the beam and its edges
+    * are never expanded — semantically the beam runs over the INDUCED
+    * subgraph of the survivors. The stored edges themselves are
+    * untouched (filtering is per-query; degree slots still reflect
+    * full-corpus competition — a filter is not a delete).
+    *
+    * Navigability: multi-table bidirectional edges keep the induced
+    * subgraph connected at moderate selectivity; for LOW-selectivity
+    * predicates (≲5%) widen `beam`/`nEntries` — the bounded knobs — or
+    * route the tenant to its own index. Deterministic end to end, so the
+    * q349 oracle replays the induced-subgraph beam in SQL. */
+  def searchFiltered(spark: SparkSession, dir: String, queries: DataFrame,
+                     id: String, emb: String,
+                     pred: org.apache.spark.sql.Column, k: Int,
+                     beam: Int = 24, rounds: Int = 6,
+                     nEntries: Int = 16): DataFrame = {
+    val m = readMeta(spark, dir)
+    val c = readVectors(spark, dir).filter(pred).select("vec_id", "v")
+    val directed = readEdges(spark, dir).select("src", "dst")
+    val g = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(df => Similarity.cut(df.distinct(), eager = true))
+    Similarity.nswBeamSearch(c, g, queries, id, emb, k, beam, rounds,
+      nEntries, m.hubMod)
+  }
+
   /** Fold both increment trees into new bases (vectors: disjoint union
     * with tombstone erasure; edges: the last-writer-wins merge resolved,
     * sentinels dropped) — reads identical before and after; run between
     * streams. Returns (vector increments folded, edge increments
     * folded). */
   def compactIndex(spark: SparkSession, dir: String): (Int, Int) = {
-    Tombstones.compact(spark, dir)
     val m = readMeta(spark, dir)
+    // Repair crash windows BEFORE any fold absorbs the evidence: a landed
+    // vectors increment (or tombstone batch) whose edge restatement never
+    // completed — the crashed-stream case where the retry has not run yet
+    // — is restated here, so a fold can never orphan new vectors behind
+    // stale group edges (the maintained ≡ from-scratch invariant).
+    Compaction.incrementIds(spark, s"$dir/vectors")
+      .filter(_ > Compaction.foldedWatermark(spark, s"$dir/vectors"))
+      .foreach { b =>
+        if (!hasRestated(spark, dir, s"i$b"))
+          restateGroups(spark, dir, m, touchedGroups(
+            spark.read.parquet(s"$dir/vectors/increments/batch=$b"), m),
+            s"i$b")
+      }
+    Compaction.incrementIds(spark, s"$dir/tombstones")
+      .filter(_ > Compaction.foldedWatermark(spark, s"$dir/tombstones"))
+      .foreach { b =>
+        if (!hasRestated(spark, dir, s"d$b")) {
+          val idf = spark.read
+            .parquet(s"$dir/tombstones/increments/batch=$b")
+            .select(col("tid").as("vec_id"))
+          restateGroups(spark, dir, m, touchedGroups(
+            rawVectors(spark, dir).join(broadcast(idf), Seq("vec_id"),
+              "left_semi"), m), s"d$b")
+        }
+      }
+    Tombstones.compact(spark, dir)
     val fv = Compaction.foldIncrements(spark, s"$dir/vectors") {
       (base, incs) =>
         Tombstones.applyTo((base.toSeq ++ incs)
@@ -314,7 +460,27 @@ object GraphAnnIndex {
           .filter(col("batch") === col("_mx") && col("src").isNotNull)
           .select(cols.map(col): _*)
     } { (df, out) => df.write.mode("overwrite").parquet(out) }
+    gcMarkers(spark, dir)
     (fv, fe)
+  }
+
+  /** Reap restatement markers whose batch the folds now own. Losing a
+    * marker early is cost-only, never correctness: a replay finding
+    * (folded, no marker) re-restates the same groups over the same live
+    * membership — value-identical, superseded at the next fold. */
+  private def gcMarkers(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(markerDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val vwm = Compaction.foldedWatermark(spark, s"$dir/vectors")
+    val twm = Compaction.foldedWatermark(spark, s"$dir/tombstones")
+    fs.listStatus(p).map(_.getPath).foreach { mp =>
+      val n = mp.getName
+      val owned = n.headOption.exists(c => c == 'i' || c == 'd') &&
+        n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toLong <= (if (n.head == 'i') vwm else twm)
+      if (owned) fs.delete(mp, false): Unit
+    }
   }
 
   /** Compaction trigger: fold iff more than `maxIncrements` LIVE

@@ -59,16 +59,11 @@ object Similarity {
         descending = descending, tie = Seq(col("vec_id").asc))
       .withColumnRenamed("_rn", "rank")
 
-  /** Materialization cut honoring the deployment's checkpoint policy:
-    * `localCheckpoint` by default (executor-memory blocks, no write
-    * barrier — right for static executors); a RELIABLE `checkpoint` on
-    * the session's checkpoint dir when `spark.graft.reliableCheckpoint`
-    * is true (survives executor loss under dynamic allocation). */
+  /** Materialization cut honoring the deployment's checkpoint policy —
+    * [[graft.ops.Checkpoint.cut]] (kept here as the similarity family's
+    * historical entry point; all families share the one implementation). */
   private[graft] def cut(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.conf
-          .get("spark.graft.reliableCheckpoint", "false").toBoolean)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    graft.ops.Checkpoint.cut(df, eager)
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns, fixed evaluation order.
     * Built-in HOF composition — reference implementation; `cosineNative`
@@ -1363,7 +1358,7 @@ object Similarity {
     val cand = knnBrute(corpus, queries, id, emb, topN)
       .join(vecs, "vec_id")
       .select(col("q_id"), col("vec_id"), col("sim"), col("v"))
-      .localCheckpoint(true)
+      .transform(df => cut(df, eager = true))
     val pw = cand.select(col("q_id"), col("vec_id").as("_va"), col("v").as("_x"))
       .join(cand.select(col("q_id"), col("vec_id").as("_vb"), col("v").as("_y")),
         "q_id")
@@ -1380,7 +1375,7 @@ object Similarity {
     var sel = base.withColumn("_score", score(lit(0.0)))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("q_id"), col("vec_id"), lit(1).as("pick"), col("_score"))
-      .localCheckpoint(true)
+      .transform(df => cut(df, eager = true))
     for (step <- 2 to k) {
       val rem = base.join(sel.select("q_id", "vec_id"),
         Seq("q_id", "vec_id"), "left_anti")
@@ -1394,7 +1389,7 @@ object Similarity {
           .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
           .select(col("q_id"), col("vec_id"), lit(step).as("pick"),
             col("_score")))
-        .localCheckpoint(true)
+        .transform(df => cut(df, eager = true))
     }
     sel.select(col("q_id"), col("pick"), col("vec_id"),
       round(col("_score"), 6).as("mmr_score"))
@@ -1536,7 +1531,7 @@ object Similarity {
       // LAZY checkpoint: the frame materializes inside the first pass that
       // scans it (no separate eager job) and every later selection pass
       // reads the stored narrow blocks
-      .localCheckpoint(false)
+      .transform(df => cut(df, eager = false))
   }
 
   /** Both per-query top-k selections of [[rrfBruteQuant]] fused over one

@@ -87,6 +87,55 @@ private[graft] object Compaction {
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ─────────────────────────────── write lease ──
+
+  /** Run `body` holding the root's exclusive MAINTENANCE LEASE — the
+    * mechanical form of the single-writer contract: a second maintenance
+    * op (fold / vacuum / promote / graph restate) on the same root fails
+    * fast with a clear error instead of racing the pointer commit (the
+    * `commitPointer` expect-check would catch the race only at commit
+    * time, after both writers burned their rewrite).
+    *
+    * Implementation: one create-exclusive `_lease` file under the root
+    * (atomic on HDFS and local FS), holder = host:pid, released on
+    * completion. A lease left by a CRASHED writer is broken once it is
+    * older than `spark.graft.leaseTtlMinutes` (default 60 — longer than
+    * any plausible fold). A root that does not exist yet is not leased:
+    * there is nothing to protect before the first write, and the
+    * commitPointer expectation stays as the backstop for two concurrent
+    * first builds. Readers never touch the lease. */
+  private[graft] def withWriteLease[T](spark: SparkSession, root: String)
+                                      (body: => T): T = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root))) return body
+    val p = new Path(s"$root/_lease")
+    val ttlMs = (spark.conf.get("spark.graft.leaseTtlMinutes", "60")
+      .toDouble * 60000).toLong
+    if (fs.exists(p) && System.currentTimeMillis -
+          fs.getFileStatus(p).getModificationTime > ttlMs)
+      fs.delete(p, false): Unit // stale lease of a crashed writer
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(p)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: Throwable => "unknown" }
+          throw new IllegalStateException(
+            s"maintenance lease at $root is held by [$holder] — a " +
+              "concurrent maintenance op is running on this root " +
+              "(single-writer contract); a crashed holder's lease " +
+              "expires after spark.graft.leaseTtlMinutes", e)
+      }
+    try out.write((java.net.InetAddress.getLocalHost.getHostName + ":" +
+      ProcessHandle.current.pid).getBytes("UTF-8"))
+    finally out.close()
+    try body finally fs.delete(p, false)
+  }
+
   // ─────────────────────────────── pointer machinery ──
 
   /** An immutable resolution of a maintained root, taken ONCE — every
@@ -224,21 +273,42 @@ private[graft] object Compaction {
 
   private val VersionedDir = "^(.+)_v(\\d+)$".r
 
+  /** Wall-clock GC grace: in ADDITION to the last-two-pointers rule,
+    * superseded generations, old pointer files and folded increments
+    * survive until they are at least this old — so a long analytical
+    * reader that outlives TWO quick maintenance ops on the same root
+    * still cannot chase deleted files within the window. 0 disables the
+    * floor (generation-counting alone, the pre-r15 behavior — what the
+    * unit-test session uses so rapid-fire fold specs stay meaningful). */
+  private def graceMs(spark: SparkSession): Long =
+    (spark.conf.get("spark.graft.gcGraceMinutes", "30").toDouble * 60000)
+      .toLong
+
+  private def agedOut(fs: FileSystem, p: Path, grace: Long): Boolean =
+    System.currentTimeMillis - fs.getFileStatus(p).getModificationTime >= grace
+
   /** Reap everything outside the grace window: pointer files older than
-    * the previous generation, `_v<K>` directories referenced by neither
-    * kept pointer (including uncommitted crash leftovers), and legacy
-    * directories superseded in BOTH kept pointers. Never touches
+    * the previous generation, `_v<K>` directories referenced by no kept
+    * pointer (including uncommitted crash leftovers), and legacy
+    * directories superseded in EVERY kept pointer — each only once it is
+    * also older than the wall-clock floor ([[graceMs]]). Never touches
     * `increments/`, `tombstones/`, `meta`, or any live generation. */
   private def gcVersions(spark: SparkSession, root: String): Unit = {
     val fs = fsFor(spark, root)
+    val grace = graceMs(spark)
     val dir = new Path(s"$root/$PtrDir")
     if (!fs.exists(dir)) return
     val ids = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("p") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).sorted
     if (ids.isEmpty) return
-    val kept = ids.takeRight(2)
-    ids.dropRight(2).foreach(i => fs.delete(new Path(dir, ptrName(i)), false))
+    val last2 = ids.takeRight(2).toSet
+    // kept = the last two pointers plus any older one still inside the
+    // wall-clock floor (a reader may have resolved it)
+    val kept = ids.filter(i => last2(i) ||
+      !agedOut(fs, new Path(dir, ptrName(i)), grace))
+    ids.filterNot(kept.contains)
+      .foreach(i => fs.delete(new Path(dir, ptrName(i)), false))
     def mapOf(id: Long): Map[String, String] = {
       val in = fs.open(new Path(dir, ptrName(id)))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -251,20 +321,24 @@ private[graft] object Compaction {
     val referenced = keptMaps.flatMap(_.values).toSet
     fs.listStatus(new Path(root)).foreach { st =>
       st.getPath.getName match {
-        case n @ VersionedDir(_, _) if st.isDirectory && !referenced(n) =>
+        case n @ VersionedDir(_, _) if st.isDirectory && !referenced(n) &&
+            agedOut(fs, st.getPath, grace) =>
           fs.delete(st.getPath, true): Unit
         case _ => ()
       }
     }
-    // a legacy dir is unreachable only once BOTH in-grace pointers map its
-    // name elsewhere (with one pointer, the legacy dir IS the previous
-    // snapshot and an in-flight reader may hold it)
-    if (keptMaps.size == 2) {
-      val (prev, latest) = (keptMaps(0), keptMaps(1))
+    // a legacy dir is unreachable only once at least two pointers are in
+    // grace and EVERY kept pointer maps its name elsewhere (with one
+    // pointer, the legacy dir IS the previous snapshot and an in-flight
+    // reader may hold it)
+    if (keptMaps.size >= 2) {
+      val latest = keptMaps.last
       latest.foreach { case (name, vdir) =>
-        if (vdir != name && prev.get(name).exists(_ != name)) {
+        if (vdir != name &&
+            keptMaps.init.forall(m => m.get(name).exists(_ != name))) {
           val legacy = new Path(s"$root/$name")
-          if (fs.exists(legacy)) fs.delete(legacy, true): Unit
+          if (fs.exists(legacy) && agedOut(fs, legacy, grace))
+            fs.delete(legacy, true): Unit
         }
       }
     }
@@ -278,15 +352,21 @@ private[graft] object Compaction {
   private[graft] def gcIncrements(spark: SparkSession, root: String,
                                   baseName: String = "base"): Unit = {
     val fs = fsFor(spark, root)
+    val grace = graceMs(spark)
     val incDir = new Path(s"$root/increments")
     if (!fs.exists(incDir)) return
     val dir = new Path(s"$root/$PtrDir")
     val ids =
-      if (fs.exists(dir))
-        fs.listStatus(dir).map(_.getPath.getName)
+      if (fs.exists(dir)) {
+        val all = fs.listStatus(dir).map(_.getPath.getName)
           .filter(n => n.startsWith("p") && n.drop(1).forall(_.isDigit))
-          .map(_.drop(1).toLong).sorted.takeRight(2)
-      else Array.empty[Long]
+          .map(_.drop(1).toLong).sorted
+        // same kept set as gcVersions: last two plus any in-grace pointer
+        // (its snapshot still needs the increments above ITS watermark)
+        val last2 = all.takeRight(2).toSet
+        all.filter(i => last2(i) ||
+          !agedOut(fs, new Path(dir, ptrName(i)), grace))
+      } else Array.empty[Long]
     def wmOfGen(id: Long): Long = {
       val in = fs.open(new Path(dir, ptrName(id)))
       val m = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -305,15 +385,18 @@ private[graft] object Compaction {
     val horizon: Long =
       if (ids.isEmpty) legacyWm // unversioned root: legacy base (if any)
                                 // is the only snapshot anyone can hold
-      else if (ids.length == 2) math.min(wmOfGen(ids(0)), wmOfGen(ids(1)))
       else {
-        // one generation: the legacy layout (if any) is still in grace
+        val gens = ids.map(wmOfGen).min
+        // with fewer than two generations the legacy layout (if any) is
+        // still in grace
         val legacy = new Path(s"$root/$baseName")
-        if (fs.exists(legacy)) math.min(legacyWm, wmOfGen(ids(0)))
-        else wmOfGen(ids(0))
+        if (ids.length < 2 && fs.exists(legacy)) math.min(legacyWm, gens)
+        else gens
       }
-    incrementIds(spark, root).filter(_ <= horizon)
-      .foreach(b => fs.delete(new Path(s"$root/increments/batch=$b"), true))
+    incrementIds(spark, root).filter(_ <= horizon).foreach { b =>
+      val p = new Path(s"$root/increments/batch=$b")
+      if (agedOut(fs, p, grace)) fs.delete(p, true): Unit
+    }
     if (fs.listStatus(incDir).isEmpty) fs.delete(incDir, true): Unit
   }
 
@@ -426,36 +509,38 @@ private[graft] object Compaction {
   def foldIncrements(spark: SparkSession, root: String,
                      baseName: String = "base")
                     (fold: (Option[String], Seq[String]) => DataFrame)
-                    (write: (DataFrame, String) => Unit): Int = {
-    val fs = fsFor(spark, root)
-    // converge any pre-versioning debris before trusting the layout
-    recoverPromote(spark, root)
-    recover(spark, root, baseName)
-    val v = view(spark, root)
-    val basePath = v.dir(baseName)
-    val wm = v.watermark(baseName)
-    val fresh = incrementIds(spark, root).filter(_ > wm)
-    if (fresh.isEmpty) {
-      gcVersions(spark, root)
-      gcIncrements(spark, root, baseName)
-      return 0
+                    (write: (DataFrame, String) => Unit): Int =
+    withWriteLease(spark, root) {
+      val fs = fsFor(spark, root)
+      // converge any pre-versioning debris before trusting the layout
+      recoverPromote(spark, root)
+      recover(spark, root, baseName)
+      val v = view(spark, root)
+      val basePath = v.dir(baseName)
+      val wm = v.watermark(baseName)
+      val fresh = incrementIds(spark, root).filter(_ > wm)
+      if (fresh.isEmpty) {
+        gcVersions(spark, root)
+        gcIncrements(spark, root, baseName)
+        0
+      } else {
+        // the shared FileStatusCache may hold listings from earlier reads
+        // of these paths (a restated increment rewrites its part files
+        // under the same directory) — refresh before folding
+        spark.catalog.refreshByPath(root)
+        val gen = nextGenId(fs, root)
+        val outDir = s"$root/${baseName}_v$gen"
+        fs.delete(new Path(outDir), true) // uncommitted leftover of a crash
+        write(fold(basePath, fresh.map(b => s"$root/increments/batch=$b")),
+          outDir)
+        writeWm(fs, new Path(outDir), math.max(wm, fresh.max))
+        commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
+        gcVersions(spark, root)
+        gcIncrements(spark, root, baseName)
+        spark.catalog.refreshByPath(root)
+        fresh.size
+      }
     }
-    // the shared FileStatusCache may hold listings from earlier reads of
-    // these paths (a restated increment rewrites its part files under the
-    // same directory) — refresh before folding
-    spark.catalog.refreshByPath(root)
-    val gen = nextGenId(fs, root)
-    val outDir = s"$root/${baseName}_v$gen"
-    fs.delete(new Path(outDir), true) // uncommitted leftover of a crash
-    write(fold(basePath, fresh.map(b => s"$root/increments/batch=$b")),
-      outDir)
-    writeWm(fs, new Path(outDir), math.max(wm, fresh.max))
-    commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
-    gcVersions(spark, root)
-    gcIncrements(spark, root, baseName)
-    spark.catalog.refreshByPath(root)
-    fresh.size
-  }
 
   /** Rewrite the live base generation WITHOUT folding increments — the
     * vacuum arm: physically removing tombstoned rows when no data
@@ -466,24 +551,26 @@ private[graft] object Compaction {
   private[graft] def rewriteBase(spark: SparkSession, root: String,
                                  baseName: String = "base")
                                 (transform: DataFrame => DataFrame)
-                                (write: (DataFrame, String) => Unit): Unit = {
-    val fs = fsFor(spark, root)
-    recoverPromote(spark, root)
-    recover(spark, root, baseName)
-    val v = view(spark, root)
-    val basePath = v.dir(baseName).getOrElse(return)
-    val wm = v.watermark(baseName)
-    spark.catalog.refreshByPath(root)
-    val gen = nextGenId(fs, root)
-    val outDir = s"$root/${baseName}_v$gen"
-    fs.delete(new Path(outDir), true)
-    write(transform(spark.read.parquet(basePath)), outDir)
-    writeWm(fs, new Path(outDir), wm)
-    commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
-    gcVersions(spark, root)
-    gcIncrements(spark, root, baseName)
-    spark.catalog.refreshByPath(root)
-  }
+                                (write: (DataFrame, String) => Unit): Unit =
+    withWriteLease(spark, root) {
+      val fs = fsFor(spark, root)
+      recoverPromote(spark, root)
+      recover(spark, root, baseName)
+      val v = view(spark, root)
+      v.dir(baseName).foreach { basePath =>
+        val wm = v.watermark(baseName)
+        spark.catalog.refreshByPath(root)
+        val gen = nextGenId(fs, root)
+        val outDir = s"$root/${baseName}_v$gen"
+        fs.delete(new Path(outDir), true)
+        write(transform(spark.read.parquet(basePath)), outDir)
+        writeWm(fs, new Path(outDir), wm)
+        commitPointer(spark, root, Map(baseName -> s"${baseName}_v$gen"), gen)
+        gcVersions(spark, root)
+        gcIncrements(spark, root, baseName)
+        spark.catalog.refreshByPath(root)
+      }
+    }
 
   /** Atomically publish `$root/<name>_new` as the live generation of
     * every name, in ONE pointer commit — the recluster/retrain flip where
@@ -497,26 +584,27 @@ private[graft] object Compaction {
     * increments being subsumed stamp the new base's watermark BEFORE
     * calling ([[stampWatermark]]) and run [[gcIncrements]] after. */
   private[graft] def promote(spark: SparkSession, root: String,
-                             names: Seq[String]): Unit = {
-    require(names.nonEmpty, "promote needs at least one directory name")
-    val fs = fsFor(spark, root)
-    // converge any PRE-VERSIONING interrupted promote, but keep the _new
-    // dirs — they are this call's freshly-written payload
-    recoverPromote(spark, root, dropUncommittedNew = false)
-    names.foreach { n =>
-      require(fs.exists(new Path(s"$root/${n}_new")),
-        s"promote: $root/${n}_new is missing")
+                             names: Seq[String]): Unit =
+    withWriteLease(spark, root) {
+      require(names.nonEmpty, "promote needs at least one directory name")
+      val fs = fsFor(spark, root)
+      // converge any PRE-VERSIONING interrupted promote, but keep the _new
+      // dirs — they are this call's freshly-written payload
+      recoverPromote(spark, root, dropUncommittedNew = false)
+      names.foreach { n =>
+        require(fs.exists(new Path(s"$root/${n}_new")),
+          s"promote: $root/${n}_new is missing")
+      }
+      val gen = nextGenId(fs, root)
+      names.foreach { n =>
+        val dst = new Path(s"$root/${n}_v$gen")
+        fs.delete(dst, true) // uncommitted leftover of a crash
+        mv(fs, new Path(s"$root/${n}_new"), dst)
+      }
+      commitPointer(spark, root,
+        names.map(n => n -> s"${n}_v$gen").toMap, gen)
+      gcVersions(spark, root)
     }
-    val gen = nextGenId(fs, root)
-    names.foreach { n =>
-      val dst = new Path(s"$root/${n}_v$gen")
-      fs.delete(dst, true) // uncommitted leftover of a crash
-      mv(fs, new Path(s"$root/${n}_new"), dst)
-    }
-    commitPointer(spark, root,
-      names.map(n => n -> s"${n}_v$gen").toMap, gen)
-    gcVersions(spark, root)
-  }
 
   /** Converge an interrupted PRE-VERSIONING [[promote]] (the
     * `_promote_pending` marker protocol): marker present → roll FORWARD

@@ -73,7 +73,7 @@ object StreamingDedup {
             .filter(col("est_jaccard") >= minJaccard)
           val prev = latestAssignment(spark, assignPath, id,
               batch.schema(id).dataType)
-            .localCheckpoint(true)
+            .transform(graft.ops.Checkpoint.cut(_, eager = true))
           Dedup.incrementalClusters(prev, batch.select(col(id)), pairs, id)
             .select(col(id), col("cluster_id"))
             .write.mode("overwrite").parquet(s"$assignPath/batch=$batchId")

@@ -25,8 +25,10 @@ object StreamingGraphAnn {
                 checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          GraphAnnIndex.appendBatch(batch, id, emb, indexPath, batchId)
+        // no isEmpty pre-pass (an extra job per micro-batch — the shape
+        // StreamingLex retired): appendBatch's own touched-groups collect
+        // detects and skips an empty batch
+        GraphAnnIndex.appendBatch(batch, id, emb, indexPath, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update").trigger(Trigger.AvailableNow())

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE takedown campaign across every maintained index family.
+  *
+  * Compliance reality: a single takedown request ("forget these
+  * documents") touches every artifact derived from the content — the
+  * lexical index, the vector stores (IVF and PQ tiers), the dedup
+  * signature index, the graph-ANN store. Running it as five separate
+  * `deleteBatch` calls plus five audits invites partial campaigns (one
+  * family missed = content still served). This wrapper lands the SAME
+  * logical campaign in every targeted family, attests all of them in ONE
+  * frame, and completes physical erasure family by family.
+  *
+  * Semantics are exactly each family's own delete/audit/fold primitives
+  * (this object adds no new state): logical deletion is visible at the
+  * next read of every family, physical erasure completes at [[erase]],
+  * re-ingest stays terminally suppressed per family. The attestation is
+  * the union of the per-family erasure audits normalized to one schema —
+  * (family, n_tombstones, rows_hidden, physically_clean) — where
+  * `rows_hidden` sums the family's physical hidden-row counters
+  * (postings+doclens, codes+postings, band rows, vectors+edges).
+  *
+  * At 100 TB: each landing is a deleted-ids-sized tombstone write; each
+  * audit is a broadcast semi-join count; [[erase]] is the family folds
+  * the maintenance loop runs anyway.
+  */
+object Takedown {
+
+  /** Index-family roots targeted by one campaign (None = family not
+    * deployed). `lex` and `dedup` are doc-keyed; `ann`, `pq` and `graph`
+    * are vector-keyed. */
+  final case class Targets(lex: Option[String] = None,
+                           ann: Option[String] = None,
+                           pq: Option[String] = None,
+                           dedup: Option[String] = None,
+                           graph: Option[String] = None)
+
+  /** Land the campaign as tombstone batch `batchId` in every targeted
+    * family: `docIds` (single doc-id column) hits the lexical and
+    * dedup-signature indexes, `vecIds` (single vec-id column) the
+    * ANN / PQ / graph stores. Families whose id frame is None are
+    * skipped. Batch ids follow each family's own monotone-per-index
+    * contract (the landed/dropped signal logs per family). */
+  def land(docIds: Option[DataFrame], vecIds: Option[DataFrame],
+           t: Targets, batchId: Long): Unit = {
+    for (ids <- docIds) {
+      t.lex.foreach(d => graft.text.LexIndex.deleteBatch(ids, d, batchId): Unit)
+      t.dedup.foreach(d =>
+        graft.text.Dedup.deleteFromSignatureIndex(ids, d, batchId): Unit)
+    }
+    for (ids <- vecIds) {
+      t.ann.foreach(d => StreamingAnn.deleteBatch(ids, d, batchId): Unit)
+      t.pq.foreach(d => graft.sim.PqIndex.deleteBatch(ids, d, batchId): Unit)
+      t.graph.foreach(d =>
+        graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId): Unit)
+    }
+  }
+
+  /** The campaign-wide attestation: one row per targeted family, the
+    * family's own erasure audit normalized to
+    * (family, n_tombstones, rows_hidden, physically_clean). */
+  def attest(spark: SparkSession, t: Targets): DataFrame = {
+    def norm(family: String, audit: DataFrame): DataFrame = {
+      val hidden = audit.columns.filter(_.endsWith("_hidden"))
+      audit.select(lit(family).as("family"),
+        col("n_tombstones").cast("long").as("n_tombstones"),
+        hidden.map(c => col(c).cast("long")).reduce(_ + _).as("rows_hidden"),
+        col("physically_clean"))
+    }
+    val parts =
+      t.lex.map(d => norm("lex", graft.text.LexIndex.erasureAudit(spark, d))) ++
+      t.ann.map(d => norm("ann", StreamingAnn.erasureAudit(spark, d))) ++
+      t.pq.map(d => norm("pq", graft.sim.PqIndex.erasureAudit(spark, d))) ++
+      t.dedup.map(d => norm("dedup", graft.text.Dedup.erasureAudit(spark, d))) ++
+      t.graph.map(d =>
+        norm("graph", graft.sim.GraphAnnIndex.erasureAudit(spark, d)))
+    require(parts.nonEmpty, "takedown attest: no family targeted")
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Complete the campaign PHYSICALLY: run each targeted family's
+    * erasure-bearing compaction (each family's fold applies tombstones
+    * while rewriting its base; the pure-deletion case rides each
+    * family's vacuum arm). After this, [[attest]] reports every family
+    * `physically_clean`. Run between streams, like all maintenance. */
+  def erase(spark: SparkSession, t: Targets): Unit = {
+    t.lex.foreach(d => graft.text.LexIndex.compactIndex(spark, d): Unit)
+    t.ann.foreach(d => StreamingAnn.compactIndex(spark, d): Unit)
+    t.pq.foreach { d =>
+      graft.sim.PqIndex.compactIndex(spark, d): Unit
+      // the IVF-PQ posting lists (when deployed under the same root) are
+      // erased by their own vacuum rewrite
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val postings = Compaction.view(spark, d).dirOrLegacy("postings")
+      if (fs.exists(new org.apache.hadoop.fs.Path(postings)))
+        graft.sim.PqIndex.vacuumIvfPq(spark, d)
+    }
+    t.dedup.foreach(d =>
+      graft.text.Dedup.compactSignatureIndex(spark, d): Unit)
+    t.graph.foreach(d =>
+      graft.sim.GraphAnnIndex.compactIndex(spark, d): Unit)
+  }
+}

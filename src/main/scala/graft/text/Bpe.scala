@@ -82,7 +82,7 @@ object Bpe {
     * sequential round. BpeSpec pins batched ≡ sequential on fixtures. */
   def train(df: DataFrame, text: String, nMerges: Int,
             batchK: Int = 16): Seq[MergeRule] = {
-    var vocab = initVocab(df, text).localCheckpoint(true)
+    var vocab = graft.ops.Checkpoint.cut(initVocab(df, text), eager = true)
     // alphabet for the freshness check (condition 2), maintained on the
     // driver: seeded with the initial character set, grown by each accepted
     // concat. Every symbol the vocab can ever contain is an initial char or
@@ -132,7 +132,7 @@ object Bpe {
         }
         val next = batch.foldLeft(vocab) { case (d, (l, r, _)) =>
           applyMerge(d, l, r)
-        }.localCheckpoint(true)
+        }.transform(graft.ops.Checkpoint.cut(_, eager = true))
         vocab.unpersist(blocking = false)
         vocab = next
       }

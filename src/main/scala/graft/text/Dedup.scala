@@ -610,7 +610,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(id).as("v")).distinct()
       .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -628,7 +628,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
-        .localCheckpoint(true) // materialize + truncate lineage
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // materialize + truncate lineage
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("v"), col("nlbl").as("lbl"))
       rounds += 1
@@ -759,7 +759,7 @@ object Dedup {
     var edges = pairs
       .select(least(col(idA), col(idB)).as("lo"), greatest(col(idA), col(idB)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     var fp = fingerprint(edges)
     var converged = fp._1 == 0L
     var rounds = 0
@@ -833,7 +833,7 @@ object Dedup {
         .select(col("m").as("lo"), col("v").as("hi"))
         .union(mn2.select(col("m").as("lo"), col("u").as("hi")))
         .filter(col("lo") =!= col("hi")).distinct()
-        .localCheckpoint(true) // materialize + truncate lineage
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // materialize + truncate lineage
       val nfp = fingerprint(ss)
       edges = ss
       converged = nfp == fp

@@ -66,9 +66,9 @@ object LexIndex {
     * pass instead of two, with the blocks freed when the plan drops. */
   private def tokenized(docs: DataFrame, id: String,
                         text: String): DataFrame =
-    docs.select(col(id).as("doc_id"),
-        TextOps.tokens(TextOps.normalize(col(text))).as("_toks"))
-      .localCheckpoint(false)
+    graft.ops.Checkpoint.cut(docs.select(col(id).as("doc_id"),
+        TextOps.tokens(TextOps.normalize(col(text))).as("_toks")),
+      eager = false)
 
   private def postingsOf(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"), explode(col("_toks")).as("term"))

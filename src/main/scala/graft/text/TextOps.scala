@@ -599,7 +599,7 @@ object TextOps {
       .select(least(col("_p.x"), col("_p.y")).as("a"),
         greatest(col("_p.x"), col("_p.y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val nodes = edges.select(col("src").as("id")).distinct()

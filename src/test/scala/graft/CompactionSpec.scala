@@ -277,4 +277,71 @@ class CompactionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate doc_id"))
   }
+
+  test("write lease: a held lease makes a second maintenance op fail " +
+       "fast with the index intact; a stale lease is broken after TTL") {
+    val sk = tmp("graft_cmp_lease")
+    writeCounter(s"$sk/base", 10)
+    writeCounter(s"$sk/increments/batch=0", 1)
+    // a concurrent writer holds the lease (what a racing fold would have
+    // created): this op must refuse, not race the pointer commit
+    val lease = new Path(s"$sk/_lease")
+    val out = fs.create(lease, false)
+    out.write("otherhost:12345".getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalStateException] {
+      StreamingSketch.compactSketch(spark, sk)
+    }
+    assert(err.getMessage.contains("lease") &&
+      err.getMessage.contains("otherhost:12345"), err.getMessage)
+    // refused cleanly: nothing folded, reads intact, lease untouched
+    assert(Compaction.foldedWatermark(spark, sk) == -1L)
+    assert(readTotal(sk) == 11)
+    assert(fs.exists(lease))
+
+    // a CRASHED writer's lease (older than the TTL) is broken and the op
+    // proceeds
+    spark.conf.set("spark.graft.leaseTtlMinutes", "0")
+    try {
+      assert(StreamingSketch.compactSketch(spark, sk) == 1)
+      assert(readTotal(sk) == 11)
+      assert(!fs.exists(lease), "the lease is released on completion")
+    } finally spark.conf.unset("spark.graft.leaseTtlMinutes")
+  }
+
+  test("GC age floor: with a wall-clock grace every superseded " +
+       "generation, pointer and folded increment survives rapid-fire " +
+       "folds, so a long reader planned before the first fold still " +
+       "executes against complete files") {
+    val sk = tmp("graft_cmp_grace")
+    writeCounter(s"$sk/base", 10)
+    writeCounter(s"$sk/increments/batch=0", 1)
+    spark.conf.set("spark.graft.gcGraceMinutes", "30")
+    try {
+      assert(StreamingSketch.compactSketch(spark, sk) == 1)
+      // a long analytical reader resolves THIS snapshot (generation 1)
+      // and keeps executing while maintenance continues
+      val oldBase = Compaction.resolve(spark, sk, "base").get
+      val planned = spark.read.parquet(oldBase)
+      // two more rapid folds — under generation counting alone these
+      // would reap generation 1 and batch=0/1
+      writeCounter(s"$sk/increments/batch=1", 2)
+      assert(StreamingSketch.compactSketch(spark, sk) == 1)
+      writeCounter(s"$sk/increments/batch=2", 5)
+      assert(StreamingSketch.compactSketch(spark, sk) == 1)
+      assert(readTotal(sk) == 18)
+      // the floor kept every superseded artifact the reader could hold
+      assert(fs.exists(new Path(oldBase)),
+        "in-grace superseded generation survives two later folds")
+      assert(fs.exists(new Path(s"$sk/increments/batch=0")) &&
+        fs.exists(new Path(s"$sk/increments/batch=1")),
+        "in-grace folded increments survive")
+      assert(planned.agg(sum("c")).head().getLong(0) == 11,
+        "the reader planned before the folds still executes")
+    } finally spark.conf.set("spark.graft.gcGraceMinutes", "0")
+    // back under generation counting: the next op reaps what aged out
+    writeCounter(s"$sk/increments/batch=3", 3)
+    assert(StreamingSketch.compactSketch(spark, sk) == 1)
+    assert(!fs.exists(new Path(s"$sk/increments/batch=0")),
+      "with the floor off, out-of-grace increments are reaped again")
+  }
 }

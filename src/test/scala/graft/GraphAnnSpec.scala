@@ -102,4 +102,63 @@ class GraphAnnSpec extends SparkSpec {
       "all edges must be gone once every member is deleted")
     assert(GraphAnnIndex.readVectors(spark, dir).isEmpty)
   }
+
+  test("crash between vectors landing and edge restatement cannot orphan " +
+       "the batch: compactIndex repairs an unmarked increment before " +
+       "folding, and a replayed appendBatch repairs after the fold") {
+    val dir = tmp("graft_gann_crash")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+      "embedding", Dim, dir)
+    GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0), "vec_id",
+      "embedding", dir, 0L)
+    // simulate the crash window: the vectors increment landed but the
+    // edge restatement never completed — wipe the restatement AND its
+    // marker (the pre-marker failure mode the r14 advice flagged)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges/increments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges/_restated"), true)
+
+    // compactIndex runs BEFORE the stream retries (legal: a crashed
+    // stream is between streams) — the repair arm must restate the
+    // unmarked increment's groups before the fold absorbs it
+    GraphAnnIndex.compactIndex(spark, dir)
+    val scratch = res(Similarity.annGraph(e, q, "vec_id", "embedding",
+      Dim, k = 5))
+    assert(res(GraphAnnIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5)) === scratch,
+      "fold after an unrestated landing must not orphan the new vectors")
+
+    // the replayed batch (vectors already folded, marker reaped by the
+    // fold): the repair is value-identical, nothing changes
+    GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0), "vec_id",
+      "embedding", dir, 0L)
+    assert(res(GraphAnnIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5)) === scratch)
+  }
+
+  test("filtered search over the stored graph ≡ the in-memory beam over " +
+       "the induced survivor subgraph: excluded vectors neither rank nor " +
+       "navigate") {
+    val dir = tmp("graft_gann_filt")
+    GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+      "embedding", Dim, dir)
+    GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0), "vec_id",
+      "embedding", dir, 0L)
+    val stored = GraphAnnIndex.searchFiltered(spark, dir, q, "vec_id",
+      "embedding", col("vec_id") % 3 === 0, k = 5)
+    assert(stored.filter(col("vec_id") % 3 =!= 0).isEmpty,
+      "excluded vectors must never rank")
+    // in-memory reference: the FULL graph (a filter is per-query, never
+    // a restatement), the beam restricted to the survivor pool
+    val c = e.select(col("vec_id"),
+        Similarity.asDouble("embedding").as("v"))
+      .filter(col("vec_id") % 3 === 0)
+    val g = Similarity.nswGraph(e, "vec_id", "embedding", Dim)
+      .localCheckpoint(true)
+    val mem = Similarity.nswBeamSearch(c, g, q, "vec_id", "embedding",
+      k = 5, beam = 24, rounds = 6, nEntries = 16, hubMod = 16)
+    assert(res(stored) === res(mem),
+      "stored filtered search must equal the in-memory induced-subgraph beam")
+  }
 }

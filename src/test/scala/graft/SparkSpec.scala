@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosAsLongKey, "true")
+      // wall-clock GC floor off: the compaction specs fold/recluster in
+      // rapid fire and assert the generation-counting reaps — the floor
+      // (default 30 min) gets its own arm with a temporary conf.set
+      .config("spark.graft.gcGraceMinutes", "0")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")

@@ -399,4 +399,56 @@ class TombstoneSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("takedown campaign: ONE request lands across four families, one " +
+       "combined attestation — hidden-but-present at stage tombstoned, " +
+       "all-clean after erase, terminal per family") {
+    import graft.streaming.Takedown
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val e = Tables.embeddings(spark, sf)
+
+    val lexDir = tmp("graft_camp_lex")
+    LexIndex.writeIndex(docs, "doc_id", "text", lexDir)
+    val annDir = tmp("graft_camp_ann")
+    StreamingAnn.writeBaseIndex(e, "vec_id", "embedding", "label", annDir)
+    val pqDir = tmp("graft_camp_pq")
+    val cb = Array.tabulate(4, 4, 16)((s, c, i0) =>
+      ((s * 131 + c * 37 + (i0 + 1) * 17) % 19 - 9) / 10.0)
+    graft.sim.PqIndex.writeIndex(e, "vec_id", "embedding", cb, pqDir)
+    val dedupDir = tmp("graft_camp_sig")
+    graft.text.Dedup.writeSignatureIndex(
+      graft.text.Dedup.minhashSignatures(docs, "doc_id", "text"),
+      "doc_id", dedupDir)
+
+    val t = Takedown.Targets(lex = Some(lexDir), ann = Some(annDir),
+      pq = Some(pqDir), dedup = Some(dedupDir))
+    Takedown.land(Some(docs.filter(col("doc_id") % 5 === 1).select("doc_id")),
+      Some(e.filter(col("vec_id") % 5 === 1).select("vec_id")), t, 0L)
+
+    def byFam(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val before = byFam(Takedown.attest(spark, t))
+    assert(before.keySet == Set("lex", "ann", "pq", "dedup"))
+    before.foreach { case (fam, (nTomb, hidden, clean)) =>
+      assert(nTomb > 0, s"$fam: tombstones must have landed")
+      assert(hidden > 0 && !clean,
+        s"$fam: deleted rows must be hidden-but-present before erase")
+    }
+
+    Takedown.erase(spark, t)
+    val after = byFam(Takedown.attest(spark, t))
+    after.foreach { case (fam, (nTomb, hidden, clean)) =>
+      assert(nTomb > 0, s"$fam: tombstones persist (terminal semantics)")
+      assert(hidden == 0 && clean, s"$fam: erase must complete physically")
+    }
+
+    // the campaign is terminal family-by-family: a re-crawl of deleted
+    // docs never resurfaces in the lexical read
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 1), "doc_id",
+      "text", lexDir, batchId = 1L)
+    assert(LexIndex.readDocLens(spark, lexDir)
+      .filter(col("doc_id") % 5 === 1).isEmpty)
+  }
 }
