@@ -363,6 +363,29 @@ object ExtensionQueries {
         col("vec_id") % 3 === 0, k = 5)
     }),
 
+    // ── FILTERED search on the COMPRESSED tier — q337's tenant contract
+    //    on the PQ axis: the vec_id ≡ 0 mod 3 predicate applies inside
+    //    the 16 B/row code scan (before the LUT join), so excluded
+    //    vectors never score. Oracle replays the closed-form encode + ADC
+    //    over the survivors only
+    "q351_pq_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.shared("pq1", d)(buildPq1(s, d))
+      graft.sim.PqIndex.searchFiltered(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", col("vec_id") % 3 === 0, k = 5)
+    }),
+
+    // ── FILTERED IVF-PQ search — the tenant predicate composed with the
+    //    cell routing: partition-pruned probe, then the predicate inside
+    //    the probed posting lists, then the LUT ADC over survivors only
+    "q352_ivfpq_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.shared("ivfpq", d)(buildIvfPq(s, d))
+      graft.sim.PqIndex.searchIvfPqFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("vec_id") % 3 === 0, k = 5, nProbe = 2)
+    }),
+
     // ── TAKEDOWN CAMPAIGN: one compliance request landed across FOUR
     //    maintained families at once (lexical postings, IVF vector store,
     //    PQ code table, dedup signature bands) + ONE combined
@@ -4549,6 +4572,80 @@ object ExtensionQueries {
     // and every round's scored candidates — is restricted to survivors
     "q349_graph_filtered" ->
       graphAnnOracleSql(candWhere = ref => s"$ref % 3 = 0"),
+    // filtered flat-PQ replay: the q330 closed-form encode + ADC chain
+    // with the candidate side restricted to the surviving tenant
+    "q351_pq_filtered" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |enc AS (SELECT vec_id, v,
+        |  list_transform([0, 1, 2, 3], s ->
+        |    list_transform([0, 1, 2, 3], c ->
+        |      list_sum(list_transform(generate_series(1, 16), i ->
+        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+        |    AS dists
+        |  FROM e),
+        |cod AS (SELECT vec_id,
+        |  list_transform(dists, ds ->
+        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+        |  FROM enc WHERE vec_id % 3 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |ad AS (SELECT q.q_id, c.vec_id,
+        |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+        |    list_sum(list_transform(generate_series(1, 16), i ->
+        |      (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+        |    * (q.qv[s*16 + i]
+        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+        |    AS adist
+        |  FROM cod c, q WHERE c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, adist, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+        |WHERE rank <= 5""".stripMargin,
+    // filtered IVF-PQ replay: q332's routing + frozen assignment + encode
+    // chain with the candidate side restricted to the surviving tenant
+    // (the filter applies to candidates, never to routing)
+    "q352_ivfpq_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |enc AS (SELECT vec_id,
+         |  list_transform([0, 1, 2, 3], s ->
+         |    list_transform([0, 1, 2, 3], c ->
+         |      list_sum(list_transform(generate_series(1, 16), i ->
+         |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+         |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+         |    AS dists
+         |  FROM e),
+         |cod AS (SELECT vec_id,
+         |  list_transform(dists, ds ->
+         |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+         |  FROM enc WHERE vec_id % 3 = 0),
+         |ad AS (SELECT r.q_id, c.vec_id,
+         |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+         |    list_sum(list_transform(generate_series(1, 16), i ->
+         |      (r.qv[s*16 + i]
+         |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+         |    * (r.qv[s*16 + i]
+         |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+         |    AS adist
+         |  FROM cod c JOIN asn a ON a.vec_id = c.vec_id
+         |  JOIN routed r ON a.cid = r.cid AND c.vec_id != r.q_id)
+         |SELECT q_id, vec_id, adist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+         |WHERE rank <= 5""".stripMargin,
     // campaign attestation replay: every family's hidden-row count
     // derived from the corpus — lexical = distinct (term, doc) postings
     // of the deleted docs + their doclens rows; ann/pq = one row per

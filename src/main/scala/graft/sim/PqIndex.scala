@@ -159,6 +159,24 @@ object PqIndex {
       readCodebookFrom(v), queries, id, emb, k)
   }
 
+  /** FILTERED ADC search — the "search within a tenant" serving query on
+    * the compressed tier ([[Similarity.annIvfIndexedFiltered]]'s contract
+    * on the PQ axis): `pred` (over the code-table columns — vec_id,
+    * codes) applies INSIDE the code scan, before the LUT join, so
+    * excluded vectors never even score — never a post-filter of an
+    * unfiltered top-k. At 100 TB the predicate rides the 16 B/row code
+    * scan (and pushes into the parquet read when it is a plain column
+    * predicate), so a tenant search costs selectivity × the full scan. */
+  def searchFiltered(spark: SparkSession, dir: String, queries: DataFrame,
+                     id: String, emb: String,
+                     pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val v = Compaction.view(spark, dir)
+    Similarity.annPq(
+      graft.streaming.Tombstones.applyTo(rawCodes(v), dir, "vec_id")
+        .filter(pred),
+      readCodebookFrom(v), queries, id, emb, k)
+  }
+
   /** Fold the code increments into a new base — disjoint-row union is
     * the read-path merge, so [[search]] before ≡ after. Tombstones fold
     * first and apply inside the data fold (physical erasure); a pure
@@ -360,7 +378,24 @@ object PqIndex {
     * per-query-faithful IVFADC, not the pruned union — and rank by the
     * LUT ADC through the binned ascending selection. */
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
-                  id: String, emb: String, k: Int, nProbe: Int): DataFrame = {
+                  id: String, emb: String, k: Int, nProbe: Int): DataFrame =
+    searchIvfPqImpl(spark, dir, queries, id, emb, k, nProbe, None)
+
+  /** FILTERED IVF-PQ search — [[searchFiltered]]'s contract composed
+    * with the cell routing: `pred` applies INSIDE the probed posting
+    * lists, after the partition prune and before the ADC, so only
+    * surviving candidates score (q337's semantics on the IVFADC
+    * layout). */
+  def searchIvfPqFiltered(spark: SparkSession, dir: String,
+                          queries: DataFrame, id: String, emb: String,
+                          pred: org.apache.spark.sql.Column, k: Int,
+                          nProbe: Int): DataFrame =
+    searchIvfPqImpl(spark, dir, queries, id, emb, k, nProbe, Some(pred))
+
+  private def searchIvfPqImpl(spark: SparkSession, dir: String,
+                              queries: DataFrame, id: String, emb: String,
+                              k: Int, nProbe: Int,
+                              pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.register(spark)
     // one view: centroids, codebook and posting lists flip together
@@ -379,8 +414,8 @@ object PqIndex {
     val cb = readCodebookFrom(v)
     val routedLut = routed
       .join(Similarity.pqLutFrame(queries, id, emb, cb), "q_id")
-    val cand = graft.streaming.Tombstones.applyTo(
-        spark.read.parquet(v.dirOrLegacy("postings")), dir, "vec_id")
+    val cand = pred.foldLeft(graft.streaming.Tombstones.applyTo(
+        spark.read.parquet(v.dirOrLegacy("postings")), dir, "vec_id"))(_.filter(_))
       .filter(col("cell").isInCollection(cells))
       .join(broadcast(routedLut), col("cell") === col("cid"))
       .filter(col("vec_id") =!= col("q_id"))
