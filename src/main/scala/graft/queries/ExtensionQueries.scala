@@ -363,6 +363,16 @@ object ExtensionQueries {
         col("vec_id") % 3 === 0, k = 5)
     }),
 
+    // ── BAND-OCCUPANCY DRIFT of the stored signature index — the aging
+    //    monitor for the dedup family (q331's contract on the MinHash
+    //    axis): per band, the L1 between the base's and the live
+    //    increments' bucket-occupancy distributions, from the stored band
+    //    rows alone. The oracle recomputes both distributions from the
+    //    corpus with the shared MinHash replay and the same
+    //    decimal-quantized arithmetic
+    "q353_band_drift" -> ((s, d) =>
+      Dedup.bandOccupancyDrift(s, Fixtures.shared("sig1", d)(buildSig1(s, d)))),
+
     // ── FILTERED search on the COMPRESSED tier — q337's tenant contract
     //    on the PQ axis: the vec_id ≡ 0 mod 3 predicate applies inside
     //    the 16 B/row code scan (before the LUT join), so excluded
@@ -4572,6 +4582,38 @@ object ExtensionQueries {
     // and every round's scored candidates — is restricted to survivors
     "q349_graph_filtered" ->
       graphAnnOracleSql(candWhere = ref => s"$ref % 3 = 0"),
+    // band-occupancy drift replay: both distributions recomputed from the
+    // corpus via the shared MinHash CTEs — bucket = band_key % 256 (the
+    // index default), base = doc_id %5≠4, live increment = %5=4; LEFT
+    // joins on both totals so a one-sided band keeps its coalesced-to-0
+    // arithmetic (the q348 lesson)
+    "q353_band_drift" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+         |lb AS (SELECT doc_id, band_idx, band_key % ${Dedup.DefaultIndexBuckets}
+         |    AS bucket
+         |  FROM ($bandUnion) WHERE band_key IS NOT NULL),
+         |b AS (SELECT band_idx, bucket, CAST(count(*) AS BIGINT) AS cb
+         |  FROM lb WHERE doc_id % 5 != 4 GROUP BY 1, 2),
+         |i AS (SELECT band_idx, bucket, CAST(count(*) AS BIGINT) AS ci
+         |  FROM lb WHERE doc_id % 5 = 4 GROUP BY 1, 2),
+         |nb AS (SELECT band_idx, CAST(sum(cb) AS BIGINT) AS n FROM b GROUP BY 1),
+         |ni AS (SELECT band_idx, CAST(sum(ci) AS BIGINT) AS n FROM i GROUP BY 1),
+         |j AS (SELECT coalesce(b.band_idx, i.band_idx) AS band_idx,
+         |    coalesce(cb, 0) AS cb, coalesce(ci, 0) AS ci
+         |  FROM b FULL JOIN i
+         |  ON b.band_idx = i.band_idx AND b.bucket = i.bucket)
+         |SELECT j.band_idx,
+         |  round(CAST(sum(CAST(abs(
+         |    coalesce(CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE), 0.0) -
+         |    coalesce(CAST(ci AS DOUBLE) / CAST(ni.n AS DOUBLE), 0.0))
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS l1_drift
+         |FROM j LEFT JOIN nb ON j.band_idx = nb.band_idx
+         |LEFT JOIN ni ON j.band_idx = ni.band_idx
+         |GROUP BY j.band_idx""".stripMargin
+    },
     // filtered flat-PQ replay: the q330 closed-form encode + ADC chain
     // with the candidate side restricted to the surviving tenant
     "q351_pq_filtered" ->

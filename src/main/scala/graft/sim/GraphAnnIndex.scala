@@ -493,6 +493,19 @@ object GraphAnnIndex {
       compactIndex(spark, dir)
     else (0, 0)
 
+  /** RETENTION TRIM of the tombstone set — refuses while the audit
+    * shows hidden vector or edge rows (trimming then would resurrect
+    * them); after a trim, deleted vec_ids are re-ingestable (terminality
+    * consciously waived — see [[graft.text.LexIndex.trimTombstones]]). */
+  def trimTombstones(spark: SparkSession, dir: String): Unit = {
+    val audit = erasureAudit(spark, dir).head()
+    require(audit.getBoolean(audit.fieldIndex("physically_clean")),
+      s"trimTombstones($dir): erasure not yet physical — " +
+        s"${audit.getLong(1)} vector rows and ${audit.getLong(2)} edge " +
+        "rows still hidden; run compactIndex first")
+    Tombstones.clear(spark, dir)
+  }
+
   /** BUCKET-OCCUPANCY DRIFT of the maintained graph — the aging monitor
     * for the frozen LSH geometry ([[graft.sim.PqIndex.codeUsageDrift]]'s
     * contract on the graph axis), computed from the stored bucket

@@ -425,6 +425,19 @@ object PqIndex {
       .select("q_id", "vec_id", "adist", "rank")
   }
 
+  /** RETENTION TRIM of the tombstone set — refuses while the audit
+    * shows hidden code or posting rows (trimming then would resurrect
+    * them); after a trim, deleted vec_ids are re-ingestable (terminality
+    * consciously waived — see [[graft.text.LexIndex.trimTombstones]]). */
+  def trimTombstones(spark: SparkSession, dir: String): Unit = {
+    val audit = erasureAudit(spark, dir).head()
+    require(audit.getBoolean(audit.fieldIndex("physically_clean")),
+      s"trimTombstones($dir): erasure not yet physical — " +
+        s"${audit.getLong(1)} code rows and ${audit.getLong(2)} posting " +
+        "rows still hidden; run compactIndex / vacuumIvfPq first")
+    graft.streaming.Tombstones.clear(spark, dir)
+  }
+
   /** The drift-triggered retrain: when any subspace's
     * [[codeUsageDrift]] breaches `maxL1`, retrain from `corpus` and
     * return true; below threshold the index is untouched (the

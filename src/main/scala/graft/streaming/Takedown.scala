@@ -104,4 +104,25 @@ object Takedown {
     t.graph.foreach(d =>
       graft.sim.GraphAnnIndex.compactIndex(spark, d): Unit)
   }
+
+  /** RETENTION TRIM across the campaign — the administrative closeout
+    * once the attestation is filed: drop every targeted family's
+    * tombstone set. REFUSES up front if ANY family still hides physical
+    * rows (a partial trim would leave the campaign half-terminal and the
+    * dirty family's rows resurrectable), so run [[erase]] and file
+    * [[attest]] first. After a trim the deleted ids are re-ingestable in
+    * every family — terminality is consciously waived, as with each
+    * family's own trim. */
+  def trim(spark: SparkSession, t: Targets): Unit = {
+    val pending = attest(spark, t).filter(!col("physically_clean"))
+      .select("family").collect().map(_.getString(0))
+    require(pending.isEmpty,
+      s"takedown trim: erasure not yet physical in " +
+        s"${pending.mkString(", ")} — run erase first")
+    t.lex.foreach(d => graft.text.LexIndex.trimTombstones(spark, d))
+    t.ann.foreach(d => StreamingAnn.trimTombstones(spark, d))
+    t.pq.foreach(d => graft.sim.PqIndex.trimTombstones(spark, d))
+    t.dedup.foreach(d => graft.text.Dedup.trimTombstones(spark, d))
+    t.graph.foreach(d => graft.sim.GraphAnnIndex.trimTombstones(spark, d))
+  }
 }

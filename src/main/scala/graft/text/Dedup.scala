@@ -392,6 +392,74 @@ object Dedup {
       .toDF("n_tombstones", "band_rows_hidden", "physically_clean")
   }
 
+  /** BAND-OCCUPANCY DRIFT of the stored signature index — the aging
+    * monitor for the dedup family ([[graft.sim.PqIndex.codeUsageDrift]]'s
+    * contract on the MinHash axis), computed from the stored band rows
+    * alone: per band, the L1 distance between the base's and the live
+    * increments' bucket-occupancy distributions. New data that hashes
+    * into buckets the way the base corpus did scores ~0; a domain shift
+    * piles band keys onto few buckets (candidate buckets fatten toward
+    * the cap, dedup recall thins) and the distance grows toward 2.
+    * Output is NumBands-sized and each band's support is ≤ the index's
+    * nBuckets (parameter-bounded). With no live increment the comparison
+    * is against an empty distribution (drift = 1 per band) — gate on
+    * [[graft.streaming.Compaction.incrementCount]] as the other
+    * monitors' callers do. Same decimal-quantized, coalesced-key
+    * arithmetic as the PQ/graph monitors, so the q353 oracle replays it
+    * term for term. */
+  def bandOccupancyDrift(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.streaming.Compaction.view(spark, path)
+    val cols = Seq("band_idx", "bucket")
+    def usage(df: DataFrame, name: String): DataFrame = {
+      val tot = df.groupBy("band_idx").agg(count(lit(1)).as(s"n_$name"))
+      df.groupBy("band_idx", "bucket").agg(count(lit(1)).as(s"c_$name"))
+        .join(tot, "band_idx")
+    }
+    val base = usage(v.readBase(cols, "bands").getOrElse(
+      sys.error(s"no signature index under $path")), "base")
+    val inc = usage(v.readIncrements(cols, "bands")
+      .orElse(v.readBase(cols, "bands").map(_.limit(0)))
+      .getOrElse(sys.error(s"no signature index under $path")), "inc")
+    val joined = base.join(
+        inc.withColumnRenamed("band_idx", "band_i")
+          .withColumnRenamed("bucket", "bucket_i"),
+        col("band_idx") <=> col("band_i") && col("bucket") <=> col("bucket_i"),
+        "full")
+      .select(coalesce(col("band_idx"), col("band_i")).as("band_idx"),
+        coalesce(col("c_base"), lit(0L)).as("cb"),
+        coalesce(col("c_inc"), lit(0L)).as("ci"),
+        col("n_base"), col("n_inc"))
+    joined
+      .select(col("band_idx"), col("cb"), col("ci"),
+        max(col("n_base")).over(Window.partitionBy("band_idx")).as("nb"),
+        max(col("n_inc")).over(Window.partitionBy("band_idx")).as("ni"))
+      .withColumn("_d",
+        abs(coalesce(col("cb").cast("double") / col("nb").cast("double"),
+              lit(0.0)) -
+            coalesce(col("ci").cast("double") / col("ni").cast("double"),
+              lit(0.0)))
+          .cast("decimal(28,12)"))
+      .groupBy("band_idx")
+      .agg(round(sum(col("_d")).cast("double"), 6).as("l1_drift"))
+  }
+
+  /** RETENTION TRIM of the signature index's tombstone set — refuses
+    * while the audit shows hidden band rows (trimming then would
+    * resurrect them at the next probe); after a trim, deleted doc_ids
+    * are re-ingestable (terminality consciously waived — see
+    * [[graft.text.LexIndex.trimTombstones]]). */
+  def trimTombstones(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val audit = erasureAudit(spark, path).head()
+    require(audit.getBoolean(audit.fieldIndex("physically_clean")),
+      s"trimTombstones($path): erasure not yet physical — " +
+        s"${audit.getLong(1)} band rows still hidden; run " +
+        "compactSignatureIndex first")
+    graft.streaming.Tombstones.clear(spark, path)
+  }
+
   /** `incrementalCandidates` against a STORED corpus index: identical pairs,
     * but the corpus side is a partition-pruned parquet scan of only the
     * buckets the new batch lands in — the corpus text is never re-read and

@@ -426,6 +426,14 @@ class TombstoneSpec extends SparkSpec {
     Takedown.land(Some(docs.filter(col("doc_id") % 5 === 1).select("doc_id")),
       Some(e.filter(col("vec_id") % 5 === 1).select("vec_id")), t, 0L)
 
+    // trimming before physical erasure must refuse atomically (a partial
+    // trim would leave the campaign half-terminal)
+    val refusal = intercept[IllegalArgumentException] {
+      Takedown.trim(spark, t)
+    }
+    assert(refusal.getMessage.contains("erasure not yet physical"),
+      refusal.getMessage)
+
     def byFam(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getBoolean(3)))).toMap
@@ -450,5 +458,21 @@ class TombstoneSpec extends SparkSpec {
       "text", lexDir, batchId = 1L)
     assert(LexIndex.readDocLens(spark, lexDir)
       .filter(col("doc_id") % 5 === 1).isEmpty)
+    // ... but the terminal re-ingest suppression hides the re-landed rows
+    // LOGICALLY; trim must still refuse until they are physically erased
+    val refusal2 = intercept[IllegalArgumentException] {
+      Takedown.trim(spark, t)
+    }
+    assert(refusal2.getMessage.contains("lex"), refusal2.getMessage)
+    LexIndex.compactIndex(spark, lexDir)
+
+    // attestation filed + everything physical: the retention trim drops
+    // every family's tombstone set in one call
+    Takedown.trim(spark, t)
+    val trimmed = byFam(Takedown.attest(spark, t))
+    trimmed.foreach { case (fam, (nTomb, hidden, clean)) =>
+      assert(nTomb == 0 && hidden == 0 && clean,
+        s"$fam: tombstones must be gone after trim")
+    }
   }
 }
