@@ -135,6 +135,25 @@ object StreamingAnn {
       nProbe)
   }
 
+  /** FILTERED search over the maintained store — the "search within a
+    * tenant" query on the streaming layout
+    * ([[Similarity.annIvfIndexedFiltered]]'s contract): `pred` (over the
+    * posting columns — vec_id, v, cell) applies INSIDE the probed
+    * posting lists, composed with the cell partition pruning (the
+    * routing itself stays unfiltered — centroids are corpus geometry),
+    * so excluded vectors never score and never a post-filter of an
+    * unfiltered top-k runs. */
+  def searchFiltered(spark: SparkSession, indexPath: String,
+                     queries: DataFrame, id: String, emb: String,
+                     pred: org.apache.spark.sql.Column, k: Int,
+                     nProbe: Int): DataFrame = {
+    val v = Compaction.view(spark, indexPath)
+    Similarity.annIvfStored(
+      Tombstones.applyTo(rawPostings(v), indexPath, "vec_id").filter(pred),
+      spark.read.parquet(v.dirOrLegacy("centroids")), queries, id, emb, k,
+      nProbe)
+  }
+
   /** RETENTION TRIM of the tombstone set — refuses while the audit shows
     * hidden physical rows (trimming then would resurrect them); after a
     * trim, deleted vec_ids are re-ingestable (terminality consciously
