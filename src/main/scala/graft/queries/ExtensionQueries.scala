@@ -409,6 +409,18 @@ object ExtensionQueries {
         col("vec_id") % 3 === 0, k = 5, nProbe = 2)
     }),
 
+    // ── FILTERED graph search, HUBLESS-TENANT arm: the predicate
+    //    (vec_id ≡ 1 mod 16) excludes every hub node, so entry points
+    //    fall back to the lowest-id survivors — without the fallback the
+    //    beam would have zero entries and return nothing for this tenant
+    "q355_graph_filtered_nohub" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.shared("graph1", d)(buildGraph1(s, d))
+      graft.sim.GraphAnnIndex.searchFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("vec_id") % 16 === 1, k = 5)
+    }),
+
     // ── TAKEDOWN CAMPAIGN: one compliance request landed across FOUR
     //    maintained families at once (lexical postings, IVF vector store,
     //    PQ code table, dedup signature bands) + ONE combined
@@ -2106,7 +2118,8 @@ object ExtensionQueries {
   private def graphAnnOracleSql(corpusWhere: String = "TRUE",
                                 queryWhere: String = "vec_id < 10",
                                 candWhere: String => String =
-                                  _ => "TRUE"): String = {
+                                  _ => "TRUE",
+                                hublessEnt: Boolean = false): String = {
     val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
     def bexpr(ps: Seq[Seq[Int]]) = bucketExprOf("v", ps)
     val edgeCos = cosSqlAB("a.v", "b.v")
@@ -2148,7 +2161,8 @@ object ExtensionQueries {
        |g AS MATERIALIZED (SELECT DISTINCT src, dst FROM
        |  (SELECT src, dst FROM gd UNION ALL SELECT dst, src FROM gd)),
        |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE $queryWhere),
-       |ent AS MATERIALIZED (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+       |ent AS MATERIALIZED (SELECT vec_id FROM e
+       |  WHERE ${if (hublessEnt) "TRUE" else "vec_id % 16 = 0"}
        |  AND ${candWhere("vec_id")}
        |  ORDER BY vec_id LIMIT 16),
        |c0x AS MATERIALIZED (SELECT q_id, ent.vec_id FROM q, ent),
@@ -4732,6 +4746,11 @@ object ExtensionQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
          |WHERE rank <= 5""".stripMargin,
+    // hubless-tenant filtered graph replay: same beam, entries = the 16
+    // lowest-id SURVIVORS (no hub filter — the engine's fallback arm)
+    "q355_graph_filtered_nohub" ->
+      graphAnnOracleSql(candWhere = ref => s"$ref % 16 = 1",
+        hublessEnt = true),
     // campaign attestation replay: every family's hidden-row count
     // derived from the corpus — lexical = distinct (term, doc) postings
     // of the deleted docs + their doclens rows; ann/pq = one row per

@@ -381,21 +381,33 @@ object GraphAnnIndex {
     * Navigability: multi-table bidirectional edges keep the induced
     * subgraph connected at moderate selectivity; for LOW-selectivity
     * predicates (≲5%) widen `beam`/`nEntries` — the bounded knobs — or
-    * route the tenant to its own index. Deterministic end to end, so the
-    * q349 oracle replays the induced-subgraph beam in SQL. */
+    * route the tenant to its own index. A tenant whose survivors include
+    * NO hub node (hub membership is `vec_id % hubMod`, uncorrelated with
+    * tenancy) falls back to the `nEntries` lowest-id survivors as entry
+    * points — without it the beam would have zero entries and return
+    * nothing for an unlucky tenant. Deterministic end to end either way,
+    * so the q349/q355 oracles replay both arms in SQL. */
   def searchFiltered(spark: SparkSession, dir: String, queries: DataFrame,
                      id: String, emb: String,
                      pred: org.apache.spark.sql.Column, k: Int,
                      beam: Int = 24, rounds: Int = 6,
                      nEntries: Int = 16): DataFrame = {
     val m = readMeta(spark, dir)
-    val c = readVectors(spark, dir).filter(pred).select("vec_id", "v")
+    val c = Similarity.cut(
+      readVectors(spark, dir).filter(pred).select("vec_id", "v"),
+      eager = false) // referenced by the hub probe + every beam round
     val directed = readEdges(spark, dir).select("src", "dst")
     val g = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .transform(df => Similarity.cut(df.distinct(), eager = true))
+    val hubSurvives = c.filter(pmod(col("vec_id"), lit(m.hubMod)) === 0)
+      .limit(1).head(1).nonEmpty
+    val entries =
+      if (hubSurvives) None // the pinned hub-entry pick inside the beam
+      else Some(c.orderBy(col("vec_id").asc).limit(nEntries)
+        .select("vec_id"))
     Similarity.nswBeamSearch(c, g, queries, id, emb, k, beam, rounds,
-      nEntries, m.hubMod)
+      nEntries, m.hubMod, entries)
   }
 
   /** Fold both increment trees into new bases (vectors: disjoint union

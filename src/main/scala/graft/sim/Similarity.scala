@@ -1019,11 +1019,18 @@ object Similarity {
                                    queries: DataFrame, id: String,
                                    emb: String, k: Int, beam: Int,
                                    rounds: Int, nEntries: Int,
-                                   hubMod: Int): DataFrame = {
+                                   hubMod: Int,
+                                   entriesOverride: Option[DataFrame] = None)
+      : DataFrame = {
     graft.expressions.CosineSimilarity.register(c.sparkSession)
     val q = queries.select(col(id).as("q_id"), asDouble(emb).as("qv"))
-    val entries = c.filter(pmod(col("vec_id"), lit(hubMod)) === 0)
-      .orderBy(col("vec_id").asc).limit(nEntries).select("vec_id")
+    // entriesOverride: the FILTERED search's hubless-tenant fallback —
+    // the default hub-only entry pick is pinned by the q172/q346 oracles
+    // and must not change, but a tenant predicate can exclude every hub,
+    // which would strand the beam with zero entry points
+    val entries = entriesOverride.getOrElse(
+      c.filter(pmod(col("vec_id"), lit(hubMod)) === 0)
+        .orderBy(col("vec_id").asc).limit(nEntries).select("vec_id"))
     val wBeam = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     // score a (q_id, vec_id) candidate set and keep the per-query beam

@@ -160,5 +160,14 @@ class GraphAnnSpec extends SparkSpec {
       k = 5, beam = 24, rounds = 6, nEntries = 16, hubMod = 16)
     assert(res(stored) === res(mem),
       "stored filtered search must equal the in-memory induced-subgraph beam")
+
+    // hubless tenant: the predicate excludes every hub node (ids ≡ 1 mod
+    // 16 can never be ≡ 0 mod 16) — entry points must fall back to the
+    // lowest-id survivors instead of stranding the beam with no entries
+    val hubless = GraphAnnIndex.searchFiltered(spark, dir, q, "vec_id",
+      "embedding", col("vec_id") % 16 === 1, k = 5)
+    assert(hubless.count() > 0,
+      "a tenant with no surviving hub must still get results")
+    assert(hubless.filter(col("vec_id") % 16 =!= 1).isEmpty)
   }
 }
