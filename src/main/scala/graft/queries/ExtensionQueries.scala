@@ -331,7 +331,7 @@ object ExtensionQueries {
       val tombstoned = GraphAnnIndex.search(s, dir, q, "vec_id",
           "embedding", k = 5)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction read
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction read
       GraphAnnIndex.compactIndex(s, dir)
       tombstoned.unionByName(
         GraphAnnIndex.search(s, dir, q, "vec_id", "embedding", k = 5)
@@ -443,7 +443,7 @@ object ExtensionQueries {
         t, batchId = 0L)
       val before = Takedown.attest(s, t)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-erasure attestation
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-erasure attestation
       Takedown.erase(s, t)
       before.unionByName(Takedown.attest(s, t)
         .withColumn("stage", lit("erased")))
@@ -606,7 +606,7 @@ object ExtensionQueries {
       // caching the 4×-exploded rows with the signature array on every
       // one costs more than it saves (the r12→r13 A/B measured it).
       val oldSigs = Dedup.minhashSignatures(old, "doc_id", "text")
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val oldBands = Dedup.bandRows(oldSigs, "doc_id")
       val oldPairs = Dedup.minhashCandidatesFromBands(oldBands, "doc_id")
         .filter(col("est_jaccard") >= 0.5)
@@ -634,7 +634,7 @@ object ExtensionQueries {
       val pairs = Dedup.minhashCandidates(
           Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
         .filter(col("est_jaccard") >= 0.5)
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val newAssign = Dedup.dedupClusters(docs, pairs, "doc_id")
         .select("doc_id", "cluster_id")
       val oldAssign = Dedup.dedupClusters(
@@ -717,7 +717,7 @@ object ExtensionQueries {
       // read the same frame — lazy localCheckpoint (ContextCleaner-freed;
       // a persist here would stay CacheManager-pinned for the session)
       val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val dir = scratchDir("graft_sigidx")
       Dedup.writeSignatureIndex(sig.filter(col("doc_id") % 5 =!= 4), "doc_id", dir, 64)
       Dedup.incrementalCandidatesIndexed(Dedup.readSignatureIndex(s, dir),
@@ -894,7 +894,7 @@ object ExtensionQueries {
       // raster is decoded ~3x. Lazy localCheckpoint, not persist, so the
       // blocks free with the plan instead of pinning the CacheManager.
       val feats = graft.multimodal.Multimodal.imageFeatures(gradAssets(s))
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val pairs = Similarity.cosineNearDupPairs(feats, "asset_id", "features",
         ImgMinSim, ImgPlanes, ImgDim)
       Dedup.dedupClusters(feats.select("asset_id"), pairs, "asset_id")
@@ -1150,12 +1150,12 @@ object ExtensionQueries {
       // the ingested vectors) — eager-checkpointed, like the frozen eval,
       // because the recluster below rewrites the directory both read
       val truth = Similarity.annEvalTruth(s, dir, q, "vec_id", "embedding",
-        k = 5).localCheckpoint(true)
+        k = 5).transform(graft.ops.Checkpoint.cut(_, eager = true))
       val frozen = Similarity.annEvalStored(s, dir, q, "vec_id",
           "embedding", k = 5, nProbe = 2, truth = Some(truth))
         .select(col("q_id"), col("recall").as("recall_frozen"),
           col("ndcg").as("ndcg_frozen"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       Similarity.reclusterIvfIndex(s, dir)
       val re = Similarity.annEvalStored(s, dir, q, "vec_id", "embedding",
           k = 5, nProbe = 2, truth = Some(truth))
@@ -1311,7 +1311,7 @@ object ExtensionQueries {
         batchId = 0L)
       val before = graft.text.LexIndex.erasureAudit(s, dir)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction audit
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction audit
       graft.text.LexIndex.compactIndex(s, dir)
       before.unionByName(graft.text.LexIndex.erasureAudit(s, dir)
         .withColumn("stage", lit("compacted")))
@@ -1336,7 +1336,7 @@ object ExtensionQueries {
         batchId = 0L)
       val before = graft.sim.PqIndex.erasureAudit(s, dir)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-erasure audit
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-erasure audit
       require(graft.sim.PqIndex.compactIndex(s, dir) == 1,
         "the code increment must fold")
       graft.sim.PqIndex.vacuumIvfPq(s, dir)
@@ -1356,7 +1356,7 @@ object ExtensionQueries {
         batchId = 0L)
       val before = StreamingAnn.erasureAudit(s, dir)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       require(StreamingAnn.compactIndex(s, dir) == 1,
         "the increment must fold")
       before.unionByName(StreamingAnn.erasureAudit(s, dir)
@@ -1378,7 +1378,7 @@ object ExtensionQueries {
         batchId = 0L)
       val before = Dedup.erasureAudit(s, dir)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       require(Dedup.compactSignatureIndex(s, dir) == 1,
         "the band increment must fold")
       before.unionByName(Dedup.erasureAudit(s, dir)
@@ -1397,7 +1397,7 @@ object ExtensionQueries {
         col("source").isin("src3", "src7"), dir, batchId = 0L)
       val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction read
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction read
       graft.text.LexIndex.compactIndex(s, dir)
       tombstoned.unionByName(
         graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
@@ -1417,7 +1417,7 @@ object ExtensionQueries {
         batchId = 0L)
       val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       graft.text.LexIndex.compactIndex(s, dir)
       tombstoned.unionByName(
         graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
@@ -1450,7 +1450,7 @@ object ExtensionQueries {
       val tombstoned = graft.sim.PqIndex.search(s, dir, q, "vec_id",
           "embedding", k = 5)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction read
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction read
       require(graft.sim.PqIndex.compactIndex(s, dir) == 1,
         "the increment must fold")
       tombstoned.unionByName(
@@ -1473,7 +1473,7 @@ object ExtensionQueries {
         batchId = 0L)
       val tombstoned = graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction read
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction read
       graft.text.LexIndex.compactIndex(s, dir)
       tombstoned.unionByName(
         graft.text.LexIndex.bm25Indexed(s, dir, Bm25Terms)
@@ -1497,7 +1497,7 @@ object ExtensionQueries {
       val tombstoned = graft.streaming.StreamingAnn.search(s, dir, q,
           "vec_id", "embedding", k = 3, nProbe = 2)
         .withColumn("stage", lit("tombstoned"))
-        .localCheckpoint() // eager: pin the pre-compaction read
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // eager: pin the pre-compaction read
       require(graft.streaming.StreamingAnn.compactIndex(s, dir) == 1,
         "the increment must fold")
       tombstoned.unionByName(
@@ -1580,7 +1580,7 @@ object ExtensionQueries {
       // persist would stay CacheManager-pinned for the session).
       val norm = Tables.embeddings(s, d).select(col("vec_id"),
           Similarity.l2Normalize(Similarity.asDouble("embedding")).as("nv"))
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val cb = Similarity.pqTrain(norm, "nv", m = 8, ksub = 16, maxIter = 5)
       val codes = Similarity.pqEncode(norm, "vec_id", "nv", cb)
       Similarity.annPqRerank(codes, cb, norm,

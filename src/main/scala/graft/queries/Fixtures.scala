@@ -36,9 +36,11 @@ private[queries] object Fixtures {
   private val cache = scala.collection.mutable.HashMap[(String, String), String]()
 
   /** The shared read-only build for `key` over `sfDir`: built on first
-    * use, reused verbatim afterwards. The coarse lock is deliberate —
-    * Verify/Bench run queries sequentially, and concurrently-started
-    * test suites must not race the same build. */
+    * use, reused verbatim afterwards. The coarse lock is deliberate AND
+    * load-bearing — Verify runs the catalog on a multi-thread pool
+    * (`Verify.scala`'s 4-thread default), so this lock is what serializes
+    * fixture builds across those threads (and across concurrently-started
+    * test suites); do not narrow it. */
   def shared(key: String, sfDir: String)(build: String => Unit): String =
     synchronized {
       cache.getOrElseUpdate((key, sfDir), {
@@ -66,21 +68,27 @@ private[queries] object Fixtures {
     * part files. */
   def copyInto(key: String, sfDir: String, dst: String)(build: String => Unit): Unit = {
     val src = Paths.get(shared(key, sfDir)(build))
-    Files.list(src).forEach { child =>
+    using(Files.list(src))(_.forEach { child =>
       deleteTree(Paths.get(dst).resolve(child.getFileName.toString))
       copyTree(child, Paths.get(dst).resolve(child.getFileName.toString))
-    }
+    })
   }
 
+  /** NIO directory streams hold OS directory handles until closed — a
+    * full catalog run copies dozens of fixture trees, so leaving them to
+    * GC leaks file descriptors for the JVM's lifetime. */
+  private def using[A <: AutoCloseable, B](r: A)(f: A => B): B =
+    try f(r) finally r.close()
+
   private def copyTree(src: Path, dst: Path): Unit =
-    Files.walk(src).forEach { p =>
+    using(Files.walk(src))(_.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
-    }
+    })
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(q => Files.deleteIfExists(q): Unit)
+      using(Files.walk(p))(_.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.deleteIfExists(q): Unit))
 }

@@ -272,12 +272,16 @@ object GraphAnnIndex {
       // the fold already past (victims may be physically erased): the
       // groups to repair are the ones whose LIVE edges still reference a
       // deleted endpoint — restating them over the live membership
-      // removes the stale references exactly
+      // removes the stale references exactly. Two equi-semi-joins (src,
+      // dst) unioned, NOT one OR-condition join: the disjunction would
+      // defeat the broadcast hash join and plan a nested-loop scan over
+      // the entire live edge set
       val e = readEdges(spark, dir)
-      val touched = e.join(broadcast(idf),
-          e("src") === idf("vec_id") || e("dst") === idf("vec_id"),
-          "left_semi")
-        .select("layer", "grp").distinct().collect()
+      val touched = e.join(broadcast(idf), e("src") === idf("vec_id"),
+          "left_semi").select("layer", "grp")
+        .unionByName(e.join(broadcast(idf), e("dst") === idf("vec_id"),
+          "left_semi").select("layer", "grp"))
+        .distinct().collect()
         .groupBy(_.getInt(0))
         .map { case (l, rows) => l -> rows.map(_.getInt(1)).toSeq }
       if (touched.valuesIterator.exists(_.nonEmpty))
@@ -589,10 +593,14 @@ object GraphAnnIndex {
     val eHidden = Tombstones.read(spark, dir) match {
       case None => 0L
       case Some(t) =>
+        // union of two equi-semi-joins (edge rows are unique, so distinct
+        // is the exact OR) — an OR-condition join would nested-loop the
+        // whole edge set instead of broadcasting the tombstones
         val e = readEdges(spark, dir)
-        e.join(broadcast(t),
-            e("src") === t("tid") || e("dst") === t("tid"), "left_semi")
-          .count()
+        e.join(broadcast(t), e("src") === t("tid"), "left_semi")
+          .unionByName(
+            e.join(broadcast(t), e("dst") === t("tid"), "left_semi"))
+          .distinct().count()
     }
     import spark.implicits._
     Seq((nTomb, vHidden, eHidden, vHidden == 0L && eHidden == 0L))

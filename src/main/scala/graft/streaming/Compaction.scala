@@ -97,13 +97,20 @@ private[graft] object Compaction {
     * time, after both writers burned their rewrite).
     *
     * Implementation: one create-exclusive `_lease` file under the root
-    * (atomic on HDFS and local FS), holder = host:pid, released on
-    * completion. A lease left by a CRASHED writer is broken once it is
+    * (atomic on HDFS and local FS), holder token = host:pid:nonce, released
+    * on completion. A lease left by a CRASHED writer is broken once it is
     * older than `spark.graft.leaseTtlMinutes` (default 60 — longer than
-    * any plausible fold). A root that does not exist yet is not leased:
-    * there is nothing to protect before the first write, and the
-    * commitPointer expectation stays as the backstop for two concurrent
-    * first builds. Readers never touch the lease. */
+    * any plausible fold). Ownership is VERIFIED at every destructive step:
+    * the break renames the stale lease aside first (rename is atomic, so
+    * of two racing breakers exactly one wins — the loser falls through to
+    * the create-exclusive acquire and fails fast on the winner's fresh
+    * lease), and the release re-reads the lease and deletes it only if it
+    * still carries THIS call's token — a writer whose lease was TTL-broken
+    * mid-body (a fold outliving the TTL, clock skew) must not delete the
+    * new holder's lease on its way out. A root that does not exist yet is
+    * not leased: there is nothing to protect before the first write, and
+    * the commitPointer expectation stays as the backstop for two
+    * concurrent first builds. Readers never touch the lease. */
   private[graft] def withWriteLease[T](spark: SparkSession, root: String)
                                       (body: => T): T = {
     val fs = fsFor(spark, root)
@@ -111,29 +118,40 @@ private[graft] object Compaction {
     val p = new Path(s"$root/_lease")
     val ttlMs = (spark.conf.get("spark.graft.leaseTtlMinutes", "60")
       .toDouble * 60000).toLong
+    val token = java.net.InetAddress.getLocalHost.getHostName + ":" +
+      ProcessHandle.current.pid + ":" + java.util.UUID.randomUUID
+    def readLease(): String =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: Throwable => "unknown" }
     if (fs.exists(p) && System.currentTimeMillis -
-          fs.getFileStatus(p).getModificationTime > ttlMs)
-      fs.delete(p, false): Unit // stale lease of a crashed writer
+          fs.getFileStatus(p).getModificationTime > ttlMs) {
+      // stale lease of a crashed writer: break it by renaming it ASIDE —
+      // one atomic step only one racing breaker can win, so two breakers
+      // can never each delete-then-create and both believe they hold it
+      val aside = new Path(s"$root/_lease_broken_${java.util.UUID.randomUUID}")
+      if (fs.rename(p, aside)) fs.delete(aside, false): Unit
+      // reap aside files a breaker crashed between rename and delete
+      fs.listStatus(new Path(root))
+        .filter(_.getPath.getName.startsWith("_lease_broken_"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     val out =
       try fs.create(p, false)
       catch {
         case e: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(p)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            } catch { case _: Throwable => "unknown" }
           throw new IllegalStateException(
-            s"maintenance lease at $root is held by [$holder] — a " +
+            s"maintenance lease at $root is held by [${readLease()}] — a " +
               "concurrent maintenance op is running on this root " +
               "(single-writer contract); a crashed holder's lease " +
               "expires after spark.graft.leaseTtlMinutes", e)
       }
-    try out.write((java.net.InetAddress.getLocalHost.getHostName + ":" +
-      ProcessHandle.current.pid).getBytes("UTF-8"))
+    try out.write(token.getBytes("UTF-8"))
     finally out.close()
-    try body finally fs.delete(p, false)
+    try body
+    finally if (readLease() == token) fs.delete(p, false): Unit
   }
 
   // ─────────────────────────────── pointer machinery ──

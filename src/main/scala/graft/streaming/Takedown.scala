@@ -43,20 +43,33 @@ object Takedown {
     * dedup-signature indexes, `vecIds` (single vec-id column) the
     * ANN / PQ / graph stores. Families whose id frame is None are
     * skipped. Batch ids follow each family's own monotone-per-index
-    * contract (the landed/dropped signal logs per family). */
+    * contract, and the per-family landed signals are CHECKED: a campaign
+    * batch id at or below any family's fold watermark would be silently
+    * dropped there (content kept serving while [[attest]] reports clean —
+    * the partial campaign this wrapper exists to prevent), so that case
+    * fails fast instead. Returns the per-family landed map (all true). */
   def land(docIds: Option[DataFrame], vecIds: Option[DataFrame],
-           t: Targets, batchId: Long): Unit = {
+           t: Targets, batchId: Long): Map[String, Boolean] = {
+    val landed = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     for (ids <- docIds) {
-      t.lex.foreach(d => graft.text.LexIndex.deleteBatch(ids, d, batchId): Unit)
+      t.lex.foreach(d =>
+        landed("lex") = graft.text.LexIndex.deleteBatch(ids, d, batchId))
       t.dedup.foreach(d =>
-        graft.text.Dedup.deleteFromSignatureIndex(ids, d, batchId): Unit)
+        landed("dedup") = graft.text.Dedup.deleteFromSignatureIndex(ids, d, batchId))
     }
     for (ids <- vecIds) {
-      t.ann.foreach(d => StreamingAnn.deleteBatch(ids, d, batchId): Unit)
-      t.pq.foreach(d => graft.sim.PqIndex.deleteBatch(ids, d, batchId): Unit)
+      t.ann.foreach(d => landed("ann") = StreamingAnn.deleteBatch(ids, d, batchId))
+      t.pq.foreach(d =>
+        landed("pq") = graft.sim.PqIndex.deleteBatch(ids, d, batchId))
       t.graph.foreach(d =>
-        graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId): Unit)
+        landed("graph") = graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId))
     }
+    val dropped = landed.collect { case (f, false) => f }
+    require(dropped.isEmpty,
+      s"takedown land: batch $batchId was dropped in ${dropped.mkString(", ")} " +
+        "(at or below the family's fold watermark) — the campaign did NOT " +
+        "land everywhere; reissue it under a fresh monotone batch id")
+    landed.toMap
   }
 
   /** The campaign-wide attestation: one row per targeted family, the
