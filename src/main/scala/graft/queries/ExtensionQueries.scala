@@ -421,6 +421,33 @@ object ExtensionQueries {
         col("vec_id") % 16 === 1, k = 5)
     }),
 
+    // ── FILTERED graph search, LOW-SELECTIVITY BRUTE arm: the tenant
+    //    (vec_id < 32, ~2% of the corpus) survives with at most
+    //    bruteThreshold vectors, so the engine drops the beam and runs
+    //    exact brute cosine over the filtered corpus — recall over a tiny
+    //    tenant no longer depends on the induced subgraph staying
+    //    navigable. The oracle is plain brute top-k over the survivors
+    "q357_graph_filtered_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.shared("graph1", d)(buildGraph1(s, d))
+      graft.sim.GraphAnnIndex.searchFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("vec_id") < 32, k = 5, bruteThreshold = 64)
+    }),
+
+    // ── FILTERED IVF-PQ search, LOW-SELECTIVITY BRUTE arm: same tenant —
+    //    the cell routing is dropped and the LUT ADC runs over every
+    //    surviving code (the flat-PQ exact scan), so the tenant's recall
+    //    no longer depends on its vectors landing in the probed cells.
+    //    Oracle: the closed-form encode + ADC replay over the survivors
+    "q358_ivfpq_filtered_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.shared("ivfpq", d)(buildIvfPq(s, d))
+      graft.sim.PqIndex.searchIvfPqFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        col("vec_id") < 32, k = 5, nProbe = 2, bruteThreshold = 64)
+    }),
+
     // ── TAKEDOWN CAMPAIGN: one compliance request landed across FOUR
     //    maintained families at once (lexical postings, IVF vector store,
     //    PQ code table, dedup signature bands) + ONE combined
@@ -2178,6 +2205,41 @@ object ExtensionQueries {
        |    ORDER BY sim DESC, vec_id) AS rank FROM b6)
        |WHERE rank <= 5""".stripMargin
   }
+
+  /** The q330 closed-form flat-PQ encode + LUT-ADC replay with the
+    * candidate (code) side restricted to `candWhere` — shared by the
+    * filtered flat-PQ search (q351) and the IVF-PQ brute fallback arm
+    * (q358), whose routing-dropped exact ADC is the same computation. */
+  private def pqFilteredOracleSql(candWhere: String): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |enc AS (SELECT vec_id, v,
+       |  list_transform([0, 1, 2, 3], s ->
+       |    list_transform([0, 1, 2, 3], c ->
+       |      list_sum(list_transform(generate_series(1, 16), i ->
+       |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
+       |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
+       |    AS dists
+       |  FROM e),
+       |cod AS (SELECT vec_id,
+       |  list_transform(dists, ds ->
+       |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
+       |  FROM enc WHERE $candWhere),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |ad AS (SELECT q.q_id, c.vec_id,
+       |  round(list_sum(list_transform([0, 1, 2, 3], s ->
+       |    list_sum(list_transform(generate_series(1, 16), i ->
+       |      (q.qv[s*16 + i]
+       |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
+       |    * (q.qv[s*16 + i]
+       |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
+       |    AS adist
+       |  FROM cod c, q WHERE c.vec_id != q.q_id)
+       |SELECT q_id, vec_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+       |WHERE rank <= 5""".stripMargin
 
   /** Shared CTE prefix for the connected-components oracles (q75/q84/q137):
     * recursive reachability closure over the ≥0.5 candidate edges. */
@@ -4674,36 +4736,23 @@ object ExtensionQueries {
     },
     // filtered flat-PQ replay: the q330 closed-form encode + ADC chain
     // with the candidate side restricted to the surviving tenant
-    "q351_pq_filtered" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |enc AS (SELECT vec_id, v,
-        |  list_transform([0, 1, 2, 3], s ->
-        |    list_transform([0, 1, 2, 3], c ->
-        |      list_sum(list_transform(generate_series(1, 16), i ->
-        |        (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)
-        |      * (v[s*16 + i] - (((s*131 + c*37 + i*17) % 19) - 9) / 10.0)))))
-        |    AS dists
-        |  FROM e),
-        |cod AS (SELECT vec_id,
-        |  list_transform(dists, ds ->
-        |    list_position(ds, list_aggregate(ds, 'min')) - 1) AS codes
-        |  FROM enc WHERE vec_id % 3 = 0),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |ad AS (SELECT q.q_id, c.vec_id,
-        |  round(list_sum(list_transform([0, 1, 2, 3], s ->
-        |    list_sum(list_transform(generate_series(1, 16), i ->
-        |      (q.qv[s*16 + i]
-        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0)
-        |    * (q.qv[s*16 + i]
-        |        - (((s*131 + c.codes[s+1]*37 + i*17) % 19) - 9) / 10.0))))), 6)
-        |    AS adist
-        |  FROM cod c, q WHERE c.vec_id != q.q_id)
-        |SELECT q_id, vec_id, adist, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
-        |WHERE rank <= 5""".stripMargin,
+    "q351_pq_filtered" -> pqFilteredOracleSql("vec_id % 3 = 0"),
+    // IVF-PQ brute arm replay: with the routing dropped, the engine's
+    // exact-ADC fallback IS the flat-PQ filtered computation (same codes,
+    // same LUT arithmetic), so the oracle is the same replay over the
+    // low-selectivity tenant
+    "q358_ivfpq_filtered_brute" -> pqFilteredOracleSql("vec_id < 32"),
+    // graph brute arm replay: exact brute cosine top-k over the
+    // surviving tenant — the engine's knnBrute fallback, no beam
+    "q357_graph_filtered_brute" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT q_id, vec_id, $cosSql AS sim FROM e, q
+         |  WHERE vec_id < 32 AND vec_id != q_id)
+         |SELECT q_id, vec_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
     // filtered IVF-PQ replay: q332's routing + frozen assignment + encode
     // chain with the candidate side restricted to the surviving tenant
     // (the filter applies to candidates, never to routing)

@@ -383,35 +383,55 @@ object GraphAnnIndex {
     * full-corpus competition — a filter is not a delete).
     *
     * Navigability: multi-table bidirectional edges keep the induced
-    * subgraph connected at moderate selectivity; for LOW-selectivity
-    * predicates (≲5%) widen `beam`/`nEntries` — the bounded knobs — or
-    * route the tenant to its own index. A tenant whose survivors include
-    * NO hub node (hub membership is `vec_id % hubMod`, uncorrelated with
-    * tenancy) falls back to the `nEntries` lowest-id survivors as entry
-    * points — without it the beam would have zero entries and return
-    * nothing for an unlucky tenant. Deterministic end to end either way,
-    * so the q349/q355 oracles replay both arms in SQL. */
+    * subgraph connected at moderate selectivity. A tenant whose survivors
+    * include NO hub node (hub membership is `vec_id % hubMod`,
+    * uncorrelated with tenancy) falls back to the `nEntries` lowest-id
+    * survivors as entry points — without it the beam would have zero
+    * entries and return nothing for an unlucky tenant. Both entry arms
+    * are computed inside ONE plan (two TakeOrderedAndProject limits over
+    * the survivors, hub rows kept iff any exists), so filtered serving
+    * issues no extra driver action. Deterministic end to end either way,
+    * so the q349/q355 oracles replay both arms in SQL.
+    *
+    * LOW-selectivity tenants (≲5% survivors) get a MECHANISM, not a knob:
+    * `bruteThreshold > 0` arms an exact-brute fallback — when at most
+    * that many vectors survive the predicate (probed with a bounded
+    * `limit(threshold+1).count()`, never a full count), the query runs
+    * [[Similarity.knnBrute]] over the filtered corpus instead of the
+    * beam, so recall is exact precisely where the induced subgraph is
+    * too sparse to navigate (the `Similarity.annIvfFiltered` contract on
+    * the graph axis). 0 (the default) keeps the pure beam path. */
   def searchFiltered(spark: SparkSession, dir: String, queries: DataFrame,
                      id: String, emb: String,
                      pred: org.apache.spark.sql.Column, k: Int,
                      beam: Int = 24, rounds: Int = 6,
-                     nEntries: Int = 16): DataFrame = {
+                     nEntries: Int = 16, bruteThreshold: Int = 0): DataFrame = {
     val m = readMeta(spark, dir)
     val c = Similarity.cut(
       readVectors(spark, dir).filter(pred).select("vec_id", "v"),
-      eager = false) // referenced by the hub probe + every beam round
+      eager = false) // referenced by the entry pick + every beam round
+    if (bruteThreshold > 0 &&
+        c.limit(bruteThreshold + 1).count() <= bruteThreshold)
+      return Similarity.knnBrute(
+        c.select(col("vec_id").as(id), col("v").as(emb)), queries, id, emb, k)
     val directed = readEdges(spark, dir).select("src", "dst")
     val g = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .transform(df => Similarity.cut(df.distinct(), eager = true))
-    val hubSurvives = c.filter(pmod(col("vec_id"), lit(m.hubMod)) === 0)
-      .limit(1).head(1).nonEmpty
-    val entries =
-      if (hubSurvives) None // the pinned hub-entry pick inside the beam
-      else Some(c.orderBy(col("vec_id").asc).limit(nEntries)
-        .select("vec_id"))
+    // entry points in ONE plan: lowest-id hub survivors when any hub
+    // survives (the pinned q172/q349 pick), else lowest-id survivors (the
+    // q355 hubless-tenant arm) — two bounded top-k limits unioned, hub
+    // rows preferred via a window over ≤ 2·nEntries rows
+    val hubs = c.filter(pmod(col("vec_id"), lit(m.hubMod)) === 0)
+      .orderBy(col("vec_id").asc).limit(nEntries)
+      .select(col("vec_id"), lit(1).as("pref"))
+    val low = c.orderBy(col("vec_id").asc).limit(nEntries)
+      .select(col("vec_id"), lit(0).as("pref"))
+    val entries = hubs.unionByName(low)
+      .withColumn("_mx", max(col("pref")).over(Window.partitionBy()))
+      .filter(col("pref") === col("_mx")).select("vec_id")
     Similarity.nswBeamSearch(c, g, queries, id, emb, k, beam, rounds,
-      nEntries, m.hubMod, entries)
+      nEntries, m.hubMod, Some(entries))
   }
 
   /** Fold both increment trees into new bases (vectors: disjoint union

@@ -385,21 +385,40 @@ object PqIndex {
     * with the cell routing: `pred` applies INSIDE the probed posting
     * lists, after the partition prune and before the ADC, so only
     * surviving candidates score (q337's semantics on the IVFADC
-    * layout). */
+    * layout).
+    *
+    * LOW-selectivity tenants get a mechanism ([[graft.sim.GraphAnnIndex
+    * .searchFiltered]]'s contract on this tier): `bruteThreshold > 0`
+    * arms an exact fallback — when at most that many code rows survive
+    * the predicate (probed with a bounded `limit(threshold+1).count()`),
+    * the cell routing is DROPPED and the ADC runs over every surviving
+    * code (the flat-PQ exact scan, [[Similarity.annPq]]) — recall over a
+    * tiny tenant no longer depends on its vectors landing in the probed
+    * cells. 0 (the default) keeps the pure IVFADC path. */
   def searchIvfPqFiltered(spark: SparkSession, dir: String,
                           queries: DataFrame, id: String, emb: String,
                           pred: org.apache.spark.sql.Column, k: Int,
-                          nProbe: Int): DataFrame =
-    searchIvfPqImpl(spark, dir, queries, id, emb, k, nProbe, Some(pred))
+                          nProbe: Int, bruteThreshold: Int = 0): DataFrame =
+    searchIvfPqImpl(spark, dir, queries, id, emb, k, nProbe, Some(pred),
+      bruteThreshold)
 
   private def searchIvfPqImpl(spark: SparkSession, dir: String,
                               queries: DataFrame, id: String, emb: String,
                               k: Int, nProbe: Int,
-                              pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+                              pred: Option[org.apache.spark.sql.Column],
+                              bruteThreshold: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.register(spark)
     // one view: centroids, codebook and posting lists flip together
     val v = Compaction.view(spark, dir)
+    for (p <- pred if bruteThreshold > 0) {
+      val surv = graft.streaming.Tombstones.applyTo(
+        spark.read.parquet(v.dirOrLegacy("postings")), dir, "vec_id")
+        .filter(p)
+      if (surv.limit(bruteThreshold + 1).count() <= bruteThreshold)
+        return Similarity.annPq(surv.select("vec_id", "codes"),
+          readCodebookFrom(v), queries, id, emb, k)
+    }
     val cents = spark.read.parquet(v.dirOrLegacy("centroids"))
     val routed = queries.select(col(id).as("q_id"),
         Similarity.asDouble(emb).as("qv"))

@@ -170,4 +170,28 @@ class GraphAnnSpec extends SparkSpec {
       "a tenant with no surviving hub must still get results")
     assert(hubless.filter(col("vec_id") % 16 =!= 1).isEmpty)
   }
+
+  test("low-selectivity brute fallback: a tiny tenant gets EXACT recall " +
+       "(knnBrute over the survivors); above the threshold the beam path " +
+       "is byte-identical to the unarmed call") {
+    val dir = tmp("graft_gann_brute")
+    GraphAnnIndex.writeIndex(e, "vec_id", "embedding", Dim, dir)
+    // ~3% of the 500-vector corpus — the regime where the induced
+    // subgraph can lose navigability and the beam's recall decays
+    val tiny = col("vec_id") < 16
+    val brute = GraphAnnIndex.searchFiltered(spark, dir, q, "vec_id",
+      "embedding", tiny, k = 5, bruteThreshold = 32)
+    val exact = Similarity.knnBrute(e.filter(tiny), q, "vec_id",
+      "embedding", k = 5)
+    assert(res(brute) === res(exact),
+      "the brute arm must equal exact brute over the filtered corpus")
+    // a tenant ABOVE the threshold keeps the pure beam path: armed and
+    // unarmed calls are value-identical (the bounded limit-probe decides
+    // the arm, it never changes the beam's semantics)
+    val wide = col("vec_id") % 3 === 0
+    assert(res(GraphAnnIndex.searchFiltered(spark, dir, q, "vec_id",
+        "embedding", wide, k = 5, bruteThreshold = 32)) ===
+      res(GraphAnnIndex.searchFiltered(spark, dir, q, "vec_id",
+        "embedding", wide, k = 5)))
+  }
 }

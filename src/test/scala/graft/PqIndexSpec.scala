@@ -91,6 +91,35 @@ class PqIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("IVF-PQ low-selectivity brute fallback: the routing is dropped and " +
+       "the ADC runs over every surviving code (exact w.r.t. the codes); " +
+       "above the threshold the probed path is untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_b").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    PqIndex.writeIvfPq(e, "vec_id", "embedding", "label", cb, s"$dir/idx")
+    val q = e.filter(col("vec_id") < 3)
+    // ~3% tenant: even nProbe = 1 must reach ALL its codes via the
+    // routing-dropped exact scan
+    val tiny = col("vec_id") < 16
+    val brute = PqIndex.searchIvfPqFiltered(spark, s"$dir/idx", q,
+      "vec_id", "embedding", tiny, k = 5, nProbe = 1,
+      bruteThreshold = 32).collect().toSet
+    val flat = Similarity.annPq(
+      Similarity.pqEncode(e.filter(tiny), "vec_id", "embedding", cb)
+        .select("vec_id", "codes"),
+      cb, q, "vec_id", "embedding", k = 5).collect().toSet
+    assert(brute == flat,
+      "the brute arm must equal the flat exact ADC over the survivors")
+    // above the threshold the probed IVFADC path is value-identical to
+    // the unarmed call
+    val wide = col("vec_id") % 3 === 0
+    assert(PqIndex.searchIvfPqFiltered(spark, s"$dir/idx", q, "vec_id",
+        "embedding", wide, k = 5, nProbe = 2, bruteThreshold = 32)
+        .collect().toSet ==
+      PqIndex.searchIvfPqFiltered(spark, s"$dir/idx", q, "vec_id",
+        "embedding", wide, k = 5, nProbe = 2).collect().toSet)
+  }
+
   test("codeUsageDrift ~0 for same-distribution appends, large for " +
        "shifted data; the trigger retrains codebook+codes together") {
     // base: vectors near the first codeword direction of every subspace;
