@@ -421,6 +421,23 @@ object ExtensionQueries {
         col("vec_id") % 16 === 1, k = 5)
     }),
 
+    // ── GRAPH DRIFT-TRIGGERED REBUILD: the monitor→act loop on the graph
+    //    axis (IVF reclusterIfDrifted / PQ retrainIndexIfDrifted's
+    //    contract) — the 10% delta increment always drifts the bucket
+    //    occupancy above 0, so the trigger retires the frozen epoch-0 LSH
+    //    geometry and rebuilds vectors+edges from the live membership
+    //    under the epoch-1 plane matrix (nGroups re-derived). The oracle
+    //    replays the ENTIRE epoch-1 from-scratch graph build and beam —
+    //    only a real rebuild at the new geometry can match it
+    "q356_graph_rebuild" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))
+      require(graft.sim.GraphAnnIndex.rebuildIfDrifted(s, dir,
+        maxDrift = 0.0), "the delta increment must breach a 0.0 threshold")
+      graft.sim.GraphAnnIndex.search(s, dir, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // ── FILTERED graph search, LOW-SELECTIVITY BRUTE arm: the tenant
     //    (vec_id < 32, ~2% of the corpus) survives with at most
     //    bruteThreshold vectors, so the engine drops the beam and runs
@@ -2146,8 +2163,9 @@ object ExtensionQueries {
                                 queryWhere: String = "vec_id < 10",
                                 candWhere: String => String =
                                   _ => "TRUE",
-                                hublessEnt: Boolean = false): String = {
-    val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3)
+                                hublessEnt: Boolean = false,
+                                epoch: Int = 0): String = {
+    val (fineSlices, coarseSlice) = Similarity.nswPlaneSlices(Dim, 8, 3, epoch)
     def bexpr(ps: Seq[Seq[Int]]) = bucketExprOf("v", ps)
     val edgeCos = cosSqlAB("a.v", "b.v")
     def layerCte(in: String, out: String) =
@@ -4665,6 +4683,10 @@ object ExtensionQueries {
     // for edge (bucket-group restatement) and shares the search tail —
     // the oracle is q172's, shared
     "q346_graph_ann_indexed" -> graphAnnOracleSql(),
+    // drift-triggered rebuild replay: the full from-scratch graph build
+    // and beam at the EPOCH-1 plane matrix over the live membership —
+    // the rebuilt index must match it edge for edge, search for search
+    "q356_graph_rebuild" -> graphAnnOracleSql(epoch = 1),
     // graph takedown replay: the truth is the from-scratch graph over the
     // FILTERED corpus (deleted vectors stop competing for degree slots),
     // emitted at both stages — the maintained index matches BEFORE the

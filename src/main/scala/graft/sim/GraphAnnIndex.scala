@@ -48,13 +48,42 @@ import org.apache.spark.sql.functions._
 object GraphAnnIndex {
 
   private case class Meta(dim: Int, degree: Int, finePlanes: Int,
-                          fineTables: Int, hubMod: Int, nGroups: Int)
+                          fineTables: Int, hubMod: Int, nGroups: Int,
+                          epoch: Int)
 
+  /** Meta resolution rides the VECTORS root's pointer when a rebuild has
+    * versioned it ([[rebuildIndex]] flips meta + vectors in ONE pointer
+    * commit — fresh plane geometry routing over stale bucket columns
+    * would corrupt every later restatement), falling back to the
+    * pre-rebuild literal `$dir/meta` layout. The `epoch` column is absent
+    * from pre-epoch indexes and reads as 0 (the historical geometry). */
   private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
-      r.getInt(5))
+    val p = Compaction.view(spark, s"$dir/vectors").dir("meta")
+      .getOrElse(s"$dir/meta")
+    val df = spark.read.parquet(p)
+    val r = df.head()
+    def gi(n: String) = r.getInt(r.fieldIndex(n))
+    Meta(gi("dim"), gi("degree"), gi("fine_planes"), gi("fine_tables"),
+      gi("hub_mod"), gi("n_groups"),
+      if (df.columns.contains("epoch")) gi("epoch") else 0)
   }
+
+  private def metaDf(spark: SparkSession, m: Meta): DataFrame = {
+    import spark.implicits._
+    Seq((m.dim, m.degree, m.finePlanes, m.fineTables, m.hubMod, m.nGroups,
+      m.epoch))
+      .toDF("dim", "degree", "fine_planes", "fine_tables", "hub_mod",
+        "n_groups", "epoch")
+  }
+
+  /** The write-time nGroups derivation (see [[writeIndex]]): the
+    * bucket-count target or one group per ~1M vectors, whichever is
+    * larger, clamped to [64, 4096]. */
+  private def deriveGroups(finePlanes: Int, fineTables: Int,
+                           nVectors: Long): Int =
+    math.max(64, math.min(4096,
+      math.max((1 << finePlanes) * fineTables / 16,
+        (nVectors / 1000000L).toInt)))
 
   /** (vec_id, v, b_0..b_{T-1}, b_hub) — bucket columns precomputed once
     * at landing so maintenance never re-hashes the corpus. */
@@ -62,7 +91,7 @@ object GraphAnnIndex {
                           m: Meta): DataFrame = {
     val spark = df.sparkSession
     val (fine, coarse) =
-      Similarity.nswPlaneSlices(m.dim, m.finePlanes, m.fineTables)
+      Similarity.nswPlaneSlices(m.dim, m.finePlanes, m.fineTables, m.epoch)
     val base = df.select(col(id).as("vec_id"),
       Similarity.asDouble(emb).as("v"))
     fine.zipWithIndex.foldLeft(
@@ -139,22 +168,22 @@ object GraphAnnIndex {
     * historical default — small corpora are byte-identical to it) and
     * capped at 4096 (beyond which per-group restatement overhead
     * dominates). A 100× corpus thus gets 100× merge parallelism without
-    * the operator remembering to size it. */
+    * the operator remembering to size it.
+    *
+    * `epoch` selects the [[Similarity.epochHyperplanes]] plane
+    * generation — 0 (the default) is the pinned historical geometry;
+    * [[rebuildIndex]] bumps it, and passing it here lets a from-scratch
+    * build reproduce a rebuilt index exactly (GraphAnnSpec pins it). */
   def writeIndex(corpus: DataFrame, id: String, emb: String, dim: Int,
                  dir: String, degree: Int = 12, finePlanes: Int = 8,
                  fineTables: Int = 3, hubMod: Int = 16,
-                 nGroups: Int = 0): Unit = {
+                 nGroups: Int = 0, epoch: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val groups =
       if (nGroups > 0) nGroups
-      else math.max(64, math.min(4096,
-        math.max((1 << finePlanes) * fineTables / 16,
-          (corpus.count() / 1000000L).toInt)))
-    val m = Meta(dim, degree, finePlanes, fineTables, hubMod, groups)
-    Seq((dim, degree, finePlanes, fineTables, hubMod, groups))
-      .toDF("dim", "degree", "fine_planes", "fine_tables", "hub_mod",
-        "n_groups")
+      else deriveGroups(finePlanes, fineTables, corpus.count())
+    val m = Meta(dim, degree, finePlanes, fineTables, hubMod, groups, epoch)
+    metaDf(spark, m)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val vecs = Similarity.cut(withBuckets(corpus, id, emb, m),
       eager = false) // referenced once per layer below
@@ -599,6 +628,83 @@ object GraphAnnIndex {
           .cast("decimal(28,12)"))
       .groupBy("layer")
       .agg(round(sum(col("_d")).cast("double"), 6).as("l1_drift"))
+  }
+
+  /** REBUILD the stored graph under FRESH GEOMETRY — the act arm behind
+    * [[bucketDrift]]'s monitor ([[graft.streaming.StreamingAnn
+    * .reclusterIndex]] / [[graft.sim.PqIndex.retrainIndex]]'s contract on
+    * the graph axis): an aged frozen LSH geometry (domain shift piling
+    * new data onto few buckets → degree-cap starvation → recall decay)
+    * is retired by re-deriving the plane slices from the NEXT
+    * [[Similarity.epochHyperplanes]] epoch and re-sizing `nGroups` from
+    * the current live corpus (the [[writeIndex]] rule), then rebuilding
+    * vectors' bucket columns and the full edge set over the LIVE
+    * membership from scratch.
+    *
+    * Atomicity: meta and the vector base flip TOGETHER in one
+    * [[Compaction.promote]] pointer commit (fresh plane geometry routing
+    * over stale bucket columns would corrupt every later restatement);
+    * the edge base flips in its own root's commit immediately after,
+    * with the whole rebuild serialized on the EDGES write lease — the
+    * same lease every edge restatement takes, so no append/delete can
+    * interleave. A reader between the two commits sees new vectors with
+    * the old edges for one query — value-wise a stale-by-one-search
+    * graph, never a torn one (search reads only vec_id/v and src/dst;
+    * bucket columns feed maintenance, which this lease serializes).
+    * Tombstone TERMINALITY survives: the rebuilt base is the
+    * tombstone-filtered live read and the tombstone set itself is
+    * untouched, so deleted ids stay suppressed against re-ingest.
+    * Subsumed increments (vectors and edges) die under the watermarks
+    * stamped into both new bases. Run between streams. */
+  def rebuildIndex(spark: SparkSession, dir: String): Unit =
+    Compaction.withWriteLease(spark, s"$dir/edges") {
+      val m = readMeta(spark, dir)
+      val vroot = s"$dir/vectors"; val eroot = s"$dir/edges"
+      Compaction.recoverPromote(spark, vroot)
+      Compaction.recoverPromote(spark, eroot)
+      spark.catalog.refreshByPath(dir)
+      val subsumedV = (Compaction.foldedWatermark(spark, vroot) +:
+        Compaction.incrementIds(spark, vroot)).max
+      val subsumedE = (Compaction.foldedWatermark(spark, eroot) +:
+        Compaction.incrementIds(spark, eroot)).max
+      val live = Similarity.cut(
+        readVectors(spark, dir).select("vec_id", "v"), eager = false)
+      val m2 = Meta(m.dim, m.degree, m.finePlanes, m.fineTables, m.hubMod,
+        deriveGroups(m.finePlanes, m.fineTables, live.count()), m.epoch + 1)
+      metaDf(spark, m2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vroot/meta_new")
+      withBuckets(live, "vec_id", "v", m2)
+        .write.mode("overwrite").parquet(s"$vroot/base_new")
+      Compaction.stampWatermark(spark, s"$vroot/base_new", subsumedV)
+      Compaction.promote(spark, vroot, Seq("base", "meta"))
+      Compaction.gcIncrements(spark, vroot)
+      // re-read through the promoted pointer: the edge build must see the
+      // NEW bucket columns (readMeta now resolves the epoch-bumped meta)
+      val fresh = Similarity.cut(readVectors(spark, dir), eager = false)
+      allLayerEdges(fresh, m2, None)
+        .write.mode("overwrite").parquet(s"$eroot/base_new")
+      Compaction.stampWatermark(spark, s"$eroot/base_new", subsumedE)
+      Compaction.promoteHeld(spark, eroot, Seq("base"))
+      Compaction.gcIncrements(spark, eroot)
+      gcMarkers(spark, dir)
+      spark.catalog.refreshByPath(dir)
+    }
+
+  /** The closed drift loop on the graph axis ([[graft.streaming
+    * .StreamingAnn.reclusterIfDrifted]] / [[graft.sim.PqIndex
+    * .retrainIndexIfDrifted]]'s contract): when any layer's
+    * [[bucketDrift]] breaches `maxDrift`, rebuild under fresh geometry
+    * via [[rebuildIndex]] and return true; below threshold (or with no
+    * live increments to compare — the just-compacted state) the index is
+    * untouched. The report is layers-sized, so the check costs one
+    * bucket-column aggregate. */
+  def rebuildIfDrifted(spark: SparkSession, dir: String,
+                       maxDrift: Double): Boolean = {
+    if (Compaction.incrementCount(spark, s"$dir/vectors") == 0) return false
+    val breached = bucketDrift(spark, dir)
+      .filter(col("l1_drift") > maxDrift).limit(1).count() > 0
+    if (breached) rebuildIndex(spark, dir)
+    breached
   }
 
   /** ERASURE AUDIT ([[graft.text.LexIndex.erasureAudit]]'s readout on the

@@ -125,6 +125,20 @@ object Similarity {
     (0 until nPlanes).map(j => (0 until dim).map(d =>
       if (((j * 131 + d * 37) % 7) % 2 == 0) 1 else -1))
 
+  /** [[hyperplanes]] for a rebuild EPOCH: epoch 0 is the historical
+    * matrix verbatim (pinned by every existing oracle); epoch e > 0 mixes
+    * e into the closed form under a larger modulus — a genuinely
+    * different plane matrix per epoch (offsetting the j index would not
+    * work: the mod-7 form is period-7 in j, so any multiple-of-7 offset
+    * reproduces the same planes). Still seedless: any engine regenerates
+    * plane (j, d, e) from the integers alone, so epoch-e graph builds
+    * stay fully oracle-replayable. */
+  def epochHyperplanes(nPlanes: Int, dim: Int, epoch: Int): Seq[Seq[Int]] =
+    if (epoch == 0) hyperplanes(nPlanes, dim)
+    else (0 until nPlanes).map(j => (0 until dim).map(d =>
+      if (((j * 131 + d * 37 + epoch * (97 + j + d)) % 101) % 2 == 0) 1
+      else -1))
+
   /** Signed-sum expression for one hyperplane (fixed left-to-right order). */
   private def planeDot(v: String, plane: Seq[Int]): String =
     plane.zipWithIndex.map { case (s, d) =>
@@ -923,11 +937,14 @@ object Similarity {
   /** The q172 plane slices: one shared closed-form plane matrix, cut into
     * `fineTables` fine bucketings of `finePlanes` planes plus one coarse
     * 4-plane slice for the hub layer — both sides (Spark build, SQL
-    * oracle) slice identically. */
+    * oracle) slice identically. `epoch` selects the
+    * [[epochHyperplanes]] generation (0 = the pinned historical matrix;
+    * a [[GraphAnnIndex.rebuildIndex]] bumps it to re-derive the frozen
+    * LSH geometry from scratch). */
   private[graft] def nswPlaneSlices(dim: Int, finePlanes: Int,
-                                    fineTables: Int)
+                                    fineTables: Int, epoch: Int = 0)
       : (Seq[Seq[Seq[Int]]], Seq[Seq[Int]]) = {
-    val all = hyperplanes(fineTables * finePlanes + 4, dim)
+    val all = epochHyperplanes(fineTables * finePlanes + 4, dim, epoch)
     ((0 until fineTables).map(t =>
       all.slice(t * finePlanes, (t + 1) * finePlanes)),
       all.slice(fineTables * finePlanes, fineTables * finePlanes + 4))

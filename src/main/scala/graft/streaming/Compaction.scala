@@ -603,7 +603,14 @@ private[graft] object Compaction {
     * calling ([[stampWatermark]]) and run [[gcIncrements]] after. */
   private[graft] def promote(spark: SparkSession, root: String,
                              names: Seq[String]): Unit =
-    withWriteLease(spark, root) {
+    withWriteLease(spark, root) { promoteHeld(spark, root, names) }
+
+  /** [[promote]]'s body for a caller ALREADY holding this root's write
+    * lease (nested acquisition on one root fails fast by design —
+    * [[graft.sim.GraphAnnIndex.rebuildIndex]] flips the edges root while
+    * serializing the whole rebuild on that same root's lease). */
+  private[graft] def promoteHeld(spark: SparkSession, root: String,
+                                 names: Seq[String]): Unit = {
       require(names.nonEmpty, "promote needs at least one directory name")
       val fs = fsFor(spark, root)
       // converge any PRE-VERSIONING interrupted promote, but keep the _new
@@ -622,7 +629,7 @@ private[graft] object Compaction {
       commitPointer(spark, root,
         names.map(n => n -> s"${n}_v$gen").toMap, gen)
       gcVersions(spark, root)
-    }
+  }
 
   /** Converge an interrupted PRE-VERSIONING [[promote]] (the
     * `_promote_pending` marker protocol): marker present → roll FORWARD

@@ -171,6 +171,58 @@ class GraphAnnSpec extends SparkSpec {
     assert(hubless.filter(col("vec_id") % 16 =!= 1).isEmpty)
   }
 
+  test("drift-triggered rebuild: calm → no-op; breach → rebuilt ≡ " +
+       "from-scratch at the NEXT epoch over the live membership; recall " +
+       "holds and terminality survives the new geometry") {
+    val dir = tmp("graft_gann_reb")
+    GraphAnnIndex.writeIndex(e.filter(col("vec_id") % 10 =!= 0), "vec_id",
+      "embedding", Dim, dir)
+    // no live increments: nothing to compare the base against — never a
+    // rebuild, even at threshold 0 (the just-compacted state)
+    assert(!GraphAnnIndex.rebuildIfDrifted(spark, dir, maxDrift = 0.0))
+    GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 10 === 0), "vec_id",
+      "embedding", dir, 0L)
+    val before = res(GraphAnnIndex.search(spark, dir, q, "vec_id",
+      "embedding", k = 5))
+    // calm: a generous threshold leaves the index untouched
+    assert(!GraphAnnIndex.rebuildIfDrifted(spark, dir, maxDrift = 100.0))
+    assert(res(GraphAnnIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5)) === before)
+    // a takedown BEFORE the rebuild: the rebuilt base must exclude the
+    // victims and keep them terminally suppressed afterwards
+    GraphAnnIndex.deleteBatch(
+      e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir, 1L)
+    // breach: the 10% delta always drifts above 0 → rebuild at epoch 1
+    assert(GraphAnnIndex.rebuildIfDrifted(spark, dir, maxDrift = 0.0))
+    val live = e.filter(col("vec_id") % 7 =!= 3)
+    val scratch = tmp("graft_gann_reb_s")
+    GraphAnnIndex.writeIndex(live, "vec_id", "embedding", Dim, scratch,
+      epoch = 1)
+    val rebuilt = res(GraphAnnIndex.search(spark, dir, q, "vec_id",
+      "embedding", k = 5))
+    assert(rebuilt === res(GraphAnnIndex.search(spark, scratch, q,
+        "vec_id", "embedding", k = 5)),
+      "rebuilt must equal a from-scratch epoch-1 build over live members")
+    // recall non-regression: exact-truth recall@5 at the new geometry
+    // stays in the pre-rebuild band
+    def recall(r: Set[(Long, Long, Double, Int)],
+               corpus: org.apache.spark.sql.DataFrame): Double = {
+      val truth = res(Similarity.knnBrute(corpus, q, "vec_id",
+        "embedding", k = 5)).map(t => (t._1, t._2))
+      r.map(t => (t._1, t._2)).intersect(truth).size.toDouble / truth.size
+    }
+    val rb = recall(before, e); val ra = recall(rebuilt, live)
+    assert(ra >= math.max(0.5, rb - 0.15),
+      s"epoch-1 recall $ra regressed too far from epoch-0 recall $rb")
+    // terminal re-ingest + a post-rebuild restatement under the NEW
+    // geometry: the tombstoned rows never re-enter, and the restated
+    // groups reproduce the same live edges — search is unchanged
+    GraphAnnIndex.appendBatch(e.filter(col("vec_id") % 7 === 3), "vec_id",
+      "embedding", dir, 2L)
+    assert(res(GraphAnnIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5)) === rebuilt)
+  }
+
   test("low-selectivity brute fallback: a tiny tenant gets EXACT recall " +
        "(knnBrute over the survivors); above the threshold the beam path " +
        "is byte-identical to the unarmed call") {
