@@ -465,13 +465,16 @@ object ExtensionQueries {
         col("vec_id") < 32, k = 5, nProbe = 2, bruteThreshold = 64)
     }),
 
-    // ── TAKEDOWN CAMPAIGN: one compliance request landed across FOUR
+    // ── TAKEDOWN CAMPAIGN: one compliance request landed across ALL FIVE
     //    maintained families at once (lexical postings, IVF vector store,
-    //    PQ code table, dedup signature bands) + ONE combined
-    //    erasure-attestation frame — stage 'tombstoned' shows every
-    //    family's physical rows hidden-but-present, stage 'erased' (after
-    //    each family's erasure-bearing fold) all-clean. The oracle
-    //    derives every family's counts from the corpus
+    //    PQ code table, dedup signature bands, graph-ANN store) + ONE
+    //    combined erasure-attestation frame — stage 'tombstoned' shows
+    //    every family's physical rows hidden-but-present, stage 'erased'
+    //    (after each family's erasure-bearing fold) all-clean. The graph
+    //    family's landing restates the victims' bucket groups, so its
+    //    live edges reference no deleted endpoint even BEFORE the fold
+    //    (rows_hidden = the vector rows alone). The oracle derives every
+    //    family's counts from the corpus
     "q350_takedown_campaign" -> ((s, d) => {
       import graft.streaming.Takedown
       val docs = Tables.documents(s, d)
@@ -480,7 +483,8 @@ object ExtensionQueries {
         lex = Some(Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))),
         ann = Some(Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))),
         pq = Some(Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))),
-        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))))
+        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))),
+        graph = Some(Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))))
       Takedown.land(
         Some(docs.filter(col("doc_id") % 7 === 3).select("doc_id")),
         Some(e.filter(col("vec_id") % 7 === 3).select("vec_id")),
@@ -4826,8 +4830,11 @@ object ExtensionQueries {
     // derived from the corpus — lexical = distinct (term, doc) postings
     // of the deleted docs + their doclens rows; ann/pq = one row per
     // deleted vector in each store; dedup = the deleted docs' MinHash
-    // band rows (short docs contribute none). Stage 'erased' is all-zero
-    // by construction; tombstone counts persist (terminal semantics)
+    // band rows (short docs contribute none); graph = one vector row per
+    // deleted vector and ZERO edge rows (the landing's bucket-group
+    // restatement already removed every deleted endpoint from the live
+    // edges). Stage 'erased' is all-zero by construction; tombstone
+    // counts persist (terminal semantics)
     "q350_takedown_campaign" ->
       s"""WITH $normCte,
          |ltk AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w
@@ -4852,7 +4859,8 @@ object ExtensionQueries {
          |    ph.p + dhd.d AS rows_hidden FROM dhd, ph
          |  UNION ALL SELECT 'ann', dhe.n, dhe.n FROM dhe
          |  UNION ALL SELECT 'pq', dhe.n, dhe.n FROM dhe
-         |  UNION ALL SELECT 'dedup', dhd.d, hid.h FROM dhd, hid)
+         |  UNION ALL SELECT 'dedup', dhd.d, hid.h FROM dhd, hid
+         |  UNION ALL SELECT 'graph', dhe.n, dhe.n FROM dhe)
          |SELECT fam.family, fam.n_tombstones,
          |  CASE st.stage WHEN 'tombstoned' THEN fam.rows_hidden
          |    ELSE CAST(0 AS BIGINT) END AS rows_hidden,

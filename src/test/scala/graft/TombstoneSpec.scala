@@ -400,7 +400,7 @@ class TombstoneSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("takedown campaign: ONE request lands across four families, one " +
+  test("takedown campaign: ONE request lands across all five families, one " +
        "combined attestation — hidden-but-present at stage tombstoned, " +
        "all-clean after erase, terminal per family") {
     import graft.streaming.Takedown
@@ -421,8 +421,12 @@ class TombstoneSpec extends SparkSpec {
       graft.text.Dedup.minhashSignatures(docs, "doc_id", "text"),
       "doc_id", dedupDir)
 
+    val graphDir = tmp("graft_camp_graph")
+    graft.sim.GraphAnnIndex.writeIndex(e, "vec_id", "embedding", 64,
+      graphDir)
+
     val t = Takedown.Targets(lex = Some(lexDir), ann = Some(annDir),
-      pq = Some(pqDir), dedup = Some(dedupDir))
+      pq = Some(pqDir), dedup = Some(dedupDir), graph = Some(graphDir))
     Takedown.land(Some(docs.filter(col("doc_id") % 5 === 1).select("doc_id")),
       Some(e.filter(col("vec_id") % 5 === 1).select("vec_id")), t, 0L)
 
@@ -438,7 +442,7 @@ class TombstoneSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getBoolean(3)))).toMap
     val before = byFam(Takedown.attest(spark, t))
-    assert(before.keySet == Set("lex", "ann", "pq", "dedup"))
+    assert(before.keySet == Set("lex", "ann", "pq", "dedup", "graph"))
     before.foreach { case (fam, (nTomb, hidden, clean)) =>
       assert(nTomb > 0, s"$fam: tombstones must have landed")
       assert(hidden > 0 && !clean,
@@ -451,6 +455,18 @@ class TombstoneSpec extends SparkSpec {
       assert(nTomb > 0, s"$fam: tombstones persist (terminal semantics)")
       assert(hidden == 0 && clean, s"$fam: erase must complete physically")
     }
+
+    // a NEW campaign reusing a batch id at or below the families' fold
+    // watermarks would be silently dropped everywhere (content kept
+    // serving while attest reports clean) — land must fail fast instead
+    val stale = intercept[IllegalArgumentException] {
+      Takedown.land(
+        Some(docs.filter(col("doc_id") % 5 === 2).select("doc_id")),
+        Some(e.filter(col("vec_id") % 5 === 2).select("vec_id")), t, 0L)
+    }
+    Seq("lex", "ann", "pq", "dedup", "graph").foreach(f =>
+      assert(stale.getMessage.contains(f),
+        s"$f missing from the dropped list: ${stale.getMessage}"))
 
     // the campaign is terminal family-by-family: a re-crawl of deleted
     // docs never resurfaces in the lexical read
