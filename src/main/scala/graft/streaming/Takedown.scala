@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** ONE takedown campaign across every maintained index family.
   *
@@ -50,6 +51,20 @@ object Takedown {
     * fails fast instead. Returns the per-family landed map (all true). */
   def land(docIds: Option[DataFrame], vecIds: Option[DataFrame],
            t: Targets, batchId: Long): Map[String, Boolean] = {
+    val landed = landEach(docIds, vecIds, t, batchId)
+    val dropped = landed.collect { case (f, false) => f }
+    require(dropped.isEmpty,
+      s"takedown land: batch $batchId was dropped in ${dropped.mkString(", ")} " +
+        "(at or below the family's fold watermark) — the campaign did NOT " +
+        "land everywhere; reissue it under a fresh monotone batch id")
+    landed
+  }
+
+  /** [[land]] without the all-landed check — the streaming replay path,
+    * where a batch dropped by a family's fold watermark is the CORRECT
+    * behavior (the fold already owns its rows). */
+  private def landEach(docIds: Option[DataFrame], vecIds: Option[DataFrame],
+                       t: Targets, batchId: Long): Map[String, Boolean] = {
     val landed = scala.collection.mutable.LinkedHashMap[String, Boolean]()
     for (ids <- docIds) {
       t.lex.foreach(d =>
@@ -64,13 +79,35 @@ object Takedown {
       t.graph.foreach(d =>
         landed("graph") = graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId))
     }
-    val dropped = landed.collect { case (f, false) => f }
-    require(dropped.isEmpty,
-      s"takedown land: batch $batchId was dropped in ${dropped.mkString(", ")} " +
-        "(at or below the family's fold watermark) — the campaign did NOT " +
-        "land everywhere; reissue it under a fresh monotone batch id")
     landed.toMap
   }
+
+  /** STREAMED CAMPAIGN — takedown requests arriving as a stream: ONE id
+    * stream fanned to every targeted family under one checkpoint, the
+    * streaming form of [[land]] (each family's own `tombstoneSink`
+    * covers single-family streams; a compliance FEED hits them all).
+    * Each micro-batch lands its non-null `docCol` ids in the doc-keyed
+    * families and its non-null `vecCol` ids in the vector-keyed ones —
+    * both under the stream's batch id, so replays ride every family's
+    * own watermark guard (a drop here is the replay contract, not the
+    * partial-campaign failure [[land]] refuses; pass None to skip a
+    * side). Logical deletion is visible at each family's next read as
+    * the batch commits; run [[erase]] between runs like all maintenance.
+    * TombstoneSpec pins drained-stream ≡ batch [[land]] family by
+    * family. */
+  def campaignSink(ids: DataFrame, t: Targets, checkpoint: String,
+                   docCol: Option[String] = Some("doc_id"),
+                   vecCol: Option[String] = Some("vec_id"))
+      : DataStreamWriter[Row] =
+    ids.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landEach(
+          docCol.map(c => batch.select(col(c)).filter(col(c).isNotNull)),
+          vecCol.map(c => batch.select(col(c)).filter(col(c).isNotNull)),
+          t, batchId): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update").trigger(Trigger.AvailableNow())
 
   /** The campaign-wide attestation: one row per targeted family, the
     * family's own erasure audit normalized to

@@ -491,4 +491,62 @@ class TombstoneSpec extends SparkSpec {
         s"$fam: tombstones must be gone after trim")
     }
   }
+
+  test("streamed takedown campaign: a drained id stream lands in every " +
+       "targeted family exactly like the batch land; attestation clean " +
+       "after erase") {
+    import graft.streaming.Takedown
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val e = Tables.embeddings(spark, sf)
+    // two byte-identical target sets: one drains the stream, the other
+    // takes the batch land — their attestations must match family for
+    // family (lex is doc-keyed, ann/graph vector-keyed, so the sink's
+    // per-side fan-out is exercised in both directions)
+    def mkTargets(tag: String) = {
+      val lexDir = tmp(s"graft_scamp_lex$tag")
+      LexIndex.writeIndex(docs, "doc_id", "text", lexDir)
+      val annDir = tmp(s"graft_scamp_ann$tag")
+      StreamingAnn.writeBaseIndex(e, "vec_id", "embedding", "label", annDir)
+      val graphDir = tmp(s"graft_scamp_g$tag")
+      graft.sim.GraphAnnIndex.writeIndex(e, "vec_id", "embedding", 64,
+        graphDir)
+      Takedown.Targets(lex = Some(lexDir), ann = Some(annDir),
+        graph = Some(graphDir))
+    }
+    val tS = mkTargets("s"); val tB = mkTargets("b")
+    val dir = tmp("graft_scamp_io")
+    // ONE campaign feed: doc rows and vec rows interleaved, the other
+    // side null — the sink routes each side to its keyed families
+    docs.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), lit(null).cast("long").as("vec_id"))
+      .unionByName(e.filter(col("vec_id") % 5 === 1)
+        .select(lit(null).cast("long").as("doc_id"), col("vec_id")))
+      .write.parquet(s"$dir/in")
+    Takedown.campaignSink(
+        spark.readStream.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("vec_id", LongType))))
+          .parquet(s"$dir/in"), tS, s"$dir/chk")
+      .start().awaitTermination()
+    Takedown.land(
+      Some(docs.filter(col("doc_id") % 5 === 1).select("doc_id")),
+      Some(e.filter(col("vec_id") % 5 === 1).select("vec_id")), tB, 0L)
+    def byFam(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val streamed = byFam(Takedown.attest(spark, tS))
+    assert(streamed == byFam(Takedown.attest(spark, tB)),
+      "drained stream must attest exactly like the batch land")
+    streamed.foreach { case (fam, (nTomb, hidden, clean)) =>
+      assert(nTomb > 0 && hidden > 0 && !clean,
+        s"$fam: the streamed campaign must have landed")
+    }
+    Takedown.erase(spark, tS)
+    byFam(Takedown.attest(spark, tS)).foreach {
+      case (fam, (nTomb, hidden, clean)) =>
+        assert(nTomb > 0 && hidden == 0 && clean,
+          s"$fam: erase after a streamed campaign must complete physically")
+    }
+  }
 }
