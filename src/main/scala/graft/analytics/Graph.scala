@@ -75,7 +75,7 @@ object Graph {
           (lit(1.0 - damping) / col("_n") + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") / col("_n"))).as("r"))
       if (tol > 0) {
-        ranks = ranks.localCheckpoint(true) // about to be acted on anyway
+        ranks = ranks.transform(graft.ops.Checkpoint.cut(_, eager = true)) // about to be acted on anyway
         // coalesce: sum over an EMPTY node set is NULL, and an empty graph
         // is trivially converged — not an NPE
         val delta = ranks.join(prev.withColumnRenamed("r", "_rp"), "id")
@@ -83,7 +83,7 @@ object Graph {
           .head().getDouble(0)
         converged = delta < tol
       } else if (it % checkpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.transform(graft.ops.Checkpoint.cut(_, eager = true))
     }
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
@@ -117,7 +117,7 @@ object Graph {
       .crossJoin(broadcast(ns))
       .select(col("id"), when(col("_seed").isNotNull, lit(1.0) / col("_ns"))
         .otherwise(lit(0.0)).as("s"))
-      .localCheckpoint(true) // reused twice per iteration — materialize once
+      .transform(graft.ops.Checkpoint.cut(_, eager = true)) // reused twice per iteration — materialize once
     var ranks = sVec.select(col("id"), col("s").as("r"))
     var it = 0
     while (it < iters) {
@@ -134,7 +134,7 @@ object Graph {
           (lit(1.0 - damping) * col("s") + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") * col("s"))).as("r"))
       if (it % checkpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.transform(graft.ops.Checkpoint.cut(_, eager = true))
     }
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
@@ -282,10 +282,10 @@ object Graph {
         .select(col("_d").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint(true) // materialize + truncate lineage
+        .transform(graft.ops.Checkpoint.cut(_, eager = true)) // materialize + truncate lineage
       settled = settled.union(frontier)
       if (hop % CheckpointEvery == 0)
-        settled = settled.localCheckpoint(true)
+        settled = settled.transform(graft.ops.Checkpoint.cut(_, eager = true))
     }
     // frontiers are materialized, so the returned plan no longer reads e
     e.unpersist()
@@ -413,7 +413,7 @@ object Graph {
     // it twice (community degree rollup, gain arithmetic), and carrying it
     // beats re-joining the degree table — one column against two shuffles
     var labels = deg.select(col("v"), col("v").as("c"), col("k"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     for (r <- 1 to rounds) {
       val ctot = labels.groupBy("c").agg(sum("k").as("ctot"))
       val nbr = sym
@@ -453,8 +453,8 @@ object Graph {
             negate(col("cand")))).as("_b"))
         .select(col("v"), col("_b.cand").as("c"), col("_b.k").as("k"))
       labels =
-        if (eagerRounds || r == rounds) next.localCheckpoint(true)
-        else next.localCheckpoint(false)
+        if (eagerRounds || r == rounds) next.transform(graft.ops.Checkpoint.cut(_, eager = true))
+        else next.transform(graft.ops.Checkpoint.cut(_, eager = false))
     }
     deg.unpersist()
     labels
@@ -515,7 +515,7 @@ object Graph {
            else mapping.join(lab.select(col("v").as("c"), col("c").as("_c2")),
                "c")
              .select(col("id"), col("_c2").as("c")))
-          .localCheckpoint(true)
+          .transform(graft.ops.Checkpoint.cut(_, eager = true))
         val lvl = mapping.select(col("id"), lit(level).as("level"),
           col("c").as("community"))
         out = if (out == null) lvl else out.unionByName(lvl)
@@ -528,7 +528,7 @@ object Graph {
             .select(least(col("_ca"), col("_cb")).as("a"),
               greatest(col("_ca"), col("_cb")).as("b"), col("w"))
             .groupBy("a", "b").agg(sum("w").as("w"))
-            .localCheckpoint(true)
+            .transform(graft.ops.Checkpoint.cut(_, eager = true))
           und.unpersist()
           und = next
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -589,10 +589,10 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("c"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("v").as("u"), col("c").as("cand")), "u")
@@ -600,7 +600,7 @@ object Graph {
         .groupBy("v").agg(
           max_by(col("cand"), struct(col("_n"), negate(col("cand"))))
             .as("c"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
     }
     val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "c")
@@ -640,7 +640,7 @@ object Graph {
       .filter(col("lo") =!= col("hi")).distinct()
     var sym = und.select(col("lo").as("u"), col("hi").as("v"))
       .union(und.select(col("hi").as("u"), col("lo").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     var prev = -1L
     var rounds = 0
     var done = false
@@ -656,7 +656,7 @@ object Graph {
         prev = n
         sym = sym.join(keep, "u")
           .join(keep.select(col("u").as("v")), "v")
-          .select("u", "v").localCheckpoint(true)
+          .select("u", "v").transform(graft.ops.Checkpoint.cut(_, eager = true))
         rounds += 1
       }
     }
@@ -690,7 +690,7 @@ object Graph {
     var cur = edges.select(
         least(col(src), col(dst)).as("lo"), greatest(col(src), col(dst)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     def supports(e: DataFrame): DataFrame = {
       val sym = e.select(col("lo").as("_u"), col("hi").as("_v"))
         .union(e.select(col("hi").as("_u"), col("lo").as("_v")))
@@ -713,7 +713,7 @@ object Graph {
         throw new IllegalStateException(
           s"kTruss: not converged after $maxRounds rounds ($n edges)")
       prev = n
-      cur = keep.select("lo", "hi").localCheckpoint(true)
+      cur = keep.select("lo", "hi").transform(graft.ops.Checkpoint.cut(_, eager = true))
       rounds += 1
     }
     throw new IllegalStateException("unreachable")
@@ -800,7 +800,7 @@ object Graph {
     val Dec = "decimal(28,12)"
     val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     // persist (not checkpoint) the partitioned copies: an InMemoryRelation
     // keeps its outputPartitioning, so the per-iteration joins read the
     // cache with NO exchange on the edge side; a localCheckpoint would
@@ -809,7 +809,7 @@ object Graph {
     val eDst = e.repartition(col("_dst")).persist(MemDisk)
     val v = e.select(col("_src").as("id"))
       .union(e.select(col("_dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     // the iteration runs on COMPACT score frames — only nodes with a
     // nonzero raw sum. A zero-score node contributes exactly 0 to every
     // downstream DECIMAL sum and 0 to the L1 norm, so dropping its row is
@@ -824,7 +824,7 @@ object Graph {
       val aRaw = eSrc.join(h.hint("shuffle_hash"), col("_src") === col("id"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("h").cast(Dec)).cast("double").as("_ar"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       val aN = aRaw.agg(sum(col("_ar").cast(Dec)).cast("double").as("_s"))
       a = aRaw.crossJoin(broadcast(aN))
         .select(col("id"),
@@ -832,7 +832,7 @@ object Graph {
       val hRaw = eDst.join(a.hint("shuffle_hash"), col("_dst") === col("id"))
         .groupBy(col("_src").as("id"))
         .agg(sum(col("a").cast(Dec)).cast("double").as("_hr"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
       val hN = hRaw.agg(sum(col("_hr").cast(Dec)).cast("double").as("_s"))
       h = hRaw.crossJoin(broadcast(hN))
         .select(col("id"),

@@ -1673,7 +1673,7 @@ object Stats {
     val cells = df.filter(col(x).isNotNull && col(y).isNotNull)
       .groupBy(col(x).as("_x"), col(y).as("_y"))
       .agg(count(lit(1)).as("_nxy"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     val mx = cells.groupBy("_x").agg(sum("_nxy").as("_nx"))
     val my = cells.groupBy("_y").agg(sum("_nxy").as("_ny"))
     val nn = cells.agg(sum("_nxy").as("_n"))
@@ -1953,7 +1953,7 @@ object Stats {
     val agg = df.agg(aggCols.head, aggCols.tail: _*)
       // one corpus pass: the 1-row moment frame feeds |covariates|
       // selects below — materialize it so they don't re-scan
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoint.cut(_, eager = true))
     val rows = covariates.map { c =>
       def v(side: String) = {
         val s = col(s"_s$side" + s"_$c").cast("double")

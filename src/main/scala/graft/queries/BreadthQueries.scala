@@ -632,7 +632,7 @@ object BreadthQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("cu"),
           (col("l_suppkey") * 2 + 1).as("su"))
-        .localCheckpoint(false)
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val l1 = g.louvain(edges, "cu", "su", rounds = 2)
       val cg = g.communityGraph(edges, "cu", "su", l1, "id", "community")
       val l2 = g.louvainWeighted(cg, "ca", "cb", "weight", rounds = 2)

@@ -38,4 +38,26 @@ class CheckpointSpec extends SparkSpec {
         "reliable checkpoints must land in the checkpoint dir")
     } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
   }
+
+  test("the graph/stats iterative cuts honor the escape hatch too " +
+       "(louvain + mutualInfo identical under reliable checkpoints)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val pairs = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+      ("b", "y"), ("b", "x"), ("c", "z")).toDF("p", "q")
+    def run(): (Set[String], Set[String]) = (
+      graft.analytics.Graph.louvain(edges, "u", "v", rounds = 2)
+        .collect().map(_.toString).toSet,
+      graft.ops.Stats.mutualInfo(pairs, "p", "q")
+        .collect().map(_.toString).toSet)
+
+    val default = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk2").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try assert(run() === default,
+      "graph/stats cuts must not move a value under reliable checkpoints")
+    finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
 }
