@@ -465,6 +465,44 @@ object ExtensionQueries {
         col("vec_id") < 32, k = 5, nProbe = 2, bruteThreshold = 64)
     }),
 
+    // ── DEDUP-INDEX DRIFT-TRIGGERED REBUILD: the monitor→act loop on
+    //    the dedup axis (q356's contract) — the %5=4 increment always
+    //    drifts the band occupancy above 0, so the trigger folds base ∪
+    //    increment into ONE new base at the deriveBuckets width
+    //    (min-clamped to the 256 default at these corpus sizes) and
+    //    re-baselines the monitor. The oracle replays the from-scratch
+    //    layout over the FULL corpus — per-(band, bucket) counts only a
+    //    real fold at the derived width can match, and only from the
+    //    BASE alone (an unfolded increment would leave the base short)
+    "q359_sig_rebuild" -> ((s, d) => {
+      val dir = Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))
+      require(Dedup.rebuildSignatureIndexIfDrifted(s, dir, maxDrift = 0.0),
+        "the %5=4 increment must breach a 0.0 threshold")
+      graft.streaming.Compaction.view(s, dir)
+        .readBase(Seq("band_idx", "bucket"), "bands").get
+        .groupBy("band_idx", "bucket").agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // ── LEXICAL-INDEX DRIFT-TRIGGERED REBUILD: the monitor→act loop on
+    //    the lexical axis — the %5=4 batch is 25% growth over the base,
+    //    breaching a 0.0 growth threshold, so the trigger folds both
+    //    roots into new bases at the deriveBuckets width (min-clamped to
+    //    the 64 default here) under one meta+postings pointer commit.
+    //    The oracle replays the from-scratch postings layout over the
+    //    FULL corpus — per-bucket term/posting/tf masses from the BASE
+    //    alone
+    "q360_lex_rebuild" -> ((s, d) => {
+      val dir = Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))
+      require(graft.text.LexIndex.rebuildIfDrifted(s, dir,
+        maxGrowthFrac = 0.0), "the %5=4 batch must breach 0.0 growth")
+      graft.streaming.Compaction.view(s, s"$dir/postings")
+        .readBase(Seq("term", "doc_id", "tf", "bucket")).get
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct(col("term")).as("n_terms"),
+          sum(col("tf")).as("sum_tf"))
+    }),
+
     // ── TAKEDOWN CAMPAIGN: one compliance request landed across ALL FIVE
     //    maintained families at once (lexical postings, IVF vector store,
     //    PQ code table, dedup signature bands, graph-ANN store) + ONE
@@ -4760,6 +4798,36 @@ object ExtensionQueries {
          |LEFT JOIN ni ON j.band_idx = ni.band_idx
          |GROUP BY j.band_idx""".stripMargin
     },
+    // dedup-index rebuild replay: the from-scratch band layout over the
+    // FULL corpus (base %5≠4 ∪ increment %5=4, no tombstones) at the
+    // deriveBuckets width — min-clamped to the 256 default at sf≤0.1, so
+    // the modulus is the constant; only a real fold leaves the BASE
+    // holding every row
+    "q359_sig_rebuild" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+         |lb AS (SELECT band_idx,
+         |    CAST(band_key % ${Dedup.DefaultIndexBuckets} AS INTEGER) AS bucket
+         |  FROM ($bandUnion) WHERE band_key IS NOT NULL)
+         |SELECT band_idx, bucket, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lb GROUP BY 1, 2""".stripMargin
+    },
+    // lexical-index rebuild replay: the from-scratch postings layout over
+    // the FULL corpus at the deriveBuckets width (min-clamped to the 64
+    // writeIndex default here) — per-bucket masses from the BASE alone
+    "q360_lex_rebuild" ->
+      s"""WITH $normCte,
+         |w AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term
+         |  FROM nrm),
+         |p AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM w
+         |  WHERE length(term) > 0 GROUP BY 1, 2)
+         |SELECT CAST(${h64d("term")} % 64 AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(sum(tf) AS BIGINT) AS sum_tf
+         |FROM p GROUP BY 1""".stripMargin,
     // filtered flat-PQ replay: the q330 closed-form encode + ADC chain
     // with the candidate side restricted to the surviving tenant
     "q351_pq_filtered" -> pqFilteredOracleSql("vec_id % 3 = 0"),

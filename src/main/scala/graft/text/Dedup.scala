@@ -252,7 +252,7 @@ object Dedup {
     // re-land band rows the base already owns — drop it
     if (graft.streaming.Compaction.isFolded(spark, path, batchId, "bands"))
       return
-    val nBuckets = spark.read.parquet(s"$path/meta").select("n_buckets").head().getInt(0)
+    val nBuckets = readIndexMeta(spark, path).getInt(0)
     val bands = bandRows(sig, id).filter(col("band_key").isNotNull)
       .withColumn("bucket", pmod(col("band_key"), lit(nBuckets.toLong)).cast("int"))
     // A batch whose docs are all too short yields zero band rows; writing
@@ -350,8 +350,7 @@ object Dedup {
     * applies to base and increment directories alike. */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): SignatureIndex = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select("n_buckets", "num_hashes", "num_bands").head()
+    val meta = readIndexMeta(spark, path)
     require(meta.getInt(1) == NumHashes && meta.getInt(2) == NumBands,
       s"signature index at $path was written with ${meta.getInt(1)} hashes / " +
         s"${meta.getInt(2)} bands; this build uses $NumHashes / $NumBands")
@@ -458,6 +457,125 @@ object Dedup {
         s"${audit.getLong(1)} band rows still hidden; run " +
         "compactSignatureIndex first")
     graft.streaming.Tombstones.clear(spark, path)
+  }
+
+  /** The index meta row (n_buckets, num_hashes, num_bands), resolved
+    * through the versioned-root pointer — a [[rebuildSignatureIndex]]
+    * flips meta WITH the bands (the bucket modulus must match the
+    * layout); plain `$path/meta` is the pre-rebuild legacy location. */
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): org.apache.spark.sql.Row = {
+    val p = graft.streaming.Compaction.view(spark, path).dir("meta")
+      .getOrElse(s"$path/meta")
+    spark.read.parquet(p)
+      .select("n_buckets", "num_hashes", "num_bands").head()
+  }
+
+  /** Target band rows per bucket directory for [[deriveBuckets]]: at
+    * ~40 B/row this keeps bucket directories near healthy parquet sizes
+    * (the [[DefaultIndexBuckets]] Scaladoc's arithmetic, solved for width
+    * instead of assumed from it). */
+  val DefaultRowsPerBucket: Long = 25L * 1000 * 1000
+
+  /** Re-derive the bucket-partition width from the LIVE band-row volume —
+    * the signature index's one frozen layout knob. [[writeSignatureIndex]]
+    * sizes it once at seed time; a corpus that has since grown 100× leaves
+    * every probe opening bucket directories 100× fatter than the layout
+    * promised (pruning still works, but each pruned-in scan does 100× the
+    * IO). Rule: rows / `targetRowsPerBucket` rounded UP to the next power
+    * of two, clamped to [[[DefaultIndexBuckets]], 2²⁰] — power-of-two so a
+    * rebuild at the same scale reproduces the same width (no flapping),
+    * clamped so a seed corpus keeps the documented default and a
+    * pathological row count cannot explode the directory listing. */
+  def deriveBuckets(liveBandRows: Long,
+                    targetRowsPerBucket: Long = DefaultRowsPerBucket): Int = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    val want = math.max(1L,
+      (liveBandRows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val p2 = if (want <= 1L) 1L
+             else java.lang.Long.highestOneBit(want - 1L) << 1
+    math.min(1L << 20, math.max(DefaultIndexBuckets.toLong, p2)).toInt
+  }
+
+  /** REBUILD the stored signature index under a FRESH LAYOUT — the act
+    * arm behind [[bandOccupancyDrift]]'s monitor ([[graft.sim
+    * .GraphAnnIndex.rebuildIndex]]'s contract on the dedup axis). MinHash
+    * geometry (hash count, band count) is content-addressed and never
+    * changes — what ages is the LAYOUT: the bucket width was sized for
+    * the seed corpus ([[deriveBuckets]]), and the monitor's reference
+    * distribution is the stale base, so a grown or shifted corpus reads
+    * as permanent drift. The rebuild folds base ∪ increments ∪ tombstones
+    * into one new base at the re-derived width and re-baselines the
+    * monitor (increments empty → the gate holds until new data streams).
+    *
+    * Atomicity: meta and the bands base flip TOGETHER in one
+    * [[graft.streaming.Compaction.promoteHeld]] pointer commit (a new
+    * modulus routing over old bucket directories would probe garbage),
+    * with the whole rebuild serialized on this root's write lease — the
+    * same lease every fold takes, so no append/fold can interleave.
+    * Tombstone TERMINALITY survives: the new base is the tombstone-
+    * filtered live read and the tombstone set itself is untouched.
+    * Subsumed increments die under the watermark stamped into the new
+    * base. Run between streams. */
+  def rebuildSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            targetRowsPerBucket: Long =
+                              DefaultRowsPerBucket): Unit = {
+    import graft.streaming.{Compaction, Tombstones}
+    Compaction.withWriteLease(spark, path) {
+      Compaction.recoverPromote(spark, path)
+      spark.catalog.refreshByPath(path)
+      Tombstones.compact(spark, path)
+      val subsumed = (Compaction.foldedWatermark(spark, path, "bands") +:
+        Compaction.incrementIds(spark, path)).max
+      // live membership: tombstone-filtered base ∪ increments — exactly
+      // the frame every probe reads; one materialization feeds the width
+      // count and the rewrite
+      val live = graft.ops.Checkpoint.cut(
+        readSignatureIndex(spark, path).bands.drop("bucket"), eager = false)
+      val liveRows = live.count()
+      val width = deriveBuckets(liveRows, targetRowsPerBucket)
+      val rebanded = live.withColumn("bucket",
+        pmod(col("band_key"), lit(width.toLong)).cast("int"))
+      // the writeSignatureIndex empty-corpus guard, on the rebuild path
+      if (liveRows == 0L)
+        rebanded.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/bands_new")
+      else
+        rebanded.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/bands_new")
+      Compaction.stampWatermark(spark, s"$path/bands_new", subsumed)
+      val sess = spark
+      import sess.implicits._
+      Seq((width, NumHashes, NumBands))
+        .toDF("n_buckets", "num_hashes", "num_bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_new")
+      Compaction.promoteHeld(spark, path, Seq("bands", "meta"))
+      Compaction.gcIncrements(spark, path, "bands")
+      spark.catalog.refreshByPath(path)
+    }
+  }
+
+  /** The closed drift loop on the dedup axis ([[graft.sim.GraphAnnIndex
+    * .rebuildIfDrifted]] / [[graft.sim.PqIndex.retrainIndexIfDrifted]] /
+    * [[graft.streaming.StreamingAnn.reclusterIfDrifted]]'s contract):
+    * when any band's [[bandOccupancyDrift]] L1 breaches `maxDrift`,
+    * rebuild under the re-derived layout via [[rebuildSignatureIndex]]
+    * and return true; below threshold (or with no live increments to
+    * compare — the just-compacted state) the index is untouched. The
+    * report is NumBands-sized, so the check costs one band-column
+    * aggregate. */
+  def rebuildSignatureIndexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, maxDrift: Double,
+                                     targetRowsPerBucket: Long =
+                                       DefaultRowsPerBucket): Boolean = {
+    if (graft.streaming.Compaction.incrementCount(spark, path, "bands") == 0)
+      return false
+    val breached = bandOccupancyDrift(spark, path)
+      .filter(col("l1_drift") > maxDrift).limit(1).count() > 0
+    if (breached) rebuildSignatureIndex(spark, path, targetRowsPerBucket)
+    breached
   }
 
   /** `incrementalCandidates` against a STORED corpus index: identical pairs,

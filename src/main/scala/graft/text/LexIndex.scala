@@ -60,6 +60,16 @@ object LexIndex {
                        nBuckets: Int): org.apache.spark.sql.Column =
     pmod(TextOps.h64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** The index's bucket width, resolved through the versioned-root
+    * pointer — a [[rebuildIndex]] flips meta WITH the postings base (the
+    * modulus must match the layout); plain `$dir/meta` is the
+    * pre-rebuild legacy location [[writeIndex]] seeds. */
+  private def nBucketsOf(spark: SparkSession, dir: String): Int = {
+    val p = graft.streaming.Compaction.view(spark, s"$dir/postings")
+      .dir("meta").getOrElse(s"$dir/meta")
+    spark.read.parquet(p).select("n_buckets").head().getInt(0)
+  }
+
   /** (doc_id, _toks) — the tokenization both statistics derive from.
     * The index build consumes it twice (postings + doclens), so the
     * writers cut it lazily: one parquet scan + one normalize/tokenize
@@ -104,8 +114,7 @@ object LexIndex {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     import graft.streaming.Compaction
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .select("n_buckets").head().getInt(0)
+    val nBuckets = nBucketsOf(spark, dir)
     // a batch replayed AFTER compaction folded its increments would
     // re-land rows the bases already own — drop each root independently
     // (an all-blank batch skips its postings increment, so the two
@@ -173,8 +182,7 @@ object LexIndex {
   def deleteWhereTermMatches(spark: SparkSession, dir: String,
                              terms: Seq[String], batchId: Long): Boolean = {
     require(terms.nonEmpty, "need at least one takedown term")
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .select("n_buckets").head().getInt(0)
+    val nBuckets = nBucketsOf(spark, dir)
     import spark.implicits._
     val buckets = terms.toDF("term")
       .select(bucketOf(col("term"), nBuckets)).distinct()
@@ -221,8 +229,7 @@ object LexIndex {
   def bm25Indexed(spark: SparkSession, dir: String, terms: Seq[String],
                   k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .select("n_buckets").head().getInt(0)
+    val nBuckets = nBucketsOf(spark, dir)
     import spark.implicits._
     // terms-bounded driver work: which buckets can hold the query terms
     val buckets = terms.toDF("term")
@@ -418,5 +425,134 @@ object LexIndex {
         Tombstones.incrementCount(spark, dir) > maxIncrements)
       compactIndex(spark, dir)
     else (0, 0)
+  }
+
+  /** Target postings rows per bucket directory for [[deriveBuckets]]: at
+    * ~30 B/row this keeps bucket directories near healthy parquet sizes
+    * while a query's `isin` partition filter still prunes ~all of the
+    * corpus for a handful of terms. */
+  val DefaultPostingsPerBucket: Long = 50L * 1000 * 1000
+
+  /** Re-derive the bucket-partition width from the LIVE postings volume —
+    * the lexical index's one frozen layout knob ([[graft.text.Dedup
+    * .deriveBuckets]]'s rule on the lexical axis). [[writeIndex]] sizes
+    * it once at seed time (default 64); a corpus that has since grown
+    * 100× leaves every query opening term buckets 100× fatter than the
+    * layout promised. Rule: rows / `targetPostingsPerBucket` rounded UP
+    * to the next power of two, clamped to [64, 2²⁰] — power-of-two so a
+    * rebuild at the same scale reproduces the same width (no flapping).
+    */
+  def deriveBuckets(livePostings: Long,
+                    targetPostingsPerBucket: Long =
+                      DefaultPostingsPerBucket): Int = {
+    require(targetPostingsPerBucket > 0,
+      "targetPostingsPerBucket must be positive")
+    val want = math.max(1L,
+      (livePostings + targetPostingsPerBucket - 1) / targetPostingsPerBucket)
+    val p2 = if (want <= 1L) 1L
+             else java.lang.Long.highestOneBit(want - 1L) << 1
+    math.min(1L << 20, math.max(64L, p2)).toInt
+  }
+
+  /** REBUILD the stored lexical index under a FRESH LAYOUT — the act arm
+    * behind [[statsDrift]]'s monitor ([[graft.sim.GraphAnnIndex
+    * .rebuildIndex]]'s contract on the lexical axis). The tokenization
+    * never changes — what ages is the LAYOUT (the bucket width was sized
+    * for the seed corpus) and the monitor's reference (the stale base
+    * vocabulary, against which a grown or shifted corpus reads as
+    * permanent OOV drift). The rebuild folds base ∪ increments ∪
+    * tombstones of BOTH roots into new bases, re-buckets the postings at
+    * the [[deriveBuckets]] width, and re-baselines the monitor
+    * (increments empty → nothing to compare until new data streams).
+    *
+    * Atomicity: meta and the postings base flip TOGETHER in one
+    * [[graft.streaming.Compaction.promoteHeld]] pointer commit (a new
+    * modulus routing over old bucket directories would prune to garbage),
+    * with the whole rebuild serialized on the POSTINGS write lease — the
+    * same lease every postings fold takes. The doclens base flips in its
+    * own root's commit immediately after; a reader between the two
+    * commits sees the new postings with the un-folded doclens — value-
+    * wise the identical corpus (fold is a union of disjoint rows), never
+    * a torn one. Tombstone TERMINALITY survives: both new bases are the
+    * tombstone-filtered live reads and the tombstone set is untouched.
+    * Run between streams. */
+  def rebuildIndex(spark: SparkSession, dir: String,
+                   targetPostingsPerBucket: Long =
+                     DefaultPostingsPerBucket): Unit = {
+    import graft.streaming.{Compaction, Tombstones}
+    Compaction.withWriteLease(spark, s"$dir/postings") {
+      Compaction.recoverPromote(spark, s"$dir/postings")
+      Compaction.recoverPromote(spark, s"$dir/doclens")
+      spark.catalog.refreshByPath(dir)
+      Tombstones.compact(spark, dir)
+      // the append-only-per-LIVE-doc contract check, BEFORE any root
+      // commits (compactIndex's guard, for the same reason)
+      val dup = readDocLens(spark, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate doc_id '${if (dup.isEmpty) "" else dup.head.get(0)}' " +
+          s"in $dir: a document was ingested in more than one batch — " +
+          "the lexical index contract is append-only per doc_id")
+      val subP = (Compaction.foldedWatermark(spark, s"$dir/postings") +:
+        Compaction.incrementIds(spark, s"$dir/postings")).max
+      val subD = (Compaction.foldedWatermark(spark, s"$dir/doclens") +:
+        Compaction.incrementIds(spark, s"$dir/doclens")).max
+      // live postings: tombstone-filtered base ∪ increments — exactly the
+      // frame every query reads; one materialization feeds the width
+      // count and the rewrite
+      val live = graft.ops.Checkpoint.cut(
+        readPostings(spark, dir).drop("bucket"), eager = false)
+      val width = deriveBuckets(live.count(), targetPostingsPerBucket)
+      live.withColumn("bucket", bucketOf(col("term"), width))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/postings/base_new")
+      Compaction.stampWatermark(spark, s"$dir/postings/base_new", subP)
+      import spark.implicits._
+      Seq(width).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/postings/meta_new")
+      Compaction.promoteHeld(spark, s"$dir/postings", Seq("base", "meta"))
+      Compaction.gcIncrements(spark, s"$dir/postings")
+      readDocLens(spark, dir)
+        .write.mode("overwrite").parquet(s"$dir/doclens/base_new")
+      Compaction.stampWatermark(spark, s"$dir/doclens/base_new", subD)
+      Compaction.promote(spark, s"$dir/doclens", Seq("base"))
+      Compaction.gcIncrements(spark, s"$dir/doclens")
+      spark.catalog.refreshByPath(dir)
+    }
+  }
+
+  /** The closed drift loop on the lexical axis ([[graft.sim.GraphAnnIndex
+    * .rebuildIfDrifted]] / [[graft.sim.PqIndex.retrainIndexIfDrifted]] /
+    * [[graft.streaming.StreamingAnn.reclusterIfDrifted]]'s contract):
+    * when [[statsDrift]] shows the streamed-in text no longer looking
+    * like the base corpus — OOV occurrence mass above `maxOovOccFrac`,
+    * or the increments grown past `maxGrowthFrac` of the base's doc
+    * count (the layout-aging signal: width was sized from the base) —
+    * rebuild under the re-derived layout via [[rebuildIndex]] and return
+    * true. Below both thresholds (or with nothing streamed in) the index
+    * is untouched. Each knob defaults to disabled so a caller monitors
+    * exactly the axes it cares about. */
+  def rebuildIfDrifted(spark: SparkSession, dir: String,
+                       maxOovOccFrac: Double = Double.PositiveInfinity,
+                       maxGrowthFrac: Double = Double.PositiveInfinity,
+                       targetPostingsPerBucket: Long =
+                         DefaultPostingsPerBucket): Boolean = {
+    import graft.streaming.Compaction
+    if (Compaction.incrementCount(spark, s"$dir/postings") == 0 &&
+        Compaction.incrementCount(spark, s"$dir/doclens") == 0) return false
+    val r = statsDrift(spark, dir).head()
+    def d(n: String): Double = {
+      val i = r.fieldIndex(n)
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    }
+    val growth = r.getLong(r.fieldIndex("n_docs_inc")).toDouble /
+      math.max(1L, r.getLong(r.fieldIndex("n_docs_base"))).toDouble
+    val breached = d("oov_occ_frac") > maxOovOccFrac ||
+      growth > maxGrowthFrac
+    if (breached) rebuildIndex(spark, dir, targetPostingsPerBucket)
+    breached
   }
 }

@@ -206,4 +206,62 @@ class StreamingDedupSpec extends SparkSpec {
     assert(audit.getBoolean(audit.fieldIndex("physically_clean")))
     assert(matches(idx) == matches(twin))
   }
+
+  test("drift-triggered rebuild: calm → no-op; breach → one base at the " +
+       "re-derived width, probes ≡ from-scratch over live members, " +
+       "terminality survives") {
+    import graft.streaming.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdreb").toString
+    val idx = s"$dir/index"
+    val docs = Seq((1L, base), (2L, other), (3L, third),
+      (4L, base.replace("quiet", "silent"))).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    // seed at a deliberately tiny width — the aged-layout starting state
+    Dedup.writeSignatureIndex(sig.filter(col("doc_id") =!= 4L), "doc_id",
+      idx, nBuckets = 8)
+    // no live increments: nothing to compare — never a rebuild
+    assert(!Dedup.rebuildSignatureIndexIfDrifted(spark, idx, maxDrift = 0.0))
+    Dedup.appendSignatureIndex(sig.filter(col("doc_id") === 4L), "doc_id",
+      idx, 0L)
+    val probe = Dedup.minhashSignatures(
+      Seq((9L, base.replace("warm", "cold"))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def matches() = pairsOf(Dedup.incrementalCandidatesIndexed(
+      Dedup.readSignatureIndex(spark, idx), probe, "doc_id"))
+    val before = matches()
+    // calm: band L1 is ≤ 2 by construction — a generous threshold leaves
+    // the index untouched (increment still live, width still 8)
+    assert(!Dedup.rebuildSignatureIndexIfDrifted(spark, idx,
+      maxDrift = 100.0))
+    assert(Compaction.incrementCount(spark, idx, "bands") == 1)
+    assert(Dedup.readSignatureIndex(spark, idx).nBuckets == 8)
+    // a takedown BEFORE the rebuild: the new base must exclude the victim
+    Dedup.deleteFromSignatureIndex(
+      docs.filter(col("doc_id") === 2L).select("doc_id"), idx, 1L)
+    // breach: the delta always drifts above 0 → fold + fresh layout
+    assert(Dedup.rebuildSignatureIndexIfDrifted(spark, idx, maxDrift = 0.0))
+    assert(Compaction.incrementCount(spark, idx, "bands") == 0,
+      "the rebuild must subsume every increment")
+    val width = Dedup.readSignatureIndex(spark, idx).nBuckets
+    assert(width == Dedup.deriveBuckets(
+      Dedup.readSignatureIndex(spark, idx).bands.count()),
+      "meta must carry the deriveBuckets width")
+    assert(width != 8, "the seed layout must have been retired")
+    // probes ≡ a from-scratch index over the live membership at the same
+    // width (docs 1,3,4 — doc 2 tombstoned)
+    val scratch = s"$dir/scratch"
+    Dedup.writeSignatureIndex(sig.filter(col("doc_id") =!= 2L), "doc_id",
+      scratch, nBuckets = width)
+    assert(matches() == pairsOf(Dedup.incrementalCandidatesIndexed(
+      Dedup.readSignatureIndex(spark, scratch), probe, "doc_id")))
+    assert(matches() == before,
+      "a pure fold + relayout must not move a single pair")
+    // terminality under the new layout: re-ingesting the deleted doc is
+    // suppressed (its band rows never re-enter a probe)
+    Dedup.appendSignatureIndex(sig.filter(col("doc_id") === 2L), "doc_id",
+      idx, 2L)
+    assert(Dedup.readSignatureIndex(spark, idx).bands
+      .filter(col("doc_id") === 2L).isEmpty)
+  }
 }

@@ -154,4 +154,72 @@ class StreamingLexSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("oov_term_frac")))
     assert(none.isNullAt(none.fieldIndex("oov_occ_frac")))
   }
+
+  test("drift-triggered rebuild: calm → no-op; breach → both roots fold " +
+       "at the re-derived width, scores ≡ from-scratch over live docs, " +
+       "terminality survives") {
+    import graft.streaming.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexreb")
+      .toString + "/idx"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def scores(d: String): Set[(Long, Double)] =
+      LexIndex.bm25Indexed(spark, d, terms).select("doc_id", "bm25")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // seed at a deliberately tiny width — the aged-layout starting state
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id",
+      "text", dir, nBuckets = 4)
+    // no increments: nothing streamed in — never a rebuild
+    assert(!LexIndex.rebuildIfDrifted(spark, dir, maxGrowthFrac = 0.0))
+    LexIndex.appendBatch(docs.filter(col("doc_id") % 5 === 4), "doc_id",
+      "text", dir, 0L)
+    val before = scores(dir)
+    // calm: generous thresholds on both axes leave the index untouched
+    assert(!LexIndex.rebuildIfDrifted(spark, dir, maxOovOccFrac = 1.0,
+      maxGrowthFrac = 100.0))
+    assert(Compaction.incrementCount(spark, s"$dir/postings") == 1)
+    assert(scores(dir) === before)
+    // a takedown BEFORE the rebuild: the new bases must exclude the victim
+    val victim = docs.orderBy("doc_id").limit(1)
+      .select("doc_id").head().getLong(0)
+    LexIndex.deleteBatch(docs.filter(col("doc_id") === victim)
+      .select("doc_id"), dir, 1L)
+    // breach: 25% growth over the base → fold + fresh layout
+    assert(LexIndex.rebuildIfDrifted(spark, dir, maxGrowthFrac = 0.0))
+    assert(Compaction.incrementCount(spark, s"$dir/postings") == 0 &&
+      Compaction.incrementCount(spark, s"$dir/doclens") == 0,
+      "the rebuild must subsume every increment in both roots")
+    // meta flipped WITH the postings: the resolved width is the
+    // deriveBuckets one, the seed width is retired, and the postings
+    // base's bucket column matches the new modulus
+    val width = LexIndex.deriveBuckets(
+      LexIndex.readPostings(spark, dir).count())
+    assert(width != 4)
+    val metaDir = Compaction.view(spark, s"$dir/postings").dir("meta")
+      .getOrElse(s"$dir/meta")
+    assert(spark.read.parquet(metaDir).head().getInt(0) == width)
+    assert(LexIndex.readPostings(spark, dir)
+      .filter(col("bucket") >= width).isEmpty)
+    // scores ≡ a from-scratch index over the live docs (union-
+    // distributive statistics: the fold must not move a value)
+    val scratch = s"$dir-scratch"
+    LexIndex.writeIndex(docs.filter(col("doc_id") =!= victim), "doc_id",
+      "text", scratch, nBuckets = width)
+    assert(scores(dir) === scores(scratch))
+    // terminality under the new layout: re-ingesting the deleted doc is
+    // suppressed — scores unchanged
+    LexIndex.appendBatch(docs.filter(col("doc_id") === victim), "doc_id",
+      "text", dir, 2L)
+    assert(scores(dir) === scores(scratch))
+    // OOV arm: a novel-vocabulary increment breaches the content knob
+    val hot = s"$dir-hot"
+    import spark.implicits._
+    LexIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+      "text", hot)
+    LexIndex.appendBatch((0 until 20)
+      .map(i => (200000L + i, s"zxq$i qxz${i % 7}")).toDF("doc_id", "text"),
+      "doc_id", "text", hot, 0L)
+    assert(LexIndex.rebuildIfDrifted(spark, hot, maxOovOccFrac = 0.5))
+    assert(Compaction.incrementCount(spark, s"$hot/postings") == 0)
+  }
 }
