@@ -483,6 +483,43 @@ object ExtensionQueries {
         .groupBy("band_idx", "bucket").agg(count(lit(1)).as("n_rows"))
     }),
 
+    // ── FLEET DRIFT SWEEP: one maintenance campaign across ALL FIVE
+    //    families (q350's contract on the keep-it-healthy axis) — every
+    //    family's own monitor breaches at 0.0 against its delta
+    //    increment, so the sweep rebuilds all five under their fresh
+    //    geometry/layout and RETURNS the per-family outcomes (checked
+    //    here). The oracle pins the post-sweep bases: each family's BASE
+    //    alone must own its full live membership — corpus-derived counts
+    //    only a fleet-wide fold-and-rebuild can satisfy
+    "q361_drift_sweep" -> ((s, d) => {
+      import graft.streaming.{Compaction, Maintenance, Takedown}
+      val t = Takedown.Targets(
+        lex = Some(Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))),
+        ann = Some(Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))),
+        pq = Some(Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))),
+        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))),
+        graph = Some(Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))))
+      val acted = Maintenance.driftSweep(s, t,
+        Maintenance.DriftPolicy(lexGrowthFrac = 0.0, annMaxDrift = 0.0,
+          pqMaxL1 = 0.0, dedupMaxDrift = 0.0, graphMaxDrift = 0.0),
+        Some(Maintenance.PqRetrain(Tables.embeddings(s, d), "vec_id",
+          "embedding", m = PqM, ksub = PqKsub)))
+      require(acted.size == 5 && acted.values.forall(identity),
+        s"every family must breach and act; got $acted")
+      def baseRows(root: String, name: String, idCol: String): Long =
+        Compaction.view(s, root).readBase(Seq(idCol), name).get.count()
+      val rows = Seq(
+        ("lex", baseRows(s"${t.lex.get}/postings", "base", "doc_id")),
+        ("ann", baseRows(t.ann.get, "base", "vec_id")),
+        ("pq", baseRows(Compaction.view(s, t.pq.get).dirOrLegacy("codes"),
+          "base", "vec_id")),
+        ("dedup", baseRows(t.dedup.get, "bands", "doc_id")),
+        ("graph", baseRows(s"${t.graph.get}/vectors", "base", "vec_id")))
+      import s.implicits._
+      rows.map { case (f, n) => (f, 1, n) }
+        .toDF("family", "acted", "base_rows")
+    }),
+
     // ── LEXICAL-INDEX DRIFT-TRIGGERED REBUILD: the monitor→act loop on
     //    the lexical axis — the %5=4 batch is 25% growth over the base,
     //    breaching a 0.0 growth threshold, so the trigger folds both
@@ -4813,6 +4850,30 @@ object ExtensionQueries {
          |  FROM ($bandUnion) WHERE band_key IS NOT NULL)
          |SELECT band_idx, bucket, CAST(count(*) AS BIGINT) AS n_rows
          |FROM lb GROUP BY 1, 2""".stripMargin
+    },
+    // fleet drift-sweep replay: every family's post-sweep BASE must own
+    // its full live membership — the lexical postings and dedup band-row
+    // masses recomputed from the corpus (the shared tokenize/MinHash
+    // CTEs), the three vector families = the embeddings row count
+    "q361_drift_sweep" -> {
+      val bandUnion = (0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $normCte,
+         |w AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term
+         |  FROM nrm),
+         |lexp AS (SELECT term, doc_id FROM w WHERE length(term) > 0
+         |  GROUP BY 1, 2),
+         |$sigCte,
+         |lb AS (SELECT band_idx FROM ($bandUnion) WHERE band_key IS NOT NULL),
+         |emb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |SELECT 'lex' AS family, 1 AS acted,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lexp) AS base_rows
+         |UNION ALL SELECT 'ann', 1, n FROM emb
+         |UNION ALL SELECT 'pq', 1, n FROM emb
+         |UNION ALL SELECT 'dedup', 1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lb)
+         |UNION ALL SELECT 'graph', 1, n FROM emb""".stripMargin
     },
     // lexical-index rebuild replay: the from-scratch postings layout over
     // the FULL corpus at the deriveBuckets width (min-clamped to the 64

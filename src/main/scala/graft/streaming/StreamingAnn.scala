@@ -200,20 +200,25 @@ object StreamingAnn {
     spark.catalog.refreshByPath(indexPath)
   }
 
-  /** The closed drift loop: read the [[Similarity.ivfCellDrift]] report
-    * of the maintained postings against the stored (frozen) centroids;
-    * when any cell breaches `maxDrift` — or has drained to zero members,
-    * the state the report surfaces as NULL drift — rebuild via
-    * [[reclusterIndex]] and return true. Below threshold the index is
-    * untouched. The report is cells-sized, so the check costs one
-    * postings aggregate. */
-  def reclusterIfDrifted(spark: SparkSession, indexPath: String,
-                         maxDrift: Double): Boolean = {
+  /** The [[Similarity.ivfCellDrift]] report of the maintained postings
+    * against the stored (frozen) centroids — the family's aging monitor
+    * as a one-call readout (cells-sized; a drained cell surfaces as
+    * n_members = 0 with NULL drift). */
+  def cellDrift(spark: SparkSession, indexPath: String): DataFrame = {
     val v = Compaction.view(spark, indexPath)
-    val report = Similarity.ivfCellDrift(
+    Similarity.ivfCellDrift(
       Tombstones.applyTo(rawPostings(v), indexPath, "vec_id"),
       spark.read.parquet(v.dirOrLegacy("centroids")))
-    val breached = report
+  }
+
+  /** The closed drift loop: read the [[cellDrift]] report; when any cell
+    * breaches `maxDrift` — or has drained to zero members, the state the
+    * report surfaces as NULL drift — rebuild via [[reclusterIndex]] and
+    * return true. Below threshold the index is untouched. The report is
+    * cells-sized, so the check costs one postings aggregate. */
+  def reclusterIfDrifted(spark: SparkSession, indexPath: String,
+                         maxDrift: Double): Boolean = {
+    val breached = cellDrift(spark, indexPath)
       .filter(col("n_members") === 0 || col("drift") > maxDrift)
       .limit(1).count() > 0
     if (breached) reclusterIndex(spark, indexPath)
