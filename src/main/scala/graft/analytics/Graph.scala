@@ -399,10 +399,14 @@ object Graph {
   private def louvainSweep(und: DataFrame, rounds: Int,
                            eagerRounds: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // every round's neighbor join scans sym — persist the DOUBLED frame
+    // once instead of re-deriving union-of-two-projections from the
+    // cached und per round (2|E| rows of three longs; freed below)
     val sym = und.filter(col("a") =!= col("b"))
       .select(col("a").as("v"), col("b").as("u"), col("w"))
       .union(und.filter(col("a") =!= col("b"))
         .select(col("b").as("v"), col("a").as("u"), col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.select(col("v"), col("w"))
       .unionByName(und.filter(col("a") === col("b"))
         .select(col("a").as("v"), (col("w") * 2).as("w")))
@@ -457,6 +461,7 @@ object Graph {
         else next.transform(graft.ops.Checkpoint.cut(_, eager = false))
     }
     deg.unpersist()
+    sym.unpersist()
     labels
   }
 
