@@ -1037,6 +1037,17 @@ object ExtensionQueries {
       graft.text.LexIndex.bm25Indexed(s,
         Fixtures.shared("lex5", d)(buildLex5(s, d)), Bm25Terms)),
 
+    // ── FILTERED BM25 over the stored index: search-within-a-tenant on
+    //    the LEXICAL axis, completing the tier matrix (graph q349, PQ
+    //    q351, IVF-PQ q352, streaming-layout q354, IVF q337). The tenant
+    //    predicate (doc_id ≡ 0 mod 3) restricts postings AND the corpus
+    //    statistics, so scores ≡ from-scratch BM25 over the tenant's
+    //    corpus alone — the oracle replays exactly that
+    "q362_bm25_filtered" -> ((s, d) =>
+      graft.text.LexIndex.bm25IndexedFiltered(s,
+        Fixtures.shared("lex5", d)(buildLex5(s, d)), Bm25Terms,
+        col("doc_id") % 3 === 0)),
+
     // ── FILTERED ANN: top-3 under a metadata predicate (vec_id ≡ 0 mod 3,
     //    ~⅓ selectivity), nProbe=2 — the predicate applies INSIDE the two
     //    probed posting lists (never a post-filter of an unfiltered top-k,
@@ -2767,6 +2778,13 @@ object ExtensionQueries {
     // stored-index BM25 ≡ from-scratch BM25 (the sufficient statistics
     // are union-distributive over an append-only corpus)
     "q323_bm25_indexed" -> bm25OracleSql,
+    // filtered BM25 replay: from-scratch BM25 over the tenant's corpus
+    // alone — df/N/avgdl all from the surviving docs
+    "q362_bm25_filtered" ->
+      s"""WITH ${bm25Ctes(normCteWhere("doc_id % 3 = 0"))}
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         |FROM scored GROUP BY doc_id""".stripMargin,
     "q112_tfidf" ->
       s"""WITH $normCte,
          |tk AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS term FROM nrm),

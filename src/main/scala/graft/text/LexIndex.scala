@@ -248,6 +248,40 @@ object LexIndex {
     Retrieval.bm25Score(tf, "doc_id", stats, k1, b)
   }
 
+  /** FILTERED BM25 over the stored index — search-within-a-tenant on the
+    * lexical axis, completing the tier matrix the vector families carry
+    * (graph/PQ/IVF-PQ/IVF/streaming-layout `searchFiltered`). The doc
+    * predicate `pred` (over `doc_id`) restricts BOTH the postings rows
+    * AND the corpus statistics (df, N, avgdl), so scores are value-
+    * identical to a from-scratch BM25 over the tenant's corpus alone —
+    * the same semantic a delete gives permanently, applied per query.
+    * Excluded docs neither score nor dilute idf with foreign document
+    * frequencies. The postings scan keeps the bucket partition prune
+    * (the predicate composes with it, never replaces it); the doclens
+    * pass is tenant-docs-sized. */
+  def bm25IndexedFiltered(spark: SparkSession, dir: String,
+                          terms: Seq[String],
+                          pred: org.apache.spark.sql.Column,
+                          k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val nBuckets = nBucketsOf(spark, dir)
+    import spark.implicits._
+    val buckets = terms.toDF("term")
+      .select(bucketOf(col("term"), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val dls = readDocLens(spark, dir).filter(pred)
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val tf = readPostings(spark, dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isin(terms: _*) && pred)
+      .join(dls, "doc_id")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    Retrieval.bm25Score(tf, "doc_id", stats, k1, b)
+  }
+
   /** ERASURE AUDIT — the compliance readout a takedown needs: how many
     * ids are tombstoned, and do the PHYSICAL bytes (base ∪ increments,
     * read without the anti-join) still hold any of their rows. A

@@ -155,6 +155,28 @@ class StreamingLexSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("oov_occ_frac")))
   }
 
+  test("bm25IndexedFiltered: tenant scores ≡ from-scratch BM25 over the " +
+       "tenant's docs alone; excluded docs neither score nor dilute idf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexflt")
+      .toString + "/idx"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    LexIndex.writeIndex(docs, "doc_id", "text", dir)
+    def s(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_id", "n_terms", "bm25").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tenant = col("doc_id") % 3 === 0
+    val filtered = LexIndex.bm25IndexedFiltered(spark, dir, terms, tenant)
+    assert(filtered.filter(col("doc_id") % 3 =!= 0).isEmpty,
+      "excluded docs must never score")
+    assert(s(filtered) === s(Retrieval.bm25(docs.filter(tenant),
+        "doc_id", "text", terms)),
+      "tenant scores must equal a from-scratch BM25 over the tenant corpus")
+    // the unfiltered call is untouched by the new arm
+    assert(s(LexIndex.bm25Indexed(spark, dir, terms)) ===
+      s(Retrieval.bm25(docs, "doc_id", "text", terms)))
+  }
+
   test("drift-triggered rebuild: calm → no-op; breach → both roots fold " +
        "at the re-derived width, scores ≡ from-scratch over live docs, " +
        "terminality survives") {
