@@ -1263,6 +1263,23 @@ object ExtensionQueries {
         nLex = 50, nProbe = 2, k = 5)
     }),
 
+    // ── TENANT-FILTERED fused hybrid serving: both legs, the fusion and
+    //    the exhaustive truth restricted to the tenant (ids ≡ 0 mod 3) —
+    //    the q327 stack under the q337/q352 filter contract (candidates
+    //    filtered, routing on the full frozen centroids; BM25 statistics
+    //    from the tenant corpus alone). The oracle is q327's full replay
+    //    with every corpus-facing CTE tenant-restricted
+    "q363_hybrid_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ldir = Fixtures.shared("lexFull", d)(buildLexFull(s, d))
+      val vdir = Fixtures.shared("ivfFull", d)(buildIvfFull(s, d))
+      graft.text.Retrieval.hybridRrfIndexedFiltered(s, ldir, vdir,
+        Bm25Terms, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        docPred = col("doc_id") % 3 === 0,
+        vecPred = col("vec_id") % 3 === 0,
+        nLex = 50, nProbe = 2, k = 5)
+    }),
+
     // ── RETRIEVAL-QUALITY DRIFT across snapshots of a maintained index:
     //    the same eval battery against the SAME exhaustive truth (it
     //    depends only on the ingested vectors), on the index right after
@@ -2526,6 +2543,90 @@ object ExtensionQueries {
        |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
        |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)""".stripMargin
+
+  /** The q327 fused stored-hybrid replay, parameterized by tenant
+    * predicates: `docWhere` restricts the BM25 corpus (candidates AND
+    * df/N/avgdl), `vecWhere` the ANN candidates and the exhaustive
+    * truth; assignment and routing stay full-corpus (the frozen-
+    * centroid contract). "TRUE"/"TRUE" is exactly the unfiltered q327. */
+  private def hybridRrfOracleSql(docWhere: String,
+                                 vecWhere: String): String =
+    s"""WITH ${normCteWhere(docWhere)},
+         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
+         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
+         |    FROM tkb JOIN dls USING (doc_id))
+         |  WHERE term IN (${inList(Bm25Terms)})
+         |  GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
+         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
+         | FROM scored GROUP BY doc_id),
+         |cand AS (SELECT doc_id AS vec_id, rn AS lrank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |    AS rn FROM bmsc) WHERE rn <= 50),
+         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |lexr AS (SELECT q.q_id, c.vec_id, c.lrank AS rank
+         |  FROM cand c, q WHERE c.vec_id != q.q_id),
+         |cent AS (SELECT label AS cid, i AS pos,
+         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
+         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
+         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
+         |asn AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
+         |routed AS (SELECT q_id, qv, cid FROM (
+         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
+         |sv AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
+         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id
+         |  WHERE $vecWhere),
+         |annr AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM sv) WHERE rank <= 5),
+         |t AS (SELECT q_id, vec_id,
+         |  CAST(CAST(1 AS DOUBLE) / (60 + rank) AS DECIMAL(28,12)) AS t
+         | FROM (SELECT * FROM lexr UNION ALL SELECT * FROM annr)),
+         |fsum AS (SELECT q_id, vec_id, sum(t) AS s FROM t GROUP BY 1, 2),
+         |res AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) AS rank FROM fsum) WHERE rank <= 5),
+         |tru AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rank FROM (
+         |    SELECT q_id, vec_id, $cosSql AS sim
+         |    FROM e, q WHERE vec_id != q_id AND ($vecWhere)))
+         | WHERE rank <= 5),
+         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
+         |idcg AS (SELECT nt.q_id,
+         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
+         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
+         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS frst,
+         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
+         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
+         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
+         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
+         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
+         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
+         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_recall,
+         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
+         |    / count(*) OVER (), 6) AS macro_ndcg
+         |FROM pq""".stripMargin
 
   private lazy val bm25OracleSql: String =
     s"""WITH ${bm25Ctes(normCte)}
@@ -3803,82 +3904,15 @@ object ExtensionQueries {
     // ranking, per-query view keeps GLOBAL ranks with the self-doc
     // dropped), the q312 IVF chain, the q298 decimal RRF fold, and the
     // shared metrics tail
-    "q327_hybrid_rrf" ->
-      s"""WITH $normCte,
-         |tkb AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM nrm),
-         |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM tkb),
-         |stats AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl FROM dls),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
-         |    SELECT tkb.doc_id, dls.dl, unnest(tkb.w) AS term
-         |    FROM tkb JOIN dls USING (doc_id))
-         |  WHERE term IN (${inList(Bm25Terms)})
-         |  GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (SELECT doc_id,
-         |  CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.25 + 1)) /
-         |    (tf + 1.25 * (1 - 0.75 + 0.75 * dl / avgdl)) AS DECIMAL(28,12)) AS part
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-         |bmsc AS (SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 6) AS bm25
-         | FROM scored GROUP BY doc_id),
-         |cand AS (SELECT doc_id AS vec_id, rn AS lrank FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
-         |    AS rn FROM bmsc) WHERE rn <= 50),
-         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-         |lexr AS (SELECT q.q_id, c.vec_id, c.lrank AS rank
-         |  FROM cand c, q WHERE c.vec_id != q.q_id),
-         |cent AS (SELECT label AS cid, i AS pos,
-         |  CAST(sum(CAST(floor(v[i]*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0/count(*) AS cx
-         |  FROM e, generate_series(1,64) g(i) GROUP BY 1, 2),
-         |cv AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cent GROUP BY cid),
-         |asn AS (SELECT vec_id, v, cid FROM (
-         |  SELECT e.vec_id, e.v, cv.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cosSqlAB("v", "cv")} DESC, cid) AS rn FROM e, cv) WHERE rn = 1),
-         |routed AS (SELECT q_id, qv, cid FROM (
-         |  SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY ${cosSqlAB("qv", "cv")} DESC, cid) AS rn FROM q, cv) WHERE rn <= 2),
-         |sv AS (SELECT q_id, a.vec_id, $cosSqlAV AS sim
-         |  FROM asn a JOIN routed r ON a.cid = r.cid AND a.vec_id != r.q_id),
-         |annr AS (SELECT q_id, vec_id, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) AS rank FROM sv) WHERE rank <= 5),
-         |t AS (SELECT q_id, vec_id,
-         |  CAST(CAST(1 AS DOUBLE) / (60 + rank) AS DECIMAL(28,12)) AS t
-         | FROM (SELECT * FROM lexr UNION ALL SELECT * FROM annr)),
-         |fsum AS (SELECT q_id, vec_id, sum(t) AS s FROM t GROUP BY 1, 2),
-         |res AS (SELECT q_id, vec_id, rank FROM (
-         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY s DESC, vec_id) AS rank FROM fsum) WHERE rank <= 5),
-         |tru AS (SELECT q_id, vec_id, rank FROM (
-         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, vec_id) AS rank FROM (
-         |    SELECT q_id, vec_id, $cosSql AS sim
-         |    FROM e, q WHERE vec_id != q_id))
-         | WHERE rank <= 5),
-         |nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM tru GROUP BY 1),
-         |idcg AS (SELECT nt.q_id,
-         |  sum(CAST(1.0/log2(g.r + 1) AS DECIMAL(28,12))) AS idcg
-         | FROM nt, generate_series(1, 5) g(r) WHERE g.r <= nt.n_truth GROUP BY 1),
-         |hits AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS hits,
-         |  min(r.rank) AS frst,
-         |  sum(CAST(1.0/log2(r.rank + 1) AS DECIMAL(28,12))) AS dcg
-         | FROM res r JOIN tru USING (q_id, vec_id) GROUP BY 1),
-         |pq AS (SELECT nt.q_id, nt.n_truth, coalesce(h.hits, 0) AS hits,
-         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
-         |    CAST(least(5, nt.n_truth) AS DOUBLE), 6) AS recall,
-         |  round(coalesce(1.0 / CAST(h.frst AS DOUBLE), 0), 6) AS mrr,
-         |  round(coalesce(CAST(h.dcg AS DOUBLE), 0) /
-         |    CAST(i.idcg AS DOUBLE), 6) AS ndcg
-         | FROM nt JOIN idcg i USING (q_id) LEFT JOIN hits h USING (q_id))
-         |SELECT q_id, n_truth, hits, recall, mrr, ndcg,
-         |  round(CAST(sum(CAST(recall AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_recall,
-         |  round(CAST(sum(CAST(mrr AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_mrr,
-         |  round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) OVER () AS DOUBLE)
-         |    / count(*) OVER (), 6) AS macro_ndcg
-         |FROM pq""".stripMargin,
+    "q327_hybrid_rrf" -> hybridRrfOracleSql("TRUE", "TRUE"),
+    // tenant-filtered fused serving: the same replay with every
+    // corpus-facing CTE restricted to the tenant — BM25 candidates and
+    // statistics from the tenant docs, ANN candidates and the exhaustive
+    // truth from the tenant vectors (assignment/routing stay full-corpus,
+    // the frozen-centroid contract)
+    "q363_hybrid_filtered" ->
+      hybridRrfOracleSql("doc_id % 3 = 0", "vec_id % 3 = 0"),
+
     // stored PQ index: q113b's closed-form codebook + argmin encode over
     // the full corpus (frozen-codebook encoding distributes over union;
     // the fold is an identity), then the per-query ADC and the ascending

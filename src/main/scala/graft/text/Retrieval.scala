@@ -248,6 +248,53 @@ object Retrieval {
     Similarity.rankingMetrics(fused, truth, k)
   }
 
+  /** TENANT-FILTERED fused serving — the search-within-a-tenant arm of
+    * the stored hybrid stack, completing the composed tier after every
+    * single tier gained one (lexical [[LexIndex.bm25IndexedFiltered]],
+    * IVF/PQ/graph/streaming-layout `searchFiltered`). Both legs, the
+    * fusion AND the exhaustive truth run over the tenant's corpus alone:
+    * the BM25 leg restricts postings and corpus statistics (`docPred`
+    * over doc_id), the IVF leg applies `vecPred` inside the probed
+    * posting lists (candidates only — routing stays on the full frozen
+    * centroids, the q337/q352 contract), and the metrics are scored
+    * against brute-force truth over the surviving vectors, so a tenant's
+    * recall is measured against what that tenant could possibly see.
+    * Two predicates because the two legs are differently keyed — the
+    * [[graft.streaming.Takedown.land]] doc-side/vec-side shape. */
+  def hybridRrfIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                               lexDir: String, vecDir: String,
+                               terms: Seq[String], queries: DataFrame,
+                               qid: String, emb: String,
+                               docPred: org.apache.spark.sql.Column,
+                               vecPred: org.apache.spark.sql.Column,
+                               nLex: Int, nProbe: Int, k: Int,
+                               k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val (post, cents) = Similarity.readIvfIndex(spark, vecDir)
+    // the surviving vectors feed the ANN leg AND the truth — cut once
+    val fpost = Similarity.cut(post.filter(vecPred), eager = false)
+    val lexRanked = LexIndex.bm25IndexedFiltered(spark, lexDir, terms,
+        docPred)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(nLex)
+      .select(col("doc_id").as("vec_id"), col("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("vec_id").asc)))
+    val lexPerQuery = queries.select(col(qid).as("q_id"))
+      .crossJoin(broadcast(lexRanked))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "rank")
+    val annRank = Similarity.annIvfPruned(fpost, cents, queries, qid,
+        emb, k, nProbe)
+      .select("q_id", "vec_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(lexPerQuery, annRank), k0, k)
+      .select("q_id", "vec_id", "rank")
+    val truth = Similarity.knnBrute(
+      fpost.select(col("vec_id"), col("v").as(emb)),
+      queries.select(col(qid).as("vec_id"), col(emb)), "vec_id", emb, k)
+    Similarity.rankingMetrics(fused, truth, k)
+  }
+
   /** The shared rerank + metrics tail: exact-cosine rerank of a bounded
     * candidate id set against the stored vectors (nCand-bounded shortlist
     * window — the adjudicated annPqRerank shape, never corpus-sized),
