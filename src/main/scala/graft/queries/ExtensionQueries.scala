@@ -493,12 +493,17 @@ object ExtensionQueries {
     //    only a fleet-wide fold-and-rebuild can satisfy
     "q361_drift_sweep" -> ((s, d) => {
       import graft.streaming.{Compaction, Maintenance, Takedown}
-      val t = Takedown.Targets(
-        lex = Some(Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))),
-        ann = Some(Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))),
-        pq = Some(Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))),
-        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))),
-        graph = Some(Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))))
+      // five independent fixture copies (shared builds memoize under the
+      // Fixtures lock; the tree copies themselves overlap)
+      val Seq(lexD, annD, pqD, dedupD, graphD) =
+        graft.ops.Par.map(Seq[(String, String => Unit)](
+          "lex5" -> buildLex5(s, d), "sann1" -> buildSann1(s, d),
+          "pq1" -> buildPq1(s, d), "sig1" -> buildSig1(s, d),
+          "graph1" -> buildGraph1(s, d))) { case (k, b) =>
+          Fixtures.mutableCopy(k, d)(b)
+        }
+      val t = Takedown.Targets(lex = Some(lexD), ann = Some(annD),
+        pq = Some(pqD), dedup = Some(dedupD), graph = Some(graphD))
       val acted = Maintenance.driftSweep(s, t,
         Maintenance.DriftPolicy(lexGrowthFrac = 0.0, annMaxDrift = 0.0,
           pqMaxL1 = 0.0, dedupMaxDrift = 0.0, graphMaxDrift = 0.0),
@@ -554,12 +559,17 @@ object ExtensionQueries {
       import graft.streaming.Takedown
       val docs = Tables.documents(s, d)
       val e = Tables.embeddings(s, d)
-      val t = Takedown.Targets(
-        lex = Some(Fixtures.mutableCopy("lex5", d)(buildLex5(s, d))),
-        ann = Some(Fixtures.mutableCopy("sann1", d)(buildSann1(s, d))),
-        pq = Some(Fixtures.mutableCopy("pq1", d)(buildPq1(s, d))),
-        dedup = Some(Fixtures.mutableCopy("sig1", d)(buildSig1(s, d))),
-        graph = Some(Fixtures.mutableCopy("graph1", d)(buildGraph1(s, d))))
+      // five independent fixture copies (shared builds memoize under the
+      // Fixtures lock; the tree copies themselves overlap)
+      val Seq(lexD, annD, pqD, dedupD, graphD) =
+        graft.ops.Par.map(Seq[(String, String => Unit)](
+          "lex5" -> buildLex5(s, d), "sann1" -> buildSann1(s, d),
+          "pq1" -> buildPq1(s, d), "sig1" -> buildSig1(s, d),
+          "graph1" -> buildGraph1(s, d))) { case (k, b) =>
+          Fixtures.mutableCopy(k, d)(b)
+        }
+      val t = Takedown.Targets(lex = Some(lexD), ann = Some(annD),
+        pq = Some(pqD), dedup = Some(dedupD), graph = Some(graphD))
       Takedown.land(
         Some(docs.filter(col("doc_id") % 7 === 3).select("doc_id")),
         Some(e.filter(col("vec_id") % 7 === 3).select("vec_id")),

@@ -713,11 +713,14 @@ object GraphAnnIndex {
     * (superseded in-grace increment bytes fall off at the next fold's
     * GC, as everywhere in the family). */
   def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
-    val nTomb = Tombstones.count(spark, dir)
-    val vHidden = Tombstones.hiddenRowCount(rawVectors(spark, dir), dir,
-      "vec_id")
+    // ONE lazy plan (broadcast cross join of one-row aggregates) — a
+    // single action when consumed, unionable into the one-job
+    // five-family attest (see LexIndex.erasureAudit)
+    val vHidden = Tombstones.hiddenRowCountDf(rawVectors(spark, dir), dir,
+      "vec_id", "vector_rows_hidden")
     val eHidden = Tombstones.read(spark, dir) match {
-      case None => 0L
+      case None =>
+        spark.range(1).select(lit(0L).as("edge_rows_hidden"))
       case Some(t) =>
         // union of two equi-semi-joins (edge rows are unique, so distinct
         // is the exact OR) — an OR-condition join would nested-loop the
@@ -726,11 +729,14 @@ object GraphAnnIndex {
         e.join(broadcast(t), e("src") === t("tid"), "left_semi")
           .unionByName(
             e.join(broadcast(t), e("dst") === t("tid"), "left_semi"))
-          .distinct().count()
+          .distinct().agg(count(lit(1)).as("edge_rows_hidden"))
     }
-    import spark.implicits._
-    Seq((nTomb, vHidden, eHidden, vHidden == 0L && eHidden == 0L))
-      .toDF("n_tombstones", "vector_rows_hidden", "edge_rows_hidden",
-        "physically_clean")
+    Tombstones.countDf(spark, dir, "n_tombstones")
+      .crossJoin(broadcast(vHidden))
+      .crossJoin(broadcast(eHidden))
+      .select(col("n_tombstones"), col("vector_rows_hidden"),
+        col("edge_rows_hidden"),
+        (col("vector_rows_hidden") === 0L && col("edge_rows_hidden") === 0L)
+          .as("physically_clean"))
   }
 }

@@ -129,21 +129,28 @@ object PqIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = Compaction.view(spark, dir)
-    val nTomb = Tombstones.count(spark, dir)
+    // ONE lazy plan (broadcast cross join of one-row aggregates) — a
+    // single action when consumed, unionable into the one-job
+    // five-family attest (see LexIndex.erasureAudit)
     val flat =
       if (Compaction.view(spark, v.dirOrLegacy("codes")).dir("base").isDefined)
-        Tombstones.hiddenRowCount(rawCodes(v), dir, "vec_id")
-      else 0L
+        Tombstones.hiddenRowCountDf(rawCodes(v), dir, "vec_id",
+          "code_rows_hidden")
+      else spark.range(1).select(lit(0L).as("code_rows_hidden"))
     val postingsDir = v.dir("postings")
     val ivf = postingsDir match {
       case Some(p) if fs.exists(new org.apache.hadoop.fs.Path(p)) =>
-        Tombstones.hiddenRowCount(spark.read.parquet(p), dir, "vec_id")
-      case _ => 0L
+        Tombstones.hiddenRowCountDf(spark.read.parquet(p), dir, "vec_id",
+          "posting_rows_hidden")
+      case _ => spark.range(1).select(lit(0L).as("posting_rows_hidden"))
     }
-    import spark.implicits._
-    Seq((nTomb, flat, ivf, flat == 0L && ivf == 0L))
-      .toDF("n_tombstones", "code_rows_hidden", "posting_rows_hidden",
-        "physically_clean")
+    Tombstones.countDf(spark, dir, "n_tombstones")
+      .crossJoin(broadcast(flat))
+      .crossJoin(broadcast(ivf))
+      .select(col("n_tombstones"), col("code_rows_hidden"),
+        col("posting_rows_hidden"),
+        (col("code_rows_hidden") === 0L && col("posting_rows_hidden") === 0L)
+          .as("physically_clean"))
   }
 
   /** ADC search over the maintained code table —

@@ -56,25 +56,28 @@ object Maintenance {
     * Returns the per-family acted map (true = that family folded). */
   def foldIfNeeded(spark: SparkSession, t: Takedown.Targets,
                    maxIncrements: Int): Map[String, Boolean] = {
-    val acted = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-    t.lex.foreach { d =>
-      val (p, dl) = graft.text.LexIndex.compactIndexIfNeeded(spark, d,
-        maxIncrements)
-      acted("lex") = p > 0 || dl > 0
-    }
-    t.ann.foreach(d => acted("ann") =
-      StreamingAnn.compactIndexIfNeeded(spark, d, maxIncrements) > 0)
-    t.pq.foreach(d => acted("pq") =
-      graft.sim.PqIndex.compactIndexIfNeeded(spark, d, maxIncrements) > 0)
-    t.dedup.foreach(d => acted("dedup") =
-      graft.text.Dedup.compactSignatureIndexIfNeeded(spark, d,
-        maxIncrements) > 0)
-    t.graph.foreach { d =>
-      val (v, e) = graft.sim.GraphAnnIndex.compactIndexIfNeeded(spark, d,
-        maxIncrements)
-      acted("graph") = v > 0 || e > 0
-    }
-    acted.toMap
+    // five independent triggers on five disjoint roots — run them
+    // concurrently (guide §2.6; each fold holds its own root's lease)
+    val tasks: Seq[(String, () => Boolean)] =
+      t.lex.map(d => "lex" -> (() => {
+        val (p, dl) = graft.text.LexIndex.compactIndexIfNeeded(spark, d,
+          maxIncrements)
+        p > 0 || dl > 0
+      })).toSeq ++
+      t.ann.map(d => "ann" -> (() =>
+        StreamingAnn.compactIndexIfNeeded(spark, d, maxIncrements) > 0)) ++
+      t.pq.map(d => "pq" -> (() =>
+        graft.sim.PqIndex.compactIndexIfNeeded(spark, d, maxIncrements) > 0)) ++
+      t.dedup.map(d => "dedup" -> (() =>
+        graft.text.Dedup.compactSignatureIndexIfNeeded(spark, d,
+          maxIncrements) > 0)) ++
+      t.graph.map(d => "graph" -> (() => {
+        val (v, e) = graft.sim.GraphAnnIndex.compactIndexIfNeeded(spark, d,
+          maxIncrements)
+        v > 0 || e > 0
+      }))
+    scala.collection.immutable.ListMap(
+      graft.ops.Par.map(tasks) { case (f, run) => f -> run() }: _*)
   }
 
   /** The campaign-wide aging readout: every targeted family's drift
@@ -132,20 +135,23 @@ object Maintenance {
     require(t.pq.isEmpty || pqRetrain.isDefined,
       "maintenance driftSweep: the PQ family needs PqRetrain (its code " +
         "table cannot reconstruct training vectors)")
-    val acted = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-    t.lex.foreach(d => acted("lex") = graft.text.LexIndex.rebuildIfDrifted(
-      spark, d, policy.lexOovOccFrac, policy.lexGrowthFrac))
-    t.ann.foreach(d => acted("ann") =
-      StreamingAnn.reclusterIfDrifted(spark, d, policy.annMaxDrift))
-    for (d <- t.pq; r <- pqRetrain)
-      acted("pq") = graft.sim.PqIndex.retrainIndexIfDrifted(spark, d,
-        r.corpus, r.id, r.emb, r.m, r.ksub, policy.pqMaxL1)
-    t.dedup.foreach(d => acted("dedup") =
-      graft.text.Dedup.rebuildSignatureIndexIfDrifted(spark, d,
-        policy.dedupMaxDrift))
-    t.graph.foreach(d => acted("graph") =
-      graft.sim.GraphAnnIndex.rebuildIfDrifted(spark, d,
-        policy.graphMaxDrift))
-    acted.toMap
+    // five independent monitor→act loops on five disjoint roots — run
+    // them concurrently (guide §2.6; rebuilds hold their own root's lease)
+    val tasks: Seq[(String, () => Boolean)] =
+      t.lex.map(d => "lex" -> (() => graft.text.LexIndex.rebuildIfDrifted(
+        spark, d, policy.lexOovOccFrac, policy.lexGrowthFrac))).toSeq ++
+      t.ann.map(d => "ann" -> (() =>
+        StreamingAnn.reclusterIfDrifted(spark, d, policy.annMaxDrift))) ++
+      (for (d <- t.pq; r <- pqRetrain) yield "pq" -> (() =>
+        graft.sim.PqIndex.retrainIndexIfDrifted(spark, d,
+          r.corpus, r.id, r.emb, r.m, r.ksub, policy.pqMaxL1))) ++
+      t.dedup.map(d => "dedup" -> (() =>
+        graft.text.Dedup.rebuildSignatureIndexIfDrifted(spark, d,
+          policy.dedupMaxDrift))) ++
+      t.graph.map(d => "graph" -> (() =>
+        graft.sim.GraphAnnIndex.rebuildIfDrifted(spark, d,
+          policy.graphMaxDrift)))
+    scala.collection.immutable.ListMap(
+      graft.ops.Par.map(tasks) { case (f, run) => f -> run() }: _*)
   }
 }

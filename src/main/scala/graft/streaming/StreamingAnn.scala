@@ -113,14 +113,16 @@ object StreamingAnn {
     * tombstone count plus the physical rows the anti-join is hiding;
     * `physically_clean = true` is the state an erasure attestation can
     * cite (reached after [[compactIndex]] / [[reclusterIndex]]). */
-  def erasureAudit(spark: SparkSession, indexPath: String): DataFrame = {
-    val nTomb = Tombstones.count(spark, indexPath)
-    val hidden = Tombstones.hiddenRowCount(
-      rawPostings(Compaction.view(spark, indexPath)), indexPath, "vec_id")
-    import spark.implicits._
-    Seq((nTomb, hidden, hidden == 0L))
-      .toDF("n_tombstones", "rows_hidden", "physically_clean")
-  }
+  def erasureAudit(spark: SparkSession, indexPath: String): DataFrame =
+    // ONE lazy plan (broadcast cross join of one-row aggregates) — a
+    // single action when consumed, unionable into the one-job
+    // five-family attest (see LexIndex.erasureAudit)
+    Tombstones.countDf(spark, indexPath, "n_tombstones")
+      .crossJoin(broadcast(Tombstones.hiddenRowCountDf(
+        rawPostings(Compaction.view(spark, indexPath)), indexPath, "vec_id",
+        "rows_hidden")))
+      .select(col("n_tombstones"), col("rows_hidden"),
+        (col("rows_hidden") === 0L).as("physically_clean"))
 
   /** Search the maintained index — [[Similarity.annIvfStored]] routing
     * and ranking over the merged posting lists. Postings and centroids

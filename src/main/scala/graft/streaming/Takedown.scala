@@ -65,21 +65,26 @@ object Takedown {
     * behavior (the fold already owns its rows). */
   private def landEach(docIds: Option[DataFrame], vecIds: Option[DataFrame],
                        t: Targets, batchId: Long): Map[String, Boolean] = {
-    val landed = scala.collection.mutable.LinkedHashMap[String, Boolean]()
-    for (ids <- docIds) {
-      t.lex.foreach(d =>
-        landed("lex") = graft.text.LexIndex.deleteBatch(ids, d, batchId))
-      t.dedup.foreach(d =>
-        landed("dedup") = graft.text.Dedup.deleteFromSignatureIndex(ids, d, batchId))
-    }
-    for (ids <- vecIds) {
-      t.ann.foreach(d => landed("ann") = StreamingAnn.deleteBatch(ids, d, batchId))
-      t.pq.foreach(d =>
-        landed("pq") = graft.sim.PqIndex.deleteBatch(ids, d, batchId))
-      t.graph.foreach(d =>
-        landed("graph") = graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId))
-    }
-    landed.toMap
+    // five families, five DISJOINT roots: land them concurrently (each is
+    // a chain of small jobs + driver FS work — guide-§2.6 overlap; every
+    // landing still serializes on its own root's write lease)
+    val tasks: Seq[(String, () => Boolean)] =
+      docIds.toSeq.flatMap { ids =>
+        t.lex.map(d => "lex" ->
+          (() => graft.text.LexIndex.deleteBatch(ids, d, batchId))).toSeq ++
+        t.dedup.map(d => "dedup" ->
+          (() => graft.text.Dedup.deleteFromSignatureIndex(ids, d, batchId)))
+      } ++
+      vecIds.toSeq.flatMap { ids =>
+        t.ann.map(d => "ann" ->
+          (() => StreamingAnn.deleteBatch(ids, d, batchId))).toSeq ++
+        t.pq.map(d => "pq" ->
+          (() => graft.sim.PqIndex.deleteBatch(ids, d, batchId))) ++
+        t.graph.map(d => "graph" ->
+          (() => graft.sim.GraphAnnIndex.deleteBatch(ids, d, batchId)))
+      }
+    val done = graft.ops.Par.map(tasks) { case (f, run) => f -> run() }
+    scala.collection.immutable.ListMap(done: _*)
   }
 
   /** STREAMED CAMPAIGN — takedown requests arriving as a stream: ONE id
@@ -120,15 +125,22 @@ object Takedown {
         hidden.map(c => col(c).cast("long")).reduce(_ + _).as("rows_hidden"),
         col("physically_clean"))
     }
-    val parts =
-      t.lex.map(d => norm("lex", graft.text.LexIndex.erasureAudit(spark, d))) ++
-      t.ann.map(d => norm("ann", StreamingAnn.erasureAudit(spark, d))) ++
-      t.pq.map(d => norm("pq", graft.sim.PqIndex.erasureAudit(spark, d))) ++
-      t.dedup.map(d => norm("dedup", graft.text.Dedup.erasureAudit(spark, d))) ++
-      t.graph.map(d =>
+    // each family's audit is a LAZY one-row plan, so the union is ONE
+    // Spark action for the whole campaign when consumed; building the
+    // five plans still resolves five roots' pointers/tombstones on the
+    // driver — overlap that FS work on the family pool (guide §2.6)
+    val tasks: Seq[() => DataFrame] =
+      t.lex.map(d => () =>
+        norm("lex", graft.text.LexIndex.erasureAudit(spark, d))).toSeq ++
+      t.ann.map(d => () => norm("ann", StreamingAnn.erasureAudit(spark, d))) ++
+      t.pq.map(d => () =>
+        norm("pq", graft.sim.PqIndex.erasureAudit(spark, d))) ++
+      t.dedup.map(d => () =>
+        norm("dedup", graft.text.Dedup.erasureAudit(spark, d))) ++
+      t.graph.map(d => () =>
         norm("graph", graft.sim.GraphAnnIndex.erasureAudit(spark, d)))
-    require(parts.nonEmpty, "takedown attest: no family targeted")
-    parts.reduce(_.unionByName(_))
+    require(tasks.nonEmpty, "takedown attest: no family targeted")
+    graft.ops.Par.map(tasks)(_()).reduce(_.unionByName(_))
   }
 
   /** Complete the campaign PHYSICALLY: run each targeted family's
@@ -137,22 +149,27 @@ object Takedown {
     * family's vacuum arm). After this, [[attest]] reports every family
     * `physically_clean`. Run between streams, like all maintenance. */
   def erase(spark: SparkSession, t: Targets): Unit = {
-    t.lex.foreach(d => graft.text.LexIndex.compactIndex(spark, d): Unit)
-    t.ann.foreach(d => StreamingAnn.compactIndex(spark, d): Unit)
-    t.pq.foreach { d =>
-      graft.sim.PqIndex.compactIndex(spark, d): Unit
-      // the IVF-PQ posting lists (when deployed under the same root) are
-      // erased by their own vacuum rewrite
-      val fs = new org.apache.hadoop.fs.Path(d)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val postings = Compaction.view(spark, d).dirOrLegacy("postings")
-      if (fs.exists(new org.apache.hadoop.fs.Path(postings)))
-        graft.sim.PqIndex.vacuumIvfPq(spark, d)
-    }
-    t.dedup.foreach(d =>
-      graft.text.Dedup.compactSignatureIndex(spark, d): Unit)
-    t.graph.foreach(d =>
-      graft.sim.GraphAnnIndex.compactIndex(spark, d): Unit)
+    // five independent folds on five disjoint roots — run them
+    // concurrently (guide §2.6); each fold holds its own root's lease
+    val tasks: Seq[() => Unit] =
+      t.lex.map(d =>
+        () => graft.text.LexIndex.compactIndex(spark, d): Unit).toSeq ++
+      t.ann.map(d => () => StreamingAnn.compactIndex(spark, d): Unit) ++
+      t.pq.map(d => () => {
+        graft.sim.PqIndex.compactIndex(spark, d): Unit
+        // the IVF-PQ posting lists (when deployed under the same root)
+        // are erased by their own vacuum rewrite
+        val fs = new org.apache.hadoop.fs.Path(d)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val postings = Compaction.view(spark, d).dirOrLegacy("postings")
+        if (fs.exists(new org.apache.hadoop.fs.Path(postings)))
+          graft.sim.PqIndex.vacuumIvfPq(spark, d)
+      }) ++
+      t.dedup.map(d =>
+        () => graft.text.Dedup.compactSignatureIndex(spark, d): Unit) ++
+      t.graph.map(d =>
+        () => graft.sim.GraphAnnIndex.compactIndex(spark, d): Unit)
+    graft.ops.Par.map(tasks)(_()): Unit
   }
 
   /** RETENTION TRIM across the campaign — the administrative closeout
@@ -169,10 +186,13 @@ object Takedown {
     require(pending.isEmpty,
       s"takedown trim: erasure not yet physical in " +
         s"${pending.mkString(", ")} — run erase first")
-    t.lex.foreach(d => graft.text.LexIndex.trimTombstones(spark, d))
-    t.ann.foreach(d => StreamingAnn.trimTombstones(spark, d))
-    t.pq.foreach(d => graft.sim.PqIndex.trimTombstones(spark, d))
-    t.dedup.foreach(d => graft.text.Dedup.trimTombstones(spark, d))
-    t.graph.foreach(d => graft.sim.GraphAnnIndex.trimTombstones(spark, d))
+    val tasks: Seq[() => Unit] =
+      t.lex.map(d =>
+        () => graft.text.LexIndex.trimTombstones(spark, d)).toSeq ++
+      t.ann.map(d => () => StreamingAnn.trimTombstones(spark, d)) ++
+      t.pq.map(d => () => graft.sim.PqIndex.trimTombstones(spark, d)) ++
+      t.dedup.map(d => () => graft.text.Dedup.trimTombstones(spark, d)) ++
+      t.graph.map(d => () => graft.sim.GraphAnnIndex.trimTombstones(spark, d))
+    graft.ops.Par.map(tasks)(_()): Unit
   }
 }

@@ -140,9 +140,32 @@ private[graft] object Tombstones {
         raw.join(broadcast(t), raw(idCol) === t("tid"), "left_semi").count()
     }
 
+  /** [[hiddenRowCount]] as a LAZY one-row frame (column `name`), so an
+    * audit can compose several counters into ONE plan / ONE Spark action
+    * instead of an eager count-per-counter — the no-driver-loops shape
+    * a five-family attestation needs. Value-identical to the eager
+    * count: no tombstones → a literal 0 row (no join planned at all). */
+  def hiddenRowCountDf(raw: DataFrame, dir: String, idCol: String,
+                       name: String): DataFrame =
+    read(raw.sparkSession, dir) match {
+      case None =>
+        raw.sparkSession.range(1).select(lit(0L).as(name))
+      case Some(t) =>
+        raw.join(broadcast(t), raw(idCol) === t("tid"), "left_semi")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as(name))
+    }
+
   /** Number of tombstoned ids under `dir` (0 when none ever landed). */
   def count(spark: SparkSession, dir: String): Long =
     read(spark, dir).map(_.count()).getOrElse(0L)
+
+  /** [[count]] as a LAZY one-row frame (column `name`) — see
+    * [[hiddenRowCountDf]]. */
+  def countDf(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir) match {
+      case None    => spark.range(1).select(lit(0L).as(name))
+      case Some(t) => t.agg(org.apache.spark.sql.functions.count(lit(1)).as(name))
+    }
 
   /** Count of unfolded tombstone increment dirs — trigger signal. */
   def incrementCount(spark: SparkSession, dir: String): Int =

@@ -384,11 +384,14 @@ object Dedup {
                    path: String): DataFrame = {
     import graft.streaming.Tombstones
     val raw = rawBands(spark, path)
-    val nTomb = Tombstones.count(spark, path)
-    val hidden = Tombstones.hiddenRowCount(raw, path, bandsIdCol(raw))
-    import spark.implicits._
-    Seq((nTomb, hidden, hidden == 0L))
-      .toDF("n_tombstones", "band_rows_hidden", "physically_clean")
+    // ONE lazy plan (broadcast cross join of one-row aggregates) — a
+    // single action when consumed, unionable into the one-job
+    // five-family attest (see LexIndex.erasureAudit)
+    Tombstones.countDf(spark, path, "n_tombstones")
+      .crossJoin(broadcast(Tombstones.hiddenRowCountDf(raw, path,
+        bandsIdCol(raw), "band_rows_hidden")))
+      .select(col("n_tombstones"), col("band_rows_hidden"),
+        (col("band_rows_hidden") === 0L).as("physically_clean"))
   }
 
   /** BAND-OCCUPANCY DRIFT of the stored signature index — the aging

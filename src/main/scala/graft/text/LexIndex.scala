@@ -288,20 +288,25 @@ object LexIndex {
     * `physically_clean = false` row means the deletion is logically in
     * force but the content still exists on disk awaiting the next
     * [[compactIndex]]; `true` is the state an erasure attestation can
-    * cite. One row; costs two broadcast semi-join counts. */
+    * cite. One row — and ONE lazy plan: the three counters are one-row
+    * aggregates composed by broadcast cross join, so the audit costs a
+    * single Spark action when consumed (and a five-family
+    * [[graft.streaming.Takedown.attest]] unions five of these into ONE
+    * job) instead of an eager count per counter. */
   def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Tombstones
-    val nTomb = Tombstones.count(spark, dir)
-    val pHidden = Tombstones.hiddenRowCount(
-      unionParts(spark, s"$dir/postings",
-        Seq("term", "doc_id", "tf", "bucket")), dir, "doc_id")
-    val dHidden = Tombstones.hiddenRowCount(
-      unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl")), dir,
-      "doc_id")
-    import spark.implicits._
-    Seq((nTomb, pHidden, dHidden, pHidden == 0L && dHidden == 0L))
-      .toDF("n_tombstones", "postings_rows_hidden", "doclens_rows_hidden",
-        "physically_clean")
+    Tombstones.countDf(spark, dir, "n_tombstones")
+      .crossJoin(broadcast(Tombstones.hiddenRowCountDf(
+        unionParts(spark, s"$dir/postings",
+          Seq("term", "doc_id", "tf", "bucket")), dir, "doc_id",
+        "postings_rows_hidden")))
+      .crossJoin(broadcast(Tombstones.hiddenRowCountDf(
+        unionParts(spark, s"$dir/doclens", Seq("doc_id", "dl")), dir,
+        "doc_id", "doclens_rows_hidden")))
+      .select(col("n_tombstones"), col("postings_rows_hidden"),
+        col("doclens_rows_hidden"),
+        (col("postings_rows_hidden") === 0L &&
+          col("doclens_rows_hidden") === 0L).as("physically_clean"))
   }
 
   /** RETENTION TRIM of the tombstone set — the administrative action the
