@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Partition-discovery listing threshold (spark default 32): below it the
+  // driver lists directories itself; above it Spark launches a listing JOB
+  // with one task per directory. The default is sized for object stores
+  // (~10ms+ per LIST RPC); on the local filesystem a driver listing of a
+  // few hundred dirs is microseconds while the 256-task listing job costs
+  // ~0.4s — and the stored-index queries (bucket=N layouts) pay it on
+  // every read. Parameterized for cluster runs (set 32 for S3/HDFS).
+  "-Dspark.sql.sources.parallelPartitionDiscovery.threshold=" +
+    sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"),
 )

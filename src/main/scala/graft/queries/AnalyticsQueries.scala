@@ -2744,10 +2744,10 @@ object AnalyticsQueries {
     // LIST (head = s_{t−m}, rotate-append each step) — expression text
     // pinned to HwScan's IEEE step order
     "q288_holt_winters" ->
-      """WITH RECURSIVE bars AS (SELECT event_type AS k,
+      """WITH RECURSIVE bars AS MATERIALIZED (SELECT event_type AS k,
         |  date_trunc('hour', ts) AS bar, arg_max(value, ts) AS close
         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-        |idx AS (SELECT k, bar, close,
+        |idx AS MATERIALIZED (SELECT k, bar, close,
         |  CAST(row_number() OVER (PARTITION BY k ORDER BY bar) AS BIGINT)
         |    AS rn FROM bars),
         |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM idx GROUP BY 1),

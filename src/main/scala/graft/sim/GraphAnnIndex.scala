@@ -323,12 +323,20 @@ object GraphAnnIndex {
   /** Per layer, the distinct bucket groups of `touchers` — a
     * parameter-bounded driver list (≤ nGroups ints per layer). */
   private def touchedGroups(touchers: DataFrame, m: Meta): Map[Int, Seq[Int]] =
-    (0 to m.fineTables).map { l =>
-      val (bcol, memberOf) = layerOf(l, m)
-      l -> touchers.filter(memberOf)
-        .select(pmod(col(bcol), lit(m.nGroups.toLong)).cast("int").as("g"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-    }.toMap
+    graft.ops.Jobs.labeled(touchers.sparkSession, "graph touchedGroups") {
+      // ONE job for all layers: each layer's groups are a bounded distinct
+      // over the same toucher frame — union the per-layer projections and
+      // collect once instead of running layers+1 separate collect jobs
+      val all = (0 to m.fineTables).map { l =>
+        val (bcol, memberOf) = layerOf(l, m)
+        touchers.filter(memberOf)
+          .select(lit(l).as("l"),
+            pmod(col(bcol), lit(m.nGroups.toLong)).cast("int").as("g"))
+      }.reduce(_.unionByName(_)).distinct().collect()
+      (0 to m.fineTables).map { l =>
+        l -> all.filter(_.getInt(0) == l).map(_.getInt(1)).toSeq.sorted
+      }.toMap
+    }
 
   private def markerDir(dir: String) = s"$dir/edges/_restated"
 
@@ -361,6 +369,7 @@ object GraphAnnIndex {
     // sound only while writes to one index are serialized, so make the
     // contract mechanical (a racing writer fails fast, not lost-update)
     Compaction.withWriteLease(spark, s"$dir/edges") {
+      graft.ops.Jobs.labeled(spark, s"graph restate $tag") {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val incDir = new org.apache.hadoop.fs.Path(s"$dir/edges/increments")
@@ -380,6 +389,7 @@ object GraphAnnIndex {
       require(fs.rename(tmp, dst),
         s"graph edge restatement: rename $tmp -> $dst failed")
       markRestated(spark, dir, tag)
+      }
     }
 
   /** Search the maintained graph — [[Similarity.nswBeamSearch]] (the
@@ -389,7 +399,11 @@ object GraphAnnIndex {
              id: String, emb: String, k: Int, beam: Int = 24,
              rounds: Int = 6, nEntries: Int = 16): DataFrame = {
     val m = readMeta(spark, dir)
-    val c = readVectors(spark, dir).select("vec_id", "v")
+    // lazy cut: the corpus frame is referenced by every beam round (7+
+    // beamOf calls) — without it each round re-plans the parquet read +
+    // tombstone anti-join (searchFiltered already cuts; this path didn't)
+    val c = Similarity.cut(
+      readVectors(spark, dir).select("vec_id", "v"), eager = false)
     val directed = readEdges(spark, dir).select("src", "dst")
     val g = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))

@@ -1017,7 +1017,9 @@ object Similarity {
                hubMod: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     graft.expressions.CosineSimilarity.register(spark)
-    val c = corpus.select(col(id).as("vec_id"), asDouble(emb).as("v"))
+    // lazy cut: referenced by every beam round (7+ beamOf calls)
+    val c = cut(corpus.select(col(id).as("vec_id"), asDouble(emb).as("v")),
+      eager = false)
     // the graph and the beam frame are each referenced twice per round —
     // materialize both (the iterative-plan-depth rule: un-checkpointed,
     // the plan tree doubles per round and the graph build re-executes
@@ -1061,11 +1063,21 @@ object Similarity {
     for (r <- 1 to rounds) {
       val expand = best.join(g, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
-      best = beamOf(expand.unionByName(best.select("q_id", "vec_id")).distinct())
+      // ONE exchange per round, not two: hash-partitioning the candidate
+      // set by q_id alone satisfies BOTH the distinct's clustering (q_id,
+      // vec_id ⊇ q_id co-location) and beamOf's per-query window, so the
+      // dedup aggregate and the top-beam window run in the same stage —
+      // the candidate frame is (queries × beam × degree)-sized, the small
+      // side of the round at any corpus scale
+      best = beamOf(expand.unionByName(best.select("q_id", "vec_id"))
+        .repartition(col("q_id")).distinct())
       // cut every 2nd round: the beam is referenced twice per round, so
       // un-cut plans double per round; a 2-round (4x) window amortizes the
       // eager-materialization job cost without letting the tree explode
-      if (r % 2 == 0 && r < rounds) best = cut(best, eager = true)
+      if (r % 2 == 0 && r < rounds)
+        best = graft.ops.Jobs.labeled(c.sparkSession, s"beam round $r") {
+          cut(best, eager = true)
+        }
     }
     best.withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= k)
       .select("q_id", "vec_id", "sim", "rank")

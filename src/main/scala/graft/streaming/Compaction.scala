@@ -541,7 +541,7 @@ private[graft] object Compaction {
         gcVersions(spark, root)
         gcIncrements(spark, root, baseName)
         0
-      } else {
+      } else graft.ops.Jobs.labeled(spark, s"fold $root/$baseName") {
         // the shared FileStatusCache may hold listings from earlier reads
         // of these paths (a restated increment rewrites its part files
         // under the same directory) — refresh before folding
@@ -575,7 +575,8 @@ private[graft] object Compaction {
       recoverPromote(spark, root)
       recover(spark, root, baseName)
       val v = view(spark, root)
-      v.dir(baseName).foreach { basePath =>
+      v.dir(baseName).foreach { basePath => graft.ops.Jobs.labeled(spark,
+          s"vacuum $root/$baseName") {
         val wm = v.watermark(baseName)
         spark.catalog.refreshByPath(root)
         val gen = nextGenId(fs, root)
@@ -587,7 +588,7 @@ private[graft] object Compaction {
         gcVersions(spark, root)
         gcIncrements(spark, root, baseName)
         spark.catalog.refreshByPath(root)
-      }
+      } }
     }
 
   /** Atomically publish `$root/<name>_new` as the live generation of

@@ -66,9 +66,11 @@ private[graft] object Tombstones {
       s"tombstone batch must be a single id column, got ${ids.columns.toSeq}")
     val landed = !Compaction.isFolded(spark, root(dir), batchId)
     if (landed)
-      ids.select(col(ids.columns.head).as("tid")).distinct()
-        .write.mode("overwrite")
-        .parquet(s"${root(dir)}/increments/batch=$batchId")
+      graft.ops.Jobs.labeled(spark, s"tombstone land ${root(dir)}") {
+        ids.select(col(ids.columns.head).as("tid")).distinct()
+          .write.mode("overwrite")
+          .parquet(s"${root(dir)}/increments/batch=$batchId")
+      }
     else
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"tombstone batch $batchId for $dir dropped: at or below " +

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object DebugJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,24 +40,26 @@ object DebugJobs {
       }
     })
 
-    // warmup run: builds memoized fixtures, warms codegen — the profiled
-    // run below is what Bench's min-of-2 actually measures
-    graft.SparkEntry.queries(name)(spark, sfDir).count()
-    jobs.clear(); order.clear()
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sfDir).count()
-    val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let listener drain
-    import scala.jdk.CollectionConverters._
-    var prevEnd = 0L
-    order.asScala.toSeq.foreach { id =>
-      val j = jobs.get(id)
-      val dur = (j.t1 - j.t0) / 1e3
-      val gap = if (prevEnd > 0) (j.t0 - prevEnd) / 1e3 else 0.0
-      prevEnd = math.max(prevEnd, j.t1)
-      println(f"JOB ${j.id}%4d ${dur}%8.3f s  (gap ${gap}%7.3f s)  ${j.desc}")
+    names.foreach { name =>
+      // warmup run: builds memoized fixtures, warms codegen — the profiled
+      // run below is what Bench's min-of-2 actually measures
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      jobs.clear(); order.clear()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener drain
+      import scala.jdk.CollectionConverters._
+      var prevEnd = 0L
+      order.asScala.toSeq.foreach { id =>
+        val j = jobs.get(id)
+        val dur = (j.t1 - j.t0) / 1e3
+        val gap = if (prevEnd > 0) (j.t0 - prevEnd) / 1e3 else 0.0
+        prevEnd = math.max(prevEnd, j.t1)
+        println(f"JOB ${j.id}%4d ${dur}%8.3f s  (gap ${gap}%7.3f s)  ${j.desc}")
+      }
+      println(f"TOTAL $name $total%8.3f s, ${order.size} jobs")
     }
-    println(f"TOTAL $name $total%8.3f s, ${order.size} jobs")
     spark.stop()
   }
 }
