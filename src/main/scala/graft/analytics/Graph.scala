@@ -401,11 +401,18 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     // every round's neighbor join scans sym — persist the DOUBLED frame
     // once instead of re-deriving union-of-two-projections from the
-    // cached und per round (2|E| rows of three longs; freed below)
+    // cached und per round (2|E| rows of three longs; freed below).
+    // Persisted PRE-PARTITIONED on the join key: an InMemoryRelation keeps
+    // its outputPartitioning (the hits eSrc/eDst trade), so every round's
+    // neighbor join moves only the node-sized label frame — without it the
+    // edge frame re-shuffles once per round, the dominant exchange of the
+    // sweep at any scale. No explicit partition count, so AQE still sizes
+    // it from the data.
     val sym = und.filter(col("a") =!= col("b"))
       .select(col("a").as("v"), col("b").as("u"), col("w"))
       .union(und.filter(col("a") =!= col("b"))
         .select(col("b").as("v"), col("a").as("u"), col("w")))
+      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.select(col("v"), col("w"))
       .unionByName(und.filter(col("a") === col("b"))
@@ -592,9 +599,14 @@ object Graph {
     val und = edges.select(
         least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // persist pre-partitioned on the join key instead of localCheckpoint:
+    // the checkpoint would drop the partitioning (hits' lesson) and the
+    // edge frame would re-shuffle once per round; an InMemoryRelation
+    // keeps it, so rounds move only the node-sized label frame
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
-      .transform(graft.ops.Checkpoint.cut(_, eager = true))
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("c"))
       .transform(graft.ops.Checkpoint.cut(_, eager = true))
@@ -607,6 +619,10 @@ object Graph {
             .as("c"))
         .transform(graft.ops.Checkpoint.cut(_, eager = true))
     }
+    // the final labels are checkpoint-materialized each round, so no live
+    // plan references the edge cache anymore — free it (the CacheManager
+    // never drops persisted entries on its own)
+    sym.unpersist()
     val sizes = labels.groupBy("c").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "c")
       .select(col("v").as("id"), col("c").as("community"),
@@ -785,11 +801,14 @@ object Graph {
     * pinned to the scores via the shuffle_hash hint, because left to
     * stats the planner builds-left on the edge frame — i.e. BROADCASTS
     * THE EDGES, which is quadratically wrong at cluster scale (and was
-    * 6× slower at sf0.1). Each half-step's raw neighbor sums are eagerly
+    * 6× slower at sf0.1). Each half-step's raw neighbor sums are
     * `localCheckpoint`ed: every raw-sum frame is consumed TWICE (its L1
-    * norm and the score join), so an un-truncated lazy plan re-evaluates
+    * norm and the score join), so an un-truncated plan re-evaluates
     * the whole prefix 4× per level — exponential in `iters` (the q281
-    * lesson, applied at construction). The checkpointed frames are
+    * lesson, applied at construction). The cuts are LAZY except the last
+    * half-step's (no dedicated materialization job each — the norm's
+    * broadcast thread computes and persists them; the final eager cut
+    * restores the unpersist-safety contract below). The checkpointed frames are
     * node-sized, never edge-sized, and each iteration's frames fall out
     * of reference scope when the loop variables are reassigned, so the
     * ContextCleaner frees their blocks. The two cached edge copies are
@@ -826,18 +845,29 @@ object Graph {
     var it = 0
     while (it < iters) {
       it += 1
+      // LAZY cuts: each raw-sum frame is consumed twice (L1 norm + score
+      // join) so it must be truncated and computed once — but a lazy
+      // localCheckpoint does both WITHOUT a dedicated materialization job
+      // per half-step: the norm's broadcast-exchange thread computes and
+      // persists the checkpoint, the score join then reads the persisted
+      // blocks (6 fewer driver actions per hits call; values identical)
       val aRaw = eSrc.join(h.hint("shuffle_hash"), col("_src") === col("id"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("h").cast(Dec)).cast("double").as("_ar"))
-        .transform(graft.ops.Checkpoint.cut(_, eager = true))
+        .transform(graft.ops.Checkpoint.cut(_, eager = false))
       val aN = aRaw.agg(sum(col("_ar").cast(Dec)).cast("double").as("_s"))
       a = aRaw.crossJoin(broadcast(aN))
         .select(col("id"),
           (col("_ar") / when(col("_s") > 0, col("_s"))).as("a"))
+      // the LAST half-step cuts EAGERLY: materializing hRaw forces aRaw
+      // through its lazy checkpoint too (hRaw's plan consumes it), so by
+      // the time the loop exits and the edge caches are unpersisted below,
+      // no live plan references eSrc/eDst anymore — the unpersist-safety
+      // contract the eager-everywhere version provided
       val hRaw = eDst.join(a.hint("shuffle_hash"), col("_dst") === col("id"))
         .groupBy(col("_src").as("id"))
         .agg(sum(col("a").cast(Dec)).cast("double").as("_hr"))
-        .transform(graft.ops.Checkpoint.cut(_, eager = true))
+        .transform(graft.ops.Checkpoint.cut(_, eager = it == iters))
       val hN = hRaw.agg(sum(col("_hr").cast(Dec)).cast("double").as("_s"))
       h = hRaw.crossJoin(broadcast(hN))
         .select(col("id"),
