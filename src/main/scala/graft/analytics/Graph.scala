@@ -402,17 +402,20 @@ object Graph {
     // every round's neighbor join scans sym — persist the DOUBLED frame
     // once instead of re-deriving union-of-two-projections from the
     // cached und per round (2|E| rows of three longs; freed below).
-    // Persisted PRE-PARTITIONED on the join key: an InMemoryRelation keeps
-    // its outputPartitioning (the hits eSrc/eDst trade), so every round's
-    // neighbor join moves only the node-sized label frame — without it the
-    // edge frame re-shuffles once per round, the dominant exchange of the
-    // sweep at any scale. No explicit partition count, so AQE still sizes
-    // it from the data.
+    // NOT pre-repartitioned on the join key: the r16 snapshot added a
+    // `.repartition(col("u"))` here (the hits eSrc/eDst trade) and the
+    // driver measured the family REGRESSING (q258 6.47→9.16 s) — the
+    // extra exchange + its persist materialization cost more than the
+    // per-round label-frame shuffle it saved, because the sweep's joins
+    // are AQE-planned broadcasts at the community-sized scales where the
+    // rounds run. Round-17 A/B on the driver methodology:
+    // persist+repartition 7.40/8.01/8.09 s (q245/q247/q258), persist-only
+    // 5.87/7.73/6.71 s, no-persist 5.57/9.80/9.26 s — persist-only wins
+    // the family.
     val sym = und.filter(col("a") =!= col("b"))
       .select(col("a").as("v"), col("b").as("u"), col("w"))
       .union(und.filter(col("a") =!= col("b"))
         .select(col("b").as("v"), col("a").as("u"), col("w")))
-      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.select(col("v"), col("w"))
       .unionByName(und.filter(col("a") === col("b"))
@@ -602,7 +605,11 @@ object Graph {
     // persist pre-partitioned on the join key instead of localCheckpoint:
     // the checkpoint would drop the partitioning (hits' lesson) and the
     // edge frame would re-shuffle once per round; an InMemoryRelation
-    // keeps it, so rounds move only the node-sized label frame
+    // keeps it, so rounds move only the node-sized label frame. (The
+    // Louvain sweep dropped its equivalent repartition in r17 — but LPA
+    // runs 4 rounds against louvain's 2, amortizing the exchange, and the
+    // r17 A/B read no-repartition as slightly WORSE here: 3.0–4.1 s vs
+    // 2.7–3.1 s on q290 — so this one stays.)
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
       .repartition(col("u"))
