@@ -666,27 +666,37 @@ object Graph {
     val und = edges.select(
         least(col(src), col(dst)).as("lo"), greatest(col(src), col(dst)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
+    // the fixpoint test rides each round's own checkpoint job as an
+    // observed EDGE count (§1 action-count): survivor sets are nested
+    // under the peel, so "no edge dropped" ⟺ "no vertex dropped" ⟺
+    // fixpoint — the old shape ran a separate keep.count() action per
+    // round (a third evaluation of the degree aggregate on top of the
+    // two the join already pays). Both Checkpoint.cut modes execute
+    // through Dataset.withAction, which completes observed metrics.
+    val obs0 = org.apache.spark.sql.Observation()
     var sym = und.select(col("lo").as("u"), col("hi").as("v"))
       .union(und.select(col("hi").as("u"), col("lo").as("v")))
+      .observe(obs0, count(lit(1)).as("_n"))
       .transform(graft.ops.Checkpoint.cut(_, eager = true))
-    var prev = -1L
+    var prev = obs0.get("_n").asInstanceOf[Long]
     var rounds = 0
-    var done = false
+    var done = prev == 0
     while (!done) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore: not converged after $maxRounds rounds ($prev edges)")
       val keep = sym.groupBy("u").agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k).select("u")
-      val n = keep.count()
+      val obs = org.apache.spark.sql.Observation()
+      val next = sym.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select("u", "v")
+        .observe(obs, count(lit(1)).as("_n"))
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
+      val n = obs.get("_n").asInstanceOf[Long]
+      sym = next
       if (n == prev || n == 0) done = true
-      else {
-        if (rounds >= maxRounds)
-          throw new IllegalStateException(
-            s"kCore: not converged after $maxRounds rounds ($n survivors)")
-        prev = n
-        sym = sym.join(keep, "u")
-          .join(keep.select(col("u").as("v")), "v")
-          .select("u", "v").transform(graft.ops.Checkpoint.cut(_, eager = true))
-        rounds += 1
-      }
+      else { prev = n; rounds += 1 }
     }
     // at the n == prev fixpoint every degree is ≥ k and the filter is a
     // no-op; on the n == 0 exit (no k-core) it empties the result
@@ -731,8 +741,17 @@ object Graph {
     var prev = -1L
     var rounds = 0
     while (true) {
+      // ONE evaluation of the triangle-support join per round: the
+      // surviving edge set is checkpointed directly and its count rides
+      // the checkpoint job as an observed metric (§1 action-count). The
+      // old shape paid the support join TWICE per round — once under
+      // keep.count(), once re-evaluated inside the next round's
+      // checkpoint — plus a separate probe action.
+      val obs = org.apache.spark.sql.Observation()
       val keep = supports(cur).filter(col("support") >= k - 2)
-      val n = keep.count()
+        .observe(obs, count(lit(1)).as("_n"))
+        .transform(graft.ops.Checkpoint.cut(_, eager = true))
+      val n = obs.get("_n").asInstanceOf[Long]
       if (n == prev || n == 0)
         // at the fixpoint `keep`'s supports were computed against the
         // final edge set itself — emit them directly
@@ -741,7 +760,7 @@ object Graph {
         throw new IllegalStateException(
           s"kTruss: not converged after $maxRounds rounds ($n edges)")
       prev = n
-      cur = keep.select("lo", "hi").transform(graft.ops.Checkpoint.cut(_, eager = true))
+      cur = keep.select("lo", "hi")
       rounds += 1
     }
     throw new IllegalStateException("unreachable")

@@ -814,11 +814,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
         .groupBy("v").agg(min("ulbl").as("nmin"))
+      // the changed-label count rides the checkpoint's own job as an
+      // observed metric (§1 action-count) — the old shape ran a separate
+      // probe action over the just-checkpointed blocks every round
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
+        .observe(obs, sum(when(col("nlbl") =!= col("lbl"), 1L)
+          .otherwise(0L)).as("_chg"))
         .transform(graft.ops.Checkpoint.cut(_, eager = true)) // materialize + truncate lineage
-      changed = next.filter(col("nlbl") =!= col("lbl")).count()
+      changed = Option(obs.get("_chg")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("v"), col("nlbl").as("lbl"))
       rounds += 1
     }
@@ -938,18 +944,28 @@ object Dedup {
                    maxRounds: Int = 100): DataFrame = {
     // the hash sum aggregates through decimal(38,0): exact, order-insensitive,
     // and immune to the long overflow ANSI mode would throw on (the sum of n
-    // 63-bit hashes needs ~log10(n)+19 digits — 38 covers any edge count)
-    def fingerprint(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("lo"), col("hi"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    // 63-bit hashes needs ~log10(n)+19 digits — 38 covers any edge count).
+    // The fingerprint rides each round's CHECKPOINT job as an observed
+    // metric (§1 action-count): the old shape ran a separate aggregate
+    // action per round over the just-checkpointed blocks — one job per
+    // round of pure probe, now zero (both Checkpoint.cut modes execute
+    // through Dataset.withAction, which completes observed metrics).
+    def fpMetrics: Seq[Column] = Seq(count(lit(1)).as("_n"),
+      sum(xxhash64(col("lo"), col("hi"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_h"))
+    def fpOf(obs: org.apache.spark.sql.Observation): (Long, String) = {
+      val m = obs.get
+      (m("_n").asInstanceOf[Long],
+        Option(m("_h")).map(_.asInstanceOf[java.math.BigDecimal]
+          .toBigInteger.toString).getOrElse("0"))
     }
+    val obs0 = org.apache.spark.sql.Observation()
     var edges = pairs
       .select(least(col(idA), col(idB)).as("lo"), greatest(col(idA), col(idB)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
+      .observe(obs0, fpMetrics.head, fpMetrics.tail: _*)
       .transform(graft.ops.Checkpoint.cut(_, eager = true))
-    var fp = fingerprint(edges)
+    var fp = fpOf(obs0)
     var converged = fp._1 == 0L
     var rounds = 0
     // SMALL-TAIL DRIVER FINISH: the star rounds shrink the edge set
@@ -1018,12 +1034,14 @@ object Dedup {
       // attach v's and u itself to m = min of u's smaller neighbors (m ≤ v < u)
       val or = ls.select(col("hi").as("u"), col("lo").as("v"))
       val mn2 = or.groupBy("u").agg(min("v").as("m"))
+      val obs = org.apache.spark.sql.Observation()
       val ss = or.join(mn2, "u")
         .select(col("m").as("lo"), col("v").as("hi"))
         .union(mn2.select(col("m").as("lo"), col("u").as("hi")))
         .filter(col("lo") =!= col("hi")).distinct()
+        .observe(obs, fpMetrics.head, fpMetrics.tail: _*)
         .transform(graft.ops.Checkpoint.cut(_, eager = true)) // materialize + truncate lineage
-      val nfp = fingerprint(ss)
+      val nfp = fpOf(obs)
       edges = ss
       converged = nfp == fp
       fp = nfp

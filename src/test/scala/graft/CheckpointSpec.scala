@@ -60,4 +60,41 @@ class CheckpointSpec extends SparkSpec {
       "graph/stats cuts must not move a value under reliable checkpoints")
     finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
   }
+
+  test("observed fixpoint probes (kCore/kTruss/starClusters/dedupClusters) " +
+       "complete and agree under BOTH checkpoint modes") {
+    // r17 folded each round's convergence probe into the round's own
+    // checkpoint job as an observed metric; Observation.get blocks until
+    // the action completes, so this test is the liveness pin: a cut mode
+    // that stopped firing Dataset.withAction would hang here, and a
+    // metric drift would move the fixpoint round count and the values.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (5L, 7L), (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val docs = (1L to 9L).toDF("id")
+    def run(): (Set[String], Set[String], Set[String], Set[String]) = (
+      graft.analytics.Graph.kCore(edges, "u", "v", k = 2)
+        .collect().map(_.toString).toSet,
+      graft.analytics.Graph.kTruss(edges, "u", "v", k = 3)
+        .collect().map(_.toString).toSet,
+      graft.text.Dedup.starClusters(docs,
+          edges.select(col("u").as("id_a"), col("v").as("id_b")), "id")
+        .collect().map(_.toString).toSet,
+      graft.text.Dedup.dedupClusters(docs,
+          edges.select(col("u").as("id_a"), col("v").as("id_b")), "id")
+        .collect().map(_.toString).toSet)
+
+    val default = run()
+    assert(default._1.nonEmpty && default._2.nonEmpty,
+      "fixture graph must have a 2-core and a 3-truss")
+    // star and label-propagation clusterings agree on this graph (one
+    // connected component over 1..8 plus the isolated doc 9)
+    assert(default._3 === default._4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk3").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try assert(run() === default,
+      "observed probes must not move a value under reliable checkpoints")
+    finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
 }
