@@ -1166,20 +1166,23 @@ object Similarity {
       .select(col(id).as("vec_id") +: asDouble(emb).as("v") +:
         carry.map(col): _*)
       .withColumn("_cb", typedlit(cb))
+      // each codeword's distance is computed ONCE into a (bk, bd) struct
+      // and the argmin folds over those structs — the pre-r17 form
+      // evaluated the dsub-element distance fold TWICE per codeword (once
+      // in the CASE condition, once in the THEN branch), doubling both
+      // the per-row flops and the codegen tree. Values are bit-identical:
+      // the distance fold is the same fixed-order sum, the scan runs in
+      // the same ascending-cw order, and `<` keeps the earlier (lower)
+      // code on ties exactly as before.
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
-           |  aggregate(sequence(0, ${ksub - 1}),
+           |  aggregate(
+           |    transform(sequence(0, ${ksub - 1}), cw -> struct(cw AS bk,
+           |      aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a, i) ->
+           |        a + (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
+           |          * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))) AS bd)),
            |    struct(CAST(-1 AS INT) AS bk, CAST('Infinity' AS DOUBLE) AS bd),
-           |    (acc, cw) -> CASE WHEN
-           |        aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a, i) ->
-           |          a + (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
-           |            * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i)))
-           |        < acc.bd
-           |      THEN struct(cw AS bk,
-           |        aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (a, i) ->
-           |          a + (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))
-           |            * (element_at(v, s * $dsub + i) - element_at(element_at(element_at(_cb, s + 1), cw + 1), i))) AS bd)
-           |      ELSE acc END,
+           |    (acc, x) -> CASE WHEN x.bd < acc.bd THEN x ELSE acc END,
            |    acc -> acc.bk))""".stripMargin))
       .select(col("vec_id") +: col("codes") +: carry.map(col): _*)
   }
