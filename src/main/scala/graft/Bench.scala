@@ -39,7 +39,11 @@ object Bench {
       .config(Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a full catalog run emits ~600 WARN lines (benign
+    // WindowExec / CacheManager chatter) that bloat the captured stdout
+    // the driver parses the contract line out of — log level changes
+    // nothing about the timed work
+    spark.sparkContext.setLogLevel("ERROR")
     locally {
       import org.apache.spark.sql.functions._
       spark.range(1000).select(sum(col("id").cast("decimal(18,6)"))).count()
@@ -101,18 +105,23 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val shJson = numMap(ListMap(shuffleMb.toSeq: _*))
     val spJson = numMap(ListMap(spillMb.toSeq: _*))
-    // metric side-maps come BEFORE the big per-query dict: a tail-truncated
-    // capture then cuts into `queries` (obviously incomplete) instead of
-    // ending at shuffle MB values that read like seconds (round 7's tail
-    // made q233's 16.8 MB look like a 16 s query)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"queries":${numMap(results)},"sf":"$sfDir"}"""
-    println(line)
-    // the stdout line is one very long row that tail-capture can truncate
-    // (round 3 lost the per-query seconds that way) — the file is the
-    // truncation-proof artifact
+    // bench_out.json carries EVERYTHING at full precision (per-query
+    // seconds, spread, shuffle/spill MB) — the truncation-proof artifact
+    // (round 3 lost the per-query seconds to a tail capture; round 15's
+    // ~25 KB stdout line failed the driver's parser outright and blanked
+    // the whole round-over-round comparison)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"spread":${numMap(spread)},"shuffle_mb":$shJson,"spill_mb":$spJson,"queries":${numMap(results)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // stdout already has the line
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // stdout carries the contract line
+    // the stdout CONTRACT line stays one line with the full `queries` map,
+    // but slimmed to survive any plausible capture buffer: seconds at 4 dp
+    // (0.1 ms — far below run noise; full precision lives in
+    // bench_out.json) and no shuffle/spill side-maps (~11 KB vs r15's
+    // 25 KB, the line the driver failed to parse)
+    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
+    val slim = ListMap(results.toSeq.map { case (k, v) => k -> r4(v) }: _*)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"spread":${numMap(spread)},"queries":${numMap(slim)},"sf":"$sfDir","detail":"bench_out.json"}""")
     // …and a compact summary as the LAST stdout line: tail capture keeps
     // the end, so even a 2000-char tail carries the totals plus the ten
     // slowest queries (the full map stays above and in bench_out.json)
