@@ -602,17 +602,16 @@ object Graph {
     val und = edges.select(
         least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // persist pre-partitioned on the join key instead of localCheckpoint:
-    // the checkpoint would drop the partitioning (hits' lesson) and the
-    // edge frame would re-shuffle once per round; an InMemoryRelation
-    // keeps it, so rounds move only the node-sized label frame. (The
-    // Louvain sweep dropped its equivalent repartition in r17 — but LPA
-    // runs 4 rounds against louvain's 2, amortizing the exchange, and the
-    // r17 A/B read no-repartition as slightly WORSE here: 3.0–4.1 s vs
-    // 2.7–3.1 s on q290 — so this one stays.)
+    // persist WITHOUT pre-partitioning on the join key: the r16 snapshot
+    // repartitioned by u here, which co-locates a celebrity hub's ENTIRE
+    // doubled edge list on one task (u = hub for every spoke) — the exact
+    // single-task skew shape the max_by rework exists to avoid, caught by
+    // ScaleSpec's star-graph bound (one task read 103k of 100k candidate
+    // rows). Upstream partitioning spreads the hub's rows, the per-round
+    // join shuffles under AQE skew handling, and the candidate aggregate
+    // map-side-combines before anything concentrates.
     val sym = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
-      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("v")).distinct()
       .select(col("v"), col("v").as("c"))
