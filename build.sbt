@@ -37,3 +37,58 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.sources.parallelPartitionDiscovery.threshold=" +
     sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"),
 )
+
+// ── Parallel test groups (r17, VERDICT item 3) ──
+// The ScalaTest suite is ~1300 s of body time spread flat across 45
+// suites; a single forked JVM runs them serially (~25-32 min wall) and
+// r16 shipped tests_ok:false on the driver's test-budget kill. The
+// suites are independent — each JVM builds its own SparkSession
+// (local[4], its own temp warehouse) and all scratch state lives in
+// per-process temp dirs — so they split across SPARK_GRAFT_TEST_FORKS
+// forked JVMs (default 6 ≈ 24 cores at local[4] each, ~48 GiB heap
+// ceiling on this 128 GiB box; ~5 min wall). Longest-processing-time
+// bin packing over the measured per-suite seconds below keeps the
+// groups balanced; unknown/new suites default to 10 s.
+val testForks = sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "6").toInt
+val suiteWeights: Map[String, Int] = Map(
+  "AnalysisSpec" -> 89, "AnnSpec" -> 136, "BehaviorSpec" -> 10,
+  "BpeSpec" -> 23, "BreadthSpec" -> 10, "CheckpointSpec" -> 22,
+  "CompactionSpec" -> 18, "CuratePipelineSpec" -> 35, "CurateSpec" -> 23,
+  "DedupSpec" -> 25, "ExpressionSpec" -> 2, "ExtensionsSpec" -> 2,
+  "ForecastSpec" -> 19, "FormatsSpec" -> 6, "GrangerSpec" -> 4,
+  "GraphAnnSpec" -> 120, "GraphSpec" -> 98, "IndicatorsSpec" -> 88,
+  "LayoutSpec" -> 3, "LinkSpec" -> 2, "MaintenanceSpec" -> 65,
+  "MixSpec" -> 7, "OpsSpec" -> 4, "PipelineSpec" -> 7,
+  "PlanLintSpec" -> 1, "PqIndexSpec" -> 17, "PropertySpec" -> 53,
+  "RetrievalSpec" -> 15, "ScaleSpec" -> 58, "SessionizeSpec" -> 9,
+  "SnapshotIsolationSpec" -> 44, "StreamingAnnSpec" -> 16,
+  "StreamingDedupSpec" -> 41, "StreamingGraphAnnSpec" -> 27,
+  "StreamingLexSpec" -> 48, "StreamingLmSpec" -> 7,
+  "StreamingMergeSpec" -> 3, "StreamingNgramsSpec" -> 2,
+  "StreamingPipelineSpec" -> 14, "StreamingPqSpec" -> 9,
+  "StreamingSketchSpec" -> 8, "StreamingSpec" -> 10,
+  "TextSignalsSpec" -> 15, "TombstoneSpec" -> 126, "TweetTextSpec" -> 1)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def weight(t: TestDefinition): Int =
+    suiteWeights.getOrElse(t.name.split('.').last, 10)
+  val load = Array.fill(testForks)(0L)
+  val groups = Array.fill(testForks)(Vector.newBuilder[TestDefinition])
+  tests.sortBy(t => (-weight(t), t.name)).foreach { t =>
+    val i = load.indexOf(load.min)
+    groups(i) += t
+    load(i) += weight(t)
+  }
+  groups.toSeq.zipWithIndex.flatMap { case (g, i) =>
+    val sel = g.result()
+    if (sel.isEmpty) None
+    else Some(Tests.Group(s"graft-tests-$i", sel,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))))
+  }
+}
+// sbt's default restrictions cap forked test groups at 1 — lift it to
+// the fork count (and keep an overall task ceiling at the core count)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, testForks))
