@@ -154,8 +154,13 @@ object Granger {
             predictors: Seq[String], maxLag: Int = 5): DataFrame = {
     val base = df.select((Seq(symbol, ts, target) ++ predictors).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // safe to unpersist here: test() materializes its Gram sums eagerly
-    try predictors.map(p => test(base, symbol, ts, target, p, maxLag))
+    // per-predictor passes are INDEPENDENT actions over the same cached
+    // base (each collects its own Gram row + boundary rows and finishes
+    // with driver-local math) — overlap them on the shared pool
+    // (guide §2.6); Par.map preserves input order, so the union is the
+    // same frame the sequential map produced
+    try graft.ops.Par.map(predictors)(p =>
+        test(base, symbol, ts, target, p, maxLag))
       .reduce(_.unionByName(_))
     finally base.unpersist(blocking = false)
   }
