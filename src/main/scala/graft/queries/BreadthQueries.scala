@@ -1129,14 +1129,17 @@ object BreadthQueries {
     "q258_louvain_hier" -> louvainHierOracleSql(3, 2),
     "q290_lpa" -> lpaOracleSql(4),
     // connected components: the q75/q268 recursive reachability closure
-    // over the q269 co-purchase edge set, min-id labels
+    // over the q269 co-purchase edge set, min-id labels. ed/sym are
+    // hinted AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs,
+    // re-evaluating the lineitem self-join inside every recursion step
+    // (the q288 trap; 5.8 s -> 2.1 s at sf0.01, value-identical)
     "q309_connected_components" ->
-      """WITH RECURSIVE ed AS (SELECT lo, hi FROM (
+      """WITH RECURSIVE ed AS MATERIALIZED (SELECT lo, hi FROM (
         |  SELECT a.l_partkey AS lo, b.l_partkey AS hi, count(*) AS c
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2) WHERE c >= 2),
-        |sym AS (SELECT lo AS u, hi AS v FROM ed UNION ALL SELECT hi, lo FROM ed),
+        |sym AS MATERIALIZED (SELECT lo AS u, hi AS v FROM ed UNION ALL SELECT hi, lo FROM ed),
         |nodes AS (SELECT DISTINCT u AS v FROM sym),
         |reach AS (SELECT v, v AS lbl FROM nodes
         |  UNION
