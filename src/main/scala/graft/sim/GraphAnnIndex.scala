@@ -290,12 +290,21 @@ object GraphAnnIndex {
     val m = readMeta(spark, dir)
     val tag = s"d$batchId"
     val idf = ids.select(col(ids.columns.head).as("vec_id")).distinct()
-    // resolve the deleted ids' bucket groups BEFORE the tombstone hides
-    // them from the live read
+    // resolve the deleted ids' bucket groups from the RAW vector tree
+    // (no tombstone filter), so the resolution is independent of the
+    // tombstone landing — the two run CONCURRENTLY (guide §2.6: the
+    // landing is a small write job + lease FS work on $dir/tombstones,
+    // the group resolution a bounded collect over $dir/vectors; disjoint
+    // subtrees, no shared driver state). On a dropped (replayed) batch
+    // the resolved groups are simply discarded, as before.
     val victim = rawVectors(spark, dir).join(broadcast(idf), Seq("vec_id"),
       "left_semi")
-    val landed = Tombstones.append(ids, dir, batchId)
-    if (landed) restateGroups(spark, dir, m, touchedGroups(victim, m), tag)
+    val both = graft.ops.Par.map(Seq[() => Any](
+      () => Tombstones.append(ids, dir, batchId),
+      () => touchedGroups(victim, m)))(_())
+    val landed = both.head.asInstanceOf[Boolean]
+    if (landed) restateGroups(spark, dir, m,
+      both(1).asInstanceOf[Map[Int, Seq[Int]]], tag)
     else if (!hasRestated(spark, dir, tag)) {
       // replayed delete whose original restatement never completed, with
       // the fold already past (victims may be physically erased): the
